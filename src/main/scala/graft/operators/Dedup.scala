@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact,
+  * MinHash+LSH, SimHash, and n-gram-Jaccard near-dup detection.
+  *
+  * Scale design (100 TB):
+  *  - signatures are per-row expressions (no shuffle, full codegen);
+  *  - candidate generation is band/chunk-bucket equi-joins — the only
+  *    shuffles, keyed so Spark's hash partitioning spreads buckets;
+  *  - oversized buckets (degenerate content, e.g. empty docs) are
+  *    capped via `maxBucketSize` so a single hot bucket cannot create
+  *    a quadratic straggler;
+  *  - verification runs only on candidate pairs.
+  */
+object Dedup {
+
+  // --- exact ----------------------------------------------------------
+
+  /** Exact dedup: one canonical (min-id) row per distinct key column.
+    * Hash-groupBy; map-side partial aggregation makes this one shuffle
+    * of distinct keys, not rows.
+    */
+  def exact(df: DataFrame, idCol: String, keyCol: Column): DataFrame =
+    df.groupBy(keyCol.as("dup_key"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  // --- MinHash + LSH --------------------------------------------------
+
+  /** Prime modulus for the (a*h+b) mod p permutation family. 2^31-1
+    * keeps a*h+b under 2^62, inside Long even with ANSI overflow
+    * checks (Spark 4 default). */
+  private val P = 2147483647L // 2^31 - 1 (Mersenne)
+
+  /** Deterministic permutation constants derived from the index via
+    * splitmix64-style mixing (public-domain construction), so
+    * signatures are stable across runs with no RNG state. */
+  private def mix(i: Long): Long = {
+    var z = i + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** k-value MinHash signature over word-shingle hashes.
+    * Entirely expression-based: `transform` + `array_min` per
+    * permutation, evaluated once per row inside codegen.
+    */
+  def minhashSignature(text: Column, k: Int = 32, shingleWidth: Int = 3): Column = {
+    val hashes = transform(TextAnalysis.shingles(text, shingleWidth), s => xxhash64(s))
+    val sig = (0 until k).map { i =>
+      val a = math.abs(mix(2L * i)) % (P - 1) + 1 // a in [1, P-1]
+      val b = math.abs(mix(2L * i + 1)) % P
+      array_min(transform(hashes, h => pmod(pmod(h, lit(P)) * a + b, lit(P))))
+    }
+    array(sig: _*)
+  }
+
+  /** LSH candidate pairs from MinHash signatures.
+    *
+    * @return (id_a, id_b) with id_a < id_b, distinct, where the two
+    *         docs agree on at least one of `bands` signature bands.
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 32,
+      bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val rows = k / bands
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), k).as("sig"))
+    val banded = sig.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    bucketJoinPairs(banded, Seq("band", "bh"), maxBucketSize)
+  }
+
+  /** Full MinHash LSH dedup: candidates verified with exact token-set
+    * Jaccard; returns pairs with jaccard >= threshold. */
+  def minhashDedupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7,
+      k: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, k, bands)
+    verifyJaccard(cands, df, idCol, tokenSet(col(textCol)), threshold)
+  }
+
+  // --- SimHash --------------------------------------------------------
+
+  /** 64-bit SimHash over token hashes: bit j of the result is 1 iff the
+    * sum over tokens of ±1 (sign of bit j of the token hash) is
+    * positive. Implemented as 64 `aggregate` folds over the token-hash
+    * array — per-row, no shuffle. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming.
+    * Candidates share at least one of 4 16-bit chunks (pigeonhole: any
+    * pair within Hamming 3 of a 64-bit hash agrees on >=1 chunk).
+    */
+  def simhashDedupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val chunked = sh.select(col("id"), col("sh"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sh"), c * 16).bitwiseAND(0xffffL).as("cv"))
+      }: _*)).as("cc"))
+      .select(col("id"), col("sh"), col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
+    val a = chunked.select(col("chunk"), col("cv"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("cv"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "cv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // --- n-gram Jaccard -------------------------------------------------
+
+  /** Distinct lowercase character n-grams. */
+  def charNgrams(text: Column, n: Int = 3): Column = {
+    val t = lower(trim(text))
+    array_distinct(
+      when(length(t) < n, array(t))
+        .otherwise(transform(
+          sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n)))))
+  }
+
+  /** Distinct token set (for word-level Jaccard). */
+  def tokenSet(text: Column): Column = array_distinct(TextAnalysis.tokens(text))
+
+  /** Exact Jaccard similarity of two array columns (treated as sets). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      greatest(size(array_union(a, b)), lit(1)).cast("double")
+
+  /** n-gram-Jaccard near-dup pairs. Candidate generation reuses the
+    * MinHash LSH bands (computed over word shingles) — at scale an
+    * all-pairs n-gram comparison is quadratic, so LSH prefilters. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      k: Int = 32,
+      bands: Int = 16): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, k, bands)
+    verifyJaccard(cands, df, idCol, charNgrams(col(textCol), n), threshold)
+  }
+
+  // --- shared helpers -------------------------------------------------
+
+  /** Self-join pairs of `banded` rows sharing bucket `keys`, with
+    * oversized buckets dropped (skew guard). */
+  private def bucketJoinPairs(
+      banded: DataFrame,
+      keys: Seq[String],
+      maxBucketSize: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    val sized = banded
+      .withColumn("bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+    val a = sized.withColumnRenamed("id", "id_a")
+    val b = sized.withColumnRenamed("id", "id_b")
+    a.join(b, keys)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Join candidate pairs back to per-doc set columns and keep pairs
+    * with exact Jaccard >= threshold. */
+  private def verifyJaccard(
+      cands: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      setCol: Column,
+      threshold: Double): DataFrame = {
+    val sets = df.select(col(idCol).as("vid"), setCol.as("vset"))
+    cands
+      .join(sets.withColumnRenamed("vid", "id_a").withColumnRenamed("vset", "set_a"), "id_a")
+      .join(sets.withColumnRenamed("vid", "id_b").withColumnRenamed("vset", "set_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("set_a"), col("set_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Two paths (mirrors the reference's `withVectorSearch` /
+  * `VectorSearchTable` surface — paimon-common
+  * .../predicate/VectorSearch.java:32 — rebuilt on DataFrames):
+  *  - brute force: exact top-k via a broadcast of the (small) query
+  *    set against the full corpus — one corpus scan, no corpus shuffle;
+  *  - LSH (random hyperplane) buckets: approximate top-k touching only
+  *    candidate buckets — the 100 TB path, where scanning the full
+  *    corpus per query set is not viable.
+  *
+  * All vector math is `zip_with`/`aggregate` expressions in double
+  * precision (codegen'd, deterministic left-to-right fold).
+  */
+object Similarity {
+
+  /** Dot product of two numeric array columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param corpus  (idCol, vecCol) corpus DataFrame — arbitrarily large
+    * @param queries (idCol, vecCol) query DataFrame — small, broadcast
+    * @return query_id, neighbor_id, cosine (rounded to 6), rank
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, kNeighbors: Int = 5): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qvec"), col("nvec")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNeighbors)
+  }
+
+  /** Deterministic random hyperplanes: `planes(t)(p)(d)` from a seeded
+    * PRNG so signatures are stable across runs and executors. */
+  private def hyperplanes(tables: Int, planesPerTable: Int, dim: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(tables, planesPerTable, dim)(rnd.nextGaussian())
+  }
+
+  /** Random-hyperplane LSH bucket ids, one per table: bit p of the
+    * bucket id for table t is `sign(v . plane(t,p))`. */
+  def lshBuckets(
+      vec: Column, dim: Int,
+      tables: Int = 4, planesPerTable: Int = 8, seed: Long = 42L): Column = {
+    val hp = hyperplanes(tables, planesPerTable, dim, seed)
+    val v = vec.cast("array<double>")
+    array((0 until tables).map { t =>
+      val bits = (0 until planesPerTable).map { p =>
+        val plane = array(hp(t)(p).map(lit).toIndexedSeq: _*)
+        when(dot(v, plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }
+      bits.reduce((a, b) => a.bitwiseOR(b))
+    }: _*)
+  }
+
+  /** Approximate top-k: probe only corpus rows that share an LSH bucket
+    * with the query in at least one table, then rank candidates by
+    * exact cosine. Corpus side shuffles by (table, bucket) — bounded
+    * fan-out of `tables` rows per corpus vector. */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int,
+      kNeighbors: Int = 5, tables: Int = 4, planesPerTable: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    def withBuckets(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        posexplode(lshBuckets(col(vecCol), dim, tables, planesPerTable, seed))
+          .as(Seq("tbl", "bucket")))
+    val c = withBuckets(corpus, "neighbor_id", "nvec")
+    val q = withBuckets(queries, "query_id", "qvec")
+    val cands = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qvec"), col("neighbor_id"), col("nvec"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qvec"), col("nvec")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNeighbors)
+  }
+}

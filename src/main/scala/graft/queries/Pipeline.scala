@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis => TA}
+
+/** Training-data pipeline operators (dedup / text analysis / similarity
+  * search) as verified inventory entries over `documents` and
+  * `embeddings`. SQL-expressible variants carry DuckDB oracles; the
+  * hash-based ones (MinHash/SimHash/LSH) are deterministic but not
+  * SQL-expressible → rows-only checks, with exact-verified companions.
+  */
+object Pipeline {
+
+  val defs: Vector[QDef] = Vector(
+    // ---- exact dedup (hash-groupBy on full text).
+    QDef(
+      "p01_exact_dedup",
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin) { (s, dir) =>
+      Dedup.exact(tbl(s, dir, "documents"), "doc_id", col("text"))
+        .select(col("canonical_id"), col("n_copies"))
+    },
+
+    // ---- token / char counting.
+    QDef(
+      "p02_token_stats",
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_measured,
+        |  n_chars AS n_chars_meta
+        |FROM documents""".stripMargin) { (s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.tokenCount(col("text")).as("n_tokens"),
+          TA.charCount(col("text")).as("n_chars_measured"),
+          col("n_chars").as("n_chars_meta"))
+    },
+
+    // ---- quality scoring (C4/Gopher-style heuristics).
+    QDef(
+      "p03_quality_scores",
+      """SELECT doc_id,
+        |  round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1), 6) AS alpha_ratio,
+        |  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1), 6) AS digit_ratio,
+        |  round(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+        |    / greatest(len(regexp_split_to_array(trim(lower(text)), '\s+')), 1), 6) AS avg_word_len
+        |FROM documents""".stripMargin) { (s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TA.alphaRatio(col("text")), 6).as("alpha_ratio"),
+          round(TA.digitRatio(col("text")), 6).as("digit_ratio"),
+          round(TA.avgWordLen(col("text")), 6).as("avg_word_len"))
+    },
+
+    // ---- language ID (stopword-profile heuristic; not SQL-expressible).
+    QDef.rowsOnly("p04_langid") { (s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TA.langId(col("text")).as("pred_lang"), col("lang"))
+    },
+
+    // ---- MinHash+LSH near-dup pairs (deterministic, hash-based).
+    QDef.rowsOnly("p05_minhash_dedup") { (s, dir) =>
+      Dedup.minhashDedupPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.7)
+    },
+
+    // ---- SimHash near-dup pairs.
+    QDef.rowsOnly("p06_simhash_dedup") { (s, dir) =>
+      Dedup.simhashDedupPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 16)
+    },
+
+    // ---- exact word-set Jaccard pairs within a blocking key (SQL-
+    // verifiable companion to p05: same verifier, exhaustive within
+    // `source` blocks).
+    QDef(
+      "p07_jaccard_pairs_blocked",
+      """WITH sets AS (SELECT doc_id, source,
+        |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS toks
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1), 6) AS jaccard
+        |FROM sets a JOIN sets b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |    / greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1) >= 0.8""".stripMargin) { (s, dir) =>
+      val sets = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), Dedup.tokenSet(col("text")).as("toks"))
+      val a = sets.select(col("source"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
+      val b = sets.select(col("source"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
+      a.join(b, "source")
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("jacc_raw", Dedup.jaccard(col("toks_a"), col("toks_b")))
+        .filter(col("jacc_raw") >= 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jacc_raw"), 6).as("jaccard"))
+    },
+
+    // ---- document fingerprints (xxhash64-based; not SQL-expressible).
+    QDef.rowsOnly("p08_fingerprints") { (s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TA.docFingerprint(col("text")).as("fingerprint"),
+          TA.minShingleFingerprint(col("text")).as("min_shingle_fp"))
+    },
+
+    // ---- brute-force exact k-NN by cosine over embeddings.
+    QDef(
+      "s01_knn_bruteforce",
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    round(
+        |      list_sum(list_transform(generate_series(1, 64),
+        |        i -> CAST(qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(generate_series(1, 64),
+        |           i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(generate_series(1, 64),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))))
+        |    , 6) AS cosine
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+        |WHERE rank <= 5""".stripMargin) { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", kNeighbors = 5)
+    },
+
+    // ---- LSH-bucketed approximate k-NN (the at-scale path).
+    QDef.rowsOnly("s02_knn_lsh") { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.lshTopK(
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        dim = 64, kNeighbors = 5)
+    })
+}
