@@ -1,0 +1,68 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import scala.jdk.CollectionConverters._
+
+/** Thin filesystem abstraction for metadata IO.
+  *
+  * The commit protocol needs exactly one primitive beyond read/write:
+  * atomic create-if-absent of the snapshot file (the CAS that
+  * serializes concurrent committers — model:
+  * paimon-core .../operation/FileStoreCommitImpl.java tryCommit loop).
+  * The local implementation uses CREATE_NEW; an object-store
+  * implementation would use conditional PUT, an HDFS one rename().
+  */
+trait FileIO {
+  def readString(path: String): String
+  def writeString(path: String, content: String): Unit
+  /** Atomically create `path` with `content` iff it does not exist.
+    * @return true on success, false if the path already exists. */
+  def tryCreateAtomic(path: String, content: String): Boolean
+  def exists(path: String): Boolean
+  def mkdirs(path: String): Unit
+  def list(dir: String): Seq[String]
+  def delete(path: String): Unit
+  def rename(src: String, dst: String): Unit
+}
+
+final class LocalFileIO extends FileIO {
+  private def p(s: String): Path = Paths.get(s)
+
+  override def readString(path: String): String =
+    new String(Files.readAllBytes(p(path)), StandardCharsets.UTF_8)
+
+  override def writeString(path: String, content: String): Unit = {
+    Files.createDirectories(p(path).getParent)
+    val tmp = p(path + ".tmp." + java.util.UUID.randomUUID())
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p(path), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override def tryCreateAtomic(path: String, content: String): Boolean = {
+    Files.createDirectories(p(path).getParent)
+    try {
+      Files.write(p(path), content.getBytes(StandardCharsets.UTF_8),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+  }
+
+  override def exists(path: String): Boolean = Files.exists(p(path))
+
+  override def mkdirs(path: String): Unit = Files.createDirectories(p(path))
+
+  override def list(dir: String): Seq[String] =
+    if (!Files.isDirectory(p(dir))) Seq.empty
+    else Files.list(p(dir)).iterator().asScala.map(_.toString).toSeq
+
+  override def delete(path: String): Unit = Files.deleteIfExists(p(path))
+
+  override def rename(src: String, dst: String): Unit = {
+    Files.createDirectories(p(dst).getParent)
+    Files.move(p(src), p(dst), StandardCopyOption.ATOMIC_MOVE)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.core
+
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Metadata model of the graft table format.
+  *
+  * Layout (modeled on the reference's snapshot → manifest-list →
+  * manifest → data-file chain, paimon-api .../Snapshot.java:43-69 and
+  * paimon-core .../manifest/ManifestEntry.java:42, re-expressed as
+  * plain JSON for a Spark-library implementation):
+  *
+  * {{{
+  * table/
+  *   schema/schema-<id>.json
+  *   snapshot/snapshot-<id>.json     // atomic-rename committed
+  *   snapshot/LATEST                 // hint (content: latest id)
+  *   manifest/manifest-<uuid>.json   // entries added/deleted by a commit
+  *   manifest/list-<uuid>.json       // all manifests visible in a snapshot
+  *   data/<partitionPath>/bucket-<n>/<uuid>.parquet
+  * }}}
+  */
+object Meta {
+
+  /** Versioned table schema. Field ids are stable across evolution
+    * (model: paimon DataField / SchemaManager). */
+  case class FieldDef(id: Int, name: String, dataType: String, nullable: Boolean)
+
+  case class TableSchema(
+      id: Long,
+      fields: Seq[FieldDef],
+      partitionKeys: Seq[String],
+      primaryKeys: Seq[String],
+      options: Map[String, String]) {
+
+    def toStruct: StructType = StructType(fields.map(f =>
+      org.apache.spark.sql.types.StructField(
+        f.name, DataType.fromDDL(f.dataType), f.nullable)).toArray)
+
+    def numBuckets: Int = options.getOrElse("bucket", "4").toInt
+    def mergeEngine: String = options.getOrElse("merge-engine", "deduplicate")
+    def sequenceField: Option[String] = options.get("sequence.field")
+  }
+
+  object TableSchema {
+    def fromStruct(
+        id: Long,
+        struct: StructType,
+        partitionKeys: Seq[String],
+        primaryKeys: Seq[String],
+        options: Map[String, String]): TableSchema =
+      TableSchema(id,
+        struct.fields.zipWithIndex.map { case (f, i) =>
+          FieldDef(i, f.name, f.dataType.sql, f.nullable)
+        }.toSeq,
+        partitionKeys, primaryKeys, options)
+  }
+
+  /** Per-column file statistics (stringified min/max, typed via the
+    * schema on evaluation). Drives data skipping. */
+  case class ColStats(min: Option[String], max: Option[String], nullCount: Long)
+
+  /** One data file: the manifest's unit of add/delete. */
+  case class DataFileMeta(
+      fileName: String, // relative to table root
+      fileSize: Long,
+      rowCount: Long,
+      minSeq: Long,
+      maxSeq: Long,
+      level: Int,
+      stats: Map[String, ColStats])
+
+  /** Manifest entry: ADD or DELETE of one data file in one
+    * (partition, bucket). Partition values are stringified. */
+  case class ManifestEntry(
+      kind: String, // "ADD" | "DELETE"
+      partition: Map[String, String],
+      bucket: Int,
+      file: DataFileMeta)
+
+  case class Manifest(entries: Seq[ManifestEntry])
+
+  /** Manifest list: the set of manifest files a snapshot sees. */
+  case class ManifestList(manifests: Seq[String])
+
+  /** Commit kinds (reference: Snapshot.CommitKind). */
+  val KindAppend = "APPEND"
+  val KindCompact = "COMPACT"
+  val KindOverwrite = "OVERWRITE"
+
+  case class Snapshot(
+      id: Long,
+      schemaId: Long,
+      commitKind: String,
+      /** idempotence key for streaming epochs (reference:
+        * FileStoreCommitImpl.commitIdentifier). */
+      commitIdentifier: Long,
+      timeMillis: Long,
+      manifestList: String,
+      /** the one manifest added by this commit (drives incremental reads) */
+      deltaManifest: Option[String],
+      totalRecordCount: Long,
+      deltaRecordCount: Long,
+      watermark: Option[Long],
+      /** tag name → snapshot id map lives outside; snapshots are pure. */
+      baseSnapshotId: Option[Long])
+
+  /** Hidden columns on primary-key table data files. */
+  val SeqCol = "_graft_seq"
+  val KindCol = "_graft_kind"
+  /** RowKind byte values (reference: paimon RowKind.java:29-56). */
+  val KindInsert: Byte = 0 // +I
+  val KindUpdateBefore: Byte = 1 // -U
+  val KindUpdateAfter: Byte = 2 // +U
+  val KindDelete: Byte = 3 // -D
+}

@@ -1,0 +1,211 @@
+package graft.core
+
+import graft.core.Meta._
+import java.util.UUID
+
+/** Snapshot/manifest/schema bookkeeping + the commit protocol for one
+  * table directory.
+  *
+  * Commit = write data files (done by executors beforehand) → write a
+  * delta manifest + new manifest list (driver) → CAS-create
+  * `snapshot/snapshot-<latest+1>.json`; on CAS failure re-read latest,
+  * re-check conflicts, retry. Mirrors the reference's
+  * FileStoreCommitImpl.tryCommit loop (paimon-core
+  * .../operation/FileStoreCommitImpl.java:687) with the snapshot file
+  * as the single point of serialization.
+  */
+final class SnapshotManager(val tablePath: String, val io: FileIO = new LocalFileIO) {
+
+  private def snapshotDir = s"$tablePath/snapshot"
+  private def manifestDir = s"$tablePath/manifest"
+  private def schemaDir = s"$tablePath/schema"
+  def dataDir = s"$tablePath/data"
+
+  // ---- schema ---------------------------------------------------------
+
+  def writeSchema(schema: TableSchema): Unit =
+    io.writeString(s"$schemaDir/schema-${schema.id}.json", Json.write(schema))
+
+  def latestSchema(): Option[TableSchema] = {
+    val ids = io.list(schemaDir)
+      .map(_.split('/').last)
+      .collect { case s if s.startsWith("schema-") && s.endsWith(".json") =>
+        s.stripPrefix("schema-").stripSuffix(".json").toLong
+      }
+    if (ids.isEmpty) None
+    else Some(schema(ids.max))
+  }
+
+  def schema(id: Long): TableSchema =
+    Json.read(io.readString(s"$schemaDir/schema-$id.json"), classOf[TableSchema])
+
+  // ---- snapshots ------------------------------------------------------
+
+  private def snapshotPath(id: Long) = s"$snapshotDir/snapshot-$id.json"
+
+  def snapshot(id: Long): Snapshot =
+    Json.read(io.readString(snapshotPath(id)), classOf[Snapshot])
+
+  def snapshotIds: Seq[Long] =
+    io.list(snapshotDir)
+      .map(_.split('/').last)
+      .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
+        s.stripPrefix("snapshot-").stripSuffix(".json").toLong
+      }
+      .sorted
+
+  def latestSnapshotId: Option[Long] = {
+    // LATEST is a hint, not the source of truth (it may lag): start
+    // there, then scan forward.
+    val hinted =
+      try io.readString(s"$snapshotDir/LATEST").trim.toLong
+      catch { case _: Exception => -1L }
+    var id = math.max(hinted, -1L)
+    while (io.exists(snapshotPath(id + 1))) id += 1
+    if (id >= 0 && io.exists(snapshotPath(id))) Some(id)
+    else snapshotIds.lastOption
+  }
+
+  def latestSnapshot(): Option[Snapshot] = latestSnapshotId.map(snapshot)
+
+  // ---- manifests ------------------------------------------------------
+
+  def writeManifest(entries: Seq[ManifestEntry]): String = {
+    val name = s"manifest-${UUID.randomUUID()}.json"
+    io.writeString(s"$manifestDir/$name", Json.write(Manifest(entries)))
+    name
+  }
+
+  def readManifest(name: String): Seq[ManifestEntry] =
+    Json.read(io.readString(s"$manifestDir/$name"), classOf[Manifest]).entries
+
+  def writeManifestList(manifests: Seq[String]): String = {
+    val name = s"list-${UUID.randomUUID()}.json"
+    io.writeString(s"$manifestDir/$name", Json.write(ManifestList(manifests)))
+    name
+  }
+
+  def readManifestList(name: String): Seq[String] =
+    Json.read(io.readString(s"$manifestDir/$name"), classOf[ManifestList]).manifests
+
+  /** All live data-file entries visible in a snapshot: ADDs minus
+    * later DELETEs, folded across the snapshot's manifests in order. */
+  def liveEntries(s: Snapshot): Seq[ManifestEntry] = {
+    val all = readManifestList(s.manifestList).flatMap(readManifest)
+    val deleted = all.collect {
+      case e if e.kind == "DELETE" => e.file.fileName
+    }.toSet
+    all.filter(e => e.kind == "ADD" && !deleted.contains(e.file.fileName))
+  }
+
+  // ---- commit ---------------------------------------------------------
+
+  /** Commit a set of manifest entries as the next snapshot.
+    *
+    * @param entries     delta entries (ADDs and DELETEs) of this commit
+    * @param commitKind  APPEND / COMPACT / OVERWRITE
+    * @param commitIdentifier idempotence key: if a snapshot with this
+    *        identifier already exists the commit is silently skipped
+    *        (exactly-once for streaming epoch replay)
+    * @param conflictCheck given the latest snapshot reached after a CAS
+    *        race, return true if this commit may still proceed
+    * @return the committed (or pre-existing) snapshot id
+    */
+  def commit(
+      entries: Seq[ManifestEntry],
+      commitKind: String,
+      schemaId: Long,
+      commitIdentifier: Long = -1L,
+      watermark: Option[Long] = None,
+      conflictCheck: Snapshot => Boolean = _ => true,
+      maxRetries: Int = 20): Long = {
+    val manifestName = writeManifest(entries)
+    val deltaRows = entries.iterator
+      .map(e => if (e.kind == "ADD") e.file.rowCount else -e.file.rowCount)
+      .sum
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val latest = latestSnapshot()
+      // idempotent replay: an epoch that already committed is a no-op
+      if (commitIdentifier >= 0) {
+        val dup = snapshotIds.map(snapshot)
+          .find(_.commitIdentifier == commitIdentifier)
+        if (dup.isDefined) return dup.get.id
+      }
+      latest.foreach { l =>
+        if (!conflictCheck(l)) {
+          throw new IllegalStateException(
+            s"commit conflict against snapshot ${l.id} ($commitKind)")
+        }
+      }
+      val nextId = latest.map(_.id + 1).getOrElse(0L)
+      val baseManifests = latest.map(s => readManifestList(s.manifestList))
+        .getOrElse(Seq.empty)
+      val listName = writeManifestList(baseManifests :+ manifestName)
+      val snap = Snapshot(
+        id = nextId,
+        schemaId = schemaId,
+        commitKind = commitKind,
+        commitIdentifier = commitIdentifier,
+        timeMillis = System.currentTimeMillis(),
+        manifestList = listName,
+        deltaManifest = Some(manifestName),
+        totalRecordCount = latest.map(_.totalRecordCount).getOrElse(0L) + deltaRows,
+        deltaRecordCount = deltaRows,
+        watermark = watermark,
+        baseSnapshotId = latest.map(_.id))
+      if (io.tryCreateAtomic(snapshotPath(nextId), Json.write(snap))) {
+        io.writeString(s"$snapshotDir/LATEST", nextId.toString)
+        return nextId
+      }
+      attempt += 1 // CAS lost: another writer took nextId — retry
+    }
+    throw new IllegalStateException(s"commit failed after $maxRetries retries")
+  }
+
+  /** Drop snapshots older than the `retain` most recent ones and any
+    * data/manifest files no surviving snapshot references.
+    * (reference: ExpireSnapshotsImpl.java:49) */
+  def expireSnapshots(retain: Int): Seq[Long] = {
+    val ids = snapshotIds
+    if (ids.size <= retain) return Seq.empty
+    val (drop, keep) = ids.splitAt(ids.size - retain)
+    val keptSnaps = keep.map(snapshot)
+    val liveFiles = keptSnaps.flatMap(s => liveEntries(s).map(_.file.fileName)).toSet
+    val liveManifests = keptSnaps.flatMap(s =>
+      readManifestList(s.manifestList) :+ s.manifestList).toSet
+    // files referenced only by dropped snapshots are orphaned
+    drop.foreach { id =>
+      val s = snapshot(id)
+      readManifestList(s.manifestList).flatMap(readManifest).foreach { e =>
+        if (!liveFiles.contains(e.file.fileName))
+          io.delete(s"$tablePath/${e.file.fileName}")
+      }
+      (readManifestList(s.manifestList) :+ s.manifestList).foreach { m =>
+        if (!liveManifests.contains(m)) io.delete(s"$manifestDir/$m")
+      }
+      io.delete(snapshotPath(id))
+    }
+    drop
+  }
+
+  // ---- tags (named snapshot refs; reference: paimon tag management) ---
+
+  private def tagDir = s"$tablePath/tag"
+
+  def createTag(name: String, snapshotId: Long): Unit =
+    io.writeString(s"$tagDir/tag-$name", snapshotId.toString)
+
+  def tagSnapshotId(name: String): Option[Long] =
+    if (io.exists(s"$tagDir/tag-$name"))
+      Some(io.readString(s"$tagDir/tag-$name").trim.toLong)
+    else None
+
+  def deleteTag(name: String): Unit = io.delete(s"$tagDir/tag-$name")
+
+  def tags: Map[String, Long] =
+    io.list(tagDir).map(_.split('/').last)
+      .collect { case t if t.startsWith("tag-") =>
+        t.stripPrefix("tag-") -> io.readString(s"$tagDir/$t").trim.toLong
+      }.toMap
+}

@@ -1,0 +1,83 @@
+package graft.core
+
+import graft.core.Meta.{ColStats, DataFileMeta, TableSchema}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** File-level data skipping: decide from manifest min/max/null-count
+  * stats whether a data file can possibly contain rows matching a
+  * predicate. Mirrors the reference's stats-based manifest filtering
+  * (paimon-core .../operation/AbstractFileStoreScan filterByStats /
+  * SimpleStatsEvolution) against Catalyst expressions instead of a
+  * custom predicate IR.
+  *
+  * Works on analyzed expressions: comparand sides only need to be
+  * foldable (Literal, Cast(Literal), arithmetic on literals, ...).
+  * Conservative: anything unrecognized returns "might match".
+  */
+object StatsFilter {
+
+  /** @return false only if the file provably contains no matching row. */
+  def mightMatch(expr: Expression, file: DataFileMeta, schema: TableSchema): Boolean =
+    eval(expr, file)
+
+  private def eval(expr: Expression, f: DataFileMeta): Boolean = expr match {
+    case And(l, r) => eval(l, f) && eval(r, f)
+    case Or(l, r) => eval(l, f) || eval(r, f)
+    case EqualTo(a: AttributeReference, r) if r.foldable =>
+      range(a.name, f).forall { case (mn, mx) =>
+        cmp(r.eval(), r.dataType, mn) >= 0 && cmp(r.eval(), r.dataType, mx) <= 0 }
+    case EqualTo(l, a: AttributeReference) if l.foldable => eval(EqualTo(a, l), f)
+    case GreaterThan(a: AttributeReference, r) if r.foldable =>
+      range(a.name, f).forall { case (_, mx) => cmp(r.eval(), r.dataType, mx) < 0 }
+    case GreaterThanOrEqual(a: AttributeReference, r) if r.foldable =>
+      range(a.name, f).forall { case (_, mx) => cmp(r.eval(), r.dataType, mx) <= 0 }
+    case LessThan(a: AttributeReference, r) if r.foldable =>
+      range(a.name, f).forall { case (mn, _) => cmp(r.eval(), r.dataType, mn) > 0 }
+    case LessThanOrEqual(a: AttributeReference, r) if r.foldable =>
+      range(a.name, f).forall { case (mn, _) => cmp(r.eval(), r.dataType, mn) >= 0 }
+    // flipped operand order
+    case GreaterThan(l, a: AttributeReference) if l.foldable => eval(LessThan(a, l), f)
+    case GreaterThanOrEqual(l, a: AttributeReference) if l.foldable => eval(LessThanOrEqual(a, l), f)
+    case LessThan(l, a: AttributeReference) if l.foldable => eval(GreaterThan(a, l), f)
+    case LessThanOrEqual(l, a: AttributeReference) if l.foldable => eval(GreaterThanOrEqual(a, l), f)
+    case In(a: AttributeReference, list) if list.forall(_.foldable) =>
+      list.exists { r =>
+        range(a.name, f).forall { case (mn, mx) =>
+          cmp(r.eval(), r.dataType, mn) >= 0 && cmp(r.eval(), r.dataType, mx) <= 0 } }
+    case InSet(a: AttributeReference, values) =>
+      values.exists { v =>
+        range(a.name, f).forall { case (mn, mx) =>
+          cmp(v, a.dataType, mn) >= 0 && cmp(v, a.dataType, mx) <= 0 } }
+    case IsNull(a: AttributeReference) =>
+      f.stats.get(a.name).forall(_.nullCount > 0)
+    case IsNotNull(a: AttributeReference) =>
+      f.stats.get(a.name).forall(st => st.nullCount < f.rowCount || st.min.isDefined)
+    case _ => true // unsupported shape: cannot skip
+  }
+
+  /** (min, max) stats of a column, if present and usable. */
+  private def range(col: String, f: DataFileMeta): Option[(String, String)] =
+    f.stats.get(col).flatMap {
+      case ColStats(Some(mn), Some(mx), _) => Some((mn, mx))
+      case _ => None
+    }
+
+  /** Compare a Catalyst internal value against a stringified stat
+    * value. Returns sign of (value - stat). */
+  private def cmp(v: Any, dt: DataType, stat: String): Int = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      java.lang.Long.compare(v.asInstanceOf[Number].longValue(), stat.toLong)
+    case DateType => // internal: days since epoch (Int)
+      java.lang.Long.compare(v.asInstanceOf[Number].longValue(), stat.toLong)
+    case TimestampType | TimestampNTZType => // internal: micros (Long)
+      java.lang.Long.compare(v.asInstanceOf[Number].longValue(), stat.toLong)
+    case FloatType | DoubleType =>
+      java.lang.Double.compare(v.asInstanceOf[Number].doubleValue(), stat.toDouble)
+    case StringType =>
+      v.toString.compareTo(stat)
+    case BooleanType =>
+      java.lang.Boolean.compare(v.asInstanceOf[Boolean], stat.toBoolean)
+    case _ => 0 // treat as equal → never skips
+  }
+}

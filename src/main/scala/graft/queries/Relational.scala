@@ -72,7 +72,8 @@ object Relational {
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(asDouble(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate")
+        .select(col("l_orderkey"), col("revenue"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
@@ -427,7 +428,8 @@ object Relational {
           col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
         .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"), date_trunc("month", col("o_orderdate")).as("month"))
+        .groupBy(col("n_name"),
+          date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month"))
         .agg(asDouble(sum(dec(col("o_totalprice")))).as("revenue"))
     })
 }

@@ -1,0 +1,196 @@
+package graft.queries
+
+import graft.table.GraftTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Table-format operators exercised end-to-end inside the correctness
+  * gate: each query materializes a graft table from testdata in a
+  * scratch dir, drives a storage operation (upsert / delete / merge /
+  * compact / time travel / incremental read), and returns a result the
+  * DuckDB oracle can reproduce from the original parquet alone — so a
+  * hash match proves the whole write→commit→plan→merge→read loop.
+  */
+object Storage {
+
+  private def scratch(name: String): String =
+    Files.createTempDirectory(s"graft-$name-").toString + "/table"
+
+  private def ordersTable(
+      s: SparkSession, dir: String,
+      options: Map[String, String] = Map.empty,
+      primaryKeys: Seq[String] = Seq.empty,
+      partitionKeys: Seq[String] = Seq.empty,
+      extraCols: DataFrame => DataFrame = identity): (GraftTable, DataFrame) = {
+    val src = extraCols(tbl(s, dir, "orders"))
+    val t = GraftTable.create(s, scratch("orders"), src.schema,
+      partitionKeys = partitionKeys, primaryKeys = primaryKeys, options = options)
+    (t, src)
+  }
+
+  val defs: Vector[QDef] = Vector(
+    // ---- append-table roundtrip: ingest → snapshot commit → merged
+    // read must preserve every row.
+    QDef(
+      "g01_append_roundtrip",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "lineitem")
+      val t = GraftTable.create(s, scratch("g01"), src.schema,
+        partitionKeys = Seq("l_returnflag"))
+      t.write(src)
+      t.read.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("l_quantity")))).as("qty"))
+    },
+
+    // ---- PK upsert: second batch overwrites a third of the keys; the
+    // merged read must show exactly the upserted values.
+    QDef(
+      "g02_pk_upsert",
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ROUND(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+        |                  ELSE o_totalprice END, 2) AS DOUBLE) AS totalprice
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val (t, src0) = ordersTable(s, dir,
+        options = Map("sequence.field" -> "up_seq", "bucket" -> "4"),
+        primaryKeys = Seq("o_orderkey"),
+        extraCols = _.withColumn("up_seq", lit(1L)))
+      t.write(src0)
+      t.write(src0.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("up_seq", lit(2L)))
+      t.read.select(col("o_orderkey"), col("o_orderstatus"),
+        asDouble(col("o_totalprice")).as("totalprice"))
+    },
+
+    // ---- row-level DELETE on a PK table.
+    QDef(
+      "g03_pk_delete",
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val (t, src0) = ordersTable(s, dir,
+        options = Map("sequence.field" -> "up_seq"),
+        primaryKeys = Seq("o_orderkey"),
+        extraCols = _.withColumn("up_seq", lit(1L)))
+      t.write(src0)
+      t.delete(col("o_orderstatus") === "F")
+      t.read.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    },
+
+    // ---- MERGE INTO: update matched high-value keys, delete matched
+    // low-value keys, insert unmatched.
+    QDef(
+      "g04_merge_into",
+      """WITH target AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+        |source AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |             o_totalprice * 10 AS o_totalprice, o_orderdate, o_orderpriority
+        |           FROM orders WHERE o_orderkey % 4 < 2)
+        |SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS totalprice FROM (
+        |  -- matched (even, %4<2 → %4=0): delete if totalprice<1000, else update
+        |  SELECT s.o_orderkey, s.o_totalprice FROM source s
+        |  WHERE s.o_orderkey % 2 = 0 AND NOT s.o_totalprice < 1000
+        |  UNION ALL
+        |  -- unmatched source rows (odd): inserted
+        |  SELECT s.o_orderkey, s.o_totalprice FROM source s WHERE s.o_orderkey % 2 = 1
+        |  UNION ALL
+        |  -- untouched target rows (even, %4>=2 → %4=2)
+        |  SELECT t.o_orderkey, t.o_totalprice FROM target t WHERE t.o_orderkey % 4 >= 2)""".stripMargin) { (s, dir) =>
+      val (t, src0) = ordersTable(s, dir,
+        options = Map("sequence.field" -> "up_seq"),
+        primaryKeys = Seq("o_orderkey"),
+        extraCols = _.withColumn("up_seq", lit(1L)))
+      t.write(src0.filter(col("o_orderkey") % 2 === 0))
+      val source = src0.filter(col("o_orderkey") % 4 < 2)
+        .withColumn("o_totalprice", col("o_totalprice") * 10)
+        .withColumn("up_seq", lit(2L))
+      t.mergeInto(source, whenMatchedDelete = Some(col("o_totalprice") < 1000))
+      t.read.select(col("o_orderkey"), asDouble(col("o_totalprice")).as("totalprice"))
+    },
+
+    // ---- compaction + time travel: full compaction must not change
+    // the logical table; versionAsOf sees the pre-compaction history.
+    QDef(
+      "g05_compact_timetravel",
+      """SELECT 'v0' AS version, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT 'latest' AS version, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val (t, src0) = ordersTable(s, dir,
+        options = Map("sequence.field" -> "up_seq", "bucket" -> "2"),
+        primaryKeys = Seq("o_orderkey"),
+        extraCols = _.withColumn("up_seq", lit(1L)))
+      t.write(src0.filter(col("o_orderkey") % 2 === 0))
+      t.write(src0.filter(col("o_orderkey") % 2 === 1))
+      t.compact()
+      def agg(df: DataFrame, label: String) =
+        df.agg(count(lit(1)).as("n"), asDouble(sum(dec(col("o_totalprice")))).as("total"))
+          .select(lit(label).as("version"), col("n"), col("total"))
+      agg(t.versionAsOf(0L), "v0").unionAll(agg(t.read, "latest"))
+    },
+
+    // ---- incremental read (changelog between snapshots).
+    QDef(
+      "g06_incremental_read",
+      """SELECT o_orderkey, '+I' AS _row_kind
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin) { (s, dir) =>
+      val (t, src0) = ordersTable(s, dir,
+        options = Map("sequence.field" -> "up_seq"),
+        primaryKeys = Seq("o_orderkey"),
+        extraCols = _.withColumn("up_seq", lit(1L)))
+      t.write(src0.filter(col("o_orderkey") % 2 === 0))
+      t.write(src0.filter(col("o_orderkey") % 2 === 1))
+      t.incrementalRead(0L, 1L).select(col("o_orderkey"), col("_row_kind"))
+    },
+
+    // ---- pruned scan: partition + stats skipping must not change
+    // results (file-skip correctness).
+    QDef(
+      "g07_pruned_scan",
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderstatus = 'O' AND o_totalprice > 50000
+        |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders")
+      val t = GraftTable.create(s, scratch("g07"), src.schema,
+        partitionKeys = Seq("o_orderstatus"))
+      t.write(src)
+      t.scan(col("o_orderstatus") === "O" && col("o_totalprice") > 50000)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("o_totalprice")))).as("total"))
+    },
+
+    // ---- aggregation merge engine over the events stream: per-key
+    // running aggregates maintained by the storage layer.
+    QDef(
+      "g08_agg_merge_engine",
+      """SELECT user_id,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total_value,
+        |  CAST(MAX(event_id) AS BIGINT) AS last_event_id
+        |FROM events GROUP BY user_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val src = tbl(s, dir, "events")
+        .select(col("user_id"), col("value").cast(DecimalType(18, 4)).as("value"),
+          col("event_id"))
+      val t = GraftTable.create(s, scratch("g08"), src.schema,
+        primaryKeys = Seq("user_id"),
+        options = Map(
+          "merge-engine" -> "aggregation",
+          "fields.value.aggregate-function" -> "sum",
+          "fields.event_id.aggregate-function" -> "max",
+          "bucket" -> "2"))
+      // replay in two epochs to force cross-commit merging
+      t.write(src.filter(col("event_id") % 2 === 0))
+      t.write(src.filter(col("event_id") % 2 === 1))
+      t.read.select(col("user_id"),
+        asDouble(col("value"), 4).as("total_value"),
+        col("event_id").as("last_event_id"))
+    })
+}

@@ -1,0 +1,449 @@
+package graft.table
+
+import graft.core._
+import graft.core.Meta._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+/** A graft table: ACID, snapshot-versioned Parquet table with
+  * append-only and primary-key (merge-on-read) modes — the Spark-native
+  * rebuild of the reference's FileStoreTable
+  * (paimon-core .../table/AppendOnlyFileStoreTable.java:53,
+  * PrimaryKeyFileStoreTable.java:53).
+  *
+  * Distribution model: executors write bucketed/partitioned Parquet via
+  * ordinary DataFrame writes; the driver turns the produced files into
+  * manifest entries (footer-stats only, no data reads) and commits a
+  * snapshot with a CAS — the same two-phase shape as the reference's
+  * TableWrite/prepareCommit/TableCommit
+  * (paimon-spark .../commands/PaimonSparkWriter.scala:108).
+  */
+final class GraftTable private (
+    val spark: SparkSession,
+    val path: String,
+    val sm: SnapshotManager) {
+
+  def schema: TableSchema = sm.latestSchema().get
+  def isPrimaryKeyTable: Boolean = schema.primaryKeys.nonEmpty
+
+  private def struct: StructType = schema.toStruct
+  private def hadoopConf = spark.sparkContext.hadoopConfiguration
+
+  // ================= write =================
+
+  /** Append (or upsert, for PK tables) a batch. Returns snapshot id. */
+  def write(df: DataFrame, commitIdentifier: Long = -1L): Long =
+    if (isPrimaryKeyTable) upsert(df, commitIdentifier)
+    else appendCommit(df, overwrite = false, commitIdentifier)
+
+  /** INSERT OVERWRITE: dynamic partition overwrite when the table is
+    * partitioned (only partitions present in `df` are replaced),
+    * full-table overwrite otherwise. One OVERWRITE snapshot.
+    * (reference: PaimonDynamicPartitionOverwriteCommand) */
+  def overwrite(df: DataFrame, commitIdentifier: Long = -1L): Long =
+    appendCommit(df, overwrite = true, commitIdentifier)
+
+  private def upsert(df: DataFrame, commitIdentifier: Long): Long = {
+    val withKind =
+      if (df.columns.contains(KindCol)) df
+      else df.withColumn(KindCol, lit(KindInsert).cast("byte"))
+    writeKinded(withKind, commitIdentifier)
+  }
+
+  /** Internal PK write accepting explicit row kinds (used by DML). */
+  private[graft] def writeKinded(df: DataFrame, commitIdentifier: Long = -1L): Long = {
+    require(isPrimaryKeyTable, "kinded writes require a primary-key table")
+    val sch = schema
+    val pk = sch.primaryKeys
+    // pre-merge duplicate keys within the batch (the reference's write
+    // buffer does this in memory before flushing level-0 files)
+    // pre-merge duplicate keys within the batch with the table's merge
+    // engine — the reference's in-memory write-buffer merge. Arrival
+    // order must be materialized as a column (non-deterministic
+    // expressions can't appear inside an aggregate).
+    val withArrival = df.withColumn("__arrival", monotonically_increasing_id())
+    val preMerged = MergeEngine.preMergeBatch(withArrival, sch, "__arrival")
+    val base = nextSeq()
+    // HASH_FIXED bucketing: co-locate each bucket in one task so a
+    // bucket maps to one file per commit (reference:
+    // PaimonSparkWriter.scala:312 repartition-by-bucket)
+    val out = preMerged
+      .withColumn(SeqCol, lit(base))
+      .withColumn("__bucket",
+        pmod(xxhash64(pk.map(col).toIndexedSeq: _*), lit(sch.numBuckets)).cast("int"))
+      .repartition(sch.numBuckets, col("__bucket"))
+    commitFiles(out, sch, sch.partitionKeys :+ "__bucket", KindAppend,
+      base, commitIdentifier, deletes = Seq.empty)
+  }
+
+  private def struct_ord(cols: Column*): Column =
+    org.apache.spark.sql.functions.struct(cols: _*)
+
+  private def appendCommit(
+      df: DataFrame, overwrite: Boolean, commitIdentifier: Long): Long = {
+    val sch = schema
+    val base = nextSeq()
+    val out = df.select(sch.toStruct.fieldNames.map(col).toIndexedSeq: _*)
+    val deletes: Seq[ManifestEntry] => Seq[ManifestEntry] = added => {
+      if (!overwrite) Seq.empty
+      else {
+        val live = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+        val newParts = added.map(_.partition).toSet
+        val victims =
+          if (sch.partitionKeys.isEmpty) live
+          else live.filter(e => newParts.contains(e.partition))
+        victims.map(_.copy(kind = "DELETE"))
+      }
+    }
+    commitFilesFn(out, sch, sch.partitionKeys,
+      if (overwrite) KindOverwrite else KindAppend, base, commitIdentifier, deletes)
+  }
+
+  private def commitFiles(
+      out: DataFrame, sch: TableSchema, partitionBy: Seq[String],
+      kind: String, seqBase: Long, commitIdentifier: Long,
+      deletes: Seq[ManifestEntry]): Long =
+    commitFilesFn(out, sch, partitionBy, kind, seqBase, commitIdentifier, _ => deletes)
+
+  /** Shared two-phase write: stage parquet → move into table dir →
+    * commit ADDs (+ computed DELETEs). */
+  private def commitFilesFn(
+      out: DataFrame, sch: TableSchema, partitionBy: Seq[String],
+      kind: String, seqBase: Long, commitIdentifier: Long,
+      deletesFor: Seq[ManifestEntry] => Seq[ManifestEntry]): Long = {
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val staging = s"$path/staging/${UUID.randomUUID()}"
+    val writer = out.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(staging)
+
+    val stagingPath = Paths.get(staging)
+    val parquetFiles = Files.walk(stagingPath).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq
+    val added = parquetFiles.map { p =>
+      val rel = stagingPath.relativize(p).toString
+      val dirs = rel.split('/').dropRight(1)
+      val partition = dirs.filterNot(_.startsWith("__bucket="))
+        .map { d => val Array(k, v) = d.split("=", 2); k -> v }.toMap
+      val bucket = dirs.find(_.startsWith("__bucket="))
+        .map(_.stripPrefix("__bucket=").toInt).getOrElse(0)
+      val targetRel = (dirs :+ s"${UUID.randomUUID()}.parquet").mkString("/")
+      val targetAbs = s"${sm.dataDir}/$targetRel"
+      sm.io.rename(p.toString, targetAbs)
+      val meta = ParquetStats.read(hadoopConf, targetAbs,
+        s"data/$targetRel", level = 0, minSeq = seqBase, maxSeq = seqBase)
+      ManifestEntry("ADD", partition, bucket, meta)
+    }
+    deleteRecursive(stagingPath)
+    val deletes = deletesFor(added)
+    val deletedNames = deletes.map(_.file.fileName).toSet
+    sm.commit(added ++ deletes, kind, sch.id, commitIdentifier,
+      conflictCheck = latest =>
+        deletedNames.isEmpty ||
+          deletedNames.subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet))
+  }
+
+  private def deleteRecursive(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+
+  private def nextSeq(): Long =
+    sm.latestSnapshot()
+      .map(s => sm.liveEntries(s).map(_.file.maxSeq).foldLeft(-1L)(math.max) + 1)
+      .getOrElse(0L)
+
+  // ================= read =================
+
+  /** Latest-snapshot merged read. */
+  def read: DataFrame = readSnapshot(sm.latestSnapshotId)
+
+  /** Pruned scan: partition + file-stats skipping happen driver-side
+    * against the manifest before any file is opened; the filter is also
+    * re-applied in the plan so parquet row-group pushdown still kicks
+    * in. */
+  def scan(filter: Column): DataFrame = {
+    val snap = sm.latestSnapshotId.map(sm.snapshot)
+    val entries = snap.map(pruneEntries(_, filter)).getOrElse(Seq.empty)
+    mergedFromEntries(entries).filter(filter)
+  }
+
+  def readSnapshot(id: Option[Long]): DataFrame =
+    id.map(i => mergedFromEntries(sm.liveEntries(sm.snapshot(i))))
+      .getOrElse(emptyDf())
+
+  /** Time travel: VERSION AS OF. */
+  def versionAsOf(snapshotId: Long): DataFrame = readSnapshot(Some(snapshotId))
+
+  /** Time travel: TIMESTAMP AS OF (latest snapshot committed <= ts). */
+  def timestampAsOf(epochMillis: Long): DataFrame = {
+    val id = sm.snapshotIds.map(sm.snapshot)
+      .filter(_.timeMillis <= epochMillis).map(_.id).sorted.lastOption
+    readSnapshot(id)
+  }
+
+  /** Time travel: tag. */
+  def readTag(name: String): DataFrame = readSnapshot(sm.tagSnapshotId(name))
+
+  def createTag(name: String): Unit =
+    sm.createTag(name, sm.latestSnapshotId.getOrElse(
+      throw new IllegalStateException("empty table cannot be tagged")))
+
+  /** Raw rows of a snapshot including hidden seq/kind columns. */
+  private[graft] def readRaw(entries: Seq[ManifestEntry]): DataFrame = {
+    if (entries.isEmpty) return emptyRawDf()
+    spark.read
+      .option("basePath", sm.dataDir)
+      .schema(rawReadSchema)
+      .parquet(entries.map(e => s"$path/${e.file.fileName}"): _*)
+  }
+
+  private def mergedFromEntries(entries: Seq[ManifestEntry]): DataFrame = {
+    val raw = readRaw(entries)
+    if (isPrimaryKeyTable) MergeEngine.merge(raw, schema)
+    else raw.select(struct.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Changelog view with a `_row_kind` label column (reference:
+    * AuditLogTable — table/system/AuditLogTable.java:88). */
+  def auditLog: DataFrame = {
+    require(isPrimaryKeyTable, "audit log requires a primary-key table")
+    val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+    readRaw(entries)
+      .withColumn("_row_kind", MergeEngine.kindLabel(col(KindCol)))
+      .drop(KindCol, "__bucket")
+  }
+
+  /** Rows added between two snapshots (exclusive, inclusive] — the
+    * incremental-query TVF (reference:
+    * PaimonTableValuedFunctions.paimon_incremental_query). COMPACT
+    * snapshots carry no logical change and are skipped. */
+  def incrementalRead(fromExclusive: Long, toInclusive: Long): DataFrame = {
+    val ids = sm.snapshotIds.filter(i => i > fromExclusive && i <= toInclusive)
+    val deltaEntries = ids.map(sm.snapshot)
+      .filter(_.commitKind != KindCompact)
+      .flatMap(s => s.deltaManifest.map(sm.readManifest).getOrElse(Seq.empty))
+      .filter(_.kind == "ADD")
+    val raw = readRaw(deltaEntries)
+    if (isPrimaryKeyTable)
+      raw.withColumn("_row_kind", MergeEngine.kindLabel(col(KindCol)))
+        .drop(KindCol, SeqCol, "__bucket")
+    else raw.select(struct.fieldNames.map(col).toIndexedSeq: _*)
+      .withColumn("_row_kind", lit("+I"))
+  }
+
+  private def rawReadSchema: StructType = {
+    val base = struct
+    if (isPrimaryKeyTable)
+      StructType(base.fields
+        :+ StructField(SeqCol, LongType, nullable = false)
+        :+ StructField(KindCol, ByteType, nullable = false)
+        :+ StructField("__bucket", IntegerType, nullable = true))
+    else base
+  }
+
+  private def emptyDf(): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], struct)
+
+  private def emptyRawDf(): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rawReadSchema)
+
+  /** Manifest-level pruning: partition values + file stats vs the
+    * filter expression. */
+  private def pruneEntries(snap: Snapshot, filter: Column): Seq[ManifestEntry] = {
+    val sch = schema
+    val entries = sm.liveEntries(snap)
+    // resolve the Column against the table schema to get a Catalyst
+    // expression with typed attributes/literals
+    val cond = emptyDf().filter(filter).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    entries.filter { e =>
+      try {
+        // fold partition values into the stats map as point ranges so
+        // one evaluator covers both partition and stats pruning
+        val partStats = e.partition.map { case (k, v) =>
+          k -> ColStats(Some(v), Some(v), 0L)
+        }
+        val augmented = e.file.copy(stats = e.file.stats ++ partStats)
+        cond.forall(StatsFilter.mightMatch(_, augmented, sch))
+      } catch { case _: Exception => true }
+    }
+  }
+
+  // ================= maintenance =================
+
+  /** Full compaction: per-(partition, bucket) merge of all live files
+    * into level-1 files; deletes are physically dropped. One COMPACT
+    * snapshot replacing the inputs (reference:
+    * MergeTreeCompactManager + CompactProcedure). */
+  def compact(): Option[Long] = {
+    val snap = sm.latestSnapshot().getOrElse(return None)
+    val old = sm.liveEntries(snap)
+    if (old.isEmpty) return None
+    val sch = schema
+    val base = nextSeq()
+    val merged =
+      if (isPrimaryKeyTable) {
+        val m = MergeEngine.mergeKeepMeta(readRaw(old), sch)
+          .filter(col(KindCol) =!= KindDelete)
+          .withColumn(KindCol, lit(KindInsert).cast("byte"))
+        m.withColumn("__bucket",
+          pmod(xxhash64(sch.primaryKeys.map(col).toIndexedSeq: _*), lit(sch.numBuckets)).cast("int"))
+      } else readRaw(old)
+    val partitionBy =
+      if (isPrimaryKeyTable) sch.partitionKeys :+ "__bucket" else sch.partitionKeys
+    Some(commitFiles(merged, sch, partitionBy, KindCompact, base,
+      commitIdentifier = -1L, deletes = old.map(_.copy(kind = "DELETE"))))
+  }
+
+  def expireSnapshots(retain: Int): Seq[Long] = sm.expireSnapshots(retain)
+
+  // ================= row-level DML =================
+
+  /** DELETE FROM t WHERE cond.
+    * PK table → commit -D rows for matching keys; append table →
+    * rewrite only the files that contain matches (reference:
+    * DeleteFromPaimonTableCommand.scala:35). */
+  def delete(cond: Column): Long = {
+    if (isPrimaryKeyTable) {
+      val victims = read.filter(cond)
+        .withColumn(KindCol, lit(KindDelete).cast("byte"))
+      writeKinded(victims)
+    } else rewriteFiles(cond, df => df.filter(!coalesce(cond, lit(false))))
+  }
+
+  /** UPDATE t SET assignments WHERE cond (reference:
+    * UpdatePaimonTableCommand.scala:37). */
+  def update(assignments: Map[String, Column], cond: Column): Long = {
+    if (isPrimaryKeyTable) {
+      val updated = applyAssignments(read.filter(cond), assignments, lit(true))
+        .withColumn(KindCol, lit(KindUpdateAfter).cast("byte"))
+      writeKinded(updated)
+    } else rewriteFiles(cond,
+      df => applyAssignments(df, assignments, coalesce(cond, lit(false))))
+  }
+
+  private def applyAssignments(
+      df: DataFrame, assignments: Map[String, Column], when_ : Column): DataFrame =
+    df.select(df.columns.map { c =>
+      assignments.get(c)
+        .map(v => when(when_, v).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
+    }.toIndexedSeq: _*)
+
+  /** Copy-on-write rewrite of the files that contain rows matching
+    * `touchCond`; untouched files are carried over unchanged. */
+  private def rewriteFiles(touchCond: Column, transform: DataFrame => DataFrame): Long = {
+    val snap = sm.latestSnapshot().getOrElse(
+      throw new IllegalStateException("empty table"))
+    val touched = pruneEntries(snap, touchCond)
+    if (touched.isEmpty) return snap.id
+    val sch = schema
+    val rewritten = transform(readRaw(touched)
+      .select(struct.fieldNames.map(col).toIndexedSeq: _*))
+    commitFiles(rewritten, sch, sch.partitionKeys, KindOverwrite,
+      nextSeq(), commitIdentifier = -1L,
+      deletes = touched.map(_.copy(kind = "DELETE")))
+  }
+
+  /** MERGE INTO on primary keys (reference:
+    * MergeIntoPaimonTable.scala:45). `source` must carry the table's
+    * schema. Clause semantics:
+    *  - matched + `whenMatchedDelete` cond      → -D
+    *  - matched otherwise (update w/ source row, or assignment map
+    *    evaluated over source columns)          → +U
+    *  - not matched (target miss)               → +I if insert enabled
+    */
+  def mergeInto(
+      source: DataFrame,
+      whenMatchedUpdate: Option[Map[String, Column]] = None,
+      whenMatchedDelete: Option[Column] = None,
+      whenNotMatchedInsert: Boolean = true): Long = {
+    require(isPrimaryKeyTable, "MERGE INTO requires a primary-key table")
+    val sch = schema
+    val pk = sch.primaryKeys
+    val cols = struct.fieldNames
+    val tgt = read.select(cols.map(c => col(c).as(s"__t_$c")).toIndexedSeq: _*)
+    val src = source.select(cols.map(col).toIndexedSeq: _*)
+    val joined = src.join(tgt,
+      pk.map(k => col(k) === col(s"__t_$k")).reduce(_ && _), "left_outer")
+    val matched = col(s"__t_${pk.head}").isNotNull
+    val deleteCond = whenMatchedDelete.getOrElse(lit(false))
+    val updated = whenMatchedUpdate match {
+      case Some(m) => applyAssignments(joined, m, lit(true))
+      case None => joined
+    }
+    val kind =
+      when(matched && deleteCond, lit(KindDelete))
+        .when(matched, lit(KindUpdateAfter))
+        .otherwise(lit(if (whenNotMatchedInsert) KindInsert else KindDelete))
+    val actions = updated
+      .withColumn(KindCol, kind.cast("byte"))
+      .filter(matched || lit(whenNotMatchedInsert))
+      .select((cols.map(col) :+ col(KindCol)).toIndexedSeq: _*)
+    writeKinded(actions)
+  }
+
+  // ================= system tables =================
+
+  /** `$snapshots` (reference: table/system/SnapshotsTable.java:78). */
+  def systemSnapshots: DataFrame = {
+    import spark.implicits._
+    sm.snapshotIds.map(sm.snapshot).map(s =>
+      (s.id, s.schemaId, s.commitKind, s.commitIdentifier, s.timeMillis,
+        s.totalRecordCount, s.deltaRecordCount))
+      .toDF("snapshot_id", "schema_id", "commit_kind", "commit_identifier",
+        "commit_time", "total_record_count", "delta_record_count")
+  }
+
+  /** `$files` (reference: table/system/FilesTable.java:89). */
+  def systemFiles: DataFrame = {
+    import spark.implicits._
+    val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+    entries.map(e =>
+      (e.file.fileName, e.partition.map { case (k, v) => s"$k=$v" }.mkString("/"),
+        e.bucket, e.file.rowCount, e.file.fileSize, e.file.level))
+      .toDF("file_name", "partition", "bucket", "row_count", "file_size", "level")
+  }
+
+  /** `$tags`. */
+  def systemTags: DataFrame = {
+    import spark.implicits._
+    sm.tags.toSeq.map { case (n, id) => (n, id) }.toDF("tag_name", "snapshot_id")
+  }
+}
+
+object GraftTable {
+
+  /** Create a new table directory (fails if one exists). */
+  def create(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      partitionKeys: Seq[String] = Seq.empty,
+      primaryKeys: Seq[String] = Seq.empty,
+      options: Map[String, String] = Map.empty): GraftTable = {
+    val sm = new SnapshotManager(path)
+    require(sm.latestSchema().isEmpty, s"table already exists at $path")
+    require(primaryKeys.intersect(partitionKeys).isEmpty ||
+      partitionKeys.forall(primaryKeys.contains),
+      "partition keys must be disjoint from or contained in primary keys")
+    sm.writeSchema(TableSchema.fromStruct(0L, schema, partitionKeys, primaryKeys, options))
+    new GraftTable(spark, path, sm)
+  }
+
+  def load(spark: SparkSession, path: String): GraftTable = {
+    val sm = new SnapshotManager(path)
+    require(sm.latestSchema().isDefined, s"no graft table at $path")
+    new GraftTable(spark, path, sm)
+  }
+
+  def exists(path: String): Boolean =
+    new SnapshotManager(path).latestSchema().isDefined
+}

@@ -1,0 +1,173 @@
+package graft.table
+
+import graft.core.Meta
+import graft.core.Meta.TableSchema
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Merge reduction for primary-key tables.
+  *
+  * The reference merges sorted LSM runs record-by-record with a
+  * pluggable MergeFunction (paimon-core .../mergetree/compact/
+  * MergeFunction.java + DeduplicateMergeFunction / FirstRowMergeFunction /
+  * PartialUpdateMergeFunction / AggregateMergeFunction). In Spark the
+  * same semantics are a single shuffle: groupBy(primary key) with
+  * ordered aggregates — partial aggregation gives the map-side
+  * combine, the sort-based shuffle replaces the k-way merge, and the
+  * plan stays inside whole-stage codegen.
+  *
+  * Two call sites, mirroring the reference's two merge points:
+  *  - [[preMergeBatch]]: inside the write path, reducing duplicate keys
+  *    of one batch before files are flushed (the reference's in-memory
+  *    write buffer / SortBufferWriteBuffer merge);
+  *  - [[mergeKeepMeta]]/[[merge]]: at read/compaction, combining the
+  *    per-commit *states*. For most functions state-combine equals the
+  *    base function; the exceptions (count → sum of counts, collect →
+  *    concat of arrays, ...) use their combiner form here.
+  *
+  * Ordering key: (sequence.field, _graft_seq) — the user sequence
+  * determines recency, commit order breaks ties (CoreOptions
+  * sequence.field semantics).
+  */
+object MergeEngine {
+
+  /** Full merge: one surviving row per key, deletes dropped, hidden
+    * columns removed. */
+  def merge(raw: DataFrame, schema: TableSchema): DataFrame =
+    mergeKeepMeta(raw, schema)
+      .filter(col(Meta.KindCol) =!= Meta.KindDelete)
+      .select(schema.toStruct.fieldNames.map(col).toIndexedSeq: _*)
+
+  /** Merge retaining _graft_seq/_graft_kind (used by compaction, which
+    * must preserve sequence info in rewritten files). */
+  def mergeKeepMeta(raw: DataFrame, schema: TableSchema): DataFrame =
+    mergeInternal(raw, schema, ordering(schema, arrivalTiebreak = None), combine = true)
+
+  /** Within-batch reduction on the write path. `arrivalCol` breaks ties
+    * among duplicate keys in arrival order. Input must carry KindCol;
+    * output carries one row per key with KindCol preserved. */
+  def preMergeBatch(df: DataFrame, schema: TableSchema, arrivalCol: String): DataFrame =
+    mergeInternal(df, schema,
+      ordering(schema, arrivalTiebreak = Some(col(arrivalCol))), combine = false)
+      .drop(arrivalCol)
+
+  private def ordering(schema: TableSchema, arrivalTiebreak: Option[Column]): Column = {
+    val tie = arrivalTiebreak.getOrElse(col(Meta.SeqCol))
+    schema.sequenceField match {
+      case Some(f) => struct(col(f), tie)
+      case None => struct(tie)
+    }
+  }
+
+  private def mergeInternal(
+      raw: DataFrame, schema: TableSchema, ord: Column, combine: Boolean): DataFrame = {
+    require(schema.primaryKeys.nonEmpty, "merge requires a primary-key table")
+    schema.mergeEngine match {
+      case "deduplicate" => pickByOrd(raw, schema, ord, latest = true)
+      case "first-row" =>
+        // first-row ignores retractions (reference FirstRowMergeFunction
+        // accepts only inserts)
+        pickByOrd(raw.filter(col(Meta.KindCol) === Meta.KindInsert),
+          schema, ord, latest = false)
+      case "partial-update" => partialUpdate(raw, schema, ord)
+      case "aggregation" => aggregation(raw, schema, ord, combine)
+      case other => throw new IllegalArgumentException(s"unknown merge-engine: $other")
+    }
+  }
+
+  /** deduplicate / first-row: whole-row pick by ordering key. */
+  private def pickByOrd(
+      raw: DataFrame, schema: TableSchema, ord: Column, latest: Boolean): DataFrame = {
+    val pkCols = schema.primaryKeys.map(col)
+    val payload = raw.columns.filterNot(schema.primaryKeys.contains)
+    val packed = struct(payload.map(col).toIndexedSeq: _*)
+    val pick = if (latest) max_by(packed, ord) else min_by(packed, ord)
+    raw.groupBy(pkCols: _*)
+      .agg(pick.as("__row"))
+      .select((schema.primaryKeys.map(col) ++ payload.map(c => col(s"__row.$c"))).toIndexedSeq: _*)
+  }
+
+  /** partial-update: per-field last non-null by ordering key; deletes
+    * are ignored (reference default requires non-retracting input;
+    * 'partial-update.ignore-delete' semantics). */
+  private def partialUpdate(
+      raw: DataFrame, schema: TableSchema, ord: Column): DataFrame = {
+    val in = raw.filter(col(Meta.KindCol) =!= Meta.KindDelete)
+    val pk = schema.primaryKeys
+    val valueCols = schema.toStruct.fieldNames.filterNot(pk.contains)
+    val aggs = valueCols.map { c =>
+      max_by(col(c), when(col(c).isNotNull, ord)).as(c)
+    } ++ metaAggs(in)
+    in.groupBy(pk.map(col).toIndexedSeq: _*)
+      .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+  }
+
+  /** aggregation engine: per-field aggregate chosen by
+    * `fields.<name>.aggregate-function` (default last_non_null_value).
+    * Function set mirrors paimon-core .../aggregate/factory/.
+    * `combine = true` merges already-aggregated per-commit states. */
+  private def aggregation(
+      raw: DataFrame, schema: TableSchema, ord: Column, combine: Boolean): DataFrame = {
+    val in = raw.filter(col(Meta.KindCol) =!= Meta.KindDelete)
+    val pk = schema.primaryKeys
+    val valueCols = schema.toStruct.fieldNames.filterNot(pk.contains)
+    val aggs = valueCols.map { c =>
+      val fn = schema.options.getOrElse(s"fields.$c.aggregate-function",
+        "last_non_null_value")
+      fieldAgg(fn, c, ord, combine, raw.schema(c).dataType.sql)
+        .cast(raw.schema(c).dataType).as(c) // keep the declared field type
+    } ++ metaAggs(in)
+    in.groupBy(pk.map(col).toIndexedSeq: _*)
+      .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+  }
+
+  /** One field aggregate. For `combine`, the input rows are per-commit
+    * aggregate states, so non-self-combining functions switch to their
+    * combiner (count → sum, collect → array concat, ...). */
+  private def fieldAgg(
+      fn: String, c: String, ord: Column, combine: Boolean, typeSql: String): Column =
+    fn match {
+      case "sum" => sum(col(c))
+      case "product" =>
+        expr(s"aggregate(collect_list($c), cast(1.0 as double), (a, x) -> a * x)")
+      case "min" => min(col(c))
+      case "max" => max(col(c))
+      case "count" => if (combine) sum(col(c)) else count(col(c))
+      case "last_value" => max_by(col(c), ord)
+      case "last_non_null_value" => max_by(col(c), when(col(c).isNotNull, ord))
+      case "first_value" => min_by(col(c), ord)
+      case "first_non_null_value" => min_by(col(c), when(col(c).isNotNull, ord))
+      case "listagg" =>
+        // concatenate in ordering-key order (stable across engines)
+        array_join(transform(
+          array_sort(collect_list(struct(ord.as("o"), col(c).as("v")))),
+          x => x.getField("v")), ",")
+      case "bool_and" => expr(s"bool_and($c)")
+      case "bool_or" => expr(s"bool_or($c)")
+      case "collect" =>
+        if (combine) array_sort(flatten(collect_list(col(c))))
+        else array_sort(collect_list(col(c)))
+      case "merge_map" =>
+        // later maps win per key, folded in ordering-key order
+        expr(s"aggregate(transform(array_sort(collect_list(struct($c as m))), x -> x.m), " +
+          s"cast(null as $typeSql), (a, m) -> if(a is null, m, map_concat(map_filter(a, (k, v) -> not array_contains(map_keys(m), k)), m)))")
+      case "primary-key" => first(col(c))
+      case other => throw new IllegalArgumentException(s"unknown aggregate-function: $other")
+    }
+
+  /** Meta columns for reduced rows: max seq, insert kind. */
+  private def metaAggs(in: DataFrame): Seq[Column] = {
+    val seqAgg =
+      if (in.columns.contains(Meta.SeqCol)) max(col(Meta.SeqCol))
+      else lit(0L)
+    Seq(seqAgg.as(Meta.SeqCol),
+      lit(Meta.KindInsert).cast("byte").as(Meta.KindCol))
+  }
+
+  /** Byte kind → changelog label, for $audit_log-style outputs. */
+  def kindLabel(kind: Column): Column =
+    when(kind === Meta.KindInsert, "+I")
+      .when(kind === Meta.KindUpdateBefore, "-U")
+      .when(kind === Meta.KindUpdateAfter, "+U")
+      .otherwise("-D")
+}

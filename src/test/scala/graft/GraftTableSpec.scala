@@ -1,0 +1,236 @@
+package graft
+
+import graft.table.GraftTable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Table-format kernel tests: commit/read loop, merge engines, DML,
+  * compaction, time travel, incremental reads. Mirrors the reference's
+  * randomized write → read-back-verify pattern (TestFileStore) at
+  * deterministic small scale.
+  */
+class GraftTableSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def tmp(): String = Files.createTempDirectory("graft-test").toString + "/t"
+
+  import scala.jdk.CollectionConverters._
+
+  private val kvSchema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("v", StringType, nullable = true),
+    StructField("n", LongType, nullable = true),
+    StructField("seq", LongType, nullable = true)))
+
+  private def kvDf(rows: (Long, String, java.lang.Long, Long)*): DataFrame =
+    spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3, r._4)).asJava, kvSchema)
+
+  test("append table: write, read back, second append accumulates") {
+    val t = GraftTable.create(spark, tmp(), kvSchema)
+    t.write(kvDf((1L, "a", 10L, 0L), (2L, "b", 20L, 0L)))
+    assert(t.read.count() == 2)
+    t.write(kvDf((3L, "c", 30L, 0L)))
+    assert(t.read.count() == 3)
+    assert(t.read.select(sum("n")).head.getLong(0) == 60L)
+    assert(t.systemSnapshots.count() == 2)
+  }
+
+  test("append table: overwrite replaces content") {
+    val t = GraftTable.create(spark, tmp(), kvSchema)
+    t.write(kvDf((1L, "a", 10L, 0L), (2L, "b", 20L, 0L)))
+    t.overwrite(kvDf((9L, "z", 90L, 0L)))
+    val rows = t.read.collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 9L)
+  }
+
+  test("partitioned append: dynamic partition overwrite replaces only touched partitions") {
+    val sch = StructType(Seq(
+      StructField("p", StringType, nullable = false),
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    def df(rows: (String, Long, String)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2, r._3)).asJava, sch)
+    val t = GraftTable.create(spark, tmp(), sch, partitionKeys = Seq("p"))
+    t.write(df(("a", 1L, "x"), ("b", 2L, "y")))
+    t.overwrite(df(("a", 9L, "w")))
+    val got = t.read.orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("b", 2L), ("a", 9L)))
+  }
+
+  test("scan prunes files by partition and stats") {
+    val sch = StructType(Seq(
+      StructField("p", StringType, nullable = false),
+      StructField("k", LongType, nullable = false)))
+    def df(rows: (String, Long)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, sch)
+    val t = GraftTable.create(spark, tmp(), sch, partitionKeys = Seq("p"))
+    t.write(df(("a", 1L)))
+    t.write(df(("b", 100L)))
+    t.write(df(("c", 200L)))
+    assert(t.read.inputFiles.length == 3)
+    // partition pruning
+    assert(t.scan(col("p") === "a").inputFiles.length == 1)
+    assert(t.scan(col("p") === "a").collect().map(_.getLong(1)).toSeq == Seq(1L))
+    // stats (min/max) pruning on data column
+    assert(t.scan(col("k") > 150L).inputFiles.length == 1)
+    assert(t.scan(col("k") > 150L).head.getLong(1) == 200L)
+  }
+
+  test("pk table: deduplicate keeps latest by sequence field") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq", "bucket" -> "2"))
+    t.write(kvDf((1L, "a1", 10L, 1L), (2L, "b1", 20L, 1L)))
+    t.write(kvDf((1L, "a2", 11L, 2L), (3L, "c1", 30L, 1L)))
+    val got = t.read.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a2"), (2L, "b1"), (3L, "c1")))
+    // out-of-order (late) write with lower seq must NOT win
+    t.write(kvDf((1L, "a0", 9L, 0L)))
+    assert(t.read.filter(col("k") === 1L).head.getString(1) == "a2")
+  }
+
+  test("pk table: delete row kind removes key; audit log exposes kinds") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
+    t.write(kvDf((1L, "a", 10L, 1L), (2L, "b", 20L, 1L)))
+    t.delete(col("k") === 1L)
+    assert(t.read.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val kinds = t.auditLog.select("_row_kind").collect().map(_.getString(0)).toSet
+    assert(kinds.contains("-D") && kinds.contains("+I"))
+  }
+
+  test("pk table: update rewrites values as +U") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
+    t.write(kvDf((1L, "a", 10L, 1L), (2L, "b", 20L, 1L)))
+    t.update(Map("v" -> lit("updated"), "seq" -> lit(5L)), col("k") === 2L)
+    val got = t.read.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a"), (2L, "updated")))
+  }
+
+  test("append table: delete and update rewrite touched files only") {
+    val t = GraftTable.create(spark, tmp(), kvSchema)
+    t.write(kvDf((1L, "a", 10L, 0L), (2L, "b", 20L, 0L)))
+    t.write(kvDf((100L, "z", 30L, 0L)))
+    t.delete(col("k") === 1L)
+    assert(t.read.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 100L))
+    t.update(Map("v" -> lit("upd")), col("k") === 100L)
+    assert(t.read.filter(col("k") === 100L).head.getString(1) == "upd")
+    assert(t.read.filter(col("k") === 2L).head.getString(1) == "b")
+  }
+
+  test("merge into: update + delete + insert clauses") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
+    t.write(kvDf((1L, "a", 10L, 1L), (2L, "b", 20L, 1L), (3L, "c", 30L, 1L)))
+    // source: updates k=1, deletes k=2 (n<0 marker), inserts k=4
+    val src = kvDf((1L, "a2", 11L, 2L), (2L, "b2", -1L, 2L), (4L, "d", 40L, 2L))
+    t.mergeInto(src,
+      whenMatchedDelete = Some(col("n") < 0L))
+    val got = t.read.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a2"), (3L, "c"), (4L, "d")))
+  }
+
+  test("compaction merges files and preserves data; deletes are dropped") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq", "bucket" -> "2"))
+    t.write(kvDf((1L, "a1", 10L, 1L)))
+    t.write(kvDf((1L, "a2", 11L, 2L), (2L, "b", 20L, 1L)))
+    t.delete(col("k") === 2L)
+    val before = t.systemFiles.count()
+    t.compact()
+    assert(t.systemFiles.count() < before)
+    val got = t.read.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a2")))
+    // audit log after full compaction has no deletes left
+    assert(!t.auditLog.select("_row_kind").collect().map(_.getString(0)).contains("-D"))
+    // post-compaction upsert still wins over compacted rows
+    t.write(kvDf((1L, "a3", 12L, 3L)))
+    assert(t.read.filter(col("k") === 1L).head.getString(1) == "a3")
+  }
+
+  test("time travel: versionAsOf, tags, expiration keeps live data") {
+    val t = GraftTable.create(spark, tmp(), kvSchema)
+    t.write(kvDf((1L, "a", 10L, 0L)))
+    t.createTag("v1")
+    t.write(kvDf((2L, "b", 20L, 0L)))
+    t.write(kvDf((3L, "c", 30L, 0L)))
+    assert(t.versionAsOf(0L).count() == 1)
+    assert(t.readTag("v1").count() == 1)
+    assert(t.read.count() == 3)
+    val dropped = t.expireSnapshots(retain = 2)
+    assert(dropped.nonEmpty)
+    assert(t.read.count() == 3) // latest unaffected
+  }
+
+  test("incremental read returns per-snapshot deltas with row kinds") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
+    t.write(kvDf((1L, "a", 10L, 1L)))
+    t.write(kvDf((2L, "b", 20L, 1L)))
+    t.delete(col("k") === 1L)
+    val delta = t.incrementalRead(0L, 2L)
+    val kinds = delta.select("k", "_row_kind").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kinds == Set((2L, "+I"), (1L, "-D")))
+  }
+
+  test("partial-update merge engine: last non-null per field") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"),
+      options = Map("merge-engine" -> "partial-update", "sequence.field" -> "seq"))
+    t.write(kvDf((1L, "v1", null, 1L)))
+    t.write(kvDf((1L, null, 42L, 2L)))
+    val r = t.read.head
+    assert(r.getString(1) == "v1" && r.getLong(2) == 42L)
+  }
+
+  test("aggregation merge engine: per-field aggregate functions") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"),
+      options = Map(
+        "merge-engine" -> "aggregation",
+        "sequence.field" -> "seq",
+        "fields.n.aggregate-function" -> "sum",
+        "fields.v.aggregate-function" -> "last_value"))
+    t.write(kvDf((1L, "x1", 10L, 1L)))
+    t.write(kvDf((1L, "x2", 5L, 2L)))
+    val r = t.read.head
+    assert(r.getString(1) == "x2" && r.getLong(2) == 15L)
+  }
+
+  test("first-row merge engine keeps earliest record") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"),
+      options = Map("merge-engine" -> "first-row", "sequence.field" -> "seq"))
+    t.write(kvDf((1L, "first", 1L, 1L)))
+    t.write(kvDf((1L, "second", 2L, 2L)))
+    assert(t.read.head.getString(1) == "first")
+  }
+
+  test("commit identifier is idempotent (streaming epoch replay)") {
+    val t = GraftTable.create(spark, tmp(), kvSchema)
+    val s1 = t.write(kvDf((1L, "a", 10L, 0L)), commitIdentifier = 7L)
+    val s2 = t.write(kvDf((1L, "a", 10L, 0L)), commitIdentifier = 7L)
+    assert(s1 == s2)
+    assert(t.read.count() == 1)
+  }
+
+  test("snapshots and files system tables report metadata") {
+    val t = GraftTable.create(spark, tmp(), kvSchema)
+    t.write(kvDf((1L, "a", 10L, 0L)))
+    t.overwrite(kvDf((2L, "b", 20L, 0L)))
+    val kinds = t.systemSnapshots.select("commit_kind").collect().map(_.getString(0))
+    assert(kinds.toSeq == Seq("APPEND", "OVERWRITE"))
+    assert(t.systemFiles.select(sum("row_count")).head.getLong(0) == 1L)
+  }
+}

@@ -19,6 +19,8 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     # normalize timestamps to ns for cross-engine compare
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
+            if getattr(df[c].dtype, "tz", None) is not None:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[ns]")
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
