@@ -58,6 +58,28 @@ object Dedup {
     array(sig: _*)
   }
 
+  /** MinHash signatures computed the 100 TB way: explode shingle
+    * hashes to rows, then one hash-aggregate with k codegen'd `min`
+    * columns. The explode inflation is absorbed by map-side partial
+    * aggregation (one row per doc per partition reaches the shuffle),
+    * and everything stays inside whole-stage codegen — unlike the
+    * per-row `transform`/`array_min` higher-order functions, which
+    * evaluate interpreted. */
+  def minhashSignatureTable(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, shingleWidth: Int = 3): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.shingles(col(textCol), shingleWidth)).as("sh"))
+      .select(col("id"), pmod(xxhash64(col("sh")), lit(P)).as("h"))
+    val mins = (0 until k).map { i =>
+      val a = math.abs(mix(2L * i)) % (P - 1) + 1
+      val b = math.abs(mix(2L * i + 1)) % P
+      min(pmod(col("h") * a + b, lit(P))).as(s"mh_$i")
+    }
+    exploded.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"))
+  }
+
   /** LSH candidate pairs from MinHash signatures.
     *
     * @return (id_a, id_b) with id_a < id_b, distinct, where the two
@@ -71,8 +93,7 @@ object Dedup {
       bands: Int = 8,
       maxBucketSize: Int = 1000): DataFrame = {
     val rows = k / bands
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), k).as("sig"))
+    val sig = minhashSignatureTable(df, idCol, textCol, k)
     val banded = sig.select(col("id"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
@@ -110,6 +131,23 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** SimHash per doc, computed scale-first: explode token hashes, one
+    * hash-aggregate with 64 codegen'd conditional sums (map-side
+    * combine absorbs the explode), then assemble the bit vector. */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v_$j")
+    }
+    exploded.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map { j =>
+          when(col(s"v_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
     * Candidates share at least one of 4 16-bit chunks (pigeonhole: any
     * pair within Hamming 3 of a 64-bit hash agrees on >=1 chunk).
@@ -120,7 +158,7 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val sh = simhashTable(df, idCol, textCol)
     val chunked = sh.select(col("id"), col("sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

@@ -87,13 +87,27 @@ object Pipeline {
         |FROM sets a JOIN sets b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |    / greatest(len(list_distinct(list_concat(a.toks, b.toks))), 1) >= 0.8""".stripMargin) { (s, dir) =>
-      val sets = tbl(s, dir, "documents")
+      // inverted-index formulation: |A∩B| via a postings self-join +
+      // count, |A∪B| = |A|+|B|-|A∩B| — joins and aggregates stay in
+      // whole-stage codegen, pairs sharing no token never materialize,
+      // and the per-pair interpreted array ops of the naive form are
+      // gone. The DuckDB oracle computes the same pairs set-wise.
+      val docs = tbl(s, dir, "documents")
         .select(col("doc_id"), col("source"), Dedup.tokenSet(col("text")).as("toks"))
-      val a = sets.select(col("source"), col("doc_id").as("id_a"), col("toks").as("toks_a"))
-      val b = sets.select(col("source"), col("doc_id").as("id_b"), col("toks").as("toks_b"))
-      a.join(b, "source")
+        .withColumn("nt", size(col("toks")))
+      val inv = docs.select(col("source"), col("doc_id"), col("nt"),
+        explode(col("toks")).as("t"))
+      val a = inv.select(col("source"), col("t"),
+        col("doc_id").as("id_a"), col("nt").as("na"))
+      val b = inv.select(col("source"), col("t"),
+        col("doc_id").as("id_b"), col("nt").as("nb"))
+      a.join(b, Seq("source", "t"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("jacc_raw", Dedup.jaccard(col("toks_a"), col("toks_b")))
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(count(lit(1)).as("common"))
+        .withColumn("jacc_raw",
+          col("common").cast("double") /
+            greatest(col("na") + col("nb") - col("common"), lit(1)).cast("double"))
         .filter(col("jacc_raw") >= 0.8)
         .select(col("id_a"), col("id_b"), round(col("jacc_raw"), 6).as("jaccard"))
     },
