@@ -1,0 +1,107 @@
+package graft.queries
+
+import graft.streaming.GraftStreaming
+import graft.table.GraftTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Streaming semantics inside the correctness gate. Micro-batch
+  * epochs are simulated deterministically (event_id % 3) and driven
+  * through the real exactly-once sink; the DuckDB oracle reproduces
+  * the expected end state from the raw events alone — arrival order
+  * independence is exactly what the sequence-field/merge-engine
+  * machinery must guarantee. (The live Structured Streaming path —
+  * MemoryStream → writeStream.foreachBatch(sink) — is covered in
+  * StreamingSpec.)
+  */
+object Streams {
+
+  private def scratch(name: String): String =
+    Files.createTempDirectory(s"graft-$name-").toString + "/table"
+
+  /** events with ts usable as both long sequence and timestamp. */
+  private def events(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events").withColumn("t", expr("timestamp_micros(ts div 1000)"))
+
+  val defs: Vector[QDef] = Vector(
+    // ---- streaming upsert: 3 out-of-order epochs; sequence.field makes
+    // the merged state arrival-order independent (late data handling).
+    QDef(
+      "g09_stream_upsert",
+      """SELECT event_id, user_id, event_type, CAST(ROUND(value, 4) AS DOUBLE) AS value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val ev = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+      val t = GraftTable.create(s, scratch("g09"), ev.schema,
+        primaryKeys = Seq("user_id"),
+        options = Map("sequence.field" -> "ts", "bucket" -> "4"))
+      val sink = GraftStreaming.sink(t, watermarkColumn = Some("ts"))
+      // epochs deliberately not aligned with event time → late arrivals
+      (0 until 3).foreach(e => sink(ev.filter(col("event_id") % 3 === e), e.toLong))
+      t.read.select(col("event_id"), col("user_id"), col("event_type"),
+        asDouble(col("value"), 4).as("value"))
+    },
+
+    // ---- streaming windowed aggregation: tumbling 1-day windows
+    // computed per epoch, combined by the aggregation merge engine
+    // (sum-state combine) — the continuous-agg-into-upsert-sink shape.
+    QDef(
+      "g10_stream_window_agg",
+      """SELECT date_trunc('day', ts) AS day, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val aggSchema = StructType(Seq(
+        StructField("day", DateType, nullable = false),
+        StructField("event_type", StringType, nullable = false),
+        StructField("n", LongType, nullable = true),
+        StructField("total", DecimalType(18, 4), nullable = true)))
+      val t = GraftTable.create(s, scratch("g10"), aggSchema,
+        primaryKeys = Seq("day", "event_type"),
+        options = Map(
+          "merge-engine" -> "aggregation",
+          "fields.n.aggregate-function" -> "sum",
+          "fields.total.aggregate-function" -> "sum",
+          "bucket" -> "2"))
+      val sink = GraftStreaming.sink(t)
+      (0 until 3).foreach { e =>
+        val batch = ev.filter(col("event_id") % 3 === e)
+          .groupBy(window(col("t"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 4))).cast(DecimalType(18, 4)).as("total"))
+          .select(col("window.start").cast("date").as("day"),
+            col("event_type"), col("n"), col("total"))
+        sink(batch, e.toLong)
+      }
+      t.read.select(col("day").cast("timestamp_ntz").as("day"),
+        col("event_type"), col("n"), asDouble(col("total"), 4).as("total"))
+    },
+
+    // ---- session windows (30-minute inactivity gap) per user.
+    QDef(
+      "g11_session_window",
+      """WITH gaps AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM gaps)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM sessions GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(session_window(col("t"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").cast("timestamp_ntz").as("session_start"),
+          col("n_events"))
+    })
+}

@@ -40,6 +40,19 @@ final class GraftTable private (
     if (isPrimaryKeyTable) upsert(df, commitIdentifier)
     else appendCommit(df, overwrite = false, commitIdentifier)
 
+  /** Write carrying an event-time watermark persisted on the snapshot
+    * (reference: Snapshot.FIELD_WATERMARK). Used by the streaming sink. */
+  def writeWatermarked(
+      df: DataFrame, commitIdentifier: Long, watermark: Option[Long]): Long = {
+    pendingWatermark = watermark
+    try write(df, commitIdentifier)
+    finally pendingWatermark = None
+  }
+
+  /** watermark attached to the next commit (set only by
+    * writeWatermarked; single-writer per table instance). */
+  @volatile private var pendingWatermark: Option[Long] = None
+
   /** INSERT OVERWRITE: dynamic partition overwrite when the table is
     * partitioned (only partitions present in `df` are replaced),
     * full-table overwrite otherwise. One OVERWRITE snapshot.
@@ -143,6 +156,7 @@ final class GraftTable private (
     val deletes = deletesFor(added)
     val deletedNames = deletes.map(_.file.fileName).toSet
     sm.commit(added ++ deletes, kind, sch.id, commitIdentifier,
+      watermark = pendingWatermark,
       conflictCheck = latest =>
         deletedNames.isEmpty ||
           deletedNames.subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet))

@@ -1,0 +1,95 @@
+package graft
+
+import graft.streaming.GraftStreaming
+import graft.table.GraftTable
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+case class Ev(k: Long, v: String, seq: Long)
+
+/** Streaming integration: Structured Streaming sink with exactly-once
+  * epoch commits, watermark persistence, and checkpointed changelog
+  * consumption. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def tmp(): String = Files.createTempDirectory("graft-stream").toString
+
+  private val evSchema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("v", StringType, nullable = true),
+    StructField("seq", LongType, nullable = true)))
+
+  test("structured streaming sink: micro-batches commit as snapshots, upserts merge") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = GraftTable.create(spark, s"$dir/t", evSchema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF().writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch(GraftStreaming.sink(t, watermarkColumn = Some("seq")))
+      .start()
+    mem.addData(Ev(1, "a1", 1), Ev(2, "b1", 1))
+    q.processAllAvailable()
+    mem.addData(Ev(1, "a2", 2), Ev(3, "c1", 1))
+    q.processAllAvailable()
+    q.stop()
+    val got = t.read.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a2"), (2L, "b1"), (3L, "c1")))
+    // watermark persisted on the last snapshot
+    assert(t.sm.latestSnapshot().get.watermark.contains(2L))
+    assert(t.systemSnapshots.count() >= 2)
+  }
+
+  test("epoch replay is exactly-once (idempotent commitIdentifier)") {
+    import scala.jdk.CollectionConverters._
+    val t = GraftTable.create(spark, tmp() + "/t", evSchema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
+    val sink = GraftStreaming.sink(t)
+    val batch = spark.createDataFrame(
+      Seq(Row(1L, "a", 1L)).asJava, evSchema)
+    sink(batch, 0L)
+    sink(batch, 0L) // replayed epoch after a simulated restart
+    assert(t.systemSnapshots.count() == 1)
+    assert(t.read.count() == 1)
+  }
+
+  test("changelog consumption: per-snapshot deltas with durable offset") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp()
+    val t = GraftTable.create(spark, s"$dir/t", evSchema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
+    def df(rows: (Long, String, Long)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3)).asJava, evSchema)
+    t.write(df((1L, "a", 1L)))
+    t.write(df((2L, "b", 1L)))
+
+    var seen = Vector.empty[(Long, Long, String)] // (snapshot, key, kind)
+    def proc(d: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      seen ++= d.select("k", "_row_kind").collect()
+        .map(r => (id, r.getLong(0), r.getString(1)))
+
+    val ckpt = s"$dir/offset"
+    assert(GraftStreaming.processChangelog(t, ckpt, proc) == Seq(0L, 1L))
+    // nothing new → no work
+    assert(GraftStreaming.processChangelog(t, ckpt, proc).isEmpty)
+    // new delete flows as -D; compaction snapshots are skipped
+    t.delete(col("k") === 1L)
+    t.compact()
+    assert(GraftStreaming.processChangelog(t, ckpt, proc) == Seq(2L, 3L))
+    assert(seen == Vector(
+      (0L, 1L, "+I"), (1L, 2L, "+I"), (2L, 1L, "-D")))
+  }
+}
