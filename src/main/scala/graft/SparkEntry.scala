@@ -14,7 +14,7 @@ object SparkEntry {
   /** Full inventory, grouped by area. */
   lazy val all: Vector[QDef] =
     Relational.defs ++ MergeSemantics.defs ++ Pipeline.defs ++ Storage.defs ++
-      Streams.defs
+      Streams.defs ++ Media.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

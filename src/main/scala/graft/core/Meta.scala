@@ -104,6 +104,15 @@ object Meta {
       /** tag name → snapshot id map lives outside; snapshots are pure. */
       baseSnapshotId: Option[Long])
 
+  /** ANALYZE output: per-column table statistics (reference:
+    * paimon-core .../stats/Statistics.java). */
+  case class ColAnalyzed(
+      count: Long, nullCount: Long, ndv: Long,
+      min: Option[String], max: Option[String], avgLen: Option[Double])
+
+  case class TableStats(
+      snapshotId: Long, rowCount: Long, cols: Map[String, ColAnalyzed])
+
   /** Hidden columns on primary-key table data files. */
   val SeqCol = "_graft_seq"
   val KindCol = "_graft_kind"

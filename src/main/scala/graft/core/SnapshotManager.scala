@@ -189,6 +189,35 @@ final class SnapshotManager(val tablePath: String, val io: FileIO = new LocalFil
     drop
   }
 
+  /** Roll the table back to `target`: delete later snapshots and any
+    * files/manifests only they reference (reference:
+    * RollbackProcedure / rollback_to). */
+  def rollbackTo(target: Long): Seq[Long] = {
+    val (keepIds, dropIds) = snapshotIds.partition(_ <= target)
+    require(keepIds.contains(target), s"snapshot $target does not exist")
+    if (dropIds.isEmpty) return Seq.empty
+    val kept = keepIds.map(snapshot)
+    val keptManifests = kept.flatMap(s =>
+      readManifestList(s.manifestList) :+ s.manifestList).toSet
+    val keptFiles = kept.flatMap(s =>
+      readManifestList(s.manifestList).flatMap(readManifest)).map(_.file.fileName).toSet
+    // plan all deletions before removing anything: dropped snapshots
+    // share manifests, so deleting while iterating would break reads
+    val dropped = dropIds.map(snapshot)
+    val dropManifests = dropped.flatMap(s =>
+      readManifestList(s.manifestList) :+ s.manifestList).distinct
+    val dropFiles = dropped.flatMap(s =>
+      readManifestList(s.manifestList).flatMap(readManifest))
+      .map(_.file.fileName).distinct
+    dropFiles.filterNot(keptFiles.contains)
+      .foreach(f => io.delete(s"$tablePath/$f"))
+    dropManifests.filterNot(keptManifests.contains)
+      .foreach(m => io.delete(s"$manifestDir/$m"))
+    dropIds.foreach(id => io.delete(snapshotPath(id)))
+    io.writeString(s"$snapshotDir/LATEST", target.toString)
+    dropIds
+  }
+
   // ---- tags (named snapshot refs; reference: paimon tag management) ---
 
   private def tagDir = s"$tablePath/tag"

@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.operators.Multimodal
+import graft.table.GraftTable
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Multimodal-column queries: binary payload plumbing, frame sampling,
+  * stubbed decode/featurize, and ANALYZE statistics — verified where
+  * the math is SQL-expressible, rows-only where hash-derived.
+  */
+object Media {
+
+  val defs: Vector[QDef] = Vector(
+    // ---- media ingestion plumbing: binary payloads + typed metadata.
+    QDef(
+      "x01_media_ingest",
+      """SELECT doc_id AS asset_id,
+        |  ['png', 'jpeg', 'webp'][CAST(doc_id % 3 + 1 AS INT)] AS format,
+        |  CAST(length(text) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Multimodal.syntheticAssets(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("asset_id"), col("format"),
+          length(col("payload")).cast("long").as("n_bytes"))
+    },
+
+    // ---- frame sampling over binary payloads (pure binary slicing).
+    QDef(
+      "x02_frame_sample",
+      """SELECT doc_id AS asset_id, fn AS frame_no,
+        |  CAST(least(16, length(text) - fn * 16) AS BIGINT) AS frame_len
+        |FROM documents,
+        |  LATERAL unnest(generate_series(0, CAST((length(text) - 1) // 16 AS BIGINT))) AS t(fn)
+        |WHERE fn % 4 = 0""".stripMargin) { (s, dir) =>
+      val assets = Multimodal.syntheticAssets(tbl(s, dir, "documents"), "doc_id", "text")
+      Multimodal.sampleFrames(assets, frameBytes = 16, everyN = 4)
+        .select(col("asset_id"), col("frame_no"), col("frame_len"))
+    },
+
+    // ---- stubbed decode + feature extraction via mapPartitions
+    // (deterministic fake; real codec not available here).
+    QDef.rowsOnly("x03_media_decode_features") { (s, dir) =>
+      import s.implicits._
+      val assets = Multimodal.syntheticAssets(tbl(s, dir, "documents"), "doc_id", "text")
+        .as[Multimodal.MediaAsset]
+      Multimodal.decodeAndFeaturize(assets, dim = 8)
+        .toDF()
+        .select(col("asset_id"), col("ok"), col("n_bytes"),
+          round(col("mean_intensity"), 4).as("mean_intensity"),
+          element_at(col("features"), 1).as("f0"))
+    },
+
+    // ---- stubbed resize: metadata updated, payload scaled.
+    QDef.rowsOnly("x04_media_resize") { (s, dir) =>
+      val assets = Multimodal.syntheticAssets(tbl(s, dir, "documents"), "doc_id", "text")
+      Multimodal.resize(assets, 64, 64)
+        .select(col("asset_id"), col("width"), col("height"),
+          length(col("payload")).cast("long").as("n_bytes"))
+    },
+
+    // ---- ANALYZE TABLE: column statistics persisted by the storage
+    // layer; count/null/min/max verified against the oracle.
+    QDef(
+      "x05_analyze_stats",
+      """SELECT 'l_quantity' AS column, CAST(COUNT(l_quantity) AS BIGINT) AS cnt,
+        |  CAST(0 AS BIGINT) AS nulls,
+        |  CAST(MIN(l_quantity) AS VARCHAR) AS min_v,
+        |  CAST(MAX(l_quantity) AS VARCHAR) AS max_v
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_orderkey' AS column, CAST(COUNT(l_orderkey) AS BIGINT) AS cnt,
+        |  CAST(0 AS BIGINT) AS nulls,
+        |  CAST(MIN(l_orderkey) AS VARCHAR) AS min_v,
+        |  CAST(MAX(l_orderkey) AS VARCHAR) AS max_v
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "lineitem")
+      val t = GraftTable.create(s,
+        Files.createTempDirectory("graft-x05-").toString + "/table", src.schema)
+      t.write(src)
+      t.analyze()
+      t.systemStatistics
+        .filter(col("column").isin("l_quantity", "l_orderkey"))
+        .select(col("column"), col("count").as("cnt"),
+          col("null_count").as("nulls"),
+          col("min").as("min_v"), col("max").as("max_v"))
+    })
+}

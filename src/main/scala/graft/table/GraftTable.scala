@@ -318,6 +318,49 @@ final class GraftTable private (
 
   def expireSnapshots(retain: Int): Seq[Long] = sm.expireSnapshots(retain)
 
+  /** Roll back to an earlier snapshot, discarding later commits
+    * (reference: rollback/rollback_to_timestamp procedures). */
+  def rollback(snapshotId: Long): Seq[Long] = sm.rollbackTo(snapshotId)
+
+  /** Sort-compact an append table: rewrite all live files clustered by
+    * `zorder` (bit-interleaved) or `order` (lexicographic) so per-file
+    * min/max stats become selective on the cluster columns (reference:
+    * CompactProcedure order_strategy + SparkZOrderUDF → re-expressed
+    * with codegen'd bit expressions + repartitionByRange).
+    */
+  def sortCompact(
+      strategy: String, cols: Seq[String], targetFiles: Int = 0): Option[Long] = {
+    require(!isPrimaryKeyTable, "sort-compact applies to append tables")
+    val snap = sm.latestSnapshot().getOrElse(return None)
+    val old = sm.liveEntries(snap)
+    if (old.isEmpty) return None
+    val sch = schema
+    val n = if (targetFiles > 0) targetFiles else math.max(old.size / 2, 1)
+    val data = readRaw(old)
+    val clustered = strategy match {
+      case "zorder" => graft.operators.ZOrder.cluster(data, cols, n)
+      case "order" => graft.operators.ZOrder.clusterByOrder(data, cols, n)
+      case other => throw new IllegalArgumentException(s"unknown order strategy: $other")
+    }
+    Some(commitFiles(clustered, sch, sch.partitionKeys, KindCompact,
+      nextSeq(), commitIdentifier = -1L, deletes = old.map(_.copy(kind = "DELETE"))))
+  }
+
+  // ================= schema evolution =================
+
+  /** Add a nullable column (new schema version; old files read as
+    * null — reference: SchemaManager + SchemaChange.addColumn). */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType,
+      nullable: Boolean = true): Unit = {
+    val sch = schema
+    require(!sch.fields.exists(_.name == name), s"column $name already exists")
+    require(nullable, "added columns must be nullable (old files have no values)")
+    val nextFieldId = sch.fields.map(_.id).max + 1
+    sm.writeSchema(sch.copy(
+      id = sch.id + 1,
+      fields = sch.fields :+ Meta.FieldDef(nextFieldId, name, dataType.sql, nullable)))
+  }
+
   // ================= row-level DML =================
 
   /** DELETE FROM t WHERE cond.
@@ -402,6 +445,68 @@ final class GraftTable private (
       .filter(matched || lit(whenNotMatchedInsert))
       .select((cols.map(col) :+ col(KindCol)).toIndexedSeq: _*)
     writeKinded(actions)
+  }
+
+  // ================= statistics (ANALYZE) =================
+
+  /** ANALYZE TABLE: per-column count/nulls/NDV/min/max/avg-length
+    * persisted next to the current snapshot (reference:
+    * PaimonAnalyzeTableColumnCommand + StatsFileHandler). */
+  def analyze(): Unit = {
+    val snapId = sm.latestSnapshotId.getOrElse(
+      throw new IllegalStateException("empty table"))
+    val df = read
+    val fields = struct.fields.toSeq
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      val strMinMax = f.dataType match {
+        case _: ArrayType | _: MapType | _: StructType | BinaryType =>
+          Seq(lit(null).cast("string").as(s"min_${f.name}"),
+            lit(null).cast("string").as(s"max_${f.name}"))
+        case _ =>
+          Seq(min(c).cast("string").as(s"min_${f.name}"),
+            max(c).cast("string").as(s"max_${f.name}"))
+      }
+      Seq(count(c).as(s"cnt_${f.name}"),
+        approx_count_distinct(c).as(s"ndv_${f.name}"),
+        avg(length(c.cast("string"))).as(s"len_${f.name}")) ++ strMinMax
+    }
+    val row = df.agg(count(lit(1)).as("__rows"), aggs: _*).head()
+    val rowCount = row.getAs[Long]("__rows")
+    val cols = fields.map { f =>
+      f.name -> Meta.ColAnalyzed(
+        count = row.getAs[Long](s"cnt_${f.name}"),
+        nullCount = rowCount - row.getAs[Long](s"cnt_${f.name}"),
+        ndv = row.getAs[Long](s"ndv_${f.name}"),
+        min = Option(row.getAs[String](s"min_${f.name}")),
+        max = Option(row.getAs[String](s"max_${f.name}")),
+        avgLen = Option(row.getAs[Any](s"len_${f.name}"))
+          .map(_.asInstanceOf[Double]))
+    }.toMap
+    sm.io.writeString(s"$path/stats/stats-$snapId.json",
+      Json.write(Meta.TableStats(snapId, rowCount, cols)))
+  }
+
+  /** Latest ANALYZE result, if any. */
+  def statistics: Option[Meta.TableStats] = {
+    val ids = sm.io.list(s"$path/stats").map(_.split('/').last)
+      .collect { case s if s.startsWith("stats-") && s.endsWith(".json") =>
+        s.stripPrefix("stats-").stripSuffix(".json").toLong }
+    ids.sorted.lastOption.map(id =>
+      Json.read(sm.io.readString(s"$path/stats/stats-$id.json"),
+        classOf[Meta.TableStats]))
+  }
+
+  /** `$statistics` system table. */
+  def systemStatistics: DataFrame = {
+    import spark.implicits._
+    statistics.toSeq.flatMap { st =>
+      st.cols.toSeq.map { case (name, c) =>
+        (st.snapshotId, st.rowCount, name, c.count, c.nullCount, c.ndv,
+          c.min.orNull, c.max.orNull)
+      }
+    }.toDF("snapshot_id", "row_count", "column", "count", "null_count",
+      "ndv", "min", "max")
   }
 
   // ================= system tables =================
