@@ -192,5 +192,58 @@ object Storage {
       t.read.select(col("user_id"),
         asDouble(col("value"), 4).as("total_value"),
         col("event_id").as("last_event_id"))
+    },
+
+    // ---- aggregate pushdown: COUNT answered from manifest stats
+    // alone (no data files opened), before and after compaction.
+    QDef(
+      "g12_count_pushdown",
+      """SELECT 'append' AS mode, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+        |UNION ALL
+        |SELECT 'pk_compacted' AS mode, CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n
+        |FROM orders""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val li = tbl(s, dir, "lineitem")
+      val ta = GraftTable.create(s, scratch("g12a"), li.schema)
+      ta.write(li)
+      val (tp, src) = ordersTable(s, dir,
+        options = Map("sequence.field" -> "up_seq", "bucket" -> "2"),
+        primaryKeys = Seq("o_orderkey"),
+        extraCols = _.withColumn("up_seq", lit(1L)))
+      tp.write(src)
+      tp.compact()
+      Seq(("append", ta.countRows()), ("pk_compacted", tp.countRows()))
+        .toDF("mode", "n")
+    },
+
+    // ---- top-N pushdown: ORDER BY ... LIMIT k touching only files
+    // whose stats ranges can contribute.
+    QDef(
+      "g13_topn_pushdown",
+      """SELECT CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+        |FROM orders ORDER BY o_totalprice DESC LIMIT 10""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders")
+      val t = GraftTable.create(s, scratch("g13"), src.schema)
+      // several commits → several files → stats ranges to prune on
+      (0 until 4).foreach(i => t.write(src.filter(col("o_orderkey") % 4 === i)))
+      t.readTopN("o_totalprice", 10, descending = true)
+        .select(asDouble(col("o_totalprice")).as("price"))
+    },
+
+    // ---- primary-key point lookup with bucket pruning.
+    QDef(
+      "g14_point_lookup",
+      """SELECT o_orderkey, o_orderstatus, CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey IN (1, 500, 1205)""".stripMargin) { (s, dir) =>
+      val (t, src) = ordersTable(s, dir,
+        options = Map("sequence.field" -> "up_seq", "bucket" -> "8"),
+        primaryKeys = Seq("o_orderkey"),
+        extraCols = _.withColumn("up_seq", lit(1L)))
+      t.write(src)
+      Seq(1L, 500L, 1205L)
+        .map(k => t.lookup(Map("o_orderkey" -> k)))
+        .reduce(_ unionAll _)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          asDouble(col("o_totalprice")).as("price"))
     })
 }

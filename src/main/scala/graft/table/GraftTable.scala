@@ -191,6 +191,120 @@ final class GraftTable private (
     id.map(i => mergedFromEntries(sm.liveEntries(sm.snapshot(i))))
       .getOrElse(emptyDf())
 
+  // ================= scan-level pushdowns =================
+
+  /** COUNT(*) answered purely from manifest statistics — zero data
+    * files opened (reference: scan-level aggregate pushdown,
+    * paimon-spark .../aggregate/AggregatePushDownUtils.scala:36-106,
+    * guarded by mergedRowCountAvailable for PK tables). PK tables
+    * without a guaranteed merged count fall back to a real scan. */
+  def countRows(): Long = {
+    val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+    if (!isPrimaryKeyTable) entries.map(_.file.rowCount).sum
+    else if (entries.forall(_.file.level > 0) &&
+      entries.groupBy(e => (e.partition, e.bucket)).forall(_._2.size <= 1))
+      // fully compacted: one file per bucket, already merged, no deletes
+      entries.map(_.file.rowCount).sum
+    else read.count()
+  }
+
+  /** MIN/MAX of a column from manifest stats when every live file has
+    * usable stats; None → caller must scan (reference: MinEvaluator /
+    * MaxEvaluator). Append tables only — PK merge could drop rows. */
+  def statsMinMax(column: String): Option[(String, String)] = {
+    if (isPrimaryKeyTable) return None
+    val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(return None)
+    if (entries.isEmpty) return None
+    val stats = entries.flatMap(_.file.stats.get(column))
+    if (stats.size != entries.size || stats.exists(_.min.isEmpty)) return None
+    val field = struct.fields.find(_.name == column).getOrElse(return None)
+    def cmp(a: String, b: String): Int = field.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType => java.lang.Long.compare(a.toLong, b.toLong)
+      case FloatType | DoubleType => java.lang.Double.compare(a.toDouble, b.toDouble)
+      case _ => a.compareTo(b)
+    }
+    Some((stats.map(_.min.get).minBy(identity[String])(Ordering.fromLessThan(cmp(_, _) < 0)),
+      stats.map(_.max.get).maxBy(identity[String])(Ordering.fromLessThan(cmp(_, _) < 0))))
+  }
+
+  /** LIMIT pushdown: open only enough files to cover `n` rows
+    * (reference: DataTableBatchScan.applyPushDownLimit — counts
+    * rawConvertible splits until the limit is reached). Append-only. */
+  def readLimit(n: Long): DataFrame = {
+    if (isPrimaryKeyTable) return read.limit(n.toInt)
+    val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+    var acc = 0L
+    val taken = entries.takeWhile { e =>
+      val need = acc < n; acc += e.file.rowCount; need
+    }
+    mergedFromEntries(taken).limit(n.toInt)
+  }
+
+  /** Top-N pushdown: `ORDER BY column [DESC] LIMIT k` keeps only files
+    * whose [min,max] range can contribute to the global top-k, judged
+    * by the k-th best file boundary (reference: TopNDataSplitEvaluator
+    * .java:42-71); final ordering still happens in the plan. */
+  def readTopN(column: String, k: Int, descending: Boolean = true): DataFrame = {
+    val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+    val sorted =
+      if (isPrimaryKeyTable || entries.isEmpty) entries
+      else {
+        val field = struct.fields.find(_.name == column)
+        val ranges = entries.map(e => e -> e.file.stats.get(column))
+        if (field.isEmpty || ranges.exists(r =>
+          r._2.isEmpty || r._2.get.min.isEmpty || r._2.get.nullCount > 0)) entries
+        else {
+          def num(s: String): Double = field.get.dataType match {
+            case FloatType | DoubleType => s.toDouble
+            case ByteType | ShortType | IntegerType | LongType | DateType |
+                 TimestampType | TimestampNTZType => s.toLong.toDouble
+            case _ => Double.NaN
+          }
+          val usable = ranges.map { case (e, st) =>
+            (e, num(st.get.min.get), num(st.get.max.get), e.file.rowCount)
+          }
+          if (usable.exists(u => u._2.isNaN)) entries
+          else {
+            // worst boundary of the best files covering k rows
+            val ordered = if (descending) usable.sortBy(-_._3) else usable.sortBy(_._2)
+            var acc = 0L
+            val threshold = ordered.find { u => acc += u._4; acc >= k }
+            threshold match {
+              case None => entries
+              case Some(t) =>
+                val bound = if (descending) t._2 else t._3
+                usable.filter(u =>
+                  if (descending) u._3 >= bound else u._2 <= bound).map(_._1)
+            }
+          }
+        }
+      }
+    val sortCol = if (descending) col(column).desc else col(column).asc
+    mergedFromEntries(sorted).orderBy(sortCol).limit(k)
+  }
+
+  /** Primary-key point lookup with bucket pruning: only the one
+    * hash-bucket (and stats-matching files in it) is read (reference:
+    * LocalTableQuery.java:64 — the KV-service semantics, served by a
+    * pruned scan). */
+  def lookup(keyValues: Map[String, Any]): DataFrame = {
+    require(isPrimaryKeyTable, "lookup requires a primary-key table")
+    val sch = schema
+    require(sch.primaryKeys.toSet == keyValues.keySet, "must bind every primary key")
+    val keyDf = emptyDf().sparkSession.range(1).select(
+      sch.primaryKeys.map(k => lit(keyValues(k)).as(k)).toIndexedSeq: _*)
+    val bucket = keyDf.select(
+      pmod(xxhash64(sch.primaryKeys.map(col).toIndexedSeq: _*), lit(sch.numBuckets))
+        .cast("int").as("b")).head.getInt(0)
+    val filterCond = sch.primaryKeys
+      .map(k => col(k) === lit(keyValues(k))).reduce(_ && _)
+    val snap = sm.latestSnapshot().getOrElse(return emptyDf())
+    val entries = pruneEntries(snap, filterCond).filter(_.bucket == bucket)
+    val raw = readRaw(entries)
+    MergeEngine.merge(raw, sch).filter(filterCond)
+  }
+
   /** Time travel: VERSION AS OF. */
   def versionAsOf(snapshotId: Long): DataFrame = readSnapshot(Some(snapshotId))
 

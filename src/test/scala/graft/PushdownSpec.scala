@@ -1,0 +1,83 @@
+package graft
+
+import graft.table.GraftTable
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** Scan-level pushdowns: stats-only aggregates, limit, top-N file
+  * pruning, bucket-pruned point lookup. */
+class PushdownSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmp(): String = Files.createTempDirectory("graft-push").toString + "/t"
+
+  private val sch = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("v", DoubleType, nullable = true)))
+
+  private def df(rows: (Long, Double)*) =
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, sch)
+
+  test("countRows answers from manifests without scanning") {
+    val t = GraftTable.create(spark, tmp(), sch)
+    t.write(df((1L, 1.0), (2L, 2.0)))
+    t.write(df((3L, 3.0)))
+    assert(t.countRows() == 3L)
+    // PK table: safe only when fully compacted
+    val p = GraftTable.create(spark, tmp(), sch, primaryKeys = Seq("k"),
+      options = Map("bucket" -> "2"))
+    p.write(df((1L, 1.0), (2L, 2.0)))
+    p.write(df((2L, 9.0), (3L, 3.0)))
+    assert(p.countRows() == 3L) // falls back to merged scan
+    p.compact()
+    assert(p.countRows() == 3L) // now from manifests
+  }
+
+  test("statsMinMax answers from manifests") {
+    val t = GraftTable.create(spark, tmp(), sch)
+    t.write(df((5L, 2.5), (9L, 0.5)))
+    t.write(df((1L, 7.5)))
+    assert(t.statsMinMax("k").contains(("1", "9")))
+    assert(t.statsMinMax("v").contains(("0.5", "7.5")))
+  }
+
+  test("readLimit opens only enough files") {
+    val t = GraftTable.create(spark, tmp(), sch)
+    (0 until 5).foreach(i => t.write(df((i.toLong, i.toDouble))))
+    val lim = t.readLimit(2)
+    assert(lim.inputFiles.length == 2)
+    assert(lim.count() == 2)
+  }
+
+  test("readTopN prunes files by stats") {
+    val t = GraftTable.create(spark, tmp(), sch)
+    t.write(df((1L, 1.0), (2L, 2.0)))   // max 2
+    t.write(df((10L, 1.0), (11L, 2.0))) // max 11
+    t.write(df((20L, 1.0), (21L, 2.0))) // max 21
+    val total = t.read.inputFiles.length
+    val top = t.readTopN("k", 2, descending = true)
+    assert(top.inputFiles.length < total)
+    assert(top.collect().map(_.getLong(0)).toSeq == Seq(21L, 20L))
+    val bottom = t.readTopN("k", 2, descending = false)
+    assert(bottom.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("lookup reads only the key's bucket") {
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"), options = Map("bucket" -> "8"))
+    t.write(df((0L until 64L).map(i => (i, i.toDouble)): _*))
+    val one = t.lookup(Map("k" -> 7L))
+    assert(one.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((7L, 7.0)))
+    assert(one.inputFiles.length <= 1)
+    assert(t.lookup(Map("k" -> 999L)).count() == 0)
+  }
+}
