@@ -16,6 +16,8 @@ import scala.jdk.CollectionConverters._
 trait FileIO {
   def readString(path: String): String
   def writeString(path: String, content: String): Unit
+  def readBytes(path: String): Array[Byte]
+  def writeBytes(path: String, content: Array[Byte]): Unit
   /** Atomically create `path` with `content` iff it does not exist.
     * @return true on success, false if the path already exists. */
   def tryCreateAtomic(path: String, content: String): Boolean
@@ -36,6 +38,17 @@ final class LocalFileIO extends FileIO {
     Files.createDirectories(p(path).getParent)
     val tmp = p(path + ".tmp." + java.util.UUID.randomUUID())
     Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p(path), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override def readBytes(path: String): Array[Byte] =
+    Files.readAllBytes(p(path))
+
+  override def writeBytes(path: String, content: Array[Byte]): Unit = {
+    Files.createDirectories(p(path).getParent)
+    val tmp = p(path + ".tmp." + java.util.UUID.randomUUID())
+    Files.write(tmp, content)
     Files.move(tmp, p(path), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
   }

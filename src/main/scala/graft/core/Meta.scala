@@ -67,7 +67,9 @@ object Meta {
       minSeq: Long,
       maxSeq: Long,
       level: Int,
-      stats: Map[String, ColStats])
+      stats: Map[String, ColStats],
+      /** column → bloom-index sidecar path (relative to table root) */
+      indexFiles: Option[Map[String, String]] = None)
 
   /** Manifest entry: ADD or DELETE of one data file in one
     * (partition, bucket). Partition values are stringified. */

@@ -245,5 +245,20 @@ object Storage {
         .reduce(_ unionAll _)
         .select(col("o_orderkey"), col("o_orderstatus"),
           asDouble(col("o_totalprice")).as("price"))
+    },
+
+    // ---- bloom file index: point predicates on overlapping-range
+    // files answered by sidecar membership filters.
+    QDef(
+      "g15_bloom_index",
+      """SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey IN (42, 4242, 999999)""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders")
+      val t = GraftTable.create(s, scratch("g15"), src.schema,
+        options = Map("file-index.bloom-filter.columns" -> "o_orderkey"))
+      // interleaved commits → overlapping min/max, bloom does the work
+      (0 until 4).foreach(i => t.write(src.filter(col("o_orderkey") % 4 === i)))
+      t.scan(col("o_orderkey").isin(42L, 4242L, 999999L))
+        .select(col("o_orderkey"), asDouble(col("o_totalprice")).as("price"))
     })
 }

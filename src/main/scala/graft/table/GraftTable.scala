@@ -153,14 +153,60 @@ final class GraftTable private (
       ManifestEntry("ADD", partition, bucket, meta)
     }
     deleteRecursive(stagingPath)
-    val deletes = deletesFor(added)
+    val indexed = buildBloomIndexes(sch, added)
+    val deletes = deletesFor(indexed)
     val deletedNames = deletes.map(_.file.fileName).toSet
-    sm.commit(added ++ deletes, kind, sch.id, commitIdentifier,
+    sm.commit(indexed ++ deletes, kind, sch.id, commitIdentifier,
       watermark = pendingWatermark,
       conflictCheck = latest =>
         deletedNames.isEmpty ||
           deletedNames.subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet))
   }
+
+  /** Build per-file bloom sidecars for the configured columns in one
+    * distributed job (group by _metadata.file_path, fold values into
+    * BloomFilters with map-side partial merge). See core.BloomIndex. */
+  private def buildBloomIndexes(
+      sch: TableSchema, added: Seq[ManifestEntry]): Seq[ManifestEntry] = {
+    val bloomCols = sch.options.get(BloomIndex.OptionColumns)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+      .filter(c => sch.fields.exists(_.name == c) && !sch.partitionKeys.contains(c))
+    if (bloomCols.isEmpty || added.isEmpty) return added
+    val items = sch.options.get(BloomIndex.OptionItems)
+      .map(_.toLong).getOrElse(BloomIndex.DefaultItems)
+    val bloomUdaf = udaf(new BloomIndex.BloomAgg(items))
+    val paths = added.map(e => s"$path/${e.file.fileName}")
+    val aggs = bloomCols.map(c => bloomUdaf(col(c).cast("string")).as(c))
+    val rows = spark.read.parquet(paths: _*)
+      .select(col("_metadata.file_path").as("__f") +:
+        bloomCols.map(col).toIndexedSeq: _*)
+      .groupBy("__f")
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val byName: Map[String, Map[String, Array[Byte]]] = rows.map { r =>
+      val f = r.getString(0)
+      f -> bloomCols.zipWithIndex.map { case (c, i) =>
+        c -> r.getAs[Array[Byte]](i + 1)
+      }.toMap
+    }.toMap
+    added.map { e =>
+      byName.find { case (f, _) => f.endsWith(e.file.fileName) } match {
+        case None => e
+        case Some((_, blooms)) =>
+          val sidecars = blooms.map { case (c, bytes) =>
+            val rel = s"index/${java.util.UUID.randomUUID()}.$c.bloom"
+            sm.io.writeBytes(s"$path/$rel", bytes)
+            c -> rel
+          }
+          e.copy(file = e.file.copy(indexFiles = Some(sidecars)))
+      }
+    }
+  }
+
+  /** lazily loaded + cached bloom sidecars, keyed by sidecar path */
+  private val bloomCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.util.sketch.BloomFilter]
 
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
@@ -399,7 +445,16 @@ final class GraftTable private (
           k -> ColStats(Some(v), Some(v), 0L)
         }
         val augmented = e.file.copy(stats = e.file.stats ++ partStats)
-        cond.forall(StatsFilter.mightMatch(_, augmented, sch))
+        cond.forall { c =>
+          StatsFilter.mightMatch(c, augmented, sch) && {
+            // bloom sidecars refine equality/IN where ranges overlap
+            val idx = e.file.indexFiles.getOrElse(Map.empty)
+            idx.isEmpty || BloomIndex.mightMatch(c, idx.keySet,
+              col => idx.get(col).map(rel =>
+                bloomCache.getOrElseUpdate(rel,
+                  BloomIndex.deserialize(sm.io.readBytes(s"$path/$rel")))))
+          }
+        }
       } catch { case _: Exception => true }
     }
   }

@@ -71,6 +71,27 @@ class PushdownSpec extends AnyFunSuite {
     assert(bottom.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("bloom file index prunes overlapping-range files on point predicates") {
+    val t = GraftTable.create(spark, tmp(), sch,
+      options = Map("file-index.bloom-filter.columns" -> "k"))
+    // interleaved keys: every file spans [~0, ~100] so min/max stats
+    // cannot prune; only the bloom can
+    (0 until 4).foreach { i =>
+      t.write(df((0L until 100L).filter(_ % 4 == i).map(k => (k, k.toDouble)): _*))
+    }
+    val total = t.read.inputFiles.length
+    val hit = t.scan(col("k") === 42L)
+    assert(hit.inputFiles.length < total,
+      s"bloom should prune: ${hit.inputFiles.length} of $total")
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    // absent key: everything pruned
+    assert(t.scan(col("k") === 1000L).inputFiles.isEmpty)
+    assert(t.scan(col("k") === 1000L).count() == 0)
+    // IN over two files' keys
+    val in = t.scan(col("k").isin(41L, 42L))
+    assert(in.collect().map(_.getLong(0)).sorted.toSeq == Seq(41L, 42L))
+  }
+
   test("lookup reads only the key's bucket") {
     val t = GraftTable.create(spark, tmp(), sch,
       primaryKeys = Seq("k"), options = Map("bucket" -> "8"))
