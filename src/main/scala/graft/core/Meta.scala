@@ -1,5 +1,6 @@
 package graft.core
 
+import com.fasterxml.jackson.databind.annotation.JsonDeserialize
 import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Metadata model of the graft table format.
@@ -69,7 +70,12 @@ object Meta {
       level: Int,
       stats: Map[String, ColStats],
       /** column → bloom-index sidecar path (relative to table root) */
-      indexFiles: Option[Map[String, String]] = None)
+      indexFiles: Option[Map[String, String]] = None,
+      /** deletion-vector sidecar path + its cardinality */
+      dvFile: Option[String] = None,
+      // contentAs: Jackson erasure would otherwise box Option[Long] as Integer
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
+      dvCardinality: Option[Long] = None)
 
   /** Manifest entry: ADD or DELETE of one data file in one
     * (partition, bucket). Partition values are stringified. */
@@ -102,15 +108,19 @@ object Meta {
       deltaManifest: Option[String],
       totalRecordCount: Long,
       deltaRecordCount: Long,
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
       watermark: Option[Long],
       /** tag name → snapshot id map lives outside; snapshots are pure. */
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
       baseSnapshotId: Option[Long])
 
   /** ANALYZE output: per-column table statistics (reference:
     * paimon-core .../stats/Statistics.java). */
   case class ColAnalyzed(
       count: Long, nullCount: Long, ndv: Long,
-      min: Option[String], max: Option[String], avgLen: Option[Double])
+      min: Option[String], max: Option[String],
+      @JsonDeserialize(contentAs = classOf[java.lang.Double])
+      avgLen: Option[Double])
 
   case class TableStats(
       snapshotId: Long, rowCount: Long, cols: Map[String, ColAnalyzed])

@@ -88,14 +88,17 @@ final class SnapshotManager(val tablePath: String, val io: FileIO = new LocalFil
   def readManifestList(name: String): Seq[String] =
     Json.read(io.readString(s"$manifestDir/$name"), classOf[ManifestList]).manifests
 
-  /** All live data-file entries visible in a snapshot: ADDs minus
-    * later DELETEs, folded across the snapshot's manifests in order. */
+  /** All live data-file entries visible in a snapshot, folded across
+    * the snapshot's manifests IN ORDER: a later ADD of a fileName
+    * resurrects/replaces it (deletion-vector commits delete + re-add
+    * the same file with new sidecar metadata). */
   def liveEntries(s: Snapshot): Seq[ManifestEntry] = {
-    val all = readManifestList(s.manifestList).flatMap(readManifest)
-    val deleted = all.collect {
-      case e if e.kind == "DELETE" => e.file.fileName
-    }.toSet
-    all.filter(e => e.kind == "ADD" && !deleted.contains(e.file.fileName))
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, ManifestEntry]
+    readManifestList(s.manifestList).flatMap(readManifest).foreach { e =>
+      if (e.kind == "ADD") live(e.file.fileName) = e
+      else live.remove(e.file.fileName)
+    }
+    live.values.toSeq
   }
 
   // ---- commit ---------------------------------------------------------

@@ -260,5 +260,23 @@ object Storage {
       (0 until 4).foreach(i => t.write(src.filter(col("o_orderkey") % 4 === i)))
       t.scan(col("o_orderkey").isin(42L, 4242L, 999999L))
         .select(col("o_orderkey"), asDouble(col("o_totalprice")).as("price"))
+    },
+
+    // ---- deletion vectors: DELETE+UPDATE via position bitmaps (no
+    // file rewrite), then a read that applies them.
+    QDef(
+      "g16_deletion_vectors",
+      """SELECT o_orderkey,
+        |  CAST(ROUND(CASE WHEN o_orderkey % 7 = 1 THEN o_totalprice * 3
+        |                  ELSE o_totalprice END, 2) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders")
+      val t = GraftTable.create(s, scratch("g16"), src.schema,
+        options = Map("deletion-vectors.enabled" -> "true"))
+      t.write(src)
+      t.delete(col("o_orderstatus") === "F")
+      t.update(Map("o_totalprice" -> (col("o_totalprice") * 3)),
+        col("o_orderkey") % 7 === 1)
+      t.read.select(col("o_orderkey"), asDouble(col("o_totalprice")).as("price"))
     })
 }

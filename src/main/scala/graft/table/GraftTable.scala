@@ -22,6 +22,20 @@ import scala.jdk.CollectionConverters._
   * TableWrite/prepareCommit/TableCommit
   * (paimon-spark .../commands/PaimonSparkWriter.scala:108).
   */
+/** Row-liveness predicate against broadcast serialized bitmaps;
+  * deserialized once per executor (transient lazy). Top-level so the
+  * closure captures only the broadcast handle. */
+private[table] class DvRowFilter(
+    bc: org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]])
+    extends ((String, Long) => Boolean) with Serializable {
+  @transient private lazy val bitmaps =
+    bc.value.map { case (k, v) => k -> DeletionVectors.deserialize(v) }
+  def apply(file: String, idx: Long): Boolean = {
+    val name = file.substring(file.lastIndexOf('/') + 1)
+    bitmaps.get(name).forall(bm => !bm.contains(idx.toInt))
+  }
+}
+
 final class GraftTable private (
     val spark: SparkSession,
     val path: String,
@@ -246,7 +260,8 @@ final class GraftTable private (
     * without a guaranteed merged count fall back to a real scan. */
   def countRows(): Long = {
     val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
-    if (!isPrimaryKeyTable) entries.map(_.file.rowCount).sum
+    if (!isPrimaryKeyTable)
+      entries.map(e => e.file.rowCount - e.file.dvCardinality.getOrElse(0L)).sum
     else if (entries.forall(_.file.level > 0) &&
       entries.groupBy(e => (e.partition, e.bucket)).forall(_._2.size <= 1))
       // fully compacted: one file per bucket, already merged, no deletes
@@ -282,7 +297,9 @@ final class GraftTable private (
     val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
     var acc = 0L
     val taken = entries.takeWhile { e =>
-      val need = acc < n; acc += e.file.rowCount; need
+      val need = acc < n
+      acc += e.file.rowCount - e.file.dvCardinality.getOrElse(0L)
+      need
     }
     mergedFromEntries(taken).limit(n.toInt)
   }
@@ -377,11 +394,33 @@ final class GraftTable private (
       .parquet(entries.map(e => s"$path/${e.file.fileName}"): _*)
   }
 
-  private def mergedFromEntries(entries: Seq[ManifestEntry]): DataFrame = {
-    val raw = readRaw(entries)
-    if (isPrimaryKeyTable) MergeEngine.merge(raw, schema)
-    else raw.select(struct.fieldNames.map(col).toIndexedSeq: _*)
+  private def mergedFromEntries(entries: Seq[ManifestEntry]): DataFrame =
+    if (isPrimaryKeyTable) MergeEngine.merge(readRaw(entries), schema)
+    else readAppendData(entries)
+
+  /** Append-table read with deletion vectors applied: files carrying a
+    * DV sidecar are filtered by (file basename, row_index) membership
+    * against broadcast bitmaps; plain files stream straight through. */
+  private def readAppendData(entries: Seq[ManifestEntry]): DataFrame = {
+    val dataCols = struct.fieldNames.map(col).toIndexedSeq
+    val (dved, plain) = entries.partition(_.file.dvFile.isDefined)
+    val base = readRaw(plain).select(dataCols: _*)
+    if (dved.isEmpty) return base
+    val bitmaps = dved.map { e =>
+      basename(e.file.fileName) -> sm.io.readBytes(s"$path/${e.file.dvFile.get}")
+    }.toMap
+    val bc = spark.sparkContext.broadcast(bitmaps)
+    val rowLive = udf(new DvRowFilter(bc))
+    val filtered = readRaw(dved)
+      .withColumn("__file", expr("_metadata.file_path"))
+      .withColumn("__idx", expr("_metadata.row_index"))
+      .filter(rowLive(col("__file"), col("__idx")))
+      .select(dataCols: _*)
+    base.unionAll(filtered)
   }
+
+  private def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
 
   /** Changelog view with a `_row_kind` label column (reference:
     * AuditLogTable — table/system/AuditLogTable.java:88). */
@@ -478,7 +517,7 @@ final class GraftTable private (
           .withColumn(KindCol, lit(KindInsert).cast("byte"))
         m.withColumn("__bucket",
           pmod(xxhash64(sch.primaryKeys.map(col).toIndexedSeq: _*), lit(sch.numBuckets)).cast("int"))
-      } else readRaw(old)
+      } else readAppendData(old) // applies deletion vectors before rewrite
     val partitionBy =
       if (isPrimaryKeyTable) sch.partitionKeys :+ "__bucket" else sch.partitionKeys
     Some(commitFiles(merged, sch, partitionBy, KindCompact, base,
@@ -505,7 +544,7 @@ final class GraftTable private (
     if (old.isEmpty) return None
     val sch = schema
     val n = if (targetFiles > 0) targetFiles else math.max(old.size / 2, 1)
-    val data = readRaw(old)
+    val data = readAppendData(old)
     val clustered = strategy match {
       case "zorder" => graft.operators.ZOrder.cluster(data, cols, n)
       case "order" => graft.operators.ZOrder.clusterByOrder(data, cols, n)
@@ -541,6 +580,19 @@ final class GraftTable private (
       val victims = read.filter(cond)
         .withColumn(KindCol, lit(KindDelete).cast("byte"))
       writeKinded(victims)
+    } else if (dvEnabled) {
+      // mark positions instead of rewriting files (reference:
+      // SparkDeletionVector write path)
+      val snap = sm.latestSnapshot().getOrElse(
+        throw new IllegalStateException("empty table"))
+      val touched = pruneEntries(snap, cond)
+      if (touched.isEmpty) return snap.id
+      val entries = dvEntriesFor(touched, cond)
+      if (entries.isEmpty) return snap.id
+      val deletedNames = entries.filter(_.kind == "DELETE").map(_.file.fileName).toSet
+      sm.commit(entries, KindOverwrite, schema.id,
+        conflictCheck = latest =>
+          deletedNames.subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet))
     } else rewriteFiles(cond, df => df.filter(!coalesce(cond, lit(false))))
   }
 
@@ -551,8 +603,58 @@ final class GraftTable private (
       val updated = applyAssignments(read.filter(cond), assignments, lit(true))
         .withColumn(KindCol, lit(KindUpdateAfter).cast("byte"))
       writeKinded(updated)
+    } else if (dvEnabled) {
+      // DV update = mark old positions deleted + append updated rows,
+      // one atomic commit
+      val snap = sm.latestSnapshot().getOrElse(
+        throw new IllegalStateException("empty table"))
+      val touched = pruneEntries(snap, cond)
+      if (touched.isEmpty) return snap.id
+      val sch = schema
+      val updatedRows = applyAssignments(
+        readAppendData(touched).filter(cond), assignments, lit(true))
+      commitFilesFn(updatedRows, sch, sch.partitionKeys, KindOverwrite,
+        nextSeq(), commitIdentifier = -1L, _ => dvEntriesFor(touched, cond))
     } else rewriteFiles(cond,
       df => applyAssignments(df, assignments, coalesce(cond, lit(false))))
+  }
+
+  private def dvEnabled: Boolean =
+    schema.options.get(DeletionVectors.OptionEnabled).contains("true")
+
+  /** DELETE+re-ADD entry pairs attaching (merged) deletion vectors for
+    * every touched file; fully-deleted files are just dropped. */
+  private def dvEntriesFor(
+      touched: Seq[ManifestEntry], cond: Column): Seq[ManifestEntry] = {
+    val agg = udaf(new DeletionVectors.BitmapAgg)
+    val matches = readRaw(touched)
+      .filter(cond)
+      .select(expr("_metadata.file_path").as("__f"),
+        expr("_metadata.row_index").as("__i"))
+      .groupBy("__f").agg(agg(col("__i")).as("bm"))
+      .collect()
+      .map(r => basename(r.getString(0)) -> r.getAs[Array[Byte]](1))
+      .toMap
+    touched.flatMap { e =>
+      matches.get(basename(e.file.fileName)) match {
+        case None => Seq.empty // pruned file had no actual matches
+        case Some(fresh) =>
+          val merged = e.file.dvFile match {
+            case Some(old) => DeletionVectors.union(
+              sm.io.readBytes(s"$path/$old"), fresh)
+            case None => fresh
+          }
+          val card = DeletionVectors.cardinality(merged)
+          val del = e.copy(kind = "DELETE")
+          if (card >= e.file.rowCount) Seq(del)
+          else {
+            val rel = s"index/${UUID.randomUUID()}.dv"
+            sm.io.writeBytes(s"$path/$rel", merged)
+            Seq(del, e.copy(kind = "ADD",
+              file = e.file.copy(dvFile = Some(rel), dvCardinality = Some(card))))
+          }
+      }
+    }
   }
 
   private def applyAssignments(
