@@ -14,12 +14,41 @@ import java.util.UUID
   * .../operation/FileStoreCommitImpl.java:687) with the snapshot file
   * as the single point of serialization.
   */
-final class SnapshotManager(val tablePath: String, val io: FileIO = new LocalFileIO) {
+final class SnapshotManager(
+    val tablePath: String,
+    val branch: Option[String] = None,
+    val io: FileIO = new LocalFileIO) {
 
-  private def snapshotDir = s"$tablePath/snapshot"
+  /** Branches keep an independent snapshot chain under
+    * branch/<name>/snapshot, sharing schema/manifest/data with main
+    * (reference: paimon branch management). */
+  private def snapshotDir = branch match {
+    case Some(b) => s"$tablePath/branch/$b/snapshot"
+    case None => s"$tablePath/snapshot"
+  }
   private def manifestDir = s"$tablePath/manifest"
   private def schemaDir = s"$tablePath/schema"
   def dataDir = s"$tablePath/data"
+
+  def branches: Seq[String] =
+    io.list(s"$tablePath/branch").map(_.split('/').last).sorted
+
+  private def siblingManagers: Seq[SnapshotManager] = {
+    val all: Seq[Option[String]] = None +: branches.map(Option(_))
+    all.filterNot(_ == branch).map(b => new SnapshotManager(tablePath, b, io))
+  }
+
+  /** Files and manifests referenced by ANY snapshot of any OTHER
+    * branch — never garbage-collectable from this branch. */
+  private def referencedElsewhere(): (Set[String], Set[String]) = {
+    val sms = siblingManagers
+    val manifests = sms.flatMap(s => s.snapshotIds.map(s.snapshot).flatMap(sn =>
+      s.readManifestList(sn.manifestList) :+ sn.manifestList)).toSet
+    val files = sms.flatMap(s => s.snapshotIds.map(s.snapshot).flatMap(sn =>
+      s.readManifestList(sn.manifestList).flatMap(s.readManifest)))
+      .map(_.file.fileName).toSet
+    (files, manifests)
+  }
 
   // ---- schema ---------------------------------------------------------
 
@@ -174,9 +203,11 @@ final class SnapshotManager(val tablePath: String, val io: FileIO = new LocalFil
     if (ids.size <= retain) return Seq.empty
     val (drop, keep) = ids.splitAt(ids.size - retain)
     val keptSnaps = keep.map(snapshot)
-    val liveFiles = keptSnaps.flatMap(s => liveEntries(s).map(_.file.fileName)).toSet
+    val (elseFiles, elseManifests) = referencedElsewhere()
+    val liveFiles = keptSnaps.flatMap(s => liveEntries(s).map(_.file.fileName)).toSet ++
+      elseFiles
     val liveManifests = keptSnaps.flatMap(s =>
-      readManifestList(s.manifestList) :+ s.manifestList).toSet
+      readManifestList(s.manifestList) :+ s.manifestList).toSet ++ elseManifests
     // files referenced only by dropped snapshots are orphaned
     drop.foreach { id =>
       val s = snapshot(id)
@@ -200,10 +231,12 @@ final class SnapshotManager(val tablePath: String, val io: FileIO = new LocalFil
     require(keepIds.contains(target), s"snapshot $target does not exist")
     if (dropIds.isEmpty) return Seq.empty
     val kept = keepIds.map(snapshot)
+    val (elseFiles, elseManifests) = referencedElsewhere()
     val keptManifests = kept.flatMap(s =>
-      readManifestList(s.manifestList) :+ s.manifestList).toSet
+      readManifestList(s.manifestList) :+ s.manifestList).toSet ++ elseManifests
     val keptFiles = kept.flatMap(s =>
-      readManifestList(s.manifestList).flatMap(readManifest)).map(_.file.fileName).toSet
+      readManifestList(s.manifestList).flatMap(readManifest)).map(_.file.fileName).toSet ++
+      elseFiles
     // plan all deletions before removing anything: dropped snapshots
     // share manifests, so deleting while iterating would break reads
     val dropped = dropIds.map(snapshot)
@@ -219,6 +252,46 @@ final class SnapshotManager(val tablePath: String, val io: FileIO = new LocalFil
     dropIds.foreach(id => io.delete(snapshotPath(id)))
     io.writeString(s"$snapshotDir/LATEST", target.toString)
     dropIds
+  }
+
+  // ---- branches -------------------------------------------------------
+
+  /** Fork a branch at `fromSnapshot`: the branch starts with a copy of
+    * that snapshot file and evolves independently. */
+  def createBranch(name: String, fromSnapshot: Long): Unit = {
+    require(branch.isEmpty, "branches fork from main")
+    require(!branches.contains(name), s"branch $name already exists")
+    val content = io.readString(snapshotPath(fromSnapshot))
+    io.writeString(s"$tablePath/branch/$name/snapshot/snapshot-$fromSnapshot.json", content)
+    io.writeString(s"$tablePath/branch/$name/snapshot/LATEST", fromSnapshot.toString)
+  }
+
+  def deleteBranch(name: String): Unit = {
+    val dir = java.nio.file.Paths.get(s"$tablePath/branch/$name")
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  /** Fast-forward main to a branch: main's snapshots after the fork
+    * point are replaced by the branch's (reference: fast_forward
+    * procedure). */
+  def fastForward(name: String): Unit = {
+    require(branch.isEmpty, "fast-forward applies to main")
+    val bsm = new SnapshotManager(tablePath, Some(name), io)
+    val bids = bsm.snapshotIds
+    require(bids.nonEmpty, s"branch $name has no snapshots")
+    val fork = bids.head
+    // drop main's divergent tail (files still referenced by the branch
+    // are protected by referencedElsewhere)
+    if (snapshotIds.exists(_ > fork)) rollbackTo(fork)
+    bids.filter(_ > fork).foreach { id =>
+      io.writeString(snapshotPath(id), io.readString(
+        s"$tablePath/branch/$name/snapshot/snapshot-$id.json"))
+    }
+    io.writeString(s"$snapshotDir/LATEST", math.max(fork, bids.last).toString)
   }
 
   // ---- tags (named snapshot refs; reference: paimon tag management) ---

@@ -278,5 +278,42 @@ object Storage {
       t.update(Map("o_totalprice" -> (col("o_totalprice") * 3)),
         col("o_orderkey") % 7 === 1)
       t.read.select(col("o_orderkey"), asDouble(col("o_totalprice")).as("price"))
+    },
+
+    // ---- sketch field aggregates: per-event-type distinct users via
+    // theta sketch + 64-bit roaring bitmap, merged by the aggregation
+    // engine across two epochs. Both are exact at this cardinality, so
+    // the estimates must equal DuckDB's exact distinct counts.
+    QDef(
+      "g17_sketch_aggregates",
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS theta_users,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS rbm_users
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      import graft.functions.Sketches
+      import org.apache.spark.sql.types._
+      val evAll = tbl(s, dir, "events").select(col("event_type"), col("user_id"),
+        Sketches.thetaSingletonUdf(col("user_id")).as("theta_users"),
+        Sketches.rbm64SingletonUdf(col("user_id")).as("rbm_users"))
+      def ev(epoch: Int) = evAll.filter(col("user_id") % 2 === epoch)
+        .drop("user_id")
+      val t = GraftTable.create(s, scratch("g17"),
+        StructType(Seq(
+          StructField("event_type", StringType, nullable = false),
+          StructField("theta_users", BinaryType, nullable = true),
+          StructField("rbm_users", BinaryType, nullable = true))),
+        primaryKeys = Seq("event_type"),
+        options = Map(
+          "merge-engine" -> "aggregation",
+          "fields.theta_users.aggregate-function" -> "theta_sketch",
+          "fields.rbm_users.aggregate-function" -> "rbm64",
+          "bucket" -> "2"))
+      val sink = graft.streaming.GraftStreaming.sink(t)
+      // two epochs: sketches must merge across commits
+      sink(ev(0), 0L)
+      sink(ev(1), 1L)
+      t.read.select(col("event_type"),
+        Sketches.thetaEstimateUdf(col("theta_users")).as("theta_users"),
+        Sketches.rbm64CardinalityUdf(col("rbm_users")).as("rbm_users"))
     })
 }

@@ -530,6 +530,29 @@ final class GraftTable private (
     * (reference: rollback/rollback_to_timestamp procedures). */
   def rollback(snapshotId: Long): Seq[Long] = sm.rollbackTo(snapshotId)
 
+  // ================= branches =================
+
+  /** Fork a branch (default: at the latest snapshot) and return a
+    * handle writing/reading that branch (reference: create_branch). */
+  def createBranch(name: String, fromSnapshot: Option[Long] = None): GraftTable = {
+    val id = fromSnapshot.orElse(sm.latestSnapshotId).getOrElse(
+      throw new IllegalStateException("empty table cannot be branched"))
+    sm.createBranch(name, id)
+    branchTable(name)
+  }
+
+  /** Handle on an existing branch. */
+  def branchTable(name: String): GraftTable =
+    new GraftTable(spark, path, new SnapshotManager(path, Some(name), sm.io))
+
+  def deleteBranch(name: String): Unit = sm.deleteBranch(name)
+
+  /** Replace main's history after the fork point with the branch's
+    * (reference: fast_forward). */
+  def fastForward(name: String): Unit = sm.fastForward(name)
+
+  def branches: Seq[String] = sm.branches
+
   /** Sort-compact an append table: rewrite all live files clustered by
     * `zorder` (bit-interleaved) or `order` (lexicographic) so per-file
     * min/max stats become selective on the cluster columns (reference:

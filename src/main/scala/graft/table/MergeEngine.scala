@@ -152,6 +152,18 @@ object MergeEngine {
         expr(s"aggregate(transform(array_sort(collect_list(struct($c as m))), x -> x.m), " +
           s"cast(null as $typeSql), (a, m) -> if(a is null, m, map_concat(map_filter(a, (k, v) -> not array_contains(map_keys(m), k)), m)))")
       case "primary-key" => first(col(c))
+      // sketch states: stored value IS the serialized sketch; base and
+      // combine are both unions (fully mergeable)
+      case "theta_sketch" =>
+        udaf(new graft.functions.Sketches.BinaryUnionAgg(
+          graft.functions.Sketches.thetaUnion)).apply(col(c))
+      case "hll_sketch" => expr(s"hll_union_agg($c)")
+      case "rbm32" =>
+        udaf(new graft.functions.Sketches.BinaryUnionAgg(
+          graft.functions.Sketches.rbm32Union)).apply(col(c))
+      case "rbm64" =>
+        udaf(new graft.functions.Sketches.BinaryUnionAgg(
+          graft.functions.Sketches.rbm64Union)).apply(col(c))
       case other => throw new IllegalArgumentException(s"unknown aggregate-function: $other")
     }
 
