@@ -315,5 +315,32 @@ object Storage {
       t.read.select(col("event_type"),
         Sketches.thetaEstimateUdf(col("theta_users")).as("theta_users"),
         Sketches.rbm64CardinalityUdf(col("rbm_users")).as("rbm_users"))
+    },
+
+    // ---- plain-SQL surface through the DSv2 catalog: DDL + INSERT +
+    // filtered aggregate all via spark.sql against graft storage.
+    QDef(
+      "g18_sql_catalog",
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val wh = Files.createTempDirectory("graft-g18-wh").toString
+      s.conf.set("spark.sql.catalog.graft_gate", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_gate.warehouse", wh)
+      tbl(s, dir, "orders").createOrReplaceTempView("g18_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("""CREATE TABLE graft_gate.gate.orders_sql
+              |(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+              | o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)
+              |PARTITIONED BY (o_orderstatus)""".stripMargin)
+      s.sql("""INSERT INTO graft_gate.gate.orders_sql
+              |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+              |       o_orderdate, o_orderpriority FROM g18_src""".stripMargin)
+      s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+              |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+              |FROM graft_gate.gate.orders_sql
+              |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              |GROUP BY o_orderstatus""".stripMargin)
     })
 }
