@@ -68,6 +68,63 @@ object GraftStreaming {
     ids
   }
 
+  /** Startup modes for changelog consumption (reference: CoreOptions
+    * scan modes — latest-full / latest / from-snapshot /
+    * from-timestamp, paimon-api CoreOptions.java:3394-3480). Applied
+    * only when the checkpoint has no offset yet. */
+  sealed trait StartupMode
+  /** emit the current table content as one initial batch, then increments. */
+  case object LatestFull extends StartupMode
+  /** only snapshots committed after subscription. */
+  case object Latest extends StartupMode
+  /** every snapshot starting at `id` (inclusive). */
+  final case class FromSnapshot(id: Long) extends StartupMode
+  /** every snapshot committed at or after `epochMillis`. */
+  final case class FromTimestamp(epochMillis: Long) extends StartupMode
+
+  /** Initialize the offset per `mode` (first call only), then drain
+    * like [[processChangelog]]. LatestFull emits the full current
+    * content as a synthetic first batch with `_row_kind = +I`. */
+  def startChangelog(
+      table: GraftTable,
+      checkpointPath: String,
+      mode: StartupMode,
+      process: (DataFrame, Long) => Unit): Seq[Long] = {
+    if (readOffset(checkpointPath).isEmpty) {
+      val latest = table.sm.latestSnapshotId
+      mode match {
+        case Latest =>
+          latest.foreach(writeOffset(checkpointPath, _))
+        case LatestFull =>
+          latest.foreach { id =>
+            process(table.read.withColumn("_row_kind",
+              org.apache.spark.sql.functions.lit("+I")), id)
+            writeOffset(checkpointPath, id)
+          }
+        case FromSnapshot(id) =>
+          writeOffset(checkpointPath, id - 1)
+        case FromTimestamp(ts) =>
+          val before = table.sm.snapshotIds.map(table.sm.snapshot)
+            .filter(_.timeMillis < ts).map(_.id).sorted.lastOption
+          writeOffset(checkpointPath, before.getOrElse(-1L))
+      }
+    }
+    processChangelog(table, checkpointPath, process)
+  }
+
+  /** Stream-static lookup join: enrich a (micro-)batch against the
+    * CURRENT snapshot of a graft dimension table, re-resolved at every
+    * call — the Spark shape of the reference's refreshing lookup join
+    * (paimon-flink .../lookup/FileStoreLookupFunction.java:79). Call
+    * inside foreachBatch so each epoch sees the dim table's latest
+    * committed snapshot; the dim side is broadcast. */
+  def lookupJoin(
+      batch: DataFrame,
+      dim: GraftTable,
+      keys: Seq[String],
+      joinType: String = "left_outer"): DataFrame =
+    batch.join(org.apache.spark.sql.functions.broadcast(dim.read), keys, joinType)
+
   /** Bounded-stream variant (reference: scan.bounded.watermark /
     * BoundedChecker): stop once a snapshot's watermark passes the
     * bound. */

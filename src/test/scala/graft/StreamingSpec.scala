@@ -92,4 +92,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen == Vector(
       (0L, 1L, "+I"), (1L, 2L, "+I"), (2L, 1L, "-D")))
   }
+
+  test("startup modes: Latest skips history, LatestFull emits initial load, FromSnapshot replays") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp()
+    val t = GraftTable.create(spark, s"$dir/t", evSchema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
+    def df(rows: (Long, String, Long)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3)).asJava, evSchema)
+    t.write(df((1L, "a", 1L)))
+    t.write(df((2L, "b", 1L)))
+
+    var latestSeen = Vector.empty[Long]
+    GraftStreaming.startChangelog(t, s"$dir/ck-latest", GraftStreaming.Latest,
+      (d, id) => latestSeen :+= id)
+    assert(latestSeen.isEmpty) // history skipped
+    t.write(df((3L, "c", 1L)))
+    GraftStreaming.startChangelog(t, s"$dir/ck-latest", GraftStreaming.Latest,
+      (d, id) => latestSeen :+= id)
+    assert(latestSeen == Vector(2L)) // only the new snapshot
+
+    var fullRows = 0L
+    GraftStreaming.startChangelog(t, s"$dir/ck-full", GraftStreaming.LatestFull,
+      (d, id) => fullRows += d.count())
+    assert(fullRows == 3L) // initial full load
+
+    var replayed = Vector.empty[Long]
+    GraftStreaming.startChangelog(t, s"$dir/ck-from", GraftStreaming.FromSnapshot(1L),
+      (d, id) => replayed :+= id)
+    assert(replayed == Vector(1L, 2L))
+  }
+
+  test("stream-static lookup join re-resolves the dim snapshot per epoch") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp()
+    val dim = GraftTable.create(spark, s"$dir/dim", StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("name", StringType, nullable = true))),
+      primaryKeys = Seq("k"))
+    dim.write(spark.createDataFrame(Seq(Row(1L, "one")).asJava, dim.schema.toStruct))
+    val batch = spark.createDataFrame(
+      Seq(Row(1L, "x", 1L), Row(2L, "y", 1L)).asJava, evSchema)
+    val j1 = GraftStreaming.lookupJoin(batch, dim, Seq("k"))
+      .select("k", "name").collect().map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(j1 == Map(1L -> Some("one"), 2L -> None))
+    // dim refreshed between epochs → next batch sees the new row
+    dim.write(spark.createDataFrame(Seq(Row(2L, "two")).asJava, dim.schema.toStruct))
+    val j2 = GraftStreaming.lookupJoin(batch, dim, Seq("k"))
+      .select("k", "name").collect().map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(j2 == Map(1L -> Some("one"), 2L -> Some("two")))
+  }
 }
