@@ -27,12 +27,20 @@ object Sketches {
 
   // ---- singleton builders (ingestion side) ---------------------------
 
+  /** Per-thread reusable sketch for singleton building (allocating an
+    * UpdateSketch per row dominates ingestion cost otherwise). */
+  private object ThetaLocal extends Serializable {
+    @transient lazy val sketch: ThreadLocal[UpdateSketch] =
+      ThreadLocal.withInitial(() => UpdateSketch.builder().build())
+  }
+
   /** Singleton theta sketch of a long value. */
   val thetaSingletonUdf: Column => Column = {
     val f = udf { (v: java.lang.Long) =>
       if (v == null) null
       else {
-        val s = UpdateSketch.builder().build()
+        val s = ThetaLocal.sketch.get()
+        s.reset()
         s.update(v.longValue())
         s.compact().toByteArray
       }

@@ -108,6 +108,7 @@ object MergeEngine {
     * `combine = true` merges already-aggregated per-commit states. */
   private def aggregation(
       raw: DataFrame, schema: TableSchema, ord: Column, combine: Boolean): DataFrame = {
+    graft.functions.SketchAggregates.register(raw.sparkSession)
     val in = raw.filter(col(Meta.KindCol) =!= Meta.KindDelete)
     val pk = schema.primaryKeys
     val valueCols = schema.toStruct.fieldNames.filterNot(pk.contains)
@@ -153,17 +154,13 @@ object MergeEngine {
           s"cast(null as $typeSql), (a, m) -> if(a is null, m, map_concat(map_filter(a, (k, v) -> not array_contains(map_keys(m), k)), m)))")
       case "primary-key" => first(col(c))
       // sketch states: stored value IS the serialized sketch; base and
-      // combine are both unions (fully mergeable)
-      case "theta_sketch" =>
-        udaf(new graft.functions.Sketches.BinaryUnionAgg(
-          graft.functions.Sketches.thetaUnion)).apply(col(c))
+      // combine are both unions (fully mergeable). Native
+      // TypedImperativeAggregates (functions.SketchAggregates) keep
+      // the live sketch in the buffer — no per-row reserialization.
+      case "theta_sketch" => expr(s"graft_theta_union($c)")
       case "hll_sketch" => expr(s"hll_union_agg($c)")
-      case "rbm32" =>
-        udaf(new graft.functions.Sketches.BinaryUnionAgg(
-          graft.functions.Sketches.rbm32Union)).apply(col(c))
-      case "rbm64" =>
-        udaf(new graft.functions.Sketches.BinaryUnionAgg(
-          graft.functions.Sketches.rbm64Union)).apply(col(c))
+      case "rbm32" => expr(s"graft_rbm32_union($c)")
+      case "rbm64" => expr(s"graft_rbm64_union($c)")
       case other => throw new IllegalArgumentException(s"unknown aggregate-function: $other")
     }
 
