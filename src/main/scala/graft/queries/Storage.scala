@@ -342,5 +342,36 @@ object Storage {
               |FROM graft_gate.gate.orders_sql
               |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
               |GROUP BY o_orderstatus""".stripMargin)
+    },
+
+    // ---- full changelog derivation between snapshots: -U/+U pairs for
+    // changed keys, +I for inserts (the full-compaction changelog
+    // producer's output, computed lazily from two states).
+    QDef(
+      "g19_changelog_between",
+      """SELECT o_orderkey, '-U' AS _row_kind,
+        |  CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, '+U' AS _row_kind,
+        |  CAST(ROUND(o_totalprice * 2, 2) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 10000000 AS o_orderkey, '+I' AS _row_kind,
+        |  CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin) { (s, dir) =>
+      val (t, src0) = ordersTable(s, dir,
+        options = Map("sequence.field" -> "up_seq", "bucket" -> "2"),
+        primaryKeys = Seq("o_orderkey"),
+        extraCols = _.withColumn("up_seq", lit(1L)))
+      t.write(src0)
+      val updates = src0.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = src0.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      t.write(updates.unionAll(inserts).withColumn("up_seq", lit(2L)))
+      t.changelogBetween(0L, 1L)
+        .select(col("o_orderkey"), col("_row_kind"),
+          asDouble(col("o_totalprice")).as("price"))
     })
 }

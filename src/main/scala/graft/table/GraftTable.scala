@@ -603,6 +603,16 @@ final class GraftTable private (
       val victims = read.filter(cond)
         .withColumn(KindCol, lit(KindDelete).cast("byte"))
       writeKinded(victims)
+    } else if (metadataOnlyDeletableBy(cond)) {
+      // whole-partition drop: no data file is opened (reference:
+      // OptimizeMetadataOnlyDeleteFromPaimonTable.scala:52)
+      val snap = sm.latestSnapshot().getOrElse(
+        throw new IllegalStateException("empty table"))
+      val victims = partitionsMatching(sm.liveEntries(snap), cond)
+      if (victims.isEmpty) snap.id
+      else sm.commit(victims.map(_.copy(kind = "DELETE")), KindOverwrite, schema.id,
+        conflictCheck = latest => victims.map(_.file.fileName).toSet
+          .subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet))
     } else if (dvEnabled) {
       // mark positions instead of rewriting files (reference:
       // SparkDeletionVector write path)
@@ -640,6 +650,74 @@ final class GraftTable private (
         nextSeq(), commitIdentifier = -1L, _ => dvEntriesFor(touched, cond))
     } else rewriteFiles(cond,
       df => applyAssignments(df, assignments, coalesce(cond, lit(false))))
+  }
+
+  /** A DELETE whose predicate only touches partition columns can be
+    * answered by dropping manifest entries — every row of a file shares
+    * its partition values, so files match all-or-nothing. */
+  private def metadataOnlyDeletableBy(cond: Column): Boolean = {
+    val partCols = schema.partitionKeys.toSet
+    if (partCols.isEmpty) return false
+    val analyzed = emptyDf().filter(cond).queryExecution.analyzed
+    val refs = analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.references.map(_.name).toSet
+    }
+    refs.exists(r => r.nonEmpty && r.subsetOf(partCols))
+  }
+
+  /** Entries whose (constant) partition values satisfy `cond`,
+    * evaluated exactly via a local partition-values DataFrame that
+    * carries the raw directory strings through the filter. */
+  private def partitionsMatching(
+      entries: Seq[ManifestEntry], cond: Column): Seq[ManifestEntry] = {
+    val partFields = struct.fields.filter(f => schema.partitionKeys.contains(f.name))
+    val parts = entries.map(_.partition).distinct
+    if (parts.isEmpty) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val rows = parts.map(p => org.apache.spark.sql.Row.fromSeq(
+      partFields.map(f => p.getOrElse(f.name, null)).toSeq))
+    val rawSchema = StructType(partFields.map(f =>
+      StructField(s"__raw_${f.name}", StringType, nullable = true)))
+    val matching = spark.createDataFrame(rows.asJava, rawSchema)
+      .select(partFields.map(f => col(s"__raw_${f.name}")).toIndexedSeq ++
+        partFields.map(f => col(s"__raw_${f.name}").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+      .filter(cond)
+      .select(partFields.map(f => col(s"__raw_${f.name}")).toIndexedSeq: _*)
+      .collect()
+      .map(r => partFields.zipWithIndex.map { case (f, i) =>
+        f.name -> r.getString(i) }.toMap)
+      .toSet
+    entries.filter(e => matching.contains(
+      partFields.map(f => f.name -> e.partition.getOrElse(f.name, null)).toMap))
+  }
+
+  /** Full changelog between two snapshots: -U/+U pairs for changed
+    * keys, +I for new keys, -D for removed ones — derived lazily by
+    * joining the two merged states (the full-compaction changelog
+    * producer's output, computed on demand; reference:
+    * FullChangelogMergeTreeCompactRewriter). */
+  def changelogBetween(fromSnapshot: Long, toSnapshot: Long): DataFrame = {
+    require(isPrimaryKeyTable, "changelog requires a primary-key table")
+    val pk = schema.primaryKeys
+    val cols = struct.fieldNames
+    val before = readSnapshot(Some(fromSnapshot))
+      .select(cols.map(c => col(c).as(s"__b_$c")).toIndexedSeq: _*)
+    val after = readSnapshot(Some(toSnapshot))
+    val joined = after.join(before,
+      pk.map(k => col(k) === col(s"__b_$k")).reduce(_ && _), "full_outer")
+    val inAfter = col(pk.head).isNotNull
+    val inBefore = col(s"__b_${pk.head}").isNotNull
+    val changed = !(struct_ord(cols.map(col).toIndexedSeq: _*) <=>
+      struct_ord(cols.map(c => col(s"__b_$c")).toIndexedSeq: _*))
+    def afterSel(kind: String) =
+      (cols.map(col) :+ lit(kind).as("_row_kind")).toIndexedSeq
+    def beforeSel(kind: String) =
+      (cols.map(c => col(s"__b_$c").as(c)) :+ lit(kind).as("_row_kind")).toIndexedSeq
+    joined.filter(inAfter && !inBefore).select(afterSel("+I"): _*)
+      .unionAll(joined.filter(!inAfter && inBefore).select(beforeSel("-D"): _*))
+      .unionAll(joined.filter(inAfter && inBefore && changed).select(beforeSel("-U"): _*))
+      .unionAll(joined.filter(inAfter && inBefore && changed).select(afterSel("+U"): _*))
   }
 
   private def dvEnabled: Boolean =

@@ -225,6 +225,38 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.read.count() == 1)
   }
 
+  test("metadata-only delete drops whole partitions without opening files") {
+    val sch = StructType(Seq(
+      StructField("p", StringType, nullable = false),
+      StructField("k", LongType, nullable = false)))
+    def df(rows: (String, Long)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, sch)
+    val t = GraftTable.create(spark, tmp(), sch, partitionKeys = Seq("p"))
+    t.write(df(("a", 1L), ("b", 2L), ("c", 3L)))
+    val filesBefore = t.systemFiles.select("file_name").collect().map(_.getString(0)).toSet
+    t.delete(col("p") === "b")
+    assert(t.read.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "c"))
+    // surviving files are the SAME physical files (no rewrite happened)
+    val filesAfter = t.systemFiles.select("file_name").collect().map(_.getString(0)).toSet
+    assert(filesAfter.subsetOf(filesBefore))
+    // non-partition predicate still takes the rewrite path
+    t.delete(col("k") === 1L)
+    assert(t.read.collect().map(_.getString(0)).toSeq == Seq("c"))
+  }
+
+  test("changelogBetween derives -U/+U/+I/-D pairs from two snapshots") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
+    t.write(kvDf((1L, "a", 10L, 1L), (2L, "b", 20L, 1L), (4L, "d", 40L, 1L)))
+    t.write(kvDf((1L, "a2", 11L, 2L), (3L, "c", 30L, 1L)))  // update k=1, insert k=3
+    t.delete(col("k") === 4L)                                // delete k=4
+    val chg = t.changelogBetween(0L, 2L)
+      .select("k", "v", "_row_kind").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(chg == Set(
+      (1L, "a", "-U"), (1L, "a2", "+U"), (3L, "c", "+I"), (4L, "d", "-D")))
+  }
+
   test("snapshots and files system tables report metadata") {
     val t = GraftTable.create(spark, tmp(), kvSchema)
     t.write(kvDf((1L, "a", 10L, 0L)))
