@@ -74,6 +74,69 @@ object Similarity {
     }: _*)
   }
 
+  /** IVF-style ANN: k-means lists + nProbe probing.
+    *
+    * Centroids are trained with `iterations` Lloyd steps executed as
+    * DataFrame jobs (assignment = argmax-of-similarity expression;
+    * update = per-dimension mean via posexplode + groupBy), seeded
+    * deterministically from the first `nLists` corpus vectors. At
+    * query time only the posting lists of the `nProbe` nearest
+    * centroids are scanned — the classic way to avoid a full corpus
+    * scan per query set at 100 TB.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, dim: Int,
+      kNeighbors: Int = 5, nLists: Int = 16, nProbe: Int = 4,
+      iterations: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("nvec"))
+    // deterministic seed: lowest-id vectors
+    var centroids: Array[Array[Double]] = c.orderBy("neighbor_id")
+      .limit(nLists).collect().map(_.getSeq[Double](1).toArray)
+
+    def centroidLit(ct: Array[Double]): Column =
+      array(ct.map(lit).toIndexedSeq: _*)
+    def simArr(v: Column): Column =
+      array(centroids.map(ct => cosine(v, centroidLit(ct))).toIndexedSeq: _*)
+    // argmax via array_position (struct field names don't survive
+    // array type coercion)
+    def nearestList(v: Column): Column = {
+      val sims = simArr(v)
+      (array_position(sims, array_max(sims)) - 1).cast("int")
+    }
+
+    for (_ <- 0 until iterations) {
+      val means = c.select(nearestList(col("nvec")).as("list"),
+          posexplode(col("nvec")).as(Seq("d", "x")))
+        .groupBy("list", "d").agg(avg("x").as("m"))
+        .groupBy("list")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          e => e.getField("m")).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices
+        .map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+
+    val assigned = c.withColumn("list", nearestList(col("nvec")))
+    val qsims = simArr(col("qvec"))
+    val probeIdx = slice(array_distinct(transform(
+      reverse(array_sort(qsims)),
+      s => (array_position(qsims, s) - 1).cast("int"))), 1, nProbe)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qvec"))
+      .select(col("query_id"), col("qvec"), explode(probeIdx).as("list"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), "list")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qvec"), col("nvec")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNeighbors)
+  }
+
   /** Approximate top-k: probe only corpus rows that share an LSH bucket
     * with the query in at least one table, then rank candidates by
     * exact cosine. Corpus side shuffles by (table, bucket) — bounded

@@ -151,5 +151,28 @@ object Pipeline {
       Similarity.lshTopK(
         emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
         dim = 64, kNeighbors = 5)
+    },
+
+    // ---- IVF ANN: distributed Lloyd-trained lists + nProbe probing.
+    QDef.rowsOnly("s03_knn_ivf") { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+        dim = 64, kNeighbors = 5)
+    },
+
+    // ---- BPE-style regex pre-tokenization (letters / digits /
+    // punctuation runs), verified cross-engine.
+    QDef(
+      "p09_regex_tokens",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_pieces,
+        |  array_to_string(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')[1:5], ' ') AS first_pieces
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val pieces = expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          size(pieces).cast("long").as("n_pieces"),
+          array_join(slice(pieces, 1, 5), " ").as("first_pieces"))
     })
 }
