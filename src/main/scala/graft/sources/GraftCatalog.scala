@@ -210,7 +210,22 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new V1Scan {
+  override def build(): Scan = new V1Scan
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+    /** manifest-derived stats feed Spark's join planning (broadcast
+      * decisions) without touching data files. */
+    override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+      new org.apache.spark.sql.connector.read.Statistics {
+        private val entries = gt.sm.latestSnapshot()
+          .map(gt.sm.liveEntries).getOrElse(Seq.empty)
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.of(entries.map(_.file.fileSize).sum)
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.of(entries.map(e =>
+            e.file.rowCount - e.file.dvCardinality.getOrElse(0L)).sum)
+      }
+
     override def readSchema(): StructType = required
     override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
         with org.apache.spark.sql.sources.TableScan](context: SQLContext): T = {

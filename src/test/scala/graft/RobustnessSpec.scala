@@ -1,0 +1,106 @@
+package graft
+
+import graft.table.GraftTable
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** Robustness: concurrent commit CAS races and a randomized
+  * write/read-back oracle (the reference's TestKeyValueGenerator +
+  * TestFileStore pattern — random KeyValue streams checked against an
+  * in-memory map). */
+class RobustnessSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmp(): String = Files.createTempDirectory("graft-robust").toString + "/t"
+
+  private val sch = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("v", LongType, nullable = true),
+    StructField("seq", LongType, nullable = true)))
+
+  private def df(rows: Seq[(Long, Long, Long)]) =
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2, r._3)).asJava, sch)
+
+  test("concurrent appenders: CAS retries serialize commits, no data lost") {
+    val t = GraftTable.create(spark, tmp(), sch)
+    val writers = 6
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until writers).map { i =>
+      new Thread(() => {
+        try t.write(df(Seq((i.toLong, i.toLong, 0L))))
+        catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errors.isEmpty, s"concurrent writes failed: ${errors.asScala.toList}")
+    assert(t.systemSnapshots.count() == writers.toLong)
+    assert(t.read.count() == writers.toLong)
+    // snapshot ids are a gapless serialized sequence
+    assert(t.sm.snapshotIds == (0L until writers.toLong))
+  }
+
+  test("conflicting compactions: loser detects deleted inputs and aborts") {
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
+    t.write(df(Seq((1L, 1L, 1L))))
+    t.write(df(Seq((1L, 2L, 2L))))
+    t.compact()
+    // a second compaction planned against the SAME inputs must fail its
+    // conflict check (its inputs are no longer live) — simulate by
+    // rolling back the metadata clock: compact again is fine normally,
+    // so instead verify the guard directly
+    val live = t.sm.latestSnapshot().map(t.sm.liveEntries).get
+    val stale = live.map(_.copy(kind = "DELETE",
+      file = live.head.file.copy(fileName = "data/no-such-file.parquet")))
+    intercept[IllegalStateException] {
+      t.sm.commit(stale, graft.core.Meta.KindCompact, t.schema.id,
+        conflictCheck = latest => stale.map(_.file.fileName).toSet
+          .subsetOf(t.sm.liveEntries(latest).map(_.file.fileName).toSet))
+    }
+    // table unharmed
+    assert(t.read.head.getLong(1) == 2L)
+  }
+
+  test("randomized upsert/delete stream matches an in-memory oracle") {
+    val rnd = new scala.util.Random(42)
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "seq", "bucket" -> "4"))
+    val oracle = scala.collection.mutable.Map.empty[Long, (Long, Long)] // k -> (v, seq)
+    var seq = 0L
+    for (batch <- 1 to 8) {
+      val ups = (1 to 30).map { _ =>
+        seq += 1
+        (rnd.nextInt(40).toLong, rnd.nextLong(1000000), seq)
+      }
+      // apply upserts (sequence-field wins ties — here seqs are unique)
+      ups.foreach { case (k, v, s) =>
+        if (oracle.get(k).forall(_._2 < s)) oracle(k) = (v, s)
+      }
+      t.write(df(ups))
+      if (batch % 3 == 0) {
+        val doomed = oracle.keys.toSeq.sorted.take(5)
+        t.delete(col("k").isin(doomed: _*))
+        doomed.foreach(oracle.remove)
+      }
+      if (batch % 4 == 0) t.compact()
+      val got = t.read.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == oracle.toMap, s"divergence at batch $batch")
+    }
+    // survive expiration + one final compaction
+    t.expireSnapshots(retain = 2)
+    t.compact()
+    val fin = t.read.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fin == oracle.toMap)
+  }
+}
