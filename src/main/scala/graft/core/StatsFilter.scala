@@ -49,12 +49,37 @@ object StatsFilter {
       values.exists { v =>
         range(a.name, f).forall { case (mn, mx) =>
           cmp(v, a.dataType, mn) >= 0 && cmp(v, a.dataType, mx) <= 0 } }
+    // LIKE 'abc%' analyzes to StartsWith: a file may contain a string
+    // with prefix p iff stat_max >= p and the min's p-length prefix
+    // is <= p (reference: LikeOptimization → StartsWith leaf)
+    case StartsWith(a: AttributeReference, r) if r.foldable =>
+      prefixMightMatch(a.name, Option(r.eval()).map(_.toString), f)
+    // LIKE 'abc%' (pure-prefix pattern): equivalent to StartsWith.
+    // (The optimizer's LikeSimplification would rewrite it, but we
+    // evaluate analyzed expressions.)
+    case Like(a: AttributeReference, r, _) if r.foldable =>
+      Option(r.eval()).map(_.toString) match {
+        case Some(p) if p.nonEmpty && p.endsWith("%") &&
+            !p.dropRight(1).exists(c => c == '%' || c == '_' || c == '\\') =>
+          prefixMightMatch(a.name, Some(p.dropRight(1)), f)
+        case _ => true
+      }
     case IsNull(a: AttributeReference) =>
       f.stats.get(a.name).forall(_.nullCount > 0)
     case IsNotNull(a: AttributeReference) =>
       f.stats.get(a.name).forall(st => st.nullCount < f.rowCount || st.min.isDefined)
     case _ => true // unsupported shape: cannot skip
   }
+
+  /** p-prefixed strings all sort >= p and share p's first chars. */
+  private def prefixMightMatch(
+      col: String, prefix: Option[String], f: DataFileMeta): Boolean =
+    prefix match {
+      case None => true
+      case Some(p) => range(col, f).forall { case (mn, mx) =>
+        mx.compareTo(p) >= 0 && mn.take(p.length).compareTo(p) <= 0
+      }
+    }
 
   /** (min, max) stats of a column, if present and usable. */
   private def range(col: String, f: DataFileMeta): Option[(String, String)] =

@@ -83,5 +83,31 @@ object Media {
         .select(col("column"), col("count").as("cnt"),
           col("null_count").as("nulls"),
           col("min").as("min_v"), col("max").as("max_v"))
+    },
+
+    // ---- HLL sketch merge engine (approximate distinct — estimates
+    // are engine-specific, so rows-only; exactness companions are the
+    // theta/rbm variants in g17).
+    QDef.rowsOnly("x06_hll_merge_engine") { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val t = GraftTable.create(s,
+        java.nio.file.Files.createTempDirectory("graft-x06-").toString + "/table",
+        StructType(Seq(
+          StructField("event_type", StringType, nullable = false),
+          StructField("users", BinaryType, nullable = true))),
+        primaryKeys = Seq("event_type"),
+        options = Map(
+          "merge-engine" -> "aggregation",
+          "fields.users.aggregate-function" -> "hll_sketch"))
+      val sink = graft.streaming.GraftStreaming.sink(t)
+      // two epochs of partial sketches, merged by the engine
+      val src = tbl(s, dir, "events")
+      (0 until 2).foreach { e =>
+        sink(src.filter(col("user_id") % 2 === e)
+          .groupBy("event_type")
+          .agg(expr("hll_sketch_agg(user_id)").as("users")), e.toLong)
+      }
+      t.read.select(col("event_type"),
+        expr("hll_sketch_estimate(users)").as("approx_users"))
     })
 }

@@ -92,6 +92,22 @@ class PushdownSpec extends AnyFunSuite {
     assert(in.collect().map(_.getLong(0)).sorted.toSeq == Seq(41L, 42L))
   }
 
+  test("LIKE 'prefix%' prunes files via string min/max stats") {
+    val s2 = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("k", LongType, nullable = false)))
+    def df2(rows: (String, Long)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, s2).coalesce(1)
+    val t = GraftTable.create(spark, tmp(), s2)
+    t.write(df2(("apple", 1L), ("avocado", 2L)))
+    t.write(df2(("mango", 3L), ("melon", 4L)))
+    t.write(df2(("zebra", 5L)))
+    val hit = t.scan(col("name").like("m%"))
+    assert(hit.inputFiles.length == 1)
+    assert(hit.collect().map(_.getLong(1)).sorted.toSeq == Seq(3L, 4L))
+    assert(t.scan(col("name").like("q%")).inputFiles.isEmpty)
+  }
+
   test("lookup reads only the key's bucket") {
     val t = GraftTable.create(spark, tmp(), sch,
       primaryKeys = Seq("k"), options = Map("bucket" -> "8"))
