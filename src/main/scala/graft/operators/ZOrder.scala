@@ -19,39 +19,61 @@ import org.apache.spark.sql.types._
 object ZOrder {
 
   private val Bits = 16 // bits kept per dimension (up to 4 dims in a long)
+  private val MaxRank = (1 << Bits) - 1
 
-  /** Map a column to an unsigned Bits-bit value preserving order.
-    * Numeric types: scale into [0, 2^16) by flipping the sign bit of a
-    * normalized long (order-preserving for negatives); strings: first
-    * two bytes. Nulls sort first (rank 0). */
-  private def rank(c: Column, dt: DataType): Column = dt match {
-    case ByteType | ShortType | IntegerType | LongType | DateType =>
-      // flip sign bit → unsigned order, then keep top 16 of 64 bits
-      val unsigned = c.cast("long").bitwiseXOR(lit(Long.MinValue))
-      shiftrightunsigned(unsigned, 64 - Bits)
-    case FloatType | DoubleType =>
-      // monotone coarsening: clamp to a safe range, truncate to long
-      // (ANSI-safe), then unsigned-order via sign-bit flip
-      val clamped = least(greatest(c.cast("double"), lit(-9e15)), lit(9e15))
-      val unsigned = clamped.cast("long").bitwiseXOR(lit(Long.MinValue))
-      shiftrightunsigned(unsigned, 64 - Bits)
-    case TimestampType | TimestampNTZType =>
-      val unsigned = c.cast("long").bitwiseXOR(lit(Long.MinValue))
-      shiftrightunsigned(unsigned, 64 - Bits)
-    case StringType =>
-      // first two bytes, big-endian
-      val b = substring(c, 1, 2)
-      val b1 = coalesce(ascii(substring(b, 1, 1)), lit(0))
-      val b2 = coalesce(ascii(substring(b, 2, 1)), lit(0))
-      (b1 * 256 + b2).cast("long")
-    case BooleanType => c.cast("long") * lit((1 << Bits) - 1)
-    case _ => lit(0L)
+  private def isRangeScalable(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | FloatType | DoubleType => true
+    case _ => false
   }
 
-  /** Interleave the bits of up to 4 rank values into one z-value. */
+  /** Map a column to an order-preserving Bits-bit rank. Numeric/
+    * temporal columns scale their ACTUAL [min,max] range onto the full
+    * rank space (a static bit-truncation would collapse small-domain
+    * keys onto one rank and cluster nothing); strings use a two-byte
+    * prefix. Nulls rank 0. */
+  private def rank(c: Column, dt: DataType, bounds: Option[(Double, Double)]): Column =
+    dt match {
+      case _ if isRangeScalable(dt) =>
+        val (mn, mx) = bounds.getOrElse((0.0, 0.0))
+        if (mx <= mn) lit(0L)
+        else {
+          val scaled = (c.cast("double") - lit(mn)) * lit(MaxRank.toDouble / (mx - mn))
+          coalesce(
+            least(greatest(scaled, lit(0.0)), lit(MaxRank.toDouble)).cast("long"),
+            lit(0L))
+        }
+      case StringType =>
+        // first two bytes, big-endian
+        val b1 = coalesce(ascii(substring(c, 1, 1)), lit(0))
+        val b2 = coalesce(ascii(substring(c, 2, 1)), lit(0))
+        (b1 * 256 + b2).cast("long")
+      case BooleanType => coalesce(c.cast("long") * MaxRank, lit(0L))
+      case _ => lit(0L)
+    }
+
+  /** Interleave the bits of up to 4 rank values into one z-value.
+    * Triggers one min/max aggregation over `df` to learn the value
+    * ranges (this runs inside a compaction job; one extra stats pass
+    * over data about to be rewritten is the standard price of
+    * range-aware z-ordering). */
   def zvalue(df: DataFrame, cols: Seq[String]): Column = {
     require(cols.nonEmpty && cols.size <= 4, "z-order supports 1..4 columns")
-    val ranks = cols.map(c => rank(col(c), df.schema(c).dataType))
+    val scalable = cols.filter(c => isRangeScalable(df.schema(c).dataType))
+    val boundsRow =
+      if (scalable.isEmpty) None
+      else Some(df.agg(lit(0).as("__z0"), scalable.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"mn_$c"),
+        max(col(c).cast("double")).as(s"mx_$c"))): _*).head())
+    val bounds: Map[String, (Double, Double)] = scalable.flatMap { c =>
+      boundsRow.flatMap { r =>
+        val mn = r.getAs[Any](s"mn_$c")
+        val mx = r.getAs[Any](s"mx_$c")
+        if (mn == null || mx == null) None
+        else Some(c -> (mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
+      }
+    }.toMap
+    val ranks = cols.map(c => rank(col(c), df.schema(c).dataType, bounds.get(c)))
     val n = ranks.size
     val parts = for {
       bit <- 0 until Bits

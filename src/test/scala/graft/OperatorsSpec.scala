@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis => TA, ZOrder}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Direct operator-level properties (tier-1 unit tests; the gate
+  * queries cover the same operators end-to-end over testdata). */
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def one(c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(1).toDF("x").select(c.as("r")).head.get(0)
+  }
+
+  test("tokenization, shingles, n-grams edge cases") {
+    assert(one(TA.tokenCount(lit("hello world  foo"))) == 3L)
+    assert(one(TA.tokenCount(lit("  single "))) == 1L)
+    assert(one(TA.shingles(lit("a b c d"), 3)) ==
+      Seq("a b c", "b c d"))
+    assert(one(TA.shingles(lit("a b"), 3)) == Seq("a b")) // shorter than w
+    assert(one(Dedup.charNgrams(lit("abcd"), 3)) == Seq("abc", "bcd"))
+    assert(one(Dedup.charNgrams(lit("ab"), 3)) == Seq("ab"))
+  }
+
+  test("jaccard is 1 on identical sets, 0 on disjoint, symmetric bounds") {
+    val a = array(lit("x"), lit("y"))
+    val b = array(lit("y"), lit("x"))
+    val c = array(lit("z"))
+    assert(one(Dedup.jaccard(a, b)) == 1.0)
+    assert(one(Dedup.jaccard(a, c)) == 0.0)
+  }
+
+  test("simhash: similar texts are close in hamming, different are far") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (3L, "completely unrelated words about database storage engines and parquet files"))
+      .toDF("id", "text")
+    val sh = Dedup.simhashTable(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(2L)) < hamming(sh(1L), sh(3L)))
+    assert(hamming(sh(1L), sh(2L)) <= 12)
+  }
+
+  test("minhash signatures: near-identical docs agree on most components") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (3L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("id", "text")
+    val sig = Dedup.minhashSignatureTable(df, "id", "text", k = 32).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def agree(a: Seq[Long], b: Seq[Long]) = a.zip(b).count(p => p._1 == p._2)
+    assert(agree(sig(1L), sig(2L)) > agree(sig(1L), sig(3L)))
+    assert(agree(sig(1L), sig(3L)) <= 4)
+  }
+
+  test("langId recognizes stopword profiles and CJK") {
+    assert(one(TA.langId(lit("the cat and the dog of the house"))) == "en")
+    assert(one(TA.langId(lit("der Hund und die Katze ist nicht da"))) == "de")
+    assert(one(TA.langId(lit("el perro y el gato es una casa"))) == "es")
+    assert(one(TA.langId(lit("le chien et le chat dans la maison"))) == "fr")
+    assert(one(TA.langId(lit("数据库 存储 引擎"))) == "zh")
+    assert(one(TA.langId(lit("xyzzy plugh"))) == "und")
+  }
+
+  test("qualityScore ranks clean prose above digit/punct soup") {
+    val clean = one(TA.qualityScore(lit(
+      "a readable sentence with plain words and reasonable length overall"))).asInstanceOf[Double]
+    val soup = one(TA.qualityScore(lit("00 11 !! ?? 22 ## 33 $$ 44"))).asInstanceOf[Double]
+    assert(clean > soup)
+    assert(clean <= 1.0 && soup >= 0.0)
+  }
+
+  test("z-values preserve per-dimension dominance") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 1L)).toDF("x", "y")
+    val z = df.select(ZOrder.zvalue(df, Seq("x", "y")).as("z"))
+      .collect().map(_.getLong(0))
+    // (0,0) interleaves strictly below (1,1)
+    assert(z(0) < z(1))
+  }
+
+  test("frame sampler yields ceil(len/frame) / everyN frames with correct tail") {
+    import spark.implicits._
+    val assets = Seq((1L, "png", 8, 8, ("x" * 50).getBytes("UTF-8")))
+      .toDF("asset_id", "format", "width", "height", "payload")
+    val frames = Multimodal.sampleFrames(assets, frameBytes = 16, everyN = 2)
+      .orderBy("frame_no").collect()
+    // frames 0..3 exist (ceil(50/16)=4), sampled: 0 and 2
+    assert(frames.map(_.getLong(1)).toSeq == Seq(0L, 2L))
+    assert(frames.map(_.getLong(3)).toSeq == Seq(16L, 16L))
+  }
+
+  test("brute-force kNN is deterministic and self-excluding") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === 0),
+      "vec_id", "embedding", kNeighbors = 2).collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L)) // nearest first, no self
+  }
+}
