@@ -53,6 +53,14 @@ object DeletionVectors {
     serialize(bm)
   }
 
+  /** Positions in `a` but not in `b` (the rows a grown deletion vector
+    * newly deleted). */
+  def diff(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val bm = deserialize(a)
+    bm.andNot(deserialize(b))
+    serialize(bm)
+  }
+
   def cardinality(bytes: Array[Byte]): Long =
     deserialize(bytes).getLongCardinality
 }

@@ -13,7 +13,7 @@ import scala.jdk.CollectionConverters._
   * The local implementation uses CREATE_NEW; an object-store
   * implementation would use conditional PUT, an HDFS one rename().
   */
-trait FileIO {
+trait FileIO extends Serializable {
   def readString(path: String): String
   def writeString(path: String, content: String): Unit
   def readBytes(path: String): Array[Byte]

@@ -75,7 +75,11 @@ object Meta {
       dvFile: Option[String] = None,
       // contentAs: Jackson erasure would otherwise box Option[Long] as Integer
       @JsonDeserialize(contentAs = classOf[java.lang.Long])
-      dvCardinality: Option[Long] = None)
+      dvCardinality: Option[Long] = None,
+      /** schema version the file was written under — old files are read
+        * through the current schema by field-id mapping (reference:
+        * SchemaEvolutionUtil / SimpleStatsEvolutions). */
+      schemaId: Long = 0L)
 
   /** Manifest entry: ADD or DELETE of one data file in one
     * (partition, bucket). Partition values are stringified. */

@@ -43,7 +43,8 @@ final class SnapshotManager(
   private def referencedElsewhere(): (Set[String], Set[String]) = {
     val sms = siblingManagers
     val manifests = sms.flatMap(s => s.snapshotIds.map(s.snapshot).flatMap(sn =>
-      s.readManifestList(sn.manifestList) :+ sn.manifestList)).toSet
+      (s.readManifestList(sn.manifestList) :+ sn.manifestList) ++
+        sn.deltaManifest)).toSet
     val files = sms.flatMap(s => s.snapshotIds.map(s.snapshot).flatMap(sn =>
       s.readManifestList(sn.manifestList).flatMap(s.readManifest)))
       .map(_.file.fileName).toSet
@@ -121,14 +122,25 @@ final class SnapshotManager(
     * the snapshot's manifests IN ORDER: a later ADD of a fileName
     * resurrects/replaces it (deletion-vector commits delete + re-add
     * the same file with new sidecar metadata). */
-  def liveEntries(s: Snapshot): Seq[ManifestEntry] = {
+  def liveEntries(s: Snapshot): Seq[ManifestEntry] =
+    foldEntries(readManifestList(s.manifestList))
+
+  private def foldEntries(manifests: Seq[String]): Seq[ManifestEntry] = {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, ManifestEntry]
-    readManifestList(s.manifestList).flatMap(readManifest).foreach { e =>
+    manifests.flatMap(readManifest).foreach { e =>
       if (e.kind == "ADD") live(e.file.fileName) = e
       else live.remove(e.file.fileName)
     }
     live.values.toSeq
   }
+
+  /** Manifest-list size that triggers a merge at commit time
+    * (reference: CoreOptions manifest.merge-min-count +
+    * ManifestFileMerger.merge — without this, planning metadata grows
+    * O(all commits ever) and expiration can never reclaim it). */
+  private def manifestMergeMinCount: Int =
+    latestSchema().flatMap(_.options.get("manifest.merge-min-count"))
+      .map(_.toInt).getOrElse(30)
 
   // ---- commit ---------------------------------------------------------
 
@@ -173,7 +185,17 @@ final class SnapshotManager(
       val nextId = latest.map(_.id + 1).getOrElse(0L)
       val baseManifests = latest.map(s => readManifestList(s.manifestList))
         .getOrElse(Seq.empty)
-      val listName = writeManifestList(baseManifests :+ manifestName)
+      // Manifest compaction: past the threshold (always on COMPACT,
+      // which rewrites everything anyway) fold the whole list into one
+      // rebased manifest of the live entries, so planning reads O(1)
+      // manifests and expiration can reclaim the old ones. The delta
+      // manifest is referenced from the snapshot either way.
+      val fullList = baseManifests :+ manifestName
+      val manifests =
+        if (fullList.size < manifestMergeMinCount && commitKind != "COMPACT")
+          fullList
+        else Seq(writeManifest(foldEntries(fullList)))
+      val listName = writeManifestList(manifests)
       val snap = Snapshot(
         id = nextId,
         schemaId = schemaId,
@@ -207,19 +229,23 @@ final class SnapshotManager(
     val liveFiles = keptSnaps.flatMap(s => liveEntries(s).map(_.file.fileName)).toSet ++
       elseFiles
     val liveManifests = keptSnaps.flatMap(s =>
-      readManifestList(s.manifestList) :+ s.manifestList).toSet ++ elseManifests
-    // files referenced only by dropped snapshots are orphaned
-    drop.foreach { id =>
-      val s = snapshot(id)
-      readManifestList(s.manifestList).flatMap(readManifest).foreach { e =>
-        if (!liveFiles.contains(e.file.fileName))
-          io.delete(s"$tablePath/${e.file.fileName}")
-      }
-      (readManifestList(s.manifestList) :+ s.manifestList).foreach { m =>
-        if (!liveManifests.contains(m)) io.delete(s"$manifestDir/$m")
-      }
-      io.delete(snapshotPath(id))
-    }
+      (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest)
+      .toSet ++ elseManifests
+    // plan all deletions BEFORE removing anything: dropped snapshots
+    // share manifests, so deleting while iterating would break the
+    // later reads (manifest merging makes sharing the common case)
+    val dropped = drop.map(snapshot)
+    val dropManifests = dropped.flatMap(s =>
+      (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest)
+      .distinct
+    val dropFiles = dropped.flatMap(s =>
+      readManifestList(s.manifestList).flatMap(readManifest))
+      .map(_.file.fileName).distinct
+    dropFiles.filterNot(liveFiles.contains)
+      .foreach(f => io.delete(s"$tablePath/$f"))
+    dropManifests.filterNot(liveManifests.contains)
+      .foreach(m => io.delete(s"$manifestDir/$m"))
+    drop.foreach(id => io.delete(snapshotPath(id)))
     drop
   }
 
@@ -233,7 +259,8 @@ final class SnapshotManager(
     val kept = keepIds.map(snapshot)
     val (elseFiles, elseManifests) = referencedElsewhere()
     val keptManifests = kept.flatMap(s =>
-      readManifestList(s.manifestList) :+ s.manifestList).toSet ++ elseManifests
+      (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest)
+      .toSet ++ elseManifests
     val keptFiles = kept.flatMap(s =>
       readManifestList(s.manifestList).flatMap(readManifest)).map(_.file.fileName).toSet ++
       elseFiles
@@ -241,7 +268,8 @@ final class SnapshotManager(
     // share manifests, so deleting while iterating would break reads
     val dropped = dropIds.map(snapshot)
     val dropManifests = dropped.flatMap(s =>
-      readManifestList(s.manifestList) :+ s.manifestList).distinct
+      (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest)
+      .distinct
     val dropFiles = dropped.flatMap(s =>
       readManifestList(s.manifestList).flatMap(readManifest))
       .map(_.file.fileName).distinct

@@ -149,21 +149,44 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.
-    * Candidates share at least one of 4 16-bit chunks (pigeonhole: any
-    * pair within Hamming 3 of a 64-bit hash agrees on >=1 chunk).
+    *
+    * Blocking with a recall GUARANTEE: the 64-bit hash is cut into
+    * `maxHamming + 1` chunks — a pair differing in at most maxHamming
+    * bits cannot differ in every chunk (pigeonhole), so it always
+    * shares at least one (chunk, value) bucket. Chunk count is derived
+    * from maxHamming rather than fixed, because 4 fixed chunks only
+    * guarantee recall up to Hamming 3. Note the trade-off: large
+    * maxHamming means narrow chunks → hot buckets; the `maxBucketSize`
+    * skew guard then bounds the join but sacrifices recall inside the
+    * dropped buckets (logged nowhere — prefer maxHamming <= 7 at
+    * scale).
     */
   def simhashDedupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
+      maxBucketSize: Int = 1000): DataFrame =
+    simhashPairs(simhashTable(df, idCol, textCol), maxHamming, maxBucketSize)
+
+  /** Near-dup pairs from a precomputed (id, sh) SimHash table — the
+    * blocking+verify half of [[simhashDedupPairs]], separated so the
+    * pigeonhole recall guarantee is testable on planted hash values. */
+  def simhashPairs(
+      sh: DataFrame,
+      maxHamming: Int = 3,
       maxBucketSize: Int = 1000): DataFrame = {
-    val sh = simhashTable(df, idCol, textCol)
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 63]")
+    val nChunks = math.min(maxHamming + 1, 64)
+    val chunkDefs = (0 until nChunks).map { c =>
+      val start = c * 64 / nChunks
+      val width = (c + 1) * 64 / nChunks - start
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      struct(lit(c).as("chunk"),
+        shiftright(col("sh"), start).bitwiseAND(mask).as("cv"))
+    }
     val chunked = sh.select(col("id"), col("sh"),
-      explode(array((0 until 4).map { c =>
-        struct(lit(c).as("chunk"),
-          shiftright(col("sh"), c * 16).bitwiseAND(0xffffL).as("cv"))
-      }: _*)).as("cc"))
+      explode(array(chunkDefs: _*)).as("cc"))
       .select(col("id"), col("sh"), col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
     val a = chunked.select(col("chunk"), col("cv"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("cv"), col("id").as("id_b"), col("sh").as("sh_b"))

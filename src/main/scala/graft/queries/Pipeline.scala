@@ -67,10 +67,13 @@ object Pipeline {
         threshold = 0.7)
     },
 
-    // ---- SimHash near-dup pairs.
+    // ---- SimHash near-dup pairs. maxHamming=7 → 8 chunks of 8 bits:
+    // the pigeonhole recall guarantee holds (a pair within Hamming 7
+    // always shares a chunk) with buckets still wide enough to stay
+    // under the skew guard.
     QDef.rowsOnly("p06_simhash_dedup") { (s, dir) =>
       Dedup.simhashDedupPairs(tbl(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 16)
+        maxHamming = 7)
     },
 
     // ---- exact word-set Jaccard pairs within a blocking key (SQL-

@@ -373,5 +373,32 @@ object Storage {
       t.changelogBetween(0L, 1L)
         .select(col("o_orderkey"), col("_row_kind"),
           asDouble(col("o_totalprice")).as("price"))
+    },
+
+    // ---- schema evolution: write under schema v0, widen + rename,
+    // write again under the evolved schema; the merged read maps the
+    // old files through field ids (rename follows, ints cast up).
+    QDef(
+      "g20_schema_evolution",
+      """SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+        |  o_orderpriority AS priority
+        |FROM orders""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val src = tbl(s, dir, "orders")
+      val t = GraftTable.create(s, scratch("g20"),
+        StructType(Seq(
+          StructField("o_orderkey", LongType, nullable = false),
+          StructField("o_custkey", IntegerType, nullable = true),
+          StructField("o_orderpriority", StringType, nullable = true))))
+      t.write(src.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_custkey").cast("int"),
+          col("o_orderpriority")))
+      t.widenColumn("o_custkey", LongType)
+      t.renameColumn("o_orderpriority", "priority")
+      val t2 = GraftTable.load(s, t.path)
+      t2.write(src.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority").as("priority")))
+      t2.read.select(col("o_orderkey"), col("o_custkey"), col("priority"))
     })
 }

@@ -22,17 +22,45 @@ import scala.jdk.CollectionConverters._
   * TableWrite/prepareCommit/TableCommit
   * (paimon-spark .../commands/PaimonSparkWriter.scala:108).
   */
-/** Row-liveness predicate against broadcast serialized bitmaps;
-  * deserialized once per executor (transient lazy). Top-level so the
-  * closure captures only the broadcast handle. */
+/** Row-liveness predicate against per-file deletion-vector sidecars.
+  * Only (basename → sidecar path) strings are shipped in the closure;
+  * each executor lazily reads and caches just the bitmaps of the files
+  * its own tasks actually scan — no bitmap bytes pass through the
+  * driver (reference shape: DataSplit.deletionFiles +
+  * ApplyDeletionVectorReader applied inside the split reader). */
 private[table] class DvRowFilter(
-    bc: org.apache.spark.broadcast.Broadcast[Map[String, Array[Byte]]])
+    io: FileIO, tablePath: String, dvPaths: Map[String, String])
     extends ((String, Long) => Boolean) with Serializable {
-  @transient private lazy val bitmaps =
-    bc.value.map { case (k, v) => k -> DeletionVectors.deserialize(v) }
+  @transient private lazy val cache =
+    scala.collection.concurrent.TrieMap.empty[String, org.roaringbitmap.RoaringBitmap]
   def apply(file: String, idx: Long): Boolean = {
     val name = file.substring(file.lastIndexOf('/') + 1)
-    bitmaps.get(name).forall(bm => !bm.contains(idx.toInt))
+    dvPaths.get(name).forall { rel =>
+      val bm = cache.getOrElseUpdate(name,
+        DeletionVectors.deserialize(io.readBytes(s"$tablePath/$rel")))
+      !bm.contains(idx.toInt)
+    }
+  }
+}
+
+/** Selects exactly the rows a deletion-vector commit newly deleted:
+  * position ∈ new DV and ∉ old DV (old absent → ∉ nothing). Drives the
+  * -D side of incremental/changelog reads. Same executor-side lazy
+  * sidecar loading as [[DvRowFilter]]. */
+private[table] class DvDiffFilter(
+    io: FileIO, tablePath: String,
+    spec: Map[String, (Option[String], String)])
+    extends ((String, Long) => Boolean) with Serializable {
+  @transient private lazy val cache =
+    scala.collection.concurrent.TrieMap.empty[String, (Option[org.roaringbitmap.RoaringBitmap], org.roaringbitmap.RoaringBitmap)]
+  def apply(file: String, idx: Long): Boolean = {
+    val name = file.substring(file.lastIndexOf('/') + 1)
+    spec.get(name).exists { case (oldRel, newRel) =>
+      val (o, n) = cache.getOrElseUpdate(name, (
+        oldRel.map(r => DeletionVectors.deserialize(io.readBytes(s"$tablePath/$r"))),
+        DeletionVectors.deserialize(io.readBytes(s"$tablePath/$newRel"))))
+      n.contains(idx.toInt) && !o.exists(_.contains(idx.toInt))
+    }
   }
 }
 
@@ -69,10 +97,17 @@ final class GraftTable private (
 
   /** INSERT OVERWRITE: dynamic partition overwrite when the table is
     * partitioned (only partitions present in `df` are replaced),
-    * full-table overwrite otherwise. One OVERWRITE snapshot.
+    * full-table overwrite otherwise. One OVERWRITE snapshot. PK tables
+    * route through the kinded write path so the replacement files carry
+    * seq/kind/bucket metadata and stay readable.
     * (reference: PaimonDynamicPartitionOverwriteCommand) */
   def overwrite(df: DataFrame, commitIdentifier: Long = -1L): Long =
-    appendCommit(df, overwrite = true, commitIdentifier)
+    if (isPrimaryKeyTable) {
+      val withKind =
+        if (df.columns.contains(KindCol)) df
+        else df.withColumn(KindCol, lit(KindInsert).cast("byte"))
+      writeKinded(withKind, commitIdentifier, overwrite = true)
+    } else appendCommit(df, overwrite = true, commitIdentifier)
 
   private def upsert(df: DataFrame, commitIdentifier: Long): Long = {
     val withKind =
@@ -81,13 +116,15 @@ final class GraftTable private (
     writeKinded(withKind, commitIdentifier)
   }
 
-  /** Internal PK write accepting explicit row kinds (used by DML). */
-  private[graft] def writeKinded(df: DataFrame, commitIdentifier: Long = -1L): Long = {
+  /** Internal PK write accepting explicit row kinds (used by DML).
+    * `overwrite = true` replaces the written partitions (all live files
+    * for unpartitioned tables) in the same snapshot. */
+  private[graft] def writeKinded(
+      df: DataFrame, commitIdentifier: Long = -1L,
+      overwrite: Boolean = false): Long = {
     require(isPrimaryKeyTable, "kinded writes require a primary-key table")
     val sch = schema
     val pk = sch.primaryKeys
-    // pre-merge duplicate keys within the batch (the reference's write
-    // buffer does this in memory before flushing level-0 files)
     // pre-merge duplicate keys within the batch with the table's merge
     // engine — the reference's in-memory write-buffer merge. Arrival
     // order must be materialized as a column (non-deterministic
@@ -103,8 +140,19 @@ final class GraftTable private (
       .withColumn("__bucket",
         pmod(xxhash64(pk.map(col).toIndexedSeq: _*), lit(sch.numBuckets)).cast("int"))
       .repartition(sch.numBuckets, col("__bucket"))
-    commitFiles(out, sch, sch.partitionKeys :+ "__bucket", KindAppend,
-      base, commitIdentifier, deletes = Seq.empty)
+    val deletesFor: Seq[ManifestEntry] => Seq[ManifestEntry] = added => {
+      if (!overwrite) Seq.empty
+      else {
+        val live = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+        val newParts = added.map(_.partition).toSet
+        val victims =
+          if (sch.partitionKeys.isEmpty) live
+          else live.filter(e => newParts.contains(e.partition))
+        victims.map(_.copy(kind = "DELETE"))
+      }
+    }
+    commitFilesFn(out, sch, sch.partitionKeys :+ "__bucket",
+      if (overwrite) KindOverwrite else KindAppend, base, commitIdentifier, deletesFor)
   }
 
   private def struct_ord(cols: Column*): Column =
@@ -133,15 +181,18 @@ final class GraftTable private (
   private def commitFiles(
       out: DataFrame, sch: TableSchema, partitionBy: Seq[String],
       kind: String, seqBase: Long, commitIdentifier: Long,
-      deletes: Seq[ManifestEntry]): Long =
-    commitFilesFn(out, sch, partitionBy, kind, seqBase, commitIdentifier, _ => deletes)
+      deletes: Seq[ManifestEntry], level: Int = 0): Long =
+    commitFilesFn(out, sch, partitionBy, kind, seqBase, commitIdentifier,
+      _ => deletes, level)
 
   /** Shared two-phase write: stage parquet → move into table dir →
-    * commit ADDs (+ computed DELETEs). */
+    * commit ADDs (+ computed DELETEs). `level` > 0 marks fully-merged
+    * compaction output (enables the manifests-only COUNT fast path). */
   private def commitFilesFn(
       out: DataFrame, sch: TableSchema, partitionBy: Seq[String],
       kind: String, seqBase: Long, commitIdentifier: Long,
-      deletesFor: Seq[ManifestEntry] => Seq[ManifestEntry]): Long = {
+      deletesFor: Seq[ManifestEntry] => Seq[ManifestEntry],
+      level: Int = 0): Long = {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val staging = s"$path/staging/${UUID.randomUUID()}"
     val writer = out.write.mode("overwrite")
@@ -163,7 +214,8 @@ final class GraftTable private (
       val targetAbs = s"${sm.dataDir}/$targetRel"
       sm.io.rename(p.toString, targetAbs)
       val meta = ParquetStats.read(hadoopConf, targetAbs,
-        s"data/$targetRel", level = 0, minSeq = seqBase, maxSeq = seqBase)
+        s"data/$targetRel", level = level, minSeq = seqBase, maxSeq = seqBase)
+        .copy(schemaId = sch.id)
       ManifestEntry("ADD", partition, bucket, meta)
     }
     deleteRecursive(stagingPath)
@@ -192,27 +244,36 @@ final class GraftTable private (
     val bloomUdaf = udaf(new BloomIndex.BloomAgg(items))
     val paths = added.map(e => s"$path/${e.file.fileName}")
     val aggs = bloomCols.map(c => bloomUdaf(col(c).cast("string")).as(c))
-    val rows = spark.read.parquet(paths: _*)
+    // Sidecars are written by the executors that hold the aggregated
+    // filters; only (file, column, sidecar-path) strings return to the
+    // driver — filter bytes never do (a 10k-file backfill would
+    // otherwise ship GBs through the driver).
+    val io = sm.io
+    val tableRoot = path
+    val cols = bloomCols
+    import spark.implicits._
+    val written: Array[(String, String, String)] = spark.read.parquet(paths: _*)
       .select(col("_metadata.file_path").as("__f") +:
         bloomCols.map(col).toIndexedSeq: _*)
       .groupBy("__f")
       .agg(aggs.head, aggs.tail: _*)
+      .flatMap { r =>
+        val f = r.getString(0)
+        cols.zipWithIndex.map { case (c, i) =>
+          val rel = s"index/${java.util.UUID.randomUUID()}.$c.bloom"
+          io.writeBytes(s"$tableRoot/$rel", r.getAs[Array[Byte]](i + 1))
+          (f, c, rel)
+        }
+      }
       .collect()
-    val byName: Map[String, Map[String, Array[Byte]]] = rows.map { r =>
-      val f = r.getString(0)
-      f -> bloomCols.zipWithIndex.map { case (c, i) =>
-        c -> r.getAs[Array[Byte]](i + 1)
-      }.toMap
-    }.toMap
+    val byName: Map[String, Map[String, String]] =
+      written.groupBy(_._1).map { case (f, ws) =>
+        f -> ws.map(w => w._2 -> w._3).toMap
+      }
     added.map { e =>
       byName.find { case (f, _) => f.endsWith(e.file.fileName) } match {
         case None => e
-        case Some((_, blooms)) =>
-          val sidecars = blooms.map { case (c, bytes) =>
-            val rel = s"index/${java.util.UUID.randomUUID()}.$c.bloom"
-            sm.io.writeBytes(s"$path/$rel", bytes)
-            c -> rel
-          }
+        case Some((_, sidecars)) =>
           e.copy(file = e.file.copy(indexFiles = Some(sidecars)))
       }
     }
@@ -276,7 +337,8 @@ final class GraftTable private (
     if (isPrimaryKeyTable) return None
     val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(return None)
     if (entries.isEmpty) return None
-    val stats = entries.flatMap(_.file.stats.get(column))
+    val sch = schema
+    val stats = entries.flatMap(fileMetaInCurrentNames(_, sch).stats.get(column))
     if (stats.size != entries.size || stats.exists(_.min.isEmpty)) return None
     val field = struct.fields.find(_.name == column).getOrElse(return None)
     def cmp(a: String, b: String): Int = field.dataType match {
@@ -314,7 +376,9 @@ final class GraftTable private (
       if (isPrimaryKeyTable || entries.isEmpty) entries
       else {
         val field = struct.fields.find(_.name == column)
-        val ranges = entries.map(e => e -> e.file.stats.get(column))
+        val sch = schema
+        val ranges = entries.map(e =>
+          e -> fileMetaInCurrentNames(e, sch).stats.get(column))
         if (field.isEmpty || ranges.exists(r =>
           r._2.isEmpty || r._2.get.min.isEmpty || r._2.get.nullCount > 0)) entries
         else {
@@ -385,13 +449,65 @@ final class GraftTable private (
     sm.createTag(name, sm.latestSnapshotId.getOrElse(
       throw new IllegalStateException("empty table cannot be tagged")))
 
-  /** Raw rows of a snapshot including hidden seq/kind columns. */
+  /** Raw rows of a snapshot including hidden seq/kind columns.
+    *
+    * Schema evolution: files written under an earlier schema version
+    * are read with the schema AS WRITTEN, then projected to the
+    * current schema by stable field id — renamed columns map across,
+    * dropped columns are projected away, widened columns cast up,
+    * added columns fill with null (reference: SchemaEvolutionUtil +
+    * CastExecutors field-id matching). */
   private[graft] def readRaw(entries: Seq[ManifestEntry]): DataFrame = {
     if (entries.isEmpty) return emptyRawDf()
-    spark.read
-      .option("basePath", sm.dataDir)
-      .schema(rawReadSchema)
-      .parquet(entries.map(e => s"$path/${e.file.fileName}"): _*)
+    val cur = schema
+    val parts = entries.groupBy(_.file.schemaId).toSeq.sortBy(_._1).map {
+      case (sid, es) =>
+        val paths = es.map(e => s"$path/${e.file.fileName}")
+        val reader = spark.read.option("basePath", sm.dataDir)
+        if (sid == cur.id)
+          reader.schema(rawReadSchema).parquet(paths: _*)
+        else {
+          val old = schemaOf(sid)
+          val byId = old.fields.map(f => f.id -> f).toMap
+          val projected = cur.fields.map { f =>
+            val t = DataType.fromDDL(f.dataType)
+            byId.get(f.id) match {
+              case Some(o) => col(o.name).cast(t).as(f.name)
+              case None => lit(null).cast(t).as(f.name)
+            }
+          }
+          val hidden =
+            if (isPrimaryKeyTable)
+              Seq(col(SeqCol), col(KindCol), col("__bucket"))
+            else Seq.empty
+          reader.schema(rawSchemaOf(old)).parquet(paths: _*)
+            .select((projected ++ hidden).toIndexedSeq: _*)
+        }
+    }
+    parts.reduce(_ unionAll _)
+  }
+
+  /** cached historical schema versions (immutable once written) */
+  private val schemaVersionCache =
+    scala.collection.concurrent.TrieMap.empty[Long, TableSchema]
+  private def schemaOf(id: Long): TableSchema =
+    schemaVersionCache.getOrElseUpdate(id, sm.schema(id))
+
+  /** File stats/index keys remapped from the file's written schema to
+    * current column names via field ids, so pruning evaluates current-
+    * name predicates against old files correctly. */
+  private def fileMetaInCurrentNames(
+      e: ManifestEntry, cur: TableSchema): graft.core.Meta.DataFileMeta = {
+    if (e.file.schemaId == cur.id) return e.file
+    val old = schemaOf(e.file.schemaId)
+    val oldNameById = old.fields.map(f => f.id -> f.name).toMap
+    def remap[V](m: Map[String, V]): Map[String, V] =
+      cur.fields.flatMap { f =>
+        oldNameById.get(f.id).flatMap(m.get).map(f.name -> _)
+      }.toMap
+    e.file.copy(
+      stats = remap(e.file.stats),
+      indexFiles = e.file.indexFiles.map(remap))
   }
 
   private def mergedFromEntries(entries: Seq[ManifestEntry]): DataFrame =
@@ -399,18 +515,17 @@ final class GraftTable private (
     else readAppendData(entries)
 
   /** Append-table read with deletion vectors applied: files carrying a
-    * DV sidecar are filtered by (file basename, row_index) membership
-    * against broadcast bitmaps; plain files stream straight through. */
+    * DV sidecar are filtered by (file basename, row_index) liveness,
+    * each task loading only the sidecars of the files it scans; plain
+    * files stream straight through. */
   private def readAppendData(entries: Seq[ManifestEntry]): DataFrame = {
     val dataCols = struct.fieldNames.map(col).toIndexedSeq
     val (dved, plain) = entries.partition(_.file.dvFile.isDefined)
     val base = readRaw(plain).select(dataCols: _*)
     if (dved.isEmpty) return base
-    val bitmaps = dved.map { e =>
-      basename(e.file.fileName) -> sm.io.readBytes(s"$path/${e.file.dvFile.get}")
-    }.toMap
-    val bc = spark.sparkContext.broadcast(bitmaps)
-    val rowLive = udf(new DvRowFilter(bc))
+    val dvPaths = dved.map(e =>
+      basename(e.file.fileName) -> e.file.dvFile.get).toMap
+    val rowLive = udf(new DvRowFilter(sm.io, path, dvPaths))
     val filtered = readRaw(dved)
       .withColumn("__file", expr("_metadata.file_path"))
       .withColumn("__idx", expr("_metadata.row_index"))
@@ -432,26 +547,73 @@ final class GraftTable private (
       .drop(KindCol, "__bucket")
   }
 
-  /** Rows added between two snapshots (exclusive, inclusive] — the
+  /** Rows changed between two snapshots (exclusive, inclusive] — the
     * incremental-query TVF (reference:
     * PaimonTableValuedFunctions.paimon_incremental_query). COMPACT
-    * snapshots carry no logical change and are skipped. */
+    * snapshots carry no logical change and are skipped. A DELETE+ADD
+    * pair of the SAME file inside one commit is a metadata-only rewrite
+    * (deletion-vector growth): the re-ADD carries no new rows and is
+    * not re-emitted; instead the newly-deleted positions surface as -D.
+    * Append-table files dropped outright (partition drop / full-file
+    * delete) emit their surviving rows as -D. PK-table deletes arrive
+    * as -D kinded rows in the delta files themselves. */
   def incrementalRead(fromExclusive: Long, toInclusive: Long): DataFrame = {
     val ids = sm.snapshotIds.filter(i => i > fromExclusive && i <= toInclusive)
-    val deltaEntries = ids.map(sm.snapshot)
+    val deltas = ids.map(sm.snapshot)
       .filter(_.commitKind != KindCompact)
-      .flatMap(s => s.deltaManifest.map(sm.readManifest).getOrElse(Seq.empty))
-      .filter(_.kind == "ADD")
-    val raw = readRaw(deltaEntries)
-    if (isPrimaryKeyTable)
-      raw.withColumn("_row_kind", MergeEngine.kindLabel(col(KindCol)))
-        .drop(KindCol, SeqCol, "__bucket")
-    else raw.select(struct.fieldNames.map(col).toIndexedSeq: _*)
-      .withColumn("_row_kind", lit("+I"))
+      .flatMap(s => s.deltaManifest.map(sm.readManifest))
+    val addEntries = deltas.flatMap { delta =>
+      val deleted = delta.filter(_.kind == "DELETE").map(_.file.fileName).toSet
+      delta.filter(e => e.kind == "ADD" && !deleted.contains(e.file.fileName))
+    }
+    val raw = readRaw(addEntries)
+    val plusRows =
+      if (isPrimaryKeyTable)
+        raw.withColumn("_row_kind", MergeEngine.kindLabel(col(KindCol)))
+          .drop(KindCol, SeqCol, "__bucket")
+      else raw.select(struct.fieldNames.map(col).toIndexedSeq: _*)
+        .withColumn("_row_kind", lit("+I"))
+    if (isPrimaryKeyTable) return plusRows
+    // append tables: derive -D rows for deleted entries
+    val dataCols = struct.fieldNames.map(col).toIndexedSeq
+    val minusParts = deltas.flatMap { delta =>
+      val readdedDv = delta.collect {
+        case e if e.kind == "ADD" && e.file.dvFile.isDefined =>
+          e.file.fileName -> e.file.dvFile.get
+      }.toMap
+      delta.filter(_.kind == "DELETE").map { e =>
+        readdedDv.get(e.file.fileName) match {
+          case Some(newDv) => (e, Some((e.file.dvFile, newDv)))  // DV growth
+          case None => (e, None)                                  // file dropped
+        }
+      }
+    }
+    if (minusParts.isEmpty) return plusRows
+    val (grown, dropped) = minusParts.partition(_._2.isDefined)
+    def minusOf(entries: Seq[ManifestEntry],
+        keep: org.apache.spark.sql.expressions.UserDefinedFunction) =
+      readRaw(entries)
+        .withColumn("__file", expr("_metadata.file_path"))
+        .withColumn("__idx", expr("_metadata.row_index"))
+        .filter(keep(col("__file"), col("__idx")))
+        .select(dataCols: _*)
+        .withColumn("_row_kind", lit("-D"))
+    val minusGrown =
+      if (grown.isEmpty) None
+      else Some(minusOf(grown.map(_._1), udf(new DvDiffFilter(sm.io, path,
+        grown.map { case (e, d) => basename(e.file.fileName) -> d.get }.toMap))))
+    val minusDropped =
+      if (dropped.isEmpty) None
+      else Some(minusOf(dropped.map(_._1), udf(new DvRowFilter(sm.io, path,
+        dropped.flatMap { case (e, _) =>
+          e.file.dvFile.map(basename(e.file.fileName) -> _) }.toMap))))
+    (Seq(plusRows) ++ minusGrown ++ minusDropped).reduce(_ unionAll _)
   }
 
-  private def rawReadSchema: StructType = {
-    val base = struct
+  private def rawReadSchema: StructType = rawSchemaOf(schema)
+
+  private def rawSchemaOf(sch: TableSchema): StructType = {
+    val base = sch.toStruct
     if (isPrimaryKeyTable)
       StructType(base.fields
         :+ StructField(SeqCol, LongType, nullable = false)
@@ -467,14 +629,31 @@ final class GraftTable private (
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rawReadSchema)
 
   /** Manifest-level pruning: partition values + file stats vs the
-    * filter expression. */
+    * filter expression.
+    *
+    * For primary-key tables only predicates over primary-key /
+    * partition columns may skip files: a value-column predicate could
+    * prune the file holding a key's latest version while keeping an
+    * older one, making the merge resolve to superseded data. Value
+    * predicates are applied post-merge by the caller (the reference
+    * restricts PK-table skipping to key/partition predicates for the
+    * same reason). */
   private def pruneEntries(snap: Snapshot, filter: Column): Seq[ManifestEntry] = {
     val sch = schema
     val entries = sm.liveEntries(snap)
     // resolve the Column against the table schema to get a Catalyst
     // expression with typed attributes/literals
-    val cond = emptyDf().filter(filter).queryExecution.analyzed.collectFirst {
+    val analyzedCond = emptyDf().filter(filter).queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    val cond = analyzedCond.flatMap { c =>
+      if (!isPrimaryKeyTable) Some(c)
+      else {
+        val safe = (sch.primaryKeys ++ sch.partitionKeys).toSet
+        splitConjuncts(c)
+          .filter(_.references.toSeq.map(_.name).toSet.subsetOf(safe))
+          .reduceOption(org.apache.spark.sql.catalyst.expressions.And.apply)
+      }
     }
     entries.filter { e =>
       try {
@@ -483,11 +662,12 @@ final class GraftTable private (
         val partStats = e.partition.map { case (k, v) =>
           k -> ColStats(Some(v), Some(v), 0L)
         }
-        val augmented = e.file.copy(stats = e.file.stats ++ partStats)
+        val base = fileMetaInCurrentNames(e, sch)
+        val augmented = base.copy(stats = base.stats ++ partStats)
         cond.forall { c =>
           StatsFilter.mightMatch(c, augmented, sch) && {
             // bloom sidecars refine equality/IN where ranges overlap
-            val idx = e.file.indexFiles.getOrElse(Map.empty)
+            val idx = base.indexFiles.getOrElse(Map.empty)
             idx.isEmpty || BloomIndex.mightMatch(c, idx.keySet,
               col => idx.get(col).map(rel =>
                 bloomCache.getOrElseUpdate(rel,
@@ -496,6 +676,14 @@ final class GraftTable private (
         }
       } catch { case _: Exception => true }
     }
+  }
+
+  private def splitConjuncts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
   }
 
   // ================= maintenance =================
@@ -521,7 +709,8 @@ final class GraftTable private (
     val partitionBy =
       if (isPrimaryKeyTable) sch.partitionKeys :+ "__bucket" else sch.partitionKeys
     Some(commitFiles(merged, sch, partitionBy, KindCompact, base,
-      commitIdentifier = -1L, deletes = old.map(_.copy(kind = "DELETE"))))
+      commitIdentifier = -1L, deletes = old.map(_.copy(kind = "DELETE")),
+      level = 1))
   }
 
   def expireSnapshots(retain: Int): Seq[Long] = sm.expireSnapshots(retain)
@@ -574,7 +763,8 @@ final class GraftTable private (
       case other => throw new IllegalArgumentException(s"unknown order strategy: $other")
     }
     Some(commitFiles(clustered, sch, sch.partitionKeys, KindCompact,
-      nextSeq(), commitIdentifier = -1L, deletes = old.map(_.copy(kind = "DELETE"))))
+      nextSeq(), commitIdentifier = -1L, deletes = old.map(_.copy(kind = "DELETE")),
+      level = 1))
   }
 
   // ================= schema evolution =================
@@ -590,6 +780,70 @@ final class GraftTable private (
     sm.writeSchema(sch.copy(
       id = sch.id + 1,
       fields = sch.fields :+ Meta.FieldDef(nextFieldId, name, dataType.sql, nullable)))
+  }
+
+  /** Rename a column. The field id is stable, so files written under
+    * the old name keep reading through the new one (reference:
+    * SchemaChange.renameColumn + field-id matching). Partition /
+    * primary-key columns are immutable — their names are baked into
+    * directory layout and bucket hashing. */
+  def renameColumn(oldName: String, newName: String): Unit = {
+    val sch = schema
+    require(sch.fields.exists(_.name == oldName), s"no column $oldName")
+    require(!sch.fields.exists(_.name == newName), s"column $newName already exists")
+    require(!sch.partitionKeys.contains(oldName) && !sch.primaryKeys.contains(oldName),
+      "cannot rename partition or primary-key columns")
+    val newOptions = sch.options.map { case (k, v) =>
+      (if (k.startsWith(s"fields.$oldName."))
+        k.replaceFirst(s"fields.$oldName.", s"fields.$newName.") else k) -> v
+    }
+    sm.writeSchema(sch.copy(
+      id = sch.id + 1,
+      fields = sch.fields.map(f =>
+        if (f.name == oldName) f.copy(name = newName) else f),
+      options = newOptions))
+  }
+
+  /** Drop a column (reference: SchemaChange.dropColumn). Old files keep
+    * the physical column; reads project it away. */
+  def dropColumn(name: String): Unit = {
+    val sch = schema
+    require(sch.fields.exists(_.name == name), s"no column $name")
+    require(!sch.partitionKeys.contains(name) && !sch.primaryKeys.contains(name),
+      "cannot drop partition or primary-key columns")
+    require(sch.fields.size > 1, "cannot drop the last column")
+    sm.writeSchema(sch.copy(
+      id = sch.id + 1,
+      fields = sch.fields.filterNot(_.name == name),
+      options = sch.options.filterNot(_._1.startsWith(s"fields.$name."))))
+  }
+
+  /** Widen a column's type; only information-preserving widenings are
+    * allowed (reference: SchemaChange.updateColumnType guarded by
+    * CastExecutors compatibility). Old files cast up on read. */
+  def widenColumn(name: String, to: org.apache.spark.sql.types.DataType): Unit = {
+    val sch = schema
+    val f = sch.fields.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    val from = DataType.fromDDL(f.dataType)
+    require(canWiden(from, to), s"cannot widen ${from.sql} to ${to.sql}")
+    sm.writeSchema(sch.copy(
+      id = sch.id + 1,
+      fields = sch.fields.map(x =>
+        if (x.name == name) x.copy(dataType = to.sql) else x)))
+  }
+
+  private def canWiden(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (a, b) if a == b => false // no-op is a caller bug
+    case (ByteType, ShortType | IntegerType | LongType | FloatType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
+    case (IntegerType, LongType | FloatType | DoubleType) => true
+    case (LongType, DoubleType) => true
+    case (FloatType, DoubleType) => true
+    case (d1: DecimalType, d2: DecimalType) =>
+      d2.scale >= d1.scale && d2.precision - d2.scale >= d1.precision - d1.scale
+    case (DateType, TimestampNTZType) => true
+    case _ => false
   }
 
   // ================= row-level DML =================
@@ -693,17 +947,38 @@ final class GraftTable private (
   }
 
   /** Full changelog between two snapshots: -U/+U pairs for changed
-    * keys, +I for new keys, -D for removed ones — derived lazily by
-    * joining the two merged states (the full-compaction changelog
-    * producer's output, computed on demand; reference:
-    * FullChangelogMergeTreeCompactRewriter). */
+    * keys, +I for new keys, -D for removed ones — derived lazily from
+    * the two states (the full-compaction changelog producer's output,
+    * computed on demand; reference:
+    * FullChangelogMergeTreeCompactRewriter).
+    *
+    * Scale path: only keys appearing in the (from, to] delta files can
+    * have changed, so both states are restricted to the touched
+    * buckets and semi-joined on the touched keys before merging —
+    * unchanged data never shuffles (vs. diffing two full snapshots,
+    * which is three full-table shuffles). */
   def changelogBetween(fromSnapshot: Long, toSnapshot: Long): DataFrame = {
     require(isPrimaryKeyTable, "changelog requires a primary-key table")
-    val pk = schema.primaryKeys
+    val sch = schema
+    val pk = sch.primaryKeys
     val cols = struct.fieldNames
-    val before = readSnapshot(Some(fromSnapshot))
+    val deltaEntries = sm.snapshotIds
+      .filter(i => i > fromSnapshot && i <= toSnapshot)
+      .map(sm.snapshot).filter(_.commitKind != KindCompact)
+      .flatMap(s => s.deltaManifest.map(sm.readManifest).getOrElse(Seq.empty))
+    val touched = deltaEntries.groupBy(_.file.fileName).map(_._2.head).toSeq
+    val touchedKeys = readRaw(touched)
+      .select(pk.map(col).toIndexedSeq: _*).distinct()
+    val buckets = touched.map(_.bucket).toSet
+    def state(id: Long): DataFrame = {
+      val entries = sm.liveEntries(sm.snapshot(id))
+        .filter(e => buckets.contains(e.bucket))
+      MergeEngine.merge(
+        readRaw(entries).join(touchedKeys, pk, "left_semi"), sch)
+    }
+    val before = state(fromSnapshot)
       .select(cols.map(c => col(c).as(s"__b_$c")).toIndexedSeq: _*)
-    val after = readSnapshot(Some(toSnapshot))
+    val after = state(toSnapshot)
     val joined = after.join(before,
       pk.map(k => col(k) === col(s"__b_$k")).reduce(_ && _), "full_outer")
     val inAfter = col(pk.head).isNotNull
@@ -798,14 +1073,28 @@ final class GraftTable private (
     val sch = schema
     val pk = sch.primaryKeys
     val cols = struct.fieldNames
-    val tgt = read.select(cols.map(c => col(c).as(s"__t_$c")).toIndexedSeq: _*)
     val src = source.select(cols.map(col).toIndexedSeq: _*)
+    // Bucket-pruned target: only buckets the source's keys hash into
+    // can contain matches, so the join reads just those files — a
+    // 1%-of-buckets merge pays ~1% of the scan, not 100% (reference
+    // intent: MergeIntoPaimonTable.findTouchedFiles). Unmatched target
+    // rows are never rewritten, so skipping their files is safe.
+    val srcBuckets = src
+      .select(pmod(xxhash64(pk.map(col).toIndexedSeq: _*), lit(sch.numBuckets))
+        .cast("int").as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val touched = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+      .filter(e => srcBuckets.contains(e.bucket))
+    val tgt = mergedFromEntries(touched)
+      .select(cols.map(c => col(c).as(s"__t_$c")).toIndexedSeq: _*)
     val joined = src.join(tgt,
       pk.map(k => col(k) === col(s"__t_$k")).reduce(_ && _), "left_outer")
     val matched = col(s"__t_${pk.head}").isNotNull
     val deleteCond = whenMatchedDelete.getOrElse(lit(false))
+    // assignments apply to MATCHED rows only — not-matched source rows
+    // become +I inserts with their raw source values
     val updated = whenMatchedUpdate match {
-      case Some(m) => applyAssignments(joined, m, lit(true))
+      case Some(m) => applyAssignments(joined, m, matched)
       case None => joined
     }
     val kind =

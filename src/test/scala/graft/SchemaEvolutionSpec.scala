@@ -1,0 +1,130 @@
+package graft
+
+import graft.table.GraftTable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Schema evolution: rename / drop / widen with field-id mapping so
+  * files written under earlier schema versions read correctly through
+  * the current one (reference: SchemaManager SchemaChange set +
+  * SchemaEvolutionUtil / CastExecutors; exercised by the reference's
+  * SchemaEvolutionTest / DDLTestBase).
+  */
+class SchemaEvolutionSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def tmp(): String = Files.createTempDirectory("graft-evo").toString + "/t"
+
+  import scala.jdk.CollectionConverters._
+
+  private val v1Schema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("amount", IntegerType, nullable = true),
+    StructField("note", StringType, nullable = true)))
+
+  private def v1Df(rows: (Long, java.lang.Integer, String)*): DataFrame =
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2, r._3)).asJava, v1Schema)
+
+  test("rename: old files read through the new column name") {
+    val t = GraftTable.create(spark, tmp(), v1Schema)
+    t.write(v1Df((1L, 10, "a")))
+    t.renameColumn("note", "comment")
+    val t2 = GraftTable.load(spark, t.path)
+    t2.write(spark.createDataFrame(
+      Seq(Row(2L, 20, "b")).asJava,
+      StructType(v1Schema.fields.map(f =>
+        if (f.name == "note") f.copy(name = "comment") else f))))
+    val got = t2.read.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 10, "a"), (2L, 20, "b")))
+    assert(t2.read.columns.toSeq == Seq("k", "amount", "comment"))
+    // stats pruning works across the rename (old file stats remapped)
+    assert(t2.scan(col("comment") === "a").count() == 1)
+  }
+
+  test("widen: int -> long with old files cast up; stats pruning intact") {
+    val t = GraftTable.create(spark, tmp(), v1Schema)
+    t.write(v1Df((1L, 100, "a"), (2L, 200, "b")))
+    t.widenColumn("amount", LongType)
+    val t2 = GraftTable.load(spark, t.path)
+    val widened = StructType(v1Schema.fields.map(f =>
+      if (f.name == "amount") f.copy(dataType = LongType) else f))
+    t2.write(spark.createDataFrame(
+      Seq(Row(3L, 3000000000L, "c")).asJava, widened)) // > Int.MaxValue
+    assert(t2.read.schema("amount").dataType == LongType)
+    assert(t2.read.select(sum("amount")).head.getLong(0) == 3000000300L)
+    // pruning on the widened column still skips: value 100 only in file 1
+    assert(t2.scan(col("amount") === 100L).inputFiles.length == 1)
+  }
+
+  test("drop: removed column disappears; unrelated data survives") {
+    val t = GraftTable.create(spark, tmp(), v1Schema)
+    t.write(v1Df((1L, 10, "a")))
+    t.dropColumn("note")
+    val t2 = GraftTable.load(spark, t.path)
+    assert(t2.read.columns.toSeq == Seq("k", "amount"))
+    t2.write(spark.createDataFrame(
+      Seq(Row(2L, 20)).asJava,
+      StructType(v1Schema.fields.filterNot(_.name == "note"))))
+    val got = t2.read.orderBy("k").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq == Seq((1L, 10), (2L, 20)))
+  }
+
+  test("add after rename: field ids keep old/new columns distinct") {
+    val t = GraftTable.create(spark, tmp(), v1Schema)
+    t.write(v1Df((1L, 10, "a")))
+    t.renameColumn("note", "comment")
+    GraftTable.load(spark, t.path).addColumn("note", StringType) // reuse old NAME
+    val t3 = GraftTable.load(spark, t.path)
+    val row = t3.read.head
+    // old file's physical "note" maps to "comment" (same id); the NEW
+    // "note" (fresh id) reads null from old files
+    assert(row.getString(t3.read.columns.indexOf("comment")) == "a")
+    assert(row.isNullAt(t3.read.columns.indexOf("note")))
+  }
+
+  test("pk table: evolution composes with merge-on-read") {
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", IntegerType, nullable = true),
+      StructField("seq", LongType, nullable = true)))
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq", "bucket" -> "2"))
+    t.write(spark.createDataFrame(
+      Seq(Row(1L, 10, 1L), Row(2L, 20, 1L)).asJava, sch))
+    t.widenColumn("v", LongType)
+    t.renameColumn("v", "value")
+    val t2 = GraftTable.load(spark, t.path)
+    val evolved = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("value", LongType, nullable = true),
+      StructField("seq", LongType, nullable = true)))
+    t2.write(spark.createDataFrame(
+      Seq(Row(1L, 5000000000L, 2L)).asJava, evolved)) // upsert k=1
+    val got = t2.read.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 5000000000L), (2L, 20L)))
+    // compaction rewrites everything under the current schema
+    t2.compact()
+    val t3 = GraftTable.load(spark, t.path)
+    assert(t3.read.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((1L, 5000000000L), (2L, 20L)))
+  }
+
+  test("illegal evolutions are rejected") {
+    val t = GraftTable.create(spark, tmp(), v1Schema, partitionKeys = Seq("note"))
+    t.write(v1Df((1L, 10, "a")))
+    intercept[IllegalArgumentException](t.renameColumn("note", "n2"))
+    intercept[IllegalArgumentException](t.dropColumn("note"))
+    intercept[IllegalArgumentException](t.widenColumn("amount", ByteType))
+    intercept[IllegalArgumentException](t.widenColumn("k", IntegerType))
+  }
+}
