@@ -136,5 +136,38 @@ object MergeSemantics {
       tbl(s, dir, "events")
         .groupBy("user_id")
         .agg(lit(1L).as("inserts"), (count(lit(1)) - 1L).as("updates"))
+    },
+
+    // ---- partial-update with TWO sequence groups, updated out of
+    // order: group a's second write carries an older group-sequence
+    // (must lose), group b's a newer one (must win) — end-to-end
+    // through the storage layer (reference:
+    // PartialUpdateMergeFunction sequence-group semantics).
+    QDef(
+      "m07_sequence_groups",
+      """SELECT o_orderkey, o_orderpriority AS a, CAST(2 AS BIGINT) AS sa,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'NEW_B' ELSE o_orderstatus END AS b,
+        |  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS sb
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val scratch = java.nio.file.Files
+        .createTempDirectory("graft-m07-").toString + "/table"
+      val src = tbl(s, dir, "orders")
+      val base = src.select(
+        col("o_orderkey"),
+        col("o_orderpriority").as("a"), lit(2L).as("sa"),
+        col("o_orderstatus").as("b"), lit(1L).as("sb"))
+      val t = graft.table.GraftTable.create(s, scratch, base.schema,
+        primaryKeys = Seq("o_orderkey"),
+        options = Map(
+          "merge-engine" -> "partial-update",
+          "fields.sa.sequence-group" -> "a",
+          "fields.sb.sequence-group" -> "b",
+          "bucket" -> "4"))
+      t.write(base)
+      t.write(src.filter(col("o_orderkey") % 3 === 0).select(
+        col("o_orderkey"),
+        lit("NEW_A").as("a"), lit(1L).as("sa"),   // older → loses
+        lit("NEW_B").as("b"), lit(2L).as("sb")))  // newer → wins
+      t.read
     })
 }

@@ -48,19 +48,26 @@ object MergeEngine {
     * output carries one row per key with KindCol preserved. */
   def preMergeBatch(df: DataFrame, schema: TableSchema, arrivalCol: String): DataFrame =
     mergeInternal(df, schema,
-      ordering(schema, arrivalTiebreak = Some(col(arrivalCol))), combine = false)
+      ordering(schema, arrivalTiebreak = Some(col(arrivalCol))), combine = false,
+      arrivalTiebreak = Some(col(arrivalCol)))
       .drop(arrivalCol)
 
   private def ordering(schema: TableSchema, arrivalTiebreak: Option[Column]): Column = {
-    val tie = arrivalTiebreak.getOrElse(col(Meta.SeqCol))
+    val tie = tiebreak(arrivalTiebreak)
     schema.sequenceField match {
       case Some(f) => struct(col(f), tie)
       case None => struct(tie)
     }
   }
 
+  private def tiebreak(arrivalTiebreak: Option[Column]): Column =
+    arrivalTiebreak.getOrElse(col(Meta.SeqCol))
+
+  /** Merge retaining _graft_seq/_graft_kind (used by compaction, which
+    * must preserve sequence info in rewritten files). */
   private def mergeInternal(
-      raw: DataFrame, schema: TableSchema, ord: Column, combine: Boolean): DataFrame = {
+      raw: DataFrame, schema: TableSchema, ord: Column, combine: Boolean,
+      arrivalTiebreak: Option[Column] = None): DataFrame = {
     require(schema.primaryKeys.nonEmpty, "merge requires a primary-key table")
     schema.mergeEngine match {
       case "deduplicate" => pickByOrd(raw, schema, ord, latest = true)
@@ -69,7 +76,8 @@ object MergeEngine {
         // accepts only inserts)
         pickByOrd(raw.filter(col(Meta.KindCol) === Meta.KindInsert),
           schema, ord, latest = false)
-      case "partial-update" => partialUpdate(raw, schema, ord)
+      case "partial-update" =>
+        partialUpdate(raw, schema, ord, tiebreak(arrivalTiebreak))
       case "aggregation" => aggregation(raw, schema, ord, combine)
       case other => throw new IllegalArgumentException(s"unknown merge-engine: $other")
     }
@@ -89,18 +97,88 @@ object MergeEngine {
 
   /** partial-update: per-field last non-null by ordering key; deletes
     * are ignored (reference default requires non-retracting input;
-    * 'partial-update.ignore-delete' semantics). */
+    * 'partial-update.ignore-delete' semantics).
+    *
+    * With sequence groups (`fields.<s1>[,<s2>...].sequence-group =
+    * <c1>[,<c2>...]`): each group updates ATOMICALLY when the incoming
+    * record's group-sequence is non-null and >= the current one —
+    * including null member values — and a retract (-U/-D) winning a
+    * group nulls the group's members (reference:
+    * PartialUpdateMergeFunction.updateWithSequenceGroup /
+    * retractWithSequenceGroup). In Spark each group is one
+    * max_by(struct(kind, fields...), group-ord) — the sequential
+    * fold's fixpoint is the highest-group-sequence record, so one
+    * ordered pick per group replaces the reference's per-record loop. */
   private def partialUpdate(
-      raw: DataFrame, schema: TableSchema, ord: Column): DataFrame = {
-    val in = raw.filter(col(Meta.KindCol) =!= Meta.KindDelete)
+      raw: DataFrame, schema: TableSchema, ord: Column, tie: Column): DataFrame = {
     val pk = schema.primaryKeys
     val valueCols = schema.toStruct.fieldNames.filterNot(pk.contains)
-    val aggs = valueCols.map { c =>
-      max_by(col(c), when(col(c).isNotNull, ord)).as(c)
-    } ++ metaAggs(in)
-    in.groupBy(pk.map(col).toIndexedSeq: _*)
+    val groups = sequenceGroups(schema)
+    if (groups.isEmpty) {
+      val in = raw.filter(col(Meta.KindCol) =!= Meta.KindDelete)
+      val aggs = valueCols.map { c =>
+        max_by(col(c), when(col(c).isNotNull, ord)).as(c)
+      } ++ metaAggs(in)
+      return in.groupBy(pk.map(col).toIndexedSeq: _*)
+        .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    }
+    val isRetract =
+      col(Meta.KindCol) === Meta.KindDelete || col(Meta.KindCol) === Meta.KindUpdateBefore
+    val memberOf = groups.flatMap { case (seqs, members) =>
+      (members ++ seqs).map(_ -> (seqs, members))
+    }.toMap
+    val groupAggs = groups.map { case (seqs, members) =>
+      // records whose group-sequence fields are all null skip the group
+      val nonEmpty = seqs.map(col(_).isNotNull).reduce(_ || _)
+      val gOrd = when(nonEmpty, struct((seqs.map(col) :+ tie).toIndexedSeq: _*))
+      val packed = struct((col(Meta.KindCol).as("__kind") +:
+        (seqs ++ members).map(c => col(c).as(c))).toIndexedSeq: _*)
+      (seqs, members) -> max_by(packed, gOrd).as(groupAlias(seqs))
+    }.toMap
+    // ungrouped fields: classic last non-null over non-retract records
+    val ungrouped = valueCols.filterNot(memberOf.contains)
+    val ungroupedAggs = ungrouped.map { c =>
+      max_by(col(c), when(!isRetract && col(c).isNotNull, ord)).as(c)
+    }
+    // a key whose records are all retracts has never been inserted
+    val hasInsert = max(when(!isRetract, 1).otherwise(0)).as("__has_insert")
+    val seqAgg =
+      if (raw.columns.contains(Meta.SeqCol)) max(col(Meta.SeqCol)) else lit(0L)
+    val aggs = groupAggs.values.toSeq ++ ungroupedAggs ++
+      Seq(seqAgg.as(Meta.SeqCol), hasInsert)
+    val agged = raw.groupBy(pk.map(col).toIndexedSeq: _*)
       .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    // unpack groups: a retract winning the group nulls its members
+    val outCols = valueCols.map { c =>
+      memberOf.get(c) match {
+        case None => col(c)
+        case Some((seqs, members)) =>
+          val g = col(groupAlias(seqs))
+          if (seqs.contains(c)) g.getField(c).as(c)
+          else when(g.getField("__kind") === Meta.KindDelete ||
+              g.getField("__kind") === Meta.KindUpdateBefore,
+            lit(null)).otherwise(g.getField(c)).cast(
+              schema.toStruct(c).dataType).as(c)
+      }
+    }
+    val kindOut = when(col("__has_insert") === 1, Meta.KindInsert)
+      .otherwise(Meta.KindDelete).cast("byte").as(Meta.KindCol)
+    agged.select((pk.map(col) ++ outCols ++
+      Seq(col(Meta.SeqCol), kindOut)).toIndexedSeq: _*)
   }
+
+  private def groupAlias(seqs: Seq[String]): String = s"__grp_${seqs.mkString("_")}"
+
+  /** Parse `fields.<s1>[,<s2>...].sequence-group = <members>` options
+    * (reference: PartialUpdateMergeFunction.SEQUENCE_GROUP). */
+  private[table] def sequenceGroups(schema: TableSchema): Seq[(Seq[String], Seq[String])] =
+    schema.options.toSeq.collect {
+      case (k, v) if k.startsWith("fields.") && k.endsWith(".sequence-group") =>
+        val seqs = k.stripPrefix("fields.").stripSuffix(".sequence-group")
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val members = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        (seqs, members)
+    }.sortBy(_._1.mkString(","))
 
   /** aggregation engine: per-field aggregate chosen by
     * `fields.<name>.aggregate-function` (default last_non_null_value).
@@ -115,7 +193,7 @@ object MergeEngine {
     val aggs = valueCols.map { c =>
       val fn = schema.options.getOrElse(s"fields.$c.aggregate-function",
         "last_non_null_value")
-      fieldAgg(fn, c, ord, combine, raw.schema(c).dataType.sql)
+      fieldAgg(fn, c, ord, combine, raw.schema(c).dataType, schema)
         .cast(raw.schema(c).dataType).as(c) // keep the declared field type
     } ++ metaAggs(in)
     in.groupBy(pk.map(col).toIndexedSeq: _*)
@@ -126,7 +204,10 @@ object MergeEngine {
     * aggregate states, so non-self-combining functions switch to their
     * combiner (count → sum, collect → array concat, ...). */
   private def fieldAgg(
-      fn: String, c: String, ord: Column, combine: Boolean, typeSql: String): Column =
+      fn: String, c: String, ord: Column, combine: Boolean,
+      dataType: org.apache.spark.sql.types.DataType,
+      schema: TableSchema): Column = {
+    val typeSql = dataType.sql
     fn match {
       case "sum" => sum(col(c))
       case "product" =>
@@ -161,8 +242,61 @@ object MergeEngine {
       case "hll_sketch" => expr(s"hll_union_agg($c)")
       case "rbm32" => expr(s"graft_rbm32_union($c)")
       case "rbm64" => expr(s"graft_rbm64_union($c)")
+      case "nested_update" => nestedUpdate(c, ord, dataType, schema, partial = false)
+      case "nested_partial_update" => nestedUpdate(c, ord, dataType, schema, partial = true)
       case other => throw new IllegalArgumentException(s"unknown aggregate-function: $other")
     }
+  }
+
+  /** nested_update / nested_partial_update: the field is ARRAY<STRUCT>
+    * representing a nested table keyed by `fields.<f>.nested-key`.
+    * Arrays concatenate in ordering-key order; with a nested key, the
+    * LAST row per key wins (nested_update) or rows merge per-field
+    * last-non-null (nested_partial_update). Without a key, rows just
+    * append. (reference: FieldNestedUpdateAgg.java:46 /
+    * FieldNestedPartialUpdateAgg.java.) Higher-order expressions, no
+    * extra shuffle; nested tables are assumed small per key (the
+    * reference bounds them with a count limit for the same reason). */
+  private def nestedUpdate(
+      c: String, ord: Column,
+      dataType: org.apache.spark.sql.types.DataType,
+      schema: TableSchema, partial: Boolean): Column = {
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val at = dataType match {
+      case a: ArrayType => a
+      case other => throw new IllegalArgumentException(
+        s"nested_update requires ARRAY<STRUCT>, got ${other.sql}")
+    }
+    val st = at.elementType.asInstanceOf[StructType]
+    val keys = schema.options.get(s"fields.$c.nested-key")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    // arrays of all versions, flattened in ordering-key order
+    val ordered = transform(
+      array_sort(collect_list(struct(ord.as("o"), col(c).as("a")))),
+      x => x.getField("a"))
+    val emptyArr = array().cast(at)
+    val total = filter(
+      flatten(transform(ordered, a => coalesce(a, emptyArr))),
+      r => r.isNotNull)
+    if (keys.isEmpty) return total
+    def sameKey(x: Column, y: Column): Column =
+      keys.map(k => x.getField(k) <=> y.getField(k)).reduce(_ && _)
+    // keep only the LAST occurrence of each nested key
+    val lastPerKey = filter(total, (x, i) =>
+      !exists(slice(total, i + 2, size(total)), y => sameKey(x, y)))
+    if (!partial) lastPerKey
+    else
+      // per surviving key: field-wise fold over all rows of that key,
+      // later non-null values winning
+      transform(lastPerKey, x =>
+        struct(st.fields.toSeq.map { f =>
+          aggregate(
+            filter(total, y => sameKey(x, y)),
+            lit(null).cast(f.dataType),
+            (acc, y) => coalesce(y.getField(f.name), acc)).as(f.name)
+        }: _*))
+  }
 
   /** Meta columns for reduced rows: max seq, insert kind. */
   private def metaAggs(in: DataFrame): Seq[Column] = {

@@ -1,0 +1,167 @@
+package graft
+
+import graft.table.GraftTable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Partial-update sequence groups and nested_update aggregates
+  * (reference: PartialUpdateMergeFunction.java:67-162 sequence-group
+  * handling, FieldNestedUpdateAgg.java:46).
+  */
+class SequenceGroupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def tmp(): String = Files.createTempDirectory("graft-seqgrp").toString + "/t"
+
+  import scala.jdk.CollectionConverters._
+
+  // k | a, sa (group 1) | b, sb (group 2)
+  private val sgSchema = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("a", StringType, nullable = true),
+    StructField("sa", LongType, nullable = true),
+    StructField("b", StringType, nullable = true),
+    StructField("sb", LongType, nullable = true)))
+
+  private def sgDf(rows: (Long, String, java.lang.Long, String, java.lang.Long)*): DataFrame =
+    spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3, r._4, r._5)).asJava, sgSchema)
+
+  private def sgTable(): GraftTable =
+    GraftTable.create(spark, tmp(), sgSchema,
+      primaryKeys = Seq("k"),
+      options = Map(
+        "merge-engine" -> "partial-update",
+        "fields.sa.sequence-group" -> "a",
+        "fields.sb.sequence-group" -> "b",
+        "bucket" -> "2"))
+
+  test("groups update independently, out-of-order per group") {
+    val t = sgTable()
+    t.write(sgDf((1L, "a1", 2L, "b1", 1L)))
+    // sa=1 < current 2 → group a NOT updated; sb=2 >= 1 → group b updated
+    t.write(sgDf((1L, "aX", 1L, "b2", 2L)))
+    val r = t.read.head
+    assert(r.getString(1) == "a1" && r.getLong(2) == 2L)
+    assert(r.getString(3) == "b2" && r.getLong(4) == 2L)
+  }
+
+  test("a null group-sequence skips the group; equal sequence lets later write win") {
+    val t = sgTable()
+    t.write(sgDf((1L, "a1", 5L, "b1", 5L)))
+    // null sa → group a untouched even though a has a value
+    t.write(sgDf((1L, "ghost", null, "b2", 5L))) // sb equal → later wins
+    val r = t.read.head
+    assert(r.getString(1) == "a1")
+    assert(r.getString(3) == "b2")
+  }
+
+  test("a newer record's null member overwrites inside its group") {
+    val t = sgTable()
+    t.write(sgDf((1L, "a1", 1L, "b1", 1L)))
+    t.write(sgDf((1L, null, 2L, "b1", 1L))) // group a advances with null a
+    val r = t.read.head
+    assert(r.isNullAt(1) && r.getLong(2) == 2L)
+    assert(r.getString(3) == "b1")
+  }
+
+  test("retract with newer group sequence nulls that group only") {
+    val t = sgTable()
+    t.write(sgDf((1L, "a1", 1L, "b1", 1L)))
+    val retract = sgDf((1L, "a1", 2L, null, null))
+      .withColumn(graft.core.Meta.KindCol,
+        lit(graft.core.Meta.KindDelete).cast("byte"))
+    t.writeKinded(retract)
+    val r = t.read.head
+    assert(r.isNullAt(1), "group a member must be retracted")
+    assert(r.getString(3) == "b1", "group b untouched")
+  }
+
+  test("key with only retracts never materializes") {
+    val t = sgTable()
+    val retract = sgDf((7L, "x", 1L, null, null))
+      .withColumn(graft.core.Meta.KindCol,
+        lit(graft.core.Meta.KindDelete).cast("byte"))
+    t.writeKinded(retract)
+    assert(t.read.filter(col("k") === 7L).count() == 0)
+  }
+
+  test("multi-column sequence group orders lexicographically") {
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true),
+      StructField("s1", LongType, nullable = true),
+      StructField("s2", LongType, nullable = true)))
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"),
+      options = Map(
+        "merge-engine" -> "partial-update",
+        "fields.s1,s2.sequence-group" -> "v"))
+    def df(rows: (Long, String, Long, Long)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3, r._4)).asJava, sch)
+    t.write(df((1L, "v1", 1L, 5L)))
+    t.write(df((1L, "v2", 1L, 4L))) // (1,4) < (1,5) → loses
+    assert(t.read.head.getString(1) == "v1")
+    t.write(df((1L, "v3", 2L, 0L))) // (2,0) > (1,5) → wins
+    assert(t.read.head.getString(1) == "v3")
+  }
+
+  private val nestedType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = true),
+    StructField("val", StringType, nullable = true))))
+
+  test("nested_update: last row per nested key wins across commits") {
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("items", nestedType, nullable = true),
+      StructField("seq", LongType, nullable = true)))
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"),
+      options = Map(
+        "merge-engine" -> "aggregation",
+        "sequence.field" -> "seq",
+        "fields.items.aggregate-function" -> "nested_update",
+        "fields.items.nested-key" -> "id"))
+    def df(seq: Long, items: Seq[(Long, String)]) = spark.createDataFrame(
+      Seq(Row(1L, items.map(i => Row(i._1, i._2)), seq)).asJava, sch)
+    t.write(df(1L, Seq((10L, "x"), (20L, "y"))))
+    t.write(df(2L, Seq((10L, "x2"), (30L, "z"))))
+    val items = t.read.head.getSeq[Row](1)
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(items == Seq((10L, "x2"), (20L, "y"), (30L, "z")))
+  }
+
+  test("nested_partial_update merges fields per nested key") {
+    val nt = ArrayType(StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("x", StringType, nullable = true),
+      StructField("y", StringType, nullable = true))))
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("items", nt, nullable = true),
+      StructField("seq", LongType, nullable = true)))
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"),
+      options = Map(
+        "merge-engine" -> "aggregation",
+        "sequence.field" -> "seq",
+        "fields.items.aggregate-function" -> "nested_partial_update",
+        "fields.items.nested-key" -> "id"))
+    def df(seq: Long, items: Seq[(Long, String, String)]) = spark.createDataFrame(
+      Seq(Row(1L, items.map(i => Row(i._1, i._2, i._3)), seq)).asJava, sch)
+    t.write(df(1L, Seq((10L, "x1", null))))
+    t.write(df(2L, Seq((10L, null, "y2"))))
+    val items = t.read.head.getSeq[Row](1)
+    assert(items.length == 1)
+    assert(items.head.getString(1) == "x1" && items.head.getString(2) == "y2")
+  }
+}
