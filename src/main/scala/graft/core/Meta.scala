@@ -110,6 +110,11 @@ object Meta {
       manifestList: String,
       /** the one manifest added by this commit (drives incremental reads) */
       deltaManifest: Option[String],
+      /** manifest of persisted changelog files carrying exact -U/+U
+        * pairs for this commit (changelog-producer=lookup; reference:
+        * Snapshot.changelogManifestList). Absent → changelog derived
+        * from delta files. */
+      changelogManifest: Option[String] = None,
       totalRecordCount: Long,
       deltaRecordCount: Long,
       @JsonDeserialize(contentAs = classOf[java.lang.Long])

@@ -44,7 +44,7 @@ final class SnapshotManager(
     val sms = siblingManagers
     val manifests = sms.flatMap(s => s.snapshotIds.map(s.snapshot).flatMap(sn =>
       (s.readManifestList(sn.manifestList) :+ sn.manifestList) ++
-        sn.deltaManifest)).toSet
+        sn.deltaManifest ++ sn.changelogManifest)).toSet
     val files = sms.flatMap(s => s.snapshotIds.map(s.snapshot).flatMap(sn =>
       s.readManifestList(sn.manifestList).flatMap(s.readManifest)))
       .map(_.file.fileName).toSet
@@ -162,7 +162,8 @@ final class SnapshotManager(
       commitIdentifier: Long = -1L,
       watermark: Option[Long] = None,
       conflictCheck: Snapshot => Boolean = _ => true,
-      maxRetries: Int = 20): Long = {
+      maxRetries: Int = 20,
+      changelogManifest: Option[String] = None): Long = {
     val manifestName = writeManifest(entries)
     val deltaRows = entries.iterator
       .map(e => if (e.kind == "ADD") e.file.rowCount else -e.file.rowCount)
@@ -204,6 +205,7 @@ final class SnapshotManager(
         timeMillis = System.currentTimeMillis(),
         manifestList = listName,
         deltaManifest = Some(manifestName),
+        changelogManifest = changelogManifest,
         totalRecordCount = latest.map(_.totalRecordCount).getOrElse(0L) + deltaRows,
         deltaRecordCount = deltaRows,
         watermark = watermark,
@@ -223,20 +225,32 @@ final class SnapshotManager(
   def expireSnapshots(retain: Int): Seq[Long] = {
     val ids = snapshotIds
     if (ids.size <= retain) return Seq.empty
-    val (drop, keep) = ids.splitAt(ids.size - retain)
+    // registered consumers still need snapshots after their offset
+    val consumerGuard = minConsumerOffset
+    val (drop, keep) = {
+      val (d0, k0) = ids.splitAt(ids.size - retain)
+      consumerGuard match {
+        case Some(off) =>
+          val (d, guarded) = d0.partition(_ <= off)
+          (d, guarded ++ k0)
+        case None => (d0, k0)
+      }
+    }
+    if (drop.isEmpty) return Seq.empty
     val keptSnaps = keep.map(snapshot)
     val (elseFiles, elseManifests) = referencedElsewhere()
+    val (tagFiles, tagManifests) = taggedRefs()
     val liveFiles = keptSnaps.flatMap(s => liveEntries(s).map(_.file.fileName)).toSet ++
-      elseFiles
+      elseFiles ++ tagFiles
     val liveManifests = keptSnaps.flatMap(s =>
-      (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest)
-      .toSet ++ elseManifests
+      (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest ++ s.changelogManifest)
+      .toSet ++ elseManifests ++ tagManifests
     // plan all deletions BEFORE removing anything: dropped snapshots
     // share manifests, so deleting while iterating would break the
     // later reads (manifest merging makes sharing the common case)
     val dropped = drop.map(snapshot)
     val dropManifests = dropped.flatMap(s =>
-      (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest)
+      (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest ++ s.changelogManifest)
       .distinct
     val dropFiles = dropped.flatMap(s =>
       readManifestList(s.manifestList).flatMap(readManifest))
@@ -258,17 +272,18 @@ final class SnapshotManager(
     if (dropIds.isEmpty) return Seq.empty
     val kept = keepIds.map(snapshot)
     val (elseFiles, elseManifests) = referencedElsewhere()
+    val (tagFiles, tagManifests) = taggedRefs()
     val keptManifests = kept.flatMap(s =>
-      (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest)
-      .toSet ++ elseManifests
+      (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest ++ s.changelogManifest)
+      .toSet ++ elseManifests ++ tagManifests
     val keptFiles = kept.flatMap(s =>
       readManifestList(s.manifestList).flatMap(readManifest)).map(_.file.fileName).toSet ++
-      elseFiles
+      elseFiles ++ tagFiles
     // plan all deletions before removing anything: dropped snapshots
     // share manifests, so deleting while iterating would break reads
     val dropped = dropIds.map(snapshot)
     val dropManifests = dropped.flatMap(s =>
-      (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest)
+      (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest ++ s.changelogManifest)
       .distinct
     val dropFiles = dropped.flatMap(s =>
       readManifestList(s.manifestList).flatMap(readManifest))
@@ -326,19 +341,54 @@ final class SnapshotManager(
 
   private def tagDir = s"$tablePath/tag"
 
+  /** A tag is a full COPY of the snapshot file (reference: paimon tags
+    * are materialized snapshots): it stays readable after the original
+    * snapshot expires, and expiration protects the files it
+    * references. */
   def createTag(name: String, snapshotId: Long): Unit =
-    io.writeString(s"$tagDir/tag-$name", snapshotId.toString)
+    io.writeString(s"$tagDir/tag-$name", io.readString(snapshotPath(snapshotId)))
 
-  def tagSnapshotId(name: String): Option[Long] =
-    if (io.exists(s"$tagDir/tag-$name"))
-      Some(io.readString(s"$tagDir/tag-$name").trim.toLong)
-    else None
+  def tagSnapshot(name: String): Option[Snapshot] =
+    if (!io.exists(s"$tagDir/tag-$name")) None
+    else {
+      val content = io.readString(s"$tagDir/tag-$name").trim
+      if (content.startsWith("{")) Some(Json.read(content, classOf[Snapshot]))
+      else Some(snapshot(content.toLong)) // legacy id-only tag file
+    }
+
+  def tagSnapshotId(name: String): Option[Long] = tagSnapshot(name).map(_.id)
 
   def deleteTag(name: String): Unit = io.delete(s"$tagDir/tag-$name")
 
   def tags: Map[String, Long] =
     io.list(tagDir).map(_.split('/').last)
-      .collect { case t if t.startsWith("tag-") =>
-        t.stripPrefix("tag-") -> io.readString(s"$tagDir/$t").trim.toLong
-      }.toMap
+      .collect { case t if t.startsWith("tag-") => t.stripPrefix("tag-") }
+      .flatMap(n => tagSnapshotId(n).map(n -> _)).toMap
+
+  /** Files + manifests referenced by tags — never garbage-collectable. */
+  private def taggedRefs(): (Set[String], Set[String]) = {
+    val snaps = io.list(tagDir).map(_.split('/').last)
+      .collect { case t if t.startsWith("tag-") => t.stripPrefix("tag-") }
+      .flatMap(tagSnapshot)
+    val manifests = snaps.flatMap(s =>
+      (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest ++ s.changelogManifest).toSet
+    val files = snaps.flatMap(s =>
+      readManifestList(s.manifestList).flatMap(readManifest))
+      .map(_.file.fileName).toSet
+    (files, manifests)
+  }
+
+  // ---- consumers (durable reader progress; reference: ConsumerManager)
+
+  def consumerDir = s"$tablePath/consumer"
+
+  /** Smallest last-processed snapshot id over registered consumers:
+    * snapshots after it are still needed and must not expire
+    * (reference: ConsumerManager.minNextSnapshot guarding
+    * SnapshotDeletion). */
+  def minConsumerOffset: Option[Long] =
+    io.list(consumerDir).map(_.split('/').last)
+      .collect { case c if c.startsWith("consumer-") =>
+        scala.util.Try(io.readString(s"$consumerDir/$c").trim.toLong).toOption
+      }.flatten.minOption
 }

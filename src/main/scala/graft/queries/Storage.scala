@@ -400,5 +400,32 @@ object Storage {
         .select(col("o_orderkey"), col("o_custkey"),
           col("o_orderpriority").as("priority")))
       t2.read.select(col("o_orderkey"), col("o_custkey"), col("priority"))
+    },
+
+    // ---- SQL DML through the DSv2 catalog: DELETE FROM (partition
+    // drop + rewrite tiers) with the result read back through the
+    // native columnar scan (GraftBatchScan), not the V1 fallback.
+    QDef(
+      "g21_sql_delete",
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus <> 'F' AND o_orderkey >= 150
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val wh = Files.createTempDirectory("graft-g21-wh").toString
+      s.conf.set("spark.sql.catalog.graft_g21", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_g21.warehouse", wh)
+      tbl(s, dir, "orders").createOrReplaceTempView("g21_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g21.gate")
+      s.sql("""CREATE TABLE graft_g21.gate.orders_dml
+              |(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+              |PARTITIONED BY (o_orderstatus)""".stripMargin)
+      s.sql("""INSERT INTO graft_g21.gate.orders_dml
+              |SELECT o_orderkey, o_orderstatus, o_totalprice FROM g21_src""".stripMargin)
+      s.sql("DELETE FROM graft_g21.gate.orders_dml WHERE o_orderstatus = 'F'")
+      s.sql("DELETE FROM graft_g21.gate.orders_dml WHERE o_orderkey < 150")
+      s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+              |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+              |FROM graft_g21.gate.orders_dml
+              |GROUP BY o_orderstatus""".stripMargin)
     })
 }

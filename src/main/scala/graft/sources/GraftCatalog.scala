@@ -4,7 +4,7 @@ import graft.table.GraftTable
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
@@ -65,8 +65,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftTable.load(spark, tablePath(ident))
   }
 
-  override def loadTable(ident: Identifier): Table =
-    new GraftSparkTable(loadGraft(ident), snapshot = None)
+  override def loadTable(ident: Identifier): Table = {
+    val name = ident.name()
+    if (name.contains('$')) {
+      // system-table suffix: SELECT * FROM cat.db.`t$snapshots`
+      // (reference: 24 system tables under table/system/, resolved by
+      // the same $-suffix convention)
+      val Array(base, suffix) = name.split("\\$", 2)
+      val gt = loadGraft(Identifier.of(ident.namespace(), base))
+      val dfFn: () => DataFrame = suffix match {
+        case "snapshots" => () => gt.systemSnapshots
+        case "files" => () => gt.systemFiles
+        case "tags" => () => gt.systemTags
+        case "manifests" => () => gt.systemManifests
+        case "partitions" => () => gt.systemPartitions
+        case "schemas" => () => gt.systemSchemas
+        case "options" => () => gt.systemOptions
+        case "branches" => () => gt.systemBranches
+        case "consumers" => () => gt.systemConsumers
+        case "statistics" => () => gt.systemStatistics
+        case "audit_log" => () => gt.auditLog
+        case _ =>
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+      }
+      new GraftSystemTable(s"${gt.path}$$$suffix", dfFn)
+    } else new GraftSparkTable(loadGraft(ident), snapshot = None)
+  }
 
   override def loadTable(ident: Identifier, version: String): Table =
     new GraftSparkTable(loadGraft(ident), snapshot = Some(version.toLong))
@@ -101,12 +125,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val gt = loadGraft(ident)
-    changes.foreach {
-      case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
-        gt.addColumn(add.fieldNames()(0), add.dataType(), add.isNullable)
-      case other => throw new UnsupportedOperationException(
-        s"unsupported table change: $other")
+    changes.foreach { c =>
+      val gt = loadGraft(ident) // reload: prior change bumped the schema
+      c match {
+        case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
+          gt.addColumn(add.fieldNames()(0), add.dataType(), add.isNullable)
+        case ren: TableChange.RenameColumn if ren.fieldNames().length == 1 =>
+          gt.renameColumn(ren.fieldNames()(0), ren.newName())
+        case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
+          gt.dropColumn(del.fieldNames()(0))
+        case upd: TableChange.UpdateColumnType if upd.fieldNames().length == 1 =>
+          gt.widenColumn(upd.fieldNames()(0), upd.newDataType())
+        case other => throw new UnsupportedOperationException(
+          s"unsupported table change: $other")
+      }
     }
     new GraftSparkTable(loadGraft(ident), None)
   }
@@ -171,10 +203,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 }
 
-/** DSv2 table handle: batch read via V1Scan (DataFrame-backed), batch
-  * write via V1Write (InsertableRelation), dynamic-overwrite capable. */
+/** DSv2 table handle: native parquet batch read for append tables (V1
+  * fallback for merge-on-read), batch write via V1Write, dynamic
+  * overwrite, and filter-based SQL DELETE routed to the library's
+  * three-tier delete (metadata-only / deletion-vector / rewrite). */
 class GraftSparkTable(gt: GraftTable, snapshot: Option[Long])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftFilters.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    gt.delete(GraftFilters.toCondition(filters))
 
   override def name(): String = gt.path
   override def schema(): StructType = gt.schema.toStruct
@@ -185,7 +226,8 @@ class GraftSparkTable(gt: GraftTable, snapshot: Option[Long])
     gt.schema.options.asJava
 
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE,
       TableCapability.OVERWRITE_DYNAMIC, TableCapability.TRUNCATE)
       .asJava
 
@@ -197,10 +239,14 @@ class GraftSparkTable(gt: GraftTable, snapshot: Option[Long])
 }
 
 class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
+  private var limit: Option[Int] = None
+  private var aggResult: Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -210,8 +256,130 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new V1Scan
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed: Boolean = true
+
+  /** COUNT(*) / MIN / MAX with no grouping and no residual filter are
+    * answered from manifest stats alone via a LocalScan — zero data
+    * files opened (reference: AggregatePushDownUtils + LocalAggregator).
+    * Spark only attempts this when every filter was fully consumed by
+    * the scan; we keep filters as residuals, so it fires exactly on
+    * whole-table aggregates. */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.connector.expressions.FieldReference
+    if (snapshot.isDefined || pushed.nonEmpty || agg.groupByExpressions.nonEmpty)
+      return false
+    val entries = gt.sm.latestSnapshot().map(gt.sm.liveEntries).getOrElse(Seq.empty)
+    val dvPresent = entries.exists(_.file.dvFile.isDefined)
+    val values = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        Some(("count(*)", org.apache.spark.sql.types.LongType: org.apache.spark.sql.types.DataType,
+          gt.countRows().asInstanceOf[Any]))
+      case m: Min => statsValue(m.column, isMin = true, dvPresent)
+        .map { case (n, t, v) => (s"min($n)", t, v) }
+      case m: Max => statsValue(m.column, isMin = false, dvPresent)
+        .map { case (n, t, v) => (s"max($n)", t, v) }
+      case _ => None
+    }
+    if (values.exists(_.isEmpty)) return false
+    val resolved = values.flatten
+    val schema = StructType(resolved.map { case (n, t, _) =>
+      org.apache.spark.sql.types.StructField(n, t)
+    })
+    val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(resolved.map(_._3))
+    aggResult = Some((schema, Array(row)))
+    true
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    pushAggregation(agg)
+
+  private def statsValue(
+      colExpr: org.apache.spark.sql.connector.expressions.Expression,
+      isMin: Boolean, dvPresent: Boolean)
+      : Option[(String, org.apache.spark.sql.types.DataType, Any)] = {
+    import org.apache.spark.sql.types._
+    // deleted positions could hold the extreme value: stats are
+    // unusable once deletion vectors exist
+    if (dvPresent) return None
+    val name = colExpr match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames().length == 1 => nr.fieldNames()(0)
+      case _ => return None
+    }
+    val field = full.fields.find(_.name == name).getOrElse(return None)
+    gt.statsMinMax(name).map { case (mn, mx) =>
+      val s = if (isMin) mn else mx
+      val v: Any = field.dataType match {
+        case ByteType => s.toLong.toByte
+        case ShortType => s.toLong.toShort
+        case IntegerType => s.toLong.toInt
+        case LongType => s.toLong
+        case DateType => s.toLong.toInt
+        case TimestampType | TimestampNTZType => s.toLong
+        case FloatType => s.toFloat
+        case DoubleType => s.toDouble
+        case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        case BooleanType => s.toBoolean
+        case _ => return None
+      }
+      (name, field.dataType, v)
+    }
+  }
+
+  override def build(): Scan = {
+    aggResult match {
+      case Some((schema, rows)) => new GraftLocalScan(schema, rows)
+      case None =>
+        val cond = GraftFilters.toCondition(pushed)
+        val sch = gt.schema
+        val entries =
+          if (snapshot.contains(-1L)) Seq.empty
+          else gt.planEntries(cond, snapshot)
+        val nativeEligible = !gt.isPrimaryKeyTable &&
+          entries.forall(e => e.file.dvFile.isEmpty && e.file.schemaId == sch.id)
+        if (nativeEligible) {
+          // limit pushdown: stop planning once enough rows are covered
+          val limited = limit match {
+            case None => entries
+            case Some(n) =>
+              var acc = 0L
+              entries.takeWhile { e => val need = acc < n; acc += e.file.rowCount; need }
+          }
+          val partCols = sch.partitionKeys.toSet
+          val dataSchema = StructType(full.fields.filterNot(f => partCols(f.name)))
+          val readData = StructType(required.fields.filterNot(f => partCols(f.name)))
+          val readPart = StructType(required.fields.filter(f => partCols(f.name)))
+          val dataFilters = pushed.filter(
+            _.references.forall(r => !partCols(r)))
+          new GraftBatchScan(gt, limited, dataSchema, readData, readPart,
+            dataFilters, required)
+        } else v1Fallback(cond)
+    }
+  }
+
+  /** Merge-on-read (PK) tables, deletion vectors and mixed-schema file
+    * sets read through the library's DataFrame plan via the V1
+    * fallback — the merge itself is a Spark plan, so codegen still
+    * covers everything above the row conversion. */
+  private def v1Fallback(cond: Column): Scan = new V1Scan
       with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+    /** streaming read (offset = snapshot id) shares the native
+      * micro-batch source: PK delta files surface upsert records with
+      * hidden columns projected away. */
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+      val sch = gt.schema
+      val partCols = sch.partitionKeys.toSet
+      val dataSchema = StructType(full.fields.filterNot(f => partCols(f.name)))
+      val readData = StructType(required.fields.filterNot(f => partCols(f.name)))
+      val readPart = StructType(required.fields.filter(f => partCols(f.name)))
+      new GraftMicroBatchStream(gt, dataSchema, readData, readPart, required)
+    }
 
     /** manifest-derived stats feed Spark's join planning (broadcast
       * decisions) without touching data files. */
@@ -229,7 +397,6 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType)
     override def readSchema(): StructType = required
     override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
         with org.apache.spark.sql.sources.TableScan](context: SQLContext): T = {
-      val cond = GraftFilters.toCondition(pushed)
       val cols = required.fieldNames
       new org.apache.spark.sql.sources.BaseRelation
           with org.apache.spark.sql.sources.TableScan {
@@ -249,6 +416,33 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType)
       }.asInstanceOf[T]
     }
   }
+}
+
+/** Read-only DSv2 table over a metadata DataFrame (the `$`-suffix
+  * system tables). The DataFrame is rebuilt per scan so SQL always
+  * sees current metadata. */
+class GraftSystemTable(tableName: String, dfFn: () => DataFrame)
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = dfFn().schema
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): util.Map[String, String] = util.Collections.emptyMap()
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new V1Scan {
+      override def readSchema(): StructType = schema()
+      override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan](context: SQLContext): T =
+        new org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = dfFn().schema
+          override def buildScan(): RDD[Row] = dfFn().rdd
+        }.asInstanceOf[T]
+    }
 }
 
 class GraftWriteBuilder(gt: GraftTable)

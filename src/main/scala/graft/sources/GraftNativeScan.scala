@@ -1,0 +1,267 @@
+package graft.sources
+
+import graft.core.Meta.ManifestEntry
+import graft.table.GraftTable
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** Shared planning/reader plumbing for the native DSv2 batch scan and
+  * the micro-batch stream: manifest entries → FilePartitions, and a
+  * vectorized parquet reader factory configured like Spark's own
+  * ParquetScan. */
+private[sources] object GraftScanUtil {
+
+  /** Decode one partition-directory value to a Catalyst internal value
+    * (dir names are Hive-escaped; typed values parse via Cast, exactly
+    * like Spark's own partition inference). */
+  def partitionValue(raw: String, dt: DataType): Any = {
+    if (raw == null) return null
+    val unescaped = ExternalCatalogUtils.unescapePathName(raw)
+    if (unescaped == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) return null
+    dt match {
+      case StringType => UTF8String.fromString(unescaped)
+      case _ => Cast(
+        Literal(UTF8String.fromString(unescaped), StringType), dt,
+        Some(SQLConf.get.sessionLocalTimeZone)).eval()
+    }
+  }
+
+  def filePartitions(
+      spark: SparkSession, tablePath: String,
+      entries: Seq[ManifestEntry], partitionSchema: StructType): Array[InputPartition] = {
+    val files = entries.map { e =>
+      val pv = InternalRow.fromSeq(partitionSchema.fields.toSeq.map { f =>
+        partitionValue(e.partition.get(f.name).orNull, f.dataType)
+      })
+      PartitionedFile(pv,
+        SparkPath.fromPathString(s"$tablePath/${e.file.fileName}"),
+        0, e.file.fileSize, Array.empty, 0L, e.file.fileSize)
+    }
+    val maxSplit = FilePartition.maxSplitBytes(spark, files.map(_.fileSize).sum)
+    FilePartition.getFilePartitions(spark, files, maxSplit).toArray
+  }
+
+  def readerFactory(
+      spark: SparkSession, dataSchema: StructType, readDataSchema: StructType,
+      partitionSchema: StructType, filters: Array[Filter]): PartitionReaderFactory = {
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, ParquetWriteSupport}
+    val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
+    val sqlConf = spark.sessionState.conf
+    // the reader-side conf Spark's own ParquetScan.createReaderFactory
+    // installs: requested schema + ReadSupport wiring
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readDataSchema.json)
+    conf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, readDataSchema.json)
+    ParquetWriteSupport.setSchema(readDataSchema, conf)
+    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+    conf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+      sqlConf.nestedSchemaPruningEnabled)
+    conf.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
+    conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+      sqlConf.isParquetBinaryAsString)
+    conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      sqlConf.isParquetINT96AsTimestamp)
+    conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sqlConf.legacyParquetNanosAsLong)
+    conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.parquetInferTimestampNTZEnabled)
+    conf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
+      sqlConf.parquetFieldIdReadEnabled)
+    val bc = spark.sparkContext.broadcast(new SerializableConfiguration(conf))
+    ParquetPartitionReaderFactory(
+      SQLConf.get, bc, dataSchema, readDataSchema, partitionSchema,
+      filters, None, new ParquetOptions(Map.empty[String, String], SQLConf.get))
+  }
+
+  /** Wrap a reader factory so its output column order matches `to`
+    * (the relation's order) instead of `from` (data-then-partition).
+    * Columnar batches just permute vector references — zero copy. */
+  def permuted(
+      delegate: PartitionReaderFactory,
+      from: StructType, to: StructType): PartitionReaderFactory = {
+    if (from.fieldNames.sameElements(to.fieldNames)) return delegate
+    val perm = to.fieldNames.map(n => from.fieldIndex(n))
+    new PermutedReaderFactory(delegate, perm, to)
+  }
+}
+
+/** Reorders reader output columns by `perm` (output i ← input perm(i)). */
+private[sources] class PermutedReaderFactory(
+    delegate: PartitionReaderFactory, perm: Array[Int], to: StructType)
+    extends PartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    delegate.supportColumnarReads(partition)
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val d = delegate.createReader(partition)
+    val types = to.fields.map(_.dataType)
+    new PartitionReader[InternalRow] {
+      private val projected = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(perm.length)
+      override def next(): Boolean = d.next()
+      override def get(): InternalRow = {
+        val row = d.get()
+        var i = 0
+        while (i < perm.length) {
+          projected.update(i,
+            if (row.isNullAt(perm(i))) null else row.get(perm(i), types(i)))
+          i += 1
+        }
+        projected
+      }
+      override def close(): Unit = d.close()
+    }
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val d = delegate.createColumnarReader(partition)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      override def next(): Boolean = d.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = d.get()
+        val cols = perm.map(b.column)
+        new org.apache.spark.sql.vectorized.ColumnarBatch(cols, b.numRows())
+      }
+      override def close(): Unit = d.close()
+    }
+  }
+}
+
+/** Native DSv2 batch scan over manifest-planned parquet files
+  * (append-only tables).
+  *
+  * The driver plans the pruned file list from manifests (partition +
+  * stats + bloom skipping, limit truncation); executors read through
+  * Spark's own vectorized parquet reader factory — columnar batches
+  * feed whole-stage codegen directly, with pushed filters applied as
+  * row-group skipping. This replaces the former V1Scan fallback, which
+  * materialized an RDD[Row] and broke codegen at the scan boundary
+  * (reference shape: PaimonScan.toBatch → PaimonBatch
+  * .planInputPartitions over DataSplits, with Spark's reader). */
+class GraftBatchScan(
+    gt: GraftTable,
+    entries: Seq[ManifestEntry],
+    dataSchema: StructType,      // physical file columns (no partition cols)
+    readDataSchema: StructType,  // pruned physical columns
+    partitionSchema: StructType, // pruned partition columns
+    filters: Array[Filter],
+    required: StructType)        // pruned schema in the RELATION's order
+    extends Scan with Batch with SupportsReportStatistics {
+
+  private def spark = gt.spark
+
+  // readSchema preserves the relation's column order (partition columns
+  // may interleave): Spark then never wraps the scan relation in a
+  // reordering Project — which DELETE FROM planning rejects outright.
+  // The reader emits data-then-partition columns; the factory permutes.
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(gt, dataSchema, readDataSchema, partitionSchema,
+      required)
+
+  override def description(): String =
+    s"GraftBatchScan(files=${entries.size}, " +
+      s"pushed=[${filters.mkString(", ")}])"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftScanUtil.filePartitions(spark, gt.path, entries, partitionSchema)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftScanUtil.permuted(
+      GraftScanUtil.readerFactory(spark, dataSchema, readDataSchema,
+        partitionSchema, filters),
+      StructType(readDataSchema.fields ++ partitionSchema.fields), required)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(entries.map(_.file.fileSize).sum, 1L))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(entries.map(e =>
+        e.file.rowCount - e.file.dvCardinality.getOrElse(0L)).sum)
+  }
+}
+
+/** Driver-local scan answering pushed-down aggregates (COUNT / MIN /
+  * MAX) purely from manifest statistics — zero data files opened
+  * (reference: scan-level aggregate pushdown, AggregatePushDownUtils +
+  * LocalAggregator returning a LocalScan). */
+class GraftLocalScan(output: StructType, data: Array[InternalRow])
+    extends LocalScan {
+  override def rows(): Array[InternalRow] = data
+  override def readSchema(): StructType = output
+  override def description(): String = s"GraftLocalScan(${output.simpleString})"
+}
+
+/** Snapshot-id offset for the micro-batch stream. */
+case class GraftOffset(snapshotId: Long) extends Offset {
+  override def json(): String = snapshotId.toString
+}
+
+/** Structured Streaming source over a graft table: offsets are
+  * snapshot ids; each micro-batch reads the delta files committed in
+  * (start, end] — an incremental scan, never a re-read of the table
+  * (reference: paimon-spark .../sources/PaimonMicroBatchStream
+  * .scala:33-37, offset = snapshot id). COMPACT snapshots carry no
+  * logical change and are skipped; deletion-vector re-ADDs of the same
+  * file are skipped the same way as incrementalRead. Works for append
+  * tables and PK tables (PK deltas surface the upsert records; hidden
+  * columns are projected away by the requested schema). */
+class GraftMicroBatchStream(
+    gt: GraftTable,
+    dataSchema: StructType,
+    readDataSchema: StructType,
+    partitionSchema: StructType,
+    required: StructType)
+    extends MicroBatchStream {
+
+  private def sm = gt.sm
+
+  override def initialOffset(): Offset = GraftOffset(-1L)
+
+  override def latestOffset(): Offset =
+    GraftOffset(sm.latestSnapshotId.getOrElse(-1L))
+
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].snapshotId
+    val e = end.asInstanceOf[GraftOffset].snapshotId
+    val deltas = sm.snapshotIds.filter(i => i > s && i <= e)
+      .map(sm.snapshot)
+      .filter(_.commitKind != graft.core.Meta.KindCompact)
+      .flatMap(sn => sn.deltaManifest.map(sm.readManifest))
+    val entries = deltas.flatMap { delta =>
+      val deleted = delta.filter(_.kind == "DELETE").map(_.file.fileName).toSet
+      delta.filter(en => en.kind == "ADD" && !deleted.contains(en.file.fileName))
+    }
+    GraftScanUtil.filePartitions(gt.spark, gt.path, entries, partitionSchema)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftScanUtil.permuted(
+      GraftScanUtil.readerFactory(gt.spark, dataSchema, readDataSchema,
+        partitionSchema, Array.empty),
+      StructType(readDataSchema.fields ++ partitionSchema.fields), required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

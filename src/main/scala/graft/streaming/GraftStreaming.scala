@@ -43,6 +43,14 @@ object GraftStreaming {
       table.writeWatermarked(batch, commitIdentifier = epochId, watermark = wm)
     }
 
+  /** Checkpoint path for a REGISTERED consumer: offsets live under the
+    * table's consumer/ dir, where snapshot expiration sees them and
+    * keeps every snapshot past the slowest consumer (reference:
+    * ConsumerManager + consumer-id option). Use with
+    * [[processChangelog]]/[[startChangelog]]. */
+  def consumerCheckpoint(table: GraftTable, consumerId: String): String =
+    s"${table.path}/consumer/consumer-$consumerId"
+
   /** Drain all unprocessed snapshots through `process`, one call per
     * snapshot delta, advancing a durable offset. Safe to call on any
     * cadence (a scheduler trigger, a loop, a test).

@@ -151,8 +151,16 @@ final class GraftTable private (
         victims.map(_.copy(kind = "DELETE"))
       }
     }
-    commitFilesFn(out, sch, sch.partitionKeys :+ "__bucket",
-      if (overwrite) KindOverwrite else KindAppend, base, commitIdentifier, deletesFor)
+    val clProducer = sch.options.getOrElse("changelog-producer", "input")
+    val withChangelog = !overwrite &&
+      (clProducer == "lookup" || clProducer == "full-compaction")
+    if (withChangelog) out.persist()
+    try {
+      val changelog = if (withChangelog) buildChangelog(sch, out) else None
+      commitFilesFn(out, sch, sch.partitionKeys :+ "__bucket",
+        if (overwrite) KindOverwrite else KindAppend, base, commitIdentifier,
+        deletesFor, changelogManifest = changelog)
+    } finally if (withChangelog) { out.unpersist(); () }
   }
 
   private def struct_ord(cols: Column*): Column =
@@ -192,7 +200,8 @@ final class GraftTable private (
       out: DataFrame, sch: TableSchema, partitionBy: Seq[String],
       kind: String, seqBase: Long, commitIdentifier: Long,
       deletesFor: Seq[ManifestEntry] => Seq[ManifestEntry],
-      level: Int = 0): Long = {
+      level: Int = 0,
+      changelogManifest: Option[String] = None): Long = {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val staging = s"$path/staging/${UUID.randomUUID()}"
     val writer = out.write.mode("overwrite")
@@ -219,50 +228,62 @@ final class GraftTable private (
       ManifestEntry("ADD", partition, bucket, meta)
     }
     deleteRecursive(stagingPath)
-    val indexed = buildBloomIndexes(sch, added)
+    val indexed = buildFileIndexes(sch, added)
     val deletes = deletesFor(indexed)
     val deletedNames = deletes.map(_.file.fileName).toSet
     sm.commit(indexed ++ deletes, kind, sch.id, commitIdentifier,
       watermark = pendingWatermark,
       conflictCheck = latest =>
         deletedNames.isEmpty ||
-          deletedNames.subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet))
+          deletedNames.subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet),
+      changelogManifest = changelogManifest)
   }
 
-  /** Build per-file bloom sidecars for the configured columns in one
-    * distributed job (group by _metadata.file_path, fold values into
-    * BloomFilters with map-side partial merge). See core.BloomIndex. */
-  private def buildBloomIndexes(
+  /** Build per-file index sidecars (bloom + bitmap) for the configured
+    * columns in ONE distributed job: group fresh rows by
+    * `_metadata.file_path`, fold each indexed column into its filter /
+    * position bitmaps with map-side partial merge, write sidecars from
+    * the executors, return only paths. See core.BloomIndex /
+    * core.BitmapIndex. */
+  private def buildFileIndexes(
       sch: TableSchema, added: Seq[ManifestEntry]): Seq[ManifestEntry] = {
-    val bloomCols = sch.options.get(BloomIndex.OptionColumns)
+    def colsOf(option: String): Seq[String] = sch.options.get(option)
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq.empty)
       .filter(c => sch.fields.exists(_.name == c) && !sch.partitionKeys.contains(c))
-    if (bloomCols.isEmpty || added.isEmpty) return added
+    val bloomCols = colsOf(BloomIndex.OptionColumns)
+    val bitmapCols = colsOf(BitmapIndex.OptionColumns).filterNot(bloomCols.contains)
+    if ((bloomCols.isEmpty && bitmapCols.isEmpty) || added.isEmpty) return added
     val items = sch.options.get(BloomIndex.OptionItems)
       .map(_.toLong).getOrElse(BloomIndex.DefaultItems)
     val bloomUdaf = udaf(new BloomIndex.BloomAgg(items))
+    val bitmapUdaf = udaf(new BitmapIndex.BitmapAgg)
     val paths = added.map(e => s"$path/${e.file.fileName}")
-    val aggs = bloomCols.map(c => bloomUdaf(col(c).cast("string")).as(c))
-    // Sidecars are written by the executors that hold the aggregated
-    // filters; only (file, column, sidecar-path) strings return to the
-    // driver — filter bytes never do (a 10k-file backfill would
-    // otherwise ship GBs through the driver).
+    val aggs =
+      bloomCols.map(c => bloomUdaf(col(c).cast("string")).as(s"x_$c")) ++
+        bitmapCols.map(c =>
+          bitmapUdaf(col(c).cast("string"), col("__ri")).as(s"x_$c"))
+    val kinds = bloomCols.map(_ -> "bloom") ++ bitmapCols.map(_ -> "bitmap")
     val io = sm.io
     val tableRoot = path
-    val cols = bloomCols
     import spark.implicits._
     val written: Array[(String, String, String)] = spark.read.parquet(paths: _*)
       .select(col("_metadata.file_path").as("__f") +:
-        bloomCols.map(col).toIndexedSeq: _*)
+        col("_metadata.row_index").as("__ri") +:
+        (bloomCols ++ bitmapCols).distinct.map(col).toIndexedSeq: _*)
       .groupBy("__f")
       .agg(aggs.head, aggs.tail: _*)
       .flatMap { r =>
         val f = r.getString(0)
-        cols.zipWithIndex.map { case (c, i) =>
-          val rel = s"index/${java.util.UUID.randomUUID()}.$c.bloom"
-          io.writeBytes(s"$tableRoot/$rel", r.getAs[Array[Byte]](i + 1))
-          (f, c, rel)
+        kinds.zipWithIndex.flatMap { case ((c, kind), i) =>
+          val bytes = r.getAs[Array[Byte]](i + 1)
+          // empty payload = aborted (cardinality overflow) — no sidecar
+          if (bytes == null || bytes.isEmpty) None
+          else {
+            val rel = s"index/${java.util.UUID.randomUUID()}.$c.$kind"
+            io.writeBytes(s"$tableRoot/$rel", bytes)
+            Some((f, c, rel))
+          }
         }
       }
       .collect()
@@ -279,9 +300,11 @@ final class GraftTable private (
     }
   }
 
-  /** lazily loaded + cached bloom sidecars, keyed by sidecar path */
+  /** lazily loaded + cached index sidecars, keyed by sidecar path */
   private val bloomCache =
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.util.sketch.BloomFilter]
+  private val bitmapCache =
+    scala.collection.concurrent.TrieMap.empty[String, BitmapIndex.Decoded]
 
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
@@ -311,6 +334,15 @@ final class GraftTable private (
   def readSnapshot(id: Option[Long]): DataFrame =
     id.map(i => mergedFromEntries(sm.liveEntries(sm.snapshot(i))))
       .getOrElse(emptyDf())
+
+  /** Pruned manifest entries for an external planner (the DSv2 scan):
+    * same partition/stats/bloom skipping as [[scan]], optionally
+    * against a historical snapshot. */
+  private[graft] def planEntries(
+      filter: Column, snapshotId: Option[Long] = None): Seq[ManifestEntry] = {
+    val snap = snapshotId.map(sm.snapshot).orElse(sm.latestSnapshot())
+    snap.map(pruneEntries(_, filter)).getOrElse(Seq.empty)
+  }
 
   // ================= scan-level pushdowns =================
 
@@ -442,8 +474,12 @@ final class GraftTable private (
     readSnapshot(id)
   }
 
-  /** Time travel: tag. */
-  def readTag(name: String): DataFrame = readSnapshot(sm.tagSnapshotId(name))
+  /** Time travel: tag. Reads through the tag's own snapshot copy, so
+    * it survives expiration of the original snapshot. */
+  def readTag(name: String): DataFrame =
+    sm.tagSnapshot(name)
+      .map(s => mergedFromEntries(sm.liveEntries(s)))
+      .getOrElse(emptyDf())
 
   def createTag(name: String): Unit =
     sm.createTag(name, sm.latestSnapshotId.getOrElse(
@@ -559,13 +595,21 @@ final class GraftTable private (
     * as -D kinded rows in the delta files themselves. */
   def incrementalRead(fromExclusive: Long, toInclusive: Long): DataFrame = {
     val ids = sm.snapshotIds.filter(i => i > fromExclusive && i <= toInclusive)
-    val deltas = ids.map(sm.snapshot)
-      .filter(_.commitKind != KindCompact)
+    val snaps = ids.map(sm.snapshot).filter(_.commitKind != KindCompact)
+    // snapshots with a persisted changelog serve exact -U/+U pairs
+    // directly (changelog-producer=lookup); the rest derive from deltas
+    val (withCl, withoutCl) = snaps.partition(_.changelogManifest.isDefined)
+    val clRows =
+      if (withCl.isEmpty) None
+      else Some(readChangelogFiles(
+        withCl.flatMap(s => sm.readManifest(s.changelogManifest.get))))
+    val deltas = withoutCl
       .flatMap(s => s.deltaManifest.map(sm.readManifest))
     val addEntries = deltas.flatMap { delta =>
       val deleted = delta.filter(_.kind == "DELETE").map(_.file.fileName).toSet
       delta.filter(e => e.kind == "ADD" && !deleted.contains(e.file.fileName))
     }
+    val outCols = (struct.fieldNames :+ "_row_kind").map(col).toIndexedSeq
     val raw = readRaw(addEntries)
     val plusRows =
       if (isPrimaryKeyTable)
@@ -573,7 +617,9 @@ final class GraftTable private (
           .drop(KindCol, SeqCol, "__bucket")
       else raw.select(struct.fieldNames.map(col).toIndexedSeq: _*)
         .withColumn("_row_kind", lit("+I"))
-    if (isPrimaryKeyTable) return plusRows
+    if (isPrimaryKeyTable)
+      return (Seq(plusRows.select(outCols: _*)) ++
+        clRows.map(_.select(outCols: _*))).reduce(_ unionAll _)
     // append tables: derive -D rows for deleted entries
     val dataCols = struct.fieldNames.map(col).toIndexedSeq
     val minusParts = deltas.flatMap { delta =>
@@ -649,7 +695,17 @@ final class GraftTable private (
     val cond = analyzedCond.flatMap { c =>
       if (!isPrimaryKeyTable) Some(c)
       else {
-        val safe = (sch.primaryKeys ++ sch.partitionKeys).toSet
+        // partition columns are prune-safe only when they are part of
+        // the primary key: otherwise a key can MOVE partitions between
+        // versions, and pruning the new partition's files would resolve
+        // the merge to the stale row in the old partition (the
+        // reference guards this case with a global index —
+        // GlobalIndexAssigner; without one, partition predicates must
+        // wait until after the merge).
+        val partSafe =
+          if (sch.partitionKeys.forall(sch.primaryKeys.contains)) sch.partitionKeys
+          else Seq.empty
+        val safe = (sch.primaryKeys ++ partSafe).toSet
         splitConjuncts(c)
           .filter(_.references.toSeq.map(_.name).toSet.subsetOf(safe))
           .reduceOption(org.apache.spark.sql.catalyst.expressions.And.apply)
@@ -666,12 +722,19 @@ final class GraftTable private (
         val augmented = base.copy(stats = base.stats ++ partStats)
         cond.forall { c =>
           StatsFilter.mightMatch(c, augmented, sch) && {
-            // bloom sidecars refine equality/IN where ranges overlap
+            // index sidecars refine point predicates where ranges
+            // overlap: bloom approximately, bitmap exactly
             val idx = base.indexFiles.getOrElse(Map.empty)
-            idx.isEmpty || BloomIndex.mightMatch(c, idx.keySet,
-              col => idx.get(col).map(rel =>
+            val bloomIdx = idx.filter(_._2.endsWith(".bloom"))
+            val bitmapIdx = idx.filter(_._2.endsWith(".bitmap"))
+            (bloomIdx.isEmpty || BloomIndex.mightMatch(c, bloomIdx.keySet,
+              col => bloomIdx.get(col).map(rel =>
                 bloomCache.getOrElseUpdate(rel,
-                  BloomIndex.deserialize(sm.io.readBytes(s"$path/$rel")))))
+                  BloomIndex.deserialize(sm.io.readBytes(s"$path/$rel")))))) &&
+            (bitmapIdx.isEmpty || BitmapIndex.mightMatch(c, bitmapIdx.keySet,
+              col => bitmapIdx.get(col).map(rel =>
+                bitmapCache.getOrElseUpdate(rel,
+                  BitmapIndex.deserialize(sm.io.readBytes(s"$path/$rel"))))))
           }
         }
       } catch { case _: Exception => true }
@@ -714,6 +777,64 @@ final class GraftTable private (
   }
 
   def expireSnapshots(retain: Int): Seq[Long] = sm.expireSnapshots(retain)
+
+  /** Drop partitions whose value in `column` sorts strictly below
+    * `olderThan` (typed comparison) — time-partition retention as one
+    * metadata-only OVERWRITE commit; no data file is opened
+    * (reference: PartitionExpire.java driven by the expire_partitions
+    * procedure). Returns the dropped partition values. */
+  def expirePartitions(column: String, olderThan: String): Seq[Map[String, String]] = {
+    val sch = schema
+    require(sch.partitionKeys.contains(column),
+      s"$column is not a partition column")
+    val snap = sm.latestSnapshot().getOrElse(return Seq.empty)
+    val field = struct.fields.find(_.name == column).get
+    val cond = col(column) < lit(olderThan).cast(field.dataType)
+    val victims = partitionsMatching(sm.liveEntries(snap), cond)
+    if (victims.isEmpty) return Seq.empty
+    sm.commit(victims.map(_.copy(kind = "DELETE")), KindOverwrite, sch.id,
+      conflictCheck = latest => victims.map(_.file.fileName).toSet
+        .subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet))
+    victims.map(_.partition).distinct
+  }
+
+  /** Delete files under the table directory that no snapshot of any
+    * branch references and that are older than `graceMillis` — debris
+    * from writers that crashed between staging and commit (reference:
+    * OrphanFilesClean.java / remove_orphan_files procedure). The grace
+    * period protects files of in-flight commits. Returns deleted
+    * paths. */
+  def removeOrphanFiles(graceMillis: Long = 24L * 3600 * 1000): Seq[String] = {
+    val referenced: Set[String] = {
+      val sms = (None +: sm.branches.map(Option(_)))
+        .map(b => new SnapshotManager(path, b, sm.io))
+      sms.flatMap(s => s.snapshotIds.map(s.snapshot).flatMap { sn =>
+        (s.readManifestList(sn.manifestList) ++ sn.deltaManifest)
+          .distinct.flatMap(s.readManifest)
+      }).flatMap(e =>
+        Seq(e.file.fileName) ++ e.file.dvFile ++
+          e.file.indexFiles.map(_.values).getOrElse(Seq.empty)).toSet
+    }
+    val cutoff = System.currentTimeMillis() - graceMillis
+    val roots = Seq(s"$path/data", s"$path/index", s"$path/staging")
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
+    roots.foreach { root =>
+      val rp = Paths.get(root)
+      if (Files.isDirectory(rp)) {
+        Files.walk(rp).iterator().asScala
+          .filter(Files.isRegularFile(_))
+          .foreach { p =>
+            val rel = Paths.get(path).relativize(p).toString
+            if (!referenced.contains(rel) &&
+              Files.getLastModifiedTime(p).toMillis < cutoff) {
+              Files.deleteIfExists(p)
+              deleted += rel
+            }
+          }
+      }
+    }
+    deleted.toSeq
+  }
 
   /** Roll back to an earlier snapshot, discarding later commits
     * (reference: rollback/rollback_to_timestamp procedures). */
@@ -759,6 +880,7 @@ final class GraftTable private (
     val data = readAppendData(old)
     val clustered = strategy match {
       case "zorder" => graft.operators.ZOrder.cluster(data, cols, n)
+      case "hilbert" => graft.operators.ZOrder.clusterByHilbert(data, cols, n)
       case "order" => graft.operators.ZOrder.clusterByOrder(data, cols, n)
       case other => throw new IllegalArgumentException(s"unknown order strategy: $other")
     }
@@ -976,9 +1098,15 @@ final class GraftTable private (
       MergeEngine.merge(
         readRaw(entries).join(touchedKeys, pk, "left_semi"), sch)
     }
-    val before = state(fromSnapshot)
-      .select(cols.map(c => col(c).as(s"__b_$c")).toIndexedSeq: _*)
-    val after = state(toSnapshot)
+    stateDiff(state(fromSnapshot), state(toSnapshot))
+  }
+
+  /** -U/+U/+I/-D rows between two merged states (full outer join on
+    * primary key, change detection on the whole row). */
+  private def stateDiff(before0: DataFrame, after: DataFrame): DataFrame = {
+    val pk = schema.primaryKeys
+    val cols = struct.fieldNames
+    val before = before0.select(cols.map(c => col(c).as(s"__b_$c")).toIndexedSeq: _*)
     val joined = after.join(before,
       pk.map(k => col(k) === col(s"__b_$k")).reduce(_ && _), "full_outer")
     val inAfter = col(pk.head).isNotNull
@@ -993,6 +1121,57 @@ final class GraftTable private (
       .unionAll(joined.filter(!inAfter && inBefore).select(beforeSel("-D"): _*))
       .unionAll(joined.filter(inAfter && inBefore && changed).select(beforeSel("-U"): _*))
       .unionAll(joined.filter(inAfter && inBefore && changed).select(afterSel("+U"): _*))
+  }
+
+  /** Persisted per-commit changelog (changelog-producer = lookup):
+    * before committing a PK batch, diff the pre-image state of the
+    * batch's keys (bucket-pruned + semi-joined, never a full scan)
+    * against the post-merge state and write the exact -U/+U/+I/-D rows
+    * as changelog files; incremental readers then serve them directly
+    * instead of re-deriving (reference:
+    * LookupChangelogMergeFunctionWrapper / LookupMergeTreeCompactRewriter
+    * — the lookup cost is paid once at write time). */
+  private def buildChangelog(sch: TableSchema, out: DataFrame): Option[String] = {
+    val pk = sch.primaryKeys
+    val batchKeys = out.select(pk.map(col).toIndexedSeq: _*).distinct()
+    val buckets = out.select("__bucket").distinct().collect().map(_.getInt(0)).toSet
+    val pruned = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+      .filter(e => buckets.contains(e.bucket))
+    val rawOld = readRaw(pruned).join(batchKeys, pk, "left_semi")
+    val before = MergeEngine.merge(rawOld, sch)
+    val after = MergeEngine.merge(rawOld.unionByName(out), sch)
+    val diff = stateDiff(before, after)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    val clDir = s"changelog/${UUID.randomUUID()}"
+    diff.write.parquet(s"$path/$clDir")
+    val files = Files.walk(Paths.get(s"$path/$clDir")).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq
+    val entries = files.map { p =>
+      val rel = s"$clDir/${p.getFileName}"
+      ManifestEntry("ADD", Map.empty, 0,
+        ParquetStats.read(hadoopConf, p.toString, rel, level = 0,
+          minSeq = 0L, maxSeq = 0L).copy(schemaId = sch.id))
+    }
+    // a no-change commit still records an EMPTY changelog manifest:
+    // readers must see "exact changelog: nothing" rather than fall
+    // back to re-deriving from delta files
+    if (entries.forall(_.file.rowCount == 0)) {
+      deleteRecursive(Paths.get(s"$path/$clDir"))
+      Some(sm.writeManifest(Seq.empty))
+    } else Some(sm.writeManifest(entries.filter(_.file.rowCount > 0)))
+  }
+
+  /** Changelog rows persisted for a snapshot, if any. */
+  private def readChangelogFiles(entries: Seq[ManifestEntry]): DataFrame = {
+    val clSchema = StructType(struct.fields :+
+      StructField("_row_kind", org.apache.spark.sql.types.StringType, nullable = false))
+    if (entries.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], clSchema)
+    else
+      spark.read.schema(clSchema)
+        .parquet(entries.map(e => s"$path/${e.file.fileName}"): _*)
   }
 
   private def dvEnabled: Boolean =
@@ -1196,6 +1375,70 @@ final class GraftTable private (
   def systemTags: DataFrame = {
     import spark.implicits._
     sm.tags.toSeq.map { case (n, id) => (n, id) }.toDF("tag_name", "snapshot_id")
+  }
+
+  /** `$manifests`: manifests of the latest snapshot (reference:
+    * table/system/ManifestsTable.java). */
+  def systemManifests: DataFrame = {
+    import spark.implicits._
+    sm.latestSnapshot().toSeq.flatMap { s =>
+      sm.readManifestList(s.manifestList).map { m =>
+        val entries = sm.readManifest(m)
+        (m, entries.count(_.kind == "ADD"), entries.count(_.kind == "DELETE"))
+      }
+    }.toDF("manifest_name", "num_added_files", "num_deleted_files")
+  }
+
+  /** `$partitions`: live per-partition row/file/size rollup (reference:
+    * table/system/PartitionsTable.java). */
+  def systemPartitions: DataFrame = {
+    import spark.implicits._
+    val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+    entries.groupBy(_.partition).map { case (p, es) =>
+      (p.map { case (k, v) => s"$k=$v" }.mkString("/"),
+        es.map(e => e.file.rowCount - e.file.dvCardinality.getOrElse(0L)).sum,
+        es.size.toLong, es.map(_.file.fileSize).sum)
+    }.toSeq.toDF("partition", "record_count", "file_count", "total_size")
+  }
+
+  /** `$schemas`: every schema version (reference:
+    * table/system/SchemasTable.java). */
+  def systemSchemas: DataFrame = {
+    import spark.implicits._
+    val ids = sm.io.list(s"$path/schema").map(_.split('/').last)
+      .collect { case s if s.startsWith("schema-") && s.endsWith(".json") =>
+        s.stripPrefix("schema-").stripSuffix(".json").toLong }.sorted
+    ids.map(schemaOf).map(s =>
+      (s.id, s.fields.map(f => s"${f.id}:${f.name}:${f.dataType}").mkString(","),
+        s.partitionKeys.mkString(","), s.primaryKeys.mkString(",")))
+      .toDF("schema_id", "fields", "partition_keys", "primary_keys")
+  }
+
+  /** `$options`: table options (reference: table/system/OptionsTable). */
+  def systemOptions: DataFrame = {
+    import spark.implicits._
+    schema.options.toSeq.toDF("key", "value")
+  }
+
+  /** `$branches`. */
+  def systemBranches: DataFrame = {
+    import spark.implicits._
+    sm.branches.map { b =>
+      val bsm = new SnapshotManager(path, Some(b), sm.io)
+      (b, bsm.latestSnapshotId.getOrElse(-1L))
+    }.toDF("branch_name", "latest_snapshot")
+  }
+
+  /** `$consumers`: durable stream-reader progress (reference:
+    * table/system/ConsumersTable.java). */
+  def systemConsumers: DataFrame = {
+    import spark.implicits._
+    val dir = s"$path/consumer"
+    sm.io.list(dir).map(_.split('/').last)
+      .collect { case c if c.startsWith("consumer-") =>
+        (c.stripPrefix("consumer-"),
+          sm.io.readString(s"$dir/$c").trim.toLong)
+      }.toDF("consumer_id", "next_snapshot")
   }
 }
 

@@ -75,6 +75,85 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.sm.latestSnapshotId.contains(1L))
   }
 
+  test("hilbert sort-compact clusters both dimensions; index is a true Hilbert walk") {
+    // property: the curve visits every cell of a 2^b × 2^b grid exactly
+    // once, and consecutive index values are grid NEIGHBORS (the
+    // locality property z-order lacks at octant boundaries)
+    val bits = 4
+    val side = 1 << bits
+    val cells = for (x <- 0 until side; y <- 0 until side)
+      yield (x, y, graft.operators.ZOrder.hilbertIndex(
+        Array(x.toLong, y.toLong), bits))
+    assert(cells.map(_._3).distinct.size == side * side, "must be a bijection")
+    val walk = cells.sortBy(_._3)
+    walk.sliding(2).foreach { case Seq((x1, y1, _), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent step ($x1,$y1)->($x2,$y2)")
+    }
+    // end-to-end through sort-compact
+    val t = GraftTable.create(spark, tmp(), xy)
+    val g = grid(64)
+    (0 until 8).foreach(i => t.write(g.filter(col("y") % 8 === i)))
+    val before = t.scan(col("x") < 8 && col("y") < 8).inputFiles.length
+    t.sortCompact("hilbert", Seq("x", "y"), targetFiles = 8)
+    assert(t.read.count() == 64L * 64)
+    val after = t.scan(col("x") < 8 && col("y") < 8).inputFiles.length
+    assert(after < before, s"expected pruning to improve: $before -> $after")
+  }
+
+  test("expirePartitions drops old partitions metadata-only") {
+    val sch = StructType(Seq(
+      StructField("dt", StringType, nullable = false),
+      StructField("k", LongType, nullable = false)))
+    def df(rows: (String, Long)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, sch)
+    val t = GraftTable.create(spark, tmp(), sch, partitionKeys = Seq("dt"))
+    t.write(df(("2024-01-01", 1L), ("2024-02-01", 2L), ("2024-03-01", 3L)))
+    val dropped = t.expirePartitions("dt", "2024-02-01")
+    assert(dropped.map(_("dt")) == Seq("2024-01-01"))
+    assert(t.read.collect().map(_.getLong(1)).sorted.toSeq == Seq(2L, 3L))
+    assert(t.expirePartitions("dt", "2024-01-15").isEmpty) // nothing older
+  }
+
+  test("removeOrphanFiles deletes staged debris but never live data") {
+    val sch = StructType(Seq(StructField("k", LongType, nullable = false)))
+    def df(v: Long*) = spark.createDataFrame(v.map(Row(_)).asJava, sch)
+    val t = GraftTable.create(spark, tmp(), sch)
+    t.write(df(1, 2))
+    // crash debris: an unreferenced file in the data dir
+    val orphan = java.nio.file.Paths.get(s"${t.path}/data/orphan-debris.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    // within grace: nothing deleted
+    assert(t.removeOrphanFiles(graceMillis = 3600 * 1000).isEmpty)
+    // past grace: only the orphan goes
+    val deleted = t.removeOrphanFiles(graceMillis = -1000)
+    assert(deleted == Seq("data/orphan-debris.parquet"))
+    assert(t.read.count() == 2)
+  }
+
+  test("tags survive snapshot expiration; consumers block it") {
+    val sch = StructType(Seq(StructField("k", LongType, nullable = false)))
+    def df(v: Long*) = spark.createDataFrame(v.map(Row(_)).asJava, sch)
+    val t = GraftTable.create(spark, tmp(), sch)
+    t.write(df(1))
+    t.createTag("v1")
+    t.write(df(2))
+    t.write(df(3))
+    t.write(df(4))
+    t.expireSnapshots(retain = 1)
+    // snapshot 0 is gone but the tag still reads its content
+    assert(t.sm.snapshotIds.head > 0L)
+    assert(t.readTag("v1").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // a registered consumer at offset 1 prevents dropping snapshots > 1
+    val t2 = GraftTable.create(spark, tmp(), sch)
+    t2.write(df(1)); t2.write(df(2)); t2.write(df(3))
+    graft.core.Json // keep import-free; write consumer offset directly
+    t2.sm.io.writeString(s"${t2.path}/consumer/consumer-a", "0")
+    val dropped = t2.expireSnapshots(retain = 1)
+    assert(dropped == Seq(0L), s"only snapshots <= consumer offset may drop, got $dropped")
+    assert(t2.sm.snapshotIds == Seq(1L, 2L))
+  }
+
   test("schema evolution: added column reads null from old files") {
     val sch = StructType(Seq(
       StructField("k", LongType, nullable = false),

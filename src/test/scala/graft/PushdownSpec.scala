@@ -117,4 +117,38 @@ class PushdownSpec extends AnyFunSuite {
     assert(one.inputFiles.length <= 1)
     assert(t.lookup(Map("k" -> 999L)).count() == 0)
   }
+
+  test("bitmap file index refutes equality / IN / null predicates exactly") {
+    val s2 = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("cat", StringType, nullable = true)))
+    def df2(rows: (Long, String)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, s2).coalesce(1)
+    val t = GraftTable.create(spark, tmp(), s2,
+      options = Map("file-index.bitmap.columns" -> "cat"))
+    // interleaved k ranges so min/max on cat fully overlap across files
+    t.write(df2((1L, "a"), (2L, "b")))
+    t.write(df2((3L, "b"), (4L, "c")))
+    t.write(df2((5L, "d"), (6L, null)))
+    // equality: only files whose dictionary holds the value are read
+    assert(t.scan(col("cat") === "a").inputFiles.length == 1)
+    assert(t.scan(col("cat") === "a").count() == 1)
+    assert(t.scan(col("cat") === "zzz").inputFiles.isEmpty)
+    // IN over two files
+    assert(t.scan(col("cat").isin("a", "d")).inputFiles.length == 2)
+    // IS NULL: only the file with a null row
+    assert(t.scan(col("cat").isNull).inputFiles.length == 1)
+    assert(t.scan(col("cat").isNull).count() == 1)
+  }
+
+  test("bitmap index aborts on cardinality overflow and never lies") {
+    val s2 = StructType(Seq(StructField("v", StringType, nullable = false)))
+    val rows = (0 until 12000).map(i => Row(s"val_$i"))
+    val t = GraftTable.create(spark, tmp(), s2,
+      options = Map("file-index.bitmap.columns" -> "v"))
+    t.write(spark.createDataFrame(rows.asJava, s2).coalesce(1))
+    // NDV exceeds MaxCardinality → no sidecar → scan still correct
+    assert(t.scan(col("v") === "val_7777").count() == 1)
+    assert(t.scan(col("v") === "nope").count() == 0)
+  }
 }

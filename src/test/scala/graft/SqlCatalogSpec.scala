@@ -70,4 +70,109 @@ class SqlCatalogSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), Option(r.getString(1))))
     assert(got.toSeq == Seq((1L, None), (2L, Some("x"))))
   }
+
+  test("ALTER TABLE RENAME / ALTER COLUMN TYPE / DROP COLUMN") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db4")
+    spark.sql("CREATE TABLE graft.db4.t (k BIGINT, amount INT, junk STRING)")
+    spark.sql("INSERT INTO graft.db4.t VALUES (1, 100, 'x')")
+    spark.sql("ALTER TABLE graft.db4.t RENAME COLUMN amount TO price")
+    spark.sql("ALTER TABLE graft.db4.t ALTER COLUMN price TYPE BIGINT")
+    spark.sql("ALTER TABLE graft.db4.t DROP COLUMN junk")
+    spark.sql("INSERT INTO graft.db4.t VALUES (2, 3000000000)")
+    val got = spark.sql("SELECT k, price FROM graft.db4.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 100L), (2L, 3000000000L)))
+  }
+
+  test("append-table SQL scan is the native columnar batch with pushed filters") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db5")
+    spark.sql(
+      """CREATE TABLE graft.db5.t (k BIGINT, p STRING, v DOUBLE)
+        |PARTITIONED BY (p)""".stripMargin)
+    spark.sql("INSERT INTO graft.db5.t VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    spark.sql("INSERT INTO graft.db5.t VALUES (100, 'a', 3.0)")
+    val q = spark.sql("SELECT k, v FROM graft.db5.t WHERE p = 'a' AND k > 50")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftBatchScan"), s"expected native scan in:\n$plan")
+    // partition + stats pruning happened at plan time: one file scanned
+    assert(q.queryExecution.executedPlan.toString.contains("files=1"))
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(100L))
+    // merge-on-read tables keep the V1 (DataFrame-planned) path
+    val pk = spark.sql("SELECT * FROM graft.db2.users WHERE id = 1")
+    assert(!pk.queryExecution.executedPlan.toString.contains("GraftBatchScan"))
+  }
+
+  test("COUNT(*) / MIN / MAX answer from manifest stats via LocalScan") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db6")
+    spark.sql("CREATE TABLE graft.db6.t (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO graft.db6.t VALUES (1, 1.5), (2, 2.5)")
+    spark.sql("INSERT INTO graft.db6.t VALUES (3, 0.5)")
+    val q = spark.sql("SELECT count(*), min(k), max(v) FROM graft.db6.t")
+    // complete pushdown: the physical plan is a LocalTableScan of the
+    // manifest-derived row — no file scan at all
+    assert(q.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      s"expected LocalTableScan in:\n${q.queryExecution.executedPlan}")
+    val r = q.head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L && r.getDouble(2) == 2.5)
+    // with a residual filter the pushdown must NOT fire
+    val qf = spark.sql("SELECT count(*) FROM graft.db6.t WHERE v > 1.0")
+    assert(!qf.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(qf.head.getLong(0) == 2L)
+  }
+
+  test("DELETE FROM routes through the library's three-tier delete") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db7")
+    spark.sql(
+      """CREATE TABLE graft.db7.t (k BIGINT, p STRING)
+        |PARTITIONED BY (p)""".stripMargin)
+    spark.sql("INSERT INTO graft.db7.t VALUES (1, 'a'), (2, 'b'), (3, 'b')")
+    spark.sql("DELETE FROM graft.db7.t WHERE p = 'a'") // metadata-only drop
+    assert(spark.sql("SELECT k FROM graft.db7.t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    spark.sql("DELETE FROM graft.db7.t WHERE k = 2")   // rewrite path
+    assert(spark.sql("SELECT k FROM graft.db7.t").collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("$-suffix system tables are readable through SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db9")
+    spark.sql("CREATE TABLE graft.db9.t (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.db9.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft.db9.t VALUES (3, 'a')")
+    assert(spark.sql("SELECT * FROM graft.db9.`t$snapshots`").count() == 2)
+    assert(spark.sql("SELECT sum(row_count) FROM graft.db9.`t$files`")
+      .head.getLong(0) == 3L)
+    val parts = spark.sql(
+      "SELECT partition, record_count FROM graft.db9.`t$partitions` ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(parts.toSeq == Seq(("p=a", 2L), ("p=b", 1L)))
+    assert(spark.sql("SELECT * FROM graft.db9.`t$schemas`").count() == 1)
+    assert(spark.sql("SELECT * FROM graft.db9.`t$options`").count() >= 0)
+    intercept[Exception](spark.sql("SELECT * FROM graft.db9.`t$nope`").collect())
+  }
+
+  test("readStream streams per-snapshot deltas exactly once across restarts") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db8")
+    spark.sql("CREATE TABLE graft.db8.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db8.t VALUES (1, 'a')")
+    val ckpt = Files.createTempDirectory("graft-ck").toString
+    val received = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def drain(): Unit = {
+      val q = spark.readStream.table("graft.db8.t").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          received.synchronized {
+            received ++= df.collect().map(r => (r.getLong(0), r.getString(1)))
+          }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    drain()
+    assert(received.toSet == Set((1L, "a")))
+    spark.sql("INSERT INTO graft.db8.t VALUES (2, 'b')")
+    drain() // restart from checkpoint: only the new snapshot arrives
+    assert(received.toSet == Set((1L, "a"), (2L, "b")))
+    assert(received.size == 2, "checkpoint restart must not replay old snapshots")
+  }
 }

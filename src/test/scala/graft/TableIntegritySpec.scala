@@ -158,6 +158,30 @@ class TableIntegritySpec extends AnyFunSuite {
       t.incrementalRead(16L, 17L).count() >= 0) // no crash on expired range
   }
 
+  test("cross-partition upsert: partition predicates stay correct when keys move") {
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("region", StringType, nullable = false),
+      StructField("v", StringType, nullable = true),
+      StructField("seq", LongType, nullable = true)))
+    def df(rows: (Long, String, String, Long)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3, r._4)).asJava, sch)
+    // partition key OUTSIDE the primary key: a key may move partitions
+    val t = GraftTable.create(spark, tmp(), sch,
+      partitionKeys = Seq("region"), primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "seq", "bucket" -> "2"))
+    t.write(df((1L, "eu", "old", 1L), (2L, "us", "x", 1L)))
+    t.write(df((1L, "us", "new", 2L))) // key 1 moves eu -> us
+    // scanning the OLD partition must not resurrect the stale version
+    assert(t.scan(col("region") === "eu").count() == 0)
+    val us = t.scan(col("region") === "us").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(us.toSeq == Seq((1L, "new"), (2L, "x")))
+    // compaction physically drops the stale eu copy
+    t.compact()
+    assert(t.read.count() == 2)
+  }
+
   test("simhash blocking finds every planted pair at the hamming bound") {
     import spark.implicits._
     // pairs planted at exactly maxHamming bits apart, including one
