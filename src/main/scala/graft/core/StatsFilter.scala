@@ -21,34 +21,58 @@ object StatsFilter {
   def mightMatch(expr: Expression, file: DataFileMeta, schema: TableSchema): Boolean =
     eval(expr, file)
 
+  /** Attribute possibly wrapped in an ORDER-PRESERVING numeric
+    * widening cast (reference: CastTransform predicates on the
+    * attribute side). `CAST(c AS BIGINT/DOUBLE) op lit` then prunes
+    * against c's stats compared in the cast's wider type — the raw
+    * stat strings parse losslessly into the wider type. */
+  private object AttrMaybeCast {
+    def unapply(e: Expression): Option[(AttributeReference, DataType)] = e match {
+      case a: AttributeReference => Some((a, a.dataType))
+      case Cast(a: AttributeReference, dt, _, _) if widens(a.dataType, dt) =>
+        Some((a, dt))
+      case _ => None
+    }
+    private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | FloatType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
+      case (IntegerType, LongType | FloatType | DoubleType) => true
+      case (LongType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
   private def eval(expr: Expression, f: DataFileMeta): Boolean = expr match {
     case And(l, r) => eval(l, f) && eval(r, f)
     case Or(l, r) => eval(l, f) || eval(r, f)
-    case EqualTo(a: AttributeReference, r) if r.foldable =>
+    case EqualTo(AttrMaybeCast(a, dt), r) if r.foldable =>
       range(a.name, f).forall { case (mn, mx) =>
-        cmp(r.eval(), r.dataType, mn) >= 0 && cmp(r.eval(), r.dataType, mx) <= 0 }
-    case EqualTo(l, a: AttributeReference) if l.foldable => eval(EqualTo(a, l), f)
-    case GreaterThan(a: AttributeReference, r) if r.foldable =>
+        cmp(r.eval(), r.dataType, mn) >= 0 &&
+          cmp(r.eval(), r.dataType, mx) <= 0 }
+    case EqualTo(l, a @ AttrMaybeCast(_, _)) if l.foldable => eval(EqualTo(a, l), f)
+    case GreaterThan(AttrMaybeCast(a, dt), r) if r.foldable =>
       range(a.name, f).forall { case (_, mx) => cmp(r.eval(), r.dataType, mx) < 0 }
-    case GreaterThanOrEqual(a: AttributeReference, r) if r.foldable =>
+    case GreaterThanOrEqual(AttrMaybeCast(a, dt), r) if r.foldable =>
       range(a.name, f).forall { case (_, mx) => cmp(r.eval(), r.dataType, mx) <= 0 }
-    case LessThan(a: AttributeReference, r) if r.foldable =>
+    case LessThan(AttrMaybeCast(a, dt), r) if r.foldable =>
       range(a.name, f).forall { case (mn, _) => cmp(r.eval(), r.dataType, mn) > 0 }
-    case LessThanOrEqual(a: AttributeReference, r) if r.foldable =>
+    case LessThanOrEqual(AttrMaybeCast(a, dt), r) if r.foldable =>
       range(a.name, f).forall { case (mn, _) => cmp(r.eval(), r.dataType, mn) >= 0 }
     // flipped operand order
-    case GreaterThan(l, a: AttributeReference) if l.foldable => eval(LessThan(a, l), f)
-    case GreaterThanOrEqual(l, a: AttributeReference) if l.foldable => eval(LessThanOrEqual(a, l), f)
-    case LessThan(l, a: AttributeReference) if l.foldable => eval(GreaterThan(a, l), f)
-    case LessThanOrEqual(l, a: AttributeReference) if l.foldable => eval(GreaterThanOrEqual(a, l), f)
-    case In(a: AttributeReference, list) if list.forall(_.foldable) =>
+    case GreaterThan(l, a @ AttrMaybeCast(_, _)) if l.foldable => eval(LessThan(a, l), f)
+    case GreaterThanOrEqual(l, a @ AttrMaybeCast(_, _)) if l.foldable => eval(LessThanOrEqual(a, l), f)
+    case LessThan(l, a @ AttrMaybeCast(_, _)) if l.foldable => eval(GreaterThan(a, l), f)
+    case LessThanOrEqual(l, a @ AttrMaybeCast(_, _)) if l.foldable => eval(GreaterThanOrEqual(a, l), f)
+    case In(AttrMaybeCast(a, dt), list) if list.forall(_.foldable) =>
       list.exists { r =>
         range(a.name, f).forall { case (mn, mx) =>
-          cmp(r.eval(), r.dataType, mn) >= 0 && cmp(r.eval(), r.dataType, mx) <= 0 } }
-    case InSet(a: AttributeReference, values) =>
+          cmp(r.eval(), r.dataType, mn) >= 0 &&
+            cmp(r.eval(), r.dataType, mx) <= 0 } }
+    case InSet(AttrMaybeCast(a, dt), values) =>
       values.exists { v =>
         range(a.name, f).forall { case (mn, mx) =>
-          cmp(v, a.dataType, mn) >= 0 && cmp(v, a.dataType, mx) <= 0 } }
+          cmp(v, dt, mn) >= 0 && cmp(v, dt, mx) <= 0 } }
     // LIKE 'abc%' analyzes to StartsWith: a file may contain a string
     // with prefix p iff stat_max >= p and the min's p-length prefix
     // is <= p (reference: LikeOptimization → StartsWith leaf)

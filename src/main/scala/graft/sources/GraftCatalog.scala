@@ -29,7 +29,8 @@ import scala.jdk.CollectionConverters._
   * engines and the commit protocol are shared with the programmatic
   * API rather than reimplemented.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -47,6 +48,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def tablePath(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).mkString(s"$warehouse/", "/", "")
+
+  private[sources] def pathOf(ident: Identifier): String = tablePath(ident)
+
+  /** `CALL <cat>.sys.<proc>(...)` maintenance procedures. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(n => Identifier.of(Array("sys"), n)).toArray
 
   // ---- tables ---------------------------------------------------------
 
@@ -85,6 +96,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         case "consumers" => () => gt.systemConsumers
         case "statistics" => () => gt.systemStatistics
         case "audit_log" => () => gt.auditLog
+        case "binlog" => () => gt.systemBinlog
         case _ =>
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
       }

@@ -155,15 +155,56 @@ private[sources] class PermutedReaderFactory(
   * .planInputPartitions over DataSplits, with Spark's reader). */
 class GraftBatchScan(
     gt: GraftTable,
-    entries: Seq[ManifestEntry],
+    initialEntries: Seq[ManifestEntry],
     dataSchema: StructType,      // physical file columns (no partition cols)
     readDataSchema: StructType,  // pruned physical columns
     partitionSchema: StructType, // pruned partition columns
     filters: Array[Filter],
     required: StructType)        // pruned schema in the RELATION's order
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   private def spark = gt.spark
+
+  /** file list, narrowed further by runtime filters (DPP) */
+  private var entries: Seq[ManifestEntry] = initialEntries
+
+  /** Dynamic partition pruning: join-produced IN-filters on partition
+    * columns drop manifest entries before any file is opened
+    * (reference: PaimonScan's SupportsRuntimeV2Filtering). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    partitionSchema.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    predicates.foreach { p =>
+      val children = p.children()
+      if ((p.name() == "IN" || p.name() == "=") && children.nonEmpty) {
+        children(0) match {
+          case nr: org.apache.spark.sql.connector.expressions.NamedReference
+              if nr.fieldNames().length == 1 =>
+            val colName = nr.fieldNames()(0)
+            partitionSchema.fields.find(_.name == colName).foreach { f =>
+              val allowed: Set[Any] = children.drop(1).collect {
+                case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+                  l.value match { // normalize external → internal form
+                    case s: String => UTF8String.fromString(s)
+                    case v => v.asInstanceOf[Any]
+                  }
+              }.toSet
+              if (allowed.size == children.length - 1) // all literal
+                entries = entries.filter { e =>
+                  allowed.contains(GraftScanUtil.partitionValue(
+                    e.partition.get(colName).orNull, f.dataType))
+                }
+            }
+          case _ =>
+        }
+      }
+    }
+  }
 
   // readSchema preserves the relation's column order (partition columns
   // may interleave): Spark then never wraps the scan relation in a

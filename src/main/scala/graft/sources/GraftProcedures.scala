@@ -1,0 +1,87 @@
+package graft.sources
+
+import graft.table.GraftTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL maintenance procedures: `CALL <catalog>.sys.<proc>(...)`
+  * (reference: the 43 Spark procedures under paimon-spark
+  * .../procedure/, CALL-routed; Spark 4's native ProcedureCatalog
+  * replaces the reference's ANTLR grammar injection).
+  *
+  * Each procedure returns one result row via a driver-local scan.
+  */
+object GraftProcedures {
+
+  /** name → (parameters, body(table, args) => result string) */
+  private type Body = (GraftTable, InternalRow) => String
+
+  private def p(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+
+  private val procs: Map[String, (Seq[ProcedureParameter], Body)] = Map(
+    "compact" -> (Seq(p("table", StringType)), (t, _) =>
+      t.compact().map(id => s"compacted -> snapshot $id").getOrElse("empty table")),
+    "compact_sorted" -> (Seq(
+      p("table", StringType), p("strategy", StringType), p("order_by", StringType)),
+      (t, args) => {
+        val cols = args.getUTF8String(2).toString.split(",").map(_.trim).toSeq
+        t.sortCompact(args.getUTF8String(1).toString, cols)
+          .map(id => s"sort-compacted -> snapshot $id").getOrElse("empty table")
+      }),
+    "expire_snapshots" -> (Seq(p("table", StringType), p("retain", IntegerType)),
+      (t, args) => s"expired ${t.expireSnapshots(args.getInt(1)).size} snapshots"),
+    "expire_partitions" -> (Seq(
+      p("table", StringType), p("column", StringType), p("older_than", StringType)),
+      (t, args) => s"dropped ${t.expirePartitions(args.getUTF8String(1).toString,
+        args.getUTF8String(2).toString).size} partitions"),
+    "remove_orphan_files" -> (Seq(p("table", StringType), p("older_than_millis", LongType)),
+      (t, args) => s"deleted ${t.removeOrphanFiles(args.getLong(1)).size} orphans"),
+    "create_tag" -> (Seq(p("table", StringType), p("tag", StringType)),
+      (t, args) => { t.createTag(args.getUTF8String(1).toString); "ok" }),
+    "delete_tag" -> (Seq(p("table", StringType), p("tag", StringType)),
+      (t, args) => { t.sm.deleteTag(args.getUTF8String(1).toString); "ok" }),
+    "rollback" -> (Seq(p("table", StringType), p("snapshot", LongType)),
+      (t, args) => s"dropped ${t.rollback(args.getLong(1)).size} snapshots"),
+    "create_branch" -> (Seq(p("table", StringType), p("branch", StringType)),
+      (t, args) => { t.createBranch(args.getUTF8String(1).toString); "ok" }),
+    "delete_branch" -> (Seq(p("table", StringType), p("branch", StringType)),
+      (t, args) => { t.deleteBranch(args.getUTF8String(1).toString); "ok" }),
+    "fast_forward" -> (Seq(p("table", StringType), p("branch", StringType)),
+      (t, args) => { t.fastForward(args.getUTF8String(1).toString); "ok" }),
+    "analyze" -> (Seq(p("table", StringType)),
+      (t, _) => { t.analyze(); "ok" }))
+
+  def names: Seq[String] = procs.keys.toSeq.sorted
+
+  def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    val (params, body) = procs.getOrElse(ident.name(),
+      throw new RuntimeException(s"unknown procedure: ${ident.name()}"))
+    new UnboundProcedure {
+      override def name(): String = ident.name()
+      override def description(): String = s"graft ${ident.name()}"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = ident.name()
+        override def description(): String = s"graft ${ident.name()}"
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val tableName = input.getUTF8String(0).toString
+          val parts = tableName.split("\\.")
+          val tIdent = Identifier.of(parts.dropRight(1), parts.last)
+          val gt = GraftTable.load(SparkSession.active, catalog.pathOf(tIdent))
+          val result = body(gt, input)
+          val schema = StructType(Seq(StructField("result", StringType)))
+          val row = InternalRow(UTF8String.fromString(result))
+          java.util.Collections.singletonList[Scan](
+            new GraftLocalScan(schema, Array(row))).iterator()
+        }
+      }
+    }
+  }
+}

@@ -656,6 +656,52 @@ final class GraftTable private (
     (Seq(plusRows) ++ minusGrown ++ minusDropped).reduce(_ unionAll _)
   }
 
+  /** Binlog view: per key and snapshot, the -U/+U pair packed into ONE
+    * row — non-key columns become arrays holding [before, after] for
+    * updates, [value] for inserts/deletes (reference:
+    * table/system/BinlogTable.java:55). */
+  def binlog(fromExclusive: Long, toInclusive: Long): DataFrame = {
+    require(isPrimaryKeyTable, "binlog requires a primary-key table")
+    val pk = schema.primaryKeys
+    val valueCols = struct.fieldNames.filterNot(pk.contains)
+    val ids = sm.snapshotIds.filter(i => i > fromExclusive && i <= toInclusive)
+      .filter(i => sm.snapshot(i).commitKind != KindCompact)
+    val perSnapshot = ids.map { id =>
+      val chg = incrementalRead(id - 1, id)
+      val packed = struct_ord(valueCols.map(col).toIndexedSeq: _*)
+      val isBefore = col("_row_kind").isin("-U", "-D")
+      val isAfter = col("_row_kind").isin("+U", "+I")
+      val agged = chg.groupBy(pk.map(col).toIndexedSeq: _*)
+        .agg(
+          max_by(packed, when(isBefore, 1)).as("__before"),
+          max_by(packed, when(isAfter, 1)).as("__after"))
+      val hasB = col("__before").isNotNull
+      val hasA = col("__after").isNotNull
+      val rowkind = when(hasB && hasA, "+U").when(hasA, "+I").otherwise("-D")
+      val arrays = valueCols.map { c =>
+        when(hasB && hasA, array(col(s"__before.$c"), col(s"__after.$c")))
+          .when(hasA, array(col(s"__after.$c")))
+          .otherwise(array(col(s"__before.$c"))).as(c)
+      }
+      agged.select((lit(id).as("snapshot_id") +: rowkind.as("rowkind") +:
+        pk.map(col) ++: arrays).toIndexedSeq: _*)
+    }
+    perSnapshot.reduceOption(_ unionAll _).getOrElse {
+      val base = struct
+      val fields = StructField("snapshot_id", LongType, nullable = false) +:
+        StructField("rowkind", org.apache.spark.sql.types.StringType, nullable = false) +:
+        base.fields.filter(f => pk.contains(f.name)) ++:
+        valueCols.map(c => StructField(c,
+          ArrayType(base.fields(base.fieldIndex(c)).dataType), nullable = true))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields))
+    }
+  }
+
+  /** `$binlog` over the full history. */
+  def systemBinlog: DataFrame =
+    binlog(-1L, sm.latestSnapshotId.getOrElse(-1L))
+
   private def rawReadSchema: StructType = rawSchemaOf(schema)
 
   private def rawSchemaOf(sch: TableSchema): StructType = {
@@ -755,9 +801,27 @@ final class GraftTable private (
     * into level-1 files; deletes are physically dropped. One COMPACT
     * snapshot replacing the inputs (reference:
     * MergeTreeCompactManager + CompactProcedure). */
-  def compact(): Option[Long] = {
+  def compact(): Option[Long] = compactEntries(_ => true)
+
+  /** Incremental compaction: rewrite only the (partition, bucket)
+    * groups whose live file count exceeds `trigger` — bounded write
+    * amplification instead of a full rewrite (reference:
+    * UniversalCompaction's num-sorted-run trigger,
+    * CoreOptions num-sorted-run.compaction-trigger). No-op when every
+    * group is under the trigger. */
+  def compactIfNeeded(trigger: Int = 5): Option[Long] = {
     val snap = sm.latestSnapshot().getOrElse(return None)
-    val old = sm.liveEntries(snap)
+    val hot = sm.liveEntries(snap)
+      .groupBy(e => (e.partition, e.bucket))
+      .filter(_._2.size > trigger)
+      .values.flatten.map(_.file.fileName).toSet
+    if (hot.isEmpty) None
+    else compactEntries(e => hot.contains(e.file.fileName))
+  }
+
+  private def compactEntries(select: ManifestEntry => Boolean): Option[Long] = {
+    val snap = sm.latestSnapshot().getOrElse(return None)
+    val old = sm.liveEntries(snap).filter(select)
     if (old.isEmpty) return None
     val sch = schema
     val base = nextSeq()

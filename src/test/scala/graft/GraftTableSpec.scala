@@ -257,6 +257,23 @@ class GraftTableSpec extends AnyFunSuite {
       (1L, "a", "-U"), (1L, "a2", "+U"), (3L, "c", "+I"), (4L, "d", "-D")))
   }
 
+  test("binlog packs -U/+U pairs into single rows with [before, after] arrays") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq",
+        "changelog-producer" -> "lookup", "bucket" -> "2"))
+    t.write(kvDf((1L, "a", 10L, 1L), (2L, "b", 20L, 1L)))
+    t.write(kvDf((1L, "a2", 11L, 2L), (3L, "c", 30L, 1L)))
+    t.delete(col("k") === 2L)
+    val rows = t.binlog(0L, 2L)
+      .select("snapshot_id", "rowkind", "k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getSeq[String](3).toList)).toSet
+    assert(rows == Set(
+      (1L, "+U", 1L, List("a", "a2")),
+      (1L, "+I", 3L, List("c")),
+      (2L, "-D", 2L, List("b"))))
+  }
+
   test("snapshots and files system tables report metadata") {
     val t = GraftTable.create(spark, tmp(), kvSchema)
     t.write(kvDf((1L, "a", 10L, 0L)))

@@ -101,6 +101,34 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(after < before, s"expected pruning to improve: $before -> $after")
   }
 
+  test("compactIfNeeded rewrites only over-threshold buckets") {
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", LongType, nullable = true),
+      StructField("seq", LongType, nullable = true)))
+    def df(rows: (Long, Long, Long)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3)).asJava, sch)
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq", "bucket" -> "2"))
+    // key 0 and key 3 land in different buckets; hammer only key 0's
+    val hotKey = 0L
+    (1 to 7).foreach(i => t.write(df((hotKey, i.toLong, i.toLong))))
+    t.write(df((3L, 1L, 1L)))
+    val before = t.systemFiles.collect().map(r => (r.getInt(2), r.getString(0)))
+    val hotBucket = before.groupBy(_._1).maxBy(_._2.length)._1
+    assert(before.count(_._1 == hotBucket) > 5)
+    assert(t.compactIfNeeded(trigger = 5).isDefined)
+    val after = t.systemFiles.collect().map(r => (r.getInt(2), r.getString(0)))
+    assert(after.count(_._1 == hotBucket) == 1, "hot bucket compacted to one file")
+    // cool buckets' files untouched (same physical files)
+    val coolBefore = before.filterNot(_._1 == hotBucket).map(_._2).toSet
+    val coolAfter = after.filterNot(_._1 == hotBucket).map(_._2).toSet
+    assert(coolBefore == coolAfter)
+    // data intact; second call is a no-op
+    assert(t.read.filter(col("k") === hotKey).head.getLong(1) == 7L)
+    assert(t.compactIfNeeded(trigger = 5).isEmpty)
+  }
+
   test("expirePartitions drops old partitions metadata-only") {
     val sch = StructType(Seq(
       StructField("dt", StringType, nullable = false),

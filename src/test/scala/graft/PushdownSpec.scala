@@ -118,6 +118,18 @@ class PushdownSpec extends AnyFunSuite {
     assert(t.lookup(Map("k" -> 999L)).count() == 0)
   }
 
+  test("widening casts on the attribute side still prune by stats") {
+    val t = GraftTable.create(spark, tmp(), sch)
+    t.write(df((1L, 1.0), (10L, 2.0)))
+    t.write(df((100L, 3.0), (200L, 4.0)))
+    // CAST(k AS DOUBLE) > 150.5 — order-preserving widening, prunable
+    val hit = t.scan(col("k").cast("double") > 150.5)
+    assert(hit.inputFiles.length == 1)
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(200L))
+    // non-widening transforms conservatively keep all files but stay correct
+    assert(t.scan((col("k") % 7) === 2L).collect().map(_.getLong(0)).toSeq == Seq(100L))
+  }
+
   test("bitmap file index refutes equality / IN / null predicates exactly") {
     val s2 = StructType(Seq(
       StructField("k", LongType, nullable = false),

@@ -150,6 +150,59 @@ class SqlCatalogSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("SELECT * FROM graft.db9.`t$nope`").collect())
   }
 
+  test("runtime filtering (DPP) drops partitions from the native scan") {
+    import graft.table.GraftTable
+    import graft.sources.GraftBatchScan
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.lit
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("p", StringType, nullable = false)))
+    val dir = Files.createTempDirectory("graft-dpp").toString + "/t"
+    val t = GraftTable.create(spark, dir, sch, partitionKeys = Seq("p"))
+    import scala.jdk.CollectionConverters._
+    def df(rows: (Long, String)*) = spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, sch)
+    t.write(df((1L, "a"), (2L, "b"), (3L, "c")))
+    val entries = t.planEntries(lit(true))
+    val dataSchema = StructType(Seq(StructField("k", LongType, nullable = false)))
+    val partSchema = StructType(Seq(StructField("p", StringType, nullable = false)))
+    val scan = new GraftBatchScan(t, entries, dataSchema, dataSchema,
+      partSchema, Array.empty, StructType(dataSchema.fields ++ partSchema.fields))
+    assert(scan.planInputPartitions().nonEmpty)
+    val before = scan.planInputPartitions()
+      .map(_.asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition])
+      .map(_.files.length).sum
+    assert(before == 3)
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    scan.filter(Array(new Predicate("IN",
+      Array(Expressions.column("p"), Expressions.literal("a"), Expressions.literal("c")))))
+    val after = scan.planInputPartitions()
+      .map(_.asInstanceOf[org.apache.spark.sql.execution.datasources.FilePartition])
+      .map(_.files.length).sum
+    assert(after == 2, s"runtime IN filter should keep 2 of 3 partitions, kept $after")
+  }
+
+  test("CALL sys.* maintenance procedures run through SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbp")
+    spark.sql(
+      """CREATE TABLE graft.dbp.t (k BIGINT, seq BIGINT)
+        |TBLPROPERTIES ('primary-key'='k', 'sequence.field'='seq', 'bucket'='2')""".stripMargin)
+    spark.sql("INSERT INTO graft.dbp.t VALUES (1, 1), (2, 1)")
+    spark.sql("INSERT INTO graft.dbp.t VALUES (1, 2), (3, 1)")
+    val res = spark.sql("CALL graft.sys.compact('dbp.t')").head.getString(0)
+    assert(res.contains("snapshot"), res)
+    assert(spark.sql("SELECT count(*) FROM graft.dbp.t").head.getLong(0) == 3L)
+    spark.sql("CALL graft.sys.create_tag('dbp.t', 'v1')")
+    assert(spark.sql("SELECT * FROM graft.dbp.`t$tags`").count() == 1)
+    val exp = spark.sql("CALL graft.sys.expire_snapshots('dbp.t', 1)").head.getString(0)
+    assert(exp.startsWith("expired"), exp)
+    assert(spark.sql("SELECT count(*) FROM graft.dbp.t").head.getLong(0) == 3L)
+    spark.sql("CALL graft.sys.analyze('dbp.t')")
+    assert(spark.sql("SELECT * FROM graft.dbp.`t$statistics`").count() > 0)
+  }
+
   test("readStream streams per-snapshot deltas exactly once across restarts") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db8")
     spark.sql("CREATE TABLE graft.db8.t (k BIGINT, v STRING)")
