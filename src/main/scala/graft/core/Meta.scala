@@ -38,6 +38,12 @@ object Meta {
         f.name, DataType.fromDDL(f.dataType), f.nullable)).toArray)
 
     def numBuckets: Int = options.getOrElse("bucket", "4").toInt
+    /** bucket = -1: dynamic assignment — keys keep their first bucket,
+      * new keys fill buckets up to the target row count (reference:
+      * BucketMode.HASH_DYNAMIC + HashBucketAssigner). */
+    def isDynamicBucket: Boolean = numBuckets == -1
+    def dynamicBucketTargetRows: Long =
+      options.getOrElse("dynamic-bucket.target-row-num", "2000000").toLong
     def mergeEngine: String = options.getOrElse("merge-engine", "deduplicate")
     def sequenceField: Option[String] = options.get("sequence.field")
   }

@@ -427,5 +427,28 @@ object Storage {
               |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
               |FROM graft_g21.gate.orders_dml
               |GROUP BY o_orderstatus""".stripMargin)
+    },
+
+    // ---- dynamic buckets (bucket = -1): keys keep their first bucket
+    // via the index join, new keys grow the bucket range; the merged
+    // read must be identical to a fixed-bucket upsert.
+    QDef(
+      "g22_dynamic_bucket",
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ROUND(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+        |                  ELSE o_totalprice END, 2) AS DOUBLE) AS totalprice
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val (t, src0) = ordersTable(s, dir,
+        options = Map("sequence.field" -> "up_seq", "bucket" -> "-1",
+          "dynamic-bucket.target-row-num" -> "500"),
+        primaryKeys = Seq("o_orderkey"),
+        extraCols = _.withColumn("up_seq", lit(1L)))
+      t.write(src0.filter(col("o_orderkey") % 2 === 0))
+      t.write(src0.filter(col("o_orderkey") % 2 === 1))
+      t.write(src0.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("up_seq", lit(2L)))
+      t.read.select(col("o_orderkey"), col("o_orderstatus"),
+        asDouble(col("o_totalprice")).as("totalprice"))
     })
 }

@@ -134,12 +134,17 @@ final class GraftTable private (
     val base = nextSeq()
     // HASH_FIXED bucketing: co-locate each bucket in one task so a
     // bucket maps to one file per commit (reference:
-    // PaimonSparkWriter.scala:312 repartition-by-bucket)
-    val out = preMerged
-      .withColumn(SeqCol, lit(base))
-      .withColumn("__bucket",
-        pmod(xxhash64(pk.map(col).toIndexedSeq: _*), lit(sch.numBuckets)).cast("int"))
-      .repartition(sch.numBuckets, col("__bucket"))
+    // PaimonSparkWriter.scala:312 repartition-by-bucket).
+    // HASH_DYNAMIC (bucket = -1) routes through the index-preserving
+    // assigner instead.
+    val out =
+      if (sch.isDynamicBucket)
+        assignDynamicBuckets(preMerged.withColumn(SeqCol, lit(base)), sch)
+      else preMerged
+        .withColumn(SeqCol, lit(base))
+        .withColumn("__bucket",
+          pmod(xxhash64(pk.map(col).toIndexedSeq: _*), lit(sch.numBuckets)).cast("int"))
+        .repartition(sch.numBuckets, col("__bucket"))
     val deletesFor: Seq[ManifestEntry] => Seq[ManifestEntry] = added => {
       if (!overwrite) Seq.empty
       else {
@@ -165,6 +170,39 @@ final class GraftTable private (
 
   private def struct_ord(cols: Column*): Column =
     org.apache.spark.sql.functions.struct(cols: _*)
+
+  /** Dynamic bucket assignment (bucket = -1): a key KEEPS the bucket
+    * of its first write — the index is the table's own (pk, bucket)
+    * projection, joined against the batch — and new keys hash into a
+    * bucket range grown so the average fill stays at
+    * `dynamic-bucket.target-row-num` (reference: HashBucketAssigner
+    * .java:37; the RocksDB index state becomes a columnar 2-column
+    * scan + shuffle join here). */
+  private def assignDynamicBuckets(
+      batch: DataFrame, sch: TableSchema): DataFrame = {
+    val pk = sch.primaryKeys
+    val live = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+    val liveRows = live.map(_.file.rowCount).sum
+    val maxBucket = live.map(_.bucket).maxOption.getOrElse(-1)
+    val batchRows = batch.persist().count()
+    val nTotal = math.max(maxBucket + 1,
+      math.ceil((liveRows + batchRows).toDouble /
+        sch.dynamicBucketTargetRows).toInt).max(1)
+    val freshBucket =
+      pmod(xxhash64(pk.map(col).toIndexedSeq: _*), lit(nTotal)).cast("int")
+    val assigned =
+      if (live.isEmpty) batch.withColumn("__bucket", freshBucket)
+      else {
+        val index = readRaw(live)
+          .select((pk.map(col) :+ col("__bucket").as("__existing_bucket")).toIndexedSeq: _*)
+          .groupBy(pk.map(col).toIndexedSeq: _*)
+          .agg(max(col("__existing_bucket")).as("__existing_bucket"))
+        batch.join(index, pk, "left")
+          .withColumn("__bucket", coalesce(col("__existing_bucket"), freshBucket))
+          .drop("__existing_bucket")
+      }
+    assigned.repartition(nTotal, col("__bucket"))
+  }
 
   private def appendCommit(
       df: DataFrame, overwrite: Boolean, commitIdentifier: Long): Long = {
@@ -451,15 +489,22 @@ final class GraftTable private (
     require(isPrimaryKeyTable, "lookup requires a primary-key table")
     val sch = schema
     require(sch.primaryKeys.toSet == keyValues.keySet, "must bind every primary key")
-    val keyDf = emptyDf().sparkSession.range(1).select(
-      sch.primaryKeys.map(k => lit(keyValues(k)).as(k)).toIndexedSeq: _*)
-    val bucket = keyDf.select(
-      pmod(xxhash64(sch.primaryKeys.map(col).toIndexedSeq: _*), lit(sch.numBuckets))
-        .cast("int").as("b")).head.getInt(0)
     val filterCond = sch.primaryKeys
       .map(k => col(k) === lit(keyValues(k))).reduce(_ && _)
     val snap = sm.latestSnapshot().getOrElse(return emptyDf())
-    val entries = pruneEntries(snap, filterCond).filter(_.bucket == bucket)
+    val pruned = pruneEntries(snap, filterCond)
+    // fixed buckets: the key's bucket is hash-derived, prune to it;
+    // dynamic buckets: membership lives in the index, rely on stats
+    val entries =
+      if (sch.isDynamicBucket) pruned
+      else {
+        val keyDf = emptyDf().sparkSession.range(1).select(
+          sch.primaryKeys.map(k => lit(keyValues(k)).as(k)).toIndexedSeq: _*)
+        val bucket = keyDf.select(
+          pmod(xxhash64(sch.primaryKeys.map(col).toIndexedSeq: _*), lit(sch.numBuckets))
+            .cast("int").as("b")).head.getInt(0)
+        pruned.filter(_.bucket == bucket)
+      }
     val raw = readRaw(entries)
     MergeEngine.merge(raw, sch).filter(filterCond)
   }
@@ -830,7 +875,19 @@ final class GraftTable private (
         val m = MergeEngine.mergeKeepMeta(readRaw(old), sch)
           .filter(col(KindCol) =!= KindDelete)
           .withColumn(KindCol, lit(KindInsert).cast("byte"))
-        m.withColumn("__bucket",
+        if (sch.isDynamicBucket) {
+          // a key's bucket is index-assigned, not hash-derived: carry
+          // it through the rewrite (merge engines that drop __bucket
+          // get it re-joined from the raw rows)
+          val pk = sch.primaryKeys
+          if (m.columns.contains("__bucket")) m
+          else {
+            val bucketOf = readRaw(old)
+              .groupBy(pk.map(col).toIndexedSeq: _*)
+              .agg(max(col("__bucket")).as("__bucket"))
+            m.join(bucketOf, pk, "left")
+          }
+        } else m.withColumn("__bucket",
           pmod(xxhash64(sch.primaryKeys.map(col).toIndexedSeq: _*), lit(sch.numBuckets)).cast("int"))
       } else readAppendData(old) // applies deletion vectors before rewrite
     val partitionBy =
@@ -1322,12 +1379,16 @@ final class GraftTable private (
     // 1%-of-buckets merge pays ~1% of the scan, not 100% (reference
     // intent: MergeIntoPaimonTable.findTouchedFiles). Unmatched target
     // rows are never rewritten, so skipping their files is safe.
-    val srcBuckets = src
-      .select(pmod(xxhash64(pk.map(col).toIndexedSeq: _*), lit(sch.numBuckets))
-        .cast("int").as("__b"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    val touched = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
-      .filter(e => srcBuckets.contains(e.bucket))
+    val liveNow = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+    val touched =
+      if (sch.isDynamicBucket) liveNow // bucket of a key unknowable from hash
+      else {
+        val srcBuckets = src
+          .select(pmod(xxhash64(pk.map(col).toIndexedSeq: _*), lit(sch.numBuckets))
+            .cast("int").as("__b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        liveNow.filter(e => srcBuckets.contains(e.bucket))
+      }
     val tgt = mergedFromEntries(touched)
       .select(cols.map(c => col(c).as(s"__t_$c")).toIndexedSeq: _*)
     val joined = src.join(tgt,

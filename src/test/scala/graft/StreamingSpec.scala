@@ -155,6 +155,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "a2"), (3L, "c")))
   }
 
+  test("bounded stream stops at the watermark bound") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp()
+    val t = GraftTable.create(spark, s"$dir/t", evSchema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
+    def df(rows: (Long, String, Long)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3)).asJava, evSchema)
+    val sink = GraftStreaming.sink(t, watermarkColumn = Some("seq"))
+    sink(df((1L, "a", 5L)), 0L)   // watermark 5
+    sink(df((2L, "b", 10L)), 1L)  // watermark 10
+    sink(df((3L, "c", 20L)), 2L)  // watermark 20 — beyond the bound
+    var seen = Vector.empty[Long]
+    GraftStreaming.processChangelogBounded(t, s"$dir/ck", boundedWatermark = 10L,
+      (_, id) => seen :+= id)
+    assert(seen == Vector(0L, 1L), s"snapshots past the bound must not process: $seen")
+  }
+
+  test("bucket function matches the writer's bucketing; max_pt answers from manifests") {
+    import scala.jdk.CollectionConverters._
+    import graft.functions.TableFunctions
+    val sch = StructType(Seq(
+      StructField("dt", StringType, nullable = false),
+      StructField("k", LongType, nullable = false),
+      StructField("seq", LongType, nullable = true)))
+    def df(rows: (String, Long, Long)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3)).asJava, sch)
+    val t = GraftTable.create(spark, tmp() + "/t", sch,
+      partitionKeys = Seq("dt"), primaryKeys = Seq("dt", "k"),
+      options = Map("sequence.field" -> "seq", "bucket" -> "4"))
+    t.write(df(("2024-01-01", 1L, 1L), ("2024-02-01", 2L, 1L)))
+    // bucket() reproduces the physical bucket of every written row
+    val withBucket = t.readRaw(t.sm.latestSnapshot().map(t.sm.liveEntries).get)
+      .withColumn("calc", TableFunctions.bucket(4, col("dt"), col("k")))
+    assert(withBucket.filter(col("calc") =!= col("__bucket")).count() == 0)
+    // max_pt: latest non-empty partition, manifests only
+    assert(TableFunctions.maxPt(t, "dt").contains("2024-02-01"))
+    // append table: a metadata-only partition drop moves max_pt back
+    val sch2 = StructType(sch.fields.filterNot(_.name == "seq"))
+    val a = GraftTable.create(spark, tmp() + "/a", sch2, partitionKeys = Seq("dt"))
+    a.write(spark.createDataFrame(
+      Seq(Row("2024-01-01", 1L), Row("2024-02-01", 2L)).asJava, sch2))
+    assert(TableFunctions.maxPt(a, "dt").contains("2024-02-01"))
+    a.delete(col("dt") === "2024-02-01")
+    assert(TableFunctions.maxPt(a, "dt").contains("2024-01-01"))
+  }
+
   test("stream-static lookup join re-resolves the dim snapshot per epoch") {
     import scala.jdk.CollectionConverters._
     val dir = tmp()

@@ -182,6 +182,36 @@ class TableIntegritySpec extends AnyFunSuite {
     assert(t.read.count() == 2)
   }
 
+  test("dynamic buckets: keys keep their bucket, new buckets appear as data grows") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "seq", "bucket" -> "-1",
+        "dynamic-bucket.target-row-num" -> "10"))
+    t.write(kvDf((0L until 8L).map(i => (i, s"v$i", i: java.lang.Long, 1L)): _*))
+    val bucketsAfter1 = t.systemFiles.select("bucket").collect().map(_.getInt(0)).toSet
+    // more data → bucket range grows
+    t.write(kvDf((8L until 30L).map(i => (i, s"v$i", i: java.lang.Long, 1L)): _*))
+    val bucketsAfter2 = t.systemFiles.select("bucket").collect().map(_.getInt(0)).toSet
+    assert(bucketsAfter2.size > bucketsAfter1.size,
+      s"expected bucket growth: $bucketsAfter1 -> $bucketsAfter2")
+    // upserting existing keys must NOT move them to new buckets: the
+    // merged table has exactly one row per key
+    t.write(kvDf((0L until 30L).map(i => (i, s"u$i", i: java.lang.Long, 2L)): _*))
+    assert(t.read.count() == 30)
+    val got = t.read.filter(col("k") === 3L).collect()
+    assert(got.length == 1 && got.head.getString(1) == "u3")
+    // per-key bucket is unique across all raw versions
+    val dup = t.readRaw(t.sm.latestSnapshot().map(t.sm.liveEntries).get)
+      .select(col("k"), col("__bucket")).distinct()
+      .groupBy("k").count().filter(col("count") > 1).count()
+    assert(dup == 0, "a key must never appear in two buckets")
+    // lookup and compaction stay correct without hash-derived buckets
+    assert(t.lookup(Map("k" -> 7L)).head.getString(1) == "u7")
+    t.compact()
+    assert(t.read.count() == 30)
+    assert(t.lookup(Map("k" -> 7L)).head.getString(1) == "u7")
+  }
+
   test("simhash blocking finds every planted pair at the hamming bound") {
     import spark.implicits._
     // pairs planted at exactly maxHamming bits apart, including one
