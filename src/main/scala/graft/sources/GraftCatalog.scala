@@ -97,6 +97,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "statistics" => () => gt.systemStatistics
         case "audit_log" => () => gt.auditLog
         case "binlog" => () => gt.systemBinlog
+        case "buckets" => () => gt.systemBuckets
         case _ =>
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
       }

@@ -1554,6 +1554,18 @@ final class GraftTable private (
     }.toDF("branch_name", "latest_snapshot")
   }
 
+  /** `$buckets`: live per-(partition, bucket) rollup (reference:
+    * table/system/BucketsTable.java). */
+  def systemBuckets: DataFrame = {
+    import spark.implicits._
+    val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+    entries.groupBy(e => (e.partition, e.bucket)).map { case ((p, b), es) =>
+      (p.map { case (k, v) => s"$k=$v" }.mkString("/"), b,
+        es.map(e => e.file.rowCount - e.file.dvCardinality.getOrElse(0L)).sum,
+        es.size.toLong, es.map(_.file.fileSize).sum)
+    }.toSeq.toDF("partition", "bucket", "record_count", "file_count", "total_size")
+  }
+
   /** `$consumers`: durable stream-reader progress (reference:
     * table/system/ConsumersTable.java). */
   def systemConsumers: DataFrame = {

@@ -183,20 +183,43 @@ object MergeEngine {
   /** aggregation engine: per-field aggregate chosen by
     * `fields.<name>.aggregate-function` (default last_non_null_value).
     * Function set mirrors paimon-core .../aggregate/factory/.
-    * `combine = true` merges already-aggregated per-commit states. */
+    * `combine = true` merges already-aggregated per-commit states.
+    *
+    * Retraction (-U/-D): sum and count SUBTRACT the retracted
+    * contribution (reference: FieldSumAgg.retract / FieldCountAgg);
+    * every other function ignores retract rows (the implicit
+    * ignore-retract wrapper). The key itself always survives — agg
+    * state retracts toward neutral, it doesn't disappear. */
   private def aggregation(
       raw: DataFrame, schema: TableSchema, ord: Column, combine: Boolean): DataFrame = {
     graft.functions.SketchAggregates.register(raw.sparkSession)
-    val in = raw.filter(col(Meta.KindCol) =!= Meta.KindDelete)
     val pk = schema.primaryKeys
     val valueCols = schema.toStruct.fieldNames.filterNot(pk.contains)
+    val isRetract =
+      col(Meta.KindCol) === Meta.KindDelete || col(Meta.KindCol) === Meta.KindUpdateBefore
+    val retractable = Set("sum", "count")
+    def fnOf(c: String) = schema.options.getOrElse(
+      s"fields.$c.aggregate-function", "last_non_null_value")
+    // null out retract rows for the non-retractable functions so they
+    // see exactly what the old delete-filtering showed them
+    val masked = raw.select(raw.columns.map { c =>
+      if (valueCols.contains(c) && !retractable(fnOf(c)))
+        when(!isRetract, col(c)).as(c)
+      else col(c)
+    }.toIndexedSeq: _*)
+    val maskedOrd = when(!isRetract, ord)
     val aggs = valueCols.map { c =>
-      val fn = schema.options.getOrElse(s"fields.$c.aggregate-function",
-        "last_non_null_value")
-      fieldAgg(fn, c, ord, combine, raw.schema(c).dataType, schema)
-        .cast(raw.schema(c).dataType).as(c) // keep the declared field type
-    } ++ metaAggs(in)
-    in.groupBy(pk.map(col).toIndexedSeq: _*)
+      val e = fnOf(c) match {
+        case "sum" => sum(when(isRetract, -col(c)).otherwise(col(c)))
+        case "count" =>
+          if (combine) sum(when(isRetract, -col(c)).otherwise(col(c)))
+          else sum(when(col(c).isNotNull,
+            when(isRetract, lit(-1L)).otherwise(lit(1L))).otherwise(lit(0L)))
+        case fn => fieldAgg(fn, c, maskedOrd, combine, raw.schema(c).dataType, schema)
+      }
+      e.cast(raw.schema(c).dataType).as(c) // keep the declared field type
+    } ++ metaAggs(masked)
+    masked.groupBy(pk.map(col).toIndexedSeq: _*)
       .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }
 

@@ -115,6 +115,35 @@ class SequenceGroupSpec extends AnyFunSuite {
     assert(t.read.head.getString(1) == "v3")
   }
 
+  test("aggregation engine retracts sum and count; others ignore retracts") {
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("total", LongType, nullable = true),
+      StructField("n", LongType, nullable = true),
+      StructField("last", StringType, nullable = true)))
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"),
+      options = Map(
+        "merge-engine" -> "aggregation",
+        "fields.total.aggregate-function" -> "sum",
+        "fields.n.aggregate-function" -> "count",
+        "fields.last.aggregate-function" -> "last_non_null_value"))
+    def df(rows: (Long, java.lang.Long, java.lang.Long, String)*) =
+      spark.createDataFrame(
+        rows.map(r => Row(r._1, r._2, r._3, r._4)).asJava, sch)
+    t.write(df((1L, 10L, 1L, "a")))
+    t.write(df((1L, 5L, 1L, "b")))
+    // retract the first contribution
+    val retract = df((1L, 10L, 1L, "a"))
+      .withColumn(graft.core.Meta.KindCol,
+        lit(graft.core.Meta.KindDelete).cast("byte"))
+    t.writeKinded(retract)
+    val r = t.read.head
+    assert(r.getLong(1) == 5L, "sum must subtract the retracted value")
+    assert(r.getLong(2) == 1L, "count must decrement")
+    assert(r.getString(3) == "b", "last_non_null ignores the retract row")
+  }
+
   private val nestedType = ArrayType(StructType(Seq(
     StructField("id", LongType, nullable = true),
     StructField("val", StringType, nullable = true))))
