@@ -450,5 +450,37 @@ object Storage {
         .withColumn("up_seq", lit(2L)))
       t.read.select(col("o_orderkey"), col("o_orderstatus"),
         asDouble(col("o_totalprice")).as("totalprice"))
+    },
+
+    // ---- hilbert sort-compact: the rewrite must preserve content
+    // exactly while reclustering; the scan after compaction exercises
+    // the tightened stats.
+    QDef(
+      "g23_hilbert_compact",
+      """SELECT o_orderkey, o_custkey, CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+        |FROM orders WHERE o_custkey <= 200 AND o_orderkey <= 40000""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders")
+      val t = GraftTable.create(s, scratch("g23"), src.schema)
+      (0 until 4).foreach(i => t.write(src.filter(col("o_orderkey") % 4 === i)))
+      t.sortCompact("hilbert", Seq("o_orderkey", "o_custkey"), targetFiles = 8)
+      t.scan(col("o_custkey") <= 200 && col("o_orderkey") <= 40000)
+        .select(col("o_orderkey"), col("o_custkey"),
+          asDouble(col("o_totalprice")).as("price"))
+    },
+
+    // ---- bitmap file index: exact per-value refutation on a
+    // low-cardinality column whose min/max ranges fully overlap.
+    QDef(
+      "g24_bitmap_index",
+      """SELECT o_orderkey, o_orderpriority
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |  AND o_orderkey % 4 = 0""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders")
+      val t = GraftTable.create(s, scratch("g24"), src.schema,
+        options = Map("file-index.bitmap.columns" -> "o_orderpriority"))
+      (0 until 4).foreach(i => t.write(src.filter(col("o_orderkey") % 4 === i)))
+      t.scan(col("o_orderpriority").isin("1-URGENT", "5-LOW") &&
+          col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
     })
 }

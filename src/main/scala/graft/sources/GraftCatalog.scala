@@ -102,7 +102,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
       }
       new GraftSystemTable(s"${gt.path}$$$suffix", dfFn)
-    } else new GraftSparkTable(loadGraft(ident), snapshot = None)
+    } else {
+      val gt = loadGraft(ident)
+      // append tables additionally support group-based row-level SQL
+      // (UPDATE / MERGE / non-translatable DELETE via copy-on-write)
+      if (gt.isPrimaryKeyTable) new GraftSparkTable(gt, snapshot = None)
+      else new GraftAppendSparkTable(gt, snapshot = None)
+    }
   }
 
   override def loadTable(ident: Identifier, version: String): Table =
@@ -220,7 +226,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * fallback for merge-on-read), batch write via V1Write, dynamic
   * overwrite, and filter-based SQL DELETE routed to the library's
   * three-tier delete (metadata-only / deletion-vector / rewrite). */
-class GraftSparkTable(gt: GraftTable, snapshot: Option[Long])
+class GraftSparkTable(protected val gt: GraftTable, snapshot: Option[Long])
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -429,6 +435,20 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType)
       }.asInstanceOf[T]
     }
   }
+}
+
+/** Append-table handle with group-based row-level SQL operations:
+  * UPDATE / MERGE INTO / arbitrary-predicate DELETE rewrite touched
+  * files copy-on-write (PK tables keep the kinded upsert paths via the
+  * library API; filter-translatable DELETEs still take the three-tier
+  * metadata route through SupportsDelete). */
+class GraftAppendSparkTable(gt0: GraftTable, snapshot: Option[Long])
+    extends GraftSparkTable(gt0, snapshot)
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(gt, info.command())
 }
 
 /** Read-only DSv2 table over a metadata DataFrame (the `$`-suffix

@@ -169,6 +169,10 @@ class GraftBatchScan(
   /** file list, narrowed further by runtime filters (DPP) */
   private var entries: Seq[ManifestEntry] = initialEntries
 
+  /** the files this scan will actually read (post runtime filtering) —
+    * the row-level write replaces exactly these */
+  def currentEntries: Seq[ManifestEntry] = entries
+
   /** Dynamic partition pruning: join-produced IN-filters on partition
     * columns drop manifest entries before any file is opened
     * (reference: PaimonScan's SupportsRuntimeV2Filtering). */

@@ -245,7 +245,20 @@ final class GraftTable private (
     val writer = out.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(staging)
+    commitStagedDir(staging, sch, kind, seqBase, commitIdentifier,
+      deletesFor, level, changelogManifest)
+  }
 
+  /** Second phase of a write: adopt already-staged parquet (partition
+    * directory layout) into the table and commit. Also used by the
+    * DSv2 row-level (COPY_ON_WRITE) write path, whose executors stage
+    * files through Spark's own parquet writer factory. */
+  private[graft] def commitStagedDir(
+      staging: String, sch: TableSchema,
+      kind: String, seqBase: Long, commitIdentifier: Long,
+      deletesFor: Seq[ManifestEntry] => Seq[ManifestEntry],
+      level: Int = 0,
+      changelogManifest: Option[String] = None): Long = {
     val stagingPath = Paths.get(staging)
     val parquetFiles = Files.walk(stagingPath).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
@@ -1340,6 +1353,13 @@ final class GraftTable private (
         .map(v => when(when_, v).otherwise(col(c)).as(c))
         .getOrElse(col(c))
     }.toIndexedSeq: _*)
+
+  /** Replace `replaced` files with the parquet already staged at
+    * `staging` in one OVERWRITE snapshot — the commit half of the SQL
+    * row-level (COPY_ON_WRITE) write. */
+  private[graft] def replaceFiles(staging: String, replaced: Seq[ManifestEntry]): Long =
+    commitStagedDir(staging, schema, KindOverwrite, nextSeq(),
+      commitIdentifier = -1L, _ => replaced.map(_.copy(kind = "DELETE")))
 
   /** Copy-on-write rewrite of the files that contain rows matching
     * `touchCond`; untouched files are carried over unchanged. */

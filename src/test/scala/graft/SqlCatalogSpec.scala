@@ -150,6 +150,34 @@ class SqlCatalogSpec extends AnyFunSuite {
     intercept[Exception](spark.sql("SELECT * FROM graft.db9.`t$nope`").collect())
   }
 
+  test("SQL UPDATE / MERGE INTO rewrite touched files copy-on-write") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbu")
+    spark.sql(
+      """CREATE TABLE graft.dbu.t (k BIGINT, p STRING, v DOUBLE)
+        |PARTITIONED BY (p)""".stripMargin)
+    spark.sql("INSERT INTO graft.dbu.t VALUES (1, 'a', 1.0), (2, 'a', 2.0)")
+    spark.sql("INSERT INTO graft.dbu.t VALUES (3, 'b', 3.0)")
+    // UPDATE with an arithmetic predicate (not filter-translatable)
+    spark.sql("UPDATE graft.dbu.t SET v = v * 10 WHERE k % 2 = 0")
+    val got = spark.sql("SELECT k, v FROM graft.dbu.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 1.0), (2L, 20.0), (3L, 3.0)))
+    // MERGE INTO with update + insert clauses
+    spark.sql("SELECT * FROM VALUES (2L, 'a', 99.0), (9L, 'b', 9.0) AS s(k, p, v)")
+      .createOrReplaceTempView("dbu_src")
+    spark.sql(
+      """MERGE INTO graft.dbu.t t USING dbu_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got2 = spark.sql("SELECT k, v FROM graft.dbu.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got2.toSeq == Seq((1L, 1.0), (2L, 99.0), (3L, 3.0), (9L, 9.0)))
+    // DELETE with a non-translatable predicate goes copy-on-write too
+    spark.sql("DELETE FROM graft.dbu.t WHERE k % 3 = 0")
+    assert(spark.sql("SELECT k FROM graft.dbu.t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("runtime filtering (DPP) drops partitions from the native scan") {
     import graft.table.GraftTable
     import graft.sources.GraftBatchScan
