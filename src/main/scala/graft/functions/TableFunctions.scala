@@ -19,8 +19,13 @@ object TableFunctions {
   def maxPt(table: GraftTable, partitionColumn: String): Option[String] = {
     require(table.schema.partitionKeys.contains(partitionColumn),
       s"$partitionColumn is not a partition key")
-    val entries = table.sm.latestSnapshot()
-      .map(table.sm.liveEntries).getOrElse(Seq.empty)
+    maxPt(table.sm, partitionColumn)
+  }
+
+  /** Metadata-only variant: needs no SparkSession, usable inside
+    * executor-evaluated catalog functions. */
+  def maxPt(sm: graft.core.SnapshotManager, partitionColumn: String): Option[String] = {
+    val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
     entries
       .filter(e => e.file.rowCount - e.file.dvCardinality.getOrElse(0L) > 0)
       .flatMap(_.partition.get(partitionColumn))

@@ -440,7 +440,7 @@ object Storage {
         |FROM orders""".stripMargin) { (s, dir) =>
       val (t, src0) = ordersTable(s, dir,
         options = Map("sequence.field" -> "up_seq", "bucket" -> "-1",
-          "dynamic-bucket.target-row-num" -> "500"),
+          "dynamic-bucket.target-row-num" -> "5000"),
         primaryKeys = Seq("o_orderkey"),
         extraCols = _.withColumn("up_seq", lit(1L)))
       t.write(src0.filter(col("o_orderkey") % 2 === 0))
@@ -482,5 +482,35 @@ object Storage {
       t.scan(col("o_orderpriority").isin("1-URGENT", "5-LOW") &&
           col("o_orderkey") % 4 === 0)
         .select(col("o_orderkey"), col("o_orderpriority"))
+    },
+
+    // ---- CALL sys.* procedures through SQL: upsert history, compact,
+    // expire old snapshots, tag — the read after maintenance must
+    // still be the merged logical table.
+    QDef(
+      "g25_sql_procedures",
+      """SELECT o_orderkey,
+        |  CAST(ROUND(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 3
+        |                  ELSE o_totalprice END, 2) AS DOUBLE) AS price
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val wh = Files.createTempDirectory("graft-g25-wh").toString
+      s.conf.set("spark.sql.catalog.graft_g25", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_g25.warehouse", wh)
+      tbl(s, dir, "orders").createOrReplaceTempView("g25_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g25.gate")
+      s.sql("""CREATE TABLE graft_g25.gate.t
+              |(o_orderkey BIGINT, o_totalprice DOUBLE, up_seq BIGINT)
+              |TBLPROPERTIES ('primary-key'='o_orderkey',
+              |  'sequence.field'='up_seq', 'bucket'='4')""".stripMargin)
+      s.sql("""INSERT INTO graft_g25.gate.t
+              |SELECT o_orderkey, o_totalprice, 1L FROM g25_src""".stripMargin)
+      s.sql("""INSERT INTO graft_g25.gate.t
+              |SELECT o_orderkey, o_totalprice * 3, 2L FROM g25_src
+              |WHERE o_orderkey % 5 = 0""".stripMargin)
+      s.sql("CALL graft_g25.sys.compact('gate.t')")
+      s.sql("CALL graft_g25.sys.create_tag('gate.t', 'post-compact')")
+      s.sql("CALL graft_g25.sys.expire_snapshots('gate.t', 1)")
+      s.sql("""SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+              |FROM graft_g25.gate.t""".stripMargin)
     })
 }

@@ -30,7 +30,8 @@ import scala.jdk.CollectionConverters._
   * API rather than reimplemented.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -50,6 +51,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     (ident.namespace() :+ ident.name()).mkString(s"$warehouse/", "/", "")
 
   private[sources] def pathOf(ident: Identifier): String = tablePath(ident)
+  private[sources] def warehousePath: String = warehouse
 
   /** `CALL <cat>.sys.<proc>(...)` maintenance procedures. */
   override def loadProcedure(ident: Identifier)
@@ -58,6 +60,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     GraftProcedures.names.map(n => Identifier.of(Array("sys"), n)).toArray
+
+  /** Catalog-resolved SQL functions (bucket, max_pt). */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctions.load(this, ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    GraftFunctions.names.map(n => Identifier.of(Array("sys"), n)).toArray
 
   // ---- tables ---------------------------------------------------------
 

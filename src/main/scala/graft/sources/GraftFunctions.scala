@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+
+/** Catalog-resolved SQL functions (reference: paimon-spark
+  * .../catalog/functions/PaimonFunctions.scala:44-52 — `bucket`,
+  * `max_pt`, resolved through Spark's FunctionCatalog).
+  *
+  * `SELECT <cat>.sys.bucket(16, k)` — the same xxhash64-pmod the
+  * writer uses, for bucket-aligned repartitioning/joins from SQL;
+  * `SELECT <cat>.sys.max_pt('db.t', 'dt')` — latest non-empty
+  * partition value, answered from manifests alone. */
+object GraftFunctions {
+
+  def names: Seq[String] = Seq("bucket", "max_pt")
+
+  def load(catalog: GraftCatalog, ident: Identifier): UnboundFunction =
+    ident.name() match {
+      case "bucket" => BucketFunction
+      case "max_pt" => new MaxPtFunction(catalog.warehousePath)
+      case other =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    }
+
+  object BucketFunction extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(numBuckets, key): writer-compatible bucket id of a key"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2 &&
+        inputType.fields(0).dataType == IntegerType &&
+        inputType.fields(1).dataType == LongType,
+        "bucket(numBuckets INT, key BIGINT)")
+      new ScalarFunction[Int] {
+        override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+        override def resultType(): DataType = IntegerType
+        override def name(): String = "bucket"
+        override def produceResult(input: InternalRow): Int = {
+          val n = input.getInt(0)
+          // same hash the writer uses: xxhash64 of the long, seed 42
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashLong(input.getLong(1), 42L)
+          ((h % n) + n).toInt % n
+        }
+      }
+    }
+  }
+
+  /** Captures only the warehouse path; evaluation is metadata-only
+    * (SnapshotManager IO, no SparkSession) so it is safe on
+    * executors. */
+  class MaxPtFunction(warehouse: String) extends UnboundFunction with Serializable {
+    override def name(): String = "max_pt"
+    override def description(): String =
+      "max_pt(table, column): latest non-empty partition value (manifests only)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2 &&
+        inputType.fields.forall(_.dataType == StringType),
+        "max_pt(table STRING, partitionColumn STRING)")
+      new ScalarFunction[org.apache.spark.unsafe.types.UTF8String] with Serializable {
+        override def inputTypes(): Array[DataType] = Array(StringType, StringType)
+        override def resultType(): DataType = StringType
+        override def name(): String = "max_pt"
+        override def isDeterministic: Boolean = false // reads table state
+        override def produceResult(input: InternalRow)
+            : org.apache.spark.unsafe.types.UTF8String = {
+          val tablePath =
+            s"$warehouse/${input.getUTF8String(0).toString.replace('.', '/')}"
+          graft.functions.TableFunctions
+            .maxPt(new graft.core.SnapshotManager(tablePath),
+              input.getUTF8String(1).toString)
+            .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+            .orNull
+        }
+      }
+    }
+  }
+}

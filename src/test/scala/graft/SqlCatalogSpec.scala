@@ -212,6 +212,22 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(after == 2, s"runtime IN filter should keep 2 of 3 partitions, kept $after")
   }
 
+  test("catalog functions: bucket() matches the writer, max_pt() reads manifests") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbf")
+    spark.sql(
+      """CREATE TABLE graft.dbf.t (k BIGINT, dt STRING)
+        |PARTITIONED BY (dt)""".stripMargin)
+    spark.sql("INSERT INTO graft.dbf.t VALUES (1, '2024-01-01'), (2, '2024-02-01')")
+    // bucket() reproduces the writer's pmod(xxhash64(k), n)
+    val fromSql = spark.sql("SELECT k, graft.sys.bucket(8, k) FROM graft.dbf.t")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val expected = spark.sql("SELECT k, CAST(pmod(xxhash64(k), 8) AS INT) FROM graft.dbf.t")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(fromSql == expected)
+    assert(spark.sql("SELECT graft.sys.max_pt('dbf.t', 'dt')")
+      .head.getString(0) == "2024-02-01")
+  }
+
   test("CALL sys.* maintenance procedures run through SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbp")
     spark.sql(
