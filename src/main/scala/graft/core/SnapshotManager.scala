@@ -241,6 +241,8 @@ final class SnapshotManager(
     val (elseFiles, elseManifests) = referencedElsewhere()
     val (tagFiles, tagManifests) = taggedRefs()
     val liveFiles = keptSnaps.flatMap(s => liveEntries(s).map(_.file.fileName)).toSet ++
+      keptSnaps.flatMap(s => s.changelogManifest.toSeq.flatMap(readManifest))
+        .map(_.file.fileName).toSet ++
       elseFiles ++ tagFiles
     val liveManifests = keptSnaps.flatMap(s =>
       (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest ++ s.changelogManifest)
@@ -253,7 +255,8 @@ final class SnapshotManager(
       (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest ++ s.changelogManifest)
       .distinct
     val dropFiles = dropped.flatMap(s =>
-      readManifestList(s.manifestList).flatMap(readManifest))
+      readManifestList(s.manifestList).flatMap(readManifest) ++
+        s.changelogManifest.toSeq.flatMap(readManifest))
       .map(_.file.fileName).distinct
     dropFiles.filterNot(liveFiles.contains)
       .foreach(f => io.delete(s"$tablePath/$f"))

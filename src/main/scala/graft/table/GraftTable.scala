@@ -943,14 +943,15 @@ final class GraftTable private (
       val sms = (None +: sm.branches.map(Option(_)))
         .map(b => new SnapshotManager(path, b, sm.io))
       sms.flatMap(s => s.snapshotIds.map(s.snapshot).flatMap { sn =>
-        (s.readManifestList(sn.manifestList) ++ sn.deltaManifest)
-          .distinct.flatMap(s.readManifest)
+        (s.readManifestList(sn.manifestList) ++ sn.deltaManifest ++
+          sn.changelogManifest).distinct.flatMap(s.readManifest)
       }).flatMap(e =>
         Seq(e.file.fileName) ++ e.file.dvFile ++
           e.file.indexFiles.map(_.values).getOrElse(Seq.empty)).toSet
     }
     val cutoff = System.currentTimeMillis() - graceMillis
-    val roots = Seq(s"$path/data", s"$path/index", s"$path/staging")
+    val roots = Seq(s"$path/data", s"$path/index", s"$path/staging",
+      s"$path/changelog")
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     roots.foreach { root =>
       val rp = Paths.get(root)

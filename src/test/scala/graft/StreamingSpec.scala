@@ -155,6 +155,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "a2"), (3L, "c")))
   }
 
+  test("changelog files expire with their snapshots; kept ones survive") {
+    import scala.jdk.CollectionConverters._
+    val t = GraftTable.create(spark, tmp() + "/t", evSchema,
+      primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "seq",
+        "changelog-producer" -> "lookup", "bucket" -> "1"))
+    def df(rows: (Long, String, Long)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3)).asJava, evSchema)
+    (1 to 5).foreach(i => t.write(df((i.toLong, s"v$i", 1L))))
+    def clFiles(): Set[String] = {
+      val p = java.nio.file.Paths.get(s"${t.path}/changelog")
+      if (!java.nio.file.Files.isDirectory(p)) Set.empty
+      else java.nio.file.Files.walk(p).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_)).map(_.toString)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val before = clFiles()
+    assert(before.nonEmpty)
+    t.expireSnapshots(retain = 2)
+    val after = clFiles()
+    assert(after.size < before.size, "dropped snapshots' changelog must be reclaimed")
+    // surviving snapshots still serve their persisted changelog
+    assert(t.incrementalRead(3L, 4L)
+      .select("k", "_row_kind").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((5L, "+I")))
+    // orphan cleanup may sweep _SUCCESS/.crc debris but never touches
+    // referenced changelog parquet
+    assert(t.removeOrphanFiles(graceMillis = -1000)
+      .forall(f => !f.endsWith(".parquet")))
+    assert(clFiles() == after)
+  }
+
   test("bounded stream stops at the watermark bound") {
     import scala.jdk.CollectionConverters._
     val dir = tmp()
