@@ -65,17 +65,35 @@ object TextAnalysis {
     (lenScore * 0.25 + alpha * 0.35 + digitPenalty * 0.2 + punctPenalty * 0.2)
   }
 
-  // --- language ID: tiny stopword-profile n-gram heuristic ------------
+  // --- language ID: script shortcuts + stopword-profile scoring ------
 
+  /** Function-word profiles (high-frequency, language-distinctive;
+    * ambiguous words that collide across Romance languages are
+    * avoided where possible). */
   private val LangProfiles: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "it"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
-    "fr" -> Seq("le", "la", "les", "et", "est", "une", "des", "dans", "pour", "que"),
-    "es" -> Seq("el", "la", "los", "y", "es", "una", "del", "para", "con", "por"))
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with",
+      "it", "was", "this", "are", "have", "not", "they", "from", "you"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+      "mit", "von", "zu", "auf", "sich", "auch", "werden", "wir", "aber"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans", "pour", "que",
+      "qui", "pas", "vous", "nous", "sur", "sont", "mais", "aux", "ce"),
+    "es" -> Seq("el", "los", "es", "del", "con", "por", "las", "una",
+      "para", "como", "pero", "más", "este", "esta", "ser", "hay"),
+    "it" -> Seq("il", "di", "che", "della", "per", "con", "una", "sono",
+      "anche", "come", "nel", "alla", "questo", "gli", "più", "dei"),
+    "pt" -> Seq("o", "os", "de", "do", "da", "em", "um", "uma", "para",
+      "com", "não", "mais", "como", "mas", "foi", "são", "pelo"),
+    "nl" -> Seq("de", "het", "een", "van", "en", "dat", "niet", "aan",
+      "met", "voor", "zijn", "ook", "maar", "deze", "wordt", "naar"),
+    "id" -> Seq("yang", "dan", "di", "ini", "itu", "dengan", "untuk",
+      "tidak", "dari", "dalam", "akan", "pada", "juga", "ke", "adalah"))
 
-  /** Predicted language code; `und` when no profile matches.
-    * CJK codepoints short-circuit to `zh`. Pure expression: the per-
-    * language scores are array-membership counts over the token array.
+  /** Predicted language code; `und` when no profile matches. Scripts
+    * with unambiguous codepoint ranges short-circuit (kana → ja before
+    * the CJK-ideograph → zh check, hangul → ko, cyrillic → ru, arabic
+    * → ar, greek → el, devanagari → hi); Latin-script languages score
+    * by function-word membership counts. Pure expression: everything
+    * runs inside whole-stage codegen, no shuffle.
     */
   def langId(text: Column): Column = {
     val toks = tokens(text)
@@ -86,7 +104,13 @@ object TextAnalysis {
         lit(code).as("code"))
     }
     val best = array_max(array(scores: _*))
-    when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+    when(text.rlike("[\\u3040-\\u30ff]"), lit("ja"))
+      .when(text.rlike("[\\uac00-\\ud7af]"), lit("ko"))
+      .when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(text.rlike("[\\u0400-\\u04ff]"), lit("ru"))
+      .when(text.rlike("[\\u0600-\\u06ff]"), lit("ar"))
+      .when(text.rlike("[\\u0370-\\u03ff]"), lit("el"))
+      .when(text.rlike("[\\u0900-\\u097f]"), lit("hi"))
       .when(best.getField("score") > 0, best.getField("code"))
       .otherwise(lit("und"))
   }

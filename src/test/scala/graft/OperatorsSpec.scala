@@ -66,12 +66,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(agree(sig(1L), sig(3L)) <= 4)
   }
 
-  test("langId recognizes stopword profiles and CJK") {
+  test("langId recognizes stopword profiles and script shortcuts") {
     assert(one(TA.langId(lit("the cat and the dog of the house"))) == "en")
     assert(one(TA.langId(lit("der Hund und die Katze ist nicht da"))) == "de")
-    assert(one(TA.langId(lit("el perro y el gato es una casa"))) == "es")
-    assert(one(TA.langId(lit("le chien et le chat dans la maison"))) == "fr")
+    assert(one(TA.langId(lit("el perro es una casa con más por"))) == "es")
+    assert(one(TA.langId(lit("le chien et le chat dans la maison pour vous"))) == "fr")
+    assert(one(TA.langId(lit("il cane che sono anche questo per gli"))) == "it")
+    assert(one(TA.langId(lit("o cachorro não são para com mais pelo"))) == "pt")
+    assert(one(TA.langId(lit("het huis een van dat niet voor deze"))) == "nl")
     assert(one(TA.langId(lit("数据库 存储 引擎"))) == "zh")
+    assert(one(TA.langId(lit("データベース ストレージ"))) == "ja")
+    assert(one(TA.langId(lit("데이터베이스 저장"))) == "ko")
+    assert(one(TA.langId(lit("база данных хранение"))) == "ru")
+    assert(one(TA.langId(lit("قاعدة البيانات"))) == "ar")
+    assert(one(TA.langId(lit("βάση δεδομένων"))) == "el")
+    assert(one(TA.langId(lit("डेटाबेस भंडारण"))) == "hi")
     assert(one(TA.langId(lit("xyzzy plugh"))) == "und")
   }
 
