@@ -368,11 +368,16 @@ final class SnapshotManager(
       .collect { case t if t.startsWith("tag-") => t.stripPrefix("tag-") }
       .flatMap(n => tagSnapshotId(n).map(n -> _)).toMap
 
-  /** Files + manifests referenced by tags — never garbage-collectable. */
-  private def taggedRefs(): (Set[String], Set[String]) = {
-    val snaps = io.list(tagDir).map(_.split('/').last)
+  /** All tag snapshots (materialized copies; the tag dir is shared
+    * across branches). */
+  def tagSnapshots: Seq[Snapshot] =
+    io.list(tagDir).map(_.split('/').last)
       .collect { case t if t.startsWith("tag-") => t.stripPrefix("tag-") }
       .flatMap(tagSnapshot)
+
+  /** Files + manifests referenced by tags — never garbage-collectable. */
+  private def taggedRefs(): (Set[String], Set[String]) = {
+    val snaps = tagSnapshots
     val manifests = snaps.flatMap(s =>
       (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest ++ s.changelogManifest).toSet
     val files = snaps.flatMap(s =>

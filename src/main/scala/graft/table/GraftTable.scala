@@ -137,10 +137,15 @@ final class GraftTable private (
     // PaimonSparkWriter.scala:312 repartition-by-bucket).
     // HASH_DYNAMIC (bucket = -1) routes through the index-preserving
     // assigner instead.
+    // dynamic-bucket assignment counts the batch, so pin it for the
+    // duration of the write and release it after the commit
+    var pinned: Option[DataFrame] = None
     val out =
-      if (sch.isDynamicBucket)
-        assignDynamicBuckets(preMerged.withColumn(SeqCol, lit(base)), sch)
-      else preMerged
+      if (sch.isDynamicBucket) {
+        val batch = preMerged.withColumn(SeqCol, lit(base)).persist()
+        pinned = Some(batch)
+        assignDynamicBuckets(batch, sch)
+      } else preMerged
         .withColumn(SeqCol, lit(base))
         .withColumn("__bucket",
           pmod(xxhash64(pk.map(col).toIndexedSeq: _*), lit(sch.numBuckets)).cast("int"))
@@ -165,7 +170,10 @@ final class GraftTable private (
       commitFilesFn(out, sch, sch.partitionKeys :+ "__bucket",
         if (overwrite) KindOverwrite else KindAppend, base, commitIdentifier,
         deletesFor, changelogManifest = changelog)
-    } finally if (withChangelog) { out.unpersist(); () }
+    } finally {
+      if (withChangelog) out.unpersist()
+      pinned.foreach(_.unpersist())
+    }
   }
 
   private def struct_ord(cols: Column*): Column =
@@ -184,7 +192,7 @@ final class GraftTable private (
     val live = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
     val liveRows = live.map(_.file.rowCount).sum
     val maxBucket = live.map(_.bucket).maxOption.getOrElse(-1)
-    val batchRows = batch.persist().count()
+    val batchRows = batch.count() // caller has persisted the batch
     val nTotal = math.max(maxBucket + 1,
       math.ceil((liveRows + batchRows).toDouble /
         sch.dynamicBucketTargetRows).toInt).max(1)
@@ -942,7 +950,11 @@ final class GraftTable private (
     val referenced: Set[String] = {
       val sms = (None +: sm.branches.map(Option(_)))
         .map(b => new SnapshotManager(path, b, sm.io))
-      sms.flatMap(s => s.snapshotIds.map(s.snapshot).flatMap { sn =>
+      // tags are full snapshot copies that outlive expiration of the
+      // snapshot they were taken from — their files are referenced
+      // even when no live snapshot lists them (reference:
+      // OrphanFilesClean includes tagged snapshots)
+      sms.flatMap(s => (s.snapshotIds.map(s.snapshot) ++ s.tagSnapshots).flatMap { sn =>
         (s.readManifestList(sn.manifestList) ++ sn.deltaManifest ++
           sn.changelogManifest).distinct.flatMap(s.readManifest)
       }).flatMap(e =>
