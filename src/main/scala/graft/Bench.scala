@@ -19,6 +19,10 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: one untimed query JITs the parquet reader, codegen and
+    // shuffle paths so the first timed query isn't charged for them
+    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+    catch { case _: Throwable => }
     // stable order → comparable per-query numbers across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache()
@@ -26,12 +30,19 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       System.gc() // lets ContextCleaner reclaim finished queries' state
-      name -> dt
+      name -> (math.round(dt * 1000) / 1000.0) // 3 decimals keeps the line short
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = math.round(results.map(_._2).sum * 1000) / 1000.0
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // file copy guards against stdout-capture truncation of long lines
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Throwable => }
+    println(line)
+    System.out.flush()
     spark.stop()
   }
 }

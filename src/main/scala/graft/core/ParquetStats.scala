@@ -22,6 +22,22 @@ import scala.jdk.CollectionConverters._
   * micros) as Long strings, floats as Double strings, UTF8 binaries as
   * raw strings. StatsFilter re-types them via the table schema.
   */
+/** Hadoop Configuration is not Serializable; wrap it for shipping into
+  * executor-side footer-stat tasks (same shape as Spark's internal
+  * SerializableConfiguration, which is private[spark]). */
+class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 object ParquetStats {
 
   def read(

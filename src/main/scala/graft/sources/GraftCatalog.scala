@@ -290,22 +290,38 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType)
 
   /** COUNT(*) / MIN / MAX with no grouping and no residual filter are
     * answered from manifest stats alone via a LocalScan — zero data
-    * files opened (reference: AggregatePushDownUtils + LocalAggregator).
-    * Spark only attempts this when every filter was fully consumed by
-    * the scan; we keep filters as residuals, so it fires exactly on
-    * whole-table aggregates. */
+    * files opened, zero jobs (reference: AggregatePushDownUtils +
+    * LocalAggregator). Spark only attempts this when every filter was
+    * fully consumed by the scan; we keep filters as residuals, so it
+    * fires exactly on whole-table aggregates. Non-compacted PK tables
+    * decline COUNT(*) (countRowsFast = None) instead of running the
+    * merge scan at planning time. Spark calls supportCompletePushDown
+    * then pushAggregation with the same Aggregation — memoized so the
+    * manifest fold runs once. */
   override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    aggMemo match {
+      case Some((prev, r)) if prev eq agg => r
+      case _ =>
+        val r = computeAggPushdown(agg)
+        aggMemo = Some((agg, r))
+        r
+    }
+
+  private var aggMemo: Option[(AnyRef, Boolean)] = None
+
+  private def computeAggPushdown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate._
-    import org.apache.spark.sql.connector.expressions.FieldReference
     if (snapshot.isDefined || pushed.nonEmpty || agg.groupByExpressions.nonEmpty)
       return false
     val entries = gt.sm.latestSnapshot().map(gt.sm.liveEntries).getOrElse(Seq.empty)
     val dvPresent = entries.exists(_.file.dvFile.isDefined)
     val values = agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>
-        Some(("count(*)", org.apache.spark.sql.types.LongType: org.apache.spark.sql.types.DataType,
-          gt.countRows().asInstanceOf[Any]))
+        gt.countRowsFast().map(c =>
+          ("count(*)", org.apache.spark.sql.types.LongType: org.apache.spark.sql.types.DataType,
+            c.asInstanceOf[Any]))
       case m: Min => statsValue(m.column, isMin = true, dvPresent)
         .map { case (n, t, v) => (s"min($n)", t, v) }
       case m: Max => statsValue(m.column, isMin = false, dvPresent)

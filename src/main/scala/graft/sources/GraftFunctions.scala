@@ -28,21 +28,47 @@ object GraftFunctions {
   object BucketFunction extends UnboundFunction {
     override def name(): String = "bucket"
     override def description(): String =
-      "bucket(numBuckets, key): writer-compatible bucket id of a key"
+      "bucket(numBuckets, key, ...): writer-compatible bucket id of a key"
+
+    /** Types Spark's xxhash64 hashes natively — anything else would
+      * force a CAST that changes the hash input and silently disagrees
+      * with the writer's bucket routing. */
+    private def hashable(dt: DataType): Boolean = dt match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | DateType | TimestampType |
+           TimestampNTZType | StringType | BinaryType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+
     override def bind(inputType: StructType): BoundFunction = {
-      require(inputType.fields.length == 2 &&
-        inputType.fields(0).dataType == IntegerType &&
-        inputType.fields(1).dataType == LongType,
-        "bucket(numBuckets INT, key BIGINT)")
+      require(inputType.fields.length >= 2 &&
+        inputType.fields(0).dataType == IntegerType,
+        "bucket(numBuckets INT, key, ...) — keys in primary-key order")
+      val keyTypes = inputType.fields.drop(1).map(_.dataType)
+      val bad = keyTypes.filterNot(hashable)
+      require(bad.isEmpty,
+        s"bucket(): unhashable key type(s) ${bad.map(_.sql).mkString(", ")} — " +
+          "pass the key column in its declared type (no CAST), the bucket id " +
+          "is the xxhash64 of the raw value")
       new ScalarFunction[Int] {
-        override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+        override def inputTypes(): Array[DataType] = IntegerType +: keyTypes
         override def resultType(): DataType = IntegerType
         override def name(): String = "bucket"
         override def produceResult(input: InternalRow): Int = {
           val n = input.getInt(0)
-          // same hash the writer uses: xxhash64 of the long, seed 42
-          val h = org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashLong(input.getLong(1), 42L)
+          // EXACTLY the writer's hash: Spark's xxhash64 expression over
+          // the key columns in order — per-type hashing, seed 42,
+          // chained, nulls skipped (GraftTable.writeKinded bucketing)
+          var h = 42L
+          var i = 0
+          while (i < keyTypes.length) {
+            if (!input.isNullAt(i + 1)) {
+              h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+                .hash(input.get(i + 1, keyTypes(i)), keyTypes(i), h)
+            }
+            i += 1
+          }
           ((h % n) + n).toInt % n
         }
       }

@@ -271,7 +271,9 @@ final class GraftTable private (
     val parquetFiles = Files.walk(stagingPath).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .toSeq
-    val added = parquetFiles.map { p =>
+    // phase 1 (driver, metadata-only): adopt staged files into the
+    // table directory
+    val moved = parquetFiles.map { p =>
       val rel = stagingPath.relativize(p).toString
       val dirs = rel.split('/').dropRight(1)
       val partition = dirs.filterNot(_.startsWith("__bucket="))
@@ -281,12 +283,36 @@ final class GraftTable private (
       val targetRel = (dirs :+ s"${UUID.randomUUID()}.parquet").mkString("/")
       val targetAbs = s"${sm.dataDir}/$targetRel"
       sm.io.rename(p.toString, targetAbs)
-      val meta = ParquetStats.read(hadoopConf, targetAbs,
-        s"data/$targetRel", level = level, minSeq = seqBase, maxSeq = seqBase)
-        .copy(schemaId = sch.id)
-      ManifestEntry("ADD", partition, bucket, meta)
+      (partition, bucket, targetAbs, s"data/$targetRel")
     }
     deleteRecursive(stagingPath)
+    // phase 2: footer stats. Driver-serial IO is fine for a handful of
+    // files but O(files) sequential reads on a big backfill, so larger
+    // commits fan the footer reads out as one Spark job (the reference
+    // computes stats in the writers and ships them in CommitMessages —
+    // PaimonSparkWriter.scala:108-195).
+    val schId = sch.id
+    val metas: Seq[DataFileMeta] =
+      if (moved.size <= 16)
+        moved.map { case (_, _, abs, rel) =>
+          ParquetStats.read(hadoopConf, abs, rel, level = level,
+            minSeq = seqBase, maxSeq = seqBase).copy(schemaId = schId)
+        }
+      else {
+        val conf = new SerializableHadoopConf(hadoopConf)
+        val (lvl, sb) = (level, seqBase)
+        spark.sparkContext
+          .parallelize(moved.map { case (_, _, abs, rel) => (abs, rel) },
+            math.min(moved.size, 32))
+          .map { case (abs, rel) =>
+            ParquetStats.read(conf.value, abs, rel, level = lvl,
+              minSeq = sb, maxSeq = sb).copy(schemaId = schId)
+          }
+          .collect().toSeq
+      }
+    val added = moved.zip(metas).map { case ((partition, bucket, _, _), meta) =>
+      ManifestEntry("ADD", partition, bucket, meta)
+    }
     val indexed = buildFileIndexes(sch, added)
     val deletes = deletesFor(indexed)
     val deletedNames = deletes.map(_.file.fileName).toSet
@@ -347,13 +373,13 @@ final class GraftTable private (
       }
       .collect()
     val byName: Map[String, Map[String, String]] =
-      written.groupBy(_._1).map { case (f, ws) =>
+      written.groupBy(w => basename(w._1)).map { case (f, ws) =>
         f -> ws.map(w => w._2 -> w._3).toMap
       }
     added.map { e =>
-      byName.find { case (f, _) => f.endsWith(e.file.fileName) } match {
+      byName.get(basename(e.file.fileName)) match {
         case None => e
-        case Some((_, sidecars)) =>
+        case Some(sidecars) =>
           e.copy(file = e.file.copy(indexFiles = Some(sidecars)))
       }
     }
@@ -410,15 +436,21 @@ final class GraftTable private (
     * paimon-spark .../aggregate/AggregatePushDownUtils.scala:36-106,
     * guarded by mergedRowCountAvailable for PK tables). PK tables
     * without a guaranteed merged count fall back to a real scan. */
-  def countRows(): Long = {
+  def countRows(): Long = countRowsFast().getOrElse(read.count())
+
+  /** countRows when answerable from manifests alone — zero jobs. None
+    * → an actual merge scan is required (non-compacted PK table); the
+    * SQL pushdown must then decline rather than run a full scan at
+    * planning time. */
+  def countRowsFast(): Option[Long] = {
     val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
     if (!isPrimaryKeyTable)
-      entries.map(e => e.file.rowCount - e.file.dvCardinality.getOrElse(0L)).sum
+      Some(entries.map(e => e.file.rowCount - e.file.dvCardinality.getOrElse(0L)).sum)
     else if (entries.forall(_.file.level > 0) &&
       entries.groupBy(e => (e.partition, e.bucket)).forall(_._2.size <= 1))
       // fully compacted: one file per bucket, already merged, no deletes
-      entries.map(_.file.rowCount).sum
-    else read.count()
+      Some(entries.map(_.file.rowCount).sum)
+    else None
   }
 
   /** MIN/MAX of a column from manifest stats when every live file has
@@ -1123,7 +1155,7 @@ final class GraftTable private (
     * DeleteFromPaimonTableCommand.scala:35). */
   def delete(cond: Column): Long = {
     if (isPrimaryKeyTable) {
-      val victims = read.filter(cond)
+      val victims = prunedPkRows(cond)
         .withColumn(KindCol, lit(KindDelete).cast("byte"))
       writeKinded(victims)
     } else if (metadataOnlyDeletableBy(cond)) {
@@ -1156,7 +1188,7 @@ final class GraftTable private (
     * UpdatePaimonTableCommand.scala:37). */
   def update(assignments: Map[String, Column], cond: Column): Long = {
     if (isPrimaryKeyTable) {
-      val updated = applyAssignments(read.filter(cond), assignments, lit(true))
+      val updated = applyAssignments(prunedPkRows(cond), assignments, lit(true))
         .withColumn(KindCol, lit(KindUpdateAfter).cast("byte"))
       writeKinded(updated)
     } else if (dvEnabled) {
@@ -1173,6 +1205,45 @@ final class GraftTable private (
         nextSeq(), commitIdentifier = -1L, _ => dvEntriesFor(touched, cond))
     } else rewriteFiles(cond,
       df => applyAssignments(df, assignments, coalesce(cond, lit(false))))
+  }
+
+  /** Victim rows for PK-table DML: manifest-pruned on the condition's
+    * key/partition conjuncts and — when the condition pins every
+    * primary key by equality — restricted to the key's hash bucket, so
+    * a single-key DELETE/UPDATE merges one bucket's files instead of
+    * the whole table (reference intent: MergeIntoPaimonTable
+    * .findTouchedFiles applied to plain DML). */
+  private[graft] def prunedPkRows(cond: Column): DataFrame = {
+    val entries = planEntries(cond)
+    val narrowed = pkEqualityBucket(cond) match {
+      case Some(b) => entries.filter(_.bucket == b)
+      case None => entries
+    }
+    mergedFromEntries(narrowed).filter(cond)
+  }
+
+  /** Bucket id implied by PK-equality conjuncts (fixed-bucket tables):
+    * mirrors the writer's xxhash64-pmod exactly — per-type hash, seed
+    * 42, chained over primary keys in declared order. */
+  private[graft] def pkEqualityBucket(cond: Column): Option[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal, XxHash64Function}
+    val sch = schema
+    if (sch.isDynamicBucket) return None
+    val analyzed = emptyDf().filter(cond).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(return None)
+    val eq = splitConjuncts(analyzed).collect {
+      case EqualTo(a: AttributeReference, l: Literal) => a.name -> l
+      case EqualTo(l: Literal, a: AttributeReference) => a.name -> l
+    }.toMap
+    if (!sch.primaryKeys.forall(k => eq.get(k).exists(_.value != null))) return None
+    var h = 42L
+    sch.primaryKeys.foreach { k =>
+      val l = eq(k)
+      h = XxHash64Function.hash(l.value, l.dataType, h)
+    }
+    val n = sch.numBuckets
+    Some((((h % n) + n) % n).toInt)
   }
 
   /** A DELETE whose predicate only touches partition columns can be
@@ -1325,36 +1396,54 @@ final class GraftTable private (
     schema.options.get(DeletionVectors.OptionEnabled).contains("true")
 
   /** DELETE+re-ADD entry pairs attaching (merged) deletion vectors for
-    * every touched file; fully-deleted files are just dropped. */
+    * every touched file; fully-deleted files are just dropped.
+    *
+    * The per-file bitmaps are merged with any existing sidecar and
+    * written back INSIDE the aggregation job — only (file, sidecar
+    * path, cardinality) tuples reach the driver, never bitmap bytes,
+    * so a DELETE touching 100k files doesn't funnel 100k bitmaps
+    * through one process (same executor-side-sidecar shape as
+    * buildFileIndexes). */
   private def dvEntriesFor(
       touched: Seq[ManifestEntry], cond: Column): Seq[ManifestEntry] = {
     val agg = udaf(new DeletionVectors.BitmapAgg)
-    val matches = readRaw(touched)
+    val fileMeta: Map[String, (Long, Option[String])] =
+      touched.map(e => basename(e.file.fileName) ->
+        (e.file.rowCount, e.file.dvFile)).toMap
+    val io = sm.io
+    val tableRoot = path
+    import spark.implicits._
+    val written: Array[(String, Option[String], Long)] = readRaw(touched)
       .filter(cond)
       .select(expr("_metadata.file_path").as("__f"),
         expr("_metadata.row_index").as("__i"))
       .groupBy("__f").agg(agg(col("__i")).as("bm"))
+      .as[(String, Array[Byte])]
+      .map { case (f, fresh) =>
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        val (rowCount, oldRel) = fileMeta(name)
+        val merged = oldRel match {
+          case Some(o) => DeletionVectors.union(
+            io.readBytes(s"$tableRoot/$o"), fresh)
+          case None => fresh
+        }
+        val card = DeletionVectors.cardinality(merged)
+        if (card >= rowCount) (name, None: Option[String], card)
+        else {
+          val rel = s"index/${java.util.UUID.randomUUID()}.dv"
+          io.writeBytes(s"$tableRoot/$rel", merged)
+          (name, Some(rel), card)
+        }
+      }
       .collect()
-      .map(r => basename(r.getString(0)) -> r.getAs[Array[Byte]](1))
-      .toMap
+    val byName = written.map(w => w._1 -> (w._2, w._3)).toMap
     touched.flatMap { e =>
-      matches.get(basename(e.file.fileName)) match {
+      byName.get(basename(e.file.fileName)) match {
         case None => Seq.empty // pruned file had no actual matches
-        case Some(fresh) =>
-          val merged = e.file.dvFile match {
-            case Some(old) => DeletionVectors.union(
-              sm.io.readBytes(s"$path/$old"), fresh)
-            case None => fresh
-          }
-          val card = DeletionVectors.cardinality(merged)
-          val del = e.copy(kind = "DELETE")
-          if (card >= e.file.rowCount) Seq(del)
-          else {
-            val rel = s"index/${UUID.randomUUID()}.dv"
-            sm.io.writeBytes(s"$path/$rel", merged)
-            Seq(del, e.copy(kind = "ADD",
-              file = e.file.copy(dvFile = Some(rel), dvCardinality = Some(card))))
-          }
+        case Some((None, _)) => Seq(e.copy(kind = "DELETE")) // fully deleted
+        case Some((Some(rel), card)) =>
+          Seq(e.copy(kind = "DELETE"), e.copy(kind = "ADD",
+            file = e.file.copy(dvFile = Some(rel), dvCardinality = Some(card))))
       }
     }
   }

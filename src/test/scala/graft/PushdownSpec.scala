@@ -153,6 +153,93 @@ class PushdownSpec extends AnyFunSuite {
     assert(t.scan(col("cat").isNull).count() == 1)
   }
 
+  test("SQL COUNT(*) on a non-compacted PK table plans with zero jobs") {
+    val wh = Files.createTempDirectory("graft-cnt-wh").toString
+    spark.conf.set("spark.sql.catalog.graft_cnt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cnt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cnt.db")
+    spark.sql(
+      """CREATE TABLE graft_cnt.db.t (k BIGINT, v DOUBLE)
+        |TBLPROPERTIES ('primary-key'='k', 'bucket'='2')""".stripMargin)
+    spark.sql("INSERT INTO graft_cnt.db.t VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("INSERT INTO graft_cnt.db.t VALUES (2, 9.0), (3, 3.0)")
+    // non-compacted PK: countRowsFast is None → the pushdown must
+    // DECLINE without running a single job (it used to execute the
+    // full merged read.count() TWICE at planning time — once from
+    // supportCompletePushDown, once from pushAggregation)
+    import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+    val gt = graft.table.GraftTable.load(spark, s"$wh/db/t")
+    assert(gt.countRowsFast().isEmpty)
+    val builder = new graft.sources.GraftScanBuilder(gt, None, gt.schema.toStruct)
+    val agg = new Aggregation(Array(new CountStar()), Array.empty)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(!builder.supportCompletePushDown(agg))
+      assert(!builder.pushAggregation(agg)) // memoized second call
+      Thread.sleep(500) // listener bus is async
+      assert(jobs == 0, s"declining the pushdown ran $jobs job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the query itself still answers correctly through the merge scan
+    val q = spark.sql("SELECT count(*) FROM graft_cnt.db.t")
+    assert(!q.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(q.head.getLong(0) == 3L)
+    // after compaction the manifests-only fast path applies again
+    spark.sql("CALL graft_cnt.sys.compact('db.t')")
+    val q2 = spark.sql("SELECT count(*) FROM graft_cnt.db.t")
+    assert(q2.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(q2.head.getLong(0) == 3L)
+  }
+
+  test("PK-equality DELETE/UPDATE merge only the key's bucket files") {
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"), options = Map("bucket" -> "8"))
+    t.write(df((0L until 64L).map(i => (i, i.toDouble)): _*))
+    t.write(df((0L until 64L).map(i => (i, i + 0.5)): _*))
+    // the derived bucket must be the writer's
+    val expected = spark.range(1).select(
+      pmod(xxhash64(lit(7L)), lit(8)).cast("int")).head.getInt(0)
+    assert(t.pkEqualityBucket(col("k") === 7L).contains(expected))
+    // victim search touches only that bucket's files
+    val victims = t.prunedPkRows(col("k") === 7L)
+    assert(victims.inputFiles.nonEmpty &&
+      victims.inputFiles.forall(_.contains(s"__bucket=$expected")),
+      s"expected only __bucket=$expected files, got ${victims.inputFiles.mkString(",")}")
+    // value-column or range conditions fall back to pruned-but-unbucketed
+    assert(t.pkEqualityBucket(col("v") > 1.0).isEmpty)
+    assert(t.pkEqualityBucket(col("k") > 5L).isEmpty)
+    // end-to-end correctness
+    t.delete(col("k") === 7L)
+    t.update(Map("v" -> lit(100.0)), col("k") === 8L)
+    val got = t.read.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!got.contains(7L))
+    assert(got(8L) == 100.0)
+    assert(got(9L) == 9.5)
+    assert(got.size == 63)
+  }
+
+  test("large commits compute footer stats distributed and stay prunable") {
+    val t = GraftTable.create(spark, tmp(), sch)
+    // >16 staged files → the executor-side stats job path
+    val big = spark.range(0, 400).select(col("id").as("k"),
+      col("id").cast("double").as("v"))
+      .repartitionByRange(20, col("k"))
+    t.write(big)
+    val entries = t.planEntries(lit(true))
+    assert(entries.size >= 17, s"expected >16 files, got ${entries.size}")
+    assert(entries.forall(_.file.stats.get("k").exists(_.min.isDefined)),
+      "every distributed-read file meta must carry min/max stats")
+    assert(t.countRows() == 400L)
+    // stats actually prune
+    val hit = t.scan(col("k") === 399L)
+    assert(hit.inputFiles.length == 1)
+    assert(hit.count() == 1)
+  }
+
   test("bitmap index aborts on cardinality overflow and never lies") {
     val s2 = StructType(Seq(StructField("v", StringType, nullable = false)))
     val rows = (0 until 12000).map(i => Row(s"val_$i"))

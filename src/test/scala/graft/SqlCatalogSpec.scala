@@ -228,6 +228,32 @@ class SqlCatalogSpec extends AnyFunSuite {
       .head.getString(0) == "2024-02-01")
   }
 
+  test("bucket() hashes per input type: INT, STRING, DATE and multi-key match the writer") {
+    // the writer buckets with pmod(xxhash64(key cols in declared type), n)
+    // — sys.bucket must agree WITHOUT casting the key (an INT key cast
+    // to BIGINT changes the hash input and silently mis-buckets)
+    val rows = spark.sql(
+      """SELECT * FROM VALUES
+        |  (CAST(7 AS INT), 'alpha', DATE'2024-03-01', 42L),
+        |  (CAST(-3 AS INT), 'beta', DATE'1999-12-31', 0L),
+        |  (CAST(2147483647 AS INT), '', DATE'1970-01-01', -9L)
+        |  AS t(i, s, d, l)""".stripMargin)
+    rows.createOrReplaceTempView("bkt_src")
+    def check(expr: String, keys: String): Unit = {
+      val got = spark.sql(
+        s"SELECT graft.sys.bucket(16, $keys), CAST(pmod(xxhash64($keys), 16) AS INT) FROM bkt_src")
+        .collect()
+      got.foreach(r => assert(r.getInt(0) == r.getInt(1),
+        s"bucket($keys) [$expr]: ${r.getInt(0)} != writer ${r.getInt(1)}"))
+    }
+    check("int key", "i")
+    check("string key", "s")
+    check("date key", "d")
+    check("long key", "l")
+    check("composite (string, long)", "s, l")
+    check("composite (int, string, date)", "i, s, d")
+  }
+
   test("CALL sys.* maintenance procedures run through SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbp")
     spark.sql(
