@@ -127,7 +127,15 @@ object Meta {
       watermark: Option[Long],
       /** tag name → snapshot id map lives outside; snapshots are pure. */
       @JsonDeserialize(contentAs = classOf[java.lang.Long])
-      baseSnapshotId: Option[Long])
+      baseSnapshotId: Option[Long],
+      /** dynamic-bucket (pk → bucket) index sidecar parquet files
+        * (table-relative, under index-dyn/) visible in this snapshot.
+        * Appended with each commit's NEW keys, compacted past a file
+        * threshold — the persisted form of the reference's
+        * HashBucketAssigner state (paimon-core .../index/
+        * HashBucketAssigner.java:37), so assignment never re-scans the
+        * table. Absent on non-dynamic tables and pre-index snapshots. */
+      dynIndex: Option[Seq[String]] = None)
 
   /** ANALYZE output: per-column table statistics (reference:
     * paimon-core .../stats/Statistics.java). */

@@ -46,8 +46,8 @@ final class SnapshotManager(
       (s.readManifestList(sn.manifestList) :+ sn.manifestList) ++
         sn.deltaManifest ++ sn.changelogManifest)).toSet
     val files = sms.flatMap(s => s.snapshotIds.map(s.snapshot).flatMap(sn =>
-      s.readManifestList(sn.manifestList).flatMap(s.readManifest)))
-      .map(_.file.fileName).toSet
+      s.readManifestList(sn.manifestList).flatMap(s.readManifest)
+        .map(_.file.fileName) ++ sn.dynIndex.getOrElse(Seq.empty))).toSet
     (files, manifests)
   }
 
@@ -163,7 +163,11 @@ final class SnapshotManager(
       watermark: Option[Long] = None,
       conflictCheck: Snapshot => Boolean = _ => true,
       maxRetries: Int = 20,
-      changelogManifest: Option[String] = None): Long = {
+      changelogManifest: Option[String] = None,
+      /** transform of the latest snapshot's dynamic-bucket index file
+        * list (applied at CAS time so retries see the true latest);
+        * None carries the list forward unchanged. */
+      dynIndexUpdate: Option[Seq[String] => Seq[String]] = None): Long = {
     val manifestName = writeManifest(entries)
     val deltaRows = entries.iterator
       .map(e => if (e.kind == "ADD") e.file.rowCount else -e.file.rowCount)
@@ -209,7 +213,13 @@ final class SnapshotManager(
         totalRecordCount = latest.map(_.totalRecordCount).getOrElse(0L) + deltaRows,
         deltaRecordCount = deltaRows,
         watermark = watermark,
-        baseSnapshotId = latest.map(_.id))
+        baseSnapshotId = latest.map(_.id),
+        dynIndex = dynIndexUpdate match {
+          case Some(f) =>
+            val next = f(latest.flatMap(_.dynIndex).getOrElse(Seq.empty))
+            if (next.isEmpty) None else Some(next)
+          case None => latest.flatMap(_.dynIndex)
+        })
       if (io.tryCreateAtomic(snapshotPath(nextId), Json.write(snap))) {
         io.writeString(s"$snapshotDir/LATEST", nextId.toString)
         return nextId
@@ -243,6 +253,7 @@ final class SnapshotManager(
     val liveFiles = keptSnaps.flatMap(s => liveEntries(s).map(_.file.fileName)).toSet ++
       keptSnaps.flatMap(s => s.changelogManifest.toSeq.flatMap(readManifest))
         .map(_.file.fileName).toSet ++
+      keptSnaps.flatMap(_.dynIndex.getOrElse(Seq.empty)).toSet ++
       elseFiles ++ tagFiles
     val liveManifests = keptSnaps.flatMap(s =>
       (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest ++ s.changelogManifest)
@@ -254,10 +265,11 @@ final class SnapshotManager(
     val dropManifests = dropped.flatMap(s =>
       (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest ++ s.changelogManifest)
       .distinct
-    val dropFiles = dropped.flatMap(s =>
+    val dropFiles = (dropped.flatMap(s =>
       readManifestList(s.manifestList).flatMap(readManifest) ++
         s.changelogManifest.toSeq.flatMap(readManifest))
-      .map(_.file.fileName).distinct
+      .map(_.file.fileName) ++
+      dropped.flatMap(_.dynIndex.getOrElse(Seq.empty))).distinct
     dropFiles.filterNot(liveFiles.contains)
       .foreach(f => io.delete(s"$tablePath/$f"))
     dropManifests.filterNot(liveManifests.contains)
@@ -281,6 +293,7 @@ final class SnapshotManager(
       .toSet ++ elseManifests ++ tagManifests
     val keptFiles = kept.flatMap(s =>
       readManifestList(s.manifestList).flatMap(readManifest)).map(_.file.fileName).toSet ++
+      kept.flatMap(_.dynIndex.getOrElse(Seq.empty)).toSet ++
       elseFiles ++ tagFiles
     // plan all deletions before removing anything: dropped snapshots
     // share manifests, so deleting while iterating would break reads
@@ -288,9 +301,10 @@ final class SnapshotManager(
     val dropManifests = dropped.flatMap(s =>
       (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest ++ s.changelogManifest)
       .distinct
-    val dropFiles = dropped.flatMap(s =>
+    val dropFiles = (dropped.flatMap(s =>
       readManifestList(s.manifestList).flatMap(readManifest))
-      .map(_.file.fileName).distinct
+      .map(_.file.fileName) ++
+      dropped.flatMap(_.dynIndex.getOrElse(Seq.empty))).distinct
     dropFiles.filterNot(keptFiles.contains)
       .foreach(f => io.delete(s"$tablePath/$f"))
     dropManifests.filterNot(keptManifests.contains)
@@ -381,8 +395,8 @@ final class SnapshotManager(
     val manifests = snaps.flatMap(s =>
       (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest ++ s.changelogManifest).toSet
     val files = snaps.flatMap(s =>
-      readManifestList(s.manifestList).flatMap(readManifest))
-      .map(_.file.fileName).toSet
+      readManifestList(s.manifestList).flatMap(readManifest)
+        .map(_.file.fileName) ++ s.dynIndex.getOrElse(Seq.empty)).toSet
     (files, manifests)
   }
 

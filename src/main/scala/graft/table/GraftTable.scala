@@ -139,12 +139,15 @@ final class GraftTable private (
     // assigner instead.
     // dynamic-bucket assignment counts the batch, so pin it for the
     // duration of the write and release it after the commit
-    var pinned: Option[DataFrame] = None
+    var pinned: Seq[DataFrame] = Seq.empty
+    var dynUpdate: Option[Seq[String] => Seq[String]] = None
     val out =
       if (sch.isDynamicBucket) {
         val batch = preMerged.withColumn(SeqCol, lit(base)).persist()
-        pinned = Some(batch)
-        assignDynamicBuckets(batch, sch)
+        val a = assignDynamicBuckets(batch, sch)
+        pinned = batch +: a.pinned
+        dynUpdate = Some(a.indexUpdate)
+        a.out
       } else preMerged
         .withColumn(SeqCol, lit(base))
         .withColumn("__bucket",
@@ -169,7 +172,7 @@ final class GraftTable private (
       val changelog = if (withChangelog) buildChangelog(sch, out) else None
       commitFilesFn(out, sch, sch.partitionKeys :+ "__bucket",
         if (overwrite) KindOverwrite else KindAppend, base, commitIdentifier,
-        deletesFor, changelogManifest = changelog)
+        deletesFor, changelogManifest = changelog, dynIndexUpdate = dynUpdate)
     } finally {
       if (withChangelog) out.unpersist()
       pinned.foreach(_.unpersist())
@@ -179,15 +182,42 @@ final class GraftTable private (
   private def struct_ord(cols: Column*): Column =
     org.apache.spark.sql.functions.struct(cols: _*)
 
+  /** Outcome of dynamic-bucket assignment: the routed batch, the
+    * snapshot's index-file-list transform to commit with, and cached
+    * frames the caller unpersists after the commit. */
+  private[graft] case class DynAssignment(
+      out: DataFrame,
+      indexUpdate: Seq[String] => Seq[String],
+      pinned: Seq[DataFrame])
+
+  private def dynIndexStruct(sch: TableSchema): StructType = StructType(
+    sch.primaryKeys.map(k => struct.fields(struct.fieldIndex(k))) :+
+      StructField("__bucket", IntegerType, nullable = false))
+
+  /** The persisted (pk → bucket) index of a dynamic-bucket table, if
+    * sidecars exist. */
+  private[graft] def dynIndexDf: Option[DataFrame] =
+    sm.latestSnapshot().flatMap(_.dynIndex).filter(_.nonEmpty).map(files =>
+      spark.read.schema(dynIndexStruct(schema))
+        .parquet(files.map(f => s"$path/$f"): _*))
+
   /** Dynamic bucket assignment (bucket = -1): a key KEEPS the bucket
-    * of its first write — the index is the table's own (pk, bucket)
-    * projection, joined against the batch — and new keys hash into a
-    * bucket range grown so the average fill stays at
-    * `dynamic-bucket.target-row-num` (reference: HashBucketAssigner
-    * .java:37; the RocksDB index state becomes a columnar 2-column
-    * scan + shuffle join here). */
+    * of its first write, new keys hash into a range grown so the
+    * average fill stays at `dynamic-bucket.target-row-num`.
+    *
+    * The (pk → bucket) mapping is a PERSISTED index: parquet sidecars
+    * under index-dyn/ listed on each snapshot, appended with just the
+    * batch's NEW keys per commit and rewritten past a file-count
+    * threshold — assignment joins the batch against an index that is
+    * O(distinct keys), never re-scanning the table (reference:
+    * HashBucketAssigner.java:37 — its RocksDB state persisted as
+    * columnar sidecars; a 10 MB upsert into a 100 TB table reads the
+    * index, not the table). Entries are unique per key by construction
+    * (only unseen keys are appended), so loading is a plain union with
+    * no dedup shuffle. Tables written before the index existed
+    * bootstrap it once from the table's own (pk, bucket) projection. */
   private def assignDynamicBuckets(
-      batch: DataFrame, sch: TableSchema): DataFrame = {
+      batch: DataFrame, sch: TableSchema): DynAssignment = {
     val pk = sch.primaryKeys
     val live = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
     val liveRows = live.map(_.file.rowCount).sum
@@ -198,18 +228,61 @@ final class GraftTable private (
         sch.dynamicBucketTargetRows).toInt).max(1)
     val freshBucket =
       pmod(xxhash64(pk.map(col).toIndexedSeq: _*), lit(nTotal)).cast("int")
-    val assigned =
-      if (live.isEmpty) batch.withColumn("__bucket", freshBucket)
-      else {
-        val index = readRaw(live)
-          .select((pk.map(col) :+ col("__bucket").as("__existing_bucket")).toIndexedSeq: _*)
-          .groupBy(pk.map(col).toIndexedSeq: _*)
-          .agg(max(col("__existing_bucket")).as("__existing_bucket"))
-        batch.join(index, pk, "left")
-          .withColumn("__bucket", coalesce(col("__existing_bucket"), freshBucket))
-          .drop("__existing_bucket")
-      }
-    assigned.repartition(nTotal, col("__bucket"))
+    val pkCols = pk.map(col).toIndexedSeq
+    if (live.isEmpty) {
+      // empty table: every key is new; the first index write is the
+      // batch's own assignment
+      val out = batch.withColumn("__bucket", freshBucket)
+        .repartition(nTotal, col("__bucket")).persist()
+      val files = writeDynIndexFiles(
+        out.select((pkCols :+ col("__bucket")).toIndexedSeq: _*), parts = 4)
+      return DynAssignment(out, _ => files, Seq(out))
+    }
+    val prevFiles = sm.latestSnapshot().flatMap(_.dynIndex).getOrElse(Seq.empty)
+    val compactTrigger = sch.options
+      .getOrElse("dynamic-bucket.index.compact-trigger", "32").toInt
+    // full rewrite when bootstrapping (no sidecars yet) or the delta
+    // list has fragmented past the trigger
+    val needFull = prevFiles.isEmpty || prevFiles.size >= compactTrigger
+    val idx0 =
+      if (prevFiles.nonEmpty)
+        spark.read.schema(dynIndexStruct(sch))
+          .parquet(prevFiles.map(f => s"$path/$f"): _*)
+          .withColumnRenamed("__bucket", "__existing_bucket")
+      else readRaw(live) // one-time bootstrap for pre-index tables
+        .select((pkCols :+ col("__bucket").as("__existing_bucket")).toIndexedSeq: _*)
+        .groupBy(pkCols: _*)
+        .agg(max(col("__existing_bucket")).as("__existing_bucket"))
+    val idx = if (needFull) idx0.persist() else idx0
+    val joined = batch.join(idx, pk, "left")
+      .withColumn("__bucket", coalesce(col("__existing_bucket"), freshBucket))
+      .persist()
+    val newKeys = joined.filter(col("__existing_bucket").isNull)
+      .select((pkCols :+ col("__bucket")).toIndexedSeq: _*)
+    val out = joined.drop("__existing_bucket").repartition(nTotal, col("__bucket"))
+    if (needFull) {
+      val full = idx
+        .select((pkCols :+ col("__existing_bucket").as("__bucket")).toIndexedSeq: _*)
+        .unionByName(newKeys)
+      val files = writeDynIndexFiles(full, parts = 4)
+      DynAssignment(out, _ => files, Seq(joined, idx))
+    } else {
+      val files = writeDynIndexFiles(newKeys, parts = 1)
+      DynAssignment(out, prev => prev ++ files, Seq(joined))
+    }
+  }
+
+  /** Write a (pk..., __bucket) frame as index sidecars; returns
+    * table-relative paths. `parts` bounds the file count so the delta
+    * list grows by one file per commit and a rewrite stays a few files
+    * (a real deployment would size by target bytes instead). */
+  private def writeDynIndexFiles(df: DataFrame, parts: Int): Seq[String] = {
+    val dir = s"index-dyn/${UUID.randomUUID()}"
+    df.coalesce(parts).write.parquet(s"$path/$dir")
+    Files.walk(Paths.get(s"$path/$dir")).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(p => s"$dir/${p.getFileName}")
+      .toSeq
   }
 
   private def appendCommit(
@@ -247,14 +320,15 @@ final class GraftTable private (
       kind: String, seqBase: Long, commitIdentifier: Long,
       deletesFor: Seq[ManifestEntry] => Seq[ManifestEntry],
       level: Int = 0,
-      changelogManifest: Option[String] = None): Long = {
+      changelogManifest: Option[String] = None,
+      dynIndexUpdate: Option[Seq[String] => Seq[String]] = None): Long = {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val staging = s"$path/staging/${UUID.randomUUID()}"
     val writer = out.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(staging)
     commitStagedDir(staging, sch, kind, seqBase, commitIdentifier,
-      deletesFor, level, changelogManifest)
+      deletesFor, level, changelogManifest, dynIndexUpdate)
   }
 
   /** Second phase of a write: adopt already-staged parquet (partition
@@ -266,7 +340,8 @@ final class GraftTable private (
       kind: String, seqBase: Long, commitIdentifier: Long,
       deletesFor: Seq[ManifestEntry] => Seq[ManifestEntry],
       level: Int = 0,
-      changelogManifest: Option[String] = None): Long = {
+      changelogManifest: Option[String] = None,
+      dynIndexUpdate: Option[Seq[String] => Seq[String]] = None): Long = {
     val stagingPath = Paths.get(staging)
     val parquetFiles = Files.walk(stagingPath).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
@@ -321,7 +396,8 @@ final class GraftTable private (
       conflictCheck = latest =>
         deletedNames.isEmpty ||
           deletedNames.subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet),
-      changelogManifest = changelogManifest)
+      changelogManifest = changelogManifest,
+      dynIndexUpdate = dynIndexUpdate)
   }
 
   /** Build per-file index sidecars (bloom + bitmap) for the configured
@@ -547,9 +623,17 @@ final class GraftTable private (
     val snap = sm.latestSnapshot().getOrElse(return emptyDf())
     val pruned = pruneEntries(snap, filterCond)
     // fixed buckets: the key's bucket is hash-derived, prune to it;
-    // dynamic buckets: membership lives in the index, rely on stats
+    // dynamic buckets: membership lives in the persisted index (a key
+    // absent there was never written → empty result, zero data files)
     val entries =
-      if (sch.isDynamicBucket) pruned
+      if (sch.isDynamicBucket) dynIndexDf match {
+        case Some(idx) =>
+          idx.filter(filterCond).select("__bucket").collect().headOption match {
+            case Some(r) => pruned.filter(_.bucket == r.getInt(0))
+            case None => Seq.empty
+          }
+        case None => pruned // pre-index table: stats pruning only
+      }
       else {
         val keyDf = emptyDf().sparkSession.range(1).select(
           sch.primaryKeys.map(k => lit(keyValues(k)).as(k)).toIndexedSeq: _*)
@@ -989,13 +1073,14 @@ final class GraftTable private (
       sms.flatMap(s => (s.snapshotIds.map(s.snapshot) ++ s.tagSnapshots).flatMap { sn =>
         (s.readManifestList(sn.manifestList) ++ sn.deltaManifest ++
           sn.changelogManifest).distinct.flatMap(s.readManifest)
-      }).flatMap(e =>
-        Seq(e.file.fileName) ++ e.file.dvFile ++
-          e.file.indexFiles.map(_.values).getOrElse(Seq.empty)).toSet
+          .flatMap(e => Seq(e.file.fileName) ++ e.file.dvFile ++
+            e.file.indexFiles.map(_.values).getOrElse(Seq.empty)) ++
+          sn.dynIndex.getOrElse(Seq.empty)
+      }).toSet
     }
     val cutoff = System.currentTimeMillis() - graceMillis
     val roots = Seq(s"$path/data", s"$path/index", s"$path/staging",
-      s"$path/changelog")
+      s"$path/changelog", s"$path/index-dyn")
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     roots.foreach { root =>
       val rp = Paths.get(root)
@@ -1124,6 +1209,11 @@ final class GraftTable private (
     * CastExecutors compatibility). Old files cast up on read. */
   def widenColumn(name: String, to: org.apache.spark.sql.types.DataType): Unit = {
     val sch = schema
+    // bucket routing hashes key columns in their DECLARED type and
+    // partition values are baked into directory paths — widening either
+    // would silently re-route keys away from their existing data
+    require(!sch.primaryKeys.contains(name) && !sch.partitionKeys.contains(name),
+      "cannot widen primary-key or partition columns")
     val f = sch.fields.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"no column $name"))
     val from = DataType.fromDDL(f.dataType)
@@ -1503,8 +1593,19 @@ final class GraftTable private (
     // rows are never rewritten, so skipping their files is safe.
     val liveNow = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
     val touched =
-      if (sch.isDynamicBucket) liveNow // bucket of a key unknowable from hash
-      else {
+      if (sch.isDynamicBucket) {
+        // a key's bucket is index-assigned, not hash-derivable — but
+        // the persisted index answers which buckets hold source keys
+        // (source keys absent from the index can't match any target)
+        dynIndexDf match {
+          case Some(idx) =>
+            val srcBuckets = src.select(pk.map(col).toIndexedSeq: _*)
+              .join(idx, pk).select("__bucket")
+              .distinct().collect().map(_.getInt(0)).toSet
+            liveNow.filter(e => srcBuckets.contains(e.bucket))
+          case None => liveNow // pre-index table
+        }
+      } else {
         val srcBuckets = src
           .select(pmod(xxhash64(pk.map(col).toIndexedSeq: _*), lit(sch.numBuckets))
             .cast("int").as("__b"))

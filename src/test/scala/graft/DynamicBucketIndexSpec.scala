@@ -1,0 +1,149 @@
+package graft
+
+import graft.table.GraftTable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The persisted dynamic-bucket (pk → bucket) index: writes append
+  * only the batch's NEW keys as index-dyn/ sidecars instead of
+  * re-scanning the table, the assigner joins against those sidecars,
+  * compaction bounds the file list, GC reclaims unreferenced sidecars,
+  * and pre-index tables bootstrap transparently. */
+class DynamicBucketIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def tmp(): String = Files.createTempDirectory("graft-dyn").toString + "/t"
+
+  import scala.jdk.CollectionConverters._
+
+  private val sch = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("v", StringType, nullable = true),
+    StructField("seq", LongType, nullable = true)))
+
+  private def df(rows: (Long, String, Long)*): DataFrame =
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2, r._3)).asJava, sch)
+
+  private def create(dir: String, extra: Map[String, String] = Map.empty) =
+    GraftTable.create(spark, dir, sch, primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "seq", "bucket" -> "-1",
+        "dynamic-bucket.target-row-num" -> "20") ++ extra)
+
+  private def indexFiles(t: GraftTable): Seq[String] =
+    t.sm.latestSnapshot().flatMap(_.dynIndex).getOrElse(Seq.empty)
+
+  test("writes maintain an index that is key-sized, not version-sized") {
+    val t = create(tmp())
+    t.write(df((0L until 30L).map(i => (i, s"a$i", 1L)): _*))
+    assert(indexFiles(t).nonEmpty, "first write must persist the index")
+    // three more writes re-upserting the SAME keys: versions triple,
+    // the index must not grow beyond the distinct key count
+    (2L to 4L).foreach(s =>
+      t.write(df((0L until 30L).map(i => (i, s"u${s}_$i", s)): _*)))
+    val files = indexFiles(t)
+    val idx = spark.read.parquet(files.map(f => s"${t.path}/$f"): _*)
+    assert(idx.count() == 30L, "index holds one row per distinct key")
+    assert(idx.select("k").distinct().count() == 30L)
+    // raw data has 4 versions per key — the index is 4x smaller
+    val raw = t.readRaw(t.sm.latestSnapshot().map(t.sm.liveEntries).get)
+    assert(raw.count() == 120L)
+    // merged read correct; keys never moved buckets
+    assert(t.read.count() == 30L)
+    assert(t.read.filter(col("k") === 5L).head.getString(1) == "u4_5")
+    val dup = raw.select(col("k"), col("__bucket")).distinct()
+      .groupBy("k").count().filter(col("count") > 1).count()
+    assert(dup == 0)
+    // index agrees with the data's actual buckets
+    val dataBuckets = raw.select(col("k"), col("__bucket")).distinct()
+    val mismatches = idx.as("i")
+      .join(dataBuckets.as("d"), Seq("k"))
+      .filter(col("i.__bucket") =!= col("d.__bucket")).count()
+    assert(mismatches == 0, "index bucket must equal the data's bucket")
+  }
+
+  test("delta appends grow the list by one file; compaction rewrites it") {
+    val t = create(tmp(), Map("dynamic-bucket.index.compact-trigger" -> "3"))
+    t.write(df((0L until 10L).map(i => (i, "a", 1L)): _*))
+    val n1 = indexFiles(t).size // full write (<=4 files)
+    t.write(df((10L until 20L).map(i => (i, "b", 1L)): _*))
+    assert(indexFiles(t).size == n1 + 1, "delta append adds one file")
+    t.write(df((20L until 30L).map(i => (i, "c", 1L)): _*))
+    // list reached the trigger → this write rewrote the index
+    val afterCompact = indexFiles(t)
+    assert(afterCompact.size <= 4,
+      s"compaction should bound the list, got ${afterCompact.size}")
+    val idx = spark.read.parquet(afterCompact.map(f => s"${t.path}/$f"): _*)
+    assert(idx.count() == 30L)
+    assert(t.read.count() == 30L)
+  }
+
+  test("pre-index tables bootstrap the index from the table once") {
+    val t = create(tmp())
+    t.write(df((0L until 15L).map(i => (i, "a", 1L)): _*))
+    // simulate a table written before the index existed: strip the
+    // dynIndex field from the latest snapshot
+    val snapPath = s"${t.path}/snapshot/snapshot-0.json"
+    val stripped = graft.core.Json.mapper.readTree(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(snapPath)))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    stripped.remove("dynIndex")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(snapPath), stripped.toString)
+    val t2 = GraftTable.load(spark, t.path)
+    assert(indexFiles(t2).isEmpty, "legacy snapshot has no index")
+    // next write bootstraps: existing keys keep buckets, index restored
+    t2.write(df((0L until 20L).map(i => (i, "b", 2L)): _*))
+    val files = indexFiles(t2)
+    assert(files.nonEmpty, "bootstrap must persist a full index")
+    val idx = spark.read.parquet(files.map(f => s"${t2.path}/$f"): _*)
+    assert(idx.count() == 20L)
+    assert(t2.read.count() == 20L)
+    val raw = t2.readRaw(t2.sm.latestSnapshot().map(t2.sm.liveEntries).get)
+    val dup = raw.select(col("k"), col("__bucket")).distinct()
+      .groupBy("k").count().filter(col("count") > 1).count()
+    assert(dup == 0, "bootstrap must preserve existing key→bucket mapping")
+  }
+
+  test("lookup uses the index: absent keys read zero files") {
+    val t = create(tmp())
+    t.write(df((0L until 25L).map(i => (i, s"v$i", 1L)): _*))
+    assert(t.lookup(Map("k" -> 7L)).head.getString(1) == "v7")
+    val miss = t.lookup(Map("k" -> 999L))
+    assert(miss.inputFiles.isEmpty, "index-missing key must plan no data files")
+    assert(miss.count() == 0)
+  }
+
+  test("GC: expiration and orphan cleanup reclaim only unreferenced sidecars") {
+    val t = create(tmp(), Map("dynamic-bucket.index.compact-trigger" -> "2"))
+    t.write(df((0L until 10L).map(i => (i, "a", 1L)): _*))
+    t.write(df((10L until 20L).map(i => (i, "b", 1L)): _*))
+    t.write(df((20L until 30L).map(i => (i, "c", 1L)): _*)) // compacts index
+    val liveFiles = indexFiles(t).toSet
+    // unreferenced debris in index-dyn must be cleaned, live files kept
+    val debris = s"${t.path}/index-dyn/debris/junk.parquet"
+    t.sm.io.writeBytes(debris, Array[Byte](1, 2, 3))
+    val removed = t.removeOrphanFiles(graceMillis = -1000)
+    assert(removed.exists(_.contains("junk.parquet")))
+    liveFiles.foreach(f => assert(t.sm.io.exists(s"${t.path}/$f"),
+      s"live index sidecar $f must survive orphan cleanup"))
+    // expiring old snapshots drops their superseded index deltas
+    val allEverOnDisk = t.sm.io.list(s"${t.path}/index-dyn")
+    t.expireSnapshots(retain = 1)
+    t.removeOrphanFiles(graceMillis = -1000)
+    liveFiles.foreach(f => assert(t.sm.io.exists(s"${t.path}/$f")))
+    assert(t.read.count() == 30L)
+    // another upsert after GC still assigns from the index
+    t.write(df((0L until 5L).map(i => (i, "z", 2L)): _*))
+    assert(t.read.filter(col("k") === 2L).head.getString(1) == "z")
+    assert(t.read.count() == 30L)
+  }
+}
