@@ -484,6 +484,24 @@ object Storage {
         .select(col("o_orderkey"), col("o_orderpriority"))
     },
 
+    // ---- BSI file index: exact range refutation on a numeric column
+    // whose min/max spans fully overlap across files — the bit-sliced
+    // index answers range-existence where stats cannot.
+    QDef(
+      "g26_bsi_range_index",
+      """SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+        |FROM orders
+        |WHERE o_orderkey >= 1200 AND o_orderkey <= 1300""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders")
+      val t = GraftTable.create(s, scratch("g26"), src.schema,
+        options = Map("file-index.bsi.columns" -> "o_orderkey"))
+      // interleaved commits → every file spans ~the full key range, so
+      // only the BSI can skip files for the conjunctive range
+      (0 until 4).foreach(i => t.write(src.filter(col("o_orderkey") % 4 === i)))
+      t.scan(col("o_orderkey") >= 1200L && col("o_orderkey") <= 1300L)
+        .select(col("o_orderkey"), asDouble(col("o_totalprice")).as("price"))
+    },
+
     // ---- CALL sys.* procedures through SQL: upsert history, compact,
     // expire old snapshots, tag — the read after maintenance must
     // still be the merged logical table.

@@ -414,24 +414,38 @@ final class GraftTable private (
       .filter(c => sch.fields.exists(_.name == c) && !sch.partitionKeys.contains(c))
     val bloomCols = colsOf(BloomIndex.OptionColumns)
     val bitmapCols = colsOf(BitmapIndex.OptionColumns).filterNot(bloomCols.contains)
-    if ((bloomCols.isEmpty && bitmapCols.isEmpty) || added.isEmpty) return added
+    // BSI applies to integral columns only (the slice mapping is the
+    // sign-flipped 64-bit value)
+    val bsiCols = colsOf(BsiIndex.OptionColumns)
+      .filterNot(c => bloomCols.contains(c) || bitmapCols.contains(c))
+      .filter { c =>
+        DataType.fromDDL(sch.fields.find(_.name == c).get.dataType) match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+      }
+    if ((bloomCols.isEmpty && bitmapCols.isEmpty && bsiCols.isEmpty) ||
+      added.isEmpty) return added
     val items = sch.options.get(BloomIndex.OptionItems)
       .map(_.toLong).getOrElse(BloomIndex.DefaultItems)
     val bloomUdaf = udaf(new BloomIndex.BloomAgg(items))
     val bitmapUdaf = udaf(new BitmapIndex.BitmapAgg)
+    val bsiUdaf = udaf(new BsiIndex.BsiAgg)
     val paths = added.map(e => s"$path/${e.file.fileName}")
     val aggs =
       bloomCols.map(c => bloomUdaf(col(c).cast("string")).as(s"x_$c")) ++
         bitmapCols.map(c =>
-          bitmapUdaf(col(c).cast("string"), col("__ri")).as(s"x_$c"))
-    val kinds = bloomCols.map(_ -> "bloom") ++ bitmapCols.map(_ -> "bitmap")
+          bitmapUdaf(col(c).cast("string"), col("__ri")).as(s"x_$c")) ++
+        bsiCols.map(c => bsiUdaf(col(c).cast("long"), col("__ri")).as(s"x_$c"))
+    val kinds = bloomCols.map(_ -> "bloom") ++ bitmapCols.map(_ -> "bitmap") ++
+      bsiCols.map(_ -> "bsi")
     val io = sm.io
     val tableRoot = path
     import spark.implicits._
     val written: Array[(String, String, String)] = spark.read.parquet(paths: _*)
       .select(col("_metadata.file_path").as("__f") +:
         col("_metadata.row_index").as("__ri") +:
-        (bloomCols ++ bitmapCols).distinct.map(col).toIndexedSeq: _*)
+        (bloomCols ++ bitmapCols ++ bsiCols).distinct.map(col).toIndexedSeq: _*)
       .groupBy("__f")
       .agg(aggs.head, aggs.tail: _*)
       .flatMap { r =>
@@ -466,6 +480,8 @@ final class GraftTable private (
     scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.util.sketch.BloomFilter]
   private val bitmapCache =
     scala.collection.concurrent.TrieMap.empty[String, BitmapIndex.Decoded]
+  private val bsiCache =
+    scala.collection.concurrent.TrieMap.empty[String, BsiIndex.Decoded]
 
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
@@ -665,6 +681,12 @@ final class GraftTable private (
 
   def createTag(name: String): Unit =
     sm.createTag(name, sm.latestSnapshotId.getOrElse(
+      throw new IllegalStateException("empty table cannot be tagged")))
+
+  /** Re-point an existing (or new) tag at `snapshotId`, latest when
+    * absent (reference: ReplaceTagProcedure). */
+  def replaceTag(name: String, snapshotId: Option[Long] = None): Unit =
+    sm.createTag(name, snapshotId.orElse(sm.latestSnapshotId).getOrElse(
       throw new IllegalStateException("empty table cannot be tagged")))
 
   /** Raw rows of a snapshot including hidden seq/kind columns.
@@ -955,6 +977,7 @@ final class GraftTable private (
             val idx = base.indexFiles.getOrElse(Map.empty)
             val bloomIdx = idx.filter(_._2.endsWith(".bloom"))
             val bitmapIdx = idx.filter(_._2.endsWith(".bitmap"))
+            val bsiIdx = idx.filter(_._2.endsWith(".bsi"))
             (bloomIdx.isEmpty || BloomIndex.mightMatch(c, bloomIdx.keySet,
               col => bloomIdx.get(col).map(rel =>
                 bloomCache.getOrElseUpdate(rel,
@@ -962,7 +985,11 @@ final class GraftTable private (
             (bitmapIdx.isEmpty || BitmapIndex.mightMatch(c, bitmapIdx.keySet,
               col => bitmapIdx.get(col).map(rel =>
                 bitmapCache.getOrElseUpdate(rel,
-                  BitmapIndex.deserialize(sm.io.readBytes(s"$path/$rel"))))))
+                  BitmapIndex.deserialize(sm.io.readBytes(s"$path/$rel")))))) &&
+            (bsiIdx.isEmpty || BsiIndex.mightMatch(c, bsiIdx.keySet,
+              col => bsiIdx.get(col).map(rel =>
+                bsiCache.getOrElseUpdate(rel,
+                  BsiIndex.deserialize(sm.io.readBytes(s"$path/$rel"))))))
           }
         }
       } catch { case _: Exception => true }
@@ -1103,6 +1130,26 @@ final class GraftTable private (
   /** Roll back to an earlier snapshot, discarding later commits
     * (reference: rollback/rollback_to_timestamp procedures). */
   def rollback(snapshotId: Long): Seq[Long] = sm.rollbackTo(snapshotId)
+
+  /** Roll back to the latest snapshot committed at or before
+    * `epochMillis` (reference: RollbackToTimestampProcedure). */
+  def rollbackToTimestamp(epochMillis: Long): Seq[Long] = {
+    val id = sm.snapshotIds.map(sm.snapshot)
+      .filter(_.timeMillis <= epochMillis).map(_.id).maxOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot committed at or before $epochMillis"))
+    sm.rollbackTo(id)
+  }
+
+  /** Roll back to the latest snapshot whose persisted watermark is at
+    * or below `watermark` (reference: RollbackToWatermarkProcedure). */
+  def rollbackToWatermark(watermark: Long): Seq[Long] = {
+    val id = sm.snapshotIds.map(sm.snapshot)
+      .filter(_.watermark.exists(_ <= watermark)).map(_.id).maxOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot with watermark <= $watermark"))
+    sm.rollbackTo(id)
+  }
 
   // ================= branches =================
 

@@ -240,6 +240,42 @@ class PushdownSpec extends AnyFunSuite {
     assert(hit.count() == 1)
   }
 
+  test("BSI index refutes ranges inside overlapping min/max spans") {
+    def df1(rows: Seq[(Long, Double)]) = df(rows: _*).coalesce(1)
+    val t = GraftTable.create(spark, tmp(), sch,
+      options = Map("file-index.bsi.columns" -> "k"))
+    // file A spans [0,100] with a hole (21..79); file B is [40,60]:
+    // a range probe inside A's hole overlaps A's min/max, only the
+    // bit-sliced index can refute it
+    t.write(df1(((0L to 20L) ++ (80L to 100L)).map(k => (k, k.toDouble))))
+    t.write(df1((40L to 60L).map(k => (k, k.toDouble))))
+    val inHole = t.scan(col("k") >= 25L && col("k") <= 35L)
+    assert(inHole.inputFiles.isEmpty,
+      s"range in A's hole + below B's min must prune everything, read ${inHole.inputFiles.length}")
+    assert(inHole.count() == 0)
+    // range matching only B: A refuted by its hole, B kept
+    val onlyB = t.scan(col("k") >= 45L && col("k") <= 55L)
+    assert(onlyB.inputFiles.length == 1)
+    assert(onlyB.count() == 11)
+    // equality probes: point ranges
+    assert(t.scan(col("k") === 85L).inputFiles.length == 1)
+    assert(t.scan(col("k") === 30L).inputFiles.isEmpty)
+    // IN with all-absent values refutes; present value keeps one file
+    assert(t.scan(col("k").isin(25L, 30L)).inputFiles.isEmpty)
+    assert(t.scan(col("k").isin(25L, 90L)).inputFiles.length == 1)
+    // one-sided ranges still correct (strict > maps to v+1)
+    val top = t.scan(col("k") > 95L)
+    assert(top.inputFiles.length == 1 && top.count() == 5)
+    // negative values exercise the sign-flip ordering
+    val t2 = GraftTable.create(spark, tmp(), sch,
+      options = Map("file-index.bsi.columns" -> "k"))
+    t2.write(df1((-50L to -40L).map(k => (k, k.toDouble))))
+    t2.write(df1((10L to 20L).map(k => (k, k.toDouble))))
+    assert(t2.scan(col("k") >= -45L && col("k") <= -42L).inputFiles.length == 1)
+    assert(t2.scan(col("k") >= -30L && col("k") <= 5L).inputFiles.isEmpty)
+    assert(t2.scan(col("k") < -45L).count() == 5)
+  }
+
   test("bitmap index aborts on cardinality overflow and never lies") {
     val s2 = StructType(Seq(StructField("v", StringType, nullable = false)))
     val rows = (0 until 12000).map(i => Row(s"val_$i"))
