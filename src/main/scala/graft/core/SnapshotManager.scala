@@ -377,6 +377,15 @@ final class SnapshotManager(
 
   def deleteTag(name: String): Unit = io.delete(s"$tagDir/tag-$name")
 
+  /** Rename a tag, keeping its materialized snapshot copy (reference:
+    * RenameTagProcedure). */
+  def renameTag(from: String, to: String): Unit = {
+    require(io.exists(s"$tagDir/tag-$from"), s"no tag $from")
+    require(!io.exists(s"$tagDir/tag-$to"), s"tag $to already exists")
+    io.writeString(s"$tagDir/tag-$to", io.readString(s"$tagDir/tag-$from"))
+    io.delete(s"$tagDir/tag-$from")
+  }
+
   def tags: Map[String, Long] =
     io.list(tagDir).map(_.split('/').last)
       .collect { case t if t.startsWith("tag-") => t.stripPrefix("tag-") }

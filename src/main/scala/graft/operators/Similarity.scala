@@ -89,49 +89,88 @@ object Similarity {
       idCol: String, vecCol: String, dim: Int,
       kNeighbors: Int = 5, nLists: Int = 16, nProbe: Int = 4,
       iterations: Int = 1): DataFrame = {
+    val trained = trainIvf(corpus, idCol, vecCol, nLists, iterations)
+    val probes = probeLists(queries, idCol, vecCol, trained.centroids, nProbe)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    trained.assigned.join(broadcast(probes), "list")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        // unit vectors: dot IS the cosine of the originals
+        round(dot(col("qvec"), col("nvec")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNeighbors)
+  }
+
+  /** Train an IVF index ONCE and persist it (reference role:
+    * paimon-faiss/ + VectorSearchTable.java:35 — a global vector index
+    * created by a procedure, probed by queries). Two parquet tables
+    * under `indexDir`:
+    *  - centroids: (list INT, centroid ARRAY<double>) — tiny;
+    *  - assignments: (neighbor_id, nvec ARRAY<double>, list INT),
+    *    PARTITIONED BY list, holding the unit-normalized vectors.
+    * Query time then reads ONLY the probed lists' partitions — no
+    * training jobs, no corpus scan; at 100 TB this is what makes ANN
+    * usable (per-query Lloyd iterations are not). */
+  def buildIvfIndex(
+      corpus: DataFrame, indexDir: String,
+      idCol: String, vecCol: String, dim: Int,
+      nLists: Int = 16, iterations: Int = 1): Unit = {
+    val trained = trainIvf(corpus, idCol, vecCol, nLists, iterations)
     val session = corpus.sparkSession
-    // unit-normalize via a compiled UDF (a 64-float inner loop is
-    // ~100x faster JIT-compiled than as interpreted zip_with/aggregate
-    // lambda trees; the UDF is the documented exception in the
-    // functions>Expression>UDF ladder for tight numeric kernels)
-    val unitUdf = udf { (v: Seq[Double]) =>
-      var i = 0; var s = 0.0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      val n = math.sqrt(s)
-      if (n == 0) v else v.map(_ / n)
-    }
-    def unit(df: DataFrame, vec: String): DataFrame =
-      df.withColumn(vec, unitUdf(col(vec)))
-    val c = unit(corpus.select(col(idCol).as("neighbor_id"),
+    import session.implicits._
+    trained.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    trained.assigned // (neighbor_id, nvec, list)
+      .write.mode("overwrite").partitionBy("list")
+      .parquet(s"$indexDir/assignments")
+  }
+
+  /** ANN over a persisted IVF index: rank the `nProbe` nearest lists'
+    * vectors by exact cosine. Runs zero training jobs — centroids are
+    * a tiny parquet read, and the `list` partitioning prunes the
+    * assignments scan to the probed lists. */
+  def ivfIndexTopK(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      kNeighbors: Int = 5, nProbe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val probes = probeLists(queries, idCol, vecCol, centroids, nProbe)
+    val probedLists = probes.select("list").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cands = spark.read.parquet(s"$indexDir/assignments")
+      .filter(col("list").isin(probedLists: _*)) // partition-pruned
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cands.join(broadcast(probes), "list")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qvec"), col("nvec")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNeighbors)
+  }
+
+  private case class TrainedIvf(
+      centroids: Array[Array[Double]], assigned: DataFrame)
+
+  /** Distributed Lloyd training shared by the per-query and persisted
+    * IVF paths: assignment is an argmax-of-similarity expression over
+    * broadcast centroids, update a per-dimension mean. */
+  private def trainIvf(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nLists: Int, iterations: Int): TrainedIvf = {
+    val session = corpus.sparkSession
+    val c = unitNorm(corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("nvec")), "nvec")
-    def normalized(ct: Array[Double]): Array[Double] = {
-      val n = math.sqrt(ct.map(x => x * x).sum)
-      if (n == 0) ct else ct.map(_ / n)
-    }
-    // deterministic seed: lowest-id vectors
     var centroids: Array[Array[Double]] = c.orderBy("neighbor_id")
       .limit(nLists).collect().map(_.getSeq[Double](1).toArray)
-
-    // one UDF call per row computes similarity to ALL centroids
-    def withSims(df: DataFrame, vec: String): DataFrame = {
-      val cents = session.sparkContext.broadcast(centroids.map(normalized))
-      val simsUdf = udf { (v: Seq[Double]) =>
-        val cs = cents.value
-        val arr = v.toArray
-        cs.map { ct =>
-          var i = 0; var s = 0.0
-          while (i < arr.length && i < ct.length) { s += arr(i) * ct(i); i += 1 }
-          s
-        }.toSeq
-      }
-      df.withColumn("__sims", simsUdf(col(vec)))
-    }
-    def argmax: Column =
-      (array_position(col("__sims"), array_max(col("__sims"))) - 1).cast("int")
-
     for (_ <- 0 until iterations) {
-      val means = withSims(c, "nvec")
-        .select(argmax.as("list"), posexplode(col("nvec")).as(Seq("d", "x")))
+      val means = withCentroidSims(c, "nvec", centroids)
+        .select(argmaxSim.as("list"), posexplode(col("nvec")).as(Seq("d", "x")))
         .groupBy("list", "d").agg(avg("x").as("m"))
         .groupBy("list")
         .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
@@ -141,26 +180,62 @@ object Similarity {
       centroids = centroids.indices
         .map(i => means.getOrElse(i, centroids(i))).toArray
     }
+    val assigned = withCentroidSims(c, "nvec", centroids)
+      .withColumn("list", argmaxSim).drop("__sims")
+    TrainedIvf(centroids, assigned)
+  }
 
-    val assigned = withSims(c, "nvec").withColumn("list", argmax).drop("__sims")
+  /** (query_id, qvec, list) rows: each query exploded to its nProbe
+    * nearest centroid lists. */
+  private def probeLists(
+      queries: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
     val probeIdx = slice(array_distinct(transform(
       reverse(array_sort(col("__sims"))),
       s => (array_position(col("__sims"), s) - 1).cast("int"))), 1, nProbe)
-    val probes = withSims(
-      unit(queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("qvec")), "qvec"), "qvec")
+    withCentroidSims(
+      unitNorm(queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qvec")), "qvec"), "qvec", centroids)
       .select(col("query_id"), col("qvec"), explode(probeIdx).as("list"))
       .drop("__sims")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    assigned.join(broadcast(probes), "list")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        // unit vectors: dot IS the cosine of the originals
-        round(dot(col("qvec"), col("nvec")), 6).as("cosine"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= kNeighbors)
   }
+
+  /** unit-normalize via a compiled UDF (a tight numeric inner loop is
+    * ~100x faster JIT-compiled than as interpreted zip_with/aggregate
+    * lambda trees; the documented exception in the
+    * functions>Expression>UDF ladder). */
+  private def unitNorm(df: DataFrame, vec: String): DataFrame = {
+    val unitUdf = udf { (v: Seq[Double]) =>
+      var i = 0; var s = 0.0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0) v else v.map(_ / n)
+    }
+    df.withColumn(vec, unitUdf(col(vec)))
+  }
+
+  /** one UDF call per row computes similarity to ALL centroids */
+  private def withCentroidSims(
+      df: DataFrame, vec: String, centroids: Array[Array[Double]]): DataFrame = {
+    val session = df.sparkSession
+    val cents = session.sparkContext.broadcast(centroids.map { ct =>
+      val n = math.sqrt(ct.map(x => x * x).sum)
+      if (n == 0) ct else ct.map(_ / n)
+    })
+    val simsUdf = udf { (v: Seq[Double]) =>
+      val cs = cents.value
+      val arr = v.toArray
+      cs.map { ct =>
+        var i = 0; var s = 0.0
+        while (i < arr.length && i < ct.length) { s += arr(i) * ct(i); i += 1 }
+        s
+      }.toSeq
+    }
+    df.withColumn("__sims", simsUdf(col(vec)))
+  }
+
+  private def argmaxSim: Column =
+    (array_position(col("__sims"), array_max(col("__sims"))) - 1).cast("int")
 
   /** Approximate top-k: probe only corpus rows that share an LSH bucket
     * with the query in at least one table, then rank candidates by

@@ -164,6 +164,19 @@ object Pipeline {
         dim = 64, kNeighbors = 5)
     },
 
+    // ---- persisted IVF index: train ONCE into centroid + list-
+    // partitioned assignment parquet, then query with zero training
+    // jobs — the amortized ANN path (reference role: paimon-faiss
+    // global vector indexes).
+    QDef.rowsOnly("s04_knn_ivf_index") { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-s04-ivf").toString + "/idx"
+      Similarity.buildIvfIndex(emb, idxDir, "vec_id", "embedding", dim = 64)
+      Similarity.ivfIndexTopK(s, idxDir,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", kNeighbors = 5)
+    },
+
     // ---- BPE-style regex pre-tokenization (letters / digits /
     // punctuation runs), verified cross-engine.
     QDef(

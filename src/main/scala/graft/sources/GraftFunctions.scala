@@ -19,10 +19,14 @@ object GraftFunctions {
 
   def load(catalog: GraftCatalog, ident: Identifier): UnboundFunction =
     ident.name() match {
-      case "bucket" => BucketFunction
-      case "max_pt" => new MaxPtFunction(catalog.warehousePath)
-      case other =>
-        throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+      case "bucket" if ident.namespace().sameElements(Array("sys")) => BucketFunction
+      case "max_pt" if ident.namespace().sameElements(Array("sys")) =>
+        new MaxPtFunction(catalog.warehousePath)
+      case _ =>
+        // catalog-stored SQL functions: <cat>.<db>.<fn> persisted via
+        // CALL sys.create_function (reference: PaimonFunctionResolver)
+        StoredFunctions.load(catalog.warehousePath, ident).getOrElse(
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
     }
 
   object BucketFunction extends UnboundFunction {

@@ -55,11 +55,39 @@ object GraftProcedures {
     "fast_forward" -> (Seq(p("table", StringType), p("branch", StringType)),
       (t, args) => { t.fastForward(args.getUTF8String(1).toString); "ok" }),
     "analyze" -> (Seq(p("table", StringType)),
-      (t, _) => { t.analyze(); "ok" }))
+      (t, _) => { t.analyze(); "ok" }),
+    "rename_tag" -> (Seq(
+      p("table", StringType), p("tag", StringType), p("new_tag", StringType)),
+      (t, args) => { t.sm.renameTag(args.getUTF8String(1).toString,
+        args.getUTF8String(2).toString); "ok" }),
+    "replace_tag" -> (Seq(p("table", StringType), p("tag", StringType)),
+      (t, args) => { t.replaceTag(args.getUTF8String(1).toString); "ok" }),
+    "rollback_to_timestamp" -> (Seq(
+      p("table", StringType), p("timestamp_millis", LongType)),
+      (t, args) =>
+        s"dropped ${t.rollbackToTimestamp(args.getLong(1)).size} snapshots"),
+    "rollback_to_watermark" -> (Seq(p("table", StringType), p("watermark", LongType)),
+      (t, args) =>
+        s"dropped ${t.rollbackToWatermark(args.getLong(1)).size} snapshots"))
 
-  def names: Seq[String] = procs.keys.toSeq.sorted
+  /** Catalog-level procedures (first argument is not a table). */
+  private type CatalogBody = (GraftCatalog, InternalRow) => String
+  private val catalogProcs: Map[String, (Seq[ProcedureParameter], CatalogBody)] = Map(
+    "create_function" -> (Seq(
+      p("function", StringType), p("params", StringType), p("body", StringType)),
+      (c, args) => { StoredFunctions.create(c.warehousePath,
+        args.getUTF8String(0).toString, args.getUTF8String(1).toString,
+        args.getUTF8String(2).toString); "ok" }),
+    "drop_function" -> (Seq(p("function", StringType)),
+      (c, args) => { StoredFunctions.drop(c.warehousePath,
+        args.getUTF8String(0).toString); "ok" }))
+
+  def names: Seq[String] = (procs.keys ++ catalogProcs.keys).toSeq.sorted
 
   def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    catalogProcs.get(ident.name()).foreach { case (params, body) =>
+      return catalogProcedure(catalog, ident, params, body)
+    }
     val (params, body) = procs.getOrElse(ident.name(),
       throw new RuntimeException(s"unknown procedure: ${ident.name()}"))
     new UnboundProcedure {
@@ -76,12 +104,32 @@ object GraftProcedures {
           val tIdent = Identifier.of(parts.dropRight(1), parts.last)
           val gt = GraftTable.load(SparkSession.active, catalog.pathOf(tIdent))
           val result = body(gt, input)
-          val schema = StructType(Seq(StructField("result", StringType)))
-          val row = InternalRow(UTF8String.fromString(result))
-          java.util.Collections.singletonList[Scan](
-            new GraftLocalScan(schema, Array(row))).iterator()
+          resultScan(result)
         }
       }
     }
   }
+
+  private def resultScan(result: String): java.util.Iterator[Scan] = {
+    val schema = StructType(Seq(StructField("result", StringType)))
+    val row = InternalRow(UTF8String.fromString(result))
+    java.util.Collections.singletonList[Scan](
+      new GraftLocalScan(schema, Array(row))).iterator()
+  }
+
+  private def catalogProcedure(
+      catalog: GraftCatalog, ident: Identifier,
+      params: Seq[ProcedureParameter], body: CatalogBody): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = ident.name()
+      override def description(): String = s"graft ${ident.name()}"
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = ident.name()
+        override def description(): String = s"graft ${ident.name()}"
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] =
+          resultScan(body(catalog, input))
+      }
+    }
 }

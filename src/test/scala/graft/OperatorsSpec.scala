@@ -122,4 +122,39 @@ class OperatorsSpec extends AnyFunSuite {
       "vec_id", "embedding", kNeighbors = 2).collect()
     assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L)) // nearest first, no self
   }
+
+  test("persisted IVF index matches per-query IVF and prunes to probed lists") {
+    import spark.implicits._
+    // two well-separated clusters in 2D
+    val emb = ((0L until 20L).map(i =>
+      (i, Array(1.0f + (i % 5) * 0.01f, 0.0f + (i % 3) * 0.01f))) ++
+      (20L until 40L).map(i =>
+        (i, Array(0.0f + (i % 5) * 0.01f, 1.0f + (i % 3) * 0.01f))))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id").isin(0L, 25L))
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-idx").toString + "/idx"
+    Similarity.buildIvfIndex(emb, idxDir, "vec_id", "embedding",
+      dim = 2, nLists = 4)
+    val fromIndex = Similarity.ivfIndexTopK(spark, idxDir, queries,
+      "vec_id", "embedding", kNeighbors = 3, nProbe = 1)
+    val perQuery = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      dim = 2, kNeighbors = 3, nLists = 4, nProbe = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(rows(fromIndex) == rows(perQuery),
+      "index-served results must equal freshly-trained results")
+    // partition pruning: the assignments scan plans only probed list
+    // dirs (inputFiles ignores pruning, so inspect the physical scan)
+    val scans = fromIndex.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("assignments")) => f
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScan over assignments/")
+    val planned = scans.head.selectedPartitions.partitionCount
+    val allLists = new java.io.File(s"$idxDir/assignments")
+      .listFiles().map(_.getName).count(_.startsWith("list="))
+    assert(planned < allLists,
+      s"planned $planned of $allLists list partitions — expected pruning")
+  }
 }

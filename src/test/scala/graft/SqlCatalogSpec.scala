@@ -273,6 +273,60 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM graft.dbp.`t$statistics`").count() > 0)
   }
 
+  test("catalog-stored SQL functions: create, resolve, coerce, drop") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbfn")
+    spark.sql(
+      "CALL graft.sys.create_function('dbfn.double_plus', 'x INT', 'x * 2 + 1')")
+    assert(spark.sql("SELECT graft.dbfn.double_plus(21)").head.getInt(0) == 43)
+    // multi-parameter + built-in functions + implicit coercion in the body
+    spark.sql("CALL graft.sys.create_function('dbfn.shout', " +
+      "'s STRING, n INT', 'concat(upper(s), repeat(\"!\", n))')")
+    assert(spark.sql("SELECT graft.dbfn.shout('hey', 3)")
+      .head.getString(0) == "HEY!!!")
+    // body mixing types goes through real analyzer coercion (BIGINT
+    // division promotes to DOUBLE)
+    spark.sql("CALL graft.sys.create_function('dbfn.frac', " +
+      "'a BIGINT, b BIGINT', 'a / b')")
+    assert(math.abs(spark.sql("SELECT graft.dbfn.frac(1, 4)")
+      .head.getDouble(0) - 0.25) < 1e-9)
+    // usable inside real queries over stored tables
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.dbfn.t (k INT)")
+    spark.sql("INSERT INTO graft.dbfn.t VALUES (1), (2)")
+    val got = spark.sql(
+      "SELECT graft.dbfn.double_plus(k) FROM graft.dbfn.t ORDER BY k")
+      .collect().map(_.getInt(0))
+    assert(got.toSeq == Seq(3, 5))
+    // invalid bodies are rejected at CREATE time
+    intercept[Exception](spark.sql(
+      "CALL graft.sys.create_function('dbfn.bad', 'x INT', 'nope(x)')"))
+    // drop removes resolution
+    spark.sql("CALL graft.sys.drop_function('dbfn.double_plus')")
+    intercept[Exception](
+      spark.sql("SELECT graft.dbfn.double_plus(1)").collect())
+  }
+
+  test("tag management + rollback_to_timestamp procedures") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbtg")
+    spark.sql("CREATE TABLE graft.dbtg.t (k BIGINT)")
+    spark.sql("INSERT INTO graft.dbtg.t VALUES (1)")
+    val tsAfterFirst = System.currentTimeMillis()
+    spark.sql("CALL graft.sys.create_tag('dbtg.t', 'v1')")
+    spark.sql("CALL graft.sys.rename_tag('dbtg.t', 'v1', 'release')")
+    val tags = spark.sql("SELECT tag_name FROM graft.dbtg.`t$tags`")
+      .collect().map(_.getString(0)).toSet
+    assert(tags == Set("release"))
+    Thread.sleep(20)
+    spark.sql("INSERT INTO graft.dbtg.t VALUES (2)")
+    // replace_tag re-points at the latest snapshot
+    spark.sql("CALL graft.sys.replace_tag('dbtg.t', 'release')")
+    val taggedId = spark.sql("SELECT snapshot_id FROM graft.dbtg.`t$tags`")
+      .head.getLong(0)
+    assert(taggedId == 1L)
+    // rollback_to_timestamp discards the second insert
+    spark.sql(s"CALL graft.sys.rollback_to_timestamp('dbtg.t', $tsAfterFirst)")
+    assert(spark.sql("SELECT count(*) FROM graft.dbtg.t").head.getLong(0) == 1L)
+  }
+
   test("readStream streams per-snapshot deltas exactly once across restarts") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db8")
     spark.sql("CREATE TABLE graft.db8.t (k BIGINT, v STRING)")
