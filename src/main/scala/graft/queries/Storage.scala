@@ -502,6 +502,42 @@ object Storage {
         .select(col("o_orderkey"), asDouble(col("o_totalprice")).as("price"))
     },
 
+    // ---- storage-partitioned join: two identically-bucketed PK
+    // tables, compacted, joined on the full primary key — the native
+    // bucketed scans report KeyGroupedPartitioning so the join runs
+    // with NO shuffle on either side (the at-scale warehouse join).
+    QDef(
+      "g27_bucketed_join",
+      """SELECT t1.o_orderkey,
+        |  CAST(ROUND(t1.o_totalprice, 2) AS DOUBLE) AS price,
+        |  CAST(ROUND(t2.p2, 2) AS DOUBLE) AS price2
+        |FROM orders t1
+        |JOIN (SELECT o_orderkey, o_totalprice * 2 AS p2 FROM orders
+        |      WHERE o_orderkey % 2 = 0) t2
+        |  ON t1.o_orderkey = t2.o_orderkey""".stripMargin) { (s, dir) =>
+      val wh = Files.createTempDirectory("graft-g27-wh").toString
+      s.conf.set("spark.sql.catalog.graft_g27", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_g27.warehouse", wh)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      tbl(s, dir, "orders").createOrReplaceTempView("g27_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g27.gate")
+      Seq("t1", "t2").foreach(t => s.sql(
+        s"""CREATE TABLE graft_g27.gate.$t (o_orderkey BIGINT, price DOUBLE)
+           |TBLPROPERTIES ('primary-key'='o_orderkey', 'bucket'='4')""".stripMargin))
+      s.sql("""INSERT INTO graft_g27.gate.t1
+              |SELECT o_orderkey, o_totalprice FROM g27_src""".stripMargin)
+      s.sql("""INSERT INTO graft_g27.gate.t2
+              |SELECT o_orderkey, o_totalprice * 2 FROM g27_src
+              |WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql("CALL graft_g27.sys.compact('gate.t1')")
+      s.sql("CALL graft_g27.sys.compact('gate.t2')")
+      s.sql("""SELECT t1.o_orderkey,
+              |  CAST(ROUND(t1.price, 2) AS DOUBLE) AS price,
+              |  CAST(ROUND(t2.price, 2) AS DOUBLE) AS price2
+              |FROM graft_g27.gate.t1 t1
+              |JOIN graft_g27.gate.t2 t2 ON t1.o_orderkey = t2.o_orderkey""".stripMargin)
+    },
+
     // ---- CALL sys.* procedures through SQL: upsert history, compact,
     // expire old snapshots, tag — the read after maintenance must
     // still be the merged logical table.

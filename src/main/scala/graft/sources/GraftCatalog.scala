@@ -386,6 +386,20 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType)
           else gt.planEntries(cond, snapshot)
         val nativeEligible = !gt.isPrimaryKeyTable &&
           entries.forall(e => e.file.dvFile.isEmpty && e.file.schemaId == sch.id)
+        // a FULLY-COMPACTED pk table (one level>0 file per bucket, no
+        // DVs) is already merged on disk: read raw through the native
+        // scan, and report bucket partitioning so PK-PK joins between
+        // identically-bucketed tables skip the shuffle
+        val compactedPk = gt.isPrimaryKeyTable && entries.nonEmpty &&
+          entries.forall(e => e.file.level > 0 && e.file.dvFile.isEmpty &&
+            e.file.schemaId == sch.id) &&
+          entries.groupBy(e => (e.partition, e.bucket)).forall(_._2.size <= 1)
+        lazy val partCols = sch.partitionKeys.toSet
+        lazy val dataSchema = StructType(full.fields.filterNot(f => partCols(f.name)))
+        lazy val readData = StructType(required.fields.filterNot(f => partCols(f.name)))
+        lazy val readPart = StructType(required.fields.filter(f => partCols(f.name)))
+        lazy val dataFilters = pushed.filter(
+          _.references.forall(r => !partCols(r)))
         if (nativeEligible) {
           // limit pushdown: stop planning once enough rows are covered
           val limited = limit match {
@@ -394,13 +408,13 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType)
               var acc = 0L
               entries.takeWhile { e => val need = acc < n; acc += e.file.rowCount; need }
           }
-          val partCols = sch.partitionKeys.toSet
-          val dataSchema = StructType(full.fields.filterNot(f => partCols(f.name)))
-          val readData = StructType(required.fields.filterNot(f => partCols(f.name)))
-          val readPart = StructType(required.fields.filter(f => partCols(f.name)))
-          val dataFilters = pushed.filter(
-            _.references.forall(r => !partCols(r)))
           new GraftBatchScan(gt, limited, dataSchema, readData, readPart,
+            dataFilters, required)
+        } else if (compactedPk && !sch.isDynamicBucket) {
+          new GraftBucketedScan(gt, entries, dataSchema, readData, readPart,
+            dataFilters, required, sch.numBuckets, sch.primaryKeys)
+        } else if (compactedPk) {
+          new GraftBatchScan(gt, entries, dataSchema, readData, readPart,
             dataFilters, required)
         } else v1Fallback(cond)
     }

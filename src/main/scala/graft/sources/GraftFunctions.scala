@@ -17,10 +17,17 @@ object GraftFunctions {
 
   def names: Seq[String] = Seq("bucket", "max_pt")
 
+  /** builtin functions resolve under `sys` and the EMPTY namespace —
+    * Spark's storage-partitioned-join planning loads the `bucket`
+    * transform's function with no namespace
+    * (V2ExpressionUtils.loadV2FunctionOpt). */
+  private def builtinNs(ns: Array[String]): Boolean =
+    ns.isEmpty || ns.sameElements(Array("sys"))
+
   def load(catalog: GraftCatalog, ident: Identifier): UnboundFunction =
     ident.name() match {
-      case "bucket" if ident.namespace().sameElements(Array("sys")) => BucketFunction
-      case "max_pt" if ident.namespace().sameElements(Array("sys")) =>
+      case "bucket" if builtinNs(ident.namespace()) => BucketFunction
+      case "max_pt" if builtinNs(ident.namespace()) =>
         new MaxPtFunction(catalog.warehousePath)
       case _ =>
         // catalog-stored SQL functions: <cat>.<db>.<fn> persisted via
@@ -59,6 +66,9 @@ object GraftFunctions {
         override def inputTypes(): Array[DataType] = IntegerType +: keyTypes
         override def resultType(): DataType = IntegerType
         override def name(): String = "bucket"
+        // stable identity for storage-partitioned-join compatibility
+        // checks (the default getCanonicalName is null for anon classes)
+        override def canonicalName(): String = "graft.sys.bucket"
         override def produceResult(input: InternalRow): Int = {
           val n = input.getInt(0)
           // EXACTLY the writer's hash: Spark's xxhash64 expression over

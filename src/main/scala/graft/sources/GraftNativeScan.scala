@@ -39,17 +39,21 @@ private[sources] object GraftScanUtil {
     }
   }
 
+  def partitionedFile(
+      tablePath: String, e: ManifestEntry,
+      partitionSchema: StructType): PartitionedFile = {
+    val pv = InternalRow.fromSeq(partitionSchema.fields.toSeq.map { f =>
+      partitionValue(e.partition.get(f.name).orNull, f.dataType)
+    })
+    PartitionedFile(pv,
+      SparkPath.fromPathString(s"$tablePath/${e.file.fileName}"),
+      0, e.file.fileSize, Array.empty, 0L, e.file.fileSize)
+  }
+
   def filePartitions(
       spark: SparkSession, tablePath: String,
       entries: Seq[ManifestEntry], partitionSchema: StructType): Array[InputPartition] = {
-    val files = entries.map { e =>
-      val pv = InternalRow.fromSeq(partitionSchema.fields.toSeq.map { f =>
-        partitionValue(e.partition.get(f.name).orNull, f.dataType)
-      })
-      PartitionedFile(pv,
-        SparkPath.fromPathString(s"$tablePath/${e.file.fileName}"),
-        0, e.file.fileSize, Array.empty, 0L, e.file.fileSize)
-    }
+    val files = entries.map(partitionedFile(tablePath, _, partitionSchema))
     val maxSplit = FilePartition.maxSplitBytes(spark, files.map(_.fileSize).sum)
     FilePartition.getFilePartitions(spark, files, maxSplit).toArray
   }
@@ -242,6 +246,70 @@ class GraftBatchScan(
       java.util.OptionalLong.of(entries.map(e =>
         e.file.rowCount - e.file.dvCardinality.getOrElse(0L)).sum)
   }
+}
+
+/** Native scan over a FULLY-COMPACTED fixed-bucket primary-key table:
+  * one level>0 file per (partition, bucket), no deletion vectors —
+  * the merge is already materialized, so files read raw through the
+  * vectorized reader (hidden seq/kind columns clipped away by the
+  * requested schema).
+  *
+  * Reports `KeyGroupedPartitioning(bucket(n, pk...))` with one
+  * InputPartition per bucket carrying its bucket id as the partition
+  * key, so equi-joins between identically-bucketed graft tables run
+  * as storage-partitioned joins with NO Exchange on either side
+  * (reference: PaimonScan.outputPartitioning, paimon-spark
+  * .../PaimonScan.scala:139-146; enable
+  * `spark.sql.sources.v2.bucketing.enabled`). At warehouse scale this
+  * removes the full shuffle from every PK-PK join between graft
+  * tables. Runtime filtering is disabled here: partitions must stay
+  * stable between outputPartitioning() and planInputPartitions(). */
+class GraftBucketedScan(
+    gt: GraftTable,
+    initialEntries: Seq[ManifestEntry],
+    dataSchema: StructType,
+    readDataSchema: StructType,
+    partitionSchema: StructType,
+    filters: Array[Filter],
+    required: StructType,
+    numBuckets: Int,
+    bucketKeys: Seq[String])
+    extends GraftBatchScan(gt, initialEntries, dataSchema, readDataSchema,
+      partitionSchema, filters, required)
+    with SupportsReportPartitioning {
+
+  private lazy val byBucket: Seq[(Int, Seq[ManifestEntry])] =
+    currentEntries.groupBy(_.bucket).toSeq.sortBy(_._1)
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array.empty // keep partition count stable for the reported keys
+
+  override def planInputPartitions(): Array[InputPartition] =
+    byBucket.zipWithIndex.map { case ((b, es), i) =>
+      new GraftBucketPartition(i,
+        es.map(GraftScanUtil.partitionedFile(gt.path, _, partitionSchema)).toArray,
+        InternalRow(b))
+    }.toArray
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+      Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+        numBuckets, bucketKeys: _*)),
+      byBucket.size)
+
+  override def description(): String =
+    s"GraftBucketedScan(buckets=${byBucket.size}, files=${currentEntries.size}, " +
+      s"pushed=[${filters.mkString(", ")}])"
+}
+
+/** FilePartition keyed by bucket id for storage-partitioned joins. */
+class GraftBucketPartition(
+    idx: Int, files0: Array[PartitionedFile], key: InternalRow)
+    extends FilePartition(idx, files0)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
 }
 
 /** Driver-local scan answering pushed-down aggregates (COUNT / MIN /

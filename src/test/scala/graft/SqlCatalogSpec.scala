@@ -327,6 +327,48 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM graft.dbtg.t").head.getLong(0) == 1L)
   }
 
+  test("storage-partitioned join: bucket-aligned compacted PK tables join without Exchange") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbspj")
+    Seq("t1", "t2").foreach { t =>
+      spark.sql(
+        s"""CREATE TABLE graft.dbspj.$t (k BIGINT, v DOUBLE)
+           |TBLPROPERTIES ('primary-key'='k', 'bucket'='4')""".stripMargin)
+    }
+    spark.sql("INSERT INTO graft.dbspj.t1 SELECT id, id * 1.0 FROM range(0, 100)")
+    spark.sql("INSERT INTO graft.dbspj.t2 SELECT id, id * 2.0 FROM range(0, 100, 2)")
+    spark.sql("CALL graft.sys.compact('dbspj.t1')")
+    spark.sql("CALL graft.sys.compact('dbspj.t2')")
+    val oldBucketing = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    val oldBroadcast = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = spark.sql(
+        """SELECT a.k, a.v, b.v FROM graft.dbspj.t1 a
+          |JOIN graft.dbspj.t2 b ON a.k = b.k""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftBucketedScan"),
+        s"compacted PK tables must use the bucketed native scan:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucket-aligned join must not shuffle either side:\n$plan")
+      val got = q.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      assert(got.length == 50)
+      assert(got.head == ((0L, 0.0, 0.0)) && got.last == ((98L, 98.0, 196.0)))
+      assert(got.forall { case (k, v, v2) => v == k.toDouble && v2 == k * 2.0 })
+      // a non-compacted upsert drops back to the merge-on-read path
+      spark.sql("INSERT INTO graft.dbspj.t2 VALUES (1, 99.0)")
+      val q2 = spark.sql("SELECT count(*) FROM graft.dbspj.t2 WHERE v = 99.0")
+      assert(!q2.queryExecution.executedPlan.toString.contains("GraftBucketedScan"))
+      assert(q2.head.getLong(0) == 1L)
+    } finally {
+      oldBucketing.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+      oldBroadcast.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+    }
+  }
+
   test("readStream streams per-snapshot deltas exactly once across restarts") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db8")
     spark.sql("CREATE TABLE graft.db8.t (k BIGINT, v STRING)")
