@@ -165,6 +165,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           gt.dropColumn(del.fieldNames()(0))
         case upd: TableChange.UpdateColumnType if upd.fieldNames().length == 1 =>
           gt.widenColumn(upd.fieldNames()(0), upd.newDataType())
+        case set: TableChange.SetProperty =>
+          gt.setOption(set.property(), set.value())
+        case rm: TableChange.RemoveProperty =>
+          gt.setOption(rm.property(), null)
         case other => throw new UnsupportedOperationException(
           s"unsupported table change: $other")
       }

@@ -68,7 +68,13 @@ object GraftProcedures {
         s"dropped ${t.rollbackToTimestamp(args.getLong(1)).size} snapshots"),
     "rollback_to_watermark" -> (Seq(p("table", StringType), p("watermark", LongType)),
       (t, args) =>
-        s"dropped ${t.rollbackToWatermark(args.getLong(1)).size} snapshots"))
+        s"dropped ${t.rollbackToWatermark(args.getLong(1)).size} snapshots"),
+    "rescale" -> (Seq(p("table", StringType), p("buckets", IntegerType)),
+      (t, args) => t.rescale(args.getInt(1))
+        .map(id => s"rescaled -> snapshot $id").getOrElse("no-op")),
+    "rewrite_file_index" -> (Seq(p("table", StringType)),
+      (t, _) => t.rewriteFileIndex()
+        .map(id => s"rewrote indexes -> snapshot $id").getOrElse("empty table")))
 
   /** Catalog-level procedures (first argument is not a table). */
   private type CatalogBody = (GraftCatalog, InternalRow) => String
@@ -80,7 +86,15 @@ object GraftProcedures {
         args.getUTF8String(2).toString); "ok" }),
     "drop_function" -> (Seq(p("function", StringType)),
       (c, args) => { StoredFunctions.drop(c.warehousePath,
-        args.getUTF8String(0).toString); "ok" }))
+        args.getUTF8String(0).toString); "ok" }),
+    "migrate_table" -> (Seq(p("table", StringType), p("source_dir", StringType)),
+      (c, args) => {
+        val parts = args.getUTF8String(0).toString.split("\\.")
+        val ident = Identifier.of(parts.dropRight(1), parts.last)
+        GraftTable.migrate(SparkSession.active,
+          args.getUTF8String(1).toString, c.pathOf(ident))
+        "ok"
+      }))
 
   def names: Seq[String] = (procs.keys ++ catalogProcs.keys).toSeq.sorted
 

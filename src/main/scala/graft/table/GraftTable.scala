@@ -1174,6 +1174,53 @@ final class GraftTable private (
 
   def branches: Seq[String] = sm.branches
 
+  /** Re-bucket a fixed-bucket PK table: bump the schema with the new
+    * bucket count and rewrite everything once through compaction (the
+    * rewrite hashes keys with the NEW count; reference:
+    * RescaleProcedure). All data moves exactly once; subsequent writes
+    * and lookups use the new bucketing. */
+  def rescale(newBuckets: Int): Option[Long] = {
+    val sch = schema
+    require(isPrimaryKeyTable, "rescale applies to primary-key tables")
+    require(!sch.isDynamicBucket, "dynamic-bucket tables size themselves")
+    require(newBuckets > 0, "bucket count must be positive")
+    if (sch.numBuckets == newBuckets) return None
+    sm.writeSchema(sch.copy(id = sch.id + 1,
+      options = sch.options.updated("bucket", newBuckets.toString)))
+    compact()
+  }
+
+  /** Rebuild every live file's index sidecars per the CURRENT index
+    * options — one metadata commit re-adding the same data files with
+    * fresh indexFiles (reference: RewriteFileIndexProcedure). Run
+    * after changing `file-index.*` options to index existing data. */
+  def rewriteFileIndex(): Option[Long] = {
+    val snap = sm.latestSnapshot().getOrElse(return None)
+    val entries = sm.liveEntries(snap)
+    if (entries.isEmpty) return None
+    val sch = schema
+    val stripped = entries.map(e =>
+      e.copy(kind = "ADD", file = e.file.copy(indexFiles = None)))
+    val rebuilt = buildFileIndexes(sch, stripped)
+    val names = entries.map(_.file.fileName).toSet
+    Some(sm.commit(entries.map(_.copy(kind = "DELETE")) ++ rebuilt,
+      KindOverwrite, sch.id,
+      conflictCheck = latest =>
+        names.subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet)))
+  }
+
+  /** Set (or remove, with null) a table option — a new schema version;
+    * existing data is untouched (pair with [[rewriteFileIndex]] for
+    * index options, [[rescale]] for bucket count). */
+  def setOption(key: String, value: String): Unit = {
+    val sch = schema
+    require(key != "bucket" || !isPrimaryKeyTable,
+      "use rescale() to change the bucket count of a PK table")
+    sm.writeSchema(sch.copy(id = sch.id + 1,
+      options = if (value == null) sch.options - key
+        else sch.options.updated(key, value)))
+  }
+
   /** Sort-compact an append table: rewrite all live files clustered by
     * `zorder` (bit-interleaved) or `order` (lexicographic) so per-file
     * min/max stats become selective on the cluster columns (reference:
@@ -1872,6 +1919,45 @@ object GraftTable {
     val sm = new SnapshotManager(path)
     require(sm.latestSchema().isDefined, s"no graft table at $path")
     new GraftTable(spark, path, sm)
+  }
+
+  /** Adopt an existing (possibly Hive-partitioned) parquet directory
+    * as a graft table WITHOUT rewriting data: infer the schema, copy
+    * files into the table layout and commit one snapshot from their
+    * footers (reference: MigrateTableProcedure / FileMetaUtils —
+    * metadata-only onboarding). */
+  def migrate(
+      spark: SparkSession,
+      sourceDir: String,
+      path: String,
+      options: Map[String, String] = Map.empty): GraftTable = {
+    import scala.jdk.CollectionConverters._
+    val srcRoot = Paths.get(sourceDir)
+    val files = Files.walk(srcRoot).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toSeq
+    require(files.nonEmpty, s"no parquet files under $sourceDir")
+    // partition keys from the directory layout (k=v components)
+    val partDirs = files.map(f =>
+      srcRoot.relativize(f).iterator().asScala.toSeq.dropRight(1)
+        .map(_.toString).filter(_.contains("=")).map(_.split("=", 2)(0)))
+    val partitionKeys = partDirs.head
+    require(partDirs.forall(_ == partitionKeys),
+      "inconsistent partition directory layout")
+    val full = spark.read.parquet(sourceDir).schema
+    val t = create(spark, path, full, partitionKeys = partitionKeys,
+      primaryKeys = Seq.empty, options = options)
+    // stage copies in the source's partition layout, then adopt them
+    // through the normal two-phase commit (footer stats, index build)
+    val staging = s"$path/staging/migrate-${UUID.randomUUID()}"
+    files.foreach { f =>
+      val dst = Paths.get(staging).resolve(srcRoot.relativize(f))
+      Files.createDirectories(dst.getParent)
+      Files.copy(f, dst)
+    }
+    t.commitStagedDir(staging, t.schema, KindAppend,
+      seqBase = 0L, commitIdentifier = -1L, _ => Seq.empty)
+    t
   }
 
   def exists(path: String): Boolean =

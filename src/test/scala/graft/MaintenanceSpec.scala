@@ -32,6 +32,72 @@ class MaintenanceSpec extends AnyFunSuite {
       .toDF("x", "y")
   }
 
+  test("migrate adopts a plain partitioned parquet dir without rewriting data") {
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft-mig-src").toString + "/src"
+    (0L until 60L).map(i => (i, s"v$i", if (i % 2 == 0) "a" else "b"))
+      .toDF("k", "v", "p")
+      .write.partitionBy("p").parquet(srcDir)
+    val t = GraftTable.migrate(spark, srcDir, tmp())
+    assert(t.schema.partitionKeys == Seq("p"))
+    assert(t.read.count() == 60L)
+    assert(t.countRows() == 60L) // footer stats committed
+    // partition + stats pruning work on the adopted files
+    val a = t.scan(col("p") === "a")
+    assert(a.count() == 30L)
+    assert(a.inputFiles.forall(_.contains("p=a")))
+    val got = t.read.filter(col("k") === 7L).collect()
+    assert(got.length == 1 && got.head.getAs[String]("v") == "v7")
+    // source untouched
+    assert(spark.read.parquet(srcDir).count() == 60L)
+  }
+
+  test("rescale re-buckets a PK table once; reads, lookups and upserts follow") {
+    val kv = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    def df(rows: (Long, String)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2)).asJava, kv)
+    val t = GraftTable.create(spark, tmp(), kv,
+      primaryKeys = Seq("k"), options = Map("bucket" -> "2"))
+    t.write(df((0L until 40L).map(i => (i, s"a$i")): _*))
+    assert(t.rescale(2).isEmpty) // no-op
+    t.rescale(8)
+    val t2 = GraftTable.load(spark, t.path)
+    assert(t2.schema.numBuckets == 8)
+    assert(t2.read.count() == 40L)
+    // data landed in the new bucket layout, hashed with the new count
+    val buckets = t2.systemFiles.select("bucket").collect().map(_.getInt(0)).toSet
+    assert(buckets.exists(_ >= 2), s"expected buckets beyond 0-1, got $buckets")
+    // lookup hash-prunes with the new count
+    assert(t2.lookup(Map("k" -> 7L)).head.getString(1) == "a7")
+    // post-rescale upserts keep merging correctly
+    t2.write(df((7L, "updated")))
+    assert(t2.read.filter(col("k") === 7L).head.getString(1) == "updated")
+    assert(t2.read.count() == 40L)
+  }
+
+  test("rewrite_file_index builds sidecars for pre-existing files after option change") {
+    val kv = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = true)))
+    def df(rows: Seq[(Long, Double)]) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2)).asJava, kv).coalesce(1)
+    val t = GraftTable.create(spark, tmp(), kv)
+    // interleaved keys: min/max can't prune, only an index can
+    (0 until 4).foreach { i =>
+      t.write(df((0L until 100L).filter(_ % 4 == i).map(x => (x, x.toDouble))))
+    }
+    assert(t.scan(col("k") === 42L).inputFiles.length == 4) // nothing to prune with
+    t.setOption("file-index.bloom-filter.columns", "k")
+    val t2 = GraftTable.load(spark, t.path)
+    t2.rewriteFileIndex()
+    val hit = t2.scan(col("k") === 42L)
+    assert(hit.inputFiles.length < 4, "rebuilt bloom sidecars must prune")
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    assert(t2.read.count() == 100L)
+  }
+
   test("z-order sort-compact tightens file stats on both dimensions") {
     val t = GraftTable.create(spark, tmp(), xy)
     // write row-major in 8 slices: y is clustered per file, x is not
