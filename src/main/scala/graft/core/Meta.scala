@@ -37,6 +37,9 @@ object Meta {
       org.apache.spark.sql.types.StructField(
         f.name, DataType.fromDDL(f.dataType), f.nullable)).toArray)
 
+    /** data-file storage format: parquet (default) or orc (reference:
+      * CoreOptions.FILE_FORMAT; paimon-format Orc/ParquetFileFormat). */
+    def fileFormat: String = options.getOrElse("file.format", "parquet")
     def numBuckets: Int = options.getOrElse("bucket", "4").toInt
     /** bucket = -1: dynamic assignment — keys keep their first bucket,
       * new keys fill buckets up to the target row count (reference:

@@ -502,6 +502,24 @@ object Storage {
         .select(col("o_orderkey"), asDouble(col("o_totalprice")).as("price"))
     },
 
+    // ---- ORC storage: same snapshot/manifest protocol, ORC data
+    // files with footer-derived stats driving the same pruning
+    // (reference: OrcFileFormat — its fastest scan format).
+    QDef(
+      "g28_orc_storage",
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey > 700
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders")
+      val t = GraftTable.create(s, scratch("g28"), src.schema,
+        options = Map("file.format" -> "orc"))
+      (0 until 2).foreach(i => t.write(src.filter(col("o_orderkey") % 2 === i)))
+      t.scan(col("o_orderkey") > 700L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("o_totalprice")))).as("total"))
+    },
+
     // ---- storage-partitioned join: two identically-bucketed PK
     // tables, compacted, joined on the full primary key — the native
     // bucketed scans report KeyGroupedPartitioning so the join runs

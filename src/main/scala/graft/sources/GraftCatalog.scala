@@ -388,8 +388,12 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType)
         val entries =
           if (snapshot.contains(-1L)) Seq.empty
           else gt.planEntries(cond, snapshot)
+        // the native scan factory is parquet-specific; orc files read
+        // through the (still vectorized) DataFrame fallback
+        def allParquet = entries.forall(_.file.fileName.endsWith(".parquet"))
         val nativeEligible = !gt.isPrimaryKeyTable &&
-          entries.forall(e => e.file.dvFile.isEmpty && e.file.schemaId == sch.id)
+          entries.forall(e => e.file.dvFile.isEmpty && e.file.schemaId == sch.id) &&
+          allParquet
         // a FULLY-COMPACTED pk table (one level>0 file per bucket, no
         // DVs) is already merged on disk: read raw through the native
         // scan, and report bucket partitioning so PK-PK joins between
@@ -397,7 +401,8 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType)
         val compactedPk = gt.isPrimaryKeyTable && entries.nonEmpty &&
           entries.forall(e => e.file.level > 0 && e.file.dvFile.isEmpty &&
             e.file.schemaId == sch.id) &&
-          entries.groupBy(e => (e.partition, e.bucket)).forall(_._2.size <= 1)
+          entries.groupBy(e => (e.partition, e.bucket)).forall(_._2.size <= 1) &&
+          allParquet
         lazy val partCols = sch.partitionKeys.toSet
         lazy val dataSchema = StructType(full.fields.filterNot(f => partCols(f.name)))
         lazy val readData = StructType(required.fields.filterNot(f => partCols(f.name)))

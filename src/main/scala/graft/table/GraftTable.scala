@@ -326,7 +326,7 @@ final class GraftTable private (
     val staging = s"$path/staging/${UUID.randomUUID()}"
     val writer = out.write.mode("overwrite")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(staging)
+      .format(sch.fileFormat).save(staging)
     commitStagedDir(staging, sch, kind, seqBase, commitIdentifier,
       deletesFor, level, changelogManifest, dynIndexUpdate)
   }
@@ -343,35 +343,39 @@ final class GraftTable private (
       changelogManifest: Option[String] = None,
       dynIndexUpdate: Option[Seq[String] => Seq[String]] = None): Long = {
     val stagingPath = Paths.get(staging)
-    val parquetFiles = Files.walk(stagingPath).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+    val dataFiles = Files.walk(stagingPath).iterator().asScala
+      .filter(p => (p.toString.endsWith(".parquet") || p.toString.endsWith(".orc"))
+        && Files.isRegularFile(p))
       .toSeq
     // phase 1 (driver, metadata-only): adopt staged files into the
     // table directory
-    val moved = parquetFiles.map { p =>
+    val moved = dataFiles.map { p =>
       val rel = stagingPath.relativize(p).toString
+      val ext = rel.substring(rel.lastIndexOf('.') + 1)
       val dirs = rel.split('/').dropRight(1)
       val partition = dirs.filterNot(_.startsWith("__bucket="))
         .map { d => val Array(k, v) = d.split("=", 2); k -> v }.toMap
       val bucket = dirs.find(_.startsWith("__bucket="))
         .map(_.stripPrefix("__bucket=").toInt).getOrElse(0)
-      val targetRel = (dirs :+ s"${UUID.randomUUID()}.parquet").mkString("/")
+      val targetRel = (dirs :+ s"${UUID.randomUUID()}.$ext").mkString("/")
       val targetAbs = s"${sm.dataDir}/$targetRel"
       sm.io.rename(p.toString, targetAbs)
       (partition, bucket, targetAbs, s"data/$targetRel")
     }
     deleteRecursive(stagingPath)
-    // phase 2: footer stats. Driver-serial IO is fine for a handful of
-    // files but O(files) sequential reads on a big backfill, so larger
-    // commits fan the footer reads out as one Spark job (the reference
-    // computes stats in the writers and ships them in CommitMessages —
-    // PaimonSparkWriter.scala:108-195).
+    // phase 2: footer stats (format-matched reader). Driver-serial IO
+    // is fine for a handful of files but O(files) sequential reads on
+    // a big backfill, so larger commits fan the footer reads out as
+    // one Spark job (the reference computes stats in the writers and
+    // ships them in CommitMessages — PaimonSparkWriter.scala:108-195).
     val schId = sch.id
     val metas: Seq[DataFileMeta] =
       if (moved.size <= 16)
         moved.map { case (_, _, abs, rel) =>
-          ParquetStats.read(hadoopConf, abs, rel, level = level,
-            minSeq = seqBase, maxSeq = seqBase).copy(schemaId = schId)
+          (if (abs.endsWith(".orc"))
+            OrcStats.read(hadoopConf, abs, rel, level, seqBase, seqBase)
+          else ParquetStats.read(hadoopConf, abs, rel, level, seqBase, seqBase))
+            .copy(schemaId = schId)
         }
       else {
         val conf = new SerializableHadoopConf(hadoopConf)
@@ -380,8 +384,10 @@ final class GraftTable private (
           .parallelize(moved.map { case (_, _, abs, rel) => (abs, rel) },
             math.min(moved.size, 32))
           .map { case (abs, rel) =>
-            ParquetStats.read(conf.value, abs, rel, level = lvl,
-              minSeq = sb, maxSeq = sb).copy(schemaId = schId)
+            (if (abs.endsWith(".orc"))
+              OrcStats.read(conf.value, abs, rel, lvl, sb, sb)
+            else ParquetStats.read(conf.value, abs, rel, lvl, sb, sb))
+              .copy(schemaId = schId)
           }
           .collect().toSeq
       }
@@ -424,14 +430,16 @@ final class GraftTable private (
           case _ => false
         }
       }
+    // index sidecars need _metadata.row_index — parquet files only
+    val indexable = added.filter(_.file.fileName.endsWith(".parquet"))
     if ((bloomCols.isEmpty && bitmapCols.isEmpty && bsiCols.isEmpty) ||
-      added.isEmpty) return added
+      indexable.isEmpty) return added
     val items = sch.options.get(BloomIndex.OptionItems)
       .map(_.toLong).getOrElse(BloomIndex.DefaultItems)
     val bloomUdaf = udaf(new BloomIndex.BloomAgg(items))
     val bitmapUdaf = udaf(new BitmapIndex.BitmapAgg)
     val bsiUdaf = udaf(new BsiIndex.BsiAgg)
-    val paths = added.map(e => s"$path/${e.file.fileName}")
+    val paths = indexable.map(e => s"$path/${e.file.fileName}")
     val aggs =
       bloomCols.map(c => bloomUdaf(col(c).cast("string")).as(s"x_$c")) ++
         bitmapCols.map(c =>
@@ -700,12 +708,16 @@ final class GraftTable private (
   private[graft] def readRaw(entries: Seq[ManifestEntry]): DataFrame = {
     if (entries.isEmpty) return emptyRawDf()
     val cur = schema
-    val parts = entries.groupBy(_.file.schemaId).toSeq.sortBy(_._1).map {
-      case (sid, es) =>
+    def fmtOf(name: String) = name.substring(name.lastIndexOf('.') + 1)
+    // group by (schema version, storage format): a table whose
+    // file.format option changed mid-life mixes parquet and orc files
+    val parts = entries.groupBy(e => (e.file.schemaId, fmtOf(e.file.fileName)))
+      .toSeq.sortBy(_._1).map {
+      case ((sid, fmt), es) =>
         val paths = es.map(e => s"$path/${e.file.fileName}")
-        val reader = spark.read.option("basePath", sm.dataDir)
+        val reader = spark.read.option("basePath", sm.dataDir).format(fmt)
         if (sid == cur.id)
-          reader.schema(rawReadSchema).parquet(paths: _*)
+          reader.schema(rawReadSchema).load(paths: _*)
         else {
           val old = schemaOf(sid)
           val byId = old.fields.map(f => f.id -> f).toMap
@@ -720,7 +732,7 @@ final class GraftTable private (
             if (isPrimaryKeyTable)
               Seq(col(SeqCol), col(KindCol), col("__bucket"))
             else Seq.empty
-          reader.schema(rawSchemaOf(old)).parquet(paths: _*)
+          reader.schema(rawSchemaOf(old)).load(paths: _*)
             .select((projected ++ hidden).toIndexedSeq: _*)
         }
     }
@@ -1216,6 +1228,12 @@ final class GraftTable private (
     val sch = schema
     require(key != "bucket" || !isPrimaryKeyTable,
       "use rescale() to change the bucket count of a PK table")
+    require(key != "file.format" || value == null ||
+      (Set("parquet", "orc").contains(value) && (value == "parquet" || !dvEnabled)),
+      "file.format must be parquet or orc; deletion vectors require parquet")
+    require(key != DeletionVectors.OptionEnabled || value != "true" ||
+      sch.fileFormat == "parquet",
+      "deletion vectors require file.format=parquet (row_index metadata)")
     sm.writeSchema(sch.copy(id = sch.id + 1,
       options = if (value == null) sch.options - key
         else sch.options.updated(key, value)))
@@ -1911,7 +1929,13 @@ object GraftTable {
     require(primaryKeys.intersect(partitionKeys).isEmpty ||
       partitionKeys.forall(primaryKeys.contains),
       "partition keys must be disjoint from or contained in primary keys")
-    sm.writeSchema(TableSchema.fromStruct(0L, schema, partitionKeys, primaryKeys, options))
+    val ts = TableSchema.fromStruct(0L, schema, partitionKeys, primaryKeys, options)
+    require(Set("parquet", "orc").contains(ts.fileFormat),
+      s"unsupported file.format: ${ts.fileFormat}")
+    require(ts.fileFormat == "parquet" ||
+      !options.get(DeletionVectors.OptionEnabled).contains("true"),
+      "deletion vectors require file.format=parquet (row_index metadata)")
+    sm.writeSchema(ts)
     new GraftTable(spark, path, sm)
   }
 

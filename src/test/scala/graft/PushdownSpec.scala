@@ -276,6 +276,45 @@ class PushdownSpec extends AnyFunSuite {
     assert(t2.scan(col("k") < -45L).count() == 5)
   }
 
+  test("orc storage: roundtrip, footer-stats pruning, PK upserts, mixed-format evolution") {
+    def df1(rows: Seq[(Long, Double)]) = df(rows: _*).coalesce(1)
+    val t = GraftTable.create(spark, tmp(), sch,
+      options = Map("file.format" -> "orc"))
+    t.write(df1((0L to 20L).map(k => (k, k.toDouble))))
+    t.write(df1((40L to 60L).map(k => (k, k.toDouble))))
+    val entries = t.planEntries(lit(true))
+    assert(entries.forall(_.file.fileName.endsWith(".orc")))
+    assert(t.countRows() == 42L) // manifests-only, from ORC footers
+    // ORC footer min/max drive the same pruning as parquet
+    val hit = t.scan(col("k") > 45L)
+    assert(hit.inputFiles.length == 1)
+    assert(hit.count() == 15)
+    assert(t.scan(col("k") === 30L).inputFiles.isEmpty)
+    // PK merge-on-read over ORC files
+    val p = GraftTable.create(spark, tmp(), sch, primaryKeys = Seq("k"),
+      options = Map("file.format" -> "orc", "bucket" -> "2"))
+    p.write(df1((0L until 10L).map(k => (k, k.toDouble))))
+    p.write(df1((0L until 5L).map(k => (k, k + 100.0))))
+    assert(p.read.count() == 10L)
+    assert(p.read.filter(col("k") === 2L).head.getDouble(1) == 102.0)
+    p.compact()
+    assert(p.read.count() == 10L)
+    // switching file.format mid-life: new files parquet, reads mix
+    val t2 = GraftTable.load(spark, t.path)
+    t2.setOption("file.format", "parquet")
+    val t3 = GraftTable.load(spark, t.path)
+    t3.write(df1((80L to 90L).map(k => (k, k.toDouble))))
+    assert(t3.read.count() == 53L)
+    val exts = t3.planEntries(lit(true))
+      .map(_.file.fileName.split('.').last).toSet
+    assert(exts == Set("orc", "parquet"))
+    // deletion vectors stay parquet-only
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmp(), sch, options =
+        Map("file.format" -> "orc", "deletion-vectors.enabled" -> "true"))
+    }
+  }
+
   test("bitmap index aborts on cardinality overflow and never lies") {
     val s2 = StructType(Seq(StructField("v", StringType, nullable = false)))
     val rows = (0 until 12000).map(i => Row(s"val_$i"))
