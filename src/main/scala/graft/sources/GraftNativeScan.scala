@@ -22,7 +22,7 @@ import org.apache.spark.util.SerializableConfiguration
   * the micro-batch stream: manifest entries → FilePartitions, and a
   * vectorized parquet reader factory configured like Spark's own
   * ParquetScan. */
-private[sources] object GraftScanUtil {
+private[graft] object GraftScanUtil {
 
   /** Decode one partition-directory value to a Catalyst internal value
     * (dir names are Hive-escaped; typed values parse via Cast, exactly

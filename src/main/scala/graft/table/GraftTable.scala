@@ -670,6 +670,106 @@ final class GraftTable private (
     MergeEngine.merge(raw, sch).filter(filterCond)
   }
 
+  /** cached driver-side reader factory per schema version (building
+    * one costs a broadcast; lookups reuse it) */
+  private val localFactoryCache = scala.collection.concurrent.TrieMap
+    .empty[Long, org.apache.spark.sql.connector.read.PartitionReaderFactory]
+
+  /** Driver-LOCAL point lookup: reads the key's bucket files on the
+    * driver thread through the same vectorized reader — NO Spark job,
+    * millisecond latency instead of a scheduled stage (reference:
+    * LocalTableQuery.java:64 + paimon-service KV lookups; this is the
+    * per-bucket local reader serving the lookup-join role).
+    *
+    * Fast path: fixed-bucket deduplicate-engine parquet PK tables on
+    * the current schema without deletion vectors; anything else falls
+    * back to the distributed [[lookup]]. Merge semantics mirror
+    * MergeEngine's (sequence.field, _graft_seq) ordering. */
+  def localLookup(keyValues: Map[String, Any]): Seq[org.apache.spark.sql.Row] = {
+    val sch = schema
+    if (!isPrimaryKeyTable || sch.isDynamicBucket ||
+      sch.mergeEngine != "deduplicate")
+      return lookup(keyValues).collect().toSeq
+    require(sch.primaryKeys.toSet == keyValues.keySet, "must bind every primary key")
+    val filterCond = sch.primaryKeys
+      .map(k => col(k) === lit(keyValues(k))).reduce(_ && _)
+    val snap = sm.latestSnapshot().getOrElse(return Seq.empty)
+    val bucket = pkEqualityBucket(filterCond)
+    val candidates = pruneEntries(snap, filterCond)
+      .filter(e => bucket.forall(_ == e.bucket))
+    if (candidates.isEmpty) return Seq.empty
+    if (candidates.exists(e => e.file.schemaId != sch.id ||
+      !e.file.fileName.endsWith(".parquet") || e.file.dvFile.isDefined))
+      return lookup(keyValues).collect().toSeq
+    val partSchema = StructType(
+      struct.fields.filter(f => sch.partitionKeys.contains(f.name)))
+    val readData = StructType(
+      struct.fields.filterNot(f => sch.partitionKeys.contains(f.name)) ++
+        Seq(StructField(SeqCol, LongType, nullable = false),
+          StructField(KindCol, ByteType, nullable = false)))
+    val outSchema = StructType(readData.fields ++ partSchema.fields)
+    val factory = localFactoryCache.getOrElseUpdate(sch.id,
+      graft.sources.GraftScanUtil.readerFactory(
+        spark, readData, readData, partSchema, Array.empty))
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    val keyOrds = sch.primaryKeys.map(outSchema.fieldIndex).toArray
+    val keyTypes = keyOrds.map(outSchema.fields(_).dataType)
+    val keyInternal = sch.primaryKeys.zip(keyTypes).map { case (k, dt) =>
+      CatalystTypeConverters.createToCatalystConverter(dt)(keyValues(k))
+    }.toArray
+    val seqOrd = outSchema.fieldIndex(SeqCol)
+    val kindOrd = outSchema.fieldIndex(KindCol)
+    val seqField = sch.sequenceField.map(f =>
+      (outSchema.fieldIndex(f), outSchema.fields(outSchema.fieldIndex(f)).dataType))
+    val sfOrdering = seqField.map { case (_, dt) =>
+      org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+    }
+    var best: org.apache.spark.sql.catalyst.InternalRow = null
+    var bestSeq = Long.MinValue
+    var bestSf: Any = null
+    candidates.foreach { e =>
+      val pf = graft.sources.GraftScanUtil.partitionedFile(path, e, partSchema)
+      val reader = factory.createReader(
+        org.apache.spark.sql.execution.datasources.FilePartition(0, Array(pf)))
+      try {
+        while (reader.next()) {
+          val row = reader.get()
+          var matches = true
+          var i = 0
+          while (i < keyOrds.length && matches) {
+            val v = row.get(keyOrds(i), keyTypes(i))
+            matches = v != null && v == keyInternal(i)
+            i += 1
+          }
+          if (matches) {
+            val s = row.getLong(seqOrd)
+            val sf = seqField.map { case (o, dt) =>
+              if (row.isNullAt(o)) null else row.get(o, dt)
+            }.orNull
+            val better = best == null || (sfOrdering match {
+              case Some(ord) =>
+                val c = (bestSf, sf) match {
+                  case (null, null) => 0
+                  case (null, _) => -1 // nulls smallest, like struct max
+                  case (_, null) => 1
+                  case (a, b) => ord.compare(a, b)
+                }
+                c < 0 || (c == 0 && s > bestSeq)
+              case None => s > bestSeq
+            })
+            if (better) { best = row.copy(); bestSeq = s; bestSf = sf }
+          }
+        }
+      } finally reader.close()
+    }
+    if (best == null || best.getByte(kindOrd) == KindDelete) return Seq.empty
+    val conv = CatalystTypeConverters.createToScalaConverter(outSchema)
+    val full = conv(best).asInstanceOf[org.apache.spark.sql.Row]
+    val byName = outSchema.fieldNames.zipWithIndex.toMap
+    Seq(org.apache.spark.sql.Row.fromSeq(
+      struct.fieldNames.toSeq.map(n => full.get(byName(n)))))
+  }
+
   /** Time travel: VERSION AS OF. */
   def versionAsOf(snapshotId: Long): DataFrame = readSnapshot(Some(snapshotId))
 

@@ -54,6 +54,26 @@ class DeletionVectorSpec extends AnyFunSuite {
     assert(t.read.collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  test("a delete spanning many files builds every sidecar executor-side") {
+    val t = dvTable()
+    // 25 commits → 25 files, all touched by one predicate
+    (0 until 25).foreach(i =>
+      t.write(df((0L until 20L).map(j => (i * 20L + j, s"v$i-$j")): _*).coalesce(1)))
+    assert(t.systemFiles.count() == 25)
+    t.delete(col("k") % 2 === 0) // hits every file
+    assert(t.countRows() == 250L)
+    assert(t.read.count() == 250L)
+    assert(t.read.filter(col("k") % 2 === 0).count() == 0)
+    // every surviving file carries a DV sidecar; none was dropped
+    assert(t.systemFiles.count() == 25)
+    val live = t.sm.latestSnapshot().map(t.sm.liveEntries).get
+    assert(live.forall(_.file.dvFile.isDefined))
+    assert(live.forall(_.file.dvCardinality.contains(10L)))
+    // a second overlapping delete merges with the existing sidecars
+    t.delete(col("k") % 4 === 1)
+    assert(t.read.count() == 125L)
+  }
+
   test("update = DV mark + append, one commit; compaction drops DVs") {
     val t = dvTable()
     t.write(df((1L, "a"), (2L, "b"), (3L, "c")))

@@ -108,6 +108,39 @@ class PushdownSpec extends AnyFunSuite {
     assert(t.scan(col("name").like("q%")).inputFiles.isEmpty)
   }
 
+  test("localLookup answers point queries on the driver with zero jobs") {
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "8", "sequence.field" -> "v"))
+    t.write(df((0L until 64L).map(i => (i, i.toDouble)): _*))
+    t.write(df((0L until 8L).map(i => (i, i + 100.0)): _*)) // upserts win by v
+    t.delete(col("k") === 5L)
+    // warm the factory (first call broadcasts the reader conf)
+    assert(t.localLookup(Map("k" -> 0L)).nonEmpty)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val hit = t.localLookup(Map("k" -> 7L))
+      assert(hit.map(r => (r.getLong(0), r.getDouble(1))) == Seq((7L, 107.0)))
+      val old = t.localLookup(Map("k" -> 33L))
+      assert(old.map(r => (r.getLong(0), r.getDouble(1))) == Seq((33L, 33.0)))
+      assert(t.localLookup(Map("k" -> 5L)).isEmpty)   // deleted
+      assert(t.localLookup(Map("k" -> 999L)).isEmpty) // never existed
+      Thread.sleep(500)
+      assert(jobs == 0, s"localLookup ran $jobs Spark job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // agrees with the distributed lookup on the same keys
+    (0L until 10L).foreach { k =>
+      val local = t.localLookup(Map("k" -> k)).map(_.toString)
+      val dist = t.lookup(Map("k" -> k)).collect().toSeq.map(_.toString)
+      assert(local == dist, s"k=$k: local $local vs distributed $dist")
+    }
+  }
+
   test("lookup reads only the key's bucket") {
     val t = GraftTable.create(spark, tmp(), sch,
       primaryKeys = Seq("k"), options = Map("bucket" -> "8"))
