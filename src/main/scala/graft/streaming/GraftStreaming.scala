@@ -134,17 +134,33 @@ object GraftStreaming {
     batch.join(org.apache.spark.sql.functions.broadcast(dim.read), keys, joinType)
 
   /** Bounded-stream variant (reference: scan.bounded.watermark /
-    * BoundedChecker): stop once a snapshot's watermark passes the
-    * bound. */
+    * BoundedChecker): drain snapshots UP TO the first whose persisted
+    * watermark exceeds the bound, then STOP — the offset is not
+    * advanced past the bound, so the out-of-bound snapshot is neither
+    * consumed nor lost (a later unbounded drain picks it up).
+    *
+    * @return (snapshot ids processed this call, reachedBound) —
+    *         reachedBound=true means the stream is complete */
   def processChangelogBounded(
       table: GraftTable,
       checkpointPath: String,
       boundedWatermark: Long,
-      process: (DataFrame, Long) => Unit): Seq[Long] =
-    processChangelog(table, checkpointPath, (df, id) => {
+      process: (DataFrame, Long) => Unit): (Seq[Long], Boolean) = {
+    val from = readOffset(checkpointPath).getOrElse(-1L)
+    val to = table.sm.latestSnapshotId.getOrElse(return (Seq.empty, false))
+    val ids = table.sm.snapshotIds.filter(i => i > from && i <= to)
+    val processed = scala.collection.mutable.ArrayBuffer.empty[Long]
+    ids.foreach { id =>
       val snap = table.sm.snapshot(id)
-      if (snap.watermark.forall(_ <= boundedWatermark)) process(df, id)
-    })
+      if (snap.watermark.exists(_ > boundedWatermark))
+        return (processed.toSeq, true)
+      if (snap.commitKind != Meta.KindCompact)
+        process(table.incrementalRead(id - 1, id), id)
+      writeOffset(checkpointPath, id)
+      processed += id
+    }
+    (processed.toSeq, false)
+  }
 
   private def readOffset(path: String): Option[Long] =
     if (Files.exists(Paths.get(path)))

@@ -199,9 +199,19 @@ class StreamingSpec extends AnyFunSuite {
     sink(df((2L, "b", 10L)), 1L)  // watermark 10
     sink(df((3L, "c", 20L)), 2L)  // watermark 20 — beyond the bound
     var seen = Vector.empty[Long]
-    GraftStreaming.processChangelogBounded(t, s"$dir/ck", boundedWatermark = 10L,
-      (_, id) => seen :+= id)
+    val (p1, done1) = GraftStreaming.processChangelogBounded(t, s"$dir/ck",
+      boundedWatermark = 10L, (_, id) => seen :+= id)
     assert(seen == Vector(0L, 1L), s"snapshots past the bound must not process: $seen")
+    assert(p1 == Seq(0L, 1L) && done1, "bound reached → stream complete")
+    // the out-of-bound snapshot was NOT consumed: a re-drain with the
+    // same bound stays put, a raised bound picks it up exactly once
+    val (p2, done2) = GraftStreaming.processChangelogBounded(t, s"$dir/ck",
+      boundedWatermark = 10L, (_, id) => seen :+= id)
+    assert(p2.isEmpty && done2)
+    val (p3, done3) = GraftStreaming.processChangelogBounded(t, s"$dir/ck",
+      boundedWatermark = 25L, (_, id) => seen :+= id)
+    assert(p3 == Seq(2L) && !done3)
+    assert(seen == Vector(0L, 1L, 2L))
   }
 
   test("bucket function matches the writer's bucketing; max_pt answers from manifests") {
