@@ -584,5 +584,53 @@ object Storage {
       s.sql("CALL graft_g25.sys.expire_snapshots('gate.t', 1)")
       s.sql("""SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
               |FROM graft_g25.gate.t""".stripMargin)
+    },
+
+    // ---- VARIANT column: semi-structured JSON ingested as Spark 4
+    // VariantType, stored and merged through the table layer, fields
+    // extracted back out with variant_get (reference: VariantType.java,
+    // paimon-common data/variant/).
+    QDef(
+      "g29_variant_type",
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  event_type AS etype
+        |FROM events
+        |WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 80""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          parse_json(col("props")).as("v"))
+      val t = GraftTable.create(s, scratch("g29"), src.schema)
+      t.write(src)
+      t.read
+        .select(col("event_id"),
+          variant_get(col("v"), "$.k", "bigint").as("k"),
+          col("event_type").as("etype"))
+        .filter(col("k") > 80)
+    },
+
+    // ---- TIME(p) column: Spark 4.1 TimeType stored and read back
+    // through the table layer, filtered on the time value (reference:
+    // TimeType.java — millis-of-day semantics).
+    QDef(
+      "g30_time_type",
+      """SELECT event_id,
+        |  CAST(make_time(CAST(event_id % 24 AS INT),
+        |                 CAST(event_id % 60 AS INT),
+        |                 CAST(event_id % 60 AS INT)) AS VARCHAR) AS t
+        |FROM events
+        |WHERE make_time(CAST(event_id % 24 AS INT),
+        |                CAST(event_id % 60 AS INT),
+        |                CAST(event_id % 60 AS INT)) > TIME '12:00:00'""".stripMargin) { (s, dir) =>
+      s.conf.set("spark.sql.timeType.enabled", "true")
+      val src = tbl(s, dir, "events")
+        .select(col("event_id"),
+          make_time((col("event_id") % 24).cast("int"),
+            (col("event_id") % 60).cast("int"),
+            (col("event_id") % 60).cast("int")).as("t"))
+      val t = GraftTable.create(s, scratch("g30"), src.schema)
+      t.write(src)
+      t.read.filter(col("t") > make_time(lit(12), lit(0), lit(0)))
+        .select(col("event_id"), col("t").cast("string").as("t"))
     })
 }

@@ -1,0 +1,82 @@
+package graft
+
+import graft.table.GraftTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** VARIANT and TIME(p) column support through the table layer
+  * (reference: paimon-api types VariantType.java / TimeType.java;
+  * paimon-common data/variant/). Spark 4 has native VariantType and
+  * TimeType — the table layer must round-trip them through schema
+  * persistence (DDL string), parquet storage, stats collection and the
+  * merged read path.
+  */
+class TypeSupportSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def tmp(): String = Files.createTempDirectory("graft-type").toString + "/t"
+
+  test("variant column round-trips through append table") {
+    import spark.implicits._
+    val src = Seq(
+      (1L, """{"a": 1, "b": "x"}"""),
+      (2L, """{"a": 2, "b": "y", "c": [1,2,3]}"""),
+      (3L, """{"a": 3}""")).toDF("id", "js")
+      .select(col("id"), parse_json(col("js")).as("v"))
+    assert(src.schema("v").dataType == VariantType)
+    val t = GraftTable.create(spark, tmp(), src.schema)
+    t.write(src)
+    val back = t.read
+    assert(back.schema("v").dataType == VariantType)
+    val got = back
+      .select(col("id"), variant_get(col("v"), "$.a", "bigint").as("a"),
+        variant_get(col("v"), "$.b", "string").as("b"))
+      .orderBy("id").collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    assert(got(0).getString(2) == "x" && got(2).isNullAt(2))
+  }
+
+  test("variant column survives PK-table merge (latest wins)") {
+    import spark.implicits._
+    def batch(seq: Long, a: Long) =
+      Seq((1L, seq, s"""{"a": $a}""")).toDF("k", "seq", "js")
+        .select(col("k"), col("seq"), parse_json(col("js")).as("v"))
+    val src = batch(1L, 10L)
+    val t = GraftTable.create(spark, tmp(), src.schema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
+    t.write(src)
+    t.write(batch(2L, 20L))
+    val got = t.read.select(variant_get(col("v"), "$.a", "bigint")).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(20L))
+  }
+
+  test("time column round-trips through append table") {
+    import spark.implicits._
+    // TIME(p) is feature-flagged in Spark 4.1; runtime-settable
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    val src = Seq((1L, 10, 30, 0), (2L, 23, 59, 59), (3L, 0, 0, 1))
+      .toDF("id", "h", "m", "s")
+      .select(col("id"), make_time(col("h"), col("m"), col("s")).as("t"))
+    assert(src.schema("t").dataType.isInstanceOf[TimeType])
+    val tbl = GraftTable.create(spark, tmp(), src.schema)
+    tbl.write(src)
+    val back = tbl.read
+    assert(back.schema("t").dataType.isInstanceOf[TimeType])
+    val got = back.select(col("id"), col("t").cast(StringType))
+      .orderBy("id").collect()
+    assert(got.map(_.getString(1)).toSeq ==
+      Seq("10:30:00", "23:59:59", "00:00:01"))
+    // predicate on the time column still prunes/filters correctly
+    assert(back.filter(col("t") > make_time(lit(12), lit(0), lit(0))).count() == 1)
+  }
+}
