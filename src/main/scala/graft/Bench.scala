@@ -12,6 +12,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.timeType.enabled", "true") // g30 uses TIME(p)
       .config("spark.sql.adaptive.enabled", "true")
       // aggressive cleaner cadence: benched queries create broadcasts/
       // shuffles that otherwise only clean up on rare full GCs and
@@ -36,8 +37,15 @@ object Bench {
     // The driver captures only the last ~2000 chars of stdout, so the
     // printed line uses short ids ("g01") to fit; BENCH_LOCAL.json keeps
     // the full query names for the judge.
-    val qsShort = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + v }
-      .mkString("{", ",", "}")
+    // short ids must stay unique — on a prefix collision fall back to
+    // the full name rather than silently last-wins-dropping a timing
+    val prefixCounts = results.groupBy(_._1.takeWhile(_ != '_')).map {
+      case (p, rs) => p -> rs.size }
+    val qsShort = results.map { case (k, v) =>
+      val p = k.takeWhile(_ != '_')
+      val id = if (prefixCounts(p) == 1) p else k
+      "\"" + id + "\":" + v
+    }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -47,8 +55,12 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), full + "\n")
     catch { case _: Throwable => }
+    // emit the JSON line LAST, after spark.stop()'s shutdown chatter,
+    // with logging silenced — the driver only keeps the tail of stdout
+    // and a mid-stream line gets truncated into unparseable JSON
+    spark.sparkContext.setLogLevel("OFF")
+    spark.stop()
     println(line)
     System.out.flush()
-    spark.stop()
   }
 }

@@ -16,6 +16,7 @@ object Verify {
       // as a long (nanos since epoch) — ordering-compatible, which is
       // all the merge-engine queries need.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.timeType.enabled", "true") // g30 uses TIME(p)
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -71,9 +71,11 @@ object ParquetStats {
           val merged = colStats.get(name) match {
             case None => ColStats(mn, mx, nulls)
             case Some(prev) =>
+              val numeric = isNumericStat(primitive.getPrimitiveTypeName,
+                primitive.getLogicalTypeAnnotation)
               ColStats(
-                mergeMinMax(prev.min, mn, isMin = true, primitive.getPrimitiveTypeName),
-                mergeMinMax(prev.max, mx, isMin = false, primitive.getPrimitiveTypeName),
+                mergeMinMax(prev.min, mn, isMin = true, numeric),
+                mergeMinMax(prev.max, mx, isMin = false, numeric),
                 prev.nullCount + nulls)
           }
           colStats(name) = merged
@@ -88,33 +90,73 @@ object ParquetStats {
       t: PrimitiveTypeName,
       logical: LogicalTypeAnnotation,
       mn: AnyRef,
-      mx: AnyRef): (Option[String], Option[String]) = t match {
-    case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+      mx: AnyRef): (Option[String], Option[String]) = (t, logical) match {
+    // TIME columns: physical values are millis (INT32) / micros / nanos
+    // (INT64) of day per the annotation's unit; normalize to
+    // nanos-of-day so stats match Spark's TimeType internal unit and
+    // StatsFilter can compare Longs directly.
+    case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64,
+        tl: LogicalTypeAnnotation.TimeLogicalTypeAnnotation) =>
+      import LogicalTypeAnnotation.TimeUnit
+      val factor = tl.getUnit match {
+        case TimeUnit.MILLIS => 1000000L
+        case TimeUnit.MICROS => 1000L
+        case _ => 1L
+      }
+      def nanos(v: AnyRef) = v.asInstanceOf[Number].longValue() * factor
+      (Some(nanos(mn).toString), Some(nanos(mx).toString))
+    // DECIMAL columns: physical values are unscaled ints (INT32/INT64)
+    // or big-endian unscaled bytes (BINARY/FIXED); normalize to plain
+    // decimal strings via the annotation's scale.
+    case (_, dl: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation) =>
+      def dec(v: AnyRef): Option[String] = v match {
+        case n: Number =>
+          Some(java.math.BigDecimal.valueOf(n.longValue(), dl.getScale).toPlainString)
+        case b: org.apache.parquet.io.api.Binary =>
+          Some(new java.math.BigDecimal(
+            new java.math.BigInteger(b.getBytes), dl.getScale).toPlainString)
+        case _ => None
+      }
+      (dec(mn), dec(mx))
+    case (PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64, _) =>
       (Some(mn.toString), Some(mx.toString))
-    case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
+    case (PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE, _) =>
       (Some(mn.toString), Some(mx.toString))
-    case PrimitiveTypeName.BOOLEAN =>
+    case (PrimitiveTypeName.BOOLEAN, _) =>
       (Some(mn.toString), Some(mx.toString))
-    case PrimitiveTypeName.BINARY
+    case (PrimitiveTypeName.BINARY, _)
         if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
       (Some(mn.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8),
         Some(mx.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8))
     case _ => (None, None) // unsupported for skipping: no stats
   }
 
+  /** Stats whose stringified form compares numerically: plain ints /
+    * floats, plus DECIMAL-annotated columns of any physical type
+    * (stringify normalizes those to plain decimal strings). */
+  private def isNumericStat(
+      t: PrimitiveTypeName, logical: LogicalTypeAnnotation): Boolean =
+    logical.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] ||
+      (t match {
+        case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 |
+             PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => true
+        case _ => false
+      })
+
   private def mergeMinMax(
       a: Option[String], b: Option[String], isMin: Boolean,
-      t: PrimitiveTypeName): Option[String] = (a, b) match {
+      numeric: Boolean): Option[String] = (a, b) match {
     case (None, x) => None // any statless block poisons the file stats
     case (x, None) => None
     case (Some(x), Some(y)) =>
-      val cmp = t match {
-        case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
-          java.lang.Long.compare(x.toLong, y.toLong)
-        case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE =>
-          java.lang.Double.compare(x.toDouble, y.toDouble)
-        case _ => x.compareTo(y)
-      }
+      val cmp =
+        if (numeric)
+          // exact for ints/decimals; Infinity/NaN (double stats) fall
+          // back to Double semantics
+          try new java.math.BigDecimal(x).compareTo(new java.math.BigDecimal(y))
+          catch { case _: NumberFormatException =>
+            java.lang.Double.compare(x.toDouble, y.toDouble) }
+        else x.compareTo(y)
       Some(if ((cmp <= 0) == isMin) x else y)
   }
 }

@@ -48,17 +48,17 @@ object StatsFilter {
     case Or(l, r) => eval(l, f) || eval(r, f)
     case EqualTo(AttrMaybeCast(a, dt), r) if r.foldable =>
       range(a.name, f).forall { case (mn, mx) =>
-        cmp(r.eval(), r.dataType, mn) >= 0 &&
-          cmp(r.eval(), r.dataType, mx) <= 0 }
+        cmp(r.eval(), r.dataType, mn).forall(_ >= 0) &&
+          cmp(r.eval(), r.dataType, mx).forall(_ <= 0) }
     case EqualTo(l, a @ AttrMaybeCast(_, _)) if l.foldable => eval(EqualTo(a, l), f)
     case GreaterThan(AttrMaybeCast(a, dt), r) if r.foldable =>
-      range(a.name, f).forall { case (_, mx) => cmp(r.eval(), r.dataType, mx) < 0 }
+      range(a.name, f).forall { case (_, mx) => cmp(r.eval(), r.dataType, mx).forall(_ < 0) }
     case GreaterThanOrEqual(AttrMaybeCast(a, dt), r) if r.foldable =>
-      range(a.name, f).forall { case (_, mx) => cmp(r.eval(), r.dataType, mx) <= 0 }
+      range(a.name, f).forall { case (_, mx) => cmp(r.eval(), r.dataType, mx).forall(_ <= 0) }
     case LessThan(AttrMaybeCast(a, dt), r) if r.foldable =>
-      range(a.name, f).forall { case (mn, _) => cmp(r.eval(), r.dataType, mn) > 0 }
+      range(a.name, f).forall { case (mn, _) => cmp(r.eval(), r.dataType, mn).forall(_ > 0) }
     case LessThanOrEqual(AttrMaybeCast(a, dt), r) if r.foldable =>
-      range(a.name, f).forall { case (mn, _) => cmp(r.eval(), r.dataType, mn) >= 0 }
+      range(a.name, f).forall { case (mn, _) => cmp(r.eval(), r.dataType, mn).forall(_ >= 0) }
     // flipped operand order
     case GreaterThan(l, a @ AttrMaybeCast(_, _)) if l.foldable => eval(LessThan(a, l), f)
     case GreaterThanOrEqual(l, a @ AttrMaybeCast(_, _)) if l.foldable => eval(LessThanOrEqual(a, l), f)
@@ -67,12 +67,12 @@ object StatsFilter {
     case In(AttrMaybeCast(a, dt), list) if list.forall(_.foldable) =>
       list.exists { r =>
         range(a.name, f).forall { case (mn, mx) =>
-          cmp(r.eval(), r.dataType, mn) >= 0 &&
-            cmp(r.eval(), r.dataType, mx) <= 0 } }
+          cmp(r.eval(), r.dataType, mn).forall(_ >= 0) &&
+            cmp(r.eval(), r.dataType, mx).forall(_ <= 0) } }
     case InSet(AttrMaybeCast(a, dt), values) =>
       values.exists { v =>
         range(a.name, f).forall { case (mn, mx) =>
-          cmp(v, dt, mn) >= 0 && cmp(v, dt, mx) <= 0 } }
+          cmp(v, dt, mn).forall(_ >= 0) && cmp(v, dt, mx).forall(_ <= 0) } }
     // LIKE 'abc%' analyzes to StartsWith: a file may contain a string
     // with prefix p iff stat_max >= p and the min's p-length prefix
     // is <= p (reference: LikeOptimization → StartsWith leaf)
@@ -113,20 +113,33 @@ object StatsFilter {
     }
 
   /** Compare a Catalyst internal value against a stringified stat
-    * value. Returns sign of (value - stat). */
-  private def cmp(v: Any, dt: DataType, stat: String): Int = dt match {
+    * value. Returns Some(sign of (value - stat)), or None when the
+    * type is not comparable against stats — None means "unknown", and
+    * every caller treats it as might-match (never skips). A plain 0
+    * default would be WRONG for strict inequalities: `cmp < 0` on 0 is
+    * false, so an unknown type would prune every file. */
+  private def cmp(v: Any, dt: DataType, stat: String): Option[Int] = dt match {
     case ByteType | ShortType | IntegerType | LongType =>
-      java.lang.Long.compare(v.asInstanceOf[Number].longValue(), stat.toLong)
+      Some(java.lang.Long.compare(v.asInstanceOf[Number].longValue(), stat.toLong))
     case DateType => // internal: days since epoch (Int)
-      java.lang.Long.compare(v.asInstanceOf[Number].longValue(), stat.toLong)
+      Some(java.lang.Long.compare(v.asInstanceOf[Number].longValue(), stat.toLong))
     case TimestampType | TimestampNTZType => // internal: micros (Long)
-      java.lang.Long.compare(v.asInstanceOf[Number].longValue(), stat.toLong)
+      Some(java.lang.Long.compare(v.asInstanceOf[Number].longValue(), stat.toLong))
+    // internal: nanos-of-day (Long); ParquetStats normalizes TIME
+    // footer stats (millis/micros/nanos per annotation) to nanos
+    case _: TimeType =>
+      Some(java.lang.Long.compare(v.asInstanceOf[Number].longValue(), stat.toLong))
     case FloatType | DoubleType =>
-      java.lang.Double.compare(v.asInstanceOf[Number].doubleValue(), stat.toDouble)
+      Some(java.lang.Double.compare(v.asInstanceOf[Number].doubleValue(), stat.toDouble))
+    // internal: Decimal; ParquetStats normalizes unscaled footer stats
+    // to plain decimal strings via the annotation's scale
+    case _: DecimalType =>
+      Some(v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+        .toJavaBigDecimal.compareTo(new java.math.BigDecimal(stat)))
     case StringType =>
-      v.toString.compareTo(stat)
+      Some(v.toString.compareTo(stat))
     case BooleanType =>
-      java.lang.Boolean.compare(v.asInstanceOf[Boolean], stat.toBoolean)
-    case _ => 0 // treat as equal → never skips
+      Some(java.lang.Boolean.compare(v.asInstanceOf[Boolean], stat.toBoolean))
+    case _ => None // unknown type: cannot compare → caller must not skip
   }
 }

@@ -126,7 +126,14 @@ case class Rbm64Union(
 
 object SketchAggregates {
   /** Idempotently register the union aggregates with a session. */
+  // register once per session: createOrReplaceTempFunction re-issues a
+  // "function replaced" warning on every call site otherwise
+  private val registered = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   def register(spark: SparkSession): Unit = {
+    if (!registered.add(spark)) return
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_theta_union",
       es => ThetaUnionSketch(es.head), "built-in")

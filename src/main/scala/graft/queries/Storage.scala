@@ -622,7 +622,9 @@ object Storage {
         |WHERE make_time(CAST(event_id % 24 AS INT),
         |                CAST(event_id % 60 AS INT),
         |                CAST(event_id % 60 AS INT)) > TIME '12:00:00'""".stripMargin) { (s, dir) =>
-      s.conf.set("spark.sql.timeType.enabled", "true")
+      // requires spark.sql.timeType.enabled=true, set once at session
+      // build (Bench/Verify) — setting it here would order-dependently
+      // leak the flag into later queries
       val src = tbl(s, dir, "events")
         .select(col("event_id"),
           make_time((col("event_id") % 24).cast("int"),

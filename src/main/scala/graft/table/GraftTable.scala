@@ -322,13 +322,28 @@ final class GraftTable private (
       level: Int = 0,
       changelogManifest: Option[String] = None,
       dynIndexUpdate: Option[Seq[String] => Seq[String]] = None): Long = {
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val staging = s"$path/staging/${UUID.randomUUID()}"
-    val writer = out.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .format(sch.fileFormat).save(staging)
+    withMicrosTimestamps {
+      val writer = out.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+        .format(sch.fileFormat).save(staging)
+    }
     commitStagedDir(staging, sch, kind, seqBase, commitIdentifier,
       deletesFor, level, changelogManifest, dynIndexUpdate)
+  }
+
+  /** Table files must store timestamps as annotated micros (INT96 has
+    * no usable footer stats and no logical annotation). Parquet has no
+    * per-writer option for this, so set the session conf for the write
+    * and restore the user's previous value after. */
+  private def withMicrosTimestamps[T](f: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = try Some(spark.conf.get(key)) catch { case _: Exception => None }
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Second phase of a write: adopt already-staged parquet (partition
@@ -1050,10 +1065,15 @@ final class GraftTable private (
     val sch = schema
     val entries = sm.liveEntries(snap)
     // resolve the Column against the table schema to get a Catalyst
-    // expression with typed attributes/literals
+    // expression with typed attributes/literals. Constant-fold the
+    // analyzed condition first: literal-side expressions like
+    // make_time(12,0,0) or date arithmetic analyze to non-foldable
+    // RuntimeReplaceables, which StatsFilter's `r.foldable` guards
+    // would otherwise pass over (no pruning). Folding on a one-row
+    // wrapper plan turns them into plain Literals.
     val analyzedCond = emptyDf().filter(filter).queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }
+    }.map(foldConstants)
     val cond = analyzedCond.flatMap { c =>
       if (!isPrimaryKeyTable) Some(c)
       else {
@@ -1073,6 +1093,10 @@ final class GraftTable private (
           .reduceOption(org.apache.spark.sql.catalyst.expressions.And.apply)
       }
     }
+    // fail-open on evaluator errors (a broken index sidecar must never
+    // lose rows), but LOUDLY: log the first failure per pruning pass so
+    // a degraded index doesn't silently turn into full scans
+    var loggedFailure = false
     entries.filter { e =>
       try {
         // fold partition values into the stats map as point ranges so
@@ -1104,8 +1128,33 @@ final class GraftTable private (
                   BsiIndex.deserialize(sm.io.readBytes(s"$path/$rel"))))))
           }
         }
-      } catch { case _: Exception => true }
+      } catch { case ex: Exception =>
+        if (!loggedFailure) {
+          loggedFailure = true
+          org.slf4j.LoggerFactory.getLogger("graft.GraftTable").warn(
+            s"pruning evaluator failed on ${e.file.fileName} " +
+              s"(falling back to scan-everything for such files): $ex")
+        }
+        true
+      }
     }
+  }
+
+  /** Replace RuntimeReplaceables and fold literal-only subtrees so
+    * StatsFilter sees plain Literals on the comparand side. */
+  private def foldConstants(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.optimizer.{ConstantFolding, ReplaceExpressions}
+    import org.apache.spark.sql.catalyst.plans.logical.{OneRowRelation, Project}
+    try {
+      val wrapped = Project(Seq(Alias(e, "c")()), OneRowRelation())
+      ConstantFolding(ReplaceExpressions(wrapped)) match {
+        case Project(Seq(a: Alias), _) => a.child
+        case _ => e
+      }
+    } catch { case _: Exception => e }
   }
 
   private def splitConjuncts(
@@ -1661,9 +1710,8 @@ final class GraftTable private (
     val before = MergeEngine.merge(rawOld, sch)
     val after = MergeEngine.merge(rawOld.unionByName(out), sch)
     val diff = stateDiff(before, after)
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val clDir = s"changelog/${UUID.randomUUID()}"
-    diff.write.parquet(s"$path/$clDir")
+    withMicrosTimestamps { diff.write.parquet(s"$path/$clDir") }
     val files = Files.walk(Paths.get(s"$path/$clDir")).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .toSeq

@@ -103,4 +103,26 @@ class RobustnessSpec extends AnyFunSuite {
     val fin = t.read.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(fin == oracle.toMap)
   }
+
+  test("poisoned index sidecar: pruning fails open, no rows lost") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, sch,
+      options = Map("file-index.bloom-filter.columns" -> "k"))
+    // interleaved keys so min/max stats cannot prune — only the bloom
+    t.write(df((0L until 40L).filter(_ % 2 == 0).map(k => (k, k, 0L))).coalesce(1))
+    t.write(df((0L until 40L).filter(_ % 2 == 1).map(k => (k, k, 0L))).coalesce(1))
+    // corrupt every bloom sidecar on disk
+    val idxDir = java.nio.file.Paths.get(dir, "index")
+    val poisoned = Files.walk(idxDir).iterator().asScala
+      .filter(_.toString.endsWith(".bloom")).toSeq
+    assert(poisoned.nonEmpty, "expected bloom sidecars to exist")
+    poisoned.foreach(p => Files.write(p, Array[Byte](1, 2, 3)))
+    // a FRESH table instance (no sidecar cache) must still answer the
+    // point query correctly: deserialization failure → fail-open scan
+    // (and a graft.GraftTable warning, visible in the log)
+    val t2 = GraftTable.load(spark, dir)
+    val hit = t2.scan(col("k") === 17L).collect()
+    assert(hit.map(_.getLong(0)).toSeq == Seq(17L))
+    assert(t2.scan(col("k") === 17L).inputFiles.nonEmpty)
+  }
 }

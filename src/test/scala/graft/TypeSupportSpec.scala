@@ -79,4 +79,47 @@ class TypeSupportSpec extends AnyFunSuite {
     // predicate on the time column still prunes/filters correctly
     assert(back.filter(col("t") > make_time(lit(12), lit(0), lit(0))).count() == 1)
   }
+
+  test("TIME predicates prune files via normalized footer stats") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    // two files with disjoint time ranges: morning [08:00,09:00],
+    // evening [18:00,19:00]
+    def mk(h1: Int, h2: Int) =
+      Seq((1L, h1), (2L, h2)).toDF("id", "h")
+        .select(col("id"), make_time(col("h"), lit(0), lit(0)).as("t"))
+        .coalesce(1)
+    val tbl = GraftTable.create(spark, tmp(), mk(8, 9).schema)
+    tbl.write(mk(8, 9))
+    tbl.write(mk(18, 19))
+    assert(tbl.read.inputFiles.length == 2)
+    // strict inequality: before the Option[Int] fix an unknown-type
+    // compare defaulted to 0 and pruned EVERY file here
+    val evening = tbl.scan(col("t") > make_time(lit(12), lit(0), lit(0)))
+    assert(evening.inputFiles.length == 1, "should prune the morning file")
+    assert(evening.count() == 2)
+    // range excludes everything → all files pruned
+    assert(tbl.scan(col("t") > make_time(lit(22), lit(0), lit(0))).inputFiles.isEmpty)
+    // range covers everything → nothing pruned
+    val all = tbl.scan(col("t") >= make_time(lit(8), lit(0), lit(0)))
+    assert(all.inputFiles.length == 2 && all.count() == 4)
+  }
+
+  test("DECIMAL predicates prune files via scale-normalized footer stats") {
+    import spark.implicits._
+    def mk(lo: String, hi: String) =
+      Seq((1L, BigDecimal(lo)), (2L, BigDecimal(hi))).toDF("id", "price")
+        .select(col("id"), col("price").cast(DecimalType(10, 2)).as("price"))
+        .coalesce(1)
+    val tbl = GraftTable.create(spark, tmp(), mk("1.10", "2.20").schema)
+    tbl.write(mk("1.10", "2.20"))
+    tbl.write(mk("100.50", "200.75"))
+    assert(tbl.read.inputFiles.length == 2)
+    val big = tbl.scan(col("price") > BigDecimal("50.00"))
+    assert(big.inputFiles.length == 1, "should prune the low-price file")
+    assert(big.count() == 2)
+    assert(tbl.scan(col("price") > BigDecimal("999.99")).inputFiles.isEmpty)
+    val eq = tbl.scan(col("price") === BigDecimal("100.50"))
+    assert(eq.inputFiles.length == 1 && eq.count() == 1)
+  }
 }
