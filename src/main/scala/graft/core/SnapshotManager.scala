@@ -100,14 +100,44 @@ final class SnapshotManager(
 
   // ---- manifests ------------------------------------------------------
 
-  def writeManifest(entries: Seq[ManifestEntry]): String = {
-    val name = s"manifest-${UUID.randomUUID()}.json"
-    io.writeString(s"$manifestDir/$name", Json.write(Manifest(entries)))
-    name
-  }
+  /** Manifest data format: parquet (columnar, compressed, cheap to
+    * decode and distributable — the scale path) or json (debuggable
+    * with plain tools). Readers switch on the file extension, so both
+    * formats coexist within one table across the option flipping. */
+  private def manifestFormat: String =
+    latestSchema().flatMap(_.options.get("manifest.format")).getOrElse("parquet")
 
-  def readManifest(name: String): Seq[ManifestEntry] =
-    Json.read(io.readString(s"$manifestDir/$name"), classOf[Manifest]).entries
+  /** Manifests are immutable once written — cache decoded entries
+    * (bounded: with manifest compaction the live set is O(1) files). */
+  private val manifestCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[ManifestEntry]](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[ManifestEntry]]): Boolean = size > 64
+      })
+
+  def writeManifest(entries: Seq[ManifestEntry]): String =
+    if (manifestFormat == "json") {
+      val name = s"manifest-${UUID.randomUUID()}.json"
+      io.writeString(s"$manifestDir/$name", Json.write(Manifest(entries)))
+      name
+    } else {
+      val name = s"manifest-${UUID.randomUUID()}.parquet"
+      io.writeBytes(s"$manifestDir/$name", ManifestIO.encode(entries))
+      name
+    }
+
+  def readManifest(name: String): Seq[ManifestEntry] = {
+    val cached = manifestCache.get(name)
+    if (cached != null) return cached
+    val entries =
+      if (name.endsWith(".parquet"))
+        ManifestIO.decode(io.readBytes(s"$manifestDir/$name"))
+      else
+        Json.read(io.readString(s"$manifestDir/$name"), classOf[Manifest]).entries
+    manifestCache.put(name, entries)
+    entries
+  }
 
   def writeManifestList(manifests: Seq[String]): String = {
     val name = s"list-${UUID.randomUUID()}.json"

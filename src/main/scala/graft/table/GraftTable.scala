@@ -499,12 +499,7 @@ final class GraftTable private (
   }
 
   /** lazily loaded + cached index sidecars, keyed by sidecar path */
-  private val bloomCache =
-    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.util.sketch.BloomFilter]
-  private val bitmapCache =
-    scala.collection.concurrent.TrieMap.empty[String, BitmapIndex.Decoded]
-  private val bsiCache =
-    scala.collection.concurrent.TrieMap.empty[String, BsiIndex.Decoded]
+  private val sidecarCaches = new PruneEval.SidecarCaches
 
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
@@ -864,18 +859,8 @@ final class GraftTable private (
     * current column names via field ids, so pruning evaluates current-
     * name predicates against old files correctly. */
   private def fileMetaInCurrentNames(
-      e: ManifestEntry, cur: TableSchema): graft.core.Meta.DataFileMeta = {
-    if (e.file.schemaId == cur.id) return e.file
-    val old = schemaOf(e.file.schemaId)
-    val oldNameById = old.fields.map(f => f.id -> f.name).toMap
-    def remap[V](m: Map[String, V]): Map[String, V] =
-      cur.fields.flatMap { f =>
-        oldNameById.get(f.id).flatMap(m.get).map(f.name -> _)
-      }.toMap
-    e.file.copy(
-      stats = remap(e.file.stats),
-      indexFiles = e.file.indexFiles.map(remap))
-  }
+      e: ManifestEntry, cur: TableSchema): graft.core.Meta.DataFileMeta =
+    PruneEval.remap(e, cur, schemaOf)
 
   private def mergedFromEntries(entries: Seq[ManifestEntry]): DataFrame =
     if (isPrimaryKeyTable) MergeEngine.merge(readRaw(entries), schema)
@@ -1061,7 +1046,7 @@ final class GraftTable private (
     * predicates are applied post-merge by the caller (the reference
     * restricts PK-table skipping to key/partition predicates for the
     * same reason). */
-  private def pruneEntries(snap: Snapshot, filter: Column): Seq[ManifestEntry] = {
+  private[graft] def pruneEntries(snap: Snapshot, filter: Column): Seq[ManifestEntry] = {
     val sch = schema
     val entries = sm.liveEntries(snap)
     // resolve the Column against the table schema to get a Catalyst
@@ -1093,50 +1078,66 @@ final class GraftTable private (
           .reduceOption(org.apache.spark.sql.catalyst.expressions.And.apply)
       }
     }
-    // fail-open on evaluator errors (a broken index sidecar must never
-    // lose rows), but LOUDLY: log the first failure per pruning pass so
-    // a degraded index doesn't silently turn into full scans
-    var loggedFailure = false
-    entries.filter { e =>
-      try {
-        // fold partition values into the stats map as point ranges so
-        // one evaluator covers both partition and stats pruning
-        val partStats = e.partition.map { case (k, v) =>
-          k -> ColStats(Some(v), Some(v), 0L)
-        }
-        val base = fileMetaInCurrentNames(e, sch)
-        val augmented = base.copy(stats = base.stats ++ partStats)
-        cond.forall { c =>
-          StatsFilter.mightMatch(c, augmented, sch) && {
-            // index sidecars refine point predicates where ranges
-            // overlap: bloom approximately, bitmap exactly
-            val idx = base.indexFiles.getOrElse(Map.empty)
-            val bloomIdx = idx.filter(_._2.endsWith(".bloom"))
-            val bitmapIdx = idx.filter(_._2.endsWith(".bitmap"))
-            val bsiIdx = idx.filter(_._2.endsWith(".bsi"))
-            (bloomIdx.isEmpty || BloomIndex.mightMatch(c, bloomIdx.keySet,
-              col => bloomIdx.get(col).map(rel =>
-                bloomCache.getOrElseUpdate(rel,
-                  BloomIndex.deserialize(sm.io.readBytes(s"$path/$rel")))))) &&
-            (bitmapIdx.isEmpty || BitmapIndex.mightMatch(c, bitmapIdx.keySet,
-              col => bitmapIdx.get(col).map(rel =>
-                bitmapCache.getOrElseUpdate(rel,
-                  BitmapIndex.deserialize(sm.io.readBytes(s"$path/$rel")))))) &&
-            (bsiIdx.isEmpty || BsiIndex.mightMatch(c, bsiIdx.keySet,
-              col => bsiIdx.get(col).map(rel =>
-                bsiCache.getOrElseUpdate(rel,
-                  BsiIndex.deserialize(sm.io.readBytes(s"$path/$rel"))))))
+    cond match {
+      case None => entries
+      case Some(c) if entries.size >= distributedPruneThreshold =>
+        pruneDistributed(entries, c, sch)
+      case Some(c) =>
+        // fail-open on evaluator errors (a broken index sidecar must
+        // never lose rows), but LOUDLY: log the first failure per
+        // pruning pass so a degraded index doesn't silently turn into
+        // full scans
+        var loggedFailure = false
+        entries.filter { e =>
+          try PruneEval.keep(c, e, sch, schemaOf, path, sm.io, sidecarCaches)
+          catch { case ex: Exception =>
+            if (!loggedFailure) {
+              loggedFailure = true
+              org.slf4j.LoggerFactory.getLogger("graft.GraftTable").warn(
+                s"pruning evaluator failed on ${e.file.fileName} " +
+                  s"(falling back to scan-everything for such files): $ex")
+            }
+            true
           }
         }
-      } catch { case ex: Exception =>
-        if (!loggedFailure) {
-          loggedFailure = true
-          org.slf4j.LoggerFactory.getLogger("graft.GraftTable").warn(
-            s"pruning evaluator failed on ${e.file.fileName} " +
-              s"(falling back to scan-everything for such files): $ex")
+    }
+  }
+
+  /** Above this live-file count, manifest pruning runs as a Spark job
+    * instead of a driver loop: per-file index-sidecar probes become
+    * distributed IO, and the driver never touches a sidecar. At 100 TB
+    * (millions of files) a sequential driver loop with per-file sidecar
+    * round-trips is THE planning bottleneck (reference: parallel
+    * manifest-entry scan in SnapshotReaderImpl.java:85). */
+  private def distributedPruneThreshold: Int =
+    schema.options.getOrElse("manifest.distributed-prune.file-count", "2048").toInt
+
+  private def pruneDistributed(
+      entries: Seq[ManifestEntry],
+      c: org.apache.spark.sql.catalyst.expressions.Expression,
+      sch: TableSchema): Seq[ManifestEntry] = {
+    // pre-resolve the (few) historic schemas on the driver so executors
+    // never read schema files
+    val byId = entries.map(_.file.schemaId).distinct
+      .filterNot(_ == sch.id).map(id => id -> schemaOf(id)).toMap
+    val tp = path
+    try {
+      val slices = math.min(spark.sparkContext.defaultParallelism,
+        math.max(1, entries.size / 512))
+      spark.sparkContext.parallelize(entries, slices)
+        .mapPartitions { it =>
+          val io = new graft.core.LocalFileIO
+          it.filter { e =>
+            try PruneEval.keep(c, e, sch, id => byId.getOrElse(id, sch),
+              tp, io, PruneEval.jvmCaches)
+            catch { case _: Exception => true } // fail-open, same policy
+          }
         }
-        true
-      }
+        .collect().toSeq // partition order == input order: plan stays stable
+    } catch { case ex: Exception =>
+      org.slf4j.LoggerFactory.getLogger("graft.GraftTable").warn(
+        s"distributed pruning failed (${ex.getMessage}); keeping all candidates")
+      entries
     }
   }
 
@@ -2089,6 +2090,14 @@ object GraftTable {
 
   def load(spark: SparkSession, path: String): GraftTable = {
     val sm = new SnapshotManager(path)
+    require(sm.latestSchema().isDefined, s"no graft table at $path")
+    new GraftTable(spark, path, sm)
+  }
+
+  /** Load with a caller-supplied FileIO (instrumented IO in tests,
+    * alternative stores). */
+  def load(spark: SparkSession, path: String, io: FileIO): GraftTable = {
+    val sm = new SnapshotManager(path, io = io)
     require(sm.latestSchema().isDefined, s"no graft table at $path")
     new GraftTable(spark, path, sm)
   }

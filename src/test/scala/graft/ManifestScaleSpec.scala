@@ -1,0 +1,124 @@
+package graft
+
+import graft.core._
+import graft.core.Meta._
+import graft.table.GraftTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
+import org.scalatest.funsuite.AnyFunSuite
+import java.io.ByteArrayOutputStream
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Binary (parquet) manifests + distributed manifest pruning — the
+  * 100 TB planning path: the driver must not JSON-parse entries or
+  * probe index sidecars sequentially (reference: ManifestFile.java
+  * Avro manifests + parallel scan in SnapshotReaderImpl.java:85). */
+class ManifestScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmp(): String = Files.createTempDirectory("graft-mscale").toString + "/t"
+
+  test("parquet manifest roundtrip preserves every field") {
+    val entries = Seq(
+      ManifestEntry("ADD", Map("dt" -> "2024-01-01", "region" -> "eu"), 3,
+        DataFileMeta("data/a.parquet", 100, 10, 0, 5, 1,
+          Map("k" -> ColStats(Some("1"), Some("9"), 2),
+            "s" -> ColStats(None, None, 0)),
+          indexFiles = Some(Map("k" -> "index/x.k.bloom")),
+          dvFile = Some("index/y.dv"), dvCardinality = Some(4L), schemaId = 7)),
+      ManifestEntry("DELETE", Map.empty, 0,
+        DataFileMeta("data/b.parquet", 1, 1, 0, 0, 0, Map.empty)))
+    val back = ManifestIO.decode(ManifestIO.encode(entries))
+    assert(back == entries)
+  }
+
+  test("new tables write parquet manifests; json remains readable") {
+    import spark.implicits._
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir,
+      Seq((1L, "a")).toDF("k", "v").schema)
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val manifests = Files.list(java.nio.file.Paths.get(dir, "manifest"))
+      .iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(manifests)
+      .asScala.map(_.getFileName.toString).toSeq
+    assert(names.exists(n => n.startsWith("manifest-") && n.endsWith(".parquet")),
+      s"expected parquet manifests, got $names")
+    assert(t.read.count() == 2)
+    // json format still selectable (debuggability escape hatch)
+    val dir2 = tmp()
+    val t2 = GraftTable.create(spark, dir2,
+      Seq((1L, "a")).toDF("k", "v").schema,
+      options = Map("manifest.format" -> "json"))
+    t2.write(Seq((3L, "c")).toDF("k", "v"))
+    assert(t2.read.count() == 1)
+  }
+
+  /** FileIO wrapper counting driver-side index-sidecar reads. */
+  private final class CountingIO extends FileIO {
+    private val inner = new LocalFileIO
+    val sidecarReads = new AtomicInteger(0)
+    override def readBytes(path: String): Array[Byte] = {
+      if (path.endsWith(".bloom")) sidecarReads.incrementAndGet()
+      inner.readBytes(path)
+    }
+    override def readString(p: String): String = inner.readString(p)
+    override def writeString(p: String, c: String): Unit = inner.writeString(p, c)
+    override def writeBytes(p: String, c: Array[Byte]): Unit = inner.writeBytes(p, c)
+    override def tryCreateAtomic(p: String, c: String): Boolean = inner.tryCreateAtomic(p, c)
+    override def exists(p: String): Boolean = inner.exists(p)
+    override def mkdirs(p: String): Unit = inner.mkdirs(p)
+    override def list(d: String): Seq[String] = inner.list(d)
+    override def delete(p: String): Unit = inner.delete(p)
+    override def rename(s: String, d: String): Unit = inner.rename(s, d)
+  }
+
+  test("10k-file planning runs distributed with zero driver sidecar reads") {
+    val dir = tmp()
+    val sch = StructType(Seq(StructField("k", LongType, nullable = false)))
+    GraftTable.create(spark, dir, sch, options = Map(
+      "manifest.distributed-prune.file-count" -> "100"))
+    val nFiles = 10000
+    // every file claims the SAME k range (stats can't prune) but its
+    // bloom sidecar holds exactly one key — only the index refutes
+    val io = new LocalFileIO
+    val entries = (0 until nFiles).map { i =>
+      val bloom = BloomFilter.create(100, 0.001)
+      bloom.putString(i.toString)
+      val out = new ByteArrayOutputStream()
+      bloom.writeTo(out)
+      val rel = s"index/f$i.k.bloom"
+      io.writeBytes(s"$dir/$rel", out.toByteArray)
+      ManifestEntry("ADD", Map.empty, i % 4,
+        DataFileMeta(s"data/f$i.parquet", 1000, 100, 0, 0, 0,
+          Map("k" -> ColStats(Some("0"), Some(nFiles.toString), 0)),
+          indexFiles = Some(Map("k" -> rel))))
+    }
+    new SnapshotManager(dir).commit(entries, "APPEND", schemaId = 0)
+
+    val counter = new CountingIO
+    val t = GraftTable.load(spark, dir, counter)
+    val snap = new SnapshotManager(dir).latestSnapshot().get
+    val kept = t.pruneEntries(snap, col("k") === 7L)
+    // bloom refutation is approximate: the true file must survive and
+    // false positives must stay near the configured fpp
+    assert(kept.exists(_.file.fileName == "data/f7.parquet"))
+    assert(kept.size <= 50,
+      s"bloom should refute ~all of $nFiles files, kept ${kept.size}")
+    assert(counter.sidecarReads.get() == 0,
+      s"driver performed ${counter.sidecarReads.get()} sidecar reads; " +
+        "distributed pruning must move them to executors")
+    val kept2 = t.pruneEntries(snap, col("k").isin(3L, 9998L))
+    assert(kept2.exists(_.file.fileName == "data/f3.parquet") &&
+      kept2.exists(_.file.fileName == "data/f9998.parquet"))
+    assert(kept2.size <= 100)
+  }
+}
