@@ -634,5 +634,41 @@ object Storage {
       t.write(src)
       t.read.filter(col("t") > make_time(lit(12), lit(0), lit(0)))
         .select(col("event_id"), col("t").cast("string").as("t"))
+    },
+
+    // ---- changelog-producer=full-compaction: the COMPACT commit
+    // persists the exact -U/+U/+I rows accumulated since the previous
+    // compaction; the incremental read serves them with zero derivation
+    // (reference: FullChangelogMergeTreeCompactRewriter,
+    // FullChangelogMergeFunctionWrapper).
+    QDef(
+      "g31_fullcompact_changelog",
+      """SELECT o_orderkey, '-U' AS _row_kind,
+        |  CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey, '+U' AS _row_kind,
+        |  CAST(ROUND(o_totalprice * 2, 2) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |UNION ALL
+        |SELECT o_orderkey + 10000000 AS o_orderkey, '+I' AS _row_kind,
+        |  CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin) { (s, dir) =>
+      val (t, src0) = ordersTable(s, dir,
+        options = Map("sequence.field" -> "up_seq", "bucket" -> "2",
+          "changelog-producer" -> "full-compaction"),
+        primaryKeys = Seq("o_orderkey"),
+        extraCols = _.withColumn("up_seq", lit(1L)))
+      t.write(src0)
+      t.compact() // baseline full compaction (changelog: all +I)
+      val updates = src0.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = src0.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      t.write(updates.unionAll(inserts).withColumn("up_seq", lit(2L)))
+      val cid = t.compact().get // persists the accumulated pairs
+      t.incrementalRead(cid - 1, cid)
+        .select(col("o_orderkey"), col("_row_kind"),
+          asDouble(col("o_totalprice")).as("price"))
     })
 }

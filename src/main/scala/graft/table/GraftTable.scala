@@ -164,9 +164,11 @@ final class GraftTable private (
         victims.map(_.copy(kind = "DELETE"))
       }
     }
+    // lookup pays the exact-pair diff per commit; full-compaction defers
+    // it to compact() (cheap writes, coarser changelog granularity —
+    // reference: CoreOptions.ChangelogProducer semantics)
     val clProducer = sch.options.getOrElse("changelog-producer", "input")
-    val withChangelog = !overwrite &&
-      (clProducer == "lookup" || clProducer == "full-compaction")
+    val withChangelog = !overwrite && clProducer == "lookup"
     if (withChangelog) out.persist()
     try {
       val changelog = if (withChangelog) buildChangelog(sch, out) else None
@@ -308,9 +310,10 @@ final class GraftTable private (
   private def commitFiles(
       out: DataFrame, sch: TableSchema, partitionBy: Seq[String],
       kind: String, seqBase: Long, commitIdentifier: Long,
-      deletes: Seq[ManifestEntry], level: Int = 0): Long =
+      deletes: Seq[ManifestEntry], level: Int = 0,
+      changelogManifest: Option[String] = None): Long =
     commitFilesFn(out, sch, partitionBy, kind, seqBase, commitIdentifier,
-      _ => deletes, level)
+      _ => deletes, level, changelogManifest)
 
   /** Shared two-phase write: stage parquet → move into table dir →
     * commit ADDs (+ computed DELETEs). `level` > 0 marks fully-merged
@@ -911,6 +914,17 @@ final class GraftTable private (
     * as -D kinded rows in the delta files themselves. */
   def incrementalRead(fromExclusive: Long, toInclusive: Long): DataFrame = {
     val ids = sm.snapshotIds.filter(i => i > fromExclusive && i <= toInclusive)
+    // changelog-producer=full-compaction: changes surface ONLY at full
+    // compactions, which persist the exact accumulated pairs — serve
+    // those directly (zero derivation) and ignore append deltas, which
+    // the compaction pairs already summarize (reference: CHANGELOG
+    // incremental scan mode over that producer).
+    if (isPrimaryKeyTable &&
+        schema.options.get("changelog-producer").contains("full-compaction")) {
+      val outCols = (struct.fieldNames :+ "_row_kind").map(col).toIndexedSeq
+      val cl = ids.map(sm.snapshot).flatMap(_.changelogManifest)
+      return readChangelogFiles(cl.flatMap(sm.readManifest)).select(outCols: _*)
+    }
     val snaps = ids.map(sm.snapshot).filter(_.commitKind != KindCompact)
     // snapshots with a persisted changelog serve exact -U/+U pairs
     // directly (changelog-producer=lookup); the rest derive from deltas
@@ -1218,9 +1232,29 @@ final class GraftTable private (
       } else readAppendData(old) // applies deletion vectors before rewrite
     val partitionBy =
       if (isPrimaryKeyTable) sch.partitionKeys :+ "__bucket" else sch.partitionKeys
-    Some(commitFiles(merged, sch, partitionBy, KindCompact, base,
+    // changelog-producer=full-compaction: the compaction itself emits
+    // the exact -U/+U/+I/-D rows accumulated since the PREVIOUS full
+    // compaction — before = merged state of the level-1 inputs (last
+    // compaction's output), after = the new merged state. Incremental
+    // readers then serve these rows with zero derivation (reference:
+    // FullChangelogMergeTreeCompactRewriter +
+    // FullChangelogMergeFunctionWrapper — top-level record vs merge
+    // result).
+    val producer = sch.options.getOrElse("changelog-producer", "input")
+    val changelog =
+      if (!isPrimaryKeyTable || producer != "full-compaction") None
+      else {
+        merged.persist()
+        val compacted = old.filter(_.file.level >= 1)
+        val before = MergeEngine.merge(readRaw(compacted), sch)
+        persistChangelog(
+          stateDiff(before, merged.select(struct.fieldNames.map(col).toIndexedSeq: _*)),
+          sch)
+      }
+    try Some(commitFiles(merged, sch, partitionBy, KindCompact, base,
       commitIdentifier = -1L, deletes = old.map(_.copy(kind = "DELETE")),
-      level = 1))
+      level = 1, changelogManifest = changelog))
+    finally if (changelog.isDefined) merged.unpersist()
   }
 
   def expireSnapshots(retain: Int): Seq[Long] = sm.expireSnapshots(retain)
@@ -1710,7 +1744,12 @@ final class GraftTable private (
     val rawOld = readRaw(pruned).join(batchKeys, pk, "left_semi")
     val before = MergeEngine.merge(rawOld, sch)
     val after = MergeEngine.merge(rawOld.unionByName(out), sch)
-    val diff = stateDiff(before, after)
+    persistChangelog(stateDiff(before, after), sch)
+  }
+
+  /** Write -U/+U/+I/-D rows as changelog files + their manifest. */
+  private def persistChangelog(
+      diff: DataFrame, sch: TableSchema): Option[String] = {
     val clDir = s"changelog/${UUID.randomUUID()}"
     withMicrosTimestamps { diff.write.parquet(s"$path/$clDir") }
     val files = Files.walk(Paths.get(s"$path/$clDir")).iterator().asScala

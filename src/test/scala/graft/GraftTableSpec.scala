@@ -257,6 +257,36 @@ class GraftTableSpec extends AnyFunSuite {
       (1L, "a", "-U"), (1L, "a2", "+U"), (3L, "c", "+I"), (4L, "d", "-D")))
   }
 
+  test("full-compaction producer persists changelog at compaction time") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq",
+        "changelog-producer" -> "full-compaction", "bucket" -> "2"))
+    t.write(kvDf((1L, "a", 10L, 1L), (2L, "b", 20L, 1L), (4L, "d", 40L, 1L)))
+    t.compact() // first compaction: changelog = everything as +I
+    t.write(kvDf((1L, "a2", 11L, 2L), (3L, "c", 30L, 1L)))
+    t.delete(col("k") === 4L)
+    // under this producer changes surface only at compactions — appends
+    // alone contribute nothing to the changelog stream
+    val sBeforeCompact = t.systemSnapshots.count() - 1
+    assert(t.incrementalRead(1L, sBeforeCompact).count() == 0)
+    val cid = t.compact().get
+    val df = t.incrementalRead(cid - 1, cid)
+    // the pairs come from persisted changelog files: no state-diff join
+    // may appear in the read plan
+    assert(!df.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Join]),
+      "read must serve persisted changelog, not re-derive a state diff")
+    val rows = df.select("k", "v", "_row_kind").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set(
+      (1L, "a", "-U"), (1L, "a2", "+U"), (3L, "c", "+I"), (4L, "d", "-D")))
+    // a whole-history read equals first-compaction inserts + the diff
+    val all = t.incrementalRead(0L, cid).select("k", "_row_kind").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(all.contains((2L, "+I")) && all.contains((1L, "+I")) &&
+      all.contains((1L, "-U")) && all.contains((1L, "+U")))
+  }
+
   test("binlog packs -U/+U pairs into single rows with [before, after] arrays") {
     val t = GraftTable.create(spark, tmp(), kvSchema,
       primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq",
