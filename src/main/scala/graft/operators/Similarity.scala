@@ -31,6 +31,23 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Recall@k of an approximate top-k result against the exact one:
+    * per query, the fraction of true neighbors the ANN run found.
+    * Returned as a deterministic (query_id, recall_ok) row so a
+    * correctness gate can hash-check ANN QUALITY, not just row shape —
+    * fixed seeds/init make the approximate result, and therefore the
+    * boolean, reproducible. */
+  def recallOk(approx: DataFrame, exact: DataFrame, threshold: Double): DataFrame = {
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("__hit", lit(1))
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(hits, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg((sum(coalesce(col("__hit"), lit(0))) / count(lit(1))).as("recall"))
+      .select(col("query_id"),
+        (col("recall") >= threshold).as("recall_ok"))
+  }
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * @param corpus  (idCol, vecCol) corpus DataFrame — arbitrarily large
@@ -240,11 +257,17 @@ object Similarity {
   /** Approximate top-k: probe only corpus rows that share an LSH bucket
     * with the query in at least one table, then rank candidates by
     * exact cosine. Corpus side shuffles by (table, bucket) — bounded
-    * fan-out of `tables` rows per corpus vector. */
+    * fan-out of `tables` rows per corpus vector.
+    *
+    * Parameter intuition: a neighbor at angle θ collides in one table
+    * with probability (1 - θ/π)^planesPerTable, and recall is
+    * 1-(1-p)^tables — FEWER planes and MORE tables raise recall at the
+    * cost of larger candidate sets. 8×4 measures recall 0.6-1.0 on the
+    * synthetic embeddings; the old 4×8 default measured ~0. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, dim: Int,
-      kNeighbors: Int = 5, tables: Int = 4, planesPerTable: Int = 8,
+      kNeighbors: Int = 5, tables: Int = 8, planesPerTable: Int = 4,
       seed: Long = 42L): DataFrame = {
     def withBuckets(df: DataFrame, id: String, vec: String) =
       df.select(col(idCol).as(id), col(vecCol).as(vec),

@@ -148,33 +148,54 @@ object Pipeline {
         emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", kNeighbors = 5)
     },
 
-    // ---- LSH-bucketed approximate k-NN (the at-scale path).
-    QDef.rowsOnly("s02_knn_lsh") { (s, dir) =>
+    // ---- LSH-bucketed approximate k-NN (the at-scale path). The gate
+    // is a RECALL check against the exact brute-force top-k: seeds are
+    // fixed, so the per-query recall@5 — and the >= 0.8 boolean — is
+    // deterministic and oracle-checkable. A broken LSH (hash drift,
+    // candidate loss) flips booleans and fails the hash compare.
+    QDef(
+      "s02_knn_lsh",
+      """SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin) { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      Similarity.lshTopK(
-        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        dim = 64, kNeighbors = 5)
+      val q = emb.filter(col("vec_id") < 5)
+      val approx = Similarity.lshTopK(emb, q, "vec_id", "embedding",
+        dim = 64, kNeighbors = 5, tables = 16, planesPerTable = 3)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      Similarity.recallOk(approx, exact, threshold = 0.8)
     },
 
-    // ---- IVF ANN: distributed Lloyd-trained lists + nProbe probing.
-    QDef.rowsOnly("s03_knn_ivf") { (s, dir) =>
+    // ---- IVF ANN: distributed Lloyd-trained lists + nProbe probing,
+    // recall-gated against brute force (deterministic init).
+    QDef(
+      "s03_knn_ivf",
+      """SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin) { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      Similarity.ivfTopK(
-        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-        dim = 64, kNeighbors = 5)
+      val q = emb.filter(col("vec_id") < 5)
+      val approx = Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+        dim = 64, kNeighbors = 5, nProbe = 6)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      Similarity.recallOk(approx, exact, threshold = 0.7)
     },
 
     // ---- persisted IVF index: train ONCE into centroid + list-
     // partitioned assignment parquet, then query with zero training
     // jobs — the amortized ANN path (reference role: paimon-faiss
-    // global vector indexes).
-    QDef.rowsOnly("s04_knn_ivf_index") { (s, dir) =>
+    // global vector indexes). Recall-gated like s03.
+    QDef(
+      "s04_knn_ivf_index",
+      """SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin) { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
       val idxDir = java.nio.file.Files
         .createTempDirectory("graft-s04-ivf").toString + "/idx"
       Similarity.buildIvfIndex(emb, idxDir, "vec_id", "embedding", dim = 64)
-      Similarity.ivfIndexTopK(s, idxDir,
-        emb.filter(col("vec_id") < 5), "vec_id", "embedding", kNeighbors = 5)
+      val approx = Similarity.ivfIndexTopK(s, idxDir, q,
+        "vec_id", "embedding", kNeighbors = 5, nProbe = 6)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      Similarity.recallOk(approx, exact, threshold = 0.7)
     },
 
     // ---- BPE-style regex pre-tokenization (letters / digits /
