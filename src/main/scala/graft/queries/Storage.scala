@@ -670,5 +670,25 @@ object Storage {
       t.incrementalRead(cid - 1, cid)
         .select(col("o_orderkey"), col("_row_kind"),
           asDouble(col("o_totalprice")).as("price"))
+    },
+
+    // ---- Avro data files (file.format=avro): row-oriented
+    // write-optimized storage for LSM level-0, written/read via
+    // avro-core with a streamed stats pass (reference:
+    // paimon-format avro/AvroFileFormat.java:52 — the reference's
+    // fastest LSM write format per BASELINE.md).
+    QDef(
+      "g32_avro_storage",
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey > 700
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders")
+      val t = GraftTable.create(s, scratch("g32"), src.schema,
+        options = Map("file.format" -> "avro"))
+      (0 until 2).foreach(i => t.write(src.filter(col("o_orderkey") % 2 === i)))
+      t.scan(col("o_orderkey") > 700L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("o_totalprice")))).as("total"))
     })
 }

@@ -326,7 +326,9 @@ final class GraftTable private (
       changelogManifest: Option[String] = None,
       dynIndexUpdate: Option[Seq[String] => Seq[String]] = None): Long = {
     val staging = s"$path/staging/${UUID.randomUUID()}"
-    withMicrosTimestamps {
+    if (sch.fileFormat == "avro")
+      graft.sources.AvroStorage.writeStaged(out, partitionBy, staging)
+    else withMicrosTimestamps {
       val writer = out.write.mode("overwrite")
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .format(sch.fileFormat).save(staging)
@@ -362,7 +364,8 @@ final class GraftTable private (
       dynIndexUpdate: Option[Seq[String] => Seq[String]] = None): Long = {
     val stagingPath = Paths.get(staging)
     val dataFiles = Files.walk(stagingPath).iterator().asScala
-      .filter(p => (p.toString.endsWith(".parquet") || p.toString.endsWith(".orc"))
+      .filter(p => (p.toString.endsWith(".parquet") || p.toString.endsWith(".orc")
+        || p.toString.endsWith(".avro"))
         && Files.isRegularFile(p))
       .toSeq
     // phase 1 (driver, metadata-only): adopt staged files into the
@@ -387,13 +390,16 @@ final class GraftTable private (
     // one Spark job (the reference computes stats in the writers and
     // ships them in CommitMessages — PaimonSparkWriter.scala:108-195).
     val schId = sch.id
+    def statsOf(conf: org.apache.hadoop.conf.Configuration,
+        abs: String, rel: String, lvl: Int, sb: Long): DataFileMeta =
+      if (abs.endsWith(".orc")) OrcStats.read(conf, abs, rel, lvl, sb, sb)
+      else if (abs.endsWith(".avro"))
+        graft.sources.AvroStorage.stats(abs, rel, lvl, sb, sb)
+      else ParquetStats.read(conf, abs, rel, lvl, sb, sb)
     val metas: Seq[DataFileMeta] =
       if (moved.size <= 16)
         moved.map { case (_, _, abs, rel) =>
-          (if (abs.endsWith(".orc"))
-            OrcStats.read(hadoopConf, abs, rel, level, seqBase, seqBase)
-          else ParquetStats.read(hadoopConf, abs, rel, level, seqBase, seqBase))
-            .copy(schemaId = schId)
+          statsOf(hadoopConf, abs, rel, level, seqBase).copy(schemaId = schId)
         }
       else {
         val conf = new SerializableHadoopConf(hadoopConf)
@@ -402,10 +408,7 @@ final class GraftTable private (
           .parallelize(moved.map { case (_, _, abs, rel) => (abs, rel) },
             math.min(moved.size, 32))
           .map { case (abs, rel) =>
-            (if (abs.endsWith(".orc"))
-              OrcStats.read(conf.value, abs, rel, lvl, sb, sb)
-            else ParquetStats.read(conf.value, abs, rel, lvl, sb, sb))
-              .copy(schemaId = schId)
+            statsOf(conf.value, abs, rel, lvl, sb).copy(schemaId = schId)
           }
           .collect().toSeq
       }
@@ -828,6 +831,29 @@ final class GraftTable private (
       .toSeq.sortBy(_._1).map {
       case ((sid, fmt), es) =>
         val paths = es.map(e => s"$path/${e.file.fileName}")
+        // avro: custom record reader (no spark-avro module available);
+        // partition/bucket columns are stored in the records, so no
+        // directory-derived columns are needed
+        if (fmt == "avro") {
+          val fileSch = if (sid == cur.id) cur else schemaOf(sid)
+          val df = graft.sources.AvroStorage.read(spark, paths, rawSchemaOf(fileSch))
+          if (sid == cur.id) df
+          else {
+            val old = schemaOf(sid)
+            val byId = old.fields.map(f => f.id -> f).toMap
+            val projected = cur.fields.map { f =>
+              val t = DataType.fromDDL(f.dataType)
+              byId.get(f.id) match {
+                case Some(o) => col(o.name).cast(t).as(f.name)
+                case None => lit(null).cast(t).as(f.name)
+              }
+            }
+            val hidden =
+              if (isPrimaryKeyTable) Seq(col(SeqCol), col(KindCol), col("__bucket"))
+              else Seq.empty
+            df.select((projected ++ hidden).toIndexedSeq: _*)
+          }
+        } else {
         val reader = spark.read.option("basePath", sm.dataDir).format(fmt)
         if (sid == cur.id)
           reader.schema(rawReadSchema).load(paths: _*)
@@ -847,6 +873,7 @@ final class GraftTable private (
             else Seq.empty
           reader.schema(rawSchemaOf(old)).load(paths: _*)
             .select((projected ++ hidden).toIndexedSeq: _*)
+        }
         }
     }
     parts.reduce(_ unionAll _)
@@ -2118,8 +2145,10 @@ object GraftTable {
       partitionKeys.forall(primaryKeys.contains),
       "partition keys must be disjoint from or contained in primary keys")
     val ts = TableSchema.fromStruct(0L, schema, partitionKeys, primaryKeys, options)
-    require(Set("parquet", "orc").contains(ts.fileFormat),
+    require(Set("parquet", "orc", "avro").contains(ts.fileFormat),
       s"unsupported file.format: ${ts.fileFormat}")
+    require(ts.fileFormat != "avro" || graft.sources.AvroStorage.supports(schema),
+      "file.format=avro supports scalar column types only")
     require(ts.fileFormat == "parquet" ||
       !options.get(DeletionVectors.OptionEnabled).contains("true"),
       "deletion vectors require file.format=parquet (row_index metadata)")

@@ -348,6 +348,53 @@ class PushdownSpec extends AnyFunSuite {
     }
   }
 
+  test("avro storage: roundtrip, streamed stats pruning, PK upserts, mixed formats") {
+    def df1(rows: Seq[(Long, Double)]) = df(rows: _*).coalesce(1)
+    val t = GraftTable.create(spark, tmp(), sch,
+      options = Map("file.format" -> "avro"))
+    t.write(df1((0L to 20L).map(k => (k, k.toDouble))))
+    t.write(df1((40L to 60L).map(k => (k, k.toDouble))))
+    val entries = t.planEntries(lit(true))
+    assert(entries.forall(_.file.fileName.endsWith(".avro")))
+    assert(t.countRows() == 42L) // manifests-only, from streamed stats
+    // streamed min/max drive the same pruning as parquet footers
+    val hit = t.scan(col("k") > 45L)
+    assert(hit.count() == 15)
+    assert(t.planEntries(col("k") > 45L).size == 1)
+    assert(t.planEntries(col("k") === 30L).isEmpty)
+    // PK merge-on-read over avro files (row-oriented level-0, the
+    // reference's write-optimized LSM format)
+    val p = GraftTable.create(spark, tmp(), sch, primaryKeys = Seq("k"),
+      options = Map("file.format" -> "avro", "bucket" -> "2"))
+    p.write(df1((0L until 10L).map(k => (k, k.toDouble))))
+    p.write(df1((0L until 5L).map(k => (k, k + 100.0))))
+    assert(p.read.count() == 10L)
+    assert(p.read.filter(col("k") === 2L).head.getDouble(1) == 102.0)
+    p.compact()
+    assert(p.read.count() == 10L)
+    // switching file.format mid-life: new files parquet, reads mix
+    val t2 = GraftTable.load(spark, t.path)
+    t2.setOption("file.format", "parquet")
+    val t3 = GraftTable.load(spark, t.path)
+    t3.write(df1((80L to 90L).map(k => (k, k.toDouble))))
+    assert(t3.read.count() == 53L)
+    val exts = t3.planEntries(lit(true))
+      .map(_.file.fileName.split('.').last).toSet
+    assert(exts == Set("avro", "parquet"))
+    // deletion vectors stay parquet-only; nested types rejected
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmp(), sch, options =
+        Map("file.format" -> "avro", "deletion-vectors.enabled" -> "true"))
+    }
+    intercept[IllegalArgumentException] {
+      val nested = StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("a", ArrayType(LongType), nullable = true)))
+      GraftTable.create(spark, tmp(), nested, options =
+        Map("file.format" -> "avro"))
+    }
+  }
+
   test("bitmap index aborts on cardinality overflow and never lies") {
     val s2 = StructType(Seq(StructField("v", StringType, nullable = false)))
     val rows = (0 until 12000).map(i => Row(s"val_$i"))
