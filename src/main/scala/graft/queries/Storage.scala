@@ -690,5 +690,36 @@ object Storage {
       t.scan(col("o_orderkey") > 700L)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("o_totalprice")))).as("total"))
+    },
+
+    // ---- SQL surface for incremental reads: CALL sys.incremental_query
+    // registers the lazy incremental DataFrame as a view and the SELECT
+    // runs distributed — the whole scenario (DDL, inserts, TVF, read)
+    // goes through spark.sql (reference:
+    // PaimonTableValuedFunctions.paimon_incremental_query).
+    QDef(
+      "g33_sql_incremental_tvf",
+      """SELECT o_orderkey, '+I' AS _row_kind,
+        |  CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin) { (s, dir) =>
+      val wh = Files.createTempDirectory("graft-g33-wh").toString
+      s.conf.set("spark.sql.catalog.graft_g33", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_g33.warehouse", wh)
+      tbl(s, dir, "orders").createOrReplaceTempView("g33_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g33.gate")
+      s.sql("""CREATE TABLE graft_g33.gate.t
+              |(o_orderkey BIGINT, o_totalprice DOUBLE, up_seq BIGINT)
+              |TBLPROPERTIES ('primary-key'='o_orderkey',
+              |  'sequence.field'='up_seq', 'bucket'='2')""".stripMargin)
+      s.sql("""INSERT INTO graft_g33.gate.t
+              |SELECT o_orderkey, o_totalprice, CAST(1 AS BIGINT)
+              |FROM g33_src WHERE o_orderkey % 2 = 0""".stripMargin)
+      s.sql("""INSERT INTO graft_g33.gate.t
+              |SELECT o_orderkey, o_totalprice, CAST(1 AS BIGINT)
+              |FROM g33_src WHERE o_orderkey % 2 = 1""".stripMargin)
+      s.sql("CALL graft_g33.sys.incremental_query('gate.t', 0, 1, 'g33_chg')")
+      s.sql("""SELECT o_orderkey, _row_kind,
+              |  CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+              |FROM g33_chg""".stripMargin)
     })
 }

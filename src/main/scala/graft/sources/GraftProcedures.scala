@@ -74,7 +74,34 @@ object GraftProcedures {
         .map(id => s"rescaled -> snapshot $id").getOrElse("no-op")),
     "rewrite_file_index" -> (Seq(p("table", StringType)),
       (t, _) => t.rewriteFileIndex()
-        .map(id => s"rewrote indexes -> snapshot $id").getOrElse("empty table")))
+        .map(id => s"rewrote indexes -> snapshot $id").getOrElse("empty table")),
+    // SQL surface for incremental reads (reference:
+    // PaimonTableValuedFunctions.paimon_incremental_query — Spark 4 has
+    // no user TVF extension point, so the procedure registers the lazy
+    // incremental DataFrame as a temp view; the subsequent SELECT runs
+    // fully distributed).
+    "incremental_query" -> (Seq(
+      p("table", StringType), p("from_snapshot", LongType),
+      p("to_snapshot", LongType), p("view", StringType)),
+      (t, args) => {
+        val v = args.getUTF8String(3).toString
+        t.incrementalRead(args.getLong(1), args.getLong(2))
+          .createOrReplaceTempView(v)
+        s"view $v"
+      }),
+    "incremental_between_timestamp" -> (Seq(
+      p("table", StringType), p("from_millis", LongType),
+      p("to_millis", LongType), p("view", StringType)),
+      (t, args) => {
+        val snaps = t.sm.snapshotIds.map(t.sm.snapshot)
+        def lastAtOrBefore(ms: Long): Long =
+          snaps.filter(_.timeMillis <= ms).map(_.id).maxOption.getOrElse(-1L)
+        val v = args.getUTF8String(3).toString
+        t.incrementalRead(
+          lastAtOrBefore(args.getLong(1)), lastAtOrBefore(args.getLong(2)))
+          .createOrReplaceTempView(v)
+        s"view $v"
+      }))
 
   /** Catalog-level procedures (first argument is not a table). */
   private type CatalogBody = (GraftCatalog, InternalRow) => String

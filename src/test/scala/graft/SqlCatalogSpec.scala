@@ -394,4 +394,28 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(received.toSet == Set((1L, "a"), (2L, "b")))
     assert(received.size == 2, "checkpoint restart must not replay old snapshots")
   }
+
+  test("CALL sys.incremental_query / incremental_between_timestamp views") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db9")
+    spark.sql("DROP TABLE IF EXISTS graft.db9.t")
+    spark.sql(
+      """CREATE TABLE graft.db9.t (id BIGINT, name STRING, seq BIGINT)
+        |TBLPROPERTIES ('primary-key'='id', 'sequence.field'='seq', 'bucket'='2')""".stripMargin)
+    spark.sql("INSERT INTO graft.db9.t VALUES (1, 'a', 1), (2, 'b', 1)")
+    val tsBetween = System.currentTimeMillis()
+    Thread.sleep(5)
+    spark.sql("INSERT INTO graft.db9.t VALUES (1, 'a2', 2), (3, 'c', 1)")
+    val res = spark.sql(
+      "CALL graft.sys.incremental_query('db9.t', 0, 1, 'chg9')").head.getString(0)
+    assert(res == "view chg9")
+    val got = spark.sql("SELECT id, name, _row_kind FROM chg9 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, "a2", "+I"), (3L, "c", "+I")))
+    // timestamp variant: (tsBetween, now] covers only the second commit
+    spark.sql(s"CALL graft.sys.incremental_between_timestamp(" +
+      s"'db9.t', $tsBetween, ${System.currentTimeMillis()}, 'chg9b')")
+    val got2 = spark.sql("SELECT id FROM chg9b ORDER BY id")
+      .collect().map(_.getLong(0))
+    assert(got2.toSeq == Seq(1L, 3L))
+  }
 }
