@@ -138,7 +138,19 @@ object Meta {
         * HashBucketAssigner state (paimon-core .../index/
         * HashBucketAssigner.java:37), so assignment never re-scans the
         * table. Absent on non-dynamic tables and pre-index snapshots. */
-      dynIndex: Option[Seq[String]] = None)
+      dynIndex: Option[Seq[String]] = None,
+      /** global cross-partition index sidecar parquet files
+        * (table-relative, under index-global/) for PK tables
+        * partitioned OUTSIDE the primary key: key → (partition, seq),
+        * so writes retract moved keys from their old partition and
+        * partition predicates stay prune-safe (reference: paimon-core
+        * .../crosspartition/GlobalIndexAssigner.java:79,
+        * IndexBootstrap.java). */
+      globalIndex: Option[Seq[String]] = None) {
+    /** every index sidecar this snapshot pins (GC/expiration guard) */
+    def indexSidecars: Seq[String] =
+      dynIndex.getOrElse(Seq.empty) ++ globalIndex.getOrElse(Seq.empty)
+  }
 
   /** ANALYZE output: per-column table statistics (reference:
     * paimon-core .../stats/Statistics.java). */

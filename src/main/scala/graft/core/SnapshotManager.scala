@@ -47,7 +47,7 @@ final class SnapshotManager(
         sn.deltaManifest ++ sn.changelogManifest)).toSet
     val files = sms.flatMap(s => s.snapshotIds.map(s.snapshot).flatMap(sn =>
       s.readManifestList(sn.manifestList).flatMap(s.readManifest)
-        .map(_.file.fileName) ++ sn.dynIndex.getOrElse(Seq.empty))).toSet
+        .map(_.file.fileName) ++ sn.indexSidecars)).toSet
     (files, manifests)
   }
 
@@ -197,7 +197,9 @@ final class SnapshotManager(
       /** transform of the latest snapshot's dynamic-bucket index file
         * list (applied at CAS time so retries see the true latest);
         * None carries the list forward unchanged. */
-      dynIndexUpdate: Option[Seq[String] => Seq[String]] = None): Long = {
+      dynIndexUpdate: Option[Seq[String] => Seq[String]] = None,
+      /** same, for the global cross-partition index file list. */
+      globalIndexUpdate: Option[Seq[String] => Seq[String]] = None): Long = {
     val manifestName = writeManifest(entries)
     val deltaRows = entries.iterator
       .map(e => if (e.kind == "ADD") e.file.rowCount else -e.file.rowCount)
@@ -249,6 +251,12 @@ final class SnapshotManager(
             val next = f(latest.flatMap(_.dynIndex).getOrElse(Seq.empty))
             if (next.isEmpty) None else Some(next)
           case None => latest.flatMap(_.dynIndex)
+        },
+        globalIndex = globalIndexUpdate match {
+          case Some(f) =>
+            val next = f(latest.flatMap(_.globalIndex).getOrElse(Seq.empty))
+            if (next.isEmpty) None else Some(next)
+          case None => latest.flatMap(_.globalIndex)
         })
       if (io.tryCreateAtomic(snapshotPath(nextId), Json.write(snap))) {
         io.writeString(s"$snapshotDir/LATEST", nextId.toString)
@@ -283,7 +291,7 @@ final class SnapshotManager(
     val liveFiles = keptSnaps.flatMap(s => liveEntries(s).map(_.file.fileName)).toSet ++
       keptSnaps.flatMap(s => s.changelogManifest.toSeq.flatMap(readManifest))
         .map(_.file.fileName).toSet ++
-      keptSnaps.flatMap(_.dynIndex.getOrElse(Seq.empty)).toSet ++
+      keptSnaps.flatMap(_.indexSidecars).toSet ++
       elseFiles ++ tagFiles
     val liveManifests = keptSnaps.flatMap(s =>
       (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest ++ s.changelogManifest)
@@ -299,7 +307,7 @@ final class SnapshotManager(
       readManifestList(s.manifestList).flatMap(readManifest) ++
         s.changelogManifest.toSeq.flatMap(readManifest))
       .map(_.file.fileName) ++
-      dropped.flatMap(_.dynIndex.getOrElse(Seq.empty))).distinct
+      dropped.flatMap(_.indexSidecars)).distinct
     dropFiles.filterNot(liveFiles.contains)
       .foreach(f => io.delete(s"$tablePath/$f"))
     dropManifests.filterNot(liveManifests.contains)
@@ -323,7 +331,7 @@ final class SnapshotManager(
       .toSet ++ elseManifests ++ tagManifests
     val keptFiles = kept.flatMap(s =>
       readManifestList(s.manifestList).flatMap(readManifest)).map(_.file.fileName).toSet ++
-      kept.flatMap(_.dynIndex.getOrElse(Seq.empty)).toSet ++
+      kept.flatMap(_.indexSidecars).toSet ++
       elseFiles ++ tagFiles
     // plan all deletions before removing anything: dropped snapshots
     // share manifests, so deleting while iterating would break reads
@@ -334,7 +342,7 @@ final class SnapshotManager(
     val dropFiles = (dropped.flatMap(s =>
       readManifestList(s.manifestList).flatMap(readManifest))
       .map(_.file.fileName) ++
-      dropped.flatMap(_.dynIndex.getOrElse(Seq.empty))).distinct
+      dropped.flatMap(_.indexSidecars)).distinct
     dropFiles.filterNot(keptFiles.contains)
       .foreach(f => io.delete(s"$tablePath/$f"))
     dropManifests.filterNot(keptManifests.contains)
@@ -435,7 +443,7 @@ final class SnapshotManager(
       (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest ++ s.changelogManifest).toSet
     val files = snaps.flatMap(s =>
       readManifestList(s.manifestList).flatMap(readManifest)
-        .map(_.file.fileName) ++ s.dynIndex.getOrElse(Seq.empty)).toSet
+        .map(_.file.fileName) ++ s.indexSidecars).toSet
     (files, manifests)
   }
 

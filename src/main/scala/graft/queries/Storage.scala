@@ -721,5 +721,40 @@ object Storage {
       s.sql("""SELECT o_orderkey, _row_kind,
               |  CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
               |FROM g33_chg""".stripMargin)
+    },
+
+    // ---- global cross-partition index: a PK table partitioned OUTSIDE
+    // its primary key; keys MOVE partitions between writes, the write
+    // retracts them from the old partition via the persisted key →
+    // partition index, and partition-pruned reads stay exact
+    // (reference: crosspartition/GlobalIndexAssigner.java:79).
+    QDef(
+      "g34_cross_partition_upsert",
+      """SELECT o_orderkey, 'X' AS status,
+        |  CAST(ROUND(o_totalprice * 3, 2) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 4 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'O' AS status,
+        |  CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderstatus = 'O' AND o_orderkey % 4 <> 0""".stripMargin) { (s, dir) =>
+      val (t, src0) = ordersTable(s, dir,
+        options = Map("sequence.field" -> "up_seq", "bucket" -> "2"),
+        primaryKeys = Seq("o_orderkey"),
+        partitionKeys = Seq("o_orderstatus"),
+        extraCols = _.withColumn("up_seq", lit(1L)))
+      t.write(src0)
+      // every 4th key moves to a brand-new partition 'X'
+      t.write(src0.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+        .withColumn("up_seq", lit(2L)))
+      // partition-pruned reads: the moved keys appear ONLY in X, and
+      // O no longer contains its movers
+      t.scan(col("o_orderstatus") === "X")
+        .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+          asDouble(col("o_totalprice")).as("price"))
+        .unionAll(t.scan(col("o_orderstatus") === "O")
+          .select(col("o_orderkey"), col("o_orderstatus").as("status"),
+            asDouble(col("o_totalprice")).as("price")))
     })
 }

@@ -141,12 +141,21 @@ final class GraftTable private (
     // duration of the write and release it after the commit
     var pinned: Seq[DataFrame] = Seq.empty
     var dynUpdate: Option[Seq[String] => Seq[String]] = None
+    var globalUpdate: Option[Seq[String] => Seq[String]] = None
+    var seqMax = base
     val out =
       if (sch.isDynamicBucket) {
         val batch = preMerged.withColumn(SeqCol, lit(base)).persist()
         val a = assignDynamicBuckets(batch, sch)
         pinned = batch +: a.pinned
         dynUpdate = Some(a.indexUpdate)
+        a.out
+      } else if (isCrossPartition(sch)) {
+        val batch = preMerged.persist()
+        val a = crossPartitionAssign(batch, sch, base)
+        pinned = batch +: a.pinned
+        globalUpdate = Some(a.indexUpdate)
+        seqMax = base + 1 // retractions at base, data rows at base+1
         a.out
       } else preMerged
         .withColumn(SeqCol, lit(base))
@@ -174,7 +183,8 @@ final class GraftTable private (
       val changelog = if (withChangelog) buildChangelog(sch, out) else None
       commitFilesFn(out, sch, sch.partitionKeys :+ "__bucket",
         if (overwrite) KindOverwrite else KindAppend, base, commitIdentifier,
-        deletesFor, changelogManifest = changelog, dynIndexUpdate = dynUpdate)
+        deletesFor, changelogManifest = changelog, dynIndexUpdate = dynUpdate,
+        globalIndexUpdate = globalUpdate, seqMax = seqMax)
     } finally {
       if (withChangelog) out.unpersist()
       pinned.foreach(_.unpersist())
@@ -274,6 +284,146 @@ final class GraftTable private (
     }
   }
 
+  // ================= global cross-partition index =================
+
+  /** PK tables partitioned OUTSIDE the primary key: a key can MOVE
+    * partitions between writes, so partition pruning is unsafe without
+    * extra bookkeeping. */
+  private def isCrossPartition(sch: TableSchema): Boolean =
+    sch.primaryKeys.nonEmpty && sch.partitionKeys.nonEmpty &&
+      !sch.partitionKeys.forall(sch.primaryKeys.contains) && !sch.isDynamicBucket
+
+  /** Index rows: pk..., partition cols..., __gseq (the row's sequence
+    * value — the user sequence field, or the commit seq), __cseq (the
+    * commit that wrote the entry; tiebreak for equal __gseq). */
+  private def globalIndexStruct(sch: TableSchema): StructType = {
+    val base = sch.toStruct
+    def f(n: String) = base.fields(base.fieldIndex(n))
+    val ord = sch.sequenceField match {
+      case Some(s) => StructField("__gseq", f(s).dataType, nullable = true)
+      case None => StructField("__gseq", LongType, nullable = false)
+    }
+    StructType((sch.primaryKeys ++ sch.partitionKeys).map(f) :+ ord :+
+      StructField("__cseq", LongType, nullable = false))
+  }
+
+  /** The persisted key → (partition, seq) index, latest entry per key,
+    * if sidecars exist (test/diagnostic surface). */
+  private[graft] def globalIndexDf: Option[DataFrame] = {
+    val sch = schema
+    sm.latestSnapshot().flatMap(_.globalIndex).filter(_.nonEmpty).map { files =>
+      collapseIndex(spark.read.schema(globalIndexStruct(sch))
+        .parquet(files.map(f => s"$path/$f"): _*), sch)
+    }
+  }
+
+  private def collapseIndex(idx: DataFrame, sch: TableSchema): DataFrame = {
+    val pkCols = sch.primaryKeys.map(col).toIndexedSeq
+    val payload = sch.partitionKeys :+ "__gseq" :+ "__cseq"
+    idx.groupBy(pkCols: _*).agg(
+      max_by(struct_ord(payload.map(col).toIndexedSeq: _*),
+        struct_ord(col("__gseq"), col("__cseq"))).as("__e"))
+      .select((pkCols ++ payload.map(c => col(s"__e.$c").as(c))).toIndexedSeq: _*)
+  }
+
+  /** Cross-partition upsert via a persisted global index (reference:
+    * paimon-core .../crosspartition/GlobalIndexAssigner.java:79 +
+    * IndexBootstrap.java, its RocksDB key→partition state persisted
+    * here as columnar sidecars under index-global/):
+    *
+    *  - the batch joins the index (O(distinct keys), never the table);
+    *    keys whose stored partition differs get a -D retraction row in
+    *    the OLD partition, so every partition's local merge is
+    *    self-contained and partition predicates stay PRUNE-SAFE;
+    *  - retractions carry the new row's sequence value and hidden seq
+    *    `base`; data rows carry `base + 1`, so the new +I beats its own
+    *    retraction in a global merge and the retraction beats the old
+    *    row in the old partition's local merge;
+    *  - index entries for the batch's keys are appended as one sidecar
+    *    per commit and folded past a file-count trigger.
+    *
+    * Assumes per-key non-decreasing sequence values (the CDC case);
+    * deduplicate merge engine only. */
+  private def crossPartitionAssign(
+      batch: DataFrame, sch: TableSchema, base: Long): DynAssignment = {
+    require(sch.mergeEngine == "deduplicate",
+      "cross-partition upsert requires merge-engine=deduplicate")
+    val pk = sch.primaryKeys
+    val parts = sch.partitionKeys
+    val pkCols = pk.map(col).toIndexedSeq
+    val snap = sm.latestSnapshot()
+    val prevFiles = snap.flatMap(_.globalIndex).getOrElse(Seq.empty)
+    val live = snap.map(sm.liveEntries).getOrElse(Seq.empty)
+    val trigger = sch.options.getOrElse("global-index.compact-trigger", "32").toInt
+    val bucketCol =
+      pmod(xxhash64(pkCols: _*), lit(sch.numBuckets)).cast("int")
+    val batchGseq: Column =
+      sch.sequenceField.map(col).getOrElse(lit(base))
+    val batchIdx = batch.select((pkCols ++ parts.map(col) :+
+      batchGseq.as("__gseq") :+ lit(base).as("__cseq")): _*)
+
+    val idxAll: Option[DataFrame] =
+      if (prevFiles.nonEmpty)
+        Some(spark.read.schema(globalIndexStruct(sch))
+          .parquet(prevFiles.map(f => s"$path/$f"): _*))
+      else if (live.isEmpty) None
+      else {
+        // one-time bootstrap for tables written before the index
+        // existed (reference: IndexBootstrap) — NOTE: historical
+        // cross-partition moves before this point have no retractions;
+        // pruning only turns on from this commit's snapshot forward
+        val raw = readRaw(live)
+        val bootGseq = sch.sequenceField.map(col).getOrElse(col(SeqCol))
+        Some(raw.select((pkCols ++ parts.map(col) :+
+          bootGseq.as("__gseq") :+ col(SeqCol).as("__cseq")): _*))
+      }
+    val latest = idxAll.map(idx => collapseIndex(idx, sch)
+      .select((pkCols ++ parts.map(c => col(c).as(s"__old_$c")) :+
+        lit(true).as("__old_exists")).toIndexedSeq: _*))
+
+    val dataOut = batch.withColumn(SeqCol, lit(base + 1))
+    val (unioned, joinPinned) = latest match {
+      case None => (dataOut, Seq.empty[DataFrame])
+      case Some(old) =>
+        val joined = batch.join(old, pk, "left").persist()
+        val movedPred = col("__old_exists").isNotNull &&
+          parts.map(c => !(col(c) <=> col(s"__old_$c"))).reduce(_ || _)
+        val tableFields = sch.toStruct.fields.toSeq
+        val retractSel: Seq[Column] = tableFields.map { f =>
+          if (pk.contains(f.name)) col(f.name)
+          else if (parts.contains(f.name)) col(s"__old_${f.name}").as(f.name)
+          else if (sch.sequenceField.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        } :+ lit(KindDelete).cast("byte").as(KindCol) :+ lit(base).as(SeqCol)
+        val retractions = joined.filter(movedPred).select(retractSel: _*)
+        (dataOut.unionByName(retractions), Seq(joined))
+    }
+    val out = unioned.withColumn("__bucket", bucketCol)
+      .repartition(sch.numBuckets, col("__bucket"))
+
+    val needFull = prevFiles.isEmpty || prevFiles.size >= trigger
+    if (needFull) {
+      val full = idxAll match {
+        case None => batchIdx
+        case Some(idx) => collapseIndex(idx.unionByName(batchIdx), sch)
+      }
+      val files = writeGlobalIndexFiles(full, parts = 4)
+      DynAssignment(out, _ => files, joinPinned)
+    } else {
+      val files = writeGlobalIndexFiles(batchIdx, parts = 1)
+      DynAssignment(out, prev => prev ++ files, joinPinned)
+    }
+  }
+
+  private def writeGlobalIndexFiles(df: DataFrame, parts: Int): Seq[String] = {
+    val dir = s"index-global/${UUID.randomUUID()}"
+    df.coalesce(parts).write.parquet(s"$path/$dir")
+    Files.walk(Paths.get(s"$path/$dir")).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(p => s"$dir/${p.getFileName}")
+      .toSeq
+  }
+
   /** Write a (pk..., __bucket) frame as index sidecars; returns
     * table-relative paths. `parts` bounds the file count so the delta
     * list grows by one file per commit and a rewrite stays a few files
@@ -324,7 +474,9 @@ final class GraftTable private (
       deletesFor: Seq[ManifestEntry] => Seq[ManifestEntry],
       level: Int = 0,
       changelogManifest: Option[String] = None,
-      dynIndexUpdate: Option[Seq[String] => Seq[String]] = None): Long = {
+      dynIndexUpdate: Option[Seq[String] => Seq[String]] = None,
+      globalIndexUpdate: Option[Seq[String] => Seq[String]] = None,
+      seqMax: Long = -1L): Long = {
     val staging = s"$path/staging/${UUID.randomUUID()}"
     if (sch.fileFormat == "avro")
       graft.sources.AvroStorage.writeStaged(out, partitionBy, staging)
@@ -334,7 +486,8 @@ final class GraftTable private (
         .format(sch.fileFormat).save(staging)
     }
     commitStagedDir(staging, sch, kind, seqBase, commitIdentifier,
-      deletesFor, level, changelogManifest, dynIndexUpdate)
+      deletesFor, level, changelogManifest, dynIndexUpdate,
+      globalIndexUpdate, seqMax)
   }
 
   /** Table files must store timestamps as annotated micros (INT96 has
@@ -361,7 +514,13 @@ final class GraftTable private (
       deletesFor: Seq[ManifestEntry] => Seq[ManifestEntry],
       level: Int = 0,
       changelogManifest: Option[String] = None,
-      dynIndexUpdate: Option[Seq[String] => Seq[String]] = None): Long = {
+      dynIndexUpdate: Option[Seq[String] => Seq[String]] = None,
+      globalIndexUpdate: Option[Seq[String] => Seq[String]] = None,
+      /** highest per-row _graft_seq in this commit when it exceeds
+        * seqBase (cross-partition commits write retractions at seqBase
+        * and data rows at seqBase+1); -1 = same as seqBase. */
+      seqMax: Long = -1L): Long = {
+    val sMax = if (seqMax < 0) seqBase else seqMax
     val stagingPath = Paths.get(staging)
     val dataFiles = Files.walk(stagingPath).iterator().asScala
       .filter(p => (p.toString.endsWith(".parquet") || p.toString.endsWith(".orc")
@@ -391,24 +550,24 @@ final class GraftTable private (
     // ships them in CommitMessages — PaimonSparkWriter.scala:108-195).
     val schId = sch.id
     def statsOf(conf: org.apache.hadoop.conf.Configuration,
-        abs: String, rel: String, lvl: Int, sb: Long): DataFileMeta =
-      if (abs.endsWith(".orc")) OrcStats.read(conf, abs, rel, lvl, sb, sb)
+        abs: String, rel: String, lvl: Int, sb: Long, sx: Long): DataFileMeta =
+      if (abs.endsWith(".orc")) OrcStats.read(conf, abs, rel, lvl, sb, sx)
       else if (abs.endsWith(".avro"))
-        graft.sources.AvroStorage.stats(abs, rel, lvl, sb, sb)
-      else ParquetStats.read(conf, abs, rel, lvl, sb, sb)
+        graft.sources.AvroStorage.stats(abs, rel, lvl, sb, sx)
+      else ParquetStats.read(conf, abs, rel, lvl, sb, sx)
     val metas: Seq[DataFileMeta] =
       if (moved.size <= 16)
         moved.map { case (_, _, abs, rel) =>
-          statsOf(hadoopConf, abs, rel, level, seqBase).copy(schemaId = schId)
+          statsOf(hadoopConf, abs, rel, level, seqBase, sMax).copy(schemaId = schId)
         }
       else {
         val conf = new SerializableHadoopConf(hadoopConf)
-        val (lvl, sb) = (level, seqBase)
+        val (lvl, sb, sx) = (level, seqBase, sMax)
         spark.sparkContext
           .parallelize(moved.map { case (_, _, abs, rel) => (abs, rel) },
             math.min(moved.size, 32))
           .map { case (abs, rel) =>
-            statsOf(conf.value, abs, rel, lvl, sb).copy(schemaId = schId)
+            statsOf(conf.value, abs, rel, lvl, sb, sx).copy(schemaId = schId)
           }
           .collect().toSeq
       }
@@ -424,7 +583,8 @@ final class GraftTable private (
         deletedNames.isEmpty ||
           deletedNames.subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet),
       changelogManifest = changelogManifest,
-      dynIndexUpdate = dynIndexUpdate)
+      dynIndexUpdate = dynIndexUpdate,
+      globalIndexUpdate = globalIndexUpdate)
   }
 
   /** Build per-file index sidecars (bloom + bitmap) for the configured
@@ -1103,15 +1263,17 @@ final class GraftTable private (
     val cond = analyzedCond.flatMap { c =>
       if (!isPrimaryKeyTable) Some(c)
       else {
-        // partition columns are prune-safe only when they are part of
-        // the primary key: otherwise a key can MOVE partitions between
-        // versions, and pruning the new partition's files would resolve
-        // the merge to the stale row in the old partition (the
-        // reference guards this case with a global index —
-        // GlobalIndexAssigner; without one, partition predicates must
-        // wait until after the merge).
+        // partition columns are prune-safe when they are part of the
+        // primary key — or when the global cross-partition index is
+        // active: its write path retracts moved keys with a -D in the
+        // old partition, so every partition's local merge is
+        // self-contained (reference: GlobalIndexAssigner). Without
+        // either, a key can MOVE partitions between versions and
+        // pruning would resolve the merge to a stale row, so partition
+        // predicates must wait until after the merge.
         val partSafe =
-          if (sch.partitionKeys.forall(sch.primaryKeys.contains)) sch.partitionKeys
+          if (sch.partitionKeys.forall(sch.primaryKeys.contains) ||
+              snap.globalIndex.isDefined) sch.partitionKeys
           else Seq.empty
         val safe = (sch.primaryKeys ++ partSafe).toSet
         splitConjuncts(c)
@@ -1325,12 +1487,12 @@ final class GraftTable private (
           sn.changelogManifest).distinct.flatMap(s.readManifest)
           .flatMap(e => Seq(e.file.fileName) ++ e.file.dvFile ++
             e.file.indexFiles.map(_.values).getOrElse(Seq.empty)) ++
-          sn.dynIndex.getOrElse(Seq.empty)
+          sn.indexSidecars
       }).toSet
     }
     val cutoff = System.currentTimeMillis() - graceMillis
     val roots = Seq(s"$path/data", s"$path/index", s"$path/staging",
-      s"$path/changelog", s"$path/index-dyn")
+      s"$path/changelog", s"$path/index-dyn", s"$path/index-global")
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     roots.foreach { root =>
       val rp = Paths.get(root)
