@@ -349,8 +349,23 @@ class GraftMicroBatchStream(
 
   override def initialOffset(): Offset = GraftOffset(-1L)
 
-  override def latestOffset(): Offset =
-    GraftOffset(sm.latestSnapshotId.getOrElse(-1L))
+  /** Bounded stream end (reference: scan.bounded.watermark +
+    * DataTableStreamScan BoundedChecker): with the option set, the
+    * reported latest offset never passes the first snapshot whose
+    * persisted watermark exceeds the bound — under
+    * Trigger.AvailableNow the query drains to that offset and
+    * terminates, and the out-of-bound snapshot is neither consumed nor
+    * lost. */
+  override def latestOffset(): Offset = {
+    val latest = sm.latestSnapshotId.getOrElse(-1L)
+    gt.schema.options.get("scan.bounded.watermark").map(_.toLong) match {
+      case None => GraftOffset(latest)
+      case Some(bound) =>
+        val firstOver = sm.snapshotIds.filter(_ <= latest)
+          .find(i => sm.snapshot(i).watermark.exists(_ > bound))
+        GraftOffset(firstOver.map(_ - 1L).getOrElse(latest))
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
     GraftOffset(json.trim.toLong)

@@ -2074,7 +2074,19 @@ final class GraftTable private (
     val sch = schema
     val pk = sch.primaryKeys
     val cols = struct.fieldNames
-    val src = source.select(cols.map(col).toIndexedSeq: _*)
+    // the source is consumed twice (bucket-set collect + the join) —
+    // pin it so an expensive source query computes once
+    val src = source.select(cols.map(col).toIndexedSeq: _*).persist()
+    try mergeIntoPinned(src, sch, pk, cols,
+      whenMatchedUpdate, whenMatchedDelete, whenNotMatchedInsert)
+    finally src.unpersist()
+  }
+
+  private def mergeIntoPinned(
+      src: DataFrame, sch: TableSchema, pk: Seq[String], cols: Array[String],
+      whenMatchedUpdate: Option[Map[String, Column]],
+      whenMatchedDelete: Option[Column],
+      whenNotMatchedInsert: Boolean): Long = {
     // Bucket-pruned target: only buckets the source's keys hash into
     // can contain matches, so the join reads just those files — a
     // 1%-of-buckets merge pays ~1% of the scan, not 100% (reference

@@ -140,6 +140,23 @@ class GraftTableSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "a2"), (3L, "c"), (4L, "d")))
   }
 
+  test("merge into computes its source exactly once") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
+    t.write(kvDf((1L, "a", 10L, 1L), (2L, "b", 20L, 1L)))
+    // an accumulator-instrumented source: each evaluation of a source
+    // row bumps the counter, so n rows evaluated twice would show 2n
+    val evals = spark.sparkContext.longAccumulator("src-evals")
+    val bump = udf((k: Long) => { evals.add(1L); k })
+    val src = kvDf((1L, "a2", 11L, 2L), (3L, "c", 30L, 1L))
+      .withColumn("k", bump(col("k")))
+    t.mergeInto(src)
+    assert(t.read.count() == 3)
+    assert(evals.value == 2L,
+      s"source evaluated ${evals.value} row-computations for 2 rows — " +
+        "the source must be pinned and computed once")
+  }
+
   test("compaction merges files and preserves data; deletes are dropped") {
     val t = GraftTable.create(spark, tmp(), kvSchema,
       primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq", "bucket" -> "2"))

@@ -395,6 +395,32 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(received.size == 2, "checkpoint restart must not replay old snapshots")
   }
 
+  test("bounded readStream drains to scan.bounded.watermark and terminates") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db10")
+    spark.sql("DROP TABLE IF EXISTS graft.db10.t")
+    spark.sql("""CREATE TABLE graft.db10.t (k BIGINT, v STRING)
+                |TBLPROPERTIES ('scan.bounded.watermark'='10')""".stripMargin)
+    // three watermarked commits: 5, 10, 20 (past the bound)
+    val t = graft.table.GraftTable.load(spark, s"$warehouse/db10/t")
+    import spark.implicits._
+    t.writeWatermarked(Seq((1L, "a")).toDF("k", "v"), 0L, Some(5L))
+    t.writeWatermarked(Seq((2L, "b")).toDF("k", "v"), 1L, Some(10L))
+    t.writeWatermarked(Seq((3L, "c")).toDF("k", "v"), 2L, Some(20L))
+    val ckpt = Files.createTempDirectory("graft-bck").toString
+    val received = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.table("graft.db10.t").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        received.synchronized { received ++= df.collect().map(_.getLong(0)) }: Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "bounded stream must terminate")
+    // only snapshots whose watermark is within the bound were consumed
+    assert(received.sorted.toSeq == Seq(1L, 2L),
+      s"rows past the bound must not stream: $received")
+  }
+
   test("CALL sys.incremental_query / incremental_between_timestamp views") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db9")
     spark.sql("DROP TABLE IF EXISTS graft.db9.t")
