@@ -109,5 +109,27 @@ object Media {
       }
       t.read.select(col("event_type"),
         expr("hll_sketch_estimate(users)").as("approx_users"))
+    },
+
+    // ---- out-of-line BLOB storage: payloads above the inline
+    // threshold live as content-addressed blob/ files, the parquet
+    // holds descriptors, and the read re-inflates transparently —
+    // verified byte-exact via md5 against the source text (reference:
+    // BlobType.java / Blob.java descriptors).
+    QDef(
+      "x07_blob_storage",
+      """SELECT doc_id, md5(text) AS h,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS len
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+      val t = GraftTable.create(s,
+        Files.createTempDirectory("graft-x07-").toString + "/table",
+        src.schema,
+        options = Map("blob.columns" -> "media",
+          "blob.inline-threshold" -> "512"))
+      t.write(src)
+      t.read.select(col("doc_id"), md5(col("media")).as("h"),
+        length(col("media")).cast("long").as("len"))
     })
 }

@@ -478,10 +478,17 @@ final class GraftTable private (
       globalIndexUpdate: Option[Seq[String] => Seq[String]] = None,
       seqMax: Long = -1L): Long = {
     val staging = s"$path/staging/${UUID.randomUUID()}"
+    // blob columns go out-of-line as part of the same write job
+    val blobCols = graft.sources.BlobStorage.blobColumns(sch.options)
+    val outB =
+      if (blobCols.isEmpty) out
+      else graft.sources.BlobStorage.externalize(out, blobCols, s"$path/blob",
+        sch.options.getOrElse(graft.sources.BlobStorage.OptionInlineThreshold,
+          graft.sources.BlobStorage.DefaultInlineThreshold.toString).toInt)
     if (sch.fileFormat == "avro")
-      graft.sources.AvroStorage.writeStaged(out, partitionBy, staging)
+      graft.sources.AvroStorage.writeStaged(outB, partitionBy, staging)
     else withMicrosTimestamps {
-      val writer = out.write.mode("overwrite")
+      val writer = outB.write.mode("overwrite")
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .format(sch.fileFormat).save(staging)
     }
@@ -681,6 +688,29 @@ final class GraftTable private (
 
   /** Latest-snapshot merged read. */
   def read: DataFrame = readSnapshot(sm.latestSnapshotId)
+
+  /** Blob columns WITHOUT payload fetch: the physical descriptor
+    * structs (inline, file, length, hash) — metadata-only queries over
+    * media tables never touch a payload byte. */
+  def readBlobDescriptors: DataFrame = {
+    val sch = schema
+    val cols = graft.sources.BlobStorage.blobColumns(sch.options)
+    require(cols.nonEmpty, "table has no blob.columns")
+    val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+    val phys = graft.sources.BlobStorage.physicalSchema(sch.toStruct, cols)
+    if (entries.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], phys)
+    spark.read.option("basePath", sm.dataDir).schema(
+      if (isPrimaryKeyTable)
+        StructType(phys.fields
+          :+ StructField(SeqCol, LongType, nullable = false)
+          :+ StructField(KindCol, ByteType, nullable = false)
+          :+ StructField("__bucket", IntegerType, nullable = true))
+      else phys)
+      .parquet(entries.map(e => s"$path/${e.file.fileName}"): _*)
+      .select(phys.fieldNames.map(col).toIndexedSeq: _*)
+  }
 
   /** Pruned scan: partition + file-stats skipping happen driver-side
     * against the manifest before any file is opened; the filter is also
@@ -1014,9 +1044,12 @@ final class GraftTable private (
             df.select((projected ++ hidden).toIndexedSeq: _*)
           }
         } else {
+        def inflated(df: DataFrame, of: TableSchema): DataFrame =
+          graft.sources.BlobStorage.inflate(df,
+            graft.sources.BlobStorage.blobColumns(of.options), s"$path/blob")
         val reader = spark.read.option("basePath", sm.dataDir).format(fmt)
         if (sid == cur.id)
-          reader.schema(rawReadSchema).load(paths: _*)
+          inflated(reader.schema(rawReadSchema).load(paths: _*), cur)
         else {
           val old = schemaOf(sid)
           val byId = old.fields.map(f => f.id -> f).toMap
@@ -1031,7 +1064,7 @@ final class GraftTable private (
             if (isPrimaryKeyTable)
               Seq(col(SeqCol), col(KindCol), col("__bucket"))
             else Seq.empty
-          reader.schema(rawSchemaOf(old)).load(paths: _*)
+          inflated(reader.schema(rawSchemaOf(old)).load(paths: _*), old)
             .select((projected ++ hidden).toIndexedSeq: _*)
         }
         }
@@ -1222,7 +1255,9 @@ final class GraftTable private (
   private def rawReadSchema: StructType = rawSchemaOf(schema)
 
   private def rawSchemaOf(sch: TableSchema): StructType = {
-    val base = sch.toStruct
+    // blob columns store a descriptor struct in the data files
+    val base = graft.sources.BlobStorage.physicalSchema(
+      sch.toStruct, graft.sources.BlobStorage.blobColumns(sch.options))
     if (isPrimaryKeyTable)
       StructType(base.fields
         :+ StructField(SeqCol, LongType, nullable = false)
@@ -1490,9 +1525,34 @@ final class GraftTable private (
           sn.indexSidecars
       }).toSet
     }
+    // blob files are content-addressed and shared across data files —
+    // the referenced set comes from a distributed scan of the
+    // descriptor columns of every referenced parquet file (one job; a
+    // driver loop over payload metadata would not survive scale)
+    val blobCols = graft.sources.BlobStorage.blobColumns(schema.options)
+    val blobRefs: Set[String] =
+      if (blobCols.isEmpty) Set.empty
+      else {
+        // manifests also reference files expiration already removed
+        // (DELETE-superseded entries) — scan only what exists
+        val dataFiles = referenced.filter(f =>
+          f.startsWith("data/") && f.endsWith(".parquet") &&
+            sm.io.exists(s"$path/$f")).toSeq
+        if (dataFiles.isEmpty) Set.empty
+        else {
+          val phys = graft.sources.BlobStorage.physicalSchema(struct, blobCols)
+          val descs = spark.read
+            .schema(StructType(blobCols.map(c => phys.fields(phys.fieldIndex(c)))))
+            .parquet(dataFiles.map(f => s"$path/$f"): _*)
+          blobCols.map(c => descs.select(col(s"$c.file")).filter(col(s"$c.file").isNotNull))
+            .reduce(_ unionAll _).distinct()
+            .collect().map(r => s"blob/${r.getString(0)}").toSet
+        }
+      }
     val cutoff = System.currentTimeMillis() - graceMillis
     val roots = Seq(s"$path/data", s"$path/index", s"$path/staging",
-      s"$path/changelog", s"$path/index-dyn", s"$path/index-global")
+      s"$path/changelog", s"$path/index-dyn", s"$path/index-global",
+      s"$path/blob")
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     roots.foreach { root =>
       val rp = Paths.get(root)
@@ -1501,7 +1561,7 @@ final class GraftTable private (
           .filter(Files.isRegularFile(_))
           .foreach { p =>
             val rel = Paths.get(path).relativize(p).toString
-            if (!referenced.contains(rel) &&
+            if (!referenced.contains(rel) && !blobRefs.contains(rel) &&
               Files.getLastModifiedTime(p).toMillis < cutoff) {
               Files.deleteIfExists(p)
               deleted += rel
@@ -2323,6 +2383,12 @@ object GraftTable {
       s"unsupported file.format: ${ts.fileFormat}")
     require(ts.fileFormat != "avro" || graft.sources.AvroStorage.supports(schema),
       "file.format=avro supports scalar column types only")
+    val blobCols = graft.sources.BlobStorage.blobColumns(options)
+    require(blobCols.forall(c => schema.fields.exists(f =>
+      f.name == c && f.dataType == org.apache.spark.sql.types.BinaryType)),
+      "blob.columns must name BINARY columns")
+    require(blobCols.isEmpty || ts.fileFormat != "avro",
+      "blob.columns requires a columnar file format (parquet/orc)")
     require(ts.fileFormat == "parquet" ||
       !options.get(DeletionVectors.OptionEnabled).contains("true"),
       "deletion vectors require file.format=parquet (row_index metadata)")
