@@ -1991,9 +1991,22 @@ final class GraftTable private (
     val pruned = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
       .filter(e => buckets.contains(e.bucket))
     val rawOld = readRaw(pruned).join(batchKeys, pk, "left_semi")
-    val before = MergeEngine.merge(rawOld, sch)
-    val after = MergeEngine.merge(rawOld.unionByName(out), sch)
-    persistChangelog(stateDiff(before, after), sch)
+    // every merge engine here is ASSOCIATIVE (deduplicate/first-row =
+    // ordered pick, partial-update = per-field ordered pick,
+    // aggregation = combinable states), so the post-state folds the
+    // batch onto the ALREADY-MERGED before-state instead of re-merging
+    // all raw versions — one full merge of the touched buckets per
+    // commit, not two (reference pays this inside compaction's
+    // existing merge: LookupChangelogMergeFunctionWrapper).
+    val before = MergeEngine.merge(rawOld, sch).persist()
+    try {
+      val beforeAsInput = before
+        .withColumn(SeqCol, lit(-1L)) // loses every tie to batch rows
+        .withColumn(KindCol, lit(KindInsert).cast("byte"))
+      val after = MergeEngine.merge(
+        beforeAsInput.unionByName(out, allowMissingColumns = true), sch)
+      persistChangelog(stateDiff(before, after), sch)
+    } finally before.unpersist()
   }
 
   /** Write -U/+U/+I/-D rows as changelog files + their manifest. */
