@@ -233,6 +233,100 @@ object Dedup {
     verifyJaccard(cands, df, idCol, charNgrams(col(textCol), n), threshold)
   }
 
+  // --- embedding-cosine near-dup --------------------------------------
+
+  /** Candidate pairs for embedding near-dup: rows sharing a random-
+    * hyperplane LSH bucket ([[Similarity.lshBuckets]]) in at least one
+    * table. The only shuffle is the (table, bucket) equi-join — near-
+    * duplicate vectors (small angle) collide with probability
+    * 1-(1-(1-θ/π)^planes)^tables, everything else spreads across
+    * 2^planes buckets per table. MANY planes (narrow buckets) suit
+    * near-dup detection, unlike ANN search (s02) which wants wide
+    * buckets for recall of moderately-similar neighbors. */
+  def cosineCandidates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      tables: Int = 10,
+      planesPerTable: Int = 10,
+      seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"),
+      posexplode(Similarity.lshBuckets(col(vecCol), dim, tables, planesPerTable, seed))
+        .as(Seq("tbl", "bucket")))
+    bucketJoinPairs(bucketed, Seq("tbl", "bucket"), maxBucketSize)
+  }
+
+  /** Embedding-cosine near-dup pairs: LSH candidates verified by exact
+    * cosine. The threshold compares the ROUNDED cosine so the same
+    * boundary decision is reproducible in an external oracle engine
+    * computing the identical formula. */
+  def cosineDedupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.9,
+      tables: Int = 10,
+      planesPerTable: Int = 10,
+      seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val cands = cosineCandidates(df, idCol, vecCol, dim, tables, planesPerTable, seed, maxBucketSize)
+    verifyCosine(cands, df, idCol, vecCol, threshold)
+  }
+
+  /** Exhaustive cosine pairs within a blocking column — quadratic
+    * within blocks BY DESIGN: this is the oracle-checkable companion
+    * to [[cosineDedupPairs]] (same role p07 plays for p05). */
+  def cosinePairsBlocked(
+      df: DataFrame,
+      idCol: String,
+      blockCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val a = v.select(col("blk"), col("id").as("id_a"), col("v").as("va"))
+    val b = v.select(col("blk"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosineUdf(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Compiled one-pass cosine — the documented UDF exception for tight
+    * numeric inner loops (see Similarity.unitNorm): a JIT'd loop beats
+    * the interpreted zip_with/aggregate lambda tree by ~2 orders of
+    * magnitude, which dominates when verifying 1e5-1e6 pairs. Division
+    * and summation order match the expression form and the oracle
+    * (dot and each squared norm are independent left-to-right folds). */
+  private val cosineUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    val x = a.toArray; val y = b.toArray
+    var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(x.length, y.length)
+    while (i < n) { d += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Join candidate pairs back to vectors and keep pairs with rounded
+    * exact cosine >= threshold. */
+  private def verifyCosine(
+      cands: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val vecs = df.select(col(idCol).as("vid"), col(vecCol).cast("array<double>").as("vv"))
+    cands
+      .join(vecs.withColumnRenamed("vid", "id_a").withColumnRenamed("vv", "va"), "id_a")
+      .join(vecs.withColumnRenamed("vid", "id_b").withColumnRenamed("vv", "vb"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosineUdf(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   // --- shared helpers -------------------------------------------------
 
   /** Self-join pairs of `banded` rows sharing bucket `keys`, with

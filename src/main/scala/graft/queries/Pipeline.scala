@@ -198,6 +198,34 @@ object Pipeline {
       Similarity.recallOk(approx, exact, threshold = 0.7)
     },
 
+    // ---- embedding-cosine near-dup, exhaustive-blocked companion.
+    // The raw embeddings have no near-dup structure (max pairwise
+    // cosine ~0.6), so the query PLANTS deterministic near-duplicates:
+    // each vector is paired with a perturbed copy (v + 0.1*reverse(v),
+    // cosine ~0.995 to its source, <=~0.6 to everything else). The
+    // construction is pure arithmetic, so the oracle rebuilds it
+    // bit-identically in SQL and the gate is hash-exact.
+    QDef(
+      "p10_cosine_pairs_blocked",
+      plantedCosineOracle(blocked = true)) { (s, dir) =>
+      Dedup.cosinePairsBlocked(plantedEmbeddings(s, dir),
+        "vec_id", "label", "v", threshold = 0.9)
+    },
+
+    // ---- embedding-cosine near-dup, LSH path (the 100 TB plan: bucket
+    // join + candidate-only verification, never all-pairs). With the
+    // planted pairs at cosine ~0.995 and 10 tables x 10 planes, the
+    // fixed-seed LSH finds every true pair (miss probability ~3e-6 per
+    // pair, and deterministic given the seed) — so the gate is held to
+    // the SAME exact oracle as p10: a dropped candidate or hash drift
+    // fails the compare.
+    QDef(
+      "p11_embedding_lsh_dedup",
+      plantedCosineOracle(blocked = false)) { (s, dir) =>
+      Dedup.cosineDedupPairs(plantedEmbeddings(s, dir),
+        "vec_id", "v", dim = 64, threshold = 0.9)
+    },
+
     // ---- BPE-style regex pre-tokenization (letters / digits /
     // punctuation runs), verified cross-engine.
     QDef(
@@ -212,4 +240,44 @@ object Pipeline {
           size(pieces).cast("long").as("n_pieces"),
           array_join(slice(pieces, 1, 5), " ").as("first_pieces"))
     })
+
+  /** embeddings ∪ deterministic perturbed copies (id + 100000, same
+    * label): the planted near-dup corpus shared by p10/p11. */
+  private def plantedEmbeddings(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val base = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val pert = base.select((col("vec_id") + 100000).as("vec_id"), col("label"),
+      zip_with(col("v"), reverse(col("v")), (a, b) => a + lit(0.1) * b).as("v"))
+    base.union(pert)
+  }
+
+  /** DuckDB oracle for the planted-cosine gates: identical perturbation
+    * arithmetic + identical dot/norm formulation (same left-to-right
+    * summation as Spark's `aggregate` fold), thresholded on the
+    * ROUNDED cosine in both engines so the boundary decision agrees. */
+  private def plantedCosineOracle(blocked: Boolean): String = {
+    val joinCond =
+      if (blocked) "a.label = b.label AND a.vec_id < b.vec_id"
+      else "a.vec_id < b.vec_id"
+    s"""WITH base AS (SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |corpus AS (
+       |  SELECT vec_id, label, v FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 100000, label,
+       |    list_transform(generate_series(1, 64), i -> v[i] + 0.1 * v[65 - i])
+       |  FROM base),
+       |n AS (SELECT vec_id, label, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM corpus)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_sum(list_transform(generate_series(1, 64),
+       |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine
+       |FROM n a JOIN n b ON $joinCond
+       |WHERE round(list_sum(list_transform(generate_series(1, 64),
+       |      i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) >= 0.9""".stripMargin
+  }
 }

@@ -157,4 +157,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(planned < allLists,
       s"planned $planned of $allLists list partitions — expected pruning")
   }
+
+  test("embedding-cosine near-dup: LSH path finds exactly the planted pairs") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    // 40 well-separated random vectors + a perturbed near-dup of each
+    val base = (0 until 40).map(i => (i.toLong, i % 4, Array.fill(dim)(rnd.nextGaussian())))
+    val pert = base.map { case (id, lbl, v) =>
+      (id + 1000, lbl, v.zip(v.reverse).map { case (a, b) => a + 0.1 * b })
+    }
+    val df = (base ++ pert).toSeq
+      .toDF("vec_id", "label", "v")
+      .select(col("vec_id"), col("label"), col("v").cast("array<double>").as("v"))
+    val expected = base.map { case (id, _, _) => (id, id + 1000) }.toSet
+    val lsh = Dedup.cosineDedupPairs(df, "vec_id", "v", dim, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == expected, s"LSH pairs ${lsh.size} != planted ${expected.size}")
+    // exhaustive-blocked companion agrees (blocks contain the pairs)
+    val blocked = Dedup.cosinePairsBlocked(df, "vec_id", "label", "v", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked == expected)
+    // sanity: no false positives above threshold among non-planted pairs
+    assert(!lsh.exists { case (a, b) => b - a != 1000 })
+  }
 }
