@@ -55,6 +55,7 @@ object ManifestIO {
     .optional(BINARY).as(stringType()).named("dvFile")
     .optional(INT64).named("dvCardinality")
     .required(INT64).named("schemaId")
+    .optional(BOOLEAN).named("secIndexed")
     .named("manifest_entry")
 
   def encode(entries: Seq[ManifestEntry]): Array[Byte] = {
@@ -90,6 +91,7 @@ object ManifestIO {
       e.file.dvFile.foreach(g.append("dvFile", _))
       e.file.dvCardinality.foreach(g.append("dvCardinality", _))
       g.append("schemaId", e.file.schemaId)
+      if (e.file.secIndexed) g.append("secIndexed", true)
       writer.write(g)
     } finally writer.close()
     out.toBytes
@@ -139,7 +141,9 @@ object ManifestIO {
         dvCardinality =
           if (g.getFieldRepetitionCount("dvCardinality") > 0)
             Some(g.getLong("dvCardinality", 0)) else None,
-        schemaId = g.getLong("schemaId", 0)))
+        schemaId = g.getLong("schemaId", 0),
+        secIndexed = g.getFieldRepetitionCount("secIndexed") > 0 &&
+          g.getBoolean("secIndexed", 0)))
   }
 
   private final class GroupReaderBuilder(file: InputFile)

@@ -88,7 +88,11 @@ object Meta {
       /** schema version the file was written under — old files are read
         * through the current schema by field-id mapping (reference:
         * SchemaEvolutionUtil / SimpleStatsEvolutions). */
-      schemaId: Long = 0L)
+      schemaId: Long = 0L,
+      /** true iff this file's values are covered by the global
+        * secondary index (index-sec/ sidecars) — files written before
+        * the index was enabled stay false and are never pruned by it. */
+      secIndexed: Boolean = false)
 
   /** Manifest entry: ADD or DELETE of one data file in one
     * (partition, bucket). Partition values are stringified. */
@@ -146,10 +150,18 @@ object Meta {
         * partition predicates stay prune-safe (reference: paimon-core
         * .../crosspartition/GlobalIndexAssigner.java:79,
         * IndexBootstrap.java). */
-      globalIndex: Option[Seq[String]] = None) {
+      globalIndex: Option[Seq[String]] = None,
+      /** global secondary (value → data-file) index sidecar parquet
+        * files (table-relative, under index-sec/) for the columns in
+        * `secondary-index.columns`: one bounded index read resolves an
+        * equality/IN predicate to the exact file set, instead of
+        * probing per-file sidecars O(files) times (reference role: the
+        * global btree/bitmap indexes of paimon's table-index layer). */
+      secIndex: Option[Seq[String]] = None) {
     /** every index sidecar this snapshot pins (GC/expiration guard) */
     def indexSidecars: Seq[String] =
-      dynIndex.getOrElse(Seq.empty) ++ globalIndex.getOrElse(Seq.empty)
+      dynIndex.getOrElse(Seq.empty) ++ globalIndex.getOrElse(Seq.empty) ++
+        secIndex.getOrElse(Seq.empty)
   }
 
   /** ANALYZE output: per-column table statistics (reference:

@@ -199,7 +199,9 @@ final class SnapshotManager(
         * None carries the list forward unchanged. */
       dynIndexUpdate: Option[Seq[String] => Seq[String]] = None,
       /** same, for the global cross-partition index file list. */
-      globalIndexUpdate: Option[Seq[String] => Seq[String]] = None): Long = {
+      globalIndexUpdate: Option[Seq[String] => Seq[String]] = None,
+      /** same, for the global secondary (value → file) index list. */
+      secIndexUpdate: Option[Seq[String] => Seq[String]] = None): Long = {
     val manifestName = writeManifest(entries)
     val deltaRows = entries.iterator
       .map(e => if (e.kind == "ADD") e.file.rowCount else -e.file.rowCount)
@@ -257,6 +259,12 @@ final class SnapshotManager(
             val next = f(latest.flatMap(_.globalIndex).getOrElse(Seq.empty))
             if (next.isEmpty) None else Some(next)
           case None => latest.flatMap(_.globalIndex)
+        },
+        secIndex = secIndexUpdate match {
+          case Some(f) =>
+            val next = f(latest.flatMap(_.secIndex).getOrElse(Seq.empty))
+            if (next.isEmpty) None else Some(next)
+          case None => latest.flatMap(_.secIndex)
         })
       if (io.tryCreateAtomic(snapshotPath(nextId), Json.write(snap))) {
         io.writeString(s"$snapshotDir/LATEST", nextId.toString)

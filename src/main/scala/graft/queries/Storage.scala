@@ -756,5 +756,25 @@ object Storage {
         .unionAll(t.scan(col("o_orderstatus") === "O")
           .select(col("o_orderkey"), col("o_orderstatus").as("status"),
             asDouble(col("o_totalprice")).as("price")))
+    },
+
+    // ---- global secondary (value → data-file) index: one bounded
+    // index read resolves the clerk predicate to the exact file set —
+    // the files interleave order keys so min/max stats can't separate
+    // them, and per-file sidecar probing would cost O(files) IO at
+    // scale where this is a single value-keyed lookup.
+    QDef(
+      "g35_secondary_index",
+      """SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+        |FROM orders
+        |WHERE o_custkey = (SELECT o_custkey FROM orders ORDER BY o_orderkey LIMIT 1)""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders")
+      val t = GraftTable.create(s, scratch("g35"), src.schema,
+        options = Map(GraftTable.SecIndexColumns -> "o_custkey"))
+      (0 until 3).foreach(i => t.write(src.filter(col("o_orderkey") % 3 === i)))
+      val cust = src.orderBy("o_orderkey").select("o_custkey").head.getLong(0)
+      t.scan(col("o_custkey") === cust)
+        .select(col("o_orderkey"),
+          asDouble(round(col("o_totalprice"), 2)).as("price"))
     })
 }

@@ -424,6 +424,211 @@ final class GraftTable private (
       .toSeq
   }
 
+  // ================= global secondary (value → file) index =================
+
+  /** Columns covered by the global secondary index (option
+    * `secondary-index.columns`). One bounded index read resolves an
+    * equality / IN / IS NULL predicate to the exact data-file set — at
+    * millions of files the per-file bloom/bitmap sidecars cost O(files)
+    * probe IO per query even when distributed, while this is a single
+    * value-keyed lookup (reference role: the global table indexes of
+    * the reference's index layer, vs its per-file file-index sidecars).
+    */
+  private def secIndexCols(sch: TableSchema): Seq[String] =
+    sch.options.get(GraftTable.SecIndexColumns)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+      .filter(c => sch.fields.exists(_.name == c) && !sch.partitionKeys.contains(c))
+
+  /** sidecar schema: (cid = stable FIELD ID — rename-safe, unlike the
+    * column name —, v = value cast to string, f = data-file basename) */
+  private val secIndexSchema = StructType(Seq(
+    StructField("cid", IntegerType, nullable = false),
+    StructField("v", StringType, nullable = true),
+    StructField("f", StringType, nullable = false)))
+
+  /** Index the new ADD entries' values and return (entries with
+    * `secIndexed` set, the snapshot's sidecar-list update). One Spark
+    * job over just the new files per commit; past the file-count
+    * trigger the whole index folds into a few range-sorted files
+    * (sorted by (cid, v): parquet row-group stats then give the folded
+    * index btree-like point/range locality), dropping dead files'
+    * rows. `liveAfter` is only forced on a fold. */
+  private def buildSecondaryIndex(
+      sch: TableSchema,
+      added: Seq[ManifestEntry],
+      liveAfter: => Set[String],
+      forceFold: Boolean = false): (Seq[ManifestEntry], Option[Seq[String] => Seq[String]]) = {
+    val cols = secIndexCols(sch)
+    if (cols.isEmpty) return (added, None)
+    val indexable = added.filter(e => e.kind == "ADD" &&
+      (e.file.fileName.endsWith(".parquet") || e.file.fileName.endsWith(".orc")))
+    if (indexable.isEmpty) return (added, None)
+    val prevFiles = sm.latestSnapshot().flatMap(_.secIndex).getOrElse(Seq.empty)
+    val trigger = sch.options
+      .getOrElse("secondary-index.compact-trigger", "32").toInt
+    val newRows = secIndexRows(sch, indexable, cols)
+    val update: Seq[String] => Seq[String] =
+      if (!forceFold && prevFiles.nonEmpty && prevFiles.size < trigger) {
+        val files = writeSecIndexFiles(newRows, parts = 1)
+        prev => prev ++ files
+      } else {
+        import spark.implicits._
+        // forceFold (full rebuild): newRows already covers every live
+        // file, prior sidecars would only duplicate rows
+        val prevRows =
+          if (prevFiles.isEmpty || forceFold) None
+          else Some(spark.read.schema(secIndexSchema)
+            .parquet(prevFiles.map(f => s"$path/$f"): _*))
+        val liveDf = liveAfter.toSeq.toDF("f")
+        val all = prevRows.map(_.unionAll(newRows)).getOrElse(newRows)
+          .join(liveDf, Seq("f"), "left_semi")
+          .select("cid", "v", "f")
+        val files = writeSecIndexFiles(all, parts = 4)
+        _ => files
+      }
+    val indexableNames = indexable.map(_.file.fileName).toSet
+    val marked = added.map { e =>
+      if (indexableNames.contains(e.file.fileName))
+        e.copy(file = e.file.copy(secIndexed = true))
+      else e
+    }
+    (marked, Some(update))
+  }
+
+  /** (cid, v, f) rows for the given files, grouped by (schema version,
+    * format) so historic files are read under their own schema and
+    * mapped to stable field ids. A column a file predates (schema
+    * evolution reads it as all-null) yields one (cid, NULL, f) row so
+    * IS NULL probes still hit the file. */
+  private def secIndexRows(
+      sch: TableSchema, entries: Seq[ManifestEntry], cols: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val colIds = cols.map(c => c -> sch.fields.find(_.name == c).get.id)
+    def fmtOf(name: String) = name.substring(name.lastIndexOf('.') + 1)
+    val groups = entries.groupBy(e => (e.file.schemaId, fmtOf(e.file.fileName)))
+      .toSeq.sortBy(_._1).map { case ((sid, fmt), es) =>
+        val fileSch = if (sid == sch.id) sch else schemaOf(sid)
+        val byId = fileSch.fields.map(f => f.id -> f).toMap
+        val (present, absent) = colIds.partition { case (_, id) => byId.contains(id) }
+        val paths = es.map(e => s"$path/${e.file.fileName}")
+        val nullRows =
+          if (absent.isEmpty) None
+          else Some(es.map(e => basename(e.file.fileName)).toDF("f")
+            .crossJoin(absent.map { case (_, id) => id }.toDF("cid"))
+            .select(col("cid"), lit(null).cast("string").as("v"), col("f")))
+        val valueRows =
+          if (present.isEmpty) None
+          else {
+            val fields = present.map { case (_, id) =>
+              val fd = byId(id)
+              StructField(fd.name, DataType.fromDDL(fd.dataType), fd.nullable)
+            }
+            val df = spark.read.format(fmt).schema(StructType(fields)).load(paths: _*)
+              .withColumn("__f", expr("element_at(split(_metadata.file_path, '/'), -1)"))
+            Some(present.map { case (_, id) =>
+              df.select(lit(id).as("cid"), col(byId(id).name).cast("string").as("v"),
+                col("__f").as("f"))
+            }.reduce(_ unionAll _))
+          }
+        (valueRows.toSeq ++ nullRows.toSeq).reduce(_ unionAll _)
+      }
+    groups.reduce(_ unionAll _).distinct()
+  }
+
+  private def writeSecIndexFiles(df: DataFrame, parts: Int): Seq[String] = {
+    val dir = s"index-sec/${UUID.randomUUID()}"
+    df.repartitionByRange(parts, col("cid"), col("v"))
+      .sortWithinPartitions("cid", "v")
+      .write.parquet(s"$path/$dir")
+    Files.walk(Paths.get(s"$path/$dir")).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(p => s"$dir/${p.getFileName}")
+      .toSeq
+  }
+
+  /** memoized per (sidecar list, probe set): repeated point queries on
+    * the same snapshot cost one index job total */
+  private val secHitCache = scala.collection.concurrent.TrieMap
+    .empty[(Seq[String], Seq[(Int, Option[Seq[String]])]), Seq[Set[String]]]
+
+  /** Shrink `entries` using the global secondary index: for each
+    * equality / IN / null-safe-equality / IS NULL conjunct on an
+    * indexed column, ONE bounded index read yields the hit-file set;
+    * a file marked `secIndexed` survives only if every such conjunct
+    * hits it. Files written before the index was enabled (or in a
+    * non-indexable format) are never pruned here. Fails open. */
+  private def secIndexPrune(
+      snap: Snapshot,
+      entries: Seq[ManifestEntry],
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Seq[ManifestEntry] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val files = snap.secIndex.getOrElse(Seq.empty)
+    if (files.isEmpty || entries.isEmpty || !entries.exists(_.file.secIndexed))
+      return entries
+    val sch = schema
+    val idOf: Map[String, Int] =
+      secIndexCols(sch).map(c => c -> sch.fields.find(_.name == c).get.id).toMap
+    val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
+    def str(l: Literal): Option[String] =
+      Option(Cast(l, StringType, tz).eval(null)).map(_.toString)
+    // (field id, Some(value strings) for = / IN, None for IS NULL)
+    val probes: Seq[(Int, Option[Seq[String]])] = splitConjuncts(cond).flatMap {
+      case EqualTo(a: AttributeReference, l: Literal) if idOf.contains(a.name) =>
+        str(l).map(s => idOf(a.name) -> Some(Seq(s)))
+      case EqualTo(l: Literal, a: AttributeReference) if idOf.contains(a.name) =>
+        str(l).map(s => idOf(a.name) -> Some(Seq(s)))
+      case EqualNullSafe(a: AttributeReference, l: Literal) if idOf.contains(a.name) =>
+        Some(str(l) match {
+          case Some(s) => idOf(a.name) -> Some(Seq(s))
+          case None => idOf(a.name) -> None // <=> NULL ≡ IS NULL
+        })
+      case EqualNullSafe(l: Literal, a: AttributeReference) if idOf.contains(a.name) =>
+        Some(str(l) match {
+          case Some(s) => idOf(a.name) -> Some(Seq(s))
+          case None => idOf(a.name) -> None
+        })
+      case In(a: AttributeReference, list)
+          if idOf.contains(a.name) && list.nonEmpty &&
+            list.forall(_.isInstanceOf[Literal]) =>
+        // NULL list elements never equal anything — drop them; an
+        // all-NULL list legitimately hits no file
+        Some(idOf(a.name) ->
+          Some(list.flatMap(l => str(l.asInstanceOf[Literal]))))
+      case IsNull(a: AttributeReference) if idOf.contains(a.name) =>
+        Some(idOf(a.name) -> None)
+      case _ => None
+    }
+    if (probes.isEmpty) return entries
+    try {
+      val hits = secHitCache.getOrElseUpdate((files, probes), {
+        if (secHitCache.size > 256) secHitCache.clear()
+        val idx = spark.read.schema(secIndexSchema)
+          .parquet(files.map(f => s"$path/$f"): _*)
+        def pred(p: (Int, Option[Seq[String]])): Column = p match {
+          case (cid, Some(vs)) => col("cid") === cid && col("v").isin(vs: _*)
+          case (cid, None) => col("cid") === cid && col("v").isNull
+        }
+        // ONE job answers every probe: only hit rows come back
+        val rows = idx.filter(probes.map(pred).reduce(_ || _))
+          .select("cid", "v", "f").distinct().collect()
+        probes.map { case (cid, vs) =>
+          rows.iterator.filter { r =>
+            r.getInt(0) == cid && (vs match {
+              case Some(set) => !r.isNullAt(1) && set.contains(r.getString(1))
+              case None => r.isNullAt(1)
+            })
+          }.map(_.getString(2)).toSet
+        }
+      })
+      entries.filter(e => !e.file.secIndexed ||
+        hits.forall(_.contains(basename(e.file.fileName))))
+    } catch { case ex: Exception =>
+      org.slf4j.LoggerFactory.getLogger("graft.GraftTable").warn(
+        s"secondary-index probe failed (keeping all candidates): $ex")
+      entries
+    }
+  }
+
   /** Write a (pk..., __bucket) frame as index sidecars; returns
     * table-relative paths. `parts` bounds the file count so the delta
     * list grows by one file per commit and a rewrite stays a few files
@@ -584,14 +789,20 @@ final class GraftTable private (
     val indexed = buildFileIndexes(sch, added)
     val deletes = deletesFor(indexed)
     val deletedNames = deletes.map(_.file.fileName).toSet
-    sm.commit(indexed ++ deletes, kind, sch.id, commitIdentifier,
+    val (secMarked, secUpdate) = buildSecondaryIndex(sch, indexed, {
+      val live = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+        .map(_.file.fileName).toSet
+      ((live -- deletedNames) ++ indexed.map(_.file.fileName)).map(basename)
+    })
+    sm.commit(secMarked ++ deletes, kind, sch.id, commitIdentifier,
       watermark = pendingWatermark,
       conflictCheck = latest =>
         deletedNames.isEmpty ||
           deletedNames.subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet),
       changelogManifest = changelogManifest,
       dynIndexUpdate = dynIndexUpdate,
-      globalIndexUpdate = globalIndexUpdate)
+      globalIndexUpdate = globalIndexUpdate,
+      secIndexUpdate = secUpdate)
   }
 
   /** Build per-file index sidecars (bloom + bitmap) for the configured
@@ -1316,17 +1527,23 @@ final class GraftTable private (
           .reduceOption(org.apache.spark.sql.catalyst.expressions.And.apply)
       }
     }
-    cond match {
+    // global secondary index first: one bounded lookup can collapse
+    // the candidate set before any per-file stats/sidecar evaluation
+    val candidates = cond match {
+      case Some(c) => secIndexPrune(snap, entries, c)
       case None => entries
-      case Some(c) if entries.size >= distributedPruneThreshold =>
-        pruneDistributed(entries, c, sch)
+    }
+    cond match {
+      case None => candidates
+      case Some(c) if candidates.size >= distributedPruneThreshold =>
+        pruneDistributed(candidates, c, sch)
       case Some(c) =>
         // fail-open on evaluator errors (a broken index sidecar must
         // never lose rows), but LOUDLY: log the first failure per
         // pruning pass so a degraded index doesn't silently turn into
         // full scans
         var loggedFailure = false
-        entries.filter { e =>
+        candidates.filter { e =>
           try PruneEval.keep(c, e, sch, schemaOf, path, sm.io, sidecarCaches)
           catch { case ex: Exception =>
             if (!loggedFailure) {
@@ -1645,13 +1862,18 @@ final class GraftTable private (
     if (entries.isEmpty) return None
     val sch = schema
     val stripped = entries.map(e =>
-      e.copy(kind = "ADD", file = e.file.copy(indexFiles = None)))
+      e.copy(kind = "ADD", file = e.file.copy(indexFiles = None, secIndexed = false)))
     val rebuilt = buildFileIndexes(sch, stripped)
+    // full secondary-index rebuild: onboards files written before the
+    // option was set (their secIndexed flag was false until now)
     val names = entries.map(_.file.fileName).toSet
-    Some(sm.commit(entries.map(_.copy(kind = "DELETE")) ++ rebuilt,
+    val (secMarked, secUpdate) = buildSecondaryIndex(sch, rebuilt,
+      names.map(basename), forceFold = true)
+    Some(sm.commit(entries.map(_.copy(kind = "DELETE")) ++ secMarked,
       KindOverwrite, sch.id,
       conflictCheck = latest =>
-        names.subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet)))
+        names.subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet),
+      secIndexUpdate = secUpdate))
   }
 
   /** Set (or remove, with null) a table option — a new schema version;
@@ -2377,6 +2599,10 @@ final class GraftTable private (
 }
 
 object GraftTable {
+
+  /** Option: comma-separated columns covered by the global secondary
+    * (value → data-file) index. */
+  val SecIndexColumns = "secondary-index.columns"
 
   /** Create a new table directory (fails if one exists). */
   def create(

@@ -1,0 +1,107 @@
+package graft
+
+import graft.table.GraftTable
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** Global secondary (value → data-file) index: one bounded index read
+  * resolves =/IN/IS NULL predicates to the exact file set, instead of
+  * O(files) per-file sidecar probes. */
+class SecondaryIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmp(): String = Files.createTempDirectory("graft-sec").toString + "/t"
+
+  private val sch = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("city", StringType, nullable = true)))
+
+  private def df(rows: (Long, String)*) =
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, sch)
+
+  test("equality / IN / IS NULL probes prune to exactly the hit files") {
+    val t = GraftTable.create(spark, tmp(), sch,
+      options = Map(GraftTable.SecIndexColumns -> "city"))
+    // every file's (min, max) range spans a..z, so min/max stats can
+    // prune NOTHING here — only the value-level index can
+    t.write(df((1L, "aa"), (2L, "mm"), (3L, "zz")).coalesce(1))
+    t.write(df((4L, "ab"), (5L, "mn"), (6L, "zy")).coalesce(1))
+    t.write(df((7L, "aa"), (8L, null), (9L, "zx")).coalesce(1))
+    assert(t.planEntries(lit(true)).size == 3)
+    // "aa" lives in files 1 and 3; stats would keep all 3
+    assert(t.planEntries(col("city") === "aa").size == 2)
+    assert(t.planEntries(col("city") === "mn").size == 1)
+    // inside every file's range but present in none
+    assert(t.planEntries(col("city") === "mx").isEmpty)
+    // IN
+    assert(t.planEntries(col("city").isin("mm", "zy")).size == 2)
+    // IS NULL: only the third file has nulls
+    assert(t.planEntries(col("city").isNull).size == 1)
+    // correctness end-to-end
+    assert(t.scan(col("city") === "aa").count() == 2)
+    assert(t.scan(col("city").isNull).count() == 1)
+  }
+
+  test("files written before the index exist are never pruned by it") {
+    val p = tmp()
+    val t0 = GraftTable.create(spark, p, sch)
+    t0.write(df((1L, "tokyo"))) // pre-index file
+    t0.setOption(GraftTable.SecIndexColumns, "city")
+    val t = GraftTable.load(spark, p)
+    t.write(df((2L, "osaka")))
+    // "tokyo" only exists in the uncovered file: the index must not
+    // prune it even though it has no index rows
+    val hits = t.planEntries(col("city") === "tokyo")
+    assert(hits.size == 1 && !hits.head.file.secIndexed)
+    assert(t.scan(col("city") === "tokyo").count() == 1)
+    // rewrite_file_index onboards the old file
+    t.rewriteFileIndex()
+    val after = GraftTable.load(spark, p)
+    assert(after.planEntries(lit(true)).forall(_.file.secIndexed))
+    assert(after.planEntries(col("city") === "tokyo").size == 1)
+    assert(after.planEntries(col("city") === "nowhere").isEmpty)
+    assert(after.scan(col("city") === "tokyo").count() == 1)
+  }
+
+  test("index folds past the trigger and stays correct") {
+    val t = GraftTable.create(spark, tmp(), sch,
+      options = Map(GraftTable.SecIndexColumns -> "city",
+        "secondary-index.compact-trigger" -> "3"))
+    (0 until 6).foreach(i => t.write(df((i.toLong, s"c$i"))))
+    val sidecars = t.sm.latestSnapshot().get.secIndex.get
+    assert(sidecars.size <= 5, s"expected folded sidecar list, got $sidecars")
+    (0 until 6).foreach { i =>
+      assert(t.planEntries(col("city") === s"c$i").size == 1, s"c$i")
+    }
+    // compaction rewrites files; outputs are re-indexed at commit and
+    // stale rows for dead files cannot resurrect them
+    t.compact()
+    val tc = GraftTable.load(spark, t.path)
+    assert(tc.planEntries(col("city") === "c3").size == 1)
+    assert(tc.scan(col("city") === "c3").count() == 1)
+  }
+
+  test("renamed column keeps pruning via stable field ids") {
+    val p = tmp()
+    val t = GraftTable.create(spark, p, sch,
+      options = Map(GraftTable.SecIndexColumns -> "city"))
+    t.write(df((1L, "tokyo")))
+    t.renameColumn("city", "town")
+    val t2 = GraftTable.load(spark, p)
+    t2.setOption(GraftTable.SecIndexColumns, "town")
+    val t3 = GraftTable.load(spark, p)
+    t3.write(df((2L, "osaka")).withColumnRenamed("city", "town"))
+    assert(t3.planEntries(col("town") === "tokyo").size == 1)
+    assert(t3.planEntries(col("town") === "nowhere").isEmpty)
+    assert(t3.scan(col("town") === "tokyo").count() == 1)
+  }
+}
