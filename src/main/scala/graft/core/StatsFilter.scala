@@ -92,8 +92,138 @@ object StatsFilter {
       f.stats.get(a.name).forall(_.nullCount > 0)
     case IsNotNull(a: AttributeReference) =>
       f.stats.get(a.name).forall(st => st.nullCount < f.rowCount || st.min.isDefined)
+    // ---- monotonic field transforms: `g(c) op lit` prunes against
+    // (g(min), g(max)) — year(d) >= 2024, date_trunc, widening date/
+    // timestamp casts, ± literal arithmetic (reference: the transform-
+    // aware predicates of the reference's predicate layer, e.g.
+    // CastTransform / trunc partition-expressions)
+    case EqualTo(g @ Mono(a), r) if r.foldable =>
+      monoRange(a, g, f).forall { case (lo, hi) =>
+        val rv = r.eval()
+        rv == null || (ord(g.dataType, rv, lo).forall(_ >= 0) &&
+          ord(g.dataType, rv, hi).forall(_ <= 0))
+      }
+    case EqualTo(r, g @ Mono(a)) if r.foldable => eval(EqualTo(g, r), f)
+    case GreaterThan(g @ Mono(a), r) if r.foldable =>
+      monoRange(a, g, f).forall { case (_, hi) =>
+        val rv = r.eval(); rv == null || ord(g.dataType, rv, hi).forall(_ < 0) }
+    case GreaterThanOrEqual(g @ Mono(a), r) if r.foldable =>
+      monoRange(a, g, f).forall { case (_, hi) =>
+        val rv = r.eval(); rv == null || ord(g.dataType, rv, hi).forall(_ <= 0) }
+    case LessThan(g @ Mono(a), r) if r.foldable =>
+      monoRange(a, g, f).forall { case (lo, _) =>
+        val rv = r.eval(); rv == null || ord(g.dataType, rv, lo).forall(_ > 0) }
+    case LessThanOrEqual(g @ Mono(a), r) if r.foldable =>
+      monoRange(a, g, f).forall { case (lo, _) =>
+        val rv = r.eval(); rv == null || ord(g.dataType, rv, lo).forall(_ >= 0) }
+    case GreaterThan(r, g @ Mono(_)) if r.foldable => eval(LessThan(g, r), f)
+    case GreaterThanOrEqual(r, g @ Mono(_)) if r.foldable => eval(LessThanOrEqual(g, r), f)
+    case LessThan(r, g @ Mono(_)) if r.foldable => eval(GreaterThan(g, r), f)
+    case LessThanOrEqual(r, g @ Mono(_)) if r.foldable => eval(GreaterThanOrEqual(g, r), f)
+    case In(g @ Mono(a), list) if list.forall(_.foldable) =>
+      monoRange(a, g, f).forall { case (lo, hi) =>
+        list.exists { r =>
+          val rv = r.eval()
+          rv == null || (ord(g.dataType, rv, lo).forall(_ >= 0) &&
+            ord(g.dataType, rv, hi).forall(_ <= 0))
+        }
+      }
     case _ => true // unsupported shape: cannot skip
   }
+
+  /** A chain of order-monotonic nodes (either direction) over exactly
+    * one attribute: composition of monotones is monotone, and the
+    * endpoints are SORTED after evaluation, so decreasing chains (e.g.
+    * `10 - c`) need no polarity tracking. Arithmetic is admitted only
+    * in ANSI/TRY eval mode — ANSI overflow throws and TRY yields null
+    * (both land on "might match"), while LEGACY silently wraps, which
+    * would break monotonicity and prune wrongly. */
+  private object Mono {
+    def unapply(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference => Some(a)
+      case Cast(c, dt, _, _) if monoCast(c.dataType, dt) => unapply(c)
+      case Year(c) => unapply(c)
+      case TruncDate(c, fmt) if fmt.foldable => unapply(c)
+      case TruncTimestamp(fmt, c, _) if fmt.foldable => unapply(c)
+      case DateAdd(c, d) if d.foldable => unapply(c)
+      case DateSub(c, d) if d.foldable => unapply(c)
+      case Add(l, r, m) if m != EvalMode.LEGACY && r.foldable => unapply(l)
+      case Add(l, r, m) if m != EvalMode.LEGACY && l.foldable => unapply(r)
+      case Subtract(l, r, m) if m != EvalMode.LEGACY && r.foldable => unapply(l)
+      case Subtract(l, r, m) if m != EvalMode.LEGACY && l.foldable => unapply(r)
+      case Multiply(l, r, m) if m != EvalMode.LEGACY && r.foldable => unapply(l)
+      case Multiply(l, r, m) if m != EvalMode.LEGACY && l.foldable => unapply(r)
+      case UnaryMinus(c, _) => unapply(c)
+      case _ => None
+    }
+    /** casts that preserve order beyond the numeric widenings the
+      * AttrMaybeCast fast path already covers */
+    private def monoCast(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType | FloatType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
+      case (IntegerType, LongType | FloatType | DoubleType) => true
+      case (LongType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (DateType, TimestampType | TimestampNTZType) => true
+      case (TimestampType, DateType) => true
+      case (TimestampNTZType, DateType) => true
+      case _ => false
+    }
+  }
+
+  /** [min, max] of a monotonic transform over the file's stat range. */
+  private def monoRange(
+      a: AttributeReference, g: Expression, f: DataFileMeta): Option[(Any, Any)] =
+    for {
+      mnmx <- range(a.name, f)
+      mn <- statInternal(mnmx._1, a.dataType)
+      mx <- statInternal(mnmx._2, a.dataType)
+      gmn <- evalAt(g, a, mn)
+      gmx <- evalAt(g, a, mx)
+      c <- ord(g.dataType, gmn, gmx)
+    } yield if (c <= 0) (gmn, gmx) else (gmx, gmn)
+
+  /** evaluate g with the attribute bound to an internal value; any
+    * eval failure (ANSI overflow, bad unit, ...) → None → might match */
+  private def evalAt(
+      g: Expression, a: AttributeReference, v: Any): Option[Any] =
+    try {
+      val bound = g.transformUp {
+        case ar: AttributeReference if ar.exprId == a.exprId =>
+          Literal(v, ar.dataType)
+      }
+      Option(bound.eval(null))
+    } catch { case _: Exception => None }
+
+  /** parse a stringified stat into the column's internal value */
+  private def statInternal(stat: String, dt: DataType): Option[Any] = try {
+    dt match {
+      case ByteType => Some(stat.toByte)
+      case ShortType => Some(stat.toShort)
+      case IntegerType => Some(stat.toInt)
+      case LongType => Some(stat.toLong)
+      case DateType => Some(stat.toInt) // days since epoch
+      case TimestampType | TimestampNTZType => Some(stat.toLong) // micros
+      case _: TimeType => Some(stat.toLong) // nanos-of-day
+      case FloatType => Some(stat.toFloat)
+      case DoubleType => Some(stat.toDouble)
+      case d: DecimalType =>
+        Some(org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(stat), d.precision, d.scale))
+      case StringType =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(stat))
+      case BooleanType => Some(stat.toBoolean)
+      case _ => None
+    }
+  } catch { case _: Exception => None }
+
+  /** compare two internal values; None = not comparable → might match */
+  private def ord(dt: DataType, x: Any, y: Any): Option[Int] =
+    if (x == null || y == null) None
+    else try {
+      Some(org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(dt).asInstanceOf[Ordering[Any]].compare(x, y))
+    } catch { case _: Exception => None }
 
   /** p-prefixed strings all sort >= p and share p's first chars. */
   private def prefixMightMatch(

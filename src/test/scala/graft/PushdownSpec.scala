@@ -405,4 +405,33 @@ class PushdownSpec extends AnyFunSuite {
     assert(t.scan(col("v") === "val_7777").count() == 1)
     assert(t.scan(col("v") === "nope").count() == 0)
   }
+
+  test("monotonic field transforms prune against transformed stat ranges") {
+    val s2 = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("d", DateType, nullable = false)))
+    val t = GraftTable.create(spark, tmp(), s2)
+    def rows(y: Int, k0: Long) = spark.createDataFrame(
+      (0 until 10).map(i =>
+        Row(k0 + i, java.sql.Date.valueOf(s"$y-0${i % 9 + 1}-15"))).asJava, s2)
+      .coalesce(1)
+    t.write(rows(2019, 0L))
+    t.write(rows(2020, 10L))
+    t.write(rows(2021, 20L))
+    assert(t.planEntries(lit(true)).size == 3)
+    // year() over the date range
+    assert(t.planEntries(year(col("d")) === 2020).size == 1)
+    assert(t.planEntries(year(col("d")) >= 2021).size == 1)
+    assert(t.planEntries(year(col("d")) === 1999).isEmpty)
+    // trunc to year start
+    assert(t.planEntries(
+      trunc(col("d"), "year") === lit(java.sql.Date.valueOf("2020-01-01"))).size == 1)
+    // literal arithmetic, including a decreasing chain
+    assert(t.planEntries(col("k") + 10L > 25L).size == 2)
+    assert(t.planEntries(lit(100L) - col("k") < 85L).size == 2)
+    assert(t.planEntries(-col("k") > -5L).size == 1)
+    // results stay correct end-to-end
+    assert(t.scan(year(col("d")) === 2020).count() == 10)
+    assert(t.scan(lit(100L) - col("k") < 85L).count() == 14)
+  }
 }
