@@ -108,6 +108,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "audit_log" => () => gt.auditLog
         case "binlog" => () => gt.systemBinlog
         case "buckets" => () => gt.systemBuckets
+        case "indexes" => () => gt.systemIndexes
         case _ =>
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
       }

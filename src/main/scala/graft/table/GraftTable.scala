@@ -526,8 +526,19 @@ final class GraftTable private (
             val df = spark.read.format(fmt).schema(StructType(fields)).load(paths: _*)
               .withColumn("__f", expr("element_at(split(_metadata.file_path, '/'), -1)"))
             Some(present.map { case (_, id) =>
-              df.select(lit(id).as("cid"), col(byId(id).name).cast("string").as("v"),
-                col("__f").as("f"))
+              val fd = byId(id)
+              // numeric values canonicalize through DOUBLE so the
+              // stored strings survive widenColumn (int "5" vs double
+              // "5.0" would otherwise wrongly prune after a widen);
+              // double rounding can only ADD hits, never lose a match
+              // + 0.0 folds IEEE -0.0 into 0.0 (Spark compares them
+              // equal, so their canonical strings must agree too)
+              val vc =
+                if (DataType.fromDDL(fd.dataType)
+                  .isInstanceOf[org.apache.spark.sql.types.NumericType])
+                  (col(fd.name).cast("double") + lit(0.0)).cast("string")
+                else col(fd.name).cast("string")
+              df.select(lit(id).as("cid"), vc.as("v"), col("__f").as("f"))
             }.reduce(_ unionAll _))
           }
         (valueRows.toSeq ++ nullRows.toSeq).reduce(_ unionAll _)
@@ -549,7 +560,7 @@ final class GraftTable private (
   /** memoized per (sidecar list, probe set): repeated point queries on
     * the same snapshot cost one index job total */
   private val secHitCache = scala.collection.concurrent.TrieMap
-    .empty[(Seq[String], Seq[(Int, Option[Seq[String]])]), Seq[Set[String]]]
+    .empty[(Seq[String], Seq[GraftTable.SecProbe]), Seq[Set[String]]]
 
   /** Shrink `entries` using the global secondary index: for each
     * equality / IN / null-safe-equality / IS NULL conjunct on an
@@ -569,53 +580,110 @@ final class GraftTable private (
     val idOf: Map[String, Int] =
       secIndexCols(sch).map(c => c -> sch.fields.find(_.name == c).get.id).toMap
     val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
-    def str(l: Literal): Option[String] =
-      Option(Cast(l, StringType, tz).eval(null)).map(_.toString)
-    // (field id, Some(value strings) for = / IN, None for IS NULL)
-    val probes: Seq[(Int, Option[Seq[String]])] = splitConjuncts(cond).flatMap {
+    def str(l: Literal): Option[String] = {
+      // same canonicalization as the build side: numeric → double →
+      // string, everything else → string
+      val c =
+        if (l.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+          Cast(Add(Cast(l, DoubleType, tz), Literal(0.0d)), StringType, tz)
+        else Cast(l, StringType, tz)
+      Option(c.eval(null)).map(_.toString)
+    }
+    import GraftTable.{SecEq, SecNull, SecProbe, SecRange}
+    // range probes only make sense on numeric columns (canonical
+    // double encoding); bounds widened one ulp to absorb the rounding
+    // of >2^53 integrals — over-inclusive, never lossy
+    def numCol(a: AttributeReference): Boolean =
+      idOf.contains(a.name) &&
+        a.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def dbl(l: Literal): Option[Double] =
+      Option(Cast(l, DoubleType, tz).eval(null)).map(_.asInstanceOf[Double])
+    def rangeOf(a: AttributeReference, l: Literal, lower: Boolean): Seq[SecProbe] =
+      if (!numCol(a)) Seq.empty
+      else dbl(l).toSeq.map { d =>
+        if (lower) SecRange(idOf(a.name), Math.nextDown(d), Double.PositiveInfinity)
+        else SecRange(idOf(a.name), Double.NegativeInfinity, Math.nextUp(d))
+      }
+    val probes: Seq[SecProbe] = splitConjuncts(cond).flatMap {
       case EqualTo(a: AttributeReference, l: Literal) if idOf.contains(a.name) =>
-        str(l).map(s => idOf(a.name) -> Some(Seq(s)))
+        str(l).map(s => SecEq(idOf(a.name), Seq(s)))
       case EqualTo(l: Literal, a: AttributeReference) if idOf.contains(a.name) =>
-        str(l).map(s => idOf(a.name) -> Some(Seq(s)))
+        str(l).map(s => SecEq(idOf(a.name), Seq(s)))
       case EqualNullSafe(a: AttributeReference, l: Literal) if idOf.contains(a.name) =>
         Some(str(l) match {
-          case Some(s) => idOf(a.name) -> Some(Seq(s))
-          case None => idOf(a.name) -> None // <=> NULL ≡ IS NULL
+          case Some(s) => SecEq(idOf(a.name), Seq(s))
+          case None => SecNull(idOf(a.name)) // <=> NULL ≡ IS NULL
         })
       case EqualNullSafe(l: Literal, a: AttributeReference) if idOf.contains(a.name) =>
         Some(str(l) match {
-          case Some(s) => idOf(a.name) -> Some(Seq(s))
-          case None => idOf(a.name) -> None
+          case Some(s) => SecEq(idOf(a.name), Seq(s))
+          case None => SecNull(idOf(a.name))
         })
       case In(a: AttributeReference, list)
           if idOf.contains(a.name) && list.nonEmpty &&
             list.forall(_.isInstanceOf[Literal]) =>
         // NULL list elements never equal anything — drop them; an
         // all-NULL list legitimately hits no file
-        Some(idOf(a.name) ->
-          Some(list.flatMap(l => str(l.asInstanceOf[Literal]))))
+        Some(SecEq(idOf(a.name),
+          list.flatMap(l => str(l.asInstanceOf[Literal]))))
       case IsNull(a: AttributeReference) if idOf.contains(a.name) =>
-        Some(idOf(a.name) -> None)
+        Some(SecNull(idOf(a.name)))
+      // numeric ranges ride the canonical double encoding: the folded
+      // index is (cid, v)-sorted, so parquet row-group stats give the
+      // probe btree-like locality
+      case GreaterThan(a: AttributeReference, l: Literal) => rangeOf(a, l, lower = true)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => rangeOf(a, l, lower = true)
+      case LessThan(a: AttributeReference, l: Literal) => rangeOf(a, l, lower = false)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => rangeOf(a, l, lower = false)
+      case GreaterThan(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = false)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = false)
+      case LessThan(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = true)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = true)
       case _ => None
     }
-    if (probes.isEmpty) return entries
+    // range conjuncts on one column intersect into a single probe
+    // BEFORE evaluation (same as BsiIndex): `c >= 10 AND c <= 40`
+    // must find a value inside [10, 40] — probing the bounds
+    // independently would accept any file with one value on each side
+    val (rawRanges, pointProbes) = probes.partition(_.isInstanceOf[SecRange])
+    val mergedRanges = rawRanges.collect { case r: SecRange => r }
+      .groupBy(_.cid).toSeq.sortBy(_._1)
+      .map { case (cid, rs) => SecRange(cid, rs.map(_.lo).max, rs.map(_.hi).min) }
+    val allProbes = pointProbes ++ mergedRanges
+    if (allProbes.isEmpty) return entries
     try {
-      val hits = secHitCache.getOrElseUpdate((files, probes), {
+      val hits = secHitCache.getOrElseUpdate((files, allProbes), {
         if (secHitCache.size > 256) secHitCache.clear()
         val idx = spark.read.schema(secIndexSchema)
           .parquet(files.map(f => s"$path/$f"): _*)
-        def pred(p: (Int, Option[Seq[String]])): Column = p match {
-          case (cid, Some(vs)) => col("cid") === cid && col("v").isin(vs: _*)
-          case (cid, None) => col("cid") === cid && col("v").isNull
+        def pred(p: SecProbe): Column = p match {
+          case SecEq(cid, vs) => col("cid") === cid && col("v").isin(vs: _*)
+          case SecNull(cid) => col("cid") === cid && col("v").isNull
+          case SecRange(cid, lo, hi) =>
+            // Spark double semantics order NaN above everything: a
+            // stored "NaN" must hit lower-bounded probes (c > lit is
+            // true for NaN) and miss upper-bounded ones
+            val vd = col("v").cast("double")
+            val inRange =
+              if (hi.isPosInfinity) vd >= lo || vd.isNaN
+              else vd >= lo && vd <= hi
+            col("cid") === cid && col("v").isNotNull && inRange
         }
         // ONE job answers every probe: only hit rows come back
-        val rows = idx.filter(probes.map(pred).reduce(_ || _))
+        val rows = idx.filter(allProbes.map(pred).reduce(_ || _))
           .select("cid", "v", "f").distinct().collect()
-        probes.map { case (cid, vs) =>
+        allProbes.map { p =>
           rows.iterator.filter { r =>
-            r.getInt(0) == cid && (vs match {
-              case Some(set) => !r.isNullAt(1) && set.contains(r.getString(1))
-              case None => r.isNullAt(1)
+            r.getInt(0) == p.cid && (p match {
+              case SecEq(_, vs) => !r.isNullAt(1) && vs.contains(r.getString(1))
+              case SecNull(_) => r.isNullAt(1)
+              case SecRange(_, lo, hi) =>
+                !r.isNullAt(1) && {
+                  val d = try r.getString(1).toDouble catch { case _: Exception => Double.NaN }
+                  // mirror Spark's NaN-largest ordering
+                  if (d.isNaN) hi.isPosInfinity
+                  else d >= lo && d <= hi
+                }
             })
           }.map(_.getString(2)).toSet
         }
@@ -2596,6 +2664,30 @@ final class GraftTable private (
           sm.io.readString(s"$dir/$c").trim.toLong)
       }.toDF("consumer_id", "next_snapshot")
   }
+
+  /** `$indexes`: every index structure the latest snapshot pins —
+    * snapshot-level sidecars (dynamic-bucket, cross-partition global,
+    * global secondary) and per-file bloom/bitmap/bsi sidecars
+    * (reference role: table/system/TableIndexesTable). */
+  def systemIndexes: DataFrame = {
+    import spark.implicits._
+    val snap = sm.latestSnapshot()
+    def sized(kind: String, files: Seq[String]) = files.map { f =>
+      val sz = try Files.size(Paths.get(s"$path/$f")) catch { case _: Exception => -1L }
+      (kind, f, sz)
+    }
+    val snapLevel = snap.toSeq.flatMap { s =>
+      sized("dynamic-bucket", s.dynIndex.getOrElse(Seq.empty)) ++
+        sized("global-cross-partition", s.globalIndex.getOrElse(Seq.empty)) ++
+        sized("global-secondary", s.secIndex.getOrElse(Seq.empty))
+    }
+    val perFile = snap.map(sm.liveEntries).getOrElse(Seq.empty)
+      .flatMap(e => e.file.indexFiles.getOrElse(Map.empty).map { case (c, p) =>
+        val kind = p.substring(p.lastIndexOf('.') + 1) // bloom | bitmap | bsi
+        sized(s"file-$kind($c)", Seq(p)).head
+      })
+    (snapLevel ++ perFile).toDF("index_type", "path", "file_size")
+  }
 }
 
 object GraftTable {
@@ -2603,6 +2695,14 @@ object GraftTable {
   /** Option: comma-separated columns covered by the global secondary
     * (value → data-file) index. */
   val SecIndexColumns = "secondary-index.columns"
+
+  /** One secondary-index lookup: equality/IN over canonical value
+    * strings, IS NULL, or a numeric range over the canonical double
+    * encoding (bounds pre-widened one ulp by the caller). */
+  private[table] sealed trait SecProbe { def cid: Int }
+  private[table] case class SecEq(cid: Int, vals: Seq[String]) extends SecProbe
+  private[table] case class SecNull(cid: Int) extends SecProbe
+  private[table] case class SecRange(cid: Int, lo: Double, hi: Double) extends SecProbe
 
   /** Create a new table directory (fails if one exists). */
   def create(

@@ -88,6 +88,52 @@ class SecondaryIndexSpec extends AnyFunSuite {
     val tc = GraftTable.load(spark, t.path)
     assert(tc.planEntries(col("city") === "c3").size == 1)
     assert(tc.scan(col("city") === "c3").count() == 1)
+    // $indexes lists the sidecars with real sizes
+    val idxRows = tc.systemIndexes.collect()
+    assert(idxRows.nonEmpty &&
+      idxRows.forall(r => r.getString(0) == "global-secondary" && r.getLong(2) > 0))
+  }
+
+  test("numeric range probes refute ranges stats cannot") {
+    val s2 = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n", LongType, nullable = true)))
+    val t = GraftTable.create(spark, tmp(), s2,
+      options = Map(GraftTable.SecIndexColumns -> "n"))
+    def w(vals: Long*) = t.write(spark.createDataFrame(
+      vals.zipWithIndex.map { case (v, i) =>
+        Row(i.toLong, java.lang.Long.valueOf(v)) }.asJava, s2).coalesce(1))
+    // every file's (min, max) span covers [10, 40], but no file holds
+    // a value inside it — min/max stats keep all three, the index none
+    w(1L, 100L); w(5L, 60L); w(2L, 99L)
+    assert(t.planEntries(col("n") >= 10L && col("n") <= 40L).isEmpty)
+    assert(t.planEntries(col("n") > 60L).size == 2)
+    assert(t.planEntries(col("n") < 2L).size == 1)
+    assert(t.planEntries(col("n") >= 99L).size == 2)
+    assert(t.scan(col("n") >= 10L && col("n") <= 40L).count() == 0)
+    assert(t.scan(col("n") >= 99L).count() == 2)
+  }
+
+  test("widened numeric column keeps matching via canonical values") {
+    val s2 = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n", IntegerType, nullable = true)))
+    val p = tmp()
+    val t = GraftTable.create(spark, p, s2,
+      options = Map(GraftTable.SecIndexColumns -> "n"))
+    t.write(spark.createDataFrame(
+      Seq(Row(1L, Integer.valueOf(5)), Row(2L, Integer.valueOf(7))).asJava, s2)
+      .coalesce(1))
+    t.widenColumn("n", DoubleType)
+    val t2 = GraftTable.load(spark, p)
+    t2.write(spark.createDataFrame(
+      Seq(Row(3L, java.lang.Double.valueOf(5.0))).asJava,
+      StructType(Seq(StructField("k", LongType, nullable = false),
+        StructField("n", DoubleType, nullable = true)))).coalesce(1))
+    // the int-era file must still hit for the double-typed literal
+    assert(t2.planEntries(col("n") === 5.0d).size == 2)
+    assert(t2.planEntries(col("n") === 9.5d).isEmpty)
+    assert(t2.scan(col("n") === 5.0d).count() == 2)
   }
 
   test("renamed column keeps pruning via stable field ids") {
