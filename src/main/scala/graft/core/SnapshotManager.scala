@@ -164,6 +164,32 @@ final class SnapshotManager(
     live.values.toSeq
   }
 
+  /** Explicitly fold the latest snapshot's manifest list into ONE
+    * rebased manifest, without touching data — a metadata-only commit
+    * (reference: CompactManifestProcedure). No-op when already folded.
+    * The new snapshot carries no delta manifest: incremental readers
+    * and streams see an empty batch, not re-delivered rows. */
+  def compactManifests(): Option[Long] = {
+    val latest = latestSnapshot().getOrElse(return None)
+    val manifests = readManifestList(latest.manifestList)
+    if (manifests.size <= 1) return None
+    val listName = writeManifestList(Seq(writeManifest(foldEntries(manifests))))
+    val snap = latest.copy(
+      id = latest.id + 1,
+      commitKind = "COMPACT",
+      commitIdentifier = -1L,
+      timeMillis = System.currentTimeMillis(),
+      manifestList = listName,
+      deltaManifest = None,
+      changelogManifest = None,
+      deltaRecordCount = 0L,
+      baseSnapshotId = Some(latest.id))
+    if (io.tryCreateAtomic(snapshotPath(snap.id), Json.write(snap))) {
+      io.writeString(s"$snapshotDir/LATEST", snap.id.toString)
+      Some(snap.id)
+    } else None // lost the CAS to a concurrent writer: caller may retry
+  }
+
   /** Manifest-list size that triggers a merge at commit time
     * (reference: CoreOptions manifest.merge-min-count +
     * ManifestFileMerger.merge — without this, planning metadata grows

@@ -89,6 +89,70 @@ object GraftProcedures {
           .createOrReplaceTempView(v)
         s"view $v"
       }),
+    "compact_manifest" -> (Seq(p("table", StringType)), (t, _) =>
+      t.sm.compactManifests()
+        .map(id => s"compacted manifests -> snapshot $id").getOrElse("no-op")),
+    "reset_consumer" -> (Seq(
+      p("table", StringType), p("consumer", StringType), p("next_snapshot", LongType)),
+      (t, args) => {
+        t.sm.io.writeString(
+          s"${t.path}/consumer/consumer-${args.getUTF8String(1).toString}",
+          args.getLong(2).toString)
+        "ok"
+      }),
+    "clear_consumers" -> (Seq(p("table", StringType)), (t, _) => {
+      val cs = t.sm.io.list(s"${t.path}/consumer")
+        .filter(_.split('/').last.startsWith("consumer-"))
+      cs.foreach(t.sm.io.delete)
+      s"cleared ${cs.size} consumers"
+    }),
+    "create_tag_from_timestamp" -> (Seq(
+      p("table", StringType), p("tag", StringType), p("timestamp_millis", LongType)),
+      (t, args) => {
+        val ms = args.getLong(2)
+        val id = t.sm.snapshotIds.map(t.sm.snapshot)
+          .filter(_.timeMillis <= ms).map(_.id).maxOption
+          .getOrElse(throw new IllegalArgumentException(
+            s"no snapshot at or before $ms"))
+        t.sm.createTag(args.getUTF8String(1).toString, id)
+        s"tag -> snapshot $id"
+      }),
+    "expire_tags" -> (Seq(p("table", StringType), p("older_than_millis", LongType)),
+      (t, args) => {
+        val cutoff = args.getLong(1)
+        val victims = t.sm.tags.filter { case (_, sid) =>
+          try t.sm.snapshot(sid).timeMillis < cutoff
+          catch { case _: Exception => false }
+        }
+        victims.keys.foreach(t.sm.deleteTag)
+        s"expired ${victims.size} tags"
+      }),
+    // global secondary index lifecycle (reference:
+    // CreateGlobalIndexProcedure / DropGlobalIndexProcedure): create
+    // appends the column to secondary-index.columns and rebuilds so
+    // existing files are covered; drop stops probing the column (its
+    // rows age out at the next index fold).
+    "create_global_index" -> (Seq(p("table", StringType), p("column", StringType)),
+      (t, args) => {
+        val c = args.getUTF8String(1).toString
+        val cur = t.schema.options.get(GraftTable.SecIndexColumns)
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        if (!cur.contains(c))
+          t.setOption(GraftTable.SecIndexColumns, (cur :+ c).mkString(","))
+        t.rewriteFileIndex()
+          .map(id => s"indexed $c -> snapshot $id").getOrElse("empty table")
+      }),
+    "drop_global_index" -> (Seq(p("table", StringType), p("column", StringType)),
+      (t, args) => {
+        val c = args.getUTF8String(1).toString
+        val rest = t.schema.options.get(GraftTable.SecIndexColumns)
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty).filterNot(_ == c)
+        t.setOption(GraftTable.SecIndexColumns,
+          if (rest.isEmpty) null else rest.mkString(","))
+        "ok"
+      }),
     "incremental_between_timestamp" -> (Seq(
       p("table", StringType), p("from_millis", LongType),
       p("to_millis", LongType), p("view", StringType)),

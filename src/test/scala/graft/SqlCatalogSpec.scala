@@ -273,6 +273,44 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM graft.dbp.`t$statistics`").count() > 0)
   }
 
+  test("CALL sys.* lifecycle procedures: manifests, consumers, tags, indexes") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbp2")
+    spark.sql("CREATE TABLE graft.dbp2.t (k BIGINT, city STRING)")
+    (0 until 3).foreach(i =>
+      spark.sql(s"INSERT INTO graft.dbp2.t VALUES ($i, 'c$i')"))
+    // compact_manifest folds the list without touching data
+    val cm = spark.sql("CALL graft.sys.compact_manifest('dbp2.t')").head.getString(0)
+    assert(cm.contains("snapshot"), cm)
+    assert(spark.sql("SELECT * FROM graft.dbp2.`t$manifests`").count() == 1)
+    assert(spark.sql("SELECT count(*) FROM graft.dbp2.t").head.getLong(0) == 3L)
+    // consumer lifecycle
+    spark.sql("CALL graft.sys.reset_consumer('dbp2.t', 'job1', 2)")
+    assert(spark.sql("SELECT * FROM graft.dbp2.`t$consumers`")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet == Set(("job1", 2L)))
+    val cc = spark.sql("CALL graft.sys.clear_consumers('dbp2.t')").head.getString(0)
+    assert(cc == "cleared 1 consumers", cc)
+    assert(spark.sql("SELECT * FROM graft.dbp2.`t$consumers`").count() == 0)
+    // timestamp tags + expiry
+    spark.sql(
+      s"CALL graft.sys.create_tag_from_timestamp('dbp2.t', 'tts', ${System.currentTimeMillis()})")
+    assert(spark.sql("SELECT * FROM graft.dbp2.`t$tags`").count() == 1)
+    val et = spark.sql(
+      s"CALL graft.sys.expire_tags('dbp2.t', ${System.currentTimeMillis() + 1000})")
+      .head.getString(0)
+    assert(et == "expired 1 tags", et)
+    // secondary-index lifecycle: create covers existing files
+    val ci = spark.sql("CALL graft.sys.create_global_index('dbp2.t', 'city')")
+      .head.getString(0)
+    assert(ci.contains("indexed city"), ci)
+    assert(spark.sql("SELECT * FROM graft.dbp2.`t$indexes`")
+      .filter("index_type = 'global-secondary'").count() > 0)
+    assert(spark.sql("SELECT count(*) FROM graft.dbp2.t WHERE city = 'c1'")
+      .head.getLong(0) == 1L)
+    spark.sql("CALL graft.sys.drop_global_index('dbp2.t', 'city')")
+    assert(spark.sql("SELECT value FROM graft.dbp2.`t$options` WHERE key = 'secondary-index.columns'")
+      .count() == 0)
+  }
+
   test("catalog-stored SQL functions: create, resolve, coerce, drop") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbfn")
     spark.sql(
