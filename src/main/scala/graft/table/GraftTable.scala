@@ -1755,7 +1755,12 @@ final class GraftTable private (
       else {
         merged.persist()
         val compacted = old.filter(_.file.level >= 1)
-        val before = MergeEngine.merge(readRaw(compacted), sch)
+        // level-1 files ARE the previous compaction's merged state:
+        // one generation per (partition, bucket), keys unique within
+        // it, deletes physically dropped — so the before-state is a
+        // raw projection, no second full-table merge shuffle
+        val before = readRaw(compacted)
+          .select(struct.fieldNames.map(col).toIndexedSeq: _*)
         persistChangelog(
           stateDiff(before, merged.select(struct.fieldNames.map(col).toIndexedSeq: _*)),
           sch)
