@@ -226,6 +226,39 @@ object Pipeline {
         "vec_id", "v", dim = 64, threshold = 0.9)
     },
 
+    // ---- end-to-end training-data pipeline: exact dedup → quality
+    // filter → token stats → append into a graft table → read back.
+    // Composes the verified pieces (p01/p02/p03) THROUGH the storage
+    // engine in one hash-exact gate — what a data-curation job
+    // actually runs.
+    QDef(
+      "p12_pipeline_e2e",
+      """WITH canon AS (
+        |  SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+        |    arg_min(lang, doc_id) AS lang, text
+        |  FROM documents GROUP BY text),
+        |kept AS (SELECT * FROM canon
+        |  WHERE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |    / greatest(length(text), 1) >= 0.5)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS n_tokens
+        |FROM kept GROUP BY lang""".stripMargin) { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val canon = docs.groupBy(col("text"))
+        .agg(min_by(struct(col("doc_id"), col("lang")), col("doc_id")).as("c"))
+        .select(col("c.doc_id").as("doc_id"), col("c.lang").as("lang"), col("text"))
+      val kept = canon.filter(TA.alphaRatio(col("text")) >= 0.5)
+      val out = kept
+        .select(col("lang"), TA.tokenCount(col("text")).as("nt"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+      val t = graft.table.GraftTable.create(s,
+        java.nio.file.Files.createTempDirectory("graft-p12-").toString + "/t",
+        out.schema)
+      t.write(out)
+      t.read.select(col("lang"), col("n_docs"), col("n_tokens"))
+    },
+
     // ---- BPE-style regex pre-tokenization (letters / digits /
     // punctuation runs), verified cross-engine.
     QDef(
