@@ -1,0 +1,103 @@
+package graft
+
+import graft.core.Meta.{ColStats, DataFileMeta, TableSchema}
+import graft.core.StatsFilter
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized soundness sweep for monotonic-transform pruning: for
+  * thousands of (file values, transform chain, comparison) draws,
+  * `mightMatch == false` must imply NO row matches. Completeness
+  * (pruning everything prunable) is not asserted — conservative keeps
+  * are legal. Seeded: failures reproduce.
+  */
+class StatsFilterPropSpec extends AnyFunSuite {
+
+  private val attr = AttributeReference("c", LongType, nullable = false)()
+  private val sch = TableSchema.fromStruct(0L,
+    StructType(Seq(StructField("c", LongType, nullable = false))),
+    Seq.empty, Seq.empty, Map.empty)
+
+  private def fileOf(vals: Seq[Long]): DataFileMeta =
+    DataFileMeta("f.parquet", 1L, vals.size.toLong, 0L, 0L, 0,
+      Map("c" -> ColStats(Some(vals.min.toString), Some(vals.max.toString), 0L)))
+
+  /** one random monotone (either direction) chain over c, as both a
+    * Catalyst expression and its Long-arithmetic ground truth */
+  private def chain(rnd: scala.util.Random): (Expression, Long => Long) = {
+    var expr: Expression = attr
+    var f: Long => Long = identity
+    (0 until rnd.nextInt(4)).foreach { _ =>
+      val k = rnd.nextInt(2001) - 1000L
+      rnd.nextInt(4) match {
+        case 0 =>
+          expr = Add(expr, Literal(k), EvalMode.ANSI)
+          val g = f; f = v => g(v) + k
+        case 1 =>
+          expr = Subtract(Literal(k), expr, EvalMode.ANSI)
+          val g = f; f = v => k - g(v)
+        case 2 =>
+          val m = rnd.nextInt(7) - 3L // small, may be negative or zero
+          expr = Multiply(expr, Literal(m), EvalMode.ANSI)
+          val g = f; f = v => g(v) * m
+        case 3 =>
+          expr = UnaryMinus(expr, failOnError = true)
+          val g = f; f = v => -g(v)
+      }
+    }
+    (expr, f)
+  }
+
+  test("monotone-chain pruning never drops a file containing a match") {
+    val rnd = new scala.util.Random(20260813L)
+    var pruned = 0
+    (0 until 4000).foreach { trial =>
+      val vals = Seq.fill(1 + rnd.nextInt(6))(rnd.nextInt(20001) - 10000L)
+      val file = fileOf(vals)
+      val (g, truth) = chain(rnd)
+      // comparand near the transformed range so both outcomes occur
+      val images = vals.map(truth)
+      val rv = images(rnd.nextInt(images.size)) + rnd.nextInt(7) - 3L
+      val (cmp, rowMatch): (Expression, Long => Boolean) = rnd.nextInt(5) match {
+        case 0 => (EqualTo(g, Literal(rv)), v => truth(v) == rv)
+        case 1 => (GreaterThan(g, Literal(rv)), v => truth(v) > rv)
+        case 2 => (GreaterThanOrEqual(g, Literal(rv)), v => truth(v) >= rv)
+        case 3 => (LessThan(g, Literal(rv)), v => truth(v) < rv)
+        case 4 => (LessThanOrEqual(g, Literal(rv)), v => truth(v) <= rv)
+      }
+      val keep = StatsFilter.mightMatch(cmp, file, sch)
+      if (!keep) pruned += 1
+      assert(keep || !vals.exists(rowMatch),
+        s"trial $trial WRONG PRUNE: vals=$vals cmp=$cmp")
+    }
+    // the sweep must actually exercise pruning, not just keep everything
+    assert(pruned > 200, s"only $pruned of 4000 trials pruned — sweep too weak")
+  }
+
+  test("year()/trunc-style date transforms prune soundly") {
+    val dAttr = AttributeReference("d", DateType, nullable = false)()
+    val dSch = TableSchema.fromStruct(0L,
+      StructType(Seq(StructField("d", DateType, nullable = false))),
+      Seq.empty, Seq.empty, Map.empty)
+    val rnd = new scala.util.Random(42L)
+    var pruned = 0
+    (0 until 2000).foreach { trial =>
+      val days = Seq.fill(1 + rnd.nextInt(5))(rnd.nextInt(20000)) // 1970..2024
+      val file = DataFileMeta("f.parquet", 1L, days.size.toLong, 0L, 0L, 0,
+        Map("d" -> ColStats(Some(days.min.toString), Some(days.max.toString), 0L)))
+      def yearOf(dd: Int): Int = java.time.LocalDate.ofEpochDay(dd.toLong).getYear
+      val y = yearOf(days(rnd.nextInt(days.size))) + rnd.nextInt(3) - 1
+      val (cmp, rowMatch): (Expression, Int => Boolean) = rnd.nextInt(3) match {
+        case 0 => (EqualTo(Year(dAttr), Literal(y)), dd => yearOf(dd) == y)
+        case 1 => (GreaterThanOrEqual(Year(dAttr), Literal(y)), dd => yearOf(dd) >= y)
+        case 2 => (LessThan(Year(dAttr), Literal(y)), dd => yearOf(dd) < y)
+      }
+      val keep = StatsFilter.mightMatch(cmp, file, dSch)
+      if (!keep) pruned += 1
+      assert(keep || !days.exists(rowMatch),
+        s"trial $trial WRONG PRUNE: days=$days y=$y cmp=$cmp")
+    }
+    assert(pruned > 100, s"only $pruned of 2000 trials pruned")
+  }
+}
