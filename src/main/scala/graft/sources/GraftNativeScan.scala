@@ -246,6 +246,41 @@ class GraftBatchScan(
       java.util.OptionalLong.of(entries.map(e =>
         e.file.rowCount - e.file.dvCardinality.getOrElse(0L)).sum)
   }
+
+  // observability: planning-side pruning results surface in the Spark
+  // UI / SQL metrics — at cluster scale this is how an operator SEES
+  // that manifest pruning and DPP are doing their job
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    GraftScanMetrics.all
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    import GraftScanMetrics.metric
+    Array(
+      metric("filesPlanned", initialEntries.size.toLong),
+      metric("filesAfterRuntimeFiltering", entries.size.toLong),
+      metric("bytesPlanned", entries.map(_.file.fileSize).sum))
+  }
+}
+
+/** Driver-side scan metrics (planning results; per-task IO metrics come
+  * free from Spark's file readers). */
+object GraftScanMetrics {
+  private class Sum(override val name: String, desc: String)
+      extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def description(): String = desc
+  }
+  val all: Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
+    new Sum("filesPlanned", "data files selected by manifest pruning"),
+    new Sum("filesAfterRuntimeFiltering", "data files read after runtime (DPP) filtering"),
+    new Sum("bytesPlanned", "bytes of data files read"))
+  def metric(n: String, v: Long)
+      : org.apache.spark.sql.connector.metric.CustomTaskMetric =
+    new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+      override def name(): String = n
+      override def value(): Long = v
+    }
 }
 
 /** Native scan over a FULLY-COMPACTED fixed-bucket primary-key table:

@@ -97,6 +97,12 @@ class SqlCatalogSpec extends AnyFunSuite {
     // partition + stats pruning happened at plan time: one file scanned
     assert(q.queryExecution.executedPlan.toString.contains("files=1"))
     assert(q.collect().map(_.getLong(0)).toSeq == Seq(100L))
+    // pruning observability: the scan reports driver metrics to the UI
+    val scanExec = q.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scanExec.customMetrics.keySet ==
+      Set("filesPlanned", "filesAfterRuntimeFiltering", "bytesPlanned"))
     // merge-on-read tables keep the V1 (DataFrame-planned) path
     val pk = spark.sql("SELECT * FROM graft.db2.users WHERE id = 1")
     assert(!pk.queryExecution.executedPlan.toString.contains("GraftBatchScan"))
