@@ -2578,14 +2578,20 @@ final class GraftTable private (
         "commit_time", "total_record_count", "delta_record_count")
   }
 
-  /** `$files` (reference: table/system/FilesTable.java:89). */
+  /** `$files` incl. per-column stats maps (reference:
+    * table/system/FilesTable.java:89 — null_value_counts /
+    * min_value_stats / max_value_stats columns). */
   def systemFiles: DataFrame = {
     import spark.implicits._
     val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
-    entries.map(e =>
+    entries.map { e =>
       (e.file.fileName, e.partition.map { case (k, v) => s"$k=$v" }.mkString("/"),
-        e.bucket, e.file.rowCount, e.file.fileSize, e.file.level))
-      .toDF("file_name", "partition", "bucket", "row_count", "file_size", "level")
+        e.bucket, e.file.rowCount, e.file.fileSize, e.file.level,
+        e.file.stats.map { case (c, s) => c -> s.nullCount },
+        e.file.stats.collect { case (c, s) if s.min.isDefined => c -> s.min.get },
+        e.file.stats.collect { case (c, s) if s.max.isDefined => c -> s.max.get })
+    }.toDF("file_name", "partition", "bucket", "row_count", "file_size", "level",
+      "null_value_counts", "min_value_stats", "max_value_stats")
   }
 
   /** `$tags`. */

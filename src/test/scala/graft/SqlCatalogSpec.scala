@@ -145,6 +145,9 @@ class SqlCatalogSpec extends AnyFunSuite {
     spark.sql("INSERT INTO graft.db9.t VALUES (1, 'a'), (2, 'b')")
     spark.sql("INSERT INTO graft.db9.t VALUES (3, 'a')")
     assert(spark.sql("SELECT * FROM graft.db9.`t$snapshots`").count() == 2)
+    assert(spark.sql(
+      "SELECT min_value_stats['k'] FROM graft.db9.`t$files` WHERE row_count > 0")
+      .collect().forall(!_.isNullAt(0)))
     assert(spark.sql("SELECT sum(row_count) FROM graft.db9.`t$files`")
       .head.getLong(0) == 3L)
     val parts = spark.sql(
