@@ -1842,7 +1842,7 @@ final class GraftTable private (
     val cutoff = System.currentTimeMillis() - graceMillis
     val roots = Seq(s"$path/data", s"$path/index", s"$path/staging",
       s"$path/changelog", s"$path/index-dyn", s"$path/index-global",
-      s"$path/blob")
+      s"$path/index-sec", s"$path/blob")
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     roots.foreach { root =>
       val rp = Paths.get(root)

@@ -114,6 +114,26 @@ class SecondaryIndexSpec extends AnyFunSuite {
     assert(t.scan(col("n") >= 99L).count() == 2)
   }
 
+  test("orphan cleanup reclaims superseded sidecars, keeps live ones") {
+    val t = GraftTable.create(spark, tmp(), sch,
+      options = Map(GraftTable.SecIndexColumns -> "city",
+        "secondary-index.compact-trigger" -> "2"))
+    (0 until 5).foreach(i => t.write(df((i.toLong, s"c$i"))))
+    t.sm.expireSnapshots(retain = 1) // only the latest snapshot's sidecars stay pinned
+    val live = t.sm.latestSnapshot().get.secIndex.get.toSet
+    val removed = t.removeOrphanFiles(graceMillis = 0L)
+    // superseded (pre-fold) sidecars are reclaimed...
+    assert(removed.exists(_.startsWith("index-sec/")),
+      s"expected superseded index-sec sidecars in $removed")
+    // ...but never a sidecar the live snapshot references
+    assert(!removed.exists(live.contains), s"deleted live sidecars: $removed")
+    // and the index still answers
+    (0 until 5).foreach { i =>
+      assert(t.planEntries(col("city") === s"c$i").size == 1, s"c$i")
+      assert(t.scan(col("city") === s"c$i").count() == 1)
+    }
+  }
+
   test("widened numeric column keeps matching via canonical values") {
     val s2 = StructType(Seq(
       StructField("k", LongType, nullable = false),
