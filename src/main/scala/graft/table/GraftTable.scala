@@ -248,7 +248,7 @@ final class GraftTable private (
         .repartition(nTotal, col("__bucket")).persist()
       val files = writeDynIndexFiles(
         out.select((pkCols :+ col("__bucket")).toIndexedSeq: _*), parts = 4)
-      return DynAssignment(out, _ => files, Seq(out))
+      return DynAssignment(out, keepUnseen(Set.empty, files), Seq(out))
     }
     val prevFiles = sm.latestSnapshot().flatMap(_.dynIndex).getOrElse(Seq.empty)
     val compactTrigger = sch.options
@@ -277,12 +277,25 @@ final class GraftTable private (
         .select((pkCols :+ col("__existing_bucket").as("__bucket")).toIndexedSeq: _*)
         .unionByName(newKeys)
       val files = writeDynIndexFiles(full, parts = 4)
-      DynAssignment(out, _ => files, Seq(joined, idx))
+      DynAssignment(out, keepUnseen(prevFiles.toSet, files), Seq(joined, idx))
     } else {
       val files = writeDynIndexFiles(newKeys, parts = 1)
       DynAssignment(out, prev => prev ++ files, Seq(joined))
     }
   }
+
+  /** Snapshot-index fold update that is safe under concurrent writers:
+    * the CAS retry applies this against the TRUE latest sidecar list,
+    * so a fold must keep any sidecar some other commit appended between
+    * our read (`seen`) and our commit — replacing the list wholesale
+    * would drop that writer's rows while its data files stay flagged
+    * as indexed, a silent wrong-prune. Kept concurrent sidecars cannot
+    * duplicate folded rows (they were not fold inputs), and each index
+    * reader tolerates overlap anyway (GSI hits are sets; dyn/global
+    * collapse per key). */
+  private[graft] def keepUnseen(
+      seen: Set[String], folded: Seq[String]): Seq[String] => Seq[String] =
+    latest => folded ++ latest.filterNot(seen.contains)
 
   // ================= global cross-partition index =================
 
@@ -408,7 +421,7 @@ final class GraftTable private (
         case Some(idx) => collapseIndex(idx.unionByName(batchIdx), sch)
       }
       val files = writeGlobalIndexFiles(full, parts = 4)
-      DynAssignment(out, _ => files, joinPinned)
+      DynAssignment(out, keepUnseen(prevFiles.toSet, files), joinPinned)
     } else {
       val files = writeGlobalIndexFiles(batchIdx, parts = 1)
       DynAssignment(out, prev => prev ++ files, joinPinned)
@@ -484,7 +497,7 @@ final class GraftTable private (
           .join(liveDf, Seq("f"), "left_semi")
           .select("cid", "v", "f")
         val files = writeSecIndexFiles(all, parts = 4)
-        _ => files
+        keepUnseen(prevFiles.toSet, files)
       }
     val indexableNames = indexable.map(_.file.fileName).toSet
     val marked = added.map { e =>

@@ -114,6 +114,19 @@ class SecondaryIndexSpec extends AnyFunSuite {
     assert(t.scan(col("n") >= 99L).count() == 2)
   }
 
+  test("fold updates keep sidecars appended by concurrent writers") {
+    val t = GraftTable.create(spark, tmp(), sch,
+      options = Map(GraftTable.SecIndexColumns -> "city"))
+    t.write(df((1L, "x")))
+    // at read time we saw {a, b} and folded them into {F}; a racer
+    // appended {c} before our CAS landed — c's rows exist ONLY in c,
+    // so the applied update must keep it
+    val update = t.keepUnseen(Set("a", "b"), Seq("F"))
+    assert(update(Seq("a", "b", "c")) == Seq("F", "c"))
+    assert(update(Seq("a", "b")) == Seq("F"))
+    assert(t.keepUnseen(Set.empty, Seq("F"))(Seq("c")) == Seq("F", "c"))
+  }
+
   test("orphan cleanup reclaims superseded sidecars, keeps live ones") {
     val t = GraftTable.create(spark, tmp(), sch,
       options = Map(GraftTable.SecIndexColumns -> "city",
