@@ -15,7 +15,8 @@ import org.apache.spark.sql.types._
   * partition value, answered from manifests alone. */
 object GraftFunctions {
 
-  def names: Seq[String] = Seq("bucket", "max_pt")
+  def names: Seq[String] =
+    Seq("bucket", "max_pt", "path_to_descriptor", "descriptor_to_string")
 
   /** builtin functions resolve under `sys` and the EMPTY namespace —
     * Spark's storage-partitioned-join planning loads the `bucket`
@@ -29,6 +30,10 @@ object GraftFunctions {
       case "bucket" if builtinNs(ident.namespace()) => BucketFunction
       case "max_pt" if builtinNs(ident.namespace()) =>
         new MaxPtFunction(catalog.warehousePath)
+      case "path_to_descriptor" if builtinNs(ident.namespace()) =>
+        PathToDescriptorFunction
+      case "descriptor_to_string" if builtinNs(ident.namespace()) =>
+        DescriptorToStringFunction
       case _ =>
         // catalog-stored SQL functions: <cat>.<db>.<fn> persisted via
         // CALL sys.create_function (reference: PaimonFunctionResolver)
@@ -84,6 +89,71 @@ object GraftFunctions {
             i += 1
           }
           ((h % n) + n).toInt % n
+        }
+      }
+    }
+  }
+
+  /** `path_to_descriptor(path)`: build a BLOB descriptor struct
+    * referencing an external file — the SQL-side ingestion handle for
+    * out-of-line payloads (reference: PaimonFunctions
+    * `path_to_descriptor`). Length is stat'ed (executor-side IO);
+    * hash stays null until the payload is materialized into the
+    * table's blob store. */
+  object PathToDescriptorFunction extends UnboundFunction with Serializable {
+    override def name(): String = "path_to_descriptor"
+    override def description(): String =
+      "path_to_descriptor(path): BLOB descriptor struct for an external file"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1 &&
+        inputType.fields(0).dataType == StringType,
+        "path_to_descriptor(path STRING)")
+      new ScalarFunction[InternalRow] with Serializable {
+        override def inputTypes(): Array[DataType] = Array(StringType)
+        override def resultType(): DataType = BlobStorage.descriptorType
+        override def name(): String = "path_to_descriptor"
+        override def isDeterministic: Boolean = false // stats the file
+        override def produceResult(input: InternalRow): InternalRow = {
+          val p = input.getUTF8String(0).toString
+          val len =
+            try java.nio.file.Files.size(java.nio.file.Paths.get(p))
+            catch { case _: Exception => -1L }
+          InternalRow(null,
+            org.apache.spark.unsafe.types.UTF8String.fromString(p), len, null)
+        }
+      }
+    }
+  }
+
+  /** `descriptor_to_string(d)`: human-readable rendering of a BLOB
+    * descriptor (reference: PaimonFunctions `descriptor_to_string`). */
+  object DescriptorToStringFunction extends UnboundFunction with Serializable {
+    override def name(): String = "descriptor_to_string"
+    override def description(): String =
+      "descriptor_to_string(descriptor): render a BLOB descriptor struct"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1 &&
+        inputType.fields(0).dataType.isInstanceOf[StructType] &&
+        inputType.fields(0).dataType.asInstanceOf[StructType].fieldNames.toSeq ==
+          BlobStorage.descriptorType.fieldNames.toSeq,
+        "descriptor_to_string(descriptor STRUCT<inline,file,length,hash>)")
+      new ScalarFunction[org.apache.spark.unsafe.types.UTF8String] with Serializable {
+        override def inputTypes(): Array[DataType] = Array(BlobStorage.descriptorType)
+        override def resultType(): DataType = StringType
+        override def name(): String = "descriptor_to_string"
+        override def produceResult(input: InternalRow)
+            : org.apache.spark.unsafe.types.UTF8String = {
+          val d = input.getStruct(0, 4)
+          if (d == null) return null
+          val s =
+            if (!d.isNullAt(0)) s"inline[${d.getBinary(0).length} B]"
+            else {
+              val f = if (d.isNullAt(1)) "?" else d.getUTF8String(1).toString
+              val len = if (d.isNullAt(2)) -1L else d.getLong(2)
+              val h = if (d.isNullAt(3)) "" else s" md5=${d.getUTF8String(3)}"
+              s"blob:$f len=$len$h"
+            }
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)
         }
       }
     }

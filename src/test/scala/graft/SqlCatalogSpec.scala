@@ -282,6 +282,25 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM graft.dbp.`t$statistics`").count() > 0)
   }
 
+  test("blob descriptor functions resolve through the catalog") {
+    val f = java.nio.file.Files.createTempFile("graft-blob", ".bin")
+    java.nio.file.Files.write(f, Array.fill[Byte](1234)(7))
+    val d = spark.sql(
+      s"SELECT graft.sys.path_to_descriptor('${f.toString}') AS d")
+    val row = d.head.getStruct(0)
+    assert(row.isNullAt(0) && row.getString(1) == f.toString &&
+      row.getLong(2) == 1234L)
+    assert(d.select(org.apache.spark.sql.functions.expr(
+      "graft.sys.descriptor_to_string(d)")).head.getString(0) ==
+      s"blob:${f.toString} len=1234")
+    // inline descriptors render with their byte count
+    assert(spark.sql(
+      """SELECT graft.sys.descriptor_to_string(
+        |  named_struct('inline', CAST('ab' AS BINARY), 'file', CAST(NULL AS STRING),
+        |    'length', CAST(NULL AS BIGINT), 'hash', CAST(NULL AS STRING)))""".stripMargin)
+      .head.getString(0) == "inline[2 B]")
+  }
+
   test("CALL sys.* lifecycle procedures: manifests, consumers, tags, indexes") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbp2")
     spark.sql("CREATE TABLE graft.dbp2.t (k BIGINT, city STRING)")
