@@ -147,15 +147,21 @@ object StatsFilter {
       case TruncTimestamp(fmt, c, _) if fmt.foldable => unapply(c)
       case DateAdd(c, d) if d.foldable => unapply(c)
       case DateSub(c, d) if d.foldable => unapply(c)
-      case Add(l, r, m) if m != EvalMode.LEGACY && r.foldable => unapply(l)
-      case Add(l, r, m) if m != EvalMode.LEGACY && l.foldable => unapply(r)
-      case Subtract(l, r, m) if m != EvalMode.LEGACY && r.foldable => unapply(l)
-      case Subtract(l, r, m) if m != EvalMode.LEGACY && l.foldable => unapply(r)
-      case Multiply(l, r, m) if m != EvalMode.LEGACY && r.foldable => unapply(l)
-      case Multiply(l, r, m) if m != EvalMode.LEGACY && l.foldable => unapply(r)
+      case Add(l, r, m) if nonLegacy(m) && r.foldable => unapply(l)
+      case Add(l, r, m) if nonLegacy(m) && l.foldable => unapply(r)
+      case Subtract(l, r, m) if nonLegacy(m) && r.foldable => unapply(l)
+      case Subtract(l, r, m) if nonLegacy(m) && l.foldable => unapply(r)
+      case Multiply(l, r, m) if nonLegacy(m) && r.foldable => unapply(l)
+      case Multiply(l, r, m) if nonLegacy(m) && l.foldable => unapply(r)
       case UnaryMinus(c, _) => unapply(c)
       case _ => None
     }
+    /** Spark 4.1 arithmetic carries a NumericEvalContext, not a bare
+      * EvalMode — comparing the context against EvalMode.LEGACY would
+      * ALWAYS be unequal, silently voiding the guard. */
+    private def nonLegacy(ctx: NumericEvalContext): Boolean =
+      ctx.evalMode != EvalMode.LEGACY
+
     /** casts that preserve order beyond the numeric widenings the
       * AttrMaybeCast fast path already covers */
     private def monoCast(from: DataType, to: DataType): Boolean = (from, to) match {

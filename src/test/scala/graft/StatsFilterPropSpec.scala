@@ -75,6 +75,19 @@ class StatsFilterPropSpec extends AnyFunSuite {
     assert(pruned > 200, s"only $pruned of 4000 trials pruned — sweep too weak")
   }
 
+  test("LEGACY-mode arithmetic is never trusted for pruning") {
+    val file = fileOf(Seq(0L, 5L)) // c+10 spans [10, 15]
+    val ansi = Add(attr, Literal(10L),
+      NumericEvalContext(EvalMode.ANSI, true))
+    val legacy = Add(attr, Literal(10L),
+      NumericEvalContext(EvalMode.LEGACY, true))
+    // ANSI: overflow throws at eval → monotone chain is trustworthy
+    assert(!StatsFilter.mightMatch(EqualTo(ansi, Literal(100L)), file, sch))
+    // LEGACY: overflow wraps silently → chain may not be monotone, so
+    // the same provably-out-of-range predicate must NOT prune
+    assert(StatsFilter.mightMatch(EqualTo(legacy, Literal(100L)), file, sch))
+  }
+
   test("year()/trunc-style date transforms prune soundly") {
     val dAttr = AttributeReference("d", DateType, nullable = false)()
     val dSch = TableSchema.fromStruct(0L,
