@@ -127,6 +127,31 @@ class SecondaryIndexSpec extends AnyFunSuite {
     assert(t.keepUnseen(Set.empty, Seq("F"))(Seq("c")) == Seq("F", "c"))
   }
 
+  test("concurrent writers racing folds never lose index coverage") {
+    val t = GraftTable.create(spark, tmp(), sch,
+      options = Map(GraftTable.SecIndexColumns -> "city",
+        "secondary-index.compact-trigger" -> "2")) // folds race appends
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 4).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val tw = GraftTable.load(spark, t.path)
+            (0 until 3).foreach(i =>
+              tw.write(df(((w * 10 + i).toLong, s"w${w}c$i"))))
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    val tr = GraftTable.load(spark, t.path)
+    for (w <- 0 until 4; i <- 0 until 3) {
+      assert(tr.planEntries(col("city") === s"w${w}c$i").size == 1,
+        s"w${w}c$i lost from the index")
+      assert(tr.scan(col("city") === s"w${w}c$i").count() == 1)
+    }
+  }
+
   test("orphan cleanup reclaims superseded sidecars, keeps live ones") {
     val t = GraftTable.create(spark, tmp(), sch,
       options = Map(GraftTable.SecIndexColumns -> "city",
