@@ -554,6 +554,10 @@ object GraftFilters {
     filters.flatMap(toColumn).reduceOption(_ && _).getOrElse(lit(true))
 
   def toColumn(f: Filter): Option[Column] = f match {
+    // TRUNCATE TABLE arrives as deleteWhere(AlwaysTrue) — leaving it
+    // untranslated made canDeleteWhere false and truncate a silent no-op
+    case _: org.apache.spark.sql.sources.AlwaysTrue => Some(lit(true))
+    case _: org.apache.spark.sql.sources.AlwaysFalse => Some(lit(false))
     case EqualTo(a, v) => Some(col(a) === lit(v))
     case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
     case GreaterThan(a, v) => Some(col(a) > lit(v))

@@ -89,6 +89,24 @@ object GraftProcedures {
           .createOrReplaceTempView(v)
         s"view $v"
       }),
+    // repair: drop manifest entries whose data file no longer exists on
+    // disk (externally deleted) so scans stop failing on them
+    // (reference: RemoveUnexistingFilesProcedure).
+    "remove_unexisting_files" -> (Seq(p("table", StringType)), (t, _) => {
+      val n = t.removeUnexistingFiles()
+      if (n == 0) "no-op" else s"dropped $n unexisting files"
+    }),
+    // downstream-scheduler signal: success-file marker in the partition
+    // directory (reference: MarkPartitionDoneProcedure,
+    // partition.mark-done-action=success-file).
+    "mark_partition_done" -> (Seq(p("table", StringType), p("partition", StringType)),
+      (t, args) => {
+        val part = args.getUTF8String(1).toString
+        val dir = java.nio.file.Paths.get(s"${t.path}/data/$part")
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
+        "ok"
+      }),
     "compact_manifest" -> (Seq(p("table", StringType)), (t, _) =>
       t.sm.compactManifests()
         .map(id => s"compacted manifests -> snapshot $id").getOrElse("no-op")),

@@ -1786,6 +1786,22 @@ final class GraftTable private (
 
   def expireSnapshots(retain: Int): Seq[Long] = sm.expireSnapshots(retain)
 
+  /** Repair: drop manifest entries whose data file has been deleted
+    * outside the engine — scans would otherwise fail on the missing
+    * file forever. One metadata-only commit; returns the number of
+    * entries dropped (reference: RemoveUnexistingFilesProcedure). */
+  def removeUnexistingFiles(): Int = {
+    val snap = sm.latestSnapshot().getOrElse(return 0)
+    val gone = sm.liveEntries(snap)
+      .filterNot(e => sm.io.exists(s"$path/${e.file.fileName}"))
+    if (gone.isEmpty) return 0
+    val names = gone.map(_.file.fileName).toSet
+    sm.commit(gone.map(_.copy(kind = "DELETE")), KindOverwrite, schema.id,
+      conflictCheck = latest =>
+        names.subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet))
+    gone.size
+  }
+
   /** Drop partitions whose value in `column` sorts strictly below
     * `olderThan` (typed comparison) — time-partition retention as one
     * metadata-only OVERWRITE commit; no data file is opened

@@ -282,6 +282,33 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM graft.dbp.`t$statistics`").count() > 0)
   }
 
+  test("TRUNCATE TABLE and file-repair/partition-done procedures") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbt")
+    spark.sql("CREATE TABLE graft.dbt.t (k BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft.dbt.t VALUES (1, 'a'), (2, 'b')")
+    // TRUNCATE = metadata-only delete-all through SupportsDelete
+    spark.sql("TRUNCATE TABLE graft.dbt.t")
+    assert(spark.sql("SELECT count(*) FROM graft.dbt.t").head.getLong(0) == 0L)
+    spark.sql("INSERT INTO graft.dbt.t VALUES (3, 'a')")
+    assert(spark.sql("SELECT count(*) FROM graft.dbt.t").head.getLong(0) == 1L)
+    // repair: an externally-deleted data file is dropped from metadata
+    spark.sql("INSERT INTO graft.dbt.t VALUES (4, 'b')")
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    val gt = graft.table.GraftTable.load(spark, s"$wh/dbt/t")
+    val victim = gt.sm.latestSnapshot().map(gt.sm.liveEntries).get
+      .find(_.partition.get("p").contains("b")).get
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"${gt.path}/${victim.file.fileName}"))
+    val rep = spark.sql("CALL graft.sys.remove_unexisting_files('dbt.t')")
+      .head.getString(0)
+    assert(rep == "dropped 1 unexisting files", rep)
+    assert(spark.sql("SELECT count(*) FROM graft.dbt.t").head.getLong(0) == 1L)
+    // partition-done marker
+    spark.sql("CALL graft.sys.mark_partition_done('dbt.t', 'p=a')")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${gt.path}/data/p=a/_SUCCESS")))
+  }
+
   test("blob descriptor functions resolve through the catalog") {
     val f = java.nio.file.Files.createTempFile("graft-blob", ".bin")
     java.nio.file.Files.write(f, Array.fill[Byte](1234)(7))
