@@ -196,6 +196,21 @@ object GraftProcedures {
     "drop_function" -> (Seq(p("function", StringType)),
       (c, args) => { StoredFunctions.drop(c.warehousePath,
         args.getUTF8String(0).toString); "ok" }),
+    // whole-namespace compaction sweep (reference:
+    // CompactDatabaseProcedure); empty tables and non-compactable
+    // entries are skipped, the result counts tables compacted.
+    "compact_database" -> (Seq(p("database", StringType)),
+      (c, args) => {
+        val db = args.getUTF8String(0).toString
+        var n = 0
+        c.listTables(Array(db)).foreach { id =>
+          try {
+            if (GraftTable.load(SparkSession.active, c.pathOf(id))
+              .compact().isDefined) n += 1
+          } catch { case _: Exception => }
+        }
+        s"compacted $n tables"
+      }),
     "migrate_table" -> (Seq(p("table", StringType), p("source_dir", StringType)),
       (c, args) => {
         val parts = args.getUTF8String(0).toString.split("\\.")

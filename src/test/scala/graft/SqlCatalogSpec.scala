@@ -307,6 +307,9 @@ class SqlCatalogSpec extends AnyFunSuite {
     spark.sql("CALL graft.sys.mark_partition_done('dbt.t', 'p=a')")
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"${gt.path}/data/p=a/_SUCCESS")))
+    // namespace-wide compaction sweep
+    val cd = spark.sql("CALL graft.sys.compact_database('dbt')").head.getString(0)
+    assert(cd == "compacted 1 tables", cd)
   }
 
   test("blob descriptor functions resolve through the catalog") {
