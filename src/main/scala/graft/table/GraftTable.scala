@@ -545,12 +545,18 @@ final class GraftTable private (
               // "5.0" would otherwise wrongly prune after a widen);
               // double rounding can only ADD hits, never lose a match
               // + 0.0 folds IEEE -0.0 into 0.0 (Spark compares them
-              // equal, so their canonical strings must agree too)
-              val vc =
-                if (DataType.fromDDL(fd.dataType)
-                  .isInstanceOf[org.apache.spark.sql.types.NumericType])
+              // equal, so their canonical strings must agree too).
+              // Timestamps go through epoch SECONDS: a string
+              // rendering would bake in the writing session's
+              // timezone and wrong-prune for a reader in another —
+              // second-level collisions only add candidate files.
+              val vc = DataType.fromDDL(fd.dataType) match {
+                case _: org.apache.spark.sql.types.NumericType =>
                   (col(fd.name).cast("double") + lit(0.0)).cast("string")
-                else col(fd.name).cast("string")
+                case TimestampType | TimestampNTZType =>
+                  col(fd.name).cast("long").cast("string")
+                case _ => col(fd.name).cast("string")
+              }
               df.select(lit(id).as("cid"), vc.as("v"), col("__f").as("f"))
             }.reduce(_ unionAll _))
           }
@@ -595,11 +601,15 @@ final class GraftTable private (
     val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
     def str(l: Literal): Option[String] = {
       // same canonicalization as the build side: numeric → double →
-      // string, everything else → string
-      val c =
-        if (l.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      // string, timestamps → epoch seconds (timezone-free),
+      // everything else → string
+      val c = l.dataType match {
+        case _: org.apache.spark.sql.types.NumericType =>
           Cast(Add(Cast(l, DoubleType, tz), Literal(0.0d)), StringType, tz)
-        else Cast(l, StringType, tz)
+        case TimestampType | TimestampNTZType =>
+          Cast(Cast(l, LongType, tz), StringType, tz)
+        case _ => Cast(l, StringType, tz)
+      }
       Option(c.eval(null)).map(_.toString)
     }
     import GraftTable.{SecEq, SecNull, SecProbe, SecRange}

@@ -194,6 +194,32 @@ class SecondaryIndexSpec extends AnyFunSuite {
     assert(t2.scan(col("n") === 5.0d).count() == 2)
   }
 
+  test("timestamp probes survive a session timezone change") {
+    val s2 = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = true)))
+    val t = GraftTable.create(spark, tmp(), s2,
+      options = Map(GraftTable.SecIndexColumns -> "ts"))
+    val ts1 = java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T12:00:00Z"))
+    val ts2 = java.sql.Timestamp.from(java.time.Instant.parse("2024-07-01T00:30:00Z"))
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      t.write(spark.createDataFrame(Seq(Row(1L, ts1)).asJava, s2).coalesce(1))
+      t.write(spark.createDataFrame(Seq(Row(2L, ts2)).asJava, s2).coalesce(1))
+      // read under a DIFFERENT session timezone: the epoch-seconds
+      // canonical form must still hit (a rendered-string form would
+      // shift by the offset and wrong-prune)
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      assert(t.planEntries(col("ts") === lit(ts1)).size == 1)
+      assert(t.scan(col("ts") === lit(ts1)).count() == 1)
+      assert(t.planEntries(col("ts") === lit(ts2)).size == 1)
+      assert(t.planEntries(
+        col("ts") === lit(java.sql.Timestamp.from(
+          java.time.Instant.parse("1999-01-01T00:00:00Z")))).isEmpty)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("renamed column keeps pruning via stable field ids") {
     val p = tmp()
     val t = GraftTable.create(spark, p, sch,
