@@ -553,7 +553,9 @@ final class GraftTable private (
               val vc = DataType.fromDDL(fd.dataType) match {
                 case _: org.apache.spark.sql.types.NumericType =>
                   (col(fd.name).cast("double") + lit(0.0)).cast("string")
-                case TimestampType | TimestampNTZType =>
+                // NTZ is excluded twice over: its rendered string is
+                // already timezone-free, and Spark forbids NTZ→BIGINT
+                case TimestampType =>
                   col(fd.name).cast("long").cast("string")
                 case _ => col(fd.name).cast("string")
               }
@@ -606,7 +608,7 @@ final class GraftTable private (
       val c = l.dataType match {
         case _: org.apache.spark.sql.types.NumericType =>
           Cast(Add(Cast(l, DoubleType, tz), Literal(0.0d)), StringType, tz)
-        case TimestampType | TimestampNTZType =>
+        case TimestampType =>
           Cast(Cast(l, LongType, tz), StringType, tz)
         case _ => Cast(l, StringType, tz)
       }

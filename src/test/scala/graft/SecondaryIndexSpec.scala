@@ -220,6 +220,22 @@ class SecondaryIndexSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
+  test("timestamp_ntz indexed column writes and probes correctly") {
+    val s2 = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("ts", TimestampNTZType, nullable = true)))
+    val t = GraftTable.create(spark, tmp(), s2,
+      options = Map(GraftTable.SecIndexColumns -> "ts"))
+    val v1 = java.time.LocalDateTime.parse("2024-03-01T12:00:00")
+    val v2 = java.time.LocalDateTime.parse("2024-07-01T00:30:00")
+    t.write(spark.createDataFrame(Seq(Row(1L, v1)).asJava, s2).coalesce(1))
+    t.write(spark.createDataFrame(Seq(Row(2L, v2)).asJava, s2).coalesce(1))
+    assert(t.planEntries(col("ts") === lit(v1)).size == 1)
+    assert(t.scan(col("ts") === lit(v1)).count() == 1)
+    assert(t.planEntries(
+      col("ts") === lit(java.time.LocalDateTime.parse("1999-01-01T00:00:00"))).isEmpty)
+  }
+
   test("renamed column keeps pruning via stable field ids") {
     val p = tmp()
     val t = GraftTable.create(spark, p, sch,
