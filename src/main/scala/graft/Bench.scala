@@ -18,6 +18,11 @@ object Bench {
       // shuffles that otherwise only clean up on rare full GCs and
       // skew later measurements with memory pressure
       .config("spark.cleaner.periodicGC.interval", "30s")
+      // multi-commit gates are job storms; the async status-store queue
+      // overflows under them (ElementTrackingStore errors in r6) and its
+      // backlog steals cycles from the measured queries
+      .config("spark.appStatusStore.asyncTracking.enable", "false")
+      .config("spark.scheduler.listenerbus.eventqueue.capacity", "30000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: one untimed query JITs the parquet reader, codegen and
@@ -35,8 +40,10 @@ object Bench {
     }
     val total = math.round(results.map(_._2).sum * 1000) / 1000.0
     // The driver captures only the last ~2000 chars of stdout, so the
-    // printed line uses short ids ("g01") to fit; BENCH_LOCAL.json keeps
-    // the full query names for the judge.
+    // printed line uses short ids ("g01") and 2-decimal values to fit —
+    // at ~100 queries the 3-decimal form overflowed the capture window
+    // and the line's head (with "metric"/"value") was cut off, leaving
+    // the JSON unparseable. BENCH_LOCAL.json keeps full names/precision.
     // short ids must stay unique — on a prefix collision fall back to
     // the full name rather than silently last-wins-dropping a timing
     val prefixCounts = results.groupBy(_._1.takeWhile(_ != '_')).map {
@@ -44,10 +51,11 @@ object Bench {
     val qsShort = results.map { case (k, v) =>
       val p = k.takeWhile(_ != '_')
       val id = if (prefixCounts(p) == 1) p else k
-      "\"" + id + "\":" + v
+      "\"" + id + "\":" + (math.round(v * 100) / 100.0)
     }.mkString("{", ",", "}")
+    val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"detail":"BENCH_LOCAL.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"sf":"$sfShort"}"""
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val full =

@@ -157,7 +157,15 @@ object Meta {
         * equality/IN predicate to the exact file set, instead of
         * probing per-file sidecars O(files) times (reference role: the
         * global btree/bitmap indexes of paimon's table-index layer). */
-      secIndex: Option[Seq[String]] = None) {
+      secIndex: Option[Seq[String]] = None,
+      /** field ids the secondary index FULLY covers: every secIndexed
+        * file has index rows for these columns. A column added to
+        * `secondary-index.columns` mid-life is NOT covered (old files
+        * lack its rows) until rewrite_file_index rebuilds — probing it
+        * anyway would wrongly prune those files. Intersected with the
+        * option on each commit; set to the full option set on a full
+        * rebuild. None (legacy) = the current option columns. */
+      secIndexCids: Option[Seq[Int]] = None) {
     /** every index sidecar this snapshot pins (GC/expiration guard) */
     def indexSidecars: Seq[String] =
       dynIndex.getOrElse(Seq.empty) ++ globalIndex.getOrElse(Seq.empty) ++

@@ -227,7 +227,10 @@ final class SnapshotManager(
       /** same, for the global cross-partition index file list. */
       globalIndexUpdate: Option[Seq[String] => Seq[String]] = None,
       /** same, for the global secondary (value → file) index list. */
-      secIndexUpdate: Option[Seq[String] => Seq[String]] = None): Long = {
+      secIndexUpdate: Option[Seq[String] => Seq[String]] = None,
+      /** transform of the covered-column-id set of the secondary index
+        * (applied at CAS time, like the file-list updates). */
+      secCidsUpdate: Option[Option[Seq[Int]] => Seq[Int]] = None): Long = {
     val manifestName = writeManifest(entries)
     val deltaRows = entries.iterator
       .map(e => if (e.kind == "ADD") e.file.rowCount else -e.file.rowCount)
@@ -291,6 +294,12 @@ final class SnapshotManager(
             val next = f(latest.flatMap(_.secIndex).getOrElse(Seq.empty))
             if (next.isEmpty) None else Some(next)
           case None => latest.flatMap(_.secIndex)
+        },
+        secIndexCids = secCidsUpdate match {
+          case Some(f) =>
+            val next = f(latest.flatMap(_.secIndexCids))
+            if (next.isEmpty) None else Some(next)
+          case None => latest.flatMap(_.secIndexCids)
         })
       if (io.tryCreateAtomic(snapshotPath(nextId), Json.write(snap))) {
         io.writeString(s"$snapshotDir/LATEST", nextId.toString)

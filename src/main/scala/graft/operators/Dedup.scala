@@ -158,8 +158,8 @@ object Dedup {
     * guarantee recall up to Hamming 3. Note the trade-off: large
     * maxHamming means narrow chunks → hot buckets; the `maxBucketSize`
     * skew guard then bounds the join but sacrifices recall inside the
-    * dropped buckets (logged nowhere — prefer maxHamming <= 7 at
-    * scale).
+    * dropped buckets (observed + WARN-logged via the skew metrics —
+    * prefer maxHamming <= 7 at scale).
     */
   def simhashDedupPairs(
       df: DataFrame,
@@ -185,9 +185,10 @@ object Dedup {
       struct(lit(c).as("chunk"),
         shiftright(col("sh"), start).bitwiseAND(mask).as("cv"))
     }
-    val chunked = sh.select(col("id"), col("sh"),
-      explode(array(chunkDefs: _*)).as("cc"))
-      .select(col("id"), col("sh"), col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
+    val chunked = capBuckets(
+      sh.select(col("id"), col("sh"), explode(array(chunkDefs: _*)).as("cc"))
+        .select(col("id"), col("sh"), col("cc.chunk").as("chunk"), col("cc.cv").as("cv")),
+      Seq("chunk", "cv"), maxBucketSize, "simhash")
     val a = chunked.select(col("chunk"), col("cv"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("cv"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk", "cv"))
@@ -303,11 +304,17 @@ object Dedup {
     * and summation order match the expression form and the oracle
     * (dot and each squared norm are independent left-to-right folds). */
   private val cosineUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    val x = a.toArray; val y = b.toArray
-    var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
-    val n = math.min(x.length, y.length)
-    while (i < n) { d += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1 }
-    d / (math.sqrt(na) * math.sqrt(nb))
+    // mismatched lengths are malformed embeddings — surface them as
+    // NULL (filtered out downstream) rather than silently scoring the
+    // common prefix, which could report spurious near-duplicates
+    if (a.length != b.length) Option.empty[Double]
+    else {
+      val x = a.toArray; val y = b.toArray
+      var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+      val n = x.length
+      while (i < n) { d += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1 }
+      Some(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
   }
 
   /** Join candidate pairs back to vectors and keep pairs with rounded
@@ -329,18 +336,115 @@ object Dedup {
 
   // --- shared helpers -------------------------------------------------
 
+  /** Prefix of the accumulator names the skew guards register. */
+  val SkewMetricPrefix = "graft.dedup.skew"
+
+  private val skewSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** (dropped-rows, dropped-buckets) accumulators per guard site,
+    * keyed `graft.dedup.skew.<site>.<n>`. Accumulators — not
+    * Dataset.observe — because AQE's empty-relation propagation can
+    * erase a CollectMetrics node from the executed plan when the guard
+    * drops EVERYTHING (the exact case that must not go silent).
+    * Counts are cumulative across actions on the same frame and
+    * approximate under task retries. */
+  private val skewAccs = scala.collection.concurrent.TrieMap
+    .empty[String, (org.apache.spark.util.LongAccumulator,
+      org.apache.spark.util.LongAccumulator)]
+
+  /** Snapshot of skew-guard drops, keyed by guard name:
+    * (dropped_rows, dropped_buckets) — the no-silent-caps window for
+    * callers and tests. Synchronously current after any action that
+    * executed a guarded join. */
+  def skewDrops: Map[String, (Long, Long)] =
+    skewAccs.iterator.map { case (name, (r, b)) =>
+      name -> (r.value.longValue, b.value.longValue)
+    }.toMap
+
+  /** For tests: forget prior guards' accumulators. */
+  def skewDropsReset(): Unit = skewAccs.clear()
+
+  private val skewLogged = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private val listenerRegistered =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.classic.SparkSession, java.lang.Boolean])
+
+  /** Register-once listener: WARN when a guard's drop count grows, so
+    * a silent cap at 100 TB cannot read as "deduped" for exactly the
+    * degenerate content (empty/boilerplate docs) that concentrates in
+    * hot buckets. */
+  private def registerSkewListener(df: DataFrame): Unit = {
+    listenerRegistered.synchronized {
+      val s = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      if (!listenerRegistered.contains(s)) {
+        listenerRegistered.add(s)
+        s.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+          private val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+            skewDrops.foreach { case (name, (rows, buckets)) =>
+              if (rows > 0 && skewLogged.getOrElse(name, 0L) < rows) {
+                skewLogged.put(name, rows)
+                log.warn(s"$name: skew guard dropped $rows candidate rows in " +
+                  s"~$buckets oversized buckets — near-dup recall is lost inside " +
+                  "them; raise maxBucketSize or pre-filter degenerate content")
+              }
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+        })
+      }
+    }
+  }
+
+  /** Cap bucket sizes (skew guard), counting what the guard drops into
+    * the site's accumulators.
+    *
+    * Shape: bucket sizes via groupBy-count (map-side combine — one row
+    * per bucket reaches the shuffle), hot buckets counted in the anti-
+    * join's BUILD side, then `banded LEFT ANTI over`. The build side
+    * always materializes when the join executes or is adaptively
+    * elided (AQE must run it to learn it is empty), so the counts
+    * survive even when the guard drops everything — a window-column
+    * filter or an observe node on a join branch does not (AQE empty-
+    * relation propagation skips the branch / erases the node). Also
+    * the at-scale win: the self-join shuffle then carries only capped
+    * rows, and `over` (hot buckets only) is tiny → broadcast anti. */
+  private def capBuckets(
+      banded: DataFrame,
+      keys: Seq[String],
+      maxBucketSize: Int,
+      site: String): DataFrame = {
+    registerSkewListener(banded)
+    if (skewAccs.size > 256) { skewAccs.clear(); skewLogged.clear() }
+    val name = s"$SkewMetricPrefix.$site.${skewSeq.incrementAndGet()}"
+    val sc = banded.sparkSession.sparkContext
+    val accRows = sc.longAccumulator(s"$name.rows")
+    val accBuckets = sc.longAccumulator(s"$name.buckets")
+    skewAccs.put(name, (accRows, accBuckets))
+    val keyCols = keys.map(col)
+    // nondeterministic: the counting filter must not be deduplicated,
+    // reordered, or double-evaluated by the optimizer
+    val hotCounting = udf { (n: Long) =>
+      val hot = n > maxBucketSize
+      if (hot) { accRows.add(n); accBuckets.add(1L) }
+      hot
+    }.asNondeterministic()
+    val over = banded.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(hotCounting(col("bucket_n")))
+      .select(keyCols: _*)
+    banded.join(over, keys, "left_anti")
+  }
+
   /** Self-join pairs of `banded` rows sharing bucket `keys`, with
-    * oversized buckets dropped (skew guard). */
+    * oversized buckets dropped (skew guard; drops counted + logged). */
   private def bucketJoinPairs(
       banded: DataFrame,
       keys: Seq[String],
       maxBucketSize: Int): DataFrame = {
-    val keyCols = keys.map(col)
-    val sized = banded
-      .withColumn("bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
+    val sized = capBuckets(banded, keys, maxBucketSize, keys.head)
     val a = sized.withColumnRenamed("id", "id_a")
     val b = sized.withColumnRenamed("id", "id_b")
     a.join(b, keys)

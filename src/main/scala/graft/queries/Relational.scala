@@ -27,7 +27,7 @@ object Relational {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
-      tbl(s, dir, "lineitem")
+      gtbl(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -44,7 +44,7 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, CAST(ROUND(l_quantity, 2) AS DOUBLE) AS qty
         |FROM lineitem
         |WHERE l_quantity > 45 AND l_returnflag = 'R'""".stripMargin) { (s, dir) =>
-      tbl(s, dir, "lineitem")
+      gtbl(s, dir, "lineitem")
         .filter(col("l_quantity") > 45 && col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_linenumber"), asDouble(col("l_quantity")).as("qty"))
     },
@@ -63,10 +63,10 @@ object Relational {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin) { (s, dir) =>
-      val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val o = tbl(s, dir, "orders")
+      val c = gtbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = gtbl(s, dir, "orders")
         .filter(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp"))
-      val l = tbl(s, dir, "lineitem")
+      val l = gtbl(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1996-03-15 00:00:00").cast("timestamp"))
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
@@ -86,8 +86,8 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
-      val o = tbl(s, dir, "orders")
-      val l = tbl(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      val o = gtbl(s, dir, "orders")
+      val l = gtbl(s, dir, "lineitem").filter(col("l_quantity") > 45)
       o.join(l, col("o_orderkey") === col("l_orderkey"), "left_semi")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("order_count"))
@@ -108,14 +108,14 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin) { (s, dir) =>
-      val c = tbl(s, dir, "customer")
-      val o = tbl(s, dir, "orders")
+      val c = gtbl(s, dir, "customer")
+      val o = gtbl(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
-      val l = tbl(s, dir, "lineitem")
-      val su = tbl(s, dir, "supplier")
-      val n = tbl(s, dir, "nation")
-      val r = tbl(s, dir, "region").filter(col("r_name") === "ASIA")
+      val l = gtbl(s, dir, "lineitem")
+      val su = gtbl(s, dir, "supplier")
+      val n = gtbl(s, dir, "nation")
+      val r = gtbl(s, dir, "region").filter(col("r_name") === "ASIA")
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("l_orderkey") === col("o_orderkey"))
         .join(su, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
@@ -135,7 +135,7 @@ object Relational {
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
-      tbl(s, dir, "lineitem")
+      gtbl(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
@@ -152,9 +152,9 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY c_nationkey""".stripMargin) { (s, dir) =>
-      tbl(s, dir, "customer")
+      gtbl(s, dir, "customer")
         .join(
-          tbl(s, dir, "orders")
+          gtbl(s, dir, "orders")
             .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00").cast("timestamp")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("c_nationkey")
@@ -172,7 +172,7 @@ object Relational {
         |WHERE rn <= 3""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      tbl(s, dir, "orders")
+      gtbl(s, dir, "orders")
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("o_orderkey"),
@@ -190,7 +190,7 @@ object Relational {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_orderdate"), col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tbl(s, dir, "orders")
+      gtbl(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
           asDouble(sum(dec(col("o_totalprice"))).over(w)).as("running_spend"))
     },
@@ -202,7 +202,7 @@ object Relational {
         |  CAST(date_diff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), o_orderdate) AS BIGINT) AS gap_days
         |FROM orders""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
-      tbl(s, dir, "orders")
+      gtbl(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"),
           datediff(col("o_orderdate").cast("date"),
             lag(col("o_orderdate"), 1).over(w).cast("date")).cast("long").as("gap_days"))
@@ -215,7 +215,7 @@ object Relational {
         |FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         |LIMIT 25""".stripMargin) { (s, dir) =>
-      tbl(s, dir, "lineitem")
+      gtbl(s, dir, "lineitem")
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
         .select(col("l_orderkey"), col("l_linenumber"),
           asDouble(col("l_extendedprice")).as("price"))
@@ -229,7 +229,7 @@ object Relational {
         |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
         |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
-      tbl(s, dir, "lineitem")
+      gtbl(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"))
@@ -249,8 +249,8 @@ object Relational {
         |SELECT 'supp_only' AS op, k FROM
         |  (SELECT DISTINCT s_nationkey AS k FROM supplier
         |   EXCEPT SELECT DISTINCT c_nationkey FROM customer)""".stripMargin) { (s, dir) =>
-      val c = tbl(s, dir, "customer").select(col("c_nationkey").as("k")).distinct()
-      val su = tbl(s, dir, "supplier").select(col("s_nationkey").as("k")).distinct()
+      val c = gtbl(s, dir, "customer").select(col("c_nationkey").as("k")).distinct()
+      val su = gtbl(s, dir, "supplier").select(col("s_nationkey").as("k")).distinct()
       c.intersect(su).select(lit("both").as("op"), col("k"))
         .unionAll(c.except(su).select(lit("cust_only").as("op"), col("k")))
         .unionAll(su.except(c).select(lit("supp_only").as("op"), col("k")))
@@ -262,7 +262,7 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
-      tbl(s, dir, "lineitem")
+      gtbl(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("l_quantity")))).as("qty"))
     },
@@ -273,7 +273,7 @@ object Relational {
       """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin) { (s, dir) =>
-      tbl(s, dir, "orders")
+      gtbl(s, dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("o_totalprice")))).as("total"))
     },
@@ -284,7 +284,7 @@ object Relational {
       """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin) { (s, dir) =>
-      tbl(s, dir, "lineitem").createOrReplaceTempView("graft_q16_lineitem")
+      gtbl(s, dir, "lineitem").createOrReplaceTempView("graft_q16_lineitem")
       s.sql(
         """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
           |FROM graft_q16_lineitem
@@ -301,7 +301,7 @@ object Relational {
         |  CAST(length(p_name) AS BIGINT) AS name_len,
         |  replace(p_type, ' ', '_') AS type_u
         |FROM part WHERE p_name LIKE '%gear%'""".stripMargin) { (s, dir) =>
-      tbl(s, dir, "part")
+      gtbl(s, dir, "part")
         .filter(col("p_name").like("%gear%"))
         .select(col("p_partkey"),
           upper(col("p_brand")).as("brand_u"),
@@ -320,7 +320,7 @@ object Relational {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
-      tbl(s, dir, "orders")
+      gtbl(s, dir, "orders")
         .groupBy(
           year(col("o_orderdate")).cast("long").as("y"),
           quarter(col("o_orderdate")).cast("long").as("q"),
@@ -336,7 +336,7 @@ object Relational {
         |  CAST(SUM(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS BIGINT) AS small,
         |  CAST(ROUND(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS discounted_rev
         |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
-      tbl(s, dir, "lineitem")
+      gtbl(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
           sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("big"),
@@ -352,7 +352,7 @@ object Relational {
         |FROM orders
         |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
         |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
-      val o = tbl(s, dir, "orders")
+      val o = gtbl(s, dir, "orders")
       val avgDf = o.agg(avg(col("o_totalprice")).as("ap"))
       o.crossJoin(broadcast(avgDf))
         .filter(col("o_totalprice") > col("ap"))
@@ -369,11 +369,11 @@ object Relational {
         |  (SELECT o_custkey FROM orders GROUP BY o_custkey
         |   HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 400000.00)
         |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
-      val spenders = tbl(s, dir, "orders")
+      val spenders = gtbl(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(sum(dec(col("o_totalprice"))).as("spend"))
         .filter(col("spend") > 400000.00)
-      tbl(s, dir, "customer")
+      gtbl(s, dir, "customer")
         .join(spenders, col("c_custkey") === col("o_custkey"), "left_semi")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"))
@@ -389,9 +389,9 @@ object Relational {
         |FULL OUTER JOIN
         |  (SELECT s_nationkey AS sk, COUNT(*) AS ns FROM supplier GROUP BY 1) b
         |ON a.ck = b.sk""".stripMargin) { (s, dir) =>
-      val a = tbl(s, dir, "customer").groupBy(col("c_nationkey").as("ck"))
+      val a = gtbl(s, dir, "customer").groupBy(col("c_nationkey").as("ck"))
         .agg(count(lit(1)).as("nc"))
-      val b = tbl(s, dir, "supplier").groupBy(col("s_nationkey").as("sk"))
+      val b = gtbl(s, dir, "supplier").groupBy(col("s_nationkey").as("sk"))
         .agg(count(lit(1)).as("ns"))
       a.join(b, col("ck") === col("sk"), "full_outer")
         .select(coalesce(col("ck"), col("sk")).as("nationkey"),
@@ -406,8 +406,8 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate <= o_orderdate + INTERVAL 30 DAY
         |GROUP BY o_orderpriority""".stripMargin) { (s, dir) =>
-      tbl(s, dir, "lineitem")
-        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      gtbl(s, dir, "lineitem")
+        .join(gtbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 30 DAYS"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"))
@@ -423,11 +423,11 @@ object Relational {
         |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name, date_trunc('month', o_orderdate)""".stripMargin) { (s, dir) =>
-      tbl(s, dir, "orders")
+      gtbl(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
-        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(gtbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(gtbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"),
           date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month"))
         .agg(asDouble(sum(dec(col("o_totalprice")))).as("revenue"))

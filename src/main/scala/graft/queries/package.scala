@@ -19,6 +19,35 @@ package object queries {
   def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  private val graftQWarehouse = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val graftQTables = scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
+
+  /** Load one testdata table THROUGH graft storage: copied once per
+    * (sf dir, table) into a shared graft warehouse, then read via the
+    * `graft_q` DSv2 catalog so every relational query (joins, windows,
+    * set ops, grouping sets) exercises the native GraftBatchScan and
+    * its pushdowns inside multi-operator plans — the reference ships
+    * its relational surface through its Spark catalog the same way
+    * (paimon-spark SparkCatalog.java). The copy is cached for the JVM
+    * lifetime; reruns only pay the scan. */
+  def gtbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    val wh = graftQWarehouse.getOrElseUpdate("wh",
+      java.nio.file.Files.createTempDirectory("graft-q-wh").toString)
+    if (!s.conf.getOption("spark.sql.catalog.graft_q").contains("graft.sources.GraftCatalog") ||
+      !s.conf.getOption("spark.sql.catalog.graft_q.warehouse").contains(wh)) {
+      s.conf.set("spark.sql.catalog.graft_q", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_q.warehouse", wh)
+    }
+    val ns = dir.replaceAll("[^A-Za-z0-9]", "_")
+    graftQTables.getOrElseUpdate((dir, name), {
+      val src = tbl(s, dir, name)
+      val t = graft.table.GraftTable.create(s, s"$wh/$ns/$name", src.schema)
+      t.write(src)
+      true
+    })
+    s.table(s"graft_q.`$ns`.`$name`")
+  }
+
   /** Exact money arithmetic: cast a double column to DECIMAL(18,2). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 

@@ -267,14 +267,23 @@ class GraftBatchScan(
 /** Driver-side scan metrics (planning results; per-task IO metrics come
   * free from Spark's file readers). */
 object GraftScanMetrics {
-  private class Sum(override val name: String, desc: String)
+  // each metric is a zero-arg-constructible class: Spark re-creates
+  // CustomMetric instances reflectively for the UI aggregation
+  class FilesPlanned extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "filesPlanned"
+    override def description(): String = "data files selected by manifest pruning"
+  }
+  class FilesAfterRuntimeFiltering
       extends org.apache.spark.sql.connector.metric.CustomSumMetric {
-    override def description(): String = desc
+    override def name(): String = "filesAfterRuntimeFiltering"
+    override def description(): String = "data files read after runtime (DPP) filtering"
+  }
+  class BytesPlanned extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+    override def name(): String = "bytesPlanned"
+    override def description(): String = "bytes of data files read"
   }
   val all: Array[org.apache.spark.sql.connector.metric.CustomMetric] = Array(
-    new Sum("filesPlanned", "data files selected by manifest pruning"),
-    new Sum("filesAfterRuntimeFiltering", "data files read after runtime (DPP) filtering"),
-    new Sum("bytesPlanned", "bytes of data files read"))
+    new FilesPlanned, new FilesAfterRuntimeFiltering, new BytesPlanned)
   def metric(n: String, v: Long)
       : org.apache.spark.sql.connector.metric.CustomTaskMetric =
     new org.apache.spark.sql.connector.metric.CustomTaskMetric {

@@ -102,7 +102,12 @@ object GraftProcedures {
     "mark_partition_done" -> (Seq(p("table", StringType), p("partition", StringType)),
       (t, args) => {
         val part = args.getUTF8String(1).toString
-        val dir = java.nio.file.Paths.get(s"${t.path}/data/$part")
+        // the partition value is caller-supplied: normalize and refuse
+        // anything that escapes the table's data directory ("../../x")
+        val dataRoot = java.nio.file.Paths.get(s"${t.path}/data").normalize()
+        val dir = java.nio.file.Paths.get(s"${t.path}/data/$part").normalize()
+        require(dir.startsWith(dataRoot) && dir != dataRoot,
+          s"partition '$part' resolves outside the table's data directory")
         java.nio.file.Files.createDirectories(dir)
         java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
         "ok"
@@ -203,13 +208,19 @@ object GraftProcedures {
       (c, args) => {
         val db = args.getUTF8String(0).toString
         var n = 0
+        val failed = scala.collection.mutable.ArrayBuffer.empty[String]
         c.listTables(Array(db)).foreach { id =>
           try {
             if (GraftTable.load(SparkSession.active, c.pathOf(id))
               .compact().isDefined) n += 1
-          } catch { case _: Exception => }
+          } catch { case e: Exception =>
+            failed += id.name()
+            org.slf4j.LoggerFactory.getLogger("graft.GraftProcedures")
+              .warn(s"compact_database: ${id.name()} failed: $e")
+          }
         }
-        s"compacted $n tables"
+        if (failed.isEmpty) s"compacted $n tables"
+        else s"compacted $n tables, ${failed.size} failed: ${failed.mkString(",")}"
       }),
     "migrate_table" -> (Seq(p("table", StringType), p("source_dir", StringType)),
       (c, args) => {

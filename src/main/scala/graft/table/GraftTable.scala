@@ -470,12 +470,13 @@ final class GraftTable private (
       sch: TableSchema,
       added: Seq[ManifestEntry],
       liveAfter: => Set[String],
-      forceFold: Boolean = false): (Seq[ManifestEntry], Option[Seq[String] => Seq[String]]) = {
+      forceFold: Boolean = false): (Seq[ManifestEntry],
+        Option[Seq[String] => Seq[String]], Option[Option[Seq[Int]] => Seq[Int]]) = {
     val cols = secIndexCols(sch)
-    if (cols.isEmpty) return (added, None)
+    if (cols.isEmpty) return (added, None, None)
     val indexable = added.filter(e => e.kind == "ADD" &&
       (e.file.fileName.endsWith(".parquet") || e.file.fileName.endsWith(".orc")))
-    if (indexable.isEmpty) return (added, None)
+    if (indexable.isEmpty) return (added, None, None)
     val prevFiles = sm.latestSnapshot().flatMap(_.secIndex).getOrElse(Seq.empty)
     val trigger = sch.options
       .getOrElse("secondary-index.compact-trigger", "32").toInt
@@ -505,7 +506,18 @@ final class GraftTable private (
         e.copy(file = e.file.copy(secIndexed = true))
       else e
     }
-    (marked, Some(update))
+    // Covered-column bookkeeping: only the new files get rows for the
+    // CURRENT option columns, so a column added to the option mid-life
+    // is covered only after a full rebuild (forceFold over all live
+    // files) or at first enablement (no prior secIndexed files exist).
+    // Otherwise the prior covered set intersects with the option —
+    // probing an uncovered column would wrongly prune old files.
+    val cidsNow = cols.map(c => sch.fields.find(_.name == c).get.id)
+    val cidsUpdate: Option[Seq[Int]] => Seq[Int] =
+      if (forceFold || prevFiles.isEmpty) _ => cidsNow
+      else prev => prev.map(_.toSet.intersect(cidsNow.toSet).toSeq.sorted)
+        .getOrElse(cidsNow) // legacy snapshots: prior behavior
+    (marked, Some(update), Some(cidsUpdate))
   }
 
   /** (cid, v, f) rows for the given files, grouped by (schema version,
@@ -598,8 +610,18 @@ final class GraftTable private (
     if (files.isEmpty || entries.isEmpty || !entries.exists(_.file.secIndexed))
       return entries
     val sch = schema
+    // only probe columns the index FULLY covers (snapshot-recorded):
+    // a column added to the option after files were indexed has no
+    // rows for those files — probing it would wrongly prune them.
+    // Legacy snapshots (no record) keep the current-option behavior.
+    val covered: Int => Boolean = snap.secIndexCids match {
+      case Some(cids) => cids.toSet
+      case None => _ => true
+    }
     val idOf: Map[String, Int] =
-      secIndexCols(sch).map(c => c -> sch.fields.find(_.name == c).get.id).toMap
+      secIndexCols(sch).map(c => c -> sch.fields.find(_.name == c).get.id)
+        .filter { case (_, id) => covered(id) }.toMap
+    if (idOf.isEmpty) return entries
     val tz = Option(spark.sessionState.conf.sessionLocalTimeZone)
     def str(l: Literal): Option[String] = {
       // same canonicalization as the build side: numeric → double →
@@ -882,7 +904,7 @@ final class GraftTable private (
     val indexed = buildFileIndexes(sch, added)
     val deletes = deletesFor(indexed)
     val deletedNames = deletes.map(_.file.fileName).toSet
-    val (secMarked, secUpdate) = buildSecondaryIndex(sch, indexed, {
+    val (secMarked, secUpdate, secCids) = buildSecondaryIndex(sch, indexed, {
       val live = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
         .map(_.file.fileName).toSet
       ((live -- deletedNames) ++ indexed.map(_.file.fileName)).map(basename)
@@ -895,7 +917,8 @@ final class GraftTable private (
       changelogManifest = changelogManifest,
       dynIndexUpdate = dynIndexUpdate,
       globalIndexUpdate = globalIndexUpdate,
-      secIndexUpdate = secUpdate)
+      secIndexUpdate = secUpdate,
+      secCidsUpdate = secCids)
   }
 
   /** Build per-file index sidecars (bloom + bitmap) for the configured
@@ -1981,13 +2004,14 @@ final class GraftTable private (
     // full secondary-index rebuild: onboards files written before the
     // option was set (their secIndexed flag was false until now)
     val names = entries.map(_.file.fileName).toSet
-    val (secMarked, secUpdate) = buildSecondaryIndex(sch, rebuilt,
+    val (secMarked, secUpdate, secCids) = buildSecondaryIndex(sch, rebuilt,
       names.map(basename), forceFold = true)
     Some(sm.commit(entries.map(_.copy(kind = "DELETE")) ++ secMarked,
       KindOverwrite, sch.id,
       conflictCheck = latest =>
         names.subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet),
-      secIndexUpdate = secUpdate))
+      secIndexUpdate = secUpdate,
+      secCidsUpdate = secCids))
   }
 
   /** Set (or remove, with null) a table option — a new schema version;
@@ -2060,9 +2084,21 @@ final class GraftTable private (
     require(!sch.fields.exists(_.name == newName), s"column $newName already exists")
     require(!sch.partitionKeys.contains(oldName) && !sch.primaryKeys.contains(oldName),
       "cannot rename partition or primary-key columns")
+    // column-list options (index configs) track the rename: secondary-
+    // index rows are keyed by stable field id, so updating the option
+    // string keeps the index pruning under the new name; per-file
+    // sidecars keyed by the old name just fail open on old files.
+    val colListOptions = Set(GraftTable.SecIndexColumns,
+      BloomIndex.OptionColumns, BitmapIndex.OptionColumns,
+      BsiIndex.OptionColumns)
     val newOptions = sch.options.map { case (k, v) =>
-      (if (k.startsWith(s"fields.$oldName."))
-        k.replaceFirst(s"fields.$oldName.", s"fields.$newName.") else k) -> v
+      val k2 = if (k.startsWith(s"fields.$oldName."))
+        k.replaceFirst(s"fields.$oldName.", s"fields.$newName.") else k
+      val v2 = if (colListOptions.contains(k))
+        v.split(",").map(_.trim).filter(_.nonEmpty)
+          .map(c => if (c == oldName) newName else c).mkString(",")
+      else v
+      k2 -> v2
     }
     sm.writeSchema(sch.copy(
       id = sch.id + 1,

@@ -181,4 +181,38 @@ class OperatorsSpec extends AnyFunSuite {
     // sanity: no false positives above threshold among non-planted pairs
     assert(!lsh.exists { case (a, b) => b - a != 1000 })
   }
+
+  test("skew guard drops are observed and reported, never silent") {
+    import spark.implicits._
+    // 30 identical docs land in one degenerate LSH bucket > max size;
+    // 4 distinct docs survive in small buckets
+    val docs = ((0 until 30).map(i => (i.toLong, "the same boilerplate text repeated " * 3)) ++
+      Seq((100L, "alpha beta gamma delta epsilon zeta"),
+        (101L, "alpha beta gamma delta epsilon zeta"),
+        (102L, "one two three four five six seven"),
+        (103L, "totally different content here entirely")))
+      .toDF("id", "text")
+    Dedup.skewDropsReset()
+    val pairs = Dedup.minhashCandidates(docs, "id", "text", maxBucketSize = 8)
+    // the hot bucket (30 rows/band) was dropped; the 100/101 pair survives
+    assert(pairs.as[(Long, Long)].collect().toSet == Set((100L, 101L)))
+    val drops = Dedup.skewDrops
+    assert(drops.nonEmpty, "skew drops were not reported")
+    val (rows, buckets) = drops.values.maxBy(_._1)
+    assert(rows >= 30, s"expected >=30 dropped rows (30 ids x bands), got $rows")
+    assert(buckets >= 1, s"expected >=1 dropped bucket, got $buckets")
+
+    // simhash chunk join: identical docs -> identical simhash -> one
+    // hot (chunk, value) bucket; the cap must drop it AND report it —
+    // including when EVERYTHING is dropped (AQE empty-propagation must
+    // not erase the count)
+    Dedup.skewDropsReset()
+    val sh = (0 until 20).map(i => (i.toLong, 0xdeadbeefL))
+      .toDF("id", "sh")
+    val capped = Dedup.simhashPairs(sh, maxHamming = 3, maxBucketSize = 5)
+    assert(capped.count() == 0, "hot bucket must be dropped by the cap")
+    assert(Dedup.skewDrops.exists { case (name, (r, _)) =>
+      name.contains("simhash") && r >= 20 * 4 }, // 20 ids x 4 chunks
+      s"simhash drops not reported: ${Dedup.skewDrops}")
+  }
 }

@@ -241,13 +241,46 @@ class SecondaryIndexSpec extends AnyFunSuite {
     val t = GraftTable.create(spark, p, sch,
       options = Map(GraftTable.SecIndexColumns -> "city"))
     t.write(df((1L, "tokyo")))
+    // renameColumn rewrites secondary-index.columns itself (index rows
+    // are keyed by stable field id, only the option string moves)
     t.renameColumn("city", "town")
-    val t2 = GraftTable.load(spark, p)
-    t2.setOption(GraftTable.SecIndexColumns, "town")
     val t3 = GraftTable.load(spark, p)
+    assert(t3.schema.options(GraftTable.SecIndexColumns) == "town")
     t3.write(df((2L, "osaka")).withColumnRenamed("city", "town"))
     assert(t3.planEntries(col("town") === "tokyo").size == 1)
     assert(t3.planEntries(col("town") === "nowhere").isEmpty)
     assert(t3.scan(col("town") === "tokyo").count() == 1)
+  }
+
+  test("column added to the index option is not probed until rewrite") {
+    val s3 = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("a", StringType, nullable = true),
+      StructField("b", StringType, nullable = true)))
+    def df3(rows: (Long, String, String)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2, r._3)).asJava, s3)
+    val p = tmp()
+    val t = GraftTable.create(spark, p, s3,
+      options = Map(GraftTable.SecIndexColumns -> "a"))
+    // b-ranges of both files overlap "hot", so min/max stats cannot
+    // prune either — only the (incomplete) index could, wrongly
+    t.write(df3((1L, "ax", "hot"), (2L, "zx", "zzz")).coalesce(1)) // indexed for a only
+    t.setOption(GraftTable.SecIndexColumns, "a,b")
+    val t2 = GraftTable.load(spark, p)
+    t2.write(df3((3L, "ay", "aaa"), (4L, "zy", "zzy")).coalesce(1)) // indexed for a and b
+    // the first file is secIndexed but has NO rows for b: probing b
+    // would wrongly prune it — b must stay un-probed (fail open)
+    assert(t2.planEntries(col("b") === "hot").size == 2)
+    assert(t2.scan(col("b") === "hot").count() == 1)
+    // a stays fully covered and keeps pruning (both a-ranges span
+    // "ax".."zx"-ish, so this is the index, not stats)
+    assert(t2.planEntries(col("a") === "ax").size == 1)
+    assert(t2.planEntries(col("a") === "mm").isEmpty)
+    // full rebuild onboards b for every file
+    t2.rewriteFileIndex()
+    val t4 = GraftTable.load(spark, p)
+    assert(t4.planEntries(col("b") === "hot").size == 1)
+    assert(t4.planEntries(col("b") === "nope").isEmpty)
+    assert(t4.scan(col("b") === "hot").count() == 1)
   }
 }
