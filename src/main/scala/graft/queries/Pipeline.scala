@@ -61,19 +61,52 @@ object Pipeline {
         .select(col("doc_id"), TA.langId(col("text")).as("pred_lang"), col("lang"))
     },
 
-    // ---- MinHash+LSH near-dup pairs (deterministic, hash-based).
-    QDef.rowsOnly("p05_minhash_dedup") { (s, dir) =>
-      Dedup.minhashDedupPairs(tbl(s, dir, "documents"), "doc_id", "text",
-        threshold = 0.7)
+    // ---- MinHash+LSH near-dup, held to an EXACT oracle: the gate
+    // plants an exact duplicate (doc_id + 1_000_000) of every 10th
+    // document. Identical text → identical signature → the pair shares
+    // EVERY band, so candidate generation is guaranteed by
+    // construction (deterministic, not probabilistic), and the verify
+    // step scores Jaccard 1.0 >= threshold. The output is the planted
+    // containment set, which the oracle states in plain SQL: a missed
+    // candidate, signature drift, banding bug, or broken verifier
+    // drops rows and fails the hash compare. (Pair-distance 1_000_000
+    // uniquely identifies planted pairs: natural doc ids stay far
+    // below 1_000_000.)
+    QDef(
+      "p05_minhash_dedup",
+      """SELECT CAST(doc_id AS BIGINT) AS src_id, TRUE AS dup_found
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin) { (s, dir) =>
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val pairs = Dedup.minhashDedupPairs(docs.unionAll(planted),
+        "doc_id", "text", threshold = 0.7)
+      val found = pairs.filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a").as("src_id"))
+      docs.filter(col("doc_id") % 10 === 0).select(col("doc_id").as("src_id"))
+        .join(found, Seq("src_id"), "left_semi")
+        .select(col("src_id"), lit(true).as("dup_found"))
     },
 
-    // ---- SimHash near-dup pairs. maxHamming=7 → 8 chunks of 8 bits:
-    // the pigeonhole recall guarantee holds (a pair within Hamming 7
-    // always shares a chunk) with buckets still wide enough to stay
-    // under the skew guard.
-    QDef.rowsOnly("p06_simhash_dedup") { (s, dir) =>
-      Dedup.simhashDedupPairs(tbl(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 7)
+    // ---- SimHash near-dup, held to an EXACT oracle the same way as
+    // p05: planted exact duplicates have identical simhash (Hamming 0
+    // <= maxHamming) and share every chunk bucket, so the pigeonhole
+    // blocking finds them deterministically. maxHamming=7 → 8 chunks
+    // of 8 bits, buckets wide enough to stay under the skew guard.
+    QDef(
+      "p06_simhash_dedup",
+      """SELECT CAST(doc_id AS BIGINT) AS src_id, TRUE AS dup_found
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin) { (s, dir) =>
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val pairs = Dedup.simhashDedupPairs(docs.unionAll(planted),
+        "doc_id", "text", maxHamming = 7)
+      val found = pairs.filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a").as("src_id"))
+      docs.filter(col("doc_id") % 7 === 0).select(col("doc_id").as("src_id"))
+        .join(found, Seq("src_id"), "left_semi")
+        .select(col("src_id"), lit(true).as("dup_found"))
     },
 
     // ---- exact word-set Jaccard pairs within a blocking key (SQL-
@@ -115,12 +148,33 @@ object Pipeline {
         .select(col("id_a"), col("id_b"), round(col("jacc_raw"), 6).as("jaccard"))
     },
 
-    // ---- document fingerprints (xxhash64-based; not SQL-expressible).
-    QDef.rowsOnly("p08_fingerprints") { (s, dir) =>
-      tbl(s, dir, "documents")
-        .select(col("doc_id"),
-          TA.docFingerprint(col("text")).as("fingerprint"),
-          TA.minShingleFingerprint(col("text")).as("min_shingle_fp"))
+    // ---- document fingerprints, held to an EXACT oracle: the
+    // xxhash64 values themselves are not SQL-expressible in DuckDB,
+    // but their defining properties on this dataset are — every text
+    // group carries exactly one (fingerprint, min-shingle-fp) pair
+    // (determinism) and distinct texts get distinct fingerprints
+    // (injectivity here; a collision or drift flips the boolean and
+    // fails the hash compare).
+    QDef(
+      "p08_fingerprints",
+      """SELECT CAST(min(doc_id) AS BIGINT) AS canonical_id,
+        |  CAST(count(*) AS BIGINT) AS n_members, TRUE AS fp_consistent
+        |FROM documents GROUP BY text""".stripMargin) { (s, dir) =>
+      val fp = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TA.docFingerprint(col("text")).as("fp"),
+          TA.minShingleFingerprint(col("text")).as("msfp"))
+      val groups = fp.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("canonical_id"),
+          count(lit(1)).as("n_members"),
+          (count_distinct(col("fp")) === 1 &&
+            count_distinct(col("msfp")) === 1).as("within_ok"))
+      val global = fp.agg(
+        (count_distinct(col("fp")) === count_distinct(col("text")))
+          .as("injective_ok"))
+      groups.crossJoin(global)
+        .select(col("canonical_id"), col("n_members"),
+          (col("within_ok") && col("injective_ok")).as("fp_consistent"))
     },
 
     // ---- brute-force exact k-NN by cosine over embeddings.

@@ -776,5 +776,34 @@ object Storage {
       t.scan(col("o_custkey") === cust)
         .select(col("o_orderkey"),
           asDouble(round(col("o_totalprice"), 2)).as("price"))
+    },
+
+    // ---- TopN pushdown through SQL: ORDER BY ... LIMIT k via
+    // spark.sql plans a GraftBatchScan restricted to the files whose
+    // [min,max] can reach the k-th best boundary (SupportsPushDownTopN
+    // on the ScanBuilder; reference: PaimonScanBuilder.pushTopN:42-87 +
+    // TopNDataSplitEvaluator.java:42). Price-clustered commits give
+    // disjoint file ranges, so the boundary actually prunes.
+    QDef(
+      "g36_sql_topn_pushdown",
+      """SELECT CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+        |FROM orders ORDER BY o_totalprice DESC LIMIT 10""".stripMargin) { (s, dir) =>
+      val wh = Files.createTempDirectory("graft-g36-wh").toString
+      s.conf.set("spark.sql.catalog.graft_g36", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_g36.warehouse", wh)
+      tbl(s, dir, "orders").createOrReplaceTempView("g36_src")
+      s.sql("""CREATE OR REPLACE TEMP VIEW g36_banded AS
+              |SELECT o_orderkey, o_totalprice,
+              |  NTILE(4) OVER (ORDER BY o_totalprice) AS band
+              |FROM g36_src""".stripMargin)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g36.gate")
+      s.sql("CREATE TABLE graft_g36.gate.t (o_orderkey BIGINT, o_totalprice DOUBLE)")
+      (1 to 4).foreach { b =>
+        s.sql(s"""INSERT INTO graft_g36.gate.t
+                 |SELECT o_orderkey, o_totalprice FROM g36_banded WHERE band = $b""".stripMargin)
+      }
+      s.sql("""SELECT CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+              |FROM graft_g36.gate.t
+              |ORDER BY o_totalprice DESC LIMIT 10""".stripMargin)
     })
 }

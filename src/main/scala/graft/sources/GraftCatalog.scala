@@ -275,11 +275,13 @@ class GraftSparkTable(protected val gt: GraftTable, snapshot: Option[Long])
 class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
   private var limit: Option[Int] = None
+  private var topN: Option[(String, Boolean)] = None // (column, descending)
   private var aggResult: Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -292,6 +294,32 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType)
 
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed: Boolean = true
+
+  /** `ORDER BY col [DESC] LIMIT k` through SQL: prune candidate files
+    * by the k-th best file boundary (GraftTable.topNEntries; reference:
+    * paimon-spark PaimonScanBuilder.pushTopN:42-87 +
+    * TopNDataSplitEvaluator.java:42). Partial pushdown — the plan keeps
+    * the global sort+limit, the scan just returns a file-pruned
+    * superset. Residual filters disqualify it: file rowCounts would
+    * overcount qualifying rows and the boundary could cut a
+    * contributing file. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    if (snapshot.isDefined || pushed.nonEmpty || orders.length != 1) return false
+    orders(0).expression() match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames().length == 1 =>
+        val desc = orders(0).direction() ==
+          org.apache.spark.sql.connector.expressions.SortDirection.DESCENDING
+        // null ordering is irrelevant: topNEntries bails out whenever
+        // any file holds nulls in the sort column
+        topN = Some((nr.fieldNames()(0), desc))
+        limit = Some(n)
+        true
+      case _ => false
+    }
+  }
 
   /** COUNT(*) / MIN / MAX with no grouping and no residual filter are
     * answered from manifest stats alone via a LocalScan — zero data
@@ -411,12 +439,14 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType)
         lazy val dataFilters = pushed.filter(
           _.references.forall(r => !partCols(r)))
         if (nativeEligible) {
-          // limit pushdown: stop planning once enough rows are covered
-          val limited = limit match {
-            case None => entries
-            case Some(n) =>
+          // top-n / limit pushdown: keep only files that can contribute
+          val limited = (topN, limit) match {
+            case (Some((c, desc)), Some(n)) => gt.topNEntries(entries, c, n, desc)
+            case (None, Some(n)) =>
+              // plain limit: stop planning once enough rows are covered
               var acc = 0L
               entries.takeWhile { e => val need = acc < n; acc += e.file.rowCount; need }
+            case _ => entries
           }
           new GraftBatchScan(gt, limited, dataSchema, readData, readPart,
             dataFilters, required)

@@ -1122,47 +1122,58 @@ final class GraftTable private (
     mergedFromEntries(taken).limit(n.toInt)
   }
 
-  /** Top-N pushdown: `ORDER BY column [DESC] LIMIT k` keeps only files
-    * whose [min,max] range can contribute to the global top-k, judged
-    * by the k-th best file boundary (reference: TopNDataSplitEvaluator
-    * .java:42-71); final ordering still happens in the plan. */
-  def readTopN(column: String, k: Int, descending: Boolean = true): DataFrame = {
-    val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
-    val sorted =
-      if (isPrimaryKeyTable || entries.isEmpty) entries
+  /** Entries that can contribute to `ORDER BY column [DESC] LIMIT k`:
+    * only files whose [min,max] range reaches the k-th best file
+    * boundary survive (reference: TopNDataSplitEvaluator.java:42-71).
+    * Conservative bail-outs (return everything): PK tables (merge can
+    * change rows), missing stats, nulls present (null ordering could
+    * put them in the top k), non-numeric-orderable types, deletion
+    * vectors (rowCount overcounts live rows, the boundary could cut a
+    * contributing file). */
+  def topNEntries(
+      entries: Seq[ManifestEntry], column: String, k: Int,
+      descending: Boolean): Seq[ManifestEntry] = {
+    if (isPrimaryKeyTable || entries.isEmpty) return entries
+    if (entries.exists(_.file.dvFile.isDefined)) return entries
+    val field = struct.fields.find(_.name == column)
+    val sch = schema
+    val ranges = entries.map(e =>
+      e -> fileMetaInCurrentNames(e, sch).stats.get(column))
+    if (field.isEmpty || ranges.exists(r =>
+      r._2.isEmpty || r._2.get.min.isEmpty || r._2.get.nullCount > 0)) entries
+    else {
+      def num(s: String): Double = field.get.dataType match {
+        case FloatType | DoubleType => s.toDouble
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+             TimestampType | TimestampNTZType => s.toLong.toDouble
+        case _ => Double.NaN
+      }
+      val usable = ranges.map { case (e, st) =>
+        (e, num(st.get.min.get), num(st.get.max.get), e.file.rowCount)
+      }
+      if (usable.exists(u => u._2.isNaN)) entries
       else {
-        val field = struct.fields.find(_.name == column)
-        val sch = schema
-        val ranges = entries.map(e =>
-          e -> fileMetaInCurrentNames(e, sch).stats.get(column))
-        if (field.isEmpty || ranges.exists(r =>
-          r._2.isEmpty || r._2.get.min.isEmpty || r._2.get.nullCount > 0)) entries
-        else {
-          def num(s: String): Double = field.get.dataType match {
-            case FloatType | DoubleType => s.toDouble
-            case ByteType | ShortType | IntegerType | LongType | DateType |
-                 TimestampType | TimestampNTZType => s.toLong.toDouble
-            case _ => Double.NaN
-          }
-          val usable = ranges.map { case (e, st) =>
-            (e, num(st.get.min.get), num(st.get.max.get), e.file.rowCount)
-          }
-          if (usable.exists(u => u._2.isNaN)) entries
-          else {
-            // worst boundary of the best files covering k rows
-            val ordered = if (descending) usable.sortBy(-_._3) else usable.sortBy(_._2)
-            var acc = 0L
-            val threshold = ordered.find { u => acc += u._4; acc >= k }
-            threshold match {
-              case None => entries
-              case Some(t) =>
-                val bound = if (descending) t._2 else t._3
-                usable.filter(u =>
-                  if (descending) u._3 >= bound else u._2 <= bound).map(_._1)
-            }
-          }
+        // worst boundary of the best files covering k rows
+        val ordered = if (descending) usable.sortBy(-_._3) else usable.sortBy(_._2)
+        var acc = 0L
+        val threshold = ordered.find { u => acc += u._4; acc >= k }
+        threshold match {
+          case None => entries
+          case Some(t) =>
+            val bound = if (descending) t._2 else t._3
+            usable.filter(u =>
+              if (descending) u._3 >= bound else u._2 <= bound).map(_._1)
         }
       }
+    }
+  }
+
+  /** Top-N pushdown: `ORDER BY column [DESC] LIMIT k` keeps only files
+    * whose [min,max] range can contribute to the global top-k (see
+    * [[topNEntries]]); final ordering still happens in the plan. */
+  def readTopN(column: String, k: Int, descending: Boolean = true): DataFrame = {
+    val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+    val sorted = topNEntries(entries, column, k, descending)
     val sortCol = if (descending) col(column).desc else col(column).asc
     mergedFromEntries(sorted).orderBy(sortCol).limit(k)
   }

@@ -71,6 +71,36 @@ class PushdownSpec extends AnyFunSuite {
     assert(bottom.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("SQL ORDER BY ... LIMIT k prunes files via SupportsPushDownTopN") {
+    val wh = Files.createTempDirectory("graft-topn-wh").toString
+    spark.conf.set("spark.sql.catalog.graft_topn", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_topn.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_topn.ns")
+    spark.sql("CREATE TABLE graft_topn.ns.t (k BIGINT, v DOUBLE)")
+    // value-clustered commits → disjoint per-file k ranges
+    spark.sql("INSERT INTO graft_topn.ns.t VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("INSERT INTO graft_topn.ns.t VALUES (10, 1.0), (11, 2.0)")
+    spark.sql("INSERT INTO graft_topn.ns.t VALUES (20, 1.0), (21, 2.0)")
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+      "GraftBatchScan\\(files=(\\d+)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt)
+        .getOrElse(fail(s"no GraftBatchScan in plan:\n" +
+          df.queryExecution.executedPlan.toString.take(1500)))
+    val total = scannedFiles(spark.sql("SELECT k FROM graft_topn.ns.t"))
+    val top = spark.sql("SELECT k FROM graft_topn.ns.t ORDER BY k DESC LIMIT 2")
+    // k-th boundary pruning: only the top file(s) are scanned
+    assert(scannedFiles(top) < total,
+      s"expected < $total files, got ${scannedFiles(top)}")
+    assert(top.collect().map(_.getLong(0)).toSeq == Seq(21L, 20L))
+    // ascending + correctness when pruning cannot apply (with filter)
+    val bottom = spark.sql("SELECT k FROM graft_topn.ns.t ORDER BY k ASC LIMIT 2")
+    assert(bottom.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    val filtered = spark.sql(
+      "SELECT k FROM graft_topn.ns.t WHERE v = 1.0 ORDER BY k DESC LIMIT 2")
+    assert(filtered.collect().map(_.getLong(0)).toSeq == Seq(20L, 10L))
+  }
+
   test("bloom file index prunes overlapping-range files on point predicates") {
     val t = GraftTable.create(spark, tmp(), sch,
       options = Map("file-index.bloom-filter.columns" -> "k"))
