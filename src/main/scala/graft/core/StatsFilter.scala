@@ -46,6 +46,10 @@ object StatsFilter {
   private def eval(expr: Expression, f: DataFileMeta): Boolean = expr match {
     case And(l, r) => eval(l, f) && eval(r, f)
     case Or(l, r) => eval(l, f) || eval(r, f)
+    // constant predicate (e.g. an inverted transform proved
+    // unsatisfiable): FALSE/NULL can never match a row
+    case l: Literal if l.dataType == org.apache.spark.sql.types.BooleanType =>
+      l.value == true
     case EqualTo(AttrMaybeCast(a, dt), r) if r.foldable =>
       range(a.name, f).forall { case (mn, mx) =>
         cmp(r.eval(), r.dataType, mn).forall(_ >= 0) &&

@@ -805,5 +805,33 @@ object Storage {
       s.sql("""SELECT CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
               |FROM graft_g36.gate.t
               |ORDER BY o_totalprice DESC LIMIT 10""".stripMargin)
+    },
+
+    // ---- format table: a raw csv directory registered as a
+    // snapshot-less, read-only catalog table and queried next to real
+    // graft tables (reference: paimon-core table/FormatTable.java:61).
+    QDef(
+      "g37_format_table",
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey > 700
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val csvDir = Files.createTempDirectory("graft-g37-csv").toString + "/orders"
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.option("header", "true").csv(csvDir)
+      val wh = Files.createTempDirectory("graft-g37-wh").toString
+      s.conf.set("spark.sql.catalog.graft_g37", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_g37.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g37.gate")
+      s.sql(s"""CREATE TABLE graft_g37.gate.orders_csv
+               |(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+               |TBLPROPERTIES ('format'='csv',
+               |  'format-table.path'='$csvDir',
+               |  'format-table.option.header'='true')""".stripMargin)
+      s.sql("""SELECT o_orderstatus, COUNT(*) AS n,
+              |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+              |FROM graft_g37.gate.orders_csv WHERE o_orderkey > 700
+              |GROUP BY o_orderstatus""".stripMargin)
     })
 }

@@ -86,8 +86,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftTable.load(spark, tablePath(ident))
   }
 
+  private def formatMarkerPath(ident: Identifier): java.nio.file.Path =
+    java.nio.file.Paths.get(tablePath(ident), "format-table.json")
+
+  private def loadFormatTable(ident: Identifier): Table = {
+    val meta = graft.core.Json.read(
+      new String(java.nio.file.Files.readAllBytes(formatMarkerPath(ident)), "UTF-8"),
+      classOf[FormatTableMeta])
+    val sch = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
+      .asInstanceOf[StructType]
+    new GraftFormatTable(tablePath(ident), sch, () => {
+      spark.read.format(meta.format).schema(sch)
+        .options(meta.options).load(meta.path)
+    })
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val name = ident.name()
+    if (java.nio.file.Files.exists(formatMarkerPath(ident)))
+      return loadFormatTable(ident)
     if (name.contains('$')) {
       // system-table suffix: SELECT * FROM cat.db.`t$snapshots`
       // (reference: 24 system tables under table/system/, resolved by
@@ -144,6 +161,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       t.references()(0).fieldNames().mkString(".")
     }
     val props = properties.asScala.toMap
+    // snapshot-less FORMAT TABLE: a raw csv/json/text/parquet directory
+    // registered read-only in the catalog (reference: paimon-core
+    // table/FormatTable.java:61). `format-table.path` points at an
+    // external directory; remaining `format-table.option.*` props pass
+    // through to the reader (header, delimiter, ...).
+    props.get("format") match {
+      case Some(fmt) if Set("csv", "json", "text", "parquet").contains(fmt) =>
+        val dataPath = props.getOrElse("format-table.path",
+          s"${tablePath(ident)}/data")
+        val readerOpts = props.collect {
+          case (k, v) if k.startsWith("format-table.option.") =>
+            k.stripPrefix("format-table.option.") -> v
+        }
+        val meta = FormatTableMeta(fmt, dataPath, readerOpts, schema.json)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(tablePath(ident)))
+        java.nio.file.Files.write(formatMarkerPath(ident),
+          graft.core.Json.write(meta).getBytes("UTF-8"))
+        return loadFormatTable(ident)
+      case _ =>
+    }
     val primaryKeys = props.get("primary-key")
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
     val options = props -- Seq("primary-key", TableCatalog.PROP_PROVIDER,
@@ -534,6 +572,43 @@ class GraftAppendSparkTable(gt0: GraftTable, snapshot: Option[Long])
 /** Read-only DSv2 table over a metadata DataFrame (the `$`-suffix
   * system tables). The DataFrame is rebuilt per scan so SQL always
   * sees current metadata. */
+/** Marker metadata for a snapshot-less format table (format-table.json
+  * in the table directory). */
+case class FormatTableMeta(
+    format: String,
+    path: String,
+    options: Map[String, String],
+    schemaJson: String)
+
+/** Read-only snapshot-less directory table: raw csv/json/text/parquet
+  * files served through Spark's own (vectorized, pushdown-capable)
+  * file source (reference: paimon-core table/FormatTable.java:61 —
+  * read-only registration of plain directories next to real tables). */
+class GraftFormatTable(
+    tableName: String, declared: StructType, dfFn: () => DataFrame)
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = declared
+  override def partitioning(): Array[Transform] = Array.empty
+  override def properties(): util.Map[String, String] = util.Collections.emptyMap()
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new V1Scan {
+      override def readSchema(): StructType = declared
+      override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan](context: SQLContext): T =
+        new org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan {
+          override def sqlContext: SQLContext = context
+          override def schema: StructType = declared
+          override def buildScan(): RDD[Row] = dfFn().rdd
+        }.asInstanceOf[T]
+    }
+}
+
 class GraftSystemTable(tableName: String, dfFn: () => DataFrame)
     extends Table with SupportsRead {
 

@@ -230,6 +230,24 @@ class GraftBatchScan(
     s"GraftBatchScan(files=${entries.size}, " +
       s"pushed=[${filters.mkString(", ")}])"
 
+  // Value equality: two scans over the same table version reading the
+  // same files/columns/filters are interchangeable. Stock Catalyst
+  // MergeScalarSubqueries compares leaf scans with sameResult — with
+  // this, two scalar subqueries over the same graft table merge into
+  // ONE scan (reference parity with paimon-spark
+  // MergePaimonScalarSubqueries.scala:24, achieved without forking the
+  // rule). Keyed on the INITIAL entries: merging happens at optimize
+  // time, before any runtime (DPP) narrowing.
+  private lazy val eqKey: Any = (getClass.getName, gt.path,
+    initialEntries.map(e => (e.file.fileName, e.file.dvFile)),
+    readDataSchema, partitionSchema, filters.toSeq, required)
+  private def eqKeyOf(o: GraftBatchScan): Any = o.eqKey
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftBatchScan => eqKey == eqKeyOf(o)
+    case _ => false
+  }
+  override def hashCode(): Int = eqKey.hashCode()
+
   override def planInputPartitions(): Array[InputPartition] =
     GraftScanUtil.filePartitions(spark, gt.path, entries, partitionSchema)
 

@@ -636,7 +636,7 @@ final class GraftTable private (
       }
       Option(c.eval(null)).map(_.toString)
     }
-    import GraftTable.{SecEq, SecNull, SecProbe, SecRange}
+    import GraftTable.{SecEq, SecFn, SecNull, SecProbe, SecRange}
     // range probes only make sense on numeric columns (canonical
     // double encoding); bounds widened one ulp to absorb the rounding
     // of >2^53 integrals — over-inclusive, never lossy
@@ -686,6 +686,20 @@ final class GraftTable private (
       case GreaterThanOrEqual(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = false)
       case LessThan(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = true)
       case LessThanOrEqual(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = true)
+      // case-transform equalities on indexed STRING columns: apply the
+      // transform to the stored value side
+      case EqualTo(Upper(a: AttributeReference), l: Literal)
+          if idOf.contains(a.name) && a.dataType == StringType =>
+        Option(l.value).map(v => SecFn(idOf(a.name), "upper", v.toString))
+      case EqualTo(l: Literal, Upper(a: AttributeReference))
+          if idOf.contains(a.name) && a.dataType == StringType =>
+        Option(l.value).map(v => SecFn(idOf(a.name), "upper", v.toString))
+      case EqualTo(Lower(a: AttributeReference), l: Literal)
+          if idOf.contains(a.name) && a.dataType == StringType =>
+        Option(l.value).map(v => SecFn(idOf(a.name), "lower", v.toString))
+      case EqualTo(l: Literal, Lower(a: AttributeReference))
+          if idOf.contains(a.name) && a.dataType == StringType =>
+        Option(l.value).map(v => SecFn(idOf(a.name), "lower", v.toString))
       case _ => None
     }
     // range conjuncts on one column intersect into a single probe
@@ -706,6 +720,12 @@ final class GraftTable private (
         def pred(p: SecProbe): Column = p match {
           case SecEq(cid, vs) => col("cid") === cid && col("v").isin(vs: _*)
           case SecNull(cid) => col("cid") === cid && col("v").isNull
+          case SecFn(cid, fn, value) =>
+            val t = fn match {
+              case "upper" => upper(col("v"))
+              case "lower" => lower(col("v"))
+            }
+            col("cid") === cid && col("v").isNotNull && t === value
           case SecRange(cid, lo, hi) =>
             // Spark double semantics order NaN above everything: a
             // stored "NaN" must hit lower-bounded probes (c > lit is
@@ -716,14 +736,35 @@ final class GraftTable private (
               else vd >= lo && vd <= hi
             col("cid") === cid && col("v").isNotNull && inRange
         }
-        // ONE job answers every probe: only hit rows come back
+        // ONE job answers every probe: only hit rows come back. The
+        // collect is CAPPED — a hot value at millions of files could
+        // otherwise OOM the driver; past the cap the index fails open
+        // (scan-everything correctness, stats/sidecars still prune)
+        val cap = sch.options
+          .getOrElse("secondary-index.max-probe-hits", "100000").toInt
         val rows = idx.filter(allProbes.map(pred).reduce(_ || _))
-          .select("cid", "v", "f").distinct().collect()
+          .select("cid", "v", "f").distinct().limit(cap + 1).collect()
+        if (rows.length > cap) {
+          org.slf4j.LoggerFactory.getLogger("graft.GraftTable").warn(
+            s"secondary-index probe exceeded $cap hit rows; failing open " +
+              "(raise secondary-index.max-probe-hits or rely on file stats)")
+          // memoized fail-open: an empty probe list keeps every
+          // candidate (forall over nothing) without re-running the job
+          Seq.empty
+        } else
         allProbes.map { p =>
           rows.iterator.filter { r =>
             r.getInt(0) == p.cid && (p match {
               case SecEq(_, vs) => !r.isNullAt(1) && vs.contains(r.getString(1))
               case SecNull(_) => r.isNullAt(1)
+              case SecFn(_, fn, value) =>
+                // mirror Spark's Upper/Lower (UTF8String case mapping)
+                !r.isNullAt(1) && {
+                  val u = org.apache.spark.unsafe.types.UTF8String
+                    .fromString(r.getString(1))
+                  (if (fn == "upper") u.toUpperCase else u.toLowerCase)
+                    .toString == value
+                }
               case SecRange(_, lo, hi) =>
                 !r.isNullAt(1) && {
                   val d = try r.getString(1).toDouble catch { case _: Exception => Double.NaN }
@@ -1632,7 +1673,7 @@ final class GraftTable private (
     // wrapper plan turns them into plain Literals.
     val analyzedCond = emptyDf().filter(filter).queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }.map(foldConstants)
+    }.map(c => invertStringTransforms(foldConstants(c)))
     val cond = analyzedCond.flatMap { c =>
       if (!isPrimaryKeyTable) Some(c)
       else {
@@ -1746,6 +1787,53 @@ final class GraftTable private (
     case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
       splitConjuncts(l) ++ splitConjuncts(r)
     case other => Seq(other)
+  }
+
+  /** Rewrite invertible string-transform equalities into plain column
+    * predicates FOR PRUNING (the plan keeps the original filter, so an
+    * implied — not equivalent — predicate is sound):
+    * `concat(p, c, s) = 'PXS'` with literal prefix/suffix becomes
+    * `c = 'X'` when they match the literal, and `false` (prune
+    * everything) when they cannot — after which stats, bloom/bitmap
+    * sidecars and the secondary index all prune on the plain equality
+    * (reference: paimon predicate ConcatTransform.java:30; upper/lower
+    * are not invertible and go through the secondary index instead —
+    * UpperTransform.java:32). */
+  private def invertStringTransforms(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{BooleanType, StringType}
+    def inv(cc: Concat, l: Literal): Option[Expression] = {
+      if (l.value == null || l.dataType != StringType) return None
+      val parts = cc.children
+      if (parts.count(_.isInstanceOf[AttributeReference]) != 1) return None
+      if (!parts.forall(p => p.isInstanceOf[AttributeReference] ||
+        (p.isInstanceOf[Literal] && p.dataType == StringType))) return None
+      val attrIdx = parts.indexWhere(_.isInstanceOf[AttributeReference])
+      val attr = parts(attrIdx).asInstanceOf[AttributeReference]
+      if (attr.dataType != StringType) return None
+      val lits = parts.zipWithIndex.collect { case (p: Literal, i) => (i, p.value) }
+      // a null literal part makes concat null -> the predicate is
+      // never true -> everything prunes
+      if (lits.exists(_._2 == null))
+        return Some(Literal.create(false, BooleanType))
+      val prefix = lits.filter(_._1 < attrIdx).map(_._2.toString).mkString
+      val suffix = lits.filter(_._1 > attrIdx).map(_._2.toString).mkString
+      val s = l.value.toString
+      if (s.length < prefix.length + suffix.length ||
+        !s.startsWith(prefix) || !s.endsWith(suffix))
+        Some(Literal.create(false, BooleanType))
+      else Some(EqualTo(attr, Literal.create(
+        s.substring(prefix.length, s.length - suffix.length), StringType)))
+    }
+    def rewrite(c: Expression): Expression = c match {
+      case And(a, b) => And(rewrite(a), rewrite(b))
+      case eq @ EqualTo(cc: Concat, l: Literal) => inv(cc, l).getOrElse(eq)
+      case eq @ EqualTo(l: Literal, cc: Concat) => inv(cc, l).getOrElse(eq)
+      case other => other
+    }
+    rewrite(e)
   }
 
   // ================= maintenance =================
@@ -2802,6 +2890,10 @@ object GraftTable {
   private[table] case class SecEq(cid: Int, vals: Seq[String]) extends SecProbe
   private[table] case class SecNull(cid: Int) extends SecProbe
   private[table] case class SecRange(cid: Int, lo: Double, hi: Double) extends SecProbe
+  /** `upper(c) = v` / `lower(c) = v`: not invertible, but the index
+    * stores exact values, so the transform is applied to the stored
+    * side (reference: predicate/UpperTransform.java:32). */
+  private[table] case class SecFn(cid: Int, fn: String, value: String) extends SecProbe
 
   /** Create a new table directory (fails if one exists). */
   def create(

@@ -121,4 +121,45 @@ class ManifestScaleSpec extends AnyFunSuite {
       kept2.exists(_.file.fileName == "data/f9998.parquet"))
     assert(kept2.size <= 100)
   }
+
+  test("100k-entry manifests: planning stays seconds, driver memory bounded") {
+    // stats-only entries (no sidecars): models a 100 TB table of
+    // ~100k files where planning = manifest decode + stats pruning.
+    // The manifest is parquet, decoded in one pass; pruning past the
+    // threshold runs as a Spark job.
+    val dir = tmp()
+    val sch = StructType(Seq(StructField("k", LongType, nullable = false)))
+    GraftTable.create(spark, dir, sch, options = Map(
+      "manifest.distributed-prune.file-count" -> "2048"))
+    val nFiles = 100000
+    // contiguous disjoint ranges: k in [i*100, i*100+99] for file i
+    val entries = (0 until nFiles).map { i =>
+      ManifestEntry("ADD", Map.empty, i % 16,
+        DataFileMeta(s"data/f$i.parquet", 1000, 100, 0, 0, 0,
+          Map("k" -> ColStats(Some((i * 100L).toString),
+            Some((i * 100L + 99).toString), 0))))
+    }
+    val sm = new SnapshotManager(dir)
+    val tCommit0 = System.nanoTime()
+    sm.commit(entries, "APPEND", schemaId = 0)
+    val commitSecs = (System.nanoTime() - tCommit0) / 1e9
+
+    val t = GraftTable.load(spark, dir)
+    val snap = sm.latestSnapshot().get
+    val tPlan0 = System.nanoTime()
+    val kept = t.pruneEntries(snap, col("k") === 4200007L)
+    val planSecs = (System.nanoTime() - tPlan0) / 1e9
+    assert(kept.size == 1 && kept.head.file.fileName == "data/f42000.parquet")
+    // a second plan (warm manifests) over a range predicate
+    val tPlan1 = System.nanoTime()
+    val keptRange = t.pruneEntries(snap,
+      col("k") >= 1000000L && col("k") < 1010000L)
+    val planSecs2 = (System.nanoTime() - tPlan1) / 1e9
+    assert(keptRange.size == 100, s"got ${keptRange.size}")
+    // planning must stay interactive at 100k files (generous CI bound;
+    // typical local numbers land in BENCH_NOTES.md)
+    assert(planSecs < 30 && planSecs2 < 30,
+      f"planning too slow: $planSecs%.1fs / $planSecs2%.1fs")
+    info(f"commit=$commitSecs%.2fs firstPlan=$planSecs%.2fs warmPlan=$planSecs2%.2fs")
+  }
 }

@@ -101,6 +101,34 @@ class PushdownSpec extends AnyFunSuite {
     assert(filtered.collect().map(_.getLong(0)).toSeq == Seq(20L, 10L))
   }
 
+  test("upper/lower equality prunes via the secondary index; concat inverts to stats") {
+    val strSch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("s", StringType, nullable = true)))
+    def sdf(rows: (Long, String)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, strSch)
+    val t = GraftTable.create(spark, tmp(), strSch,
+      options = Map(GraftTable.SecIndexColumns -> "s"))
+    // every file's range spans a..z: stats prune nothing, only the
+    // index can — and upper() is not invertible, so the probe must
+    // apply the transform to the stored values
+    t.write(sdf((1L, "apple"), (2L, "zebra")).coalesce(1))
+    t.write(sdf((3L, "Apple"), (4L, "zulu")).coalesce(1))
+    t.write(sdf((5L, "banana"), (6L, "zed")).coalesce(1))
+    assert(t.planEntries(upper(col("s")) === "APPLE").size == 2)
+    assert(t.planEntries(lower(col("s")) === "apple").size == 2)
+    assert(t.planEntries(upper(col("s")) === "NOPE").isEmpty)
+    assert(t.scan(upper(col("s")) === "APPLE").count() == 2)
+    assert(t.scan(lower(col("s")) === "zed").count() == 1)
+    // concat with literal suffix/prefix inverts to a plain equality,
+    // which stats AND the index then prune on
+    assert(t.planEntries(concat(col("s"), lit("-x")) === "banana-x").size == 1)
+    assert(t.planEntries(concat(lit("p-"), col("s")) === "p-zulu").size == 1)
+    // unsatisfiable prefix -> prune everything
+    assert(t.planEntries(concat(lit("p-"), col("s")) === "q-zulu").isEmpty)
+    assert(t.scan(concat(col("s"), lit("-x")) === "banana-x").count() == 1)
+  }
+
   test("bloom file index prunes overlapping-range files on point predicates") {
     val t = GraftTable.create(spark, tmp(), sch,
       options = Map("file-index.bloom-filter.columns" -> "k"))

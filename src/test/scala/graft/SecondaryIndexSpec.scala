@@ -252,6 +252,21 @@ class SecondaryIndexSpec extends AnyFunSuite {
     assert(t3.scan(col("town") === "tokyo").count() == 1)
   }
 
+  test("probe cap fails open on saturating values, exact below it") {
+    val t = GraftTable.create(spark, tmp(), sch,
+      options = Map(GraftTable.SecIndexColumns -> "city",
+        "secondary-index.max-probe-hits" -> "2"))
+    // "hot" appears in 4 files -> 4 hit rows > cap=2 -> fail open:
+    // every candidate kept, results still correct
+    (0 until 4).foreach(i =>
+      t.write(df((i.toLong, "hot"), (100L + i, s"u$i")).coalesce(1)))
+    assert(t.planEntries(col("city") === "hot").size == 4)
+    assert(t.scan(col("city") === "hot").count() == 4)
+    // a cold value stays under the cap and prunes exactly
+    assert(t.planEntries(col("city") === "u2").size == 1)
+    assert(t.scan(col("city") === "u2").count() == 1)
+  }
+
   test("column added to the index option is not probed until rewrite") {
     val s3 = StructType(Seq(
       StructField("k", LongType, nullable = false),
