@@ -50,6 +50,18 @@ object StatsFilter {
     // unsatisfiable): FALSE/NULL can never match a row
     case l: Literal if l.dataType == org.apache.spark.sql.types.BooleanType =>
       l.value == true
+    // a column that is entirely null in this file can never satisfy a
+    // null-rejecting comparison, whatever the other side evaluates to
+    // (EqualNullSafe excluded: `c <=> null` DOES match null rows; only
+    // shapes known to propagate null — attr, widening cast, monotone
+    // chains — qualify, so e.g. coalesce(c, 'x') = 'x' is untouched)
+    case bc: BinaryComparison if !bc.isInstanceOf[EqualNullSafe] &&
+        Seq(bc.left, bc.right).exists(s =>
+          !s.foldable && nullRejectingAttr(s).exists(allNull(_, f))) => false
+    case In(e, _) if nullRejectingAttr(e).exists(allNull(_, f)) => false
+    case InSet(e, _) if nullRejectingAttr(e).exists(allNull(_, f)) => false
+    case StartsWith(e, _) if nullRejectingAttr(e).exists(allNull(_, f)) => false
+    case Like(e, _, _) if nullRejectingAttr(e).exists(allNull(_, f)) => false
     case EqualTo(AttrMaybeCast(a, dt), r) if r.foldable =>
       range(a.name, f).forall { case (mn, mx) =>
         cmp(r.eval(), r.dataType, mn).forall(_ >= 0) &&
@@ -246,6 +258,22 @@ object StatsFilter {
     }
 
   /** (min, max) stats of a column, if present and usable. */
+  /** Shapes that propagate null from the attribute to the comparison
+    * operand (null in → null out), making the enclosing comparison
+    * null-rejecting on that attribute. */
+  private def nullRejectingAttr(e: Expression): Option[String] = e match {
+    case AttrMaybeCast(a, _) => Some(a.name)
+    case Mono(a) => Some(a.name)
+    case _ => None
+  }
+
+  /** True when the file's stats prove the column holds ONLY nulls.
+    * min/max must also be absent: a writer that counted nulls wrongly
+    * but recorded endpoints would otherwise flip correct results. */
+  private def allNull(col: String, f: DataFileMeta): Boolean =
+    f.rowCount > 0 && f.stats.get(col).exists(st =>
+      st.min.isEmpty && st.max.isEmpty && st.nullCount >= f.rowCount)
+
   private def range(col: String, f: DataFileMeta): Option[(String, String)] =
     f.stats.get(col).flatMap {
       case ColStats(Some(mn), Some(mx), _) => Some((mn, mx))

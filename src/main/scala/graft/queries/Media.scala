@@ -85,10 +85,18 @@ object Media {
           col("min").as("min_v"), col("max").as("max_v"))
     },
 
-    // ---- HLL sketch merge engine (approximate distinct — estimates
-    // are engine-specific, so rows-only; exactness companions are the
-    // theta/rbm variants in g17).
-    QDef.rowsOnly("x06_hll_merge_engine") { (s, dir) =>
+    // ---- HLL sketch merge engine. The estimate itself is
+    // engine-specific, but its ERROR BOUND is not: lgK=12 gives ~0.8%
+    // relative standard error, so a 5% gate is ~6 sigma — it passes
+    // iff the merge engine actually combined the per-epoch sketches
+    // (a dropped or double-merged epoch shifts the estimate far past
+    // it). Same falsifiable construction as the ANN recall@k gates.
+    QDef(
+      "x06_hll_merge_engine",
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_bound
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.types._
       val t = GraftTable.create(s,
         java.nio.file.Files.createTempDirectory("graft-x06-").toString + "/table",
@@ -107,8 +115,14 @@ object Media {
           .groupBy("event_type")
           .agg(expr("hll_sketch_agg(user_id)").as("users")), e.toLong)
       }
+      val exact = src.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).cast("long").as("exact_users"))
       t.read.select(col("event_type"),
-        expr("hll_sketch_estimate(users)").as("approx_users"))
+          expr("hll_sketch_estimate(users)").as("approx_users"))
+        .join(exact, "event_type")
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * 0.05).as("within_bound"))
     },
 
     // ---- out-of-line BLOB storage: payloads above the inline

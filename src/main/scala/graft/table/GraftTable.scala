@@ -590,8 +590,10 @@ final class GraftTable private (
       .toSeq
   }
 
-  /** memoized per (sidecar list, probe set): repeated point queries on
-    * the same snapshot cost one index job total */
+  /** memoized per (sidecar set, probe set): repeated point queries on
+    * the same snapshot cost one index job total. Keyed on the SORTED
+    * sidecar list so snapshots listing the same files in a different
+    * order (e.g. across a fold) share the entry. */
   private val secHitCache = scala.collection.concurrent.TrieMap
     .empty[(Seq[String], Seq[GraftTable.SecProbe]), Seq[Set[String]]]
 
@@ -713,7 +715,7 @@ final class GraftTable private (
     val allProbes = pointProbes ++ mergedRanges
     if (allProbes.isEmpty) return entries
     try {
-      val hits = secHitCache.getOrElseUpdate((files, allProbes), {
+      val hits = secHitCache.getOrElseUpdate((files.sorted, allProbes), {
         if (secHitCache.size > 256) secHitCache.clear()
         val idx = spark.read.schema(secIndexSchema)
           .parquet(files.map(f => s"$path/$f"): _*)
@@ -1827,10 +1829,55 @@ final class GraftTable private (
       else Some(EqualTo(attr, Literal.create(
         s.substring(prefix.length, s.length - suffix.length), StringType)))
     }
+    // concat_ws differs from concat in two ways that matter for
+    // soundness: a NULL part is SKIPPED (with its separator), so the
+    // attr-is-null row still produces the literals-only string; and a
+    // null separator nulls the whole result (reference:
+    // ConcatWsTransform.java:32)
+    def invWs(cw: ConcatWs, l: Literal): Option[Expression] = {
+      if (l.value == null || l.dataType != StringType) return None
+      cw.children.head match {
+        case Literal(null, _) => Some(Literal.create(false, BooleanType))
+        case Literal(sepV, StringType) =>
+          val sep = sepV.toString
+          // null literal parts are skipped by concat_ws semantics:
+          // drop them before decomposing
+          val parts = cw.children.tail.filter {
+            case Literal(null, _) => false
+            case _ => true
+          }
+          if (parts.count(_.isInstanceOf[AttributeReference]) != 1) return None
+          if (!parts.forall(p => p.isInstanceOf[AttributeReference] ||
+            (p.isInstanceOf[Literal] && p.dataType == StringType))) return None
+          val attrIdx = parts.indexWhere(_.isInstanceOf[AttributeReference])
+          val attr = parts(attrIdx).asInstanceOf[AttributeReference]
+          if (attr.dataType != StringType) return None
+          val before = parts.take(attrIdx).map(_.asInstanceOf[Literal].value.toString)
+          val after = parts.drop(attrIdx + 1).map(_.asInstanceOf[Literal].value.toString)
+          val s = l.value.toString
+          val prefix = if (before.isEmpty) "" else before.mkString(sep) + sep
+          val suffix = if (after.isEmpty) "" else sep + after.mkString(sep)
+          val decomposed =
+            if (s.length >= prefix.length + suffix.length &&
+              s.startsWith(prefix) && s.endsWith(suffix))
+              Some(s.substring(prefix.length, s.length - suffix.length))
+            else None
+          if (s == (before ++ after).mkString(sep)) {
+            // the attr-is-null row also produces this string
+            Some(decomposed.fold[Expression](IsNull(attr))(x =>
+              Or(IsNull(attr), EqualTo(attr, Literal.create(x, StringType)))))
+          } else Some(decomposed.fold[Expression](
+            Literal.create(false, BooleanType))(x =>
+            EqualTo(attr, Literal.create(x, StringType))))
+        case _ => None
+      }
+    }
     def rewrite(c: Expression): Expression = c match {
       case And(a, b) => And(rewrite(a), rewrite(b))
       case eq @ EqualTo(cc: Concat, l: Literal) => inv(cc, l).getOrElse(eq)
       case eq @ EqualTo(l: Literal, cc: Concat) => inv(cc, l).getOrElse(eq)
+      case eq @ EqualTo(cw: ConcatWs, l: Literal) => invWs(cw, l).getOrElse(eq)
+      case eq @ EqualTo(l: Literal, cw: ConcatWs) => invWs(cw, l).getOrElse(eq)
       case other => other
     }
     rewrite(e)

@@ -127,6 +127,36 @@ class PushdownSpec extends AnyFunSuite {
     // unsatisfiable prefix -> prune everything
     assert(t.planEntries(concat(lit("p-"), col("s")) === "q-zulu").isEmpty)
     assert(t.scan(concat(col("s"), lit("-x")) === "banana-x").count() == 1)
+    // concat_ws: separators come from the function, not the literals
+    assert(t.planEntries(
+      concat_ws("-", lit("p"), col("s")) === "p-zebra").size == 1)
+    assert(t.planEntries(
+      concat_ws("-", lit("p"), col("s"), lit("q")) === "p-banana-q").size == 1)
+    assert(t.planEntries(
+      concat_ws("-", lit("p"), col("s")) === "q-zebra").isEmpty)
+    // null parts are SKIPPED by concat_ws (they don't null the result)
+    assert(t.planEntries(concat_ws("-", lit(null.asInstanceOf[String]),
+      col("s")) === "zulu").size == 1)
+    assert(t.scan(
+      concat_ws("-", lit("p"), col("s"), lit("q")) === "p-banana-q").count() == 1)
+  }
+
+  test("concat_ws null-attr case keeps files whose rows are all null") {
+    val strSch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("s", StringType, nullable = true)))
+    def sdf(rows: (Long, String)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, strSch)
+    val t = GraftTable.create(spark, tmp(), strSch)
+    t.write(sdf((1L, null), (2L, null)).coalesce(1))   // all-null file
+    t.write(sdf((3L, "x"), (4L, "y")).coalesce(1))     // no-null file
+    // 'p' is exactly the literals-only string: a null s also matches,
+    // so the all-null file MUST survive pruning
+    val df = t.scan(concat_ws("-", lit("p"), col("s")) === "p")
+    assert(df.count() == 2)
+    // and a literal that can only come from a real value prunes it
+    assert(t.planEntries(
+      concat_ws("-", lit("p"), col("s")) === "p-x").size == 1)
   }
 
   test("bloom file index prunes overlapping-range files on point predicates") {
