@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over near-duplicate PAIR output —
+  * the cluster-resolution step a training-data pipeline needs between
+  * "these documents are similar" (Dedup.*Pairs) and "keep one document
+  * per duplicate cluster".
+  *
+  * Algorithm: min-label propagation with a pointer-jumping shortcut
+  * per round (each node adopts the min of its own label, its
+  * neighbors' labels, and its label's label). Propagation alone needs
+  * O(diameter) rounds; the shortcut halves remaining chain lengths,
+  * giving O(log d) rounds — LSH duplicate clusters are near-cliques
+  * (d small), but the log bound keeps pathological chains from
+  * scheduling hundreds of shuffles at corpus scale. Every round
+  * shuffles only the edge list + label table (no per-node neighbor
+  * materialization, so degenerate high-degree nodes cannot OOM an
+  * executor the way a collect_list-based large-star would).
+  * Public-domain algorithm family: "hash-to-min" / pointer jumping,
+  * Kiveris et al., "Connected Components in MapReduce and Beyond".
+  */
+object Components {
+
+  /** Resolve an undirected edge list into components.
+    *
+    * @param pairs DataFrame with two long-castable id columns; each
+    *              row is one undirected edge (self-loops ignored)
+    * @return (id, component) — one row per node that appears in
+    *         `pairs`, where component = min node id reachable from it
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    // each round references the previous label table TWICE (self-join
+    // for the pointer jump), so carrying lineage across rounds grows
+    // the logical plan exponentially — the labels MUST be re-rooted on
+    // materialized data every round. checkpoint() when a checkpoint
+    // dir is configured (survives executor loss — the right choice on
+    // a real cluster), localCheckpoint() otherwise.
+    def cut(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    val half = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      // min over self + neighbors
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("comp", "nc"), "dst")
+        .groupBy(col("src").as("id")).agg(min("nc").as("nc"))
+      val prop = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+      // pointer jump: follow the label one hop (labels are node ids,
+      // so every label has a row). Doubles effective propagation
+      // distance per round.
+      val jumped = cut(prop
+        .join(prop.select(col("id").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp")))
+      changed = jumped.join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = jumped
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Keep one canonical (min-id) row per duplicate cluster implied by
+    * `pairs`; rows not in any pair survive untouched. Adds
+    * `component` (cluster id = min doc id in the cluster) and
+    * `n_dropped` (how many other cluster members this row absorbed —
+    * the no-silent-caps counter for cluster-level dedup). */
+  def dedupByPairs(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol, maxIter)
+    val sizes = comps.groupBy("comp").agg(count(lit(1)).as("csize"))
+    val canonical = comps.join(sizes, "comp")
+      .filter(col("id") === col("comp"))
+      .select(col("id").as(idCol), col("comp").as("component"),
+        (col("csize") - 1).as("n_dropped"))
+    val member = comps.select(col("id").as(idCol))
+    df.join(member.withColumn("dup", lit(true)), Seq(idCol), "left")
+      .filter(col("dup").isNull) // singletons
+      .drop("dup")
+      .withColumn("component", col(idCol))
+      .withColumn("n_dropped", lit(0L))
+      .unionByName(df.join(canonical, idCol :: Nil))
+  }
+}

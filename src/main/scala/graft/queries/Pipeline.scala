@@ -313,6 +313,31 @@ object Pipeline {
       t.read.select(col("lang"), col("n_docs"), col("n_tokens"))
     },
 
+    // ---- distributed connected components + cluster-level dedup:
+    // near-dup pair output resolved into "keep one doc per cluster".
+    // The edge set here is SQL-expressible by construction (chains of
+    // 10 consecutive ids, every third block left edgeless), so the
+    // CLUSTER RESOLUTION itself — label propagation with pointer
+    // jumping, the at-scale path — is what the oracle checks:
+    // canonical = block head absorbing 9 members, singleton blocks
+    // survive untouched.
+    QDef(
+      "p13_components_dedup",
+      """SELECT doc_id, CAST(doc_id AS BIGINT) AS component,
+        |  CAST(9 AS BIGINT) AS n_dropped
+        |FROM documents WHERE (doc_id // 10) % 3 <> 2 AND doc_id % 10 = 0
+        |UNION ALL
+        |SELECT doc_id, CAST(doc_id AS BIGINT) AS component,
+        |  CAST(0 AS BIGINT) AS n_dropped
+        |FROM documents WHERE (doc_id // 10) % 3 = 2""".stripMargin) { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val pairs = docs
+        .filter(col("doc_id") % 10 < 9 && expr("doc_id DIV 10") % 3 =!= 2)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      graft.operators.Components.dedupByPairs(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("component"), col("n_dropped"))
+    },
+
     // ---- BPE-style regex pre-tokenization (letters / digits /
     // punctuation runs), verified cross-engine.
     QDef(
