@@ -95,7 +95,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       classOf[FormatTableMeta])
     val sch = org.apache.spark.sql.types.DataType.fromJson(meta.schemaJson)
       .asInstanceOf[StructType]
-    new GraftFormatTable(tablePath(ident), sch, () => {
+    new GraftFormatTable(tablePath(ident), sch, meta, () => {
       spark.read.format(meta.format).schema(sch)
         .options(meta.options).load(meta.path)
     })
@@ -580,20 +580,25 @@ case class FormatTableMeta(
     options: Map[String, String],
     schemaJson: String)
 
-/** Read-only snapshot-less directory table: raw csv/json/text/parquet
-  * files served through Spark's own (vectorized, pushdown-capable)
-  * file source (reference: paimon-core table/FormatTable.java:61 —
-  * read-only registration of plain directories next to real tables). */
+/** Snapshot-less directory table: raw csv/json/text/parquet files
+  * served through Spark's own (vectorized, pushdown-capable) file
+  * source (reference: paimon-core table/FormatTable.java:61 — plain
+  * directories registered next to real tables). INSERT INTO appends
+  * new files to the directory; INSERT OVERWRITE replaces it — there
+  * are no snapshots, so writes are NOT atomic under concurrency (the
+  * reference's format tables carry the same caveat). */
 class GraftFormatTable(
-    tableName: String, declared: StructType, dfFn: () => DataFrame)
-    extends Table with SupportsRead {
+    tableName: String, declared: StructType, meta: FormatTableMeta,
+    dfFn: () => DataFrame)
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = tableName
   override def schema(): StructType = declared
   override def partitioning(): Array[Transform] = Array.empty
   override def properties(): util.Map[String, String] = util.Collections.emptyMap()
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new V1Scan {
@@ -606,6 +611,21 @@ class GraftFormatTable(
           override def schema: StructType = declared
           override def buildScan(): RDD[Row] = dfFn().rdd
         }.asInstanceOf[T]
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwriteMode = false
+      override def truncate(): WriteBuilder = { overwriteMode = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit =
+              data.write.format(meta.format).options(meta.options)
+                .mode(if (overwriteMode || overwrite) "overwrite" else "append")
+                .save(meta.path)
+          }
+      }
     }
 }
 

@@ -56,6 +56,29 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.size == 200 && got.values.forall(_ == 0L))
   }
 
+  test("minhash pairs -> components collapses transitive near-dup chains") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // A~B and B~C clear the jaccard threshold; A~C does not — only
+    // cluster resolution (not the pair stage) can collapse all three
+    val base = (1 to 40).map(i => s"w$i")
+    val a = base.mkString(" ")
+    val b = (base.take(34) ++ (1 to 6).map(i => s"x$i")).mkString(" ")
+    val c = (base.take(28) ++ (1 to 6).map(i => s"x$i") ++
+      (1 to 6).map(i => s"y$i")).mkString(" ")
+    val docs = Seq((0L, a), (1L, b), (2L, c), (3L, "totally different text"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text",
+      threshold = 0.6, k = 64, bands = 16)
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (1L, 2L)), s"pair stage gave $got")
+    val kept = Components.dedupByPairs(docs, "doc_id", pairs)
+      .select("doc_id", "component", "n_dropped").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kept == Set((0L, 0L, 2L), (3L, 3L, 0L)))
+  }
+
   test("dedupByPairs keeps one canonical row per cluster and all singletons") {
     import spark.implicits._
     val docs = (0L until 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")

@@ -141,6 +141,47 @@ class PushdownSpec extends AnyFunSuite {
       concat_ws("-", lit("p"), col("s"), lit("q")) === "p-banana-q").count() == 1)
   }
 
+  test("randomized string-transform predicates never wrong-prune") {
+    val strSch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("s", StringType, nullable = true)))
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("a", "b", "ab", "A", "-", "", "x-y")
+    def rndStr(): String =
+      Seq.fill(rnd.nextInt(3))(alphabet(rnd.nextInt(alphabet.size))).mkString
+    val data = (0L until 30L).map { i =>
+      (i, if (rnd.nextInt(5) == 0) null else rndStr())
+    }
+    val rows = data.map(r => Row(r._1, r._2))
+    val t = GraftTable.create(spark, tmp(), strSch)
+    rows.grouped(10).foreach(g =>
+      t.write(spark.createDataFrame(g.asJava, strSch).coalesce(1)))
+    val baseline = spark.createDataFrame(rows.asJava, strSch)
+    for (_ <- 0 until 40) {
+      val s = col("s")
+      val expr = rnd.nextInt(5) match {
+        case 0 => concat(lit(rndStr()), s, lit(rndStr()))
+        case 1 => concat_ws("-", lit(rndStr()), s)
+        case 2 => concat_ws("", lit(rndStr()), s, lit(rndStr()))
+        case 3 => upper(s)
+        case 4 => lower(s)
+      }
+      // half the targets are real transformed values (matches must
+      // survive pruning), half arbitrary (pruning to zero files must
+      // be proven sound, not assumed)
+      val evaluated = baseline.select(expr.as("e")).collect()
+        .map(_.getString(0)).filter(_ != null)
+      val target =
+        if (rnd.nextBoolean() && evaluated.nonEmpty)
+          evaluated(rnd.nextInt(evaluated.length))
+        else rndStr()
+      val p = expr === target
+      val got = t.scan(p).select("k").collect().map(_.getLong(0)).toSet
+      val want = baseline.filter(p).select("k").collect().map(_.getLong(0)).toSet
+      assert(got == want, s"predicate $p: got $got want $want")
+    }
+  }
+
   test("concat_ws null-attr case keeps files whose rows are all null") {
     val strSch = StructType(Seq(
       StructField("k", LongType, nullable = false),

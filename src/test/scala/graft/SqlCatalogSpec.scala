@@ -517,6 +517,29 @@ class SqlCatalogSpec extends AnyFunSuite {
       s"rows past the bound must not stream: $received")
   }
 
+  test("format tables: snapshot-less csv directory reads, appends, overwrites") {
+    val dir = Files.createTempDirectory("graft-fmt").toString + "/ext"
+    spark.range(3).selectExpr("id AS k", "concat('r', id) AS s")
+      .write.option("header", "true").csv(dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.fmtdb")
+    spark.sql(s"""CREATE TABLE graft.fmtdb.raw (k BIGINT, s STRING)
+                 |TBLPROPERTIES ('format'='csv',
+                 |  'format-table.path'='$dir',
+                 |  'format-table.option.header'='true')""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM graft.fmtdb.raw").head.getLong(0) == 3L)
+    // INSERT INTO appends files to the directory
+    spark.sql("INSERT INTO graft.fmtdb.raw VALUES (10, 'x'), (11, 'y')")
+    assert(spark.sql("SELECT count(*) FROM graft.fmtdb.raw").head.getLong(0) == 5L)
+    assert(spark.sql("SELECT s FROM graft.fmtdb.raw WHERE k = 10")
+      .head.getString(0) == "x")
+    // INSERT OVERWRITE replaces the directory contents
+    spark.sql("INSERT OVERWRITE graft.fmtdb.raw VALUES (99, 'z')")
+    val rows = spark.sql("SELECT k, s FROM graft.fmtdb.raw").collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 99L)
+    // the external directory itself holds the data (no snapshots)
+    assert(spark.read.option("header", "true").csv(dir).count() == 1L)
+  }
+
   test("CALL sys.incremental_query / incremental_between_timestamp views") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db9")
     spark.sql("DROP TABLE IF EXISTS graft.db9.t")
