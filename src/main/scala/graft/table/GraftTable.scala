@@ -638,7 +638,7 @@ final class GraftTable private (
       }
       Option(c.eval(null)).map(_.toString)
     }
-    import GraftTable.{SecEq, SecFn, SecNull, SecProbe, SecRange}
+    import GraftTable.{SecEq, SecFn, SecNull, SecPrefix, SecProbe, SecRange}
     // range probes only make sense on numeric columns (canonical
     // double encoding); bounds widened one ulp to absorb the rounding
     // of >2^53 integrals — over-inclusive, never lossy
@@ -702,6 +702,19 @@ final class GraftTable private (
       case EqualTo(l: Literal, Lower(a: AttributeReference))
           if idOf.contains(a.name) && a.dataType == StringType =>
         Option(l.value).map(v => SecFn(idOf(a.name), "lower", v.toString))
+      // prefix predicates on indexed STRING columns: the index stores
+      // exact values, so LIKE 'abc%' / startsWith refute exactly
+      // (strings skip the canonical numeric encoding — stored as-is)
+      case StartsWith(a: AttributeReference, l: Literal)
+          if idOf.contains(a.name) && a.dataType == StringType =>
+        Option(l.value).map(v => SecPrefix(idOf(a.name), v.toString))
+      case Like(a: AttributeReference, l: Literal, _)
+          if idOf.contains(a.name) && a.dataType == StringType =>
+        Option(l.value).map(_.toString).collect {
+          case p if p.nonEmpty && p.endsWith("%") &&
+              !p.dropRight(1).exists(c => c == '%' || c == '_' || c == '\\') =>
+            SecPrefix(idOf(a.name), p.dropRight(1))
+        }
       case _ => None
     }
     // range conjuncts on one column intersect into a single probe
@@ -728,6 +741,8 @@ final class GraftTable private (
               case "lower" => lower(col("v"))
             }
             col("cid") === cid && col("v").isNotNull && t === value
+          case SecPrefix(cid, p) =>
+            col("cid") === cid && col("v").isNotNull && col("v").startsWith(p)
           case SecRange(cid, lo, hi) =>
             // Spark double semantics order NaN above everything: a
             // stored "NaN" must hit lower-bounded probes (c > lit is
@@ -767,6 +782,8 @@ final class GraftTable private (
                   (if (fn == "upper") u.toUpperCase else u.toLowerCase)
                     .toString == value
                 }
+              case SecPrefix(_, p) =>
+                !r.isNullAt(1) && r.getString(1).startsWith(p)
               case SecRange(_, lo, hi) =>
                 !r.isNullAt(1) && {
                   val d = try r.getString(1).toDouble catch { case _: Exception => Double.NaN }
@@ -1872,12 +1889,32 @@ final class GraftTable private (
         case _ => None
       }
     }
+    // substring-from-1 equality: substring(c,1,k) = lit implies
+    // startsWith(c, lit) when |lit| == k (the usual case), c = lit
+    // exactly when |lit| < k (c must have ended early), and is
+    // unsatisfiable when |lit| > k
+    def invSub(sub: Substring, l: Literal): Option[Expression] = {
+      if (l.value == null || l.dataType != StringType) return None
+      (sub.str, sub.pos, sub.len) match {
+        case (a: AttributeReference, Literal(1, IntegerType), len: Literal)
+            if a.dataType == StringType && len.value != null =>
+          val k = len.value.asInstanceOf[Int]
+          val s = l.value.toString
+          if (k < 0) None
+          else if (s.length > k) Some(Literal.create(false, BooleanType))
+          else if (s.length == k) Some(StartsWith(a, Literal.create(s, StringType)))
+          else Some(EqualTo(a, Literal.create(s, StringType)))
+        case _ => None
+      }
+    }
     def rewrite(c: Expression): Expression = c match {
       case And(a, b) => And(rewrite(a), rewrite(b))
       case eq @ EqualTo(cc: Concat, l: Literal) => inv(cc, l).getOrElse(eq)
       case eq @ EqualTo(l: Literal, cc: Concat) => inv(cc, l).getOrElse(eq)
       case eq @ EqualTo(cw: ConcatWs, l: Literal) => invWs(cw, l).getOrElse(eq)
       case eq @ EqualTo(l: Literal, cw: ConcatWs) => invWs(cw, l).getOrElse(eq)
+      case eq @ EqualTo(sub: Substring, l: Literal) => invSub(sub, l).getOrElse(eq)
+      case eq @ EqualTo(l: Literal, sub: Substring) => invSub(sub, l).getOrElse(eq)
       case other => other
     }
     rewrite(e)
@@ -2941,6 +2978,8 @@ object GraftTable {
     * stores exact values, so the transform is applied to the stored
     * side (reference: predicate/UpperTransform.java:32). */
   private[table] case class SecFn(cid: Int, fn: String, value: String) extends SecProbe
+  /** `c LIKE 'p%'` / startsWith on an indexed string column. */
+  private[table] case class SecPrefix(cid: Int, prefix: String) extends SecProbe
 
   /** Create a new table directory (fails if one exists). */
   def create(

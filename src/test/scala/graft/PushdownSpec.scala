@@ -139,6 +139,15 @@ class PushdownSpec extends AnyFunSuite {
       col("s")) === "zulu").size == 1)
     assert(t.scan(
       concat_ws("-", lit("p"), col("s"), lit("q")) === "p-banana-q").count() == 1)
+    // substring-from-1 inverts to a prefix (or exact/false) predicate
+    assert(t.planEntries(substring(col("s"), 1, 3) === "ban").size == 1)
+    assert(t.planEntries(substring(col("s"), 1, 3) === "qqq").isEmpty)
+    // |lit| < len: the column must END inside the window -> exact match
+    assert(t.planEntries(substring(col("s"), 1, 9) === "zed").size == 1)
+    // |lit| > len: unsatisfiable
+    assert(t.planEntries(substring(col("s"), 1, 2) === "ban").isEmpty)
+    assert(t.scan(substring(col("s"), 1, 3) === "ban").count() == 1)
+    assert(t.scan(substring(col("s"), 1, 9) === "zed").count() == 1)
   }
 
   test("randomized string-transform predicates never wrong-prune") {
@@ -159,12 +168,13 @@ class PushdownSpec extends AnyFunSuite {
     val baseline = spark.createDataFrame(rows.asJava, strSch)
     for (_ <- 0 until 40) {
       val s = col("s")
-      val expr = rnd.nextInt(5) match {
+      val expr = rnd.nextInt(6) match {
         case 0 => concat(lit(rndStr()), s, lit(rndStr()))
         case 1 => concat_ws("-", lit(rndStr()), s)
         case 2 => concat_ws("", lit(rndStr()), s, lit(rndStr()))
         case 3 => upper(s)
         case 4 => lower(s)
+        case 5 => substring(s, 1, 1 + rnd.nextInt(4))
       }
       // half the targets are real transformed values (matches must
       // survive pruning), half arbitrary (pruning to zero files must

@@ -252,6 +252,27 @@ class SecondaryIndexSpec extends AnyFunSuite {
     assert(t3.scan(col("town") === "tokyo").count() == 1)
   }
 
+  test("prefix predicates (LIKE 'p%', startsWith) probe the index exactly") {
+    val t = GraftTable.create(spark, tmp(), sch,
+      options = Map(GraftTable.SecIndexColumns -> "city"))
+    // every file's [min, max] spans a..z, so string stats prune
+    // NOTHING — only the index can refute the prefixes
+    t.write(df((1L, "ant"), (2L, "tokyo")).coalesce(1))
+    t.write(df((3L, "arc"), (4L, "zebra")).coalesce(1))
+    t.write(df((5L, "axe"), (6L, "zulu")).coalesce(1))
+    assert(t.planEntries(col("city").startsWith("to")).size == 1)
+    assert(t.planEntries(col("city").startsWith("z")).size == 2)
+    assert(t.planEntries(col("city").startsWith("q")).isEmpty)
+    assert(t.scan(col("city").startsWith("to")).count() == 1)
+    assert(t.scan(col("city").startsWith("a")).count() == 3)
+    // SQL LIKE with a pure prefix pattern takes the same probe;
+    // patterns with inner wildcards stay un-probed (fail open)
+    assert(t.planEntries(col("city").like("ze%")).size == 1)
+    assert(t.planEntries(col("city").like("%o")).size == 3)
+    assert(t.scan(col("city").like("ze%")).count() == 1)
+    assert(t.scan(col("city").like("%o")).count() == 1)
+  }
+
   test("probe cap fails open on saturating values, exact below it") {
     val t = GraftTable.create(spark, tmp(), sch,
       options = Map(GraftTable.SecIndexColumns -> "city",

@@ -517,6 +517,33 @@ class SqlCatalogSpec extends AnyFunSuite {
       s"rows past the bound must not stream: $received")
   }
 
+  test("storage-partitioned aggregation: GROUP BY bucket key shuffles nothing") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbspa")
+    spark.sql("""CREATE TABLE graft.dbspa.t (k BIGINT, v DOUBLE)
+                |TBLPROPERTIES ('primary-key'='k', 'bucket'='4')""".stripMargin)
+    spark.sql("INSERT INTO graft.dbspa.t SELECT id, id * 1.0 FROM range(0, 100)")
+    spark.sql("CALL graft.sys.compact('dbspa.t')")
+    val old = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // grouping on the bucket key: the reported KeyGroupedPartitioning
+      // already satisfies the aggregate's distribution — at warehouse
+      // scale this is the difference between a full shuffle of the
+      // table and none at all
+      val q = spark.sql("SELECT k, sum(v) AS s FROM graft.dbspa.t GROUP BY k")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("GraftBucketedScan") && !plan.contains("Exchange"),
+        s"bucket-key aggregation must not shuffle:\n$plan")
+      assert(q.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        .forall { case (k, s) => s == k.toDouble })
+      // contrast: grouping on a non-key column still shuffles
+      val q2 = spark.sql("SELECT v, count(*) FROM graft.dbspa.t GROUP BY v")
+      assert(q2.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally old.fold(
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+  }
+
   test("format tables: snapshot-less csv directory reads, appends, overwrites") {
     val dir = Files.createTempDirectory("graft-fmt").toString + "/ext"
     spark.range(3).selectExpr("id AS k", "concat('r', id) AS s")
