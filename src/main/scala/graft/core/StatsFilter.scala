@@ -62,11 +62,43 @@ object StatsFilter {
     case InSet(e, _) if nullRejectingAttr(e).exists(allNull(_, f)) => false
     case StartsWith(e, _) if nullRejectingAttr(e).exists(allNull(_, f)) => false
     case Like(e, _, _) if nullRejectingAttr(e).exists(allNull(_, f)) => false
+    // negations of null-rejecting comparisons are null-rejecting too
+    // (null != lit is null, not true)
+    case Not(bc: BinaryComparison) if !bc.isInstanceOf[EqualNullSafe] &&
+        Seq(bc.left, bc.right).exists(s =>
+          !s.foldable && nullRejectingAttr(s).exists(allNull(_, f))) => false
+    case Not(In(e, _)) if nullRejectingAttr(e).exists(allNull(_, f)) => false
+    case Not(InSet(e, _)) if nullRejectingAttr(e).exists(allNull(_, f)) => false
     case EqualTo(AttrMaybeCast(a, dt), r) if r.foldable =>
       range(a.name, f).forall { case (mn, mx) =>
         cmp(r.eval(), r.dataType, mn).forall(_ >= 0) &&
           cmp(r.eval(), r.dataType, mx).forall(_ <= 0) }
     case EqualTo(l, a @ AttrMaybeCast(_, _)) if l.foldable => eval(EqualTo(a, l), f)
+    // null-safe equality: with a null literal it IS `IS NULL`; with a
+    // non-null literal null rows fail it, so the EqualTo range test
+    // applies unchanged
+    case EqualNullSafe(AttrMaybeCast(a, dt), r) if r.foldable =>
+      if (r.eval() == null) eval(IsNull(a), f) else eval(EqualTo(a, r), f)
+    case EqualNullSafe(l, a @ AttrMaybeCast(_, _)) if l.foldable =>
+      eval(EqualNullSafe(a, l), f)
+    // `c != lit` refutes a file whose every value IS lit (min == max ==
+    // lit; null rows fail != anyway, so the null count is irrelevant).
+    // A null literal makes != never true -> every file refuted.
+    case Not(EqualTo(AttrMaybeCast(a, dt), r)) if r.foldable =>
+      val rv = r.eval()
+      rv != null && range(a.name, f).forall { case (mn, mx) =>
+        !(mn == mx && cmp(rv, r.dataType, mn).contains(0)) }
+    case Not(EqualTo(l, a @ AttrMaybeCast(_, _))) if l.foldable =>
+      eval(Not(EqualTo(a, l)), f)
+    // NOT IN ≡ conjunction of !=: refuted when the file is constant
+    // and that constant is in the list (a null element rides the
+    // != rule above — NOT IN with a null is never true)
+    case Not(In(a @ AttrMaybeCast(_, _), list)) if list.forall(_.foldable) =>
+      list.forall(r => eval(Not(EqualTo(a, r)), f))
+    case Not(InSet(AttrMaybeCast(a, dt), values)) =>
+      !values.contains(null) && range(a.name, f).forall { case (mn, mx) =>
+        !(mn == mx && values.exists(v =>
+          v != null && cmp(v, dt, mn).contains(0))) }
     case GreaterThan(AttrMaybeCast(a, dt), r) if r.foldable =>
       range(a.name, f).forall { case (_, mx) => cmp(r.eval(), r.dataType, mx).forall(_ < 0) }
     case GreaterThanOrEqual(AttrMaybeCast(a, dt), r) if r.foldable =>

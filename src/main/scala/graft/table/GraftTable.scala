@@ -1907,8 +1907,12 @@ final class GraftTable private (
         case _ => None
       }
     }
+    // recursing into BOTH And and Or is sound for pruning: each leaf
+    // rewrites to an IMPLIED predicate, and monotone combinations
+    // (and/or — never not) of implied predicates are implied
     def rewrite(c: Expression): Expression = c match {
       case And(a, b) => And(rewrite(a), rewrite(b))
+      case Or(a, b) => Or(rewrite(a), rewrite(b))
       case eq @ EqualTo(cc: Concat, l: Literal) => inv(cc, l).getOrElse(eq)
       case eq @ EqualTo(l: Literal, cc: Concat) => inv(cc, l).getOrElse(eq)
       case eq @ EqualTo(cw: ConcatWs, l: Literal) => invWs(cw, l).getOrElse(eq)

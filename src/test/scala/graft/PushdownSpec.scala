@@ -185,7 +185,12 @@ class PushdownSpec extends AnyFunSuite {
         if (rnd.nextBoolean() && evaluated.nonEmpty)
           evaluated(rnd.nextInt(evaluated.length))
         else rndStr()
-      val p = expr === target
+      // a third of the predicates are disjunctions — the rewrite must
+      // stay sound through Or branches too
+      val p = rnd.nextInt(3) match {
+        case 0 => (expr === target) || (col("k") === data(rnd.nextInt(data.size))._1)
+        case _ => expr === target
+      }
       val got = t.scan(p).select("k").collect().map(_.getLong(0)).toSet
       val want = baseline.filter(p).select("k").collect().map(_.getLong(0)).toSet
       assert(got == want, s"predicate $p: got $got want $want")
@@ -208,6 +213,40 @@ class PushdownSpec extends AnyFunSuite {
     // and a literal that can only come from a real value prunes it
     assert(t.planEntries(
       concat_ws("-", lit("p"), col("s")) === "p-x").size == 1)
+  }
+
+  test("negated and null-safe predicates prune constant and all-null files") {
+    val t = GraftTable.create(spark, tmp(), sch)
+    t.write(df((7L, 1.0), (7L, 2.0)).coalesce(1))   // k constant 7
+    t.write(df((1L, 3.0), (9L, 4.0)).coalesce(1))   // k spans 1..9
+    // c != 7 refutes the constant-7 file, keeps the spanning one
+    assert(t.planEntries(col("k") =!= 7L).size == 1)
+    assert(t.scan(col("k") =!= 7L).count() == 2)
+    // NOT IN with the constant covered refutes it too
+    assert(t.planEntries(!col("k").isin(7L, 100L)).size == 1)
+    assert(t.scan(!col("k").isin(7L, 100L)).count() == 2)
+    // != against a value the constant file doesn't hold keeps both
+    assert(t.planEntries(col("k") =!= 5L).size == 2)
+    // null-safe equality prunes by the same range logic as equality:
+    // 7 may appear in both ranges, 100 in neither
+    assert(t.planEntries(col("k") <=> 7L).size == 2)
+    assert(t.scan(col("k") <=> 7L).count() == 2)
+    assert(t.planEntries(col("k") <=> 100L).isEmpty)
+
+    // all-null column: comparisons AND their negations refute the file
+    val strSch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("s", StringType, nullable = true)))
+    val t2 = GraftTable.create(spark, tmp(), strSch)
+    t2.write(spark.createDataFrame(
+      Seq(Row(1L, null), Row(2L, null)).asJava, strSch).coalesce(1))
+    t2.write(spark.createDataFrame(
+      Seq(Row(3L, "x"), Row(4L, "y")).asJava, strSch).coalesce(1))
+    assert(t2.planEntries(col("s") =!= "x").size == 1)
+    assert(t2.scan(col("s") =!= "x").count() == 1)
+    // <=> NULL is IS NULL: keeps the all-null file, refutes the other
+    assert(t2.planEntries(col("s") <=> lit(null)).size == 1)
+    assert(t2.scan(col("s") <=> lit(null)).count() == 2)
   }
 
   test("bloom file index prunes overlapping-range files on point predicates") {
