@@ -653,7 +653,24 @@ final class GraftTable private (
         if (lower) SecRange(idOf(a.name), Math.nextDown(d), Double.PositiveInfinity)
         else SecRange(idOf(a.name), Double.NegativeInfinity, Math.nextUp(d))
       }
-    val probes: Seq[SecProbe] = splitConjuncts(cond).flatMap {
+    import GraftTable.SecOr
+    def probeOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Option[SecProbe] = e match {
+      // a disjunction probes as the UNION of its branch hit-sets —
+      // sound iff EVERY branch is probe-able (one opaque branch means
+      // rows could hide in un-probed files -> the whole Or fails open)
+      case Or(l, r) =>
+        (probeOf(l), probeOf(r)) match {
+          case (Some(SecEq(c1, v1)), Some(SecEq(c2, v2))) if c1 == c2 =>
+            Some(SecEq(c1, (v1 ++ v2).distinct))
+          case (Some(lp), Some(rp)) =>
+            def flat(p: SecProbe): Seq[SecProbe] = p match {
+              case SecOr(ps) => ps
+              case other => Seq(other)
+            }
+            Some(SecOr(flat(lp) ++ flat(rp)))
+          case _ => None
+        }
       case EqualTo(a: AttributeReference, l: Literal) if idOf.contains(a.name) =>
         str(l).map(s => SecEq(idOf(a.name), Seq(s)))
       case EqualTo(l: Literal, a: AttributeReference) if idOf.contains(a.name) =>
@@ -680,14 +697,14 @@ final class GraftTable private (
       // numeric ranges ride the canonical double encoding: the folded
       // index is (cid, v)-sorted, so parquet row-group stats give the
       // probe btree-like locality
-      case GreaterThan(a: AttributeReference, l: Literal) => rangeOf(a, l, lower = true)
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => rangeOf(a, l, lower = true)
-      case LessThan(a: AttributeReference, l: Literal) => rangeOf(a, l, lower = false)
-      case LessThanOrEqual(a: AttributeReference, l: Literal) => rangeOf(a, l, lower = false)
-      case GreaterThan(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = false)
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = false)
-      case LessThan(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = true)
-      case LessThanOrEqual(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = true)
+      case GreaterThan(a: AttributeReference, l: Literal) => rangeOf(a, l, lower = true).headOption
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => rangeOf(a, l, lower = true).headOption
+      case LessThan(a: AttributeReference, l: Literal) => rangeOf(a, l, lower = false).headOption
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => rangeOf(a, l, lower = false).headOption
+      case GreaterThan(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = false).headOption
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = false).headOption
+      case LessThan(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = true).headOption
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = true).headOption
       // case-transform equalities on indexed STRING columns: apply the
       // transform to the stored value side
       case EqualTo(Upper(a: AttributeReference), l: Literal)
@@ -717,6 +734,7 @@ final class GraftTable private (
         }
       case _ => None
     }
+    val probes: Seq[SecProbe] = splitConjuncts(cond).flatMap(probeOf)
     // range conjuncts on one column intersect into a single probe
     // BEFORE evaluation (same as BsiIndex): `c >= 10 AND c <= 40`
     // must find a value inside [10, 40] — probing the bounds
@@ -733,6 +751,7 @@ final class GraftTable private (
         val idx = spark.read.schema(secIndexSchema)
           .parquet(files.map(f => s"$path/$f"): _*)
         def pred(p: SecProbe): Column = p match {
+          case GraftTable.SecOr(ps) => ps.map(pred).reduce(_ || _)
           case SecEq(cid, vs) => col("cid") === cid && col("v").isin(vs: _*)
           case SecNull(cid) => col("cid") === cid && col("v").isNull
           case SecFn(cid, fn, value) =>
@@ -768,31 +787,35 @@ final class GraftTable private (
           // memoized fail-open: an empty probe list keeps every
           // candidate (forall over nothing) without re-running the job
           Seq.empty
-        } else
+        } else {
+        def rowMatches(p: SecProbe, r: org.apache.spark.sql.Row): Boolean = p match {
+          case GraftTable.SecOr(ps) => ps.exists(rowMatches(_, r))
+          case leaf => r.getInt(0) == leaf.cid && (leaf match {
+            case SecEq(_, vs) => !r.isNullAt(1) && vs.contains(r.getString(1))
+            case SecNull(_) => r.isNullAt(1)
+            case SecFn(_, fn, value) =>
+              // mirror Spark's Upper/Lower (UTF8String case mapping)
+              !r.isNullAt(1) && {
+                val u = org.apache.spark.unsafe.types.UTF8String
+                  .fromString(r.getString(1))
+                (if (fn == "upper") u.toUpperCase else u.toLowerCase)
+                  .toString == value
+              }
+            case SecPrefix(_, p0) =>
+              !r.isNullAt(1) && r.getString(1).startsWith(p0)
+            case SecRange(_, lo, hi) =>
+              !r.isNullAt(1) && {
+                val d = try r.getString(1).toDouble catch { case _: Exception => Double.NaN }
+                // mirror Spark's NaN-largest ordering
+                if (d.isNaN) hi.isPosInfinity
+                else d >= lo && d <= hi
+              }
+            case _: GraftTable.SecOr => false // unreachable (flattened)
+          })
+        }
         allProbes.map { p =>
-          rows.iterator.filter { r =>
-            r.getInt(0) == p.cid && (p match {
-              case SecEq(_, vs) => !r.isNullAt(1) && vs.contains(r.getString(1))
-              case SecNull(_) => r.isNullAt(1)
-              case SecFn(_, fn, value) =>
-                // mirror Spark's Upper/Lower (UTF8String case mapping)
-                !r.isNullAt(1) && {
-                  val u = org.apache.spark.unsafe.types.UTF8String
-                    .fromString(r.getString(1))
-                  (if (fn == "upper") u.toUpperCase else u.toLowerCase)
-                    .toString == value
-                }
-              case SecPrefix(_, p) =>
-                !r.isNullAt(1) && r.getString(1).startsWith(p)
-              case SecRange(_, lo, hi) =>
-                !r.isNullAt(1) && {
-                  val d = try r.getString(1).toDouble catch { case _: Exception => Double.NaN }
-                  // mirror Spark's NaN-largest ordering
-                  if (d.isNaN) hi.isPosInfinity
-                  else d >= lo && d <= hi
-                }
-            })
-          }.map(_.getString(2)).toSet
+          rows.iterator.filter(rowMatches(p, _)).map(_.getString(2)).toSet
+        }
         }
       })
       entries.filter(e => !e.file.secIndexed ||
@@ -2984,6 +3007,11 @@ object GraftTable {
   private[table] case class SecFn(cid: Int, fn: String, value: String) extends SecProbe
   /** `c LIKE 'p%'` / startsWith on an indexed string column. */
   private[table] case class SecPrefix(cid: Int, prefix: String) extends SecProbe
+  /** Disjunction of probes (possibly across columns): a file survives
+    * if ANY branch hits it — the hit-set is the union. */
+  private[table] case class SecOr(ps: Seq[SecProbe]) extends SecProbe {
+    def cid: Int = ps.head.cid
+  }
 
   /** Create a new table directory (fails if one exists). */
   def create(

@@ -44,7 +44,7 @@ class SecIndexProbePropSpec extends AnyFunSuite {
     val allVals = fileVals.flatten
     (0 until 120).foreach { trial =>
       val (pred, matches): (org.apache.spark.sql.Column, Long => Boolean) =
-        rnd.nextInt(4) match {
+        rnd.nextInt(5) match {
           case 0 =>
             val v = allVals(rnd.nextInt(allVals.size)) + rnd.nextInt(3) - 1
             (col("n") === v, x => x == v)
@@ -59,6 +59,16 @@ class SecIndexProbePropSpec extends AnyFunSuite {
             val v = rnd.nextInt(200).toLong
             if (rnd.nextBoolean()) (col("n") > v, x => x > v)
             else (col("n") < v, x => x < v)
+          case 4 =>
+            // disjunctions: equality-or-equality and equality-or-range
+            val v1 = allVals(rnd.nextInt(allVals.size))
+            if (rnd.nextBoolean()) {
+              val v2 = allVals(rnd.nextInt(allVals.size)) + rnd.nextInt(3) - 1
+              (col("n") === v1 || col("n") === v2, x => x == v1 || x == v2)
+            } else {
+              val lo = rnd.nextInt(200).toLong
+              (col("n") === v1 || col("n") > lo, x => x == v1 || x > lo)
+            }
         }
       val kept = t.planEntries(pred).size
       val filesWithMatch = fileVals.count(_.exists(matches))

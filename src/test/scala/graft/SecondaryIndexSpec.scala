@@ -252,6 +252,27 @@ class SecondaryIndexSpec extends AnyFunSuite {
     assert(t3.scan(col("town") === "tokyo").count() == 1)
   }
 
+  test("Or-of-probeable predicates prunes via union hit-sets") {
+    val t = GraftTable.create(spark, tmp(), sch,
+      options = Map(GraftTable.SecIndexColumns -> "k,city"))
+    t.write(df((1L, "ant"), (2L, "tokyo")).coalesce(1))
+    t.write(df((3L, "arc"), (4L, "zebra")).coalesce(1))
+    t.write(df((5L, "axe"), (6L, "zulu")).coalesce(1))
+    // same-column disjunction merges into one IN-style probe
+    assert(t.planEntries(col("city") === "tokyo" || col("city") === "zulu").size == 2)
+    assert(t.scan(col("city") === "tokyo" || col("city") === "zulu").count() == 2)
+    // cross-column disjunction: union of an equality and a range probe
+    assert(t.planEntries(col("city") === "zebra" || col("k") > 5L).size == 2)
+    assert(t.scan(col("city") === "zebra" || col("k") > 5L).count() == 2)
+    // a branch on an UN-probeable shape fails the whole Or open
+    assert(t.planEntries(col("city") === "zebra" ||
+      col("city").contains("oky")).size == 3)
+    assert(t.scan(col("city") === "zebra" ||
+      col("city").contains("oky")).count() == 2)
+    // an unsatisfiable disjunction prunes everything
+    assert(t.planEntries(col("city") === "nope" || col("city") === "nada").isEmpty)
+  }
+
   test("prefix predicates (LIKE 'p%', startsWith) probe the index exactly") {
     val t = GraftTable.create(spark, tmp(), sch,
       options = Map(GraftTable.SecIndexColumns -> "city"))
