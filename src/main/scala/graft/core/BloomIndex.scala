@@ -82,6 +82,10 @@ object BloomIndex {
       case other => Seq(other)
     }
     conjuncts(cond).forall {
+      // a disjunction matches if ANY branch might (each branch may
+      // itself be a conjunction — recurse through the full evaluator)
+      case Or(l, r) =>
+        mightMatch(l, indexedColumns, load) || mightMatch(r, indexedColumns, load)
       case EqualTo(a: AttributeReference, r) if r.foldable && indexedColumns(a.name) =>
         probe(a.name, Seq(r.eval()), load)
       case EqualTo(l, a: AttributeReference) if l.foldable && indexedColumns(a.name) =>

@@ -212,6 +212,11 @@ object BsiIndex {
         if (vs.forall(_.isDefined))
           refuted ||= !load(a.name).forall(d =>
             vs.flatten.exists(v => d.existsInRange(v, v)))
+      // a disjunction refutes only when EVERY branch does (branches
+      // may be conjunctions — recurse through the full evaluator)
+      case Or(l, r) =>
+        refuted ||= !(mightMatch(l, indexedColumns, load) ||
+          mightMatch(r, indexedColumns, load))
       case _ => // not BSI-evaluable: no contribution
     }
     if (refuted) return false

@@ -268,6 +268,11 @@ class PushdownSpec extends AnyFunSuite {
     // IN over two files' keys
     val in = t.scan(col("k").isin(41L, 42L))
     assert(in.collect().map(_.getLong(0)).sorted.toSeq == Seq(41L, 42L))
+    // disjunction of absent keys: every branch refuted -> all pruned
+    assert(t.scan(col("k") === 1000L || col("k") === 2000L).inputFiles.isEmpty)
+    val or = t.scan(col("k") === 41L || col("k") === 1000L)
+    assert(or.inputFiles.length < total)
+    assert(or.collect().map(_.getLong(0)).toSeq == Seq(41L))
   }
 
   test("LIKE 'prefix%' prunes files via string min/max stats") {
@@ -474,6 +479,13 @@ class PushdownSpec extends AnyFunSuite {
     // IN with all-absent values refutes; present value keeps one file
     assert(t.scan(col("k").isin(25L, 30L)).inputFiles.isEmpty)
     assert(t.scan(col("k").isin(25L, 90L)).inputFiles.length == 1)
+    // disjunction of two in-hole RANGES refutes both files — each
+    // branch is a conjunction, intersected inside the branch
+    assert(t.scan((col("k") >= 25L && col("k") <= 35L) ||
+      (col("k") >= 65L && col("k") <= 75L)).inputFiles.isEmpty)
+    // one branch live -> its file survives
+    assert(t.scan((col("k") >= 25L && col("k") <= 35L) ||
+      col("k") === 85L).inputFiles.length == 1)
     // one-sided ranges still correct (strict > maps to v+1)
     val top = t.scan(col("k") > 95L)
     assert(top.inputFiles.length == 1 && top.count() == 5)
