@@ -104,6 +104,58 @@ class RobustnessSpec extends AnyFunSuite {
     assert(fin == oracle.toMap)
   }
 
+  test("randomized churn with pruned predicate scans matches the oracle") {
+    // same churn as above, but every batch also cross-checks PREDICATE
+    // scans — stats pruning, bloom sidecars, and the global secondary
+    // index all sit between the filter and the answer
+    val rnd = new scala.util.Random(1234)
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "seq", "bucket" -> "4",
+        GraftTable.SecIndexColumns -> "v",
+        "file-index.bloom-filter.columns" -> "k"))
+    val oracle = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    var seq = 0L
+    for (batch <- 1 to 8) {
+      val ups = (1 to 30).map { _ =>
+        seq += 1
+        (rnd.nextInt(40).toLong, rnd.nextLong(50), seq)
+      }
+      ups.foreach { case (k, v, s) =>
+        if (oracle.get(k).forall(_._2 < s)) oracle(k) = (v, s)
+      }
+      t.write(df(ups))
+      if (batch % 3 == 0) {
+        val doomed = oracle.keys.toSeq.sorted.take(5)
+        t.delete(col("k").isin(doomed: _*))
+        doomed.foreach(oracle.remove)
+      }
+      if (batch % 4 == 0) t.compact()
+      for (_ <- 0 until 3) {
+        val (pred, keep): (org.apache.spark.sql.Column, ((Long, (Long, Long))) => Boolean) =
+          rnd.nextInt(4) match {
+            case 0 =>
+              val k = rnd.nextInt(45).toLong
+              (col("k") === k, { case (k0, _) => k0 == k })
+            case 1 =>
+              val v = rnd.nextInt(50).toLong
+              (col("v") === v, { case (_, (v0, _)) => v0 == v })
+            case 2 =>
+              val lo = rnd.nextInt(50).toLong
+              (col("v") >= lo, { case (_, (v0, _)) => v0 >= lo })
+            case 3 =>
+              val (a, b) = (rnd.nextInt(50).toLong, rnd.nextInt(45).toLong)
+              (col("v") === a || col("k") === b,
+                { case (k0, (v0, _)) => v0 == a || k0 == b })
+          }
+        val got = t.scan(pred).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        val want = oracle.toMap.filter(keep)
+        assert(got == want, s"batch $batch predicate $pred")
+      }
+    }
+  }
+
   test("poisoned index sidecar: pruning fails open, no rows lost") {
     val dir = tmp()
     val t = GraftTable.create(spark, dir, sch,
