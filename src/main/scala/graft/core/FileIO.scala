@@ -13,6 +13,22 @@ import scala.jdk.CollectionConverters._
   * The local implementation uses CREATE_NEW; an object-store
   * implementation would use conditional PUT, an HDFS one rename().
   */
+/** `Files.list`/`Files.walk` return streams backed by an OPEN
+  * directory handle — dropping them without close() leaks one fd per
+  * call, which exhausts a long-running driver (schema reads list the
+  * directory on every table operation). These helpers materialize and
+  * close. */
+object FsUtil {
+  def listAll(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toList finally s.close()
+  }
+  def walkAll(dir: Path): Seq[Path] = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala.toList finally s.close()
+  }
+}
+
 trait FileIO extends Serializable {
   def readString(path: String): String
   def writeString(path: String, content: String): Unit
@@ -70,7 +86,7 @@ final class LocalFileIO extends FileIO {
 
   override def list(dir: String): Seq[String] =
     if (!Files.isDirectory(p(dir))) Seq.empty
-    else Files.list(p(dir)).iterator().asScala.map(_.toString).toSeq
+    else FsUtil.listAll(p(dir)).map(_.toString)
 
   override def delete(path: String): Unit = Files.deleteIfExists(p(path))
 

@@ -411,7 +411,7 @@ final class SnapshotManager(
     val dir = java.nio.file.Paths.get(s"$tablePath/branch/$name")
     if (java.nio.file.Files.exists(dir)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      graft.core.FsUtil.walkAll(dir).reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }

@@ -74,7 +74,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = java.nio.file.Paths.get(s"$warehouse/${namespace.mkString("/")}")
     if (!java.nio.file.Files.isDirectory(dir)) Array.empty
-    else java.nio.file.Files.list(dir).iterator().asScala
+    else graft.core.FsUtil.listAll(dir).iterator
       .filter(p => GraftTable.exists(p.toString))
       .map(p => Identifier.of(namespace, p.getFileName.toString))
       .toArray
@@ -219,7 +219,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = java.nio.file.Paths.get(tablePath(ident))
     if (!java.nio.file.Files.exists(dir)) false
     else {
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      graft.core.FsUtil.walkAll(dir).reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
       true
     }
@@ -238,7 +238,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def listNamespaces(): Array[Array[String]] = {
     val root = java.nio.file.Paths.get(warehouse)
     if (!java.nio.file.Files.isDirectory(root)) Array.empty
-    else java.nio.file.Files.list(root).iterator().asScala
+    else graft.core.FsUtil.listAll(root).iterator
       .filter(java.nio.file.Files.isDirectory(_))
       .map(p => Array(p.getFileName.toString)).toArray
   }
@@ -268,7 +268,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val dir = java.nio.file.Paths.get(s"$warehouse/${namespace.mkString("/")}")
     if (!java.nio.file.Files.exists(dir)) false
     else {
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      graft.core.FsUtil.walkAll(dir).reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
       true
     }

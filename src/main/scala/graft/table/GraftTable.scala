@@ -431,7 +431,7 @@ final class GraftTable private (
   private def writeGlobalIndexFiles(df: DataFrame, parts: Int): Seq[String] = {
     val dir = s"index-global/${UUID.randomUUID()}"
     df.coalesce(parts).write.parquet(s"$path/$dir")
-    Files.walk(Paths.get(s"$path/$dir")).iterator().asScala
+    graft.core.FsUtil.walkAll(Paths.get(s"$path/$dir")).iterator
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .map(p => s"$dir/${p.getFileName}")
       .toSeq
@@ -584,7 +584,7 @@ final class GraftTable private (
     df.repartitionByRange(parts, col("cid"), col("v"))
       .sortWithinPartitions("cid", "v")
       .write.parquet(s"$path/$dir")
-    Files.walk(Paths.get(s"$path/$dir")).iterator().asScala
+    graft.core.FsUtil.walkAll(Paths.get(s"$path/$dir")).iterator
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .map(p => s"$dir/${p.getFileName}")
       .toSeq
@@ -834,7 +834,7 @@ final class GraftTable private (
   private def writeDynIndexFiles(df: DataFrame, parts: Int): Seq[String] = {
     val dir = s"index-dyn/${UUID.randomUUID()}"
     df.coalesce(parts).write.parquet(s"$path/$dir")
-    Files.walk(Paths.get(s"$path/$dir")).iterator().asScala
+    graft.core.FsUtil.walkAll(Paths.get(s"$path/$dir")).iterator
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .map(p => s"$dir/${p.getFileName}")
       .toSeq
@@ -932,7 +932,7 @@ final class GraftTable private (
       seqMax: Long = -1L): Long = {
     val sMax = if (seqMax < 0) seqBase else seqMax
     val stagingPath = Paths.get(staging)
-    val dataFiles = Files.walk(stagingPath).iterator().asScala
+    val dataFiles = graft.core.FsUtil.walkAll(stagingPath).iterator
       .filter(p => (p.toString.endsWith(".parquet") || p.toString.endsWith(".orc")
         || p.toString.endsWith(".avro"))
         && Files.isRegularFile(p))
@@ -1086,7 +1086,7 @@ final class GraftTable private (
 
   private def deleteRecursive(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      graft.core.FsUtil.walkAll(p).reverse.foreach(Files.deleteIfExists(_))
     }
 
   private def nextSeq(): Long =
@@ -2121,7 +2121,7 @@ final class GraftTable private (
     roots.foreach { root =>
       val rp = Paths.get(root)
       if (Files.isDirectory(rp)) {
-        Files.walk(rp).iterator().asScala
+        graft.core.FsUtil.walkAll(rp).iterator
           .filter(Files.isRegularFile(_))
           .foreach { p =>
             val rel = Paths.get(path).relativize(p).toString
@@ -2596,7 +2596,7 @@ final class GraftTable private (
       diff: DataFrame, sch: TableSchema): Option[String] = {
     val clDir = s"changelog/${UUID.randomUUID()}"
     withMicrosTimestamps { diff.write.parquet(s"$path/$clDir") }
-    val files = Files.walk(Paths.get(s"$path/$clDir")).iterator().asScala
+    val files = graft.core.FsUtil.walkAll(Paths.get(s"$path/$clDir")).iterator
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .toSeq
     val entries = files.map { p =>
@@ -3068,9 +3068,8 @@ object GraftTable {
       sourceDir: String,
       path: String,
       options: Map[String, String] = Map.empty): GraftTable = {
-    import scala.jdk.CollectionConverters._
     val srcRoot = Paths.get(sourceDir)
-    val files = Files.walk(srcRoot).iterator().asScala
+    val files = graft.core.FsUtil.walkAll(srcRoot).iterator
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .toSeq
     require(files.nonEmpty, s"no parquet files under $sourceDir")
