@@ -20,12 +20,14 @@ object PruneEval {
       .empty[String, org.apache.spark.util.sketch.BloomFilter]
     val bitmap = scala.collection.concurrent.TrieMap.empty[String, BitmapIndex.Decoded]
     val bsi = scala.collection.concurrent.TrieMap.empty[String, BsiIndex.Decoded]
+    val range = scala.collection.concurrent.TrieMap.empty[String, RangeIndex.Decoded]
     /** crude bound: sidecars are per-file, so a huge table could
       * otherwise pin unbounded decoded indexes */
     def boundedPut(): Unit = {
       if (bloom.size > 4096) bloom.clear()
       if (bitmap.size > 4096) bitmap.clear()
       if (bsi.size > 4096) bsi.clear()
+      if (range.size > 4096) range.clear()
     }
   }
 
@@ -70,6 +72,7 @@ object PruneEval {
       val bloomIdx = idx.filter(_._2.endsWith(".bloom"))
       val bitmapIdx = idx.filter(_._2.endsWith(".bitmap"))
       val bsiIdx = idx.filter(_._2.endsWith(".bsi"))
+      val rangeIdx = idx.filter(_._2.endsWith(".range"))
       caches.boundedPut()
       (bloomIdx.isEmpty || BloomIndex.mightMatch(cond, bloomIdx.keySet,
         col => bloomIdx.get(col).map(rel =>
@@ -82,7 +85,13 @@ object PruneEval {
       (bsiIdx.isEmpty || BsiIndex.mightMatch(cond, bsiIdx.keySet,
         col => bsiIdx.get(col).map(rel =>
           caches.bsi.getOrElseUpdate(rel,
-            BsiIndex.deserialize(io.readBytes(s"$tablePath/$rel"))))))
+            BsiIndex.deserialize(io.readBytes(s"$tablePath/$rel")))))) &&
+      (rangeIdx.isEmpty || RangeIndex.mightMatch(cond, rangeIdx.keySet,
+        col => cur.fields.find(_.name == col).map(f =>
+          org.apache.spark.sql.types.DataType.fromDDL(f.dataType)),
+        col => rangeIdx.get(col).map(rel =>
+          caches.range.getOrElseUpdate(rel,
+            RangeIndex.deserialize(io.readBytes(s"$tablePath/$rel"))))))
     }
   }
 }

@@ -833,5 +833,30 @@ object Storage {
               |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
               |FROM graft_g37.gate.orders_csv WHERE o_orderkey > 700
               |GROUP BY o_orderstatus""".stripMargin)
+    },
+
+    // ---- range-bitmap file index: sorted-dictionary sidecars give
+    // exact range refutation on STRING and TIMESTAMP columns — types
+    // the bit-sliced index cannot encode — and conjuncts over two
+    // indexed columns intersect row positions (reference: paimon-common
+    // fileindex/rangebitmap/RangeBitmapFileIndex.java:43).
+    QDef(
+      "g38_range_bitmap_index",
+      """SELECT o_orderkey, o_orderpriority
+        |FROM orders
+        |WHERE o_orderpriority >= '2' AND o_orderpriority <= '4'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders")
+      val t = GraftTable.create(s, scratch("g38"), src.schema,
+        options = Map(graft.core.RangeIndex.OptionColumns ->
+          "o_orderpriority,o_orderdate"))
+      // interleaved commits → every file spans the full priority and
+      // date ranges, so only the dictionary index can skip files
+      (0 until 4).foreach(i => t.write(src.filter(col("o_orderkey") % 4 === i)))
+      t.scan(col("o_orderpriority") >= "2" && col("o_orderpriority") <= "4" &&
+          col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
     })
 }

@@ -1028,30 +1028,62 @@ final class GraftTable private (
           case _ => false
         }
       }
+    val rangeCols = colsOf(RangeIndex.OptionColumns)
+      .filterNot(c => bloomCols.contains(c) || bitmapCols.contains(c) ||
+        bsiCols.contains(c))
+      .filter(c => RangeIndex.supports(
+        DataType.fromDDL(sch.fields.find(_.name == c).get.dataType)))
     // index sidecars need _metadata.row_index — parquet files only
     val indexable = added.filter(_.file.fileName.endsWith(".parquet"))
-    if ((bloomCols.isEmpty && bitmapCols.isEmpty && bsiCols.isEmpty) ||
-      indexable.isEmpty) return added
+    if ((bloomCols.isEmpty && bitmapCols.isEmpty && bsiCols.isEmpty &&
+      rangeCols.isEmpty) || indexable.isEmpty) return added
     val items = sch.options.get(BloomIndex.OptionItems)
       .map(_.toLong).getOrElse(BloomIndex.DefaultItems)
     val bloomUdaf = udaf(new BloomIndex.BloomAgg(items))
     val bitmapUdaf = udaf(new BitmapIndex.BitmapAgg)
     val bsiUdaf = udaf(new BsiIndex.BsiAgg)
+    val rangeUdaf = udaf(new RangeIndex.RangeAgg)
+    // order-preserving canonical encoding per declared type (build
+    // side of RangeIndex.canonical; UDFs are fine here — this is the
+    // once-per-commit index build, not a query path)
+    val canonLongUdf = udf((v: java.lang.Long) =>
+      if (v == null) null else RangeIndex.canonLong(v.longValue()))
+    val canonDoubleUdf = udf((v: java.lang.Double) =>
+      if (v == null) null else RangeIndex.canonIeee(v.doubleValue()))
+    // decimals travel as their exact string rendering; the declared
+    // scale rides along as a literal
+    val canonDecimalUdf = udf((s: String, sc: Int) =>
+      if (s == null) null
+      else RangeIndex.canonBigDecimal(new java.math.BigDecimal(s), sc).orNull)
+    def rangeCanon(c: String): Column =
+      DataType.fromDDL(sch.fields.find(_.name == c).get.dataType) match {
+        case StringType => col(c)
+        case ByteType | ShortType | IntegerType | LongType =>
+          canonLongUdf(col(c).cast("long"))
+        case DateType => canonLongUdf(unix_date(col(c)).cast("long"))
+        case TimestampType => canonLongUdf(unix_micros(col(c)))
+        case FloatType | DoubleType => canonDoubleUdf(col(c).cast("double"))
+        case d: DecimalType =>
+          canonDecimalUdf(col(c).cast("string"), lit(d.scale))
+        case other => throw new IllegalStateException(s"unsupported $other")
+      }
     val paths = indexable.map(e => s"$path/${e.file.fileName}")
     val aggs =
       bloomCols.map(c => bloomUdaf(col(c).cast("string")).as(s"x_$c")) ++
         bitmapCols.map(c =>
           bitmapUdaf(col(c).cast("string"), col("__ri")).as(s"x_$c")) ++
-        bsiCols.map(c => bsiUdaf(col(c).cast("long"), col("__ri")).as(s"x_$c"))
+        bsiCols.map(c => bsiUdaf(col(c).cast("long"), col("__ri")).as(s"x_$c")) ++
+        rangeCols.map(c => rangeUdaf(rangeCanon(c), col("__ri")).as(s"x_$c"))
     val kinds = bloomCols.map(_ -> "bloom") ++ bitmapCols.map(_ -> "bitmap") ++
-      bsiCols.map(_ -> "bsi")
+      bsiCols.map(_ -> "bsi") ++ rangeCols.map(_ -> "range")
     val io = sm.io
     val tableRoot = path
     import spark.implicits._
     val written: Array[(String, String, String)] = spark.read.parquet(paths: _*)
       .select(col("_metadata.file_path").as("__f") +:
         col("_metadata.row_index").as("__ri") +:
-        (bloomCols ++ bitmapCols ++ bsiCols).distinct.map(col).toIndexedSeq: _*)
+        (bloomCols ++ bitmapCols ++ bsiCols ++ rangeCols)
+          .distinct.map(col).toIndexedSeq: _*)
       .groupBy("__f")
       .agg(aggs.head, aggs.tail: _*)
       .flatMap { r =>
@@ -2300,7 +2332,7 @@ final class GraftTable private (
     // sidecars keyed by the old name just fail open on old files.
     val colListOptions = Set(GraftTable.SecIndexColumns,
       BloomIndex.OptionColumns, BitmapIndex.OptionColumns,
-      BsiIndex.OptionColumns)
+      BsiIndex.OptionColumns, RangeIndex.OptionColumns)
     val newOptions = sch.options.map { case (k, v) =>
       val k2 = if (k.startsWith(s"fields.$oldName."))
         k.replaceFirst(s"fields.$oldName.", s"fields.$newName.") else k
