@@ -135,4 +135,122 @@ object TextAnalysis {
     * differ in a suffix. */
   def minShingleFingerprint(text: Column, w: Int = 3): Column =
     array_min(transform(shingles(text, w), s => xxhash64(s)))
+
+  // --- PII ------------------------------------------------------------
+
+  /** Conventional PII patterns (kept RE2-compatible so an external
+    * engine can reproduce the redaction byte-for-byte). Order matters —
+    * redaction applies them in sequence; IPv4 runs before phone so
+    * dotted quads are never half-eaten by the phone pattern. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone" -> "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b")
+
+  /** Per-type PII hit count (codegen'd regexp scan, zero shuffle). */
+  def piiCount(text: Column, kind: String): Column =
+    size(regexp_extract_all(text,
+      lit(piiPatterns.toMap.apply(kind)), lit(0))).cast("long")
+
+  /** Redact all PII patterns to `[TYPE]` placeholder tokens. A 100 TB
+    * redaction pass is one narrow projection — no shuffle, no UDF. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (kind, pat)) =>
+      regexp_replace(c, pat, s"[${kind.toUpperCase}]")
+    }
+
+  // --- repetition / boilerplate --------------------------------------
+
+  /** Fraction of duplicate lines in a document (0 = all unique) —
+    * the Gopher-style repetition signal for boilerplate removal. */
+  def dupLineRatio(text: Column): Column = {
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val n = size(lines)
+    when(n <= 0, lit(0.0)).otherwise(
+      (n - size(array_distinct(lines))).cast("double") / n.cast("double"))
+  }
+
+  /** Fraction of duplicate word w-grams (captures within-line loops
+    * that line-level dedup misses). */
+  def dupNgramRatio(text: Column, w: Int = 3): Column = {
+    val grams = shingles(text, w)
+    val n = size(grams)
+    when(n <= 0, lit(0.0)).otherwise(
+      (n - size(array_distinct(grams))).cast("double") / n.cast("double"))
+  }
+
+  // --- sequence packing ----------------------------------------------
+
+  /** Token-level sequence packing (the standard pretraining layout):
+    * documents are concatenated in `orderCol` order and sliced into
+    * fixed `windowTokens` chunks, so a document spans packs
+    * [floor(prevCumSum / C), floor((prevCumSum + len - 1) / C)].
+    * Returns (orderCol, n_tokens, first_pack, last_pack).
+    *
+    * NOT a `Window.orderBy` cum-sum — an unpartitioned window funnels
+    * the whole corpus through one task. Instead the classic two-phase
+    * prefix sum: range-partition by `orderCol`, per-partition token
+    * totals (one tiny collect, bounded by the partition count) become
+    * start offsets, then a per-partition running sum adds them — every
+    * stage is distributed, and tokenization stays codegen'd in the
+    * projection before the shuffle. */
+  def packSequences(
+      df: org.apache.spark.sql.DataFrame,
+      orderCol: String,
+      textCol: String,
+      windowTokens: Long,
+      partitions: Int = 0): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val nPart = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val toks = df
+      .select(col(orderCol).as("__ord"), tokenCount(col(textCol)).as("n_tokens"))
+      .repartitionByRange(nPart, col("__ord"))
+      .sortWithinPartitions("__ord")
+      // pinned so phase 1's partition layout is EXACTLY phase 2's;
+      // Spark's ContextCleaner reclaims the cache once the returned
+      // plan is garbage-collected
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // phase 1: per-partition (first key, token total) -> exclusive
+    // prefix offsets, keyed by the partition's FIRST ORDER KEY rather
+    // than a runtime partition id: a downstream coalesce() fuses
+    // partitions into one task (TaskContext.getPartitionId would read
+    // 0 for all of them), but each fused iterator still starts at its
+    // own range's first key, which identifies the offset correctly.
+    val perPart = toks.groupBy(spark_partition_id().as("pid"))
+      .agg(min(col("__ord").cast("long")).as("lo"), sum("n_tokens").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1) // ascending pid == ascending key range
+    val bounds = new Array[(Long, Long)](perPart.length) // (firstKey, offset)
+    var acc = 0L
+    perPart.zipWithIndex.foreach { case ((_, lo, t), i) =>
+      bounds(i) = (lo, acc)
+      acc += t
+    }
+    val bcast = spark.sparkContext.broadcast(bounds)
+    // phase 2: running sum per partition, started at the offset the
+    // partition's first key selects
+    import spark.implicits._
+    toks.select(col("__ord").cast("long"), col("n_tokens"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val buf = it.buffered
+          val firstOrd = buf.head._1
+          var cum = bcast.value.find(_._1 == firstOrd)
+            .getOrElse(throw new IllegalStateException(
+              s"no pack offset recorded for partition starting at $firstOrd"))
+            ._2
+          buf.map { case (ord, n) =>
+            val before = cum
+            cum += n
+            (ord, n, before / windowTokens,
+              (before + math.max(n, 1L) - 1L) / windowTokens)
+          }
+        }
+      }
+      .toDF(orderCol, "n_tokens", "first_pack", "last_pack")
+  }
 }

@@ -351,6 +351,85 @@ object Pipeline {
         .select(col("doc_id"),
           size(pieces).cast("long").as("n_pieces"),
           array_join(slice(pieces, 1, 5), " ").as("first_pieces"))
+    },
+
+    // ---- PII detection + redaction: the corpus is deterministically
+    // augmented with synthetic identifiers (both engines build the
+    // same text), then counted and redacted with RE2-compatible
+    // patterns — byte-exact across engines.
+    QDef(
+      "p14_pii_redaction",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
+        |      '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS clean
+        |FROM (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.com from 10.20.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.7 ssn 123-45-6789 tel 555-123-4567' AS aug
+        |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin) { (s, dir) =>
+      val aug = tbl(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com from 10.20."),
+          (col("doc_id") % 256).cast("string"),
+          lit(".7 ssn 123-45-6789 tel 555-123-4567")).as("aug"))
+      aug.select(col("doc_id"),
+        TA.piiCount(col("aug"), "email").as("n_email"),
+        TA.piiCount(col("aug"), "ipv4").as("n_ipv4"),
+        TA.redactPii(col("aug")).as("clean"))
+    },
+
+    // ---- token-level sequence packing: concatenate documents in
+    // doc_id order, slice into 2048-token windows; each doc's
+    // (first_pack, last_pack) span is a pure function of the prefix
+    // sums — verified cross-engine against a SQL window cum-sum.
+    QDef(
+      "p15_sequence_packing",
+      """SELECT doc_id,
+        |  n_tokens,
+        |  CAST(cum_before // 2048 AS BIGINT) AS first_pack,
+        |  CAST((cum_before + GREATEST(n_tokens, 1) - 1) // 2048 AS BIGINT) AS last_pack
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens,
+        |    COALESCE(SUM(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT))
+        |      OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM documents)""".stripMargin) { (s, dir) =>
+      TA.packSequences(tbl(s, dir, "documents"), "doc_id", "text", 2048L)
+    },
+
+    // ---- repetition / boilerplate metrics (Gopher-style): duplicate
+    // line fraction and duplicate word-3-gram fraction per document.
+    QDef(
+      "p16_repetition_metrics",
+      """SELECT doc_id,
+        |  round(CASE WHEN len(lines) <= 0 THEN 0.0
+        |    ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) END, 6) AS dup_line_ratio,
+        |  round(CASE WHEN len(grams) <= 0 THEN 0.0
+        |    ELSE CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams) END, 6) AS dup_gram_ratio
+        |FROM (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0) AS lines,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |      ELSE [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+        |    END AS grams
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |    FROM documents))""".stripMargin) { (s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TA.dupLineRatio(col("text")), 6).as("dup_line_ratio"),
+          round(TA.dupNgramRatio(col("text"), 3), 6).as("dup_gram_ratio"))
     })
 
   /** embeddings ∪ deterministic perturbed copies (id + 100000, same

@@ -215,4 +215,62 @@ class OperatorsSpec extends AnyFunSuite {
       name.contains("simhash") && r >= 20 * 4 }, // 20 ids x 4 chunks
       s"simhash drops not reported: ${Dedup.skewDrops}")
   }
+
+  test("PII: counts and redaction cover every pattern, clean text untouched") {
+    val s = "mail a.b+c@x-corp.io from 192.168.1.44, ssn 123-45-6789, " +
+      "tel 555-123-4567 or 555.123.4567"
+    assert(one(TA.piiCount(lit(s), "email")) == 1L)
+    assert(one(TA.piiCount(lit(s), "ipv4")) == 1L)
+    assert(one(TA.piiCount(lit(s), "ssn")) == 1L)
+    assert(one(TA.piiCount(lit(s), "phone")) == 2L)
+    val red = one(TA.redactPii(lit(s))).toString
+    assert(red.contains("[EMAIL]") && red.contains("[IPV4]") &&
+      red.contains("[SSN]") && red.contains("[PHONE]"))
+    assert(!red.contains("@") && !red.contains("6789") && !red.contains("4567"))
+    val clean = "no identifiers here, just words and the number 42"
+    assert(one(TA.redactPii(lit(clean))) == clean)
+  }
+
+  test("repetition metrics: duplicates raise ratios, unique text is 0") {
+    assert(one(TA.dupLineRatio(lit("a\nb\nc"))) == 0.0)
+    // 4 non-empty lines, 2 distinct -> 0.5
+    assert(one(TA.dupLineRatio(lit("x\ny\nx\ny"))) == 0.5)
+    assert(one(TA.dupLineRatio(lit("\n \n"))) == 0.0) // only blank lines
+    assert(one(TA.dupNgramRatio(lit("a b c d e"), 3)) == 0.0)
+    // "a b a b a b": grams = (a b a, b a b, a b a, b a b) -> 2 dups of 4
+    assert(one(TA.dupNgramRatio(lit("a b a b a b"), 3)) == 0.5)
+  }
+
+  test("packSequences: spans match a serial cum-sum, even under coalesce(1)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0L until 300L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(40))("w").mkString(" "))).toDF("id", "text")
+    val out = TA.packSequences(docs, "id", "text", 100L, partitions = 7)
+    // serial oracle
+    val lens = docs.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").length.toLong))
+    var cum = 0L
+    val expected = lens.map { case (id, n) =>
+      val first = cum / 100L
+      val last = (cum + n - 1L) / 100L
+      cum += n
+      (id, n, first, last)
+    }.toSeq
+    // plain collect AND through coalesce(1) — the single-task fusion
+    // must not reset per-partition offsets (regression: TaskContext
+    // partition ids collapse to 0 under coalesce)
+    val got = out.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+    val gotCoalesced = TA.packSequences(docs, "id", "text", 100L, partitions = 7)
+      .coalesce(1).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotCoalesced == expected)
+    // spans are contiguous across the corpus: doc i's first_pack is
+    // doc i-1's last_pack or that plus one
+    got.sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 == a._4 || b._3 == a._4 + 1)
+    case _ => }
+  }
 }
