@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection for training corpora: a document
+  * is contaminated when it shares at least one word w-gram with a
+  * benchmark (eval-set) document — the standard n-gram-overlap
+  * decontamination check run before pretraining.
+  *
+  * Scale shape: the benchmark side is tiny (eval sets are thousands of
+  * rows), so its distinct grams BROADCAST; the corpus explodes its
+  * grams map-side and joins without shuffling a single corpus row.
+  * Output is one row per contaminated document (hit count + an example
+  * gram), so the result is bounded by contamination, not corpus size.
+  */
+object Contamination {
+
+  /** Distinct word w-grams per row of `textCol` (lowercased,
+    * whitespace-tokenized; documents shorter than w contribute their
+    * whole text as one gram — matching [[TextAnalysis.shingles]]). */
+  private def gramSet(textCol: String, w: Int) =
+    array_distinct(TextAnalysis.shingles(col(textCol), w))
+
+  /** Flag corpus documents sharing >= 1 word w-gram with `benchmark`.
+    *
+    * @return (idCol, n_hit_grams, example_gram) for contaminated
+    *         documents only, one row each.
+    */
+  def flag(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 8): DataFrame = {
+    val benchGrams = broadcast(
+      benchmark.select(explode(gramSet(textCol, w)).as("g")).distinct())
+    corpus
+      .select(col(idCol), explode(gramSet(textCol, w)).as("g"))
+      .join(benchGrams, "g") // broadcast hash join: corpus stays put
+      .groupBy(idCol)
+      .agg(count(lit(1)).cast("long").as("n_hit_grams"),
+        min(col("g")).as("example_gram"))
+  }
+}

@@ -430,6 +430,31 @@ object Pipeline {
         .select(col("doc_id"),
           round(TA.dupLineRatio(col("text")), 6).as("dup_line_ratio"),
           round(TA.dupNgramRatio(col("text"), 3), 6).as("dup_gram_ratio"))
+    },
+
+    // ---- benchmark contamination: corpus docs sharing a word-8-gram
+    // with the "benchmark" subset (doc_id % 97 = 0) are flagged with
+    // their distinct-hit count — the standard pre-training
+    // decontamination pass, verified cross-engine.
+    QDef(
+      "p17_contamination",
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |      ELSE [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)]
+        |    END)) AS g
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams,
+        |  MIN(g.g) AS example_gram
+        |FROM grams g JOIN bench USING (g)
+        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      graft.operators.Contamination.flag(
+        docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", w = 8)
     })
 
   /** embeddings ∪ deterministic perturbed copies (id + 100000, same

@@ -241,6 +241,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(one(TA.dupNgramRatio(lit("a b a b a b"), 3)) == 0.5)
   }
 
+  test("contamination: planted benchmark overlap is flagged, corpus never shuffles") {
+    import spark.implicits._
+    val bench = Seq((900L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // full benchmark sentence embedded -> contaminated
+      (1L, "intro words then the quick brown fox jumps over the lazy dog tonight and more"),
+      // shares only a 7-gram -> NOT contaminated at w=8
+      (2L, "quick brown fox jumps over the lazy cat sleeps"),
+      (3L, "completely unrelated text with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Contamination.flag(corpus, bench, "doc_id", "text", w = 8)
+    val rows = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 10-token bench sentence fully contained -> doc 1 hits all 3 bench 8-grams
+    assert(rows == Map(1L -> 3L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side not broadcast:\n$plan")
+  }
+
   test("packSequences: spans match a serial cum-sum, even under coalesce(1)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
