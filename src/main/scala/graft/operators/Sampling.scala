@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and source mixing for training-data
+  * pipelines. Everything here is reproducible from the data alone — no
+  * RNG state, no partition-order dependence — so a 100 TB pipeline
+  * re-run (or an incremental top-up) selects exactly the same rows.
+  *
+  * The per-row key is two Lehmer steps
+  * `((id * 48271 mod M) * 48271) mod M` with `M = 2^31 - 1`: one step
+  * never wraps for small ids (id*48271 < M keeps the input order!),
+  * but 48271^2 > M, so the second multiply wraps for every id >= 1.
+  * All intermediates fit 64-bit arithmetic for ids up to ~1.9e14 (no
+  * ANSI overflow), and the formula is plain integer SQL any engine
+  * can reproduce for verification.
+  */
+object Sampling {
+
+  private val Mod = 2147483647L // 2^31 - 1 (prime)
+  private val Mul = 48271L // MINSTD multiplier
+
+  /** The deterministic pseudo-random key of an id column. */
+  def sampleKey(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(pmod(id.cast("long") * Mul, lit(Mod)) * Mul, lit(Mod))
+
+  /** Keep ~`fraction` of rows, deterministically by id. */
+  def sampleByFraction(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
+    df.filter(sampleKey(col(idCol)) < (fraction * Mod).toLong)
+  }
+
+  /** Mix sources to target quotas: for each source, keep the `quota`
+    * rows with the smallest sample keys (ties broken by id, so the
+    * selection is total-ordered and reproducible).
+    *
+    * Scale shape: one shuffle by source + a per-source top-k window.
+    * Quotas are per-source constants, so the selection never compares
+    * rows across sources; a skewed giant source costs a bounded top-k
+    * per partition after AQE splits it.
+    */
+  def mixSources(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      quota: Long): DataFrame = {
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(sampleKey(col(idCol)), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+  }
+
+  /** Per-source quotas (sources absent from the map are dropped). The
+    * quota table broadcasts — the corpus pays only the source shuffle. */
+  def mixSources(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      quotas: Map[String, Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(quotas.toSeq.toDF("__src", "__quota"))
+    val w = Window.partitionBy(sourceCol)
+      .orderBy(sampleKey(col(idCol)), col(idCol))
+    df.join(qdf, col(sourceCol) === col("__src"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__quota"))
+      .drop("__rk", "__src", "__quota")
+  }
+}

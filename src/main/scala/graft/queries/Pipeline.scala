@@ -455,6 +455,24 @@ object Pipeline {
       val docs = tbl(s, dir, "documents")
       graft.operators.Contamination.flag(
         docs, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", w = 8)
+    },
+
+    // ---- deterministic data mixing: per-source quotas selected by a
+    // reproducible double-Lehmer key (((id*48271)%M)*48271)%M — re-
+    // running the pipeline (any partitioning, any engine) picks the
+    // same rows.
+    QDef(
+      "p18_data_mixing",
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY ((doc_id * 48271) % 2147483647 * 48271) % 2147483647,
+        |        doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10""".stripMargin) { (s, dir) =>
+      graft.operators.Sampling.mixSources(
+        tbl(s, dir, "documents"), "source", "doc_id", quota = 10L)
+        .select(col("doc_id"), col("source"))
     })
 
   /** embeddings ∪ deterministic perturbed copies (id + 100000, same

@@ -638,21 +638,31 @@ final class GraftTable private (
       }
       Option(c.eval(null)).map(_.toString)
     }
-    import GraftTable.{SecEq, SecFn, SecNull, SecPrefix, SecProbe, SecRange}
-    // range probes only make sense on numeric columns (canonical
-    // double encoding); bounds widened one ulp to absorb the rounding
-    // of >2^53 integrals — over-inclusive, never lossy
+    import GraftTable.{SecEq, SecFn, SecNull, SecPrefix, SecProbe, SecRange, SecStrRange}
+    // numeric range probes ride the canonical double encoding, bounds
+    // widened one ulp to absorb the rounding of >2^53 integrals —
+    // over-inclusive, never lossy. STRING columns store the raw value,
+    // so lexicographic interval probes are exact (Spark string
+    // comparison is UTF8 binary order on both the filter and the
+    // driver-side row match).
     def numCol(a: AttributeReference): Boolean =
       idOf.contains(a.name) &&
         a.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
     def dbl(l: Literal): Option[Double] =
       Option(Cast(l, DoubleType, tz).eval(null)).map(_.asInstanceOf[Double])
-    def rangeOf(a: AttributeReference, l: Literal, lower: Boolean): Seq[SecProbe] =
-      if (!numCol(a)) Seq.empty
-      else dbl(l).toSeq.map { d =>
+    def rangeOf(a: AttributeReference, l: Literal, lower: Boolean,
+        inclusive: Boolean): Seq[SecProbe] =
+      if (numCol(a)) dbl(l).toSeq.map { d =>
         if (lower) SecRange(idOf(a.name), Math.nextDown(d), Double.PositiveInfinity)
         else SecRange(idOf(a.name), Double.NegativeInfinity, Math.nextUp(d))
       }
+      else if (idOf.contains(a.name) && a.dataType == StringType &&
+        l.dataType == StringType && l.value != null) {
+        val s = l.value.toString
+        Seq(if (lower) SecStrRange(idOf(a.name), Some(s), inclusive, None, true)
+        else SecStrRange(idOf(a.name), None, true, Some(s), inclusive))
+      }
+      else Seq.empty
     import GraftTable.SecOr
     def probeOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
         : Option[SecProbe] = e match {
@@ -697,14 +707,14 @@ final class GraftTable private (
       // numeric ranges ride the canonical double encoding: the folded
       // index is (cid, v)-sorted, so parquet row-group stats give the
       // probe btree-like locality
-      case GreaterThan(a: AttributeReference, l: Literal) => rangeOf(a, l, lower = true).headOption
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => rangeOf(a, l, lower = true).headOption
-      case LessThan(a: AttributeReference, l: Literal) => rangeOf(a, l, lower = false).headOption
-      case LessThanOrEqual(a: AttributeReference, l: Literal) => rangeOf(a, l, lower = false).headOption
-      case GreaterThan(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = false).headOption
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = false).headOption
-      case LessThan(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = true).headOption
-      case LessThanOrEqual(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = true).headOption
+      case GreaterThan(a: AttributeReference, l: Literal) => rangeOf(a, l, lower = true, inclusive = false).headOption
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => rangeOf(a, l, lower = true, inclusive = true).headOption
+      case LessThan(a: AttributeReference, l: Literal) => rangeOf(a, l, lower = false, inclusive = false).headOption
+      case LessThanOrEqual(a: AttributeReference, l: Literal) => rangeOf(a, l, lower = false, inclusive = true).headOption
+      case GreaterThan(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = false, inclusive = false).headOption
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = false, inclusive = true).headOption
+      case LessThan(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = true, inclusive = false).headOption
+      case LessThanOrEqual(l: Literal, a: AttributeReference) => rangeOf(a, l, lower = true, inclusive = true).headOption
       // case-transform equalities on indexed STRING columns: apply the
       // transform to the stored value side
       case EqualTo(Upper(a: AttributeReference), l: Literal)
@@ -739,11 +749,29 @@ final class GraftTable private (
     // BEFORE evaluation (same as BsiIndex): `c >= 10 AND c <= 40`
     // must find a value inside [10, 40] — probing the bounds
     // independently would accept any file with one value on each side
-    val (rawRanges, pointProbes) = probes.partition(_.isInstanceOf[SecRange])
+    val (rawRanges, rest0) = probes.partition(_.isInstanceOf[SecRange])
+    val (rawStrRanges, pointProbes) = rest0.partition(_.isInstanceOf[SecStrRange])
     val mergedRanges = rawRanges.collect { case r: SecRange => r }
       .groupBy(_.cid).toSeq.sortBy(_._1)
       .map { case (cid, rs) => SecRange(cid, rs.map(_.lo).max, rs.map(_.hi).min) }
-    val allProbes = pointProbes ++ mergedRanges
+    // string intervals intersect under UTF8 binary order (Spark's
+    // string comparison); equal bounds compose inclusivity strictly
+    def utf8Cmp(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .binaryCompare(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    val mergedStrRanges = rawStrRanges.collect { case r: SecStrRange => r }
+      .groupBy(_.cid).toSeq.sortBy(_._1)
+      .map { case (cid, rs) =>
+        val lo = rs.flatMap(r => r.lo.map(_ -> r.loInc))
+          .sortWith((a, b) => { val c = utf8Cmp(a._1, b._1)
+            c > 0 || (c == 0 && !a._2 && b._2) }).headOption
+        val hi = rs.flatMap(r => r.hi.map(_ -> r.hiInc))
+          .sortWith((a, b) => { val c = utf8Cmp(a._1, b._1)
+            c < 0 || (c == 0 && !a._2 && b._2) }).headOption
+        SecStrRange(cid, lo.map(_._1), lo.forall(_._2),
+          hi.map(_._1), hi.forall(_._2))
+      }
+    val allProbes = pointProbes ++ mergedRanges ++ mergedStrRanges
     if (allProbes.isEmpty) return entries
     try {
       val hits = secHitCache.getOrElseUpdate((files.sorted, allProbes), {
@@ -771,6 +799,13 @@ final class GraftTable private (
               if (hi.isPosInfinity) vd >= lo || vd.isNaN
               else vd >= lo && vd <= hi
             col("cid") === cid && col("v").isNotNull && inRange
+          case SecStrRange(cid, lo, loInc, hi, hiInc) =>
+            // raw stored strings: Spark's >=/<= is UTF8 binary order
+            val bounds = Seq(
+              lo.map(s => if (loInc) col("v") >= s else col("v") > s),
+              hi.map(s => if (hiInc) col("v") <= s else col("v") < s)
+            ).flatten
+            bounds.foldLeft(col("cid") === cid && col("v").isNotNull)(_ && _)
         }
         // ONE job answers every probe: only hit rows come back. The
         // collect is CAPPED — a hot value at millions of files could
@@ -809,6 +844,15 @@ final class GraftTable private (
                 // mirror Spark's NaN-largest ordering
                 if (d.isNaN) hi.isPosInfinity
                 else d >= lo && d <= hi
+              }
+            case SecStrRange(_, lo, loInc, hi, hiInc) =>
+              !r.isNullAt(1) && {
+                val u = org.apache.spark.unsafe.types.UTF8String
+                  .fromString(r.getString(1))
+                def cmp(s: String) = u.binaryCompare(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(s))
+                lo.forall(s => if (loInc) cmp(s) >= 0 else cmp(s) > 0) &&
+                  hi.forall(s => if (hiInc) cmp(s) <= 0 else cmp(s) < 0)
               }
             case _: GraftTable.SecOr => false // unreachable (flattened)
           })
@@ -3033,6 +3077,10 @@ object GraftTable {
   private[table] case class SecEq(cid: Int, vals: Seq[String]) extends SecProbe
   private[table] case class SecNull(cid: Int) extends SecProbe
   private[table] case class SecRange(cid: Int, lo: Double, hi: Double) extends SecProbe
+  /** lexicographic interval on a STRING column (raw stored values;
+    * UTF8 binary order, per-bound inclusivity) */
+  private[table] case class SecStrRange(cid: Int, lo: Option[String],
+    loInc: Boolean, hi: Option[String], hiInc: Boolean) extends SecProbe
   /** `upper(c) = v` / `lower(c) = v`: not invertible, but the index
     * stores exact values, so the transform is applied to the stored
     * side (reference: predicate/UpperTransform.java:32). */

@@ -261,6 +261,33 @@ class OperatorsSpec extends AnyFunSuite {
       s"benchmark side not broadcast:\n$plan")
   }
 
+  test("sampling: deterministic fraction and exact per-source quotas") {
+    import spark.implicits._
+    val S = graft.operators.Sampling
+    val df = (0L until 1000L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
+    val a = S.sampleByFraction(df, "id", 0.3).select("id").collect().map(_.getLong(0)).toSet
+    val b = S.sampleByFraction(df, "id", 0.3).repartition(13)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty) // partitioning-independent
+    assert(math.abs(a.size - 300) < 60, s"fraction far off: ${a.size}")
+    // nested fractions: the 0.1 sample is a subset of the 0.3 sample
+    val c = S.sampleByFraction(df, "id", 0.1).select("id").collect().map(_.getLong(0)).toSet
+    assert(c.subsetOf(a))
+    val mixed = S.mixSources(df, "source", "id", quota = 25L)
+    val bySrc = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.values.toSet == Set(25L) && bySrc.size == 4)
+    // quotas map: unlisted sources drop, listed cap exactly
+    val mixed2 = S.mixSources(df, "source", "id",
+      Map("src0" -> 5L, "src2" -> 250L))
+    val bySrc2 = mixed2.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc2 == Map("src0" -> 5L, "src2" -> 250L))
+    val plan = mixed2.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"quota table not broadcast:\n$plan")
+  }
+
   test("packSequences: spans match a serial cum-sum, even under coalesce(1)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -340,4 +340,28 @@ class SecondaryIndexSpec extends AnyFunSuite {
     assert(t4.planEntries(col("b") === "nope").isEmpty)
     assert(t4.scan(col("b") === "hot").count() == 1)
   }
+
+  test("string range probes: lexicographic intervals, exact bounds") {
+    val t = GraftTable.create(spark, tmp(), sch,
+      options = Map(GraftTable.SecIndexColumns -> "city"))
+    // all files span a..z so stats prune nothing; the index stores the
+    // raw strings, so interval probes are exact
+    t.write(df((1L, "apple"), (2L, "zebra")).coalesce(1))
+    t.write(df((3L, "cherry"), (4L, "zulu")).coalesce(1))
+    t.write(df((5L, "banana"), (6L, "zed")).coalesce(1))
+    // interval between stored values
+    assert(t.planEntries(col("city") >= "az" && col("city") <= "bb").size == 1)
+    assert(t.planEntries(col("city") > "cherry" && col("city") < "zebra").isEmpty)
+    // exclusive vs inclusive boundary on an exact stored value
+    assert(t.planEntries(col("city") > "banana" && col("city") < "cherry").isEmpty)
+    assert(t.planEntries(col("city") >= "banana" && col("city") < "cherry").size == 1)
+    // one-sided bounds
+    assert(t.planEntries(col("city") > "zu").size == 1) // only zulu
+    assert(t.planEntries(col("city") < "az").size == 1) // only apple
+    // unsatisfiable merged interval prunes everything
+    assert(t.planEntries(col("city") > "x" && col("city") < "b").isEmpty)
+    // results stay correct through the scan
+    assert(t.scan(col("city") >= "az" && col("city") <= "bb").count() == 1)
+    assert(t.scan(col("city") > "zu").count() == 1)
+  }
 }
