@@ -662,6 +662,17 @@ final class GraftTable private (
         Seq(if (lower) SecStrRange(idOf(a.name), Some(s), inclusive, None, true)
         else SecStrRange(idOf(a.name), None, true, Some(s), inclusive))
       }
+      else if (idOf.contains(a.name) && a.dataType == TimestampType &&
+        l.dataType == TimestampType) {
+        // stored canonical is epoch SECONDS (truncated); T >= t implies
+        // floor(T) >= floor(t) and T <= t implies floor(T) <= floor(t),
+        // so flooring the literal bound is over-inclusive, never lossy
+        dbl(l).toSeq.map { secs =>
+          val f = Math.floor(secs)
+          if (lower) SecRange(idOf(a.name), Math.nextDown(f), Double.PositiveInfinity)
+          else SecRange(idOf(a.name), Double.NegativeInfinity, Math.nextUp(f))
+        }
+      }
       else Seq.empty
     import GraftTable.SecOr
     def probeOf(e: org.apache.spark.sql.catalyst.expressions.Expression)

@@ -364,4 +364,30 @@ class SecondaryIndexSpec extends AnyFunSuite {
     assert(t.scan(col("city") >= "az" && col("city") <= "bb").count() == 1)
     assert(t.scan(col("city") > "zu").count() == 1)
   }
+
+  test("timestamp range probes refute gaps inside overlapping stats spans") {
+    val tsch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = true)))
+    def tdf(rows: (Long, String)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, java.sql.Timestamp.valueOf(r._2))).asJava, tsch)
+    val t = GraftTable.create(spark, tmp(), tsch,
+      options = Map(GraftTable.SecIndexColumns -> "ts"))
+    // nested spans: every file's [min, max] contains the probe window,
+    // so stats keep all three — only stored-value probes can refute
+    t.write(tdf((1L, "2024-01-01 01:00:00"), (2L, "2024-01-01 09:00:00")).coalesce(1))
+    t.write(tdf((3L, "2024-01-01 02:00:00"), (4L, "2024-01-01 08:00:00")).coalesce(1))
+    t.write(tdf((5L, "2024-01-01 03:00:00"), (6L, "2024-01-01 07:00:00")).coalesce(1))
+    def tsLit(s: String) = lit(s).cast("timestamp")
+    assert(t.planEntries(col("ts") >= tsLit("2024-01-01 03:30:00") &&
+      col("ts") <= tsLit("2024-01-01 04:30:00")).isEmpty)
+    assert(t.planEntries(col("ts") >= tsLit("2024-01-01 02:50:00") &&
+      col("ts") <= tsLit("2024-01-01 03:10:00")).size == 1)
+    assert(t.scan(col("ts") >= tsLit("2024-01-01 02:50:00") &&
+      col("ts") <= tsLit("2024-01-01 03:10:00")).count() == 1)
+    // sub-second bounds floor conservatively: a probe just below a
+    // stored second keeps that file
+    assert(t.planEntries(col("ts") >= tsLit("2024-01-01 06:59:59.2") &&
+      col("ts") <= tsLit("2024-01-01 07:00:00.8")).size == 1)
+  }
 }
