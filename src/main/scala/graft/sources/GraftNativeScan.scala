@@ -405,11 +405,23 @@ class GraftMicroBatchStream(
     readDataSchema: StructType,
     partitionSchema: StructType,
     required: StructType)
-    extends MicroBatchStream {
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def sm = gt.sm
 
   override def initialOffset(): Offset = GraftOffset(-1L)
+
+  /** Trigger.AvailableNow support, implemented natively (not via
+    * Spark's wrapper — the wrapper does not delegate
+    * getDefaultReadLimit, which would disable pacing): the drain
+    * target freezes at query start; paced batches step toward it and
+    * the query terminates there even while writers keep committing. */
+  private var frozenLatest: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenLatest = Some(boundedLatest())
+  private def currentCap(): Long = frozenLatest.getOrElse(boundedLatest())
 
   /** Bounded stream end (reference: scan.bounded.watermark +
     * DataTableStreamScan BoundedChecker): with the option set, the
@@ -418,15 +430,83 @@ class GraftMicroBatchStream(
     * Trigger.AvailableNow the query drains to that offset and
     * terminates, and the out-of-bound snapshot is neither consumed nor
     * lost. */
-  override def latestOffset(): Offset = {
+  private def boundedLatest(): Long = {
     val latest = sm.latestSnapshotId.getOrElse(-1L)
     gt.schema.options.get("scan.bounded.watermark").map(_.toLong) match {
-      case None => GraftOffset(latest)
+      case None => latest
       case Some(bound) =>
         val firstOver = sm.snapshotIds.filter(_ <= latest)
           .find(i => sm.snapshot(i).watermark.exists(_ > bound))
-        GraftOffset(firstOver.map(_ - 1L).getOrElse(latest))
+        firstOver.map(_ - 1L).getOrElse(latest)
     }
+  }
+
+  override def latestOffset(): Offset = GraftOffset(currentCap())
+
+  /** Admission control (reference: paimon-spark PaimonMicroBatchStream
+    * read.stream.maxFilesPerTrigger / maxRowsPerTrigger): without a
+    * cap, the FIRST batch of a stream over a populated table reads
+    * every snapshot at once — on a 100 TB table that is the entire
+    * table in one micro-batch. With `scan.max-files-per-trigger` /
+    * `scan.max-rows-per-trigger` set (or a maxRows ReadLimit from the
+    * query), each trigger admits whole snapshots until the cap is
+    * reached — at least one data snapshot per batch so the stream
+    * always progresses, costs counted from manifest metadata only. */
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val limits =
+      gt.schema.options.get("scan.max-files-per-trigger").map(_.toInt)
+        .map(ReadLimit.maxFiles).toSeq ++
+      gt.schema.options.get("scan.max-rows-per-trigger").map(_.toLong)
+        .map(ReadLimit.maxRows).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadMaxFiles, ReadMaxRows}
+    val startId = start.asInstanceOf[GraftOffset].snapshotId
+    val cap = currentCap()
+    // caps come EXCLUSIVELY from the ReadLimit (Trigger.AvailableNow
+    // fetches its drain target with allAvailable — applying the table
+    // options there would truncate the drain to one batch)
+    def flat(l: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+        : Seq[org.apache.spark.sql.connector.read.streaming.ReadLimit] = l match {
+      case c: CompositeReadLimit => c.getReadLimits.toSeq.flatMap(flat)
+      case other => Seq(other)
+    }
+    val leaves = flat(limit)
+    val optFiles = leaves.collectFirst { case f: ReadMaxFiles => f.maxFiles().toLong }
+    val optRows = leaves.collectFirst { case r: ReadMaxRows => r.maxRows() }
+    if (optFiles.isEmpty && optRows.isEmpty) return GraftOffset(cap)
+    var files = 0L
+    var rows = 0L
+    var end = startId
+    var admittedData = false
+    sm.snapshotIds.filter(i => i > startId && i <= cap).foreach { id =>
+      val sn = sm.snapshot(id)
+      if (sn.commitKind == graft.core.Meta.KindCompact) {
+        // no logical change: absorbing it is free, but only up to the
+        // last admitted data snapshot boundary
+        if (!admittedData || end == id - 1) end = id
+      } else {
+        val adds = sn.deltaManifest.map(sm.readManifest).getOrElse(Seq.empty)
+          .filter(_.kind == "ADD")
+        val f = adds.size.toLong
+        val r = adds.map(_.file.rowCount).sum
+        val wouldExceed =
+          optFiles.exists(files + f > _) || optRows.exists(rows + r > _)
+        if (admittedData && wouldExceed) return GraftOffset(end)
+        files += f; rows += r; end = id; admittedData = true
+      }
+    }
+    GraftOffset(end)
   }
 
   override def deserializeOffset(json: String): Offset =

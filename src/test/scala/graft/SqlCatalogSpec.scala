@@ -517,6 +517,33 @@ class SqlCatalogSpec extends AnyFunSuite {
       s"rows past the bound must not stream: $received")
   }
 
+  test("admission control paces micro-batches by scan.max-rows-per-trigger") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db11")
+    spark.sql("DROP TABLE IF EXISTS graft.db11.t")
+    spark.sql("""CREATE TABLE graft.db11.t (k BIGINT, v STRING)
+                |TBLPROPERTIES ('scan.max-rows-per-trigger'='2')""".stripMargin)
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO graft.db11.t VALUES ($i, 'x')"))
+    // one commit larger than the cap: admitted whole (snapshots are
+    // atomic), but alone in its batch
+    spark.sql("INSERT INTO graft.db11.t VALUES (5, 'a'), (6, 'b'), (7, 'c')")
+    val ckpt = Files.createTempDirectory("graft-adm").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val q = spark.readStream.table("graft.db11.t").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.collect().map(_.getLong(0)).toSeq }: Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "paced drain must terminate")
+    val nonEmpty = batches.filter(_.nonEmpty)
+    assert(nonEmpty.flatten.sorted == (1L to 7L),
+      s"paced drain lost or duplicated rows: $batches")
+    // snapshots carry 1,1,1,1,3 rows; cap 2 → batches (1,2) (3,4) (5,6,7)
+    assert(nonEmpty.map(_.size).sorted == Seq(2, 2, 3),
+      s"unexpected batch shapes: ${batches.map(_.size)}")
+  }
+
   test("storage-partitioned aggregation: GROUP BY bucket key shuffles nothing") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbspa")
     spark.sql("""CREATE TABLE graft.dbspa.t (k BIGINT, v DOUBLE)
