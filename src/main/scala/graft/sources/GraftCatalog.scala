@@ -600,18 +600,72 @@ class GraftFormatTable(
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
 
+  /** Filters and projection push through to the inner file-source
+    * plan: the directory is re-read as a Spark DataFrame with the
+    * pushed predicates applied, so Catalyst forwards them to the
+    * csv/json/parquet reader (skipping row groups / columns exactly as
+    * a direct `spark.read` would). Residuals are re-applied above by
+    * Spark — returning every filter from pushFilters keeps this sound
+    * for operators the translator does not cover. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new V1Scan {
-      override def readSchema(): StructType = declared
-      override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
-          with org.apache.spark.sql.sources.TableScan](context: SQLContext): T =
-        new org.apache.spark.sql.sources.BaseRelation
-            with org.apache.spark.sql.sources.TableScan {
-          override def sqlContext: SQLContext = context
-          override def schema: StructType = declared
-          override def buildScan(): RDD[Row] = dfFn().rdd
-        }.asInstanceOf[T]
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    import org.apache.spark.sql.sources._
+    private var pushed: Array[Filter] = Array.empty
+    private var required: StructType = declared
+
+    private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+      import org.apache.spark.sql.functions.{col => c, lit}
+      f match {
+        case EqualTo(a, v) => Some(c(a) === lit(v))
+        case EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
+        case GreaterThan(a, v) => Some(c(a) > lit(v))
+        case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
+        case LessThan(a, v) => Some(c(a) < lit(v))
+        case LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
+        case In(a, vs) => Some(c(a).isin(vs.toIndexedSeq.map(lit(_)): _*))
+        case IsNull(a) => Some(c(a).isNull)
+        case IsNotNull(a) => Some(c(a).isNotNull)
+        case StringStartsWith(a, p) => Some(c(a).startsWith(p))
+        case StringEndsWith(a, p) => Some(c(a).endsWith(p))
+        case StringContains(a, p) => Some(c(a).contains(p))
+        case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+        case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+        case Not(x) => toColumn(x).map(!_)
+        case _ => None
+      }
     }
+
+    override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+      pushed = filters.filter(toColumn(_).isDefined)
+      filters // all residual: Spark re-applies them above the scan
+    }
+    override def pushedFilters(): Array[Filter] = pushed
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      required = requiredSchema
+
+    override def build(): org.apache.spark.sql.connector.read.Scan = {
+      val req = required
+      val flt = pushed
+      new V1Scan {
+        override def readSchema(): StructType = req
+        override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+            with org.apache.spark.sql.sources.TableScan](context: SQLContext): T =
+          new org.apache.spark.sql.sources.BaseRelation
+              with org.apache.spark.sql.sources.TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = req
+            override def buildScan(): RDD[Row] = {
+              var df = dfFn()
+              flt.flatMap(toColumn).foreach(p => df = df.filter(p))
+              df.select(req.fieldNames.toIndexedSeq.map(
+                org.apache.spark.sql.functions.col): _*).rdd
+            }
+          }.asInstanceOf[T]
+      }
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

@@ -484,9 +484,14 @@ class GraftMicroBatchStream(
     val leaves = flat(limit)
     val optFiles = leaves.collectFirst { case f: ReadMaxFiles => f.maxFiles().toLong }
     val optRows = leaves.collectFirst { case r: ReadMaxRows => r.maxRows() }
-    if (optFiles.isEmpty && optRows.isEmpty) return GraftOffset(cap)
+    // bytes have no ReadLimit representation — the table option paces
+    // directly (manifest fileSize sums, same admission loop)
+    val optBytes = gt.schema.options.get("scan.max-bytes-per-trigger").map(_.toLong)
+    if (optFiles.isEmpty && optRows.isEmpty && optBytes.isEmpty)
+      return GraftOffset(cap)
     var files = 0L
     var rows = 0L
+    var bytes = 0L
     var end = startId
     var admittedData = false
     sm.snapshotIds.filter(i => i > startId && i <= cap).foreach { id =>
@@ -500,10 +505,12 @@ class GraftMicroBatchStream(
           .filter(_.kind == "ADD")
         val f = adds.size.toLong
         val r = adds.map(_.file.rowCount).sum
+        val b = adds.map(_.file.fileSize).sum
         val wouldExceed =
-          optFiles.exists(files + f > _) || optRows.exists(rows + r > _)
+          optFiles.exists(files + f > _) || optRows.exists(rows + r > _) ||
+            optBytes.exists(bytes + b > _)
         if (admittedData && wouldExceed) return GraftOffset(end)
-        files += f; rows += r; end = id; admittedData = true
+        files += f; rows += r; bytes += b; end = id; admittedData = true
       }
     }
     GraftOffset(end)

@@ -142,6 +142,24 @@ class RangeIndexSpec extends AnyFunSuite {
       col("dec") < lit(new java.math.BigDecimal("600"))).count() == 1)
   }
 
+  test("cardinality overflow aborts the sidecar and fails open") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), strSch,
+      options = Map(RangeIndex.OptionColumns -> "s"))
+    // > MaxCardinality distinct values in ONE file: the aggregator
+    // aborts (empty payload), no sidecar is written, scans stay exact
+    val n = RangeIndex.MaxCardinality + 1000
+    t.write(spark.range(n).select(col("id").as("k"),
+      concat(lit("u"), col("id")).as("s")).coalesce(1))
+    val entries = t.planEntries(lit(true))
+    assert(entries.size == 1)
+    assert(!entries.head.file.indexFiles.exists(_.nonEmpty),
+      "overflowed sidecar must not be recorded")
+    // fail open: the file is kept for any probe, results correct
+    assert(t.planEntries(col("s") === "u1").size == 1)
+    assert(t.scan(col("s") === "u1").count() == 1)
+  }
+
   test("rename keeps the index option tracking the new column name") {
     val t = GraftTable.create(spark, tmp(), strSch,
       options = Map(RangeIndex.OptionColumns -> "s"))

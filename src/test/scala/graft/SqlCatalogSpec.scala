@@ -594,6 +594,52 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.read.option("header", "true").csv(dir).count() == 1L)
   }
 
+  test("format tables push filters and projection into the file scan") {
+    val dir = Files.createTempDirectory("graft-fmtp").toString + "/ext"
+    spark.range(100).selectExpr("id AS k", "concat('r', id) AS s", "id * 2 AS v")
+      .write.parquet(dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.fmtdb")
+    spark.sql(s"""CREATE TABLE graft.fmtdb.rawp (k BIGINT, s STRING, v BIGINT)
+                 |TBLPROPERTIES ('format'='parquet',
+                 |  'format-table.path'='$dir')""".stripMargin)
+    val df = spark.sql("SELECT s FROM graft.fmtdb.rawp WHERE k > 90")
+    assert(df.collect().map(_.getString(0)).sorted.toSeq ==
+      (91 to 99).map(i => s"r$i").sorted)
+    val plan = df.queryExecution.executedPlan.toString
+    // the DSv2 wrapper reports what it pushed ...
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(k,90)"),
+      s"filter not pushed:\n$plan")
+    // ... and the v1 scan only materializes the required columns
+    assert(!plan.contains("v#") || plan.indexOf("v#") > plan.indexOf("RowDataSourceScan"),
+      s"projection not pruned:\n$plan")
+    // count(*): zero-column projection still answers
+    assert(spark.sql("SELECT count(*) FROM graft.fmtdb.rawp WHERE v >= 100")
+      .head.getLong(0) == 50L)
+  }
+
+  test("admission control paces by scan.max-bytes-per-trigger") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db12")
+    spark.sql("DROP TABLE IF EXISTS graft.db12.t")
+    // 1 byte per trigger: every data snapshot exceeds the cap alone,
+    // so each lands in its own batch
+    spark.sql("""CREATE TABLE graft.db12.t (k BIGINT)
+                |TBLPROPERTIES ('scan.max-bytes-per-trigger'='1')""".stripMargin)
+    (1 to 3).foreach(i => spark.sql(s"INSERT INTO graft.db12.t VALUES ($i)"))
+    val ckpt = Files.createTempDirectory("graft-admb").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    val q = spark.readStream.table("graft.db12.t").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.collect().map(_.getLong(0)).toSeq }: Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val nonEmpty = batches.filter(_.nonEmpty)
+    assert(nonEmpty.map(_.sorted) == Seq(Seq(1L), Seq(2L), Seq(3L)),
+      s"bytes pacing wrong: $batches")
+  }
+
   test("CALL sys.incremental_query / incremental_between_timestamp views") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db9")
     spark.sql("DROP TABLE IF EXISTS graft.db9.t")
