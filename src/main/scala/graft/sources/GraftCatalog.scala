@@ -304,13 +304,15 @@ class GraftSparkTable(protected val gt: GraftTable, snapshot: Option[Long])
       .asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(gt, snapshot, schema())
+    new GraftScanBuilder(gt, snapshot, schema(),
+      options.asCaseSensitiveMap().asScala.toMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(gt)
 }
 
-class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType)
+class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType,
+    readOptions: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
@@ -487,13 +489,13 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType)
             case _ => entries
           }
           new GraftBatchScan(gt, limited, dataSchema, readData, readPart,
-            dataFilters, required)
+            dataFilters, required, readOptions)
         } else if (compactedPk && !sch.isDynamicBucket) {
           new GraftBucketedScan(gt, entries, dataSchema, readData, readPart,
             dataFilters, required, sch.numBuckets, sch.primaryKeys)
         } else if (compactedPk) {
           new GraftBatchScan(gt, entries, dataSchema, readData, readPart,
-            dataFilters, required)
+            dataFilters, required, readOptions)
         } else v1Fallback(cond)
     }
   }
@@ -515,7 +517,8 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType)
       val dataSchema = StructType(full.fields.filterNot(f => partCols(f.name)))
       val readData = StructType(required.fields.filterNot(f => partCols(f.name)))
       val readPart = StructType(required.fields.filter(f => partCols(f.name)))
-      new GraftMicroBatchStream(gt, dataSchema, readData, readPart, required)
+      new GraftMicroBatchStream(gt, dataSchema, readData, readPart, required,
+        readOptions)
     }
 
     /** manifest-derived stats feed Spark's join planning (broadcast

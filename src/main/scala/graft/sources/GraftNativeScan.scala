@@ -164,7 +164,8 @@ class GraftBatchScan(
     readDataSchema: StructType,  // pruned physical columns
     partitionSchema: StructType, // pruned partition columns
     filters: Array[Filter],
-    required: StructType)        // pruned schema in the RELATION's order
+    required: StructType,        // pruned schema in the RELATION's order
+    readOptions: Map[String, String] = Map.empty) // per-query reader options
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
@@ -224,7 +225,7 @@ class GraftBatchScan(
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(gt, dataSchema, readDataSchema, partitionSchema,
-      required)
+      required, readOptions)
 
   override def description(): String =
     s"GraftBatchScan(files=${entries.size}, " +
@@ -404,12 +405,18 @@ class GraftMicroBatchStream(
     dataSchema: StructType,
     readDataSchema: StructType,
     partitionSchema: StructType,
-    required: StructType)
+    required: StructType,
+    readOptions: Map[String, String] = Map.empty)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def sm = gt.sm
+
+  /** per-query reader options override table options (e.g.
+    * spark.readStream.option("scan.max-rows-per-trigger", ...)) */
+  private def streamOpt(key: String): Option[String] =
+    readOptions.get(key).orElse(gt.schema.options.get(key))
 
   override def initialOffset(): Offset = GraftOffset(-1L)
 
@@ -432,7 +439,7 @@ class GraftMicroBatchStream(
     * lost. */
   private def boundedLatest(): Long = {
     val latest = sm.latestSnapshotId.getOrElse(-1L)
-    gt.schema.options.get("scan.bounded.watermark").map(_.toLong) match {
+    streamOpt("scan.bounded.watermark").map(_.toLong) match {
       case None => latest
       case Some(bound) =>
         val firstOver = sm.snapshotIds.filter(_ <= latest)
@@ -456,9 +463,9 @@ class GraftMicroBatchStream(
       : org.apache.spark.sql.connector.read.streaming.ReadLimit = {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val limits =
-      gt.schema.options.get("scan.max-files-per-trigger").map(_.toInt)
+      streamOpt("scan.max-files-per-trigger").map(_.toInt)
         .map(ReadLimit.maxFiles).toSeq ++
-      gt.schema.options.get("scan.max-rows-per-trigger").map(_.toLong)
+      streamOpt("scan.max-rows-per-trigger").map(_.toLong)
         .map(ReadLimit.maxRows).toSeq
     limits match {
       case Seq() => ReadLimit.allAvailable()
@@ -486,7 +493,7 @@ class GraftMicroBatchStream(
     val optRows = leaves.collectFirst { case r: ReadMaxRows => r.maxRows() }
     // bytes have no ReadLimit representation — the table option paces
     // directly (manifest fileSize sums, same admission loop)
-    val optBytes = gt.schema.options.get("scan.max-bytes-per-trigger").map(_.toLong)
+    val optBytes = streamOpt("scan.max-bytes-per-trigger").map(_.toLong)
     if (optFiles.isEmpty && optRows.isEmpty && optBytes.isEmpty)
       return GraftOffset(cap)
     var files = 0L

@@ -617,6 +617,27 @@ class SqlCatalogSpec extends AnyFunSuite {
       .head.getLong(0) == 50L)
   }
 
+  test("per-query reader options override table options for pacing") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db13")
+    spark.sql("DROP TABLE IF EXISTS graft.db13.t")
+    spark.sql("CREATE TABLE graft.db13.t (k BIGINT)") // no pacing property
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO graft.db13.t VALUES ($i)"))
+    val ckpt = Files.createTempDirectory("graft-admq").toString
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = spark.readStream
+      .option("scan.max-rows-per-trigger", "2")
+      .table("graft.db13.t").writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.count().toInt }: Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    assert(batches.filter(_ > 0).sorted == Seq(2, 2),
+      s"reader-option pacing not applied: $batches")
+  }
+
   test("admission control paces by scan.max-bytes-per-trigger") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db12")
     spark.sql("DROP TABLE IF EXISTS graft.db12.t")
