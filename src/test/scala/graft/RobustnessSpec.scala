@@ -156,6 +156,64 @@ class RobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("string-column churn: range-bitmap sidecars + string index probes stay exact") {
+    // same churn harness over a STRING value column: the range-bitmap
+    // file index and the secondary index's lexicographic interval
+    // probes both sit between every predicate and the answer
+    val rnd = new scala.util.Random(4321)
+    val strSch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("s", StringType, nullable = true),
+      StructField("seq", LongType, nullable = true)))
+    def sdf(rows: Seq[(Long, String, Long)]) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2, r._3)).asJava, strSch)
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", null)
+    val t = GraftTable.create(spark, tmp(), strSch,
+      primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "seq", "bucket" -> "2",
+        GraftTable.SecIndexColumns -> "s",
+        graft.core.RangeIndex.OptionColumns -> "s"))
+    val oracle = scala.collection.mutable.Map.empty[Long, (String, Long)]
+    var seq = 0L
+    for (batch <- 1 to 6) {
+      val ups = (1 to 25).map { _ =>
+        seq += 1
+        (rnd.nextInt(30).toLong, words(rnd.nextInt(words.size)), seq)
+      }
+      ups.foreach { case (k, s, sq) =>
+        if (oracle.get(k).forall(_._2 < sq)) oracle(k) = (s, sq)
+      }
+      t.write(sdf(ups))
+      if (batch % 3 == 0) t.compact()
+      for (_ <- 0 until 3) {
+        val (pred, keep): (org.apache.spark.sql.Column, ((Long, (String, Long))) => Boolean) =
+          rnd.nextInt(4) match {
+            case 0 =>
+              val w = words(rnd.nextInt(words.size - 1)) // non-null
+              (col("s") === w, { case (_, (s0, _)) => s0 == w })
+            case 1 =>
+              val (a, b0) = (words(rnd.nextInt(words.size - 1)),
+                words(rnd.nextInt(words.size - 1)))
+              val (lo, hi) = if (a <= b0) (a, b0) else (b0, a)
+              (col("s") >= lo && col("s") <= hi,
+                { case (_, (s0, _)) => s0 != null && s0 >= lo && s0 <= hi })
+            case 2 =>
+              (col("s").isNull, { case (_, (s0, _)) => s0 == null })
+            case 3 =>
+              val w = words(rnd.nextInt(words.size - 1))
+              val p = w.substring(0, 2)
+              (col("s").startsWith(p),
+                { case (_, (s0, _)) => s0 != null && s0.startsWith(p) })
+          }
+        val got = t.scan(pred).collect()
+          .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+        val want = oracle.toMap.filter(keep)
+        assert(got == want, s"batch $batch predicate $pred")
+      }
+    }
+  }
+
   test("poisoned index sidecar: pruning fails open, no rows lost") {
     val dir = tmp()
     val t = GraftTable.create(spark, dir, sch,
