@@ -1312,19 +1312,32 @@ final class GraftTable private (
     if (field.isEmpty || ranges.exists(r =>
       r._2.isEmpty || r._2.get.min.isEmpty || r._2.get.nullCount > 0)) entries
     else {
-      def num(s: String): Double = field.get.dataType match {
-        case FloatType | DoubleType => s.toDouble
+      // stat-string comparator per declared type; strings compare in
+      // UTF8 binary order (Spark's own string ordering — Java
+      // compareTo would disagree on supplementary characters and could
+      // wrong-prune). Parquet's conservative stat truncation (min
+      // rounded down, max up) only widens ranges, so pruning on these
+      // bounds stays over-inclusive.
+      val cmpFn: (String, String) => Int = field.get.dataType match {
+        case FloatType | DoubleType =>
+          (a, b) => java.lang.Double.compare(a.toDouble, b.toDouble)
         case ByteType | ShortType | IntegerType | LongType | DateType |
-             TimestampType | TimestampNTZType => s.toLong.toDouble
-        case _ => Double.NaN
+             TimestampType | TimestampNTZType =>
+          (a, b) => java.lang.Long.compare(a.toLong, b.toLong)
+        case StringType =>
+          (a, b) => org.apache.spark.unsafe.types.UTF8String.fromString(a)
+            .binaryCompare(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+        case _ => null
       }
-      val usable = ranges.map { case (e, st) =>
-        (e, num(st.get.min.get), num(st.get.max.get), e.file.rowCount)
-      }
-      if (usable.exists(u => u._2.isNaN)) entries
+      if (cmpFn == null) entries
       else {
+        val ord: Ordering[String] = (a, b) => cmpFn(a, b)
+        val usable = ranges.map { case (e, st) =>
+          (e, st.get.min.get, st.get.max.get, e.file.rowCount)
+        }
         // worst boundary of the best files covering k rows
-        val ordered = if (descending) usable.sortBy(-_._3) else usable.sortBy(_._2)
+        val ordered = if (descending) usable.sortBy(_._3)(ord.reverse)
+          else usable.sortBy(_._2)(ord)
         var acc = 0L
         val threshold = ordered.find { u => acc += u._4; acc >= k }
         threshold match {
@@ -1332,7 +1345,8 @@ final class GraftTable private (
           case Some(t) =>
             val bound = if (descending) t._2 else t._3
             usable.filter(u =>
-              if (descending) u._3 >= bound else u._2 <= bound).map(_._1)
+              if (descending) cmpFn(u._3, bound) >= 0
+              else cmpFn(u._2, bound) <= 0).map(_._1)
         }
       }
     }

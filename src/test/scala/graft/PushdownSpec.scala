@@ -71,6 +71,25 @@ class PushdownSpec extends AnyFunSuite {
     assert(bottom.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("readTopN prunes on STRING columns in UTF8 binary order") {
+    val strSch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("s", StringType, nullable = false)))
+    def sdf(rows: (Long, String)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, strSch)
+    val t = GraftTable.create(spark, tmp(), strSch)
+    t.write(sdf((1L, "apple"), (2L, "banana")).coalesce(1))
+    t.write(sdf((3L, "kiwi"), (4L, "lemon")).coalesce(1))
+    t.write(sdf((5L, "xray"), (6L, "zebra")).coalesce(1))
+    val total = t.read.inputFiles.length
+    val top = t.readTopN("s", 2, descending = true)
+    assert(top.inputFiles.length < total, "string TopN must prune files")
+    assert(top.collect().map(_.getString(1)).toSeq == Seq("zebra", "xray"))
+    val bottom = t.readTopN("s", 2, descending = false)
+    assert(bottom.inputFiles.length < total)
+    assert(bottom.collect().map(_.getString(1)).toSeq == Seq("apple", "banana"))
+  }
+
   test("SQL ORDER BY ... LIMIT k prunes files via SupportsPushDownTopN") {
     val wh = Files.createTempDirectory("graft-topn-wh").toString
     spark.conf.set("spark.sql.catalog.graft_topn", "graft.sources.GraftCatalog")
