@@ -162,4 +162,37 @@ class ManifestScaleSpec extends AnyFunSuite {
       f"planning too slow: $planSecs%.1fs / $planSecs2%.1fs")
     info(f"commit=$commitSecs%.2fs firstPlan=$planSecs%.2fs warmPlan=$planSecs2%.2fs")
   }
+
+  test("secondary-index probes stay one bounded job at 200k indexed rows") {
+    // the at-scale promise of the GSI: a point/range probe reads the
+    // (cid, v)-sorted parquet index ONCE and returns only hit rows —
+    // cost grows with HITS, not with table rows or file count
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("town", StringType, nullable = true)))
+    val t = GraftTable.create(spark, tmp(), sch, options = Map(
+      GraftTable.SecIndexColumns -> "k,town",
+      "secondary-index.compact-trigger" -> "4"))
+    // 4 commits x 50k rows; k unique, town ~5k distinct
+    (0 until 4).foreach { c =>
+      t.write(spark.range(c * 50000L, (c + 1) * 50000L).select(
+        col("id").as("k"),
+        concat(lit("town"), pmod(col("id"), lit(5000))).as("town")).coalesce(2))
+    }
+    val t0 = System.nanoTime()
+    val hit = t.planEntries(col("k") === 123456L)
+    val probeSecs = (System.nanoTime() - t0) / 1e9
+    assert(hit.size == 1, s"expected 1 file, got ${hit.size}")
+    // memoized second probe on the same snapshot: no new job
+    val t1 = System.nanoTime()
+    assert(t.planEntries(col("k") === 123456L).size == 1)
+    val memoSecs = (System.nanoTime() - t1) / 1e9
+    // string + range probes over the same index
+    assert(t.planEntries(col("town") === "town4999").nonEmpty)
+    assert(t.planEntries(col("k") >= 199990L && col("k") <= 199999L).size == 1)
+    assert(t.scan(col("k") === 123456L).count() == 1)
+    assert(probeSecs < 30, f"probe too slow: $probeSecs%.1fs")
+    assert(memoSecs < 1.0, f"memoized probe re-ran the job: $memoSecs%.2fs")
+    info(f"firstProbe=$probeSecs%.2fs memoProbe=$memoSecs%.3fs")
+  }
 }
