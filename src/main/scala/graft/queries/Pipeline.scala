@@ -473,6 +473,70 @@ object Pipeline {
       graft.operators.Sampling.mixSources(
         tbl(s, dir, "documents"), "source", "doc_id", quota = 10L)
         .select(col("doc_id"), col("source"))
+    },
+
+    // ---- the full pretraining curation chain, end to end and
+    // oracle-exact: benchmark decontamination (word-8-gram overlap) →
+    // quality filter (alpha ratio + min tokens) → per-source quota
+    // mixing (deterministic Lehmer keys) → token-level sequence
+    // packing. Every stage is the scale path: broadcast contamination
+    // join, codegen'd quality exprs, one source shuffle, two-phase
+    // prefix sum.
+    QDef(
+      "p19_curation_full",
+      """WITH toks AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(t) < 8 THEN [array_to_string(t, ' ')]
+        |      ELSE [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)]
+        |    END)) AS g
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM grams JOIN bench USING (g)
+        |  WHERE doc_id % 97 <> 0),
+        |quality AS (
+        |  SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens
+        |  FROM toks
+        |  WHERE doc_id % 97 <> 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |    AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |      / greatest(length(text), 1) >= 0.6
+        |    AND len(t) >= 20),
+        |mixed AS (
+        |  SELECT doc_id, source, n_tokens FROM (
+        |    SELECT doc_id, source, n_tokens,
+        |      ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY ((doc_id * 48271) % 2147483647 * 48271) % 2147483647,
+        |          doc_id) AS rk
+        |    FROM quality)
+        |  WHERE rk <= 15)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(cum_before // 1024 AS BIGINT) AS first_pack,
+        |  CAST((cum_before + GREATEST(n_tokens, 1) - 1) // 1024 AS BIGINT) AS last_pack
+        |FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM mixed)""".stripMargin) { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      val flagged = graft.operators.Contamination
+        .flag(corpus, bench, "doc_id", "text", w = 8).select("doc_id")
+      val quality = corpus.join(flagged, Seq("doc_id"), "left_anti")
+        .filter(TA.alphaRatio(col("text")) >= 0.6 &&
+          TA.tokenCount(col("text")) >= 20L)
+        .select(col("doc_id"), col("source"), col("text"))
+      val mixed = graft.operators.Sampling
+        .mixSources(quality, "source", "doc_id", quota = 15L)
+      TA.packSequences(mixed, "doc_id", "text", 1024L)
+        .join(mixed.select("doc_id", "source"), "doc_id")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("first_pack"), col("last_pack"))
     })
 
   /** embeddings ∪ deterministic perturbed copies (id + 100000, same
