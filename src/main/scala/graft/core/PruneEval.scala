@@ -67,12 +67,24 @@ object PruneEval {
     val augmented = base.copy(stats = base.stats ++ partStats)
     StatsFilter.mightMatch(cond, augmented, cur) && {
       // index sidecars refine point predicates where ranges overlap:
-      // bloom approximately, bitmap/BSI exactly
+      // bloom approximately, bitmap/BSI exactly. A sidecar is consulted
+      // only while its column is STILL LISTED in the table option —
+      // widenColumn strips widened columns from the lists because their
+      // stored canonical encodings no longer match probe-time
+      // canonicalization (e.g. bitmap "5" vs probe "5.0"); stale
+      // sidecars then fail open instead of wrong-pruning.
       val idx = base.indexFiles.getOrElse(Map.empty)
-      val bloomIdx = idx.filter(_._2.endsWith(".bloom"))
-      val bitmapIdx = idx.filter(_._2.endsWith(".bitmap"))
-      val bsiIdx = idx.filter(_._2.endsWith(".bsi"))
-      val rangeIdx = idx.filter(_._2.endsWith(".range"))
+      def optCols(option: String): Set[String] = cur.options.get(option)
+        .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
+      def live(suffix: String, option: String): Map[String, String] = {
+        val cols = optCols(option)
+        idx.filter { case (c, p) => p.endsWith(suffix) && cols(c) }
+      }
+      val bloomIdx = live(".bloom", BloomIndex.OptionColumns)
+      val bitmapIdx = live(".bitmap", BitmapIndex.OptionColumns)
+      val bsiIdx = live(".bsi", BsiIndex.OptionColumns)
+      val rangeIdx = live(".range", RangeIndex.OptionColumns)
       caches.boundedPut()
       (bloomIdx.isEmpty || BloomIndex.mightMatch(cond, bloomIdx.keySet,
         col => bloomIdx.get(col).map(rel =>

@@ -202,6 +202,11 @@ object TextAnalysis {
       windowTokens: Long,
       partitions: Int = 0): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
+    // offsets are keyed by the order column cast to long — reject
+    // non-numeric keys up front instead of failing inside a task
+    val ordType = df.schema(orderCol).dataType
+    require(ordType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packSequences needs a numeric order column; $orderCol is $ordType")
     val nPart = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val toks = df

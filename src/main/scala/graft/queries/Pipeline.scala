@@ -531,8 +531,12 @@ object Pipeline {
         .filter(TA.alphaRatio(col("text")) >= 0.6 &&
           TA.tokenCount(col("text")) >= 20L)
         .select(col("doc_id"), col("source"), col("text"))
+      // pinned: packSequences and the source join both consume `mixed`,
+      // and without the cache each would re-run the contamination join
+      // + quality filter + mixing shuffle from scratch
       val mixed = graft.operators.Sampling
         .mixSources(quality, "source", "doc_id", quota = 15L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       TA.packSequences(mixed, "doc_id", "text", 1024L)
         .join(mixed.select("doc_id", "source"), "doc_id")
         .select(col("doc_id"), col("source"), col("n_tokens"),

@@ -304,8 +304,11 @@ class GraftSparkTable(protected val gt: GraftTable, snapshot: Option[Long])
       .asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    // iterate the CaseInsensitiveStringMap itself: its keys are
+    // lowercase-normalized, so option("Scan.Max-Rows-Per-Trigger", ...)
+    // still matches the lowercase lookups downstream
     new GraftScanBuilder(gt, snapshot, schema(),
-      options.asCaseSensitiveMap().asScala.toMap)
+      options.entrySet().asScala.map(e => e.getKey -> e.getValue).toMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(gt)
@@ -618,27 +621,10 @@ class GraftFormatTable(
     private var pushed: Array[Filter] = Array.empty
     private var required: StructType = declared
 
-    private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
-      import org.apache.spark.sql.functions.{col => c, lit}
-      f match {
-        case EqualTo(a, v) => Some(c(a) === lit(v))
-        case EqualNullSafe(a, v) => Some(c(a) <=> lit(v))
-        case GreaterThan(a, v) => Some(c(a) > lit(v))
-        case GreaterThanOrEqual(a, v) => Some(c(a) >= lit(v))
-        case LessThan(a, v) => Some(c(a) < lit(v))
-        case LessThanOrEqual(a, v) => Some(c(a) <= lit(v))
-        case In(a, vs) => Some(c(a).isin(vs.toIndexedSeq.map(lit(_)): _*))
-        case IsNull(a) => Some(c(a).isNull)
-        case IsNotNull(a) => Some(c(a).isNotNull)
-        case StringStartsWith(a, p) => Some(c(a).startsWith(p))
-        case StringEndsWith(a, p) => Some(c(a).endsWith(p))
-        case StringContains(a, p) => Some(c(a).contains(p))
-        case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
-        case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
-        case Not(x) => toColumn(x).map(!_)
-        case _ => None
-      }
-    }
+    // one translator for every v1 Filter surface (shared with
+    // deleteWhere / truncate handling)
+    private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] =
+      GraftFilters.toColumn(f)
 
     override def pushFilters(filters: Array[Filter]): Array[Filter] = {
       pushed = filters.filter(toColumn(_).isDefined)

@@ -666,11 +666,15 @@ final class GraftTable private (
         l.dataType == TimestampType) {
         // stored canonical is epoch SECONDS (truncated); T >= t implies
         // floor(T) >= floor(t) and T <= t implies floor(T) <= floor(t),
-        // so flooring the literal bound is over-inclusive, never lossy
+        // so flooring the literal bound is over-inclusive, never lossy.
+        // Widened a FULL second each way: past 2^53 micros the
+        // timestamp→double cast itself loses tens of microseconds, so
+        // a one-ulp margin could still mis-floor — one whole second
+        // cannot (the cast error is always far below 1s).
         dbl(l).toSeq.map { secs =>
           val f = Math.floor(secs)
-          if (lower) SecRange(idOf(a.name), Math.nextDown(f), Double.PositiveInfinity)
-          else SecRange(idOf(a.name), Double.NegativeInfinity, Math.nextUp(f))
+          if (lower) SecRange(idOf(a.name), f - 1.0, Double.PositiveInfinity)
+          else SecRange(idOf(a.name), Double.NegativeInfinity, f + 1.0)
         }
       }
       else Seq.empty
@@ -2446,10 +2450,25 @@ final class GraftTable private (
       .getOrElse(throw new IllegalArgumentException(s"no column $name"))
     val from = DataType.fromDDL(f.dataType)
     require(canWiden(from, to), s"cannot widen ${from.sql} to ${to.sql}")
+    // existing bloom/bitmap/range sidecars canonicalized values in the
+    // OLD type ("5" vs a probe's "5.0"); probing them post-widen would
+    // wrong-prune, so the column leaves those option lists (PruneEval
+    // consults only listed columns) — re-add + rewrite_file_index to
+    // re-index. BSI stays: integral widenings keep the same slice
+    // values and non-integral probe literals already fail open.
+    val staleIndexOptions = Seq(BloomIndex.OptionColumns,
+      BitmapIndex.OptionColumns, RangeIndex.OptionColumns)
+    val newOptions = sch.options.map { case (k, v) =>
+      if (staleIndexOptions.contains(k))
+        k -> v.split(",").map(_.trim).filter(c => c.nonEmpty && c != name)
+          .mkString(",")
+      else k -> v
+    }.filter { case (k, v) => !(staleIndexOptions.contains(k) && v.isEmpty) }
     sm.writeSchema(sch.copy(
       id = sch.id + 1,
       fields = sch.fields.map(x =>
-        if (x.name == name) x.copy(dataType = to.sql) else x)))
+        if (x.name == name) x.copy(dataType = to.sql) else x),
+      options = newOptions))
   }
 
   private def canWiden(from: DataType, to: DataType): Boolean = (from, to) match {

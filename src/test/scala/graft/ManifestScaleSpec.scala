@@ -85,7 +85,11 @@ class ManifestScaleSpec extends AnyFunSuite {
     val dir = tmp()
     val sch = StructType(Seq(StructField("k", LongType, nullable = false)))
     GraftTable.create(spark, dir, sch, options = Map(
-      "manifest.distributed-prune.file-count" -> "100"))
+      "manifest.distributed-prune.file-count" -> "100",
+      // sidecars are consulted only for columns the option lists
+      // (stale post-widen sidecars must fail open, so the option is
+      // the source of truth)
+      BloomIndex.OptionColumns -> "k"))
     val nFiles = 10000
     // every file claims the SAME k range (stats can't prune) but its
     // bloom sidecar holds exactly one key — only the index refutes

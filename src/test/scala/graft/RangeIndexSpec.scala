@@ -160,6 +160,33 @@ class RangeIndexSpec extends AnyFunSuite {
     assert(t.scan(col("s") === "u1").count() == 1)
   }
 
+  test("widenColumn detaches stale sidecars instead of wrong-pruning") {
+    val numSch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("c", IntegerType, nullable = true)))
+    val t = GraftTable.create(spark, tmp(), numSch,
+      options = Map(RangeIndex.OptionColumns -> "c"))
+    t.write(spark.createDataFrame(
+      Seq(Row(1L, 5), Row(2L, 9)).asJava, numSch).coalesce(1))
+    // sanity: the sidecar prunes while the type is stable
+    assert(t.planEntries(col("c") === 7).isEmpty)
+    t.widenColumn("c", DoubleType)
+    val t2 = GraftTable.load(spark, t.path)
+    // the stored canonical is canonLong(5); a double probe would
+    // canonicalize to canonIeee(5.0) and miss — the widen must detach
+    // the sidecar (option strip + option-gated consultation), never
+    // silently drop the row
+    assert(t2.schema.options.get(RangeIndex.OptionColumns).forall(!_.contains("c")))
+    assert(t2.planEntries(col("c") === 5.0).size == 1)
+    assert(t2.scan(col("c") === 5.0).count() == 1)
+    // re-adding the option + rewrite re-indexes under the new encoding
+    t2.setOption(RangeIndex.OptionColumns, "c")
+    t2.rewriteFileIndex()
+    val t3 = GraftTable.load(spark, t.path)
+    assert(t3.planEntries(col("c") === 7.0).isEmpty)
+    assert(t3.scan(col("c") === 5.0).count() == 1)
+  }
+
   test("rename keeps the index option tracking the new column name") {
     val t = GraftTable.create(spark, tmp(), strSch,
       options = Map(RangeIndex.OptionColumns -> "s"))
