@@ -1275,6 +1275,10 @@ final class GraftTable private (
       case ByteType | ShortType | IntegerType | LongType | DateType |
            TimestampType | TimestampNTZType => java.lang.Long.compare(a.toLong, b.toLong)
       case FloatType | DoubleType => java.lang.Double.compare(a.toDouble, b.toDouble)
+      // UTF8 binary order = Spark's string MIN/MAX semantics (Java
+      // compareTo disagrees on supplementary characters)
+      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .binaryCompare(org.apache.spark.unsafe.types.UTF8String.fromString(b))
       case _ => a.compareTo(b)
     }
     Some((stats.map(_.min.get).minBy(identity[String])(Ordering.fromLessThan(cmp(_, _) < 0)),

@@ -71,6 +71,28 @@ class PushdownSpec extends AnyFunSuite {
     assert(bottom.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
   }
 
+  test("statsMinMax orders strings like Spark (supplementary chars)") {
+    val strSch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("s", StringType, nullable = false)))
+    val t = GraftTable.create(spark, tmp(), strSch)
+    // U+1F600 (surrogate pair) vs U+FFFD: Java compareTo puts the
+    // emoji FIRST (0xD83D < 0xFFFD) but Spark's UTF8 binary order —
+    // and therefore SQL MAX() — puts it LAST
+    // SEPARATE files: the cross-file max picks between per-file footer
+    // maxima through the comparator under test
+    val emoji = new String(Character.toChars(0x1F600))
+    t.write(spark.createDataFrame(
+      Seq(Row(1L, emoji), Row(3L, "apple")).asJava, strSch).coalesce(1))
+    t.write(spark.createDataFrame(
+      Seq(Row(2L, "�"), Row(4L, "banana")).asJava, strSch).coalesce(1))
+    val sparkMax = t.read.agg(max(col("s"))).head.getString(0)
+    assert(sparkMax == emoji)
+    assert(t.statsMinMax("s").map(_._2).contains(sparkMax),
+      "stats max must agree with Spark's MAX semantics")
+    assert(t.statsMinMax("s").map(_._1).contains("apple"))
+  }
+
   test("readTopN prunes on STRING columns in UTF8 binary order") {
     val strSch = StructType(Seq(
       StructField("k", LongType, nullable = false),
