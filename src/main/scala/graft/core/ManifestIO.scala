@@ -56,6 +56,7 @@ object ManifestIO {
     .optional(INT64).named("dvCardinality")
     .required(INT64).named("schemaId")
     .optional(BOOLEAN).named("secIndexed")
+    .optional(INT64).named("firstRowId")
     .named("manifest_entry")
 
   def encode(entries: Seq[ManifestEntry]): Array[Byte] = {
@@ -92,6 +93,7 @@ object ManifestIO {
       e.file.dvCardinality.foreach(g.append("dvCardinality", _))
       g.append("schemaId", e.file.schemaId)
       if (e.file.secIndexed) g.append("secIndexed", true)
+      e.file.firstRowId.foreach(g.append("firstRowId", _))
       writer.write(g)
     } finally writer.close()
     out.toBytes
@@ -143,7 +145,13 @@ object ManifestIO {
             Some(g.getLong("dvCardinality", 0)) else None,
         schemaId = g.getLong("schemaId", 0),
         secIndexed = g.getFieldRepetitionCount("secIndexed") > 0 &&
-          g.getBoolean("secIndexed", 0)))
+          g.getBoolean("secIndexed", 0),
+        // guarded by containsField: manifests written before this
+        // column existed decode with their own (older) file schema
+        firstRowId =
+          if (g.getType.containsField("firstRowId") &&
+            g.getFieldRepetitionCount("firstRowId") > 0)
+            Some(g.getLong("firstRowId", 0)) else None))
   }
 
   private final class GroupReaderBuilder(file: InputFile)

@@ -92,7 +92,15 @@ object Meta {
       /** true iff this file's values are covered by the global
         * secondary index (index-sec/ sidecars) — files written before
         * the index was enabled stay false and are never pruned by it. */
-      secIndexed: Boolean = false)
+      secIndexed: Boolean = false,
+      /** row-tracking tables: the row id of this file's first row; row
+        * id = firstRowId + position-in-file. Assigned once at commit
+        * from the snapshot's nextRowId counter and preserved verbatim
+        * through re-adds (DV marks, index rewrites). None on tables
+        * without row tracking (reference: paimon-core
+        * io/DataFileMeta.java:107 firstRowId + SpecialFields._ROW_ID). */
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
+      firstRowId: Option[Long] = None)
 
   /** Manifest entry: ADD or DELETE of one data file in one
     * (partition, bucket). Partition values are stringified. */
@@ -165,7 +173,14 @@ object Meta {
         * anyway would wrongly prune those files. Intersected with the
         * option on each commit; set to the full option set on a full
         * rebuild. None (legacy) = the current option columns. */
-      secIndexCids: Option[Seq[Int]] = None) {
+      secIndexCids: Option[Seq[Int]] = None,
+      /** row-tracking tables: the next unassigned row id — new files
+        * committed on top of this snapshot take firstRowId from here.
+        * Monotone, never reused (deleted rows retire their ids).
+        * None on tables without row tracking (reference: paimon-api
+        * Snapshot.java nextRowId). */
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
+      nextRowId: Option[Long] = None) {
     /** every index sidecar this snapshot pins (GC/expiration guard) */
     def indexSidecars: Seq[String] =
       dynIndex.getOrElse(Seq.empty) ++ globalIndex.getOrElse(Seq.empty) ++

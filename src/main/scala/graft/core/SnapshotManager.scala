@@ -230,14 +230,46 @@ final class SnapshotManager(
       secIndexUpdate: Option[Seq[String] => Seq[String]] = None,
       /** transform of the covered-column-id set of the secondary index
         * (applied at CAS time, like the file-list updates). */
-      secCidsUpdate: Option[Option[Seq[Int]] => Seq[Int]] = None): Long = {
-    val manifestName = writeManifest(entries)
+      secCidsUpdate: Option[Option[Seq[Int]] => Seq[Int]] = None,
+      /** row-tracking tables: give fresh ADD files (firstRowId absent)
+        * consecutive row-id ranges starting at the latest snapshot's
+        * nextRowId. Resolved inside the CAS loop, so concurrent
+        * committers get disjoint ranges (the loser re-assigns from the
+        * winner's nextRowId on retry). */
+      assignRowIds: Boolean = false): Long = {
+    // without row tracking the delta manifest is attempt-invariant and
+    // written once; with it the entries depend on the CAS base, so the
+    // manifest is (re)written inside the loop when the base moves
+    // (manifests orphaned by lost races are swept by remove_orphan_files)
+    var manifestName: String = if (assignRowIds) null else writeManifest(entries)
+    var manifestBase: Long = -1L
     val deltaRows = entries.iterator
       .map(e => if (e.kind == "ADD") e.file.rowCount else -e.file.rowCount)
       .sum
     var attempt = 0
     while (attempt < maxRetries) {
       val latest = latestSnapshot()
+      val rowIdBase: Long = latest.flatMap(_.nextRowId).getOrElse(0L)
+      var rowIdNext: Long = rowIdBase
+      if (assignRowIds && manifestBase != rowIdBase) {
+        val fresh = entries
+          .filter(e => e.kind == "ADD" && e.file.firstRowId.isEmpty)
+          .sortBy(_.file.fileName)
+        val assigned = fresh.map { e =>
+          val id = rowIdNext; rowIdNext += e.file.rowCount
+          e.file.fileName -> id
+        }.toMap
+        manifestName = writeManifest(entries.map { e =>
+          if (e.kind == "ADD" && e.file.firstRowId.isEmpty)
+            e.copy(file = e.file.copy(firstRowId = Some(assigned(e.file.fileName))))
+          else e
+        })
+        manifestBase = rowIdBase
+      } else if (assignRowIds) {
+        rowIdNext = rowIdBase + entries.iterator
+          .filter(e => e.kind == "ADD" && e.file.firstRowId.isEmpty)
+          .map(_.file.rowCount).sum
+      }
       // idempotent replay: an epoch that already committed is a no-op
       if (commitIdentifier >= 0) {
         val dup = snapshotIds.map(snapshot)
@@ -300,7 +332,11 @@ final class SnapshotManager(
             val next = f(latest.flatMap(_.secIndexCids))
             if (next.isEmpty) None else Some(next)
           case None => latest.flatMap(_.secIndexCids)
-        })
+        },
+        // carried forward on every commit (deletes retire ids, never
+        // reuse them); advanced only when this commit assigns fresh ones
+        nextRowId = if (assignRowIds) Some(rowIdNext)
+          else latest.flatMap(_.nextRowId))
       if (io.tryCreateAtomic(snapshotPath(nextId), Json.write(snap))) {
         io.writeString(s"$snapshotDir/LATEST", nextId.toString)
         return nextId

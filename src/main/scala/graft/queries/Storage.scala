@@ -858,5 +858,86 @@ object Storage {
           col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
           col("o_orderdate") < lit("1996-07-01 00:00:00").cast("timestamp"))
         .select(col("o_orderkey"), col("o_orderpriority"))
+    },
+
+    // ---- row tracking: every row carries a stable `_ROW_ID` (file
+    // firstRowId + physical position, assigned at commit from the
+    // snapshot's nextRowId counter); range predicates on it prune
+    // files by their [firstRowId, firstRowId + rowCount) extent before
+    // any is opened — a bounded slice of a 100 TB table touches only
+    // the overlapping files (reference: paimon row tracking —
+    // SpecialFields._ROW_ID, Snapshot.nextRowId, ReadBuilder row-range
+    // reads). Three key-contiguous single-file commits make global
+    // insertion order == ORDER BY o_orderkey, so the oracle can
+    // reproduce the ids with row_number().
+    QDef(
+      "g39_row_ranges",
+      """SELECT rowid, o_orderkey, o_orderstatus FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS rowid,
+        |         o_orderkey, o_orderstatus
+        |  FROM orders)
+        |WHERE rowid >= 100 AND rowid < 600""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      val wh = Files.createTempDirectory("graft-g39-wh").toString
+      s.conf.set("spark.sql.catalog.graft_g39", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_g39.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g39.gate")
+      s.sql("""CREATE TABLE graft_g39.gate.orders_rt
+              |(o_orderkey BIGINT, o_orderstatus STRING)
+              |TBLPROPERTIES ('row-tracking.enabled'='true')""".stripMargin)
+      val t = GraftTable.load(s, s"$wh/gate/orders_rt")
+      val cnt = src.count()
+      val sorted = src.orderBy("o_orderkey")
+      val b1 = sorted.limit((cnt / 3).toInt).agg(max("o_orderkey")).head.getLong(0)
+      val b2 = sorted.limit((2 * cnt / 3).toInt).agg(max("o_orderkey")).head.getLong(0)
+      Seq(col("o_orderkey") <= b1,
+          col("o_orderkey") > b1 && col("o_orderkey") <= b2,
+          col("o_orderkey") > b2).foreach { c =>
+        t.write(src.filter(c).coalesce(1).sortWithinPartitions("o_orderkey"))
+      }
+      s.sql("""SELECT _ROW_ID AS rowid, o_orderkey, o_orderstatus
+              |FROM graft_g39.gate.orders_rt
+              |WHERE _ROW_ID >= 100 AND _ROW_ID < 600""".stripMargin)
+    },
+
+    // ---- CDC ingestion: rowkind-labelled change batches (+I/+U/-U/-D)
+    // applied to a PK table, the batch's shape driving schema evolution
+    // — batch 2 introduces a `channel` column the way a CDC source adds
+    // one mid-stream (reference: paimon-flink-cdc RichCdcRecord +
+    // UpdatedDataFieldsProcessFunctionBase schema evolution). The final
+    // state is pure SQL over the original rows: delete keys %11 (unless
+    // %5 re-inserts them later), double price on %7, then %5 rows get
+    // price+1 and channel='cdc'.
+    QDef(
+      "g40_cdc_ingest",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+        |       WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |       ELSE o_totalprice END AS price,
+        |  o_orderstatus,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'cdc' ELSE NULL END AS channel
+        |FROM orders
+        |WHERE NOT (o_orderkey % 11 = 0 AND o_orderkey % 5 <> 0)""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").as("price"), col("o_orderstatus"))
+      val t = GraftTable.create(s, scratch("g40"), src.schema,
+        primaryKeys = Seq("o_orderkey"))
+      t.write(src)
+      // batch 1: update pairs for %7 (price doubles), deletes for %11
+      val b1 = src.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("_row_kind", lit("-U"))
+        .unionAll(src.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("price", col("price") * 2)
+          .withColumn("_row_kind", lit("+U")))
+        .unionAll(src.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("_row_kind", lit("-D")))
+      t.applyChanges(b1)
+      // batch 2 evolves the schema: a new `channel` column arrives
+      val b2 = src.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("price", col("price") + 1)
+        .withColumn("channel", lit("cdc"))
+        .withColumn("_row_kind", lit("+U"))
+      t.applyChanges(b2)
+      t.read.select(col("o_orderkey"), col("price"), col("o_orderstatus"), col("channel"))
     })
 }

@@ -281,7 +281,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * three-tier delete (metadata-only / deletion-vector / rewrite). */
 class GraftSparkTable(protected val gt: GraftTable, snapshot: Option[Long])
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** Row-tracking tables expose `_ROW_ID` to SQL as a metadata column:
+    * `SELECT _ROW_ID, * FROM t WHERE _ROW_ID BETWEEN a AND b` plans a
+    * file-extent-pruned slice (reference: paimon row tracking /
+    * SpecialFields._ROW_ID surfaced through its Spark catalog). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (!gt.rowTracking) Array.empty
+    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftTable.RowIdCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "stable row id: file firstRowId + physical position"
+    })
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => GraftFilters.toColumn(f).isDefined)
@@ -454,8 +471,13 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType,
   override def build(): Scan = {
     aggResult match {
       case Some((schema, rows)) => new GraftLocalScan(schema, rows)
+      case None if gt.rowTracking &&
+          required.fieldNames.contains(GraftTable.RowIdCol) => rowIdScan()
       case None =>
-        val cond = GraftFilters.toCondition(pushed)
+        // _ROW_ID conjuncts can reach pushFilters even when the column
+        // itself is projected away; they mean nothing to file stats
+        val cond = GraftFilters.toCondition(
+          pushed.filterNot(_.references.contains(GraftTable.RowIdCol)))
         val sch = gt.schema
         val entries =
           if (snapshot.contains(-1L)) Seq.empty
@@ -500,6 +522,63 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType,
           new GraftBatchScan(gt, entries, dataSchema, readData, readPart,
             dataFilters, required, readOptions)
         } else v1Fallback(cond)
+    }
+  }
+
+  /** `_ROW_ID` scan: conjunct bounds on the row id prune files by their
+    * [firstRowId, firstRowId + rowCount) extent before any is opened;
+    * data-column filters prune via stats as usual. Served through the
+    * V1 path with the id computed per row (base + position). All pushed
+    * filters stay residual, so the scan only needs to return a
+    * superset. */
+  private def rowIdScan(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan](context: SQLContext): T = {
+      val cols = required.fieldNames
+      new org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = required
+        override def buildScan(): RDD[Row] = {
+          val (idFilters, dataFilters) =
+            pushed.partition(_.references.contains(GraftTable.RowIdCol))
+          val cond = GraftFilters.toCondition(dataFilters)
+          // conjunct id bounds → file-extent pruning window [lo, hi)
+          var lo = Long.MinValue
+          var hi = Long.MaxValue
+          def asLong(v: Any): Option[Long] = v match {
+            case n: java.lang.Number => Some(n.longValue)
+            case _ => None
+          }
+          def excl(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+          idFilters.foreach {
+            case org.apache.spark.sql.sources.GreaterThan(_, v) =>
+              asLong(v).foreach(x => lo = math.max(lo, excl(x)))
+            case org.apache.spark.sql.sources.GreaterThanOrEqual(_, v) =>
+              asLong(v).foreach(x => lo = math.max(lo, x))
+            case org.apache.spark.sql.sources.LessThan(_, v) =>
+              asLong(v).foreach(x => hi = math.min(hi, x))
+            case org.apache.spark.sql.sources.LessThanOrEqual(_, v) =>
+              asLong(v).foreach(x => hi = math.min(hi, excl(x)))
+            case org.apache.spark.sql.sources.EqualTo(_, v) =>
+              asLong(v).foreach { x =>
+                lo = math.max(lo, x); hi = math.min(hi, excl(x))
+              }
+            case _ => // disjunctions etc: no window narrowing
+          }
+          val entries = (snapshot match {
+            case Some(id) if id < 0 => Seq.empty
+            case s => gt.planEntries(cond, s)
+          }).filter(e => e.file.firstRowId.exists(f =>
+            f < hi && f + e.file.rowCount > lo))
+          val df = gt.rowIdReadFor(entries).filter(cond)
+          val pruned =
+            if (cols.isEmpty) df.select(lit(1).as("dummy"))
+            else df.select(cols.map(col).toIndexedSeq: _*)
+          pruned.rdd
+        }
+      }.asInstanceOf[T]
     }
   }
 

@@ -72,6 +72,11 @@ final class GraftTable private (
   def schema: TableSchema = sm.latestSchema().get
   def isPrimaryKeyTable: Boolean = schema.primaryKeys.nonEmpty
 
+  /** Row tracking: every row gets a stable `_ROW_ID` (append tables
+    * only — merge-on-read has no stable physical position). */
+  def rowTracking: Boolean = !isPrimaryKeyTable &&
+    schema.options.get(GraftTable.RowTrackingEnabled).contains("true")
+
   private def struct: StructType = schema.toStruct
   private def hadoopConf = spark.sparkContext.hadoopConfiguration
 
@@ -1060,7 +1065,8 @@ final class GraftTable private (
       dynIndexUpdate = dynIndexUpdate,
       globalIndexUpdate = globalIndexUpdate,
       secIndexUpdate = secUpdate,
-      secCidsUpdate = secCids)
+      secCidsUpdate = secCids,
+      assignRowIds = rowTracking)
   }
 
   /** Build per-file index sidecars (bloom + bitmap) for the configured
@@ -1541,10 +1547,20 @@ final class GraftTable private (
     * dropped columns are projected away, widened columns cast up,
     * added columns fill with null (reference: SchemaEvolutionUtil +
     * CastExecutors field-id matching). */
-  private[graft] def readRaw(entries: Seq[ManifestEntry]): DataFrame = {
+  private[graft] def readRaw(
+      entries: Seq[ManifestEntry], captureMeta: Boolean = false): DataFrame = {
     if (entries.isEmpty) return emptyRawDf()
     val cur = schema
     def fmtOf(name: String) = name.substring(name.lastIndexOf('.') + 1)
+    // captureMeta: tag each row with its file path and physical row
+    // index (`__file`, `__idx`) BEFORE any evolution projection —
+    // `_metadata` only resolves directly on the file-source relation
+    def tagged(df: DataFrame): DataFrame =
+      if (!captureMeta) df
+      else df.withColumn("__file", expr("_metadata.file_path"))
+        .withColumn("__idx", expr("_metadata.row_index"))
+    def metaCols: Seq[Column] =
+      if (captureMeta) Seq(col("__file"), col("__idx")) else Seq.empty
     // group by (schema version, storage format): a table whose
     // file.format option changed mid-life mixes parquet and orc files
     val parts = entries.groupBy(e => (e.file.schemaId, fmtOf(e.file.fileName)))
@@ -1555,6 +1571,8 @@ final class GraftTable private (
         // partition/bucket columns are stored in the records, so no
         // directory-derived columns are needed
         if (fmt == "avro") {
+          require(!captureMeta,
+            "row positions need parquet/orc _metadata; avro files cannot serve them")
           val fileSch = if (sid == cur.id) cur else schemaOf(sid)
           val df = graft.sources.AvroStorage.read(spark, paths, rawSchemaOf(fileSch))
           if (sid == cur.id) df
@@ -1579,7 +1597,7 @@ final class GraftTable private (
             graft.sources.BlobStorage.blobColumns(of.options), s"$path/blob")
         val reader = spark.read.option("basePath", sm.dataDir).format(fmt)
         if (sid == cur.id)
-          inflated(reader.schema(rawReadSchema).load(paths: _*), cur)
+          inflated(tagged(reader.schema(rawReadSchema).load(paths: _*)), cur)
         else {
           val old = schemaOf(sid)
           val byId = old.fields.map(f => f.id -> f).toMap
@@ -1594,8 +1612,8 @@ final class GraftTable private (
             if (isPrimaryKeyTable)
               Seq(col(SeqCol), col(KindCol), col("__bucket"))
             else Seq.empty
-          inflated(reader.schema(rawSchemaOf(old)).load(paths: _*), old)
-            .select((projected ++ hidden).toIndexedSeq: _*)
+          inflated(tagged(reader.schema(rawSchemaOf(old)).load(paths: _*)), old)
+            .select((projected ++ hidden ++ metaCols).toIndexedSeq: _*)
         }
         }
     }
@@ -1640,6 +1658,71 @@ final class GraftTable private (
   }
 
   private def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  // ================= row tracking (_ROW_ID) =================
+
+  /** Append-table read with the `_ROW_ID` metadata column appended: a
+    * row's id is its file's firstRowId + physical position. Deletion
+    * vectors drop rows without shifting positions, so ids are stable
+    * across deletes; ids of deleted rows are retired, never reused
+    * (reference: paimon row tracking — SpecialFields._ROW_ID,
+    * DataFileMeta.firstRowId). */
+  def readWithRowIds(snapshotId: Option[Long] = None): DataFrame = {
+    require(rowTracking,
+      s"set ${GraftTable.RowTrackingEnabled}=true at table creation")
+    val snap = snapshotId.map(sm.snapshot).orElse(sm.latestSnapshot())
+    rowIdReadFor(snap.map(sm.liveEntries).getOrElse(Seq.empty))
+  }
+
+  /** Rows whose `_ROW_ID` lies in [lo, hi): files are pruned by their
+    * [firstRowId, firstRowId + rowCount) extent before any is opened —
+    * a bounded slice of a huge table costs one file-extent scan of the
+    * manifest plus only the overlapping files (reference: the
+    * row-range reads of ReadBuilder / FileStoreScan.withRowRanges). */
+  def readRowRange(lo: Long, hi: Long): DataFrame = {
+    require(rowTracking,
+      s"set ${GraftTable.RowTrackingEnabled}=true at table creation")
+    val c = col(GraftTable.RowIdCol)
+    rowIdReadFor(rowRangeEntries(lo, hi)).filter(c >= lo && c < hi)
+  }
+
+  /** The file-pruning readRowRange applies: entries whose row-id extent
+    * intersects [lo, hi). */
+  private[graft] def rowRangeEntries(lo: Long, hi: Long): Seq[ManifestEntry] =
+    sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+      .filter(e => e.file.firstRowId.exists(f => f < hi && f + e.file.rowCount > lo))
+
+  /** Read `entries` with `_ROW_ID` = per-file base + physical row
+    * index. The per-file bases ride a broadcast join on the file name —
+    * O(files) metadata, no data shuffle. */
+  private[graft] def rowIdReadFor(entries: Seq[ManifestEntry]): DataFrame = {
+    val outCols = (struct.fieldNames.toIndexedSeq :+ GraftTable.RowIdCol).map(col)
+    if (entries.isEmpty)
+      return emptyDf().withColumn(GraftTable.RowIdCol, lit(0L)).select(outCols: _*)
+    val bases = spark.createDataFrame(entries.map { e =>
+      val first = e.file.firstRowId.getOrElse(throw new IllegalStateException(
+        s"${e.file.fileName} has no firstRowId — written without row tracking?"))
+      org.apache.spark.sql.Row(basename(e.file.fileName), first)
+    }.asJava, StructType(Seq(
+      org.apache.spark.sql.types.StructField("__fname", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("__base", LongType, nullable = false))))
+    def withIds(es: Seq[ManifestEntry]): DataFrame =
+      readRaw(es, captureMeta = true)
+        .withColumn("__fname", expr("element_at(split(__file, '/'), -1)"))
+        .join(broadcast(bases), "__fname")
+        .withColumn(GraftTable.RowIdCol, col("__base") + col("__idx"))
+    val (dved, plain) = entries.partition(_.file.dvFile.isDefined)
+    val parts = Seq(
+      if (plain.isEmpty) None else Some(withIds(plain).select(outCols: _*)),
+      if (dved.isEmpty) None else {
+        val dvPaths = dved.map(e =>
+          basename(e.file.fileName) -> e.file.dvFile.get).toMap
+        val rowLive = udf(new DvRowFilter(sm.io, path, dvPaths))
+        Some(withIds(dved).filter(rowLive(col("__file"), col("__idx")))
+          .select(outCols: _*))
+      }).flatten
+    parts.reduce(_ unionAll _)
+  }
 
 
   /** Changelog view with a `_row_kind` label column (reference:
@@ -2081,6 +2164,11 @@ final class GraftTable private (
   }
 
   private def compactEntries(select: ManifestEntry => Boolean): Option[Long] = {
+    // compaction rewrites files, which would re-position rows and break
+    // the firstRowId + position identity (the reference likewise
+    // restricts compaction on row-tracking tables)
+    require(!rowTracking,
+      "row-tracking tables cannot be compacted: rewriting files would reassign _ROW_ID")
     val snap = sm.latestSnapshot().getOrElse(return None)
     val old = sm.liveEntries(snap).filter(select)
     if (old.isEmpty) return None
@@ -2346,6 +2434,9 @@ final class GraftTable private (
     require(key != DeletionVectors.OptionEnabled || value != "true" ||
       sch.fileFormat == "parquet",
       "deletion vectors require file.format=parquet (row_index metadata)")
+    // toggling later would leave files with and without assigned ids
+    require(key != GraftTable.RowTrackingEnabled,
+      "row tracking is fixed at table creation")
     sm.writeSchema(sch.copy(id = sch.id + 1,
       options = if (value == null) sch.options - key
         else sch.options.updated(key, value)))
@@ -2360,6 +2451,8 @@ final class GraftTable private (
   def sortCompact(
       strategy: String, cols: Seq[String], targetFiles: Int = 0): Option[Long] = {
     require(!isPrimaryKeyTable, "sort-compact applies to append tables")
+    require(!rowTracking,
+      "sort-compact reorders rows and would reassign _ROW_ID on a row-tracking table")
     val snap = sm.latestSnapshot().getOrElse(return None)
     val old = sm.liveEntries(snap)
     if (old.isEmpty) return None
@@ -2824,6 +2917,8 @@ final class GraftTable private (
   /** Copy-on-write rewrite of the files that contain rows matching
     * `touchCond`; untouched files are carried over unchanged. */
   private def rewriteFiles(touchCond: Column, transform: DataFrame => DataFrame): Long = {
+    require(!rowTracking, "copy-on-write rewrite would reassign _ROW_ID; " +
+      s"enable ${DeletionVectors.OptionEnabled} for row-level changes on row-tracking tables")
     val snap = sm.latestSnapshot().getOrElse(
       throw new IllegalStateException("empty table"))
     val touched = pruneEntries(snap, touchCond)
@@ -2834,6 +2929,64 @@ final class GraftTable private (
     commitFiles(rewritten, sch, sch.partitionKeys, KindOverwrite,
       nextSeq(), commitIdentifier = -1L,
       deletes = touched.map(_.copy(kind = "DELETE")))
+  }
+
+  /** CDC ingestion: apply one change batch carrying a row-kind label
+    * column (`+I`/`-U`/`+U`/`-D`, or lenient `I`/`U`/`D` /
+    * `INSERT`/`UPDATE_AFTER`/`UPDATE_BEFORE`/`DELETE`) to this
+    * primary-key table, evolving the table schema FIRST when the batch
+    * introduces new columns or wider types — the batch shape drives
+    * AddColumn / widening exactly like the reference's CDC schema
+    * evolution (reference: paimon-flink-cdc RichCdcRecord +
+    * UpdatedDataFieldsProcessFunctionBase.applySchemaChange,
+    * re-expressed as a batch DataFrame apply; streams drive it per
+    * epoch through foreachBatch with `commitIdentifier` for
+    * exactly-once replay).
+    *
+    * Kind semantics: `-D` retracts the key; `+I`/`+U` upsert the full
+    * row (the LSM merge collapses to the latest image); `-U`
+    * before-images carry no new state and are dropped. Columns the
+    * batch omits upsert as NULL — CDC sources ship full after-images,
+    * partial patches belong to merge-engine=partial-update. */
+  def applyChanges(
+      changes: DataFrame, kindCol: String = "_row_kind",
+      commitIdentifier: Long = -1L): Long = {
+    require(isPrimaryKeyTable, "CDC apply requires a primary-key table")
+    require(changes.columns.contains(kindCol),
+      s"change batch must carry the '$kindCol' row-kind column")
+    val incoming = changes.drop(kindCol).schema
+    schema.primaryKeys.foreach(k => require(incoming.fieldNames.contains(k),
+      s"change batch must carry primary-key column $k"))
+    // 1. schema evolution from the batch's shape: new columns are
+    // added, widenable types widen; anything else casts to the
+    // declared type below (the reference likewise ignores
+    // non-convertible changes)
+    incoming.fields.foreach { f =>
+      schema.fields.find(_.name == f.name) match {
+        case None => addColumn(f.name, f.dataType)
+        case Some(cur0) =>
+          val cur = DataType.fromDDL(cur0.dataType)
+          if (cur != f.dataType && canWiden(cur, f.dataType) &&
+            !schema.primaryKeys.contains(f.name) &&
+            !schema.partitionKeys.contains(f.name))
+            widenColumn(f.name, f.dataType)
+      }
+    }
+    val sch = schema
+    // 2. kind mapping; before-images drop out
+    val k = upper(trim(col(kindCol)))
+    val del = k.isin("-D", "D", "DELETE")
+    val before = k.isin("-U", "UPDATE_BEFORE")
+    // 3. project to the evolved schema (omitted columns → NULL)
+    val cols = sch.toStruct.fields.map { f =>
+      if (incoming.fieldNames.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq
+    val kinded = changes.filter(!before)
+      .withColumn(KindCol,
+        when(del, lit(KindDelete)).otherwise(lit(KindUpdateAfter)).cast("byte"))
+      .select(cols :+ col(KindCol): _*)
+    writeKinded(kinded, commitIdentifier)
   }
 
   /** MERGE INTO on primary keys (reference:
@@ -3118,6 +3271,17 @@ object GraftTable {
     * (value → data-file) index. */
   val SecIndexColumns = "secondary-index.columns"
 
+  /** Option: assign every row a stable, monotone `_ROW_ID` (append
+    * tables only; fixed at table creation). Files record their first
+    * row id; a row's id is firstRowId + physical position, so deletion
+    * vectors never shift it (reference: paimon row tracking —
+    * SpecialFields._ROW_ID, Snapshot.nextRowId,
+    * DataFileMeta.firstRowId). */
+  val RowTrackingEnabled = "row-tracking.enabled"
+
+  /** The row-id metadata column exposed to readers and SQL. */
+  val RowIdCol = "_ROW_ID"
+
   /** One secondary-index lookup: equality/IN over canonical value
     * strings, IS NULL, or a numeric range over the canonical double
     * encoding (bounds pre-widened one ulp by the caller). */
@@ -3168,6 +3332,12 @@ object GraftTable {
     require(ts.fileFormat == "parquet" ||
       !options.get(DeletionVectors.OptionEnabled).contains("true"),
       "deletion vectors require file.format=parquet (row_index metadata)")
+    if (options.get(RowTrackingEnabled).contains("true")) {
+      require(primaryKeys.isEmpty,
+        "row tracking applies to append tables only (merge-on-read has no stable position)")
+      require(ts.fileFormat == "parquet",
+        "row tracking requires file.format=parquet (row_index metadata)")
+    }
     sm.writeSchema(ts)
     new GraftTable(spark, path, sm)
   }

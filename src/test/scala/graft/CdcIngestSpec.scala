@@ -1,0 +1,100 @@
+package graft
+
+import graft.table.GraftTable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** CDC ingestion: rowkind-labelled change batches applied to a PK
+  * table with batch-driven schema evolution (reference:
+  * paimon-flink-cdc RichCdcRecord + schema-evolving CDC sinks). */
+class CdcIngestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmp(): String = Files.createTempDirectory("graft-cdc").toString + "/t"
+
+  private val sch = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("v", StringType, nullable = true)))
+
+  private def changes(rows: Seq[(Long, String, String)], extra: StructField*): DataFrame = {
+    val s = StructType(sch.fields.toSeq ++ extra :+
+      StructField("_row_kind", StringType, nullable = false))
+    spark.createDataFrame(
+      rows.map(r => Row.fromSeq(Seq(r._1, r._2) ++
+        Seq.fill(extra.length)(null) :+ r._3)).asJava, s)
+  }
+
+  private def pkTable(): GraftTable =
+    GraftTable.create(spark, tmp(), sch, primaryKeys = Seq("k"))
+
+  test("kinds: +I/+U upsert, -D retracts, -U before-images are dropped") {
+    val t = pkTable()
+    t.applyChanges(changes(Seq((1L, "a", "+I"), (2L, "b", "+I"), (3L, "c", "+I"))))
+    t.applyChanges(changes(Seq(
+      (1L, "a-old", "-U"), (1L, "a2", "+U"), // update pair
+      (2L, "zzz", "-D"), // delete
+      (4L, "d", "I")))) // lenient insert label
+    val got = t.read.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq(1L -> "a2", 3L -> "c", 4L -> "d"))
+  }
+
+  test("batch with a new column evolves the schema; old rows read NULL") {
+    val t = pkTable()
+    t.applyChanges(changes(Seq((1L, "a", "+I"))))
+    val withCol = changes(Seq((2L, "b", "+I")),
+      StructField("src", StringType, nullable = true))
+      .withColumn("src", when(col("k") === 2L, lit("cdc")))
+    t.applyChanges(withCol)
+    assert(t.schema.fields.map(_.name).contains("src"))
+    val got = t.read.select("k", "src").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
+    assert(got.toSeq == Seq(1L -> None, 2L -> Some("cdc")))
+  }
+
+  test("wider incoming type widens the table column") {
+    val dir = tmp()
+    val t = GraftTable.create(spark, dir, StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n", IntegerType, nullable = true))), primaryKeys = Seq("k"))
+    t.write(spark.createDataFrame(Seq(Row(1L, 7)).asJava, t.schema.toStruct))
+    val wide = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n", LongType, nullable = true),
+      StructField("_row_kind", StringType, nullable = false)))
+    t.applyChanges(spark.createDataFrame(
+      Seq(Row(2L, 5000000000L, "+I")).asJava, wide))
+    assert(t.schema.fields.find(_.name == "n").get.dataType == "BIGINT")
+    val got = t.read.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == Seq(1L -> 7L, 2L -> 5000000000L))
+  }
+
+  test("epoch replay with the same commitIdentifier is a no-op") {
+    val t = pkTable()
+    t.applyChanges(changes(Seq((1L, "a", "+I"))), commitIdentifier = 7L)
+    t.applyChanges(changes(Seq((1L, "DUP", "+I"))), commitIdentifier = 7L)
+    assert(t.read.collect().map(_.getString(1)).toSeq == Seq("a"))
+  }
+
+  test("guards: append tables and batches without kinds or keys are refused") {
+    val a = GraftTable.create(spark, tmp(), sch)
+    intercept[IllegalArgumentException](
+      a.applyChanges(changes(Seq((1L, "a", "+I")))))
+    val t = pkTable()
+    intercept[IllegalArgumentException](
+      t.applyChanges(spark.createDataFrame(Seq(Row(1L, "a")).asJava, sch)))
+    val noKey = StructType(Seq(
+      StructField("v", StringType, nullable = true),
+      StructField("_row_kind", StringType, nullable = false)))
+    intercept[IllegalArgumentException](
+      t.applyChanges(spark.createDataFrame(Seq(Row("a", "+I")).asJava, noKey)))
+  }
+}
