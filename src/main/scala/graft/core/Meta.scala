@@ -47,6 +47,27 @@ object Meta {
     def isDynamicBucket: Boolean = numBuckets == -1
     def dynamicBucketTargetRows: Long =
       options.getOrElse("dynamic-bucket.target-row-num", "2000000").toLong
+    /** bucket = -2: postpone mode — writes land in an unassigned
+      * staging bucket with ZERO shuffle and stay invisible to every
+      * read until a compaction hash-assigns real buckets (reference:
+      * BucketMode postpone mode, postpone/PostponeBucketWriter.java:55,
+      * table/PostponeUtils.java:34). */
+    def isPostponeBucket: Boolean = numBuckets == -2
+    /** Bucket count compaction uses when assigning postpone data to
+      * real buckets (reference: CoreOptions postpone.default-bucket-num). */
+    def postponeBucketNum: Int =
+      options.getOrElse("postpone.default-bucket-num", "4").toInt
+    /** Bucket count for hash routing and bucket pruning of ASSIGNED
+      * data: the compaction-assigned count for postpone tables, the
+      * declared count otherwise. */
+    def effectiveBuckets: Int =
+      if (isPostponeBucket) postponeBucketNum else numBuckets
+    /** Postpone tables surface changes only when compaction makes them
+      * visible, so their changelog producer is forced to
+      * full-compaction (the compact job persists the exact diffs). */
+    def changelogProducer: String =
+      if (isPostponeBucket) "full-compaction"
+      else options.getOrElse("changelog-producer", "input")
     def mergeEngine: String = options.getOrElse("merge-engine", "deduplicate")
     def sequenceField: Option[String] = options.get("sequence.field")
   }

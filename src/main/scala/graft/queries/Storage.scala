@@ -939,5 +939,33 @@ object Storage {
         .withColumn("_row_kind", lit("+U"))
       t.applyChanges(b2)
       t.read.select(col("o_orderkey"), col("price"), col("o_orderstatus"), col("channel"))
+    },
+
+    // ---- postpone bucket (bucket = -2): writes stage with ZERO
+    // shuffle and stay invisible until the dedicated compaction
+    // hash-assigns real buckets. The read must see exactly the
+    // compacted batches — the post-compact staged batch contributes
+    // nothing (reference: postpone/PostponeBucketWriter.java:55,
+    // PostponeUtils.java:34).
+    QDef(
+      "g41_postpone_bucket",
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ROUND(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 3
+        |                  ELSE o_totalprice END, 2) AS DOUBLE) AS totalprice
+        |FROM orders WHERE o_orderkey % 3 <> 2""".stripMargin) { (s, dir) =>
+      val (t, src) = ordersTable(s, dir,
+        options = Map("bucket" -> "-2", "postpone.default-bucket-num" -> "8"),
+        primaryKeys = Seq("o_orderkey"))
+      t.write(src.filter(col("o_orderkey") % 3 === 0))
+      t.write(src.filter(col("o_orderkey") % 3 === 1))
+      // update wave over the staged data: later seq wins at merge
+      t.write(src
+        .filter(col("o_orderkey") % 3 =!= 2 && col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 3))
+      t.compact() // bucket assignment: the three batches become visible
+      // staged after the compact — must NOT appear in the read
+      t.write(src.filter(col("o_orderkey") % 3 === 2))
+      t.read.select(col("o_orderkey"), col("o_orderstatus"),
+        asDouble(col("o_totalprice")).as("totalprice"))
     })
 }

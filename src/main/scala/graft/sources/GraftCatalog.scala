@@ -517,7 +517,7 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType,
             dataFilters, required, readOptions)
         } else if (compactedPk && !sch.isDynamicBucket) {
           new GraftBucketedScan(gt, entries, dataSchema, readData, readPart,
-            dataFilters, required, sch.numBuckets, sch.primaryKeys)
+            dataFilters, required, sch.effectiveBuckets, sch.primaryKeys)
         } else if (compactedPk) {
           new GraftBatchScan(gt, entries, dataSchema, readData, readPart,
             dataFilters, required, readOptions)

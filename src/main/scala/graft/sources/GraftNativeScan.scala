@@ -411,6 +411,14 @@ class GraftMicroBatchStream(
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
+  // postpone staging files are invisible until compaction and compact
+  // deltas are whole-table rewrites — neither is a per-snapshot change
+  // stream this reader could serve; consume the compaction changelog
+  // via incrementalRead/GraftStreaming instead
+  require(!gt.schema.isPostponeBucket,
+    "streaming read of a bucket=-2 (postpone) table is not supported; " +
+      "read the compaction changelog via incremental reads")
+
   private def sm = gt.sm
 
   /** per-query reader options override table options (e.g.

@@ -135,7 +135,15 @@ final class GraftTable private (
     // order must be materialized as a column (non-deterministic
     // expressions can't appear inside an aggregate).
     val withArrival = df.withColumn("__arrival", monotonically_increasing_id())
-    val preMerged = MergeEngine.preMergeBatch(withArrival, sch, "__arrival")
+    // postpone mode skips the pre-merge: its groupBy would shuffle,
+    // and zero-shuffle staging is the mode's whole point — duplicate
+    // keys stay in the staged files and the arrival index folded into
+    // each row's sequence keeps the DEFERRED compaction merge
+    // deterministic (reference: PostponeBucketWriter merges only
+    // within its local buffer; per-record sequences order the rest)
+    val preMerged =
+      if (sch.isPostponeBucket) withArrival
+      else MergeEngine.preMergeBatch(withArrival, sch, "__arrival")
     val base = nextSeq()
     // HASH_FIXED bucketing: co-locate each bucket in one task so a
     // bucket maps to one file per commit (reference:
@@ -162,6 +170,20 @@ final class GraftTable private (
         globalUpdate = Some(a.indexUpdate)
         seqMax = base + 1 // retractions at base, data rows at base+1
         a.out
+      } else if (sch.isPostponeBucket) {
+        // postpone mode: NO bucket hash, NO repartition — the batch is
+        // written exactly as partitioned, so a 1000-executor ingest
+        // pays zero shuffle; the hash shuffle happens once, inside the
+        // dedicated compaction that assigns real buckets (reference:
+        // postpone/PostponeBucketWriter.java:55). Per-row sequence =
+        // base + arrival keeps intra-batch duplicates ordered; the
+        // recorded seq range is widened below so the next commit's
+        // base stays strictly above every staged row.
+        seqMax = base + postponeSeqSpan(preMerged)
+        preMerged
+          .withColumn(SeqCol, lit(base) + col("__arrival"))
+          .drop("__arrival")
+          .withColumn("__bucket", lit(GraftTable.PostponeBucket))
       } else preMerged
         .withColumn(SeqCol, lit(base))
         .withColumn("__bucket",
@@ -181,7 +203,7 @@ final class GraftTable private (
     // lookup pays the exact-pair diff per commit; full-compaction defers
     // it to compact() (cheap writes, coarser changelog granularity —
     // reference: CoreOptions.ChangelogProducer semantics)
-    val clProducer = sch.options.getOrElse("changelog-producer", "input")
+    val clProducer = sch.changelogProducer
     val withChangelog = !overwrite && clProducer == "lookup"
     if (withChangelog) out.persist()
     try {
@@ -195,6 +217,12 @@ final class GraftTable private (
       pinned.foreach(_.unpersist())
     }
   }
+
+  /** Upper bound on `monotonically_increasing_id` values for a frame —
+    * (partitions + 1) << 33 — computed from the plan, no job. Bounds
+    * the postpone write's per-row sequence span. */
+  private def postponeSeqSpan(df: DataFrame): Long =
+    (df.rdd.getNumPartitions.toLong + 1L) << 33
 
   private def struct_ord(cols: Column*): Column =
     org.apache.spark.sql.functions.struct(cols: _*)
@@ -309,7 +337,8 @@ final class GraftTable private (
     * extra bookkeeping. */
   private def isCrossPartition(sch: TableSchema): Boolean =
     sch.primaryKeys.nonEmpty && sch.partitionKeys.nonEmpty &&
-      !sch.partitionKeys.forall(sch.primaryKeys.contains) && !sch.isDynamicBucket
+      !sch.partitionKeys.forall(sch.primaryKeys.contains) &&
+      !sch.isDynamicBucket && !sch.isPostponeBucket
 
   /** Index rows: pk..., partition cols..., __gseq (the row's sequence
     * value — the user sequence field, or the commit seq), __cseq (the
@@ -1256,7 +1285,8 @@ final class GraftTable private (
     * SQL pushdown must then decline rather than run a full scan at
     * planning time. */
   def countRowsFast(): Option[Long] = {
-    val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+    val entries =
+      visibleEntries(sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty))
     if (!isPrimaryKeyTable)
       Some(entries.map(e => e.file.rowCount - e.file.dvCardinality.getOrElse(0L)).sum)
     else if (entries.forall(_.file.level > 0) &&
@@ -1404,8 +1434,8 @@ final class GraftTable private (
         val keyDf = emptyDf().sparkSession.range(1).select(
           sch.primaryKeys.map(k => lit(keyValues(k)).as(k)).toIndexedSeq: _*)
         val bucket = keyDf.select(
-          pmod(xxhash64(sch.primaryKeys.map(col).toIndexedSeq: _*), lit(sch.numBuckets))
-            .cast("int").as("b")).head.getInt(0)
+          pmod(xxhash64(sch.primaryKeys.map(col).toIndexedSeq: _*),
+            lit(sch.effectiveBuckets)).cast("int").as("b")).head.getInt(0)
         pruned.filter(_.bucket == bucket)
       }
     val raw = readRaw(entries)
@@ -1633,8 +1663,17 @@ final class GraftTable private (
       e: ManifestEntry, cur: TableSchema): graft.core.Meta.DataFileMeta =
     PruneEval.remap(e, cur, schemaOf)
 
+  /** Drop postpone-staged files (bucket = -2) from a read's entry set:
+    * such data is invisible to EVERY query surface until a compaction
+    * assigns real buckets (reference: postpone-mode visibility —
+    * PostponeUtils.getKnownNumBuckets reads only real buckets).
+    * Metadata views ($files, $buckets) intentionally bypass this. */
+  private[graft] def visibleEntries(entries: Seq[ManifestEntry]): Seq[ManifestEntry] =
+    if (!schema.isPostponeBucket) entries
+    else entries.filter(_.bucket != GraftTable.PostponeBucket)
+
   private def mergedFromEntries(entries: Seq[ManifestEntry]): DataFrame =
-    if (isPrimaryKeyTable) MergeEngine.merge(readRaw(entries), schema)
+    if (isPrimaryKeyTable) MergeEngine.merge(readRaw(visibleEntries(entries)), schema)
     else readAppendData(entries)
 
   /** Append-table read with deletion vectors applied: files carrying a
@@ -1729,7 +1768,8 @@ final class GraftTable private (
     * AuditLogTable — table/system/AuditLogTable.java:88). */
   def auditLog: DataFrame = {
     require(isPrimaryKeyTable, "audit log requires a primary-key table")
-    val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+    val entries =
+      visibleEntries(sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty))
     readRaw(entries)
       .withColumn("_row_kind", MergeEngine.kindLabel(col(KindCol)))
       .drop(KindCol, "__bucket")
@@ -1752,8 +1792,7 @@ final class GraftTable private (
     // those directly (zero derivation) and ignore append deltas, which
     // the compaction pairs already summarize (reference: CHANGELOG
     // incremental scan mode over that producer).
-    if (isPrimaryKeyTable &&
-        schema.options.get("changelog-producer").contains("full-compaction")) {
+    if (isPrimaryKeyTable && schema.changelogProducer == "full-compaction") {
       val outCols = (struct.fieldNames :+ "_row_kind").map(col).toIndexedSeq
       val cl = ids.map(sm.snapshot).flatMap(_.changelogManifest)
       return readChangelogFiles(cl.flatMap(sm.readManifest)).select(outCols: _*)
@@ -1897,7 +1936,7 @@ final class GraftTable private (
     * same reason). */
   private[graft] def pruneEntries(snap: Snapshot, filter: Column): Seq[ManifestEntry] = {
     val sch = schema
-    val entries = sm.liveEntries(snap)
+    val entries = visibleEntries(sm.liveEntries(snap))
     // resolve the Column against the table schema to get a Catalyst
     // expression with typed attributes/literals. Constant-fold the
     // analyzed condition first: literal-side expressions like
@@ -2160,6 +2199,11 @@ final class GraftTable private (
       .filter(_._2.size > trigger)
       .values.flatten.map(_.file.fileName).toSet
     if (hot.isEmpty) None
+    // postpone tables: partial compaction of just the staged files
+    // would create a second level-1 generation and break the
+    // full-compaction changelog's before-state; visibility assignment
+    // is always a FULL compact
+    else if (schema.isPostponeBucket) compact()
     else compactEntries(e => hot.contains(e.file.fileName))
   }
 
@@ -2192,7 +2236,11 @@ final class GraftTable private (
             m.join(bucketOf, pk, "left")
           }
         } else m.withColumn("__bucket",
-          pmod(xxhash64(sch.primaryKeys.map(col).toIndexedSeq: _*), lit(sch.numBuckets)).cast("int"))
+          // postpone tables: compaction is WHERE bucket assignment
+          // happens — the staged bucket=-2 rows hash into
+          // postpone.default-bucket-num real buckets here
+          pmod(xxhash64(sch.primaryKeys.map(col).toIndexedSeq: _*),
+            lit(sch.effectiveBuckets)).cast("int"))
       } else readAppendData(old) // applies deletion vectors before rewrite
     val partitionBy =
       if (isPrimaryKeyTable) sch.partitionKeys :+ "__bucket" else sch.partitionKeys
@@ -2204,7 +2252,7 @@ final class GraftTable private (
     // FullChangelogMergeTreeCompactRewriter +
     // FullChangelogMergeFunctionWrapper — top-level record vs merge
     // result).
-    val producer = sch.options.getOrElse("changelog-producer", "input")
+    val producer = sch.changelogProducer
     val changelog =
       if (!isPrimaryKeyTable || producer != "full-compaction") None
       else {
@@ -2676,7 +2724,7 @@ final class GraftTable private (
       val l = eq(k)
       h = XxHash64Function.hash(l.value, l.dataType, h)
     }
-    val n = sch.numBuckets
+    val n = sch.effectiveBuckets
     Some((((h % n) + n) % n).toInt)
   }
 
@@ -2736,17 +2784,21 @@ final class GraftTable private (
     val sch = schema
     val pk = sch.primaryKeys
     val cols = struct.fieldNames
+    // postpone tables: data becomes visible AT compaction, so compact
+    // deltas are the change events and must seed the touched-key set
+    // (for other tables they are pure rewrites and are skipped)
+    val postpone = sch.isPostponeBucket
     val deltaEntries = sm.snapshotIds
       .filter(i => i > fromSnapshot && i <= toSnapshot)
-      .map(sm.snapshot).filter(_.commitKind != KindCompact)
+      .map(sm.snapshot).filter(s => postpone || s.commitKind != KindCompact)
       .flatMap(s => s.deltaManifest.map(sm.readManifest).getOrElse(Seq.empty))
     val touched = deltaEntries.groupBy(_.file.fileName).map(_._2.head).toSeq
     val touchedKeys = readRaw(touched)
       .select(pk.map(col).toIndexedSeq: _*).distinct()
     val buckets = touched.map(_.bucket).toSet
     def state(id: Long): DataFrame = {
-      val entries = sm.liveEntries(sm.snapshot(id))
-        .filter(e => buckets.contains(e.bucket))
+      val entries = visibleEntries(sm.liveEntries(sm.snapshot(id)))
+        .filter(e => postpone || buckets.contains(e.bucket))
       MergeEngine.merge(
         readRaw(entries).join(touchedKeys, pk, "left_semi"), sch)
     }
@@ -2787,8 +2839,9 @@ final class GraftTable private (
     val pk = sch.primaryKeys
     val batchKeys = out.select(pk.map(col).toIndexedSeq: _*).distinct()
     val buckets = out.select("__bucket").distinct().collect().map(_.getInt(0)).toSet
-    val pruned = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
-      .filter(e => buckets.contains(e.bucket))
+    val pruned =
+      visibleEntries(sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty))
+        .filter(e => buckets.contains(e.bucket))
     val rawOld = readRaw(pruned).join(batchKeys, pk, "left_semi")
     // every merge engine here is ASSOCIATIVE (deduplicate/first-row =
     // ordered pick, partial-update = per-field ordered pick,
@@ -3040,7 +3093,7 @@ final class GraftTable private (
         }
       } else {
         val srcBuckets = src
-          .select(pmod(xxhash64(pk.map(col).toIndexedSeq: _*), lit(sch.numBuckets))
+          .select(pmod(xxhash64(pk.map(col).toIndexedSeq: _*), lit(sch.effectiveBuckets))
             .cast("int").as("__b"))
           .distinct().collect().map(_.getInt(0)).toSet
         liveNow.filter(e => srcBuckets.contains(e.bucket))
@@ -3267,6 +3320,11 @@ final class GraftTable private (
 
 object GraftTable {
 
+  /** Bucket id of postpone-staged files (`bucket = -2` tables): written
+    * without a shuffle, invisible to reads until compaction assigns
+    * real buckets (reference: postpone/PostponeBucketWriter.java:55). */
+  val PostponeBucket = -2
+
   /** Option: comma-separated columns covered by the global secondary
     * (value → data-file) index. */
   val SecIndexColumns = "secondary-index.columns"
@@ -3337,6 +3395,12 @@ object GraftTable {
         "row tracking applies to append tables only (merge-on-read has no stable position)")
       require(ts.fileFormat == "parquet",
         "row tracking requires file.format=parquet (row_index metadata)")
+    }
+    if (ts.isPostponeBucket) {
+      require(primaryKeys.nonEmpty,
+        "bucket=-2 (postpone) applies to primary-key tables")
+      require(ts.postponeBucketNum > 0,
+        "postpone.default-bucket-num must be positive")
     }
     sm.writeSchema(ts)
     new GraftTable(spark, path, sm)
