@@ -21,9 +21,13 @@ object Streams {
   private def scratch(name: String): String =
     Files.createTempDirectory(s"graft-$name-").toString + "/table"
 
-  /** events with ts usable as both long sequence and timestamp. */
-  private def events(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "events").withColumn("t", expr("timestamp_micros(ts div 1000)"))
+  /** events with a TIMESTAMP `t` derived type-adaptively from ts (which
+    * may surface as TIMESTAMP_NTZ or legacy LONG nanos — see
+    * [[graft.queries.eventMicros]]). */
+  private def events(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ev = tbl(s, dir, "events")
+    ev.withColumn("t", timestamp_micros(eventMicros(ev)))
+  }
 
   val defs: Vector[QDef] = Vector(
     // ---- streaming upsert: 3 out-of-order epochs; sequence.field makes

@@ -48,6 +48,21 @@ package object queries {
     s.table(s"graft_q.`$ns`.`$name`")
   }
 
+  /** Event-time as BIGINT epoch micros, adaptive to the physical type
+    * the parquet surfaces: timestamp[us] reads as TIMESTAMP_NTZ (or
+    * TIMESTAMP), while timestamp[ns] under
+    * spark.sql.legacy.parquet.nanosAsLong reads as LONG nanoseconds.
+    * Queries must stay green across testdata regenerations that flip
+    * between these shapes. Session timezone is pinned to UTC, so the
+    * NTZ→TZ cast is value-preserving. */
+  def eventMicros(df: DataFrame, c: String = "ts"): Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(c).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => expr(s"`$c` div 1000") // legacy long nanos
+    }
+
   /** Exact money arithmetic: cast a double column to DECIMAL(18,2). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 

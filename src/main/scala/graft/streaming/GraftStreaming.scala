@@ -37,11 +37,26 @@ object GraftStreaming {
       watermarkDelayMs: Long = 0L): (DataFrame, Long) => Unit =
     (batch, epochId) => {
       val wm = watermarkColumn.flatMap { c =>
-        val r = batch.agg(max(col(c).cast("long"))).head()
+        val r = batch.agg(max(epochLong(batch, c))).head()
         if (r.isNullAt(0)) None else Some(r.getLong(0) - watermarkDelayMs)
       }
       table.writeWatermarked(batch, commitIdentifier = epochId, watermark = wm)
     }
+
+  /** Event-time column as BIGINT, adaptive to the column's physical
+    * type: TIMESTAMP/TIMESTAMP_NTZ become epoch micros (session tz is
+    * pinned UTC so the NTZ cast is value-preserving); integral columns
+    * pass through unchanged. ANSI mode forbids CAST(timestamp AS
+    * BIGINT), so the old unconditional cast broke the moment the events
+    * source started surfacing TIMESTAMP_NTZ. */
+  private def epochLong(batch: DataFrame, c: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    batch.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case _ => col(c).cast("long")
+    }
+  }
 
   /** Checkpoint path for a REGISTERED consumer: offsets live under the
     * table's consumer/ dir, where snapshot expiration sees them and
