@@ -3,6 +3,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+
+  /** Per-gate contention telemetry: system load average and this
+    * process's CPU seconds over the gate's wall time. When a driver-run
+    * number disagrees with a solo local run, these fields distinguish
+    * "the plan regressed" from "the machine was busy" — sysLoad far
+    * above procCpu/wall × cores means external contention. */
+  private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+  private def procCpuNanos: Long = osBean match {
+    case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+    case _ => -1L
+  }
+
+  final case class GateResult(
+      name: String, sec: Double, failed: Boolean, error: String,
+      sysLoad: Double, procCpuSec: Double)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,13 +48,26 @@ object Bench {
     // stable order → comparable per-query numbers across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache()
+      val cpu0 = procCpuNanos
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failed gate must NEVER masquerade as a fast success (r7: three
+      // analysis-broken gates shipped as 0.1s "wins") — record it loudly
+      val err = try { fn(spark, sfDir).count(); None }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] FAILED $name: $e")
+        Some(e.toString.take(200))
+      }
       val dt = (System.nanoTime() - t0) / 1e9
+      val procCpu = if (cpu0 < 0) -1.0 else (procCpuNanos - cpu0) / 1e9
       System.gc() // lets ContextCleaner reclaim finished queries' state
-      name -> (math.round(dt * 1000) / 1000.0) // 3 decimals keeps the line short
+      GateResult(name,
+        sec = if (err.isDefined) -1.0 else math.round(dt * 1000) / 1000.0,
+        failed = err.isDefined, error = err.getOrElse(""),
+        sysLoad = math.round(osBean.getSystemLoadAverage * 100) / 100.0,
+        procCpuSec = math.round(procCpu * 1000) / 1000.0)
     }
-    val total = math.round(results.map(_._2).sum * 1000) / 1000.0
+    val failed = results.filter(_.failed)
+    val total = math.round(results.filterNot(_.failed).map(_.sec).sum * 1000) / 1000.0
     // The driver captures only the last ~2000 chars of stdout, so the
     // printed line uses short ids ("g01") and 2-decimal values to fit —
     // at ~100 queries the 3-decimal form overflowed the capture window
@@ -46,20 +75,33 @@ object Bench {
     // the JSON unparseable. BENCH_LOCAL.json keeps full names/precision.
     // short ids must stay unique — on a prefix collision fall back to
     // the full name rather than silently last-wins-dropping a timing
-    val prefixCounts = results.groupBy(_._1.takeWhile(_ != '_')).map {
+    val prefixCounts = results.groupBy(_.name.takeWhile(_ != '_')).map {
       case (p, rs) => p -> rs.size }
-    val qsShort = results.map { case (k, v) =>
+    def shortId(k: String): String = {
       val p = k.takeWhile(_ != '_')
-      val id = if (prefixCounts(p) == 1) p else k
-      "\"" + id + "\":" + (math.round(v * 100) / 100.0)
+      if (prefixCounts(p) == 1) p else k
+    }
+    val qsShort = results.map { r =>
+      "\"" + shortId(r.name) + "\":" + (math.round(r.sec * 100) / 100.0)
     }.mkString("{", ",", "}")
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val failedShort = failed.map(r => jstr(shortId(r.name))).mkString("[", ",", "]")
     val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"sf":"$sfShort"}"""
-    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"failed":$failedShort,"sf":"$sfShort"}"""
+    val qsFull = results.map(r => "\"" + r.name + "\":" + r.sec)
       .mkString("{", ",", "}")
+    val telemetry = results.map { r =>
+      jstr(r.name) + ":{\"sys_load\":" + r.sysLoad +
+        ",\"proc_cpu_sec\":" + r.procCpuSec +
+        (if (r.failed) ",\"error\":" + jstr(r.error) else "") + "}"
+    }.mkString("{", ",", "}")
+    val failedFull = failed.map(r => jstr(r.name)).mkString("[", ",", "]")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedFull,"cores":${Runtime.getRuntime.availableProcessors},"telemetry":$telemetry,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), full + "\n")
     catch { case _: Throwable => }
