@@ -88,6 +88,25 @@ object TextAnalysis {
     "id" -> Seq("yang", "dan", "di", "ini", "itu", "dengan", "untuk",
       "tidak", "dari", "dalam", "akan", "pada", "juga", "ke", "adalah"))
 
+  /** Deterministic marker text per detectable language (+ "und"),
+    * sorted by code. Latin-script languages use their full function-
+    * word profile — the profile scores strictly higher against itself
+    * than any other profile's overlap can, so argmax is deterministic;
+    * script-range languages use a single-script sample; "und" matches
+    * nothing. Lets a gate plant markers whose expected label is
+    * computable in plain SQL, turning langId from rows-only into an
+    * oracle-exact check across every branch of the classifier. */
+  lazy val langMarkers: Seq[(String, String)] =
+    (LangProfiles.toSeq.map { case (c, ws) => c -> ws.mkString(" ") } ++ Seq(
+      "ja" -> "こんにちは 世界 です",
+      "ko" -> "안녕하세요 세계 입니다",
+      "zh" -> "你好 世界 中文",
+      "ru" -> "привет мир это",
+      "ar" -> "مرحبا بالعالم هذا",
+      "el" -> "γεια σου κόσμε αυτό",
+      "hi" -> "नमस्ते दुनिया यह",
+      "und" -> "zzqq xxyy qqzz wwvv")).sortBy(_._1)
+
   /** Predicted language code; `und` when no profile matches. Scripts
     * with unambiguous codepoint ranges short-circuit (kana → ja before
     * the CJK-ideograph → zh check, hangul → ko, cyrillic → ru, arabic

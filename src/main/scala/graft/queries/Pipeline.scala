@@ -55,10 +55,27 @@ object Pipeline {
           round(TA.avgWordLen(col("text")), 6).as("avg_word_len"))
     },
 
-    // ---- language ID (stopword-profile heuristic; not SQL-expressible).
-    QDef.rowsOnly("p04_langid") { (s, dir) =>
+    // ---- language ID, held to an EXACT oracle via planted markers
+    // (the p05/p06 trick): every 25th document's text is replaced by a
+    // deterministic marker for language langMarkers[(doc_id/25) % 16]
+    // — each marker provably classifies as its language (script range
+    // or strict-argmax stopword profile), so the expected label is
+    // plain SQL. Covers every classifier branch: 7 script shortcuts,
+    // 8 stopword profiles, und fallback.
+    QDef(
+      "p04_langid", {
+        val codes = TA.langMarkers.map("'" + _._1 + "'").mkString("[", ", ", "]")
+        s"""SELECT doc_id,
+           |  list_extract($codes, CAST((doc_id // 25) % ${TA.langMarkers.size} AS BIGINT) + 1) AS pred_lang
+           |FROM documents WHERE doc_id % 25 = 0""".stripMargin
+      }) { (s, dir) =>
+      val markers = array(TA.langMarkers.map(m => lit(m._2)): _*)
       tbl(s, dir, "documents")
-        .select(col("doc_id"), TA.langId(col("text")).as("pred_lang"), col("lang"))
+        .filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"),
+          element_at(markers,
+            expr(s"int((doc_id div 25) % ${TA.langMarkers.size}) + 1")).as("text"))
+        .select(col("doc_id"), TA.langId(col("text")).as("pred_lang"))
     },
 
     // ---- MinHash+LSH near-dup, held to an EXACT oracle: the gate
