@@ -792,9 +792,19 @@ object Storage {
       s.conf.set("spark.sql.catalog.graft_g36", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft_g36.warehouse", wh)
       tbl(s, dir, "orders").createOrReplaceTempView("g36_src")
-      s.sql("""CREATE OR REPLACE TEMP VIEW g36_banded AS
+      // band by precomputed quartile literals, NOT NTILE: an
+      // unpartitioned window is the exact single-partition anti-pattern
+      // the engine avoids everywhere else, and the pushdown only needs
+      // DISJOINT price ranges per commit, not equal-sized ones
+      val qs = tbl(s, dir, "orders")
+        .agg(expr("percentile_approx(o_totalprice, array(0.25d, 0.5d, 0.75d))"))
+        .head.getSeq[Double](0)
+      s.sql(s"""CREATE OR REPLACE TEMP VIEW g36_banded AS
               |SELECT o_orderkey, o_totalprice,
-              |  NTILE(4) OVER (ORDER BY o_totalprice) AS band
+              |  CASE WHEN o_totalprice < ${qs(0)} THEN 1
+              |       WHEN o_totalprice < ${qs(1)} THEN 2
+              |       WHEN o_totalprice < ${qs(2)} THEN 3
+              |       ELSE 4 END AS band
               |FROM g36_src""".stripMargin)
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g36.gate")
       s.sql("CREATE TABLE graft_g36.gate.t (o_orderkey BIGINT, o_totalprice DOUBLE)")
