@@ -977,5 +977,57 @@ object Storage {
       t.write(src.filter(col("o_orderkey") % 3 === 2))
       t.read.select(col("o_orderkey"), col("o_orderstatus"),
         asDouble(col("o_totalprice")).as("totalprice"))
+    },
+
+    // ---- row tracking × deletion vectors: DV deletes punch holes
+    // through a row-range read without shifting a single survivor's
+    // _ROW_ID, retired ids are never reused, and a late append
+    // continues the id counter past them. Ids are reproducible in SQL
+    // because the three base commits are key-contiguous single files
+    // (the g39 construction: global insertion order == ORDER BY
+    // o_orderkey) and the appended batch is one sorted file starting
+    // at nextRowId = COUNT(*) (reference: paimon row tracking —
+    // DataFileMeta.firstRowId + deletion-vectors semantics: positions
+    // never shift, ids of deleted rows retire).
+    QDef(
+      "g42_rowid_dv_ranges",
+      """WITH base AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS rowid,
+        |         o_orderkey, o_orderstatus
+        |  FROM orders),
+        |extra AS (
+        |  SELECT CAST((SELECT COUNT(*) FROM orders)
+        |           + row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS rowid,
+        |         CAST(o_orderkey + 10000000 AS BIGINT) AS o_orderkey, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 17 = 0),
+        |live AS (
+        |  SELECT * FROM base WHERE o_orderkey % 13 <> 0
+        |  UNION ALL SELECT * FROM extra)
+        |SELECT rowid, o_orderkey, o_orderstatus FROM live
+        |WHERE rowid >= 100
+        |  AND rowid < (SELECT COUNT(*) FROM orders) + 50""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      val t = GraftTable.create(s, scratch("g42"), src.schema,
+        options = Map(GraftTable.RowTrackingEnabled -> "true",
+          "deletion-vectors.enabled" -> "true"))
+      val cnt = src.count()
+      val sorted = src.orderBy("o_orderkey")
+      val b1 = sorted.limit((cnt / 3).toInt).agg(max("o_orderkey")).head.getLong(0)
+      val b2 = sorted.limit((2 * cnt / 3).toInt).agg(max("o_orderkey")).head.getLong(0)
+      Seq(col("o_orderkey") <= b1,
+          col("o_orderkey") > b1 && col("o_orderkey") <= b2,
+          col("o_orderkey") > b2).foreach { c =>
+        t.write(src.filter(c).coalesce(1).sortWithinPartitions("o_orderkey"))
+      }
+      // DV deletes: every 13th key's id retires, survivors keep theirs
+      t.delete(col("o_orderkey") % 13 === 0)
+      // late append: ids continue at nextRowId == cnt, keys offset to
+      // stay disjoint from the base key space
+      t.write(src.filter(col("o_orderkey") % 17 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"), col("o_orderstatus"))
+        .coalesce(1).sortWithinPartitions("o_orderkey"))
+      t.readRowRange(100L, cnt + 50L)
+        .select(col(GraftTable.RowIdCol).as("rowid"),
+          col("o_orderkey"), col("o_orderstatus"))
     })
 }
