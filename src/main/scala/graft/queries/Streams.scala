@@ -87,6 +87,40 @@ object Streams {
         col("event_type"), col("n"), asDouble(col("total"), 4).as("total"))
     },
 
+    // ---- streaming sink × postpone bucket: epochs stage with ZERO
+    // shuffle into a bucket=-2 table and become visible exactly-once
+    // when compaction assigns buckets — the reference's postpone tables
+    // are precisely this streaming-ingest shape. Exactly-once is
+    // tested sharply: epoch 1 is REPLAYED with corrupted values; the
+    // commitIdentifier dedup must discard it, else the corruption wins
+    // the merge (same ts, later commit). A post-compaction staged
+    // epoch must stay invisible to the read.
+    QDef(
+      "g43_stream_postpone",
+      """SELECT event_id, user_id, event_type, CAST(ROUND(value, 4) AS DOUBLE) AS value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val ev = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+      val t = GraftTable.create(s, scratch("g43"), ev.schema,
+        primaryKeys = Seq("user_id"),
+        options = Map("sequence.field" -> "ts", "bucket" -> "-2",
+          "postpone.default-bucket-num" -> "8"))
+      val sink = GraftStreaming.sink(t, watermarkColumn = Some("ts"))
+      (0 until 3).foreach(e => sink(ev.filter(col("event_id") % 3 === e), e.toLong))
+      // replayed epoch with poisoned values: exactly-once must no-op it
+      sink(ev.filter(col("event_id") % 3 === 1)
+        .withColumn("value", col("value") * 1000), 1L)
+      t.compact() // bucket assignment: the three epochs become visible
+      // staged after the compact — must NOT appear in the read
+      sink(ev.filter(col("event_id") % 3 === 2)
+        .withColumn("value", col("value") * 1000), 99L)
+      t.read.select(col("event_id"), col("user_id"), col("event_type"),
+        asDouble(col("value"), 4).as("value"))
+    },
+
     // ---- session windows (30-minute inactivity gap) per user.
     QDef(
       "g11_session_window",
