@@ -331,6 +331,37 @@ class SqlCatalogSpec extends AnyFunSuite {
       .head.getString(0) == "inline[2 B]")
   }
 
+  test("secondary-index coverage regained through SQL: ALTER option + CALL rewrite_file_index") {
+    import org.apache.spark.sql.functions.col
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbsi")
+    spark.sql(
+      """CREATE TABLE graft.dbsi.t (k BIGINT, a STRING, b STRING)
+        |TBLPROPERTIES ('secondary-index.columns'='a')""".stripMargin)
+    // b-ranges of both files overlap 'hot', so min/max stats cannot
+    // prune either — any pruning below is the secondary index's
+    spark.sql("""INSERT INTO graft.dbsi.t SELECT /*+ COALESCE(1) */ *
+                |FROM VALUES (1, 'ax', 'hot'), (2, 'zx', 'zzz')""".stripMargin)
+    spark.sql(
+      "ALTER TABLE graft.dbsi.t SET TBLPROPERTIES ('secondary-index.columns'='a,b')")
+    spark.sql("""INSERT INTO graft.dbsi.t SELECT /*+ COALESCE(1) */ *
+                |FROM VALUES (3, 'ay', 'aaa'), (4, 'zy', 'zzy')""".stripMargin)
+    val wh = spark.conf.get("spark.sql.catalog.graft.warehouse")
+    def t = graft.table.GraftTable.load(spark, s"$wh/dbsi/t")
+    // intersection guard: the first file predates b's indexing — a b
+    // probe must NOT prune (it would wrongly drop the file with the hit)
+    assert(t.planEntries(col("b") === "hot").size == 2)
+    assert(spark.sql("SELECT count(*) FROM graft.dbsi.t WHERE b = 'hot'")
+      .head.getLong(0) == 1L)
+    // full rebuild through the SQL procedure force-folds the index and
+    // restores b to the covered set
+    val res = spark.sql("CALL graft.sys.rewrite_file_index('dbsi.t')").head.getString(0)
+    assert(res.contains("snapshot"), res)
+    assert(t.planEntries(col("b") === "hot").size == 1)
+    assert(t.planEntries(col("b") === "nope").isEmpty)
+    assert(spark.sql("SELECT count(*) FROM graft.dbsi.t WHERE b = 'hot'")
+      .head.getLong(0) == 1L)
+  }
+
   test("CALL sys.* lifecycle procedures: manifests, consumers, tags, indexes") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbp2")
     spark.sql("CREATE TABLE graft.dbp2.t (k BIGINT, city STRING)")
