@@ -1029,5 +1029,38 @@ object Storage {
       t.readRowRange(100L, cnt + 50L)
         .select(col(GraftTable.RowIdCol).as("rowid"),
           col("o_orderkey"), col("o_orderstatus"))
+    },
+
+    // ---- Iceberg-compatible metadata export: sync writes a
+    // format-version-2 metadata tree (metadata json + avro manifest
+    // list + avro manifest) next to the UNCOPIED data files; the gate
+    // then re-reads the table the way an external Iceberg reader
+    // would — version-hint → metadata json → manifest list → manifest
+    // → parquet — using generic avro/json parsing, none of graft's own
+    // snapshot machinery. A PK table must expose its merged,
+    // tombstone-free compacted state (reference:
+    // IcebergCommitCallback.java:102, maxLevel-only exposure
+    // :734-741). The upsert wave proves merged-state exposure, not
+    // raw-file concatenation.
+    QDef(
+      "g44_iceberg_compat",
+      """SELECT o_orderkey,
+        |  CAST(ROUND(CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 2
+        |                  ELSE o_totalprice END, 2) AS DOUBLE) AS price,
+        |  o_orderstatus
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").as("price"), col("o_orderstatus"))
+      val t = GraftTable.create(s, scratch("g44"), src.schema,
+        primaryKeys = Seq("o_orderkey"), options = Map("bucket" -> "4"))
+      t.write(src)
+      t.write(src.filter(col("o_orderkey") % 4 === 0)
+        .withColumn("price", col("price") * 2)) // upsert wave
+      t.compact()
+      graft.sources.IcebergCompat.sync(t)
+      val files = graft.sources.IcebergCompat.externalDataFiles(t.path)
+      s.read.parquet(files: _*)
+        .select(col("o_orderkey"), asDouble(col("price")).as("price"),
+          col("o_orderstatus"))
     })
 }

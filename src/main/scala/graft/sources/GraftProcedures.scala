@@ -75,6 +75,12 @@ object GraftProcedures {
     "rewrite_file_index" -> (Seq(p("table", StringType)),
       (t, _) => t.rewriteFileIndex()
         .map(id => s"rewrote indexes -> snapshot $id").getOrElse("empty table")),
+    // Iceberg-compatible metadata export: after this call any
+    // Iceberg-format reader can consume the table from
+    // <table>/metadata/ (reference: IcebergCommitCallback.java:102).
+    "iceberg_sync" -> (Seq(p("table", StringType)),
+      (t, _) => IcebergCompat.sync(t)
+        .map(p => s"iceberg metadata -> $p").getOrElse("empty table")),
     // SQL surface for incremental reads (reference:
     // PaimonTableValuedFunctions.paimon_incremental_query — Spark 4 has
     // no user TVF extension point, so the procedure registers the lazy

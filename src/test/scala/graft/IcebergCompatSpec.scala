@@ -1,0 +1,173 @@
+package graft
+
+import graft.sources.IcebergCompat
+import graft.table.GraftTable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-compatible metadata export (reference:
+  * IcebergCommitCallback.java:102 + the public Iceberg table spec).
+  * With no Iceberg runtime in the sandbox, the check is a strict
+  * stand-in for an external reader: walk version-hint → metadata json
+  * → manifest list (avro) → manifest (avro) → data files EXACTLY the
+  * way a spec-compliant reader does, with independent parsers (avro
+  * java lib + json), and require the reconstructed content to equal
+  * the table's own read. */
+class IcebergCompatSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  def tmp(): String = Files.createTempDirectory("graft-ice").toString + "/t"
+
+  private def readAvro(path: String): (org.apache.avro.Schema, Seq[org.apache.avro.generic.GenericRecord]) = {
+    val r = new org.apache.avro.file.DataFileReader(
+      new java.io.File(path),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try (r.getSchema, r.iterator().asScala.toVector) finally r.close()
+  }
+
+  /** Follow the metadata tree like an external reader and return the
+    * data-file paths the current snapshot exposes. */
+  private def icebergDataFiles(tablePath: String): Seq[String] = {
+    val metaDir = s"$tablePath/metadata"
+    val version = new String(Files.readAllBytes(
+      Paths.get(s"$metaDir/version-hint.text"))).trim
+    val md = new String(Files.readAllBytes(
+      Paths.get(s"$metaDir/v$version.metadata.json")))
+    val listPath = """"manifest-list":"file://([^"]+)"""".r
+      .findFirstMatchIn(md).get.group(1)
+    val (_, manifests) = readAvro(listPath)
+    manifests.flatMap { m =>
+      val mPath = m.get("manifest_path").toString.stripPrefix("file://")
+      val (_, entries) = readAvro(mPath)
+      entries.map(_.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .get("file_path").toString.stripPrefix("file://"))
+    }
+  }
+
+  private val sch = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("part", StringType, nullable = true),
+    StructField("v", DoubleType, nullable = true)))
+
+  private def df(rows: (Long, String, Double)*): DataFrame =
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2, r._3)).asJava, sch)
+
+  test("append table: external walk reconstructs exact content") {
+    val t = GraftTable.create(spark, tmp(), sch, partitionKeys = Seq("part"))
+    t.write(df((1L, "a", 1.0), (2L, "b", 2.0)))
+    t.write(df((3L, "a", 3.0)))
+    val md = IcebergCompat.sync(t)
+    assert(md.isDefined)
+    val files = icebergDataFiles(t.path)
+    assert(files.nonEmpty)
+    val external = spark.read.parquet(files: _*)
+      .withColumn("part", regexp_extract(input_file_name(), "part=([^/]+)", 1))
+      .select("k", "part", "v")
+    val own = t.read.select("k", "part", "v")
+    assert(external.exceptAll(own).count() == 0)
+    assert(own.exceptAll(external).count() == 0)
+  }
+
+  test("metadata json carries the spec's required v2 fields") {
+    val t = GraftTable.create(spark, tmp(), sch, partitionKeys = Seq("part"))
+    t.write(df((1L, "a", 1.0)))
+    val md = new String(Files.readAllBytes(Paths.get(IcebergCompat.sync(t).get)))
+    Seq("\"format-version\":2", "\"table-uuid\"", "\"last-sequence-number\"",
+      "\"schemas\"", "\"current-schema-id\"", "\"partition-specs\"",
+      "\"default-spec-id\"", "\"sort-orders\"", "\"current-snapshot-id\"",
+      "\"snapshots\"", "schema.name-mapping.default").foreach(f =>
+      assert(md.contains(f), s"metadata json missing $f"))
+    // partition spec: identity transform on `part` with spec field id 1000
+    assert(md.contains(""""transform":"identity""""))
+    assert(md.contains(""""field-id":1000"""))
+    // resync after another commit bumps the version, same table uuid
+    t.write(df((2L, "b", 2.0)))
+    val md2 = new String(Files.readAllBytes(Paths.get(IcebergCompat.sync(t).get)))
+    val uuid = """"table-uuid":"([^"]+)"""".r
+    assert(uuid.findFirstMatchIn(md).get.group(1) ==
+      uuid.findFirstMatchIn(md2).get.group(1))
+  }
+
+  test("avro schemas carry Iceberg reserved field ids") {
+    val t = GraftTable.create(spark, tmp(), sch, partitionKeys = Seq("part"))
+    t.write(df((1L, "a", 1.0)))
+    IcebergCompat.sync(t)
+    val metaDir = s"${t.path}/metadata"
+    val listFile = new java.io.File(metaDir).listFiles()
+      .find(_.getName.startsWith("snap-")).get
+    val (listSchema, lists) = readAvro(listFile.getPath)
+    assert(listSchema.getField("manifest_path").getObjectProp("field-id") == 500)
+    assert(listSchema.getField("content").getObjectProp("field-id") == 517)
+    val mPath = lists.head.get("manifest_path").toString.stripPrefix("file://")
+    val (mSchema, entries) = readAvro(mPath)
+    assert(mSchema.getField("status").getObjectProp("field-id") == 0)
+    val dfSchema = mSchema.getField("data_file").schema()
+    assert(dfSchema.getField("file_path").getObjectProp("field-id") == 100)
+    assert(dfSchema.getField("content").getObjectProp("field-id") == 134)
+    // partition struct field uses the spec's 1000+ id space
+    assert(dfSchema.getField("partition").schema()
+      .getField("part").getObjectProp("field-id") == 1000)
+    // typed partition value round-trips (not a string of a string)
+    assert(entries.head.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      .get("part").toString == "a")
+  }
+
+  test("primary-key table: only compacted merged state is exposed") {
+    val psch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", LongType, nullable = true)))
+    def pdf(rows: (Long, Long)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, psch)
+    val t = GraftTable.create(spark, tmp(), psch,
+      primaryKeys = Seq("k"), options = Map("bucket" -> "2"))
+    t.write(pdf((1L, 10L), (2L, 20L)))
+    t.write(pdf((1L, 11L), (3L, 30L))) // upsert k=1
+    // un-compacted: nothing exposed (level-0 files carry unmerged rows)
+    IcebergCompat.sync(t)
+    assert(icebergDataFiles(t.path).isEmpty)
+    t.compact()
+    IcebergCompat.sync(t)
+    val files = icebergDataFiles(t.path)
+    assert(files.nonEmpty)
+    // raw read of exposed files (logical columns only, the way an
+    // Iceberg reader projects via name-mapping) == merged table state
+    val external = spark.read.parquet(files: _*).select("k", "v")
+    val own = t.read.select("k", "v")
+    assert(external.exceptAll(own).count() == 0)
+    assert(own.exceptAll(external).count() == 0)
+  }
+
+  test("deletion-vectored files refuse to export") {
+    val t = GraftTable.create(spark, tmp(), sch,
+      options = Map("deletion-vectors.enabled" -> "true"))
+    // one file, partial delete → must go through a deletion vector
+    t.write(df((1L, "a", 1.0), (2L, "b", 2.0)).coalesce(1))
+    t.delete(col("k") === 1L)
+    intercept[IllegalArgumentException](IcebergCompat.sync(t))
+  }
+
+  test("SQL surface: CALL sys.iceberg_sync") {
+    val wh = Files.createTempDirectory("graft-ice-wh").toString
+    spark.conf.set("spark.sql.catalog.graft_ice", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_ice.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_ice.db")
+    spark.sql("CREATE TABLE graft_ice.db.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft_ice.db.t VALUES (1, 'x'), (2, 'y')")
+    val res = spark.sql("CALL graft_ice.sys.iceberg_sync('db.t')").head.getString(0)
+    assert(res.contains("metadata"), res)
+    assert(icebergDataFiles(s"$wh/db/t").nonEmpty)
+  }
+}
