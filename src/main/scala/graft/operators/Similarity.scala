@@ -287,4 +287,200 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= kNeighbors)
   }
+
+  // ------------------------------------------------------------------
+  // HNSW (sharded): graph-based ANN, the recall/latency class the
+  // reference reaches through faiss (paimon-faiss global vector
+  // indexes) — here a pure-JVM implementation of the public
+  // Malkov & Yashunin algorithm (arXiv:1603.09320), sharded the way
+  // production systems scale it: each corpus partition builds an
+  // in-memory graph, every query searches all shards, the per-shard
+  // top-k merge globally. At 100 TB the shard count grows so one
+  // shard's vectors fit an executor; build cost is one corpus shuffle
+  // + per-partition construction, query cost is O(shards · ef · log n)
+  // — never a full scan.
+  //
+  // Everything is deterministic so a recall gate can hash-check it:
+  // shard assignment hashes the id, insertion order is sorted by id,
+  // and each node's level comes from a splitmix64 of its id — never
+  // from RNG sequence state.
+  // ------------------------------------------------------------------
+
+  /** Sharded HNSW top-k by cosine.
+    *
+    * @param shards corpus partitions (= independent graphs)
+    * @param m max neighbors per node per layer (M; layer 0 keeps 2M)
+    * @param efConstruction beam width while building
+    * @param efSearch beam width while querying (≥ kNeighbors)
+    */
+  def hnswTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      kNeighbors: Int = 5, shards: Int = 4, m: Int = 8,
+      efConstruction: Int = 64, efSearch: Int = 48): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q: Array[(Long, Array[Double])] = queries
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val shard = pmod(xxhash64(col(idCol)), lit(shards)).cast("int")
+    val perShard = corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .repartition(shards, shard)
+      .sortWithinPartitions("id") // deterministic insertion order
+      .mapPartitions { rows =>
+        val nodes = rows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toArray
+        if (nodes.isEmpty) Iterator.empty
+        else {
+          val g = new HnswGraph(m, efConstruction)
+          nodes.foreach { case (id, v) => g.insert(id, v) }
+          q.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, math.max(efSearch, kNeighbors), kNeighbors, exclude = qid)
+              .map { case (nid, sim) => (qid, nid, sim) }
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "cosine")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    perShard
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kNeighbors)
+  }
+
+  /** One shard's in-memory HNSW graph. Vectors are unit-normalized at
+    * insert so cosine == dot. Node levels derive from splitmix64(id)
+    * (order-independent determinism); neighbor selection is
+    * closest-M; links are bidirectional with degree-capped pruning. */
+  private[operators] final class HnswGraph(m: Int, efC: Int) extends Serializable {
+    private val mL = 1.0 / math.log(m.toDouble)
+    private val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    private val vecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    private val nodeLevel = scala.collection.mutable.ArrayBuffer.empty[Int]
+    /** links(level) is touched only up to each node's own level */
+    private val links =
+      scala.collection.mutable.ArrayBuffer.empty[Array[scala.collection.mutable.ArrayBuffer[Int]]]
+    private var entry = -1
+    private var maxLevel = -1
+
+    private def splitmix64(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+
+    private def levelOf(id: Long): Int = {
+      // uniform in (0,1] from the id's hash — insertion-order-free
+      val u = ((splitmix64(id) >>> 11).toDouble + 1.0) / (1L << 53).toDouble
+      math.min((-math.log(u) * mL).toInt, 24)
+    }
+
+    private def norm(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) v else { val o = new Array[Double](v.length)
+        i = 0; while (i < v.length) { o(i) = v(i) / n; i += 1 }; o }
+    }
+
+    private def dotV(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+
+    /** Beam search one layer: best `ef` candidates from `seeds`. */
+    private def searchLayer(
+        qv: Array[Double], seeds: Seq[Int], ef: Int, level: Int): Seq[Int] = {
+      val visited = scala.collection.mutable.HashSet.empty[Int]
+      // candidates max-heap by sim; results min-heap by sim (bounded ef)
+      val cand = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
+        Ordering.by(c => (c._1, -c._2)))
+      val res = scala.collection.mutable.PriorityQueue.empty[(Double, Int)](
+        Ordering.by(c => (-c._1, c._2)))
+      seeds.foreach { s =>
+        if (visited.add(s)) { val d = dotV(qv, vecs(s)); cand.enqueue((d, s)); res.enqueue((d, s)) }
+      }
+      while (res.size > ef) res.dequeue()
+      while (cand.nonEmpty) {
+        val (cd, c) = cand.dequeue()
+        if (res.size >= ef && cd < res.head._1) { cand.clear() }
+        else links(level)(c).foreach { nb =>
+          if (visited.add(nb)) {
+            val d = dotV(qv, vecs(nb))
+            if (res.size < ef || d > res.head._1) {
+              cand.enqueue((d, nb)); res.enqueue((d, nb))
+              if (res.size > ef) res.dequeue()
+            }
+          }
+        }
+      }
+      res.toSeq.sortBy(r => (-r._1, ids(r._2))).map(_._2)
+    }
+
+    private def capOf(level: Int): Int = if (level == 0) 2 * m else m
+
+    def insert(id: Long, rawVec: Array[Double]): Unit = {
+      val v = norm(rawVec)
+      val lvl = levelOf(id)
+      val node = ids.length
+      ids += id; vecs += v; nodeLevel += lvl
+      while (links.length <= lvl)
+        links += null
+      (0 to lvl).foreach { l =>
+        if (links(l) == null)
+          links(l) = Array.empty
+        links(l) = links(l).padTo(node + 1, null)
+        links(l)(node) = scala.collection.mutable.ArrayBuffer.empty[Int]
+      }
+      // pad lower layers' arrays so indices stay aligned
+      (0 until links.length).foreach { l =>
+        if (links(l) != null && links(l).length <= node)
+          links(l) = links(l).padTo(node + 1, null)
+      }
+      if (entry < 0) { entry = node; maxLevel = lvl; return }
+      var ep = Seq(entry)
+      // greedy descent through layers above the node's level
+      var l = maxLevel
+      while (l > lvl) { ep = searchLayer(v, ep, 1, l); l -= 1 }
+      // connect on each shared layer
+      l = math.min(lvl, maxLevel)
+      while (l >= 0) {
+        val found = searchLayer(v, ep, efC, l)
+        val chosen = found.take(capOf(l))
+        chosen.foreach { nb =>
+          links(l)(node) += nb
+          links(l)(nb) += node
+          if (links(l)(nb).length > capOf(l)) {
+            // prune the neighbor's list back to its closest cap
+            val kept = links(l)(nb).toSeq
+              .sortBy(x => (-dotV(vecs(nb), vecs(x)), ids(x)))
+              .take(capOf(l))
+            links(l)(nb) = scala.collection.mutable.ArrayBuffer(kept: _*)
+          }
+        }
+        ep = found
+        l -= 1
+      }
+      if (lvl > maxLevel) { maxLevel = lvl; entry = node }
+    }
+
+    /** Top-k (id, cosine) for a query vector; `exclude` drops the
+      * query's own id when it lives in this shard. */
+    def search(rawQ: Array[Double], ef: Int, k: Int, exclude: Long): Seq[(Long, Double)] = {
+      if (entry < 0) return Seq.empty
+      val qv = norm(rawQ)
+      var ep = Seq(entry)
+      var l = maxLevel
+      while (l > 0) { ep = searchLayer(qv, ep, 1, l); l -= 1 }
+      searchLayer(qv, ep, math.max(ef, k), 0)
+        .map(n => (ids(n), dotV(qv, vecs(n))))
+        .filter(_._1 != exclude)
+        .sortBy(r => (-r._2, r._1))
+        .take(k)
+    }
+  }
 }

@@ -269,6 +269,23 @@ object Pipeline {
       Similarity.recallOk(approx, exact, threshold = 0.7)
     },
 
+    // ---- sharded HNSW ANN (pure-JVM Malkov-Yashunin graph per
+    // corpus shard, queries fan out, shard top-k merge globally — the
+    // graph-ANN recall/latency class the reference reaches via faiss).
+    // Fully deterministic (id-hashed levels, id-sorted insertion), so
+    // recall@5 vs brute force is oracle-checkable like s02/s03.
+    QDef(
+      "s05_knn_hnsw",
+      """SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin) { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val approx = Similarity.hnswTopK(emb, q, "vec_id", "embedding",
+        kNeighbors = 5, shards = 4, m = 8, efConstruction = 64, efSearch = 48)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      Similarity.recallOk(approx, exact, threshold = 0.8)
+    },
+
     // ---- embedding-cosine near-dup, exhaustive-blocked companion.
     // The raw embeddings have no near-dup structure (max pairwise
     // cosine ~0.6), so the query PLANTS deterministic near-duplicates:

@@ -123,6 +123,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L)) // nearest first, no self
   }
 
+  test("HNSW: exact on clusters, deterministic across runs, self-excluding") {
+    import spark.implicits._
+    // two well-separated direction clusters + noise dims: graph search
+    // must return the query's own cluster, in cosine order
+    val rnd = new java.util.Random(7)
+    val emb = (0L until 200L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0, 0.05 * (i % 13)) else Array(-1.0, 0.05 * (i % 11))
+      (i, base.map(x => (x + rnd.nextGaussian() * 0.01).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 4)
+    val approx = Similarity.hnswTopK(emb, q, "vec_id", "embedding",
+      kNeighbors = 5, shards = 3, m = 8, efConstruction = 64, efSearch = 48)
+    val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+    // high-recall regime: graph search equals brute force here
+    val rec = Similarity.recallOk(approx, exact, threshold = 0.99).collect()
+    assert(rec.length == 4 && rec.forall(_.getBoolean(1)))
+    // no self-neighbors
+    assert(approx.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    // byte-deterministic across runs (id-hashed levels, sorted insert)
+    val again = Similarity.hnswTopK(emb, q, "vec_id", "embedding",
+      kNeighbors = 5, shards = 3, m = 8, efConstruction = 64, efSearch = 48)
+    assert(approx.collect().map(_.toString).sorted.toSeq ==
+      again.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("persisted IVF index matches per-query IVF and prunes to probed lists") {
     import spark.implicits._
     // two well-separated clusters in 2D
