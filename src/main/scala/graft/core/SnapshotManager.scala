@@ -19,6 +19,11 @@ final class SnapshotManager(
     val branch: Option[String] = None,
     val io: FileIO = new LocalFileIO) {
 
+  /** Invoked (best-effort) after every successful commit with the new
+    * snapshot id. Set by the table layer for commit-coupled metadata
+    * exports (reference: CommitCallback — IcebergCommitCallback). */
+  @volatile var afterCommit: Long => Unit = _ => ()
+
   /** Branches keep an independent snapshot chain under
     * branch/<name>/snapshot, sharing schema/manifest/data with main
     * (reference: paimon branch management). */
@@ -339,6 +344,13 @@ final class SnapshotManager(
           else latest.flatMap(_.nextRowId))
       if (io.tryCreateAtomic(snapshotPath(nextId), Json.write(snap))) {
         io.writeString(s"$snapshotDir/LATEST", nextId.toString)
+        // post-commit hook (e.g. Iceberg metadata sync): best-effort —
+        // a callback failure must never fail the committed snapshot
+        try afterCommit(nextId)
+        catch { case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger("graft.SnapshotManager")
+            .warn(s"post-commit hook failed for snapshot $nextId: ${e.getMessage}")
+        }
         return nextId
       }
       attempt += 1 // CAS lost: another writer took nextId — retry

@@ -80,6 +80,16 @@ final class GraftTable private (
   private def struct: StructType = schema.toStruct
   private def hadoopConf = spark.sparkContext.hadoopConfiguration
 
+  // per-commit Iceberg metadata export (reference: the commit-callback
+  // shape of IcebergCommitCallback.java:102). Best-effort by contract:
+  // SnapshotManager logs-and-continues if the export fails (e.g. a DV
+  // landed on an exposed file), so the graft commit itself never
+  // depends on the compat layer.
+  sm.afterCommit = _ => {
+    if (schema.options.get(GraftTable.IcebergEnabled).contains("true"))
+      graft.sources.IcebergCompat.sync(this)
+  }
+
   // ================= write =================
 
   /** Append (or upsert, for PK tables) a batch. Returns snapshot id. */
@@ -3336,6 +3346,10 @@ object GraftTable {
     * SpecialFields._ROW_ID, Snapshot.nextRowId,
     * DataFileMeta.firstRowId). */
   val RowTrackingEnabled = "row-tracking.enabled"
+
+  /** Option: export Iceberg-compatible metadata after every commit
+    * (reference: metadata.iceberg.storage — IcebergOptions.java:43). */
+  val IcebergEnabled = "metadata.iceberg.enabled"
 
   /** The row-id metadata column exposed to readers and SQL. */
   val RowIdCol = "_ROW_ID"

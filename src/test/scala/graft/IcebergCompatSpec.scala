@@ -159,6 +159,27 @@ class IcebergCompatSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](IcebergCompat.sync(t))
   }
 
+  test("metadata.iceberg.enabled=true syncs on every commit, best-effort") {
+    val t = GraftTable.create(spark, tmp(), sch,
+      options = Map("metadata.iceberg.enabled" -> "true",
+        "deletion-vectors.enabled" -> "true"))
+    t.write(df((1L, "a", 1.0), (2L, "b", 2.0)).coalesce(1))
+    // no explicit sync() call — the commit hook wrote the tree
+    val hint = Paths.get(s"${t.path}/metadata/version-hint.text")
+    assert(Files.exists(hint))
+    val v1 = new String(Files.readAllBytes(hint)).trim
+    t.write(df((3L, "a", 3.0)))
+    val v2 = new String(Files.readAllBytes(hint)).trim
+    assert(v2.toLong > v1.toLong)
+    assert(icebergDataFiles(t.path).size == 2)
+    // a DV delete makes the export impossible — the hook must log and
+    // carry on, the graft commit and read stay correct, and the
+    // Iceberg tree stays at its last consistent version
+    t.delete(col("k") === 1L)
+    assert(t.read.count() == 2L)
+    assert(new String(Files.readAllBytes(hint)).trim == v2)
+  }
+
   test("SQL surface: CALL sys.iceberg_sync") {
     val wh = Files.createTempDirectory("graft-ice-wh").toString
     spark.conf.set("spark.sql.catalog.graft_ice", "graft.sources.GraftCatalog")
