@@ -1062,5 +1062,45 @@ object Storage {
       s.read.parquet(files: _*)
         .select(col("o_orderkey"), asDouble(col("price")).as("price"),
           col("o_orderstatus"))
+    },
+
+    // ---- CDC wire-format ingestion: raw Debezium JSON envelopes
+    // (snapshot reads "r", update pairs "u" with before/after images,
+    // before-only deletes "d") are parsed with inferred schema and
+    // applied through applyChanges — the format half of the
+    // reference's CDC connectors (paimon-flink-cdc debezium parser);
+    // the Kafka transport stays out of scope. The final state is pure
+    // SQL over the source rows.
+    QDef(
+      "g45_cdc_debezium",
+      """SELECT o_orderkey,
+        |  CAST(ROUND(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |                  ELSE o_totalprice END, 2) AS DOUBLE) AS price,
+        |  o_orderstatus
+        |FROM orders WHERE o_orderkey % 11 <> 0""".stripMargin) { (s, dir) =>
+      import graft.streaming.CdcFormats
+      val src = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").as("price"), col("o_orderstatus"))
+      val t = GraftTable.create(s, scratch("g45"), src.schema,
+        primaryKeys = Seq("o_orderkey"))
+      def img(price: org.apache.spark.sql.Column) =
+        struct(col("o_orderkey"), price.as("price"), col("o_orderstatus"))
+      // epoch 1: the initial snapshot arrives as Debezium "r" reads
+      t.applyChanges(CdcFormats.debeziumJson(src.select(
+        to_json(struct(img(col("price")).as("after"), lit("r").as("op"))).as("value"))))
+      // epoch 2: update wave — full before/after envelopes
+      t.applyChanges(CdcFormats.debeziumJson(src
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(to_json(struct(
+          img(col("price")).as("before"),
+          img(col("price") * 2).as("after"),
+          lit("u").as("op"))).as("value"))))
+      // epoch 3: deletes — before-image only, as Debezium emits them
+      t.applyChanges(CdcFormats.debeziumJson(src
+        .filter(col("o_orderkey") % 11 === 0)
+        .select(to_json(struct(
+          img(col("price")).as("before"), lit("d").as("op"))).as("value"))))
+      t.read.select(col("o_orderkey"), asDouble(col("price")).as("price"),
+        col("o_orderstatus"))
     })
 }

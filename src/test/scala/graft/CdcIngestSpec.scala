@@ -97,4 +97,58 @@ class CdcIngestSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       t.applyChanges(spark.createDataFrame(Seq(Row("a", "+I")).asJava, noKey)))
   }
+
+  private def jsonDf(lines: String*): DataFrame = {
+    import spark.implicits._
+    lines.toSeq.toDF("value")
+  }
+
+  test("Debezium JSON: envelopes (payload-wrapped too) → kinds → applied state") {
+    import graft.streaming.CdcFormats
+    val t = pkTable()
+    t.applyChanges(CdcFormats.debeziumJson(jsonDf(
+      """{"after":{"k":1,"v":"a"},"op":"c"}""",
+      """{"after":{"k":2,"v":"b"},"op":"r"}""")))
+    // payload wrapper, update pair, before-only delete — one batch
+    t.applyChanges(CdcFormats.debeziumJson(jsonDf(
+      """{"payload":{"before":{"k":1,"v":"a"},"after":{"k":1,"v":"a2"},"op":"u"}}""",
+      """{"payload":{"before":{"k":2,"v":"b"},"op":"d"}}""")))
+    val got = t.read.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq(1L -> "a2"))
+    // the parsed batch itself carries the full changelog incl. -U
+    val kinds = CdcFormats.debeziumJson(jsonDf(
+      """{"before":{"k":9,"v":"x"},"after":{"k":9,"v":"y"},"op":"u"}"""))
+      .select("_row_kind").collect().map(_.getString(0)).sorted
+    assert(kinds.toSeq == Seq("+U", "-U"))
+  }
+
+  test("Canal and Maxwell JSON map types to kinds") {
+    import graft.streaming.CdcFormats
+    val canal = CdcFormats.canalJson(jsonDf(
+      """{"data":[{"k":1,"v":"a"},{"k":2,"v":"b"}],"type":"INSERT"}""",
+      """{"data":[{"k":1,"v":"a2"}],"type":"UPDATE"}""",
+      """{"data":[{"k":2,"v":"b"}],"type":"DELETE"}"""))
+    val t = pkTable()
+    t.applyChanges(canal)
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      .toSeq == Seq(1L -> "a2"))
+    val t2 = pkTable()
+    t2.applyChanges(CdcFormats.maxwellJson(jsonDf(
+      """{"data":{"k":5,"v":"m"},"type":"insert"}""",
+      """{"data":{"k":6,"v":"n"},"type":"insert"}""",
+      """{"data":{"k":6,"v":"n"},"type":"delete"}""")))
+    assert(t2.read.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L))
+  }
+
+  test("CDC format batch introducing a new column evolves the schema") {
+    import graft.streaming.CdcFormats
+    val t = pkTable()
+    t.applyChanges(CdcFormats.debeziumJson(jsonDf(
+      """{"after":{"k":1,"v":"a"},"op":"c"}""")))
+    t.applyChanges(CdcFormats.debeziumJson(jsonDf(
+      """{"after":{"k":2,"v":"b","src":"mysql"},"op":"c"}""")))
+    val got = t.read.orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)).orNull))
+    assert(got.toSeq == Seq((1L, null), (2L, "mysql")))
+  }
 }
