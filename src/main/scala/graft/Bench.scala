@@ -15,9 +15,20 @@ object Bench {
     case _ => -1L
   }
 
+  /** (total jiffies, steal jiffies) from /proc/stat — hypervisor CPU
+    * steal is THE signature of co-tenant contamination (r7's driver
+    * bench regressions reproduced as 16-21% steal); recording it per
+    * gate makes a poisoned run self-evident in the artifact. */
+  private def cpuSteal: (Long, Long) =
+    try {
+      val parts = scala.io.Source.fromFile("/proc/stat").getLines()
+        .next().trim.split("\\s+").drop(1).map(_.toLong)
+      (parts.sum, if (parts.length > 7) parts(7) else 0L)
+    } catch { case _: Throwable => (0L, 0L) }
+
   final case class GateResult(
       name: String, sec: Double, failed: Boolean, error: String,
-      sysLoad: Double, procCpuSec: Double)
+      sysLoad: Double, procCpuSec: Double, stealPct: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,6 +60,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache()
       val cpu0 = procCpuNanos
+      val (tot0, st0) = cpuSteal
       val t0 = System.nanoTime()
       // a failed gate must NEVER masquerade as a fast success (r7: three
       // analysis-broken gates shipped as 0.1s "wins") — record it loudly
@@ -59,12 +71,16 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       val procCpu = if (cpu0 < 0) -1.0 else (procCpuNanos - cpu0) / 1e9
+      val (tot1, st1) = cpuSteal
+      val steal =
+        if (tot1 > tot0) 100.0 * (st1 - st0) / (tot1 - tot0) else 0.0
       System.gc() // lets ContextCleaner reclaim finished queries' state
       GateResult(name,
         sec = if (err.isDefined) -1.0 else math.round(dt * 1000) / 1000.0,
         failed = err.isDefined, error = err.getOrElse(""),
         sysLoad = math.round(osBean.getSystemLoadAverage * 100) / 100.0,
-        procCpuSec = math.round(procCpu * 1000) / 1000.0)
+        procCpuSec = math.round(procCpu * 1000) / 1000.0,
+        stealPct = math.round(steal * 10) / 10.0)
     }
     val failed = results.filter(_.failed)
     val total = math.round(results.filterNot(_.failed).map(_.sec).sum * 1000) / 1000.0
@@ -97,6 +113,7 @@ object Bench {
     val telemetry = results.map { r =>
       jstr(r.name) + ":{\"sys_load\":" + r.sysLoad +
         ",\"proc_cpu_sec\":" + r.procCpuSec +
+        ",\"steal_pct\":" + r.stealPct +
         (if (r.failed) ",\"error\":" + jstr(r.error) else "") + "}"
     }.mkString("{", ",", "}")
     val failedFull = failed.map(r => jstr(r.name)).mkString("[", ",", "]")
