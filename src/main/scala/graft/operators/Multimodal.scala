@@ -47,8 +47,14 @@ object Multimodal {
       col(idCol).cast("long").as("asset_id"),
       element_at(array(lit("png"), lit("jpeg"), lit("webp")),
         (pmod(col(idCol), lit(3)) + 1).cast("int")).as("format"),
-      (pmod(xxhash64(col(idCol)), lit(512)) + 32).cast("int").as("width"),
-      (pmod(xxhash64(col(idCol), lit(1)), lit(512)) + 32).cast("int").as("height"),
+      // dimensions from engine-portable modular arithmetic (NOT
+      // xxhash64): any SQL engine can reproduce them, which lets the
+      // resize gate carry a full value oracle. The pre-mod bounds the
+      // product away from BIGINT overflow under ANSI.
+      (pmod(pmod(col(idCol).cast("long"), lit(131071L)) * 40503L, lit(512L)) + 32L)
+        .cast("int").as("width"),
+      (pmod(pmod(col(idCol).cast("long"), lit(131071L)) * 48271L, lit(512L)) + 32L)
+        .cast("int").as("height"),
       encode(col(textCol), "UTF-8").as("payload"))
 
   /** ===== STUB ===== image decode + feature extraction.

@@ -50,11 +50,25 @@ object Media {
           element_at(col("features"), 1).as("f0"))
     },
 
-    // ---- stubbed resize: metadata updated, payload scaled.
-    QDef.rowsOnly("x04_media_resize") { (s, dir) =>
+    // ---- stubbed resize: the pixel kernel is env-stubbed, but the
+    // fake's size accounting is pure arithmetic (payload truncated by
+    // the pixel-scale factor over the portable synthetic dimensions),
+    // so the gate carries a FULL value oracle — only the x03 feature
+    // fold stays rows-only.
+    QDef(
+      "x04_media_resize",
+      """SELECT doc_id AS asset_id,
+        |  CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+        |  CAST(greatest(ceil(length(text) *
+        |    least(4096.0 / (w * h), 1.0)), 1) AS BIGINT) AS n_bytes
+        |FROM (SELECT doc_id, text,
+        |        ((doc_id % 131071) * 40503) % 512 + 32 AS w,
+        |        ((doc_id % 131071) * 48271) % 512 + 32 AS h
+        |      FROM documents)""".stripMargin) { (s, dir) =>
       val assets = Multimodal.syntheticAssets(tbl(s, dir, "documents"), "doc_id", "text")
       Multimodal.resize(assets, 64, 64)
-        .select(col("asset_id"), col("width"), col("height"),
+        .select(col("asset_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
           length(col("payload")).cast("long").as("n_bytes"))
     },
 
