@@ -150,6 +150,40 @@ class IcebergCompatSpec extends AnyFunSuite {
     assert(own.exceptAll(external).count() == 0)
   }
 
+  test("partitioned PK table after schema evolution exports merged state") {
+    val psch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("part", StringType, nullable = false),
+      StructField("v", LongType, nullable = true)))
+    def pdf(rows: (Long, String, Long)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2, r._3)).asJava, psch)
+    val t = GraftTable.create(spark, tmp(), psch,
+      partitionKeys = Seq("part"), primaryKeys = Seq("k", "part"),
+      options = Map("bucket" -> "2"))
+    t.write(pdf((1L, "a", 10L), (2L, "b", 20L)))
+    t.addColumn("extra", StringType) // old files predate this column
+    val t2 = GraftTable.load(spark, t.path)
+    t2.compact()
+    IcebergCompat.sync(t2)
+    val files = icebergDataFiles(t2.path)
+    assert(files.nonEmpty)
+    // exported schema carries the evolved column; readers project old
+    // files to null through the name mapping
+    val md = new String(Files.readAllBytes(Paths.get(
+      s"${t2.path}/metadata/v${t2.sm.latestSnapshotId.get}.metadata.json")))
+    assert(md.contains("\"extra\""))
+    // external read (name-based projection incl. missing column → null,
+    // partition value from the directory) matches the table's own read
+    val external = spark.read.parquet(files: _*)
+      .withColumn("part", regexp_extract(input_file_name(), "part=([^/]+)", 1))
+      .select(col("k"), col("part"), col("v"),
+        (if (files.exists(f => spark.read.parquet(f).columns.contains("extra")))
+          col("extra") else lit(null).cast("string")).as("extra"))
+    val own = t2.read.select("k", "part", "v", "extra")
+    assert(external.exceptAll(own).count() == 0)
+    assert(own.exceptAll(external).count() == 0)
+  }
+
   test("deletion-vectored files refuse to export") {
     val t = GraftTable.create(spark, tmp(), sch,
       options = Map("deletion-vectors.enabled" -> "true"))
