@@ -131,4 +131,45 @@ class PostponeBucketSpec extends AnyFunSuite {
     assert(staged.size <= 2,
       s"expected <= 2 staged files for 2 input partitions, got ${staged.size}")
   }
+
+  test("concurrent staged writers never lose a batch; interleaved compaction keeps them") {
+    // the postpone promise at scale: MANY writers stage with zero
+    // coordination (zero-shuffle appends racing on the commit CAS)
+    // while compaction periodically assigns buckets — nothing lost,
+    // nothing surfaced early
+    val dir = tmp()
+    val t = create(dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    try {
+      val writers = (0 until 4).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val tw = GraftTable.load(spark, dir)
+            (0 until 3).foreach { i =>
+              val base = (w * 3 + i) * 100L
+              tw.write(df((base until base + 100L).map(k => (k, s"w$w")): _*))
+            }
+          }
+        })
+      }
+      // a compaction races the staging writers (CAS conflicts allowed:
+      // staged entries it did not see survive as staged)
+      val compactor = pool.submit(new Runnable {
+        def run(): Unit = {
+          Thread.sleep(50)
+          try GraftTable.load(spark, dir).compact()
+          catch { case _: IllegalStateException => () } // lost CAS is fine
+        }
+      })
+      writers.foreach(_.get())
+      compactor.get()
+    } finally pool.shutdown()
+    // final compaction surfaces everything exactly once
+    val tr = GraftTable.load(spark, dir)
+    tr.compact()
+    val got = tr.read.select("k").collect().map(_.getLong(0)).sorted
+    assert(got.length == 1200, s"expected 1200 distinct keys, got ${got.length}")
+    assert(got.toSeq == (0L until 1200L))
+    assert(liveBuckets(tr) == Set(0, 1, 2))
+  }
 }
