@@ -9,6 +9,7 @@ import java.io.File
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
+import scala.jdk.CollectionConverters._
 
 /** Iceberg-compatible metadata export: after [[sync]], the table can be
   * read by any engine that understands the Apache Iceberg table format
@@ -113,6 +114,11 @@ object IcebergCompat {
     val schema = new org.apache.avro.Schema.Parser().parse(manifestEntrySchema(partFields))
     val dataFileSchema = schema.getField("data_file").schema()
     val partSchema = dataFileSchema.getField("partition").schema()
+    def mapSchema(field: String) = // non-null branch of the optional map
+      dataFileSchema.getField(field).schema().getTypes.get(1)
+    val (vcS, nvcS, lbS, ubS) = (mapSchema("value_counts"),
+      mapSchema("null_value_counts"), mapSchema("lower_bounds"), mapSchema("upper_bounds"))
+    val colDdl = sch.fields.map(f => f.name -> (f.id + 1, f.dataType)).toMap
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
     w.setMeta("schema", schemaJson(sch))
     w.setMeta("partition-spec", partitionSpecFieldsJson(sch))
@@ -120,6 +126,10 @@ object IcebergCompat {
     w.setMeta("format-version", "2")
     w.setMeta("content", "data")
     w.create(schema, out)
+    def kv(s: org.apache.avro.Schema, k: Int, v: AnyRef): GenericRecord = {
+      val r = new GenericData.Record(s.getElementType)
+      r.put("key", Integer.valueOf(k)); r.put("value", v); r
+    }
     try entries.foreach { e =>
       val part = new GenericData.Record(partSchema)
       partFields.foreach { case (name, ddl) =>
@@ -132,6 +142,27 @@ object IcebergCompat {
       df.put("partition", part)
       df.put("record_count", java.lang.Long.valueOf(e.file.rowCount))
       df.put("file_size_in_bytes", java.lang.Long.valueOf(e.file.fileSize))
+      // column stats → Iceberg data-skipping maps. Bounds use the
+      // spec's single-value binary serialization (Appendix D);
+      // columns whose stat strings don't round-trip are omitted —
+      // omission is always safe for a reader.
+      val stats = e.file.stats.toSeq.flatMap { case (name, cs) =>
+        colDdl.get(name).map { case (cid, ddl) => (cid, ddl, cs) }
+      }.sortBy(_._1)
+      if (stats.nonEmpty) {
+        df.put("value_counts", stats.map { case (cid, _, _) =>
+          kv(vcS, cid, java.lang.Long.valueOf(e.file.rowCount)) }.asJava)
+        df.put("null_value_counts", stats.map { case (cid, _, cs) =>
+          kv(nvcS, cid, java.lang.Long.valueOf(cs.nullCount)) }.asJava)
+        def boundsOf(pick: graft.core.Meta.ColStats => Option[String], s: org.apache.avro.Schema) = {
+          val bs = stats.flatMap { case (cid, ddl, cs) =>
+            pick(cs).flatMap(v => singleValueBytes(ddl, v)).map(kv(s, cid, _))
+          }
+          if (bs.isEmpty) null else bs.asJava
+        }
+        df.put("lower_bounds", boundsOf(_.min, lbS))
+        df.put("upper_bounds", boundsOf(_.max, ubS))
+      }
       val rec = new GenericData.Record(schema)
       rec.put("status", 1) // ADDED in this (full) metadata generation
       rec.put("snapshot_id", java.lang.Long.valueOf(snapshotId))
@@ -140,6 +171,26 @@ object IcebergCompat {
       rec.put("data_file", df)
       w.append(rec)
     } finally w.close()
+  }
+
+  /** Iceberg single-value serialization (spec Appendix D) of a graft
+    * stringified stat; None for types whose strings don't round-trip
+    * losslessly (decimals, timestamps). */
+  private def singleValueBytes(ddl: String, v: String): Option[java.nio.ByteBuffer] = {
+    def le(n: Int)(fill: java.nio.ByteBuffer => Unit): java.nio.ByteBuffer = {
+      val b = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fill(b); b.flip(); b
+    }
+    try DataType.fromDDL(ddl) match {
+      case LongType => Some(le(8)(_.putLong(v.toLong)))
+      case IntegerType | ShortType | ByteType => Some(le(4)(_.putInt(v.toInt)))
+      case DoubleType => Some(le(8)(_.putDouble(v.toDouble)))
+      case FloatType => Some(le(4)(_.putFloat(v.toFloat)))
+      case BooleanType => Some(le(1)(_.put(if (v.toBoolean) 1.toByte else 0.toByte)))
+      case StringType => Some(java.nio.ByteBuffer.wrap(v.getBytes(StandardCharsets.UTF_8)))
+      case DateType => Some(le(4)(_.putInt(java.time.LocalDate.parse(v).toEpochDay.toInt)))
+      case _ => None
+    } catch { case _: Exception => None }
   }
 
   /** manifest_entry Avro schema with the spec's reserved field ids
@@ -160,9 +211,22 @@ object IcebergCompat {
        |{"name":"file_format","type":"string","field-id":101},
        |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$partCols]}},
        |{"name":"record_count","type":"long","field-id":103},
-       |{"name":"file_size_in_bytes","type":"long","field-id":104}
+       |{"name":"file_size_in_bytes","type":"long","field-id":104},
+       |${statMap("value_counts", 109, 119, 120, "long")},
+       |${statMap("null_value_counts", 110, 121, 122, "long")},
+       |${statMap("lower_bounds", 125, 126, 127, "bytes")},
+       |${statMap("upper_bounds", 128, 129, 130, "bytes")}
        |]}}]}""".stripMargin.replace("\n", "")
   }
+
+  /** Optional Iceberg map field in its avro form: an array of
+    * key/value records tagged logicalType=map (spec ids: the maps are
+    * 109/110/125/128 with per-entry key/value ids). */
+  private def statMap(name: String, fid: Int, kid: Int, vid: Int, vtype: String): String =
+    s"""{"name":"$name","field-id":$fid,"default":null,"type":["null",
+       |{"type":"array","logicalType":"map","items":{"type":"record","name":"k${kid}_v$vid","fields":[
+       |{"name":"key","type":"int","field-id":$kid},
+       |{"name":"value","type":"$vtype","field-id":$vid}]}}]}""".stripMargin.replace("\n", "")
 
   // ---------- manifest list (manifest_file records) ----------
 

@@ -119,10 +119,25 @@ class IcebergCompatSpec extends AnyFunSuite {
     assert(dfSchema.getField("partition").schema()
       .getField("part").getObjectProp("field-id") == 1000)
     // typed partition value round-trips (not a string of a string)
-    assert(entries.head.get("data_file")
+    val dataFile = entries.head.get("data_file")
       .asInstanceOf[org.apache.avro.generic.GenericRecord]
-      .get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+    assert(dataFile.get("partition")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
       .get("part").toString == "a")
+    // bounds follow the spec's single-value serialization: k (field 1
+    // → iceberg id 2... the k column is field id 0 → iceberg 1) min=1
+    // as 8-byte little-endian long
+    val lower = dataFile.get("lower_bounds")
+      .asInstanceOf[java.util.List[org.apache.avro.generic.GenericRecord]]
+      .asScala.map(r => r.get("key").asInstanceOf[Int] ->
+        r.get("value").asInstanceOf[java.nio.ByteBuffer]).toMap
+    val kMin = lower(1) // column `k` has graft id 0 → iceberg id 1
+    assert(kMin.order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong(0) == 1L)
+    val counts = dataFile.get("null_value_counts")
+      .asInstanceOf[java.util.List[org.apache.avro.generic.GenericRecord]]
+    // both DATA columns (k, v) carry null counts; the partition column
+    // `part` is covered by the partition tuple, not per-file stats
+    assert(counts.size() == 2)
   }
 
   test("primary-key table: only compacted merged state is exposed") {
