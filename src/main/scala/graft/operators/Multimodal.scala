@@ -73,16 +73,20 @@ object Multimodal {
         if (a.payload == null || a.payload.isEmpty) {
           MediaFeatures(a.asset_id, ok = false, 0L, 0.0, Array.fill(dim)(0.0f))
         } else {
-          val bytes = a.payload
-          val mean = bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+          // ??? real codec+extractor goes here; the fake derives
+          // "pixel statistics" from engine-portable modular arithmetic
+          // over the asset id and payload byte length (the same
+          // construction as the synthetic dimensions above), so the
+          // correctness gate carries a FULL SQL value oracle: every
+          // output is k/4096 with 0 <= k < 4096 — exactly
+          // representable in float and double alike, in any engine.
+          val nb = a.payload.length.toLong
+          val idm = a.asset_id % 131071L
+          val mean = ((idm * 48271L + nb % 131071L) % 4096L).toDouble / 4096.0
           val feats = Array.tabulate(dim) { j =>
-            // ??? real codec+extractor goes here; fake = seeded byte fold
-            var acc = 1469598103934665603L ^ j
-            var i = j
-            while (i < bytes.length) { acc = (acc ^ (bytes(i) & 0xff)) * 1099511628211L; i += dim }
-            ((acc >>> 11).toDouble / (1L << 53).toDouble).toFloat
+            (((idm * (40503L + j) + nb % 131071L) % 4096L).toDouble / 4096.0).toFloat
           }
-          MediaFeatures(a.asset_id, ok = true, bytes.length.toLong, mean, feats)
+          MediaFeatures(a.asset_id, ok = true, nb, mean, feats)
         }
       }
     }

@@ -17,7 +17,7 @@ object Media {
       "x01_media_ingest",
       """SELECT doc_id AS asset_id,
         |  ['png', 'jpeg', 'webp'][CAST(doc_id % 3 + 1 AS INT)] AS format,
-        |  CAST(length(text) AS BIGINT) AS n_bytes
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin) { (s, dir) =>
       Multimodal.syntheticAssets(tbl(s, dir, "documents"), "doc_id", "text")
         .select(col("asset_id"), col("format"),
@@ -28,38 +28,58 @@ object Media {
     QDef(
       "x02_frame_sample",
       """SELECT doc_id AS asset_id, fn AS frame_no,
-        |  CAST(least(16, length(text) - fn * 16) AS BIGINT) AS frame_len
+        |  CAST(least(16, octet_length(encode(text)) - fn * 16) AS BIGINT) AS frame_len
         |FROM documents,
-        |  LATERAL unnest(generate_series(0, CAST((length(text) - 1) // 16 AS BIGINT))) AS t(fn)
+        |  LATERAL unnest(generate_series(0,
+        |    CAST((octet_length(encode(text)) - 1) // 16 AS BIGINT))) AS t(fn)
         |WHERE fn % 4 = 0""".stripMargin) { (s, dir) =>
       val assets = Multimodal.syntheticAssets(tbl(s, dir, "documents"), "doc_id", "text")
       Multimodal.sampleFrames(assets, frameBytes = 16, everyN = 4)
         .select(col("asset_id"), col("frame_no"), col("frame_len"))
     },
 
-    // ---- stubbed decode + feature extraction via mapPartitions
-    // (deterministic fake; real codec not available here).
-    QDef.rowsOnly("x03_media_decode_features") { (s, dir) =>
+    // ---- stubbed decode + feature extraction via mapPartitions.
+    // The codec itself is env-stubbed, but the fake's "pixel
+    // statistics" are engine-portable modular arithmetic over
+    // (asset_id, payload byte length) — every output is k/4096,
+    // exactly representable in float and double — so the gate carries
+    // a FULL value oracle: the mapPartitions plumbing (per-partition
+    // init, typed Dataset batching, failure channel `ok`) is what's
+    // actually under test, and a dropped/duplicated row or a wrong
+    // byte count fails the hash compare.
+    QDef(
+      "x03_media_decode_features",
+      """SELECT doc_id AS asset_id, nb > 0 AS ok,
+        |  CAST(CASE WHEN nb > 0 THEN nb ELSE 0 END AS BIGINT) AS n_bytes,
+        |  CASE WHEN nb > 0 THEN
+        |    CAST(((doc_id % 131071) * 48271 + nb % 131071) % 4096 AS DOUBLE) / 4096.0
+        |  ELSE 0.0 END AS mean_intensity,
+        |  CASE WHEN nb > 0 THEN
+        |    CAST(((doc_id % 131071) * 40503 + nb % 131071) % 4096 AS DOUBLE) / 4096.0
+        |  ELSE 0.0 END AS f0
+        |FROM (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)""".stripMargin) { (s, dir) =>
       import s.implicits._
       val assets = Multimodal.syntheticAssets(tbl(s, dir, "documents"), "doc_id", "text")
         .as[Multimodal.MediaAsset]
       Multimodal.decodeAndFeaturize(assets, dim = 8)
         .toDF()
         .select(col("asset_id"), col("ok"), col("n_bytes"),
-          round(col("mean_intensity"), 4).as("mean_intensity"),
-          element_at(col("features"), 1).as("f0"))
+          col("mean_intensity"),
+          element_at(col("features"), 1).cast("double").as("f0"))
     },
 
     // ---- stubbed resize: the pixel kernel is env-stubbed, but the
     // fake's size accounting is pure arithmetic (payload truncated by
     // the pixel-scale factor over the portable synthetic dimensions),
-    // so the gate carries a FULL value oracle — only the x03 feature
-    // fold stays rows-only.
+    // so the gate carries a FULL value oracle. The oracle measures the
+    // UTF-8 BYTE length (octet_length over the encoded text), matching
+    // the implementation's binary payload — correct even if the
+    // corpus regenerates with multibyte text.
     QDef(
       "x04_media_resize",
       """SELECT doc_id AS asset_id,
         |  CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
-        |  CAST(greatest(ceil(length(text) *
+        |  CAST(greatest(ceil(octet_length(encode(text)) *
         |    least(4096.0 / (w * h), 1.0)), 1) AS BIGINT) AS n_bytes
         |FROM (SELECT doc_id, text,
         |        ((doc_id % 131071) * 40503) % 512 + 32 AS w,
