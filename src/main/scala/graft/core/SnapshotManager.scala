@@ -20,9 +20,14 @@ final class SnapshotManager(
     val io: FileIO = new LocalFileIO) {
 
   /** Invoked (best-effort) after every successful commit with the new
-    * snapshot id. Set by the table layer for commit-coupled metadata
-    * exports (reference: CommitCallback — IcebergCommitCallback). */
-  @volatile var afterCommit: Long => Unit = _ => ()
+    * snapshot id. Registered by the table layer for commit-coupled
+    * metadata exports (reference: CommitCallback —
+    * IcebergCommitCallback). Registration replaces the previous hook;
+    * the commit path catches NonFatal failures only — an Error still
+    * propagates. */
+  @volatile private var afterCommit: Long => Unit = _ => ()
+
+  def onCommit(hook: Long => Unit): Unit = afterCommit = hook
 
   /** Branches keep an independent snapshot chain under
     * branch/<name>/snapshot, sharing schema/manifest/data with main
@@ -347,7 +352,7 @@ final class SnapshotManager(
         // post-commit hook (e.g. Iceberg metadata sync): best-effort —
         // a callback failure must never fail the committed snapshot
         try afterCommit(nextId)
-        catch { case e: Exception =>
+        catch { case scala.util.control.NonFatal(e) =>
           org.slf4j.LoggerFactory.getLogger("graft.SnapshotManager")
             .warn(s"post-commit hook failed for snapshot $nextId: ${e.getMessage}")
         }

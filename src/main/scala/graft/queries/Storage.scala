@@ -1064,6 +1064,40 @@ object Storage {
           col("o_orderstatus"))
     },
 
+    // ---- Iceberg export × deletion vectors: DV'd files export
+    // together with v2 position-delete files (one Avro of
+    // (file_path, pos) per DV sidecar, content=deletes manifest), so
+    // an external Iceberg reader reproduces the post-delete state
+    // WITHOUT compaction — the reference writes the same shape
+    // (IcebergCommitCallback.java:455-473 createForDeleteFile). The
+    // walk uses only generic avro/json readers + a vanilla parquet
+    // scan with the standard (file, pos) anti-join; two delete waves
+    // prove merged-DV export (the second wave unions into the first
+    // file's bitmap).
+    QDef(
+      "g46_iceberg_dv",
+      """SELECT o_orderkey,
+        |  CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price, o_orderstatus
+        |FROM orders
+        |WHERE o_orderkey % 13 <> 0 AND o_orderkey % 17 <> 0""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").as("price"), col("o_orderstatus"))
+      val t = GraftTable.create(s, scratch("g46"), src.schema,
+        options = Map("deletion-vectors.enabled" -> "true"))
+      val cnt = src.count()
+      val sorted = src.orderBy("o_orderkey")
+      val b1 = sorted.limit((cnt / 2).toInt).agg(max("o_orderkey")).head.getLong(0)
+      Seq(col("o_orderkey") <= b1, col("o_orderkey") > b1).foreach { c =>
+        t.write(src.filter(c).coalesce(1))
+      }
+      t.delete(col("o_orderkey") % 13 === 0)
+      t.delete(col("o_orderkey") % 17 === 0) // DV growth: bitmaps union
+      graft.sources.IcebergCompat.sync(t)
+      graft.sources.IcebergCompat.externalRead(s, t.path)
+        .select(col("o_orderkey"), asDouble(col("price")).as("price"),
+          col("o_orderstatus"))
+    },
+
     // ---- CDC wire-format ingestion: raw Debezium JSON envelopes
     // (snapshot reads "r", update pairs "u" with before/after images,
     // before-only deletes "d") are parsed with inferred schema and

@@ -1,6 +1,7 @@
 package graft.sources
 
-import graft.core.Meta.{ManifestEntry, TableSchema}
+import graft.core.{DeletionVectors, Json}
+import graft.core.Meta.{ColStats, FieldDef, ManifestEntry, Snapshot, TableSchema}
 import graft.table.GraftTable
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
@@ -21,65 +22,217 @@ import scala.jdk.CollectionConverters._
   * and Avro layouts per IcebergManifestEntry.java:119,
   * IcebergDataFileMeta.java:293, IcebergManifestFileMeta.java:172 and
   * the public Iceberg spec):
-  *  - append tables: every live data file;
+  *  - append tables: every live data file; deletion-vectored files are
+  *    exported together with v2 POSITION-DELETE files (one Avro file
+  *    of (file_path, pos) rows per DV sidecar — the reference writes
+  *    the same shape, IcebergCommitCallback.java:455-473
+  *    createForDeleteFile), listed in a content=deletes manifest, so
+  *    external readers see the post-delete state without compaction;
   *  - primary-key tables: only fully-compacted (level >= 1) files —
   *    one merged, tombstone-free generation per bucket, so a
   *    merge-unaware external reader still sees correct rows (the
   *    reference exposes maxLevel files for exactly this reason,
-  *    IcebergCommitCallback.java:734-741). Run `compact()` first.
+  *    IcebergCommitCallback.java:734-741). When post-compaction
+  *    level-0 commits exist, the exported snapshot id/timestamp are
+  *    those of the COMPACT generation actually exposed — not the
+  *    latest graft snapshot — and the staleness is recorded in the
+  *    table properties (`graft.stale-behind-snapshot-id`), so an
+  *    external reader is never told a stale state is current.
   *
   * Data files are the SAME parquet/orc files graft reads — zero data
   * copying. Graft's hidden columns (_graft_seq/_graft_kind) are simply
   * absent from the exported Iceberg schema, and the
   * `schema.name-mapping.default` property maps column names to field
   * ids for files written without embedded ids, so spec-compliant
-  * readers project only the logical columns.
+  * readers project only the logical columns. Columns with no Iceberg
+  * type mapping (e.g. VARIANT) are skipped with a WARN instead of
+  * failing the whole export.
   *
-  * Each sync is one full metadata generation (metadata json + manifest
-  * list + one manifest): O(live files) driver-side metadata, no Spark
-  * job, no shuffle — the same cost class as a graft commit itself.
+  * Sync is INCREMENTAL across calls (state in
+  * `metadata/graft-sync-state.json`): when the exposed file set is
+  * unchanged the previous manifest Avro is reused byte-for-byte, when
+  * it changed unchanged files keep status=EXISTING with their original
+  * snapshot id / sequence number and only new files are ADDED, and
+  * every sync deletes the metadata files the previous sync wrote that
+  * are no longer referenced — the metadata dir holds at most the
+  * current generation plus the shared hint/state files, mirroring the
+  * reference's expiration of old Iceberg metadata. Each sync is
+  * O(changed files) driver-side metadata (O(live) only when the set
+  * changed), no Spark job, no shuffle — the same cost class as a graft
+  * commit itself.
   */
 object IcebergCompat {
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.IcebergCompat")
+
+  // ---------- sync state (incremental reuse + cleanup) ----------
+
+  /** First-export bookkeeping for one exposed file: the snapshot id and
+    * sequence number stamped when the file first appeared in a sync —
+    * re-emitted verbatim on later syncs (status=EXISTING). */
+  case class SyncedFile(snapshotId: Long, seq: Long)
+
+  /** Per-partition-field bound summary of one manifest (spec ids
+    * 509-511), cached so a reused manifest keeps its summary without
+    * re-reading the Avro. */
+  case class PartBound(containsNull: Boolean, min: Option[String], max: Option[String])
+
+  case class ManifestRef(
+      name: String, content: Int,
+      added: Int, existing: Int,
+      addedRows: Long, existingRows: Long,
+      minSeq: Long, parts: Seq[PartBound])
+
+  case class SyncState(
+      version: Long,
+      data: Option[ManifestRef],
+      deletes: Option[ManifestRef],
+      /** exposed data files (by table-relative name) */
+      files: Map[String, SyncedFile],
+      /** DV sidecar rel path → first-export info (delete-file identity
+        * IS the sidecar path: DV growth writes a new sidecar) */
+      dvs: Map[String, SyncedFile],
+      /** data fileName → its DV sidecar rel path at last sync */
+      dvOf: Map[String, String],
+      /** metadata-dir file NAMES owned by the last sync (cleanup set) */
+      written: Seq[String])
 
   /** Write the Iceberg metadata tree for the table's latest snapshot.
     * @return path of the metadata json, None for an empty table */
   def sync(t: GraftTable): Option[String] = {
-    val snap = t.sm.latestSnapshot().getOrElse(return None)
+    val latest = t.sm.latestSnapshot().getOrElse(return None)
     val sch = t.schema
-    val all = t.sm.liveEntries(snap)
-    val exposed =
-      if (sch.primaryKeys.isEmpty) all else all.filter(_.file.level >= 1)
-    require(exposed.forall(_.file.dvFile.isEmpty),
-      "deletion-vectored files cannot be exposed to Iceberg readers " +
-        "(graft DVs are not Iceberg delete files); run full compaction first")
+    val all = t.sm.liveEntries(latest)
+    val isPk = sch.primaryKeys.nonEmpty
+    val exposed = if (!isPk) all else all.filter(_.file.level >= 1)
+    // PK staleness: with post-compaction level-0 commits, the exposed
+    // level>=1 state is the one the last COMPACT snapshot produced —
+    // stamp the export with THAT generation, not the latest snapshot
+    val exposedSnap: Snapshot =
+      if (isPk && all.exists(_.file.level == 0))
+        lastCompactSnapshot(t).getOrElse(latest)
+      else latest
     val metaDir = new File(s"${t.path}/metadata")
     metaDir.mkdirs()
-    val seq = snap.id
-    val snapshotId = snap.id
+    val stateFile = new File(metaDir, "graft-sync-state.json")
+    val prev: Option[SyncState] =
+      if (stateFile.exists())
+        try Some(Json.read(new String(Files.readAllBytes(stateFile.toPath),
+          StandardCharsets.UTF_8), classOf[SyncState]))
+        catch { case e: Exception =>
+          log.warn(s"unreadable sync state, full re-export: ${e.getMessage}"); None }
+      else None
+    val version = latest.id
+    val genSnapId = exposedSnap.id
+    val genSeq = exposedSnap.id
+    val mappable = mappableFields(sch)
     val commitUuid = UUID.randomUUID().toString
 
-    val manifestName = s"graft-$commitUuid-m0.avro"
-    val manifestPath = new File(metaDir, manifestName)
-    writeManifest(manifestPath, t, sch, exposed, snapshotId, seq)
+    // ---- per-file export info (EXISTING files keep first-sync ids)
+    val prevFiles = prev.map(_.files).getOrElse(Map.empty[String, SyncedFile])
+    val fileInfo: Map[String, SyncedFile] = exposed.map { e =>
+      val n = e.file.fileName
+      n -> prevFiles.getOrElse(n, SyncedFile(genSnapId, genSeq))
+    }.toMap
 
-    val listName = s"snap-$snapshotId-$commitUuid.avro"
-    val listPath = new File(metaDir, listName)
-    writeManifestList(listPath, manifestPath, exposed, snapshotId, seq)
+    // ---- data manifest: reuse byte-for-byte when the set is unchanged
+    val dataRef: ManifestRef =
+      prev.flatMap(_.data).filter(_ => prevFiles.keySet == fileInfo.keySet)
+        .filter(r => new File(metaDir, r.name).exists())
+        .getOrElse {
+          val rows = exposed.map { e =>
+            val info = fileInfo(e.file.fileName)
+            EntryRow(
+              status = if (prevFiles.contains(e.file.fileName)) 0 else 1,
+              snapshotId = info.snapshotId, seq = info.seq, content = 0,
+              path = s"file://${new File(s"${t.path}/${e.file.fileName}").getAbsolutePath}",
+              format = fileFormat(e.file.fileName),
+              partition = e.partition, rowCount = e.file.rowCount,
+              fileSize = e.file.fileSize, stats = e.file.stats)
+          }
+          writeManifestFile(new File(metaDir, s"graft-$commitUuid-m0.avro"),
+            sch, mappable, rows, "data")
+        }
 
-    val metadataJson = tableMetadata(t, sch, snap.timeMillis, snapshotId, seq,
-      s"file://${listPath.getAbsolutePath}")
-    val mdFile = new File(metaDir, s"v$seq.metadata.json")
+    // ---- position-delete files + content=deletes manifest
+    val dvOf: Map[String, String] =
+      exposed.flatMap(e => e.file.dvFile.map(e.file.fileName -> _)).toMap
+    val prevDvs = prev.map(_.dvs).getOrElse(Map.empty[String, SyncedFile])
+    val dvInfo: Map[String, SyncedFile] = dvOf.values.map { sidecar =>
+      sidecar -> prevDvs.getOrElse(sidecar, SyncedFile(genSnapId, genSeq))
+    }.toMap
+    // deterministic delete-file name per sidecar → reuse is a file stat
+    def deleteAvroName(sidecar: String): String =
+      "delete-" + basename(sidecar).stripSuffix(".dv") + ".avro"
+    val deleteRows: Seq[EntryRow] = exposed
+      .filter(e => e.file.dvFile.isDefined)
+      .sortBy(_.file.fileName)
+      .map { e =>
+        val sidecar = e.file.dvFile.get
+        val avroFile = new File(metaDir, deleteAvroName(sidecar))
+        val dataAbs = s"file://${new File(s"${t.path}/${e.file.fileName}").getAbsolutePath}"
+        val nPos =
+          if (avroFile.exists()) e.file.dvCardinality.getOrElse(
+            DeletionVectors.cardinality(t.sm.io.readBytes(s"${t.path}/$sidecar")))
+          else writePositionDeletes(avroFile, dataAbs,
+            t.sm.io.readBytes(s"${t.path}/$sidecar"))
+        val info = dvInfo(sidecar)
+        EntryRow(
+          status = if (prevDvs.contains(sidecar)) 0 else 1,
+          snapshotId = info.snapshotId, seq = info.seq, content = 1,
+          path = s"file://${avroFile.getAbsolutePath}", format = "AVRO",
+          partition = e.partition, rowCount = nPos,
+          fileSize = avroFile.length(), stats = Map.empty)
+      }
+    val deleteRef: Option[ManifestRef] =
+      if (deleteRows.isEmpty) None
+      else Some(prev.flatMap(_.deletes).filter(_ => prev.exists(_.dvOf == dvOf))
+        .filter(r => new File(metaDir, r.name).exists())
+        .getOrElse(writeManifestFile(
+          new File(metaDir, s"graft-$commitUuid-m1.avro"),
+          sch, mappable, deleteRows, "deletes")))
+
+    // ---- manifest list + metadata json + hint
+    val listName = s"snap-$genSnapId-$commitUuid.avro"
+    writeManifestList(new File(metaDir, listName), metaDir,
+      Seq(dataRef) ++ deleteRef, genSnapId, genSeq, sch)
+    val mdName = s"v$version.metadata.json"
+    val metadataJson = tableMetadata(t, sch, mappable, exposedSnap, latest,
+      s"file://${new File(metaDir, listName).getAbsolutePath}")
+    val mdFile = new File(metaDir, mdName)
     atomicWrite(mdFile, metadataJson)
-    atomicWrite(new File(metaDir, "version-hint.text"), seq.toString)
+    atomicWrite(new File(metaDir, "version-hint.text"), version.toString)
+
+    // ---- cleanup: drop the previous sync's files we no longer reference
+    val newWritten: Seq[String] =
+      (Seq(mdName, listName, dataRef.name) ++ deleteRef.map(_.name) ++
+        dvOf.values.map(deleteAvroName)).distinct
+    prev.foreach(_.written.filterNot(newWritten.toSet).foreach { n =>
+      val f = new File(metaDir, n)
+      if (f.exists() && !f.delete())
+        log.warn(s"could not delete superseded iceberg metadata file $n")
+    })
+    atomicWrite(stateFile, Json.write(
+      SyncState(version, Some(dataRef), deleteRef, fileInfo, dvInfo, dvOf, newWritten)))
     Some(mdFile.getAbsolutePath)
   }
 
-  /** Resolve the data files the exported metadata exposes by walking
+  /** Latest snapshot with commitKind=COMPACT — the generation whose
+    * level>=1 output a PK export actually exposes. */
+  private def lastCompactSnapshot(t: GraftTable): Option[Snapshot] =
+    t.sm.snapshotIds.reverseIterator
+      .map(t.sm.snapshot)
+      .find(_.commitKind == graft.core.Meta.KindCompact)
+
+  // ---------- external-reader walk (generic avro/json only) ----------
+
+  /** Resolve the current state the exported metadata exposes by walking
     * version-hint → metadata json → manifest list → manifests with
     * GENERIC readers (avro lib + json text), exactly like an external
     * Iceberg reader — deliberately independent of graft's own
-    * snapshot/manifest classes. Returns local filesystem paths. */
-  def externalDataFiles(tablePath: String): Seq[String] = {
+    * snapshot/manifest classes.
+    * @return (data file paths, position deletes as (data file path, pos)) */
+  def externalState(tablePath: String): (Seq[String], Seq[(String, Long)]) = {
     val metaDir = s"$tablePath/metadata"
     val version = new String(Files.readAllBytes(
       Paths.get(s"$metaDir/version-hint.text")), StandardCharsets.UTF_8).trim
@@ -88,28 +241,81 @@ object IcebergCompat {
     val listPath = """"manifest-list":"file://([^"]+)"""".r
       .findFirstMatchIn(md).getOrElse(
         throw new IllegalStateException("metadata json has no manifest-list")).group(1)
-    def readAvro(p: String): Seq[org.apache.avro.generic.GenericRecord] = {
+    def readAvro(p: String): Seq[GenericRecord] = {
       val r = new org.apache.avro.file.DataFileReader(
         new File(p),
-        new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+        new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
       try {
-        val buf = Vector.newBuilder[org.apache.avro.generic.GenericRecord]
+        val buf = Vector.newBuilder[GenericRecord]
         while (r.hasNext) buf += r.next()
         buf.result()
       } finally r.close()
     }
-    readAvro(listPath).flatMap { m =>
+    val manifests = readAvro(listPath)
+    def livePaths(m: GenericRecord): Seq[String] =
       readAvro(m.get("manifest_path").toString.stripPrefix("file://"))
-        .map(_.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
-          .get("file_path").toString.stripPrefix("file://"))
+        .filter(_.get("status").asInstanceOf[Int] != 2) // skip DELETED
+        .map(_.get("data_file").asInstanceOf[GenericRecord]
+          .get("file_path").toString)
+    val dataFiles = manifests
+      .filter(_.get("content").asInstanceOf[Int] == 0)
+      .flatMap(livePaths).map(_.stripPrefix("file://"))
+    val deletes = manifests
+      .filter(_.get("content").asInstanceOf[Int] == 1)
+      .flatMap(livePaths)
+      .flatMap(p => readAvro(p.stripPrefix("file://")).map(r =>
+        (r.get("file_path").toString.stripPrefix("file://"),
+          r.get("pos").asInstanceOf[Long])))
+    (dataFiles, deletes)
+  }
+
+  /** Data file paths only (no position deletes exported). Kept for
+    * callers that know the table carries no DVs. */
+  def externalDataFiles(tablePath: String): Seq[String] = externalState(tablePath)._1
+
+  /** Full external read: scan the exposed data files and subtract the
+    * position deletes — what a spec-compliant engine computes. Uses
+    * only the generic walk + a vanilla parquet scan (the anti-join on
+    * (file, pos) is the standard Iceberg delete-apply shape; the
+    * delete set broadcasts — it is bounded by DV cardinality, not by
+    * table size). */
+  def externalRead(spark: org.apache.spark.sql.SparkSession, tablePath: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (dataFiles, deletes) = externalState(tablePath)
+    if (dataFiles.isEmpty)
+      return spark.emptyDataFrame
+    val base = spark.read.parquet(dataFiles: _*)
+    if (deletes.isEmpty) base
+    else {
+      import spark.implicits._
+      val cols = base.columns
+      // normalize file URIs from both sides (file:/, file://, file:///)
+      def norm(c: org.apache.spark.sql.Column) =
+        regexp_replace(c, "^file:/+", "/")
+      val del = broadcast(deletes.toDF("__dpath", "__dpos")
+        .withColumn("__dpath", norm(col("__dpath"))))
+      base
+        .withColumn("__fpath", norm(expr("_metadata.file_path")))
+        .withColumn("__fpos", expr("_metadata.row_index"))
+        .join(del, col("__fpath") === col("__dpath") &&
+          col("__fpos") === col("__dpos"), "left_anti")
+        .select(cols.map(col).toIndexedSeq: _*)
     }
   }
 
   // ---------- manifest (manifest_entry records) ----------
 
-  private def writeManifest(
-      out: File, t: GraftTable, sch: TableSchema,
-      entries: Seq[ManifestEntry], snapshotId: Long, seq: Long): Unit = {
+  /** One manifest entry to write: data (content=0) or position-delete
+    * (content=1) file plus its export status/ids. */
+  private case class EntryRow(
+      status: Int, snapshotId: Long, seq: Long, content: Int,
+      path: String, format: String,
+      partition: Map[String, String], rowCount: Long, fileSize: Long,
+      stats: Map[String, ColStats])
+
+  private def writeManifestFile(
+      out: File, sch: TableSchema, mappable: Seq[FieldDef],
+      rows: Seq[EntryRow], contentMeta: String): ManifestRef = {
     val partFields = partitionFields(sch)
     val schema = new org.apache.avro.Schema.Parser().parse(manifestEntrySchema(partFields))
     val dataFileSchema = schema.getField("data_file").schema()
@@ -118,43 +324,43 @@ object IcebergCompat {
       dataFileSchema.getField(field).schema().getTypes.get(1)
     val (vcS, nvcS, lbS, ubS) = (mapSchema("value_counts"),
       mapSchema("null_value_counts"), mapSchema("lower_bounds"), mapSchema("upper_bounds"))
-    val colDdl = sch.fields.map(f => f.name -> (f.id + 1, f.dataType)).toMap
+    val colDdl = mappable.map(f => f.name -> (f.id + 1, f.dataType)).toMap
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
-    w.setMeta("schema", schemaJson(sch))
+    w.setMeta("schema", schemaJson(sch, mappable))
     w.setMeta("partition-spec", partitionSpecFieldsJson(sch))
     w.setMeta("partition-spec-id", "0")
     w.setMeta("format-version", "2")
-    w.setMeta("content", "data")
+    w.setMeta("content", contentMeta)
     w.create(schema, out)
     def kv(s: org.apache.avro.Schema, k: Int, v: AnyRef): GenericRecord = {
       val r = new GenericData.Record(s.getElementType)
       r.put("key", Integer.valueOf(k)); r.put("value", v); r
     }
-    try entries.foreach { e =>
+    try rows.foreach { e =>
       val part = new GenericData.Record(partSchema)
       partFields.foreach { case (name, ddl) =>
         part.put(name, e.partition.get(name).map(partitionValue(ddl, _)).orNull)
       }
       val df = new GenericData.Record(dataFileSchema)
-      df.put("content", 0)
-      df.put("file_path", s"file://${new File(s"${t.path}/${e.file.fileName}").getAbsolutePath}")
-      df.put("file_format", fileFormat(e.file.fileName))
+      df.put("content", e.content)
+      df.put("file_path", e.path)
+      df.put("file_format", e.format)
       df.put("partition", part)
-      df.put("record_count", java.lang.Long.valueOf(e.file.rowCount))
-      df.put("file_size_in_bytes", java.lang.Long.valueOf(e.file.fileSize))
+      df.put("record_count", java.lang.Long.valueOf(e.rowCount))
+      df.put("file_size_in_bytes", java.lang.Long.valueOf(e.fileSize))
       // column stats → Iceberg data-skipping maps. Bounds use the
       // spec's single-value binary serialization (Appendix D);
       // columns whose stat strings don't round-trip are omitted —
       // omission is always safe for a reader.
-      val stats = e.file.stats.toSeq.flatMap { case (name, cs) =>
+      val stats = e.stats.toSeq.flatMap { case (name, cs) =>
         colDdl.get(name).map { case (cid, ddl) => (cid, ddl, cs) }
       }.sortBy(_._1)
       if (stats.nonEmpty) {
         df.put("value_counts", stats.map { case (cid, _, _) =>
-          kv(vcS, cid, java.lang.Long.valueOf(e.file.rowCount)) }.asJava)
+          kv(vcS, cid, java.lang.Long.valueOf(e.rowCount)) }.asJava)
         df.put("null_value_counts", stats.map { case (cid, _, cs) =>
           kv(nvcS, cid, java.lang.Long.valueOf(cs.nullCount)) }.asJava)
-        def boundsOf(pick: graft.core.Meta.ColStats => Option[String], s: org.apache.avro.Schema) = {
+        def boundsOf(pick: ColStats => Option[String], s: org.apache.avro.Schema) = {
           val bs = stats.flatMap { case (cid, ddl, cs) =>
             pick(cs).flatMap(v => singleValueBytes(ddl, v)).map(kv(s, cid, _))
           }
@@ -164,18 +370,49 @@ object IcebergCompat {
         df.put("upper_bounds", boundsOf(_.max, ubS))
       }
       val rec = new GenericData.Record(schema)
-      rec.put("status", 1) // ADDED in this (full) metadata generation
-      rec.put("snapshot_id", java.lang.Long.valueOf(snapshotId))
-      rec.put("sequence_number", java.lang.Long.valueOf(seq))
-      rec.put("file_sequence_number", java.lang.Long.valueOf(seq))
+      rec.put("status", e.status)
+      rec.put("snapshot_id", java.lang.Long.valueOf(e.snapshotId))
+      rec.put("sequence_number", java.lang.Long.valueOf(e.seq))
+      rec.put("file_sequence_number", java.lang.Long.valueOf(e.seq))
       rec.put("data_file", df)
       w.append(rec)
     } finally w.close()
+    val (added, existing) = rows.partition(_.status == 1)
+    ManifestRef(out.getName, if (contentMeta == "data") 0 else 1,
+      added.size, existing.size,
+      added.map(_.rowCount).sum, existing.map(_.rowCount).sum,
+      if (rows.isEmpty) 0L else rows.map(_.seq).min,
+      partitionSummary(sch, rows))
   }
 
+  /** Per-partition-field bounds over one manifest's entries (spec
+    * manifest_file.partitions, ids 508-511) — lets an external reader
+    * prune whole manifests by partition predicate. */
+  private def partitionSummary(sch: TableSchema, rows: Seq[EntryRow]): Seq[PartBound] =
+    partitionFields(sch).map { case (name, ddl) =>
+      val vals = rows.map(_.partition.get(name))
+      val present = vals.flatten
+      val cmp = partitionOrdering(ddl)
+      PartBound(
+        containsNull = vals.exists(_.isEmpty),
+        min = if (present.isEmpty) None else Some(present.min(cmp)),
+        max = if (present.isEmpty) None else Some(present.max(cmp)))
+    }
+
+  /** Ordering of graft's stringified partition values under the
+    * column's declared type. */
+  private def partitionOrdering(ddl: String): Ordering[String] =
+    DataType.fromDDL(ddl) match {
+      case LongType | IntegerType | ShortType | ByteType => Ordering.by(_.toLong)
+      case DoubleType | FloatType => Ordering.by(_.toDouble)
+      case BooleanType => Ordering.by(_.toBoolean)
+      case DateType => Ordering.by(dateDays)
+      case _ => Ordering.String // UTF8-ordered strings
+    }
+
   /** Iceberg single-value serialization (spec Appendix D) of a graft
-    * stringified stat; None for types whose strings don't round-trip
-    * losslessly (decimals, timestamps). */
+    * stringified stat; None for values that don't round-trip
+    * losslessly. */
   private def singleValueBytes(ddl: String, v: String): Option[java.nio.ByteBuffer] = {
     def le(n: Int)(fill: java.nio.ByteBuffer => Unit): java.nio.ByteBuffer = {
       val b = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -188,10 +425,31 @@ object IcebergCompat {
       case FloatType => Some(le(4)(_.putFloat(v.toFloat)))
       case BooleanType => Some(le(1)(_.put(if (v.toBoolean) 1.toByte else 0.toByte)))
       case StringType => Some(java.nio.ByteBuffer.wrap(v.getBytes(StandardCharsets.UTF_8)))
-      case DateType => Some(le(4)(_.putInt(java.time.LocalDate.parse(v).toEpochDay.toInt)))
+      case DateType => Some(le(4)(_.putInt(dateDays(v))))
+      // timestamps: stat strings carry the parquet INT64 value — epoch
+      // micros as Spark writes them; Iceberg timestamp(tz) = micros LE
+      case TimestampType | TimestampNTZType => Some(le(8)(_.putLong(v.toLong)))
+      // decimal: minimal two's-complement big-endian unscaled value
+      case d: DecimalType =>
+        val unscaled = new java.math.BigDecimal(v)
+          .setScale(d.scale).unscaledValue().toByteArray
+        Some(java.nio.ByteBuffer.wrap(unscaled))
+      case t if isTimeType(t) =>
+        // graft TIME stats are nanos-of-day; Iceberg time is micros —
+        // emit only when exact (whole micros), omission is always safe
+        val nanos = v.toLong
+        if (nanos % 1000L == 0L) Some(le(8)(_.putLong(nanos / 1000L))) else None
       case _ => None
     } catch { case _: Exception => None }
   }
+
+  /** graft stringified date: ISO (partition values) or epoch-day int
+    * (parquet footer stats) — accept both. */
+  private def dateDays(v: String): Int =
+    v.toIntOption.getOrElse(java.time.LocalDate.parse(v).toEpochDay.toInt)
+
+  private def isTimeType(dt: DataType): Boolean =
+    dt.getClass.getSimpleName.startsWith("TimeType")
 
   /** manifest_entry Avro schema with the spec's reserved field ids
     * (status 0, snapshot_id 1, data_file 2 / content 134, file_path
@@ -228,33 +486,79 @@ object IcebergCompat {
        |{"name":"key","type":"int","field-id":$kid},
        |{"name":"value","type":"$vtype","field-id":$vid}]}}]}""".stripMargin.replace("\n", "")
 
+  // ---------- position-delete files ----------
+
+  /** Iceberg v2 position-delete rows (spec reserved ids 2147483546 /
+    * 2147483545), written as Avro so a generic reader consumes them
+    * without a parquet dependency. Rows are (file_path, pos) sorted by
+    * position — the RoaringBitmap iterates ascending. */
+  private val posDeleteSchema: String =
+    """{"type":"record","name":"pos_delete","fields":[
+      |{"name":"file_path","type":"string","field-id":2147483546},
+      |{"name":"pos","type":"long","field-id":2147483545}]}"""
+      .stripMargin.replace("\n", "")
+
+  /** @return number of delete rows written */
+  private def writePositionDeletes(
+      out: File, dataFileAbs: String, bitmapBytes: Array[Byte]): Long = {
+    val schema = new org.apache.avro.Schema.Parser().parse(posDeleteSchema)
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.setMeta("format-version", "2")
+    w.setMeta("content", "position-deletes")
+    w.create(schema, out)
+    try {
+      val it = DeletionVectors.deserialize(bitmapBytes).getIntIterator
+      var n = 0L
+      while (it.hasNext) {
+        val rec = new GenericData.Record(schema)
+        rec.put("file_path", dataFileAbs)
+        rec.put("pos", java.lang.Long.valueOf(it.next().toLong))
+        w.append(rec)
+        n += 1
+      }
+      n
+    } finally w.close()
+  }
+
   // ---------- manifest list (manifest_file records) ----------
 
   private def writeManifestList(
-      out: File, manifest: File, entries: Seq[ManifestEntry],
-      snapshotId: Long, seq: Long): Unit = {
+      out: File, metaDir: File, manifests: Seq[ManifestRef],
+      snapshotId: Long, seq: Long, sch: TableSchema): Unit = {
     val schema = new org.apache.avro.Schema.Parser().parse(manifestFileSchema)
+    val summarySchema = schema.getField("partitions").schema()
+      .getTypes.get(1) // non-null branch: array of r508
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
     w.setMeta("format-version", "2")
     w.setMeta("snapshot-id", snapshotId.toString)
     w.setMeta("sequence-number", seq.toString)
     w.create(schema, out)
-    try {
+    val partDdls = partitionFields(sch).map(_._2)
+    try manifests.foreach { m =>
+      val f = new File(metaDir, m.name)
       val rec = new GenericData.Record(schema)
-      rec.put("manifest_path", s"file://${manifest.getAbsolutePath}")
-      rec.put("manifest_length", java.lang.Long.valueOf(manifest.length()))
+      rec.put("manifest_path", s"file://${f.getAbsolutePath}")
+      rec.put("manifest_length", java.lang.Long.valueOf(f.length()))
       rec.put("partition_spec_id", 0)
-      rec.put("content", 0) // data
+      rec.put("content", m.content)
       rec.put("sequence_number", java.lang.Long.valueOf(seq))
-      rec.put("min_sequence_number", java.lang.Long.valueOf(seq))
+      rec.put("min_sequence_number", java.lang.Long.valueOf(m.minSeq))
       rec.put("added_snapshot_id", java.lang.Long.valueOf(snapshotId))
-      rec.put("added_files_count", Integer.valueOf(entries.size))
-      rec.put("existing_files_count", Integer.valueOf(0))
+      rec.put("added_files_count", Integer.valueOf(m.added))
+      rec.put("existing_files_count", Integer.valueOf(m.existing))
       rec.put("deleted_files_count", Integer.valueOf(0))
-      rec.put("added_rows_count", java.lang.Long.valueOf(entries.map(_.file.rowCount).sum))
-      rec.put("existing_rows_count", java.lang.Long.valueOf(0L))
+      rec.put("added_rows_count", java.lang.Long.valueOf(m.addedRows))
+      rec.put("existing_rows_count", java.lang.Long.valueOf(m.existingRows))
       rec.put("deleted_rows_count", java.lang.Long.valueOf(0L))
-      rec.put("partitions", null)
+      if (m.parts.isEmpty) rec.put("partitions", null)
+      else rec.put("partitions", m.parts.zip(partDdls).map { case (p, ddl) =>
+        val r = new GenericData.Record(summarySchema.getElementType)
+        r.put("contains_null", java.lang.Boolean.valueOf(p.containsNull))
+        r.put("contains_nan", java.lang.Boolean.valueOf(false))
+        r.put("lower_bound", p.min.flatMap(singleValueBytes(ddl, _)).orNull)
+        r.put("upper_bound", p.max.flatMap(singleValueBytes(ddl, _)).orNull)
+        r
+      }.asJava)
       w.append(rec)
     } finally w.close()
   }
@@ -287,58 +591,81 @@ object IcebergCompat {
   // ---------- table metadata json ----------
 
   private def tableMetadata(
-      t: GraftTable, sch: TableSchema, timeMs: Long,
-      snapshotId: Long, seq: Long, manifestListPath: String): String = {
+      t: GraftTable, sch: TableSchema, mappable: Seq[FieldDef],
+      exposedSnap: Snapshot, latest: Snapshot, manifestListPath: String): String = {
     val tableUuid = UUID.nameUUIDFromBytes(
       new File(t.path).getAbsolutePath.getBytes(StandardCharsets.UTF_8))
     val specFields = partitionSpecFieldsJson(sch)
     val lastPartitionId = 999 + sch.partitionKeys.size
-    val nameMapping = sch.fields.map(f =>
+    val nameMapping = mappable.map(f =>
       s"""{"field-id":${f.id + 1},"names":[${q(f.name)}]}""").mkString("[", ",", "]")
+    // PK staleness marker: the exported snapshot may lag the latest
+    // graft snapshot (level-0 upserts after the last compaction are
+    // not exposed) — record the lag instead of mislabeling the state
+    val staleProps =
+      if (exposedSnap.id != latest.id)
+        s""","graft.exposed-snapshot-id":"${exposedSnap.id}"""" +
+          s""","graft.stale-behind-snapshot-id":"${latest.id}""""
+      else ""
+    val (schemaStr, _) = schemaJsonWithLastId(sch, mappable)
     s"""{
        |"format-version":2,
        |"table-uuid":"$tableUuid",
        |"location":"file://${new File(t.path).getAbsolutePath}",
-       |"last-sequence-number":$seq,
-       |"last-updated-ms":$timeMs,
-       |"last-column-id":${lastColumnId(sch)},
+       |"last-sequence-number":${latest.id},
+       |"last-updated-ms":${exposedSnap.timeMillis},
+       |"last-column-id":${schemaJsonWithLastId(sch, mappable)._2},
        |"current-schema-id":${sch.id},
-       |"schemas":[${schemaJson(sch)}],
+       |"schemas":[$schemaStr],
        |"default-spec-id":0,
        |"partition-specs":[{"spec-id":0,"fields":$specFields}],
        |"last-partition-id":$lastPartitionId,
        |"default-sort-order-id":0,
        |"sort-orders":[{"order-id":0,"fields":[]}],
-       |"properties":{"schema.name-mapping.default":${q(nameMapping)}},
-       |"current-snapshot-id":$snapshotId,
-       |"snapshots":[{"sequence-number":$seq,"snapshot-id":$snapshotId,
-       |"timestamp-ms":$timeMs,"summary":{"operation":"append"},
+       |"properties":{"schema.name-mapping.default":${q(nameMapping)}$staleProps},
+       |"current-snapshot-id":${exposedSnap.id},
+       |"snapshots":[{"sequence-number":${exposedSnap.id},"snapshot-id":${exposedSnap.id},
+       |"timestamp-ms":${exposedSnap.timeMillis},"summary":{"operation":"append"},
        |"manifest-list":${q(manifestListPath)},"schema-id":${sch.id}}],
-       |"snapshot-log":[{"timestamp-ms":$timeMs,"snapshot-id":$snapshotId}],
+       |"snapshot-log":[{"timestamp-ms":${exposedSnap.timeMillis},"snapshot-id":${exposedSnap.id}}],
        |"metadata-log":[]
        |}""".stripMargin
   }
 
-  /** Iceberg schema json. Field ids are graft field ids + 1 (Iceberg
-    * convention starts at 1); nested element/key/value ids are
-    * assigned deterministically after the last top-level id. */
-  private[sources] def schemaJson(sch: TableSchema): String = {
+  /** Columns exportable to Iceberg: those whose type has a v2 mapping.
+    * Unmappable columns (e.g. VARIANT) are skipped with a WARN — the
+    * rest of the table still exports (partition keys must map). */
+  private[sources] def mappableFields(sch: TableSchema): Seq[FieldDef] =
+    sch.fields.filter { f =>
+      val ok =
+        try { typeJson(DataType.fromDDL(f.dataType), () => 0); true }
+        catch { case _: IllegalArgumentException => false }
+      if (!ok) {
+        require(!sch.partitionKeys.contains(f.name),
+          s"partition column ${f.name} has no Iceberg type mapping")
+        log.warn(s"column ${f.name} (${f.dataType}) has no Iceberg v2 " +
+          "type mapping - omitted from the exported schema")
+      }
+      ok
+    }
+
+  /** Iceberg schema json over the mappable fields. Field ids are graft
+    * field ids + 1 (Iceberg convention starts at 1); nested
+    * element/key/value ids are assigned deterministically after the
+    * last top-level id. Returns (json, last allocated column id). */
+  private[sources] def schemaJsonWithLastId(
+      sch: TableSchema, mappable: Seq[FieldDef]): (String, Int) = {
     var next = sch.fields.map(_.id + 1).max
     def alloc(): Int = { next += 1; next }
-    val fields = sch.fields.map { f =>
+    val fields = mappable.map { f =>
       s"""{"id":${f.id + 1},"name":${q(f.name)},"required":${!f.nullable},""" +
         s""""type":${typeJson(DataType.fromDDL(f.dataType), () => alloc())}}"""
     }.mkString(",")
-    s"""{"type":"struct","schema-id":${sch.id},"fields":[$fields]}"""
+    (s"""{"type":"struct","schema-id":${sch.id},"fields":[$fields]}""", next)
   }
 
-  private def lastColumnId(sch: TableSchema): Int = {
-    // re-run the same deterministic allocation schemaJson uses
-    var next = sch.fields.map(_.id + 1).max
-    def alloc(): Int = { next += 1; next }
-    sch.fields.foreach(f => typeJson(DataType.fromDDL(f.dataType), () => alloc()))
-    next
-  }
+  private[sources] def schemaJson(sch: TableSchema, mappable: Seq[FieldDef]): String =
+    schemaJsonWithLastId(sch, mappable)._1
 
   private def typeJson(dt: DataType, alloc: () => Int): String = dt match {
     case BooleanType => "\"boolean\""
@@ -351,6 +678,7 @@ object IcebergCompat {
     case DateType => "\"date\""
     case TimestampType => "\"timestamptz\""
     case TimestampNTZType => "\"timestamp\""
+    case t if isTimeType(t) => "\"time\""
     case d: DecimalType => s""""decimal(${d.precision}, ${d.scale})""""
     case a: ArrayType =>
       val id = alloc()
@@ -404,7 +732,7 @@ object IcebergCompat {
     case DoubleType => java.lang.Double.valueOf(v)
     case FloatType => java.lang.Float.valueOf(v)
     case BooleanType => java.lang.Boolean.valueOf(v)
-    case DateType => Integer.valueOf(java.time.LocalDate.parse(v).toEpochDay.toInt)
+    case DateType => Integer.valueOf(dateDays(v))
     case other => throw new IllegalArgumentException(
       s"unsupported Iceberg partition type $other")
   }
@@ -415,6 +743,8 @@ object IcebergCompat {
     else "PARQUET"
 
   // ---------- small helpers ----------
+
+  private def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 
   private def q(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""

@@ -82,14 +82,12 @@ final class GraftTable private (
 
   // per-commit Iceberg metadata export (reference: the commit-callback
   // shape of IcebergCommitCallback.java:102). Best-effort by contract:
-  // SnapshotManager logs-and-continues if the export fails (e.g. a DV
-  // landed on an exposed file), so the graft commit itself never
-  // depends on the compat layer.
-  sm.afterCommit = _ => {
+  // SnapshotManager logs-and-continues if the export fails, so the
+  // graft commit itself never depends on the compat layer.
+  sm.onCommit { _ =>
     if (schema.options.get(GraftTable.IcebergEnabled).contains("true"))
       graft.sources.IcebergCompat.sync(this)
   }
-
   // ================= write =================
 
   /** Append (or upsert, for PK tables) a batch. Returns snapshot id. */

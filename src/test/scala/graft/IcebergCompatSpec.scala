@@ -199,16 +199,42 @@ class IcebergCompatSpec extends AnyFunSuite {
     assert(own.exceptAll(external).count() == 0)
   }
 
-  test("deletion-vectored files refuse to export") {
+  test("deletion vectors export as v2 position-delete files") {
     val t = GraftTable.create(spark, tmp(), sch,
       options = Map("deletion-vectors.enabled" -> "true"))
-    // one file, partial delete → must go through a deletion vector
-    t.write(df((1L, "a", 1.0), (2L, "b", 2.0)).coalesce(1))
+    // two files, partial deletes → deletion vectors, NO compaction
+    t.write(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)).coalesce(1))
+    t.write(df((4L, "b", 4.0), (5L, "a", 5.0)).coalesce(1))
+    t.delete(col("k") === 2L)
+    t.delete(col("k") === 5L) // second wave: DV on the other file
+    IcebergCompat.sync(t)
+    val (dataFiles, posDeletes) = IcebergCompat.externalState(t.path)
+    assert(dataFiles.size == 2)
+    assert(posDeletes.size == 2) // one marked row per file
+    // delete files are Avro with the spec's reserved field ids
+    val metaDir = new java.io.File(s"${t.path}/metadata")
+    val delAvro = metaDir.listFiles().filter(_.getName.startsWith("delete-"))
+    assert(delAvro.nonEmpty)
+    val (dSchema, dRows) = readAvro(delAvro.head.getPath)
+    assert(dSchema.getField("file_path").getObjectProp("field-id") == 2147483546L ||
+      dSchema.getField("file_path").getObjectProp("field-id") == 2147483546)
+    assert(dRows.nonEmpty)
+    // external read (generic walk + anti-join) == the table's own read
+    val external = IcebergCompat.externalRead(spark, t.path).select("k", "v")
+    val own = t.read.select("k", "v")
+    assert(external.exceptAll(own).count() == 0)
+    assert(own.exceptAll(external).count() == 0)
+    // DV growth on the same file re-exports: delete another row
     t.delete(col("k") === 1L)
-    intercept[IllegalArgumentException](IcebergCompat.sync(t))
+    IcebergCompat.sync(t)
+    val external2 = IcebergCompat.externalRead(spark, t.path).select("k", "v")
+    val own2 = t.read.select("k", "v")
+    assert(own2.count() == 2)
+    assert(external2.exceptAll(own2).count() == 0)
+    assert(own2.exceptAll(external2).count() == 0)
   }
 
-  test("metadata.iceberg.enabled=true syncs on every commit, best-effort") {
+  test("metadata.iceberg.enabled=true syncs on every commit incl. DV deletes") {
     val t = GraftTable.create(spark, tmp(), sch,
       options = Map("metadata.iceberg.enabled" -> "true",
         "deletion-vectors.enabled" -> "true"))
@@ -221,12 +247,95 @@ class IcebergCompatSpec extends AnyFunSuite {
     val v2 = new String(Files.readAllBytes(hint)).trim
     assert(v2.toLong > v1.toLong)
     assert(icebergDataFiles(t.path).size == 2)
-    // a DV delete makes the export impossible — the hook must log and
-    // carry on, the graft commit and read stay correct, and the
-    // Iceberg tree stays at its last consistent version
+    // a DV delete exports position deletes through the hook too
     t.delete(col("k") === 1L)
     assert(t.read.count() == 2L)
-    assert(new String(Files.readAllBytes(hint)).trim == v2)
+    assert(new String(Files.readAllBytes(hint)).trim.toLong > v2.toLong)
+    val external = IcebergCompat.externalRead(spark, t.path).select("k", "v")
+    assert(external.count() == 2L)
+  }
+
+  test("incremental sync: unchanged manifest is reused, EXISTING status, cleanup") {
+    val t = GraftTable.create(spark, tmp(), sch, partitionKeys = Seq("part"))
+    t.write(df((1L, "a", 1.0), (2L, "b", 2.0)))
+    IcebergCompat.sync(t)
+    val metaDir = new java.io.File(s"${t.path}/metadata")
+    def manifests() = metaDir.listFiles()
+      .filter(f => f.getName.startsWith("graft-") && f.getName.endsWith(".avro"))
+      .map(_.getName).toSet
+    val m1 = manifests()
+    assert(m1.size == 1)
+    // sync again with NO data change: the manifest avro is reused
+    // byte-for-byte (same file), no new manifest appears
+    IcebergCompat.sync(t)
+    assert(manifests() == m1)
+    // a new commit writes a NEW manifest where the old files carry
+    // status=EXISTING with their ORIGINAL snapshot id
+    val snap1 = t.sm.latestSnapshotId.get
+    t.write(df((3L, "a", 3.0)))
+    IcebergCompat.sync(t)
+    val m2 = manifests()
+    assert(m2.size == 1 && m2 != m1, "superseded manifest must be cleaned up")
+    val (_, entries) = readAvro(s"$metaDir/${m2.head}")
+    val byStatus = entries.groupBy(_.get("status").asInstanceOf[Int])
+    assert(byStatus(0).size == 2, "two prior files EXISTING")
+    assert(byStatus(1).size == 1, "one new file ADDED")
+    assert(byStatus(0).forall(_.get("snapshot_id").asInstanceOf[Long] == snap1))
+    // metadata dir holds exactly one generation: one metadata json,
+    // one manifest list, one manifest (+ hint + state)
+    assert(metaDir.listFiles().count(_.getName.endsWith(".metadata.json")) == 1)
+    assert(metaDir.listFiles().count(_.getName.startsWith("snap-")) == 1)
+  }
+
+  test("manifest list carries partition bound summaries") {
+    val t = GraftTable.create(spark, tmp(), sch, partitionKeys = Seq("part"))
+    t.write(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    IcebergCompat.sync(t)
+    val metaDir = s"${t.path}/metadata"
+    val listFile = new java.io.File(metaDir).listFiles()
+      .find(_.getName.startsWith("snap-")).get
+    val (_, lists) = readAvro(listFile.getPath)
+    val parts = lists.head.get("partitions")
+      .asInstanceOf[java.util.List[org.apache.avro.generic.GenericRecord]]
+    assert(parts != null && parts.size() == 1)
+    val p = parts.get(0)
+    assert(p.get("contains_null") == false)
+    def str(b: AnyRef) = {
+      val bb = b.asInstanceOf[java.nio.ByteBuffer]
+      val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr)
+      new String(arr, "UTF-8")
+    }
+    assert(str(p.get("lower_bound")) == "a")
+    assert(str(p.get("upper_bound")) == "c")
+  }
+
+  test("decimal columns export Appendix-D bounds; unmappable columns skip with WARN") {
+    val dsch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("price", DecimalType(10, 2), nullable = true)))
+    val t = GraftTable.create(spark, tmp(), dsch)
+    t.write(spark.createDataFrame(
+      Seq(Row(1L, new java.math.BigDecimal("12.34")),
+        Row(2L, new java.math.BigDecimal("99.99"))).asJava, dsch).coalesce(1))
+    IcebergCompat.sync(t)
+    val metaDir = s"${t.path}/metadata"
+    val mFile = new java.io.File(metaDir).listFiles()
+      .find(f => f.getName.startsWith("graft-") && f.getName.endsWith(".avro")).get
+    val (_, entries) = readAvro(mFile.getPath)
+    val dataFile = entries.head.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+    val lower = dataFile.get("lower_bounds")
+      .asInstanceOf[java.util.List[org.apache.avro.generic.GenericRecord]]
+      .asScala.map(r => r.get("key").asInstanceOf[Int] ->
+        r.get("value").asInstanceOf[java.nio.ByteBuffer]).toMap
+    // price (graft id 1 → iceberg 2): unscaled 1234 big-endian minimal
+    val bb = lower(2)
+    val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr)
+    assert(new java.math.BigInteger(arr).intValue() == 1234)
+    // schema json declares the decimal type
+    val md = new String(Files.readAllBytes(Paths.get(
+      s"$metaDir/v${t.sm.latestSnapshotId.get}.metadata.json")))
+    assert(md.contains("decimal(10, 2)"))
   }
 
   test("SQL surface: CALL sys.iceberg_sync") {
