@@ -1136,5 +1136,67 @@ object Storage {
           img(col("price")).as("before"), lit("d").as("op"))).as("value"))))
       t.read.select(col("o_orderkey"), asDouble(col("price")).as("price"),
         col("o_orderstatus"))
+    },
+
+    // ---- Canal JSON ingestion: `data` is an ARRAY of row objects per
+    // message (here ~50 rows/message via a grouping key, exercising
+    // the explode), UPDATE carries the full after-image in `data`
+    // (canal's `old` holds only changed columns — no complete
+    // before-image exists, so none is emitted), DELETE carries the
+    // deleted rows. Same applyChanges sink as g45 (reference:
+    // paimon-flink-cdc canal parser).
+    QDef(
+      "g47_cdc_canal",
+      """SELECT o_orderkey,
+        |  CAST(ROUND(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+        |                  ELSE o_totalprice END, 2) AS DOUBLE) AS price,
+        |  o_orderstatus
+        |FROM orders WHERE o_orderkey % 11 <> 0""".stripMargin) { (s, dir) =>
+      import graft.streaming.CdcFormats
+      val src = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").as("price"), col("o_orderstatus"))
+      val t = GraftTable.create(s, scratch("g47"), src.schema,
+        primaryKeys = Seq("o_orderkey"))
+      def msgs(rows: DataFrame, typ: String) = rows
+        .groupBy(pmod(col("o_orderkey"), lit(50L)).as("__g"))
+        .agg(collect_list(struct(col("o_orderkey"), col("price"),
+          col("o_orderstatus"))).as("data"))
+        .select(to_json(struct(col("data"), lit(typ).as("type"))).as("value"))
+      t.applyChanges(CdcFormats.canalJson(msgs(src, "INSERT")))
+      t.applyChanges(CdcFormats.canalJson(msgs(
+        src.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("price", col("price") * 2), "UPDATE")))
+      t.applyChanges(CdcFormats.canalJson(msgs(
+        src.filter(col("o_orderkey") % 11 === 0), "DELETE")))
+      t.read.select(col("o_orderkey"), asDouble(col("price")).as("price"),
+        col("o_orderstatus"))
+    },
+
+    // ---- Maxwell JSON ingestion: one row object per message in
+    // `data`, lowercase insert/update/delete types (reference:
+    // paimon-flink-cdc maxwell parser).
+    QDef(
+      "g48_cdc_maxwell",
+      """SELECT o_orderkey,
+        |  CAST(ROUND(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 3
+        |                  ELSE o_totalprice END, 2) AS DOUBLE) AS price,
+        |  o_orderstatus
+        |FROM orders WHERE o_orderkey % 9 <> 0""".stripMargin) { (s, dir) =>
+      import graft.streaming.CdcFormats
+      val src = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").as("price"), col("o_orderstatus"))
+      val t = GraftTable.create(s, scratch("g48"), src.schema,
+        primaryKeys = Seq("o_orderkey"))
+      def msgs(rows: DataFrame, typ: String) = rows.select(to_json(struct(
+        struct(col("o_orderkey"), col("price"), col("o_orderstatus")).as("data"),
+        lit(typ).as("type"))).as("value"))
+      t.applyChanges(CdcFormats.maxwellJson(msgs(src, "insert")))
+      t.applyChanges(CdcFormats.maxwellJson(msgs(
+        src.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("price", col("price") * 3), "update")))
+      t.applyChanges(CdcFormats.maxwellJson(msgs(
+        src.filter(col("o_orderkey") % 9 === 0), "delete")))
+      t.read.select(col("o_orderkey"), asDouble(col("price")).as("price"),
+        col("o_orderstatus"))
     })
 }

@@ -21,7 +21,14 @@ object CdcFormats {
 
   /** Debezium JSON envelopes: `{"before":…,"after":…,"op":"c|r|u|d"}`,
     * with or without the `"payload"` wrapper of the non-flattened
-    * connector config. Emits +I (c/r), -U/+U pairs (u), -D (d). */
+    * connector config. Emits +I (c/r), -U/+U pairs (u), -D (d).
+    *
+    * Single-pass: each envelope explodes straight into the row kinds
+    * it emits and the payload picks the matching image per column
+    * (after for +I/+U, before for -U/-D) — one scan of the change
+    * batch regardless of the op mix, no per-kind re-filtering, no
+    * union. (The schema-inference pass in [[inferParse]] is a separate
+    * bounded scan of the same batch.) */
   def debeziumJson(raw: DataFrame, jsonCol: String = "value"): DataFrame = {
     val parsed0 = inferParse(raw, jsonCol)
     val parsed =
@@ -35,20 +42,27 @@ object CdcFormats {
     val hasBefore = parsed.columns.contains("before")
     require(hasAfter || hasBefore,
       "not a Debezium envelope batch: expected before and/or after images")
-    val pieces =
-      (if (hasAfter) Seq(
-        parsed.filter(col("op").isin("c", "r"))
-          .select(col("after.*")).withColumn("_row_kind", lit("+I")),
-        parsed.filter(col("op") === "u")
-          .select(col("after.*")).withColumn("_row_kind", lit("+U")))
-      else Seq.empty) ++
-      (if (hasBefore) Seq(
-        parsed.filter(col("op") === "u")
-          .select(col("before.*")).withColumn("_row_kind", lit("-U")),
-        parsed.filter(col("op") === "d")
-          .select(col("before.*")).withColumn("_row_kind", lit("-D")))
-      else Seq.empty)
-    pieces.reduce(_.unionByName(_, allowMissingColumns = true))
+    def fieldsOf(c: String): Seq[String] = parsed.schema(c).dataType match {
+      case s: org.apache.spark.sql.types.StructType => s.fieldNames.toSeq
+      case _ => Seq.empty
+    }
+    val afterFields = if (hasAfter) fieldsOf("after") else Seq.empty
+    val beforeFields = if (hasBefore) fieldsOf("before") else Seq.empty
+    val kinds =
+      when(col("op").isin("c", "r"), array(lit("+I")))
+        .when(col("op") === "u",
+          if (hasBefore && hasAfter) array(lit("-U"), lit("+U"))
+          else if (hasAfter) array(lit("+U"))
+          else array(lit("-U")))
+        .when(col("op") === "d", array(lit("-D")))
+        .otherwise(array().cast("array<string>")) // unknown op → no rows
+    val payload = (afterFields ++ beforeFields).distinct.map { f =>
+      val a = if (afterFields.contains(f)) col(s"after.`$f`") else lit(null)
+      val b = if (beforeFields.contains(f)) col(s"before.`$f`") else lit(null)
+      when(col("_row_kind").isin("+I", "+U"), a).otherwise(b).as(f)
+    }
+    parsed.withColumn("_row_kind", explode(kinds))
+      .select(payload :+ col("_row_kind"): _*)
   }
 
   /** Canal JSON: `{"data":[{…},…],"type":"INSERT|UPDATE|DELETE"}` —

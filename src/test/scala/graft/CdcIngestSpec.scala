@@ -140,6 +140,24 @@ class CdcIngestSpec extends AnyFunSuite {
     assert(t2.read.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L))
   }
 
+  test("Debezium parse is single-pass: one leaf scan regardless of op mix") {
+    import graft.streaming.CdcFormats
+    val parsed = CdcFormats.debeziumJson(jsonDf(
+      """{"after":{"k":1,"v":"a"},"op":"c"}""",
+      """{"before":{"k":1,"v":"a"},"after":{"k":1,"v":"a2"},"op":"u"}""",
+      """{"before":{"k":2,"v":"b"},"op":"d"}"""))
+    // the old shape unioned four per-kind filters of the batch (four
+    // leaves); the single-pass shape explodes kinds in one projection
+    assert(parsed.queryExecution.analyzed.collectLeaves().size == 1)
+    val kinds = parsed.select("_row_kind").collect().map(_.getString(0)).sorted
+    assert(kinds.toSeq == Seq("+I", "+U", "-D", "-U"))
+    // image routing: +I/+U read after, -U/-D read before
+    val rows = parsed.select("k", "v", "_row_kind").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1L, "a", "+I"), (1L, "a2", "+U"),
+      (1L, "a", "-U"), (2L, "b", "-D")))
+  }
+
   test("CDC format batch introducing a new column evolves the schema") {
     import graft.streaming.CdcFormats
     val t = pkTable()
