@@ -9,12 +9,10 @@ import java.nio.file.Files
 
 /** Streaming semantics inside the correctness gate. Micro-batch
   * epochs are simulated deterministically (event_id % 3) and driven
-  * through the real exactly-once sink; the DuckDB oracle reproduces
-  * the expected end state from the raw events alone — arrival order
-  * independence is exactly what the sequence-field/merge-engine
-  * machinery must guarantee. (The live Structured Streaming path —
-  * MemoryStream → writeStream.foreachBatch(sink) — is covered in
-  * StreamingSpec.)
+  * through the real exactly-once sink, and g49 drives the LIVE
+  * Structured Streaming path (file source → writeStream.foreachBatch
+  * → Trigger.AvailableNow) against the same oracle; StreamingSpec
+  * covers the readStream source half.
   */
 object Streams {
 
@@ -117,6 +115,47 @@ object Streams {
       // staged after the compact — must NOT appear in the read
       sink(ev.filter(col("event_id") % 3 === 2)
         .withColumn("value", col("value") * 1000), 99L)
+      t.read.select(col("event_id"), col("user_id"), col("event_type"),
+        asDouble(col("value"), 4).as("value"))
+    },
+
+    // ---- LIVE Structured Streaming ingest: a real
+    // readStream(file source) → writeStream.foreachBatch(exactly-once
+    // sink) → Trigger.AvailableNow run, not simulated epochs — the
+    // engine's own micro-batch scheduler assigns batch ids and drives
+    // the sink's commitIdentifier dedup. maxFilesPerTrigger=1 forces
+    // one micro-batch per staged file; sequence.field merging makes
+    // the final state independent of the (scheduler-chosen) file
+    // pickup order, which is exactly what the oracle checks.
+    QDef(
+      "g49_stream_live",
+      """SELECT event_id, user_id, event_type, CAST(ROUND(value, 4) AS DOUBLE) AS value
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val ev = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("ts"))
+      val srcDir = Files.createTempDirectory("graft-g49-src-").toString
+      (0 until 3).foreach(e =>
+        ev.filter(col("event_id") % 3 === e).coalesce(1)
+          .write.mode("append").parquet(srcDir))
+      val t = GraftTable.create(s, scratch("g49"), ev.schema,
+        primaryKeys = Seq("user_id"),
+        options = Map("sequence.field" -> "ts", "bucket" -> "4"))
+      val sink = GraftStreaming.sink(t, watermarkColumn = Some("ts"))
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-g49-ck-").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], epochId: Long) =>
+          sink(batch.toDF(), epochId); ()
+        }
+        .start()
+      q.awaitTermination()
       t.read.select(col("event_id"), col("user_id"), col("event_type"),
         asDouble(col("value"), 4).as("value"))
     },
