@@ -320,9 +320,10 @@ object Similarity {
       efConstruction: Int = 64, efSearch: Int = 48): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val q: Array[(Long, Array[Double])] = queries
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // queries ship once per executor as a broadcast, not once per task
+    // in the closure — the difference between 5 gate queries and a
+    // 10^5-query batch sweep
+    val qB = spark.sparkContext.broadcast(collectQueries(queries, idCol, vecCol))
     val shard = pmod(xxhash64(col(idCol)), lit(shards)).cast("int")
     val perShard = corpus
       .select(col(idCol).cast("long").as("id"),
@@ -335,12 +336,78 @@ object Similarity {
         else {
           val g = new HnswGraph(m, efConstruction)
           nodes.foreach { case (id, v) => g.insert(id, v) }
-          q.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, math.max(efSearch, kNeighbors), kNeighbors, exclude = qid)
-              .map { case (nid, sim) => (qid, nid, sim) }
-          }
+          searchAll(g, qB.value, efSearch, kNeighbors)
         }
       }.toDF("query_id", "neighbor_id", "cosine")
+    rankTopK(perShard, kNeighbors)
+  }
+
+  /** Build the sharded HNSW index ONCE and persist it under `indexDir`
+    * (reference role: paimon-faiss persisted global vector indexes,
+    * CreateGlobalIndexProcedure — same amortization as the persisted
+    * IVF in [[buildIvfIndex]]): one parquet row per shard holding the
+    * serialized graph (ids, unit vectors, levels, links). Build cost
+    * is one corpus shuffle + per-partition construction; queries then
+    * run ZERO build jobs. At 100 TB the shard count grows so each
+    * graph fits an executor; a graph row is bounded by shard size,
+    * never table size. */
+  def buildHnswIndex(
+      corpus: DataFrame, indexDir: String,
+      idCol: String, vecCol: String,
+      shards: Int = 4, m: Int = 8, efConstruction: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val shard = pmod(xxhash64(col(idCol)), lit(shards)).cast("int")
+    corpus
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"), shard.as("shard"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions("id") // deterministic insertion order
+      .mapPartitions { rows =>
+        val buf = rows.toArray
+        if (buf.isEmpty) Iterator.empty
+        else {
+          val g = new HnswGraph(m, efConstruction)
+          buf.foreach(r => g.insert(r.getLong(0), r.getSeq[Double](1).toArray))
+          Iterator((buf.head.getInt(2), g.toBytes))
+        }
+      }.toDF("shard", "graph")
+      .write.mode("overwrite").parquet(s"$indexDir/graphs")
+  }
+
+  /** ANN over a persisted HNSW index: deserialize each shard's graph
+    * executor-side, search the broadcast query set, merge shard top-k
+    * globally. The plan's only scan is the (tiny) graphs parquet — no
+    * corpus scan, no rebuild. */
+  def hnswIndexTopK(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      kNeighbors: Int = 5, efSearch: Int = 48): DataFrame = {
+    import spark.implicits._
+    val qB = spark.sparkContext.broadcast(collectQueries(queries, idCol, vecCol))
+    val perShard = spark.read.parquet(s"$indexDir/graphs")
+      .select("graph").as[Array[Byte]]
+      .mapPartitions(_.flatMap { bytes =>
+        val g = HnswGraph.fromBytes(bytes)
+        searchAll(g, qB.value, efSearch, kNeighbors)
+      }).toDF("query_id", "neighbor_id", "cosine")
+    rankTopK(perShard, kNeighbors)
+  }
+
+  private def collectQueries(
+      queries: DataFrame, idCol: String, vecCol: String): Array[(Long, Array[Double])] =
+    queries.select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+  private def searchAll(
+      g: HnswGraph, qs: Array[(Long, Array[Double])],
+      efSearch: Int, k: Int): Iterator[(Long, Long, Double)] =
+    qs.iterator.flatMap { case (qid, qv) =>
+      g.search(qv, math.max(efSearch, k), k, exclude = qid)
+        .map { case (nid, sim) => (qid, nid, sim) }
+    }
+
+  private def rankTopK(perShard: DataFrame, kNeighbors: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     perShard
@@ -481,6 +548,67 @@ object Similarity {
         .filter(_._1 != exclude)
         .sortBy(r => (-r._2, r._1))
         .take(k)
+    }
+
+    /** Compact, version-free serialization for the persisted index
+      * sidecar: explicit primitive streams (ids, unit vectors flat,
+      * levels, per-layer adjacency), no Java object serialization. */
+    def toBytes: Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      val n = ids.length
+      o.writeInt(m); o.writeInt(efC)
+      o.writeInt(n)
+      o.writeInt(if (n == 0) 0 else vecs(0).length)
+      o.writeInt(entry); o.writeInt(maxLevel)
+      ids.foreach(o.writeLong)
+      vecs.foreach(v => v.foreach(o.writeDouble))
+      nodeLevel.foreach(o.writeInt)
+      o.writeInt(links.length)
+      links.foreach { lvl =>
+        if (lvl == null) o.writeInt(-1)
+        else {
+          o.writeInt(lvl.length)
+          lvl.foreach { nb =>
+            if (nb == null) o.writeInt(-1)
+            else { o.writeInt(nb.length); nb.foreach(o.writeInt) }
+          }
+        }
+      }
+      o.flush()
+      bos.toByteArray
+    }
+  }
+
+  private[operators] object HnswGraph {
+    def fromBytes(bytes: Array[Byte]): HnswGraph = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+      val m = in.readInt(); val efC = in.readInt()
+      val g = new HnswGraph(m, efC)
+      val n = in.readInt(); val dim = in.readInt()
+      g.entry = in.readInt(); g.maxLevel = in.readInt()
+      (0 until n).foreach(_ => g.ids += in.readLong())
+      (0 until n).foreach { _ =>
+        val v = new Array[Double](dim)
+        var i = 0; while (i < dim) { v(i) = in.readDouble(); i += 1 }
+        g.vecs += v
+      }
+      (0 until n).foreach(_ => g.nodeLevel += in.readInt())
+      val nLevels = in.readInt()
+      (0 until nLevels).foreach { _ =>
+        val len = in.readInt()
+        if (len < 0) g.links += null
+        else g.links += Array.tabulate(len) { _ =>
+          val c = in.readInt()
+          if (c < 0) null
+          else {
+            val b = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var i = 0; while (i < c) { b += in.readInt(); i += 1 }
+            b
+          }
+        }
+      }
+      g
     }
   }
 }

@@ -286,6 +286,34 @@ object Pipeline {
       Similarity.recallOk(approx, exact, threshold = 0.8)
     },
 
+    // ---- persisted HNSW index: build the sharded graphs ONCE into a
+    // parquet sidecar, then probe with zero build jobs — the amortized
+    // graph-ANN path (reference role: paimon-faiss persisted global
+    // vector indexes). Probed twice to exercise the reuse; the plan's
+    // only scan is the graphs parquet (spec-asserted). Recall-gated
+    // like s05 — the persisted graphs are bit-identical to the
+    // in-memory ones (deterministic levels + insertion order), so the
+    // same threshold holds.
+    QDef(
+      "s06_knn_hnsw_index",
+      """SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin) { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-s06-hnsw").toString + "/idx"
+      Similarity.buildHnswIndex(emb, idxDir, "vec_id", "embedding",
+        shards = 4, m = 8, efConstruction = 64)
+      // first probe warms nothing persistent — the second must still
+      // run zero build jobs (only the graphs parquet scan)
+      Similarity.hnswIndexTopK(s, idxDir, q, "vec_id", "embedding",
+        kNeighbors = 5, efSearch = 48).count()
+      val approx = Similarity.hnswIndexTopK(s, idxDir, q, "vec_id", "embedding",
+        kNeighbors = 5, efSearch = 48)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      Similarity.recallOk(approx, exact, threshold = 0.8)
+    },
+
     // ---- embedding-cosine near-dup, exhaustive-blocked companion.
     // The raw embeddings have no near-dup structure (max pairwise
     // cosine ~0.6), so the query PLANTS deterministic near-duplicates:

@@ -148,6 +148,33 @@ class OperatorsSpec extends AnyFunSuite {
       again.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("persisted HNSW index: probe matches in-memory build, zero corpus scans") {
+    import spark.implicits._
+    val rnd = new java.util.Random(7)
+    val emb = (0L until 200L).map { i =>
+      val base = if (i % 2 == 0) Array(1.0, 0.05 * (i % 13)) else Array(-1.0, 0.05 * (i % 11))
+      (i, base.map(x => (x + rnd.nextGaussian() * 0.01).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 4)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-hnsw-idx").toString + "/idx"
+    Similarity.buildHnswIndex(emb, idxDir, "vec_id", "embedding",
+      shards = 3, m = 8, efConstruction = 64)
+    val fromIndex = Similarity.hnswIndexTopK(spark, idxDir, q,
+      "vec_id", "embedding", kNeighbors = 5, efSearch = 48)
+    // serialization round-trip is exact: identical results to the
+    // build-per-call path with the same deterministic parameters
+    val inMemory = Similarity.hnswTopK(emb, q, "vec_id", "embedding",
+      kNeighbors = 5, shards = 3, m = 8, efConstruction = 64, efSearch = 48)
+    assert(fromIndex.collect().map(_.toString).sorted.toSeq ==
+      inMemory.collect().map(_.toString).sorted.toSeq)
+    // no rebuild: the probe plan's ONLY leaf is the graphs parquet —
+    // the corpus is never scanned
+    val leaves = fromIndex.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1, leaves.mkString("; "))
+    assert(leaves.head.output.map(_.name).contains("graph"), leaves.head.toString)
+  }
+
   test("persisted IVF index matches per-query IVF and prunes to probed lists") {
     import spark.implicits._
     // two well-separated clusters in 2D
