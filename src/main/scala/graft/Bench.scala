@@ -23,7 +23,10 @@ object Bench {
     try {
       val parts = scala.io.Source.fromFile("/proc/stat").getLines()
         .next().trim.split("\\s+").drop(1).map(_.toLong)
-      (parts.sum, if (parts.length > 7) parts(7) else 0L)
+      // total excludes guest/guest_nice (fields 9-10): the kernel
+      // already counts guest time inside user, so summing them would
+      // double-count and deflate steal_pct
+      (parts.take(8).sum, if (parts.length > 7) parts(7) else 0L)
     } catch { case _: Throwable => (0L, 0L) }
 
   final case class GateResult(
@@ -97,8 +100,12 @@ object Bench {
       val p = k.takeWhile(_ != '_')
       if (prefixCounts(p) == 1) p else k
     }
+    // failed gates serialize as null, never a numeric sentinel — a
+    // consumer summing/diffing per-gate timings must not be skewed by
+    // -1s (the failure list and telemetry carry the details)
     val qsShort = results.map { r =>
-      "\"" + shortId(r.name) + "\":" + (math.round(r.sec * 100) / 100.0)
+      "\"" + shortId(r.name) + "\":" +
+        (if (r.failed) "null" else (math.round(r.sec * 100) / 100.0).toString)
     }.mkString("{", ",", "}")
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -108,7 +115,8 @@ object Bench {
     val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"failed":$failedShort,"sf":"$sfShort"}"""
-    val qsFull = results.map(r => "\"" + r.name + "\":" + r.sec)
+    val qsFull = results.map(r =>
+      "\"" + r.name + "\":" + (if (r.failed) "null" else r.sec.toString))
       .mkString("{", ",", "}")
     val telemetry = results.map { r =>
       jstr(r.name) + ":{\"sys_load\":" + r.sysLoad +
