@@ -1064,6 +1064,25 @@ object Storage {
           col("o_orderstatus"))
     },
 
+    // ---- full-text inverted index (reference capability:
+    // paimon-lucene / globalindex text search): rebuild tokenizes the
+    // column into a token→file posting table, searchText prunes files
+    // through it and applies the real whole-token filter — the index
+    // only prunes, so the oracle is the plain tokenized predicate and
+    // any wrong prune (dropped file) or stale posting shows up as a
+    // row diff.
+    QDef(
+      "g50_text_search",
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_contains(regexp_split_to_array(text, '[^A-Za-z0-9]+'), 'data')""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val t = GraftTable.create(s, scratch("g50"), src.schema)
+      t.write(src.repartition(8)) // several files → pruning is real
+      t.rebuildTextIndex("text")
+      t.searchText("text", "data").select(col("doc_id"), col("lang"))
+    },
+
     // ---- Iceberg export × deletion vectors: DV'd files export
     // together with v2 position-delete files (one Avro of
     // (file_path, pos) per DV sidecar, content=deletes manifest), so

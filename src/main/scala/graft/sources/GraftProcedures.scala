@@ -81,6 +81,14 @@ object GraftProcedures {
     "iceberg_sync" -> (Seq(p("table", StringType)),
       (t, _) => IcebergCompat.sync(t)
         .map(p => s"iceberg metadata -> $p").getOrElse("empty table")),
+    // full-text inverted index build (reference capability:
+    // paimon-lucene / CreateGlobalIndexProcedure for text search).
+    "rebuild_text_index" -> (Seq(p("table", StringType), p("column", StringType)),
+      (t, args) => {
+        val c = args.getUTF8String(1).toString
+        t.rebuildTextIndex(c)
+        s"text index rebuilt for $c"
+      }),
     // SQL surface for incremental reads (reference:
     // PaimonTableValuedFunctions.paimon_incremental_query — Spark 4 has
     // no user TVF extension point, so the procedure registers the lazy

@@ -2320,6 +2320,108 @@ final class GraftTable private (
     victims.map(_.partition).distinct
   }
 
+  // ================= full-text index =================
+
+  /** Rebuild the global full-text inverted index for `column` over the
+    * current snapshot (reference capability: paimon-lucene /
+    * paimon-core globalindex text search — rebuilt Spark-first as a
+    * token→file posting table instead of a native Lucene directory).
+    *
+    * One distributed pass tokenizes the column ([A-Za-z0-9]+ runs),
+    * dedups (file, token) pairs map-side via per-file explode +
+    * distinct, and writes postings range-partitioned and sorted by
+    * token under `index-text/<column>/postings-<snapshot>/` — parquet
+    * row-group stats then serve a token probe like a btree page
+    * lookup. A state json records the covered files; files committed
+    * AFTER the rebuild are simply not covered and [[searchText]]
+    * scans them unconditionally (fail-open), so results never depend
+    * on index freshness. Scale: the index is O(distinct tokens ×
+    * files) rows, built in one shuffle; the probe reads only the
+    * row-groups whose [min,max] token range covers the word. */
+  def rebuildTextIndex(column: String): Unit = {
+    require(struct.fieldNames.contains(column), s"no such column: $column")
+    val snap = sm.latestSnapshot().getOrElse(
+      throw new IllegalStateException("empty table"))
+    val entries = visibleEntries(sm.liveEntries(snap)).filter(e =>
+      e.file.fileName.endsWith(".parquet") || e.file.fileName.endsWith(".orc"))
+    val dir = s"index-text/$column"
+    val postingsRel = s"$dir/postings-${snap.id}"
+    if (entries.nonEmpty)
+      readRaw(entries, captureMeta = true)
+        .select(substring_index(col("__file"), "/", -1).as("f"),
+          explode(array_distinct(split(
+            coalesce(col(column).cast("string"), lit("")),
+            GraftTable.TextTokenSplit))).as("token"))
+        .filter(length(col("token")) > 0)
+        .distinct()
+        .repartitionByRange(4, col("token"))
+        .sortWithinPartitions("token", "f")
+        .write.mode("overwrite").parquet(s"$path/$postingsRel")
+    // supersede any previous generation (state first, then sweep)
+    val prevDirs = sm.io.list(s"$path/$dir")
+      .map(_.split('/').last).filter(_.startsWith("postings-"))
+      .filterNot(_ == s"postings-${snap.id}")
+    sm.io.writeString(s"$path/$dir/state.json", Json.write(
+      GraftTable.TextIndexState(column, snap.id,
+        entries.map(e => basename(e.file.fileName)),
+        if (entries.isEmpty) Seq.empty else Seq(postingsRel))))
+    prevDirs.foreach(d => deleteRecursive(Paths.get(s"$path/$dir/$d")))
+  }
+
+  /** Candidate entries for a whole-token text match: files the index
+    * proves token-free are pruned; uncovered files (committed after
+    * the rebuild, or no index at all) always stay candidates. On PK
+    * tables pruning widens to merge-unit ((partition, bucket))
+    * granularity — dropping one level file from an LSM merge would
+    * resurrect older versions. Fail-open on any index read problem. */
+  private[graft] def textCandidates(
+      column: String, word: String): Seq[ManifestEntry] = {
+    val snap = sm.latestSnapshot().getOrElse(return Seq.empty)
+    val entries = visibleEntries(sm.liveEntries(snap))
+    val stPath = s"$path/index-text/$column/state.json"
+    val st =
+      try {
+        if (sm.io.exists(stPath))
+          Some(Json.read(sm.io.readString(stPath),
+            classOf[GraftTable.TextIndexState]))
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    st match {
+      case Some(s0) =>
+        val covered = s0.covered.toSet
+        val hits: Set[String] =
+          try {
+            if (s0.postings.isEmpty) Set.empty
+            else spark.read.parquet(s0.postings.map(p => s"$path/$p"): _*)
+              .filter(col("token") === word)
+              .select("f").distinct()
+              .collect().map(_.getString(0)).toSet
+          } catch { case scala.util.control.NonFatal(_) => covered }
+        val keep = entries.filter { e =>
+          val b = basename(e.file.fileName)
+          !covered.contains(b) || hits.contains(b)
+        }
+        if (isPrimaryKeyTable) {
+          val units = keep.map(e => (e.partition, e.bucket)).toSet
+          entries.filter(e => units.contains((e.partition, e.bucket)))
+        } else keep
+      case None => entries
+    }
+  }
+
+  /** Rows whose `column` contains `word` as a whole token. The index
+    * only PRUNES files; the row filter decides membership, so the
+    * result is identical with or without an index — just cheaper. */
+  def searchText(column: String, word: String): DataFrame = {
+    require(word.nonEmpty && !word.exists(c => !c.isLetterOrDigit),
+      "searchText matches a single whole token: [A-Za-z0-9]+")
+    val matched = mergedFromEntries(textCandidates(column, word))
+      .filter(array_contains(split(
+        coalesce(col(column).cast("string"), lit("")),
+        GraftTable.TextTokenSplit), word))
+    matched.select(struct.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   /** Delete files under the table directory that no snapshot of any
     * branch references and that are older than `graceMillis` — debris
     * from writers that crashed between staging and commit (reference:
@@ -3327,6 +3429,16 @@ final class GraftTable private (
 }
 
 object GraftTable {
+
+  /** Tokenization of the full-text index and [[GraftTable.searchText]]:
+    * maximal [A-Za-z0-9]+ runs (split on everything else). */
+  val TextTokenSplit = "[^A-Za-z0-9]+"
+
+  /** Persisted state of one column's full-text index
+    * (`index-text/<column>/state.json`). */
+  case class TextIndexState(
+      column: String, snapshotId: Long,
+      covered: Seq[String], postings: Seq[String])
 
   /** Bucket id of postpone-staged files (`bucket = -2` tables): written
     * without a shuffle, invisible to reads until compaction assigns

@@ -1,0 +1,102 @@
+package graft
+
+import graft.table.GraftTable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** Global full-text inverted index (reference capability:
+  * paimon-lucene / globalindex text search, rebuilt Spark-first as a
+  * token→file posting table). The index only PRUNES files — the row
+  * filter decides membership — so every test first checks result
+  * identity against a plain filter, then that pruning actually
+  * happened / stayed fail-open. */
+class TextIndexSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  def tmp(): String = Files.createTempDirectory("graft-text").toString + "/t"
+
+  private val sch = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("text", StringType, nullable = true)))
+
+  private def df(rows: (Long, String)*): DataFrame =
+    spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, sch)
+
+  private def plainMatch(t: GraftTable, word: String): Set[Long] =
+    t.read.filter(array_contains(
+      split(coalesce(col("text"), lit("")), GraftTable.TextTokenSplit), word))
+      .select("id").collect().map(_.getLong(0)).toSet
+
+  test("append table: search equals plain filter and prunes token-free files") {
+    val t = GraftTable.create(spark, tmp(), sch)
+    t.write(df((1L, "spark shuffles data"), (2L, "rows and files")).coalesce(1))
+    t.write(df((3L, "more data here"), (4L, "nothing relevant")).coalesce(1))
+    t.write(df((5L, "unrelated words only")).coalesce(1))
+    t.rebuildTextIndex("text")
+    val got = t.searchText("text", "data").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L))
+    assert(got == plainMatch(t, "data"))
+    // pruning: only the two files containing "data" are candidates
+    assert(t.textCandidates("text", "data").size == 2)
+    assert(t.textCandidates("text", "unrelated").size == 1)
+    // a token nowhere in the corpus prunes everything
+    assert(t.textCandidates("text", "zzzmissing").isEmpty)
+    // nulls tokenize to nothing and never match
+    t.write(df((6L, null)).coalesce(1))
+    assert(!t.searchText("text", "data").collect().map(_.getLong(0)).contains(6L))
+  }
+
+  test("fail-open: files committed after the rebuild are always scanned") {
+    val t = GraftTable.create(spark, tmp(), sch)
+    t.write(df((1L, "alpha beta")).coalesce(1))
+    t.rebuildTextIndex("text")
+    t.write(df((2L, "beta gamma")).coalesce(1)) // NOT covered by the index
+    val got = t.searchText("text", "beta").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+    // the uncovered file stays a candidate even for a token the index
+    // has never seen
+    assert(t.textCandidates("text", "gamma").size == 1)
+    // rebuild covers it; a token-free probe prunes both again
+    t.rebuildTextIndex("text")
+    assert(t.textCandidates("text", "zzzmissing").isEmpty)
+  }
+
+  test("PK table: pruning widens to merge units so upserts stay correct") {
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("id"), options = Map("bucket" -> "2"))
+    t.write(df((1L, "old version with needle"), (2L, "stable needle row")))
+    t.write(df((1L, "new version without it"))) // newer file lacks the token
+    t.rebuildTextIndex("text")
+    // id=1's latest version does NOT contain "needle": a naive per-file
+    // prune would drop the newer file and resurrect the old version
+    val got = t.searchText("text", "needle").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L))
+    assert(got == plainMatch(t, "needle"))
+  }
+
+  test("SQL surface: CALL sys.rebuild_text_index") {
+    val wh = Files.createTempDirectory("graft-text-wh").toString
+    spark.conf.set("spark.sql.catalog.graft_txt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_txt.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_txt.db")
+    spark.sql("CREATE TABLE graft_txt.db.t (id BIGINT, text STRING)")
+    spark.sql("INSERT INTO graft_txt.db.t VALUES (1, 'hello world'), (2, 'bye')")
+    val res = spark.sql("CALL graft_txt.sys.rebuild_text_index('db.t', 'text')")
+      .head.getString(0)
+    assert(res.contains("text index"), res)
+    val t = GraftTable.load(spark, s"$wh/db/t")
+    assert(t.searchText("text", "hello").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+}
