@@ -490,6 +490,29 @@ object Similarity {
 
     private def capOf(level: Int): Int = if (level == 0) 2 * m else m
 
+    /** Diverse neighbor selection (the paper's Algorithm 4,
+      * SELECT-NEIGHBORS-HEURISTIC, with keepPrunedConnections):
+      * walking candidates closest-first, keep c only if it is closer
+      * to `base` than to every already-kept neighbor, then pad with
+      * the closest skipped ones up to `cap`. Plain closest-M would
+      * keep only intra-cluster links and DISCONNECT tight clusters —
+      * the one failure mode a graph ANN must not have (a shard whose
+      * entry lands in the wrong cluster then returns pure noise). */
+    private def selectNeighbors(
+        base: Array[Double], cands: Seq[Int], cap: Int): Seq[Int] = {
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val skipped = scala.collection.mutable.ArrayBuffer.empty[Int]
+      cands.foreach { c =>
+        if (kept.size < cap) {
+          val dBase = 1.0 - dotV(base, vecs(c))
+          if (kept.forall(k => 1.0 - dotV(vecs(k), vecs(c)) > dBase)) kept += c
+          else skipped += c
+        }
+      }
+      kept ++= skipped.take(cap - kept.size)
+      kept.toSeq
+    }
+
     def insert(id: Long, rawVec: Array[Double]): Unit = {
       val v = norm(rawVec)
       val lvl = levelOf(id)
@@ -517,16 +540,17 @@ object Similarity {
       l = math.min(lvl, maxLevel)
       while (l >= 0) {
         val found = searchLayer(v, ep, efC, l)
-        val chosen = found.take(capOf(l))
+        val chosen = selectNeighbors(v, found, capOf(l))
         chosen.foreach { nb =>
           links(l)(node) += nb
           links(l)(nb) += node
           if (links(l)(nb).length > capOf(l)) {
-            // prune the neighbor's list back to its closest cap
-            val kept = links(l)(nb).toSeq
+            // re-select the neighbor's list with the same diversity
+            // heuristic (closest-first order), never plain closest-cap
+            val sorted = links(l)(nb).toSeq
               .sortBy(x => (-dotV(vecs(nb), vecs(x)), ids(x)))
-              .take(capOf(l))
-            links(l)(nb) = scala.collection.mutable.ArrayBuffer(kept: _*)
+            links(l)(nb) = scala.collection.mutable.ArrayBuffer(
+              selectNeighbors(vecs(nb), sorted, capOf(l)): _*)
           }
         }
         ep = found

@@ -314,6 +314,40 @@ object Pipeline {
       Similarity.recallOk(approx, exact, threshold = 0.8)
     },
 
+    // ---- TABLE-ATTACHED vector index (reference: paimon-faiss
+    // global vector indexes created by CreateGlobalIndexProcedure):
+    // embeddings stored IN a graft table, rebuild_vector_index stamps
+    // a sharded-HNSW sidecar with the snapshot id, vectorSearch
+    // probes it while fresh and falls back to an in-memory build on
+    // any later commit — never a stale result. Recall-gated like
+    // s05/s06; the write wave after the first build exercises the
+    // staleness fallback inside the gate (new vectors must appear),
+    // the second rebuild the refreshed-sidecar path.
+    QDef(
+      "s07_vector_index_table",
+      """SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin) { (s, dir) =>
+      import graft.table.GraftTable
+      val emb = tbl(s, dir, "embeddings")
+      val t = GraftTable.create(s,
+        java.nio.file.Files.createTempDirectory("graft-s07-").toString + "/table",
+        emb.schema)
+      val half = emb.filter(col("vec_id") % 2 === 0)
+      t.write(half)
+      t.rebuildVectorIndex("vec_id", "embedding")
+      t.write(emb.filter(col("vec_id") % 2 === 1)) // stales the sidecar
+      val q = emb.filter(col("vec_id") < 5)
+      // stale path: must see the odd half via fallback
+      val staleApprox = t.vectorSearch("vec_id", "embedding", q, kNeighbors = 5)
+      t.rebuildVectorIndex("vec_id", "embedding")
+      val freshApprox = t.vectorSearch("vec_id", "embedding", q, kNeighbors = 5)
+      val exact = Similarity.bruteForceTopK(t.read, q, "vec_id", "embedding", 5)
+      Similarity.recallOk(staleApprox, exact, threshold = 0.8)
+        .join(Similarity.recallOk(freshApprox, exact, threshold = 0.8)
+          .withColumnRenamed("recall_ok", "fresh_ok"), "query_id")
+        .select(col("query_id"), (col("recall_ok") && col("fresh_ok")).as("recall_ok"))
+    },
+
     // ---- embedding-cosine near-dup, exhaustive-blocked companion.
     // The raw embeddings have no near-dup structure (max pairwise
     // cosine ~0.6), so the query PLANTS deterministic near-duplicates:

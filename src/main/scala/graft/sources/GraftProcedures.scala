@@ -89,6 +89,15 @@ object GraftProcedures {
         t.rebuildTextIndex(c)
         s"text index rebuilt for $c"
       }),
+    // table-attached HNSW vector index build (reference:
+    // paimon-faiss + CreateGlobalIndexProcedure vector indexes).
+    "rebuild_vector_index" -> (Seq(
+      p("table", StringType), p("id_column", StringType), p("vector_column", StringType)),
+      (t, args) => {
+        val (idc, vc) = (args.getUTF8String(1).toString, args.getUTF8String(2).toString)
+        t.rebuildVectorIndex(idc, vc)
+        s"vector index rebuilt for $vc"
+      }),
     // SQL surface for incremental reads (reference:
     // PaimonTableValuedFunctions.paimon_incremental_query — Spark 4 has
     // no user TVF extension point, so the procedure registers the lazy

@@ -2320,6 +2320,64 @@ final class GraftTable private (
     victims.map(_.partition).distinct
   }
 
+  // ================= vector index =================
+
+  /** Build the table-attached HNSW vector index for (`idCol`,
+    * `vecCol`) over the current snapshot (reference: paimon-faiss
+    * persisted global vector indexes created by
+    * CreateGlobalIndexProcedure.java — here the pure-JVM sharded
+    * graphs of [[graft.operators.Similarity]]): sharded graph
+    * parquet under `index-hnsw/<vecCol>/` plus a state json stamped
+    * with the snapshot id. [[vectorSearch]] probes the sidecar only
+    * while the stamp matches the latest snapshot — any later commit
+    * invalidates it and search falls back to an in-memory sharded
+    * build over the CURRENT data (ANN semantics preserved, never a
+    * stale result). */
+  def rebuildVectorIndex(
+      idCol: String, vecCol: String,
+      shards: Int = 4, m: Int = 8, efConstruction: Int = 64): Unit = {
+    require(struct.fieldNames.contains(idCol) && struct.fieldNames.contains(vecCol),
+      s"no such columns: $idCol / $vecCol")
+    val snap = sm.latestSnapshot().getOrElse(
+      throw new IllegalStateException("empty table"))
+    val dir = s"index-hnsw/$vecCol"
+    graft.operators.Similarity.buildHnswIndex(
+      read.select(col(idCol), col(vecCol)), s"$path/$dir",
+      idCol, vecCol, shards, m, efConstruction)
+    sm.io.writeString(s"$path/$dir/state.json", Json.write(
+      GraftTable.VectorIndexState(idCol, vecCol, snap.id, shards, m, efConstruction)))
+  }
+
+  /** ANN top-k by cosine over `vecCol`: the persisted index when it
+    * is fresh (state snapshot == latest), an in-memory sharded build
+    * over current data otherwise. Output: (query_id, neighbor_id,
+    * cosine, rank). */
+  def vectorSearch(
+      idCol: String, vecCol: String, queries: DataFrame,
+      kNeighbors: Int = 5, efSearch: Int = 48): DataFrame = {
+    val dir = s"index-hnsw/$vecCol"
+    val stPath = s"$path/$dir/state.json"
+    val st =
+      try {
+        if (sm.io.exists(stPath))
+          Some(Json.read(sm.io.readString(stPath),
+            classOf[GraftTable.VectorIndexState]))
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    st.filter(s => sm.latestSnapshotId.contains(s.snapshotId) &&
+        s.idCol == idCol && s.vecCol == vecCol) match {
+      case Some(_) =>
+        graft.operators.Similarity.hnswIndexTopK(
+          spark, s"$path/$dir", queries, idCol, vecCol, kNeighbors, efSearch)
+      case None => // stale or absent: never serve old vectors
+        val p = st.getOrElse(
+          GraftTable.VectorIndexState(idCol, vecCol, -1L, 4, 8, 64))
+        graft.operators.Similarity.hnswTopK(
+          read.select(col(idCol), col(vecCol)), queries, idCol, vecCol,
+          kNeighbors, p.shards, p.m, p.efConstruction, efSearch)
+    }
+  }
+
   // ================= full-text index =================
 
   /** Rebuild the global full-text inverted index for `column` over the
@@ -3439,6 +3497,13 @@ object GraftTable {
   case class TextIndexState(
       column: String, snapshotId: Long,
       covered: Seq[String], postings: Seq[String])
+
+  /** Persisted state of one column's HNSW vector index
+    * (`index-hnsw/<vecCol>/state.json`); `snapshotId` stamps the
+    * snapshot the graphs were built from. */
+  case class VectorIndexState(
+      idCol: String, vecCol: String, snapshotId: Long,
+      shards: Int, m: Int, efConstruction: Int)
 
   /** Bucket id of postpone-staged files (`bucket = -2` tables): written
     * without a shuffle, invisible to reads until compaction assigns
