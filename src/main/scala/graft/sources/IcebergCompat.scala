@@ -284,7 +284,10 @@ object IcebergCompat {
     val (dataFiles, deletes) = externalState(tablePath)
     if (dataFiles.isEmpty)
       return spark.emptyDataFrame
-    val base = spark.read.parquet(dataFiles: _*)
+    // graft mixes parquet and orc data files mid-life; group per format
+    val base = dataFiles.groupBy(f => fileFormat(f).toLowerCase)
+      .map { case (fmt, fs) => spark.read.format(fmt).load(fs: _*) }
+      .reduce(_ unionByName _)
     if (deletes.isEmpty) base
     else {
       import spark.implicits._

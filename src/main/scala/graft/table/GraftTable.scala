@@ -2433,7 +2433,8 @@ final class GraftTable private (
     * granularity — dropping one level file from an LSM merge would
     * resurrect older versions. Fail-open on any index read problem. */
   private[graft] def textCandidates(
-      column: String, word: String): Seq[ManifestEntry] = {
+      column: String, word: String,
+      prefixMatch: Boolean = false): Seq[ManifestEntry] = {
     val snap = sm.latestSnapshot().getOrElse(return Seq.empty)
     val entries = visibleEntries(sm.liveEntries(snap))
     val stPath = s"$path/index-text/$column/state.json"
@@ -2451,7 +2452,8 @@ final class GraftTable private (
           try {
             if (s0.postings.isEmpty) Set.empty
             else spark.read.parquet(s0.postings.map(p => s"$path/$p"): _*)
-              .filter(col("token") === word)
+              .filter(if (prefixMatch) col("token").startsWith(word)
+                      else col("token") === word)
               .select("f").distinct()
               .collect().map(_.getString(0)).toSet
           } catch { case scala.util.control.NonFatal(_) => covered }
@@ -2477,6 +2479,22 @@ final class GraftTable private (
       .filter(array_contains(split(
         coalesce(col(column).cast("string"), lit("")),
         GraftTable.TextTokenSplit), word))
+    matched.select(struct.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Rows whose `column` contains a token starting with `prefix`
+    * (Lucene prefix-query counterpart). The postings are sorted by
+    * token, so the index probe is a `startsWith` range scan served by
+    * parquet row-group stats; pruning semantics (fail-open, PK
+    * merge units) match [[searchText]]. */
+  def searchTextPrefix(column: String, prefix: String): DataFrame = {
+    require(prefix.nonEmpty && !prefix.exists(c => !c.isLetterOrDigit),
+      "searchTextPrefix takes a token prefix: [A-Za-z0-9]+")
+    val matched = mergedFromEntries(
+      textCandidates(column, prefix, prefixMatch = true))
+      .filter(exists(split(
+        coalesce(col(column).cast("string"), lit("")),
+        GraftTable.TextTokenSplit), t => t.startsWith(prefix)))
     matched.select(struct.fieldNames.map(col).toIndexedSeq: _*)
   }
 

@@ -86,6 +86,24 @@ class TextIndexSpec extends AnyFunSuite {
     assert(got == plainMatch(t, "needle"))
   }
 
+  test("prefix search: range-scan pruning, same fail-open semantics") {
+    val t = GraftTable.create(spark, tmp(), sch)
+    t.write(df((1L, "sparkly things"), (2L, "sparse rows")).coalesce(1))
+    t.write(df((3L, "spanner data"), (4L, "unrelated")).coalesce(1))
+    t.rebuildTextIndex("text")
+    val got = t.searchTextPrefix("text", "spar").select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+    // both spar* tokens live in file 1 → file 2 pruned
+    assert(t.textCandidates("text", "spar", prefixMatch = true).size == 1)
+    assert(t.textCandidates("text", "span", prefixMatch = true).size == 1)
+    assert(t.textCandidates("text", "zz", prefixMatch = true).isEmpty)
+    // uncovered late append stays fail-open
+    t.write(df((5L, "sparta lives")).coalesce(1))
+    assert(t.searchTextPrefix("text", "spar").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
+  }
+
   test("SQL surface: CALL sys.rebuild_text_index") {
     val wh = Files.createTempDirectory("graft-text-wh").toString
     spark.conf.set("spark.sql.catalog.graft_txt", "graft.sources.GraftCatalog")
