@@ -97,9 +97,21 @@ object IcebergCompat {
       /** metadata-dir file NAMES owned by the last sync (cleanup set) */
       written: Seq[String])
 
+  /** Per-table-path serialization of sync: the per-commit hook can
+    * fire from concurrent writers, and an interleaved cleanup could
+    * delete a manifest a concurrent sync just decided to reuse.
+    * In-JVM locking covers the local[n] and per-executor cases; the
+    * cross-process story is the same single-writer assumption the
+    * reference's commit callback makes. */
+  private val syncLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
   /** Write the Iceberg metadata tree for the table's latest snapshot.
     * @return path of the metadata json, None for an empty table */
-  def sync(t: GraftTable): Option[String] = {
+  def sync(t: GraftTable): Option[String] =
+    syncLocks.getOrElseUpdate(t.path, new Object).synchronized { syncLocked(t) }
+
+  private def syncLocked(t: GraftTable): Option[String] = {
     val latest = t.sm.latestSnapshot().getOrElse(return None)
     val sch = t.schema
     val all = t.sm.liveEntries(latest)

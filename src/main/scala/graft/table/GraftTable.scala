@@ -2434,7 +2434,36 @@ final class GraftTable private (
     * resurrect older versions. Fail-open on any index read problem. */
   private[graft] def textCandidates(
       column: String, word: String,
-      prefixMatch: Boolean = false): Seq[ManifestEntry] = {
+      prefixMatch: Boolean = false): Seq[ManifestEntry] =
+    textPrune(column) { postings =>
+      postings
+        .filter(if (prefixMatch) col("token").startsWith(word)
+                else col("token") === word)
+        .select("f").distinct()
+        .collect().map(_.getString(0)).toSet
+    }
+
+  /** Candidates for an AND of whole tokens: one postings scan, a file
+    * survives only if it holds EVERY word (groupBy f + distinct-token
+    * count) — tighter than intersecting per-word probes, same single
+    * bounded job. */
+  private[graft] def textCandidatesAll(
+      column: String, words: Seq[String]): Seq[ManifestEntry] = {
+    val distinctWords = words.distinct
+    textPrune(column) { postings =>
+      postings
+        .filter(col("token").isin(distinctWords: _*))
+        .groupBy("f").agg(countDistinct(col("token")).as("n"))
+        .filter(col("n") === distinctWords.size)
+        .select("f")
+        .collect().map(_.getString(0)).toSet
+    }
+  }
+
+  /** Shared text-index pruning scaffold: `hitsOf` maps the postings
+    * DataFrame to the set of matching file basenames. */
+  private def textPrune(column: String)(
+      hitsOf: DataFrame => Set[String]): Seq[ManifestEntry] = {
     val snap = sm.latestSnapshot().getOrElse(return Seq.empty)
     val entries = visibleEntries(sm.liveEntries(snap))
     val stPath = s"$path/index-text/$column/state.json"
@@ -2451,11 +2480,7 @@ final class GraftTable private (
         val hits: Set[String] =
           try {
             if (s0.postings.isEmpty) Set.empty
-            else spark.read.parquet(s0.postings.map(p => s"$path/$p"): _*)
-              .filter(if (prefixMatch) col("token").startsWith(word)
-                      else col("token") === word)
-              .select("f").distinct()
-              .collect().map(_.getString(0)).toSet
+            else hitsOf(spark.read.parquet(s0.postings.map(p => s"$path/$p"): _*))
           } catch { case scala.util.control.NonFatal(_) => covered }
         val keep = entries.filter { e =>
           val b = basename(e.file.fileName)
@@ -2479,6 +2504,20 @@ final class GraftTable private (
       .filter(array_contains(split(
         coalesce(col(column).cast("string"), lit("")),
         GraftTable.TextTokenSplit), word))
+    matched.select(struct.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Rows whose `column` contains EVERY word in `words` as a whole
+    * token (Lucene boolean-AND counterpart). Pruning needs one
+    * postings job regardless of word count. */
+  def searchTextAll(column: String, words: Seq[String]): DataFrame = {
+    require(words.nonEmpty && words.forall(w =>
+      w.nonEmpty && !w.exists(c => !c.isLetterOrDigit)),
+      "searchTextAll takes whole tokens: [A-Za-z0-9]+")
+    val tokens = split(
+      coalesce(col(column).cast("string"), lit("")), GraftTable.TextTokenSplit)
+    val matched = mergedFromEntries(textCandidatesAll(column, words))
+      .filter(words.distinct.map(w => array_contains(tokens, w)).reduce(_ && _))
     matched.select(struct.fieldNames.map(col).toIndexedSeq: _*)
   }
 

@@ -86,6 +86,25 @@ class TextIndexSpec extends AnyFunSuite {
     assert(got == plainMatch(t, "needle"))
   }
 
+  test("AND search: intersection pruning in one postings job") {
+    val t = GraftTable.create(spark, tmp(), sch)
+    t.write(df((1L, "alpha beta gamma"), (2L, "alpha only here")).coalesce(1))
+    t.write(df((3L, "beta gamma delta"), (4L, "alpha beta")).coalesce(1))
+    t.rebuildTextIndex("text")
+    val got = t.searchTextAll("text", Seq("alpha", "beta")).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 4L))
+    // both files hold alpha∧beta rows here; a pair crossing files prunes
+    assert(t.textCandidatesAll("text", Seq("alpha", "delta")).size == 1)
+    assert(t.textCandidatesAll("text", Seq("alpha", "zzz")).isEmpty)
+    // duplicate words count once
+    assert(t.searchTextAll("text", Seq("alpha", "alpha")).count() == 3)
+    // fail-open for uncovered appends
+    t.write(df((5L, "alpha beta late")).coalesce(1))
+    assert(t.searchTextAll("text", Seq("alpha", "beta")).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 4L, 5L))
+  }
+
   test("prefix search: range-scan pruning, same fail-open semantics") {
     val t = GraftTable.create(spark, tmp(), sch)
     t.write(df((1L, "sparkly things"), (2L, "sparse rows")).coalesce(1))
