@@ -3539,7 +3539,19 @@ final class GraftTable private (
         val kind = p.substring(p.lastIndexOf('.') + 1) // bloom | bitmap | bsi
         sized(s"file-$kind($c)", Seq(p)).head
       })
-    (snapLevel ++ perFile).toDF("index_type", "path", "file_size")
+    // table-attached (snapshot-stamped) indexes: full-text postings and
+    // HNSW vector graphs live under the table dir with a state json
+    val attached = Seq("index-text" -> "full-text", "index-hnsw" -> "vector-hnsw")
+      .flatMap { case (root, kind) =>
+        sm.io.list(s"$path/$root").map(_.split('/').last).flatMap { colDir =>
+          graft.core.FsUtil.walkAll(Paths.get(s"$path/$root/$colDir")).iterator
+            .filter(Files.isRegularFile(_))
+            .map(p => sized(s"$kind($colDir)",
+              Seq(Paths.get(path).relativize(p).toString)).head)
+            .toSeq
+        }
+      }
+    (snapLevel ++ perFile ++ attached).toDF("index_type", "path", "file_size")
   }
 }
 
