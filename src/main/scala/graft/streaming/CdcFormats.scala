@@ -98,12 +98,18 @@ object CdcFormats {
   }
 
   /** One schema-inference pass over the batch's JSON, then distributed
-    * from_json parsing. Inference cost is a single scan of the (small,
+    * from_json parsing. The raw strings are materialized ONCE
+    * (localCheckpoint) so the upstream producing them — a Kafka poll,
+    * a to_json projection, a file read — executes a single time per
+    * change batch instead of once for inference and again for the
+    * parse; blocks are scoped to the batch and reclaimed by the
+    * context cleaner. Inference cost is a single scan of the (small,
     * per-epoch) change batch — never of the table. */
   private def inferParse(raw: DataFrame, jsonCol: String): DataFrame = {
     val spark = raw.sparkSession
     import spark.implicits._
     val strs = raw.select(col(jsonCol).cast("string").as("j"))
+      .localCheckpoint(true)
     val schema = spark.read.json(strs.as[String]).schema
     strs.select(from_json(col("j"), schema).as("r")).select("r.*")
   }
