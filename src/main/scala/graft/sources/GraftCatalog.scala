@@ -31,7 +31,8 @@ import scala.jdk.CollectionConverters._
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -232,6 +233,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       java.nio.file.Paths.get(tablePath(oldIdent)),
       java.nio.file.Paths.get(tablePath(newIdent)))
   }
+
+  // ---- views ----------------------------------------------------------
+  // Spark 4 ViewCatalog connector API (reference: paimon's SupportView).
+  // Spark's analyzer does not consult this interface yet, so the SQL
+  // surface (CREATE/DROP/SHOW/ALTER VIEW + read substitution) is wired
+  // by GraftExtensions; this implementation is the storage layer. Views
+  // are SQL text + frozen schema at <warehouse>/<ns>/<name>/view.json.
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    GraftViews.list(warehouse, namespace.toArray)
+
+  override def loadView(ident: Identifier): org.apache.spark.sql.connector.catalog.View =
+    GraftViews.load(warehouse, ident)
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViews.exists(warehouse, ident)
+
+  override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    GraftViews.create(warehouse, info, orReplace = false)
+    GraftViews.load(warehouse, info.ident)
+  }
+
+  override def replaceView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean): org.apache.spark.sql.connector.catalog.View = {
+    if (!orCreate && !GraftViews.exists(warehouse, info.ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(info.ident)
+    GraftViews.create(warehouse, info, orReplace = true)
+    GraftViews.load(warehouse, info.ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View =
+    GraftViews.alter(warehouse, ident, changes)
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftViews.drop(warehouse, ident)
+
+  override def renameView(from: Identifier, to: Identifier): Unit =
+    GraftViews.rename(warehouse, from, to)
 
   // ---- namespaces -----------------------------------------------------
 

@@ -1,0 +1,307 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{GetColumnByOrdinal, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedTableOrView, UnresolvedView}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, UpCast}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewInfo}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Session extensions wiring catalog-stored views into SQL
+  * (reference: PaimonSparkSessionExtensions + PaimonViewResolver +
+  * RewriteSparkDDLCommands + PaimonStrategy/PaimonViewExec).
+  *
+  * Spark 4.1 ships the `ViewCatalog` connector API but its analyzer
+  * never consults it — `ResolveSessionCatalog` rejects view DDL against
+  * any non-session catalog outright (MISSING_CATALOG_ABILITY.VIEWS),
+  * which is exactly why the reference carries its own rules. We differ
+  * from the reference in the injection point: instead of a parser
+  * override that rewrites DDL statements, a single hint-batch
+  * resolution rule (the batch that runs BEFORE the Resolution batch
+  * containing ResolveSessionCatalog) converts the parsed view plans
+  * into graft commands and substitutes view reads — no parser fork.
+  *
+  * Register with
+  * `spark.sql.extensions=graft.sources.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectHintResolutionRule(s => GraftViewRule(s))
+    e.injectPlannerStrategy(s => GraftViewStrategy(s))
+  }
+}
+
+/** Pre-resolution conversion of view DDL + view-read substitution. */
+case class GraftViewRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  /** parts → (catalog, ident) when the name targets a GraftCatalog.
+    * Mirrors Spark's CatalogAndIdentifier precedence: an explicit
+    * leading catalog name wins; otherwise the current catalog + current
+    * namespace apply. */
+  private def graftIdent(parts: Seq[String]): Option[(GraftCatalog, Identifier)] = {
+    val cm = spark.sessionState.catalogManager
+    def asGraft(name: String): Option[GraftCatalog] =
+      try cm.catalog(name) match {
+        case g: GraftCatalog => Some(g)
+        case _ => None
+      } catch { case _: Exception => None }
+    if (parts.length >= 2) {
+      asGraft(parts.head)
+        .map(g => (g, Identifier.of(parts.tail.dropRight(1).toArray, parts.last)))
+        .orElse {
+          cm.currentCatalog match {
+            case g: GraftCatalog =>
+              Some((g, Identifier.of(parts.dropRight(1).toArray, parts.last)))
+            case _ => None
+          }
+        }
+    } else if (parts.length == 1) {
+      cm.currentCatalog match {
+        // bare names: session temp views take precedence, as in Spark
+        case g: GraftCatalog
+            if spark.sessionState.catalog.getTempView(parts.head).isEmpty =>
+          Some((g, Identifier.of(cm.currentNamespace, parts.head)))
+        case _ => None
+      }
+    } else None
+  }
+
+  /** namespace parts → (catalog, namespace): explicit leading catalog
+    * name wins, else the current catalog if it is a GraftCatalog. */
+  private def graftNamespace(parts: Seq[String]): Option[(GraftCatalog, Array[String])] = {
+    val cm = spark.sessionState.catalogManager
+    val explicit =
+      if (parts.isEmpty) None
+      else try cm.catalog(parts.head) match {
+        case g: GraftCatalog => Some((g, parts.tail.toArray))
+        case _ => None
+      } catch { case _: Exception => None }
+    explicit.orElse {
+      cm.currentCatalog match {
+        case g: GraftCatalog => Some((g, parts.toArray))
+        case _ => None
+      }
+    }
+  }
+
+  /** parts → (catalog, ident) only when a stored view exists there. */
+  private def existingView(parts: Seq[String]): Option[(GraftCatalog, Identifier)] =
+    graftIdent(parts).filter { case (g, id) => g.viewExists(id) }
+
+  /** Stored view → SubqueryAlias(Project(stored-schema casts, parsed
+    * text)) (reference: PaimonViewResolver.createViewRelation — the
+    * frozen schema is re-imposed positionally over the re-parsed query
+    * so later base-table widenings can't silently change the view's
+    * types). */
+  private def viewRelation(parts: Seq[String], g: GraftCatalog, id: Identifier): LogicalPlan = {
+    val v = g.loadView(id)
+    val parsed = spark.sessionState.sqlParser.parsePlan(v.query)
+    val aliases = v.schema.fields.zipWithIndex.map { case (f, i) =>
+      Alias(UpCast(GetColumnByOrdinal(i, f.dataType), f.dataType), f.name)()
+    }.toSeq
+    SubqueryAlias(parts, Project(aliases, parsed))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    // ---- reads: substitute stored views for unresolved relations
+    case u @ UnresolvedRelation(parts, _, isStreaming) if !isStreaming =>
+      existingView(parts)
+        .map { case (g, id) => viewRelation(parts, g, id) }
+        .getOrElse(u)
+
+    // ---- DDL
+    case c @ CreateView(UnresolvedIdentifier(parts, _), userCols, comment, _,
+        props, originalText, _, allowExisting, replace, _) =>
+      graftIdent(parts).map { case (g, id) =>
+        GraftCreateViewCommand(g, id, originalText.getOrElse(
+          throw new IllegalArgumentException("CREATE VIEW requires SQL text")),
+          userCols.map { case (n, cmt) => (n, cmt.orNull) },
+          comment.orNull, props, allowExisting, replace)
+      }.getOrElse(c)
+
+    case d @ DropView(UnresolvedIdentifier(parts, _), ifExists) =>
+      graftIdent(parts).map { case (g, id) =>
+        GraftDropViewCommand(g, id, ifExists)
+      }.getOrElse(d)
+
+    case s @ ShowViews(UnresolvedNamespace(parts, _), pattern, output) =>
+      graftNamespace(parts).map { case (g, ns) =>
+        GraftShowViewsCommand(g, ns, pattern, output)
+      }.getOrElse(s)
+
+    case s @ ShowViews(org.apache.spark.sql.catalyst.analysis.CurrentNamespace, pattern, output) =>
+      spark.sessionState.catalogManager.currentCatalog match {
+        case g: GraftCatalog =>
+          GraftShowViewsCommand(g,
+            spark.sessionState.catalogManager.currentNamespace, pattern, output)
+        case _ => s
+      }
+
+    case p @ SetViewProperties(UnresolvedView(parts, _, _, _), props) =>
+      existingView(parts).map { case (g, id) =>
+        GraftAlterViewPropsCommand(g, id, set = props, unset = Nil)
+      }.getOrElse(p)
+
+    case p @ UnsetViewProperties(UnresolvedView(parts, _, _, _), keys, _) =>
+      existingView(parts).map { case (g, id) =>
+        GraftAlterViewPropsCommand(g, id, set = Map.empty, unset = keys)
+      }.getOrElse(p)
+
+    case a @ AlterViewAs(UnresolvedView(parts, _, _, _), originalText, _) =>
+      existingView(parts).map { case (g, id) =>
+        GraftAlterViewAsCommand(g, id, originalText)
+      }.getOrElse(a)
+
+    case r @ RenameTable(UnresolvedTableOrView(parts, _, _), newName, true) =>
+      existingView(parts).map { case (g, id) =>
+        val toId = graftIdent(newName).map(_._2).getOrElse(
+          Identifier.of(id.namespace(), newName.last))
+        GraftRenameViewCommand(g, id, toId)
+      }.getOrElse(r)
+  }
+}
+
+// ---- logical commands (eagerly executed: they extend Command) --------
+
+case class GraftCreateViewCommand(
+    catalog: GraftCatalog, ident: Identifier, sql: String,
+    userCols: Seq[(String, String)], comment: String,
+    props: Map[String, String], allowExisting: Boolean, replace: Boolean)
+  extends LeafCommand {
+  override def output: Seq[Attribute] = Nil
+}
+
+case class GraftDropViewCommand(
+    catalog: GraftCatalog, ident: Identifier, ifExists: Boolean)
+  extends LeafCommand {
+  override def output: Seq[Attribute] = Nil
+}
+
+case class GraftShowViewsCommand(
+    catalog: GraftCatalog, namespace: Array[String],
+    pattern: Option[String], override val output: Seq[Attribute])
+  extends LeafCommand
+
+case class GraftAlterViewPropsCommand(
+    catalog: GraftCatalog, ident: Identifier,
+    set: Map[String, String], unset: Seq[String])
+  extends LeafCommand {
+  override def output: Seq[Attribute] = Nil
+}
+
+case class GraftAlterViewAsCommand(
+    catalog: GraftCatalog, ident: Identifier, sql: String)
+  extends LeafCommand {
+  override def output: Seq[Attribute] = Nil
+}
+
+case class GraftRenameViewCommand(
+    catalog: GraftCatalog, from: Identifier, to: Identifier)
+  extends LeafCommand {
+  override def output: Seq[Attribute] = Nil
+}
+
+// ---- physical execution ----------------------------------------------
+
+case class GraftViewStrategy(spark: SparkSession) extends SparkStrategy {
+
+  /** Analyze (without executing) the view text to freeze its schema. */
+  private def analyzedSchema(sql: String): StructType =
+    spark.sessionState.executePlan(
+      spark.sessionState.sqlParser.parsePlan(sql)).analyzed.schema
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case c: GraftCreateViewCommand =>
+      GraftViewExec(Nil, () => {
+        val wh = c.catalog.warehousePath
+        if (GraftViews.exists(wh, c.ident) && c.allowExisting) Nil
+        else {
+          val base = analyzedSchema(c.sql)
+          require(c.userCols.isEmpty || c.userCols.length == base.fields.length,
+            s"view column list has ${c.userCols.length} names for " +
+              s"${base.fields.length} query columns")
+          // user column list renames positionally; comments ride along
+          val schema = if (c.userCols.isEmpty) base
+            else StructType(base.fields.zip(c.userCols).map {
+              case (f, (n, _)) => f.copy(name = n) })
+          val cm = spark.sessionState.catalogManager
+          val props = new java.util.HashMap[String, String]()
+          c.props.foreach { case (k, v) => props.put(k, v) }
+          if (c.comment != null) props.put("comment", c.comment)
+          val info = new ViewInfo(c.ident, c.sql, cm.currentCatalog.name(),
+            cm.currentNamespace, schema,
+            base.fields.map(_.name), c.userCols.map(_._1).toArray,
+            c.userCols.map(_._2).toArray, props)
+          if (c.replace) c.catalog.replaceView(info, orCreate = true)
+          else c.catalog.createView(info)
+          Nil
+        }
+      }) :: Nil
+
+    case d: GraftDropViewCommand =>
+      GraftViewExec(Nil, () => {
+        if (!d.catalog.dropView(d.ident) && !d.ifExists)
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(d.ident)
+        Nil
+      }) :: Nil
+
+    case s: GraftShowViewsCommand =>
+      GraftViewExec(s.output, () => {
+        val ns = s.namespace.mkString(".")
+        s.catalog.listViews(s.namespace.toIndexedSeq: _*)
+          .filter(id => s.pattern.forall(p =>
+            org.apache.spark.sql.catalyst.util.StringUtils
+              .filterPattern(Seq(id.name()), p).nonEmpty))
+          .sortBy(_.name())
+          .map(id => InternalRow(
+            UTF8String.fromString(ns), UTF8String.fromString(id.name()), false))
+          .toIndexedSeq
+      }) :: Nil
+
+    case p: GraftAlterViewPropsCommand =>
+      GraftViewExec(Nil, () => {
+        import org.apache.spark.sql.connector.catalog.ViewChange
+        val changes: Seq[ViewChange] =
+          p.set.map { case (k, v) => ViewChange.setProperty(k, v) }.toSeq ++
+            p.unset.map(ViewChange.removeProperty)
+        p.catalog.alterView(p.ident, changes: _*)
+        Nil
+      }) :: Nil
+
+    case a: GraftAlterViewAsCommand =>
+      GraftViewExec(Nil, () => {
+        val old = a.catalog.loadView(a.ident)
+        val info = new ViewInfo(a.ident, a.sql, old.currentCatalog,
+          old.currentNamespace, analyzedSchema(a.sql),
+          Array.empty, Array.empty, Array.empty, old.properties)
+        a.catalog.replaceView(info, orCreate = false)
+        Nil
+      }) :: Nil
+
+    case r: GraftRenameViewCommand =>
+      GraftViewExec(Nil, () => { r.catalog.renameView(r.from, r.to); Nil }) :: Nil
+
+    case _ => Nil
+  }
+}
+
+/** Driver-local command exec (same shape as Spark's V2CommandExec:
+  * rows computed once on the driver, parallelized only if a downstream
+  * operator genuinely executes the plan). */
+case class GraftViewExec(
+    override val output: Seq[Attribute],
+    run: () => Seq[InternalRow]) extends org.apache.spark.sql.execution.LeafExecNode {
+
+  private lazy val result: Seq[InternalRow] = run()
+
+  override def executeCollect(): Array[InternalRow] = result.toArray
+
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(result, 1)
+}

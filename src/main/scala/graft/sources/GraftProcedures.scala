@@ -245,6 +245,19 @@ object GraftProcedures {
         if (failed.isEmpty) s"compacted $n tables"
         else s"compacted $n tables, ${failed.size} failed: ${failed.mkString(",")}"
       }),
+    // per-engine SQL text on a stored view (reference:
+    // AlterViewDialectProcedure — action add|update|drop; the `spark`
+    // dialect is the base query other engines' dialects hang off).
+    "alter_view_dialect" -> (Seq(
+      p("view", StringType), p("action", StringType),
+      p("dialect", StringType), p("sql", StringType)),
+      (c, args) => {
+        val parts = args.getUTF8String(0).toString.split("\\.")
+        GraftViews.alterDialect(c.warehousePath,
+          Identifier.of(parts.dropRight(1), parts.last),
+          args.getUTF8String(1).toString, args.getUTF8String(2).toString,
+          args.getUTF8String(3).toString)
+      }),
     "migrate_table" -> (Seq(p("table", StringType), p("source_dir", StringType)),
       (c, args) => {
         val parts = args.getUTF8String(0).toString.split("\\.")

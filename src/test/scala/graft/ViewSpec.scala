@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Catalog-stored SQL views: GraftCatalog implements Spark 4's
+  * ViewCatalog connector API for storage, and GraftExtensions wires the
+  * SQL surface (Spark's analyzer does not yet consult ViewCatalog —
+  * see GraftExtensions; reference: paimon SupportView +
+  * PaimonViewResolver + RewriteSparkDDLCommands). */
+class ViewSpec extends AnyFunSuite {
+
+  lazy val warehouse: String = Files.createTempDirectory("graft-vw").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.sources.GraftExtensions")
+    .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    .config("spark.sql.catalog.graft.warehouse", warehouse)
+    .getOrCreate()
+
+  test("CREATE VIEW / SELECT / SHOW VIEWS / ALTER / RENAME / DROP through SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.vdb")
+    spark.sql(
+      """CREATE TABLE graft.vdb.orders (k BIGINT, status STRING, amount DOUBLE)
+        |""".stripMargin)
+    spark.sql(
+      "INSERT INTO graft.vdb.orders VALUES (1,'O',10.0),(2,'F',20.0),(3,'O',30.0)")
+
+    spark.sql(
+      """CREATE VIEW graft.vdb.open_orders AS
+        |SELECT k, amount FROM graft.vdb.orders WHERE status = 'O'""".stripMargin)
+
+    // resolution: reads go through the stored SQL over the graft table
+    val got = spark.sql("SELECT k, amount FROM graft.vdb.open_orders ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 10.0), (3L, 30.0)))
+
+    // views reflect base-table changes (SQL text, not a materialization)
+    spark.sql("INSERT INTO graft.vdb.orders VALUES (4,'O',40.0)")
+    assert(spark.sql("SELECT count(*) FROM graft.vdb.open_orders").head.getLong(0) == 3L)
+
+    // listing
+    val views = spark.sql("SHOW VIEWS IN graft.vdb").collect().map(_.getString(1))
+    assert(views.contains("open_orders"))
+
+    // CREATE OR REPLACE swaps the query text
+    spark.sql(
+      """CREATE OR REPLACE VIEW graft.vdb.open_orders AS
+        |SELECT k FROM graft.vdb.orders WHERE status = 'F'""".stripMargin)
+    assert(spark.sql("SELECT k FROM graft.vdb.open_orders").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+
+    // properties via ALTER VIEW
+    spark.sql("ALTER VIEW graft.vdb.open_orders SET TBLPROPERTIES ('note'='x')")
+    val meta = graft.sources.GraftViews.load(warehouse,
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("vdb"), "open_orders"))
+    assert(meta.properties().get("note") == "x")
+
+    // IF NOT EXISTS is a no-op on an existing view
+    spark.sql(
+      """CREATE VIEW IF NOT EXISTS graft.vdb.open_orders AS
+        |SELECT 1 AS one""".stripMargin)
+    assert(spark.sql("SELECT k FROM graft.vdb.open_orders").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+
+    // DROP
+    spark.sql("DROP VIEW graft.vdb.open_orders")
+    assert(spark.sql("SHOW VIEWS IN graft.vdb").collect().isEmpty)
+    intercept[Exception](spark.sql("SELECT * FROM graft.vdb.open_orders").collect())
+  }
+
+  test("ALTER VIEW RENAME / AS / UNSET TBLPROPERTIES") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.vdb4")
+    spark.sql("CREATE TABLE graft.vdb4.t (k BIGINT)")
+    spark.sql("INSERT INTO graft.vdb4.t VALUES (1),(2),(3)")
+    spark.sql("CREATE VIEW graft.vdb4.v AS SELECT k FROM graft.vdb4.t WHERE k > 1")
+
+    spark.sql("ALTER VIEW graft.vdb4.v RENAME TO graft.vdb4.w")
+    assert(spark.sql("SHOW VIEWS IN graft.vdb4").collect().map(_.getString(1)).toSeq == Seq("w"))
+    assert(spark.sql("SELECT count(*) FROM graft.vdb4.w").head.getLong(0) == 2L)
+
+    // redefinition keeps properties, swaps query + schema
+    spark.sql("ALTER VIEW graft.vdb4.w SET TBLPROPERTIES ('p'='1')")
+    spark.sql("ALTER VIEW graft.vdb4.w AS SELECT k * 10 AS k10 FROM graft.vdb4.t")
+    assert(spark.sql("SELECT sum(k10) FROM graft.vdb4.w").head.getLong(0) == 60L)
+    val id4 = org.apache.spark.sql.connector.catalog.Identifier.of(Array("vdb4"), "w")
+    assert(graft.sources.GraftViews.load(warehouse, id4).properties().get("p") == "1")
+
+    spark.sql("ALTER VIEW graft.vdb4.w UNSET TBLPROPERTIES ('p')")
+    assert(graft.sources.GraftViews.load(warehouse, id4).properties().get("p") == null)
+  }
+
+  test("view over PK table sees merged state; nested views compose") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.vdb2")
+    spark.sql(
+      """CREATE TABLE graft.vdb2.users (id BIGINT, name STRING)
+        |TBLPROPERTIES ('primary-key'='id', 'bucket'='2')""".stripMargin)
+    spark.sql("INSERT INTO graft.vdb2.users VALUES (1,'a'),(2,'b')")
+    spark.sql("INSERT INTO graft.vdb2.users VALUES (1,'a2')")
+
+    spark.sql("CREATE VIEW graft.vdb2.u AS SELECT * FROM graft.vdb2.users")
+    spark.sql(
+      "CREATE VIEW graft.vdb2.u1 AS SELECT name FROM graft.vdb2.u WHERE id = 1")
+    assert(spark.sql("SELECT name FROM graft.vdb2.u1").head.getString(0) == "a2")
+  }
+
+  test("alter_view_dialect stores per-engine SQL; spark dialect updates base query") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.vdb3")
+    spark.sql("CREATE TABLE graft.vdb3.t (k BIGINT)")
+    spark.sql("INSERT INTO graft.vdb3.t VALUES (1),(2)")
+    spark.sql("CREATE VIEW graft.vdb3.v AS SELECT k FROM graft.vdb3.t WHERE k = 1")
+
+    // add a foreign dialect: stored as a property, base query untouched
+    spark.sql(
+      "CALL graft.sys.alter_view_dialect('vdb3.v', 'add', 'flink', 'SELECT 99')")
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(Array("vdb3"), "v")
+    assert(graft.sources.GraftViews.load(warehouse, ident)
+      .properties().get("dialect.flink") == "SELECT 99")
+    assert(spark.sql("SELECT k FROM graft.vdb3.v").head.getLong(0) == 1L)
+
+    // update the spark dialect = rewrite the base query
+    spark.sql(
+      """CALL graft.sys.alter_view_dialect('vdb3.v', 'update', 'spark',
+        |'SELECT k FROM graft.vdb3.t WHERE k = 2')""".stripMargin)
+    assert(spark.sql("SELECT k FROM graft.vdb3.v").head.getLong(0) == 2L)
+
+    // drop the foreign dialect
+    spark.sql("CALL graft.sys.alter_view_dialect('vdb3.v', 'drop', 'flink', '')")
+    assert(graft.sources.GraftViews.load(warehouse, ident)
+      .properties().get("dialect.flink") == null)
+  }
+}
