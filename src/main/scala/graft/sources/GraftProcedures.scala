@@ -135,6 +135,13 @@ object GraftProcedures {
         java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
         "ok"
       }),
+    // reset the table to empty (branches/tags/consumers/changelogs
+    // cleared, history expired) while keeping its definition
+    // (reference: PurgeFilesProcedure → FileStoreTable.purgeFiles).
+    "purge_files" -> (Seq(p("table", StringType)), (t, _) => {
+      val id = t.purgeFiles()
+      if (id < 0) "already empty" else s"purged -> snapshot $id"
+    }),
     "compact_manifest" -> (Seq(p("table", StringType)), (t, _) =>
       t.sm.compactManifests()
         .map(id => s"compacted manifests -> snapshot $id").getOrElse("no-op")),
@@ -151,6 +158,12 @@ object GraftProcedures {
         .filter(_.split('/').last.startsWith("consumer-"))
       cs.foreach(t.sm.io.delete)
       s"cleared ${cs.size} consumers"
+    }),
+    // run the periodic auto-tag walk on demand (reference:
+    // TriggerTagAutomaticCreationProcedure).
+    "trigger_tag_automatic_creation" -> (Seq(p("table", StringType)), (t, _) => {
+      val created = t.tagAutoCreate()
+      if (created.isEmpty) "no new tags" else s"created ${created.mkString(",")}"
     }),
     "create_tag_from_timestamp" -> (Seq(
       p("table", StringType), p("tag", StringType), p("timestamp_millis", LongType)),
@@ -265,6 +278,38 @@ object GraftProcedures {
         GraftTable.migrate(SparkSession.active,
           args.getUTF8String(1).toString, c.pathOf(ident))
         "ok"
+      }),
+    // migrate every parquet directory under source_root into tables of
+    // `database`, one table per subdirectory (reference:
+    // MigrateDatabaseProcedure).
+    "migrate_database" -> (Seq(p("database", StringType), p("source_root", StringType)),
+      (c, args) => {
+        val db = args.getUTF8String(0).toString
+        val root = java.nio.file.Paths.get(args.getUTF8String(1).toString)
+        require(java.nio.file.Files.isDirectory(root), s"no directory: $root")
+        val migrated = scala.collection.mutable.ArrayBuffer.empty[String]
+        graft.core.FsUtil.listAll(root)
+          .filter(java.nio.file.Files.isDirectory(_)).foreach { dir =>
+            val hasParquet = graft.core.FsUtil.walkAll(dir)
+              .exists(_.toString.endsWith(".parquet"))
+            if (hasParquet) {
+              val ident = Identifier.of(Array(db), dir.getFileName.toString)
+              GraftTable.migrate(SparkSession.active, dir.toString, c.pathOf(ident))
+              migrated += dir.getFileName.toString
+            }
+          }
+        s"migrated ${migrated.size} tables: ${migrated.sorted.mkString(",")}"
+      }),
+    // snapshot-consistent table clone: metadata driver-side, data files
+    // by a distributed copy job (reference: CopyFilesProcedure).
+    "copy_files" -> (Seq(p("table", StringType), p("target", StringType)),
+      (c, args) => {
+        val s = args.getUTF8String(0).toString.split("\\.")
+        val t = args.getUTF8String(1).toString.split("\\.")
+        val src = GraftTable.load(SparkSession.active,
+          c.pathOf(Identifier.of(s.dropRight(1), s.last)))
+        val cloned = src.cloneTo(c.pathOf(Identifier.of(t.dropRight(1), t.last)))
+        s"cloned -> ${cloned.path}"
       }))
 
   def names: Seq[String] = (procs.keys ++ catalogProcs.keys).toSeq.sorted

@@ -87,6 +87,11 @@ final class GraftTable private (
   sm.onCommit { _ =>
     if (schema.options.get(GraftTable.IcebergEnabled).contains("true"))
       graft.sources.IcebergCompat.sync(this)
+    // periodic auto tags ride the same per-commit hook (reference:
+    // TagAutoManager invoked from the table commit path). createTag is
+    // a metadata write, not a commit — no re-entrancy.
+    if (schema.options.get(GraftTable.TagAutoMode).exists(_ != "none"))
+      tagAutoCreate()
   }
   // ================= write =================
 
@@ -1577,6 +1582,85 @@ final class GraftTable private (
     sm.createTag(name, snapshotId.orElse(sm.latestSnapshotId).getOrElse(
       throw new IllegalStateException("empty table cannot be tagged")))
 
+  /** Automatic periodic tags (reference: tag/TagAutoCreation.java +
+    * TagAutoManager + TriggerTagAutomaticCreationProcedure).
+    *
+    * Options: `tag.automatic-creation` = none|process-time|watermark
+    * (the snapshot time source), `tag.creation-period` = daily|hourly,
+    * `tag.creation-delay` (millis the period must age before its tag
+    * fires), `tag.num-retained-max` (oldest auto tags beyond the cap
+    * are dropped).
+    *
+    * Walks snapshots in order; a snapshot whose extracted time has
+    * passed the next untagged period boundary (+delay) gets a tag named
+    * after the period it falls in (UTC: `yyyy-MM-dd` daily,
+    * `yyyy-MM-dd-HH` hourly), mirroring the reference's
+    * normalizeToPreviousTag. The cursor state is the auto tags
+    * themselves — the latest auto tag determines the next boundary, so
+    * any writer can trigger the walk and they converge without a state
+    * file. Driver-side metadata-only; O(snapshots since last auto tag).
+    * Returns the tags created this run. */
+  def tagAutoCreate(): Seq[String] = {
+    val opts = schema.options
+    val mode = opts.getOrElse(GraftTable.TagAutoMode, "none")
+    if (mode == "none") return Seq.empty
+    require(mode == "process-time" || mode == "watermark",
+      s"${GraftTable.TagAutoMode} must be process-time|watermark, got $mode")
+    val periodMs = opts.getOrElse("tag.creation-period", "daily") match {
+      case "daily" => 86400000L
+      case "hourly" => 3600000L
+      case other => throw new IllegalArgumentException(
+        s"tag.creation-period must be daily|hourly, got $other")
+    }
+    val delayMs = opts.get("tag.creation-delay").map(_.toLong).getOrElse(0L)
+    val retainMax = opts.get("tag.num-retained-max").map(_.toInt)
+    def tagName(periodStart: Long): String = {
+      val fmt = new java.text.SimpleDateFormat(
+        if (periodMs == 86400000L) "yyyy-MM-dd" else "yyyy-MM-dd-HH")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      fmt.format(new java.util.Date(periodStart))
+    }
+    def parseTag(name: String): Option[Long] = {
+      val pat = if (periodMs == 86400000L) "\\d{4}-\\d{2}-\\d{2}"
+        else "\\d{4}-\\d{2}-\\d{2}-\\d{2}"
+      if (!name.matches(pat)) None
+      else {
+        val fmt = new java.text.SimpleDateFormat(
+          if (periodMs == 86400000L) "yyyy-MM-dd" else "yyyy-MM-dd-HH")
+        fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+        scala.util.Try(fmt.parse(name).getTime).toOption
+      }
+    }
+    val existingAuto = sm.tags.keys.flatMap(parseTag)
+    // next boundary: one period past the latest auto tag; none → open
+    var nextBoundary: Option[Long] = existingAuto.maxOption.map(_ + periodMs)
+    val created = scala.collection.mutable.ArrayBuffer.empty[String]
+    sm.snapshotIds.foreach { id =>
+      val snap = sm.snapshot(id)
+      val timeOpt: Option[Long] = mode match {
+        case "watermark" => snap.watermark
+        case _ => Some(snap.timeMillis)
+      }
+      timeOpt.foreach { time =>
+        if (nextBoundary.forall(nb => time - delayMs >= nb)) {
+          val periodStart = time - Math.floorMod(time, periodMs)
+          val name = tagName(periodStart)
+          if (!sm.tags.contains(name)) {
+            sm.createTag(name, snap.id)
+            created += name
+          }
+          nextBoundary = Some(periodStart + periodMs)
+        }
+      }
+    }
+    retainMax.foreach { max =>
+      val auto = sm.tags.keys.toSeq
+        .flatMap(n => parseTag(n).map(n -> _)).sortBy(_._2)
+      auto.dropRight(max).foreach { case (n, _) => sm.deleteTag(n) }
+    }
+    created.toSeq
+  }
+
   /** Raw rows of a snapshot including hidden seq/kind columns.
     *
     * Schema evolution: files written under an earlier schema version
@@ -2283,6 +2367,99 @@ final class GraftTable private (
   }
 
   def expireSnapshots(retain: Int): Seq[Long] = sm.expireSnapshots(retain)
+
+  /** Purge the table back to empty while keeping its definition:
+    * drop branches, tags and consumers, truncate all data in one
+    * metadata-only OVERWRITE commit, expire every prior snapshot
+    * (physically deleting the now-unreferenced data/manifest files) and
+    * remove persisted changelogs. The schema, options and indexes
+    * config survive; the next write starts from the empty snapshot
+    * (reference: FileStoreTable.purgeFiles + PurgeFilesProcedure).
+    * Driver-side metadata work only — no Spark job. */
+  def purgeFiles(): Long = {
+    branches.foreach(deleteBranch)
+    sm.tags.keys.foreach(sm.deleteTag)
+    sm.io.list(sm.consumerDir)
+      .filter(_.split('/').last.startsWith("consumer-"))
+      .foreach(sm.io.delete)
+    val truncated = sm.latestSnapshot() match {
+      case Some(snap) =>
+        val victims = sm.liveEntries(snap)
+        if (victims.isEmpty) snap.id
+        else sm.commit(victims.map(_.copy(kind = "DELETE")), KindOverwrite,
+          schema.id,
+          conflictCheck = latest => victims.map(_.file.fileName).toSet
+            .subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet))
+      case None => -1L
+    }
+    sm.expireSnapshots(retain = 1)
+    val clDir = java.nio.file.Paths.get(s"$path/changelog")
+    if (java.nio.file.Files.exists(clDir)) deleteRecursive(clDir)
+    truncated
+  }
+
+  /** Clone the table's latest consistent state into a fresh table at
+    * `targetPath` (reference: CopyFilesProcedure — a snapshot-consistent
+    * file-level copy, not a re-write). Metadata (all schema versions,
+    * the referenced manifests, the snapshot renumbered to 1, snapshot
+    * index sidecars) is copied driver-side — O(metadata) work; data
+    * files (incl. DV sidecars, per-file index sidecars and out-of-line
+    * blobs) are copied by a distributed Spark job, so the copy scales
+    * with executors, not driver bandwidth. Tags/branches/consumers and
+    * history do NOT transfer (the clone starts a fresh lineage), and
+    * text/vector index directories are skipped — their snapshot stamps
+    * would be stale; rebuild them via CALL sys.rebuild_*. */
+  def cloneTo(targetPath: String): GraftTable = {
+    val snap = sm.latestSnapshot().getOrElse(
+      throw new IllegalStateException("cannot clone an empty table"))
+    require(!GraftTable.exists(targetPath), s"$targetPath is already a table")
+    val entries = sm.liveEntries(snap)
+    val tgt = java.nio.file.Paths.get(targetPath)
+
+    def copyRel(rel: String): Unit = {
+      val to = tgt.resolve(rel)
+      java.nio.file.Files.createDirectories(to.getParent)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$path/$rel"), to,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+    // metadata: every schema version + the manifests the snapshot sees
+    graft.core.FsUtil.listAll(java.nio.file.Paths.get(s"$path/schema"))
+      .foreach(p => copyRel(s"schema/${p.getFileName}"))
+    ((sm.readManifestList(snap.manifestList) :+ snap.manifestList) ++
+      snap.deltaManifest).distinct.foreach(m => copyRel(s"manifest/$m"))
+    snap.indexSidecars.foreach(copyRel)
+
+    // data: executors do the IO (a 100 TB clone is not a driver loop)
+    val dataFiles = (entries.map(_.file.fileName) ++
+      entries.flatMap(_.file.dvFile) ++
+      entries.flatMap(_.file.indexFiles.map(_.values.toSeq).getOrElse(Nil)))
+      .distinct
+    val srcRoot = path
+    spark.sparkContext
+      .parallelize(dataFiles, math.max(1, math.min(dataFiles.size, 64)))
+      .foreach { rel =>
+        val to = java.nio.file.Paths.get(s"$targetPath/$rel")
+        java.nio.file.Files.createDirectories(to.getParent)
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$srcRoot/$rel"), to,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    // out-of-line blobs are content-addressed from column values: copy
+    // the directory wholesale (computing the live set needs a scan)
+    val blobDir = java.nio.file.Paths.get(s"$path/blob")
+    if (java.nio.file.Files.isDirectory(blobDir))
+      graft.core.FsUtil.listAll(blobDir)
+        .foreach(p => copyRel(s"blob/${p.getFileName}"))
+
+    // the snapshot itself, renumbered onto a fresh single-entry history
+    val cloneSnap = snap.copy(id = 1L, commitIdentifier = -1L,
+      baseSnapshotId = None, changelogManifest = None)
+    val tsm = new graft.core.SnapshotManager(targetPath)
+    tsm.io.writeString(s"$targetPath/snapshot/snapshot-1.json",
+      graft.core.Json.write(cloneSnap))
+    tsm.io.writeString(s"$targetPath/snapshot/LATEST", "1")
+    GraftTable.load(spark, targetPath)
+  }
 
   /** Repair: drop manifest entries whose data file has been deleted
     * outside the engine — scans would otherwise fail on the missing
@@ -3594,6 +3771,11 @@ object GraftTable {
   /** Option: export Iceberg-compatible metadata after every commit
     * (reference: metadata.iceberg.storage — IcebergOptions.java:43). */
   val IcebergEnabled = "metadata.iceberg.enabled"
+
+  /** Option: automatic periodic tag creation mode
+    * (none|process-time|watermark — reference: CoreOptions
+    * TAG_AUTOMATIC_CREATION). */
+  val TagAutoMode = "tag.automatic-creation"
 
   /** The row-id metadata column exposed to readers and SQL. */
   val RowIdCol = "_ROW_ID"

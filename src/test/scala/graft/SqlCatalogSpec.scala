@@ -715,4 +715,42 @@ class SqlCatalogSpec extends AnyFunSuite {
       .collect().map(_.getLong(0))
     assert(got2.toSeq == Seq(1L, 3L))
   }
+
+  test("CALL sys.purge_files / copy_files / migrate_database / trigger_tag_automatic_creation") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db10")
+    spark.sql("DROP TABLE IF EXISTS graft.db10.src")
+    spark.sql("CREATE TABLE graft.db10.src (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db10.src VALUES (1,'a'),(2,'b')")
+
+    // clone, then purge the source: the clone is unaffected
+    spark.sql("CALL graft.sys.copy_files('db10.src', 'db10.dst')")
+    assert(spark.sql("SELECT count(*) FROM graft.db10.dst").head.getLong(0) == 2L)
+    val purged = spark.sql("CALL graft.sys.purge_files('db10.src')").head.getString(0)
+    assert(purged.startsWith("purged"))
+    assert(spark.sql("SELECT count(*) FROM graft.db10.src").head.getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) FROM graft.db10.dst").head.getLong(0) == 2L)
+
+    // migrate_database: two plain parquet dirs become two tables
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-migdb").toString
+    Seq((1L, "x")).toDF("k", "v").write.parquet(s"$root/ta")
+    Seq((2L, "y"), (3L, "z")).toDF("k", "v").write.parquet(s"$root/tb")
+    val res = spark.sql(
+      s"CALL graft.sys.migrate_database('db10', '$root')").head.getString(0)
+    assert(res.contains("2 tables"), res)
+    assert(spark.sql("SELECT count(*) FROM graft.db10.tb").head.getLong(0) == 2L)
+
+    // auto tags through SQL options + trigger procedure
+    spark.sql("DROP TABLE IF EXISTS graft.db10.tagged")
+    spark.sql(
+      """CREATE TABLE graft.db10.tagged (k BIGINT)
+        |TBLPROPERTIES ('tag.automatic-creation'='process-time',
+        |               'tag.creation-period'='daily')""".stripMargin)
+    spark.sql("INSERT INTO graft.db10.tagged VALUES (1)")
+    val tags = spark.sql("SELECT * FROM graft.db10.`tagged$tags`").collect()
+    assert(tags.length == 1, s"expected one auto tag, got ${tags.length}")
+    // re-trigger converges (no duplicate tags)
+    spark.sql("CALL graft.sys.trigger_tag_automatic_creation('db10.tagged')")
+    assert(spark.sql("SELECT * FROM graft.db10.`tagged$tags`").count() == 1L)
+  }
 }
