@@ -1217,5 +1217,106 @@ object Storage {
         src.filter(col("o_orderkey") % 9 === 0), "delete")))
       t.read.select(col("o_orderkey"), asDouble(col("price")).as("price"),
         col("o_orderstatus"))
+    },
+
+    // ---- catalog-stored views: CREATE VIEW + nested view + aggregate
+    // through the view, resolved by the GraftExtensions analyzer rule
+    // (reference: SupportView + PaimonViewResolver). The gate proves
+    // the stored-SQL → re-parse → frozen-schema path end-to-end.
+    QDef(
+      "g51_views",
+      """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+      withGraftExtensions(s) { s2 =>
+        val wh = Files.createTempDirectory("graft-g51-wh").toString
+        s2.conf.set("spark.sql.catalog.g51", "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.g51.warehouse", wh)
+        tbl(s2, dir, "orders").createOrReplaceTempView("g51_src")
+        s2.sql("CREATE NAMESPACE IF NOT EXISTS g51.gate")
+        s2.sql("""CREATE TABLE g51.gate.orders
+                 |(o_orderkey BIGINT, o_orderstatus STRING,
+                 | o_totalprice DOUBLE, o_orderpriority STRING)""".stripMargin)
+        s2.sql("""INSERT INTO g51.gate.orders
+                 |SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+                 |FROM g51_src""".stripMargin)
+        s2.sql("""CREATE VIEW g51.gate.urgent AS
+                 |SELECT o_orderstatus, o_totalprice FROM g51.gate.orders
+                 |WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+        s2.sql("""CREATE VIEW g51.gate.urgent_sum AS
+                 |SELECT o_orderstatus, COUNT(*) AS n,
+                 |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+                 |FROM g51.gate.urgent GROUP BY o_orderstatus""".stripMargin)
+        s2.sql("SELECT o_orderstatus, n, total FROM g51.gate.urgent_sum")
+      }
+    },
+
+    // ---- clone + purge lifecycle: copy_files must produce an
+    // independent table (survives purging the source), purge_files must
+    // leave a writable empty definition (reference: CopyFilesProcedure
+    // + PurgeFilesProcedure).
+    QDef(
+      "g52_purge_clone",
+      """SELECT o_orderkey AS k, CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price,
+        |  'clone' AS src
+        |FROM orders WHERE o_orderkey % 4 = 0
+        |UNION ALL
+        |SELECT c_custkey AS k, CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS price,
+        |  'fresh' AS src
+        |FROM customer WHERE c_custkey % 3 = 0""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders").filter(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      val t = GraftTable.create(s, scratch("g52"), src.schema,
+        options = Map("bucket" -> "2"))
+      t.write(src)
+      t.createTag("pre-clone")
+      val clone = t.cloneTo(scratch("g52c"))
+      t.purgeFiles()
+      val fresh = tbl(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("price"))
+      t.write(fresh)
+      clone.read.select(col("k"), asDouble(col("price")).as("price"),
+          lit("clone").as("src"))
+        .unionByName(t.read.select(col("k"), asDouble(col("price")).as("price"),
+          lit("fresh").as("src")))
+    },
+
+    // ---- automatic watermark tags: three event-time epochs advance
+    // the watermark across period boundaries; the per-commit hook tags
+    // each crossed day, and reading the middle tag reproduces exactly
+    // the first two epochs (reference: TagAutoCreation, watermark
+    // extractor).
+    QDef(
+      "g53_tag_auto",
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS total
+        |FROM events
+        |WHERE ts < (SELECT date_trunc('day', min(ts)) + INTERVAL 20 DAY FROM events)
+        |GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val ev0 = tbl(s, dir, "events")
+      val ev = ev0.withColumn("tmicros", eventMicros(ev0))
+        .select(col("event_id"), col("user_id"), col("value"), col("tmicros"))
+      val dayUs = 86400000000L
+      val minMicros = ev.agg(min(col("tmicros"))).head.getLong(0)
+      val day0 = minMicros - java.lang.Math.floorMod(minMicros, dayUs)
+      val (cut1, cut2) = (day0 + 10 * dayUs, day0 + 20 * dayUs)
+      val t = GraftTable.create(s, scratch("g53"), ev.schema, options = Map(
+        GraftTable.TagAutoMode -> "watermark",
+        "tag.creation-period" -> "daily"))
+      def epoch(f: org.apache.spark.sql.Column): Unit = {
+        val part = ev.filter(f)
+        val wm = part.agg(max(col("tmicros"))).head.getLong(0) / 1000L
+        t.writeWatermarked(part, commitIdentifier = -1L, watermark = Some(wm))
+      }
+      epoch(col("tmicros") < cut1)
+      epoch(col("tmicros") >= cut1 && col("tmicros") < cut2)
+      epoch(col("tmicros") >= cut2)
+      val tags = t.sm.tags.keys.toSeq.sorted
+      require(tags.size == 3, s"expected 3 auto tags, got $tags")
+      t.readTag(tags(1)) // epochs 1+2 = everything before cut2
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(dec4(col("value"))), 4).as("total"))
     })
 }

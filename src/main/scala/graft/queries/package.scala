@@ -66,6 +66,28 @@ package object queries {
   /** Exact money arithmetic: cast a double column to DECIMAL(18,2). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Exact 4-decimal arithmetic (events.value aggregations). */
+  def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Run `f` in a session that has the graft SQL extensions (view DDL
+    * + view-read resolution) applied. Extensions are builder-time-only
+    * in Spark, so the gate rebuilds a session over the SAME
+    * SparkContext via builder().withExtensions and restores the
+    * original as active/default afterwards. The returned DataFrame
+    * stays valid — it executes on the shared context. */
+  def withGraftExtensions[T](s: SparkSession)(f: SparkSession => T): T = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .withExtensions(new graft.sources.GraftExtensions().apply(_))
+      .getOrCreate()
+    try f(s2)
+    finally {
+      SparkSession.setDefaultSession(s)
+      SparkSession.setActiveSession(s)
+    }
+  }
+
   /** Normalize a numeric output column for cross-engine hashing. */
   def asDouble(c: Column, scale: Int = 2): Column =
     round(c, scale).cast("double")

@@ -127,6 +127,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "binlog" => () => gt.systemBinlog
         case "buckets" => () => gt.systemBuckets
         case "indexes" => () => gt.systemIndexes
+        case "ro" => () => gt.systemReadOptimized
+        case "aggregation_fields" => () => gt.systemAggregationFields
+        case "row_tracking" => () => gt.systemRowTracking
+        case "compact_buckets" => () => gt.systemCompactBuckets()
         case _ =>
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
       }

@@ -237,6 +237,13 @@ object GraftProcedures {
     "drop_function" -> (Seq(p("function", StringType)),
       (c, args) => { StoredFunctions.drop(c.warehousePath,
         args.getUTF8String(0).toString); "ok" }),
+    // replace a stored function's definition (reference:
+    // AlterFunctionProcedure); validates the new body before overwrite.
+    "alter_function" -> (Seq(
+      p("function", StringType), p("params", StringType), p("body", StringType)),
+      (c, args) => { StoredFunctions.alter(c.warehousePath,
+        args.getUTF8String(0).toString, args.getUTF8String(1).toString,
+        args.getUTF8String(2).toString); "ok" }),
     // whole-namespace compaction sweep (reference:
     // CompactDatabaseProcedure); empty tables and non-compactable
     // entries are skipped, the result counts tables compacted.

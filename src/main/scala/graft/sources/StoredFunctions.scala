@@ -54,6 +54,18 @@ object StoredFunctions {
     new graft.core.LocalFileIO().delete(fnPath(warehouse, ident))
   }
 
+  /** Replace an existing function's definition in place (reference:
+    * AlterFunctionProcedure). Validates before overwriting. */
+  def alter(warehouse: String, qualifiedName: String,
+      paramsDdl: String, body: String): Unit = {
+    val parts = qualifiedName.split("\\.")
+    require(parts.length >= 2, "function name must be db.name")
+    val ident = Identifier.of(parts.dropRight(1), parts.last)
+    require(new graft.core.LocalFileIO().exists(fnPath(warehouse, ident)),
+      s"no stored function $qualifiedName")
+    create(warehouse, qualifiedName, paramsDdl, body)
+  }
+
   /** Load a stored function for FunctionCatalog resolution. */
   def load(warehouse: String, ident: Identifier): Option[UnboundFunction] = {
     val io = new graft.core.LocalFileIO

@@ -3699,6 +3699,59 @@ final class GraftTable private (
     * snapshot-level sidecars (dynamic-bucket, cross-partition global,
     * global secondary) and per-file bloom/bitmap/bsi sidecars
     * (reference role: table/system/TableIndexesTable). */
+  /** `$ro` (read-optimized): the latest snapshot restricted to
+    * compacted files (level ≥ 1) — query-speed-over-freshness for PK
+    * tables: level-1 generations are fully merged by compaction, so
+    * readers skip recent level-0 deltas AND their merge cost. Append
+    * tables have no merge debt; `$ro` equals the normal read
+    * (reference: table/system/ReadOptimizedTable.java — "read the
+    * files of the highest level only"). */
+  def systemReadOptimized: DataFrame = {
+    if (!isPrimaryKeyTable) return read
+    val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+    mergedFromEntries(entries.filter(_.file.level >= 1))
+  }
+
+  /** `$aggregation_fields`: each field's aggregate function under the
+    * aggregation merge engine, plus its sequence-group membership
+    * (reference: table/system/AggregationFieldsTable.java). */
+  def systemAggregationFields: DataFrame = {
+    import spark.implicits._
+    val sch = schema
+    val pk = sch.primaryKeys.toSet
+    val seqGroups: Map[String, String] = sch.options.toSeq.collect {
+      case (k, v) if k.startsWith("fields.") && k.endsWith(".sequence-group") =>
+        val seqs = k.stripPrefix("fields.").stripSuffix(".sequence-group")
+        v.split(",").map(_.trim).map(_ -> seqs)
+    }.flatten.toMap
+    sch.fields.map { f =>
+      val fn =
+        if (pk.contains(f.name)) "primary-key"
+        else sch.options.getOrElse(s"fields.${f.name}.aggregate-function",
+          if (sch.options.get("merge-engine").contains("aggregation"))
+            "last_non_null_value" else "none")
+      (f.name, f.dataType, fn, seqGroups.getOrElse(f.name, ""))
+    }.toDF("field_name", "field_type", "function", "sequence_group")
+  }
+
+  /** `$row_tracking`: the merged rows with their stable `_ROW_ID` and
+    * commit sequence surfaced (reference: RowTrackingTable — row
+    * lineage as a queryable view). */
+  def systemRowTracking: DataFrame = readWithRowIds()
+
+  /** `$compact_buckets`: per (partition, bucket) file pressure against
+    * the num-sorted-run trigger — which buckets the next
+    * compactIfNeeded would rewrite (reference:
+    * table/system/CompactBucketsTable.java). */
+  def systemCompactBuckets(trigger: Int = 5): DataFrame = {
+    import spark.implicits._
+    val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+    entries.groupBy(e => (e.partition, e.bucket)).map { case ((p, b), es) =>
+      (p.map { case (k, v) => s"$k=$v" }.mkString("/"), b,
+        es.size.toLong, es.size > trigger)
+    }.toSeq.toDF("partition", "bucket", "file_count", "compaction_needed")
+  }
+
   def systemIndexes: DataFrame = {
     import spark.implicits._
     val snap = sm.latestSnapshot()

@@ -426,6 +426,12 @@ class SqlCatalogSpec extends AnyFunSuite {
     // invalid bodies are rejected at CREATE time
     intercept[Exception](spark.sql(
       "CALL graft.sys.create_function('dbfn.bad', 'x INT', 'nope(x)')"))
+    // alter replaces the definition in place (validated first)
+    spark.sql(
+      "CALL graft.sys.alter_function('dbfn.shout', 's STRING, n INT', 'lower(s)')")
+    assert(spark.sql("SELECT graft.dbfn.shout('HEY', 3)").head.getString(0) == "hey")
+    intercept[Exception](spark.sql(
+      "CALL graft.sys.alter_function('dbfn.missing', 'x INT', 'x')"))
     // drop removes resolution
     spark.sql("CALL graft.sys.drop_function('dbfn.double_plus')")
     intercept[Exception](
@@ -717,18 +723,18 @@ class SqlCatalogSpec extends AnyFunSuite {
   }
 
   test("CALL sys.purge_files / copy_files / migrate_database / trigger_tag_automatic_creation") {
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db10")
-    spark.sql("DROP TABLE IF EXISTS graft.db10.src")
-    spark.sql("CREATE TABLE graft.db10.src (k BIGINT, v STRING)")
-    spark.sql("INSERT INTO graft.db10.src VALUES (1,'a'),(2,'b')")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db20")
+    spark.sql("DROP TABLE IF EXISTS graft.db20.src")
+    spark.sql("CREATE TABLE graft.db20.src (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db20.src VALUES (1,'a'),(2,'b')")
 
     // clone, then purge the source: the clone is unaffected
-    spark.sql("CALL graft.sys.copy_files('db10.src', 'db10.dst')")
-    assert(spark.sql("SELECT count(*) FROM graft.db10.dst").head.getLong(0) == 2L)
-    val purged = spark.sql("CALL graft.sys.purge_files('db10.src')").head.getString(0)
+    spark.sql("CALL graft.sys.copy_files('db20.src', 'db20.dst')")
+    assert(spark.sql("SELECT count(*) FROM graft.db20.dst").head.getLong(0) == 2L)
+    val purged = spark.sql("CALL graft.sys.purge_files('db20.src')").head.getString(0)
     assert(purged.startsWith("purged"))
-    assert(spark.sql("SELECT count(*) FROM graft.db10.src").head.getLong(0) == 0L)
-    assert(spark.sql("SELECT count(*) FROM graft.db10.dst").head.getLong(0) == 2L)
+    assert(spark.sql("SELECT count(*) FROM graft.db20.src").head.getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) FROM graft.db20.dst").head.getLong(0) == 2L)
 
     // migrate_database: two plain parquet dirs become two tables
     import spark.implicits._
@@ -736,21 +742,59 @@ class SqlCatalogSpec extends AnyFunSuite {
     Seq((1L, "x")).toDF("k", "v").write.parquet(s"$root/ta")
     Seq((2L, "y"), (3L, "z")).toDF("k", "v").write.parquet(s"$root/tb")
     val res = spark.sql(
-      s"CALL graft.sys.migrate_database('db10', '$root')").head.getString(0)
+      s"CALL graft.sys.migrate_database('db20', '$root')").head.getString(0)
     assert(res.contains("2 tables"), res)
-    assert(spark.sql("SELECT count(*) FROM graft.db10.tb").head.getLong(0) == 2L)
+    assert(spark.sql("SELECT count(*) FROM graft.db20.tb").head.getLong(0) == 2L)
 
     // auto tags through SQL options + trigger procedure
-    spark.sql("DROP TABLE IF EXISTS graft.db10.tagged")
+    spark.sql("DROP TABLE IF EXISTS graft.db20.tagged")
     spark.sql(
-      """CREATE TABLE graft.db10.tagged (k BIGINT)
+      """CREATE TABLE graft.db20.tagged (k BIGINT)
         |TBLPROPERTIES ('tag.automatic-creation'='process-time',
         |               'tag.creation-period'='daily')""".stripMargin)
-    spark.sql("INSERT INTO graft.db10.tagged VALUES (1)")
-    val tags = spark.sql("SELECT * FROM graft.db10.`tagged$tags`").collect()
+    spark.sql("INSERT INTO graft.db20.tagged VALUES (1)")
+    val tags = spark.sql("SELECT * FROM graft.db20.`tagged$tags`").collect()
     assert(tags.length == 1, s"expected one auto tag, got ${tags.length}")
     // re-trigger converges (no duplicate tags)
-    spark.sql("CALL graft.sys.trigger_tag_automatic_creation('db10.tagged')")
-    assert(spark.sql("SELECT * FROM graft.db10.`tagged$tags`").count() == 1L)
+    spark.sql("CALL graft.sys.trigger_tag_automatic_creation('db20.tagged')")
+    assert(spark.sql("SELECT * FROM graft.db20.`tagged$tags`").count() == 1L)
+  }
+
+  test("system tables: $ro / $aggregation_fields / $row_tracking / $compact_buckets") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db21")
+    spark.sql("DROP TABLE IF EXISTS graft.db21.agg")
+    spark.sql(
+      """CREATE TABLE graft.db21.agg (k BIGINT, total DOUBLE, latest STRING)
+        |TBLPROPERTIES ('primary-key'='k', 'bucket'='1',
+        |  'merge-engine'='aggregation', 'fields.total.aggregate-function'='sum')""".stripMargin)
+    spark.sql("INSERT INTO graft.db21.agg VALUES (1, 10.0, 'a'), (2, 5.0, 'b')")
+    spark.sql("INSERT INTO graft.db21.agg VALUES (1, 7.0, 'a2')")
+
+    // $ro before compaction: only level-0 files exist -> empty
+    assert(spark.sql("SELECT * FROM graft.db21.`agg$ro`").count() == 0L)
+    spark.sql("CALL graft.sys.compact('db21.agg')")
+    val ro = spark.sql("SELECT k, total FROM graft.db21.`agg$ro` ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ro.toSeq == Seq((1L, 17.0), (2L, 5.0)))
+
+    val af = spark.sql(
+      "SELECT field_name, function FROM graft.db21.`agg$aggregation_fields` ORDER BY field_name")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(af.toSeq == Seq(("k", "primary-key"), ("latest", "last_non_null_value"),
+      ("total", "sum")))
+
+    val cb = spark.sql("SELECT file_count, compaction_needed FROM graft.db21.`agg$compact_buckets`")
+      .collect()
+    assert(cb.length == 1 && !cb.head.getBoolean(1)) // 1 compacted file
+
+    // $row_tracking needs the option
+    spark.sql("DROP TABLE IF EXISTS graft.db21.rt")
+    spark.sql(
+      """CREATE TABLE graft.db21.rt (k BIGINT, v STRING)
+        |TBLPROPERTIES ('row-tracking.enabled'='true')""".stripMargin)
+    spark.sql("INSERT INTO graft.db21.rt VALUES (10,'x'),(20,'y')")
+    val rt = spark.sql("SELECT k, _ROW_ID FROM graft.db21.`rt$row_tracking` ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rt.map(_._2).distinct.length == 2 && rt.map(_._1).toSeq == Seq(10L, 20L))
   }
 }

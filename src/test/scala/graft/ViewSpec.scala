@@ -9,19 +9,47 @@ import java.nio.file.Files
   * SQL surface (Spark's analyzer does not yet consult ViewCatalog —
   * see GraftExtensions; reference: paimon SupportView +
   * PaimonViewResolver + RewriteSparkDDLCommands). */
-class ViewSpec extends AnyFunSuite {
+class ViewSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   lazy val warehouse: String = Files.createTempDirectory("graft-vw").toString
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.extensions", "graft.sources.GraftExtensions")
-    .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    .config("spark.sql.catalog.graft.warehouse", warehouse)
-    .getOrCreate()
+  // restore whatever session was default before this suite replaced it
+  // (suites share the JVM; a leaked extensions-session with THIS
+  // suite's catalog conf would hijack later suites' getOrCreate)
+  private var prevDefault: Option[SparkSession] = None
+  private var captured = false
+
+  override def afterAll(): Unit = {
+    if (captured) {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prevDefault.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+
+  // the suite may share a JVM (and SparkContext) with suites that built
+  // the session first: extensions are builder-time-only, so rebuild a
+  // session over whatever context exists with the graft extensions
+  // applied (same trick as graft.queries.withGraftExtensions)
+  lazy val spark: SparkSession = {
+    prevDefault = SparkSession.getDefaultSession
+    captured = true
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.sources.GraftExtensions().apply(_))
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft.warehouse", warehouse)
+    s
+  }
 
   test("CREATE VIEW / SELECT / SHOW VIEWS / ALTER / RENAME / DROP through SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.vdb")
