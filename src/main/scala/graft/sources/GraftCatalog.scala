@@ -328,7 +328,88 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 class GraftSparkTable(protected val gt: GraftTable, snapshot: Option[Long])
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsAtomicPartitionManagement {
+
+  // ---- partition management (SHOW PARTITIONS / ALTER TABLE DROP
+  // PARTITION / TRUNCATE TABLE ... PARTITION; reference:
+  // PaimonPartitionManagement — list + drop/truncate supported, create
+  // is a metastore concern and stays unsupported on filesystem tables).
+  // Stored partition values are Spark string-cast forms; conversion in
+  // both directions reuses Catalyst Cast so SQL-typed specs (dates,
+  // numbers) round-trip exactly.
+
+  override lazy val partitionSchema: StructType = StructType(
+    gt.schema.partitionKeys.map(k => schema()(k)))
+
+  private def partToRow(p: Map[String, String]): org.apache.spark.sql.catalyst.InternalRow =
+    org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+      partitionSchema.fields.map { f =>
+        p.get(f.name).orNull match {
+          case null => null
+          case v => org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(v),
+              org.apache.spark.sql.types.StringType),
+            f.dataType, Some("UTC")).eval()
+        }
+      }.toIndexedSeq)
+
+  private def rowToPart(row: org.apache.spark.sql.catalyst.InternalRow,
+      fields: Seq[org.apache.spark.sql.types.StructField] =
+        partitionSchema.fields.toIndexedSeq): Map[String, String] =
+    fields.zipWithIndex.collect {
+      case (f, i) if !row.isNullAt(i) =>
+        f.name -> org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            row.get(i, f.dataType), f.dataType),
+          org.apache.spark.sql.types.StringType, Some("UTC")).eval().toString
+    }.toMap
+
+  override def listPartitionIdentifiers(
+      names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val filterFields = names.map(n => partitionSchema(n)).toIndexedSeq
+    val wanted = rowToPart(ident, filterFields)
+    gt.livePartitions()
+      .filter(p => wanted.forall { case (k, v) => p.get(k).contains(v) })
+      .map(partToRow).toArray
+  }
+
+  override def partitionExists(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    val wanted = rowToPart(ident)
+    gt.livePartitions().exists(p =>
+      wanted.forall { case (k, v) => p.get(k).contains(v) })
+  }
+
+  override def dropPartitions(
+      idents: Array[org.apache.spark.sql.catalyst.InternalRow]): Boolean =
+    gt.dropPartitions(idents.map(rowToPart(_)).toIndexedSeq)
+
+  override def truncatePartitions(
+      idents: Array[org.apache.spark.sql.catalyst.InternalRow]): Boolean =
+    dropPartitions(idents)
+
+  override def purgePartitions(
+      idents: Array[org.apache.spark.sql.catalyst.InternalRow]): Boolean =
+    dropPartitions(idents)
+
+  override def createPartitions(
+      idents: Array[org.apache.spark.sql.catalyst.InternalRow],
+      props: Array[util.Map[String, String]]): Unit =
+    throw new UnsupportedOperationException(
+      "partitions materialize on write; ADD PARTITION needs a metastore")
+
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      props: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException("replacePartitionMetadata")
+
+  override def loadPartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow): util.Map[String, String] =
+    util.Collections.emptyMap()
 
   /** Row-tracking tables expose `_ROW_ID` to SQL as a metadata column:
     * `SELECT _ROW_ID, * FROM t WHERE _ROW_ID BETWEEN a AND b` plans a

@@ -3170,6 +3170,30 @@ final class GraftTable private (
       partFields.map(f => f.name -> e.partition.getOrElse(f.name, null)).toMap))
   }
 
+  /** Drop whole partitions in one metadata-only OVERWRITE commit (SQL
+    * `ALTER TABLE ... DROP PARTITION` / `TRUNCATE ... PARTITION`
+    * through SupportsAtomicPartitionManagement; reference:
+    * PaimonPartitionManagement → commit.truncatePartitions). Each map
+    * holds stringified values for a subset of the partition keys;
+    * entries matching ANY of the specs are dropped. No data file is
+    * opened. */
+  def dropPartitions(parts: Seq[Map[String, String]]): Boolean = {
+    val snap = sm.latestSnapshot().getOrElse(return false)
+    val victims = sm.liveEntries(snap).filter(e =>
+      parts.exists(p => p.forall { case (k, v) =>
+        e.partition.get(k).contains(v) }))
+    if (victims.isEmpty) return false
+    sm.commit(victims.map(_.copy(kind = "DELETE")), KindOverwrite, schema.id,
+      conflictCheck = latest => victims.map(_.file.fileName).toSet
+        .subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet))
+    true
+  }
+
+  /** Distinct live partitions (stringified values, write-side form). */
+  def livePartitions(): Seq[Map[String, String]] =
+    sm.latestSnapshot().map(s =>
+      sm.liveEntries(s).map(_.partition).distinct).getOrElse(Seq.empty)
+
   /** Full changelog between two snapshots: -U/+U pairs for changed
     * keys, +I for new keys, -D for removed ones — derived lazily from
     * the two states (the full-compaction changelog producer's output,

@@ -760,6 +760,36 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM graft.db20.`tagged$tags`").count() == 1L)
   }
 
+  test("SHOW PARTITIONS / ALTER TABLE DROP PARTITION / TRUNCATE PARTITION") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db22")
+    spark.sql(
+      """CREATE TABLE graft.db22.t (k BIGINT, p STRING, d BIGINT)
+        |PARTITIONED BY (p, d)""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.db22.t VALUES
+        |(1,'a',10),(2,'a',20),(3,'b',10),(4,'b',20)""".stripMargin)
+
+    val parts = spark.sql("SHOW PARTITIONS graft.db22.t")
+      .collect().map(_.getString(0)).sorted
+    assert(parts.toSeq == Seq("d=10/p=a", "d=10/p=b", "d=20/p=a", "d=20/p=b").sorted
+      || parts.toSeq == Seq("p=a/d=10", "p=a/d=20", "p=b/d=10", "p=b/d=20"),
+      s"got ${parts.toSeq}")
+
+    // partial spec filters the listing
+    val pa = spark.sql("SHOW PARTITIONS graft.db22.t PARTITION (p='a')").collect()
+    assert(pa.length == 2)
+
+    // drop one partition: metadata-only, rows gone
+    spark.sql("ALTER TABLE graft.db22.t DROP PARTITION (p='a', d=10)")
+    assert(spark.sql("SELECT k FROM graft.db22.t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+
+    // truncate a partition subtree by prefix spec
+    spark.sql("TRUNCATE TABLE graft.db22.t PARTITION (p='b')")
+    assert(spark.sql("SELECT k FROM graft.db22.t").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(spark.sql("SHOW PARTITIONS graft.db22.t").count() == 1L)
+  }
+
   test("system tables: $ro / $aggregation_fields / $row_tracking / $compact_buckets") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db21")
     spark.sql("DROP TABLE IF EXISTS graft.db21.agg")
