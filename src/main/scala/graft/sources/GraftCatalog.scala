@@ -102,8 +102,55 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     })
   }
 
+  /** Catalog-wide admin tables in the `sys` database (reference:
+    * table/system/AllTablesTable, AllTableOptionsTable,
+    * AllPartitionsTable, CatalogOptionsTable — the catalog-level
+    * counterparts of the `$`-suffix tables). Driver-side metadata
+    * scans: O(tables) listings, no data file is opened. */
+  private def loadSysTable(name: String): Option[Table] = {
+    val sess = spark
+    import sess.implicits._
+    def allIdents: Seq[Identifier] =
+      listNamespaces().toSeq.flatMap(ns => listTables(ns).toSeq)
+    def gtOf(id: Identifier) = GraftTable.load(sess, tablePath(id))
+    val dfFn: Option[() => DataFrame] = name match {
+      case "all_tables" => Some(() => {
+        allIdents.map { id =>
+          val gt = gtOf(id)
+          val snap = gt.sm.latestSnapshot()
+          (id.namespace().mkString("."), id.name(),
+            gt.schema.primaryKeys.mkString(","),
+            gt.schema.partitionKeys.mkString(","),
+            snap.map(_.id).getOrElse(-1L),
+            snap.map(_.totalRecordCount).getOrElse(0L))
+        }.toDF("database", "table", "primary_keys", "partition_keys",
+          "latest_snapshot", "record_count")
+      })
+      case "all_table_options" => Some(() => {
+        allIdents.flatMap { id =>
+          gtOf(id).schema.options.toSeq.map { case (k, v) =>
+            (id.namespace().mkString("."), id.name(), k, v) }
+        }.toDF("database", "table", "key", "value")
+      })
+      case "all_partitions" => Some(() => {
+        allIdents.flatMap { id =>
+          gtOf(id).livePartitions().map(p =>
+            (id.namespace().mkString("."), id.name(),
+              p.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")))
+        }.toDF("database", "table", "partition")
+      })
+      case "catalog_options" => Some(() => {
+        Seq(("warehouse", warehouse)).toDF("key", "value")
+      })
+      case _ => None
+    }
+    dfFn.map(f => new GraftSystemTable(s"$warehouse/sys/$name", f))
+  }
+
   override def loadTable(ident: Identifier): Table = {
     val name = ident.name()
+    if (ident.namespace().sameElements(Array("sys")))
+      loadSysTable(name).foreach(return _)
     if (java.nio.file.Files.exists(formatMarkerPath(ident)))
       return loadFormatTable(ident)
     if (name.contains('$')) {

@@ -1631,11 +1631,20 @@ final class GraftTable private (
         scala.util.Try(fmt.parse(name).getTime).toOption
       }
     }
-    val existingAuto = sm.tags.keys.flatMap(parseTag)
+    val tagsNow = sm.tags
+    val existingAuto = tagsNow.keys.flatMap(n => parseTag(n).map(n -> _)).toSeq
     // next boundary: one period past the latest auto tag; none → open
-    var nextBoundary: Option[Long] = existingAuto.maxOption.map(_ + periodMs)
+    var nextBoundary: Option[Long] =
+      existingAuto.map(_._2).maxOption.map(_ + periodMs)
+    // resume the walk AFTER the latest auto tag's snapshot: with the
+    // per-commit hook enabled this keeps each trigger O(new snapshots),
+    // not O(all history) — the reference keeps the same cursor as
+    // TagAutoCreation.nextSnapshot
+    val resumeAfter: Long = existingAuto.sortBy(_._2).lastOption
+      .flatMap { case (name, _) => sm.tagSnapshot(name).map(_.id) }
+      .getOrElse(-1L)
     val created = scala.collection.mutable.ArrayBuffer.empty[String]
-    sm.snapshotIds.foreach { id =>
+    sm.snapshotIds.filter(_ > resumeAfter).foreach { id =>
       val snap = sm.snapshot(id)
       val timeOpt: Option[Long] = mode match {
         case "watermark" => snap.watermark

@@ -760,6 +760,33 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM graft.db20.`tagged$tags`").count() == 1L)
   }
 
+  test("catalog-level sys tables: all_tables / all_table_options / all_partitions / catalog_options") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db23")
+    spark.sql(
+      """CREATE TABLE graft.db23.pt (k BIGINT, p STRING) PARTITIONED BY (p)
+        |TBLPROPERTIES ('bucket'='2')""".stripMargin)
+    spark.sql("INSERT INTO graft.db23.pt VALUES (1,'a'),(2,'b')")
+
+    val at = spark.sql(
+      "SELECT partition_keys, record_count FROM graft.sys.all_tables " +
+        "WHERE `database` = 'db23' AND `table` = 'pt'").head
+    assert(at.getString(0) == "p" && at.getLong(1) == 2L)
+
+    assert(spark.sql(
+      "SELECT value FROM graft.sys.all_table_options " +
+        "WHERE `database` = 'db23' AND `table` = 'pt' AND key = 'bucket'")
+      .head.getString(0) == "2")
+
+    val parts = spark.sql(
+      "SELECT partition FROM graft.sys.all_partitions " +
+        "WHERE `database` = 'db23' ORDER BY partition")
+      .collect().map(_.getString(0))
+    assert(parts.toSeq == Seq("p=a", "p=b"))
+
+    assert(spark.sql("SELECT value FROM graft.sys.catalog_options WHERE key='warehouse'")
+      .head.getString(0) == warehouse)
+  }
+
   test("SHOW PARTITIONS / ALTER TABLE DROP PARTITION / TRUNCATE PARTITION") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db22")
     spark.sql(
