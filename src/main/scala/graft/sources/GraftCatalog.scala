@@ -36,6 +36,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   private var catalogName: String = _
   private var warehouse: String = _
+  private var authUser: Option[String] = None
+  private var authPassword: Option[String] = None
+  @volatile private var identity: Option[String] = None
 
   private def spark: SparkSession = SparkSession.active
 
@@ -44,7 +47,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     warehouse = Option(options.get("warehouse")).getOrElse(
       throw new IllegalArgumentException(
         s"spark.sql.catalog.$name.warehouse must be set"))
+    authUser = Option(options.get("user"))
+    authPassword = Option(options.get("password"))
   }
+
+  // ---- access control (reference: privilege/ FileBasedPrivilegeManager;
+  // opt-in via CALL sys.init_file_based_privilege — an un-initialized
+  // warehouse enforces nothing). Identity resolves lazily so a catalog
+  // registered before the store was initialized still authenticates.
+  private def currentIdentity: Option[String] =
+    if (!GraftPrivileges.enabled(warehouse)) None
+    else {
+      if (identity.isEmpty)
+        identity = GraftPrivileges.authenticate(warehouse, authUser, authPassword)
+      identity
+    }
+
+  private def priv(privilege: String, ident: String): Unit =
+    GraftPrivileges.check(warehouse, currentIdentity, privilege, ident)
+
+  private def fq(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  /** Table-level guard handed to loaded tables: checks fire at scan /
+    * write creation, not at load (a metadata listing is not a read). */
+  private def guardFor(ident: Identifier): String => Unit =
+    p => priv(p, fq(ident))
+
+  private[sources] def requireAdmin(): Unit =
+    priv(GraftPrivileges.Admin, "*")
+
+  private[sources] def privilegesEnabled: Boolean =
+    GraftPrivileges.enabled(warehouse)
 
   override def name(): String = catalogName
 
@@ -102,6 +136,57 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     })
   }
 
+  // ---- object tables --------------------------------------------------
+  // A metadata index over a directory of arbitrary objects (reference:
+  // paimon-core table/object/ObjectTable.java — "metadata indexes for
+  // unstructured data objects ... in Object Storage"). Declared with
+  // TBLPROPERTIES ('type'='object-table','object-location'='/dir');
+  // `CALL sys.refresh_object_table` materializes the listing as parquet
+  // under the table dir so repeated queries don't re-list slow object
+  // storage; without a materialization reads serve the live listing.
+
+  private def objectMarkerPath(ident: Identifier): java.nio.file.Path =
+    java.nio.file.Paths.get(tablePath(ident), "object-table.json")
+
+  private[sources] def objectListing(location: String): DataFrame = {
+    val sess = spark
+    import sess.implicits._
+    val root = java.nio.file.Paths.get(location)
+    val rows = graft.core.FsUtil.walkAll(root).iterator
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map { p =>
+        val attrs = java.nio.file.Files.readAttributes(
+          p, classOf[java.nio.file.attribute.BasicFileAttributes])
+        val owner = try java.nio.file.Files.getOwner(p).getName
+          catch { case _: Exception => null }
+        (root.relativize(p).toString, p.getFileName.toString,
+          attrs.size(), attrs.lastModifiedTime().toMillis,
+          attrs.lastAccessTime().toMillis, owner)
+      }.toSeq
+    rows.toDF("path", "name", "length", "mtime", "atime", "owner")
+  }
+
+  private def loadObjectTable(ident: Identifier): Table = {
+    val meta = graft.core.Json.read(
+      new String(java.nio.file.Files.readAllBytes(objectMarkerPath(ident)), "UTF-8"),
+      classOf[ObjectTableMeta])
+    val materialized = java.nio.file.Paths.get(tablePath(ident), "objects")
+    new GraftSystemTable(tablePath(ident), () =>
+      if (java.nio.file.Files.isDirectory(materialized))
+        spark.read.parquet(materialized.toString)
+      else objectListing(meta.location))
+  }
+
+  /** Re-list the object directory and materialize it (procedure body). */
+  private[sources] def refreshObjectTable(ident: Identifier): Long = {
+    val meta = graft.core.Json.read(
+      new String(java.nio.file.Files.readAllBytes(objectMarkerPath(ident)), "UTF-8"),
+      classOf[ObjectTableMeta])
+    val df = objectListing(meta.location)
+    df.write.mode("overwrite").parquet(s"${tablePath(ident)}/objects")
+    df.count()
+  }
+
   /** Catalog-wide admin tables in the `sys` database (reference:
     * table/system/AllTablesTable, AllTableOptionsTable,
     * AllPartitionsTable, CatalogOptionsTable — the catalog-level
@@ -153,6 +238,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       loadSysTable(name).foreach(return _)
     if (java.nio.file.Files.exists(formatMarkerPath(ident)))
       return loadFormatTable(ident)
+    if (java.nio.file.Files.exists(objectMarkerPath(ident)))
+      return loadObjectTable(ident)
     if (name.contains('$')) {
       // system-table suffix: SELECT * FROM cat.db.`t$snapshots`
       // (reference: 24 system tables under table/system/, resolved by
@@ -186,20 +273,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val gt = loadGraft(ident)
       // append tables additionally support group-based row-level SQL
       // (UPDATE / MERGE / non-translatable DELETE via copy-on-write)
-      if (gt.isPrimaryKeyTable) new GraftSparkTable(gt, snapshot = None)
-      else new GraftAppendSparkTable(gt, snapshot = None)
+      if (gt.isPrimaryKeyTable)
+        new GraftSparkTable(gt, snapshot = None, guardFor(ident))
+      else new GraftAppendSparkTable(gt, snapshot = None, guardFor(ident))
     }
   }
 
   override def loadTable(ident: Identifier, version: String): Table =
-    new GraftSparkTable(loadGraft(ident), snapshot = Some(version.toLong))
+    new GraftSparkTable(loadGraft(ident), snapshot = Some(version.toLong),
+      guardFor(ident))
 
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val gt = loadGraft(ident)
     // DSv2 passes micros; snapshots record millis
     val id = gt.sm.snapshotIds.map(gt.sm.snapshot)
       .filter(_.timeMillis <= timestamp / 1000).map(_.id).sorted.lastOption
-    new GraftSparkTable(gt, snapshot = id.orElse(Some(-1L)))
+    new GraftSparkTable(gt, snapshot = id.orElse(Some(-1L)), guardFor(ident))
   }
 
   override def createTable(
@@ -207,6 +296,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
+    priv(GraftPrivileges.CreateTable, ident.namespace().mkString("."))
     val partitionKeys = partitions.toSeq.map { t =>
       require(t.name == "identity",
         s"unsupported partition transform: ${t.describe()}")
@@ -218,6 +308,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // table/FormatTable.java:61). `format-table.path` points at an
     // external directory; remaining `format-table.option.*` props pass
     // through to the reader (header, delimiter, ...).
+    // object table: metadata index over an arbitrary object directory
+    // (reference: ObjectTable.Builder; schema is fixed by the spec)
+    if (props.get("type").contains("object-table")) {
+      val location = props.getOrElse("object-location",
+        throw new IllegalArgumentException(
+          "object tables require TBLPROPERTIES('object-location'='/dir')"))
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(tablePath(ident)))
+      java.nio.file.Files.write(objectMarkerPath(ident),
+        graft.core.Json.write(ObjectTableMeta(location)).getBytes("UTF-8"))
+      return loadObjectTable(ident)
+    }
     props.get("format") match {
       case Some(fmt) if Set("csv", "json", "text", "parquet").contains(fmt) =>
         val dataPath = props.getOrElse("format-table.path",
@@ -245,6 +347,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    priv(GraftPrivileges.AlterTable, fq(ident))
     changes.foreach { c =>
       val gt = loadGraft(ident) // reload: prior change bumped the schema
       c match {
@@ -268,21 +371,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def dropTable(ident: Identifier): Boolean = {
+    priv(GraftPrivileges.DropTable, fq(ident))
     val dir = java.nio.file.Paths.get(tablePath(ident))
     if (!java.nio.file.Files.exists(dir)) false
     else {
       graft.core.FsUtil.walkAll(dir).reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      GraftPrivileges.objectDropped(warehouse, fq(ident))
       true
     }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    priv(GraftPrivileges.AlterTable, fq(oldIdent))
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(tablePath(newIdent)).getParent)
     java.nio.file.Files.move(
       java.nio.file.Paths.get(tablePath(oldIdent)),
       java.nio.file.Paths.get(tablePath(newIdent)))
+    GraftPrivileges.objectRenamed(warehouse, fq(oldIdent), fq(newIdent))
   }
 
   // ---- views ----------------------------------------------------------
@@ -303,6 +410,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
       : org.apache.spark.sql.connector.catalog.View = {
+    priv(GraftPrivileges.CreateTable, info.ident.namespace().mkString("."))
     GraftViews.create(warehouse, info, orReplace = false)
     GraftViews.load(warehouse, info.ident)
   }
@@ -317,14 +425,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def alterView(ident: Identifier, changes: ViewChange*)
-      : org.apache.spark.sql.connector.catalog.View =
+      : org.apache.spark.sql.connector.catalog.View = {
+    priv(GraftPrivileges.AlterTable, fq(ident))
     GraftViews.alter(warehouse, ident, changes)
+  }
 
-  override def dropView(ident: Identifier): Boolean =
-    GraftViews.drop(warehouse, ident)
+  override def dropView(ident: Identifier): Boolean = {
+    priv(GraftPrivileges.DropTable, fq(ident))
+    val dropped = GraftViews.drop(warehouse, ident)
+    if (dropped) GraftPrivileges.objectDropped(warehouse, fq(ident))
+    dropped
+  }
 
-  override def renameView(from: Identifier, to: Identifier): Unit =
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    priv(GraftPrivileges.AlterTable, fq(from))
     GraftViews.rename(warehouse, from, to)
+    GraftPrivileges.objectRenamed(warehouse, fq(from), fq(to))
+  }
 
   // ---- namespaces -----------------------------------------------------
 
@@ -372,7 +489,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * fallback for merge-on-read), batch write via V1Write, dynamic
   * overwrite, and filter-based SQL DELETE routed to the library's
   * three-tier delete (metadata-only / deletion-vector / rewrite). */
-class GraftSparkTable(protected val gt: GraftTable, snapshot: Option[Long])
+class GraftSparkTable(protected val gt: GraftTable, snapshot: Option[Long],
+    guard: String => Unit = _ => ())
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -432,8 +550,10 @@ class GraftSparkTable(protected val gt: GraftTable, snapshot: Option[Long])
   }
 
   override def dropPartitions(
-      idents: Array[org.apache.spark.sql.catalyst.InternalRow]): Boolean =
+      idents: Array[org.apache.spark.sql.catalyst.InternalRow]): Boolean = {
+    guard(GraftPrivileges.Insert)
     gt.dropPartitions(idents.map(rowToPart(_)).toIndexedSeq)
+  }
 
   override def truncatePartitions(
       idents: Array[org.apache.spark.sql.catalyst.InternalRow]): Boolean =
@@ -477,8 +597,10 @@ class GraftSparkTable(protected val gt: GraftTable, snapshot: Option[Long])
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => GraftFilters.toColumn(f).isDefined)
 
-  override def deleteWhere(filters: Array[Filter]): Unit =
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    guard(GraftPrivileges.Insert)
     gt.delete(GraftFilters.toCondition(filters))
+  }
 
   override def name(): String = gt.path
   override def schema(): StructType = gt.schema.toStruct
@@ -494,15 +616,19 @@ class GraftSparkTable(protected val gt: GraftTable, snapshot: Option[Long])
       TableCapability.OVERWRITE_DYNAMIC, TableCapability.TRUNCATE)
       .asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    guard(GraftPrivileges.Select)
     // iterate the CaseInsensitiveStringMap itself: its keys are
     // lowercase-normalized, so option("Scan.Max-Rows-Per-Trigger", ...)
     // still matches the lowercase lookups downstream
     new GraftScanBuilder(gt, snapshot, schema(),
       options.entrySet().asScala.map(e => e.getKey -> e.getValue).toMap)
+  }
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    guard(GraftPrivileges.Insert)
     new GraftWriteBuilder(gt)
+  }
 }
 
 class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType,
@@ -819,13 +945,16 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType,
   * files copy-on-write (PK tables keep the kinded upsert paths via the
   * library API; filter-translatable DELETEs still take the three-tier
   * metadata route through SupportsDelete). */
-class GraftAppendSparkTable(gt0: GraftTable, snapshot: Option[Long])
-    extends GraftSparkTable(gt0, snapshot)
+class GraftAppendSparkTable(gt0: GraftTable, snapshot: Option[Long],
+    guard0: String => Unit = _ => ())
+    extends GraftSparkTable(gt0, snapshot, guard0)
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def newRowLevelOperationBuilder(
-      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    guard0(GraftPrivileges.Insert)
     () => new GraftRowLevelOperation(gt, info.command())
+  }
 }
 
 /** Read-only DSv2 table over a metadata DataFrame (the `$`-suffix
@@ -838,6 +967,10 @@ case class FormatTableMeta(
     path: String,
     options: Map[String, String],
     schemaJson: String)
+
+/** Marker for object tables: the indexed directory (reference:
+  * ObjectTable.location). */
+case class ObjectTableMeta(location: String)
 
 /** Snapshot-less directory table: raw csv/json/text/parquet files
   * served through Spark's own (vectorized, pushdown-capable) file

@@ -229,6 +229,33 @@ object GraftProcedures {
   /** Catalog-level procedures (first argument is not a table). */
   private type CatalogBody = (GraftCatalog, InternalRow) => String
   private val catalogProcs: Map[String, (Seq[ProcedureParameter], CatalogBody)] = Map(
+    // ---- access control (reference: privilege/ procedures on the
+    // reference's catalog: InitFileBasedPrivilege, CreatePrivilegedUser,
+    // DropPrivilegedUser, GrantPrivilegeToUser, RevokePrivilegeFromUser).
+    // Once the store exists, every OTHER procedure requires ADMIN (the
+    // gate in load()); init itself is open only while un-initialized.
+    "init_file_based_privilege" -> (Seq(p("root_password", StringType)),
+      (c, args) => {
+        GraftPrivileges.init(c.warehousePath, args.getUTF8String(0).toString)
+        "privilege store initialized; authenticate as root"
+      }),
+    "create_privileged_user" -> (Seq(
+      p("user", StringType), p("password", StringType)),
+      (c, args) => { GraftPrivileges.createUser(c.warehousePath,
+        args.getUTF8String(0).toString, args.getUTF8String(1).toString); "ok" }),
+    "drop_privileged_user" -> (Seq(p("user", StringType)),
+      (c, args) => { GraftPrivileges.dropUser(c.warehousePath,
+        args.getUTF8String(0).toString); "ok" }),
+    "grant_privilege_to_user" -> (Seq(
+      p("user", StringType), p("privilege", StringType), p("identifier", StringType)),
+      (c, args) => { GraftPrivileges.grant(c.warehousePath,
+        args.getUTF8String(0).toString, args.getUTF8String(2).toString,
+        args.getUTF8String(1).toString); "ok" }),
+    "revoke_privilege_from_user" -> (Seq(
+      p("user", StringType), p("privilege", StringType), p("identifier", StringType)),
+      (c, args) => { GraftPrivileges.revoke(c.warehousePath,
+        args.getUTF8String(0).toString, args.getUTF8String(2).toString,
+        args.getUTF8String(1).toString); "ok" }),
     "create_function" -> (Seq(
       p("function", StringType), p("params", StringType), p("body", StringType)),
       (c, args) => { StoredFunctions.create(c.warehousePath,
@@ -307,6 +334,16 @@ object GraftProcedures {
           }
         s"migrated ${migrated.size} tables: ${migrated.sorted.mkString(",")}"
       }),
+    // re-list an object table's directory and materialize the metadata
+    // index as parquet (the reference's ObjectTableImpl serves the live
+    // listing; the materialization is our addition so repeated queries
+    // over slow object storage don't re-list).
+    "refresh_object_table" -> (Seq(p("table", StringType)),
+      (c, args) => {
+        val parts = args.getUTF8String(0).toString.split("\\.")
+        val n = c.refreshObjectTable(Identifier.of(parts.dropRight(1), parts.last))
+        s"indexed $n objects"
+      }),
     // snapshot-consistent table clone: metadata driver-side, data files
     // by a distributed copy job (reference: CopyFilesProcedure).
     "copy_files" -> (Seq(p("table", StringType), p("target", StringType)),
@@ -322,11 +359,18 @@ object GraftProcedures {
   def names: Seq[String] = (procs.keys ++ catalogProcs.keys).toSeq.sorted
 
   def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
+    // privileged warehouses restrict maintenance to ADMIN; only the
+    // bootstrap procedure stays open (and only until the store exists,
+    // which GraftPrivileges.init itself enforces)
+    def gate(): Unit =
+      if (ident.name() != "init_file_based_privilege") catalog.requireAdmin()
     catalogProcs.get(ident.name()).foreach { case (params, body) =>
-      return catalogProcedure(catalog, ident, params, body)
+      return catalogProcedure(catalog, ident, params,
+        (c, in) => { gate(); body(c, in) })
     }
-    val (params, body) = procs.getOrElse(ident.name(),
+    val (params, body0) = procs.getOrElse(ident.name(),
       throw new RuntimeException(s"unknown procedure: ${ident.name()}"))
+    val body: Body = (t, in) => { gate(); body0(t, in) }
     new UnboundProcedure {
       override def name(): String = ident.name()
       override def description(): String = s"graft ${ident.name()}"

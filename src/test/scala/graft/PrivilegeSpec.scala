@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** File-based access control (reference: paimon privilege/ —
+  * FileBasedPrivilegeManager + the privilege procedures). Three
+  * catalogs over ONE warehouse: `pw_root` authenticates as root,
+  * `pw_alice` as a limited user, `pw_anon` with no credentials. */
+class PrivilegeSpec extends AnyFunSuite {
+
+  lazy val warehouse: String = Files.createTempDirectory("graft-priv").toString
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    for (cat <- Seq("pw_root", "pw_alice", "pw_anon")) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+    }
+    s.conf.set("spark.sql.catalog.pw_root.user", "root")
+    s.conf.set("spark.sql.catalog.pw_root.password", "r00t")
+    s.conf.set("spark.sql.catalog.pw_alice.user", "alice")
+    s.conf.set("spark.sql.catalog.pw_alice.password", "wonder")
+    s
+  }
+
+  test("init, users, grants: SELECT/INSERT enforced per table; admin procedures gated") {
+    // before init: anything goes (opt-in model)
+    spark.sql("CREATE NAMESPACE pw_anon.db")
+    spark.sql("CREATE TABLE pw_anon.db.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO pw_anon.db.t VALUES (1,'a'),(2,'b')")
+
+    spark.sql("CALL pw_root.sys.init_file_based_privilege('r00t')")
+
+    // root sets up alice with SELECT on db.t only
+    spark.sql("CALL pw_root.sys.create_privileged_user('alice', 'wonder')")
+    spark.sql("CALL pw_root.sys.grant_privilege_to_user('alice', 'SELECT', 'db.t')")
+
+    // alice can read...
+    assert(spark.sql("SELECT count(*) FROM pw_alice.db.t").head.getLong(0) == 2L)
+    // ...but not write
+    val insErr = intercept[Exception](
+      spark.sql("INSERT INTO pw_alice.db.t VALUES (3,'c')"))
+    assert(insErr.toString.contains("lacks INSERT"), insErr.toString)
+    // ...and not run maintenance procedures
+    val procErr = intercept[Exception](
+      spark.sql("CALL pw_alice.sys.compact('db.t')"))
+    assert(procErr.toString.contains("lacks ADMIN"), procErr.toString)
+
+    // anonymous (no credentials) fails authentication outright
+    val anonErr = intercept[Exception](
+      spark.sql("SELECT * FROM pw_anon.db.t").collect())
+    assert(anonErr.toString.contains("authentication failed"), anonErr.toString)
+
+    // grant INSERT → the write goes through; root can always write
+    spark.sql("CALL pw_root.sys.grant_privilege_to_user('alice', 'INSERT', 'db.t')")
+    spark.sql("INSERT INTO pw_alice.db.t VALUES (3,'c')")
+    spark.sql("INSERT INTO pw_root.db.t VALUES (4,'d')")
+    assert(spark.sql("SELECT count(*) FROM pw_root.db.t").head.getLong(0) == 4L)
+
+    // database-scope grant covers new tables beneath it
+    spark.sql("CREATE TABLE pw_root.db.t2 (k BIGINT)")
+    spark.sql("INSERT INTO pw_root.db.t2 VALUES (10)")
+    spark.sql("CALL pw_root.sys.grant_privilege_to_user('alice', 'SELECT', 'db')")
+    assert(spark.sql("SELECT k FROM pw_alice.db.t2").head.getLong(0) == 10L)
+
+    // DDL needs its own privileges
+    val createErr = intercept[Exception](
+      spark.sql("CREATE TABLE pw_alice.db.t3 (k BIGINT)"))
+    assert(createErr.toString.contains("lacks CREATE_TABLE"), createErr.toString)
+    val dropErr = intercept[Exception](spark.sql("DROP TABLE pw_alice.db.t"))
+    assert(dropErr.toString.contains("lacks DROP_TABLE"), dropErr.toString)
+
+    // revoke closes the door again
+    spark.sql("CALL pw_root.sys.revoke_privilege_from_user('alice', 'INSERT', 'db.t')")
+    val insErr2 = intercept[Exception](
+      spark.sql("INSERT INTO pw_alice.db.t VALUES (9,'z')"))
+    assert(insErr2.toString.contains("lacks INSERT"), insErr2.toString)
+
+    // wrong password fails loudly
+    spark.conf.set("spark.sql.catalog.pw_evil", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.pw_evil.warehouse", warehouse)
+    spark.conf.set("spark.sql.catalog.pw_evil.user", "alice")
+    spark.conf.set("spark.sql.catalog.pw_evil.password", "guess")
+    val authErr = intercept[Exception](
+      spark.sql("SELECT * FROM pw_evil.db.t").collect())
+    assert(authErr.toString.contains("authentication failed"), authErr.toString)
+
+    // dropping the user removes grants; re-init refused
+    spark.sql("CALL pw_root.sys.drop_privileged_user('alice')")
+    intercept[Exception](
+      spark.sql("CALL pw_root.sys.init_file_based_privilege('again')"))
+  }
+}

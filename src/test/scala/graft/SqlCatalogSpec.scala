@@ -760,6 +760,35 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM graft.db20.`tagged$tags`").count() == 1L)
   }
 
+  test("object tables index a directory of arbitrary objects; refresh materializes") {
+    val objDir = java.nio.file.Files.createTempDirectory("graft-obj")
+    java.nio.file.Files.write(objDir.resolve("a.bin"), Array.fill[Byte](10)(1))
+    java.nio.file.Files.createDirectories(objDir.resolve("sub"))
+    java.nio.file.Files.write(objDir.resolve("sub/b.bin"), Array.fill[Byte](20)(2))
+
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db24")
+    spark.sql(
+      s"""CREATE TABLE graft.db24.objs (path STRING)
+         |TBLPROPERTIES ('type'='object-table', 'object-location'='$objDir')""".stripMargin)
+
+    val live = spark.sql(
+      "SELECT path, name, length FROM graft.db24.objs ORDER BY path").collect()
+    assert(live.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      == Seq(("a.bin", "a.bin", 10L), ("sub/b.bin", "b.bin", 20L)))
+
+    // live listing reflects new objects immediately
+    java.nio.file.Files.write(objDir.resolve("c.bin"), Array.fill[Byte](5)(3))
+    assert(spark.sql("SELECT count(*) FROM graft.db24.objs").head.getLong(0) == 3L)
+
+    // refresh materializes; later additions are invisible until re-refresh
+    assert(spark.sql("CALL graft.sys.refresh_object_table('db24.objs')")
+      .head.getString(0) == "indexed 3 objects")
+    java.nio.file.Files.write(objDir.resolve("d.bin"), Array.fill[Byte](7)(4))
+    assert(spark.sql("SELECT count(*) FROM graft.db24.objs").head.getLong(0) == 3L)
+    spark.sql("CALL graft.sys.refresh_object_table('db24.objs')")
+    assert(spark.sql("SELECT count(*) FROM graft.db24.objs").head.getLong(0) == 4L)
+  }
+
   test("catalog-level sys tables: all_tables / all_table_options / all_partitions / catalog_options") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db23")
     spark.sql(
