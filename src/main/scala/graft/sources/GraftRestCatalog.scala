@@ -1,0 +1,269 @@
+package graft.sources
+
+import graft.table.GraftTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.{HttpURLConnection, URL}
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** REST catalog: metadata served over HTTP, data read/written directly
+  * (reference: paimon-core rest/RESTCatalog + the paimon-open-api
+  * surface — the catalog SERVICE owns namespaces/tables and hands
+  * clients storage locations; the heavy IO never passes through it).
+  *
+  * [[GraftRestServer]] is the service half: a JDK HttpServer over one
+  * warehouse directory, bearer-token authenticated, exposing
+  * namespace/table CRUD plus the storage path of each table.
+  * [[GraftRestCatalog]] is the Spark half: a TableCatalog whose
+  * metadata calls go over HTTP; loadTable resolves the storage path
+  * remotely, then all scans/writes run on the shared storage exactly
+  * like the filesystem catalog — the service is on no data path, so a
+  * 1000-executor scan doesn't touch it. Register with
+  * `spark.sql.catalog.r = graft.sources.GraftRestCatalog`,
+  * `spark.sql.catalog.r.uri = http://host:port`,
+  * `spark.sql.catalog.r.token = <bearer>`.
+  */
+object GraftRestServer {
+
+  case class TableSpec(
+      name: String, schemaJson: String, partitionKeys: Seq[String],
+      primaryKeys: Seq[String], options: Map[String, String])
+
+  /** One running service instance. */
+  final class Handle(server: HttpServer) {
+    def port: Int = server.getAddress.getPort
+    def uri: String = s"http://127.0.0.1:$port"
+    def stop(): Unit = server.stop(0)
+  }
+
+  /** Serve `warehouse` on an ephemeral port. */
+  def start(warehouse: String, token: String): Handle = {
+    val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+
+    def respond(x: HttpExchange, code: Int, body: String): Unit = {
+      val bytes = body.getBytes("UTF-8")
+      x.getResponseHeaders.set("Content-Type", "application/json")
+      x.sendResponseHeaders(code, bytes.length)
+      x.getResponseBody.write(bytes)
+      x.close()
+    }
+
+    def authed(x: HttpExchange): Boolean =
+      Option(x.getRequestHeaders.getFirst("Authorization"))
+        .contains(s"Bearer $token")
+
+    server.createContext("/v1/", (x: HttpExchange) => {
+      try {
+        if (!authed(x)) respond(x, 401, """{"error":"unauthorized"}""")
+        else {
+          val parts = x.getRequestURI.getPath.stripPrefix("/v1/")
+            .split("/").filter(_.nonEmpty).toSeq
+          val method = x.getRequestMethod
+          (method, parts) match {
+            case ("GET", Seq("config")) =>
+              respond(x, 200, graft.core.Json.write(Map("warehouse" -> warehouse)))
+
+            case ("GET", Seq("namespaces")) =>
+              val root = java.nio.file.Paths.get(warehouse)
+              val ns =
+                if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+                else graft.core.FsUtil.listAll(root)
+                  .filter(java.nio.file.Files.isDirectory(_))
+                  .map(_.getFileName.toString).sorted
+              respond(x, 200, graft.core.Json.write(ns))
+
+            case ("POST", Seq("namespaces", ns)) =>
+              java.nio.file.Files.createDirectories(
+                java.nio.file.Paths.get(s"$warehouse/$ns"))
+              respond(x, 200, "{}")
+
+            case ("DELETE", Seq("namespaces", ns)) =>
+              val dir = java.nio.file.Paths.get(s"$warehouse/$ns")
+              if (java.nio.file.Files.exists(dir)) {
+                graft.core.FsUtil.walkAll(dir).reverse
+                  .foreach(java.nio.file.Files.deleteIfExists(_))
+                respond(x, 200, "{}")
+              } else respond(x, 404, """{"error":"no such namespace"}""")
+
+            case ("GET", Seq("namespaces", ns, "tables")) =>
+              val dir = java.nio.file.Paths.get(s"$warehouse/$ns")
+              val ts =
+                if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+                else graft.core.FsUtil.listAll(dir)
+                  .filter(p => GraftTable.exists(p.toString))
+                  .map(_.getFileName.toString).sorted
+              respond(x, 200, graft.core.Json.write(ts))
+
+            case ("GET", Seq("namespaces", ns, "tables", t)) =>
+              val path = s"$warehouse/$ns/$t"
+              if (GraftTable.exists(path))
+                respond(x, 200, graft.core.Json.write(Map("path" -> path)))
+              else respond(x, 404, """{"error":"no such table"}""")
+
+            case ("POST", Seq("namespaces", ns, "tables")) =>
+              val spec = graft.core.Json.read(
+                new String(x.getRequestBody.readAllBytes(), "UTF-8"),
+                classOf[TableSpec])
+              val path = s"$warehouse/$ns/${spec.name}"
+              // the service creates the table skeleton itself: clients
+              // never need write access to the metadata tree
+              GraftTable.create(SparkSession.active, path,
+                DataType.fromJson(spec.schemaJson).asInstanceOf[StructType],
+                partitionKeys = spec.partitionKeys,
+                primaryKeys = spec.primaryKeys, options = spec.options)
+              respond(x, 200, graft.core.Json.write(Map("path" -> path)))
+
+            case ("DELETE", Seq("namespaces", ns, "tables", t)) =>
+              val dir = java.nio.file.Paths.get(s"$warehouse/$ns/$t")
+              if (java.nio.file.Files.exists(dir)) {
+                graft.core.FsUtil.walkAll(dir).reverse
+                  .foreach(java.nio.file.Files.deleteIfExists(_))
+                respond(x, 200, "{}")
+              } else respond(x, 404, """{"error":"no such table"}""")
+
+            case _ => respond(x, 404, """{"error":"unknown route"}""")
+          }
+        }
+      } catch {
+        case e: Exception =>
+          respond(x, 500, graft.core.Json.write(Map("error" -> e.toString)))
+      }
+    })
+    server.start()
+    new Handle(server)
+  }
+}
+
+class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var uri: String = _
+  private var token: String = _
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    uri = Option(options.get("uri")).getOrElse(
+      throw new IllegalArgumentException(s"spark.sql.catalog.$name.uri must be set"))
+    token = Option(options.get("token")).getOrElse("")
+  }
+
+  override def name(): String = catalogName
+
+  /** One metadata round-trip. Body=None → GET (or DELETE). */
+  private def http(method: String, route: String, body: Option[String] = None)
+      : (Int, String) = {
+    val conn = new URL(s"$uri/v1/$route").openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    conn.setRequestProperty("Authorization", s"Bearer $token")
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(60000)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(b.getBytes("UTF-8"))
+    }
+    val code = conn.getResponseCode
+    val stream = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val text = if (stream == null) "" else new String(stream.readAllBytes(), "UTF-8")
+    (code, text)
+  }
+
+  private def expect(method: String, route: String, body: Option[String] = None): String = {
+    val (code, text) = http(method, route, body)
+    if (code == 401) throw new SecurityException(s"REST catalog $uri: unauthorized")
+    if (code >= 400) throw new RuntimeException(
+      s"REST catalog $uri $method /$route failed ($code): $text")
+    text
+  }
+
+  // ---- tables ----------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    graft.core.Json.read(
+      expect("GET", s"namespaces/${namespace.mkString("/")}/tables"),
+      classOf[Seq[String]])
+      .map(Identifier.of(namespace, _)).toArray
+
+  /** Resolve the storage path remotely; data access stays direct. */
+  private def remotePath(ident: Identifier): String = {
+    val (code, text) = http("GET",
+      s"namespaces/${ident.namespace().mkString("/")}/tables/${ident.name()}")
+    if (code == 401) throw new SecurityException(s"REST catalog $uri: unauthorized")
+    if (code == 404)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    graft.core.Json.read(text, classOf[Map[String, String]])("path")
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val gt = GraftTable.load(spark, remotePath(ident))
+    if (gt.isPrimaryKeyTable) new GraftSparkTable(gt, snapshot = None)
+    else new GraftAppendSparkTable(gt, snapshot = None)
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val partitionKeys = partitions.toSeq.map { t =>
+      require(t.name == "identity",
+        s"unsupported partition transform: ${t.describe()}")
+      t.references()(0).fieldNames().mkString(".")
+    }
+    val props = properties.asScala.toMap
+    val primaryKeys = props.get("primary-key")
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+    val options = props -- Seq("primary-key", TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_LOCATION, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL)
+    expect("POST", s"namespaces/${ident.namespace().mkString("/")}/tables",
+      Some(graft.core.Json.write(GraftRestServer.TableSpec(
+        ident.name(), schema.json, partitionKeys, primaryKeys, options))))
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER through the REST catalog is not supported yet; use the filesystem catalog")
+
+  override def dropTable(ident: Identifier): Boolean =
+    http("DELETE",
+      s"namespaces/${ident.namespace().mkString("/")}/tables/${ident.name()}")._1 == 200
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("renameTable via REST")
+
+  // ---- namespaces ------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    graft.core.Json.read(expect("GET", "namespaces"), classOf[Seq[String]])
+      .map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    Array.empty
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    listNamespaces().exists(_.sameElements(namespace))
+
+  override def createNamespace(
+      namespace: Array[String], metadata: util.Map[String, String]): Unit =
+    expect("POST", s"namespaces/${namespace.mkString("/")}")
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alterNamespace via REST")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    http("DELETE", s"namespaces/${namespace.mkString("/")}")._1 == 200
+}

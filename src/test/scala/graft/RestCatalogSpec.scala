@@ -1,0 +1,66 @@
+package graft
+
+import graft.sources.GraftRestServer
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** REST catalog: metadata over HTTP, data direct (reference:
+  * paimon-core rest/RESTCatalog). The service and the Spark catalog
+  * share one warehouse; the service is on no data path. */
+class RestCatalogSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+
+  lazy val warehouse: String = Files.createTempDirectory("graft-rest").toString
+  lazy val server: GraftRestServer.Handle =
+    GraftRestServer.start(warehouse, token = "sekrit")
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.rc", "graft.sources.GraftRestCatalog")
+    s.conf.set("spark.sql.catalog.rc.uri", server.uri)
+    s.conf.set("spark.sql.catalog.rc.token", "sekrit")
+    s
+  }
+
+  override def afterAll(): Unit = server.stop()
+
+  test("DDL + DML + system tables through the REST catalog") {
+    spark.sql("CREATE NAMESPACE rc.db")
+    spark.sql(
+      """CREATE TABLE rc.db.users (id BIGINT, name STRING)
+        |TBLPROPERTIES ('primary-key'='id', 'bucket'='2')""".stripMargin)
+    spark.sql("INSERT INTO rc.db.users VALUES (1,'a'),(2,'b')")
+    spark.sql("INSERT INTO rc.db.users VALUES (1,'a2')")
+
+    // merged PK read through the REST-resolved path
+    val got = spark.sql("SELECT id, name FROM rc.db.users ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a2"), (2L, "b")))
+
+    assert(spark.sql("SHOW TABLES IN rc.db").collect()
+      .map(_.getString(1)).toSeq == Seq("users"))
+
+    // the same table is visible to a filesystem catalog over the
+    // shared warehouse — the service stores no private state
+    spark.conf.set("spark.sql.catalog.rc_fs", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rc_fs.warehouse", warehouse)
+    assert(spark.sql("SELECT count(*) FROM rc_fs.db.users").head.getLong(0) == 2L)
+
+    spark.sql("DROP TABLE rc.db.users")
+    assert(spark.sql("SHOW TABLES IN rc.db").collect().isEmpty)
+  }
+
+  test("bad token is rejected; no data leaks") {
+    spark.conf.set("spark.sql.catalog.rc_bad", "graft.sources.GraftRestCatalog")
+    spark.conf.set("spark.sql.catalog.rc_bad.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.rc_bad.token", "wrong")
+    val e = intercept[Exception](spark.sql("SHOW TABLES IN rc_bad.db").collect())
+    assert(e.toString.contains("unauthorized") ||
+      Option(e.getCause).exists(_.toString.contains("unauthorized")), e.toString)
+  }
+}
