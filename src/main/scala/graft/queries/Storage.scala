@@ -1318,5 +1318,51 @@ object Storage {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"),
           asDouble(sum(dec4(col("value"))), 4).as("total"))
+    },
+
+    // ---- SQL partition management: ALTER TABLE DROP PARTITION is a
+    // metadata-only whole-partition drop; the surviving rows must be
+    // exactly the other partitions (reference:
+    // PaimonPartitionManagement.dropPartitions).
+    QDef(
+      "g54_drop_partition",
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin) { (s, dir) =>
+      val wh = Files.createTempDirectory("graft-g54-wh").toString
+      s.conf.set("spark.sql.catalog.g54", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g54.warehouse", wh)
+      tbl(s, dir, "orders").createOrReplaceTempView("g54_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS g54.gate")
+      s.sql("""CREATE TABLE g54.gate.orders
+              |(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
+              |PARTITIONED BY (o_orderstatus)""".stripMargin)
+      s.sql("""INSERT INTO g54.gate.orders
+              |SELECT o_orderkey, o_orderstatus, o_totalprice FROM g54_src""".stripMargin)
+      s.sql("ALTER TABLE g54.gate.orders DROP PARTITION (o_orderstatus='F')")
+      s.sql("""SELECT o_orderkey, o_orderstatus,
+              |  CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+              |FROM g54.gate.orders""".stripMargin)
+    },
+
+    // ---- read-optimized table: after a full compaction $ro serves the
+    // complete merged state from level>=1 only — identical answers,
+    // zero merge debt (reference: ReadOptimizedTable).
+    QDef(
+      "g55_read_optimized",
+      """SELECT o_orderkey,
+        |  CAST(ROUND(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+        |                  ELSE o_totalprice END, 2) AS DOUBLE) AS price
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
+      val t = GraftTable.create(s, scratch("g55"), src.schema,
+        primaryKeys = Seq("o_orderkey"), options = Map("bucket" -> "4"))
+      t.write(src)
+      t.write(src.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("price", col("price") * 2))
+      t.compact()
+      t.systemReadOptimized
+        .select(col("o_orderkey"), asDouble(col("price")).as("price"))
     })
 }
