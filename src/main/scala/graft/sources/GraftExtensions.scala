@@ -51,6 +51,12 @@ case class GraftViewRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case g: GraftCatalog => Some(g)
         case _ => None
       } catch { case _: Exception => None }
+    // global temp views always belong to the session catalog — a
+    // graft current catalog must not capture `global_temp.v`
+    if (parts.headOption.contains(
+        spark.sessionState.conf.getConf(
+          org.apache.spark.sql.internal.StaticSQLConf.GLOBAL_TEMP_DATABASE)))
+      return None
     if (parts.length >= 2) {
       asGraft(parts.head)
         .map(g => (g, Identifier.of(parts.tail.dropRight(1).toArray, parts.last)))

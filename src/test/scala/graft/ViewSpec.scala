@@ -123,6 +123,23 @@ class ViewSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(graft.sources.GraftViews.load(warehouse, id4).properties().get("p") == null)
   }
 
+  test("temp and global-temp views are never captured by the graft resolver") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.vdb5")
+    spark.sql("CREATE TABLE graft.vdb5.t (k BIGINT)")
+    spark.sql("INSERT INTO graft.vdb5.t VALUES (1)")
+    spark.sql("USE graft.vdb5")
+    try {
+      // session temp view under a graft current catalog
+      spark.sql("CREATE TEMP VIEW tv AS SELECT 42 AS k")
+      assert(spark.sql("SELECT k FROM tv").head.getInt(0) == 42)
+      spark.sql("DROP VIEW tv") // must hit the session catalog, not graft
+      // global temp view addressed by its reserved database
+      spark.sql("CREATE GLOBAL TEMP VIEW gv AS SELECT 7 AS k")
+      assert(spark.sql("SELECT k FROM global_temp.gv").head.getInt(0) == 7)
+      spark.sql("DROP VIEW global_temp.gv")
+    } finally spark.sql("USE spark_catalog.default")
+  }
+
   test("view over PK table sees merged state; nested views compose") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.vdb2")
     spark.sql(
