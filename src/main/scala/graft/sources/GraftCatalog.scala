@@ -234,17 +234,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val name = ident.name()
-    if (ident.namespace().sameElements(Array("sys")))
-      loadSysTable(name).foreach(return _)
-    if (java.nio.file.Files.exists(formatMarkerPath(ident)))
+    if (ident.namespace().sameElements(Array("sys"))) {
+      // catalog-wide admin tables expose every table's metadata
+      loadSysTable(name).foreach { t => requireAdmin(); return t }
+    }
+    if (java.nio.file.Files.exists(formatMarkerPath(ident))) {
+      priv(GraftPrivileges.Select, fq(ident))
       return loadFormatTable(ident)
-    if (java.nio.file.Files.exists(objectMarkerPath(ident)))
+    }
+    if (java.nio.file.Files.exists(objectMarkerPath(ident))) {
+      priv(GraftPrivileges.Select, fq(ident))
       return loadObjectTable(ident)
+    }
     if (name.contains('$')) {
       // system-table suffix: SELECT * FROM cat.db.`t$snapshots`
       // (reference: 24 system tables under table/system/, resolved by
       // the same $-suffix convention)
       val Array(base, suffix) = name.split("\\$", 2)
+      // system tables surface row data ($ro, $row_tracking, $audit_log,
+      // $binlog) and metadata: SELECT on the base table is required
+      priv(GraftPrivileges.Select, fq(Identifier.of(ident.namespace(), base)))
       val gt = loadGraft(Identifier.of(ident.namespace(), base))
       val dfFn: () => DataFrame = suffix match {
         case "snapshots" => () => gt.systemSnapshots
@@ -297,6 +306,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     priv(GraftPrivileges.CreateTable, ident.namespace().mkString("."))
+    if (GraftViews.exists(warehouse, ident))
+      throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(ident)
     val partitionKeys = partitions.toSeq.map { t =>
       require(t.name == "identity",
         s"unsupported partition transform: ${t.describe()}")
@@ -411,13 +422,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createView(info: org.apache.spark.sql.connector.catalog.ViewInfo)
       : org.apache.spark.sql.connector.catalog.View = {
     priv(GraftPrivileges.CreateTable, info.ident.namespace().mkString("."))
+    requireNoTable(info.ident)
     GraftViews.create(warehouse, info, orReplace = false)
     GraftViews.load(warehouse, info.ident)
   }
 
+  /** A view identifier must not collide with a table/format/object
+    * table: view.json inside a live table directory would silently
+    * shadow the table for every reader. */
+  private def requireNoTable(ident: Identifier): Unit =
+    if (GraftTable.exists(tablePath(ident)) ||
+      java.nio.file.Files.exists(formatMarkerPath(ident)) ||
+      java.nio.file.Files.exists(objectMarkerPath(ident)))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Array(ident.toString))
+
   override def replaceView(
       info: org.apache.spark.sql.connector.catalog.ViewInfo,
       orCreate: Boolean): org.apache.spark.sql.connector.catalog.View = {
+    priv(GraftPrivileges.CreateTable, info.ident.namespace().mkString("."))
+    requireNoTable(info.ident)
     if (!orCreate && !GraftViews.exists(warehouse, info.ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(info.ident)
     GraftViews.create(warehouse, info, orReplace = true)
@@ -475,11 +499,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     throw new UnsupportedOperationException("alterNamespace")
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    // cascade deletes every table beneath: require DROP_TABLE at the
+    // namespace scope (a table-level grant is not enough)
+    priv(GraftPrivileges.DropTable, namespace.mkString("."))
     val dir = java.nio.file.Paths.get(s"$warehouse/${namespace.mkString("/")}")
     if (!java.nio.file.Files.exists(dir)) false
     else {
       graft.core.FsUtil.walkAll(dir).reverse
         .foreach(java.nio.file.Files.deleteIfExists(_))
+      GraftPrivileges.namespaceDropped(warehouse, namespace.mkString("."))
       true
     }
   }

@@ -107,11 +107,49 @@ case class GraftViewRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * types). */
   private def viewRelation(parts: Seq[String], g: GraftCatalog, id: Identifier): LogicalPlan = {
     val v = g.loadView(id)
-    val parsed = spark.sessionState.sqlParser.parsePlan(v.query)
+    // Spark's CTESubstitution batch already ran before this rule fires,
+    // so WITH-clauses inside the re-parsed view text must be
+    // substituted here or their names would resolve as tables
+    val parsed = org.apache.spark.sql.catalyst.analysis.CTESubstitution(
+      spark.sessionState.sqlParser.parsePlan(v.query))
     val aliases = v.schema.fields.zipWithIndex.map { case (f, i) =>
       Alias(UpCast(GetColumnByOrdinal(i, f.dataType), f.dataType), f.name)()
     }.toSeq
-    SubqueryAlias(parts, Project(aliases, parsed))
+    SubqueryAlias(parts, Project(aliases, qualifyToDefinitionContext(parsed, v)))
+  }
+
+  /** Re-qualify unqualified relation names in the re-parsed view text
+    * against the view's STORED currentCatalog/currentNamespace, so a
+    * reader in a different namespace resolves the same tables the
+    * creator did (standard view semantics; the reference persists the
+    * context in ViewImpl for exactly this). Names bound by CTEs inside
+    * the view text and session temp views stay untouched. */
+  private def qualifyToDefinitionContext(
+      parsed: LogicalPlan,
+      v: org.apache.spark.sql.connector.catalog.View): LogicalPlan = {
+    val defCat = Option(v.currentCatalog).filter(_.nonEmpty)
+    if (defCat.isEmpty) return parsed
+    val defNs = v.currentNamespace.toSeq
+    val cteNames = parsed.collectWithSubqueries {
+      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
+    val globalDb = spark.sessionState.conf.getConf(
+      org.apache.spark.sql.internal.StaticSQLConf.GLOBAL_TEMP_DATABASE)
+    def isCatalogName(n: String): Boolean =
+      try { spark.sessionState.catalogManager.catalog(n); true }
+      catch { case _: Exception => false }
+    parsed.transformDownWithSubqueries {
+      case u @ UnresolvedRelation(ps, _, _) =>
+        val q: Option[Seq[String]] = ps match {
+          case Seq(t) if !cteNames.contains(t.toLowerCase) &&
+              spark.sessionState.catalog.getTempView(t).isEmpty =>
+            Some(defCat.get +: (defNs :+ t))
+          case Seq(db, t) if db != globalDb && !isCatalogName(db) =>
+            Some(Seq(defCat.get, db, t))
+          case _ => None
+        }
+        q.map(np => u.copy(multipartIdentifier = np)).getOrElse(u)
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {

@@ -139,4 +139,12 @@ object GraftPrivileges {
     val st = read(warehouse).getOrElse(return)
     write(warehouse, st.copy(grants = st.grants.filterNot(_(1) == ident)))
   }
+
+  /** Namespace cascade-drop: remove grants on the namespace and on
+    * everything beneath it. */
+  def namespaceDropped(warehouse: String, ns: String): Unit = {
+    val st = read(warehouse).getOrElse(return)
+    write(warehouse, st.copy(grants = st.grants.filterNot(g =>
+      g(1) == ns || g(1).startsWith(ns + "."))))
+  }
 }

@@ -1644,6 +1644,9 @@ final class GraftTable private (
       .flatMap { case (name, _) => sm.tagSnapshot(name).map(_.id) }
       .getOrElse(-1L)
     val created = scala.collection.mutable.ArrayBuffer.empty[String]
+    // membership tracked locally: re-listing the tag dir per snapshot
+    // would make a long catch-up walk O(snapshots × tags) file IO
+    val known = scala.collection.mutable.Set[String](tagsNow.keys.toSeq: _*)
     sm.snapshotIds.filter(_ > resumeAfter).foreach { id =>
       val snap = sm.snapshot(id)
       val timeOpt: Option[Long] = mode match {
@@ -1654,7 +1657,7 @@ final class GraftTable private (
         if (nextBoundary.forall(nb => time - delayMs >= nb)) {
           val periodStart = time - Math.floorMod(time, periodMs)
           val name = tagName(periodStart)
-          if (!sm.tags.contains(name)) {
+          if (known.add(name)) {
             sm.createTag(name, snap.id)
             created += name
           }
@@ -2386,11 +2389,6 @@ final class GraftTable private (
     * (reference: FileStoreTable.purgeFiles + PurgeFilesProcedure).
     * Driver-side metadata work only — no Spark job. */
   def purgeFiles(): Long = {
-    branches.foreach(deleteBranch)
-    sm.tags.keys.foreach(sm.deleteTag)
-    sm.io.list(sm.consumerDir)
-      .filter(_.split('/').last.startsWith("consumer-"))
-      .foreach(sm.io.delete)
     val truncated = sm.latestSnapshot() match {
       case Some(snap) =>
         val victims = sm.liveEntries(snap)
@@ -2401,6 +2399,15 @@ final class GraftTable private (
             .subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet))
       case None => -1L
     }
+    // clear branches/tags/consumers AFTER the truncation commit: the
+    // per-commit hook (tag auto-creation) runs inside that commit and
+    // would otherwise re-tag the just-cleared history, making the
+    // expire below keep every "purged" file alive via taggedRefs
+    branches.foreach(deleteBranch)
+    sm.tags.keys.foreach(sm.deleteTag)
+    sm.io.list(sm.consumerDir)
+      .filter(_.split('/').last.startsWith("consumer-"))
+      .foreach(sm.io.delete)
     sm.expireSnapshots(retain = 1)
     val clDir = java.nio.file.Paths.get(s"$path/changelog")
     if (java.nio.file.Files.exists(clDir)) deleteRecursive(clDir)

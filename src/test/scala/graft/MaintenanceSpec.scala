@@ -298,6 +298,25 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.read.collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("purge_files with auto-tags enabled: the truncate commit's hook cannot resurrect old history") {
+    val t = GraftTable.create(spark, tmp(), kv, options = Map(
+      GraftTable.TagAutoMode -> "watermark",
+      "tag.creation-period" -> "daily"))
+    val day = 86400000L
+    t.writeWatermarked(kvDf((1L, "a")), 1L, Some(5L))
+    t.writeWatermarked(kvDf((2L, "b")), 2L, Some(day + 7L))
+    assert(t.sm.tags.nonEmpty) // auto tags exist pre-purge
+
+    t.purgeFiles()
+    assert(t.sm.tags.isEmpty, s"tags survived purge: ${t.sm.tags.keys}")
+    assert(t.sm.snapshotIds.size == 1)
+    val dataDir = java.nio.file.Paths.get(s"${t.path}/data")
+    val leftover = if (!java.nio.file.Files.exists(dataDir)) Seq.empty
+      else graft.core.FsUtil.walkAll(dataDir)
+        .filter(_.toString.endsWith(".parquet"))
+    assert(leftover.isEmpty, s"files survived purge: $leftover")
+  }
+
   test("cloneTo copies the latest state into an independent table") {
     val t = GraftTable.create(spark, tmp(), kv,
       primaryKeys = Seq("k"), options = Map("bucket" -> "2"))

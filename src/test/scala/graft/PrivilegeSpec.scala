@@ -97,4 +97,26 @@ class PrivilegeSpec extends AnyFunSuite {
     intercept[Exception](
       spark.sql("CALL pw_root.sys.init_file_based_privilege('again')"))
   }
+
+  test("system-table suffixes and namespace drops are guarded too") {
+    // bob: SELECT on db.t2 only
+    spark.sql("CALL pw_root.sys.create_privileged_user('bob', 'pw')")
+    spark.sql("CALL pw_root.sys.grant_privilege_to_user('bob', 'SELECT', 'db.t2')")
+    spark.conf.set("spark.sql.catalog.pw_bob", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.pw_bob.warehouse", warehouse)
+    spark.conf.set("spark.sql.catalog.pw_bob.user", "bob")
+    spark.conf.set("spark.sql.catalog.pw_bob.password", "pw")
+
+    // $-suffix on an UNGRANTED table surfaces row data -> denied
+    val sysErr = intercept[Exception](
+      spark.sql("SELECT * FROM pw_bob.db.`t$audit_log`").collect())
+    assert(sysErr.toString.contains("lacks SELECT"), sysErr.toString)
+    // granted table's suffix works
+    assert(spark.sql("SELECT * FROM pw_bob.db.`t2$snapshots`").count() >= 1L)
+
+    // DROP NAMESPACE cascade needs namespace-scope DROP_TABLE
+    val nsErr = intercept[Exception](
+      spark.sql("DROP NAMESPACE pw_bob.db CASCADE"))
+    assert(nsErr.toString.contains("lacks DROP_TABLE"), nsErr.toString)
+  }
 }

@@ -140,6 +140,46 @@ class ViewSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     } finally spark.sql("USE spark_catalog.default")
   }
 
+  test("unqualified names in view text resolve in the DEFINITION namespace") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.vdb6")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.vdb7")
+    spark.sql("CREATE TABLE graft.vdb6.src (k BIGINT)")
+    spark.sql("INSERT INTO graft.vdb6.src VALUES (6)")
+    // decoy with the same name in the OTHER namespace
+    spark.sql("CREATE TABLE graft.vdb7.src (k BIGINT)")
+    spark.sql("INSERT INTO graft.vdb7.src VALUES (7)")
+
+    spark.sql("USE graft.vdb6")
+    try {
+      spark.sql("CREATE VIEW v6 AS SELECT k FROM src") // bare name
+      assert(spark.sql("SELECT k FROM v6").head.getLong(0) == 6L)
+      // read from the other namespace: still the creator's src
+      spark.sql("USE graft.vdb7")
+      assert(spark.sql("SELECT k FROM graft.vdb6.v6").head.getLong(0) == 6L)
+      // CTE names inside the view text are not qualified away
+      spark.sql("USE graft.vdb6")
+      spark.sql(
+        "CREATE VIEW v6c AS WITH src AS (SELECT 99 AS k) SELECT k FROM src")
+      spark.sql("USE graft.vdb7")
+      assert(spark.sql("SELECT k FROM graft.vdb6.v6c").head.getInt(0) == 99)
+    } finally spark.sql("USE spark_catalog.default")
+  }
+
+  test("a view cannot shadow an existing table and vice versa") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.vdb8")
+    spark.sql("CREATE TABLE graft.vdb8.t (k BIGINT)")
+    spark.sql("INSERT INTO graft.vdb8.t VALUES (1)")
+    intercept[Exception](
+      spark.sql("CREATE VIEW graft.vdb8.t AS SELECT 1 AS one"))
+    intercept[Exception](
+      spark.sql("CREATE OR REPLACE VIEW graft.vdb8.t AS SELECT 1 AS one"))
+    // table unharmed
+    assert(spark.sql("SELECT k FROM graft.vdb8.t").head.getLong(0) == 1L)
+    // converse: a table cannot be created over a view
+    spark.sql("CREATE VIEW graft.vdb8.v AS SELECT 1 AS one")
+    intercept[Exception](spark.sql("CREATE TABLE graft.vdb8.v (k BIGINT)"))
+  }
+
   test("view over PK table sees merged state; nested views compose") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.vdb2")
     spark.sql(
