@@ -19,6 +19,16 @@ import java.nio.file.{Files, Paths}
   * `db.table` = one table. The ADMIN privilege (granted on `*`)
   * implies everything, as does the root user. All operations are
   * driver-side metadata reads of two small JSON files — scale-free.
+  *
+  * Trust boundary (same as the reference): enforcement binds
+  * CATALOG-MEDIATED access. A principal with direct storage access
+  * (programmatic `GraftTable.load`, raw filesystem reads, or a REST
+  * catalog bearer token) is outside this layer — storage ACLs remain
+  * the hard boundary, exactly as with the reference's
+  * FileBasedPrivilegeManager. Views check the INVOKER's privileges on
+  * the base tables (the stored text re-resolves to base scans, each
+  * carrying its own SELECT guard); a grant on the view name alone does
+  * not confer base-table access.
   */
 object GraftPrivileges {
 

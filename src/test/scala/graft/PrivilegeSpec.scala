@@ -119,4 +119,46 @@ class PrivilegeSpec extends AnyFunSuite {
       spark.sql("DROP NAMESPACE pw_bob.db CASCADE"))
     assert(nsErr.toString.contains("lacks DROP_TABLE"), nsErr.toString)
   }
+
+  test("views run with INVOKER's rights: base-table SELECT is required") {
+    // root defines a view over db.t2; carol is granted nothing on the
+    // base table — reading through the view must still be denied
+    // (the stored text re-resolves to a guarded base scan)
+    spark.conf.set("spark.sql.catalog.pw_rootx", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.pw_rootx.warehouse", warehouse)
+    spark.conf.set("spark.sql.catalog.pw_rootx.user", "root")
+    spark.conf.set("spark.sql.catalog.pw_rootx.password", "r00t")
+    graft.sources.GraftViews.create(warehouse,
+      new org.apache.spark.sql.connector.catalog.ViewInfo(
+        org.apache.spark.sql.connector.catalog.Identifier.of(Array("db"), "v2view"),
+        s"SELECT k FROM pw_carol.db.t2", "pw_rootx", Array("db"),
+        new org.apache.spark.sql.types.StructType()
+          .add("k", org.apache.spark.sql.types.LongType),
+        Array("k"), Array.empty, Array.empty,
+        new java.util.HashMap[String, String]()),
+      orReplace = false)
+
+    spark.sql("CALL pw_root.sys.create_privileged_user('carol', 'pw')")
+    spark.conf.set("spark.sql.catalog.pw_carol", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.pw_carol.warehouse", warehouse)
+    spark.conf.set("spark.sql.catalog.pw_carol.user", "carol")
+    spark.conf.set("spark.sql.catalog.pw_carol.password", "pw")
+    // carol has no grant on db.t2: the view is no side door. The read
+    // must go through an extensions session (view resolution) — which
+    // is fresh, so register the catalogs on it too.
+    graft.queries.withGraftExtensions(spark) { s2 =>
+      for ((cat, u, pw) <- Seq(("pw_carol", "carol", "pw"), ("pw_root", "root", "r00t"))) {
+        s2.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s2.conf.set(s"spark.sql.catalog.$cat.warehouse", warehouse)
+        s2.conf.set(s"spark.sql.catalog.$cat.user", u)
+        s2.conf.set(s"spark.sql.catalog.$cat.password", pw)
+      }
+      val e = intercept[Exception](
+        s2.sql("SELECT k FROM pw_carol.db.v2view").collect())
+      assert(e.toString.contains("lacks SELECT"), e.toString)
+      // with the base grant the same view works
+      s2.sql("CALL pw_root.sys.grant_privilege_to_user('carol', 'SELECT', 'db.t2')")
+      assert(s2.sql("SELECT k FROM pw_carol.db.v2view").count() >= 1L)
+    }
+  }
 }
