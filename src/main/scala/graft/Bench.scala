@@ -59,6 +59,20 @@ object Bench {
     // shuffle paths so the first timed query isn't charged for them
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => }
+    // ...and one untimed tiny PK-table roundtrip JITs the WRITE side
+    // (kinded write, two-phase commit, merge read): repeated solo runs
+    // measured the first write gate ~2x its steady state purely from
+    // cold classes, which would misstate sustained throughput
+    try {
+      import spark.implicits._
+      val wdir = java.nio.file.Files.createTempDirectory("graft-warm").toString
+      val wt = graft.table.GraftTable.create(spark, s"$wdir/t",
+        Seq((1L, "a")).toDF("k", "v").schema, primaryKeys = Seq("k"),
+        options = Map("bucket" -> "2"))
+      wt.write(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+      wt.write(Seq((1L, "a2")).toDF("k", "v"))
+      wt.read.count()
+    } catch { case _: Throwable => }
     // stable order → comparable per-query numbers across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       spark.catalog.clearCache()
