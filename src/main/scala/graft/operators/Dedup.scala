@@ -440,6 +440,85 @@ object Dedup {
 
   /** Self-join pairs of `banded` rows sharing bucket `keys`, with
     * oversized buckets dropped (skew guard; drops counted + logged). */
+  // --- Incremental corpus dedup ---------------------------------------
+  // A 100 TB corpus grows by increments; re-banding the whole corpus
+  // per batch is O(corpus) and dies first. These helpers persist the
+  // MinHash band index as a graft PK table keyed on (band, bh) with a
+  // collect-aggregated id list, so (a) the index is bucket-aligned
+  // with the probe's join key and never reshuffles, (b) appends are
+  // incremental upserts folded by the aggregation merge engine, and
+  // (c) each new batch costs O(batch bands + matched buckets), never
+  // O(corpus). (Reference capability class: paimon's global indexes
+  // maintained across commits; the banding math is p05's.)
+
+  /** Band rows of one batch: (band, bh, id). */
+  def bandRows(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = k / bands
+    minhashSignatureTable(df, idCol, textCol, k)
+      .select(col("id"), explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
+      }: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bh").as("bh"), col("id"))
+  }
+
+  /** Create the persisted band index: PK (band, bh) + collect(ids),
+    * so streaming/batch appends upsert and compaction folds. */
+  def createBandIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, buckets: Int = 8): graft.table.GraftTable =
+    graft.table.GraftTable.create(spark, path,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("band",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("bh",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("ids",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType), nullable = true))),
+      primaryKeys = Seq("band", "bh"),
+      options = Map("bucket" -> buckets.toString,
+        "merge-engine" -> "aggregation",
+        "fields.ids.aggregate-function" -> "collect"))
+
+  /** Register a batch's band rows in the index (one upsert commit). */
+  def appendToBandIndex(
+      index: graft.table.GraftTable, batch: DataFrame,
+      idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8): Long =
+    index.write(bandRows(batch, idCol, textCol, k, bands)
+      .groupBy("band", "bh").agg(collect_list("id").as("ids")))
+
+  /** Dedup one increment against the indexed corpus AND itself:
+    * verified pairs, cross pairs oriented (id_a = corpus, id_b =
+    * increment). Only matched index buckets are exploded — the join
+    * touches O(increment bands) index rows. `corpusTexts` supplies
+    * (idCol, textCol) for the exact-Jaccard verification reads. */
+  def dedupIncrementPairs(
+      index: graft.table.GraftTable,
+      corpusTexts: DataFrame,
+      increment: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double = 0.7, k: Int = 32, bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val incB = capBuckets(
+      bandRows(increment, idCol, textCol, k, bands)
+        .select(col("id"), col("band"), col("bh")),
+      Seq("band", "bh"), maxBucketSize, "minhash.inc")
+    val cross = index.read
+      .join(incB.withColumnRenamed("id", "id_b"), Seq("band", "bh"))
+      .select(explode(col("ids")).as("id_a"), col("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val within = minhashCandidates(increment, idCol, textCol, k, bands, maxBucketSize)
+    val texts = corpusTexts.select(col(idCol), col(textCol))
+      .unionByName(increment.select(col(idCol), col(textCol))).distinct()
+    verifyJaccard(cross.unionByName(within).distinct(),
+      texts, idCol, tokenSet(col(textCol)), threshold)
+  }
+
   private def bucketJoinPairs(
       banded: DataFrame,
       keys: Seq[String],

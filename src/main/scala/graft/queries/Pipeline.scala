@@ -637,6 +637,41 @@ object Pipeline {
         .join(mixed.select("doc_id", "source"), "doc_id")
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("first_pack"), col("last_pack"))
+    },
+
+    // ---- incremental corpus dedup: the corpus half is banded ONCE
+    // into a persisted (band,bh)->ids index table; the increment is
+    // deduped by probing only its own bands against that index —
+    // O(increment) work per batch, the only shape that survives a
+    // growing 100 TB corpus. Planted dups of corpus docs arrive in the
+    // increment and must be found via the INDEX (their sources are not
+    // in the increment).
+    QDef(
+      "p20_incremental_dedup",
+      """SELECT CAST(doc_id AS BIGINT) AS src_id, TRUE AS dup_found
+        |FROM documents WHERE doc_id % 10 = 0 AND doc_id % 2 = 0""".stripMargin) { (s, dir) =>
+      import graft.operators.Dedup
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val planted = corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val increment = docs.filter(col("doc_id") % 2 === 1).unionAll(planted)
+
+      // k=16/bands=4 keeps the gate cheap; planted EXACT dups share
+      // every band, so recall is unaffected by the band count
+      val idx = Dedup.createBandIndex(s,
+        java.nio.file.Files.createTempDirectory("graft-p20-")
+          .toString + "/bandidx")
+      Dedup.appendToBandIndex(idx, corpus, "doc_id", "text", k = 16, bands = 4)
+      val pairs = Dedup.dedupIncrementPairs(
+        idx, corpusTexts = corpus, increment = increment,
+        idCol = "doc_id", textCol = "text", threshold = 0.7, k = 16, bands = 4)
+      // every planted doc must match its corpus source THROUGH the index
+      val found = pairs.filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a").as("src_id"))
+      corpus.filter(col("doc_id") % 10 === 0).select(col("doc_id").as("src_id"))
+        .join(found, Seq("src_id"), "left_semi")
+        .select(col("src_id"), lit(true).as("dup_found"))
     })
 
   /** embeddings ∪ deterministic perturbed copies (id + 100000, same

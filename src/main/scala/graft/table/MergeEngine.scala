@@ -250,8 +250,13 @@ object MergeEngine {
       case "bool_and" => expr(s"bool_and($c)")
       case "bool_or" => expr(s"bool_or($c)")
       case "collect" =>
-        if (combine) array_sort(flatten(collect_list(col(c))))
-        else array_sort(collect_list(col(c)))
+        // the declared column is ARRAY<T> and every written row carries
+        // an ARRAY<T> (often single-element): both the write-buffer base
+        // aggregation and the cross-commit combine union the arrays
+        // (reference: FieldCollectAgg — collect concatenates array
+        // inputs). Without the base-form flatten, array-valued writes
+        // produced ARRAY<ARRAY<T>> and failed the schema cast.
+        array_sort(flatten(collect_list(col(c))))
       case "merge_map" =>
         // later maps win per key, folded in ordering-key order
         expr(s"aggregate(transform(array_sort(collect_list(struct($c as m))), x -> x.m), " +

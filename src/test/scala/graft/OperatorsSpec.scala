@@ -372,4 +372,44 @@ class OperatorsSpec extends AnyFunSuite {
       assert(b._3 == a._4 || b._3 == a._4 + 1)
     case _ => }
   }
+
+  test("incremental dedup == one-shot dedup over the union") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def doc(i: Long, base: String) = (i, (1 to 30).map(j => s"$base$j").mkString(" "))
+    // docs 1/2 near-identical (share all tokens), 3 distinct; batch2
+    // brings 11 (dup of 1), 12 (distinct), 13 (dup of 12's text? no—dup of 3)
+    val batch1 = Seq(doc(1, "a"), doc(2, "a"), doc(3, "z")).toDF("id", "text")
+    val batch2 = Seq(doc(11, "a"), doc(12, "q"), doc(13, "z")).toDF("id", "text")
+
+    val oneShot = Dedup.minhashDedupPairs(
+      batch1.unionAll(batch2), "id", "text", threshold = 0.9, k = 16, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+    val idx = Dedup.createBandIndex(spark, s"$dir/idx", buckets = 2)
+    Dedup.appendToBandIndex(idx, batch1, "id", "text", k = 16, bands = 4)
+    val within1 = Dedup.minhashDedupPairs(
+      batch1, "id", "text", threshold = 0.9, k = 16, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val incPairs = Dedup.dedupIncrementPairs(idx, batch1, batch2,
+      "id", "text", threshold = 0.9, k = 16, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+
+    assert(within1 ++ incPairs == oneShot,
+      s"one-shot $oneShot vs incremental ${within1 ++ incPairs}")
+    // the cross-batch dups specifically came through the INDEX
+    assert(incPairs.contains((1L, 11L)) && incPairs.contains((3L, 13L)))
+
+    // a second increment probes the grown index
+    Dedup.appendToBandIndex(idx,
+      batch2.join(Seq(11L, 13L).toDF("id"), Seq("id"), "left_anti"),
+      "id", "text", k = 16, bands = 4)
+    val batch3 = Seq(doc(21, "q")).toDF("id", "text")
+    val inc3 = Dedup.dedupIncrementPairs(idx, batch1.unionAll(batch2), batch3,
+      "id", "text", threshold = 0.9, k = 16, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(inc3 == Set((12L, 21L)), s"got $inc3")
+  }
 }
