@@ -27,6 +27,14 @@ object GraftProcedures {
   private val procs: Map[String, (Seq[ProcedureParameter], Body)] = Map(
     "compact" -> (Seq(p("table", StringType)), (t, _) =>
       t.compact().map(id => s"compacted -> snapshot $id").getOrElse("empty table")),
+    // partition-scoped compaction (reference: CompactProcedure `where`
+    // parameter); the SQL predicate may only touch partition columns.
+    "compact_where" -> (Seq(p("table", StringType), p("where", StringType)),
+      (t, args) => {
+        t.compactWhere(org.apache.spark.sql.functions.expr(
+          args.getUTF8String(1).toString))
+          .map(id => s"compacted -> snapshot $id").getOrElse("no matching partitions")
+      }),
     "compact_sorted" -> (Seq(
       p("table", StringType), p("strategy", StringType), p("order_by", StringType)),
       (t, args) => {

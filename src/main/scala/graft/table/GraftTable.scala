@@ -2290,6 +2290,28 @@ final class GraftTable private (
     * MergeTreeCompactManager + CompactProcedure). */
   def compact(): Option[Long] = compactEntries(_ => true)
 
+  /** Partition-scoped compaction: rewrite only partitions matching the
+    * predicate — the reference's `CALL sys.compact(..., where => ...)`
+    * (CompactProcedure.java `where` clause). The predicate may only
+    * reference partition columns; matching is a driver-side evaluation
+    * over the distinct partition values, so planning is O(partitions)
+    * regardless of table size. */
+  def compactWhere(cond: Column): Option[Long] = {
+    val snap = sm.latestSnapshot().getOrElse(return None)
+    // partitionsMatching evaluates cond over ONLY the partition
+    // columns, so a predicate touching a data column fails analysis
+    val selected =
+      try partitionsMatching(sm.liveEntries(snap), cond)
+        .map(_.file.fileName).toSet
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"compact where-predicate may only use partition columns " +
+            s"${schema.partitionKeys.mkString(",")}: ${e.getMessage}")
+      }
+    if (selected.isEmpty) None
+    else compactEntries(e => selected.contains(e.file.fileName))
+  }
+
   /** Incremental compaction: rewrite only the (partition, bucket)
     * groups whose live file count exceeds `trigger` — bounded write
     * amplification instead of a full rewrite (reference:

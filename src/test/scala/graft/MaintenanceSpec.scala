@@ -298,6 +298,35 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.read.collect().map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  test("compactWhere rewrites only matching partitions; non-partition predicates refused") {
+    val sch = StructType(Seq(
+      StructField("p", StringType, nullable = false),
+      StructField("k", LongType, nullable = false),
+      StructField("v", LongType, nullable = true)))
+    def df(rows: (String, Long, Long)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2, r._3)).asJava, sch)
+    val t = GraftTable.create(spark, tmp(), sch,
+      partitionKeys = Seq("p"), primaryKeys = Seq("p", "k"),
+      options = Map("bucket" -> "1"))
+    (1 to 3).foreach(i => t.write(df(("a", 1L, i.toLong), ("b", 1L, i.toLong))))
+    def filesPer: Map[String, Set[String]] = t.sm.latestSnapshot().map(s =>
+      t.sm.liveEntries(s).groupBy(_.partition("p")).view
+        .mapValues(_.map(_.file.fileName).toSet).toMap).get
+    val before = filesPer
+    assert(before("a").size == 3 && before("b").size == 3)
+
+    assert(t.compactWhere(col("p") === "a").isDefined)
+    val after = filesPer
+    assert(after("a").size == 1, s"partition a not compacted: $after")
+    assert(after("b") == before("b"), s"partition b was touched: $after")
+    // merged state intact (last write wins per key)
+    assert(t.read.orderBy("p").collect().map(_.getLong(2)).toSeq == Seq(3L, 3L))
+
+    intercept[IllegalArgumentException](t.compactWhere(col("v") > 1))
+    // no matching partitions → no-op
+    assert(t.compactWhere(col("p") === "zzz").isEmpty)
+  }
+
   test("purge_files with auto-tags enabled: the truncate commit's hook cannot resurrect old history") {
     val t = GraftTable.create(spark, tmp(), kv, options = Map(
       GraftTable.TagAutoMode -> "watermark",
