@@ -375,6 +375,57 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$indexDir/graphs")
   }
 
+  /** Incremental index maintenance: insert one batch into the
+    * persisted shard graphs WITHOUT rebuilding — each shard
+    * deserializes its graph, inserts the batch's id-sorted rows (HNSW
+    * insertion is naturally incremental; levels derive from
+    * splitmix64(id), so determinism per shard state is preserved) and
+    * re-serializes. Cost is O(batch × log corpus) distance work +
+    * rewriting the touched shard blobs, never a corpus re-scan — the
+    * growth path a 100 TB embedding store needs (the reference's faiss
+    * indexes are likewise add-incremental). Writes a new generation
+    * directory and swaps it in, so concurrent probes keep reading a
+    * complete graphs file. */
+  def appendToHnswIndex(
+      increment: DataFrame, indexDir: String,
+      idCol: String, vecCol: String,
+      shards: Int = 4, m: Int = 8, efConstruction: Int = 64): Unit = {
+    val spark = increment.sparkSession
+    import spark.implicits._
+    val shard = pmod(xxhash64(col(idCol)), lit(shards)).cast("int")
+    val inc = increment
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"), shard.as("shard"))
+      .as[(Long, Seq[Double], Int)]
+      .groupByKey(_._3)
+    val existing = spark.read.parquet(s"$indexDir/graphs")
+      .select(col("shard"), col("graph")).as[(Int, Array[Byte])]
+      .groupByKey(_._1)
+    val mC = m; val efC = efConstruction
+    val updated = existing.cogroup(inc) { (sh, graphs, rows) =>
+      val gBytes = graphs.toSeq.headOption.map(_._2)
+      val rowsArr = rows.toArray.sortBy(_._1)
+      if (rowsArr.isEmpty && gBytes.isDefined) Iterator((sh, gBytes.get))
+      else {
+        val g = gBytes.map(HnswGraph.fromBytes)
+          .getOrElse(new HnswGraph(mC, efC))
+        rowsArr.foreach { case (id, vec, _) => g.insert(id, vec.toArray) }
+        Iterator((sh, g.toBytes))
+      }
+    }.toDF("shard", "graph")
+    // generation swap: never overwrite the directory a reader may be
+    // mid-scan on
+    val tmp = s"$indexDir/graphs-next"
+    updated.write.mode("overwrite").parquet(tmp)
+    val cur = java.nio.file.Paths.get(s"$indexDir/graphs")
+    val old = java.nio.file.Paths.get(s"$indexDir/graphs-prev")
+    if (java.nio.file.Files.exists(old))
+      graft.core.FsUtil.walkAll(old).reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    java.nio.file.Files.move(cur, old)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), cur)
+  }
+
   /** ANN over a persisted HNSW index: deserialize each shard's graph
     * executor-side, search the broadcast query set, merge shard top-k
     * globally. The plan's only scan is the (tiny) graphs parquet — no

@@ -348,6 +348,30 @@ object Pipeline {
         .select(col("query_id"), (col("recall_ok") && col("fresh_ok")).as("recall_ok"))
     },
 
+    // ---- incremental HNSW maintenance: the index is built on HALF the
+    // corpus, the other half is INSERTED into the persisted shard
+    // graphs (no rebuild — HNSW insertion is naturally incremental),
+    // and the probe must reach recall over the FULL corpus through the
+    // grown graphs. The generation-swap write keeps concurrent probes
+    // on a complete file set.
+    QDef(
+      "s08_knn_hnsw_append",
+      """SELECT DISTINCT vec_id AS query_id, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin) { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 5)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-s08-hnsw").toString + "/idx"
+      Similarity.buildHnswIndex(emb.filter(col("vec_id") % 2 === 0), idxDir,
+        "vec_id", "embedding", shards = 4, m = 8, efConstruction = 64)
+      Similarity.appendToHnswIndex(emb.filter(col("vec_id") % 2 === 1), idxDir,
+        "vec_id", "embedding", shards = 4, m = 8, efConstruction = 64)
+      val approx = Similarity.hnswIndexTopK(s, idxDir, q, "vec_id", "embedding",
+        kNeighbors = 5, efSearch = 48)
+      val exact = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      Similarity.recallOk(approx, exact, threshold = 0.8)
+    },
+
     // ---- embedding-cosine near-dup, exhaustive-blocked companion.
     // The raw embeddings have no near-dup structure (max pairwise
     // cosine ~0.6), so the query PLANTS deterministic near-duplicates:
