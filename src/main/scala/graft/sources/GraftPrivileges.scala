@@ -98,10 +98,14 @@ object GraftPrivileges {
     val st = read(warehouse).getOrElse(return) // disabled → allow
     val u = user.getOrElse("anonymous")
     if (u == "root") return
+    // ADMIN is scope-relative: a '*' ADMIN implies everything, a
+    // db-scoped ADMIN implies every privilege beneath that db (so a
+    // grant accepted by grant() is never silently inert). Note ADMIN
+    // checks themselves pass ident='*', which only a '*' scope covers —
+    // a db-scoped admin does not gain warehouse-wide procedures.
     val allowed = st.grants.exists { g =>
       val (gu, scope, p) = (g.head, g(1), g(2))
-      gu == u &&
-        ((p == Admin && scope == "*") || (p == privilege && covers(scope, ident)))
+      gu == u && (p == Admin || p == privilege) && covers(scope, ident)
     }
     if (!allowed) throw new NoPrivilegeException(u, privilege, ident)
   }

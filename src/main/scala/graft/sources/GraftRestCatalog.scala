@@ -57,6 +57,25 @@ object GraftRestServer {
       Option(x.getRequestHeaders.getFirst("Authorization"))
         .contains(s"Bearer $token")
 
+    // A bearer token's authority is bounded to the warehouse: URL path
+    // segments become filesystem components, so '.'/'..'/separator
+    // segments (or anything that resolves outside the warehouse root
+    // after normalization) are rejected before ANY filesystem
+    // operation — without this, DELETE /v1/namespaces/.. would
+    // recursively remove files ABOVE the warehouse.
+    val warehouseRoot =
+      java.nio.file.Paths.get(warehouse).toAbsolutePath.normalize()
+    def badSeg(s: String): Boolean =
+      s.isEmpty || s == "." || s == ".." ||
+        s.contains('/') || s.contains('\\') || s.contains('\u0000')
+    /** Resolve warehouse/segs, or None if any segment is unsafe. */
+    def resolveUnder(segs: String*): Option[java.nio.file.Path] =
+      if (segs.exists(badSeg)) None
+      else {
+        val p = segs.foldLeft(warehouseRoot)(_.resolve(_)).normalize()
+        if (p.startsWith(warehouseRoot)) Some(p) else None
+      }
+
     server.createContext("/v1/", (x: HttpExchange) => {
       try {
         if (!authed(x)) respond(x, 401, """{"error":"unauthorized"}""")
@@ -78,53 +97,78 @@ object GraftRestServer {
               respond(x, 200, graft.core.Json.write(ns))
 
             case ("POST", Seq("namespaces", ns)) =>
-              java.nio.file.Files.createDirectories(
-                java.nio.file.Paths.get(s"$warehouse/$ns"))
-              respond(x, 200, "{}")
+              resolveUnder(ns) match {
+                case None => respond(x, 400, """{"error":"invalid namespace name"}""")
+                case Some(dir) =>
+                  java.nio.file.Files.createDirectories(dir)
+                  respond(x, 200, "{}")
+              }
 
             case ("DELETE", Seq("namespaces", ns)) =>
-              val dir = java.nio.file.Paths.get(s"$warehouse/$ns")
-              if (java.nio.file.Files.exists(dir)) {
-                graft.core.FsUtil.walkAll(dir).reverse
-                  .foreach(java.nio.file.Files.deleteIfExists(_))
-                respond(x, 200, "{}")
-              } else respond(x, 404, """{"error":"no such namespace"}""")
+              resolveUnder(ns) match {
+                case None => respond(x, 400, """{"error":"invalid namespace name"}""")
+                case Some(dir) if java.nio.file.Files.exists(dir) =>
+                  // DSv2 contract: a non-cascade drop of a non-empty
+                  // namespace must fail, not silently wipe its tables
+                  val cascade = Option(x.getRequestURI.getQuery)
+                    .exists(_.split('&').contains("cascade=true"))
+                  val tables = graft.core.FsUtil.listAll(dir)
+                    .filter(p => GraftTable.exists(p.toString))
+                  if (tables.nonEmpty && !cascade)
+                    respond(x, 409, """{"error":"namespace not empty"}""")
+                  else {
+                    graft.core.FsUtil.walkAll(dir).reverse
+                      .foreach(java.nio.file.Files.deleteIfExists(_))
+                    respond(x, 200, "{}")
+                  }
+                case _ => respond(x, 404, """{"error":"no such namespace"}""")
+              }
 
             case ("GET", Seq("namespaces", ns, "tables")) =>
-              val dir = java.nio.file.Paths.get(s"$warehouse/$ns")
-              val ts =
-                if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
-                else graft.core.FsUtil.listAll(dir)
-                  .filter(p => GraftTable.exists(p.toString))
-                  .map(_.getFileName.toString).sorted
-              respond(x, 200, graft.core.Json.write(ts))
+              resolveUnder(ns) match {
+                case None => respond(x, 400, """{"error":"invalid namespace name"}""")
+                case Some(dir) =>
+                  val ts =
+                    if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+                    else graft.core.FsUtil.listAll(dir)
+                      .filter(p => GraftTable.exists(p.toString))
+                      .map(_.getFileName.toString).sorted
+                  respond(x, 200, graft.core.Json.write(ts))
+              }
 
             case ("GET", Seq("namespaces", ns, "tables", t)) =>
-              val path = s"$warehouse/$ns/$t"
-              if (GraftTable.exists(path))
-                respond(x, 200, graft.core.Json.write(Map("path" -> path)))
-              else respond(x, 404, """{"error":"no such table"}""")
+              resolveUnder(ns, t) match {
+                case None => respond(x, 400, """{"error":"invalid identifier"}""")
+                case Some(dir) if GraftTable.exists(dir.toString) =>
+                  respond(x, 200, graft.core.Json.write(Map("path" -> dir.toString)))
+                case _ => respond(x, 404, """{"error":"no such table"}""")
+              }
 
             case ("POST", Seq("namespaces", ns, "tables")) =>
               val spec = graft.core.Json.read(
                 new String(x.getRequestBody.readAllBytes(), "UTF-8"),
                 classOf[TableSpec])
-              val path = s"$warehouse/$ns/${spec.name}"
-              // the service creates the table skeleton itself: clients
-              // never need write access to the metadata tree
-              GraftTable.create(SparkSession.active, path,
-                DataType.fromJson(spec.schemaJson).asInstanceOf[StructType],
-                partitionKeys = spec.partitionKeys,
-                primaryKeys = spec.primaryKeys, options = spec.options)
-              respond(x, 200, graft.core.Json.write(Map("path" -> path)))
+              resolveUnder(ns, spec.name) match {
+                case None => respond(x, 400, """{"error":"invalid identifier"}""")
+                case Some(dir) =>
+                  // the service creates the table skeleton itself: clients
+                  // never need write access to the metadata tree
+                  GraftTable.create(SparkSession.active, dir.toString,
+                    DataType.fromJson(spec.schemaJson).asInstanceOf[StructType],
+                    partitionKeys = spec.partitionKeys,
+                    primaryKeys = spec.primaryKeys, options = spec.options)
+                  respond(x, 200, graft.core.Json.write(Map("path" -> dir.toString)))
+              }
 
             case ("DELETE", Seq("namespaces", ns, "tables", t)) =>
-              val dir = java.nio.file.Paths.get(s"$warehouse/$ns/$t")
-              if (java.nio.file.Files.exists(dir)) {
-                graft.core.FsUtil.walkAll(dir).reverse
-                  .foreach(java.nio.file.Files.deleteIfExists(_))
-                respond(x, 200, "{}")
-              } else respond(x, 404, """{"error":"no such table"}""")
+              resolveUnder(ns, t) match {
+                case None => respond(x, 400, """{"error":"invalid identifier"}""")
+                case Some(dir) if java.nio.file.Files.exists(dir) =>
+                  graft.core.FsUtil.walkAll(dir).reverse
+                    .foreach(java.nio.file.Files.deleteIfExists(_))
+                  respond(x, 200, "{}")
+                case _ => respond(x, 404, """{"error":"no such table"}""")
+              }
 
             case _ => respond(x, 404, """{"error":"unknown route"}""")
           }
@@ -264,6 +308,11 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException("alterNamespace via REST")
 
-  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
-    http("DELETE", s"namespaces/${namespace.mkString("/")}")._1 == 200
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val (code, _) = http("DELETE",
+      s"namespaces/${namespace.mkString("/")}?cascade=$cascade")
+    if (code == 409)
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(namespace)
+    code == 200
+  }
 }

@@ -1593,9 +1593,12 @@ final class GraftTable private (
     *
     * Walks snapshots in order; a snapshot whose extracted time has
     * passed the next untagged period boundary (+delay) gets a tag named
-    * after the period it falls in (UTC: `yyyy-MM-dd` daily,
-    * `yyyy-MM-dd-HH` hourly), mirroring the reference's
-    * normalizeToPreviousTag. The cursor state is the auto tags
+    * after the period it COMPLETES — the one before the period the
+    * snapshot's time falls in (UTC: `yyyy-MM-dd` daily, `yyyy-MM-dd-HH`
+    * hourly), mirroring the reference's normalizeToPreviousTag
+    * (truncate, then subtract one period): the daily tag `D` pins the
+    * first snapshot whose time crosses into day D+1, i.e. the snapshot
+    * that holds all of day D's data. The cursor state is the auto tags
     * themselves — the latest auto tag determines the next boundary, so
     * any writer can trigger the walk and they converge without a state
     * file. Driver-side metadata-only; O(snapshots since last auto tag).
@@ -1633,9 +1636,11 @@ final class GraftTable private (
     }
     val tagsNow = sm.tags
     val existingAuto = tagsNow.keys.flatMap(n => parseTag(n).map(n -> _)).toSeq
-    // next boundary: one period past the latest auto tag; none → open
+    // next boundary: a tag named P was created by a snapshot whose
+    // (time - delay) fell in period P+1, so the next tag (named P+1)
+    // fires when a snapshot crosses into P+2
     var nextBoundary: Option[Long] =
-      existingAuto.map(_._2).maxOption.map(_ + periodMs)
+      existingAuto.map(_._2).maxOption.map(_ + 2 * periodMs)
     // resume the walk AFTER the latest auto tag's snapshot: with the
     // per-commit hook enabled this keeps each trigger O(new snapshots),
     // not O(all history) — the reference keeps the same cursor as
@@ -1655,8 +1660,14 @@ final class GraftTable private (
       }
       timeOpt.foreach { time =>
         if (nextBoundary.forall(nb => time - delayMs >= nb)) {
-          val periodStart = time - Math.floorMod(time, periodMs)
-          val name = tagName(periodStart)
+          // normalizeToPreviousTag: the tag is named for the period the
+          // snapshot COMPLETED, one before the period (time - delay)
+          // falls in (reference: TagPeriodHandler.normalizeToPreviousTag)
+          val periodStart = {
+            val td = time - delayMs
+            td - Math.floorMod(td, periodMs)
+          }
+          val name = tagName(periodStart - periodMs)
           if (known.add(name)) {
             sm.createTag(name, snap.id)
             created += name

@@ -379,13 +379,35 @@ class MaintenanceSpec extends AnyFunSuite {
     t.writeWatermarked(kvDf((2L, "b")), 2L, Some(day + 7L))
     t.writeWatermarked(kvDf((3L, "c")), 3L, Some(3 * day + 11L))
 
-    // the per-commit hook created tags; day0 was evicted by retain=2
+    // the per-commit hook created tags named for the period each
+    // snapshot COMPLETED (normalizeToPreviousTag: truncate minus one
+    // period); the oldest was evicted by retain=2
     val tags = t.sm.tags.keys.toSeq.sorted
-    assert(tags == Seq("1970-01-02", "1970-01-04"), s"got $tags")
-    // tag points at the snapshot that crossed the boundary
-    assert(t.readTag("1970-01-02").count() == 2) // snapshots 1+2 merged view
+    assert(tags == Seq("1970-01-01", "1970-01-03"), s"got $tags")
+    // tag 1970-01-01 = snapshot whose watermark crossed INTO Jan 2,
+    // i.e. the one holding all of Jan 1's data (snapshots 1+2 merged)
+    assert(t.readTag("1970-01-01").count() == 2)
     // a manual re-trigger is a no-op (cursor derives from existing tags)
     assert(t.tagAutoCreate().isEmpty)
+  }
+
+  test("tag auto-creation: a daily tag contains its named day's data") {
+    val t = GraftTable.create(spark, tmp(), kv, options = Map(
+      GraftTable.TagAutoMode -> "watermark",
+      "tag.creation-period" -> "daily"))
+    val day = 86400000L
+    // two epochs inside day 1970-01-01, then one crossing into Jan 2
+    t.writeWatermarked(kvDf((1L, "jan1-a")), 1L, Some(5 * 3600000L))
+    t.writeWatermarked(kvDf((2L, "jan1-b")), 2L, Some(23 * 3600000L))
+    t.writeWatermarked(kvDf((3L, "jan2-a")), 3L, Some(day + 3600000L))
+    // the tag named 1970-01-01 must pin the snapshot that COMPLETES
+    // Jan 1 (the first one whose watermark crossed into Jan 2) — so a
+    // reader of tag D sees all of day D's rows, never a day-D tag with
+    // only the first minutes of day D
+    val tagged = t.readTag("1970-01-01").orderBy("k")
+      .collect().map(_.getString(1)).toSeq
+    assert(tagged.contains("jan1-a") && tagged.contains("jan1-b"),
+      s"daily tag 1970-01-01 is missing its own day's data: $tagged")
   }
 
   test("tag auto-creation: process-time mode tags on first extractable snapshot") {

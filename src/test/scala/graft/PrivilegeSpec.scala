@@ -161,4 +161,20 @@ class PrivilegeSpec extends AnyFunSuite {
       assert(s2.sql("SELECT k FROM pw_carol.db.v2view").count() >= 1L)
     }
   }
+
+  test("db-scoped ADMIN implies privileges beneath its scope, not warehouse-wide procedures") {
+    spark.sql("CALL pw_root.sys.create_privileged_user('dave', 'pw')")
+    spark.sql("CALL pw_root.sys.grant_privilege_to_user('dave', 'ADMIN', 'db')")
+    spark.conf.set("spark.sql.catalog.pw_dave", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.pw_dave.warehouse", warehouse)
+    spark.conf.set("spark.sql.catalog.pw_dave.user", "dave")
+    spark.conf.set("spark.sql.catalog.pw_dave.password", "pw")
+    // implied: SELECT + INSERT on tables under db (the grant is not inert)
+    assert(spark.sql("SELECT count(*) FROM pw_dave.db.t2").head.getLong(0) >= 1L)
+    spark.sql("INSERT INTO pw_dave.db.t2 VALUES (77)")
+    // NOT implied: '*'-gated procedures — scoped admin stays scoped
+    val procErr = intercept[Exception](
+      spark.sql("CALL pw_dave.sys.compact('db.t2')"))
+    assert(procErr.toString.contains("lacks ADMIN"), procErr.toString)
+  }
 }

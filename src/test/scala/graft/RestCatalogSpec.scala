@@ -63,4 +63,43 @@ class RestCatalogSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(e.toString.contains("unauthorized") ||
       Option(e.getCause).exists(_.toString.contains("unauthorized")), e.toString)
   }
+
+  test("non-cascade DROP NAMESPACE of a non-empty namespace is rejected") {
+    spark.sql("CREATE NAMESPACE rc.full")
+    spark.sql("CREATE TABLE rc.full.t (k BIGINT)")
+    spark.sql("INSERT INTO rc.full.t VALUES (1)")
+    // DSv2 contract: cascade=false + contained tables → error, no wipe
+    val e = intercept[Exception](spark.sql("DROP NAMESPACE rc.full"))
+    assert(e.toString.toLowerCase.contains("empt"), e.toString) // NonEmptyNamespace
+    assert(spark.sql("SELECT count(*) FROM rc.full.t").head.getLong(0) == 1L,
+      "non-cascade drop must not have deleted table data")
+    spark.sql("DROP NAMESPACE rc.full CASCADE")
+    assert(!spark.sql("SHOW NAMESPACES IN rc").collect()
+      .map(_.getString(0)).contains("full"))
+  }
+
+  test("path traversal in URL segments cannot escape the warehouse") {
+    // a sentinel file ABOVE the warehouse that a traversal would delete
+    val parent = java.nio.file.Paths.get(warehouse).getParent
+    val sentinel = parent.resolve(s"sentinel-${System.nanoTime()}.txt")
+    Files.write(sentinel, "canary".getBytes("UTF-8"))
+    try {
+      def raw(method: String, route: String): Int = {
+        val conn = new java.net.URL(s"${server.uri}/v1/$route")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod(method)
+        conn.setRequestProperty("Authorization", "Bearer sekrit")
+        conn.getResponseCode
+      }
+      // '..' (raw and URL-encoded) must be rejected with 400, and the
+      // recursive-delete handler must never run outside the warehouse
+      def rejected(code: Int): Boolean = code == 400 || code == 404
+      assert(rejected(raw("DELETE", "namespaces/..")))
+      assert(rejected(raw("DELETE", "namespaces/%2e%2e")))
+      assert(rejected(raw("DELETE", s"namespaces/..%2F${parent.getFileName}")))
+      assert(rejected(raw("POST", "namespaces/..")))
+      assert(rejected(raw("DELETE", "namespaces/ok/tables/..")))
+      assert(Files.exists(sentinel), "traversal escaped the warehouse root")
+    } finally Files.deleteIfExists(sentinel)
+  }
 }
