@@ -342,26 +342,121 @@ object Similarity {
     rankTopK(perShard, kNeighbors)
   }
 
+  /** Persisted-index metadata, written at build time so append and
+    * probe resolve the SAME shard count / graph parameters the index
+    * was built with — an append routed with a different shard count
+    * would silently misplace vectors. */
+  private[graft] case class HnswIndexMeta(
+      shards: Int, m: Int, efConstruction: Int, dim: Int)
+
+  /** Soft bound on one shard's serialized graph blob. The HARD ceiling
+    * is ~2 GB (a shard is one JVM byte array and one parquet cell);
+    * past the soft bound build/append WARN so the operator re-shards
+    * long before the hard wall. */
+  private[graft] val HnswShardSoftBoundBytes: Long = 256L * 1024 * 1024
+
+  /** Approximate serialized bytes per node: id(8) + vector(dim×8) +
+    * level(4) + adjacency (≈2M level-0 + ≈M upper ints) + framing. */
+  private def hnswPerNodeBytes(dim: Int, m: Int): Long =
+    8L + 8L * dim + 4L + 4L * (3L * m) + 48L
+
+  /** Shard count needed to keep each shard's blob under the soft
+    * bound; never below the requested count (determinism: the caller's
+    * count is a floor, and small corpora keep it exactly). */
+  private[graft] def deriveHnswShards(
+      requested: Int, corpusCount: Long, dim: Int, m: Int): Int = {
+    val need = math.ceil(
+      corpusCount.toDouble * hnswPerNodeBytes(dim, m) / HnswShardSoftBoundBytes).toLong
+    math.max(requested.toLong, math.max(1L, need)).min(Int.MaxValue).toInt
+  }
+
+  private def simLog = org.slf4j.LoggerFactory.getLogger("graft.Similarity")
+
+  private def atomicWriteString(path: String, content: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = java.nio.file.Paths.get(path + ".tmp." + java.util.UUID.randomUUID())
+    java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def hnswGenNumber(name: String): Int =
+    if (name == "graphs") 0 else name.stripPrefix("graphs-gen-").toInt
+
+  /** Resolve the current generation's graphs directory: the CURRENT
+    * pointer file when valid, else the highest existing generation
+    * (crash recovery / pre-pointer layouts). Generations flip with ONE
+    * atomic pointer write, so a concurrent probe (or a crash at any
+    * point of an append) always finds a complete directory — never the
+    * no-graphs window a two-move directory swap had. */
+  private[graft] def currentHnswGraphs(indexDir: String): String = {
+    val curFile = java.nio.file.Paths.get(s"$indexDir/CURRENT")
+    val pointed =
+      if (java.nio.file.Files.exists(curFile))
+        Some(new String(java.nio.file.Files.readAllBytes(curFile), "UTF-8").trim)
+      else None
+    pointed.filter(n => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$indexDir/$n"))) match {
+      case Some(n) => s"$indexDir/$n"
+      case None =>
+        val gens = graft.core.FsUtil.listAll(java.nio.file.Paths.get(indexDir))
+          .map(_.getFileName.toString)
+          .filter(n => n == "graphs" || n.startsWith("graphs-gen-"))
+        if (gens.isEmpty)
+          throw new IllegalStateException(s"no HNSW graphs under $indexDir")
+        s"$indexDir/${gens.maxBy(hnswGenNumber)}"
+    }
+  }
+
+  private def readHnswMeta(indexDir: String): Option[HnswIndexMeta] = {
+    val p = java.nio.file.Paths.get(s"$indexDir/meta.json")
+    if (!java.nio.file.Files.exists(p)) None
+    else scala.util.Try(graft.core.Json.read(
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8"),
+      classOf[HnswIndexMeta])).toOption
+  }
+
   /** Build the sharded HNSW index ONCE and persist it under `indexDir`
     * (reference role: paimon-faiss persisted global vector indexes,
     * CreateGlobalIndexProcedure — same amortization as the persisted
     * IVF in [[buildIvfIndex]]): one parquet row per shard holding the
     * serialized graph (ids, unit vectors, levels, links). Build cost
     * is one corpus shuffle + per-partition construction; queries then
-    * run ZERO build jobs. At 100 TB the shard count grows so each
-    * graph fits an executor; a graph row is bounded by shard size,
-    * never table size. */
+    * run ZERO build jobs.
+    *
+    * Shard-count governance: a shard's graph serializes to ONE byte
+    * array / parquet cell, hard-capped near 2 GB — `shards` is
+    * therefore a FLOOR, and the effective count is derived from
+    * corpus count × dimension so each blob stays under
+    * [[HnswShardSoftBoundBytes]] (the derivation is logged when it
+    * raises the request). The effective count is persisted in
+    * meta.json and returned; [[appendToHnswIndex]] always routes by
+    * the persisted count.
+    *
+    * @return the effective shard count the index was built with */
   def buildHnswIndex(
       corpus: DataFrame, indexDir: String,
       idCol: String, vecCol: String,
-      shards: Int = 4, m: Int = 8, efConstruction: Int = 64): Unit = {
+      shards: Int = 4, m: Int = 8, efConstruction: Int = 64): Int = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val shard = pmod(xxhash64(col(idCol)), lit(shards)).cast("int")
+    val head = corpus
+      .agg(count(lit(1)), max(size(col(vecCol)))).head()
+    val cnt = head.getLong(0)
+    val dim = if (head.isNullAt(1)) 0 else head.getInt(1)
+    val effShards = deriveHnswShards(shards, cnt, dim, m)
+    if (effShards > shards)
+      simLog.warn(s"HNSW shard count raised $shards -> $effShards: " +
+        s"$cnt vectors x dim $dim would exceed the per-shard blob bound " +
+        s"(${HnswShardSoftBoundBytes / (1024 * 1024)} MB soft, ~2 GB hard)")
+    val shard = pmod(xxhash64(col(idCol)), lit(effShards)).cast("int")
+    val soft = HnswShardSoftBoundBytes
     corpus
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"), shard.as("shard"))
-      .repartition(shards, col("shard"))
+      .repartition(effShards, col("shard"))
       .sortWithinPartitions("id") // deterministic insertion order
       .mapPartitions { rows =>
         val buf = rows.toArray
@@ -369,10 +464,19 @@ object Similarity {
         else {
           val g = new HnswGraph(m, efConstruction)
           buf.foreach(r => g.insert(r.getLong(0), r.getSeq[Double](1).toArray))
-          Iterator((buf.head.getInt(2), g.toBytes))
+          val bytes = g.toBytes
+          if (bytes.length > soft)
+            org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
+              s"HNSW shard ${buf.head.getInt(2)} blob ${bytes.length} B exceeds " +
+                s"the soft bound; rebuild with more shards (hard cap ~2 GB)")
+          Iterator((buf.head.getInt(2), bytes))
         }
       }.toDF("shard", "graph")
       .write.mode("overwrite").parquet(s"$indexDir/graphs")
+    atomicWriteString(s"$indexDir/meta.json",
+      graft.core.Json.write(HnswIndexMeta(effShards, m, efConstruction, dim)))
+    atomicWriteString(s"$indexDir/CURRENT", "graphs")
+    effShards
   }
 
   /** Incremental index maintenance: insert one batch into the
@@ -392,16 +496,24 @@ object Similarity {
       shards: Int = 4, m: Int = 8, efConstruction: Int = 64): Unit = {
     val spark = increment.sparkSession
     import spark.implicits._
-    val shard = pmod(xxhash64(col(idCol)), lit(shards)).cast("int")
+    // the persisted meta wins over the caller's parameters: routing an
+    // append with a different shard count than the build would place
+    // new vectors in shards probes never search
+    val meta = readHnswMeta(indexDir)
+    val effShards = meta.map(_.shards).getOrElse(shards)
+    val mC = meta.map(_.m).getOrElse(m)
+    val efC = meta.map(_.efConstruction).getOrElse(efConstruction)
+    val curDir = currentHnswGraphs(indexDir)
+    val shard = pmod(xxhash64(col(idCol)), lit(effShards)).cast("int")
     val inc = increment
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"), shard.as("shard"))
       .as[(Long, Seq[Double], Int)]
       .groupByKey(_._3)
-    val existing = spark.read.parquet(s"$indexDir/graphs")
+    val existing = spark.read.parquet(curDir)
       .select(col("shard"), col("graph")).as[(Int, Array[Byte])]
       .groupByKey(_._1)
-    val mC = m; val efC = efConstruction
+    val soft = HnswShardSoftBoundBytes
     val updated = existing.cogroup(inc) { (sh, graphs, rows) =>
       val gBytes = graphs.toSeq.headOption.map(_._2)
       val rowsArr = rows.toArray.sortBy(_._1)
@@ -410,20 +522,31 @@ object Similarity {
         val g = gBytes.map(HnswGraph.fromBytes)
           .getOrElse(new HnswGraph(mC, efC))
         rowsArr.foreach { case (id, vec, _) => g.insert(id, vec.toArray) }
-        Iterator((sh, g.toBytes))
+        val bytes = g.toBytes
+        if (bytes.length > soft)
+          org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
+            s"HNSW shard $sh blob grew to ${bytes.length} B (> soft bound); " +
+              "rebuild the index with more shards (hard cap ~2 GB/shard)")
+        Iterator((sh, bytes))
       }
     }.toDF("shard", "graph")
-    // generation swap: never overwrite the directory a reader may be
-    // mid-scan on
-    val tmp = s"$indexDir/graphs-next"
-    updated.write.mode("overwrite").parquet(tmp)
-    val cur = java.nio.file.Paths.get(s"$indexDir/graphs")
-    val old = java.nio.file.Paths.get(s"$indexDir/graphs-prev")
-    if (java.nio.file.Files.exists(old))
-      graft.core.FsUtil.walkAll(old).reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    java.nio.file.Files.move(cur, old)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), cur)
+    // generation swap via ONE atomic pointer flip: write the next
+    // generation beside the current one, then atomically repoint
+    // CURRENT. A probe (or a crash) at ANY instant resolves a complete
+    // generation — there is no window with no graphs directory. The
+    // generation before the previous one is swept after the flip.
+    val curName = java.nio.file.Paths.get(curDir).getFileName.toString
+    val nextName = s"graphs-gen-${hnswGenNumber(curName) + 1}"
+    updated.write.mode("overwrite").parquet(s"$indexDir/$nextName")
+    atomicWriteString(s"$indexDir/CURRENT", nextName)
+    graft.core.FsUtil.listAll(java.nio.file.Paths.get(indexDir))
+      .filter { p =>
+        val n = p.getFileName.toString
+        (n == "graphs" || n.startsWith("graphs-gen-")) &&
+          hnswGenNumber(n) < hnswGenNumber(curName)
+      }
+      .foreach(d => graft.core.FsUtil.walkAll(d).reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_)))
   }
 
   /** ANN over a persisted HNSW index: deserialize each shard's graph
@@ -436,7 +559,7 @@ object Similarity {
       kNeighbors: Int = 5, efSearch: Int = 48): DataFrame = {
     import spark.implicits._
     val qB = spark.sparkContext.broadcast(collectQueries(queries, idCol, vecCol))
-    val perShard = spark.read.parquet(s"$indexDir/graphs")
+    val perShard = spark.read.parquet(currentHnswGraphs(indexDir))
       .select("graph").as[Array[Byte]]
       .mapPartitions(_.flatMap { bytes =>
         val g = HnswGraph.fromBytes(bytes)

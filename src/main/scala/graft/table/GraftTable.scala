@@ -2567,11 +2567,13 @@ final class GraftTable private (
     val snap = sm.latestSnapshot().getOrElse(
       throw new IllegalStateException("empty table"))
     val dir = s"index-hnsw/$vecCol"
-    graft.operators.Similarity.buildHnswIndex(
+    // buildHnswIndex may RAISE the shard count to keep per-shard blobs
+    // bounded; the state records the effective count
+    val effShards = graft.operators.Similarity.buildHnswIndex(
       read.select(col(idCol), col(vecCol)), s"$path/$dir",
       idCol, vecCol, shards, m, efConstruction)
     sm.io.writeString(s"$path/$dir/state.json", Json.write(
-      GraftTable.VectorIndexState(idCol, vecCol, snap.id, shards, m, efConstruction)))
+      GraftTable.VectorIndexState(idCol, vecCol, snap.id, effShards, m, efConstruction)))
   }
 
   /** ANN top-k by cosine over `vecCol`: the persisted index when it

@@ -175,6 +175,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(leaves.head.output.map(_.name).contains("graph"), leaves.head.toString)
   }
 
+  test("HNSW shard governance: derived count bounds blobs; appends flip generations atomically") {
+    import spark.implicits._
+    // a small corpus keeps the requested shard count exactly
+    // (determinism floor)...
+    assert(Similarity.deriveHnswShards(4, 1000L, 8, 8) == 4)
+    // ...while a 100 TB-class corpus RAISES it: 200M × 768-dim vectors
+    // cannot live in 4 one-blob shards (2 GB JVM-array/parquet-cell
+    // hard cap per shard) — the derived count keeps every blob under
+    // the soft bound
+    val big = Similarity.deriveHnswShards(4, 200_000_000L, 768, 16)
+    assert(big > 4, s"derived only $big shards")
+    assert(200_000_000L * 768L * 8L / big <= Similarity.HnswShardSoftBoundBytes,
+      s"$big shards still exceed the soft per-shard bound")
+
+    // meta + generation lifecycle on a real index (noise is per-id
+    // seeded so repeated vecs() calls regenerate identical vectors)
+    def vecs(ids: Seq[Long]) = ids.map { i =>
+      val r = new java.util.Random(i * 7919 + 11)
+      val base = if (i % 2 == 0) Array(1.0, 0.05 * (i % 13)) else Array(-1.0, 0.05 * (i % 11))
+      (i, base.map(x => (x + r.nextGaussian() * 0.01).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-hnsw-gen").toString + "/idx"
+    val eff = Similarity.buildHnswIndex(vecs(0L until 100L), idxDir,
+      "vec_id", "embedding", shards = 3, m = 8, efConstruction = 64)
+    assert(eff == 3) // small corpus: requested count kept
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$idxDir/meta.json")))
+    assert(Similarity.currentHnswGraphs(idxDir).endsWith("/graphs"))
+
+    // two appends: each writes a NEW generation then atomically
+    // repoints CURRENT — at no instant is there no complete graphs dir
+    // (the append even ignores a wrong caller shard count: meta wins)
+    Similarity.appendToHnswIndex(vecs(100L until 150L), idxDir,
+      "vec_id", "embedding", shards = 99)
+    assert(Similarity.currentHnswGraphs(idxDir).endsWith("/graphs-gen-1"))
+    Similarity.appendToHnswIndex(vecs(150L until 200L), idxDir,
+      "vec_id", "embedding")
+    assert(Similarity.currentHnswGraphs(idxDir).endsWith("/graphs-gen-2"))
+    // retention: current + previous generations only
+    val gens = graft.core.FsUtil.listAll(java.nio.file.Paths.get(idxDir))
+      .map(_.getFileName.toString).filter(_.startsWith("graphs")).sorted
+    assert(gens == Seq("graphs-gen-1", "graphs-gen-2"), gens.toString)
+    // the grown index answers like a scratch-built one over all 200
+    val q = vecs(0L until 4L)
+    val grown = Similarity.hnswIndexTopK(spark, idxDir, q,
+      "vec_id", "embedding", kNeighbors = 5, efSearch = 64)
+    val exact = Similarity.bruteForceTopK(vecs(0L until 200L), q,
+      "vec_id", "embedding", 5)
+    val rec = Similarity.recallOk(grown, exact, threshold = 0.99).collect()
+    assert(rec.length == 4 && rec.forall(_.getBoolean(1)))
+    // crash recovery: with CURRENT gone, the highest generation serves
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$idxDir/CURRENT"))
+    assert(Similarity.currentHnswGraphs(idxDir).endsWith("/graphs-gen-2"))
+  }
+
   test("persisted IVF index matches per-query IVF and prunes to probed lists") {
     import spark.implicits._
     // two well-separated clusters in 2D
