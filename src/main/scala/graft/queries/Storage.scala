@@ -1364,5 +1364,39 @@ object Storage {
       t.compact()
       t.systemReadOptimized
         .select(col("o_orderkey"), asDouble(col("price")).as("price"))
+    },
+
+    // ---- full-text boolean OR (Lucene disjunction counterpart): the
+    // candidate set unions the per-token postings — 'dup' is rare
+    // (~5% of docs) so a wrong union (intersection, or a dropped
+    // posting) shifts the row count and fails the hash.
+    QDef(
+      "g56_text_search_any",
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_contains(regexp_split_to_array(text, '[^A-Za-z0-9]+'), 'dup')
+        |   OR list_contains(regexp_split_to_array(text, '[^A-Za-z0-9]+'), 'vector')""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val t = GraftTable.create(s, scratch("g56"), src.schema)
+      t.write(src.repartition(8))
+      t.rebuildTextIndex("text")
+      t.searchTextAny("text", Seq("dup", "vector")).select(col("doc_id"), col("lang"))
+    },
+
+    // ---- full-text phrase query: AND-prune through the postings,
+    // then a positional adjacency verify (anchored regex) — the
+    // positions-free inverted-index phrase plan. The oracle is the
+    // same adjacency regex in DuckDB, so a candidate that merely
+    // contains both words NON-adjacently would fail the hash.
+    QDef(
+      "g57_text_search_phrase",
+      """SELECT doc_id, lang FROM documents
+        |WHERE regexp_matches(text, '(^|[^A-Za-z0-9])table[^A-Za-z0-9]+hash([^A-Za-z0-9]|$)')""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val t = GraftTable.create(s, scratch("g57"), src.schema)
+      t.write(src.repartition(8))
+      t.rebuildTextIndex("text")
+      t.searchTextPhrase("text", Seq("table", "hash")).select(col("doc_id"), col("lang"))
     })
 }

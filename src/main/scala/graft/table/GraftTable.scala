@@ -2664,11 +2664,10 @@ final class GraftTable private (
       column: String, word: String,
       prefixMatch: Boolean = false): Seq[ManifestEntry] =
     textPrune(column) { postings =>
-      postings
+      cappedFileHits(postings
         .filter(if (prefixMatch) col("token").startsWith(word)
                 else col("token") === word)
-        .select("f").distinct()
-        .collect().map(_.getString(0)).toSet
+        .select("f").distinct())
     }
 
   /** Candidates for an AND of whole tokens: one postings scan, a file
@@ -2679,19 +2678,48 @@ final class GraftTable private (
       column: String, words: Seq[String]): Seq[ManifestEntry] = {
     val distinctWords = words.distinct
     textPrune(column) { postings =>
-      postings
+      cappedFileHits(postings
         .filter(col("token").isin(distinctWords: _*))
         .groupBy("f").agg(countDistinct(col("token")).as("n"))
         .filter(col("n") === distinctWords.size)
-        .select("f")
-        .collect().map(_.getString(0)).toSet
+        .select("f"))
     }
   }
 
+  /** Candidates for an OR of whole tokens: union of the per-token
+    * posting sets, still one scan (isin + distinct f). */
+  private[graft] def textCandidatesAny(
+      column: String, words: Seq[String]): Seq[ManifestEntry] =
+    textPrune(column) { postings =>
+      cappedFileHits(postings
+        .filter(col("token").isin(words.distinct: _*))
+        .select("f").distinct())
+    }
+
+  /** Collect a probe's matching-file set, CAPPED like the global
+    * secondary index's probes (`secondary-index.max-probe-hits`
+    * pattern): a stopword-class token over 10^6 files would otherwise
+    * materialize the whole file list on the driver. Past
+    * `text-index.max-probe-hits` (default 100k) the probe FAILS OPEN —
+    * None keeps every covered candidate, so results never change,
+    * only the pruning benefit is forfeited. */
+  private def cappedFileHits(files: DataFrame): Option[Set[String]] = {
+    val cap = schema.options
+      .getOrElse("text-index.max-probe-hits", "100000").toInt
+    val rows = files.limit(cap + 1).collect()
+    if (rows.length > cap) {
+      org.slf4j.LoggerFactory.getLogger("graft.GraftTable").warn(
+        s"text-index probe exceeded $cap matching files; failing open " +
+          "(raise text-index.max-probe-hits or accept the full scan)")
+      None
+    } else Some(rows.map(_.getString(0)).toSet)
+  }
+
   /** Shared text-index pruning scaffold: `hitsOf` maps the postings
-    * DataFrame to the set of matching file basenames. */
+    * DataFrame to the set of matching file basenames, or None to fail
+    * open (probe over the cap → every covered file stays). */
   private def textPrune(column: String)(
-      hitsOf: DataFrame => Set[String]): Seq[ManifestEntry] = {
+      hitsOf: DataFrame => Option[Set[String]]): Seq[ManifestEntry] = {
     val snap = sm.latestSnapshot().getOrElse(return Seq.empty)
     val entries = visibleEntries(sm.liveEntries(snap))
     val stPath = s"$path/index-text/$column/state.json"
@@ -2709,6 +2737,7 @@ final class GraftTable private (
           try {
             if (s0.postings.isEmpty) Set.empty
             else hitsOf(spark.read.parquet(s0.postings.map(p => s"$path/$p"): _*))
+              .getOrElse(covered) // over-cap probe: keep all covered
           } catch { case scala.util.control.NonFatal(_) => covered }
         val keep = entries.filter { e =>
           val b = basename(e.file.fileName)
@@ -2746,6 +2775,39 @@ final class GraftTable private (
       coalesce(col(column).cast("string"), lit("")), GraftTable.TextTokenSplit)
     val matched = mergedFromEntries(textCandidatesAll(column, words))
       .filter(words.distinct.map(w => array_contains(tokens, w)).reduce(_ && _))
+    matched.select(struct.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Rows whose `column` contains AT LEAST ONE of `words` as a whole
+    * token (Lucene boolean-OR counterpart). The candidate set is the
+    * union of the per-token posting sets — one postings scan, and the
+    * fail-open policy composes (an over-cap union keeps all covered
+    * files). */
+  def searchTextAny(column: String, words: Seq[String]): DataFrame = {
+    require(words.nonEmpty && words.forall(w =>
+      w.nonEmpty && !w.exists(c => !c.isLetterOrDigit)),
+      "searchTextAny takes whole tokens: [A-Za-z0-9]+")
+    val tokens = split(
+      coalesce(col(column).cast("string"), lit("")), GraftTable.TextTokenSplit)
+    val matched = mergedFromEntries(textCandidatesAny(column, words))
+      .filter(words.distinct.map(w => array_contains(tokens, w)).reduce(_ || _))
+    matched.select(struct.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Rows whose `column` contains `words` as CONSECUTIVE whole tokens
+    * (Lucene phrase-query counterpart). Pruning is the AND candidate
+    * set — a file lacking any word cannot hold the phrase — and the
+    * row filter verifies adjacency with an anchored regex
+    * (`(^|sep)w1 sep+ w2 ... (sep|$)` where sep = non-alphanumeric),
+    * the positional-verify step of a positions-free inverted index. */
+  def searchTextPhrase(column: String, words: Seq[String]): DataFrame = {
+    require(words.nonEmpty && words.forall(w =>
+      w.nonEmpty && !w.exists(c => !c.isLetterOrDigit)),
+      "searchTextPhrase takes whole tokens: [A-Za-z0-9]+")
+    val pattern = words.mkString(
+      "(^|[^A-Za-z0-9])", "[^A-Za-z0-9]+", "([^A-Za-z0-9]|$)")
+    val matched = mergedFromEntries(textCandidatesAll(column, words))
+      .filter(coalesce(col(column).cast("string"), lit("")).rlike(pattern))
     matched.select(struct.fieldNames.map(col).toIndexedSeq: _*)
   }
 

@@ -123,6 +123,56 @@ class TextIndexSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
   }
 
+  test("OR search: union pruning; phrase search verifies adjacency") {
+    val t = GraftTable.create(spark, tmp(), sch)
+    t.write(df((1L, "alpha beta gamma"), (2L, "alpha only here")).coalesce(1))
+    t.write(df((3L, "beta gamma delta"), (4L, "quiet words")).coalesce(1))
+    t.write(df((5L, "delta epsilon")).coalesce(1))
+    t.rebuildTextIndex("text")
+    // OR: union of per-token candidate sets
+    assert(t.searchTextAny("text", Seq("alpha", "delta")).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 5L))
+    // pruning: file 2 (quiet/words only... file layout: file2 holds
+    // ids 3,4) — 'epsilon' lives only in file 3
+    assert(t.textCandidatesAny("text", Seq("epsilon")).size == 1)
+    assert(t.textCandidatesAny("text", Seq("zzz", "yyy")).isEmpty)
+    // phrase: adjacency required — "alpha beta" matches id 1 only
+    // (id 4's file holds neither word and is pruned; id 2 has alpha
+    // without beta; id 3 has beta not preceded by alpha)
+    assert(t.searchTextPhrase("text", Seq("alpha", "beta")).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    // non-adjacent words: both present, phrase absent
+    assert(t.searchTextPhrase("text", Seq("alpha", "gamma")).count() == 0)
+    // phrase at string start and end anchors correctly
+    assert(t.searchTextPhrase("text", Seq("delta", "epsilon")).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(5L))
+    // fail-open composes: uncovered append is scanned for OR and phrase
+    t.write(df((6L, "alpha beta late")).coalesce(1))
+    assert(t.searchTextAny("text", Seq("alpha")).count() == 3)
+    assert(t.searchTextPhrase("text", Seq("alpha", "beta")).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 6L))
+  }
+
+  test("probe cap: an over-cap token fails open with identical results") {
+    // cap = 2 files: 'common' lives in 3 files → over cap → fail open
+    val t = GraftTable.create(spark, tmp(), sch,
+      options = Map("text-index.max-probe-hits" -> "2"))
+    t.write(df((1L, "common alpha"), (2L, "other")).coalesce(1))
+    t.write(df((3L, "common beta")).coalesce(1))
+    t.write(df((4L, "common gamma")).coalesce(1))
+    t.rebuildTextIndex("text")
+    // over-cap probe keeps every covered candidate (no wrong pruning)
+    assert(t.textCandidates("text", "common").size == 3)
+    // results identical to the plain filter — fail open, never wrong
+    assert(t.searchText("text", "common").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+    assert(plainMatch(t, "common") == Set(1L, 3L, 4L))
+    // an under-cap probe still prunes sharply
+    assert(t.textCandidates("text", "beta").size == 1)
+    assert(t.searchText("text", "beta").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
   test("SQL surface: CALL sys.rebuild_text_index") {
     val wh = Files.createTempDirectory("graft-text-wh").toString
     spark.conf.set("spark.sql.catalog.graft_txt", "graft.sources.GraftCatalog")
