@@ -160,6 +160,43 @@ object Streams {
         asDouble(col("value"), 4).as("value"))
     },
 
+    // ---- streaming lookup join, PARTIAL mode: per-epoch enrichment
+    // of an orders stream against a PK customer dim table. The join
+    // key covers the dim's primary key, so each epoch resolves ONLY
+    // the buckets its keys hash into (reference:
+    // PrimaryKeyPartialLookupTable) — never a full dim scan or
+    // broadcast. Epoch 2 updates a dim slice first, so the gate also
+    // proves per-epoch snapshot re-resolution: rows enriched in epoch
+    // 0/1 keep the old segment, epoch-2 rows see the update.
+    QDef(
+      "g58_lookup_join",
+      """SELECT o_orderkey, o_custkey AS c_custkey,
+        |  CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price, c_name,
+        |  CASE WHEN o_orderkey % 3 = 2 AND c_custkey % 10 = 0
+        |       THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin) { (s, dir) =>
+      val cust = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val dim = GraftTable.create(s, scratch("g58dim"), cust.schema,
+        primaryKeys = Seq("c_custkey"), options = Map("bucket" -> "8"))
+      dim.write(cust)
+      val orders = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+          col("o_totalprice"))
+      val enriched = (0 until 3).map { e =>
+        if (e == 2) // dim refresh between epochs: next epoch must see it
+          dim.mergeInto(cust.filter(col("c_custkey") % 10 === 0)
+            .withColumn("c_mktsegment", lit("UPDATED")))
+        GraftStreaming.lookupJoin(
+          orders.filter(col("o_orderkey") % 3 === e), dim, Seq("c_custkey"),
+          joinType = "inner")
+      }
+      enriched.reduce(_ unionByName _)
+        .select(col("o_orderkey"), col("c_custkey"),
+          asDouble(col("o_totalprice")).as("price"),
+          col("c_name"), col("c_mktsegment"))
+    },
+
     // ---- session windows (30-minute inactivity gap) per user.
     QDef(
       "g11_session_window",

@@ -135,18 +135,86 @@ object GraftStreaming {
     processChangelog(table, checkpointPath, process)
   }
 
+  /** What one [[lookupJoin]] call resolved — exposed so tests (and
+    * operators) can see the plan class without parsing Spark plans.
+    * `mode` is `partial` (bucket-pruned dim slice) or `full`
+    * (whole-table resolve, snapshot-cached across epochs). */
+  final case class LookupStats(
+      mode: String, cacheHit: Boolean,
+      entriesScanned: Int, entriesTotal: Int, broadcastSide: Boolean)
+  @volatile private[graft] var lastLookupStats: Option[LookupStats] = None
+
+  /** (dim path → (snapshot id, persisted full read)) for full mode:
+    * while the dim table's snapshot is unchanged between micro-batches
+    * the previous epoch's resolved content is reused from the block
+    * cache instead of re-scanned — the reference's refresh-interval
+    * semantics (FileStoreLookupFunction.java:79 refreshes only on
+    * change). A new snapshot unpersists and re-resolves. */
+  private val fullDimCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, DataFrame)]
+
+  /** Drop a dim table's cached full read (tests / explicit refresh). */
+  private[graft] def invalidateLookupCache(dim: GraftTable): Unit =
+    fullDimCache.remove(dim.path).foreach(_._2.unpersist())
+
   /** Stream-static lookup join: enrich a (micro-)batch against the
     * CURRENT snapshot of a graft dimension table, re-resolved at every
     * call — the Spark shape of the reference's refreshing lookup join
     * (paimon-flink .../lookup/FileStoreLookupFunction.java:79). Call
     * inside foreachBatch so each epoch sees the dim table's latest
-    * committed snapshot; the dim side is broadcast. */
+    * committed snapshot.
+    *
+    * Plan selection (reference: full-cache FullCacheLookupTable vs
+    * PrimaryKeyPartialLookupTable.java:60, which resolves only the
+    * probed keys):
+    *  - PARTIAL, when `keys` covers the dim table's primary key: the
+    *    epoch's key set is hashed to its buckets (one tiny job
+    *    collecting bucket IDS, never rows) and only those buckets'
+    *    files join — a 10^9-row dim table costs the epoch
+    *    O(probed buckets), not a full scan or broadcast.
+    *  - FULL otherwise: the whole dim table joins, persisted and
+    *    REUSED across epochs while its snapshot id is unchanged.
+    * Either side is broadcast only while its estimated rows stay under
+    * `maxBroadcastRows`; past that the join falls back to a shuffle
+    * join instead of dying at the broadcast threshold. */
   def lookupJoin(
       batch: DataFrame,
       dim: GraftTable,
       keys: Seq[String],
-      joinType: String = "left_outer"): DataFrame =
-    batch.join(org.apache.spark.sql.functions.broadcast(dim.read), keys, joinType)
+      joinType: String = "left_outer",
+      maxBroadcastRows: Long = 4L * 1000 * 1000): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val pk = dim.schema.primaryKeys
+    val liveNow = dim.sm.latestSnapshot()
+      .map(dim.sm.liveEntries).getOrElse(Seq.empty)
+    if (pk.nonEmpty && pk.forall(keys.contains)) {
+      // partial: resolve only the buckets the epoch's keys hash into
+      val entries = dim.entriesForKeys(
+        batch.select(pk.map(org.apache.spark.sql.functions.col): _*))
+      val slice = dim.mergedFromEntries(entries)
+      val estRows = entries.map(_.file.rowCount).sum
+      val bc = estRows <= maxBroadcastRows
+      lastLookupStats = Some(LookupStats("partial", cacheHit = false,
+        entries.size, liveNow.size, bc))
+      batch.join(if (bc) broadcast(slice) else slice, keys, joinType)
+    } else {
+      // full: whole-dim resolve, snapshot-cached across epochs
+      val snapId = dim.sm.latestSnapshotId.getOrElse(-1L)
+      val (dimDf, hit) = fullDimCache.get(dim.path) match {
+        case Some((id, df)) if id == snapId => (df, true)
+        case stale =>
+          stale.foreach(_._2.unpersist())
+          val df = dim.read.persist()
+          fullDimCache.put(dim.path, (snapId, df))
+          (df, false)
+      }
+      val estRows = dim.sm.latestSnapshot().map(_.totalRecordCount).getOrElse(0L)
+      val bc = estRows <= maxBroadcastRows
+      lastLookupStats = Some(LookupStats("full", cacheHit = hit,
+        liveNow.size, liveNow.size, bc))
+      batch.join(if (bc) broadcast(dimDf) else dimDf, keys, joinType)
+    }
+  }
 
   /** Bounded-stream variant (reference: scan.bounded.watermark /
     * BoundedChecker): drain snapshots UP TO the first whose persisted

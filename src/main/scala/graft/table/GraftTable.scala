@@ -1787,7 +1787,7 @@ final class GraftTable private (
     if (!schema.isPostponeBucket) entries
     else entries.filter(_.bucket != GraftTable.PostponeBucket)
 
-  private def mergedFromEntries(entries: Seq[ManifestEntry]): DataFrame =
+  private[graft] def mergedFromEntries(entries: Seq[ManifestEntry]): DataFrame =
     if (isPrimaryKeyTable) MergeEngine.merge(readRaw(visibleEntries(entries)), schema)
     else readAppendData(entries)
 
@@ -3606,37 +3606,50 @@ final class GraftTable private (
     finally src.unpersist()
   }
 
+  /** Live entries that can hold rows whose primary-key values appear
+    * in `src` — bucket pruning shared by MERGE INTO and the streaming
+    * partial lookup join (reference intent:
+    * MergeIntoPaimonTable.findTouchedFiles /
+    * PrimaryKeyPartialLookupTable.java:60): only buckets the source's
+    * keys hash into (fixed buckets) or are index-assigned to (dynamic
+    * buckets) can contain matches, so a reader joins just those files.
+    * The one job this runs collects BUCKET IDS (bounded by the bucket
+    * count), never rows. */
+  private[graft] def entriesForKeys(src: DataFrame): Seq[ManifestEntry] = {
+    val sch = schema
+    val pk = sch.primaryKeys
+    require(pk.nonEmpty, "key-pruned reads require a primary-key table")
+    val liveNow = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+    if (sch.isDynamicBucket) {
+      // a key's bucket is index-assigned, not hash-derivable — but
+      // the persisted index answers which buckets hold source keys
+      // (source keys absent from the index can't match any target)
+      dynIndexDf match {
+        case Some(idx) =>
+          val srcBuckets = src.select(pk.map(col).toIndexedSeq: _*)
+            .join(idx, pk).select("__bucket")
+            .distinct().collect().map(_.getInt(0)).toSet
+          liveNow.filter(e => srcBuckets.contains(e.bucket))
+        case None => liveNow // pre-index table
+      }
+    } else {
+      val srcBuckets = src
+        .select(pmod(xxhash64(pk.map(col).toIndexedSeq: _*), lit(sch.effectiveBuckets))
+          .cast("int").as("__b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      liveNow.filter(e => srcBuckets.contains(e.bucket))
+    }
+  }
+
   private def mergeIntoPinned(
       src: DataFrame, sch: TableSchema, pk: Seq[String], cols: Array[String],
       whenMatchedUpdate: Option[Map[String, Column]],
       whenMatchedDelete: Option[Column],
       whenNotMatchedInsert: Boolean): Long = {
-    // Bucket-pruned target: only buckets the source's keys hash into
-    // can contain matches, so the join reads just those files — a
-    // 1%-of-buckets merge pays ~1% of the scan, not 100% (reference
-    // intent: MergeIntoPaimonTable.findTouchedFiles). Unmatched target
-    // rows are never rewritten, so skipping their files is safe.
-    val liveNow = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
-    val touched =
-      if (sch.isDynamicBucket) {
-        // a key's bucket is index-assigned, not hash-derivable — but
-        // the persisted index answers which buckets hold source keys
-        // (source keys absent from the index can't match any target)
-        dynIndexDf match {
-          case Some(idx) =>
-            val srcBuckets = src.select(pk.map(col).toIndexedSeq: _*)
-              .join(idx, pk).select("__bucket")
-              .distinct().collect().map(_.getInt(0)).toSet
-            liveNow.filter(e => srcBuckets.contains(e.bucket))
-          case None => liveNow // pre-index table
-        }
-      } else {
-        val srcBuckets = src
-          .select(pmod(xxhash64(pk.map(col).toIndexedSeq: _*), lit(sch.effectiveBuckets))
-            .cast("int").as("__b"))
-          .distinct().collect().map(_.getInt(0)).toSet
-        liveNow.filter(e => srcBuckets.contains(e.bucket))
-      }
+    // Bucket-pruned target: a 1%-of-buckets merge pays ~1% of the
+    // scan, not 100%. Unmatched target rows are never rewritten, so
+    // skipping their files is safe.
+    val touched = entriesForKeys(src)
     val tgt = mergedFromEntries(touched)
       .select(cols.map(c => col(c).as(s"__t_$c")).toIndexedSeq: _*)
     val joined = src.join(tgt,

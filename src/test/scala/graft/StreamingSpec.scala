@@ -262,4 +262,67 @@ class StreamingSpec extends AnyFunSuite {
       .select("k", "name").collect().map(r => (r.getLong(0), Option(r.getString(1)))).toMap
     assert(j2 == Map(1L -> Some("one"), 2L -> Some("two")))
   }
+
+  test("partial lookup join scans only the probed buckets") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp()
+    val dimSch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("name", StringType, nullable = true)))
+    val dim = GraftTable.create(spark, s"$dir/dim", dimSch,
+      primaryKeys = Seq("k"), options = Map("bucket" -> "8"))
+    dim.write(spark.createDataFrame(
+      (0L until 64L).map(i => Row(i, s"n$i")).asJava, dimSch))
+    val allDimFiles = dim.read.inputFiles.toSet
+    assert(allDimFiles.size >= 8, s"want >=8 dim files, got ${allDimFiles.size}")
+
+    // a 2-key epoch probes at most 2 of the 8 buckets
+    val batchSch = StructType(Seq(StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    val batch = spark.createDataFrame(
+      Seq(Row(3L, "a"), Row(17L, "b")).asJava, batchSch)
+    val joined = GraftStreaming.lookupJoin(batch, dim, Seq("k"))
+    assert(joined.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(2))).toSeq == Seq((3L, "n3"), (17L, "n17")))
+    // plan-leaf evidence: the join's only file inputs are the probed
+    // buckets' dim files — a strict subset of the dim table's files
+    // (the reference's partial lookup resolves only the probed keys,
+    // PrimaryKeyPartialLookupTable.java:60)
+    val scanned = joined.inputFiles.toSet
+    assert(scanned.nonEmpty && scanned.subsetOf(allDimFiles), scanned.toString)
+    assert(scanned.size < allDimFiles.size,
+      s"partial lookup scanned ALL ${allDimFiles.size} dim files")
+    val st = GraftStreaming.lastLookupStats.get
+    assert(st.mode == "partial" && st.entriesScanned < st.entriesTotal, st.toString)
+  }
+
+  test("full lookup join reuses the resolved dim while its snapshot is unchanged") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp()
+    // append-only dim (no PK): keys can't bucket-prune → full mode
+    val dimSch = StructType(Seq(
+      StructField("code", StringType, nullable = false),
+      StructField("label", StringType, nullable = true)))
+    val dim = GraftTable.create(spark, s"$dir/dim", dimSch)
+    dim.write(spark.createDataFrame(Seq(Row("a", "Alpha")).asJava, dimSch))
+    GraftStreaming.invalidateLookupCache(dim)
+    val batchSch = StructType(Seq(StructField("code", StringType, nullable = false)))
+    val batch = spark.createDataFrame(Seq(Row("a"), Row("b")).asJava, batchSch)
+
+    def run() = GraftStreaming.lookupJoin(batch, dim, Seq("code"))
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toMap
+    assert(run() == Map("a" -> Some("Alpha"), "b" -> None))
+    val first = GraftStreaming.lastLookupStats.get
+    assert(first.mode == "full" && !first.cacheHit, first.toString)
+    // same snapshot → the resolved dim content is served from cache
+    assert(run() == Map("a" -> Some("Alpha"), "b" -> None))
+    val second = GraftStreaming.lastLookupStats.get
+    assert(second.cacheHit, second.toString)
+    // a new dim snapshot invalidates the cache and is visible at once
+    dim.write(spark.createDataFrame(Seq(Row("b", "Beta")).asJava, dimSch))
+    assert(run() == Map("a" -> Some("Alpha"), "b" -> Some("Beta")))
+    val third = GraftStreaming.lastLookupStats.get
+    assert(!third.cacheHit, third.toString)
+    GraftStreaming.invalidateLookupCache(dim)
+  }
 }
