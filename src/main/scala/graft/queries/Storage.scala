@@ -1398,5 +1398,40 @@ object Storage {
       t.write(src.repartition(8))
       t.rebuildTextIndex("text")
       t.searchTextPhrase("text", Seq("table", "hash")).select(col("doc_id"), col("lang"))
+    },
+
+    // ---- concurrent writers: 4 threads upsert DISJOINT key residues
+    // into one PK table at once — the CAS commit loop must serialize
+    // them with zero lost updates (reference:
+    // FileStoreCommitImpl.java:114-126 tryCommit retry loop). The
+    // final state is deterministic because each key is written by
+    // exactly one thread, so the oracle is plain SQL; any lost or
+    // doubled commit shifts the hash. The gate also asserts the
+    // snapshot history is gapless — a CAS bug that skipped or reused
+    // an id would corrupt incremental readers.
+    QDef(
+      "g59_concurrent_writers",
+      """SELECT o_orderkey,
+        |  CAST(ROUND(o_totalprice * (1 + o_orderkey % 4), 2) AS DOUBLE) AS price
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
+      val t = GraftTable.create(s, scratch("g59"), src.schema,
+        primaryKeys = Seq("o_orderkey"), options = Map("bucket" -> "4"))
+      t.write(src) // seed: every key present, then racing upserts win
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 4).map { i =>
+        new Thread(() => {
+          try t.write(src.filter(col("o_orderkey") % 4 === i)
+            .withColumn("price", col("price") * (1 + i)))
+          catch { case e: Throwable => errors.add(e) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      if (!errors.isEmpty)
+        throw new IllegalStateException(s"concurrent writes failed: ${errors.peek}")
+      val ids = t.sm.snapshotIds
+      require(ids == (0L until 5L), s"history not linear: $ids")
+      t.read.select(col("o_orderkey"), asDouble(col("price")).as("price"))
     })
 }

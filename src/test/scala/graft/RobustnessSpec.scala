@@ -49,6 +49,82 @@ class RobustnessSpec extends AnyFunSuite {
     assert(t.sm.snapshotIds == (0L until writers.toLong))
   }
 
+  test("interleaved upserts and compactions: linear history, no lost updates") {
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "seq", "bucket" -> "4"))
+    t.write(df((0L until 40L).map(k => (k, 0L, 0L))))
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // 4 writers × 3 upsert commits over DISJOINT key ranges, racing a
+    // compactor thread: upserts only ADD files so they never conflict;
+    // compaction's victims stay live under concurrent adds, so every
+    // commit must land (CAS retries serialize them)
+    val writers = (0 until 4).map { i =>
+      new Thread(() => {
+        try (1 to 3).foreach { c =>
+          t.write(df((0 until 10).map(j =>
+            (i * 10L + j, c.toLong, c.toLong))))
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    val compactor = new Thread(() => {
+      try (1 to 3).foreach { _ => t.compact(); Thread.sleep(50) }
+      catch { case e: Throwable => errors.add(e) }
+    })
+    (writers :+ compactor).foreach(_.start())
+    (writers :+ compactor).foreach(_.join())
+    assert(errors.isEmpty, s"concurrent commits failed: ${errors.asScala.toList}")
+    // linear gapless snapshot history: initial + 12 upserts + up to 3
+    // compacts (a compact finding nothing to merge may no-op)
+    val ids = t.sm.snapshotIds
+    assert(ids == (0L until ids.size.toLong), s"gappy history: $ids")
+    assert(ids.size >= 13 && ids.size <= 16, s"got ${ids.size} snapshots")
+    // no lost updates: every key ends at its writer's last value
+    val got = t.read.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L until 40L).map(_ -> 3L).toMap, got.toString)
+  }
+
+  test("delete racing delete: gone victims are rejected cleanly, retry succeeds") {
+    val t = GraftTable.create(spark, tmp(), sch)
+    // one file per write → k<100 live in file A, k>=100 in file B
+    t.write(df((0L until 10L).map(k => (k, k, 0L))).coalesce(1))
+    t.write(df((100L until 110L).map(k => (k, k, 0L))).coalesce(1))
+
+    // disjoint victims: rewrites touch different files — both land
+    val errs1 = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val d1 = new Thread(() => {
+      try t.delete(col("k") === 5L) catch { case e: Throwable => errs1.add(e) } })
+    val d2 = new Thread(() => {
+      try t.delete(col("k") === 105L) catch { case e: Throwable => errs1.add(e) } })
+    Seq(d1, d2).foreach(_.start()); Seq(d1, d2).foreach(_.join())
+    assert(errs1.isEmpty, errs1.asScala.toList.toString)
+    assert(t.read.count() == 18)
+
+    // SAME victim file: the loser's planned rewrite input is gone by
+    // CAS time — it must be REJECTED (commit conflict), never commit a
+    // rewrite that resurrects the winner's deleted row
+    val errs2 = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val d3 = new Thread(() => {
+      try t.delete(col("k") === 1L) catch { case e: Throwable => errs2.add(e) } })
+    val d4 = new Thread(() => {
+      try t.delete(col("k") === 2L) catch { case e: Throwable => errs2.add(e) } })
+    Seq(d3, d4).foreach(_.start()); Seq(d3, d4).foreach(_.join())
+    val rejected = errs2.asScala.toList
+    assert(rejected.forall(_.toString.contains("commit conflict")),
+      rejected.toString)
+    // a rejected delete re-applied against the NEW state succeeds
+    if (rejected.nonEmpty) {
+      val left = t.read.filter(col("k").isin(1L, 2L)).collect().map(_.getLong(0))
+      assert(left.length == 1, s"winner applied exactly one delete: ${left.toSeq}")
+      t.delete(col("k") === left.head)
+    }
+    assert(t.read.filter(col("k").isin(1L, 2L)).count() == 0)
+    assert(t.read.count() == 16)
+    // history stayed linear through the race
+    val ids = t.sm.snapshotIds
+    assert(ids == (0L until ids.size.toLong), s"gappy history: $ids")
+  }
+
   test("conflicting compactions: loser detects deleted inputs and aborts") {
     val t = GraftTable.create(spark, tmp(), sch,
       primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
