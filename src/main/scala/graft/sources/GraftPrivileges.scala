@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
+import graft.core.{FileIO, LocalFileIO}
 
 /** File-based access control for a warehouse (reference: paimon-core
   * privilege/ — FileBasedPrivilegeManager, PrivilegeType,
@@ -50,8 +50,12 @@ object GraftPrivileges {
       users: Map[String, String],
       grants: Seq[Seq[String]]) // (user, identifier, privilege)
 
-  private def dir(warehouse: String) = Paths.get(warehouse, "sys.privilege")
-  private def storePath(warehouse: String) = dir(warehouse).resolve("store.json")
+  // metadata IO through the table layer's FileIO seam (atomic writes;
+  // an object-store port swaps one implementation, not call sites)
+  private val io: FileIO = new LocalFileIO
+
+  private def storePath(warehouse: String) =
+    s"$warehouse/sys.privilege/store.json"
 
   private def sha(password: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -59,17 +63,14 @@ object GraftPrivileges {
 
   private def read(warehouse: String): Option[Store] = {
     val p = storePath(warehouse)
-    if (!Files.exists(p)) None
-    else Some(graft.core.Json.read(
-      new String(Files.readAllBytes(p), "UTF-8"), classOf[Store]))
+    if (!io.exists(p)) None
+    else Some(graft.core.Json.read(io.readString(p), classOf[Store]))
   }
 
-  private def write(warehouse: String, s: Store): Unit = {
-    Files.createDirectories(dir(warehouse))
-    Files.write(storePath(warehouse), graft.core.Json.write(s).getBytes("UTF-8"))
-  }
+  private def write(warehouse: String, s: Store): Unit =
+    io.writeString(storePath(warehouse), graft.core.Json.write(s))
 
-  def enabled(warehouse: String): Boolean = Files.exists(storePath(warehouse))
+  def enabled(warehouse: String): Boolean = io.exists(storePath(warehouse))
 
   def init(warehouse: String, rootPassword: String): Unit = {
     require(!enabled(warehouse), "privilege store already initialized")

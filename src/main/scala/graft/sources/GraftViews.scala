@@ -1,8 +1,8 @@
 package graft.sources
 
+import graft.core.{FileIO, LocalFileIO}
 import org.apache.spark.sql.connector.catalog.{Identifier, View, ViewChange, ViewInfo}
 import org.apache.spark.sql.types.{DataType, StructType}
-import java.nio.file.{Files, Paths, Path}
 
 /** Catalog-stored SQL views (reference: paimon-core view/ViewImpl.java +
   * paimon-spark catalog/SupportView.java — views are named SQL text
@@ -18,12 +18,19 @@ import java.nio.file.{Files, Paths, Path}
   * scan, O(entities-in-namespace) driver-side metadata like every other
   * catalog call (scale-safe: view count, not data size).
   *
+  * All metadata IO goes through [[graft.core.FileIO]] — the same seam
+  * the table layer uses — so atomic-write/rename semantics live behind
+  * ONE abstraction and an object-store port swaps a single
+  * implementation, not a hunt for `java.nio.Files` call sites.
+  *
   * Multi-dialect queries (reference: AlterViewDialectProcedure — a view
   * can carry per-engine SQL text): the base `sql` is the `spark`
   * dialect; other dialects live in `dialect.<name>` properties and are
   * managed via `CALL sys.alter_view_dialect`.
   */
 object GraftViews {
+
+  private val io: FileIO = new LocalFileIO
 
   /** Persisted form of one view (1:1 with Spark's ViewInfo). */
   case class ViewMeta(
@@ -38,16 +45,18 @@ object GraftViews {
 
   val SparkDialect = "spark"
 
-  def metaPath(warehouse: String, ident: Identifier): Path =
-    Paths.get((ident.namespace() :+ ident.name())
-      .mkString(s"$warehouse/", "/", "/view.json"))
+  def metaPath(warehouse: String, ident: Identifier): String =
+    (ident.namespace() :+ ident.name())
+      .mkString(s"$warehouse/", "/", "/view.json")
+
+  private def parentDir(p: String): String = p.substring(0, p.lastIndexOf('/'))
 
   def exists(warehouse: String, ident: Identifier): Boolean =
-    Files.exists(metaPath(warehouse, ident))
+    io.exists(metaPath(warehouse, ident))
 
   def create(warehouse: String, info: ViewInfo, orReplace: Boolean): Unit = {
     val p = metaPath(warehouse, info.ident)
-    if (!orReplace && Files.exists(p))
+    if (!orReplace && io.exists(p))
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(info.ident)
     val meta = ViewMeta(
       sql = info.sql,
@@ -61,18 +70,18 @@ object GraftViews {
         import scala.jdk.CollectionConverters._
         info.properties.asScala.toMap
       })
-    Files.createDirectories(p.getParent)
-    Files.write(p, graft.core.Json.write(meta).getBytes("UTF-8"))
+    io.writeString(p, graft.core.Json.write(meta))
   }
 
-  def load(warehouse: String, ident: Identifier): View = {
+  private def readMeta(warehouse: String, ident: Identifier): ViewMeta = {
     val p = metaPath(warehouse, ident)
-    if (!Files.exists(p))
+    if (!io.exists(p))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
-    val meta = graft.core.Json.read(
-      new String(Files.readAllBytes(p), "UTF-8"), classOf[ViewMeta])
-    asView(ident, meta)
+    graft.core.Json.read(io.readString(p), classOf[ViewMeta])
   }
+
+  def load(warehouse: String, ident: Identifier): View =
+    asView(ident, readMeta(warehouse, ident))
 
   private def asView(ident: Identifier, meta: ViewMeta): View = new View {
     override def name(): String = (ident.namespace() :+ ident.name()).mkString(".")
@@ -92,42 +101,34 @@ object GraftViews {
 
   def drop(warehouse: String, ident: Identifier): Boolean = {
     val p = metaPath(warehouse, ident)
-    if (!Files.exists(p)) false
+    if (!io.exists(p)) false
     else {
-      Files.delete(p)
+      io.delete(p)
       // remove the (now empty) view directory; ignore if shared/nonempty
-      try Files.deleteIfExists(p.getParent) catch { case _: Exception => }
+      try io.delete(parentDir(p)) catch { case _: Exception => }
       true
     }
   }
 
   def rename(warehouse: String, from: Identifier, to: Identifier): Unit = {
     val src = metaPath(warehouse, from)
-    if (!Files.exists(src))
+    if (!io.exists(src))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from)
     val dst = metaPath(warehouse, to)
-    if (Files.exists(dst))
+    if (io.exists(dst))
       throw new org.apache.spark.sql.catalyst.analysis.ViewAlreadyExistsException(to)
-    Files.createDirectories(dst.getParent)
-    Files.move(src, dst)
-    try Files.deleteIfExists(src.getParent) catch { case _: Exception => }
+    io.rename(src, dst)
+    try io.delete(parentDir(src)) catch { case _: Exception => }
   }
 
-  def list(warehouse: String, namespace: Array[String]): Array[Identifier] = {
-    val dir = Paths.get(s"$warehouse/${namespace.mkString("/")}")
-    if (!Files.isDirectory(dir)) Array.empty
-    else graft.core.FsUtil.listAll(dir).iterator
-      .filter(p => Files.exists(p.resolve("view.json")))
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
+  def list(warehouse: String, namespace: Array[String]): Array[Identifier] =
+    io.list(s"$warehouse/${namespace.mkString("/")}").iterator
+      .filter(child => io.exists(s"$child/view.json"))
+      .map(child => Identifier.of(namespace, child.split('/').last))
       .toArray
-  }
 
   def alter(warehouse: String, ident: Identifier, changes: Seq[ViewChange]): View = {
-    val p = metaPath(warehouse, ident)
-    if (!Files.exists(p))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
-    var meta = graft.core.Json.read(
-      new String(Files.readAllBytes(p), "UTF-8"), classOf[ViewMeta])
+    var meta = readMeta(warehouse, ident)
     changes.foreach {
       case set: ViewChange.SetProperty =>
         meta = meta.copy(properties = meta.properties + (set.property() -> set.value()))
@@ -136,7 +137,7 @@ object GraftViews {
       case other => throw new UnsupportedOperationException(
         s"unsupported view change: $other")
     }
-    Files.write(p, graft.core.Json.write(meta).getBytes("UTF-8"))
+    io.writeString(metaPath(warehouse, ident), graft.core.Json.write(meta))
     asView(ident, meta)
   }
 
@@ -146,11 +147,7 @@ object GraftViews {
   def alterDialect(
       warehouse: String, ident: Identifier,
       action: String, dialect: String, sql: String): String = {
-    val p = metaPath(warehouse, ident)
-    if (!Files.exists(p))
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
-    var meta = graft.core.Json.read(
-      new String(Files.readAllBytes(p), "UTF-8"), classOf[ViewMeta])
+    var meta = readMeta(warehouse, ident)
     action match {
       case "add" | "update" =>
         if (dialect == SparkDialect) meta = meta.copy(sql = sql)
@@ -162,7 +159,7 @@ object GraftViews {
       case other =>
         throw new IllegalArgumentException(s"unknown action: $other (add|update|drop)")
     }
-    Files.write(p, graft.core.Json.write(meta).getBytes("UTF-8"))
+    io.writeString(metaPath(warehouse, ident), graft.core.Json.write(meta))
     "ok"
   }
 }

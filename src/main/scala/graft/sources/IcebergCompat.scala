@@ -769,10 +769,10 @@ object IcebergCompat {
     case c => c.toString
   } + "\""
 
-  private def atomicWrite(f: File, content: String): Unit = {
-    val tmp = Paths.get(f.getPath + ".tmp")
-    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, f.toPath, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
-  }
+  // metadata mutations go through the FileIO seam (atomic tmp+rename
+  // semantics live behind the abstraction, one place to port)
+  private val metaIo: graft.core.FileIO = new graft.core.LocalFileIO
+
+  private def atomicWrite(f: File, content: String): Unit =
+    metaIo.writeString(f.getPath, content)
 }
