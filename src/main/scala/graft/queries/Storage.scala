@@ -1433,5 +1433,36 @@ object Storage {
       val ids = t.sm.snapshotIds
       require(ids == (0L until 5L), s"history not linear: $ids")
       t.read.select(col("o_orderkey"), asDouble(col("price")).as("price"))
+    },
+
+    // ---- networked KV lookup service (reference: paimon-service
+    // KvQueryServer + RemoteTableQuery): every key in the probe set is
+    // fetched over HTTP through the driver-local zero-job read path,
+    // and the reassembled rows must hash-match the plain SQL
+    // selection — a wrong bucket prune, a stale merge, or a type
+    // mangling in the JSON transport all shift the hash.
+    QDef(
+      "g60_lookup_service",
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey % 101 = 7""".stripMargin) { (s, dir) =>
+      val cust = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val wh = Files.createTempDirectory("graft-g60-wh").toString
+      val t = GraftTable.create(s, s"$wh/db/customer", cust.schema,
+        primaryKeys = Seq("c_custkey"), options = Map("bucket" -> "8"))
+      t.write(cust)
+      val keys = cust.filter(col("c_custkey") % 101 === 7)
+        .select("c_custkey").collect().map(_.getLong(0)).sorted
+      val server = graft.sources.GraftLookupService.start(wh, token = "g60")
+      try {
+        val rows = keys.flatMap { k =>
+          graft.sources.GraftLookupClient.lookup(
+            server.uri, "g60", "db", "customer",
+            Map("c_custkey" -> k.toString))
+        }.map(m => (m("c_custkey").toString.toLong,
+          m("c_name").toString, m("c_mktsegment").toString))
+        import s.implicits._
+        rows.toSeq.toDF("c_custkey", "c_name", "c_mktsegment")
+      } finally server.stop()
     })
 }

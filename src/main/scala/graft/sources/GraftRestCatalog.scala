@@ -34,6 +34,17 @@ object GraftRestServer {
       name: String, schemaJson: String, partitionKeys: Seq[String],
       primaryKeys: Seq[String], options: Map[String, String])
 
+  /** One serialized DSv2 TableChange (the six kinds the filesystem
+    * catalog supports); unused fields stay empty. */
+  case class TableChangeSpec(
+      kind: String, name: String, newName: String,
+      dataTypeJson: String, nullable: Boolean,
+      property: String, value: String)
+
+  case class AlterSpec(changes: Seq[TableChangeSpec])
+
+  case class RenameSpec(toNamespace: String, toName: String)
+
   /** One running service instance. */
   final class Handle(server: HttpServer) {
     def port: Int = server.getAddress.getPort
@@ -170,6 +181,54 @@ object GraftRestServer {
                 case _ => respond(x, 404, """{"error":"no such table"}""")
               }
 
+            // schema/property evolution through the service (the
+            // reference's REST catalog routes ALTER via the metadata
+            // service too — data IO stays direct)
+            case ("POST", Seq("namespaces", ns, "tables", t, "alter")) =>
+              val spec = graft.core.Json.read(
+                new String(x.getRequestBody.readAllBytes(), "UTF-8"),
+                classOf[AlterSpec])
+              resolveUnder(ns, t) match {
+                case None => respond(x, 400, """{"error":"invalid identifier"}""")
+                case Some(dir) if GraftTable.exists(dir.toString) =>
+                  spec.changes.foreach { c =>
+                    // reload per change: each change bumps the schema
+                    val gt = GraftTable.load(SparkSession.active, dir.toString)
+                    c.kind match {
+                      case "addColumn" => gt.addColumn(c.name,
+                        DataType.fromJson(c.dataTypeJson), c.nullable)
+                      case "renameColumn" => gt.renameColumn(c.name, c.newName)
+                      case "deleteColumn" => gt.dropColumn(c.name)
+                      case "updateColumnType" => gt.widenColumn(c.name,
+                        DataType.fromJson(c.dataTypeJson))
+                      case "setProperty" => gt.setOption(c.property, c.value)
+                      case "removeProperty" => gt.setOption(c.property, null)
+                      case other => throw new IllegalArgumentException(
+                        s"unknown table change kind: $other")
+                    }
+                  }
+                  respond(x, 200, "{}")
+                case _ => respond(x, 404, """{"error":"no such table"}""")
+              }
+
+            case ("POST", Seq("namespaces", ns, "tables", t, "rename")) =>
+              val spec = graft.core.Json.read(
+                new String(x.getRequestBody.readAllBytes(), "UTF-8"),
+                classOf[RenameSpec])
+              (resolveUnder(ns, t), resolveUnder(spec.toNamespace, spec.toName)) match {
+                case (Some(src), Some(dst)) if GraftTable.exists(src.toString) =>
+                  if (java.nio.file.Files.exists(dst))
+                    respond(x, 409, """{"error":"target exists"}""")
+                  else {
+                    java.nio.file.Files.createDirectories(dst.getParent)
+                    java.nio.file.Files.move(src, dst)
+                    respond(x, 200, "{}")
+                  }
+                case (Some(_), Some(_)) =>
+                  respond(x, 404, """{"error":"no such table"}""")
+                case _ => respond(x, 400, """{"error":"invalid identifier"}""")
+              }
+
             case _ => respond(x, 404, """{"error":"unknown route"}""")
           }
         }
@@ -272,16 +331,52 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER through the REST catalog is not supported yet; use the filesystem catalog")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import GraftRestServer.{AlterSpec, TableChangeSpec}
+    def spec(kind: String, name: String = "", newName: String = "",
+        dataTypeJson: String = "", nullable: Boolean = true,
+        property: String = "", value: String = "") =
+      TableChangeSpec(kind, name, newName, dataTypeJson, nullable, property, value)
+    val specs = changes.toSeq.map {
+      case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
+        spec("addColumn", name = add.fieldNames()(0),
+          dataTypeJson = add.dataType().json, nullable = add.isNullable)
+      case ren: TableChange.RenameColumn if ren.fieldNames().length == 1 =>
+        spec("renameColumn", name = ren.fieldNames()(0), newName = ren.newName())
+      case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
+        spec("deleteColumn", name = del.fieldNames()(0))
+      case upd: TableChange.UpdateColumnType if upd.fieldNames().length == 1 =>
+        spec("updateColumnType", name = upd.fieldNames()(0),
+          dataTypeJson = upd.newDataType().json)
+      case set: TableChange.SetProperty =>
+        spec("setProperty", property = set.property(), value = set.value())
+      case rm: TableChange.RemoveProperty =>
+        spec("removeProperty", property = rm.property())
+      case other => throw new UnsupportedOperationException(
+        s"unsupported table change: $other")
+    }
+    expect("POST",
+      s"namespaces/${ident.namespace().mkString("/")}/tables/${ident.name()}/alter",
+      Some(graft.core.Json.write(AlterSpec(specs))))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     http("DELETE",
       s"namespaces/${ident.namespace().mkString("/")}/tables/${ident.name()}")._1 == 200
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("renameTable via REST")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val (code, text) = http("POST",
+      s"namespaces/${oldIdent.namespace().mkString("/")}/tables/${oldIdent.name()}/rename",
+      Some(graft.core.Json.write(GraftRestServer.RenameSpec(
+        newIdent.namespace().mkString("/"), newIdent.name()))))
+    if (code == 404)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(oldIdent)
+    if (code == 409)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
+    if (code >= 400) throw new RuntimeException(
+      s"REST rename failed ($code): $text")
+  }
 
   // ---- namespaces ------------------------------------------------------
 

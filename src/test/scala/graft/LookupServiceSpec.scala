@@ -1,0 +1,104 @@
+package graft
+
+import graft.sources.{GraftLookupClient, GraftLookupService}
+import graft.table.GraftTable
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** Networked KV lookup service (reference: paimon-service
+  * KvQueryServer + RemoteTableQuery): HTTP point lookups served by
+  * the driver-local zero-job read path. */
+class LookupServiceSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+
+  lazy val warehouse: String = Files.createTempDirectory("graft-kv").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  lazy val server: GraftLookupService.Handle = {
+    spark // the service serves through the active session's driver
+    GraftLookupService.start(warehouse, token = "kv-secret")
+  }
+
+  override def afterAll(): Unit = server.stop()
+
+  private val sch = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = true),
+    StructField("score", DoubleType, nullable = true)))
+
+  private def seed(): GraftTable = {
+    val path = s"$warehouse/db/users"
+    if (GraftTable.exists(path)) GraftTable.load(spark, path)
+    else {
+      val t = GraftTable.create(spark, path, sch,
+        primaryKeys = Seq("id"), options = Map("bucket" -> "4"))
+      t.write(spark.createDataFrame(
+        (0L until 50L).map(i => Row(i, s"user-$i", i / 10.0)).asJava, sch))
+      t
+    }
+  }
+
+  test("HTTP point lookup returns the merged row; misses are empty") {
+    val t = seed()
+    def get(id: Long) = GraftLookupClient.lookup(
+      server.uri, "kv-secret", "db", "users", Map("id" -> id.toString))
+    val hit = get(7L)
+    assert(hit == Seq(Map("id" -> 7, "name" -> "user-7", "score" -> 0.7)), hit)
+    assert(get(999L).isEmpty)
+    // committed upserts are visible immediately (snapshot re-resolved
+    // per lookup, handle cache notwithstanding)
+    t.write(spark.createDataFrame(
+      Seq(Row(7L, "renamed", 9.9)).asJava, sch))
+    assert(get(7L) == Seq(Map("id" -> 7, "name" -> "renamed", "score" -> 9.9)))
+    // deletes disappear
+    t.delete(org.apache.spark.sql.functions.col("id") === 7L)
+    assert(get(7L).isEmpty)
+  }
+
+  test("bad token, wrong keys, and traversal are rejected") {
+    seed()
+    intercept[SecurityException](GraftLookupClient.lookup(
+      server.uri, "wrong", "db", "users", Map("id" -> "1")))
+    // binding the wrong key set is a 400, not a scan
+    val e = intercept[RuntimeException](GraftLookupClient.lookup(
+      server.uri, "kv-secret", "db", "users", Map("name" -> "user-1")))
+    assert(e.getMessage.contains("400"), e.getMessage)
+    // traversal segments cannot escape the warehouse
+    val e2 = intercept[RuntimeException](GraftLookupClient.lookup(
+      server.uri, "kv-secret", "..", "users", Map("id" -> "1")))
+    assert(e2.getMessage.contains("400") || e2.getMessage.contains("404"),
+      e2.getMessage)
+  }
+
+  test("lookup runs zero Spark jobs (driver-local fast path)") {
+    seed()
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      // warm once (the reader-factory build may broadcast)
+      GraftLookupClient.lookup(
+        server.uri, "kv-secret", "db", "users", Map("id" -> "3"))
+      Thread.sleep(500)
+      val warm = jobs.get()
+      (0 until 5).foreach(i => GraftLookupClient.lookup(
+        server.uri, "kv-secret", "db", "users", Map("id" -> i.toString)))
+      Thread.sleep(500)
+      assert(jobs.get() == warm,
+        s"steady-state lookups scheduled ${jobs.get() - warm} Spark jobs")
+    } finally sc.removeSparkListener(listener)
+  }
+}

@@ -64,6 +64,30 @@ class RestCatalogSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       Option(e.getCause).exists(_.toString.contains("unauthorized")), e.toString)
   }
 
+  test("ALTER and RENAME through the REST catalog") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rc.alt")
+    spark.sql(
+      """CREATE TABLE rc.alt.t (id BIGINT, name STRING)
+        |TBLPROPERTIES ('primary-key'='id', 'bucket'='2')""".stripMargin)
+    spark.sql("INSERT INTO rc.alt.t VALUES (1,'a')")
+    // schema evolution routed through the metadata service
+    spark.sql("ALTER TABLE rc.alt.t ADD COLUMN score DOUBLE")
+    spark.sql("INSERT INTO rc.alt.t VALUES (2,'b',0.5)")
+    spark.sql("ALTER TABLE rc.alt.t RENAME COLUMN name TO label")
+    val got = spark.sql("SELECT id, label, score FROM rc.alt.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.get(2))))
+    assert(got.toSeq == Seq((1L, "a", None), (2L, "b", Some(0.5))), got.mkString)
+    // properties
+    spark.sql("ALTER TABLE rc.alt.t SET TBLPROPERTIES ('write.note'='x')")
+    // table rename is a service-side atomic move; old name gone
+    spark.sql("ALTER TABLE rc.alt.t RENAME TO alt.t2")
+    assert(spark.sql("SELECT count(*) FROM rc.alt.t2").head.getLong(0) == 2L)
+    val e = intercept[Exception](spark.sql("SELECT * FROM rc.alt.t").collect())
+    assert(e.toString.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.toString.contains("NoSuchTable"), e.toString)
+    spark.sql("DROP NAMESPACE rc.alt CASCADE")
+  }
+
   test("non-cascade DROP NAMESPACE of a non-empty namespace is rejected") {
     spark.sql("CREATE NAMESPACE rc.full")
     spark.sql("CREATE TABLE rc.full.t (k BIGINT)")
