@@ -97,6 +97,13 @@ object GraftProcedures {
         t.rebuildTextIndex(c)
         s"text index rebuilt for $c"
       }),
+    // O(new files) incremental extension of an existing text index
+    "update_text_index" -> (Seq(p("table", StringType), p("column", StringType)),
+      (t, args) => {
+        val c = args.getUTF8String(1).toString
+        t.updateTextIndex(c)
+        s"text index updated for $c"
+      }),
     // table-attached HNSW vector index build (reference:
     // paimon-faiss + CreateGlobalIndexProcedure vector indexes).
     "rebuild_vector_index" -> (Seq(

@@ -2654,6 +2654,60 @@ final class GraftTable private (
     prevDirs.foreach(d => deleteRecursive(Paths.get(s"$path/$dir/$d")))
   }
 
+  /** Incrementally extend the text index to cover files committed
+    * since the last (re)build: tokenize ONLY the uncovered live files,
+    * write their postings as an ADDITIONAL generation directory, and
+    * publish the union coverage — cost is O(new files), never a
+    * corpus re-scan (the growth path a 100 TB corpus needs; the
+    * reference maintains its global indexes incrementally the same
+    * way). Probes read all listed postings dirs in one scan, so
+    * pruning semantics are unchanged. Files removed since the build
+    * (compaction victims) are dropped from the coverage set — they no
+    * longer appear among live entries, so stale coverage is inert,
+    * but trimming keeps state O(live files). A full
+    * [[rebuildTextIndex]] later folds the generations back to one. */
+  def updateTextIndex(column: String): Unit = {
+    val stPath = s"$path/index-text/$column/state.json"
+    val st =
+      try {
+        if (sm.io.exists(stPath))
+          Some(Json.read(sm.io.readString(stPath),
+            classOf[GraftTable.TextIndexState]))
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    st match {
+      case None => rebuildTextIndex(column) // nothing to extend
+      case Some(s0) =>
+        val snap = sm.latestSnapshot().getOrElse(return)
+        val entries = visibleEntries(sm.liveEntries(snap)).filter(e =>
+          e.file.fileName.endsWith(".parquet") || e.file.fileName.endsWith(".orc"))
+        val liveNames = entries.map(e => basename(e.file.fileName))
+        val coveredSet = s0.covered.toSet
+        val fresh = entries.filterNot(e => coveredSet.contains(basename(e.file.fileName)))
+        val keptCovered = liveNames.filter(coveredSet.contains)
+        if (fresh.isEmpty) {
+          sm.io.writeString(stPath, Json.write(s0.copy(
+            snapshotId = snap.id, covered = keptCovered)))
+          return
+        }
+        val incRel = s"index-text/$column/postings-${snap.id}-${s0.postings.size}"
+        readRaw(fresh, captureMeta = true)
+          .select(substring_index(col("__file"), "/", -1).as("f"),
+            explode(array_distinct(split(
+              coalesce(col(column).cast("string"), lit("")),
+              GraftTable.TextTokenSplit))).as("token"))
+          .filter(length(col("token")) > 0)
+          .distinct()
+          .repartitionByRange(4, col("token"))
+          .sortWithinPartitions("token", "f")
+          .write.mode("overwrite").parquet(s"$path/$incRel")
+        sm.io.writeString(stPath, Json.write(GraftTable.TextIndexState(
+          column, snap.id,
+          keptCovered ++ fresh.map(e => basename(e.file.fileName)),
+          s0.postings :+ incRel)))
+    }
+  }
+
   /** Candidate entries for a whole-token text match: files the index
     * proves token-free are pruned; uncovered files (committed after
     * the rebuild, or no index at all) always stay candidates. On PK

@@ -153,6 +153,46 @@ class TextIndexSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == Set(1L, 6L))
   }
 
+  test("incremental update: only new files are tokenized; coverage stays exact") {
+    val t = GraftTable.create(spark, tmp(), sch)
+    t.write(df((1L, "alpha beta"), (2L, "beta gamma")).coalesce(1))
+    t.rebuildTextIndex("text")
+    t.write(df((3L, "delta alone")).coalesce(1))
+    t.write(df((4L, "epsilon here")).coalesce(1))
+    // before the update: the two uncovered files are ALWAYS candidates
+    assert(t.textCandidates("text", "zzzmissing").size == 2)
+
+    t.updateTextIndex("text")
+    // after: coverage is complete again — a nowhere-token prunes ALL
+    assert(t.textCandidates("text", "zzzmissing").isEmpty)
+    // new files' tokens prune to exactly their file
+    assert(t.textCandidates("text", "delta").size == 1)
+    assert(t.textCandidates("text", "epsilon").size == 1)
+    // results identical to the plain filter across old + new coverage
+    assert(t.searchText("text", "beta").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(t.searchText("text", "delta").select("id")
+      .collect().map(_.getLong(0)).toSet == Set(3L))
+    // O(increment): the original postings generation was NOT rewritten —
+    // the update added a second generation beside it
+    val st = graft.core.Json.read(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"${t.path}/index-text/text/state.json")), "UTF-8"),
+      classOf[GraftTable.TextIndexState])
+    assert(st.postings.size == 2, st.postings.toString)
+    // idempotent when nothing is new
+    t.updateTextIndex("text")
+    assert(t.searchText("text", "epsilon").count() == 1)
+    // a later full rebuild folds generations back to one and sweeps
+    t.rebuildTextIndex("text")
+    val st2 = graft.core.Json.read(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"${t.path}/index-text/text/state.json")), "UTF-8"),
+      classOf[GraftTable.TextIndexState])
+    assert(st2.postings.size == 1, st2.postings.toString)
+    assert(t.searchText("text", "beta").count() == 2)
+  }
+
   test("probe cap: an over-cap token fails open with identical results") {
     // cap = 2 files: 'common' lives in 3 files → over cap → fail open
     val t = GraftTable.create(spark, tmp(), sch,
