@@ -78,6 +78,31 @@ class LookupServiceSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll
       e2.getMessage)
   }
 
+  test("lookup map cache: each immutable file decodes once, results stay exact") {
+    val t = GraftTable.create(spark, s"$warehouse/db/cachet", sch,
+      primaryKeys = Seq("id"), options = Map("bucket" -> "2"))
+    t.write(spark.createDataFrame(
+      (0L until 20L).map(i => Row(i, s"u$i", i * 1.0)).asJava, sch))
+    def get(id: Long) = t.localLookup(Map("id" -> id))
+    assert(get(3L).map(_.getString(1)) == Seq("u3"))
+    val misses0 = t.lookupCacheMisses.get
+    assert(misses0 >= 1)
+    // same bucket again: pure hash gets, no new decode
+    (0 until 10).foreach(_ => assert(get(3L).nonEmpty))
+    assert(t.lookupCacheMisses.get == misses0)
+    assert(t.lookupCacheHits.get >= 10)
+    // a new commit adds a new file: the OLD file's map is reused, only
+    // the new file decodes — and the merge across files is still exact
+    t.write(spark.createDataFrame(Seq(Row(3L, "u3-new", 9.0)).asJava, sch))
+    assert(get(3L).map(_.getString(1)) == Seq("u3-new"))
+    // deletes surface through the cache (the -D row wins the merge)
+    t.delete(org.apache.spark.sql.functions.col("id") === 3L)
+    assert(get(3L).isEmpty)
+    // misses grew only by the files added after the first decode
+    assert(t.lookupCacheMisses.get > misses0)
+    assert(get(4L).map(_.getString(1)) == Seq("u4"))
+  }
+
   test("lookup runs zero Spark jobs (driver-local fast path)") {
     seed()
     val sc = spark.sparkContext
