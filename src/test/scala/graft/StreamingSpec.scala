@@ -296,6 +296,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.mode == "partial" && st.entriesScanned < st.entriesTotal, st.toString)
   }
 
+  test("partial lookup join on a dynamic-bucket dim resolves buckets via the key index") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp()
+    val dimSch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("name", StringType, nullable = true)))
+    // bucket=-1: a key's bucket is index-assigned, not hash-derivable —
+    // the partial path must consult the persisted dynamic-bucket index
+    val dim = GraftTable.create(spark, s"$dir/dim", dimSch,
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "-1", "dynamic-bucket.target-row-num" -> "16"))
+    dim.write(spark.createDataFrame(
+      (0L until 64L).map(i => Row(i, s"n$i")).asJava, dimSch))
+    val allDimFiles = dim.read.inputFiles.toSet
+    assert(allDimFiles.size >= 2, s"want multiple dyn buckets, got ${allDimFiles.size}")
+    val batchSch = StructType(Seq(StructField("k", LongType, nullable = false)))
+    val batch = spark.createDataFrame(Seq(Row(5L)).asJava, batchSch)
+    val joined = GraftStreaming.lookupJoin(batch, dim, Seq("k"))
+    assert(joined.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((5L, "n5")))
+    val scanned = joined.inputFiles.toSet
+    // the index resolves key 5's single bucket: strictly fewer files
+    assert(scanned.nonEmpty && scanned.subsetOf(allDimFiles))
+    assert(scanned.size < allDimFiles.size,
+      s"dynamic partial lookup scanned ALL ${allDimFiles.size} files")
+    val st = GraftStreaming.lastLookupStats.get
+    assert(st.mode == "partial" && st.entriesScanned < st.entriesTotal, st.toString)
+  }
+
   test("full lookup join reuses the resolved dim while its snapshot is unchanged") {
     import scala.jdk.CollectionConverters._
     val dir = tmp()
