@@ -54,6 +54,8 @@ object GraftRestServer {
 
   /** Serve `warehouse` on an ephemeral port. */
   def start(warehouse: String, token: String): Handle = {
+    // avoid the JDK server's ~40 ms Nagle/delayed-ACK stall per request
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     val server = HttpServer.create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
 
     def respond(x: HttpExchange, code: Int, body: String): Unit = {
