@@ -1495,22 +1495,52 @@ final class GraftTable private (
     * the current schema without deletion vectors; anything else falls
     * back to the distributed [[lookup]]. Merge semantics mirror
     * MergeEngine's (sequence.field, _graft_seq) ordering. */
+  /** The key's fixed-bucket id computed by DRIVER arithmetic — the
+    * same xxhash64(seed 42) fold and floorMod the write path's
+    * `pmod(xxhash64(pk...), buckets)` produces, with no per-call
+    * Catalyst analysis (the analysis in [[pkEqualityBucket]] /
+    * [[pruneEntries]] costs ~10-50 ms, which dominated KV-service
+    * lookup latency). None for dynamic buckets or null keys. */
+  private def directPkBucket(
+      sch: TableSchema, keyValues: Map[String, Any]): Option[Int] = {
+    if (sch.isDynamicBucket) return None
+    val st = sch.toStruct
+    var h = 42L
+    sch.primaryKeys.foreach { k =>
+      val dt = st(k).dataType
+      val v = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(dt)(keyValues(k))
+      if (v == null) return None
+      h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(v, dt, h)
+    }
+    Some(java.lang.Math.floorMod(h, sch.effectiveBuckets.toLong).toInt)
+  }
+
   def localLookup(keyValues: Map[String, Any]): Seq[org.apache.spark.sql.Row] = {
     val sch = schema
     if (!isPrimaryKeyTable || sch.isDynamicBucket ||
       sch.mergeEngine != "deduplicate")
       return lookup(keyValues).collect().toSeq
     require(sch.primaryKeys.toSet == keyValues.keySet, "must bind every primary key")
-    val filterCond = sch.primaryKeys
-      .map(k => col(k) === lit(keyValues(k))).reduce(_ && _)
     val snap = sm.latestSnapshot().getOrElse(return Seq.empty)
-    val bucket = pkEqualityBucket(filterCond)
-    val candidates = pruneEntries(snap, filterCond)
+    val bucket = directPkBucket(sch, keyValues)
+    val bucketEntries = visibleEntries(sm.liveEntries(snap))
       .filter(e => bucket.forall(_ == e.bucket))
-    if (candidates.isEmpty) return Seq.empty
-    if (candidates.exists(e => e.file.schemaId != sch.id ||
+    if (bucketEntries.isEmpty) return Seq.empty
+    if (bucketEntries.exists(e => e.file.schemaId != sch.id ||
       !e.file.fileName.endsWith(".parquet") || e.file.dvFile.isDefined))
       return lookup(keyValues).collect().toSeq
+    // big (uncacheable) files: pay one Catalyst analysis for stats
+    // pruning, it may skip whole file scans. Cacheable files skip it —
+    // the decoded map answers in O(1) anyway.
+    val candidates =
+      if (bucketEntries.forall(_.file.rowCount <= lookupCacheMaxRows)) bucketEntries
+      else {
+        val filterCond = sch.primaryKeys
+          .map(k => col(k) === lit(keyValues(k))).reduce(_ && _)
+        pruneEntries(snap, filterCond).filter(e => bucket.forall(_ == e.bucket))
+      }
+    if (candidates.isEmpty) return Seq.empty
     val partSchema = StructType(
       struct.fields.filter(f => sch.partitionKeys.contains(f.name)))
     val readData = StructType(
