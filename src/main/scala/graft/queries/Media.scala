@@ -179,5 +179,27 @@ object Media {
       t.write(src)
       t.read.select(col("doc_id"), md5(col("media")).as("h"),
         length(col("media")).cast("long").as("len"))
+    },
+
+    // ---- Arrow interchange (reference: paimon-arrow): the orders
+    // table distributes into self-contained Arrow IPC blobs and back;
+    // the reassembled frame must hash-match plain SQL — any value
+    // mangling in the vector writers/readers (timestamps, decimals,
+    // nulls) shifts the hash.
+    QDef(
+      "x08_arrow_roundtrip",
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price,
+        |  CAST(o_orderdate AS TIMESTAMP) AS od
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val ord = tbl(s, dir, "orders")
+      val src = ord.select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        timestamp_micros(eventMicros(ord, "o_orderdate")).as("od"))
+      val blobs = graft.sources.ArrowInterchange.toIpcBatches(src, 2048)
+      graft.sources.ArrowInterchange.fromIpcBatches(s, blobs, src.schema)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          asDouble(col("o_totalprice")).as("price"),
+          col("od").cast("timestamp_ntz").as("od"))
     })
 }

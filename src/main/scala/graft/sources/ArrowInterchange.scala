@@ -1,0 +1,246 @@
+package graft.sources
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.{ArrowStreamReader, ArrowStreamWriter}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Arrow interchange (reference: `paimon-arrow/` — ArrowFormatWriter
+  * writes table rows into Arrow vectors, ArrowBatchReader reads Arrow
+  * batches back; the module that lets non-JVM consumers — Python,
+  * native readers, feature pipelines — exchange columnar data without
+  * parquet round-trips).
+  *
+  * Spark-first shape: conversion runs DISTRIBUTED. [[toIpcBatches]]
+  * maps each partition of a DataFrame to self-contained Arrow IPC
+  * stream blobs (schema header + record batches, ≤ `maxRowsPerBatch`
+  * rows each), so a 1000-partition table converts with 1000 tasks and
+  * no driver materialization; [[fromIpcBatches]] reverses it. Each
+  * blob is independently consumable by ANY Arrow implementation
+  * (pyarrow.ipc.open_stream etc.) — the same per-batch interchange
+  * unit the reference's ArrowBundleRecords models.
+  *
+  * Types covered (the reference's ArrowFieldTypeConversion core):
+  * BIGINT/INT/SMALLINT/TINYINT, DOUBLE/FLOAT, BOOLEAN, STRING,
+  * BINARY, DATE, TIMESTAMP (micros, UTC), DECIMAL(p,s). Nulls
+  * round-trip everywhere.
+  */
+object ArrowInterchange {
+
+  /** Spark struct → Arrow schema (1:1 field order, nullable). */
+  def toArrowSchema(schema: StructType): ArrowSchema = {
+    val fields = schema.fields.map { f =>
+      val at: ArrowType = f.dataType match {
+        case LongType => new ArrowType.Int(64, true)
+        case IntegerType => new ArrowType.Int(32, true)
+        case ShortType => new ArrowType.Int(16, true)
+        case ByteType => new ArrowType.Int(8, true)
+        case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+        case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+        case BooleanType => ArrowType.Bool.INSTANCE
+        case StringType => ArrowType.Utf8.INSTANCE
+        case BinaryType => ArrowType.Binary.INSTANCE
+        case DateType => new ArrowType.Date(DateUnit.DAY)
+        case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+        case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
+        case d: DecimalType => new ArrowType.Decimal(d.precision, d.scale, 128)
+        case other => throw new UnsupportedOperationException(
+          s"Arrow interchange does not cover type $other (column ${f.name})")
+      }
+      new Field(f.name, new FieldType(f.nullable, at, null), java.util.Collections.emptyList())
+    }
+    new ArrowSchema(fields.toSeq.asJava)
+  }
+
+  /** Arrow schema → Spark struct. */
+  def fromArrowSchema(schema: ArrowSchema): StructType =
+    StructType(schema.getFields.asScala.toSeq.map { f =>
+      val dt: DataType = f.getType match {
+        case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+        case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+        case i: ArrowType.Int if i.getBitWidth == 16 => ShortType
+        case i: ArrowType.Int if i.getBitWidth == 8 => ByteType
+        case fp: ArrowType.FloatingPoint
+            if fp.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+        case fp: ArrowType.FloatingPoint
+            if fp.getPrecision == FloatingPointPrecision.SINGLE => FloatType
+        case _: ArrowType.Bool => BooleanType
+        case _: ArrowType.Utf8 => StringType
+        case _: ArrowType.Binary => BinaryType
+        case _: ArrowType.Date => DateType
+        case t: ArrowType.Timestamp =>
+          if (t.getTimezone == null) TimestampNTZType else TimestampType
+        case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
+        case other => throw new UnsupportedOperationException(
+          s"Arrow type $other not covered (field ${f.getName})")
+      }
+      StructField(f.getName, dt, f.isNullable)
+    })
+
+  private def tsToMicros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  private def microsToTs(micros: Long): java.sql.Timestamp = {
+    val ts = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+    ts
+  }
+
+  /** One partition's rows → a sequence of self-contained IPC blobs. */
+  private def partitionToIpc(
+      schema: StructType, rows: Iterator[Row],
+      maxRowsPerBatch: Int): Iterator[Array[Byte]] = {
+    val arrowSchema = toArrowSchema(schema)
+    rows.grouped(maxRowsPerBatch).map { chunk =>
+      val allocator = new RootAllocator()
+      try {
+        val root = VectorSchemaRoot.create(arrowSchema, allocator)
+        try {
+          root.allocateNew()
+          chunk.zipWithIndex.foreach { case (row, i) =>
+            schema.fields.zipWithIndex.foreach { case (f, c) =>
+              val vec = root.getVector(c)
+              if (row.isNullAt(c)) vec.asInstanceOf[FieldVector] match {
+                case v: BaseFixedWidthVector => v.setNull(i)
+                case v: BaseVariableWidthVector => v.setNull(i)
+                case v => v.setNull(i)
+              }
+              else f.dataType match {
+                case LongType => vec.asInstanceOf[BigIntVector].setSafe(i, row.getLong(c))
+                case IntegerType => vec.asInstanceOf[IntVector].setSafe(i, row.getInt(c))
+                case ShortType => vec.asInstanceOf[SmallIntVector].setSafe(i, row.getShort(c))
+                case ByteType => vec.asInstanceOf[TinyIntVector].setSafe(i, row.getByte(c))
+                case DoubleType => vec.asInstanceOf[Float8Vector].setSafe(i, row.getDouble(c))
+                case FloatType => vec.asInstanceOf[Float4Vector].setSafe(i, row.getFloat(c))
+                case BooleanType => vec.asInstanceOf[BitVector]
+                  .setSafe(i, if (row.getBoolean(c)) 1 else 0)
+                case StringType => vec.asInstanceOf[VarCharVector]
+                  .setSafe(i, row.getString(c).getBytes("UTF-8"))
+                case BinaryType => vec.asInstanceOf[VarBinaryVector]
+                  .setSafe(i, row.getAs[Array[Byte]](c))
+                case DateType => vec.asInstanceOf[DateDayVector]
+                  .setSafe(i, row.getAs[java.sql.Date](c).toLocalDate.toEpochDay.toInt)
+                case TimestampType => vec.asInstanceOf[TimeStampMicroTZVector]
+                  .setSafe(i, tsToMicros(row.getAs[java.sql.Timestamp](c)))
+                case TimestampNTZType => vec.asInstanceOf[TimeStampMicroVector]
+                  .setSafe(i, row.getAs[java.time.LocalDateTime](c)
+                    .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+                    row.getAs[java.time.LocalDateTime](c).getNano / 1000L)
+                case d: DecimalType => vec.asInstanceOf[DecimalVector]
+                  .setSafe(i, row.getAs[java.math.BigDecimal](c).setScale(d.scale))
+                case other => throw new UnsupportedOperationException(other.toString)
+              }
+            }
+          }
+          root.setRowCount(chunk.size)
+          val bos = new java.io.ByteArrayOutputStream()
+          val writer = new ArrowStreamWriter(root, null, bos)
+          writer.start(); writer.writeBatch(); writer.end(); writer.close()
+          bos.toByteArray
+        } finally root.close()
+      } finally allocator.close()
+    }
+  }
+
+  /** One IPC blob → rows (all batches inside it). */
+  private def ipcToRows(schema: StructType, bytes: Array[Byte]): Iterator[Row] = {
+    val allocator = new RootAllocator()
+    val reader = new ArrowStreamReader(new java.io.ByteArrayInputStream(bytes), allocator)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    try {
+      val root = reader.getVectorSchemaRoot
+      while (reader.loadNextBatch()) {
+        (0 until root.getRowCount).foreach { i =>
+          val values = schema.fields.zipWithIndex.map { case (f, c) =>
+            val vec = root.getVector(c)
+            if (vec.isNull(i)) null
+            else f.dataType match {
+              case LongType => vec.asInstanceOf[BigIntVector].get(i)
+              case IntegerType => vec.asInstanceOf[IntVector].get(i)
+              case ShortType => vec.asInstanceOf[SmallIntVector].get(i)
+              case ByteType => vec.asInstanceOf[TinyIntVector].get(i)
+              case DoubleType => vec.asInstanceOf[Float8Vector].get(i)
+              case FloatType => vec.asInstanceOf[Float4Vector].get(i)
+              case BooleanType => vec.asInstanceOf[BitVector].get(i) == 1
+              case StringType => new String(
+                vec.asInstanceOf[VarCharVector].get(i), "UTF-8")
+              case BinaryType => vec.asInstanceOf[VarBinaryVector].get(i)
+              case DateType => java.sql.Date.valueOf(java.time.LocalDate
+                .ofEpochDay(vec.asInstanceOf[DateDayVector].get(i).toLong))
+              case TimestampType =>
+                microsToTs(vec.asInstanceOf[TimeStampMicroTZVector].get(i))
+              case TimestampNTZType =>
+                val us = vec.asInstanceOf[TimeStampMicroVector].get(i)
+                java.time.LocalDateTime.ofEpochSecond(
+                  Math.floorDiv(us, 1000000L),
+                  (Math.floorMod(us, 1000000L) * 1000L).toInt,
+                  java.time.ZoneOffset.UTC)
+              case d: DecimalType => vec.asInstanceOf[DecimalVector]
+                .getObject(i).setScale(d.scale)
+              case other => throw new UnsupportedOperationException(other.toString)
+            }
+          }
+          out += Row.fromSeq(values.toSeq)
+        }
+      }
+    } finally { reader.close(); allocator.close() }
+    out.iterator
+  }
+
+  /** DataFrame → per-partition Arrow IPC stream blobs, distributed:
+    * each task converts its partition into self-contained IPC streams
+    * of at most `maxRowsPerBatch` rows — no driver materialization,
+    * no shuffle. */
+  def toIpcBatches(df: DataFrame, maxRowsPerBatch: Int = 4096): Dataset[Array[Byte]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val schema = df.schema
+    df.mapPartitions(rows => partitionToIpc(schema, rows, maxRowsPerBatch))(
+      org.apache.spark.sql.Encoders.BINARY)
+  }
+
+  /** Per-blob Arrow IPC streams → DataFrame with `schema`, distributed
+    * (each task parses its blobs). The inverse of [[toIpcBatches]]. */
+  def fromIpcBatches(
+      spark: SparkSession, batches: Dataset[Array[Byte]],
+      schema: StructType): DataFrame = {
+    val rdd = batches.rdd.flatMap(bytes => ipcToRows(schema, bytes))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Driver-side convenience: a whole (small) DataFrame as ONE IPC
+    * stream — the unit an external pyarrow consumer opens directly. */
+  def toIpcStream(df: DataFrame, maxRowsPerBatch: Int = 4096): Array[Byte] = {
+    val schema = df.schema
+    val blobs = toIpcBatches(df, maxRowsPerBatch).collect()
+    // merge: one schema header, all record batches re-emitted
+    val allocator = new RootAllocator()
+    try {
+      val root = VectorSchemaRoot.create(toArrowSchema(schema), allocator)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val writer = new ArrowStreamWriter(root, null, bos)
+        writer.start()
+        blobs.foreach { b =>
+          val r = new ArrowStreamReader(new java.io.ByteArrayInputStream(b), allocator)
+          try {
+            val src = r.getVectorSchemaRoot
+            while (r.loadNextBatch()) {
+              val loader = new VectorLoader(root)
+              val unloader = new VectorUnloader(src)
+              val arb = unloader.getRecordBatch
+              try loader.load(arb) finally arb.close()
+              writer.writeBatch()
+            }
+          } finally r.close()
+        }
+        writer.end(); writer.close()
+        bos.toByteArray
+      } finally root.close()
+    } finally allocator.close()
+  }
+}
