@@ -1435,6 +1435,35 @@ object Storage {
       t.read.select(col("o_orderkey"), asDouble(col("price")).as("price"))
     },
 
+    // ---- column default values (reference: DataField.defaultValue +
+    // DefaultValueRow — write-time substitution of nulls): a batch
+    // with injected nulls lands with the declared defaults; non-null
+    // values pass through untouched. The oracle is the same CASE
+    // substitution in SQL.
+    QDef(
+      "g61_column_defaults",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'unknown' ELSE o_orderstatus END AS status,
+        |  CAST(ROUND(CASE WHEN o_orderkey % 5 = 0 THEN -1.0
+        |                  ELSE o_totalprice END, 2) AS DOUBLE) AS price
+        |FROM orders""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0, lit(null)).otherwise(col("o_orderstatus"))
+          .as("status"),
+        when(col("o_orderkey") % 5 === 0, lit(null)).otherwise(col("o_totalprice"))
+          .as("price"))
+      val t = GraftTable.create(s, scratch("g61"), src.schema,
+        primaryKeys = Seq("o_orderkey"),
+        options = Map(
+          "fields.status.default-value" -> "unknown",
+          "fields.price.default-value" -> "-1.0",
+          "bucket" -> "4"))
+      t.write(src)
+      t.read.select(col("o_orderkey"), col("status"),
+        asDouble(col("price")).as("price"))
+    },
+
     // ---- networked KV lookup service (reference: paimon-service
     // KvQueryServer + RemoteTableQuery): every key in the probe set is
     // fetched over HTTP through the driver-local zero-job read path,

@@ -95,10 +95,29 @@ final class GraftTable private (
   }
   // ================= write =================
 
+  /** Columns carrying `fields.<name>.default-value`: null slots in an
+    * incoming batch are replaced by the default literal CAST to the
+    * column type at WRITE time (reference: DataField.defaultValue +
+    * casting/DefaultValueRow wrapped around TableWriteImpl — the
+    * substitution happens on the write path, so stored data is always
+    * complete and reads pay nothing). Internal DML rewrites pass
+    * through untouched: their values come from stored rows. */
+  private def applyColumnDefaults(df: DataFrame, sch: TableSchema): DataFrame = {
+    val defaults = sch.toStruct.fields.flatMap { f =>
+      sch.options.get(s"fields.${f.name}.default-value").map(f -> _)
+    }
+    defaults.foldLeft(df) { case (d, (f, v)) =>
+      if (!d.columns.contains(f.name)) d
+      else d.withColumn(f.name, coalesce(col(f.name), lit(v).cast(f.dataType)))
+    }
+  }
+
   /** Append (or upsert, for PK tables) a batch. Returns snapshot id. */
-  def write(df: DataFrame, commitIdentifier: Long = -1L): Long =
-    if (isPrimaryKeyTable) upsert(df, commitIdentifier)
-    else appendCommit(df, overwrite = false, commitIdentifier)
+  def write(df: DataFrame, commitIdentifier: Long = -1L): Long = {
+    val in = applyColumnDefaults(df, schema)
+    if (isPrimaryKeyTable) upsert(in, commitIdentifier)
+    else appendCommit(in, overwrite = false, commitIdentifier)
+  }
 
   /** Write carrying an event-time watermark persisted on the snapshot
     * (reference: Snapshot.FIELD_WATERMARK). Used by the streaming sink. */
@@ -119,13 +138,15 @@ final class GraftTable private (
     * route through the kinded write path so the replacement files carry
     * seq/kind/bucket metadata and stay readable.
     * (reference: PaimonDynamicPartitionOverwriteCommand) */
-  def overwrite(df: DataFrame, commitIdentifier: Long = -1L): Long =
+  def overwrite(df: DataFrame, commitIdentifier: Long = -1L): Long = {
+    val in = applyColumnDefaults(df, schema)
     if (isPrimaryKeyTable) {
       val withKind =
-        if (df.columns.contains(KindCol)) df
-        else df.withColumn(KindCol, lit(KindInsert).cast("byte"))
+        if (in.columns.contains(KindCol)) in
+        else in.withColumn(KindCol, lit(KindInsert).cast("byte"))
       writeKinded(withKind, commitIdentifier, overwrite = true)
-    } else appendCommit(df, overwrite = true, commitIdentifier)
+    } else appendCommit(in, overwrite = true, commitIdentifier)
+  }
 
   private def upsert(df: DataFrame, commitIdentifier: Long): Long = {
     val withKind =

@@ -119,6 +119,38 @@ class SchemaEvolutionSpec extends AnyFunSuite {
       == Seq((1L, 5000000000L), (2L, 20L)))
   }
 
+  test("column default values substitute nulls at write time") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    // append table: nulls land as the defaults, values pass through
+    val t = GraftTable.create(spark, tmp(), sch, options = Map(
+      "fields.s.default-value" -> "none",
+      "fields.n.default-value" -> "0"))
+    t.write(spark.createDataFrame(
+      Seq(Row(1L, null, null), Row(2L, "x", 7L)).asJava, sch))
+    assert(t.read.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      == Seq((1L, "none", 0L), (2L, "x", 7L)))
+    // PK upsert path applies them too; a column WITHOUT a default keeps null
+    val t2 = GraftTable.create(spark, tmp(), sch, primaryKeys = Seq("k"),
+      options = Map("fields.s.default-value" -> "none"))
+    t2.write(spark.createDataFrame(Seq(Row(5L, null, null)).asJava, sch))
+    val r = t2.read.head
+    assert(r.getString(1) == "none" && r.isNullAt(2))
+    // a default added LATER (setOption) applies to subsequent writes only
+    t2.setOption("fields.n.default-value", "42")
+    t2.write(spark.createDataFrame(Seq(Row(6L, "y", null)).asJava, sch))
+    val rows = t2.read.orderBy("k").collect()
+    assert(rows(0).isNullAt(2) && rows(1).getLong(2) == 42L)
+  }
+
   test("illegal evolutions are rejected") {
     val t = GraftTable.create(spark, tmp(), v1Schema, partitionKeys = Seq("note"))
     t.write(v1Df((1L, 10, "a")))
