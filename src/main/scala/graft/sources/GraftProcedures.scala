@@ -48,6 +48,14 @@ object GraftProcedures {
       p("table", StringType), p("column", StringType), p("older_than", StringType)),
       (t, args) => s"dropped ${t.expirePartitions(args.getUTF8String(1).toString,
         args.getUTF8String(2).toString).size} partitions"),
+    // time-window expiration with the reference's two strategies
+    // (values-time parses partition values; update-time = last write)
+    "expire_partitions_by_time" -> (Seq(
+      p("table", StringType), p("expiration_millis", LongType),
+      p("strategy", StringType), p("timestamp_formatter", StringType)),
+      (t, args) => s"dropped ${t.expirePartitionsByTime(
+        args.getLong(1), args.getUTF8String(2).toString,
+        args.getUTF8String(3).toString).size} partitions"),
     "remove_orphan_files" -> (Seq(p("table", StringType), p("older_than_millis", LongType)),
       (t, args) => s"deleted ${t.removeOrphanFiles(args.getLong(1)).size} orphans"),
     "create_tag" -> (Seq(p("table", StringType), p("tag", StringType)),

@@ -2665,6 +2665,66 @@ final class GraftTable private (
     victims.map(_.partition).distinct
   }
 
+  /** Time-based partition expiration with the reference's two
+    * strategies (partition/PartitionExpireStrategy):
+    *  - `values-time` (default): the partition VALUES parse as a time
+    *    via `timestampFormatter` — multi-column layouts compose
+    *    through `timestampPattern` (e.g. `"$year-$month"`, reference:
+    *    PartitionTimeExtractor) — and partitions older than
+    *    now − expiration expire;
+    *  - `update-time`: a partition expires when NO write has touched
+    *    it within the window; last-touch derives from the snapshot
+    *    history (delta-manifest ADDs × snapshot commit time), so it is
+    *    O(snapshots) driver metadata. Partitions whose adds predate
+    *    the retained history count as untouched.
+    * Unparseable partition values are SKIPPED (never silently
+    * expired). One metadata-only OVERWRITE commit drops everything
+    * expired; returns the expired partition specs. */
+  def expirePartitionsByTime(
+      expirationMillis: Long,
+      strategy: String = "values-time",
+      timestampFormatter: String = "yyyy-MM-dd",
+      timestampPattern: Option[String] = None,
+      now: Long = System.currentTimeMillis()): Seq[Map[String, String]] = {
+    require(strategy == "values-time" || strategy == "update-time",
+      s"strategy must be values-time|update-time, got $strategy")
+    val sch = schema
+    require(sch.partitionKeys.nonEmpty, "table is not partitioned")
+    val snap = sm.latestSnapshot().getOrElse(return Seq.empty)
+    val live = sm.liveEntries(snap)
+    val cutoff = now - expirationMillis
+    val expired: Set[Map[String, String]] = strategy match {
+      case "values-time" =>
+        val fmt = new java.text.SimpleDateFormat(timestampFormatter)
+        fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+        fmt.setLenient(false)
+        def timeOf(p: Map[String, String]): Option[Long] = {
+          val s = timestampPattern match {
+            case Some(pat) => sch.partitionKeys.foldLeft(pat)((acc, k) =>
+              acc.replace("$" + k, p.getOrElse(k, "")))
+            case None => p.getOrElse(sch.partitionKeys.head, "")
+          }
+          scala.util.Try(fmt.parse(s).getTime).toOption
+        }
+        live.map(_.partition).distinct.filter(p => timeOf(p).exists(_ < cutoff)).toSet
+      case _ =>
+        val lastUpdate = scala.collection.mutable.Map.empty[Map[String, String], Long]
+        sm.snapshotIds.map(sm.snapshot).foreach { s =>
+          s.deltaManifest.toSeq.flatMap(sm.readManifest)
+            .filter(_.kind == "ADD").map(_.partition).distinct
+            .foreach(p => lastUpdate(p) = math.max(lastUpdate.getOrElse(p, 0L), s.timeMillis))
+        }
+        live.map(_.partition).distinct
+          .filter(p => lastUpdate.getOrElse(p, 0L) < cutoff).toSet
+    }
+    if (expired.isEmpty) return Seq.empty
+    val victims = live.filter(e => expired.contains(e.partition))
+    sm.commit(victims.map(_.copy(kind = "DELETE")), KindOverwrite, sch.id,
+      conflictCheck = latest => victims.map(_.file.fileName).toSet
+        .subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet))
+    expired.toSeq
+  }
+
   // ================= vector index =================
 
   /** Build the table-attached HNSW vector index for (`idCol`,

@@ -209,6 +209,49 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.expirePartitions("dt", "2024-01-15").isEmpty) // nothing older
   }
 
+  test("expirePartitionsByTime: values-time parses partition values, update-time uses last write") {
+    val sch = StructType(Seq(
+      StructField("dt", StringType, nullable = false),
+      StructField("k", LongType, nullable = false)))
+    def df(rows: (String, Long)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, sch)
+    val day = 86400000L
+
+    // values-time: the partition VALUE is the clock
+    val t = GraftTable.create(spark, tmp(), sch, partitionKeys = Seq("dt"))
+    t.write(df(("2024-01-01", 1L), ("2024-03-01", 2L), ("not-a-date", 3L)))
+    val now = java.sql.Timestamp.valueOf("2024-03-05 00:00:00").getTime
+    val dropped = t.expirePartitionsByTime(
+      expirationMillis = 30 * day, strategy = "values-time", now = now)
+    assert(dropped.map(_("dt")) == Seq("2024-01-01"), dropped.toString)
+    // unparseable partitions are skipped, never silently expired
+    assert(t.read.collect().map(_.getLong(1)).sorted.toSeq == Seq(2L, 3L))
+
+    // update-time: a partition whose last WRITE is outside the window
+    // expires regardless of its value
+    val t2 = GraftTable.create(spark, tmp(), sch, partitionKeys = Seq("dt"))
+    t2.write(df(("old", 1L)))
+    Thread.sleep(60)
+    t2.write(df(("fresh", 2L)))
+    val mid = t2.sm.latestSnapshot().get.timeMillis - 25
+    val dropped2 = t2.expirePartitionsByTime(
+      expirationMillis = 0L, strategy = "update-time",
+      now = mid) // cutoff = mid: 'old' written before, 'fresh' after
+    assert(dropped2.map(_("dt")) == Seq("old"), dropped2.toString)
+    assert(t2.read.collect().map(_.getString(0)).toSeq == Seq("fresh"))
+    // multi-column pattern composes ($k substitution)
+    val sch3 = StructType(Seq(
+      StructField("y", StringType, nullable = false),
+      StructField("m", StringType, nullable = false),
+      StructField("k", LongType, nullable = false)))
+    val t3 = GraftTable.create(spark, tmp(), sch3, partitionKeys = Seq("y", "m"))
+    t3.write(spark.createDataFrame(Seq(
+      Row("2024", "01", 1L), Row("2024", "03", 2L)).asJava, sch3))
+    val dropped3 = t3.expirePartitionsByTime(30 * day, "values-time",
+      timestampFormatter = "yyyy-MM", timestampPattern = Some("$y-$m"), now = now)
+    assert(dropped3.map(p => (p("y"), p("m"))) == Seq(("2024", "01")))
+  }
+
   test("removeOrphanFiles deletes staged debris but never live data") {
     val sch = StructType(Seq(StructField("k", LongType, nullable = false)))
     def df(v: Long*) = spark.createDataFrame(v.map(Row(_)).asJava, sch)
