@@ -2463,6 +2463,31 @@ final class GraftTable private (
     else compactEntries(e => hot.contains(e.file.fileName))
   }
 
+  /** Record-level TTL (reference: RecordLevelExpire +
+    * `record-level.expire-time`/`.time-field` — "expiration happens in
+    * compaction, there is no strong guarantee to expire records in
+    * time"): the keep-condition rows must satisfy to survive a
+    * compaction rewrite. NULL time fields are kept (cannot be proven
+    * expired). Time field types: INT/BIGINT epoch seconds (epoch
+    * millis with `record-level.time-field-unit=millis`), TIMESTAMP. */
+  private def recordExpireKeep(sch: TableSchema): Option[Column] =
+    for {
+      dur <- sch.options.get("record-level.expire-time")
+      tf <- sch.options.get("record-level.time-field")
+    } yield {
+      require(struct.fieldNames.contains(tf),
+        s"record-level.time-field $tf is not a column")
+      val cutoffMs = System.currentTimeMillis() - GraftTable.parseDurationMillis(dur)
+      val c = col(tf)
+      struct(tf).dataType match {
+        case TimestampType | TimestampNTZType =>
+          c.isNull || unix_micros(c.cast(TimestampType)) >= cutoffMs * 1000L
+        case _ if sch.options.get("record-level.time-field-unit").contains("millis") =>
+          c.isNull || c.cast("long") >= cutoffMs
+        case _ => c.isNull || c.cast("long") >= cutoffMs / 1000L
+      }
+    }
+
   private def compactEntries(select: ManifestEntry => Boolean): Option[Long] = {
     // compaction rewrites files, which would re-position rows and break
     // the firstRowId + position identity (the reference likewise
@@ -2476,8 +2501,12 @@ final class GraftTable private (
     val base = nextSeq()
     val merged =
       if (isPrimaryKeyTable) {
-        val m = MergeEngine.mergeKeepMeta(readRaw(old), sch)
+        val m0 = MergeEngine.mergeKeepMeta(readRaw(old), sch)
           .filter(col(KindCol) =!= KindDelete)
+        // record-level TTL drops expired rows from the rewrite; with
+        // changelog-producer=full-compaction the state diff below then
+        // emits their -D rows, so incremental readers see the expiry
+        val m = recordExpireKeep(sch).map(m0.filter).getOrElse(m0)
           .withColumn(KindCol, lit(KindInsert).cast("byte"))
         if (sch.isDynamicBucket) {
           // a key's bucket is index-assigned, not hash-derived: carry
@@ -4173,6 +4202,23 @@ object GraftTable {
   /** Tokenization of the full-text index and [[GraftTable.searchText]]:
     * maximal [A-Za-z0-9]+ runs (split on everything else). */
   val TextTokenSplit = "[^A-Za-z0-9]+"
+
+  /** `"7 d"` / `"12h"` / `"30 m"` / `"45s"` / `"500 ms"` → millis
+    * (the duration shape the reference's duration options accept). */
+  def parseDurationMillis(s: String): Long = {
+    val m = "(?i)^\\s*(\\d+)\\s*(ms|s|m|h|d)\\s*$".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse duration '$s' (want <n> ms|s|m|h|d)"))
+    val n = m.group(1).toLong
+    m.group(2).toLowerCase match {
+      case "ms" => n
+      case "s" => n * 1000L
+      case "m" => n * 60000L
+      case "h" => n * 3600000L
+      case "d" => n * 86400000L
+    }
+  }
 
   /** Persisted state of one column's full-text index
     * (`index-text/<column>/state.json`). */

@@ -252,6 +252,47 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(dropped3.map(p => (p("y"), p("m"))) == Seq(("2024", "01")))
   }
 
+  test("record-level TTL: compaction drops expired rows, keeps fresh and null-timed ones") {
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true),
+      StructField("event_sec", LongType, nullable = true)))
+    def df(rows: (Long, String, java.lang.Long)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2, r._3)).asJava, sch)
+    val farFuture = 4102444800L // 2100-01-01 epoch seconds
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"), options = Map(
+        "record-level.expire-time" -> "7 d",
+        "record-level.time-field" -> "event_sec",
+        "bucket" -> "2"))
+    t.write(df((1L, "ancient", 1000L), (2L, "fresh", farFuture),
+      (3L, "unknown-time", null)))
+    // no strong timeliness guarantee: pre-compaction reads still see all
+    assert(t.read.count() == 3)
+    t.compact()
+    // compaction expired the ancient row; fresh + null-timed survive
+    assert(t.read.orderBy("k").collect().map(_.getString(1)).toSeq
+      == Seq("fresh", "unknown-time"))
+    // timestamp-typed time field works the same way
+    val sch2 = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = true)))
+    val t2 = GraftTable.create(spark, tmp(), sch2,
+      primaryKeys = Seq("k"), options = Map(
+        "record-level.expire-time" -> "1 d",
+        "record-level.time-field" -> "ts"))
+    t2.write(spark.createDataFrame(Seq(
+      Row(1L, java.sql.Timestamp.valueOf("1999-01-01 00:00:00")),
+      Row(2L, java.sql.Timestamp.valueOf("2099-01-01 00:00:00"))).asJava, sch2))
+    t2.compact()
+    assert(t2.read.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // duration parser shapes
+    assert(GraftTable.parseDurationMillis("500 ms") == 500L)
+    assert(GraftTable.parseDurationMillis("45s") == 45000L)
+    assert(GraftTable.parseDurationMillis("12 h") == 43200000L)
+    intercept[IllegalArgumentException](GraftTable.parseDurationMillis("1 week"))
+  }
+
   test("removeOrphanFiles deletes staged debris but never live data") {
     val sch = StructType(Seq(StructField("k", LongType, nullable = false)))
     def df(v: Long*) = spark.createDataFrame(v.map(Row(_)).asJava, sch)
