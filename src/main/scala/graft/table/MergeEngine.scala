@@ -198,8 +198,15 @@ object MergeEngine {
     val isRetract =
       col(Meta.KindCol) === Meta.KindDelete || col(Meta.KindCol) === Meta.KindUpdateBefore
     val retractable = Set("sum", "count")
+    // per-field function, falling back to the table-wide default
+    // (reference: CoreOptions fields.default-aggregate-function) and
+    // then to last_non_null_value. The sequence field never takes the
+    // default — summing the ordering column would corrupt it.
     def fnOf(c: String) = schema.options.getOrElse(
-      s"fields.$c.aggregate-function", "last_non_null_value")
+      s"fields.$c.aggregate-function",
+      if (schema.sequenceField.contains(c)) "last_non_null_value"
+      else schema.options.getOrElse("fields.default-aggregate-function",
+        "last_non_null_value"))
     // null out retract rows for the non-retractable functions so they
     // see exactly what the old delete-filtering showed them
     val masked = raw.select(raw.columns.map { c =>

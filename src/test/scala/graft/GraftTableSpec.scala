@@ -225,6 +225,22 @@ class GraftTableSpec extends AnyFunSuite {
     assert(r.getString(1) == "x2" && r.getLong(2) == 15L)
   }
 
+  test("aggregation engine: fields.default-aggregate-function covers unlisted fields") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"),
+      options = Map(
+        "merge-engine" -> "aggregation",
+        "sequence.field" -> "seq",
+        "fields.default-aggregate-function" -> "sum",
+        "fields.v.aggregate-function" -> "last_value"))
+    t.write(kvDf((1L, "x1", 10L, 1L)))
+    t.write(kvDf((1L, "x2", 5L, 2L)))
+    val r = t.read.head
+    // n has no per-field function → the default (sum) applies; v's own
+    // last_value overrides the default
+    assert(r.getString(1) == "x2" && r.getLong(2) == 15L)
+  }
+
   test("first-row merge engine keeps earliest record") {
     val t = GraftTable.create(spark, tmp(), kvSchema,
       primaryKeys = Seq("k"),
