@@ -148,6 +148,10 @@ object Meta {
       /** idempotence key for streaming epochs (reference:
         * FileStoreCommitImpl.commitIdentifier). */
       commitIdentifier: Long,
+      /** writer identity stamped on the commit (reference:
+        * Snapshot.commitUser — a per-writer UUID, prepended with
+        * `commit.user-prefix` when set); None on pre-field snapshots. */
+      commitUser: Option[String] = None,
       timeMillis: Long,
       manifestList: String,
       /** the one manifest added by this commit (drives incremental reads) */

@@ -188,6 +188,7 @@ final class SnapshotManager(
       id = latest.id + 1,
       commitKind = "COMPACT",
       commitIdentifier = -1L,
+      commitUser = Some(resolvedCommitUser),
       timeMillis = System.currentTimeMillis(),
       manifestList = listName,
       deltaManifest = None,
@@ -207,6 +208,17 @@ final class SnapshotManager(
   private def manifestMergeMinCount: Int =
     latestSchema().flatMap(_.options.get("manifest.merge-min-count"))
       .map(_.toInt).getOrElse(30)
+
+  /** Writer identity stamped on every snapshot this manager commits
+    * (reference: Snapshot.commitUser — one UUID per writer instance;
+    * `commit.user-prefix` prepends a deployment-chosen label so
+    * operators can attribute commits in $snapshots). Resolved lazily
+    * so the table's schema/options exist by first commit. */
+  private lazy val resolvedCommitUser: String = {
+    val base = java.util.UUID.randomUUID().toString
+    latestSchema().flatMap(_.options.get("commit.user-prefix"))
+      .map(p => s"$p-$base").getOrElse(base)
+  }
 
   // ---- commit ---------------------------------------------------------
 
@@ -311,6 +323,7 @@ final class SnapshotManager(
         schemaId = schemaId,
         commitKind = commitKind,
         commitIdentifier = commitIdentifier,
+        commitUser = Some(resolvedCommitUser),
         timeMillis = System.currentTimeMillis(),
         manifestList = listName,
         deltaManifest = Some(manifestName),

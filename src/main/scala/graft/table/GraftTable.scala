@@ -4003,10 +4003,11 @@ final class GraftTable private (
   def systemSnapshots: DataFrame = {
     import spark.implicits._
     sm.snapshotIds.map(sm.snapshot).map(s =>
-      (s.id, s.schemaId, s.commitKind, s.commitIdentifier, s.timeMillis,
+      (s.id, s.schemaId, s.commitKind, s.commitIdentifier,
+        s.commitUser.orNull, s.timeMillis,
         s.totalRecordCount, s.deltaRecordCount))
       .toDF("snapshot_id", "schema_id", "commit_kind", "commit_identifier",
-        "commit_time", "total_record_count", "delta_record_count")
+        "commit_user", "commit_time", "total_record_count", "delta_record_count")
   }
 
   /** `$files` incl. per-column stats maps (reference:

@@ -241,6 +241,24 @@ class GraftTableSpec extends AnyFunSuite {
     assert(r.getString(1) == "x2" && r.getLong(2) == 15L)
   }
 
+  test("snapshots carry a commit user; commit.user-prefix labels it") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      options = Map("commit.user-prefix" -> "etl-job"))
+    t.write(kvDf((1L, "a", 1L, 1L)))
+    t.write(kvDf((2L, "b", 2L, 2L)))
+    val users = t.systemSnapshots.select("commit_user")
+      .collect().map(_.getString(0)).toSeq
+    assert(users.forall(_ != null) && users.distinct.size == 1,
+      s"one writer instance = one user: $users")
+    assert(users.head.startsWith("etl-job-"), users.head)
+    // a different writer instance gets a different identity
+    val t2 = GraftTable.load(spark, t.path)
+    t2.write(kvDf((3L, "c", 3L, 3L)))
+    val users2 = t2.systemSnapshots.select("commit_user")
+      .collect().map(_.getString(0)).toSeq
+    assert(users2.distinct.size == 2, users2.toString)
+  }
+
   test("first-row merge engine keeps earliest record") {
     val t = GraftTable.create(spark, tmp(), kvSchema,
       primaryKeys = Seq("k"),
