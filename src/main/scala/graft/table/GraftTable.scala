@@ -92,6 +92,40 @@ final class GraftTable private (
     // a metadata write, not a commit — no re-entrancy.
     if (schema.options.get(GraftTable.TagAutoMode).exists(_ != "none"))
       tagAutoCreate()
+    // automatic snapshot expiration — strictly OPT-IN via the
+    // retention options (reference expires on every commit by default;
+    // here the unset-options default keeps full history, so time
+    // travel on un-configured tables never silently loses snapshots)
+    autoExpireSnapshots()
+  }
+
+  /** Per-commit snapshot retention (reference: CoreOptions
+    * snapshot.num-retained.max / snapshot.num-retained.min /
+    * snapshot.time-retained, applied by FileStoreCommit's expire):
+    * drop snapshots beyond the count cap or outside the time window,
+    * but always keep at least the min (default 10) — tag/branch/
+    * consumer protection comes from [[SnapshotManager.expireSnapshots]]
+    * itself. No-op unless a retention option is set. */
+  private[graft] def autoExpireSnapshots(): Seq[Long] = {
+    val opts = schema.options
+    val maxN = opts.get("snapshot.num-retained.max").map(_.toInt)
+    val timeMs = opts.get("snapshot.time-retained")
+      .map(GraftTable.parseDurationMillis)
+    if (maxN.isEmpty && timeMs.isEmpty) return Seq.empty
+    val minN = opts.get("snapshot.num-retained.min").map(_.toInt).getOrElse(10)
+    val ids = sm.snapshotIds
+    if (ids.isEmpty) return Seq.empty
+    val now = System.currentTimeMillis()
+    // how many of the newest snapshots the time window keeps
+    val freshCount = timeMs match {
+      case Some(t) => ids.count(id => sm.snapshot(id).timeMillis >= now - t)
+      case None => ids.size
+    }
+    val maxAllowed = maxN.getOrElse(Int.MaxValue)
+    val effMin = math.min(minN, maxAllowed) // max is the hard cap
+    val retain = math.max(1,
+      math.max(math.min(freshCount, maxAllowed), math.min(effMin, ids.size)))
+    if (retain >= ids.size) Seq.empty else sm.expireSnapshots(retain)
   }
   // ================= write =================
 

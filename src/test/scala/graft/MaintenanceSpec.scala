@@ -252,6 +252,32 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(dropped3.map(p => (p("y"), p("m"))) == Seq(("2024", "01")))
   }
 
+  test("automatic snapshot retention: num-retained.max caps history at commit") {
+    val sch = StructType(Seq(StructField("k", LongType, nullable = false)))
+    def df(v: Long) = spark.createDataFrame(Seq(Row(v)).asJava, sch)
+    val t = GraftTable.create(spark, tmp(), sch, options = Map(
+      "snapshot.num-retained.max" -> "3",
+      "snapshot.num-retained.min" -> "2"))
+    (1L to 8L).foreach(i => t.write(df(i)))
+    // the per-commit hook kept only the newest 3 snapshots
+    val ids = t.sm.snapshotIds
+    assert(ids.size == 3, s"got $ids")
+    assert(ids.max == 7L) // 8 commits → ids 0..7, newest retained
+    // data intact: expiration drops history, never current rows
+    assert(t.read.count() == 8)
+    // without retention options nothing ever auto-expires
+    val t2 = GraftTable.create(spark, tmp(), sch)
+    (1L to 5L).foreach(i => t2.write(df(i)))
+    assert(t2.sm.snapshotIds.size == 5)
+    // time-retained keeps at least num-retained.min even when the
+    // window would drop everything
+    val t3 = GraftTable.create(spark, tmp(), sch, options = Map(
+      "snapshot.time-retained" -> "1 ms",
+      "snapshot.num-retained.min" -> "2"))
+    (1L to 5L).foreach { i => t3.write(df(i)); Thread.sleep(3) }
+    assert(t3.sm.snapshotIds.size == 2, t3.sm.snapshotIds.toString)
+  }
+
   test("record-level TTL: compaction drops expired rows, keeps fresh and null-timed ones") {
     val sch = StructType(Seq(
       StructField("k", LongType, nullable = false),
