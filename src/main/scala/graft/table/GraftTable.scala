@@ -1052,7 +1052,11 @@ final class GraftTable private (
     if (sch.fileFormat == "avro")
       graft.sources.AvroStorage.writeStaged(outB, partitionBy, staging)
     else withMicrosTimestamps {
-      val writer = outB.write.mode("overwrite")
+      var writer = outB.write.mode("overwrite")
+      // honor file.compression (reference: CoreOptions FILE_COMPRESSION,
+      // default zstd there; absent here = Spark's codec default)
+      sch.options.get("file.compression")
+        .foreach(c => writer = writer.option("compression", c))
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .format(sch.fileFormat).save(staging)
     }

@@ -259,6 +259,25 @@ class GraftTableSpec extends AnyFunSuite {
     assert(users2.distinct.size == 2, users2.toString)
   }
 
+  test("file.compression selects the parquet codec for data files") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      options = Map("file.compression" -> "zstd"))
+    t.write(kvDf((1L, "a", 1L, 1L), (2L, "b", 2L, 2L)))
+    val files = t.read.inputFiles
+    assert(files.nonEmpty)
+    // the staged files are renamed on adoption, so check the codec the
+    // parquet FOOTER records, as any external reader would
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(files.head),
+        spark.sparkContext.hadoopConfiguration))
+    val codec = try reader.getFooter.getBlocks.get(0)
+      .getColumns.get(0).getCodec.toString
+    finally reader.close()
+    assert(codec == "ZSTD", codec)
+    assert(t.read.count() == 2)
+  }
+
   test("first-row merge engine keeps earliest record") {
     val t = GraftTable.create(spark, tmp(), kvSchema,
       primaryKeys = Seq("k"),
