@@ -255,6 +255,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // $binlog) and metadata: SELECT on the base table is required
       priv(GraftPrivileges.Select, fq(Identifier.of(ident.namespace(), base)))
       val gt = loadGraft(Identifier.of(ident.namespace(), base))
+      // branch reads: SELECT * FROM cat.db.`t$branch_dev` serves the
+      // branch head through the full native scan path (reference: the
+      // same $branch_<name> suffix convention on SparkCatalog)
+      if (suffix.startsWith("branch_")) {
+        val bName = suffix.stripPrefix("branch_")
+        require(gt.branches.contains(bName), s"no such branch: $bName")
+        val bt = gt.branchTable(bName)
+        return if (bt.isPrimaryKeyTable)
+          new GraftSparkTable(bt, snapshot = None, guardFor(ident))
+        else new GraftAppendSparkTable(bt, snapshot = None, guardFor(ident))
+      }
       val dfFn: () => DataFrame = suffix match {
         case "snapshots" => () => gt.systemSnapshots
         case "files" => () => gt.systemFiles

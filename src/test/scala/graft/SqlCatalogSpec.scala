@@ -846,6 +846,29 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SHOW PARTITIONS graft.db22.t").count() == 1L)
   }
 
+  test("branch reads through SQL: t$branch_<name> serves the branch head") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db23")
+    spark.sql("DROP TABLE IF EXISTS graft.db23.b")
+    spark.sql("CREATE TABLE graft.db23.b (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO graft.db23.b VALUES (1,'main1')")
+    spark.sql("CALL graft.sys.create_branch('db23.b', 'dev')")
+    // main moves on; the branch keeps the fork state
+    spark.sql("INSERT INTO graft.db23.b VALUES (2,'main2')")
+    assert(spark.sql("SELECT count(*) FROM graft.db23.b").head.getLong(0) == 2L)
+    assert(spark.sql("SELECT v FROM graft.db23.`b$branch_dev`")
+      .collect().map(_.getString(0)).toSeq == Seq("main1"))
+    // a write to the branch (library path) is visible through SQL
+    val gt = graft.table.GraftTable.load(spark, s"$warehouse/db23/b")
+    gt.branchTable("dev").write(spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(9L, "dev9")),
+      spark.table("graft.db23.b").schema))
+    assert(spark.sql("SELECT k FROM graft.db23.`b$branch_dev` ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 9L))
+    // main unaffected; unknown branch errors
+    assert(spark.sql("SELECT count(*) FROM graft.db23.b").head.getLong(0) == 2L)
+    intercept[Exception](spark.sql("SELECT * FROM graft.db23.`b$branch_nope`").collect())
+  }
+
   test("system tables: $ro / $aggregation_fields / $row_tracking / $compact_buckets") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db21")
     spark.sql("DROP TABLE IF EXISTS graft.db21.agg")
