@@ -867,6 +867,12 @@ class SqlCatalogSpec extends AnyFunSuite {
     // main unaffected; unknown branch errors
     assert(spark.sql("SELECT count(*) FROM graft.db23.b").head.getLong(0) == 2L)
     intercept[Exception](spark.sql("SELECT * FROM graft.db23.`b$branch_nope`").collect())
+    // SQL WRITES land on the branch too (the suffix table IS the
+    // branch table, so INSERT routes to the branch head)
+    spark.sql("INSERT INTO graft.db23.`b$branch_dev` VALUES (10,'dev10')")
+    assert(spark.sql("SELECT k FROM graft.db23.`b$branch_dev` ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 9L, 10L))
+    assert(spark.sql("SELECT count(*) FROM graft.db23.b").head.getLong(0) == 2L)
   }
 
   test("system tables: $ro / $aggregation_fields / $row_tracking / $compact_buckets") {
