@@ -1294,8 +1294,40 @@ final class GraftTable private (
 
   // ================= read =================
 
+  /** Fallback-branch planning (reference: `scan.fallback-branch` /
+    * FallbackReadFileStoreTable — the dual-write migration aid): when
+    * set on a PARTITIONED table, partitions absent from the current
+    * branch are served from the fallback branch's head. Current-branch
+    * partitions always win; fallback entries whose schema version the
+    * current branch cannot resolve are skipped (never a read error).
+    * Data files are shared across branches, so the extra entries read
+    * through the same table path. */
+  private def withFallbackEntries(entries: Seq[ManifestEntry]): Seq[ManifestEntry] = {
+    val fb = schema.options.get("scan.fallback-branch")
+      .filter(_ => schema.partitionKeys.nonEmpty)
+      .filter(branches.contains)
+    fb match {
+      case None => entries
+      case Some(b) =>
+        val bt = branchTable(b)
+        val mainParts = entries.map(_.partition).toSet
+        val extra = bt.sm.latestSnapshot().map(bt.sm.liveEntries).getOrElse(Seq.empty)
+          .filter(e => !mainParts.contains(e.partition))
+          .filter(e => scala.util.Try(sm.schema(e.file.schemaId)).isSuccess)
+        entries ++ extra
+    }
+  }
+
   /** Latest-snapshot merged read. */
-  def read: DataFrame = readSnapshot(sm.latestSnapshotId)
+  def read: DataFrame =
+    sm.latestSnapshotId
+      .map(i => mergedFromEntries(withFallbackEntries(sm.liveEntries(sm.snapshot(i)))))
+      .getOrElse {
+        // empty current branch: a fallback branch may still serve data
+        if (schema.options.contains("scan.fallback-branch"))
+          mergedFromEntries(withFallbackEntries(Seq.empty))
+        else emptyDf()
+      }
 
   /** Blob columns WITHOUT payload fetch: the physical descriptor
     * structs (inline, file, length, hash) — metadata-only queries over
@@ -1327,7 +1359,7 @@ final class GraftTable private (
   def scan(filter: Column): DataFrame = {
     val snap = sm.latestSnapshotId.map(sm.snapshot)
     val entries = snap.map(pruneEntries(_, filter)).getOrElse(Seq.empty)
-    mergedFromEntries(entries).filter(filter)
+    mergedFromEntries(withFallbackEntries(entries)).filter(filter)
   }
 
   def readSnapshot(id: Option[Long]): DataFrame =
@@ -1340,7 +1372,10 @@ final class GraftTable private (
   private[graft] def planEntries(
       filter: Column, snapshotId: Option[Long] = None): Seq[ManifestEntry] = {
     val snap = snapshotId.map(sm.snapshot).orElse(sm.latestSnapshot())
-    snap.map(pruneEntries(_, filter)).getOrElse(Seq.empty)
+    val planned = snap.map(pruneEntries(_, filter)).getOrElse(Seq.empty)
+    // fallback-branch partitions only augment CURRENT-state plans;
+    // time travel stays exactly the branch's own history
+    if (snapshotId.isEmpty) withFallbackEntries(planned) else planned
   }
 
   // ================= scan-level pushdowns =================

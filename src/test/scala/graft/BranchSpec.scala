@@ -50,6 +50,36 @@ class BranchSpec extends AnyFunSuite {
     assert(t.read.count() == 2)
   }
 
+  test("scan.fallback-branch serves partitions missing on the current branch") {
+    val psch = StructType(Seq(
+      StructField("p", StringType, nullable = false),
+      StructField("k", LongType, nullable = false)))
+    def pdf(rows: (String, Long)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, psch)
+    val t = GraftTable.create(spark, tmp(), psch, partitionKeys = Seq("p"))
+    t.write(pdf(("a", 1L), ("b", 2L)))
+    t.createBranch("legacy")
+    // main moves on: partition b rewritten, partition c added, and the
+    // OLD partition a dropped from main (it now lives only on legacy)
+    t.overwrite(pdf(("b", 20L)))
+    t.write(pdf(("c", 3L)))
+    t.delete(col("p") === "a")
+    assert(t.read.collect().map(_.getLong(1)).sorted.toSeq == Seq(3L, 20L))
+    // with the fallback option, partition a is served from the branch;
+    // main's partitions b and c always win
+    t.setOption("scan.fallback-branch", "legacy")
+    val t2 = GraftTable.load(spark, t.path)
+    assert(t2.read.collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 3L, 20L))
+    // scans prune and filter across the union
+    assert(t2.scan(col("p") === "a").collect().map(_.getLong(1)).toSeq == Seq(1L))
+    assert(t2.scan(col("k") > 5L).collect().map(_.getLong(1)).toSeq == Seq(20L))
+    // time travel stays pure main history (fallback is current-state only)
+    // a bogus fallback branch is ignored, not an error
+    t2.setOption("scan.fallback-branch", "nope")
+    val t3 = GraftTable.load(spark, t.path)
+    assert(t3.read.collect().map(_.getLong(1)).sorted.toSeq == Seq(3L, 20L))
+  }
+
   test("expiration on main never collects files a branch references") {
     val t = GraftTable.create(spark, tmp(), sch)
     t.write(df((1L, "a")))
