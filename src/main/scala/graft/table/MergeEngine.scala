@@ -115,6 +115,34 @@ object MergeEngine {
     val valueCols = schema.toStruct.fieldNames.filterNot(pk.contains)
     val groups = sequenceGroups(schema)
     if (groups.isEmpty) {
+      if (schema.options.get("partial-update.remove-record-on-delete").contains("true")) {
+        // reference: PARTIAL_UPDATE_REMOVE_RECORD_ON_DELETE — a -D
+        // RESETS the row, so the fold only sees records newer than
+        // the key's last delete; a key with no survivors emits a -D
+        // tombstone (dropped at read, physically at full compaction —
+        // vanishing silently would let older files resurrect the key)
+        val isDel = col(Meta.KindCol) === Meta.KindDelete
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(pk.map(col).toIndexedSeq: _*)
+        val tagged = raw
+          .withColumn("__last_del", max(when(isDel, ord)).over(w))
+          .withColumn("__alive",
+            !isDel && (col("__last_del").isNull || ord > col("__last_del")))
+        val seqAgg =
+          if (raw.columns.contains(Meta.SeqCol)) max(col(Meta.SeqCol)) else lit(0L)
+        val aggs = valueCols.map { c =>
+          // the sequence FIELD folds over ALL records (incl. the -D):
+          // a tombstone emitted with a nulled sequence would sort
+          // below the rows it is meant to kill in later cross-file
+          // merges and resurrect them
+          if (schema.sequenceField.contains(c)) max_by(col(c), ord).as(c)
+          else max_by(col(c), when(col("__alive") && col(c).isNotNull, ord)).as(c)
+        } ++ Seq(seqAgg.as(Meta.SeqCol),
+          when(max(when(col("__alive"), 1).otherwise(0)) === 1, Meta.KindInsert)
+            .otherwise(Meta.KindDelete).cast("byte").as(Meta.KindCol))
+        return tagged.groupBy(pk.map(col).toIndexedSeq: _*)
+          .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+      }
       val in = raw.filter(col(Meta.KindCol) =!= Meta.KindDelete)
       val aggs = valueCols.map { c =>
         max_by(col(c), when(col(c).isNotNull, ord)).as(c)

@@ -278,6 +278,30 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.read.count() == 2)
   }
 
+  test("partial-update: remove-record-on-delete resets the row") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"),
+      options = Map(
+        "merge-engine" -> "partial-update",
+        "sequence.field" -> "seq",
+        "partial-update.remove-record-on-delete" -> "true"))
+    t.write(kvDf((1L, "a", 10L, 1L), (2L, "b", 20L, 1L)))
+    t.write(kvDf((1L, null, 11L, 2L))) // partial: v keeps "a", n -> 11
+    assert(t.read.filter(col("k") === 1L).head.getString(1) == "a")
+    // a delete REMOVES the row (default partial-update ignores it)
+    t.delete(col("k") === 1L)
+    assert(t.read.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // a post-delete write rebuilds from scratch: old fields do NOT
+    // leak back through the partial fold
+    t.write(kvDf((1L, null, 99L, 10L)))
+    val r = t.read.filter(col("k") === 1L).head
+    assert(r.isNullAt(1) && r.getLong(2) == 99L,
+      s"row must rebuild from empty after delete: $r")
+    // compaction folds the tombstoned history without resurrecting
+    t.compact()
+    assert(t.read.count() == 2)
+  }
+
   test("first-row merge engine keeps earliest record") {
     val t = GraftTable.create(spark, tmp(), kvSchema,
       primaryKeys = Seq("k"),
