@@ -532,6 +532,55 @@ object Dedup {
       .distinct()
   }
 
+  /** SemDeDup-style semantic deduplication (public method: Abbas et
+    * al., arXiv:2303.09540 — the large-corpus recipe Meta published
+    * for LAION/C4-scale pruning): k-means-cluster the embeddings,
+    * then WITHIN each cluster greedily drop documents whose cosine to
+    * an already-kept document reaches `threshold`, keeping the
+    * lowest-id representative of every near-duplicate set.
+    *
+    * Spark shape: centroids train with the same deterministic
+    * distributed Lloyd steps as the IVF index (seeded from the first
+    * `nClusters` ids — reproducible, so the result is hash-gateable);
+    * assignment is one argmax expression; the greedy pass runs
+    * per-cluster via groupByKey, touching only same-cluster pairs —
+    * the quadratic work is confined to one cluster, never the corpus
+    * (the paper's own complexity bound). At 100 TB `nClusters` grows
+    * with the corpus so a cluster's vectors fit one task; boundary
+    * caveat (inherent to SemDeDup): near-duplicates that straddle a
+    * centroid boundary are not compared.
+    *
+    * @return single-column DataFrame of surviving ids (named `idCol`)
+    */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int = 16, threshold: Double = 0.95,
+      iterations: Int = 1): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val trained = Similarity.trainIvf(corpus, idCol, vecCol, nClusters, iterations)
+    val th = threshold
+    trained.assigned // (neighbor_id, nvec UNIT vectors, list)
+      .select(col("neighbor_id").cast("long"), col("nvec"), col("list"))
+      .as[(Long, Seq[Double], Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._1) // keep-first = lowest id
+        val kept = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+        val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+        rows.foreach { case (id, v, _) =>
+          val arr = v.toArray
+          val dup = kept.exists { k =>
+            var s = 0.0; var i = 0
+            while (i < arr.length && i < k.length) { s += arr(i) * k(i); i += 1 }
+            s >= th // unit vectors: dot IS cosine
+          }
+          if (!dup) { kept += arr; out += id }
+        }
+        out.iterator
+      }.toDF(idCol)
+  }
+
   /** Join candidate pairs back to per-doc set columns and keep pairs
     * with exact Jaccard >= threshold. */
   private def verifyJaccard(

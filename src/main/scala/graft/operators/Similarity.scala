@@ -171,13 +171,13 @@ object Similarity {
       .filter(col("rank") <= kNeighbors)
   }
 
-  private case class TrainedIvf(
+  private[operators] case class TrainedIvf(
       centroids: Array[Array[Double]], assigned: DataFrame)
 
   /** Distributed Lloyd training shared by the per-query and persisted
     * IVF paths: assignment is an argmax-of-similarity expression over
     * broadcast centroids, update a per-dimension mean. */
-  private def trainIvf(
+  private[operators] def trainIvf(
       corpus: DataFrame, idCol: String, vecCol: String,
       nLists: Int, iterations: Int): TrainedIvf = {
     val session = corpus.sparkSession

@@ -696,6 +696,27 @@ object Pipeline {
       corpus.filter(col("doc_id") % 10 === 0).select(col("doc_id").as("src_id"))
         .join(found, Seq("src_id"), "left_semi")
         .select(col("src_id"), lit(true).as("dup_found"))
+    },
+
+    // ---- SemDeDup semantic dedup (Abbas et al., arXiv:2303.09540):
+    // cluster embeddings, greedily drop within-cluster near-dups. The
+    // planted corpus doubles every vector under id+100000 — identical
+    // vectors always co-cluster (same argmax), so every duplicate must
+    // drop and every base id must survive (base pairwise cosine maxes
+    // ~0.6, far under the 0.9 threshold). The oracle is exactly the
+    // base id set: a duplicate surviving (wrong greedy), a base id
+    // lost (over-aggressive drop), or nondeterministic clustering all
+    // fail the hash.
+    QDef(
+      "p21_semantic_dedup",
+      """SELECT CAST(vec_id AS BIGINT) AS vec_id FROM embeddings""") { (s, dir) =>
+      import graft.operators.Dedup
+      val base = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val dup = base.select((col("vec_id") + 100000L).as("vec_id"), col("v"))
+      Dedup.semanticDedup(base.unionAll(dup), "vec_id", "v",
+        nClusters = 16, threshold = 0.9)
+        .select(col("vec_id").cast("long").as("vec_id"))
     })
 
   /** embeddings ∪ deterministic perturbed copies (id + 100000, same

@@ -265,6 +265,32 @@ class OperatorsSpec extends AnyFunSuite {
       s"planned $planned of $allLists list partitions — expected pruning")
   }
 
+  test("semanticDedup: keeps lowest-id representative per near-dup set, per cluster") {
+    import spark.implicits._
+    // two far-apart direction clusters; ids 0/1/2 near-identical in
+    // cluster A (plus exact copy id 10), id 5 alone in cluster B
+    def v(x: Double, y: Double) = Array(x, y).map(_.toFloat)
+    val emb = Seq(
+      (0L, v(1.0, 0.00)), (1L, v(1.0, 0.01)), (2L, v(1.0, 0.02)),
+      (10L, v(1.0, 0.00)), // exact duplicate of id 0
+      (5L, v(-1.0, 0.0)), (6L, v(-1.0, 0.9)) // B: dissimilar pair
+    ).toDF("vec_id", "embedding")
+    val kept = graft.operators.Dedup.semanticDedup(
+      emb, "vec_id", "embedding", nClusters = 2, threshold = 0.995)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // 0.995: ids 1,2 (cos ~0.99995 to id 0) and the exact copy drop;
+    // 5 and 6 (cos ~0.74) both survive
+    assert(kept == Seq(0L, 5L, 6L), kept.toString)
+    // deterministic across runs
+    val again = graft.operators.Dedup.semanticDedup(
+      emb, "vec_id", "embedding", nClusters = 2, threshold = 0.995)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == kept)
+    // threshold 1.01 keeps everything (nothing reaches it)
+    assert(graft.operators.Dedup.semanticDedup(
+      emb, "vec_id", "embedding", nClusters = 2, threshold = 1.01).count() == 6)
+  }
+
   test("embedding-cosine near-dup: LSH path finds exactly the planted pairs") {
     import spark.implicits._
     val dim = 16
