@@ -16,6 +16,56 @@ object TextAnalysis {
   /** Lowercased whitespace tokens. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** Adjacent (prev, cur) token pairs of a text column. */
+  private def bigramPairs(text: Column): Column = {
+    val t = tokens(text)
+    val n = greatest(size(t) - 1, lit(0))
+    zip_with(slice(t, lit(1), n), slice(t, lit(2), n),
+      (a, b) => struct(a.as("prev"), b.as("cur")))
+  }
+
+  /** Per-document bigram negative log-likelihood — the LM-perplexity
+    * quality signal of CCNet/Gopher-style filtering pipelines (public
+    * recipe: score each document under a language model trained on a
+    * reference corpus; surprising documents are boilerplate/noise).
+    * The model here is an add-one-smoothed bigram LM trained
+    * DISTRIBUTED from `reference` (bigram counts + prefix totals +
+    * vocabulary size); scoring joins each document's bigrams against
+    * the counts — two shuffles total, no driver-side model, so both
+    * training and scoring scale with executors.
+    *
+    * Unseen bigrams back off to ln(1/(c(prev)+V)); unseen prefixes to
+    * ln(1/V) — never-seen text scores maximally surprising instead of
+    * erroring. Documents with fewer than two tokens produce no
+    * bigrams and are absent from the output.
+    *
+    * @return (idCol, nll) — nll = −mean ln p(cur|prev); perplexity =
+    *         exp(nll)
+    */
+  def bigramNll(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      reference: org.apache.spark.sql.DataFrame, refTextCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val refBig = reference
+      .select(explode(bigramPairs(col(refTextCol))).as("bg"))
+      .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val cnt = refBig.groupBy("prev", "cur").agg(count(lit(1)).as("c"))
+    val ptot = refBig.groupBy("prev").agg(count(lit(1)).as("cp"))
+    val vocab = reference
+      .select(explode(tokens(col(refTextCol))).as("tok"))
+      .agg(countDistinct(col("tok"))).head.getLong(0).toDouble
+    docs
+      .select(col(idCol), explode(bigramPairs(col(textCol))).as("bg"))
+      .select(col(idCol), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .join(cnt, Seq("prev", "cur"), "left")
+      .join(ptot, Seq("prev"), "left")
+      .select(col(idCol),
+        log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("cp"), lit(0L)) + lit(vocab))).as("lp"))
+      .groupBy(idCol)
+      .agg((-avg(col("lp"))).as("nll"))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   def charCount(text: Column): Column = length(text).cast("long")

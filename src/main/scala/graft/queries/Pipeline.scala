@@ -717,6 +717,33 @@ object Pipeline {
       Dedup.semanticDedup(base.unionAll(dup), "vec_id", "v",
         nClusters = 16, threshold = 0.9)
         .select(col("vec_id").cast("long").as("vec_id"))
+    },
+
+    // ---- bigram-LM perplexity scoring (CCNet/Gopher-style quality
+    // filtering): the LM trains on the corpus itself, every document
+    // scores its mean bigram negative log-likelihood, and the oracle
+    // recomputes the identical add-one-smoothed model in SQL — a
+    // wrong count, a smoothing slip, or a lost bigram shifts the
+    // 6-decimal-rounded score.
+    QDef(
+      "p22_bigram_nll",
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') t FROM documents),
+        |big AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)),
+        |cnt AS (SELECT prev, cur, count(*) AS c FROM big GROUP BY 1, 2),
+        |ptot AS (SELECT prev, count(*) AS cp FROM big GROUP BY 1),
+        |v AS (SELECT count(DISTINCT x) AS v
+        |  FROM (SELECT unnest(t) AS x FROM toks)),
+        |sc AS (SELECT b.doc_id, ln((c + 1.0)/(cp + v.v)) AS lp
+        |  FROM big b JOIN cnt USING (prev, cur) JOIN ptot USING (prev)
+        |  CROSS JOIN v)
+        |SELECT doc_id, CAST(ROUND(-avg(lp), 6) AS DOUBLE) AS nll
+        |FROM sc GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.TextAnalysis
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      TextAnalysis.bigramNll(docs, "doc_id", "text", docs, "text")
+        .select(col("doc_id"), asDouble(col("nll"), 6).as("nll"))
     })
 
   /** embeddings ∪ deterministic perturbed copies (id + 100000, same

@@ -265,6 +265,28 @@ class OperatorsSpec extends AnyFunSuite {
       s"planned $planned of $allLists list partitions — expected pruning")
   }
 
+  test("bigramNll: reference-trained scores, smoothed backoff for unseen text") {
+    import spark.implicits._
+    val ref = Seq((1L, "the cat sat"), (2L, "the cat ran")).toDF("id", "text")
+    // vocab = {the, cat, sat, ran} (V=4); c(the,cat)=2, c(the)=2 ...
+    val docs = Seq(
+      (10L, "the cat"),       // seen bigram: p = (2+1)/(2+4)
+      (11L, "cat sat"),       // p = (1+1)/(2+4)
+      (12L, "zebra quux"),    // unseen prefix: p = 1/(0+4)
+      (13L, "x")              // single token: no bigrams -> absent
+    ).toDF("id", "text")
+    val got = graft.operators.TextAnalysis
+      .bigramNll(docs, "id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def nll(p: Double) = -math.log(p)
+    assert(math.abs(got(10L) - nll(3.0 / 6)) < 1e-9, got.toString)
+    assert(math.abs(got(11L) - nll(2.0 / 6)) < 1e-9)
+    assert(math.abs(got(12L) - nll(1.0 / 4)) < 1e-9)
+    assert(!got.contains(13L))
+    // surprising text scores strictly higher than in-distribution text
+    assert(got(12L) > got(10L))
+  }
+
   test("semanticDedup: keeps lowest-id representative per near-dup set, per cluster") {
     import spark.implicits._
     // two far-apart direction clusters; ids 0/1/2 near-identical in
