@@ -439,13 +439,22 @@ object Similarity {
   def buildHnswIndex(
       corpus: DataFrame, indexDir: String,
       idCol: String, vecCol: String,
-      shards: Int = 4, m: Int = 8, efConstruction: Int = 64): Int = {
+      shards: Int = 4, m: Int = 8, efConstruction: Int = 64,
+      knownCount: Option[Long] = None, knownDim: Option[Int] = None): Int = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val head = corpus
-      .agg(count(lit(1)), max(size(col(vecCol)))).head()
-    val cnt = head.getLong(0)
-    val dim = if (head.isNullAt(1)) 0 else head.getInt(1)
+    // shard derivation needs (count, dim) BEFORE the build shuffle.
+    // Callers that already know them (the table path reads count from
+    // manifest stats — zero jobs) pass them in so the corpus is scanned
+    // exactly once; otherwise one extra agg pass derives both.
+    val (cnt, dim) = (knownCount, knownDim) match {
+      case (Some(c), Some(d)) => (c, d)
+      case _ =>
+        val head = corpus
+          .agg(count(lit(1)), max(size(col(vecCol)))).head()
+        (knownCount.getOrElse(head.getLong(0)),
+          knownDim.getOrElse(if (head.isNullAt(1)) 0 else head.getInt(1)))
+    }
     val effShards = deriveHnswShards(shards, cnt, dim, m)
     if (effShards > shards)
       simLog.warn(s"HNSW shard count raised $shards -> $effShards: " +

@@ -122,12 +122,15 @@ object GraftRestServer {
                 case None => respond(x, 400, """{"error":"invalid namespace name"}""")
                 case Some(dir) if java.nio.file.Files.exists(dir) =>
                   // DSv2 contract: a non-cascade drop of a non-empty
-                  // namespace must fail, not silently wipe its tables
+                  // namespace must fail, not silently wipe its contents.
+                  // "Non-empty" means ANY child — tables, views, nested
+                  // namespaces — not just direct GraftTable children
+                  // (views and nested dirs would otherwise be invisible
+                  // to the emptiness check and get wiped).
                   val cascade = Option(x.getRequestURI.getQuery)
                     .exists(_.split('&').contains("cascade=true"))
-                  val tables = graft.core.FsUtil.listAll(dir)
-                    .filter(p => GraftTable.exists(p.toString))
-                  if (tables.nonEmpty && !cascade)
+                  val children = graft.core.FsUtil.listAll(dir)
+                  if (children.nonEmpty && !cascade)
                     respond(x, 409, """{"error":"namespace not empty"}""")
                   else {
                     graft.core.FsUtil.walkAll(dir).reverse
@@ -193,6 +196,51 @@ object GraftRestServer {
               resolveUnder(ns, t) match {
                 case None => respond(x, 400, """{"error":"invalid identifier"}""")
                 case Some(dir) if GraftTable.exists(dir.toString) =>
+                  // Dry-run the WHOLE change list against the current
+                  // schema before applying anything: a failure on
+                  // change N must not leave changes 1..N-1 committed
+                  // while the client sees an error (it would retry the
+                  // full statement and trip over its own half-applied
+                  // prefix). Validation mirrors the per-change requires.
+                  locally {
+                    val gt0 = GraftTable.load(SparkSession.active, dir.toString)
+                    val sch0 = gt0.schema
+                    var fields: Map[String, DataType] = sch0.fields
+                      .map(f => f.name -> DataType.fromDDL(f.dataType)).toMap
+                    val keyed = (sch0.primaryKeys ++ sch0.partitionKeys).toSet
+                    spec.changes.foreach { c =>
+                      c.kind match {
+                        case "addColumn" =>
+                          require(!fields.contains(c.name),
+                            s"column ${c.name} already exists")
+                          require(c.nullable, "added columns must be nullable")
+                          fields += c.name -> DataType.fromJson(c.dataTypeJson)
+                        case "renameColumn" =>
+                          require(fields.contains(c.name), s"no column ${c.name}")
+                          require(!fields.contains(c.newName),
+                            s"column ${c.newName} already exists")
+                          fields += c.newName -> fields(c.name)
+                          fields -= c.name
+                        case "deleteColumn" =>
+                          require(fields.contains(c.name), s"no column ${c.name}")
+                          require(!keyed.contains(c.name),
+                            "cannot drop partition or primary-key columns")
+                          require(fields.size > 1, "cannot drop the last column")
+                          fields -= c.name
+                        case "updateColumnType" =>
+                          require(fields.contains(c.name), s"no column ${c.name}")
+                          require(!keyed.contains(c.name),
+                            "cannot widen primary-key or partition columns")
+                          val to = DataType.fromJson(c.dataTypeJson)
+                          require(gt0.canWiden(fields(c.name), to),
+                            s"cannot widen ${fields(c.name).sql} to ${to.sql}")
+                          fields += c.name -> to
+                        case "setProperty" | "removeProperty" => ()
+                        case other => throw new IllegalArgumentException(
+                          s"unknown table change kind: $other")
+                      }
+                    }
+                  }
                   spec.changes.foreach { c =>
                     // reload per change: each change bumps the schema
                     val gt = GraftTable.load(SparkSession.active, dir.toString)

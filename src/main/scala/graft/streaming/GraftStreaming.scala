@@ -153,9 +153,22 @@ object GraftStreaming {
   private val fullDimCache =
     scala.collection.concurrent.TrieMap.empty[String, (Long, DataFrame)]
 
+  /** Previous epoch's pinned micro-batch per dim table (partial mode):
+    * evicted when the next epoch's batch arrives. */
+  private val partialBatchCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Cache key for a dim table: path + branch. A branch table shares
+    * its path with main and their snapshot ids can coincide while
+    * holding different content, so path alone is ambiguous. */
+  private def dimCacheKey(dim: GraftTable): String = dim.sm.branch match {
+    case Some(b) => s"${dim.path}#branch=$b"
+    case None    => dim.path
+  }
+
   /** Drop a dim table's cached full read (tests / explicit refresh). */
   private[graft] def invalidateLookupCache(dim: GraftTable): Unit =
-    fullDimCache.remove(dim.path).foreach(_._2.unpersist())
+    fullDimCache.remove(dimCacheKey(dim)).foreach(_._2.unpersist())
 
   /** Stream-static lookup join: enrich a (micro-)batch against the
     * CURRENT snapshot of a graft dimension table, re-resolved at every
@@ -188,24 +201,35 @@ object GraftStreaming {
     val liveNow = dim.sm.latestSnapshot()
       .map(dim.sm.liveEntries).getOrElse(Seq.empty)
     if (pk.nonEmpty && pk.forall(keys.contains)) {
-      // partial: resolve only the buckets the epoch's keys hash into
+      // partial: resolve only the buckets the epoch's keys hash into.
+      // The batch is persisted for the epoch — the bucket collect and
+      // the join otherwise each recompute it from its source (double
+      // source read, and with a non-deterministic source the bucket
+      // set could be derived from different rows than those joined,
+      // silently losing matches). The previous epoch's handle is
+      // evicted on the next call, so at most one micro-batch per
+      // stream stays pinned.
+      val pinned = batch.persist()
+      partialBatchCache.put(dim.path, pinned)
+        .filter(_ ne pinned).foreach(_.unpersist())
       val entries = dim.entriesForKeys(
-        batch.select(pk.map(org.apache.spark.sql.functions.col): _*))
+        pinned.select(pk.map(org.apache.spark.sql.functions.col): _*))
       val slice = dim.mergedFromEntries(entries)
       val estRows = entries.map(_.file.rowCount).sum
       val bc = estRows <= maxBroadcastRows
       lastLookupStats = Some(LookupStats("partial", cacheHit = false,
         entries.size, liveNow.size, bc))
-      batch.join(if (bc) broadcast(slice) else slice, keys, joinType)
+      pinned.join(if (bc) broadcast(slice) else slice, keys, joinType)
     } else {
       // full: whole-dim resolve, snapshot-cached across epochs
+      val cacheKey = dimCacheKey(dim)
       val snapId = dim.sm.latestSnapshotId.getOrElse(-1L)
-      val (dimDf, hit) = fullDimCache.get(dim.path) match {
+      val (dimDf, hit) = fullDimCache.get(cacheKey) match {
         case Some((id, df)) if id == snapId => (df, true)
         case stale =>
           stale.foreach(_._2.unpersist())
           val df = dim.read.persist()
-          fullDimCache.put(dim.path, (snapId, df))
+          fullDimCache.put(cacheKey, (snapId, df))
           (df, false)
       }
       val estRows = dim.sm.latestSnapshot().map(_.totalRecordCount).getOrElse(0L)

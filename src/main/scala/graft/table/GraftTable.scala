@@ -135,8 +135,16 @@ final class GraftTable private (
     * casting/DefaultValueRow wrapped around TableWriteImpl — the
     * substitution happens on the write path, so stored data is always
     * complete and reads pay nothing). Internal DML rewrites pass
-    * through untouched: their values come from stored rows. */
+    * through untouched: their values come from stored rows.
+    *
+    * Null is MEANINGFUL to the partial-update engine ("keep the
+    * existing value") and the aggregation engine ("no contribution"),
+    * so defaults are never substituted there — rewriting a null to the
+    * default would clobber stored values / skew aggregates (the
+    * reference likewise refuses default values for these engines). */
   private def applyColumnDefaults(df: DataFrame, sch: TableSchema): DataFrame = {
+    if (sch.mergeEngine == "partial-update" || sch.mergeEngine == "aggregation")
+      return df
     val defaults = sch.toStruct.fields.flatMap { f =>
       sch.options.get(s"fields.${f.name}.default-value").map(f -> _)
     }
@@ -1302,7 +1310,9 @@ final class GraftTable private (
     * current branch cannot resolve are skipped (never a read error).
     * Data files are shared across branches, so the extra entries read
     * through the same table path. */
-  private def withFallbackEntries(entries: Seq[ManifestEntry]): Seq[ManifestEntry] = {
+  private def withFallbackEntries(
+      entries: Seq[ManifestEntry],
+      filter: Option[Column] = None): Seq[ManifestEntry] = {
     val fb = schema.options.get("scan.fallback-branch")
       .filter(_ => schema.partitionKeys.nonEmpty)
       .filter(branches.contains)
@@ -1310,8 +1320,20 @@ final class GraftTable private (
       case None => entries
       case Some(b) =>
         val bt = branchTable(b)
-        val mainParts = entries.map(_.partition).toSet
-        val extra = bt.sm.latestSnapshot().map(bt.sm.liveEntries).getOrElse(Seq.empty)
+        // "absent on the current branch" is judged against the UNPRUNED
+        // live entry set: a partition whose files were all stats-pruned
+        // by the caller's filter still EXISTS on the current branch and
+        // must not be served (stale) from the fallback branch.
+        val mainParts = sm.latestSnapshot()
+          .map(s => sm.liveEntries(s).map(_.partition).toSet)
+          .getOrElse(Set.empty[Map[String, String]])
+        val branchSnap = bt.sm.latestSnapshot()
+        val branchLive = branchSnap.map { s =>
+          // the caller's filter prunes the fallback side too — same
+          // partition/stats skipping the current branch already got
+          filter.map(f => bt.pruneEntries(s, f)).getOrElse(bt.sm.liveEntries(s))
+        }.getOrElse(Seq.empty)
+        val extra = branchLive
           .filter(e => !mainParts.contains(e.partition))
           .filter(e => scala.util.Try(sm.schema(e.file.schemaId)).isSuccess)
         entries ++ extra
@@ -1359,7 +1381,7 @@ final class GraftTable private (
   def scan(filter: Column): DataFrame = {
     val snap = sm.latestSnapshotId.map(sm.snapshot)
     val entries = snap.map(pruneEntries(_, filter)).getOrElse(Seq.empty)
-    mergedFromEntries(withFallbackEntries(entries)).filter(filter)
+    mergedFromEntries(withFallbackEntries(entries, Some(filter))).filter(filter)
   }
 
   def readSnapshot(id: Option[Long]): DataFrame =
@@ -1375,7 +1397,7 @@ final class GraftTable private (
     val planned = snap.map(pruneEntries(_, filter)).getOrElse(Seq.empty)
     // fallback-branch partitions only augment CURRENT-state plans;
     // time travel stays exactly the branch's own history
-    if (snapshotId.isEmpty) withFallbackEntries(planned) else planned
+    if (snapshotId.isEmpty) withFallbackEntries(planned, Some(filter)) else planned
   }
 
   // ================= scan-level pushdowns =================
@@ -2810,14 +2832,20 @@ final class GraftTable private (
         }
         live.map(_.partition).distinct.filter(p => timeOf(p).exists(_ < cutoff)).toSet
       case _ =>
+        val retained = sm.snapshotIds.map(sm.snapshot)
         val lastUpdate = scala.collection.mutable.Map.empty[Map[String, String], Long]
-        sm.snapshotIds.map(sm.snapshot).foreach { s =>
+        retained.foreach { s =>
           s.deltaManifest.toSeq.flatMap(sm.readManifest)
             .filter(_.kind == "ADD").map(_.partition).distinct
             .foreach(p => lastUpdate(p) = math.max(lastUpdate.getOrElse(p, 0L), s.timeMillis))
         }
+        // A live partition with no ADD in RETAINED history was last
+        // touched at or before the earliest retained snapshot — use
+        // that time as its bound, never 0: after snapshot expiration
+        // trims history, 0 would expire an hour-old partition.
+        val horizon = retained.headOption.map(_.timeMillis).getOrElse(now)
         live.map(_.partition).distinct
-          .filter(p => lastUpdate.getOrElse(p, 0L) < cutoff).toSet
+          .filter(p => lastUpdate.getOrElse(p, horizon) < cutoff).toSet
     }
     if (expired.isEmpty) return Seq.empty
     val victims = live.filter(e => expired.contains(e.partition))
@@ -2849,10 +2877,18 @@ final class GraftTable private (
       throw new IllegalStateException("empty table"))
     val dir = s"index-hnsw/$vecCol"
     // buildHnswIndex may RAISE the shard count to keep per-shard blobs
-    // bounded; the state records the effective count
+    // bounded; the state records the effective count. Count comes from
+    // manifest stats (zero jobs; the pre-merge total over-estimates a
+    // non-compacted PK table, which only errs toward MORE shards) and
+    // dim from a limit-1 probe, so the merged read is scanned exactly
+    // once — by the build itself.
+    val cnt = countRowsFast().getOrElse(snap.totalRecordCount)
+    val dim = read.select(size(col(vecCol)).as("d"))
+      .filter(col("d").isNotNull).head(1).headOption.map(_.getInt(0)).getOrElse(0)
     val effShards = graft.operators.Similarity.buildHnswIndex(
       read.select(col(idCol), col(vecCol)), s"$path/$dir",
-      idCol, vecCol, shards, m, efConstruction)
+      idCol, vecCol, shards, m, efConstruction,
+      knownCount = Some(cnt), knownDim = Some(dim))
     sm.io.writeString(s"$path/$dir/state.json", Json.write(
       GraftTable.VectorIndexState(idCol, vecCol, snap.id, effShards, m, efConstruction)))
   }
@@ -3086,11 +3122,22 @@ final class GraftTable private (
     }
   }
 
+  /** A valid search token for the ASCII tokenizer ([[GraftTable
+    * .TextTokenSplit]]). Must match the TOKENIZER's charset exactly:
+    * `Character.isLetterOrDigit` accepts Unicode letters ('é'), which
+    * the tokenizer splits on — such a "token" can never appear in the
+    * postings, so index pruning would silently drop files the row
+    * filter matches. Rejecting it up front keeps results
+    * index-independent. */
+  private def isSearchToken(w: String): Boolean =
+    w.nonEmpty && w.forall(c =>
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9'))
+
   /** Rows whose `column` contains `word` as a whole token. The index
     * only PRUNES files; the row filter decides membership, so the
     * result is identical with or without an index — just cheaper. */
   def searchText(column: String, word: String): DataFrame = {
-    require(word.nonEmpty && !word.exists(c => !c.isLetterOrDigit),
+    require(isSearchToken(word),
       "searchText matches a single whole token: [A-Za-z0-9]+")
     val matched = mergedFromEntries(textCandidates(column, word))
       .filter(array_contains(split(
@@ -3103,8 +3150,7 @@ final class GraftTable private (
     * token (Lucene boolean-AND counterpart). Pruning needs one
     * postings job regardless of word count. */
   def searchTextAll(column: String, words: Seq[String]): DataFrame = {
-    require(words.nonEmpty && words.forall(w =>
-      w.nonEmpty && !w.exists(c => !c.isLetterOrDigit)),
+    require(words.nonEmpty && words.forall(isSearchToken),
       "searchTextAll takes whole tokens: [A-Za-z0-9]+")
     val tokens = split(
       coalesce(col(column).cast("string"), lit("")), GraftTable.TextTokenSplit)
@@ -3119,8 +3165,7 @@ final class GraftTable private (
     * fail-open policy composes (an over-cap union keeps all covered
     * files). */
   def searchTextAny(column: String, words: Seq[String]): DataFrame = {
-    require(words.nonEmpty && words.forall(w =>
-      w.nonEmpty && !w.exists(c => !c.isLetterOrDigit)),
+    require(words.nonEmpty && words.forall(isSearchToken),
       "searchTextAny takes whole tokens: [A-Za-z0-9]+")
     val tokens = split(
       coalesce(col(column).cast("string"), lit("")), GraftTable.TextTokenSplit)
@@ -3136,8 +3181,7 @@ final class GraftTable private (
     * (`(^|sep)w1 sep+ w2 ... (sep|$)` where sep = non-alphanumeric),
     * the positional-verify step of a positions-free inverted index. */
   def searchTextPhrase(column: String, words: Seq[String]): DataFrame = {
-    require(words.nonEmpty && words.forall(w =>
-      w.nonEmpty && !w.exists(c => !c.isLetterOrDigit)),
+    require(words.nonEmpty && words.forall(isSearchToken),
       "searchTextPhrase takes whole tokens: [A-Za-z0-9]+")
     val pattern = words.mkString(
       "(^|[^A-Za-z0-9])", "[^A-Za-z0-9]+", "([^A-Za-z0-9]|$)")
@@ -3152,7 +3196,7 @@ final class GraftTable private (
     * parquet row-group stats; pruning semantics (fail-open, PK
     * merge units) match [[searchText]]. */
   def searchTextPrefix(column: String, prefix: String): DataFrame = {
-    require(prefix.nonEmpty && !prefix.exists(c => !c.isLetterOrDigit),
+    require(isSearchToken(prefix),
       "searchTextPrefix takes a token prefix: [A-Za-z0-9]+")
     val matched = mergedFromEntries(
       textCandidates(column, prefix, prefixMatch = true))
@@ -3466,7 +3510,7 @@ final class GraftTable private (
       options = newOptions))
   }
 
-  private def canWiden(from: DataType, to: DataType): Boolean = (from, to) match {
+  private[graft] def canWiden(from: DataType, to: DataType): Boolean = (from, to) match {
     case (a, b) if a == b => false // no-op is a caller bug
     case (ByteType, ShortType | IntegerType | LongType | FloatType | DoubleType) => true
     case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true

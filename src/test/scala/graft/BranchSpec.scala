@@ -80,6 +80,27 @@ class BranchSpec extends AnyFunSuite {
     assert(t3.read.collect().map(_.getLong(1)).sorted.toSeq == Seq(3L, 20L))
   }
 
+  test("fallback never serves a partition the current branch HAS but the filter pruned") {
+    val psch = StructType(Seq(
+      StructField("p", StringType, nullable = false),
+      StructField("k", LongType, nullable = false)))
+    def pdf(rows: (String, Long)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, psch)
+    val t = GraftTable.create(spark, tmp(), psch, partitionKeys = Seq("p"))
+    t.write(pdf(("b", 2L)))
+    t.createBranch("legacy")
+    // main REWRITES partition b: old k=2 replaced by k=20
+    t.overwrite(pdf(("b", 20L)))
+    t.setOption("scan.fallback-branch", "legacy")
+    val t2 = GraftTable.load(spark, t.path)
+    // k < 5 stats-prunes main's b file (min k=20) — but b EXISTS on
+    // main, so the stale legacy row (b, 2) must NOT reappear
+    assert(t2.scan(col("k") < 5L).count() == 0)
+    assert(t2.read.filter(col("k") < 5L).count() == 0)
+    // and the unfiltered union still serves main's version of b
+    assert(t2.read.collect().map(_.getLong(1)).toSeq == Seq(20L))
+  }
+
   test("expiration on main never collects files a branch references") {
     val t = GraftTable.create(spark, tmp(), sch)
     t.write(df((1L, "a")))

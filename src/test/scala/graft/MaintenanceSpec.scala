@@ -252,6 +252,27 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(dropped3.map(p => (p("y"), p("m"))) == Seq(("2024", "01")))
   }
 
+  test("update-time expiry after history trim never drops a recently-written partition") {
+    val sch = StructType(Seq(
+      StructField("dt", StringType, nullable = false),
+      StructField("k", LongType, nullable = false)))
+    def df(rows: (String, Long)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, sch)
+    val t = GraftTable.create(spark, tmp(), sch, partitionKeys = Seq("dt"))
+    t.write(df(("p", 1L)))
+    // churn OTHER partitions, then expire snapshots so p's ADD snapshot
+    // is gone from retained history
+    (1 to 4).foreach(i => t.write(df((s"q$i", i.toLong))))
+    t.expireSnapshots(retain = 2)
+    // p has no ADD in retained history; with a 7-day window and 'now'
+    // minutes after the writes, p must be KEPT (its last touch bounds
+    // at the earliest retained snapshot, not 0)
+    val day = 86400000L
+    val dropped = t.expirePartitionsByTime(7 * day, "update-time")
+    assert(dropped.isEmpty, s"history-trimmed partition dropped: $dropped")
+    assert(t.read.filter(col("dt") === "p").count() == 1L)
+  }
+
   test("automatic snapshot retention: num-retained.max caps history at commit") {
     val sch = StructType(Seq(StructField("k", LongType, nullable = false)))
     def df(v: Long) = spark.createDataFrame(Seq(Row(v)).asJava, sch)

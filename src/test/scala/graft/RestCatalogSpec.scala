@@ -102,6 +102,45 @@ class RestCatalogSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       .map(_.getString(0)).contains("full"))
   }
 
+  test("non-cascade drop also rejects namespaces holding only non-table children") {
+    spark.sql("CREATE NAMESPACE rc.viewns")
+    // a view-like child (view.json dir), invisible to a tables-only
+    // emptiness check — any child must block the non-cascade drop
+    val vdir = java.nio.file.Paths.get(warehouse, "viewns", "v")
+    Files.createDirectories(vdir)
+    Files.write(vdir.resolve("view.json"), "{}".getBytes("UTF-8"))
+    val e = intercept[Exception](spark.sql("DROP NAMESPACE rc.viewns"))
+    assert(e.toString.toLowerCase.contains("empt"), e.toString)
+    assert(Files.exists(vdir.resolve("view.json")),
+      "non-cascade drop must not have wiped the view")
+    spark.sql("DROP NAMESPACE rc.viewns CASCADE")
+  }
+
+  test("a failed multi-change ALTER leaves the schema untouched") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rc.atomic")
+    spark.sql("CREATE TABLE rc.atomic.t (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO rc.atomic.t VALUES (1,'a')")
+    // one alterTable carrying (add c1, rename missing column): the
+    // whole call must fail WITHOUT committing c1 — otherwise a retry
+    // trips over its own half-applied prefix.
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableChange}
+    val cat = spark.sessionState.catalogManager.catalog("rc")
+      .asInstanceOf[TableCatalog]
+    val ident = Identifier.of(Array("atomic"), "t")
+    val e = intercept[Exception](cat.alterTable(ident,
+      TableChange.addColumn(Array("c1"), org.apache.spark.sql.types.IntegerType),
+      TableChange.renameColumn(Array("nope"), "x")))
+    assert(e.toString.contains("nope"), e.toString)
+    val cols = spark.sql("SELECT * FROM rc.atomic.t").columns.toSeq
+    assert(cols == Seq("id", "name"),
+      s"partial ALTER leaked a schema change: $cols")
+    // the same ADD then succeeds standalone (no 'already exists')
+    spark.sql("ALTER TABLE rc.atomic.t ADD COLUMN c1 INT")
+    assert(spark.sql("SELECT * FROM rc.atomic.t").columns.toSeq
+      == Seq("id", "name", "c1"))
+    spark.sql("DROP NAMESPACE rc.atomic CASCADE")
+  }
+
   test("path traversal in URL segments cannot escape the warehouse") {
     // a sentinel file ABOVE the warehouse that a traversal would delete
     val parent = java.nio.file.Paths.get(warehouse).getParent

@@ -151,6 +151,38 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(rows(0).isNullAt(2) && rows(1).getLong(2) == 42L)
   }
 
+  test("defaults never substitute under partial-update/aggregation engines") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("y",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    // partial-update: null means "keep the stored value" — a default
+    // substituted at write time would clobber x=5 with 0
+    val t = GraftTable.create(spark, tmp(), sch, primaryKeys = Seq("k"),
+      options = Map("merge-engine" -> "partial-update",
+        "fields.x.default-value" -> "0"))
+    t.write(spark.createDataFrame(Seq(Row(1L, 5L, null)).asJava, sch))
+    t.write(spark.createDataFrame(Seq(Row(1L, null, 7L)).asJava, sch))
+    val r = t.read.head
+    assert(r.getLong(1) == 5L && r.getLong(2) == 7L)
+    // aggregation: null contributes nothing — a default of 5 must not
+    // be added to the sum on the null-x upsert
+    val t2 = GraftTable.create(spark, tmp(), sch, primaryKeys = Seq("k"),
+      options = Map("merge-engine" -> "aggregation",
+        "fields.x.aggregate-function" -> "sum",
+        "fields.y.aggregate-function" -> "sum",
+        "fields.x.default-value" -> "5"))
+    t2.write(spark.createDataFrame(Seq(Row(1L, 10L, 1L)).asJava, sch))
+    t2.write(spark.createDataFrame(Seq(Row(1L, null, 1L)).asJava, sch))
+    val r2 = t2.read.head
+    assert(r2.getLong(1) == 10L && r2.getLong(2) == 2L)
+  }
+
   test("illegal evolutions are rejected") {
     val t = GraftTable.create(spark, tmp(), v1Schema, partitionKeys = Seq("note"))
     t.write(v1Df((1L, 10, "a")))

@@ -354,4 +354,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(!third.cacheHit, third.toString)
     GraftStreaming.invalidateLookupCache(dim)
   }
+
+  test("full lookup cache never serves main's rows for a branch dim (or vice versa)") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp()
+    val dimSch = StructType(Seq(
+      StructField("code", StringType, nullable = false),
+      StructField("label", StringType, nullable = true)))
+    val dim = GraftTable.create(spark, s"$dir/dim", dimSch)
+    dim.write(spark.createDataFrame(Seq(Row("a", "fork")).asJava, dimSch))
+    dim.createBranch("b")
+    val branch = dim.branchTable("b")
+    // both heads advance to snapshot id 2 with DIFFERENT content —
+    // same path, coinciding ids: the classic cache-collision shape
+    dim.overwrite(spark.createDataFrame(Seq(Row("a", "main")).asJava, dimSch))
+    branch.overwrite(spark.createDataFrame(Seq(Row("a", "branch")).asJava, dimSch))
+    assert(dim.sm.latestSnapshotId == branch.sm.latestSnapshotId)
+    GraftStreaming.invalidateLookupCache(dim)
+    GraftStreaming.invalidateLookupCache(branch)
+    val batchSch = StructType(Seq(StructField("code", StringType, nullable = false)))
+    val batch = spark.createDataFrame(Seq(Row("a")).asJava, batchSch)
+    def label(d: GraftTable) = GraftStreaming.lookupJoin(batch, d, Seq("code"))
+      .collect().map(_.getString(1)).toSeq
+    assert(label(dim) == Seq("main"))
+    assert(label(branch) == Seq("branch")) // must NOT hit main's cache entry
+    assert(label(dim) == Seq("main"))      // nor the branch's
+    GraftStreaming.invalidateLookupCache(dim)
+    GraftStreaming.invalidateLookupCache(branch)
+  }
 }

@@ -153,6 +153,21 @@ class TextIndexSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet == Set(1L, 6L))
   }
 
+  test("non-ASCII 'tokens' are rejected up front, not silently index-pruned") {
+    val t = GraftTable.create(spark, tmp(), sch)
+    t.write(df((1L, "cafe hash is great")).coalesce(1))
+    t.rebuildTextIndex("text")
+    // 'é'.isLetterOrDigit is true, but the ASCII tokenizer splits on
+    // it — such a word can never appear in the postings, so accepting
+    // it would make results depend on index coverage (covered file
+    // pruned vs uncovered file scanned). All entry points must reject.
+    intercept[IllegalArgumentException](t.searchText("text", "café"))
+    intercept[IllegalArgumentException](t.searchTextAll("text", Seq("café", "hash")))
+    intercept[IllegalArgumentException](t.searchTextAny("text", Seq("café")))
+    intercept[IllegalArgumentException](t.searchTextPhrase("text", Seq("café", "hash")))
+    intercept[IllegalArgumentException](t.searchTextPrefix("text", "café"))
+  }
+
   test("incremental update: only new files are tokenized; coverage stays exact") {
     val t = GraftTable.create(spark, tmp(), sch)
     t.write(df((1L, "alpha beta"), (2L, "beta gamma")).coalesce(1))
