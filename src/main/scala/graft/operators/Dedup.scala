@@ -583,6 +583,110 @@ object Dedup {
 
   /** Join candidate pairs back to per-doc set columns and keep pairs
     * with exact Jaccard >= threshold. */
+  // --- exact substring (span-level) dedup -----------------------------
+
+  /** Maximal duplicated token spans (the span analog of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 — their suffix-array substring dedup re-expressed
+    * as distributed k-gram islands): a position is duplicated when its
+    * k-token gram occurs at MORE THAN ONE (doc, position) anywhere in
+    * the corpus (cross-doc or within-doc); adjacent duplicated
+    * positions merge into maximal spans.
+    *
+    * Output: (doc_id, span_start, span_end) — 1-based inclusive token
+    * indices into the whitespace tokenization of lower(trim(text)).
+    *
+    * Scale: gram extraction is per-row codegen; the only shuffle
+    * groups grams by 64-bit hash (never the gram text — k tokens per
+    * position would amplify the corpus k-fold through the exchange).
+    * A hash collision conservatively marks a non-duplicate as
+    * duplicated (~2^-64 per gram pair — acceptable for dedup). The
+    * islands merge is a per-doc window over ONLY the duplicated
+    * positions (a tiny fraction of the corpus). */
+  def duplicatedSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val duppos = duplicatedPositions(docs, idCol, textCol, k)
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    duppos
+      .withColumn("grp", col("i") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("i").as("span_start"), (max(col("i")) + (k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start").cast("long"),
+        col("span_end").cast("long"))
+  }
+
+  /** (doc_id, i, h): every k-gram position with its gram hash,
+    * restricted to positions whose gram occurs >1 time corpus-wide. */
+  private def duplicatedPositions(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(trim(lower(col(textCol))), "\\s+").as("t"))
+    val grams = toks
+      .filter(size(col("t")) >= k)
+      // sequence(1, n) is DESCENDING when n < 1, hence the filter above
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - (k - 1))).as("i"),
+        col("t"))
+      .select(col("doc_id"), col("i"),
+        xxhash64(array_join(slice(col("t"), col("i"), lit(k)), " ")).as("h"))
+    val dup = grams.groupBy("h").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("h")
+    grams.join(dup, "h")
+  }
+
+  /** Remove duplicated spans, keeping ONE canonical occurrence of each
+    * duplicated gram — the globally first (min doc_id, then min
+    * position). Every other occurrence's k tokens are cut and the
+    * text reassembled from the surviving tokens (Lee et al.'s
+    * "drop all but one copy of each duplicated substring").
+    *
+    * Returns (doc_id, text) for EVERY input document (a fully-cut
+    * document keeps an empty text rather than vanishing).
+    *
+    * Skew note: the per-gram ownership rank windows over a gram's
+    * occurrence list — a boilerplate gram repeated millions of times
+    * makes one window partition large (sort-based, spills, but
+    * stragglers possible); cut such grams upstream via stopword-like
+    * filtering if profiles show it. */
+  def stripDuplicateSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k must be >= 2, got $k")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(trim(lower(col(textCol))), "\\s+").as("t"))
+    val grams = toks
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - (k - 1))).as("i"),
+        col("t"))
+      .select(col("doc_id"), col("i"),
+        xxhash64(array_join(slice(col("t"), col("i"), lit(k)), " ")).as("h"))
+    val own = Window.partitionBy("h").orderBy(col("doc_id"), col("i"))
+    val removedPos = grams
+      .withColumn("rn", row_number().over(own))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("n") > 1 && col("rn") > 1)
+    val removedToks = removedPos
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (k - 1))).as("ti"))
+      .distinct()
+    val allToks = toks
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("ti"), col("tok"))
+    val rebuilt = allToks
+      .join(removedToks, Seq("doc_id", "ti"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("ti"), col("tok")))),
+        s => s.getField("tok")), " ").as("text"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+  }
+
   private def verifyJaccard(
       cands: DataFrame,
       df: DataFrame,

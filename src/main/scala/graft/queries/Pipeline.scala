@@ -744,6 +744,34 @@ object Pipeline {
       val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
       TextAnalysis.bigramNll(docs, "doc_id", "text", docs, "text")
         .select(col("doc_id"), asDouble(col("nll"), 6).as("nll"))
+    },
+
+    // ---- exact substring dedup (Lee et al., arXiv:2107.06499):
+    // maximal duplicated k-token spans via distributed k-gram
+    // islands. The oracle recomputes the identical pipeline — same
+    // tokenization, duplicated-gram set, gaps-and-islands merge — on
+    // the gram STRINGS (the Spark side groups 64-bit gram hashes; a
+    // disagreement would surface a collision or a tokenization
+    // drift). The corpus's planted near-dups give real spans.
+    QDef(
+      "p23_substring_dedup",
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') t FROM documents),
+        |grams AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') g
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i)),
+        |dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1),
+        |duppos AS (SELECT doc_id, i FROM grams JOIN dupg USING (g)),
+        |isl AS (SELECT doc_id, i,
+        |  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM duppos)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(min(i) AS BIGINT) AS span_start,
+        |  CAST(max(i) + 7 AS BIGINT) AS span_end
+        |FROM isl GROUP BY doc_id, grp""".stripMargin) { (s, dir) =>
+      import graft.operators.Dedup
+      Dedup.duplicatedSpans(
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 8)
     })
 
   /** embeddings ∪ deterministic perturbed copies (id + 100000, same

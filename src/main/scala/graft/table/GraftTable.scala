@@ -1009,11 +1009,49 @@ final class GraftTable private (
       .toSeq
   }
 
+  /** Write-time clustering for append tables (reference:
+    * CoreOptions.CLUSTERING_COLUMNS/CLUSTERING_STRATEGY, applied by
+    * PaimonSparkWriter via TableSorter): when `clustering.columns` is
+    * set, every batch write range-clusters the incoming rows by the
+    * chosen curve before the files are laid down, so per-file min/max
+    * stats are selective on the cluster columns from the FIRST write —
+    * no sort-compact needed for scan pruning to work. Strategy `auto`
+    * follows the reference's rule: 1 column → plain order, <5 →
+    * zorder, otherwise hilbert. PK tables are excluded (their layout
+    * is the LSM bucket structure), matching the reference. */
+  private def clusterForWrite(df: DataFrame, sch: TableSchema): DataFrame = {
+    val cols = sch.options.get("clustering.columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    cols match {
+      case Some(cs) if !isPrimaryKeyTable =>
+        val missing = cs.filterNot(df.columns.contains)
+        require(missing.isEmpty, s"clustering.columns not in schema: $missing")
+        val strategy = sch.options.getOrElse("clustering.strategy", "auto") match {
+          case "auto" =>
+            if (cs.size == 1) "order" else if (cs.size < 5) "zorder" else "hilbert"
+          case s => s
+        }
+        // keep the batch's own parallelism: an N-partition batch lands
+        // as ~N clustered files (file sizing is the writer's concern)
+        val n = math.max(1, df.rdd.getNumPartitions)
+        strategy match {
+          case "order"   => graft.operators.ZOrder.clusterByOrder(df, cs, n)
+          case "zorder"  => graft.operators.ZOrder.cluster(df, cs, n)
+          case "hilbert" => graft.operators.ZOrder.clusterByHilbert(df, cs, n)
+          case other => throw new IllegalArgumentException(
+            s"unknown clustering.strategy: $other")
+        }
+      case _ => df
+    }
+  }
+
   private def appendCommit(
       df: DataFrame, overwrite: Boolean, commitIdentifier: Long): Long = {
     val sch = schema
     val base = nextSeq()
-    val out = df.select(sch.toStruct.fieldNames.map(col).toIndexedSeq: _*)
+    val out = clusterForWrite(
+      df.select(sch.toStruct.fieldNames.map(col).toIndexedSeq: _*), sch)
     val deletes: Seq[ManifestEntry] => Seq[ManifestEntry] = added => {
       if (!overwrite) Seq.empty
       else {

@@ -116,6 +116,33 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.scan(col("x") < 8 && col("y") < 8).count() == 64)
   }
 
+  test("clustering.columns range-clusters every append write") {
+    // zorder at write time: a corner-box scan prunes files from the
+    // FIRST write, without any sort-compact
+    val t = GraftTable.create(spark, tmp(), xy, options = Map(
+      "clustering.columns" -> "x,y")) // auto → zorder for 2 columns
+    t.write(grid(64).repartition(8)) // scattered input partitions
+    assert(t.read.count() == 64L * 64)
+    val total = t.read.inputFiles.length
+    val corner = t.scan(col("x") < 8 && col("y") < 8)
+    assert(corner.inputFiles.length < total,
+      s"write-time clustering must prune: ${corner.inputFiles.length}/$total")
+    assert(corner.count() == 64)
+    // single column → auto picks plain order
+    val t2 = GraftTable.create(spark, tmp(), xy, options = Map(
+      "clustering.columns" -> "x"))
+    t2.write(grid(32).repartition(4))
+    assert(t2.scan(col("x") === 5).inputFiles.length == 1)
+    assert(t2.read.count() == 32L * 32)
+    // an unknown strategy fails loudly, a missing column fails loudly
+    val t3 = GraftTable.create(spark, tmp(), xy, options = Map(
+      "clustering.columns" -> "x", "clustering.strategy" -> "bogus"))
+    intercept[IllegalArgumentException](t3.write(grid(4)))
+    val t4 = GraftTable.create(spark, tmp(), xy, options = Map(
+      "clustering.columns" -> "nope"))
+    intercept[IllegalArgumentException](t4.write(grid(4)))
+  }
+
   test("order sort-compact clusters lexicographically") {
     val t = GraftTable.create(spark, tmp(), xy)
     (0 until 4).foreach(i => t.write(grid(32).filter(col("x") % 4 === i)))

@@ -476,6 +476,42 @@ class OperatorsSpec extends AnyFunSuite {
     case _ => }
   }
 
+  test("substring dedup: maximal spans and first-occurrence stripping") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),          // shares "a b c d" with doc 2
+      (2L, "x y a b c d z"),
+      (3L, "q w e r"),              // no duplication
+      (4L, "m n o m n o m n o"),    // within-doc repetition
+      (5L, "a b c"),                // whole doc duplicated (of 1/2/6)
+      (6L, "a b c")
+    ).toDF("id", "text")
+
+    val spans = Dedup.duplicatedSpans(docs, "id", "text", k = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // adjacent duplicated 3-gram positions merge into maximal spans
+    assert(spans == Set(
+      (1L, 1L, 4L),  // grams "a b c"@1, "b c d"@2 → tokens 1..4
+      (2L, 3L, 6L),  // same grams at positions 3,4 → tokens 3..6
+      (4L, 1L, 9L),  // every position duplicated within the doc
+      (5L, 1L, 3L), (6L, 1L, 3L)), spans.toString)
+
+    val stripped = Dedup.stripDuplicateSpans(docs, "id", "text", k = 3)
+      .as[(Long, String)].collect().toMap
+    assert(stripped.size == 6, "every input doc must come back")
+    // the globally-first occurrence (min doc, then position) survives
+    assert(stripped(1L) == "a b c d e f")
+    assert(stripped(2L) == "x y z")       // tokens 3..6 cut
+    assert(stripped(3L) == "q w e r")     // untouched
+    assert(stripped(4L) == "m n o")       // repeats collapsed to one copy
+    assert(stripped(5L) == "" && stripped(6L) == "") // fully cut, kept as empty
+    // stripping leaves no cross-doc duplicated k-grams behind except
+    // the single surviving copy of each
+    val after = Dedup.duplicatedSpans(
+      stripped.toSeq.toDF("id", "text"), "id", "text", k = 3).count()
+    assert(after == 0L, s"stripping left $after duplicated spans")
+  }
+
   test("incremental dedup == one-shot dedup over the union") {
     import spark.implicits._
     import graft.operators.Dedup
