@@ -370,27 +370,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     priv(GraftPrivileges.AlterTable, fq(ident))
+    // dotted path for nested field changes ("s.x") — GraftTable's
+    // schema API navigates the struct
+    def path(names: Array[String]): String = names.mkString(".")
+    def apply1(gt: graft.table.GraftTable, c: TableChange): Unit = c match {
+      case add: TableChange.AddColumn =>
+        gt.addColumn(path(add.fieldNames()), add.dataType(), add.isNullable)
+      case ren: TableChange.RenameColumn =>
+        gt.renameColumn(path(ren.fieldNames()), ren.newName())
+      case del: TableChange.DeleteColumn =>
+        gt.dropColumn(path(del.fieldNames()))
+      case upd: TableChange.UpdateColumnType =>
+        gt.widenColumn(path(upd.fieldNames()), upd.newDataType())
+      case set: TableChange.SetProperty =>
+        gt.setOption(set.property(), set.value())
+      case rm: TableChange.RemoveProperty =>
+        gt.setOption(rm.property(), null)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported table change: $other")
+    }
+    // Dry-run the WHOLE change list on a throwaway schema chain before
+    // committing anything: a failure on change N must not leave
+    // changes 1..N-1 applied while the statement errors (the retry
+    // would trip over its own half-applied prefix). The rehearsal
+    // clones the table metadata into a temp dir and replays the
+    // changes there — identical validation, zero data IO.
+    val rehearsal = java.nio.file.Files.createTempDirectory("graft-alter")
+    try {
+      val real = loadGraft(ident)
+      val rt = graft.table.GraftTable.create(
+        SparkSession.active, s"$rehearsal/t", real.schema.toStruct,
+        partitionKeys = real.schema.partitionKeys,
+        primaryKeys = real.schema.primaryKeys,
+        options = real.schema.options)
+      changes.foreach(c => apply1(loadRehearsal(rt.path), c))
+    } finally {
+      graft.core.FsUtil.walkAll(rehearsal).reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
     changes.foreach { c =>
       val gt = loadGraft(ident) // reload: prior change bumped the schema
-      c match {
-        case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
-          gt.addColumn(add.fieldNames()(0), add.dataType(), add.isNullable)
-        case ren: TableChange.RenameColumn if ren.fieldNames().length == 1 =>
-          gt.renameColumn(ren.fieldNames()(0), ren.newName())
-        case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
-          gt.dropColumn(del.fieldNames()(0))
-        case upd: TableChange.UpdateColumnType if upd.fieldNames().length == 1 =>
-          gt.widenColumn(upd.fieldNames()(0), upd.newDataType())
-        case set: TableChange.SetProperty =>
-          gt.setOption(set.property(), set.value())
-        case rm: TableChange.RemoveProperty =>
-          gt.setOption(rm.property(), null)
-        case other => throw new UnsupportedOperationException(
-          s"unsupported table change: $other")
-      }
+      apply1(gt, c)
     }
     new GraftSparkTable(loadGraft(ident), None)
   }
+
+  private def loadRehearsal(path: String): graft.table.GraftTable =
+    graft.table.GraftTable.load(SparkSession.active, path)
 
   override def dropTable(ident: Identifier): Boolean = {
     priv(GraftPrivileges.DropTable, fq(ident))
@@ -679,6 +705,18 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType,
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
+
+  /** required-schema projection honoring NESTED column pruning: a
+    * struct field whose required type is NARROWER than the source's
+    * (Spark prunes unused nested fields out of `required`) is rebuilt
+    * to exactly the required shape — the V1 conversion re-encodes rows
+    * against `required`, and a wider struct fails the row serializer
+    * (field-count mismatch). */
+  private def prunedProjection(src: StructType): Seq[Column] =
+    required.fields.toIndexedSeq.map { f =>
+      graft.table.GraftTable.evolveColumn(
+        col(f.name), src(f.name).dataType, f.dataType).as(f.name)
+    }
   private var limit: Option[Int] = None
   private var topN: Option[(String, Boolean)] = None // (column, descending)
   private var aggResult: Option[(StructType, Array[org.apache.spark.sql.catalyst.InternalRow])] = None
@@ -914,7 +952,7 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType,
           val df = gt.rowIdReadFor(entries).filter(cond)
           val pruned =
             if (cols.isEmpty) df.select(lit(1).as("dummy"))
-            else df.select(cols.map(col).toIndexedSeq: _*)
+            else df.select(prunedProjection(df.schema): _*)
           pruned.rdd
         }
       }.asInstanceOf[T]
@@ -971,7 +1009,7 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType,
           }
           val pruned =
             if (cols.isEmpty) base.select(lit(1).as("dummy"))
-            else base.select(cols.map(col).toIndexedSeq: _*)
+            else base.select(prunedProjection(base.schema): _*)
           pruned.rdd
         }
       }.asInstanceOf[T]
@@ -1073,8 +1111,13 @@ class GraftFormatTable(
             override def buildScan(): RDD[Row] = {
               var df = dfFn()
               flt.flatMap(toColumn).foreach(p => df = df.filter(p))
-              df.select(req.fieldNames.toIndexedSeq.map(
-                org.apache.spark.sql.functions.col): _*).rdd
+              // rebuild nested-pruned structs to the required shape —
+              // the V1 row conversion encodes against `req`
+              df.select(req.fields.toIndexedSeq.map { f =>
+                graft.table.GraftTable.evolveColumn(
+                  org.apache.spark.sql.functions.col(f.name),
+                  df.schema(f.name).dataType, f.dataType).as(f.name)
+              }: _*).rdd
             }
           }.asInstanceOf[T]
       }

@@ -1979,7 +1979,8 @@ final class GraftTable private (
             val projected = cur.fields.map { f =>
               val t = DataType.fromDDL(f.dataType)
               byId.get(f.id) match {
-                case Some(o) => col(o.name).cast(t).as(f.name)
+                case Some(o) =>
+                  evolveColumn(col(o.name), DataType.fromDDL(o.dataType), t).as(f.name)
                 case None => lit(null).cast(t).as(f.name)
               }
             }
@@ -2001,7 +2002,8 @@ final class GraftTable private (
           val projected = cur.fields.map { f =>
             val t = DataType.fromDDL(f.dataType)
             byId.get(f.id) match {
-              case Some(o) => col(o.name).cast(t).as(f.name)
+              case Some(o) =>
+                evolveColumn(col(o.name), DataType.fromDDL(o.dataType), t).as(f.name)
               case None => lit(null).cast(t).as(f.name)
             }
           }
@@ -2016,6 +2018,17 @@ final class GraftTable private (
     }
     parts.reduce(_ unionAll _)
   }
+
+  /** Project a value written under `from` to the current type `to`,
+    * recursing through structs (and arrays/maps of structs): nested
+    * fields align BY NAME — a nested field absent in the file reads as
+    * null (nested ADD), an extra file field is projected away (nested
+    * DROP), leaves cast. Nested fields carry no stable ids (only
+    * top-level fields do), which is why nested RENAME is rejected at
+    * the DDL layer: by-name alignment would silently null old data.
+    * (reference: SchemaEvolutionUtil nested-field mapping.) */
+  private def evolveColumn(src: Column, from: DataType, to: DataType): Column =
+    GraftTable.evolveColumn(src, from, to)
 
   /** cached historical schema versions (immutable once written) */
   private val schemaVersionCache =
@@ -3453,16 +3466,66 @@ final class GraftTable private (
   // ================= schema evolution =================
 
   /** Add a nullable column (new schema version; old files read as
-    * null — reference: SchemaManager + SchemaChange.addColumn). */
+    * null — reference: SchemaManager + SchemaChange.addColumn).
+    *
+    * A dotted `name` ("s.x", "a.b.c") adds a NESTED field inside an
+    * existing struct column (reference: SchemaChange nested field
+    * arrays). The top-level field keeps its id — old files align
+    * nested fields by name through [[evolveColumn]] and read the new
+    * field as null. */
   def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType,
       nullable: Boolean = true): Unit = {
-    val sch = schema
-    require(!sch.fields.exists(_.name == name), s"column $name already exists")
     require(nullable, "added columns must be nullable (old files have no values)")
+    val sch = schema
+    if (name.contains('.')) { nestedChange(sch, name, addLeaf = Some(dataType)); return }
+    require(!sch.fields.exists(_.name == name), s"column $name already exists")
     val nextFieldId = sch.fields.map(_.id).max + 1
     sm.writeSchema(sch.copy(
       id = sch.id + 1,
       fields = sch.fields :+ Meta.FieldDef(nextFieldId, name, dataType.sql, nullable)))
+  }
+
+  /** Shared nested add/drop: navigate `path` ("top.a.b"), rebuild the
+    * top-level field's struct type with the leaf added (`addLeaf` set)
+    * or removed (None), bump the schema. The top-level field id never
+    * changes. */
+  private def nestedChange(
+      sch: TableSchema, path: String,
+      addLeaf: Option[org.apache.spark.sql.types.DataType]): Unit = {
+    val parts = path.split('.').toSeq
+    val topName = parts.head
+    val top = sch.fields.find(_.name == topName)
+      .getOrElse(throw new IllegalArgumentException(s"no column $topName"))
+    def rebuild(dt: DataType, rest: Seq[String]): DataType = dt match {
+      case st: StructType =>
+        val fname = rest.head
+        if (rest.size == 1) addLeaf match {
+          case Some(leaf) =>
+            require(!st.fieldNames.contains(fname),
+              s"nested field $path already exists")
+            StructType(st.fields :+ StructField(fname, leaf, nullable = true))
+          case None =>
+            require(st.fieldNames.contains(fname), s"no nested field $path")
+            require(st.fields.length > 1,
+              s"cannot drop the last nested field of ${parts.init.mkString(".")}")
+            StructType(st.fields.filterNot(_.name == fname))
+        } else {
+          val inner = st.fields.find(_.name == fname).getOrElse(
+            throw new IllegalArgumentException(s"no nested field " +
+              s"${(parts.take(parts.size - rest.size + 1)).mkString(".")}"))
+          StructType(st.fields.map(f =>
+            if (f.name == fname) f.copy(dataType = rebuild(f.dataType, rest.tail))
+            else f))
+        }
+      case other => throw new IllegalArgumentException(
+        s"${parts.take(parts.size - rest.size).mkString(".")} is ${other.sql}, " +
+          "not a struct — nested changes need a struct path")
+    }
+    val newType = rebuild(DataType.fromDDL(top.dataType), parts.tail)
+    sm.writeSchema(sch.copy(
+      id = sch.id + 1,
+      fields = sch.fields.map(f =>
+        if (f.name == topName) f.copy(dataType = newType.sql) else f)))
   }
 
   /** Rename a column. The field id is stable, so files written under
@@ -3472,6 +3535,9 @@ final class GraftTable private (
     * directory layout and bucket hashing. */
   def renameColumn(oldName: String, newName: String): Unit = {
     val sch = schema
+    require(!oldName.contains('.'),
+      "nested fields have no stable ids — a nested rename would silently " +
+        "null old files' data (drop + add instead, accepting the reset)")
     require(sch.fields.exists(_.name == oldName), s"no column $oldName")
     require(!sch.fields.exists(_.name == newName), s"column $newName already exists")
     require(!sch.partitionKeys.contains(oldName) && !sch.primaryKeys.contains(oldName),
@@ -3500,9 +3566,12 @@ final class GraftTable private (
   }
 
   /** Drop a column (reference: SchemaChange.dropColumn). Old files keep
-    * the physical column; reads project it away. */
+    * the physical column; reads project it away. A dotted `name` drops
+    * a NESTED field inside a struct column (by-name alignment, see
+    * [[addColumn]]). */
   def dropColumn(name: String): Unit = {
     val sch = schema
+    if (name.contains('.')) { nestedChange(sch, name, addLeaf = None); return }
     require(sch.fields.exists(_.name == name), s"no column $name")
     require(!sch.partitionKeys.contains(name) && !sch.primaryKeys.contains(name),
       "cannot drop partition or primary-key columns")
@@ -3518,6 +3587,8 @@ final class GraftTable private (
     * CastExecutors compatibility). Old files cast up on read. */
   def widenColumn(name: String, to: org.apache.spark.sql.types.DataType): Unit = {
     val sch = schema
+    require(!name.contains('.'),
+      "nested type widening is not supported (per-file nested casts)")
     // bucket routing hashes key columns in their DECLARED type and
     // partition values are baked into directory paths — widening either
     // would silently re-route keys away from their existing data
@@ -4358,6 +4429,36 @@ object GraftTable {
   /** Tokenization of the full-text index and [[GraftTable.searchText]]:
     * maximal [A-Za-z0-9]+ runs (split on everything else). */
   val TextTokenSplit = "[^A-Za-z0-9]+"
+
+  /** Project a value of type `from` to type `to`, recursing through
+    * structs (and arrays/maps of structs): nested fields align BY
+    * NAME — a `to` field absent in `from` becomes null (nested ADD),
+    * an extra `from` field is projected away (nested DROP / nested
+    * column pruning), leaves cast. Nested fields carry no stable ids
+    * (only top-level fields do), which is why nested RENAME is
+    * rejected at the DDL layer: by-name alignment would silently null
+    * old data. (reference: SchemaEvolutionUtil nested-field mapping.) */
+  private[graft] def evolveColumn(src: Column, from: DataType, to: DataType): Column =
+    (from, to) match {
+      case (f, t) if f == t => src
+      case (f: StructType, t: StructType) =>
+        val old = f.fields.map(x => x.name -> x).toMap
+        val parts = t.fields.toIndexedSeq.map { nf =>
+          old.get(nf.name) match {
+            case Some(of) =>
+              evolveColumn(src.getField(nf.name), of.dataType, nf.dataType).as(nf.name)
+            case None => lit(null).cast(nf.dataType).as(nf.name)
+          }
+        }
+        // a NULL struct must stay NULL, not become a struct of nulls
+        when(src.isNull, lit(null).cast(t))
+          .otherwise(org.apache.spark.sql.functions.struct(parts: _*))
+      case (ArrayType(fe, _), ArrayType(te, _)) =>
+        transform(src, e => evolveColumn(e, fe, te)).cast(to)
+      case (MapType(_, fv, _), MapType(_, tv, _)) =>
+        transform_values(src, (_, v) => evolveColumn(v, fv, tv)).cast(to)
+      case (_, t) => src.cast(t)
+    }
 
   /** `"7 d"` / `"12h"` / `"30 m"` / `"45s"` / `"500 ms"` → millis
     * (the duration shape the reference's duration options accept). */

@@ -151,6 +151,53 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(rows(0).isNullAt(2) && rows(1).getLong(2) == 42L)
   }
 
+  test("nested add/drop: struct fields evolve, old files align by name") {
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("s", StructType(Seq(
+        StructField("a", LongType, nullable = true),
+        StructField("b", StringType, nullable = true))), nullable = true)))
+    val t = GraftTable.create(spark, tmp(), sch)
+    t.write(spark.createDataFrame(
+      Seq(Row(1L, Row(10L, "x")), Row(2L, null)).asJava, sch))
+    // add a nested field: old rows read it as null, null structs stay null
+    t.addColumn("s.c", IntegerType)
+    val t2 = GraftTable.load(spark, t.path)
+    val sch2 = t2.schema.toStruct
+    assert(sch2("s").dataType.asInstanceOf[StructType].fieldNames.toSeq
+      == Seq("a", "b", "c"))
+    t2.write(spark.createDataFrame(Seq(Row(3L, Row(30L, "z", 7))).asJava, sch2))
+    val rows = t2.read.orderBy("k").collect()
+    assert(rows(0).getStruct(1).getLong(0) == 10L &&
+      rows(0).getStruct(1).getString(1) == "x" &&
+      rows(0).getStruct(1).isNullAt(2), rows(0).toString)
+    assert(rows(1).isNullAt(1), "null struct must stay null, not struct-of-nulls")
+    assert(rows(2).getStruct(1).getInt(2) == 7)
+    // drop a nested field: projected away from EVERY file
+    t2.dropColumn("s.b")
+    val t3 = GraftTable.load(spark, t.path)
+    assert(t3.schema.toStruct("s").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("a", "c"))
+    val r3 = t3.read.orderBy("k").collect()
+    assert(r3(0).getStruct(1).getLong(0) == 10L && r3(0).getStruct(1).isNullAt(1))
+    assert(r3(2).getStruct(1).getInt(1) == 7)
+    // illegal nested changes fail loudly
+    intercept[IllegalArgumentException](t3.addColumn("s.a", LongType))  // exists
+    intercept[IllegalArgumentException](t3.dropColumn("s.nope"))
+    intercept[IllegalArgumentException](t3.addColumn("k.x", LongType))  // not a struct
+    intercept[IllegalArgumentException](t3.renameColumn("s.a", "s.z"))
+    intercept[IllegalArgumentException](t3.widenColumn("s.a", DoubleType))
+    // a PK table merges correctly across the nested evolution
+    val pt = GraftTable.create(spark, tmp(), sch, primaryKeys = Seq("k"))
+    pt.write(spark.createDataFrame(Seq(Row(1L, Row(1L, "old"))).asJava, sch))
+    pt.addColumn("s.c", IntegerType)
+    val pt2 = GraftTable.load(spark, pt.path)
+    val psch2 = pt2.schema.toStruct
+    pt2.write(spark.createDataFrame(Seq(Row(1L, Row(2L, "new", 9))).asJava, psch2))
+    val merged = pt2.read.collect()
+    assert(merged.length == 1 && merged(0).getStruct(1).getInt(2) == 9)
+  }
+
   test("defaults never substitute under partial-update/aggregation engines") {
     import org.apache.spark.sql.Row
     import scala.jdk.CollectionConverters._

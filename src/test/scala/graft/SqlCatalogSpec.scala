@@ -71,6 +71,36 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, None), (2L, Some("x"))))
   }
 
+  test("nested ALTER through SQL; failed multi-change ALTER commits nothing") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db3n")
+    spark.sql("CREATE TABLE graft.db3n.t (k BIGINT, s STRUCT<a: BIGINT, b: STRING>)")
+    spark.sql("INSERT INTO graft.db3n.t VALUES (1, named_struct('a', 10L, 'b', 'x'))")
+    // nested ADD: old rows read the new field as null
+    spark.sql("ALTER TABLE graft.db3n.t ADD COLUMN s.c INT")
+    spark.sql(
+      "INSERT INTO graft.db3n.t VALUES (2, named_struct('a', 20L, 'b', 'y', 'c', 7))")
+    val got = spark.sql("SELECT k, s.a, s.c FROM graft.db3n.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2))))
+    assert(got.toSeq == Seq((1L, 10L, None), (2L, 20L, Some(7))))
+    // nested DROP projects the field away everywhere
+    spark.sql("ALTER TABLE graft.db3n.t DROP COLUMN s.b")
+    assert(spark.sql("SELECT s FROM graft.db3n.t").schema("s")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("a", "c"))
+    // atomicity: (valid add, invalid rename) in ONE alterTable call
+    // must commit neither
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableChange}
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[TableCatalog]
+    val ident = Identifier.of(Array("db3n"), "t")
+    val e = intercept[Exception](cat.alterTable(ident,
+      TableChange.addColumn(Array("c1"), org.apache.spark.sql.types.IntegerType),
+      TableChange.renameColumn(Array("nope"), "x")))
+    assert(e.toString.contains("nope"), e.toString)
+    assert(!spark.sql("SELECT * FROM graft.db3n.t").columns.contains("c1"),
+      "failed multi-change ALTER leaked its valid prefix")
+  }
+
   test("ALTER TABLE RENAME / ALTER COLUMN TYPE / DROP COLUMN") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db4")
     spark.sql("CREATE TABLE graft.db4.t (k BIGINT, amount INT, junk STRING)")
