@@ -299,9 +299,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  override def loadTable(ident: Identifier, version: String): Table =
-    new GraftSparkTable(loadGraft(ident), snapshot = Some(version.toLong),
-      guardFor(ident))
+  /** `VERSION AS OF x`: a numeric x is a snapshot id; otherwise x
+    * resolves as a TAG name, then a BRANCH name (reference: paimon
+    * Spark time travel accepts ids, tags and branches). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val gt = loadGraft(ident)
+    val snapshotId = version.toLongOption
+      .orElse(gt.sm.tagSnapshotId(version))
+      .getOrElse {
+        if (gt.branches.contains(version))
+          return new GraftSparkTable(gt.branchTable(version), snapshot = None,
+            guardFor(ident))
+        throw new IllegalArgumentException(
+          s"VERSION AS OF '$version': not a snapshot id, tag or branch")
+      }
+    new GraftSparkTable(gt, snapshot = Some(snapshotId), guardFor(ident))
+  }
 
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val gt = loadGraft(ident)

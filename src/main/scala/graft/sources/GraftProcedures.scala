@@ -336,6 +336,17 @@ object GraftProcedures {
           args.getUTF8String(1).toString, c.pathOf(ident))
         "ok"
       }),
+    // adopt an Iceberg (Hadoop-layout) table; v2 position deletes
+    // convert to DV sidecars (reference: IcebergMigrator, which
+    // rejects delete files)
+    "migrate_iceberg_table" -> (Seq(p("table", StringType), p("source_dir", StringType)),
+      (c, args) => {
+        val parts = args.getUTF8String(0).toString.split("\\.")
+        val ident = Identifier.of(parts.dropRight(1), parts.last)
+        GraftTable.migrateIceberg(SparkSession.active,
+          args.getUTF8String(1).toString, c.pathOf(ident))
+        "ok"
+      }),
     // migrate every parquet directory under source_root into tables of
     // `database`, one table per subdirectory (reference:
     // MigrateDatabaseProcedure).

@@ -4639,4 +4639,58 @@ object GraftTable {
 
   def exists(path: String): Boolean =
     new SnapshotManager(path).latestSchema().isDefined
+
+  /** Adopt an ICEBERG table (Hadoop layout: metadata/version-hint.text
+    * → v*.metadata.json → Avro manifest list/manifests) as a graft
+    * table, reading its metadata with the same generic walker the
+    * Iceberg export verifies against (reference: iceberg/migrate/
+    * IcebergMigrator.java — which REJECTS tables holding delete files;
+    * here v2 position deletes convert into native DV sidecars instead,
+    * so a merge-on-read Iceberg table migrates without a rewrite).
+    *
+    * v1 scope: parquet data files; the table migrates UNPARTITIONED —
+    * Iceberg stores identity-partition source columns in the data
+    * files, so content is complete and partition-like pruning can be
+    * restored via `clustering.columns` + sort-compact. Files are
+    * copied (the origin table stays intact). */
+  def migrateIceberg(
+      spark: SparkSession,
+      icebergDir: String,
+      path: String,
+      options: Map[String, String] = Map.empty): GraftTable = {
+    val (dataFiles, deletes) = graft.sources.IcebergCompat.externalState(icebergDir)
+    require(dataFiles.nonEmpty, s"no live data files in iceberg table $icebergDir")
+    require(dataFiles.forall(_.endsWith(".parquet")),
+      "migrateIceberg supports parquet data files")
+    val full = spark.read.parquet(dataFiles: _*).schema
+    val t = create(spark, path, full, options = options)
+    val conf = spark.sessionState.newHadoopConf()
+    // positions deleted per SOURCE file (absolute path, normalized)
+    def norm(p: String) = p.replaceFirst("^file:/+", "/")
+    val delBySrc: Map[String, Seq[Long]] =
+      deletes.groupBy(d => norm(d._1)).view.mapValues(_.map(_._2)).toMap
+    val entries = dataFiles.flatMap { src =>
+      val rel = s"data/${UUID.randomUUID()}.parquet"
+      val abs = s"$path/$rel"
+      Files.createDirectories(Paths.get(abs).getParent)
+      Files.copy(Paths.get(norm(src)), Paths.get(abs))
+      val meta = ParquetStats.read(conf, abs, rel, 0, 0L, 0L)
+      delBySrc.get(norm(src)) match {
+        case None => Some(Meta.ManifestEntry("ADD", Map.empty, 0, meta))
+        case Some(pos) if pos.distinct.size >= meta.rowCount =>
+          Files.delete(Paths.get(abs)) // fully deleted: don't adopt
+          None
+        case Some(pos) =>
+          val bm = new org.roaringbitmap.RoaringBitmap()
+          pos.foreach(p => bm.add(p.toInt))
+          val dvRel = s"index/${UUID.randomUUID()}.dv"
+          t.sm.io.writeBytes(s"$path/$dvRel", DeletionVectors.serialize(bm))
+          Some(Meta.ManifestEntry("ADD", Map.empty, 0, meta.copy(
+            dvFile = Some(dvRel),
+            dvCardinality = Some(bm.getLongCardinality))))
+      }
+    }
+    t.sm.commit(entries, Meta.KindAppend, t.schema.id)
+    t
+  }
 }

@@ -348,5 +348,38 @@ class IcebergCompatSpec extends AnyFunSuite {
     val res = spark.sql("CALL graft_ice.sys.iceberg_sync('db.t')").head.getString(0)
     assert(res.contains("metadata"), res)
     assert(icebergDataFiles(s"$wh/db/t").nonEmpty)
+    // ...and the exported metadata migrates back in through SQL
+    spark.sql(s"CALL graft_ice.sys.migrate_iceberg_table('db.back', '$wh/db/t')")
+    assert(spark.sql("SELECT count(*) FROM graft_ice.db.back").head.getLong(0) == 2L)
+  }
+
+  test("migrateIceberg roundtrip: position deletes become DV sidecars") {
+    // source: a DV-carrying table exported as Iceberg metadata
+    val t = GraftTable.create(spark, tmp(), sch,
+      options = Map("deletion-vectors.enabled" -> "true"))
+    t.write(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)).coalesce(1))
+    t.write(df((4L, "b", 4.0), (5L, "a", 5.0)).coalesce(1))
+    t.delete(col("k") === 2L)
+    t.delete(col("k") === 5L)
+    IcebergCompat.sync(t)
+    // migrate the ICEBERG metadata (not the graft metadata) into a new
+    // table — reference IcebergMigrator rejects delete files; here the
+    // position deletes convert into native DV sidecars
+    val m = GraftTable.migrateIceberg(spark, t.path, tmp())
+    val got = m.read.select("k", "part").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (3L, "a"), (4L, "b")), got.toString)
+    // the DVs are real sidecars, not rewritten files: entries carry dvFile
+    val live = m.sm.latestSnapshot().map(m.sm.liveEntries).getOrElse(Seq.empty)
+    assert(live.size == 2 && live.forall(_.file.dvFile.isDefined))
+    // a fully-deleted file is not adopted at all
+    t.delete(col("k") === 1L); t.delete(col("k") === 3L) // file 1 now empty
+    IcebergCompat.sync(t)
+    val m2 = GraftTable.migrateIceberg(spark, t.path, tmp())
+    assert(m2.read.select("k").collect().map(_.getLong(0)).toSet == Set(4L))
+    assert(m2.sm.latestSnapshot().map(m2.sm.liveEntries).get.size == 1)
+    // the migrated table is a full citizen: writes and deletes work
+    m2.write(df((9L, "z", 9.0)))
+    assert(m2.read.count() == 2)
   }
 }

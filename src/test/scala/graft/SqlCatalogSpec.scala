@@ -71,6 +71,25 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, None), (2L, Some("x"))))
   }
 
+  test("VERSION AS OF resolves tags and branches, not just snapshot ids") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbtt")
+    spark.sql("CREATE TABLE graft.dbtt.t (k BIGINT)")
+    spark.sql("INSERT INTO graft.dbtt.t VALUES (1)")
+    val gt = graft.table.GraftTable.load(spark, s"$warehouse/dbtt/t")
+    gt.createTag("v1")
+    spark.sql("INSERT INTO graft.dbtt.t VALUES (2)")
+    gt.createBranch("b1")
+    spark.sql("INSERT INTO graft.dbtt.t VALUES (3)")
+    assert(spark.sql("SELECT count(*) FROM graft.dbtt.t").head.getLong(0) == 3L)
+    assert(spark.sql("SELECT count(*) FROM graft.dbtt.t VERSION AS OF 'v1'")
+      .head.getLong(0) == 1L)
+    assert(spark.sql("SELECT count(*) FROM graft.dbtt.t VERSION AS OF 'b1'")
+      .head.getLong(0) == 2L)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft.dbtt.t VERSION AS OF 'nope'").collect())
+    assert(e.toString.contains("nope"), e.toString)
+  }
+
   test("nested ALTER through SQL; failed multi-change ALTER commits nothing") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db3n")
     spark.sql("CREATE TABLE graft.db3n.t (k BIGINT, s STRUCT<a: BIGINT, b: STRING>)")
