@@ -772,6 +772,39 @@ object Pipeline {
       Dedup.duplicatedSpans(
         tbl(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", k = 8)
+    },
+
+    // ---- substring-dedup STRIP: cut every duplicated span except its
+    // globally-first occurrence and rebuild the texts. The oracle
+    // mirrors the ownership rank (row_number over gram occurrences
+    // ordered by doc, position), the token cut, and the reassembly —
+    // a wrong keeper, an off-by-one span edge, or a lost document all
+    // break the hash.
+    QDef(
+      "p24_substring_strip",
+      """WITH toks AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') t FROM documents),
+        |grams AS (SELECT doc_id, i, array_to_string(t[i:i+7], ' ') g
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-7)) AS i)),
+        |ranked AS (SELECT doc_id, i,
+        |    row_number() OVER (PARTITION BY g ORDER BY doc_id, i) rn,
+        |    count(*) OVER (PARTITION BY g) n FROM grams),
+        |removed AS (SELECT doc_id, i FROM ranked WHERE n > 1 AND rn > 1),
+        |removed_toks AS (SELECT DISTINCT doc_id, ti FROM removed,
+        |  LATERAL (SELECT unnest(generate_series(i, i+7)) AS ti)),
+        |all_toks AS (SELECT doc_id, i AS ti, t[i] AS tok
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)),
+        |kept AS (SELECT a.doc_id, a.ti, a.tok FROM all_toks a
+        |  LEFT JOIN removed_toks r USING (doc_id, ti) WHERE r.ti IS NULL),
+        |rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  coalesce(r.text, '') AS text
+        |FROM documents d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin) { (s, dir) =>
+      import graft.operators.Dedup
+      Dedup.stripDuplicateSpans(
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 8)
     })
 
   /** embeddings ∪ deterministic perturbed copies (id + 100000, same
