@@ -299,13 +299,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  /** `VERSION AS OF x`: a numeric x is a snapshot id; otherwise x
-    * resolves as a TAG name, then a BRANCH name (reference: paimon
-    * Spark time travel accepts ids, tags and branches). */
+  /** `VERSION AS OF x`: x resolves as a TAG name first (so a tag
+    * named "2024" stays reachable — the reference likewise checks
+    * tagExists before parsing), then a numeric snapshot id, then a
+    * BRANCH name. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val gt = loadGraft(ident)
-    val snapshotId = version.toLongOption
-      .orElse(gt.sm.tagSnapshotId(version))
+    val snapshotId = gt.sm.tagSnapshotId(version)
+      .orElse(version.toLongOption)
       .getOrElse {
         if (gt.branches.contains(version))
           return new GraftSparkTable(gt.branchTable(version), snapshot = None,
@@ -383,18 +384,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     priv(GraftPrivileges.AlterTable, fq(ident))
-    // dotted path for nested field changes ("s.x") — GraftTable's
-    // schema API navigates the struct
-    def path(names: Array[String]): String = names.mkString(".")
+    // field-name ARRAYS pass through verbatim: a 1-element array is a
+    // top-level column even when its name holds literal dots; longer
+    // arrays are nested paths (the *At schema APIs keep the two
+    // distinct — a dotted string could not)
     def apply1(gt: graft.table.GraftTable, c: TableChange): Unit = c match {
       case add: TableChange.AddColumn =>
-        gt.addColumn(path(add.fieldNames()), add.dataType(), add.isNullable)
+        gt.addColumnAt(add.fieldNames().toSeq, add.dataType(), add.isNullable)
       case ren: TableChange.RenameColumn =>
-        gt.renameColumn(path(ren.fieldNames()), ren.newName())
+        gt.renameColumnAt(ren.fieldNames().toSeq, ren.newName())
       case del: TableChange.DeleteColumn =>
-        gt.dropColumn(path(del.fieldNames()))
+        gt.dropColumnAt(del.fieldNames().toSeq)
       case upd: TableChange.UpdateColumnType =>
-        gt.widenColumn(path(upd.fieldNames()), upd.newDataType())
+        gt.widenColumnAt(upd.fieldNames().toSeq, upd.newDataType())
       case set: TableChange.SetProperty =>
         gt.setOption(set.property(), set.value())
       case rm: TableChange.RemoveProperty =>
@@ -402,24 +404,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"unsupported table change: $other")
     }
-    // Dry-run the WHOLE change list on a throwaway schema chain before
+    // Dry-run MULTI-change lists on a throwaway schema chain before
     // committing anything: a failure on change N must not leave
     // changes 1..N-1 applied while the statement errors (the retry
     // would trip over its own half-applied prefix). The rehearsal
     // clones the table metadata into a temp dir and replays the
-    // changes there — identical validation, zero data IO.
-    val rehearsal = java.nio.file.Files.createTempDirectory("graft-alter")
-    try {
-      val real = loadGraft(ident)
-      val rt = graft.table.GraftTable.create(
-        SparkSession.active, s"$rehearsal/t", real.schema.toStruct,
-        partitionKeys = real.schema.partitionKeys,
-        primaryKeys = real.schema.primaryKeys,
-        options = real.schema.options)
-      changes.foreach(c => apply1(loadRehearsal(rt.path), c))
-    } finally {
-      graft.core.FsUtil.walkAll(rehearsal).reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+    // changes there — identical validation, zero data IO. A single
+    // change cannot leave a prefix, so the common case skips the
+    // rehearsal entirely.
+    if (changes.size > 1) {
+      val rehearsal = java.nio.file.Files.createTempDirectory("graft-alter")
+      try {
+        val real = loadGraft(ident)
+        val rt = graft.table.GraftTable.create(
+          SparkSession.active, s"$rehearsal/t", real.schema.toStruct,
+          partitionKeys = real.schema.partitionKeys,
+          primaryKeys = real.schema.primaryKeys,
+          options = real.schema.options)
+        changes.foreach(c => apply1(loadRehearsal(rt.path), c))
+      } finally {
+        graft.core.FsUtil.walkAll(rehearsal).reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
     }
     changes.foreach { c =>
       val gt = loadGraft(ident) // reload: prior change bumped the schema

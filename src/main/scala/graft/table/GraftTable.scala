@@ -3474,10 +3474,20 @@ final class GraftTable private (
     * nested fields by name through [[evolveColumn]] and read the new
     * field as null. */
   def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType,
-      nullable: Boolean = true): Unit = {
+      nullable: Boolean = true): Unit =
+    addColumnAt(name.split('.').toSeq, dataType, nullable)
+
+  /** Explicit-path form: a ONE-element path is a top-level column even
+    * when its name contains dots (DSv2 TableChange field arrays
+    * distinguish literal dots from nesting; the dotted-string
+    * convenience above cannot and always treats '.' as nesting). */
+  private[graft] def addColumnAt(
+      path: Seq[String], dataType: org.apache.spark.sql.types.DataType,
+      nullable: Boolean): Unit = {
     require(nullable, "added columns must be nullable (old files have no values)")
     val sch = schema
-    if (name.contains('.')) { nestedChange(sch, name, addLeaf = Some(dataType)); return }
+    if (path.size > 1) { nestedChange(sch, path, addLeaf = Some(dataType)); return }
+    val name = path.head
     require(!sch.fields.exists(_.name == name), s"column $name already exists")
     val nextFieldId = sch.fields.map(_.id).max + 1
     sm.writeSchema(sch.copy(
@@ -3485,15 +3495,21 @@ final class GraftTable private (
       fields = sch.fields :+ Meta.FieldDef(nextFieldId, name, dataType.sql, nullable)))
   }
 
-  /** Shared nested add/drop: navigate `path` ("top.a.b"), rebuild the
+  /** Shared nested add/drop: navigate `parts` (top, a, b), rebuild the
     * top-level field's struct type with the leaf added (`addLeaf` set)
     * or removed (None), bump the schema. The top-level field id never
     * changes. */
   private def nestedChange(
-      sch: TableSchema, path: String,
+      sch: TableSchema, parts: Seq[String],
       addLeaf: Option[org.apache.spark.sql.types.DataType]): Unit = {
-    val parts = path.split('.').toSeq
+    val path = parts.mkString(".")
     val topName = parts.head
+    // bucket routing hashes key columns in their DECLARED type and
+    // partition values are baked into directory paths — reshaping a
+    // struct key would silently re-route keys away from their data
+    // (same guard as top-level drop/rename/widen)
+    require(!sch.primaryKeys.contains(topName) && !sch.partitionKeys.contains(topName),
+      "cannot alter nested fields of primary-key or partition columns")
     val top = sch.fields.find(_.name == topName)
       .getOrElse(throw new IllegalArgumentException(s"no column $topName"))
     def rebuild(dt: DataType, rest: Seq[String]): DataType = dt match {
@@ -3534,10 +3550,25 @@ final class GraftTable private (
     * primary-key columns are immutable — their names are baked into
     * directory layout and bucket hashing. */
   def renameColumn(oldName: String, newName: String): Unit = {
-    val sch = schema
     require(!oldName.contains('.'),
       "nested fields have no stable ids — a nested rename would silently " +
         "null old files' data (drop + add instead, accepting the reset)")
+    renameColumnImpl(oldName, newName)
+  }
+
+  /** Explicit-path form (see [[addColumnAt]]): 1-element paths rename
+    * a top-level column even if its name holds literal dots; longer
+    * paths are nested renames, rejected for the id-stability reason
+    * above. */
+  private[graft] def renameColumnAt(path: Seq[String], newName: String): Unit = {
+    require(path.size == 1,
+      "nested fields have no stable ids — a nested rename would silently " +
+        "null old files' data (drop + add instead, accepting the reset)")
+    renameColumnImpl(path.head, newName)
+  }
+
+  private def renameColumnImpl(oldName: String, newName: String): Unit = {
+    val sch = schema
     require(sch.fields.exists(_.name == oldName), s"no column $oldName")
     require(!sch.fields.exists(_.name == newName), s"column $newName already exists")
     require(!sch.partitionKeys.contains(oldName) && !sch.primaryKeys.contains(oldName),
@@ -3569,9 +3600,13 @@ final class GraftTable private (
     * the physical column; reads project it away. A dotted `name` drops
     * a NESTED field inside a struct column (by-name alignment, see
     * [[addColumn]]). */
-  def dropColumn(name: String): Unit = {
+  def dropColumn(name: String): Unit = dropColumnAt(name.split('.').toSeq)
+
+  /** Explicit-path form of [[dropColumn]] (see [[addColumnAt]]). */
+  private[graft] def dropColumnAt(path: Seq[String]): Unit = {
     val sch = schema
-    if (name.contains('.')) { nestedChange(sch, name, addLeaf = None); return }
+    if (path.size > 1) { nestedChange(sch, path, addLeaf = None); return }
+    val name = path.head
     require(sch.fields.exists(_.name == name), s"no column $name")
     require(!sch.partitionKeys.contains(name) && !sch.primaryKeys.contains(name),
       "cannot drop partition or primary-key columns")
@@ -3586,9 +3621,22 @@ final class GraftTable private (
     * allowed (reference: SchemaChange.updateColumnType guarded by
     * CastExecutors compatibility). Old files cast up on read. */
   def widenColumn(name: String, to: org.apache.spark.sql.types.DataType): Unit = {
-    val sch = schema
     require(!name.contains('.'),
       "nested type widening is not supported (per-file nested casts)")
+    widenColumnImpl(name, to)
+  }
+
+  /** Explicit-path form (see [[addColumnAt]]). */
+  private[graft] def widenColumnAt(
+      path: Seq[String], to: org.apache.spark.sql.types.DataType): Unit = {
+    require(path.size == 1,
+      "nested type widening is not supported (per-file nested casts)")
+    widenColumnImpl(path.head, to)
+  }
+
+  private def widenColumnImpl(
+      name: String, to: org.apache.spark.sql.types.DataType): Unit = {
+    val sch = schema
     // bucket routing hashes key columns in their DECLARED type and
     // partition values are baked into directory paths — widening either
     // would silently re-route keys away from their existing data
@@ -4662,7 +4710,14 @@ object GraftTable {
     require(dataFiles.nonEmpty, s"no live data files in iceberg table $icebergDir")
     require(dataFiles.forall(_.endsWith(".parquet")),
       "migrateIceberg supports parquet data files")
-    val full = spark.read.parquet(dataFiles: _*).schema
+    // mergeSchema: a schema-evolved Iceberg table mixes files written
+    // under different schemas — a single sampled footer would silently
+    // DROP later-added columns. Merging unions them (older files read
+    // the added columns as null). Columns RENAMED in Iceberg keep
+    // their old physical name per-file and migrate as separate
+    // half-null columns — an accepted, documented limit (name-based
+    // resolution; Iceberg field ids are not mapped here).
+    val full = spark.read.option("mergeSchema", "true").parquet(dataFiles: _*).schema
     val t = create(spark, path, full, options = options)
     val conf = spark.sessionState.newHadoopConf()
     // positions deleted per SOURCE file (absolute path, normalized)
@@ -4672,22 +4727,25 @@ object GraftTable {
     val entries = dataFiles.flatMap { src =>
       val rel = s"data/${UUID.randomUUID()}.parquet"
       val abs = s"$path/$rel"
-      Files.createDirectories(Paths.get(abs).getParent)
-      Files.copy(Paths.get(norm(src)), Paths.get(abs))
-      val meta = ParquetStats.read(conf, abs, rel, 0, 0L, 0L)
-      delBySrc.get(norm(src)) match {
-        case None => Some(Meta.ManifestEntry("ADD", Map.empty, 0, meta))
-        case Some(pos) if pos.distinct.size >= meta.rowCount =>
-          Files.delete(Paths.get(abs)) // fully deleted: don't adopt
-          None
-        case Some(pos) =>
-          val bm = new org.roaringbitmap.RoaringBitmap()
-          pos.foreach(p => bm.add(p.toInt))
-          val dvRel = s"index/${UUID.randomUUID()}.dv"
-          t.sm.io.writeBytes(s"$path/$dvRel", DeletionVectors.serialize(bm))
-          Some(Meta.ManifestEntry("ADD", Map.empty, 0, meta.copy(
-            dvFile = Some(dvRel),
-            dvCardinality = Some(bm.getLongCardinality))))
+      // stats read from the SOURCE first: a fully-deleted file is
+      // skipped without ever being copied
+      val meta = ParquetStats.read(conf, norm(src), rel, 0, 0L, 0L)
+      val dels = delBySrc.get(norm(src))
+      if (dels.exists(_.distinct.size >= meta.rowCount)) None
+      else {
+        Files.createDirectories(Paths.get(abs).getParent)
+        Files.copy(Paths.get(norm(src)), Paths.get(abs))
+        dels match {
+          case None => Some(Meta.ManifestEntry("ADD", Map.empty, 0, meta))
+          case Some(pos) =>
+            val bm = new org.roaringbitmap.RoaringBitmap()
+            pos.foreach(p => bm.add(p.toInt))
+            val dvRel = s"index/${UUID.randomUUID()}.dv"
+            t.sm.io.writeBytes(s"$path/$dvRel", DeletionVectors.serialize(bm))
+            Some(Meta.ManifestEntry("ADD", Map.empty, 0, meta.copy(
+              dvFile = Some(dvRel),
+              dvCardinality = Some(bm.getLongCardinality))))
+        }
       }
     }
     t.sm.commit(entries, Meta.KindAppend, t.schema.id)

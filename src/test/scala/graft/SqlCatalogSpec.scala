@@ -88,6 +88,28 @@ class SqlCatalogSpec extends AnyFunSuite {
     val e = intercept[Exception](
       spark.sql("SELECT * FROM graft.dbtt.t VERSION AS OF 'nope'").collect())
     assert(e.toString.contains("nope"), e.toString)
+    // a tag with an all-digit name wins over snapshot-id parsing
+    // (reference checks tagExists before parsing)
+    gt.createTag("9999")
+    spark.sql("INSERT INTO graft.dbtt.t VALUES (4)")
+    assert(spark.sql("SELECT count(*) FROM graft.dbtt.t VERSION AS OF '9999'")
+      .head.getLong(0) == 3L)
+  }
+
+  test("literal dotted column names never collide with nested paths") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbdot")
+    spark.sql(
+      "CREATE TABLE graft.dbdot.t (k BIGINT, `a.b` STRING, a STRUCT<b: BIGINT>)")
+    spark.sql(
+      "INSERT INTO graft.dbdot.t VALUES (1, 'flat', named_struct('b', 7L))")
+    // DROP COLUMN `a.b` (quoted → 1-element field array) must drop the
+    // FLAT column, never the nested a.b
+    spark.sql("ALTER TABLE graft.dbdot.t DROP COLUMN `a.b`")
+    val sch = spark.sql("SELECT * FROM graft.dbdot.t").schema
+    assert(sch.fieldNames.toSeq == Seq("k", "a"))
+    assert(sch("a").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("b"), "nested a.b must have survived")
+    assert(spark.sql("SELECT a.b FROM graft.dbdot.t").head.getLong(0) == 7L)
   }
 
   test("nested ALTER through SQL; failed multi-change ALTER commits nothing") {
