@@ -344,9 +344,19 @@ final class GraftTable private (
     val liveRows = live.map(_.file.rowCount).sum
     val maxBucket = live.map(_.bucket).maxOption.getOrElse(-1)
     val batchRows = batch.count() // caller has persisted the batch
-    val nTotal = math.max(maxBucket + 1,
+    // dynamic-bucket.initial-buckets seeds the range for a fresh table
+    // (avoids the 1-bucket cold start on a known-large load);
+    // .max-buckets caps growth — past it buckets overfill instead of
+    // multiplying (reference: CoreOptions DYNAMIC_BUCKET_INITIAL_BUCKETS
+    // / DYNAMIC_BUCKET_MAX_BUCKETS, -1 = unbounded).
+    val initial = sch.options.get("dynamic-bucket.initial-buckets")
+      .map(_.toInt).getOrElse(1)
+    val maxBuckets = sch.options.get("dynamic-bucket.max-buckets")
+      .map(_.toInt).filter(_ > 0)
+    val grown = math.max(maxBucket + 1,
       math.ceil((liveRows + batchRows).toDouble /
-        sch.dynamicBucketTargetRows).toInt).max(1)
+        sch.dynamicBucketTargetRows).toInt).max(initial).max(1)
+    val nTotal = maxBuckets.fold(grown)(m => math.min(grown, math.max(m, maxBucket + 1)))
     val freshBucket =
       pmod(xxhash64(pk.map(col).toIndexedSeq: _*), lit(nTotal)).cast("int")
     val pkCols = pk.map(col).toIndexedSeq
@@ -1057,8 +1067,14 @@ final class GraftTable private (
       else {
         val live = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
         val newParts = added.map(_.partition).toSet
+        // dynamic-partition-overwrite=false (reference: CoreOptions
+        // DYNAMIC_PARTITION_OVERWRITE, default true): INSERT OVERWRITE
+        // replaces the WHOLE table, not just the partitions present in
+        // the incoming batch — Hive's classic static overwrite.
+        val dynamic =
+          !sch.options.get("dynamic-partition-overwrite").contains("false")
         val victims =
-          if (sch.partitionKeys.isEmpty) live
+          if (sch.partitionKeys.isEmpty || !dynamic) live
           else live.filter(e => newParts.contains(e.partition))
         victims.map(_.copy(kind = "DELETE"))
       }
@@ -3881,17 +3897,28 @@ final class GraftTable private (
   }
 
   /** -U/+U/+I/-D rows between two merged states (full outer join on
-    * primary key, change detection on the whole row). */
+    * primary key, change detection on the whole row — value-identical
+    * re-writes never emit a pair, the diff formulation gives the
+    * reference's `changelog-producer.row-deduplicate` for free).
+    * `changelog-producer.row-deduplicate-ignore-fields` additionally
+    * excludes listed columns from the comparison, so a row differing
+    * only in e.g. an updated_at timestamp emits nothing (reference:
+    * CHANGELOG_PRODUCER_ROW_DEDUPLICATE_IGNORE_FIELDS). */
   private def stateDiff(before0: DataFrame, after: DataFrame): DataFrame = {
     val pk = schema.primaryKeys
     val cols = struct.fieldNames
+    val ignore = schema.options
+      .get("changelog-producer.row-deduplicate-ignore-fields")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val cmp = cols.filterNot(c => ignore.contains(c) && !pk.contains(c))
     val before = before0.select(cols.map(c => col(c).as(s"__b_$c")).toIndexedSeq: _*)
     val joined = after.join(before,
       pk.map(k => col(k) === col(s"__b_$k")).reduce(_ && _), "full_outer")
     val inAfter = col(pk.head).isNotNull
     val inBefore = col(s"__b_${pk.head}").isNotNull
-    val changed = !(struct_ord(cols.map(col).toIndexedSeq: _*) <=>
-      struct_ord(cols.map(c => col(s"__b_$c")).toIndexedSeq: _*))
+    val changed = !(struct_ord(cmp.map(col).toIndexedSeq: _*) <=>
+      struct_ord(cmp.map(c => col(s"__b_$c")).toIndexedSeq: _*))
     def afterSel(kind: String) =
       (cols.map(col) :+ lit(kind).as("_row_kind")).toIndexedSeq
     def beforeSel(kind: String) =

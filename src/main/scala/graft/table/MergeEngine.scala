@@ -235,9 +235,35 @@ object MergeEngine {
       if (schema.sequenceField.contains(c)) "last_non_null_value"
       else schema.options.getOrElse("fields.default-aggregate-function",
         "last_non_null_value"))
+    // aggregation.remove-record-on-delete (reference:
+    // AGGREGATION_REMOVE_RECORD_ON_DELETE): a -D RESETS the key's
+    // accumulated state — only records newer than the last delete
+    // contribute; a key with no survivors emits a -D tombstone with
+    // the max sequence (same resurrection guard as the partial-update
+    // variant). -U retractions still apply among the survivors.
+    val removeOnDelete =
+      schema.options.get("aggregation.remove-record-on-delete").contains("true")
+    val (raw1, aliveOpt) =
+      if (!removeOnDelete) (raw, None)
+      else {
+        val isDel = col(Meta.KindCol) === Meta.KindDelete
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(pk.map(col).toIndexedSeq: _*)
+        val tagged = raw
+          .withColumn("__last_del", max(when(isDel, ord)).over(w))
+          .withColumn("__agg_alive",
+            !isDel && (col("__last_del").isNull || ord > col("__last_del")))
+        // dead rows contribute NOTHING: null every value column
+        val cols = raw.columns.map { c =>
+          if (valueCols.contains(c) && !schema.sequenceField.contains(c))
+            when(col("__agg_alive"), col(c)).as(c)
+          else col(c)
+        }.toIndexedSeq :+ col("__agg_alive")
+        (tagged.select(cols: _*), Some(col("__agg_alive")))
+      }
     // null out retract rows for the non-retractable functions so they
     // see exactly what the old delete-filtering showed them
-    val masked = raw.select(raw.columns.map { c =>
+    val masked = raw1.select(raw1.columns.map { c =>
       if (valueCols.contains(c) && !retractable(fnOf(c)))
         when(!isRetract, col(c)).as(c)
       else col(c)
@@ -253,7 +279,16 @@ object MergeEngine {
         case fn => fieldAgg(fn, c, maskedOrd, combine, raw.schema(c).dataType, schema)
       }
       e.cast(raw.schema(c).dataType).as(c) // keep the declared field type
-    } ++ metaAggs(masked)
+    } ++ (aliveOpt match {
+      case None => metaAggs(masked)
+      case Some(alive) =>
+        val seqAgg =
+          if (masked.columns.contains(Meta.SeqCol)) max(col(Meta.SeqCol))
+          else lit(0L)
+        Seq(seqAgg.as(Meta.SeqCol),
+          when(max(when(alive, 1).otherwise(0)) === 1, Meta.KindInsert)
+            .otherwise(Meta.KindDelete).cast("byte").as(Meta.KindCol))
+    })
     masked.groupBy(pk.map(col).toIndexedSeq: _*)
       .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
   }

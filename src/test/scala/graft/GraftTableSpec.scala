@@ -302,6 +302,77 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.read.count() == 2)
   }
 
+  test("aggregation: remove-record-on-delete resets accumulated state") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"),
+      options = Map(
+        "merge-engine" -> "aggregation",
+        "fields.n.aggregate-function" -> "sum",
+        "fields.v.aggregate-function" -> "last_non_null_value",
+        "aggregation.remove-record-on-delete" -> "true"))
+    t.write(kvDf((1L, "a", 10L, 1L), (2L, "b", 5L, 1L)))
+    t.write(kvDf((1L, "a2", 7L, 2L)))
+    assert(t.read.filter(col("k") === 1L).head.getLong(2) == 17L)
+    // -D removes the whole row (default aggregation would retract)
+    t.delete(col("k") === 1L)
+    assert(t.read.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // post-delete writes rebuild the sum from zero — pre-delete
+    // contributions never leak back
+    t.write(kvDf((1L, "z", 3L, 3L)))
+    val r = t.read.filter(col("k") === 1L).head
+    assert(r.getLong(2) == 3L && r.getString(1) == "z", r.toString)
+    // survives compaction
+    t.compact()
+    assert(t.read.filter(col("k") === 1L).head.getLong(2) == 3L)
+  }
+
+  test("dynamic-partition-overwrite=false makes INSERT OVERWRITE replace the whole table") {
+    val sch = StructType(Seq(
+      StructField("p", StringType, nullable = false),
+      StructField("k", LongType, nullable = false)))
+    def df(rows: (String, Long)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, sch)
+    val t = GraftTable.create(spark, tmp(), sch, partitionKeys = Seq("p"),
+      options = Map("dynamic-partition-overwrite" -> "false"))
+    t.write(df(("a", 1L), ("b", 2L)))
+    t.overwrite(df(("a", 9L)))
+    // static overwrite: partition b is GONE, not kept
+    assert(t.read.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == Set(("a", 9L)))
+  }
+
+  test("dynamic-bucket initial-buckets seeds and max-buckets caps growth") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "-1",
+        "dynamic-bucket.target-row-num" -> "2",
+        "dynamic-bucket.initial-buckets" -> "4",
+        "dynamic-bucket.max-buckets" -> "6"))
+    t.write(kvDf((1L to 4L).map(i => (i, s"v$i", i: java.lang.Long, 1L)): _*))
+    val b1 = t.systemBuckets.select("bucket").collect().map(_.getInt(0)).toSet
+    assert(b1.max < 4 && b1.size > 1,
+      s"initial-buckets=4 must seed multiple buckets on first write: $b1")
+    // push way past target-row-num × max-buckets: growth stops at 6
+    t.write(kvDf((5L to 40L).map(i => (i, s"v$i", i: java.lang.Long, 1L)): _*))
+    val b2 = t.systemBuckets.select("bucket").collect().map(_.getInt(0)).toSet
+    assert(b2.max < 6, s"max-buckets=6 must cap the range: $b2")
+    assert(t.read.count() == 40)
+  }
+
+  test("changelog ignore-fields suppress pairs differing only in listed columns") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"), options = Map(
+        "changelog-producer.row-deduplicate-ignore-fields" -> "seq,n"))
+    t.write(kvDf((1L, "a", 10L, 1L), (2L, "b", 20L, 1L)))
+    // k=1 changes only in the ignored columns → NO -U/+U emitted;
+    // k=2 changes v → full pair
+    t.write(kvDf((1L, "a", 99L, 2L), (2L, "b2", 20L, 2L)))
+    val chg = t.changelogBetween(0L, 1L)
+      .select("k", "v", "_row_kind").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(chg == Set((2L, "b", "-U"), (2L, "b2", "+U")), chg.toString)
+  }
+
   test("first-row merge engine keeps earliest record") {
     val t = GraftTable.create(spark, tmp(), kvSchema,
       primaryKeys = Seq("k"),
