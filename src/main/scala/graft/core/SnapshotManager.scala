@@ -29,6 +29,11 @@ final class SnapshotManager(
 
   def onCommit(hook: Long => Unit): Unit = afterCommit = hook
 
+  /** CAS retry budget when commit() is called without an explicit
+    * maxRetries — set by the table layer from `commit.max-retries`
+    * (reference: CoreOptions COMMIT_MAX_RETRIES, default 20 there). */
+  @volatile var commitMaxRetries: Int = 20
+
   /** Branches keep an independent snapshot chain under
     * branch/<name>/snapshot, sharing schema/manifest/data with main
     * (reference: paimon branch management). */
@@ -240,7 +245,8 @@ final class SnapshotManager(
       commitIdentifier: Long = -1L,
       watermark: Option[Long] = None,
       conflictCheck: Snapshot => Boolean = _ => true,
-      maxRetries: Int = 20,
+      /** -1 = use [[commitMaxRetries]] (set from commit.max-retries). */
+      maxRetries: Int = -1,
       changelogManifest: Option[String] = None,
       /** transform of the latest snapshot's dynamic-bucket index file
         * list (applied at CAS time so retries see the true latest);
@@ -268,8 +274,9 @@ final class SnapshotManager(
     val deltaRows = entries.iterator
       .map(e => if (e.kind == "ADD") e.file.rowCount else -e.file.rowCount)
       .sum
+    val effRetries = if (maxRetries > 0) maxRetries else commitMaxRetries
     var attempt = 0
-    while (attempt < maxRetries) {
+    while (attempt < effRetries) {
       val latest = latestSnapshot()
       val rowIdBase: Long = latest.flatMap(_.nextRowId).getOrElse(0L)
       var rowIdNext: Long = rowIdBase
@@ -373,7 +380,7 @@ final class SnapshotManager(
       }
       attempt += 1 // CAS lost: another writer took nextId — retry
     }
-    throw new IllegalStateException(s"commit failed after $maxRetries retries")
+    throw new IllegalStateException(s"commit failed after $effRetries retries")
   }
 
   /** Drop snapshots older than the `retain` most recent ones and any

@@ -107,13 +107,18 @@ object GraftStreaming {
 
   /** Initialize the offset per `mode` (first call only), then drain
     * like [[processChangelog]]. LatestFull emits the full current
-    * content as a synthetic first batch with `_row_kind = +I`. */
+    * content as a synthetic first batch with `_row_kind = +I`.
+    * `ignoreProgress` re-initializes from `mode` even when a stored
+    * offset exists — the reference's `consumer.ignore-progress`: the
+    * restarted job positions by its startup mode, then keeps
+    * committing progress under the same consumer id. */
   def startChangelog(
       table: GraftTable,
       checkpointPath: String,
       mode: StartupMode,
-      process: (DataFrame, Long) => Unit): Seq[Long] = {
-    if (readOffset(checkpointPath).isEmpty) {
+      process: (DataFrame, Long) => Unit,
+      ignoreProgress: Boolean = false): Seq[Long] = {
+    if (ignoreProgress || readOffset(checkpointPath).isEmpty) {
       val latest = table.sm.latestSnapshotId
       mode match {
         case Latest =>

@@ -84,6 +84,11 @@ final class GraftTable private (
   // shape of IcebergCommitCallback.java:102). Best-effort by contract:
   // SnapshotManager logs-and-continues if the export fails, so the
   // graft commit itself never depends on the compat layer.
+  // CAS retry budget for commits issued without an explicit override
+  // (reference: CoreOptions COMMIT_MAX_RETRIES)
+  sm.commitMaxRetries = sm.latestSchema()
+    .flatMap(_.options.get("commit.max-retries")).map(_.toInt).getOrElse(20)
+
   sm.onCommit { _ =>
     if (schema.options.get(GraftTable.IcebergEnabled).contains("true"))
       graft.sources.IcebergCompat.sync(this)
@@ -154,11 +159,16 @@ final class GraftTable private (
     }
   }
 
-  /** Append (or upsert, for PK tables) a batch. Returns snapshot id. */
+  /** Append (or upsert, for PK tables) a batch. Returns the WRITE's
+    * snapshot id (a `commit.force-compact` follow-up compaction gets
+    * its own snapshot — reference: CoreOptions COMMIT_FORCE_COMPACT). */
   def write(df: DataFrame, commitIdentifier: Long = -1L): Long = {
     val in = applyColumnDefaults(df, schema)
-    if (isPrimaryKeyTable) upsert(in, commitIdentifier)
-    else appendCommit(in, overwrite = false, commitIdentifier)
+    val id =
+      if (isPrimaryKeyTable) upsert(in, commitIdentifier)
+      else appendCommit(in, overwrite = false, commitIdentifier)
+    if (schema.options.get("commit.force-compact").contains("true")) compact()
+    id
   }
 
   /** Write carrying an event-time watermark persisted on the snapshot
@@ -1119,6 +1129,12 @@ final class GraftTable private (
       // default zstd there; absent here = Spark's codec default)
       sch.options.get("file.compression")
         .foreach(c => writer = writer.option("compression", c))
+      // file.block-size → parquet row-group / orc stripe size
+      // (reference: CoreOptions FILE_BLOCK_SIZE)
+      sch.options.get("file.block-size").map(GraftTable.parseBytes).foreach { b =>
+        writer = writer.option("parquet.block.size", b.toString)
+          .option("orc.stripe.size", b.toString)
+      }
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .format(sch.fileFormat).save(staging)
     }
@@ -4549,6 +4565,23 @@ object GraftTable {
       case "m" => n * 60000L
       case "h" => n * 3600000L
       case "d" => n * 86400000L
+    }
+  }
+
+  /** `"128mb"` / `"1 gb"` / `"64 kb"` / `"1048576"` → bytes (the
+    * MemorySize shape the reference's size options accept). */
+  def parseBytes(s: String): Long = {
+    val m = "(?i)^\\s*(\\d+)\\s*(b|kb|mb|gb|tb)?\\s*$".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse size '$s' (want <n> [b|kb|mb|gb|tb])"))
+    val n = m.group(1).toLong
+    Option(m.group(2)).map(_.toLowerCase).getOrElse("b") match {
+      case "b" => n
+      case "kb" => n << 10
+      case "mb" => n << 20
+      case "gb" => n << 30
+      case "tb" => n << 40
     }
   }
 

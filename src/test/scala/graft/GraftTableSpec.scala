@@ -373,6 +373,36 @@ class GraftTableSpec extends AnyFunSuite {
     assert(chg == Set((2L, "b", "-U"), (2L, "b2", "+U")), chg.toString)
   }
 
+  test("commit.force-compact compacts after every write; commit.max-retries is honored") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"), options = Map(
+        "sequence.field" -> "seq",
+        "commit.force-compact" -> "true",
+        "commit.max-retries" -> "7"))
+    assert(t.sm.commitMaxRetries == 7)
+    t.write(kvDf((1L, "a", 10L, 1L)))
+    t.write(kvDf((1L, "a2", 11L, 2L), (2L, "b", 20L, 1L)))
+    val kinds = t.systemSnapshots.select("commit_kind").collect()
+      .map(_.getString(0))
+    assert(kinds.count(_ == "COMPACT") >= 2,
+      s"each write must trigger a compaction: ${kinds.toSeq}")
+    assert(t.read.orderBy("k").collect().map(_.getString(1)).toSeq
+      == Seq("a2", "b"))
+    // the COUNT fast path works immediately (level-1 files only)
+    assert(t.countRowsFast().contains(2L))
+  }
+
+  test("file.block-size parses and reaches the parquet writer") {
+    assert(GraftTable.parseBytes("64kb") == 64L << 10)
+    assert(GraftTable.parseBytes("128 MB") == 128L << 20)
+    assert(GraftTable.parseBytes("1048576") == 1048576L)
+    intercept[IllegalArgumentException](GraftTable.parseBytes("12 parsecs"))
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      options = Map("file.block-size" -> "1mb"))
+    t.write(kvDf((1L, "a", 10L, 0L)))
+    assert(t.read.count() == 1)
+  }
+
   test("first-row merge engine keeps earliest record") {
     val t = GraftTable.create(spark, tmp(), kvSchema,
       primaryKeys = Seq("k"),

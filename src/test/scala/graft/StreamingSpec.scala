@@ -355,6 +355,36 @@ class StreamingSpec extends AnyFunSuite {
     GraftStreaming.invalidateLookupCache(dim)
   }
 
+  test("consumer.ignore-progress re-positions from the startup mode") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp()
+    val sch = StructType(Seq(StructField("k", LongType, nullable = false)))
+    def df(v: Long) = spark.createDataFrame(Seq(Row(v)).asJava, sch)
+    val t = GraftTable.create(spark, s"$dir/t", sch)
+    t.write(df(1L)); t.write(df(2L)); t.write(df(3L))
+    val cp = s"$dir/cp"
+    var seen = Vector.empty[Long]
+    GraftStreaming.startChangelog(t, cp, GraftStreaming.FromSnapshot(0L),
+      (_, id) => seen :+= id)
+    assert(seen == Vector(0L, 1L, 2L))
+    // stored progress normally wins: nothing new to drain
+    seen = Vector.empty
+    GraftStreaming.startChangelog(t, cp, GraftStreaming.FromSnapshot(0L),
+      (_, id) => seen :+= id)
+    assert(seen.isEmpty)
+    // ignoreProgress re-initializes from the mode and REPLAYS
+    seen = Vector.empty
+    GraftStreaming.startChangelog(t, cp, GraftStreaming.FromSnapshot(1L),
+      (_, id) => seen :+= id, ignoreProgress = true)
+    assert(seen == Vector(1L, 2L), seen.toString)
+    // progress keeps committing under the same consumer afterwards
+    t.write(df(4L))
+    seen = Vector.empty
+    GraftStreaming.startChangelog(t, cp, GraftStreaming.FromSnapshot(1L),
+      (_, id) => seen :+= id)
+    assert(seen == Vector(3L))
+  }
+
   test("full lookup cache never serves main's rows for a branch dim (or vice versa)") {
     import scala.jdk.CollectionConverters._
     val dir = tmp()
