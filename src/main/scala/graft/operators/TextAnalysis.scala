@@ -66,6 +66,38 @@ object TextAnalysis {
       .agg((-avg(col("lp"))).as("nll"))
   }
 
+  /** FastText-style linear quality-classifier INFERENCE (the scoring
+    * half of the standard web-data quality filter, e.g. the CCNet /
+    * GPT-3 "looks like reference text" classifiers): hashed
+    * bag-of-words features with mean pooling —
+    * score = sigmoid(bias + mean over tokens of weight[bucket(tok)]).
+    *
+    * The feature hash is md5-based and ENGINE-PORTABLE (bucket =
+    * last-8-hex-chars of md5(token) mod dims), so any engine — or the
+    * DuckDB oracle — reproduces the features bit-exactly; training
+    * happens upstream, weights arrive as a (bucket, weight) table.
+    *
+    * Scale: tokens explode per-row (codegen), the weight table
+    * broadcasts (dims rows, never corpus-sized), one hash-aggregate
+    * per doc — map-side combine absorbs the explode. */
+  def linearClassifierScore(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      weights: org.apache.spark.sql.DataFrame, // (bucket: long, weight: double)
+      dims: Int, bias: Double): org.apache.spark.sql.DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val bucket = pmod(
+      conv(substring(md5(col("tok")), 25, 8), 16, 10).cast("long"), lit(dims))
+    docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("bucket", bucket)
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg((lit(bias) +
+        sum(coalesce(col("weight"), lit(0.0))) / count(lit(1))).as("z"))
+      .select(col(idCol),
+        (lit(1.0) / (lit(1.0) + exp(-col("z")))).as("score"))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   def charCount(text: Column): Column = length(text).cast("long")

@@ -805,6 +805,39 @@ object Pipeline {
       Dedup.stripDuplicateSpans(
         tbl(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", k = 8)
+    },
+
+    // ---- fastText-style quality-classifier inference (the scoring
+    // half of CCNet/GPT-3-style quality filters): md5-based hashed
+    // bag-of-words (engine-portable feature buckets), deterministic
+    // rational weights, mean pooling, sigmoid. The oracle recomputes
+    // features, weights and pooling independently; a hash-bucket
+    // drift, a pooling slip, or a missing-token default breaks the
+    // 6-dp hash.
+    QDef(
+      "p25_quality_classifier",
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+        |  FROM documents),
+        |feat AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(tok), 25, 8)) AS BIGINT) % 4096 AS bucket
+        |  FROM toks),
+        |w AS (SELECT b AS bucket, ((b*37+11) % 201 - 100)/100.0 AS weight
+        |  FROM (SELECT unnest(generate_series(0, 4095)) AS b)),
+        |z AS (SELECT doc_id,
+        |    -0.1 + sum(coalesce(weight, 0))/count(*) AS z
+        |  FROM feat LEFT JOIN w USING (bucket) GROUP BY doc_id)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(ROUND(1.0/(1.0 + exp(-z)), 6) AS DOUBLE) AS score
+        |FROM z""".stripMargin) { (s, dir) =>
+      import graft.operators.TextAnalysis
+      val dims = 4096
+      val weights = s.range(0, dims).select(col("id").as("bucket"),
+        (((col("id") * 37 + 11) % 201 - 100).cast("double") / 100.0).as("weight"))
+      TextAnalysis.linearClassifierScore(
+        tbl(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", weights, dims, bias = -0.1)
+        .select(col("doc_id"), asDouble(col("score"), 6).as("score"))
     })
 
   /** embeddings ∪ deterministic perturbed copies (id + 100000, same

@@ -512,6 +512,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(after == 0L, s"stripping left $after duplicated spans")
   }
 
+  test("linear classifier: zero weights give 0.5; weights shift scores monotonically") {
+    import spark.implicits._
+    val docs = Seq((1L, "good solid text"), (2L, "bad junk")).toDF("id", "text")
+    val dims = 64
+    val zero = spark.range(0, dims).select(col("id").as("bucket"),
+      lit(0.0).as("weight"))
+    val s0 = TA.linearClassifierScore(docs, "id", "text", zero, dims, bias = 0.0)
+      .collect().map(_.getDouble(1))
+    assert(s0.forall(s => math.abs(s - 0.5) < 1e-12), s0.toSeq.toString)
+    // uniform positive weights push every score above 0.5, uniform
+    // negative below — pooling is a mean, so doc length cancels
+    val pos = spark.range(0, dims).select(col("id").as("bucket"), lit(1.0).as("weight"))
+    val sp = TA.linearClassifierScore(docs, "id", "text", pos, dims, bias = 0.0)
+      .collect().map(_.getDouble(1))
+    assert(sp.forall(s => math.abs(s - 1.0 / (1.0 + math.exp(-1.0))) < 1e-12))
+    // bias shifts alone
+    val sb = TA.linearClassifierScore(docs, "id", "text", zero, dims, bias = 2.0)
+      .collect().map(_.getDouble(1))
+    assert(sb.forall(s => math.abs(s - 1.0 / (1.0 + math.exp(-2.0))) < 1e-12))
+  }
+
   test("incremental dedup == one-shot dedup over the union") {
     import spark.implicits._
     import graft.operators.Dedup
