@@ -205,11 +205,20 @@ object Meta {
         * None on tables without row tracking (reference: paimon-api
         * Snapshot.java nextRowId). */
       @JsonDeserialize(contentAs = classOf[java.lang.Long])
-      nextRowId: Option[Long] = None) {
+      nextRowId: Option[Long] = None,
+      /** data evolution (reference: DATA_EVOLUTION_ENABLED +
+        * DataEvolutionSplitRead — column files merged into row files
+        * at read): column → patch parquet files (table-relative,
+        * under patch/), each holding (_row_id, value) for a backfill
+        * of that column. LIST ORDER is the patch generation — later
+        * files win per row id — so no per-file sequence is stored.
+        * Row-tracking append tables only (stable _ROW_ID identity). */
+      colPatches: Option[Map[String, Seq[String]]] = None) {
     /** every index sidecar this snapshot pins (GC/expiration guard) */
     def indexSidecars: Seq[String] =
       dynIndex.getOrElse(Seq.empty) ++ globalIndex.getOrElse(Seq.empty) ++
-        secIndex.getOrElse(Seq.empty)
+        secIndex.getOrElse(Seq.empty) ++
+        colPatches.map(_.values.flatten.toSeq).getOrElse(Seq.empty)
   }
 
   /** ANALYZE output: per-column table statistics (reference:

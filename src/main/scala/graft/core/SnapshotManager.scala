@@ -259,6 +259,9 @@ final class SnapshotManager(
       /** transform of the covered-column-id set of the secondary index
         * (applied at CAS time, like the file-list updates). */
       secCidsUpdate: Option[Option[Seq[Int]] => Seq[Int]] = None,
+      /** transform of the column→patch-file registry (data evolution);
+        * None carries it forward unchanged. */
+      colPatchUpdate: Option[Map[String, Seq[String]] => Map[String, Seq[String]]] = None,
       /** row-tracking tables: give fresh ADD files (firstRowId absent)
         * consecutive row-id ranges starting at the latest snapshot's
         * nextRowId. Resolved inside the CAS loop, so concurrent
@@ -366,7 +369,13 @@ final class SnapshotManager(
         // carried forward on every commit (deletes retire ids, never
         // reuse them); advanced only when this commit assigns fresh ones
         nextRowId = if (assignRowIds) Some(rowIdNext)
-          else latest.flatMap(_.nextRowId))
+          else latest.flatMap(_.nextRowId),
+        colPatches = colPatchUpdate match {
+          case Some(f) =>
+            val next = f(latest.flatMap(_.colPatches).getOrElse(Map.empty))
+            if (next.isEmpty) None else Some(next)
+          case None => latest.flatMap(_.colPatches)
+        })
       if (io.tryCreateAtomic(snapshotPath(nextId), Json.write(snap))) {
         io.writeString(s"$snapshotDir/LATEST", nextId.toString)
         // post-commit hook (e.g. Iceberg metadata sync): best-effort —

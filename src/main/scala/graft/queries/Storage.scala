@@ -1464,6 +1464,36 @@ object Storage {
         asDouble(col("price")).as("price"))
     },
 
+    // ---- data evolution (reference: DATA_EVOLUTION_ENABLED +
+    // DataEvolutionSplitRead): a column backfill lands as patch files
+    // overlaid at read — ZERO data files rewritten. The table loads
+    // sorted single-partition so _ROW_ID = rank(o_orderkey)-1; the
+    // 1000 lowest-ranked rows get price := o_orderkey * 2, which the
+    // oracle recomputes via the same rank. A lost overlay, a wrong
+    // row-id join, or a stale stats prune on the patched column all
+    // shift the hash.
+    QDef(
+      "g62_data_evolution",
+      """WITH ranked AS (SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_orderkey) - 1 AS rid FROM orders)
+        |SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        |  CAST(ROUND(CASE WHEN rid < 1000 THEN o_orderkey * 2.0
+        |                  ELSE o_totalprice END, 2) AS DOUBLE) AS price
+        |FROM ranked""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
+        .orderBy("o_orderkey").coalesce(1)
+      val t = GraftTable.create(s, scratch("g62"),
+        src.schema, options = Map("row-tracking.enabled" -> "true"))
+      t.write(src)
+      val patch = t.readWithRowIds()
+        .filter(col(GraftTable.RowIdCol) < 1000)
+        .select(col(GraftTable.RowIdCol),
+          (col("o_orderkey") * 2.0).as("price"))
+      t.patchColumn("price", patch)
+      t.read.select(col("o_orderkey"), asDouble(col("price")).as("price"))
+    },
+
     // ---- networked KV lookup service (reference: paimon-service
     // KvQueryServer + RemoteTableQuery): every key in the probe set is
     // fetched over HTTP through the driver-local zero-job read path,

@@ -804,6 +804,10 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType,
     import org.apache.spark.sql.connector.expressions.aggregate._
     if (snapshot.isDefined || pushed.nonEmpty || agg.groupByExpressions.nonEmpty)
       return false
+    // manifest stats describe STORED values; a column-patch overlay
+    // can change any of them, so MIN/MAX (and defensively COUNT) must
+    // run as a real scan on patched tables
+    if (gt.hasColumnPatches()) return false
     val entries = gt.sm.latestSnapshot().map(gt.sm.liveEntries).getOrElse(Seq.empty)
     val dvPresent = entries.exists(_.file.dvFile.isDefined)
     val values = agg.aggregateExpressions.toSeq.map {
@@ -881,9 +885,11 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType,
         // the native scan factory is parquet-specific; orc files read
         // through the (still vectorized) DataFrame fallback
         def allParquet = entries.forall(_.file.fileName.endsWith(".parquet"))
+        // column patches overlay values at read — the raw-file native
+        // scan cannot merge them, so patched tables use the fallback
         val nativeEligible = !gt.isPrimaryKeyTable &&
           entries.forall(e => e.file.dvFile.isEmpty && e.file.schemaId == sch.id) &&
-          allParquet
+          allParquet && !gt.hasColumnPatches(snapshot.filter(_ >= 0))
         // a FULLY-COMPACTED pk table (one level>0 file per bucket, no
         // DVs) is already merged on disk: read raw through the native
         // scan, and report bucket partitioning so PK-PK joins between
@@ -968,7 +974,9 @@ class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType,
             case s => gt.planEntries(cond, s)
           }).filter(e => e.file.firstRowId.exists(f =>
             f < hi && f + e.file.rowCount > lo))
-          val df = gt.rowIdReadFor(entries).filter(cond)
+          // the patch overlay rides on top of the pruned row-id read
+          val df = gt.rowIdReadPatched(entries, snapshot.filter(_ >= 0))
+            .filter(cond)
           val pruned =
             if (cols.isEmpty) df.select(lit(1).as("dummy"))
             else df.select(prunedProjection(df.schema): _*)

@@ -1455,8 +1455,10 @@ final class GraftTable private (
   }
 
   def readSnapshot(id: Option[Long]): DataFrame =
-    id.map(i => mergedFromEntries(sm.liveEntries(sm.snapshot(i))))
-      .getOrElse(emptyDf())
+    id.map { i =>
+      val snap = sm.snapshot(i)
+      mergedFromEntries(sm.liveEntries(snap), Some(snap))
+    }.getOrElse(emptyDf())
 
   /** Pruned manifest entries for an external planner (the DSv2 scan):
     * same partition/stats/bloom skipping as [[scan]], optionally
@@ -2085,8 +2087,109 @@ final class GraftTable private (
     else entries.filter(_.bucket != GraftTable.PostponeBucket)
 
   private[graft] def mergedFromEntries(entries: Seq[ManifestEntry]): DataFrame =
+    mergedFromEntries(entries, sm.latestSnapshot())
+
+  /** `patchSnap` pins which snapshot's column-patch registry applies —
+    * time travel reads the patches as of ITS snapshot, not today's. */
+  private[graft] def mergedFromEntries(
+      entries: Seq[ManifestEntry], patchSnap: Option[Snapshot]): DataFrame =
     if (isPrimaryKeyTable) MergeEngine.merge(readRaw(visibleEntries(entries)), schema)
-    else readAppendData(entries)
+    else {
+      val patches = colPatchesOf(patchSnap)
+      if (patches.isEmpty) readAppendData(entries)
+      else applyColumnPatches(rowIdReadFor(entries), patches)
+        .select(struct.fieldNames.map(col).toIndexedSeq: _*)
+    }
+
+  // ================= data evolution (column patches) =================
+
+  /** column → patch files visible at `snap`; columns dropped since a
+    * patch was written fall out of the map (their patches are inert). */
+  private def colPatchesOf(snap: Option[Snapshot]): Map[String, Seq[String]] =
+    snap.flatMap(_.colPatches).getOrElse(Map.empty)
+      .filter { case (c, _) => struct.fieldNames.contains(c) }
+
+  /** Whether the given (or latest) snapshot carries column patches —
+    * the DSv2 native scan cannot merge them and must fall back. */
+  private[graft] def hasColumnPatches(snapshotId: Option[Long] = None): Boolean =
+    colPatchesOf(snapshotId.map(sm.snapshot).orElse(sm.latestSnapshot())).nonEmpty
+
+  /** Backfill (or correct) ONE column for existing rows WITHOUT
+    * rewriting any data file — the Spark shape of the reference's data
+    * evolution (CoreOptions DATA_EVOLUTION_ENABLED +
+    * DataEvolutionSplitRead, which zips column files into row files at
+    * read): `values` carries (`_ROW_ID`, `<name>`) and becomes a patch
+    * parquet set registered on the snapshot; reads overlay the latest
+    * patch per row id over the stored value (a patched NULL sticks —
+    * it is an overlay, not a coalesce). A 100 TB corpus gains an
+    * embeddings/score column at the cost of the patch rows alone.
+    *
+    * Row-tracking append tables only: `_ROW_ID` is the stable join
+    * identity (and such tables forbid the rewrites that would reassign
+    * it). At most one value per row id per call. The column is added
+    * to the schema if absent. */
+  def patchColumn(name: String, values: DataFrame): Long = {
+    require(rowTracking,
+      s"column patches need row tracking (set ${GraftTable.RowTrackingEnabled})")
+    val rid = GraftTable.RowIdCol
+    require(values.columns.contains(rid), s"values must carry $rid")
+    require(values.columns.contains(name), s"values must carry the new $name values")
+    if (!schema.fields.exists(_.name == name))
+      addColumn(name, values.schema(name).dataType)
+    val fieldType = DataType.fromDDL(
+      schema.fields.find(_.name == name).get.dataType)
+    val dir = s"patch/${UUID.randomUUID()}"
+    values
+      .select(col(rid).cast("long").as("_row_id"),
+        col(name).cast(fieldType).as("value"))
+      .repartitionByRange(math.max(1, values.rdd.getNumPartitions), col("_row_id"))
+      .sortWithinPartitions("_row_id")
+      .write.parquet(s"$path/$dir")
+    val files = graft.core.FsUtil.walkAll(Paths.get(s"$path/$dir")).iterator
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(p => s"$dir/${p.getFileName}").toSeq
+    sm.commit(Seq.empty, KindAppend, schema.id,
+      colPatchUpdate = Some(m => m.updated(name, m.getOrElse(name, Seq.empty) ++ files)))
+  }
+
+  /** Pruned row-id read with the patch overlay applied (the DSv2
+    * `_ROW_ID` scan's entry point). */
+  private[graft] def rowIdReadPatched(
+      entries: Seq[ManifestEntry], snapshotId: Option[Long] = None): DataFrame =
+    applyColumnPatches(rowIdReadFor(entries),
+      colPatchesOf(snapshotId.map(sm.snapshot).orElse(sm.latestSnapshot())))
+
+  /** Overlay the registered patches onto a row-id-carrying DataFrame.
+    * Patch generation = the order of the patch DIRECTORIES in the
+    * registry list (append-ordered by the commit CAS), so later
+    * patches win per row id with no per-file sequence stored. Output
+    * keeps the input's columns. */
+  private def applyColumnPatches(
+      base: DataFrame, patches: Map[String, Seq[String]]): DataFrame = {
+    val rid = GraftTable.RowIdCol
+    patches.toSeq.sortBy(_._1).foldLeft(base) { case (df, (c, files)) =>
+      val fieldType = DataType.fromDDL(schema.fields.find(_.name == c).get.dataType)
+      def dirOf(f: String) = f.substring(0, f.lastIndexOf('/'))
+      val gens = files.map(dirOf).distinct.zipWithIndex.toMap
+      val perGen = files.groupBy(dirOf).toSeq.map { case (d, fs) =>
+        // per-generation read: generations may carry different stored
+        // types (a widen between patches); cast each up independently.
+        // The join key is renamed away from "_row_id" — Spark resolves
+        // case-insensitively, so it would collide with _ROW_ID.
+        spark.read.parquet(fs.map(f => s"$path/$f"): _*)
+          .select(col("_row_id").as("__patch_rid"),
+            col("value").cast(fieldType).as("__pv"),
+            lit(gens(d)).as("__pg"))
+      }.reduce(_ unionAll _)
+      val latest = perGen.groupBy("__patch_rid")
+        .agg(max_by(col("__pv"), col("__pg")).as("__patch"),
+          lit(true).as("__patched"))
+      df.join(latest, df(rid) === latest("__patch_rid"), "left")
+        .withColumn(c,
+          when(col("__patched"), col("__patch")).otherwise(col(c)))
+        .drop("__patch_rid", "__patch", "__patched")
+    }
+  }
 
   /** Append-table read with deletion vectors applied: files carrying a
     * DV sidecar are filtered by (file basename, row_index) liveness,
@@ -2122,7 +2225,9 @@ final class GraftTable private (
     require(rowTracking,
       s"set ${GraftTable.RowTrackingEnabled}=true at table creation")
     val snap = snapshotId.map(sm.snapshot).orElse(sm.latestSnapshot())
-    rowIdReadFor(snap.map(sm.liveEntries).getOrElse(Seq.empty))
+    applyColumnPatches(
+      rowIdReadFor(snap.map(sm.liveEntries).getOrElse(Seq.empty)),
+      colPatchesOf(snap))
   }
 
   /** Rows whose `_ROW_ID` lies in [lo, hi): files are pruned by their
@@ -2134,7 +2239,9 @@ final class GraftTable private (
     require(rowTracking,
       s"set ${GraftTable.RowTrackingEnabled}=true at table creation")
     val c = col(GraftTable.RowIdCol)
-    rowIdReadFor(rowRangeEntries(lo, hi)).filter(c >= lo && c < hi)
+    applyColumnPatches(
+      rowIdReadFor(rowRangeEntries(lo, hi)).filter(c >= lo && c < hi),
+      colPatchesOf(sm.latestSnapshot()))
   }
 
   /** The file-pruning readRowRange applies: entries whose row-id extent
@@ -2356,9 +2463,20 @@ final class GraftTable private (
     // RuntimeReplaceables, which StatsFilter's `r.foldable` guards
     // would otherwise pass over (no pruning). Folding on a one-row
     // wrapper plan turns them into plain Literals.
-    val analyzedCond = emptyDf().filter(filter).queryExecution.analyzed.collectFirst {
+    val analyzedCond0 = emptyDf().filter(filter).queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }.map(c => invertStringTransforms(foldConstants(c)))
+    // file stats/indexes describe the STORED values; a column-patch
+    // overlay can change any value, so conjuncts touching a patched
+    // column must not prune (they still filter post-overlay rows)
+    val patchedCols = colPatchesOf(Some(snap)).keySet
+    val analyzedCond =
+      if (patchedCols.isEmpty) analyzedCond0
+      else analyzedCond0.flatMap { c =>
+        val kept = splitConjuncts(c).filter(
+          _.references.toSeq.map(_.name).forall(r => !patchedCols.contains(r)))
+        kept.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+      }
     val cond = analyzedCond.flatMap { c =>
       if (!isPrimaryKeyTable) Some(c)
       else {

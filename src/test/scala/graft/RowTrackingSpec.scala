@@ -153,4 +153,77 @@ class RowTrackingSpec extends AnyFunSuite {
       .select("k", GraftTable.RowIdCol).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(old.toSeq == Seq(1L -> 0L))
   }
+
+  test("data evolution: patchColumn backfills without rewriting files") {
+    import spark.implicits._
+    val t = rtTable()
+    t.write(df1((0L, "a"), (1L, "b")))
+    t.write(df1((2L, "c")))
+    val filesBefore = t.read.inputFiles.toSet
+    // backfill a NEW column for a subset of rows (by _ROW_ID)
+    t.patchColumn("score", Seq((0L, 10.5), (2L, 30.5))
+      .toDF(GraftTable.RowIdCol, "score"))
+    val got = t.read.orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.get(2)))).toSeq
+    assert(got == Seq((0L, Some(10.5)), (1L, None), (2L, Some(30.5))), got.toString)
+    // zero data files rewritten
+    assert(t.read.inputFiles.toSet.intersect(filesBefore) == filesBefore)
+    // a later patch WINS per row id; untouched ids keep their patch
+    t.patchColumn("score", Seq((0L, 99.0)).toDF(GraftTable.RowIdCol, "score"))
+    val got2 = t.read.orderBy("k").collect().map(r => Option(r.get(2))).toSeq
+    assert(got2 == Seq(Some(99.0), None, Some(30.5)), got2.toString)
+    // patching an EXISTING column overlays — including an explicit null
+    t.patchColumn("v", Seq((1L, "patched"), (0L, null.asInstanceOf[String]))
+      .toDF(GraftTable.RowIdCol, "v"))
+    val vs = t.read.orderBy("k").collect().map(r => Option(r.getString(1))).toSeq
+    assert(vs == Seq(None, Some("patched"), Some("c")), vs.toString)
+    // time travel: the pre-patch snapshot reads the original values
+    assert(t.versionAsOf(1L).orderBy("k").collect()
+      .map(_.getString(1)).toSeq == Seq("a", "b", "c"))
+    // row-id reads see the overlay too
+    assert(t.readRowRange(1L, 2L).head.getString(1) == "patched")
+  }
+
+  test("data evolution: stats pruning never drops patched rows; DVs compose") {
+    import spark.implicits._
+    val nsch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n", LongType, nullable = true)))
+    val t = GraftTable.create(spark, tmp(), nsch,
+      options = Map(GraftTable.RowTrackingEnabled -> "true",
+        graft.core.DeletionVectors.OptionEnabled -> "true"))
+    t.write(spark.createDataFrame(
+      Seq(Row(0L, 1L), Row(1L, 2L)).asJava, nsch).coalesce(1))
+    t.write(spark.createDataFrame(
+      Seq(Row(2L, 3L), Row(3L, 4L)).asJava, nsch).coalesce(1))
+    // patch n of row 0 far beyond the stored stats range
+    t.patchColumn("n", Seq((0L, 1000L)).toDF(GraftTable.RowIdCol, "n"))
+    // stored stats say max(n)=2 for file 1 — pruning on n must not
+    // drop it, the patched row matches
+    val hit = t.scan(col("n") > 100L).collect()
+    assert(hit.length == 1 && hit.head.getLong(0) == 0L, hit.toSeq.toString)
+    // a DV delete composes: row ids stay stable, patches still apply
+    t.delete(col("k") === 1L)
+    assert(t.read.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((0L, 1000L), (2L, 3L), (3L, 4L)))
+  }
+
+  test("data evolution through SQL: fallback plan, no stale stats aggregates") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_rt.pdb")
+    spark.sql(s"""CREATE TABLE graft_rt.pdb.t (k BIGINT, n BIGINT)
+      TBLPROPERTIES ('${GraftTable.RowTrackingEnabled}'='true')""")
+    spark.sql("INSERT INTO graft_rt.pdb.t VALUES (0, 1), (1, 2)")
+    val gt = GraftTable.load(spark, s"$warehouse/pdb/t")
+    // resolve k=0's ROW ID first — id order follows file-name order,
+    // not key order
+    val rid0 = spark.sql("SELECT _ROW_ID FROM graft_rt.pdb.t WHERE k = 0")
+      .head.getLong(0)
+    gt.patchColumn("n", Seq((rid0, 500L)).toDF(GraftTable.RowIdCol, "n"))
+    // SQL sees the overlay (native scan would read raw files)
+    assert(spark.sql("SELECT n FROM graft_rt.pdb.t WHERE k = 0").head.getLong(0) == 500L)
+    // MIN/MAX must NOT answer from (stale) manifest stats
+    assert(spark.sql("SELECT max(n) FROM graft_rt.pdb.t").head.getLong(0) == 500L)
+    assert(spark.sql("SELECT count(*) FROM graft_rt.pdb.t").head.getLong(0) == 2L)
+  }
 }
