@@ -336,6 +336,18 @@ object GraftProcedures {
           args.getUTF8String(1).toString, c.pathOf(ident))
         "ok"
       }),
+    // fold a column's patch generations into one (data evolution
+    // maintenance)
+    "compact_column_patches" -> (Seq(p("table", StringType), p("column", StringType)),
+      (c, args) => {
+        val parts = args.getUTF8String(0).toString.split("\\.")
+        val ident = Identifier.of(parts.dropRight(1), parts.last)
+        val t = GraftTable.load(SparkSession.active, c.pathOf(ident))
+        t.compactColumnPatches(args.getUTF8String(1).toString) match {
+          case Some(id) => s"compacted -> snapshot $id"
+          case None => "nothing to compact"
+        }
+      }),
     // adopt an Iceberg (Hadoop-layout) table; v2 position deletes
     // convert to DV sidecars (reference: IcebergMigrator, which
     // rejects delete files)

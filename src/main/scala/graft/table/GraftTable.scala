@@ -2152,6 +2152,38 @@ final class GraftTable private (
       colPatchUpdate = Some(m => m.updated(name, m.getOrElse(name, Seq.empty) ++ files)))
   }
 
+  /** Fold every patch generation of `name` into ONE (the registry
+    * otherwise grows a generation per [[patchColumn]] call and reads
+    * pay a union + max_by over all of them): resolve the
+    * latest-per-row-id state, rewrite it as a single patch set,
+    * replace the column's registry entry. Orphaned generations are
+    * swept by remove_orphan_files once no retained snapshot pins them.
+    * Returns the new snapshot id, or None when ≤1 generation. */
+  def compactColumnPatches(name: String): Option[Long] = {
+    val files = colPatchesOf(sm.latestSnapshot()).getOrElse(name, Seq.empty)
+    def dirOf(f: String) = f.substring(0, f.lastIndexOf('/'))
+    if (files.map(dirOf).distinct.size <= 1) return None
+    val fieldType = DataType.fromDDL(schema.fields.find(_.name == name).get.dataType)
+    val gens = files.map(dirOf).distinct.zipWithIndex.toMap
+    val folded = files.groupBy(dirOf).toSeq.map { case (d, fs) =>
+      spark.read.parquet(fs.map(f => s"$path/$f"): _*)
+        .select(col("_row_id"), col("value").cast(fieldType).as("value"),
+          lit(gens(d)).as("__pg"))
+    }.reduce(_ unionAll _)
+      .groupBy("_row_id")
+      .agg(max_by(col("value"), col("__pg")).as("value"))
+    val dir = s"patch/${UUID.randomUUID()}"
+    folded.repartitionByRange(math.max(1, folded.rdd.getNumPartitions / 4).min(4),
+        col("_row_id"))
+      .sortWithinPartitions("_row_id")
+      .write.parquet(s"$path/$dir")
+    val newFiles = graft.core.FsUtil.walkAll(Paths.get(s"$path/$dir")).iterator
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(p => s"$dir/${p.getFileName}").toSeq
+    Some(sm.commit(Seq.empty, KindCompact, schema.id,
+      colPatchUpdate = Some(m => m.updated(name, newFiles))))
+  }
+
   /** Pruned row-id read with the patch overlay applied (the DSv2
     * `_ROW_ID` scan's entry point). */
   private[graft] def rowIdReadPatched(

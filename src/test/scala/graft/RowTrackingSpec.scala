@@ -225,5 +225,18 @@ class RowTrackingSpec extends AnyFunSuite {
     // MIN/MAX must NOT answer from (stale) manifest stats
     assert(spark.sql("SELECT max(n) FROM graft_rt.pdb.t").head.getLong(0) == 500L)
     assert(spark.sql("SELECT count(*) FROM graft_rt.pdb.t").head.getLong(0) == 2L)
+    // generations fold to one through the procedure; reads unchanged
+    import spark.implicits._
+    gt.patchColumn("n", Seq((rid0, 700L)).toDF(GraftTable.RowIdCol, "n"))
+    val res = spark.sql(
+      "CALL graft_rt.sys.compact_column_patches('pdb.t', 'n')").head.getString(0)
+    assert(res.contains("compacted"), res)
+    val gt2 = GraftTable.load(spark, s"$warehouse/pdb/t")
+    assert(gt2.sm.latestSnapshot().get.colPatches.get("n")
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct.size == 1)
+    assert(spark.sql("SELECT n FROM graft_rt.pdb.t WHERE k = 0").head.getLong(0) == 700L)
+    assert(spark.sql(
+      "CALL graft_rt.sys.compact_column_patches('pdb.t', 'n')").head.getString(0)
+      .contains("nothing"))
   }
 }
