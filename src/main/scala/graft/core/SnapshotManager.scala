@@ -30,9 +30,12 @@ final class SnapshotManager(
   def onCommit(hook: Long => Unit): Unit = afterCommit = hook
 
   /** CAS retry budget when commit() is called without an explicit
-    * maxRetries — set by the table layer from `commit.max-retries`
-    * (reference: CoreOptions COMMIT_MAX_RETRIES, default 20 there). */
-  @volatile var commitMaxRetries: Int = 20
+    * maxRetries — the table layer points this at the CURRENT schema's
+    * `commit.max-retries` so a setOption takes effect without a
+    * reload (reference: CoreOptions COMMIT_MAX_RETRIES, default 20). */
+  @volatile var commitMaxRetriesProvider: () => Int = () => 20
+
+  def commitMaxRetries: Int = commitMaxRetriesProvider()
 
   /** Branches keep an independent snapshot chain under
     * branch/<name>/snapshot, sharing schema/manifest/data with main
@@ -277,7 +280,7 @@ final class SnapshotManager(
     val deltaRows = entries.iterator
       .map(e => if (e.kind == "ADD") e.file.rowCount else -e.file.rowCount)
       .sum
-    val effRetries = if (maxRetries > 0) maxRetries else commitMaxRetries
+    val effRetries = if (maxRetries > 0) maxRetries else commitMaxRetriesProvider()
     var attempt = 0
     while (attempt < effRetries) {
       val latest = latestSnapshot()

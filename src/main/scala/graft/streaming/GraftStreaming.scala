@@ -118,7 +118,10 @@ object GraftStreaming {
       mode: StartupMode,
       process: (DataFrame, Long) => Unit,
       ignoreProgress: Boolean = false): Seq[Long] = {
-    if (ignoreProgress || readOffset(checkpointPath).isEmpty) {
+    // the table-option spelling of the same switch
+    val ignore = ignoreProgress ||
+      table.schema.options.get("consumer.ignore-progress").contains("true")
+    if (ignore || readOffset(checkpointPath).isEmpty) {
       val latest = table.sm.latestSnapshotId
       mode match {
         case Latest =>

@@ -84,9 +84,10 @@ final class GraftTable private (
   // shape of IcebergCommitCallback.java:102). Best-effort by contract:
   // SnapshotManager logs-and-continues if the export fails, so the
   // graft commit itself never depends on the compat layer.
-  // CAS retry budget for commits issued without an explicit override
-  // (reference: CoreOptions COMMIT_MAX_RETRIES)
-  sm.commitMaxRetries = sm.latestSchema()
+  // CAS retry budget for commits issued without an explicit override,
+  // resolved against the CURRENT schema per commit so setOption takes
+  // effect immediately (reference: CoreOptions COMMIT_MAX_RETRIES)
+  sm.commitMaxRetriesProvider = () => sm.latestSchema()
     .flatMap(_.options.get("commit.max-retries")).map(_.toInt).getOrElse(20)
 
   sm.onCommit { _ =>
@@ -1602,7 +1603,12 @@ final class GraftTable private (
     * [[topNEntries]]); final ordering still happens in the plan. */
   def readTopN(column: String, k: Int, descending: Boolean = true): DataFrame = {
     val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
-    val sorted = topNEntries(entries, column, k, descending)
+    // a column patch can move any value outside the stored stats range,
+    // so stats-based candidate selection must not drop files — the
+    // overlay + final sort stay correct on the full entry set
+    val sorted =
+      if (colPatchesOf(sm.latestSnapshot()).contains(column)) entries
+      else topNEntries(entries, column, k, descending)
     val sortCol = if (descending) col(column).desc else col(column).asc
     mergedFromEntries(sorted).orderBy(sortCol).limit(k)
   }
@@ -1855,7 +1861,9 @@ final class GraftTable private (
     * it survives expiration of the original snapshot. */
   def readTag(name: String): DataFrame =
     sm.tagSnapshot(name)
-      .map(s => mergedFromEntries(sm.liveEntries(s)))
+      // the TAG's own patch registry applies — overlaying today's
+      // patches would break tag immutability
+      .map(s => mergedFromEntries(sm.liveEntries(s), Some(s)))
       .getOrElse(emptyDf())
 
   def createTag(name: String): Unit =
@@ -2131,6 +2139,9 @@ final class GraftTable private (
   def patchColumn(name: String, values: DataFrame): Long = {
     require(rowTracking,
       s"column patches need row tracking (set ${GraftTable.RowTrackingEnabled})")
+    require(!name.contains('.'),
+      "patches apply to TOP-LEVEL columns only (a dotted name would be " +
+        "ambiguous with nested paths)")
     val rid = GraftTable.RowIdCol
     require(values.columns.contains(rid), s"values must carry $rid")
     require(values.columns.contains(name), s"values must carry the new $name values")
@@ -2138,16 +2149,9 @@ final class GraftTable private (
       addColumn(name, values.schema(name).dataType)
     val fieldType = DataType.fromDDL(
       schema.fields.find(_.name == name).get.dataType)
-    val dir = s"patch/${UUID.randomUUID()}"
-    values
+    val files = writePatchFiles(values
       .select(col(rid).cast("long").as("_row_id"),
-        col(name).cast(fieldType).as("value"))
-      .repartitionByRange(math.max(1, values.rdd.getNumPartitions), col("_row_id"))
-      .sortWithinPartitions("_row_id")
-      .write.parquet(s"$path/$dir")
-    val files = graft.core.FsUtil.walkAll(Paths.get(s"$path/$dir")).iterator
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map(p => s"$dir/${p.getFileName}").toSeq
+        col(name).cast(fieldType).as("value")))
     sm.commit(Seq.empty, KindAppend, schema.id,
       colPatchUpdate = Some(m => m.updated(name, m.getOrElse(name, Seq.empty) ++ files)))
   }
@@ -2161,27 +2165,57 @@ final class GraftTable private (
     * Returns the new snapshot id, or None when ≤1 generation. */
   def compactColumnPatches(name: String): Option[Long] = {
     val files = colPatchesOf(sm.latestSnapshot()).getOrElse(name, Seq.empty)
-    def dirOf(f: String) = f.substring(0, f.lastIndexOf('/'))
-    if (files.map(dirOf).distinct.size <= 1) return None
+    val foldedDirs = files.map(patchDirOf).distinct.toSet
+    if (foldedDirs.size <= 1) return None
     val fieldType = DataType.fromDDL(schema.fields.find(_.name == name).get.dataType)
-    val gens = files.map(dirOf).distinct.zipWithIndex.toMap
-    val folded = files.groupBy(dirOf).toSeq.map { case (d, fs) =>
-      spark.read.parquet(fs.map(f => s"$path/$f"): _*)
-        .select(col("_row_id"), col("value").cast(fieldType).as("value"),
-          lit(gens(d)).as("__pg"))
-    }.reduce(_ unionAll _)
-      .groupBy("_row_id")
-      .agg(max_by(col("value"), col("__pg")).as("value"))
+    val folded = readPatchGenerations(files, fieldType)
+      .groupBy("__patch_rid")
+      .agg(max_by(col("__pv"), col("__pg")).as("value"))
+      .withColumnRenamed("__patch_rid", "_row_id")
+    val newFiles = writePatchFiles(folded.select(col("_row_id"), col("value")))
+    // CAS-safe fold: keep any generation a CONCURRENT patchColumn
+    // appended after our read — replacing the list wholesale would
+    // silently drop that writer's committed values
+    Some(sm.commit(Seq.empty, KindCompact, schema.id,
+      colPatchUpdate = Some(m => m.updated(name,
+        newFiles ++ m.getOrElse(name, Seq.empty)
+          .filterNot(f => foldedDirs.contains(patchDirOf(f)))))))
+  }
+
+  /** patch file → its generation directory ("patch/<uuid>"). */
+  private def patchDirOf(f: String): String = f.substring(0, f.lastIndexOf('/'))
+
+  /** Write one patch generation: (_row_id, value[, …]) range-sorted by
+    * row id so probes and joins stay merge-friendly. Returns the
+    * table-relative file list to register. */
+  private def writePatchFiles(df: DataFrame): Seq[String] = {
     val dir = s"patch/${UUID.randomUUID()}"
-    folded.repartitionByRange(math.max(1, folded.rdd.getNumPartitions / 4).min(4),
+    df.repartitionByRange(
+        spark.sessionState.conf.numShufflePartitions.min(32).max(1),
         col("_row_id"))
       .sortWithinPartitions("_row_id")
       .write.parquet(s"$path/$dir")
-    val newFiles = graft.core.FsUtil.walkAll(Paths.get(s"$path/$dir")).iterator
+    graft.core.FsUtil.walkAll(Paths.get(s"$path/$dir")).iterator
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .map(p => s"$dir/${p.getFileName}").toSeq
-    Some(sm.commit(Seq.empty, KindCompact, schema.id,
-      colPatchUpdate = Some(m => m.updated(name, newFiles))))
+  }
+
+  /** All generations of a column's patch files as
+    * (__patch_rid, __pv, __pg): generation = the order of the patch
+    * DIRECTORIES in the registry list (append-ordered by the commit
+    * CAS). Generations may carry different stored types (a widen
+    * between patches), so each is cast up independently. The row-id
+    * column is renamed away from "_row_id" — Spark resolves
+    * case-insensitively, so it would collide with _ROW_ID downstream. */
+  private def readPatchGenerations(
+      files: Seq[String], fieldType: DataType): DataFrame = {
+    val gens = files.map(patchDirOf).distinct.zipWithIndex.toMap
+    files.groupBy(patchDirOf).toSeq.map { case (d, fs) =>
+      spark.read.parquet(fs.map(f => s"$path/$f"): _*)
+        .select(col("_row_id").as("__patch_rid"),
+          col("value").cast(fieldType).as("__pv"),
+          lit(gens(d)).as("__pg"))
+    }.reduce(_ unionAll _)
   }
 
   /** Pruned row-id read with the patch overlay applied (the DSv2
@@ -2201,19 +2235,8 @@ final class GraftTable private (
     val rid = GraftTable.RowIdCol
     patches.toSeq.sortBy(_._1).foldLeft(base) { case (df, (c, files)) =>
       val fieldType = DataType.fromDDL(schema.fields.find(_.name == c).get.dataType)
-      def dirOf(f: String) = f.substring(0, f.lastIndexOf('/'))
-      val gens = files.map(dirOf).distinct.zipWithIndex.toMap
-      val perGen = files.groupBy(dirOf).toSeq.map { case (d, fs) =>
-        // per-generation read: generations may carry different stored
-        // types (a widen between patches); cast each up independently.
-        // The join key is renamed away from "_row_id" — Spark resolves
-        // case-insensitively, so it would collide with _ROW_ID.
-        spark.read.parquet(fs.map(f => s"$path/$f"): _*)
-          .select(col("_row_id").as("__patch_rid"),
-            col("value").cast(fieldType).as("__pv"),
-            lit(gens(d)).as("__pg"))
-      }.reduce(_ unionAll _)
-      val latest = perGen.groupBy("__patch_rid")
+      val latest = readPatchGenerations(files, fieldType)
+        .groupBy("__patch_rid")
         .agg(max_by(col("__pv"), col("__pg")).as("__patch"),
           lit(true).as("__patched"))
       df.join(latest, df(rid) === latest("__patch_rid"), "left")
@@ -3326,6 +3349,9 @@ final class GraftTable private (
       hitsOf: DataFrame => Option[Set[String]]): Seq[ManifestEntry] = {
     val snap = sm.latestSnapshot().getOrElse(return Seq.empty)
     val entries = visibleEntries(sm.liveEntries(snap))
+    // a column patch can rewrite text the write-time postings never
+    // saw — the index is stale for patched columns, so fail OPEN
+    if (colPatchesOf(Some(snap)).contains(column)) return entries
     val stPath = s"$path/index-text/$column/state.json"
     val st =
       try {
@@ -3488,7 +3514,7 @@ final class GraftTable private (
     val cutoff = System.currentTimeMillis() - graceMillis
     val roots = Seq(s"$path/data", s"$path/index", s"$path/staging",
       s"$path/changelog", s"$path/index-dyn", s"$path/index-global",
-      s"$path/index-sec", s"$path/blob")
+      s"$path/index-sec", s"$path/blob", s"$path/patch")
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     roots.foreach { root =>
       val rp = Paths.get(root)

@@ -184,6 +184,54 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(t.readRowRange(1L, 2L).head.getString(1) == "patched")
   }
 
+  test("data evolution: tags stay immutable; top-N and text search see patches") {
+    import spark.implicits._
+    val t = rtTable()
+    t.write(df1((0L, "alpha words"), (1L, "beta words")))
+    t.createTag("pre")
+    t.patchColumn("v", Seq((0L, "gamma text")).toDF(GraftTable.RowIdCol, "v"))
+    // the tag reads ITS OWN patch registry (none), not today's
+    assert(t.readTag("pre").orderBy("k").collect().map(_.getString(1)).toSeq
+      == Seq("alpha words", "beta words"))
+    assert(t.read.orderBy("k").collect().map(_.getString(1)).toSeq
+      == Seq("gamma text", "beta words"))
+    // a patched value outside stored stats must win the top-1
+    val nt = GraftTable.create(spark, tmp(), StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("n", LongType, nullable = true))),
+      options = Map(GraftTable.RowTrackingEnabled -> "true"))
+    nt.write(spark.createDataFrame(Seq(Row(0L, 1L), Row(1L, 2L)).asJava,
+      nt.schema.toStruct).coalesce(1))
+    nt.write(spark.createDataFrame(Seq(Row(2L, 50L)).asJava,
+      nt.schema.toStruct).coalesce(1))
+    nt.patchColumn("n", Seq((0L, 1000L)).toDF(GraftTable.RowIdCol, "n"))
+    assert(nt.readTopN("n", 1).head.getLong(1) == 1000L)
+    // a text-indexed patched column fails OPEN: the patched row is found
+    val tt = rtTable()
+    tt.write(df1((0L, "quiet filler"), (1L, "other filler")))
+    tt.rebuildTextIndex("v")
+    tt.patchColumn("v", Seq((0L, "needle content")).toDF(GraftTable.RowIdCol, "v"))
+    assert(tt.searchText("v", "needle").collect().map(_.getLong(0)).toSeq == Seq(0L))
+    // dotted names are rejected up front (nested-path ambiguity)
+    intercept[IllegalArgumentException](
+      tt.patchColumn("a.b", Seq((0L, "x")).toDF(GraftTable.RowIdCol, "a.b")))
+  }
+
+  test("data evolution: orphaned patch generations are swept") {
+    import spark.implicits._
+    val t = rtTable()
+    t.write(df1((0L, "a")))
+    t.patchColumn("score", Seq((0L, 1.0)).toDF(GraftTable.RowIdCol, "score"))
+    // simulate a crashed writer: a patch dir that no snapshot registers
+    val orphanDir = java.nio.file.Paths.get(s"${t.path}/patch/orphan-gen")
+    Files.createDirectories(orphanDir)
+    Files.write(orphanDir.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    val removed = t.removeOrphanFiles(graceMillis = 0L)
+    assert(removed.exists(_.contains("orphan-gen")), removed.toString)
+    // the REGISTERED generation survives and reads stay correct
+    assert(t.read.head.getDouble(2) == 1.0)
+  }
+
   test("data evolution: stats pruning never drops patched rows; DVs compose") {
     import spark.implicits._
     val nsch = StructType(Seq(
