@@ -232,6 +232,30 @@ object Meta {
   case class TableStats(
       snapshotId: Long, rowCount: Long, cols: Map[String, ColAnalyzed])
 
+  /** `"7 d"` / `"12h"` / `"30 m"` / `"45s"` / `"500 ms"` → millis
+    * (the duration shape the reference's duration options accept). */
+  def parseDurationMillis(s: String): Long = {
+    val m = "(?i)^\\s*(\\d+)\\s*(ms|s|m|h|d)\\s*$".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse duration '$s' (want <n> ms|s|m|h|d)"))
+    val n = m.group(1).toLong
+    m.group(2).toLowerCase match {
+      case "ms" => n
+      case "s" => n * 1000L
+      case "m" => n * 60000L
+      case "h" => n * 3600000L
+      case "d" => n * 86400000L
+    }
+  }
+
+  /** One expired snapshot's persisted changelog kept beyond the
+    * snapshot's own lifetime (reference: the Changelog long-lived
+    * chain under `changelog.num-retained.max` / `changelog
+    * .time-retained` — a lagging streaming reader still gets EXACT
+    * pairs for snapshots expiration already removed). */
+  case class RetainedChangelog(snapshotId: Long, manifest: String, timeMillis: Long)
+
   /** Hidden columns on primary-key table data files. */
   val SeqCol = "_graft_seq"
   val KindCol = "_graft_kind"

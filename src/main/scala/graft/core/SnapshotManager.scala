@@ -398,6 +398,47 @@ final class SnapshotManager(
   /** Drop snapshots older than the `retain` most recent ones and any
     * data/manifest files no surviving snapshot references.
     * (reference: ExpireSnapshotsImpl.java:49) */
+  private def retainedDir = branch match {
+    case Some(b) => s"$tablePath/branch/$b/changelog-retained"
+    case None => s"$tablePath/changelog-retained"
+  }
+
+  /** Retained changelogs, ascending by snapshot id. */
+  def retainedChangelogs: Seq[Meta.RetainedChangelog] =
+    io.list(retainedDir).map(_.split('/').last)
+      .collect { case n if n.startsWith("retained-") && n.endsWith(".json") =>
+        Json.read(io.readString(s"$retainedDir/$n"), classOf[Meta.RetainedChangelog])
+      }.sortBy(_.snapshotId)
+
+  /** Whether the schema options enable the decoupled changelog
+    * lifetime; (maxCount, maxAgeMillis). */
+  private def changelogRetention: (Option[Int], Option[Long]) = {
+    val opts = latestSchema().map(_.options).getOrElse(Map.empty)
+    (opts.get("changelog.num-retained.max").map(_.toInt),
+      opts.get("changelog.time-retained").map(Meta.parseDurationMillis))
+  }
+
+  /** Drop retained changelogs past the caps; delete their manifests
+    * and files (exact-changelog files are referenced by nothing
+    * else once the snapshot itself is gone). */
+  private def trimRetainedChangelogs(): Unit = {
+    val (maxN, maxAge) = changelogRetention
+    val all = retainedChangelogs
+    val cutoff = maxAge.map(System.currentTimeMillis() - _)
+    val overCount = maxN.map(n => math.max(0, all.size - n)).getOrElse(0)
+    val drop = all.zipWithIndex.filter { case (r, i) =>
+      i < overCount || cutoff.exists(r.timeMillis < _)
+    }.map(_._1)
+    drop.foreach { r =>
+      try {
+        readManifest(r.manifest).map(_.file.fileName).distinct
+          .foreach(f => io.delete(s"$tablePath/$f"))
+        io.delete(s"$manifestDir/${r.manifest}")
+      } catch { case scala.util.control.NonFatal(_) => () }
+      io.delete(s"$retainedDir/retained-${r.snapshotId}.json")
+    }
+  }
+
   def expireSnapshots(retain: Int): Seq[Long] = {
     val ids = snapshotIds
     if (ids.size <= retain) return Seq.empty
@@ -428,6 +469,23 @@ final class SnapshotManager(
     // share manifests, so deleting while iterating would break the
     // later reads (manifest merging makes sharing the common case)
     val dropped = drop.map(snapshot)
+    // decoupled changelog lifetime: expired snapshots' EXACT changelog
+    // pairs outlive them when changelog retention is configured —
+    // record them, protect their manifests/files from this sweep, then
+    // trim by the changelog's own caps
+    val (clMaxN, clMaxAge) = changelogRetention
+    val clRetainOn = clMaxN.isDefined || clMaxAge.isDefined
+    val clProtect: (Set[String], Set[String]) =
+      if (!clRetainOn) (Set.empty, Set.empty)
+      else {
+        dropped.filter(_.changelogManifest.isDefined).foreach { s =>
+          io.writeString(s"$retainedDir/retained-${s.id}.json",
+            Json.write(Meta.RetainedChangelog(s.id, s.changelogManifest.get, s.timeMillis)))
+        }
+        val kept = retainedChangelogs
+        (kept.flatMap(r => readManifest(r.manifest).map(_.file.fileName)).toSet,
+          kept.map(_.manifest).toSet)
+      }
     val dropManifests = dropped.flatMap(s =>
       (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest ++ s.changelogManifest)
       .distinct
@@ -436,11 +494,12 @@ final class SnapshotManager(
         s.changelogManifest.toSeq.flatMap(readManifest))
       .map(_.file.fileName) ++
       dropped.flatMap(_.indexSidecars)).distinct
-    dropFiles.filterNot(liveFiles.contains)
+    dropFiles.filterNot(f => liveFiles.contains(f) || clProtect._1.contains(f))
       .foreach(f => io.delete(s"$tablePath/$f"))
-    dropManifests.filterNot(liveManifests.contains)
+    dropManifests.filterNot(m => liveManifests.contains(m) || clProtect._2.contains(m))
       .foreach(m => io.delete(s"$manifestDir/$m"))
     drop.foreach(id => io.delete(snapshotPath(id)))
+    if (clRetainOn) trimRetainedChangelogs()
     drop
   }
 

@@ -80,11 +80,25 @@ object GraftStreaming {
       process: (DataFrame, Long) => Unit): Seq[Long] = {
     val from = readOffset(checkpointPath).getOrElse(-1L)
     val to = table.sm.latestSnapshotId.getOrElse(return Seq.empty)
-    val ids = table.sm.snapshotIds.filter(i => i > from && i <= to)
+    val live = table.sm.snapshotIds.filter(i => i > from && i <= to)
+    val liveSet = live.toSet
+    // snapshots expiration removed but whose exact changelog was
+    // retained (changelog.num-retained / time-retained) still serve a
+    // lagging consumer — their ids interleave before the live ones
+    val retained = table.sm.retainedChangelogs
+      .filter(r => r.snapshotId > from && r.snapshotId <= to &&
+        !liveSet.contains(r.snapshotId))
+      .map(r => r.snapshotId -> r.manifest).toMap
+    val ids = (live ++ retained.keys).distinct.sorted
     ids.foreach { id =>
-      val snap = table.sm.snapshot(id)
-      if (snap.commitKind != Meta.KindCompact) {
-        process(table.incrementalRead(id - 1, id), id)
+      retained.get(id) match {
+        case Some(manifest) =>
+          process(table.readRetainedChangelog(manifest), id)
+        case None =>
+          val snap = table.sm.snapshot(id)
+          if (snap.commitKind != Meta.KindCompact) {
+            process(table.incrementalRead(id - 1, id), id)
+          }
       }
       writeOffset(checkpointPath, id) // advance after each snapshot
     }

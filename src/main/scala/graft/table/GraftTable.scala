@@ -2361,6 +2361,13 @@ final class GraftTable private (
     * as -D kinded rows in the delta files themselves. */
   def incrementalRead(fromExclusive: Long, toInclusive: Long): DataFrame = {
     val ids = sm.snapshotIds.filter(i => i > fromExclusive && i <= toInclusive)
+    val idSet = ids.toSet
+    // ids in range whose snapshot EXPIRED but whose exact changelog
+    // was retained (changelog.num-retained / time-retained): their
+    // pairs still serve — a lagging reader loses nothing
+    val retainedInRange = sm.retainedChangelogs.filter(r =>
+      r.snapshotId > fromExclusive && r.snapshotId <= toInclusive &&
+        !idSet.contains(r.snapshotId))
     // changelog-producer=full-compaction: changes surface ONLY at full
     // compactions, which persist the exact accumulated pairs — serve
     // those directly (zero derivation) and ignore append deltas, which
@@ -2368,17 +2375,19 @@ final class GraftTable private (
     // incremental scan mode over that producer).
     if (isPrimaryKeyTable && schema.changelogProducer == "full-compaction") {
       val outCols = (struct.fieldNames :+ "_row_kind").map(col).toIndexedSeq
-      val cl = ids.map(sm.snapshot).flatMap(_.changelogManifest)
+      val cl = ids.map(sm.snapshot).flatMap(_.changelogManifest) ++
+        retainedInRange.map(_.manifest)
       return readChangelogFiles(cl.flatMap(sm.readManifest)).select(outCols: _*)
     }
     val snaps = ids.map(sm.snapshot).filter(_.commitKind != KindCompact)
     // snapshots with a persisted changelog serve exact -U/+U pairs
     // directly (changelog-producer=lookup); the rest derive from deltas
     val (withCl, withoutCl) = snaps.partition(_.changelogManifest.isDefined)
+    val clManifests = withCl.flatMap(_.changelogManifest) ++
+      retainedInRange.map(_.manifest)
     val clRows =
-      if (withCl.isEmpty) None
-      else Some(readChangelogFiles(
-        withCl.flatMap(s => sm.readManifest(s.changelogManifest.get))))
+      if (clManifests.isEmpty) None
+      else Some(readChangelogFiles(clManifests.flatMap(sm.readManifest)))
     val deltas = withoutCl
       .flatMap(s => s.deltaManifest.map(sm.readManifest))
     val addEntries = deltas.flatMap { delta =>
@@ -4179,6 +4188,12 @@ final class GraftTable private (
   }
 
   /** Changelog rows persisted for a snapshot, if any. */
+  /** Exact changelog pairs of one RETAINED (post-expiration)
+    * changelog manifest — served to lagging streaming consumers. */
+  private[graft] def readRetainedChangelog(manifest: String): DataFrame =
+    readChangelogFiles(sm.readManifest(manifest))
+      .select((struct.fieldNames :+ "_row_kind").map(col).toIndexedSeq: _*)
+
   private def readChangelogFiles(entries: Seq[ManifestEntry]): DataFrame = {
     val clSchema = StructType(struct.fields :+
       StructField("_row_kind", org.apache.spark.sql.types.StringType, nullable = false))
@@ -4729,20 +4744,7 @@ object GraftTable {
 
   /** `"7 d"` / `"12h"` / `"30 m"` / `"45s"` / `"500 ms"` → millis
     * (the duration shape the reference's duration options accept). */
-  def parseDurationMillis(s: String): Long = {
-    val m = "(?i)^\\s*(\\d+)\\s*(ms|s|m|h|d)\\s*$".r
-      .findFirstMatchIn(s)
-      .getOrElse(throw new IllegalArgumentException(
-        s"cannot parse duration '$s' (want <n> ms|s|m|h|d)"))
-    val n = m.group(1).toLong
-    m.group(2).toLowerCase match {
-      case "ms" => n
-      case "s" => n * 1000L
-      case "m" => n * 60000L
-      case "h" => n * 3600000L
-      case "d" => n * 86400000L
-    }
-  }
+  def parseDurationMillis(s: String): Long = Meta.parseDurationMillis(s)
 
   /** `"128mb"` / `"1 gb"` / `"64 kb"` / `"1048576"` → bytes (the
     * MemorySize shape the reference's size options accept). */

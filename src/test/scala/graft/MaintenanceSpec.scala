@@ -300,6 +300,51 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.read.filter(col("dt") === "p").count() == 1L)
   }
 
+  test("changelog retention outlives snapshot expiration; caps trim it") {
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    def df(rows: (Long, String)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, sch)
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"), options = Map(
+        "changelog-producer" -> "lookup",
+        "changelog.num-retained.max" -> "10"))
+    t.write(df((1L, "a")))
+    t.write(df((1L, "a2"), (2L, "b")))
+    t.write(df((2L, "b2")))
+    val before = t.incrementalRead(0L, 2L)
+      .select("k", "v", "_row_kind").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(before.nonEmpty)
+    // expire everything but the head: the persisted changelog outlives
+    t.expireSnapshots(retain = 1)
+    assert(t.sm.retainedChangelogs.map(_.snapshotId).toSeq == Seq(0L, 1L))
+    val after = t.incrementalRead(0L, 2L)
+      .select("k", "v", "_row_kind").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(after == before, s"retained changelog must serve the expired range\n$after\nvs\n$before")
+    // a lagging streaming consumer drains the retained ids
+    val cp = s"${Files.createTempDirectory("graft-clret")}/off"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cp), "0".getBytes)
+    var seen = Vector.empty[Long]
+    graft.streaming.GraftStreaming.processChangelog(t, cp, (_, id) => seen :+= id)
+    assert(seen == Vector(1L, 2L), seen.toString)
+    // a tighter cap trims the oldest retained entries and their files
+    t.setOption("changelog.num-retained.max", "1")
+    val t2 = GraftTable.load(spark, t.path)
+    t2.write(df((3L, "c")))
+    t2.expireSnapshots(retain = 1)
+    assert(t2.sm.retainedChangelogs.size <= 1,
+      t2.sm.retainedChangelogs.toString)
+    // control: WITHOUT the options, expiration removes changelogs
+    val c = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"), options = Map("changelog-producer" -> "lookup"))
+    c.write(df((1L, "a"))); c.write(df((1L, "a2")))
+    c.expireSnapshots(retain = 1)
+    assert(c.sm.retainedChangelogs.isEmpty)
+  }
+
   test("automatic snapshot retention: num-retained.max caps history at commit") {
     val sch = StructType(Seq(StructField("k", LongType, nullable = false)))
     def df(v: Long) = spark.createDataFrame(Seq(Row(v)).asJava, sch)
