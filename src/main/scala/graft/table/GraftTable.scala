@@ -1230,6 +1230,20 @@ final class GraftTable private (
     }
     val indexed = buildFileIndexes(sch, added)
     val deletes = deletesFor(indexed)
+    // snapshot.ignore-empty-commit: an all-empty batch (zero rows, no
+    // deletes, no changelog) creates no snapshot — streaming sinks
+    // with empty epochs stop minting history (reference: CoreOptions
+    // SNAPSHOT_IGNORE_EMPTY_COMMIT). The already-moved 0-row part
+    // files are removed inline, not left as orphans.
+    if (deletes.isEmpty && changelogManifest.isEmpty &&
+        indexed.forall(_.file.rowCount == 0L) &&
+        sch.options.get("snapshot.ignore-empty-commit").contains("true")) {
+      indexed.foreach { e =>
+        e.file.indexFiles.foreach(_.values.foreach(f => sm.io.delete(s"$path/$f")))
+        sm.io.delete(s"$path/${e.file.fileName}")
+      }
+      return sm.latestSnapshotId.getOrElse(-1L)
+    }
     val deletedNames = deletes.map(_.file.fileName).toSet
     val (secMarked, secUpdate, secCids) = buildSecondaryIndex(sch, indexed, {
       val live = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
@@ -4977,7 +4991,13 @@ object GraftTable {
           case None => Some(Meta.ManifestEntry("ADD", Map.empty, 0, meta))
           case Some(pos) =>
             val bm = new org.roaringbitmap.RoaringBitmap()
-            pos.foreach(p => bm.add(p.toInt))
+            pos.foreach { p =>
+              // the DV sidecar is a 32-bit roaring bitmap; a >2^31 row
+              // position would silently truncate
+              require(p >= 0 && p <= Int.MaxValue,
+                s"position delete $p exceeds the 32-bit DV range")
+              bm.add(p.toInt)
+            }
             val dvRel = s"index/${UUID.randomUUID()}.dv"
             t.sm.io.writeBytes(s"$path/$dvRel", DeletionVectors.serialize(bm))
             Some(Meta.ManifestEntry("ADD", Map.empty, 0, meta.copy(

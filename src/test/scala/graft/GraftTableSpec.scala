@@ -392,6 +392,21 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.countRowsFast().contains(2L))
   }
 
+  test("snapshot.ignore-empty-commit: empty batches mint no history") {
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      options = Map("snapshot.ignore-empty-commit" -> "true"))
+    val s1 = t.write(kvDf((1L, "a", 10L, 0L)))
+    val s2 = t.write(kvDf()) // empty batch → no new snapshot
+    assert(s2 == s1)
+    assert(t.systemSnapshots.count() == 1)
+    assert(t.read.count() == 1)
+    // without the option an empty commit still creates a snapshot
+    val c = GraftTable.create(spark, tmp(), kvSchema)
+    c.write(kvDf((1L, "a", 10L, 0L)))
+    c.write(kvDf())
+    assert(c.systemSnapshots.count() == 2)
+  }
+
   test("file.block-size parses and reaches the parquet writer") {
     assert(GraftTable.parseBytes("64kb") == 64L << 10)
     assert(GraftTable.parseBytes("128 MB") == 128L << 20)
