@@ -32,6 +32,32 @@ object Sampling {
     df.filter(sampleKey(col(idCol)) < (fraction * Mod).toLong)
   }
 
+  /** Deterministic train/validation/test (or any N-way) split
+    * assignment: each row's split follows its id's [[sampleKey]]
+    * position within [0, 1) against the cumulative weight boundaries —
+    * membership is a pure function of the id, so re-runs, top-ups and
+    * different engines assign identically, and a document NEVER
+    * migrates between splits as the corpus grows (the leakage-safety
+    * property ad-hoc `rand()` splits lack).
+    *
+    * @param splits ordered (label, weight); weights need not sum to 1
+    *               — they are normalized. Per-row expression, zero
+    *               shuffles.
+    */
+  def splitAssign(
+      df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), s"bad splits $splits")
+    val total = splits.map(_._2).sum
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail.map(_ / total)
+    val key = sampleKey(col(idCol))
+    val expr = splits.zip(bounds).foldRight(lit(splits.last._1)) {
+      case (((label, _), bound), rest) =>
+        when(key < (bound * Mod).toLong, label).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+
   /** Mix sources to target quotas: for each source, keep the `quota`
     * rows with the smallest sample keys (ties broken by id, so the
     * selection is total-ordered and reproducible).

@@ -838,6 +838,29 @@ object Pipeline {
         tbl(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", weights, dims, bias = -0.1)
         .select(col("doc_id"), asDouble(col("score"), 6).as("score"))
+    },
+
+    // ---- deterministic train/val/test split assignment: membership
+    // is a pure function of the id (double-Lehmer key vs cumulative
+    // weight boundaries), so re-runs and corpus growth never migrate
+    // a document between splits. The oracle recomputes the identical
+    // integer arithmetic; FLOOR matches Scala's toLong truncation at
+    // the boundaries.
+    QDef(
+      "p26_split_assign",
+      """WITH s AS (SELECT doc_id,
+        |    ((doc_id * 48271) % 2147483647 * 48271) % 2147483647 AS key
+        |  FROM documents)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CASE WHEN key < CAST(FLOOR(0.8 * 2147483647) AS BIGINT) THEN 'train'
+        |       WHEN key < CAST(FLOOR(0.9 * 2147483647) AS BIGINT) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM s""".stripMargin) { (s, dir) =>
+      import graft.operators.Sampling
+      Sampling.splitAssign(
+        tbl(s, dir, "documents").select(col("doc_id")),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
     })
 
   /** embeddings ∪ deterministic perturbed copies (id + 100000, same

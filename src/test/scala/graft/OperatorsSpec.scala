@@ -533,6 +533,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(sb.forall(s => math.abs(s - 1.0 / (1.0 + math.exp(-2.0))) < 1e-12))
   }
 
+  test("splitAssign: deterministic, growth-stable, proportional") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val small = spark.range(0, 1000).toDF("id")
+    val big = spark.range(0, 10000).toDF("id")
+    val a1 = Sampling.splitAssign(small, "id", splits)
+      .as[(Long, String)].collect().toMap
+    // growing the corpus NEVER migrates an existing id between splits
+    val a2 = Sampling.splitAssign(big, "id", splits)
+      .as[(Long, String)].collect().toMap
+    assert(a1.forall { case (id, s) => a2(id) == s })
+    // proportions land near the weights
+    val counts = a2.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 8000) < 400, counts.toString)
+    assert(math.abs(counts("val") - 1000) < 200, counts.toString)
+    assert(math.abs(counts("test") - 1000) < 200, counts.toString)
+    // un-normalized weights normalize
+    val b = Sampling.splitAssign(small, "id", Seq("a" -> 3.0, "b" -> 1.0))
+      .as[(Long, String)].collect().toMap
+    assert(math.abs(b.values.count(_ == "a") - 750) < 100)
+    intercept[IllegalArgumentException](
+      Sampling.splitAssign(small, "id", Seq("x" -> 0.0)))
+  }
+
   test("incremental dedup == one-shot dedup over the union") {
     import spark.implicits._
     import graft.operators.Dedup
