@@ -426,7 +426,32 @@ class GraftMicroBatchStream(
   private def streamOpt(key: String): Option[String] =
     readOptions.get(key).orElse(gt.schema.options.get(key))
 
-  override def initialOffset(): Offset = GraftOffset(-1L)
+  /** Startup position (reference: CoreOptions.StartupMode via
+    * `scan.mode` + `scan.snapshot-id` / `scan.timestamp-millis` read
+    * options):
+    *  - default / `latest-full`: the full current content, then changes
+    *  - `latest`: only snapshots committed AFTER the query starts
+    *  - `from-snapshot`: every snapshot from `scan.snapshot-id` on
+    *  - `from-timestamp`: every snapshot committed at/after
+    *    `scan.timestamp-millis` */
+  private lazy val startOffset: Long = streamOpt("scan.mode") match {
+    case Some("latest") => sm.latestSnapshotId.getOrElse(-1L)
+    case Some("from-snapshot") =>
+      streamOpt("scan.snapshot-id").map(_.toLong - 1L).getOrElse(
+        throw new IllegalArgumentException(
+          "scan.mode=from-snapshot needs scan.snapshot-id"))
+    case Some("from-timestamp") =>
+      val ts = streamOpt("scan.timestamp-millis").map(_.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          "scan.mode=from-timestamp needs scan.timestamp-millis"))
+      sm.snapshotIds.map(sm.snapshot).filter(_.timeMillis < ts)
+        .map(_.id).sorted.lastOption.getOrElse(-1L)
+    case Some("latest-full") | None => -1L
+    case Some(other) => throw new IllegalArgumentException(
+      s"unsupported scan.mode: $other")
+  }
+
+  override def initialOffset(): Offset = GraftOffset(startOffset)
 
   /** Trigger.AvailableNow support, implemented natively (not via
     * Spark's wrapper — the wrapper does not delegate

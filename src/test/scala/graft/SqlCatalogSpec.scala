@@ -599,6 +599,43 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(received.size == 2, "checkpoint restart must not replay old snapshots")
   }
 
+  test("readStream scan.mode positions the stream start") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db8m")
+    spark.sql("CREATE TABLE graft.db8m.t (k BIGINT)")
+    spark.sql("INSERT INTO graft.db8m.t VALUES (1)")
+    spark.sql("INSERT INTO graft.db8m.t VALUES (2)")
+    def drain(opts: Map[String, String]): Seq[Long] = {
+      val ckpt = Files.createTempDirectory("graft-mode").toString
+      val received = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var r = spark.readStream
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.table("graft.db8m.t").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          received.synchronized { received ++= df.collect().map(_.getLong(0)) }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+      received.sorted.toSeq
+    }
+    // default (latest-full): the whole history drains
+    assert(drain(Map.empty) == Seq(1L, 2L))
+    // latest: nothing yet committed after the start → empty drain
+    assert(drain(Map("scan.mode" -> "latest")).isEmpty)
+    // from-snapshot: starts at the given snapshot id
+    assert(drain(Map("scan.mode" -> "from-snapshot", "scan.snapshot-id" -> "1"))
+      == Seq(2L))
+    // from-timestamp: everything at/after the 2nd commit's time
+    val t = graft.table.GraftTable.load(spark, s"$warehouse/db8m/t")
+    val ts2 = t.sm.snapshot(1L).timeMillis
+    assert(drain(Map("scan.mode" -> "from-timestamp",
+      "scan.timestamp-millis" -> ts2.toString)) == Seq(2L))
+    val e = intercept[Exception](drain(Map("scan.mode" -> "bogus")))
+    assert(e.toString.contains("bogus") ||
+      Option(e.getCause).exists(_.toString.contains("bogus")), e.toString)
+  }
+
   test("bounded readStream drains to scan.bounded.watermark and terminates") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db10")
     spark.sql("DROP TABLE IF EXISTS graft.db10.t")
