@@ -202,9 +202,31 @@ final class GraftTable private (
   }
 
   private def upsert(df: DataFrame, commitIdentifier: Long): Long = {
+    val sch = schema
+    // rowkind.field (reference: CoreOptions.ROWKIND_FIELD): a data
+    // column carries each record's change kind as +I/-U/+U/-D — the
+    // standard shape of CDC feeds landed as DataFrames. The column
+    // stays part of the row; only the kind routing consumes it.
+    val kinded = sch.options.get("rowkind.field") match {
+      case Some(f) if df.columns.contains(f) =>
+        df.withColumn(KindCol,
+          when(col(f) === "+I", KindInsert)
+            .when(col(f) === "-U", KindUpdateBefore)
+            .when(col(f) === "+U", KindUpdateAfter)
+            .when(col(f) === "-D", KindDelete)
+            .otherwise(KindInsert).cast("byte"))
+      case _ =>
+        if (df.columns.contains(KindCol)) df
+        else df.withColumn(KindCol, lit(KindInsert).cast("byte"))
+    }
+    // ignore-delete (reference: CoreOptions.IGNORE_DELETE): drop
+    // incoming retractions instead of applying them — the standard
+    // guard for CDC feeds whose deletes must not reach the table
     val withKind =
-      if (df.columns.contains(KindCol)) df
-      else df.withColumn(KindCol, lit(KindInsert).cast("byte"))
+      if (sch.options.get("ignore-delete").contains("true"))
+        kinded.filter(col(KindCol) =!= KindDelete &&
+          col(KindCol) =!= KindUpdateBefore)
+      else kinded
     writeKinded(withKind, commitIdentifier)
   }
 

@@ -55,7 +55,22 @@ object MergeEngine {
   private def ordering(schema: TableSchema, arrivalTiebreak: Option[Column]): Column = {
     val tie = tiebreak(arrivalTiebreak)
     schema.sequenceField match {
-      case Some(f) => struct(col(f), tie)
+      case Some(f) =>
+        // sequence.field.sort-order=descending (reference: CoreOptions
+        // SEQUENCE_FIELD_SORT_ORDER): the SMALLEST sequence value wins.
+        // Negation inverts the comparison inside the same max_by fold;
+        // restricted to numeric sequence fields.
+        val desc = schema.options
+          .get("sequence.field.sort-order").contains("descending")
+        val seqCol =
+          if (!desc) col(f)
+          else schema.toStruct.fields.find(_.name == f).map(_.dataType) match {
+            case Some(_: org.apache.spark.sql.types.NumericType) => lit(0) - col(f)
+            case other => throw new IllegalArgumentException(
+              "sequence.field.sort-order=descending needs a numeric " +
+                s"sequence field, got $other")
+          }
+        struct(seqCol, tie)
       case None => struct(tie)
     }
   }

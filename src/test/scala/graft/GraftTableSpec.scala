@@ -418,6 +418,44 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.read.count() == 1)
   }
 
+  test("CDC write knobs: rowkind.field, ignore-delete, descending sequence") {
+    val cdcSchema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true),
+      StructField("op", StringType, nullable = true),
+      StructField("seq", LongType, nullable = true)))
+    def df(rows: (Long, String, String, Long)*) =
+      spark.createDataFrame(
+        rows.map(r => Row(r._1, r._2, r._3, r._4)).asJava, cdcSchema)
+    // rowkind.field: the op column routes kinds
+    val t = GraftTable.create(spark, tmp(), cdcSchema,
+      primaryKeys = Seq("k"), options = Map(
+        "rowkind.field" -> "op", "sequence.field" -> "seq"))
+    t.write(df((1L, "a", "+I", 1L), (2L, "b", "+I", 1L)))
+    t.write(df((1L, "a2", "+U", 2L), (2L, null, "-D", 2L)))
+    assert(t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a2")))
+    // ignore-delete: -D and -U retractions never reach the table
+    val t2 = GraftTable.create(spark, tmp(), cdcSchema,
+      primaryKeys = Seq("k"), options = Map(
+        "rowkind.field" -> "op", "sequence.field" -> "seq",
+        "ignore-delete" -> "true"))
+    t2.write(df((1L, "a", "+I", 1L)))
+    t2.write(df((1L, null, "-D", 2L), (2L, "b", "+I", 2L)))
+    assert(t2.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((1L, "a"), (2L, "b")))
+    // descending sequence: the SMALLEST seq wins the merge
+    val t3 = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"), options = Map(
+        "sequence.field" -> "seq",
+        "sequence.field.sort-order" -> "descending"))
+    t3.write(kvDf((1L, "late", 10L, 5L)))
+    t3.write(kvDf((1L, "early", 11L, 3L))) // smaller seq → wins
+    assert(t3.read.head.getString(1) == "early")
+    t3.write(kvDf((1L, "later", 12L, 9L))) // larger seq → loses
+    assert(t3.read.head.getString(1) == "early")
+  }
+
   test("first-row merge engine keeps earliest record") {
     val t = GraftTable.create(spark, tmp(), kvSchema,
       primaryKeys = Seq("k"),
