@@ -715,12 +715,27 @@ class GraftSparkTable(protected val gt: GraftTable, snapshot: Option[Long],
   }
 }
 
-class GraftScanBuilder(gt: GraftTable, snapshot: Option[Long], full: StructType,
+class GraftScanBuilder(gt: GraftTable, snapshot0: Option[Long], full: StructType,
     readOptions: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  /** Time travel via READ OPTIONS (reference: CoreOptions
+    * scan.snapshot-id / scan.tag-name / scan.timestamp-millis, the
+    * `spark.read.option(...).table(t)` spelling) — VERSION AS OF from
+    * the SQL path (snapshot0) wins when both are present. */
+  private val snapshot: Option[Long] = snapshot0
+    .orElse(readOptions.get("scan.snapshot-id").map(_.toLong))
+    .orElse(readOptions.get("scan.tag-name").map(tag =>
+      gt.sm.tagSnapshotId(tag).getOrElse(
+        throw new IllegalArgumentException(s"no such tag: $tag"))))
+    .orElse(readOptions.get("scan.timestamp-millis").map { s =>
+      val ts = s.toLong
+      gt.sm.snapshotIds.map(gt.sm.snapshot).filter(_.timeMillis <= ts)
+        .map(_.id).sorted.lastOption.getOrElse(-1L)
+    })
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full

@@ -71,6 +71,26 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, None), (2L, Some("x"))))
   }
 
+  test("read options select snapshot/tag/timestamp for batch reads") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbro")
+    spark.sql("CREATE TABLE graft.dbro.t (k BIGINT)")
+    spark.sql("INSERT INTO graft.dbro.t VALUES (1)")
+    val gt = graft.table.GraftTable.load(spark, s"$warehouse/dbro/t")
+    gt.createTag("v1")
+    val ts1 = gt.sm.snapshot(0L).timeMillis
+    spark.sql("INSERT INTO graft.dbro.t VALUES (2)")
+    assert(spark.read.table("graft.dbro.t").count() == 2L)
+    assert(spark.read.option("scan.snapshot-id", "0")
+      .table("graft.dbro.t").count() == 1L)
+    assert(spark.read.option("scan.tag-name", "v1")
+      .table("graft.dbro.t").count() == 1L)
+    assert(spark.read.option("scan.timestamp-millis", ts1.toString)
+      .table("graft.dbro.t").count() == 1L)
+    val e = intercept[Exception](spark.read.option("scan.tag-name", "nope")
+      .table("graft.dbro.t").count())
+    assert(e.toString.contains("nope"), e.toString)
+  }
+
   test("VERSION AS OF resolves tags and branches, not just snapshot ids") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbtt")
     spark.sql("CREATE TABLE graft.dbtt.t (k BIGINT)")
