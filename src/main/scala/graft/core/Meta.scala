@@ -254,7 +254,12 @@ object Meta {
     * chain under `changelog.num-retained.max` / `changelog
     * .time-retained` — a lagging streaming reader still gets EXACT
     * pairs for snapshots expiration already removed). */
-  case class RetainedChangelog(snapshotId: Long, manifest: String, timeMillis: Long)
+  case class RetainedChangelog(
+      snapshotId: Long, manifest: String, timeMillis: Long,
+      /** the expired snapshot's commitKind — consumers must keep
+        * skipping COMPACT changelogs exactly as they did while the
+        * snapshot was live ("" on records written before the field). */
+      commitKind: String = "")
 
   /** Hidden columns on primary-key table data files. */
   val SeqCol = "_graft_seq"

@@ -92,7 +92,14 @@ final class SnapshotManager(
   private def snapshotPath(id: Long) = s"$snapshotDir/snapshot-$id.json"
 
   def snapshot(id: Long): Snapshot =
-    Json.read(io.readString(snapshotPath(id)), classOf[Snapshot])
+    if (io.exists(snapshotPath(id)))
+      Json.read(io.readString(snapshotPath(id)), classOf[Snapshot])
+    else
+      // a TAG's materialized snapshot copy outlives expiration of the
+      // original — time travel to a tagged id (VERSION AS OF / read
+      // options) keeps working after the snapshot file is gone
+      tagSnapshots.find(_.id == id).getOrElse(
+        Json.read(io.readString(snapshotPath(id)), classOf[Snapshot]))
 
   def snapshotIds: Seq[Long] =
     io.list(snapshotDir)
@@ -115,6 +122,17 @@ final class SnapshotManager(
   }
 
   def latestSnapshot(): Option[Snapshot] = latestSnapshotId.map(snapshot)
+
+  /** Latest snapshot committed at or before `epochMillis`
+    * (strictly before with `inclusive = false`) — the single
+    * timestamp→snapshot resolution shared by TIMESTAMP AS OF, the
+    * scan.timestamp-millis read option and the streaming
+    * from-timestamp startup modes. */
+  def snapshotIdAtTime(epochMillis: Long, inclusive: Boolean = true): Option[Long] =
+    snapshotIds.map(snapshot)
+      .filter(s =>
+        if (inclusive) s.timeMillis <= epochMillis else s.timeMillis < epochMillis)
+      .map(_.id).sorted.lastOption
 
   // ---- manifests ------------------------------------------------------
 
@@ -478,13 +496,19 @@ final class SnapshotManager(
     val clProtect: (Set[String], Set[String]) =
       if (!clRetainOn) (Set.empty, Set.empty)
       else {
-        dropped.filter(_.changelogManifest.isDefined).foreach { s =>
+        val fresh = dropped.filter(_.changelogManifest.isDefined)
+        fresh.foreach { s =>
           io.writeString(s"$retainedDir/retained-${s.id}.json",
-            Json.write(Meta.RetainedChangelog(s.id, s.changelogManifest.get, s.timeMillis)))
+            Json.write(Meta.RetainedChangelog(
+              s.id, s.changelogManifest.get, s.timeMillis, s.commitKind)))
         }
-        val kept = retainedChangelogs
-        (kept.flatMap(r => readManifest(r.manifest).map(_.file.fileName)).toSet,
-          kept.map(_.manifest).toSet)
+        // only the JUST-dropped snapshots' changelogs can appear in
+        // this sweep's deletion lists — protecting the whole retained
+        // history would cost O(retained) manifest reads per commit
+        // under auto-expiration
+        (fresh.flatMap(s => readManifest(s.changelogManifest.get)
+          .map(_.file.fileName)).toSet,
+          fresh.flatMap(_.changelogManifest).toSet)
       }
     val dropManifests = dropped.flatMap(s =>
       (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest ++ s.changelogManifest)

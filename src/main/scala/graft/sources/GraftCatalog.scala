@@ -320,8 +320,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val gt = loadGraft(ident)
     // DSv2 passes micros; snapshots record millis
-    val id = gt.sm.snapshotIds.map(gt.sm.snapshot)
-      .filter(_.timeMillis <= timestamp / 1000).map(_.id).sorted.lastOption
+    val id = gt.sm.snapshotIdAtTime(timestamp / 1000)
     new GraftSparkTable(gt, snapshot = id.orElse(Some(-1L)), guardFor(ident))
   }
 
@@ -731,11 +730,8 @@ class GraftScanBuilder(gt: GraftTable, snapshot0: Option[Long], full: StructType
     .orElse(readOptions.get("scan.tag-name").map(tag =>
       gt.sm.tagSnapshotId(tag).getOrElse(
         throw new IllegalArgumentException(s"no such tag: $tag"))))
-    .orElse(readOptions.get("scan.timestamp-millis").map { s =>
-      val ts = s.toLong
-      gt.sm.snapshotIds.map(gt.sm.snapshot).filter(_.timeMillis <= ts)
-        .map(_.id).sorted.lastOption.getOrElse(-1L)
-    })
+    .orElse(readOptions.get("scan.timestamp-millis").map(s =>
+      gt.sm.snapshotIdAtTime(s.toLong).getOrElse(-1L)))
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full

@@ -444,8 +444,7 @@ class GraftMicroBatchStream(
       val ts = streamOpt("scan.timestamp-millis").map(_.toLong).getOrElse(
         throw new IllegalArgumentException(
           "scan.mode=from-timestamp needs scan.timestamp-millis"))
-      sm.snapshotIds.map(sm.snapshot).filter(_.timeMillis < ts)
-        .map(_.id).sorted.lastOption.getOrElse(-1L)
+      sm.snapshotIdAtTime(ts, inclusive = false).getOrElse(-1L)
     case Some("latest-full") | None => -1L
     case Some(other) => throw new IllegalArgumentException(
       s"unsupported scan.mode: $other")

@@ -87,7 +87,10 @@ object GraftStreaming {
     // lagging consumer — their ids interleave before the live ones
     val retained = table.sm.retainedChangelogs
       .filter(r => r.snapshotId > from && r.snapshotId <= to &&
-        !liveSet.contains(r.snapshotId))
+        !liveSet.contains(r.snapshotId) &&
+        // the live path skips COMPACT snapshots — retained ones must
+        // not start emitting just because expiration ran
+        r.commitKind != Meta.KindCompact)
       .map(r => r.snapshotId -> r.manifest).toMap
     val ids = (live ++ retained.keys).distinct.sorted
     ids.foreach { id =>
@@ -149,8 +152,7 @@ object GraftStreaming {
         case FromSnapshot(id) =>
           writeOffset(checkpointPath, id - 1)
         case FromTimestamp(ts) =>
-          val before = table.sm.snapshotIds.map(table.sm.snapshot)
-            .filter(_.timeMillis < ts).map(_.id).sorted.lastOption
+          val before = table.sm.snapshotIdAtTime(ts, inclusive = false)
           writeOffset(checkpointPath, before.getOrElse(-1L))
       }
     }

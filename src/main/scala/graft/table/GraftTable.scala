@@ -1257,13 +1257,18 @@ final class GraftTable private (
     // with empty epochs stop minting history (reference: CoreOptions
     // SNAPSHOT_IGNORE_EMPTY_COMMIT). The already-moved 0-row part
     // files are removed inline, not left as orphans.
-    if (deletes.isEmpty && changelogManifest.isEmpty &&
+    if (deletes.isEmpty &&
+        // changelog-producer=lookup writes an (empty) changelog
+        // manifest even for an idle epoch — zero ENTRIES is still an
+        // empty commit
+        changelogManifest.forall(m => sm.readManifest(m).isEmpty) &&
         indexed.forall(_.file.rowCount == 0L) &&
         sch.options.get("snapshot.ignore-empty-commit").contains("true")) {
       indexed.foreach { e =>
         e.file.indexFiles.foreach(_.values.foreach(f => sm.io.delete(s"$path/$f")))
         sm.io.delete(s"$path/${e.file.fileName}")
       }
+      changelogManifest.foreach(m => sm.io.delete(s"${sm.tablePath}/manifest/$m"))
       return sm.latestSnapshotId.getOrElse(-1L)
     }
     val deletedNames = deletes.map(_.file.fileName).toSet
@@ -1791,8 +1796,15 @@ final class GraftTable private (
     val kindOrd = outSchema.fieldIndex(KindCol)
     val seqField = sch.sequenceField.map(f =>
       (outSchema.fieldIndex(f), outSchema.fields(outSchema.fieldIndex(f)).dataType))
-    val sfOrdering = seqField.map { case (_, dt) =>
+    val sfOrdering0 = seqField.map { case (_, dt) =>
       org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+    }
+    // sequence.field.sort-order=descending: the SMALLEST sequence wins
+    // here too, or the point lookup would disagree with table scans
+    val sfOrdering = sfOrdering0.map { ord =>
+      if (sch.options.get("sequence.field.sort-order").contains("descending"))
+        ord.reverse.asInstanceOf[Ordering[Any]]
+      else ord
     }
     // (sequence-field, _graft_seq) preorder shared by the streaming
     // and cached paths (nulls smallest, like the struct max semantics)
@@ -1875,7 +1887,8 @@ final class GraftTable private (
         }
       }
     }
-    if (best == null || best.getByte(kindOrd) == KindDelete) return Seq.empty
+    if (best == null || best.getByte(kindOrd) == KindDelete ||
+        best.getByte(kindOrd) == KindUpdateBefore) return Seq.empty
     val conv = CatalystTypeConverters.createToScalaConverter(outSchema)
     val full = conv(best).asInstanceOf[org.apache.spark.sql.Row]
     val byName = outSchema.fieldNames.zipWithIndex.toMap
@@ -1888,8 +1901,7 @@ final class GraftTable private (
 
   /** Time travel: TIMESTAMP AS OF (latest snapshot committed <= ts). */
   def timestampAsOf(epochMillis: Long): DataFrame = {
-    val id = sm.snapshotIds.map(sm.snapshot)
-      .filter(_.timeMillis <= epochMillis).map(_.id).sorted.lastOption
+    val id = sm.snapshotIdAtTime(epochMillis)
     readSnapshot(id)
   }
 
@@ -2420,7 +2432,9 @@ final class GraftTable private (
     // directly (changelog-producer=lookup); the rest derive from deltas
     val (withCl, withoutCl) = snaps.partition(_.changelogManifest.isDefined)
     val clManifests = withCl.flatMap(_.changelogManifest) ++
-      retainedInRange.map(_.manifest)
+      // mirror the live filter: compact snapshots' changelogs are not
+      // served by this branch
+      retainedInRange.filter(_.commitKind != KindCompact).map(_.manifest)
     val clRows =
       if (clManifests.isEmpty) None
       else Some(readChangelogFiles(clManifests.flatMap(sm.readManifest)))
@@ -2898,7 +2912,10 @@ final class GraftTable private (
     val merged =
       if (isPrimaryKeyTable) {
         val m0 = MergeEngine.mergeKeepMeta(readRaw(old), sch)
-          .filter(col(KindCol) =!= KindDelete)
+          // -U winners are retractions too (see MergeEngine.merge) —
+          // rewriting one as +I would make the phantom row permanent
+          .filter(col(KindCol) =!= KindDelete &&
+            col(KindCol) =!= KindUpdateBefore)
         // record-level TTL drops expired rows from the rewrite; with
         // changelog-producer=full-compaction the state diff below then
         // emits their -D rows, so incremental readers see the expiry
@@ -3530,7 +3547,11 @@ final class GraftTable private (
           .flatMap(e => Seq(e.file.fileName) ++ e.file.dvFile ++
             e.file.indexFiles.map(_.values).getOrElse(Seq.empty)) ++
           sn.indexSidecars
-      }).toSet
+      }).toSet ++
+        // changelogs retained past their snapshot's expiration are
+        // referenced by the retained registry, not by any snapshot
+        sms.flatMap(s => s.retainedChangelogs.flatMap(r =>
+          s.readManifest(r.manifest).map(_.file.fileName))).toSet
     }
     // blob files are content-addressed and shared across data files —
     // the referenced set comes from a distributed scan of the

@@ -31,11 +31,15 @@ import org.apache.spark.sql.functions._
   */
 object MergeEngine {
 
-  /** Full merge: one surviving row per key, deletes dropped, hidden
-    * columns removed. */
+  /** Full merge: one surviving row per key, retractions dropped,
+    * hidden columns removed. A key whose WINNING record is -U (an
+    * unpaired UPDATE_BEFORE — e.g. a CDC primary-key change whose +U
+    * landed under another key, routed in via rowkind.field) is as
+    * dead as a -D winner: both kinds are retractions. */
   def merge(raw: DataFrame, schema: TableSchema): DataFrame =
     mergeKeepMeta(raw, schema)
-      .filter(col(Meta.KindCol) =!= Meta.KindDelete)
+      .filter(col(Meta.KindCol) =!= Meta.KindDelete &&
+        col(Meta.KindCol) =!= Meta.KindUpdateBefore)
       .select(schema.toStruct.fieldNames.map(col).toIndexedSeq: _*)
 
   /** Merge retaining _graft_seq/_graft_kind (used by compaction, which

@@ -444,7 +444,8 @@ class GraftTableSpec extends AnyFunSuite {
     t2.write(df((1L, null, "-D", 2L), (2L, "b", "+I", 2L)))
     assert(t2.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet
       == Set((1L, "a"), (2L, "b")))
-    // descending sequence: the SMALLEST seq wins the merge
+    // descending sequence: the SMALLEST seq wins the merge — and the
+    // point lookup must agree with the scan
     val t3 = GraftTable.create(spark, tmp(), kvSchema,
       primaryKeys = Seq("k"), options = Map(
         "sequence.field" -> "seq",
@@ -452,8 +453,22 @@ class GraftTableSpec extends AnyFunSuite {
     t3.write(kvDf((1L, "late", 10L, 5L)))
     t3.write(kvDf((1L, "early", 11L, 3L))) // smaller seq → wins
     assert(t3.read.head.getString(1) == "early")
+    assert(t3.lookup(Map("k" -> 1L)).head.getString(1) == "early")
     t3.write(kvDf((1L, "later", 12L, 9L))) // larger seq → loses
     assert(t3.read.head.getString(1) == "early")
+    assert(t3.lookup(Map("k" -> 1L)).head.getString(1) == "early")
+    // an UNPAIRED -U winner is a retraction: the key is gone from
+    // reads, lookups, and stays gone through compaction
+    val t4 = GraftTable.create(spark, tmp(), cdcSchema,
+      primaryKeys = Seq("k"), options = Map(
+        "rowkind.field" -> "op", "sequence.field" -> "seq"))
+    t4.write(df((1L, "a", "+I", 1L), (2L, "b", "+I", 1L)))
+    t4.write(df((1L, "a", "-U", 2L))) // pk-changing update: +U went elsewhere
+    assert(t4.read.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(t4.lookup(Map("k" -> 1L)).isEmpty)
+    t4.compact()
+    assert(t4.read.collect().map(_.getLong(0)).toSeq == Seq(2L),
+      "compaction must not resurrect a -U-retracted key")
   }
 
   test("first-row merge engine keeps earliest record") {

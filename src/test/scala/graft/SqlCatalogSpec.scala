@@ -89,6 +89,14 @@ class SqlCatalogSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.read.option("scan.tag-name", "nope")
       .table("graft.dbro.t").count())
     assert(e.toString.contains("nope"), e.toString)
+    // the tag's materialized copy outlives snapshot expiration: both
+    // spellings keep working after the tagged snapshot file is gone
+    gt.expireSnapshots(retain = 1)
+    assert(!gt.sm.snapshotIds.contains(0L), "snapshot 0 should be expired")
+    assert(spark.read.option("scan.tag-name", "v1")
+      .table("graft.dbro.t").count() == 1L)
+    assert(spark.sql("SELECT count(*) FROM graft.dbro.t VERSION AS OF 'v1'")
+      .head.getLong(0) == 1L)
   }
 
   test("VERSION AS OF resolves tags and branches, not just snapshot ids") {
