@@ -142,6 +142,15 @@ object GraftProcedures {
       val n = t.removeUnexistingFiles()
       if (n == 0) "no-op" else s"dropped $n unexisting files"
     }),
+    // automatic counterpart of mark_partition_done: mark every live
+    // partition idle past partition.idle-time-to-done (reference:
+    // PARTITION_IDLE_TIME_TO_DONE + PartitionMarkDone trigger)
+    "mark_partitions_done_if_idle" -> (Seq(p("table", StringType)),
+      (t, _) => {
+        val marked = t.markIdlePartitionsDone()
+        if (marked.isEmpty) "no idle partitions"
+        else s"marked ${marked.size} partition(s) done"
+      }),
     // downstream-scheduler signal: success-file marker in the partition
     // directory (reference: MarkPartitionDoneProcedure,
     // partition.mark-done-action=success-file).

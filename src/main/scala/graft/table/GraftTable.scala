@@ -103,6 +103,10 @@ final class GraftTable private (
     // here the unset-options default keeps full history, so time
     // travel on un-configured tables never silently loses snapshots)
     autoExpireSnapshots()
+    // idle-partition done markers ride the same hook when configured
+    // (each new commit re-evaluates which partitions went quiet)
+    if (schema.options.contains("partition.idle-time-to-done"))
+      markIdlePartitionsDone()
   }
 
   /** Per-commit snapshot retention (reference: CoreOptions
@@ -3171,6 +3175,47 @@ final class GraftTable private (
       conflictCheck = latest => victims.map(_.file.fileName).toSet
         .subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet))
     expired.toSeq
+  }
+
+  /** Mark partitions IDLE past `partition.idle-time-to-done` with a
+    * `_SUCCESS` file (reference: CoreOptions PARTITION_IDLE_TIME_TO_DONE
+    * + PartitionMarkDone / SuccessFileMarkDoneAction — "no new data
+    * for this duration → signal downstream the partition is ready").
+    * Last-touch derives from retained snapshot history exactly like
+    * [[expirePartitionsByTime]]'s update-time strategy (history-trimmed
+    * partitions bound at the earliest retained snapshot — never marked
+    * early by a 0 default). Already-marked partitions are skipped.
+    * Returns the partitions marked by THIS call. */
+  def markIdlePartitionsDone(
+      now: Long = System.currentTimeMillis()): Seq[Map[String, String]] = {
+    val sch = schema
+    val idleMs = sch.options.get("partition.idle-time-to-done")
+      .map(GraftTable.parseDurationMillis).getOrElse(return Seq.empty)
+    if (sch.partitionKeys.isEmpty) return Seq.empty
+    val snap = sm.latestSnapshot().getOrElse(return Seq.empty)
+    val retained = sm.snapshotIds.map(sm.snapshot)
+    val lastUpdate = scala.collection.mutable.Map.empty[Map[String, String], Long]
+    retained.foreach { s =>
+      s.deltaManifest.toSeq.flatMap(sm.readManifest)
+        .filter(_.kind == "ADD").map(_.partition).distinct
+        .foreach(p => lastUpdate(p) = math.max(lastUpdate.getOrElse(p, 0L), s.timeMillis))
+    }
+    val horizon = retained.headOption.map(_.timeMillis).getOrElse(now)
+    val cutoff = now - idleMs
+    sm.liveEntries(snap).map(_.partition).distinct
+      .filter(p => lastUpdate.getOrElse(p, horizon) < cutoff)
+      .flatMap { p =>
+        val dir = Paths.get(s"$path/data/" +
+          sch.partitionKeys.map(k => s"$k=${p.getOrElse(k, "")}").mkString("/"))
+          .normalize()
+        val marker = dir.resolve("_SUCCESS")
+        if (Files.exists(marker)) None
+        else {
+          Files.createDirectories(dir)
+          Files.write(marker, Array.empty[Byte])
+          Some(p)
+        }
+      }
   }
 
   // ================= vector index =================

@@ -300,6 +300,33 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.read.filter(col("dt") === "p").count() == 1L)
   }
 
+  test("partition.idle-time-to-done marks quiet partitions with _SUCCESS") {
+    val sch = StructType(Seq(
+      StructField("dt", StringType, nullable = false),
+      StructField("k", LongType, nullable = false)))
+    def df(rows: (String, Long)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, sch)
+    val t = GraftTable.create(spark, tmp(), sch, partitionKeys = Seq("dt"),
+      options = Map("partition.idle-time-to-done" -> "1 h"))
+    t.write(df(("old", 1L)))
+    Thread.sleep(30)
+    t.write(df(("fresh", 2L)))
+    // 'old' idle for >1h at now+1h-after-its-write; 'fresh' is not
+    val mid = t.sm.snapshot(1L).timeMillis + 3600L * 1000 - 10
+    val marked = t.markIdlePartitionsDone(now = mid)
+    assert(marked.map(_("dt")) == Seq("old"), marked.toString)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${t.path}/data/dt=old/_SUCCESS")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${t.path}/data/dt=fresh/_SUCCESS")))
+    // idempotent: a second call marks nothing new
+    assert(t.markIdlePartitionsDone(now = mid).isEmpty)
+    // without the option the call is a no-op
+    val c = GraftTable.create(spark, tmp(), sch, partitionKeys = Seq("dt"))
+    c.write(df(("p", 1L)))
+    assert(c.markIdlePartitionsDone(now = Long.MaxValue / 2).isEmpty)
+  }
+
   test("changelog retention outlives snapshot expiration; caps trim it") {
     val sch = StructType(Seq(
       StructField("k", LongType, nullable = false),
