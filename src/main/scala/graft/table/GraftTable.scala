@@ -4660,10 +4660,14 @@ final class GraftTable private (
     import spark.implicits._
     val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
     entries.groupBy(_.partition).map { case (p, es) =>
-      (p.map { case (k, v) => s"$k=$v" }.mkString("/"),
+      val dir = p.map { case (k, v) => s"$k=$v" }.mkString("/")
+      // `done` surfaces the mark_partition_done / idle-time-to-done
+      // success marker so downstream schedulers can poll via SQL
+      val done = Files.exists(Paths.get(s"$path/data/$dir/_SUCCESS"))
+      (dir,
         es.map(e => e.file.rowCount - e.file.dvCardinality.getOrElse(0L)).sum,
-        es.size.toLong, es.map(_.file.fileSize).sum)
-    }.toSeq.toDF("partition", "record_count", "file_count", "total_size")
+        es.size.toLong, es.map(_.file.fileSize).sum, done)
+    }.toSeq.toDF("partition", "record_count", "file_count", "total_size", "done")
   }
 
   /** `$schemas`: every schema version (reference:
