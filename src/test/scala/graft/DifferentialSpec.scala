@@ -94,4 +94,65 @@ class DifferentialSpec extends AnyFunSuite {
         assert(got == expect, s"time travel to $snapId diverged (seed $seed)")
       }
     }
+
+  for (seed <- Seq(11L, 77L))
+    test(s"append table: random append/DV-delete/update/overwrite matches the model (seed $seed)") {
+      val rnd = new scala.util.Random(seed)
+      val asch = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("v", LongType, nullable = true)))
+      def adf(rows: Seq[(Long, Long)]): DataFrame =
+        spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, asch)
+      val t = GraftTable.create(spark,
+        Files.createTempDirectory("graft-diffa").toString + "/t", asch,
+        options = Map("deletion-vectors.enabled" -> "true"))
+      // model: id -> v (ids unique per append step)
+      val model = scala.collection.mutable.Map.empty[Long, Long]
+      val history = scala.collection.mutable.Map.empty[Long, Map[Long, Long]]
+      var nextId = 0L
+      var step = 0
+      def check(): Unit = {
+        val got = t.read.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == model.toMap, s"step $step diverged (seed $seed)")
+      }
+      (1 to 20).foreach { _ =>
+        step += 1
+        rnd.nextInt(10) match {
+          case n if n < 5 => // append fresh ids
+            val rows = (0 until 1 + rnd.nextInt(8)).map { _ =>
+              val id = nextId; nextId += 1
+              (id, rnd.nextInt(100).toLong)
+            }
+            val snap = t.write(adf(rows))
+            rows.foreach { case (id, v) => model(id) = v }
+            history(snap) = model.toMap
+          case n if n < 7 && model.nonEmpty => // DV delete a value range
+            val bound = rnd.nextInt(100).toLong
+            val snap = t.delete(col("v") < bound)
+            model.filterInPlace { case (_, v) => v >= bound }
+            history(snap) = model.toMap
+          case n if n < 9 && model.nonEmpty => // DV update a value range
+            val bound = rnd.nextInt(100).toLong
+            val snap = t.update(Map("v" -> (col("v") + 1000L)), col("v") < bound)
+            model.mapValuesInPlace((_, v) => if (v < bound) v + 1000L else v)
+            history(snap) = model.toMap
+          case n if n == 9 => // full overwrite (unpartitioned: replace all)
+            val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
+              val id = nextId; nextId += 1
+              (id, rnd.nextInt(100).toLong)
+            }
+            val snap = t.overwrite(adf(rows))
+            model.clear()
+            rows.foreach { case (id, v) => model(id) = v }
+            history(snap) = model.toMap
+          case _ => () // roll again next step
+        }
+        check()
+      }
+      history.foreach { case (snapId, expect) =>
+        val got = t.versionAsOf(snapId).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == expect, s"time travel to $snapId diverged (seed $seed)")
+      }
+    }
 }
