@@ -409,6 +409,18 @@ final class SnapshotManager(
         return nextId
       }
       attempt += 1 // CAS lost: another writer took nextId — retry
+      // jittered exponential backoff between CAS attempts (reference:
+      // CoreOptions COMMIT_MIN_RETRY_WAIT=10ms / COMMIT_MAX_RETRY_WAIT
+      // =10s): N spin-retrying writers otherwise thunder-herd the
+      // snapshot dir and can exhaust the budget under load
+      val opts = latestSchema().map(_.options).getOrElse(Map.empty)
+      val minWait = opts.get("commit.min-retry-wait")
+        .map(Meta.parseDurationMillis).getOrElse(10L)
+      val maxWait = opts.get("commit.max-retry-wait")
+        .map(Meta.parseDurationMillis).getOrElse(10000L)
+      val base = math.min(maxWait, minWait * (1L << math.min(attempt, 10)))
+      Thread.sleep(minWait.max(1L) +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(base.max(2L)))
     }
     throw new IllegalStateException(s"commit failed after $effRetries retries")
   }
