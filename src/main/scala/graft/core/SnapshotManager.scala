@@ -299,6 +299,13 @@ final class SnapshotManager(
       .map(e => if (e.kind == "ADD") e.file.rowCount else -e.file.rowCount)
       .sum
     val effRetries = if (maxRetries > 0) maxRetries else commitMaxRetriesProvider()
+    // retry-wait bounds resolved ONCE — re-reading the schema on every
+    // lost race would add IO exactly when the store is contended
+    val retryOpts = latestSchema().map(_.options).getOrElse(Map.empty)
+    val retryMinWait = retryOpts.get("commit.min-retry-wait")
+      .map(Meta.parseDurationMillis).getOrElse(10L)
+    val retryMaxWait = retryOpts.get("commit.max-retry-wait")
+      .map(Meta.parseDurationMillis).getOrElse(10000L)
     var attempt = 0
     while (attempt < effRetries) {
       val latest = latestSnapshot()
@@ -412,15 +419,15 @@ final class SnapshotManager(
       // jittered exponential backoff between CAS attempts (reference:
       // CoreOptions COMMIT_MIN_RETRY_WAIT=10ms / COMMIT_MAX_RETRY_WAIT
       // =10s): N spin-retrying writers otherwise thunder-herd the
-      // snapshot dir and can exhaust the budget under load
-      val opts = latestSchema().map(_.options).getOrElse(Map.empty)
-      val minWait = opts.get("commit.min-retry-wait")
-        .map(Meta.parseDurationMillis).getOrElse(10L)
-      val maxWait = opts.get("commit.max-retry-wait")
-        .map(Meta.parseDurationMillis).getOrElse(10000L)
-      val base = math.min(maxWait, minWait * (1L << math.min(attempt, 10)))
-      Thread.sleep(minWait.max(1L) +
-        java.util.concurrent.ThreadLocalRandom.current().nextLong(base.max(2L)))
+      // snapshot dir and can exhaust the budget under load. No sleep
+      // after the FINAL attempt (it would only delay the failure),
+      // and the total wait never exceeds the configured maximum.
+      if (attempt < effRetries) {
+        val base = math.min(retryMaxWait,
+          retryMinWait * (1L << math.min(attempt, 10)))
+        Thread.sleep(math.min(retryMaxWait, retryMinWait.max(1L) +
+          java.util.concurrent.ThreadLocalRandom.current().nextLong(base.max(2L))))
+      }
     }
     throw new IllegalStateException(s"commit failed after $effRetries retries")
   }

@@ -3154,18 +3154,12 @@ final class GraftTable private (
         }
         live.map(_.partition).distinct.filter(p => timeOf(p).exists(_ < cutoff)).toSet
       case _ =>
-        val retained = sm.snapshotIds.map(sm.snapshot)
-        val lastUpdate = scala.collection.mutable.Map.empty[Map[String, String], Long]
-        retained.foreach { s =>
-          s.deltaManifest.toSeq.flatMap(sm.readManifest)
-            .filter(_.kind == "ADD").map(_.partition).distinct
-            .foreach(p => lastUpdate(p) = math.max(lastUpdate.getOrElse(p, 0L), s.timeMillis))
-        }
         // A live partition with no ADD in RETAINED history was last
-        // touched at or before the earliest retained snapshot — use
-        // that time as its bound, never 0: after snapshot expiration
-        // trims history, 0 would expire an hour-old partition.
-        val horizon = retained.headOption.map(_.timeMillis).getOrElse(now)
+        // touched at or before the earliest retained snapshot — the
+        // shared helper bounds it there, never 0: after snapshot
+        // expiration trims history, 0 would expire an hour-old
+        // partition.
+        val (lastUpdate, horizon) = partitionLastUpdateTimes(now)
         live.map(_.partition).distinct
           .filter(p => lastUpdate.getOrElse(p, horizon) < cutoff).toSet
     }
@@ -3186,6 +3180,35 @@ final class GraftTable private (
     * partitions bound at the earliest retained snapshot — never marked
     * early by a 0 default). Already-marked partitions are skipped.
     * Returns the partitions marked by THIS call. */
+  /** partition → last-touch time from RETAINED snapshot history (ADDs
+    * × commit time), plus the horizon bound for history-trimmed
+    * partitions. Shared by [[expirePartitionsByTime]]'s update-time
+    * strategy and [[markIdlePartitionsDone]]. Incrementally CACHED per
+    * table instance: a call re-reads only the delta manifests of
+    * snapshots newer than the previous call — per-commit hooks stay
+    * O(new commits), not O(history). Expiration shrinking the
+    * retained set invalidates the cache (ids below the cached floor). */
+  private var lastUpdateCache: Option[(Long, Long, Map[Map[String, String], Long])] = None
+  private def partitionLastUpdateTimes(
+      now: Long): (Map[Map[String, String], Long], Long) = synchronized {
+    val ids = sm.snapshotIds
+    if (ids.isEmpty) return (Map.empty, now)
+    val (fromId, base) = lastUpdateCache match {
+      case Some((lo, hi, m)) if ids.headOption.contains(lo) && hi <= ids.last =>
+        (hi + 1, m)
+      case _ => (ids.head, Map.empty[Map[String, String], Long])
+    }
+    val acc = scala.collection.mutable.Map.empty[Map[String, String], Long] ++ base
+    ids.filter(_ >= fromId).map(sm.snapshot).foreach { s =>
+      s.deltaManifest.toSeq.flatMap(sm.readManifest)
+        .filter(_.kind == "ADD").map(_.partition).distinct
+        .foreach(p => acc(p) = math.max(acc.getOrElse(p, 0L), s.timeMillis))
+    }
+    val result = acc.toMap
+    lastUpdateCache = Some((ids.head, ids.last, result))
+    (result, sm.snapshot(ids.head).timeMillis)
+  }
+
   def markIdlePartitionsDone(
       now: Long = System.currentTimeMillis()): Seq[Map[String, String]] = {
     val sch = schema
@@ -3193,29 +3216,26 @@ final class GraftTable private (
       .map(GraftTable.parseDurationMillis).getOrElse(return Seq.empty)
     if (sch.partitionKeys.isEmpty) return Seq.empty
     val snap = sm.latestSnapshot().getOrElse(return Seq.empty)
-    val retained = sm.snapshotIds.map(sm.snapshot)
-    val lastUpdate = scala.collection.mutable.Map.empty[Map[String, String], Long]
-    retained.foreach { s =>
-      s.deltaManifest.toSeq.flatMap(sm.readManifest)
-        .filter(_.kind == "ADD").map(_.partition).distinct
-        .foreach(p => lastUpdate(p) = math.max(lastUpdate.getOrElse(p, 0L), s.timeMillis))
-    }
-    val horizon = retained.headOption.map(_.timeMillis).getOrElse(now)
+    val (lastUpdate, horizon) = partitionLastUpdateTimes(now)
     val cutoff = now - idleMs
-    sm.liveEntries(snap).map(_.partition).distinct
-      .filter(p => lastUpdate.getOrElse(p, horizon) < cutoff)
-      .flatMap { p =>
-        val dir = Paths.get(s"$path/data/" +
-          sch.partitionKeys.map(k => s"$k=${p.getOrElse(k, "")}").mkString("/"))
-          .normalize()
-        val marker = dir.resolve("_SUCCESS")
-        if (Files.exists(marker)) None
-        else {
-          Files.createDirectories(dir)
-          Files.write(marker, Array.empty[Byte])
-          Some(p)
-        }
+    def markerOf(p: Map[String, String]) = Paths.get(s"$path/data/" +
+      sch.partitionKeys.map(k => s"$k=${p.getOrElse(k, "")}").mkString("/"))
+      .normalize().resolve("_SUCCESS")
+    val (idle, active) = sm.liveEntries(snap).map(_.partition).distinct
+      .partition(p => lastUpdate.getOrElse(p, horizon) < cutoff)
+    // a partition that became ACTIVE again sheds its stale marker —
+    // downstream must not consume a partition new data is landing in
+    // (it re-marks once idle again)
+    active.foreach(p => Files.deleteIfExists(markerOf(p)))
+    idle.flatMap { p =>
+      val marker = markerOf(p)
+      if (Files.exists(marker)) None
+      else {
+        Files.createDirectories(marker.getParent)
+        Files.write(marker, Array.empty[Byte])
+        Some(p)
       }
+    }
   }
 
   // ================= vector index =================
@@ -4659,11 +4679,15 @@ final class GraftTable private (
   def systemPartitions: DataFrame = {
     import spark.implicits._
     val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+    val keys = schema.partitionKeys
     entries.groupBy(_.partition).map { case (p, es) =>
-      val dir = p.map { case (k, v) => s"$k=$v" }.mkString("/")
+      // path built in DECLARED key order (the map's own iteration
+      // order scrambles past 4 keys — markers are written key-ordered)
+      val dir = keys.map(k => s"$k=${p.getOrElse(k, "")}").mkString("/")
       // `done` surfaces the mark_partition_done / idle-time-to-done
       // success marker so downstream schedulers can poll via SQL
-      val done = Files.exists(Paths.get(s"$path/data/$dir/_SUCCESS"))
+      val done = keys.nonEmpty &&
+        Files.exists(Paths.get(s"$path/data/$dir/_SUCCESS"))
       (dir,
         es.map(e => e.file.rowCount - e.file.dvCardinality.getOrElse(0L)).sum,
         es.size.toLong, es.map(_.file.fileSize).sum, done)

@@ -321,6 +321,13 @@ class MaintenanceSpec extends AnyFunSuite {
       java.nio.file.Paths.get(s"${t.path}/data/dt=fresh/_SUCCESS")))
     // idempotent: a second call marks nothing new
     assert(t.markIdlePartitionsDone(now = mid).isEmpty)
+    // a re-activated partition SHEDS its marker: new data landed, so
+    // downstream must stop treating it as done (re-marks once idle)
+    t.write(df(("old", 9L)))
+    t.markIdlePartitionsDone(now = t.sm.latestSnapshot().get.timeMillis + 10)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"${t.path}/data/dt=old/_SUCCESS")),
+      "stale marker must be removed when the partition becomes active")
     // without the option the call is a no-op
     val c = GraftTable.create(spark, tmp(), sch, partitionKeys = Seq("dt"))
     c.write(df(("p", 1L)))
