@@ -96,8 +96,11 @@ object GraftLookupService {
 
     server.createContext("/v1/lookup/", (x: HttpExchange) => {
       try {
+        // constant-time compare: plain String equality leaks token
+        // prefix length/content via timing on a network endpoint
         val authed = Option(x.getRequestHeaders.getFirst("Authorization"))
-          .contains(s"Bearer $token")
+          .exists(h => java.security.MessageDigest.isEqual(
+            h.getBytes("UTF-8"), s"Bearer $token".getBytes("UTF-8")))
         if (!authed) respond(x, 401, """{"error":"unauthorized"}""")
         else {
           val parts = x.getRequestURI.getPath.stripPrefix("/v1/lookup/")

@@ -67,8 +67,11 @@ object GraftRestServer {
     }
 
     def authed(x: HttpExchange): Boolean =
+      // constant-time compare (timing-leak hardening, same as the KV
+      // lookup service)
       Option(x.getRequestHeaders.getFirst("Authorization"))
-        .contains(s"Bearer $token")
+        .exists(h => java.security.MessageDigest.isEqual(
+          h.getBytes("UTF-8"), s"Bearer $token".getBytes("UTF-8")))
 
     // A bearer token's authority is bounded to the warehouse: URL path
     // segments become filesystem components, so '.'/'..'/separator

@@ -177,10 +177,18 @@ object GraftStreaming {
   private val fullDimCache =
     scala.collection.concurrent.TrieMap.empty[String, (Long, DataFrame)]
 
-  /** Previous epoch's pinned micro-batch per dim table (partial mode):
-    * evicted when the next epoch's batch arrives. */
+  /** Previous epoch's pinned micro-batch per (dim table, calling
+    * stream) in partial mode: evicted when the SAME stream's next epoch
+    * arrives. Keyed by dimCacheKey PLUS the calling thread (structured
+    * streaming runs every epoch of one query on its dedicated stream
+    * execution thread), so one stream's eviction can never unpersist a
+    * batch another in-flight stream is still joining — mid-join
+    * eviction would force a recompute, and with a non-deterministic
+    * source the bucket set could diverge from the joined rows,
+    * silently losing matches. Entries of finished (dead) threads are
+    * swept on each call, bounding the cache to live streams. */
   private val partialBatchCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[String, (Thread, DataFrame)]
 
   /** Cache key for a dim table: path + branch. A branch table shares
     * its path with main and their snapshot ids can coincide while
@@ -211,15 +219,21 @@ object GraftStreaming {
     *    O(probed buckets), not a full scan or broadcast.
     *  - FULL otherwise: the whole dim table joins, persisted and
     *    REUSED across epochs while its snapshot id is unchanged.
-    * Either side is broadcast only while its estimated rows stay under
-    * `maxBroadcastRows`; past that the join falls back to a shuffle
-    * join instead of dying at the broadcast threshold. */
+    * Either side is broadcast only while its estimated SIZE — manifest
+    * file bytes of the entries actually joined, not a row count — stays
+    * under `maxBroadcastBytes`; past that the join falls back to a
+    * shuffle join instead of dying (or OOMing the driver) at the
+    * broadcast. Bytes, not rows: 4M wide rows can blow the broadcast
+    * limit while 40M narrow rows are fine, and the manifests already
+    * carry exact per-file sizes. The default 64 MB of on-disk parquet
+    * decompresses to a few hundred MB of hashed relation — safely
+    * inside executor/driver budgets at 1000-executor scale. */
   def lookupJoin(
       batch: DataFrame,
       dim: GraftTable,
       keys: Seq[String],
       joinType: String = "left_outer",
-      maxBroadcastRows: Long = 4L * 1000 * 1000): DataFrame = {
+      maxBroadcastBytes: Long = 64L << 20): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
     val pk = dim.schema.primaryKeys
     val liveNow = dim.sm.latestSnapshot()
@@ -230,17 +244,20 @@ object GraftStreaming {
       // the join otherwise each recompute it from its source (double
       // source read, and with a non-deterministic source the bucket
       // set could be derived from different rows than those joined,
-      // silently losing matches). The previous epoch's handle is
-      // evicted on the next call, so at most one micro-batch per
-      // stream stays pinned.
+      // silently losing matches). The pinned handle is evicted when the
+      // SAME stream's next epoch arrives (see partialBatchCache).
       val pinned = batch.persist()
-      partialBatchCache.put(dim.path, pinned)
-        .filter(_ ne pinned).foreach(_.unpersist())
+      val self = Thread.currentThread()
+      val pinKey = s"${dimCacheKey(dim)}#caller=${self.getId}"
+      partialBatchCache.put(pinKey, (self, pinned))
+        .filter(_._2 ne pinned).foreach(_._2.unpersist())
+      partialBatchCache.filterInPlace { case (k, (t, df)) =>
+        k == pinKey || t.isAlive || { df.unpersist(); false } }
       val entries = dim.entriesForKeys(
         pinned.select(pk.map(org.apache.spark.sql.functions.col): _*))
       val slice = dim.mergedFromEntries(entries)
-      val estRows = entries.map(_.file.rowCount).sum
-      val bc = estRows <= maxBroadcastRows
+      val estBytes = entries.map(_.file.fileSize).sum
+      val bc = estBytes <= maxBroadcastBytes
       lastLookupStats = Some(LookupStats("partial", cacheHit = false,
         entries.size, liveNow.size, bc))
       pinned.join(if (bc) broadcast(slice) else slice, keys, joinType)
@@ -256,8 +273,8 @@ object GraftStreaming {
           fullDimCache.put(cacheKey, (snapId, df))
           (df, false)
       }
-      val estRows = dim.sm.latestSnapshot().map(_.totalRecordCount).getOrElse(0L)
-      val bc = estRows <= maxBroadcastRows
+      val estBytes = liveNow.map(_.file.fileSize).sum
+      val bc = estBytes <= maxBroadcastBytes
       lastLookupStats = Some(LookupStats("full", cacheHit = hit,
         liveNow.size, liveNow.size, bc))
       batch.join(if (bc) broadcast(dimDf) else dimDf, keys, joinType)

@@ -357,7 +357,47 @@ final class GraftTable private (
   private[graft] def dynIndexDf: Option[DataFrame] =
     sm.latestSnapshot().flatMap(_.dynIndex).filter(_.nonEmpty).map(files =>
       spark.read.schema(dynIndexStruct(schema))
-        .parquet(files.map(f => s"$path/$f"): _*))
+        .parquet(files.map(f => s"$path/$f"): _*)
+        .select(dynIndexStruct(schema).fieldNames.map(col).toIndexedSeq: _*))
+
+  /** The index pruned to the sidecars that can hold `keyValues`'s entry
+    * — the point-lookup path: the key's `__p`/`__r` scope tokens are
+    * computed with driver arithmetic (the same xxhash64 seed-42 fold as
+    * the Catalyst expressions that laid the files down), so a lookup in
+    * a billion-key table opens O(deltas + one range) of index state. */
+  private def dynIndexDfFor(keyValues: Map[String, Any]): Option[DataFrame] = {
+    val sch = schema
+    def hashOf(cols: Seq[String]): Option[Long] = {
+      val st = sch.toStruct
+      var h = 42L
+      cols.foreach { k =>
+        val dt = st(k).dataType
+        val v = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(dt)(keyValues(k))
+        if (v == null) return None
+        h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(v, dt, h)
+      }
+      Some(h)
+    }
+    val toks = hashOf(sch.primaryKeys).map { kh =>
+      val r = java.lang.Math.floorMod(kh, dynIndexRanges(sch).toLong).toInt
+      val p =
+        if (dynPartitionScoped(sch))
+          hashOf(sch.partitionKeys).map(ph =>
+            java.lang.Math.floorMod(ph, GraftTable.DynPartScopes.toLong).toInt)
+        else None
+      Set((p, r))
+    }
+    sm.latestSnapshot().flatMap(_.dynIndex).filter(_.nonEmpty).map { files =>
+      val pruned = toks.fold(files)(pruneDynIndexFiles(files, _))
+      if (pruned.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dynIndexStruct(sch))
+      else spark.read.schema(dynIndexStruct(sch))
+        .parquet(pruned.map(f => s"$path/$f"): _*)
+        .select(dynIndexStruct(sch).fieldNames.map(col).toIndexedSeq: _*)
+    }
+  }
 
   /** Dynamic bucket assignment (bucket = -1): a key KEEPS the bucket
     * of its first write, new keys hash into a range grown so the
@@ -399,11 +439,13 @@ final class GraftTable private (
     val pkCols = pk.map(col).toIndexedSeq
     if (live.isEmpty) {
       // empty table: every key is new; the first index write is the
-      // batch's own assignment
+      // batch's own assignment, laid down partition/range-scoped so
+      // later commits can prune their probes against it
       val out = batch.withColumn("__bucket", freshBucket)
         .repartition(nTotal, col("__bucket")).persist()
       val files = writeDynIndexFiles(
-        out.select((pkCols :+ col("__bucket")).toIndexedSeq: _*), parts = 4)
+        out.select((pkCols :+ col("__bucket")).toIndexedSeq: _*),
+        scoped = true, sch)
       return DynAssignment(out, keepUnseen(Set.empty, files), Seq(out))
     }
     val prevFiles = sm.latestSnapshot().flatMap(_.dynIndex).getOrElse(Seq.empty)
@@ -412,11 +454,37 @@ final class GraftTable private (
     // full rewrite when bootstrapping (no sidecars yet) or the delta
     // list has fragmented past the trigger
     val needFull = prevFiles.isEmpty || prevFiles.size >= compactTrigger
+    // the per-commit probe reads ONLY the sidecars that can hold the
+    // batch's keys: the batch's (partition-hash, key-range) token set —
+    // O(partitions × ranges) values, map-side-combined — prunes the
+    // scoped bulk of the index, so a small ingest into a huge table
+    // reads O(batch's ranges) of index state, not O(total keys). Full
+    // rewrites read everything by definition (amortized 1/trigger).
+    val probeFiles =
+      if (needFull || prevFiles.isEmpty) prevFiles
+      else {
+        val scopeCols = dynScopeCols(sch)
+        val toks = batch
+          .select(scopeCols.map(c => c._2.as(c._1)).toIndexedSeq: _*)
+          .distinct().collect().map { r =>
+            if (scopeCols.size == 2) (Some(r.getInt(0)), r.getInt(1))
+            else (None: Option[Int], r.getInt(0))
+          }.toSet
+        pruneDynIndexFiles(prevFiles, toks)
+      }
+    lastDynProbeFiles = probeFiles
     val idx0 =
-      if (prevFiles.nonEmpty)
-        spark.read.schema(dynIndexStruct(sch))
-          .parquet(prevFiles.map(f => s"$path/$f"): _*)
-          .withColumnRenamed("__bucket", "__existing_bucket")
+      if (prevFiles.nonEmpty) {
+        // every batch key may be new → zero matching sidecars
+        val base =
+          if (probeFiles.isEmpty)
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dynIndexStruct(sch))
+          else spark.read.schema(dynIndexStruct(sch))
+            .parquet(probeFiles.map(f => s"$path/$f"): _*)
+            .select(dynIndexStruct(sch).fieldNames.map(col).toIndexedSeq: _*)
+        base.withColumnRenamed("__bucket", "__existing_bucket")
+      }
       else readRaw(live) // one-time bootstrap for pre-index tables
         .select((pkCols :+ col("__bucket").as("__existing_bucket")).toIndexedSeq: _*)
         .groupBy(pkCols: _*)
@@ -432,10 +500,10 @@ final class GraftTable private (
       val full = idx
         .select((pkCols :+ col("__existing_bucket").as("__bucket")).toIndexedSeq: _*)
         .unionByName(newKeys)
-      val files = writeDynIndexFiles(full, parts = 4)
+      val files = writeDynIndexFiles(full, scoped = true, sch)
       DynAssignment(out, keepUnseen(prevFiles.toSet, files), Seq(joined, idx))
     } else {
-      val files = writeDynIndexFiles(newKeys, parts = 1)
+      val files = writeDynIndexFiles(newKeys, scoped = false, sch)
       DynAssignment(out, prev => prev ++ files, Seq(joined))
     }
   }
@@ -1044,16 +1112,97 @@ final class GraftTable private (
   }
 
   /** Write a (pk..., __bucket) frame as index sidecars; returns
-    * table-relative paths. `parts` bounds the file count so the delta
-    * list grows by one file per commit and a rewrite stays a few files
-    * (a real deployment would size by target bytes instead). */
-  private def writeDynIndexFiles(df: DataFrame, parts: Int): Seq[String] = {
+    * table-relative paths.
+    *
+    * Two layouts:
+    *  - `scoped = false` (per-commit deltas): ONE flat file. Deltas are
+    *    O(batch's new keys), so reading every delta since the last
+    *    rewrite is cheap by construction, and one file per commit keeps
+    *    small-ingest overhead minimal.
+    *  - `scoped = true` (full rewrites / bootstrap / first write): the
+    *    bulk of the index, laid out `__p=<partition-hash>/__r=<key-
+    *    range>/` via partitionBy so the assigner and point lookups can
+    *    PRUNE the probe to the batch's partitions and key hash-ranges
+    *    instead of reading O(total keys ever written) per commit
+    *    (reference: HashBucketAssigner.java:37 keeps assigner state per
+    *    partition; IndexBootstrap loads only written partitions). The
+    *    scope columns are directory structure only — readers use the
+    *    explicit (pk, __bucket) schema, so legacy flat files and scoped
+    *    files mix freely in one read. */
+  private def writeDynIndexFiles(
+      df: DataFrame, scoped: Boolean, sch: TableSchema): Seq[String] = {
     val dir = s"index-dyn/${UUID.randomUUID()}"
-    df.coalesce(parts).write.parquet(s"$path/$dir")
+    if (!scoped) df.coalesce(1).write.parquet(s"$path/$dir")
+    else {
+      val scopeCols = dynScopeCols(sch)
+      val withScope = scopeCols.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e) }
+      withScope
+        .repartition(scopeCols.map(c => col(c._1)).toIndexedSeq: _*)
+        .write.partitionBy(scopeCols.map(_._1): _*)
+        .parquet(s"$path/$dir")
+    }
+    val base = Paths.get(path)
     graft.core.FsUtil.walkAll(Paths.get(s"$path/$dir")).iterator
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map(p => s"$dir/${p.getFileName}")
+      .map(p => base.relativize(p).toString.replace('\\', '/'))
       .toSeq
+  }
+
+  /** Scope columns of the dynamic-bucket index layout, in partitionBy
+    * order: `__p` (a 16-bit hash of the table-partition values — only
+    * when the partition keys are contained in the primary key, so a key
+    * can never change partitions and its index entry is always findable
+    * under the batch row's partition) and `__r` (the key's hash-range,
+    * `dynamic-bucket.index.ranges` buckets, default 8). Both are small
+    * ints so the directory tokens are stable and driver arithmetic can
+    * mirror them exactly (same xxhash64 seed-42 fold as the bucket
+    * hash). */
+  private def dynScopeCols(sch: TableSchema): Seq[(String, Column)] = {
+    val r = "__r" -> pmod(xxhash64(sch.primaryKeys.map(col).toIndexedSeq: _*),
+      lit(dynIndexRanges(sch))).cast("int")
+    if (dynPartitionScoped(sch))
+      Seq("__p" -> pmod(xxhash64(sch.partitionKeys.map(col).toIndexedSeq: _*),
+        lit(GraftTable.DynPartScopes)).cast("int"), r)
+    else Seq(r)
+  }
+
+  private def dynIndexRanges(sch: TableSchema): Int =
+    sch.options.getOrElse("dynamic-bucket.index.ranges", "8").toInt
+
+  /** Diagnostic: the sidecar files the last dynamic-bucket assignment
+    * actually probed (what the pruning let through). */
+  private[graft] var lastDynProbeFiles: Seq[String] = Seq.empty
+
+  /** Partition scoping is only sound when a primary key is pinned to
+    * one partition (partition keys ⊆ primary keys); otherwise a key
+    * re-written under a new partition would miss its old entry and be
+    * assigned a second bucket. */
+  private def dynPartitionScoped(sch: TableSchema): Boolean =
+    sch.partitionKeys.nonEmpty &&
+      sch.partitionKeys.forall(sch.primaryKeys.contains)
+
+  /** Keep only the sidecar files that can hold entries for the given
+    * scope tokens: a file whose path carries `__p=`/`__r=` tokens is
+    * skipped unless its (p, r) pair is in the batch's set; flat legacy/
+    * delta files (no tokens) are always read. Over-reads are safe,
+    * under-reads are not — unparseable tokens keep the file. */
+  private[graft] def pruneDynIndexFiles(
+      files: Seq[String], tokens: Set[(Option[Int], Int)]): Seq[String] = {
+    def seg(f: String, key: String): Option[Int] =
+      f.split('/').collectFirst {
+        case s if s.startsWith(key + "=") =>
+          try Some(s.substring(key.length + 1).toInt)
+          catch { case _: NumberFormatException => None }
+      }.flatten
+    files.filter { f =>
+      seg(f, "__r") match {
+        case None => true // flat delta / legacy file
+        case Some(r) =>
+          val p = seg(f, "__p")
+          tokens.exists { case (tp, tr) =>
+            tr == r && (tp.isEmpty || p.isEmpty || tp == p) }
+      }
+    }
   }
 
   /** Write-time clustering for append tables (reference:
@@ -1674,7 +1823,7 @@ final class GraftTable private (
     // dynamic buckets: membership lives in the persisted index (a key
     // absent there was never written → empty result, zero data files)
     val entries =
-      if (sch.isDynamicBucket) dynIndexDf match {
+      if (sch.isDynamicBucket) dynIndexDfFor(keyValues) match {
         case Some(idx) =>
           idx.filter(filterCond).select("__bucket").collect().headOption match {
             case Some(r) => pruned.filter(_.bucket == r.getInt(0))
@@ -2197,6 +2346,14 @@ final class GraftTable private (
     val rid = GraftTable.RowIdCol
     require(values.columns.contains(rid), s"values must carry $rid")
     require(values.columns.contains(name), s"values must carry the new $name values")
+    // duplicate row ids within one call would share a patch generation
+    // and tie-break arbitrarily at read — reject them up front (one
+    // map-side-combined aggregate over the patch rows, not the table)
+    val dup = values.agg(
+      count(lit(1)).as("n"), count_distinct(col(rid)).as("d")).head
+    require(dup.getLong(0) == dup.getLong(1),
+      s"patchColumn: ${dup.getLong(0) - dup.getLong(1)} duplicate $rid " +
+        "value(s) in one call — reduce to one value per row id first")
     if (!schema.fields.exists(_.name == name))
       addColumn(name, values.schema(name).dataType)
     val fieldType = DataType.fromDDL(
@@ -3654,7 +3811,15 @@ final class GraftTable private (
           .filter(Files.isRegularFile(_))
           .foreach { p =>
             val rel = Paths.get(path).relativize(p).toString
-            if (!referenced.contains(rel) && !blobRefs.contains(rel) &&
+            // underscore-prefixed basenames are METADATA MARKERS, not
+            // data: the partition-done `_SUCCESS` files written by
+            // markIdlePartitionsDone / mark_partition_done are
+            // referenced by no manifest by design — sweeping them would
+            // silently un-mark 'done' partitions that downstream
+            // schedulers poll (Hadoop convention: `_`-prefixed files
+            // are invisible to readers)
+            val marker = p.getFileName.toString.startsWith("_")
+            if (!marker && !referenced.contains(rel) && !blobRefs.contains(rel) &&
               Files.getLastModifiedTime(p).toMillis < cutoff) {
               Files.deleteIfExists(p)
               deleted += rel
@@ -4841,6 +5006,13 @@ object GraftTable {
   /** Tokenization of the full-text index and [[GraftTable.searchText]]:
     * maximal [A-Za-z0-9]+ runs (split on everything else). */
   val TextTokenSplit = "[^A-Za-z0-9]+"
+
+  /** Modulus of the dynamic-bucket index's `__p` partition-hash scope
+    * token (the number of partition directory groups sidecars spread
+    * over). Fixed, not configurable: the token is baked into persisted
+    * paths, and 64k groups is plenty for pruning while keeping
+    * collisions harmless (a collision only over-reads). */
+  val DynPartScopes = 65536
 
   /** Project a value of type `from` to type `to`, recursing through
     * structs (and arrays/maps of structs): nested fields align BY

@@ -62,13 +62,22 @@ object MergeEngine {
       case Some(f) =>
         // sequence.field.sort-order=descending (reference: CoreOptions
         // SEQUENCE_FIELD_SORT_ORDER): the SMALLEST sequence value wins.
-        // Negation inverts the comparison inside the same max_by fold;
-        // restricted to numeric sequence fields.
+        // The inversion must hold on the WHOLE domain: arithmetic
+        // negation maps Long.MinValue to itself (overflow), so integral
+        // fields invert via bitwise NOT (~x = -x-1, a strict
+        // order-reversing bijection with no overflow — agrees with
+        // localLookup's ord.reverse everywhere); fractional negation is
+        // overflow-free. Restricted to numeric sequence fields.
         val desc = schema.options
           .get("sequence.field.sort-order").contains("descending")
         val seqCol =
           if (!desc) col(f)
           else schema.toStruct.fields.find(_.name == f).map(_.dataType) match {
+            case Some(org.apache.spark.sql.types.ByteType
+                      | org.apache.spark.sql.types.ShortType
+                      | org.apache.spark.sql.types.IntegerType
+                      | org.apache.spark.sql.types.LongType) =>
+              bitwise_not(col(f))
             case Some(_: org.apache.spark.sql.types.NumericType) => lit(0) - col(f)
             case other => throw new IllegalArgumentException(
               "sequence.field.sort-order=descending needs a numeric " +

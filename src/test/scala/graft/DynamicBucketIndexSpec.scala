@@ -36,7 +36,8 @@ class DynamicBucketIndexSpec extends AnyFunSuite {
   private def create(dir: String, extra: Map[String, String] = Map.empty) =
     GraftTable.create(spark, dir, sch, primaryKeys = Seq("k"),
       options = Map("sequence.field" -> "seq", "bucket" -> "-1",
-        "dynamic-bucket.target-row-num" -> "20") ++ extra)
+        "dynamic-bucket.target-row-num" -> "20",
+        "dynamic-bucket.index.ranges" -> "2") ++ extra)
 
   private def indexFiles(t: GraftTable): Seq[String] =
     t.sm.latestSnapshot().flatMap(_.dynIndex).getOrElse(Seq.empty)
@@ -111,6 +112,61 @@ class DynamicBucketIndexSpec extends AnyFunSuite {
     val dup = raw.select(col("k"), col("__bucket")).distinct()
       .groupBy("k").count().filter(col("count") > 1).count()
     assert(dup == 0, "bootstrap must preserve existing key→bucket mapping")
+  }
+
+  test("partitioned table: the assigner probes only the touched partition's sidecars") {
+    val psch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("p", IntegerType, nullable = false),
+      StructField("v", StringType, nullable = true),
+      StructField("seq", LongType, nullable = true)))
+    val t = GraftTable.create(spark, tmp(), psch,
+      partitionKeys = Seq("p"), primaryKeys = Seq("k", "p"),
+      options = Map("sequence.field" -> "seq", "bucket" -> "-1",
+        "dynamic-bucket.target-row-num" -> "20",
+        "dynamic-bucket.index.ranges" -> "2"))
+    def pdf(rows: (Long, Int, String, Long)*): DataFrame =
+      spark.createDataFrame(
+        rows.map(r => Row(r._1, r._2, r._3, r._4)).asJava, psch)
+    // full write across 4 partitions → partition/range-scoped sidecars
+    t.write(pdf((0L until 40L).map(i => (i, (i % 4).toInt, s"a$i", 1L)): _*))
+    val all = indexFiles(t)
+    val pToks = all.flatMap(_.split('/').find(_.startsWith("__p="))).distinct
+    assert(pToks.size == 4, s"expected 4 partition scopes, got $pToks")
+    // a batch touching ONE of the 4 partitions must probe only that
+    // partition's index files — O(written partitions), not O(table)
+    t.write(pdf((0L until 40L).filter(_ % 4 == 1)
+      .map(i => (i, 1, s"b$i", 2L)): _*))
+    val probed = t.lastDynProbeFiles
+    assert(probed.nonEmpty && probed.size < all.size,
+      s"probe must be a strict subset: ${probed.size} of ${all.size}")
+    val probedToks = probed.flatMap(_.split('/').find(_.startsWith("__p="))).distinct
+    assert(probedToks.size == 1, s"probe crossed partitions: $probedToks")
+    // correctness: updated rows visible, buckets stable
+    assert(t.read.count() == 40L)
+    assert(t.read.filter(col("k") === 5L).head.getAs[String]("v") == "b5")
+    val raw = t.readRaw(t.sm.latestSnapshot().map(t.sm.liveEntries).get)
+    assert(raw.select(col("k"), col("__bucket")).distinct()
+      .groupBy("k").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("unpartitioned table: a small batch probes only its key hash-ranges") {
+    val t = create(tmp(), Map("dynamic-bucket.index.ranges" -> "8"))
+    t.write(df((0L until 200L).map(i => (i, s"a$i", 1L)): _*))
+    val all = indexFiles(t)
+    val rToks = all.flatMap(_.split('/').find(_.startsWith("__r="))).distinct
+    assert(rToks.size == 8, s"200 keys must cover all 8 ranges, got $rToks")
+    t.write(df((7L, "one", 2L))) // single-key ingest
+    val probed = t.lastDynProbeFiles
+    assert(probed.size < all.size,
+      s"single-key probe must not read the whole index: ${probed.size}/${all.size}")
+    val probedR = probed.flatMap(_.split('/').find(_.startsWith("__r="))).distinct
+    assert(probedR.size == 1, s"single key maps to one range, probed $probedR")
+    assert(t.read.count() == 200L)
+    assert(t.read.filter(col("k") === 7L).head.getString(1) == "one")
+    val raw = t.readRaw(t.sm.latestSnapshot().map(t.sm.liveEntries).get)
+    assert(raw.select(col("k"), col("__bucket")).distinct()
+      .groupBy("k").count().filter(col("count") > 1).count() == 0)
   }
 
   test("lookup uses the index: absent keys read zero files") {

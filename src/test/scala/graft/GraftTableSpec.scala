@@ -457,6 +457,13 @@ class GraftTableSpec extends AnyFunSuite {
     t3.write(kvDf((1L, "later", 12L, 9L))) // larger seq → loses
     assert(t3.read.head.getString(1) == "early")
     assert(t3.lookup(Map("k" -> 1L)).head.getString(1) == "early")
+    // domain edge: Long.MinValue is the SMALLEST seq and must win
+    // (arithmetic negation would map it to itself and lose; the merge
+    // inverts via bitwise NOT, agreeing with localLookup's ord.reverse)
+    t3.write(kvDf((1L, "minval", 13L, Long.MinValue)))
+    t3.write(kvDf((1L, "other", 14L, Long.MinValue + 1)))
+    assert(t3.read.head.getString(1) == "minval")
+    assert(t3.lookup(Map("k" -> 1L)).head.getString(1) == "minval")
     // an UNPAIRED -U winner is a retraction: the key is gone from
     // reads, lookups, and stays gone through compaction
     val t4 = GraftTable.create(spark, tmp(), cdcSchema,

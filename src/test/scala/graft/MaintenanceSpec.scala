@@ -332,6 +332,16 @@ class MaintenanceSpec extends AnyFunSuite {
     val c = GraftTable.create(spark, tmp(), sch, partitionKeys = Seq("dt"))
     c.write(df(("p", 1L)))
     assert(c.markIdlePartitionsDone(now = Long.MaxValue / 2).isEmpty)
+    // the marker is referenced by no manifest — remove_orphan_files
+    // must still NEVER sweep it (it would silently un-mark 'done'
+    // partitions downstream schedulers poll)
+    t.markIdlePartitionsDone(
+      now = t.sm.latestSnapshot().get.timeMillis + 3600L * 1000 + 10)
+    val marker = java.nio.file.Paths.get(s"${t.path}/data/dt=old/_SUCCESS")
+    assert(java.nio.file.Files.exists(marker))
+    val removed = t.removeOrphanFiles(graceMillis = -1000)
+    assert(java.nio.file.Files.exists(marker),
+      s"orphan sweep deleted the partition-done marker (removed=$removed)")
   }
 
   test("changelog retention outlives snapshot expiration; caps trim it") {

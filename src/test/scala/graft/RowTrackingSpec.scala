@@ -182,6 +182,11 @@ class RowTrackingSpec extends AnyFunSuite {
       .map(_.getString(1)).toSeq == Seq("a", "b", "c"))
     // row-id reads see the overlay too
     assert(t.readRowRange(1L, 2L).head.getString(1) == "patched")
+    // duplicate row ids in ONE call are rejected up front — they would
+    // share a patch generation and tie-break nondeterministically
+    val dup = intercept[IllegalArgumentException](t.patchColumn("score",
+      Seq((0L, 1.0), (0L, 2.0)).toDF(GraftTable.RowIdCol, "score")))
+    assert(dup.getMessage.contains("duplicate"))
   }
 
   test("data evolution: tags stay immutable; top-N and text search see patches") {

@@ -296,6 +296,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.mode == "partial" && st.entriesScanned < st.entriesTotal, st.toString)
   }
 
+  test("lookup join broadcast threshold is byte-based: wide slices shuffle") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp()
+    val dimSch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("payload", StringType, nullable = true)))
+    val dim = GraftTable.create(spark, s"$dir/dim", dimSch,
+      primaryKeys = Seq("k"), options = Map("bucket" -> "2"))
+    // few rows (far below any row-count threshold) but WIDE: the byte
+    // estimate from manifest fileSize must veto the broadcast
+    dim.write(spark.createDataFrame(
+      (0L until 50L).map(i => Row(i, scala.util.Random.nextString(2000))).asJava,
+      dimSch))
+    val batchSch = StructType(Seq(StructField("k", LongType, nullable = false)))
+    val batch = spark.createDataFrame(Seq(Row(3L), Row(7L)).asJava, batchSch)
+    val joined = GraftStreaming.lookupJoin(batch, dim, Seq("k"),
+      maxBroadcastBytes = 10 * 1024)
+    assert(joined.count() == 2)
+    val st = GraftStreaming.lastLookupStats.get
+    assert(st.mode == "partial" && !st.broadcastSide,
+      s"wide slice must take the shuffle path: $st")
+    // same dim under the default byte budget: small enough → broadcast
+    GraftStreaming.lookupJoin(batch, dim, Seq("k")).count()
+    assert(GraftStreaming.lastLookupStats.get.broadcastSide)
+  }
+
   test("partial lookup join on a dynamic-bucket dim resolves buckets via the key index") {
     import scala.jdk.CollectionConverters._
     val dir = tmp()
