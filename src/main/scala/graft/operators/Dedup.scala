@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   *  - signatures are per-row expressions (no shuffle, full codegen);
   *  - candidate generation is band/chunk-bucket equi-joins — the only
   *    shuffles, keyed so Spark's hash partitioning spreads buckets;
-  *  - oversized buckets (degenerate content, e.g. empty docs) are
-  *    capped via `maxBucketSize` so a single hot bucket cannot create
-  *    a quadratic straggler;
+  *  - oversized buckets (degenerate content, e.g. empty docs) collapse
+  *    content-identical rows to star edges + one representative before
+  *    the pair join (recall-preserving), with `maxBucketSize` bounding
+  *    the representatives so a hot bucket cannot create a quadratic
+  *    straggler;
   *  - verification runs only on candidate pairs.
   */
 object Dedup {
@@ -94,12 +96,14 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     val rows = k / bands
     val sig = minhashSignatureTable(df, idCol, textCol, k)
-    val banded = sig.select(col("id"),
+    val banded = sig.select(col("id"), xxhash64(col("sig")).as("__sigh"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
       }: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    bucketJoinPairs(banded, Seq("band", "bh"), maxBucketSize)
+      .select(col("id"), col("__sigh"),
+        col("bb.band").as("band"), col("bb.bh").as("bh"))
+    bucketJoinPairs(banded, Seq("band", "bh"), maxBucketSize,
+      fineKey = col("__sigh"))
   }
 
   /** Full MinHash LSH dedup: candidates verified with exact token-set
@@ -156,10 +160,11 @@ object Dedup {
     * shares at least one (chunk, value) bucket. Chunk count is derived
     * from maxHamming rather than fixed, because 4 fixed chunks only
     * guarantee recall up to Hamming 3. Note the trade-off: large
-    * maxHamming means narrow chunks → hot buckets; the `maxBucketSize`
-    * skew guard then bounds the join but sacrifices recall inside the
-    * dropped buckets (observed + WARN-logged via the skew metrics —
-    * prefer maxHamming <= 7 at scale).
+    * maxHamming means narrow chunks → hot buckets; those collapse
+    * content-identical rows to star edges (no recall loss) and bound
+    * the remaining DISTINCT-content join at `maxBucketSize`
+    * representatives (overflow WARN-counted — prefer maxHamming <= 7
+    * at scale).
     */
   def simhashDedupPairs(
       df: DataFrame,
@@ -185,14 +190,14 @@ object Dedup {
       struct(lit(c).as("chunk"),
         shiftright(col("sh"), start).bitwiseAND(mask).as("cv"))
     }
-    val chunked = capBuckets(
+    val chunked =
       sh.select(col("id"), col("sh"), explode(array(chunkDefs: _*)).as("cc"))
-        .select(col("id"), col("sh"), col("cc.chunk").as("chunk"), col("cc.cv").as("cv")),
-      Seq("chunk", "cv"), maxBucketSize, "simhash")
-    val a = chunked.select(col("chunk"), col("cv"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = chunked.select(col("chunk"), col("cv"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("chunk", "cv"))
-      .filter(col("id_a") < col("id_b"))
+        .select(col("id"), col("sh"), col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
+    // hot chunk buckets collapse by the full 64-bit hash (exact, not a
+    // proxy): identical-sh groups become stars (hamming 0), distinct
+    // sh values pair via representatives
+    bucketJoinPairs(chunked, Seq("chunk", "cv"), maxBucketSize,
+      fineKey = col("sh"), payload = Seq("sh"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -254,9 +259,11 @@ object Dedup {
       seed: Long = 42L,
       maxBucketSize: Int = 1000): DataFrame = {
     val bucketed = df.select(col(idCol).as("id"),
+      xxhash64(col(vecCol)).as("__vh"),
       posexplode(Similarity.lshBuckets(col(vecCol), dim, tables, planesPerTable, seed))
         .as(Seq("tbl", "bucket")))
-    bucketJoinPairs(bucketed, Seq("tbl", "bucket"), maxBucketSize)
+    bucketJoinPairs(bucketed, Seq("tbl", "bucket"), maxBucketSize,
+      fineKey = col("__vh"))
   }
 
   /** Embedding-cosine near-dup pairs: LSH candidates verified by exact
@@ -362,9 +369,27 @@ object Dedup {
     }.toMap
 
   /** For tests: forget prior guards' accumulators. */
-  def skewDropsReset(): Unit = skewAccs.clear()
+  def skewDropsReset(): Unit = { skewAccs.clear(); collapseAccs.clear() }
+
+  /** Prefix of the accumulator names the hot-bucket COLLAPSE paths
+    * register (recall-preserving, unlike [[skewDrops]]' real drops). */
+  val CollapseMetricPrefix = "graft.dedup.collapse"
+
+  private val collapseAccs = scala.collection.concurrent.TrieMap
+    .empty[String, (org.apache.spark.util.LongAccumulator,
+      org.apache.spark.util.LongAccumulator)]
+
+  /** Snapshot of hot-bucket collapses, keyed by site:
+    * (member rows collapsed into star edges, hot buckets). Informational
+    * — no recall is lost on these rows, their pairs are represented by
+    * star + representative edges. */
+  def collapseStats: Map[String, (Long, Long)] =
+    collapseAccs.iterator.map { case (name, (r, b)) =>
+      name -> (r.value.longValue, b.value.longValue)
+    }.toMap
 
   private val skewLogged = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val collapseLogged = scala.collection.concurrent.TrieMap.empty[String, Long]
 
   private val listenerRegistered =
     java.util.Collections.newSetFromMap(
@@ -382,15 +407,25 @@ object Dedup {
         s.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
           private val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
           override def onSuccess(funcName: String,
-              qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+              qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
             skewDrops.foreach { case (name, (rows, buckets)) =>
               if (rows > 0 && skewLogged.getOrElse(name, 0L) < rows) {
                 skewLogged.put(name, rows)
-                log.warn(s"$name: skew guard dropped $rows candidate rows in " +
-                  s"~$buckets oversized buckets — near-dup recall is lost inside " +
-                  "them; raise maxBucketSize or pre-filter degenerate content")
+                log.warn(s"$name: skew guard dropped $rows DISTINCT-content " +
+                  s"representatives in ~$buckets oversized buckets — near-dup " +
+                  "recall is lost for them; raise maxBucketSize or pre-filter " +
+                  "degenerate content")
               }
             }
+            collapseStats.foreach { case (name, (rows, buckets)) =>
+              if (rows > 0 && collapseLogged.getOrElse(name, 0L) < rows) {
+                collapseLogged.put(name, rows)
+                log.info(s"$name: $rows content-identical rows in ~$buckets hot " +
+                  "buckets collapsed to star edges (connectivity-preserving, " +
+                  "no recall loss)")
+              }
+            }
+          }
           override def onFailure(funcName: String,
               qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
         })
@@ -438,8 +473,6 @@ object Dedup {
     banded.join(over, keys, "left_anti")
   }
 
-  /** Self-join pairs of `banded` rows sharing bucket `keys`, with
-    * oversized buckets dropped (skew guard; drops counted + logged). */
   // --- Incremental corpus dedup ---------------------------------------
   // A 100 TB corpus grows by increments; re-banding the whole corpus
   // per batch is O(corpus) and dies first. These helpers persist the
@@ -519,16 +552,103 @@ object Dedup {
       texts, idCol, tokenSet(col(textCol)), threshold)
   }
 
+  /** Self-join pairs of `banded` rows sharing bucket `keys`, with a
+    * RECALL-PRESERVING skew guard.
+    *
+    * Buckets at or under `maxBucketSize` all-pairs join exactly as
+    * before. An over-cap bucket (degenerate content: boilerplate,
+    * empty docs — exactly what most wants deduping) is NOT dropped;
+    * its rows collapse by `fineKey` (a hash of the row's FULL content
+    * proxy — signature / simhash / vector), because an over-cap bucket
+    * is dominated by content-identical rows:
+    *  - each identical-content group emits STAR edges (group min-id →
+    *    member), O(group) not O(group²) — connectivity-exact for the
+    *    clustering these pairs feed, and every star pair verifies
+    *    trivially downstream (jaccard 1 / hamming 0 / cosine 1);
+    *  - one REPRESENTATIVE per group joins all-pairs within the bucket
+    *    (distinct-content rows only), capped at `maxBucketSize` reps
+    *    per bucket — the quadratic bound survives; only the rep
+    *    overflow (many DISTINCT contents colliding, rare) is dropped,
+    *    WARN-counted in [[skewDrops]].
+    * Collapsed member rows are INFO-counted in [[collapseStats]] — the
+    * no-silent-caps rule either way. Inside a hot bucket the emitted
+    * pair set is connectivity-preserving rather than exhaustive (a
+    * member-member pair across two groups is represented by its
+    * rep-rep edge plus the stars).
+    *
+    * `payload` columns are carried onto pairs as `<c>_a`/`<c>_b` (for
+    * star pairs both sides carry the member's value — the group shares
+    * one fineKey, hence one content proxy). */
   private def bucketJoinPairs(
       banded: DataFrame,
       keys: Seq[String],
-      maxBucketSize: Int): DataFrame = {
-    val sized = capBuckets(banded, keys, maxBucketSize, keys.head)
-    val a = sized.withColumnRenamed("id", "id_a")
-    val b = sized.withColumnRenamed("id", "id_b")
+      maxBucketSize: Int,
+      fineKey: Column,
+      payload: Seq[String] = Seq.empty): DataFrame = {
+    registerSkewListener(banded)
+    if (skewAccs.size > 256) { skewAccs.clear(); skewLogged.clear() }
+    if (collapseAccs.size > 256) { collapseAccs.clear(); collapseLogged.clear() }
+    val site = keys.head
+    val n = skewSeq.incrementAndGet()
+    val dropName = s"$SkewMetricPrefix.$site.$n"
+    val collName = s"$CollapseMetricPrefix.$site.$n"
+    val sc = banded.sparkSession.sparkContext
+    val dropRows = sc.longAccumulator(s"$dropName.rows")
+    val dropBuckets = sc.longAccumulator(s"$dropName.buckets")
+    skewAccs.put(dropName, (dropRows, dropBuckets))
+    val collRows = sc.longAccumulator(s"$collName.rows")
+    val collBuckets = sc.longAccumulator(s"$collName.buckets")
+    collapseAccs.put(collName, (collRows, collBuckets))
+    val keyCols = keys.map(col)
+    // nondeterministic: counting filters must not be deduplicated,
+    // reordered, or double-evaluated by the optimizer
+    val hotCounting = udf { (bn: Long) =>
+      val hot = bn > maxBucketSize
+      if (hot) collBuckets.add(1L)
+      hot
+    }.asNondeterministic()
+    val over = banded.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(hotCounting(col("bucket_n")))
+      .select(keyCols: _*)
+    val cold = banded.join(over, keys, "left_anti")
+    val hotRows = banded.join(over, keys, "left_semi")
+      .withColumn("__fk", fineKey)
+    val groupKeys = keys :+ "__fk"
+    val reps = hotRows.groupBy(groupKeys.map(col): _*)
+      .agg(min(col("id")).as("__rep"))
+    val withRep = hotRows.join(reps, groupKeys)
+    val starCounting = udf { (isMember: Boolean) =>
+      if (isMember) collRows.add(1L)
+      isMember
+    }.asNondeterministic()
+    val pairCols = Seq(col("id_a"), col("id_b")) ++
+      payload.flatMap(p => Seq(col(s"${p}_a"), col(s"${p}_b")))
+    val stars = withRep.filter(starCounting(col("id") =!= col("__rep")))
+      .select(Seq(col("__rep").as("id_a"), col("id").as("id_b")) ++
+        payload.flatMap(p => Seq(col(p).as(s"${p}_a"), col(p).as(s"${p}_b"))): _*)
+    // one row per identical-content group; cap DISTINCT contents per
+    // bucket so the rep join stays quadratic-bounded
+    val repKeep = udf { (rank: Int) =>
+      val keep = rank <= maxBucketSize
+      if (!keep) { dropRows.add(1L); if (rank == maxBucketSize + 1) dropBuckets.add(1L) }
+      keep
+    }.asNondeterministic()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*).orderBy(col("id"))
+    val repRows = withRep.filter(col("id") === col("__rep"))
+      .withColumn("__rank", row_number().over(w))
+      .filter(repKeep(col("__rank")))
+      .drop("__rank", "__rep", "__fk")
+    val joinable = cold.unionByName(repRows)
+    val a = joinable.select(keyCols ++ Seq(col("id").as("id_a")) ++
+      payload.map(p => col(p).as(s"${p}_a")): _*)
+    val b = joinable.select(keyCols ++ Seq(col("id").as("id_b")) ++
+      payload.map(p => col(p).as(s"${p}_b")): _*)
     a.join(b, keys)
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      .select(pairCols: _*)
+      .unionByName(stars)
       .distinct()
   }
 

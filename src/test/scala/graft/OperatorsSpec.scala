@@ -337,7 +337,7 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!lsh.exists { case (a, b) => b - a != 1000 })
   }
 
-  test("skew guard drops are observed and reported, never silent") {
+  test("hot-bucket collapse preserves recall: identical content stays connected") {
     import spark.implicits._
     // 30 identical docs land in one degenerate LSH bucket > max size;
     // 4 distinct docs survive in small buckets
@@ -349,26 +349,55 @@ class OperatorsSpec extends AnyFunSuite {
       .toDF("id", "text")
     Dedup.skewDropsReset()
     val pairs = Dedup.minhashCandidates(docs, "id", "text", maxBucketSize = 8)
-    // the hot bucket (30 rows/band) was dropped; the 100/101 pair survives
-    assert(pairs.as[(Long, Long)].collect().toSet == Set((100L, 101L)))
-    val drops = Dedup.skewDrops
-    assert(drops.nonEmpty, "skew drops were not reported")
-    val (rows, buckets) = drops.values.maxBy(_._1)
-    assert(rows >= 30, s"expected >=30 dropped rows (30 ids x bands), got $rows")
-    assert(buckets >= 1, s"expected >=1 dropped bucket, got $buckets")
+      .as[(Long, Long)].collect().toSet
+    // the hot bucket is COLLAPSED, not dropped: the 30 identical docs
+    // emit star edges to their min-id representative — every one of
+    // them is still connected to the duplicate cluster
+    assert(pairs.contains((100L, 101L)))
+    assert((1 until 30).forall(i => pairs.contains((0L, i.toLong))),
+      s"star edges missing from hot bucket: $pairs")
+    // connectivity only (no quadratic blowup): member-member pairs of
+    // the collapsed group are represented by their star edges
+    assert(!pairs.contains((1L, 2L)))
+    // nothing was silently lost: zero real drops, collapse is counted
+    assert(Dedup.skewDrops.values.forall(_._1 == 0L),
+      s"no reps should drop here: ${Dedup.skewDrops}")
+    assert(Dedup.collapseStats.values.exists(_._1 >= 29L),
+      s"collapse not reported: ${Dedup.collapseStats}")
 
     // simhash chunk join: identical docs -> identical simhash -> one
-    // hot (chunk, value) bucket; the cap must drop it AND report it —
-    // including when EVERYTHING is dropped (AQE empty-propagation must
-    // not erase the count)
+    // hot (chunk, value) bucket; every member must still reach the
+    // duplicate cluster through its representative (hamming 0)
     Dedup.skewDropsReset()
     val sh = (0 until 20).map(i => (i.toLong, 0xdeadbeefL))
       .toDF("id", "sh")
     val capped = Dedup.simhashPairs(sh, maxHamming = 3, maxBucketSize = 5)
-    assert(capped.count() == 0, "hot bucket must be dropped by the cap")
-    assert(Dedup.skewDrops.exists { case (name, (r, _)) =>
-      name.contains("simhash") && r >= 20 * 4 }, // 20 ids x 4 chunks
-      s"simhash drops not reported: ${Dedup.skewDrops}")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == (1 until 20).map(i => (0L, i.toLong)).toSet,
+      s"hot bucket must collapse to stars, got $capped")
+
+    // PLANTED near-dup pairs inside an over-cap degenerate bucket are
+    // still found: 12 docs share simhash H (hot at cap 5), two more sit
+    // at hamming 1 and 2 from H — the representative pairs find them
+    Dedup.skewDropsReset()
+    val h = 0x0123456789abcdefL
+    val planted = ((0 until 12).map(i => (i.toLong, h)) ++
+      Seq((50L, h ^ 1L), (51L, h ^ 6L))).toDF("id", "sh")
+    val found = Dedup.simhashPairs(planted, maxHamming = 3, maxBucketSize = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found.contains((0L, 50L)) && found.contains((0L, 51L)) &&
+      found.contains((50L, 51L)),
+      s"planted near-dups inside the hot bucket were lost: $found")
+    assert((1 until 12).forall(i => found.contains((0L, i.toLong))))
+    // distinct-content representative OVERFLOW is the only real loss,
+    // and it is WARN-counted, never silent: 9 distinct sh values
+    // colliding in one bucket at cap 3 -> reps dropped and reported
+    Dedup.skewDropsReset()
+    val distincts = (0 until 9).map(i => (i.toLong, h ^ (1L << i)))
+      .toDF("id", "sh") // all within hamming 2 of each other via h
+    Dedup.simhashPairs(distincts, maxHamming = 3, maxBucketSize = 3).count()
+    assert(Dedup.skewDrops.values.exists(_._1 > 0L),
+      s"rep overflow must be counted: ${Dedup.skewDrops}")
   }
 
   test("PII: counts and redaction cover every pattern, clean text untouched") {
