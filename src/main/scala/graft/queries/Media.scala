@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
 /** Multimodal-column queries: binary payload plumbing, frame sampling,
-  * stubbed decode/featurize, and ANALYZE statistics — verified where
-  * the math is SQL-expressible, rows-only where hash-derived.
+  * REAL image decode/resize/featurize (JDK ImageIO codecs against
+  * closed-form pixel oracles), and ANALYZE statistics.
   */
 object Media {
 
@@ -38,58 +38,65 @@ object Media {
         .select(col("asset_id"), col("frame_no"), col("frame_len"))
     },
 
-    // ---- stubbed decode + feature extraction via mapPartitions.
-    // The codec itself is env-stubbed, but the fake's "pixel
-    // statistics" are engine-portable modular arithmetic over
-    // (asset_id, payload byte length) — every output is k/4096,
-    // exactly representable in float and double — so the gate carries
-    // a FULL value oracle: the mapPartitions plumbing (per-partition
-    // init, typed Dataset batching, failure channel `ok`) is what's
-    // actually under test, and a dropped/duplicated row or a wrong
-    // byte count fails the hash compare.
+    // ---- REAL image decode + featurize: payloads are actual PNG/BMP
+    // bytes (JDK ImageIO encoders) carrying an SQL-reproducible pixel
+    // pattern, so the engine must round-trip a REAL codec while the
+    // oracle recomputes every decoded statistic from the closed form —
+    // gray(x,y) = ((id%131071)*31 + 7x + 13y) % 256 over id-derived
+    // dimensions. Every output is one correctly-rounded double division
+    // of exact integer sums (f0 additionally passes through FLOAT,
+    // mirroring the features array's type), so the hash compare is
+    // bit-exact. A codec that mangled one pixel shifts the sums.
     QDef(
       "x03_media_decode_features",
-      """SELECT doc_id AS asset_id, nb > 0 AS ok,
-        |  CAST(CASE WHEN nb > 0 THEN nb ELSE 0 END AS BIGINT) AS n_bytes,
-        |  CASE WHEN nb > 0 THEN
-        |    CAST(((doc_id % 131071) * 48271 + nb % 131071) % 4096 AS DOUBLE) / 4096.0
-        |  ELSE 0.0 END AS mean_intensity,
-        |  CASE WHEN nb > 0 THEN
-        |    CAST(((doc_id % 131071) * 40503 + nb % 131071) % 4096 AS DOUBLE) / 4096.0
-        |  ELSE 0.0 END AS f0
-        |FROM (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      val assets = Multimodal.syntheticAssets(tbl(s, dir, "documents"), "doc_id", "text")
-        .as[Multimodal.MediaAsset]
+      """SELECT doc_id AS asset_id, TRUE AS ok,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(SUM(g) AS DOUBLE) / (w * h * 255) AS mean_intensity,
+        |  CAST(CAST(CAST(SUM(CASE WHEN x * 8 < w THEN g ELSE 0 END) AS DOUBLE)
+        |    / (SUM(CASE WHEN x * 8 < w THEN 1 ELSE 0 END) * 255) AS REAL) AS DOUBLE) AS f0
+        |FROM (
+        |  SELECT doc_id, w, h, x, y,
+        |    ((doc_id % 131071) * 31 + 7 * x + 13 * y) % 256 AS g
+        |  FROM (SELECT doc_id,
+        |          ((doc_id % 131071) * 40503) % 24 + 8 AS w,
+        |          ((doc_id % 131071) * 48271) % 24 + 8 AS h
+        |        FROM documents) d,
+        |    LATERAL unnest(generate_series(0, w - 1)) AS tx(x),
+        |    LATERAL unnest(generate_series(0, h - 1)) AS ty(y))
+        |GROUP BY doc_id, w, h""".stripMargin) { (s, dir) =>
+      val assets = Multimodal.syntheticImages(tbl(s, dir, "documents"), "doc_id")
       Multimodal.decodeAndFeaturize(assets, dim = 8)
         .toDF()
-        .select(col("asset_id"), col("ok"), col("n_bytes"),
+        .select(col("asset_id"), col("ok"), col("width"), col("height"),
           col("mean_intensity"),
           element_at(col("features"), 1).cast("double").as("f0"))
     },
 
-    // ---- stubbed resize: the pixel kernel is env-stubbed, but the
-    // fake's size accounting is pure arithmetic (payload truncated by
-    // the pixel-scale factor over the portable synthetic dimensions),
-    // so the gate carries a FULL value oracle. The oracle measures the
-    // UTF-8 BYTE length (octet_length over the encoded text), matching
-    // the implementation's binary payload — correct even if the
-    // corpus regenerates with multibyte text.
+    // ---- REAL resize: decode the encoded payload, nearest-neighbor
+    // resample to 24x24 with the pinned mapping ⌊x·w/24⌋, re-encode,
+    // decode AGAIN and measure — the oracle recomputes the resampled
+    // mean from the closed form, so the gate proves the whole
+    // encode→decode→resample→encode→decode chain is pixel-exact.
     QDef(
       "x04_media_resize",
       """SELECT doc_id AS asset_id,
-        |  CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
-        |  CAST(greatest(ceil(octet_length(encode(text)) *
-        |    least(4096.0 / (w * h), 1.0)), 1) AS BIGINT) AS n_bytes
-        |FROM (SELECT doc_id, text,
-        |        ((doc_id % 131071) * 40503) % 512 + 32 AS w,
-        |        ((doc_id % 131071) * 48271) % 512 + 32 AS h
-        |      FROM documents)""".stripMargin) { (s, dir) =>
-      val assets = Multimodal.syntheticAssets(tbl(s, dir, "documents"), "doc_id", "text")
-      Multimodal.resize(assets, 64, 64)
-        .select(col("asset_id"), col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"),
-          length(col("payload")).cast("long").as("n_bytes"))
+        |  CAST(24 AS INT) AS width, CAST(24 AS INT) AS height,
+        |  CAST(SUM(((doc_id % 131071) * 31 + 7 * ((x * w) // 24)
+        |            + 13 * ((y * h) // 24)) % 256) AS DOUBLE)
+        |    / (24 * 24 * 255) AS mean_intensity
+        |FROM (SELECT doc_id,
+        |        ((doc_id % 131071) * 40503) % 24 + 8 AS w,
+        |        ((doc_id % 131071) * 48271) % 24 + 8 AS h
+        |      FROM documents) d,
+        |  LATERAL unnest(generate_series(0, 23)) AS tx(x),
+        |  LATERAL unnest(generate_series(0, 23)) AS ty(y)
+        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val assets = Multimodal.syntheticImages(tbl(s, dir, "documents"), "doc_id")
+      Multimodal.decodeAndFeaturize(
+        Multimodal.resize(assets, 24, 24), dim = 8)
+        .toDF()
+        .select(col("asset_id"), col("width"), col("height"),
+          col("mean_intensity"))
     },
 
     // ---- ANALYZE TABLE: column statistics persisted by the storage

@@ -112,6 +112,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.map(_.getLong(3)).toSeq == Seq(16L, 16L))
   }
 
+  test("real image codecs: encode→decode→resize round-trips are pixel-exact") {
+    import spark.implicits._
+    val ids = Seq(2L, 3L, 7L).toDF("doc_id") // 2 → png, 3/7 → bmp
+    val assets = Multimodal.syntheticImages(ids, "doc_id")
+    val rows = assets.collect().map(a => a.asset_id -> a).toMap
+    // payloads are REAL encoded images with magic bytes
+    val png = rows(2L).payload
+    assert(png.take(4).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+    assert(rows(3L).payload.take(2).toSeq == Seq[Byte]('B', 'M'))
+    // decode recovers the exact synthetic pattern
+    val feats = Multimodal.decodeAndFeaturize(assets, dim = 4)
+      .collect().map(f => f.asset_id -> f).toMap
+    rows.foreach { case (id, a) =>
+      val f = feats(id)
+      assert(f.ok && f.width == a.width && f.height == a.height)
+      val idm = id % 131071L
+      val expectedSum = (for { y <- 0 until a.height; x <- 0 until a.width }
+        yield (idm * 31L + 7L * x + 13L * y) % 256L).sum
+      val expectedMean = expectedSum.toDouble / (a.width.toLong * a.height * 255L)
+      assert(f.mean_intensity == expectedMean,
+        s"id=$id mean ${f.mean_intensity} != $expectedMean")
+    }
+    // nearest-neighbor resize follows the pinned ⌊x·w/W⌋ mapping exactly
+    val resized = Multimodal.decodeAndFeaturize(
+      Multimodal.resize(assets, 10, 6), dim = 4)
+      .collect().map(f => f.asset_id -> f).toMap
+    rows.foreach { case (id, a) =>
+      val idm = id % 131071L
+      val exp = (for { y <- 0 until 6; x <- 0 until 10 } yield
+        (idm * 31L + 7L * (x * a.width / 10) + 13L * (y * a.height / 6)) % 256L).sum
+      assert(resized(id).ok && resized(id).width == 10 && resized(id).height == 6)
+      assert(resized(id).mean_intensity == exp.toDouble / (10L * 6 * 255L))
+    }
+    // the failure channel: garbage bytes → ok=false row, no task failure
+    val bad = Seq(Multimodal.MediaAsset(99L, "png", 4, 4,
+      Array[Byte](1, 2, 3, 4))).toDS()
+    val badF = Multimodal.decodeAndFeaturize(bad, dim = 4).head()
+    assert(!badF.ok && badF.n_bytes == 4L)
+    assert(Multimodal.resize(bad, 8, 8).head().payload.isEmpty)
+  }
+
   test("brute-force kNN is deterministic and self-excluding") {
     import spark.implicits._
     val emb = Seq(
