@@ -35,7 +35,19 @@ object Meta {
 
     def toStruct: StructType = StructType(fields.map(f =>
       org.apache.spark.sql.types.StructField(
-        f.name, DataType.fromDDL(f.dataType), f.nullable)).toArray)
+        f.name, Meta.sparkTypeOf(f.dataType), f.nullable)).toArray)
+
+    /** Length-constrained string fields: (name, CHAR|VARCHAR, n).
+      * Stored as their declared DDL; runtime frames use StringType and
+      * the write path enforces/pads (reference: paimon-api
+      * CharType.java / VarCharType.java; the reference likewise stores
+      * plain strings and checks on write). */
+    def charVarcharFields: Seq[(String, String, Int)] = fields.flatMap { f =>
+      f.dataType.trim.toUpperCase match {
+        case Meta.CharVarcharRe(kind, n) => Some((f.name, kind, n.toInt))
+        case _ => None
+      }
+    }
 
     /** data-file storage format: parquet (default) or orc (reference:
       * CoreOptions.FILE_FORMAT; paimon-format Orc/ParquetFileFormat). */
@@ -72,6 +84,34 @@ object Meta {
     def sequenceField: Option[String] = options.get("sequence.field")
   }
 
+  /** `CHAR(n)` / `VARCHAR(n)` field DDL. */
+  private[core] val CharVarcharRe = """^(CHAR|VARCHAR)\s*\(\s*(\d+)\s*\)$""".r
+
+  /** Spark runtime type of a stored field DDL. Two graft-level type
+    * DDLs have no direct Spark runtime type and map per SURVEY §1.2:
+    *  - `MULTISET<T>` → `MAP<T, INT>` (element → multiplicity; the
+    *    Flink-style mapping — reference: paimon-api MultisetType.java);
+    *  - `CHAR(n)` / `VARCHAR(n)` → `STRING` (length is a write-time
+    *    constraint, not a runtime type — Spark itself stores char/
+    *    varchar columns as StringType).
+    */
+  def sparkTypeOf(ddl: String): DataType = {
+    val s = ddl.trim
+    val up = s.toUpperCase
+    if (up.startsWith("MULTISET<") && up.endsWith(">"))
+      org.apache.spark.sql.types.MapType(
+        sparkTypeOf(s.substring("MULTISET<".length, s.length - 1)),
+        org.apache.spark.sql.types.IntegerType, valueContainsNull = false)
+    else up match {
+      case CharVarcharRe(_, _) => org.apache.spark.sql.types.StringType
+      case _ => DataType.fromDDL(s)
+    }
+  }
+
+  /** StructField metadata key marking a `MAP<T, INT>` field as a
+    * MULTISET at the table-format level. */
+  val MultisetMeta = "graft.multiset"
+
   object TableSchema {
     def fromStruct(
         id: Long,
@@ -81,7 +121,14 @@ object Meta {
         options: Map[String, String]): TableSchema =
       TableSchema(id,
         struct.fields.zipWithIndex.map { case (f, i) =>
-          FieldDef(i, f.name, f.dataType.sql, f.nullable)
+          val ddl = f.dataType match {
+            case m: org.apache.spark.sql.types.MapType
+                if f.metadata.contains(MultisetMeta) &&
+                  m.valueType == org.apache.spark.sql.types.IntegerType =>
+              s"MULTISET<${m.keyType.sql}>"
+            case dt => dt.sql
+          }
+          FieldDef(i, f.name, ddl, f.nullable)
         }.toSeq,
         partitionKeys, primaryKeys, options)
   }

@@ -31,4 +31,28 @@ object TableFunctions {
       .flatMap(_.partition.get(partitionColumn))
       .maxOption
   }
+
+  // --- MULTISET<T> (reference: paimon-api MultisetType.java; stored
+  // as MAP<T, INT> per SURVEY §1.2's Flink-style mapping) -------------
+
+  /** Build a MULTISET (element → multiplicity map) from an array
+    * column. Pure expressions (aggregate over the distinct elements) —
+    * codegen-friendly, no UDF. Null elements are not representable as
+    * map keys and are dropped, matching SQL MULTISET semantics for
+    * collections built from nullable input. */
+  def multiset(arr: Column): Column = {
+    val clean = filter(arr, _.isNotNull)
+    map_from_arrays(
+      array_distinct(clean),
+      transform(array_distinct(clean),
+        x => size(filter(clean, y => y === x))))
+  }
+
+  /** Total multiplicity of a MULTISET (its cardinality as a bag). */
+  def multisetCardinality(ms: Column): Column =
+    coalesce(aggregate(map_values(ms), lit(0), (acc, v) => acc + v), lit(0))
+
+  /** Bag union of two MULTISETs: per-element multiplicities add. */
+  def multisetUnion(a: Column, b: Column): Column =
+    map_zip_with(a, b, (_, x, y) => coalesce(x, lit(0)) + coalesce(y, lit(0)))
 }

@@ -1494,6 +1494,62 @@ object Storage {
       t.read.select(col("o_orderkey"), asDouble(col("price")).as("price"))
     },
 
+    // ---- CHAR(n)/VARCHAR(n) semantics (reference: paimon-api
+    // CharType/VarCharType): length-constrained columns store plain
+    // strings; CHAR right-pads to exactly n at write, VARCHAR passes
+    // through (over-length rejects — spec-covered). The oracle applies
+    // the same rpad.
+    QDef(
+      "g63_char_varchar",
+      """SELECT o_orderkey, rpad(o_orderstatus, 4, ' ') AS status,
+        |  o_orderpriority AS priority,
+        |  CAST(4 AS INT) AS status_len
+        |FROM orders""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val src = tbl(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("priority"))
+      val t = GraftTable.create(s, scratch("g63"), StructType(Seq(
+        StructField("o_orderkey", LongType, nullable = false),
+        StructField("status", CharType(4), nullable = true),
+        StructField("priority", VarcharType(15), nullable = true))),
+        primaryKeys = Seq("o_orderkey"), options = Map("bucket" -> "4"))
+      t.write(src)
+      t.read.select(col("o_orderkey"), col("status"), col("priority"),
+        length(col("status")).as("status_len"))
+    },
+
+    // ---- MULTISET<T> (reference: paimon-api MultisetType, stored as
+    // MAP<T, INT> per SURVEY §1.2): a token-multiplicity column built
+    // from whitespace tokens round-trips through the table and explodes
+    // back to (token, count) rows the oracle recomputes directly.
+    QDef(
+      "g64_multiset",
+      """SELECT doc_id, token, CAST(COUNT(*) AS INT) AS n
+        |FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |      FROM documents WHERE length(trim(text)) > 0)
+        |GROUP BY doc_id, token""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val src = tbl(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          graft.functions.TableFunctions.multiset(
+            split(trim(lower(col("text"))), "\\s+")).as("tokens"))
+      val msField = StructField("tokens",
+        MapType(StringType, IntegerType, valueContainsNull = false),
+        nullable = true,
+        new MetadataBuilder().putBoolean(graft.core.Meta.MultisetMeta, true).build())
+      val t = GraftTable.create(s, scratch("g64"), StructType(Seq(
+        StructField("doc_id", LongType, nullable = false), msField)))
+      t.write(src)
+      // stored as a graft-level MULTISET (DDL assertion is the point:
+      // a plain MAP write would silently lose the declared type)
+      require(t.schema.fields.exists(f =>
+        f.name == "tokens" && f.dataType.toUpperCase.startsWith("MULTISET<")),
+        s"multiset DDL lost: ${t.schema.fields}")
+      t.read.select(col("doc_id"), explode(col("tokens")).as(Seq("token", "n")))
+    },
+
     // ---- networked KV lookup service (reference: paimon-service
     // KvQueryServer + RemoteTableQuery): every key in the probe set is
     // fetched over HTTP through the driver-local zero-job read path,

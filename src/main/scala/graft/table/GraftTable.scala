@@ -164,11 +164,31 @@ final class GraftTable private (
     }
   }
 
+  /** CHAR(n)/VARCHAR(n) write semantics (reference: paimon-api
+    * CharType/VarCharType; SURVEY §1.2): both REJECT over-length values
+    * with a clear error (a codegen'd raise_error branch per constrained
+    * column — distributed, no validation pass); CHAR additionally
+    * right-pads to exactly n, so stored values carry Hive/SQL CHAR
+    * padding and comparisons behave consistently on read. */
+  private def enforceCharVarchar(df: DataFrame, sch: TableSchema): DataFrame =
+    sch.charVarcharFields.foldLeft(df) { case (d, (name, kind, n)) =>
+      if (!d.columns.contains(name)) d
+      else {
+        val c = col(name)
+        val checked = when(length(c) > n, raise_error(concat(
+          lit(s"value for $kind($n) column '$name' exceeds length $n: '"),
+          c, lit("'")))).otherwise(c)
+        d.withColumn(name,
+          if (kind == "CHAR") when(c.isNull, c).otherwise(rpad(checked, n, " "))
+          else checked)
+      }
+    }
+
   /** Append (or upsert, for PK tables) a batch. Returns the WRITE's
     * snapshot id (a `commit.force-compact` follow-up compaction gets
     * its own snapshot — reference: CoreOptions COMMIT_FORCE_COMPACT). */
   def write(df: DataFrame, commitIdentifier: Long = -1L): Long = {
-    val in = applyColumnDefaults(df, schema)
+    val in = enforceCharVarchar(applyColumnDefaults(df, schema), schema)
     val id =
       if (isPrimaryKeyTable) upsert(in, commitIdentifier)
       else appendCommit(in, overwrite = false, commitIdentifier)
@@ -196,7 +216,7 @@ final class GraftTable private (
     * seq/kind/bucket metadata and stay readable.
     * (reference: PaimonDynamicPartitionOverwriteCommand) */
   def overwrite(df: DataFrame, commitIdentifier: Long = -1L): Long = {
-    val in = applyColumnDefaults(df, schema)
+    val in = enforceCharVarchar(applyColumnDefaults(df, schema), schema)
     if (isPrimaryKeyTable) {
       val withKind =
         if (in.columns.contains(KindCol)) in

@@ -105,6 +105,69 @@ class TypeSupportSpec extends AnyFunSuite {
     assert(all.inputFiles.length == 2 && all.count() == 4)
   }
 
+  test("CHAR/VARCHAR: declared lengths persist, CHAR pads, over-length rejects") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("code", CharType(4), nullable = true),
+      StructField("name", VarcharType(6), nullable = true))))
+    // the declared DDL survives the schema JSON round-trip
+    val t2 = GraftTable.load(spark, t.path)
+    assert(t2.schema.fields.filter(_.name != "id")
+      .map(f => f.name -> f.dataType).toMap ==
+      Map("code" -> "CHAR(4)", "name" -> "VARCHAR(6)"))
+    // runtime struct is plain strings (Spark's own char/varchar model)
+    assert(t2.schema.toStruct("code").dataType == StringType)
+    t2.write(Seq((1L, "ab", "short"), (2L, null, null)).toDF("id", "code", "name"))
+    val got = t2.read.orderBy("id").collect()
+    assert(got(0).getString(1) == "ab  ", "CHAR(4) must right-pad")
+    assert(got(0).getString(2) == "short", "VARCHAR stores as-is")
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2), "nulls pass through")
+    // over-length values are rejected with a clear error, not truncated
+    val e1 = intercept[Exception](
+      t2.write(Seq((3L, "abcde", "ok")).toDF("id", "code", "name")))
+    assert(e1.getMessage.contains("CHAR(4)") || Option(e1.getCause)
+      .exists(_.getMessage.contains("CHAR(4)")), e1.getMessage)
+    val e2 = intercept[Exception](
+      t2.write(Seq((3L, "abcd", "waytoolong")).toDF("id", "code", "name")))
+    assert(e2.getMessage.contains("VARCHAR(6)") || Option(e2.getCause)
+      .exists(_.getMessage.contains("VARCHAR(6)")), e2.getMessage)
+    assert(t2.read.count() == 2, "failed writes must not land")
+  }
+
+  test("MULTISET round-trips as MAP<T, INT> with bag semantics") {
+    import spark.implicits._
+    import graft.functions.TableFunctions._
+    val msField = StructField("bag",
+      MapType(StringType, IntegerType, valueContainsNull = false),
+      nullable = true,
+      new MetadataBuilder().putBoolean(graft.core.Meta.MultisetMeta, true).build())
+    val t = GraftTable.create(spark, tmp(), StructType(Seq(
+      StructField("id", LongType, nullable = false), msField)))
+    // format-level type is MULTISET; runtime type is MAP<STRING, INT>
+    assert(t.schema.fields.find(_.name == "bag").get.dataType == "MULTISET<STRING>")
+    val t2 = GraftTable.load(spark, t.path)
+    assert(t2.schema.toStruct("bag").dataType ==
+      MapType(StringType, IntegerType, valueContainsNull = false))
+    val src = Seq((1L, Seq("a", "b", "a", "a")), (2L, Seq.empty[String]))
+      .toDF("id", "arr")
+      .select(col("id"), multiset(col("arr")).as("bag"))
+    t2.write(src)
+    val got = t2.read.orderBy("id").collect()
+    assert(got(0).getMap[String, Int](1).toMap == Map("a" -> 3, "b" -> 1))
+    assert(got(0).getMap[String, Int](1).isInstanceOf[scala.collection.Map[_, _]])
+    assert(got(1).getMap[String, Int](1).isEmpty)
+    // bag helpers: cardinality counts multiplicity; union adds counts
+    val card = t2.read.filter(col("id") === 1L)
+      .select(multisetCardinality(col("bag"))).head.getInt(0)
+    assert(card == 4)
+    val u = spark.range(1).select(multisetUnion(
+      multiset(array(lit("x"), lit("y"))),
+      multiset(array(lit("y"), lit("y")))).as("u"))
+      .head.getMap[String, Int](0).toMap
+    assert(u == Map("x" -> 1, "y" -> 3))
+  }
+
   test("DECIMAL predicates prune files via scale-normalized footer stats") {
     import spark.implicits._
     def mk(lo: String, hi: String) =
