@@ -80,8 +80,12 @@ final class SnapshotManager(
       .collect { case s if s.startsWith("schema-") && s.endsWith(".json") =>
         s.stripPrefix("schema-").stripSuffix(".json").toLong
       }
-    if (ids.isEmpty) None
-    else Some(schema(ids.max))
+    // LIST may lag behind writes on an object store (list-after-write
+    // lag); schema ids are sequential, so extend past the listing with
+    // point reads — same discipline as latestSnapshotId
+    var id = ids.maxOption.getOrElse(-1L)
+    while (io.exists(s"$schemaDir/schema-${id + 1}.json")) id += 1
+    if (id < 0) None else Some(schema(id))
   }
 
   def schema(id: Long): TableSchema =
@@ -101,13 +105,25 @@ final class SnapshotManager(
       tagSnapshots.find(_.id == id).getOrElse(
         Json.read(io.readString(snapshotPath(id)), classOf[Snapshot]))
 
-  def snapshotIds: Seq[Long] =
-    io.list(snapshotDir)
+  def snapshotIds: Seq[Long] = {
+    val listed = io.list(snapshotDir)
       .map(_.split('/').last)
       .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
         s.stripPrefix("snapshot-").stripSuffix(".json").toLong
       }
-      .sorted
+    // ids are dense at the tail (expiration trims only the FRONT), so
+    // a stale LIST can only hide the newest ids: extend forward with
+    // point reads from max(listing, LATEST hint). Keeps the streaming
+    // commitIdentifier dedup and time travel exact under list lag.
+    val hinted =
+      try io.readString(s"$snapshotDir/LATEST").trim.toLong
+      catch { case _: Exception => -1L }
+    val base = math.max(listed.maxOption.getOrElse(-1L), hinted)
+    var id = base
+    while (io.exists(snapshotPath(id + 1))) id += 1
+    (listed ++ (listed.maxOption.getOrElse(-1L) + 1 to id)
+      .filter(i => io.exists(snapshotPath(i)))).sorted
+  }
 
   def latestSnapshotId: Option[Long] = {
     // LATEST is a hint, not the source of truth (it may lag): start
@@ -408,6 +424,24 @@ final class SnapshotManager(
         io.writeString(s"$snapshotDir/LATEST", nextId.toString)
         // post-commit hook (e.g. Iceberg metadata sync): best-effort —
         // a callback failure must never fail the committed snapshot
+        try afterCommit(nextId)
+        catch { case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger("graft.SnapshotManager")
+            .warn(s"post-commit hook failed for snapshot $nextId: ${e.getMessage}")
+        }
+        return nextId
+      }
+      // CAS reported failure — but on an object store the conditional
+      // PUT may have LANDED with the response lost (client timeout
+      // after the server applied it). The delta-manifest name is a
+      // per-attempt UUID, so if the snapshot at nextId references OUR
+      // manifest, this commit succeeded: return it instead of
+      // re-committing the same data at nextId+1 (reference:
+      // FileStoreCommitImpl's commitUser/identifier recheck after a
+      // failed rename).
+      if (io.exists(snapshotPath(nextId)) &&
+          snapshot(nextId).deltaManifest.contains(manifestName)) {
+        io.writeString(s"$snapshotDir/LATEST", nextId.toString)
         try afterCommit(nextId)
         catch { case scala.util.control.NonFatal(e) =>
           org.slf4j.LoggerFactory.getLogger("graft.SnapshotManager")
