@@ -1550,6 +1550,37 @@ object Storage {
       t.read.select(col("doc_id"), explode(col("tokens")).as(Seq("token", "n")))
     },
 
+    // ---- Hive Metastore catalog bridge (reference: paimon-hive
+    // HiveCatalog.java:132): a graft table living OUTSIDE the catalog
+    // warehouse is registered in a real (embedded Derby) metastore by
+    // path, and the query resolves the identifier READ-THROUGH the
+    // HMS entry — the brownfield shape where an existing Hive estate
+    // points at graft tables. A broken mirror or resolution path
+    // yields no table at all; value mangling shifts the hash.
+    QDef(
+      "g65_hms_catalog",
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val ext = Files.createTempDirectory("graft-g65-ext").toString + "/orders_ext"
+      val gt = GraftTable.create(s, ext, src.schema)
+      gt.write(src)
+      val hms = Files.createTempDirectory("graft-g65-hms").toString
+      val wh = Files.createTempDirectory("graft-g65-wh").toString
+      val opts = Map("hms.local-dir" -> hms)
+      graft.sources.HmsBridge.ensureDatabase(opts, "bridged")
+      graft.sources.HmsBridge.mirrorCreate(opts, "bridged", "orders_ext", gt)
+      s.conf.set("spark.sql.catalog.graft_g65", "graft.sources.GraftHmsCatalog")
+      s.conf.set("spark.sql.catalog.graft_g65.warehouse", wh)
+      s.conf.set("spark.sql.catalog.graft_g65.hms.local-dir", hms)
+      s.sql("""SELECT o_orderkey, o_orderstatus,
+              |  CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+              |FROM graft_g65.bridged.orders_ext
+              |WHERE o_orderkey % 7 = 0""".stripMargin)
+    },
+
     // ---- networked KV lookup service (reference: paimon-service
     // KvQueryServer + RemoteTableQuery): every key in the probe set is
     // fetched over HTTP through the driver-local zero-job read path,

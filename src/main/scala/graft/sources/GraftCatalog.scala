@@ -579,6 +579,9 @@ class GraftSparkTable(protected val gt: GraftTable, snapshot: Option[Long],
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsAtomicPartitionManagement {
 
+  /** The wrapped table (metastore bridges, tests). */
+  private[sources] def graftTable: GraftTable = gt
+
   // ---- partition management (SHOW PARTITIONS / ALTER TABLE DROP
   // PARTITION / TRUNCATE TABLE ... PARTITION; reference:
   // PaimonPartitionManagement — list + drop/truncate supported, create

@@ -1,0 +1,294 @@
+package graft.sources
+
+import graft.core.Meta
+import graft.table.GraftTable
+import org.apache.hadoop.hive.conf.HiveConf
+import org.apache.hadoop.hive.metastore.{HiveMetaStoreClient, IMetaStoreClient}
+import org.apache.hadoop.hive.metastore.api.{Database, FieldSchema, Partition, SerDeInfo, StorageDescriptor, Table => HmsTable}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+
+/** Hive Metastore bridge (reference: paimon-hive/paimon-hive-catalog
+  * .../hive/HiveCatalog.java:132 + the `metastore.partitioned-table`
+  * commit callbacks in MetastoreClient): most existing Spark estates
+  * resolve tables through HMS, so graft tables mirror their metadata
+  * there — DDL through [[GraftHmsCatalog]] creates/alters/drops the
+  * HMS entry alongside the warehouse table, identifiers resolve
+  * READ-THROUGH (an HMS entry whose `graft.path` points outside the
+  * warehouse still loads), and tables with `metastore.partitioned-table
+  * = true` sync their live partition set into HMS on every commit so
+  * Hive/Impala-side tooling sees partitions appear and disappear.
+  *
+  * Connection: `hms.uris` (thrift://...) for a real metastore, or
+  * `hms.local-dir` for the JDK-embedded Derby-backed metastore the
+  * specs and single-node deployments use (the standard Hive embedded
+  * mode — same client API, no server).
+  */
+object HmsBridge {
+
+  /** Marker params stamped on mirrored HMS entries. */
+  val TableTypeParam = "table_type"
+  val TableTypeValue = "GRAFT"
+  val PathParam = "graft.path"
+
+  /** HMS database names cannot hold dots: multi-level namespaces
+    * flatten with `__`. */
+  def dbName(namespace: Array[String]): String = namespace.mkString("__")
+
+  def client(opts: Map[String, String]): IMetaStoreClient = {
+    val conf = new HiveConf()
+    opts.get("hms.uris").filter(_.nonEmpty) match {
+      case Some(uris) => conf.setVar(HiveConf.ConfVars.METASTOREURIS, uris)
+      case None =>
+        val dir = opts.getOrElse("hms.local-dir", throw new IllegalArgumentException(
+          "set hms.uris (thrift metastore) or hms.local-dir (embedded)"))
+        conf.setVar(HiveConf.ConfVars.METASTOREURIS, "")
+        conf.setVar(HiveConf.ConfVars.METASTOREWAREHOUSE, s"$dir/hive-warehouse")
+        conf.setVar(HiveConf.ConfVars.METASTORECONNECTURLKEY,
+          s"jdbc:derby:;databaseName=$dir/metastore_db;create=true")
+        conf.setBoolVar(HiveConf.ConfVars.METASTORE_SCHEMA_VERIFICATION, false)
+        conf.setBoolVar(HiveConf.ConfVars.METASTORE_AUTO_CREATE_ALL, true)
+        System.setProperty("derby.stream.error.file", s"$dir/derby.log")
+    }
+    new HiveMetaStoreClient(conf)
+  }
+
+  private def withClient[T](opts: Map[String, String])(f: IMetaStoreClient => T): T = {
+    val c = client(opts)
+    try f(c) finally c.close()
+  }
+
+  /** Hive column type of a stored field DDL — Spark's catalogString is
+    * the Hive-compatible lowercase form; graft-level MULTISET/CHAR/
+    * VARCHAR map through their runtime types first. */
+  private def hiveType(ddl: String): String = Meta.sparkTypeOf(ddl).catalogString
+
+  private def fieldSchemas(sch: Meta.TableSchema, names: Seq[String]): java.util.List[FieldSchema] =
+    names.map { n =>
+      val f = sch.fields.find(_.name == n).get
+      new FieldSchema(f.name, hiveType(f.dataType), null)
+    }.asJava
+
+  private def newSd(sch: Meta.TableSchema, location: String): StorageDescriptor = {
+    val sd = new StorageDescriptor()
+    val dataCols = sch.fields.map(_.name).filterNot(sch.partitionKeys.contains)
+    sd.setCols(fieldSchemas(sch, dataCols))
+    sd.setLocation(location)
+    sd.setInputFormat("org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat")
+    sd.setOutputFormat("org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat")
+    val serde = new SerDeInfo()
+    serde.setSerializationLib("org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe")
+    serde.setParameters(new java.util.HashMap[String, String]())
+    sd.setSerdeInfo(serde)
+    sd.setParameters(new java.util.HashMap[String, String]())
+    sd.setBucketCols(java.util.Collections.emptyList())
+    sd.setSortCols(java.util.Collections.emptyList())
+    sd
+  }
+
+  def ensureDatabase(opts: Map[String, String], db: String): Unit =
+    withClient(opts) { c =>
+      try c.createDatabase(new Database(db, "graft namespace", null, null))
+      catch { case _: org.apache.hadoop.hive.metastore.api.AlreadyExistsException => () }
+    }
+
+  def mirrorCreate(
+      opts: Map[String, String], db: String, name: String, gt: GraftTable): Unit =
+    withClient(opts)(c => createEntry(c, db, name, gt))
+
+  private def createEntry(
+      c: IMetaStoreClient, db: String, name: String, gt: GraftTable): Unit = {
+    val sch = gt.schema
+    val t = new HmsTable()
+    t.setDbName(db)
+    t.setTableName(name)
+    t.setTableType("EXTERNAL_TABLE")
+    t.setOwner(System.getProperty("user.name", "graft"))
+    t.setCreateTime((System.currentTimeMillis() / 1000).toInt)
+    t.setSd(newSd(sch, gt.path))
+    t.setPartitionKeys(fieldSchemas(sch, sch.partitionKeys))
+    val params = new java.util.HashMap[String, String]()
+    params.put("EXTERNAL", "TRUE")
+    params.put(TableTypeParam, TableTypeValue)
+    params.put(PathParam, gt.path)
+    if (sch.primaryKeys.nonEmpty)
+      params.put("primary-key", sch.primaryKeys.mkString(","))
+    t.setParameters(params)
+    c.createTable(t)
+  }
+
+  /** Re-derive the HMS entry from the table's CURRENT schema (column
+    * adds/renames/widenings, option changes). */
+  def mirrorAlter(
+      opts: Map[String, String], db: String, name: String, gt: GraftTable): Unit =
+    withClient(opts) { c =>
+      val existing = c.getTable(db, name)
+      val sch = gt.schema
+      existing.setSd(newSd(sch, gt.path))
+      existing.getParameters.put(PathParam, gt.path)
+      if (sch.primaryKeys.nonEmpty)
+        existing.getParameters.put("primary-key", sch.primaryKeys.mkString(","))
+      c.alter_table(db, name, existing)
+    }
+
+  def mirrorDrop(opts: Map[String, String], db: String, name: String): Unit =
+    withClient(opts) { c =>
+      try c.dropTable(db, name, /*deleteData=*/ false, /*ignoreUnknown=*/ true)
+      catch { case _: org.apache.hadoop.hive.metastore.api.NoSuchObjectException => () }
+    }
+
+  def mirrorRename(
+      opts: Map[String, String], db: String, name: String,
+      newDb: String, newName: String, newPath: String): Unit =
+    withClient(opts) { c =>
+      val t = c.getTable(db, name)
+      t.setDbName(newDb)
+      t.setTableName(newName)
+      t.getSd.setLocation(newPath)
+      t.getParameters.put(PathParam, newPath)
+      c.alter_table(db, name, t)
+    }
+
+  /** Read-through resolution: the table path an HMS entry points at. */
+  def tablePath(opts: Map[String, String], db: String, name: String): Option[String] =
+    withClient(opts) { c =>
+      try {
+        val t = c.getTable(db, name)
+        Option(t.getParameters.get(PathParam)).orElse(Option(t.getSd.getLocation))
+      } catch {
+        case _: org.apache.hadoop.hive.metastore.api.NoSuchObjectException => None
+      }
+    }
+
+  /** Commit-coupled partition sync (reference: the metastore client's
+    * addPartition/dropPartition callbacks driven by
+    * `metastore.partitioned-table`): diff the table's LIVE partition
+    * set (from manifests — a metadata read) against HMS and add/drop
+    * the difference. Called from the table's onCommit hook; a sync
+    * failure is logged by the hook machinery, never failing the
+    * commit. */
+  def syncPartitions(gt: GraftTable): Unit = {
+    val sch = gt.schema
+    if (sch.partitionKeys.isEmpty) return
+    if (!sch.options.get("metastore.partitioned-table").contains("true")) return
+    val opts = sch.options
+    val db = opts.getOrElse("hms.database", return)
+    val name = opts.getOrElse("hms.table", return)
+    val live = gt.sm.latestSnapshot().map(gt.sm.liveEntries).getOrElse(Seq.empty)
+      .map(e => sch.partitionKeys.map(k => e.partition.getOrElse(k, "")))
+      .distinct.toSet
+    withClient(opts) { c =>
+      val existing = c.listPartitions(db, name, Short.MaxValue).asScala
+        .map(_.getValues.asScala.toSeq).toSet
+      val toAdd = (live -- existing).toSeq
+      val toDrop = (existing -- live).toSeq
+      toAdd.foreach { values =>
+        val p = new Partition()
+        p.setDbName(db)
+        p.setTableName(name)
+        p.setValues(values.asJava)
+        p.setCreateTime((System.currentTimeMillis() / 1000).toInt)
+        val dirName = sch.partitionKeys.zip(values)
+          .map { case (k, v) => s"$k=$v" }.mkString("/")
+        p.setSd(newSd(sch, s"${gt.path}/data/$dirName"))
+        p.setParameters(new java.util.HashMap[String, String]())
+        try c.add_partition(p)
+        catch { case _: org.apache.hadoop.hive.metastore.api.AlreadyExistsException => () }
+      }
+      toDrop.foreach(values =>
+        try c.dropPartition(db, name, values.asJava, /*deleteData=*/ false)
+        catch { case _: org.apache.hadoop.hive.metastore.api.NoSuchObjectException => () })
+    }
+  }
+}
+
+/** [[GraftCatalog]] that mirrors DDL into a Hive Metastore and
+  * resolves identifiers read-through (reference: HiveCatalog.java:132).
+  * Register with:
+  * {{{
+  * spark.sql.catalog.h              = graft.sources.GraftHmsCatalog
+  * spark.sql.catalog.h.warehouse    = /path/wh
+  * spark.sql.catalog.h.hms.local-dir= /path/hms   // or hms.uris=thrift://…
+  * }}} */
+class GraftHmsCatalog extends GraftCatalog {
+
+  private var hmsOpts: Map[String, String] = Map.empty
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    super.initialize(name, options)
+    hmsOpts = Seq("hms.uris", "hms.local-dir")
+      .flatMap(k => Option(options.get(k)).map(k -> _)).toMap
+    require(hmsOpts.nonEmpty,
+      s"spark.sql.catalog.$name needs hms.uris or hms.local-dir")
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val db = HmsBridge.dbName(ident.namespace())
+    // stamp the HMS coordinates into the table options so the
+    // commit-coupled partition sync (GraftTable's onCommit hook) can
+    // reach the metastore without a catalog in scope
+    val props = new java.util.HashMap[String, String](properties)
+    hmsOpts.foreach { case (k, v) => props.put(k, v) }
+    props.put("hms.database", db)
+    props.put("hms.table", ident.name())
+    val created = super.createTable(ident, schema, partitions, props)
+    created match {
+      case g: GraftSparkTable =>
+        HmsBridge.ensureDatabase(hmsOpts, db)
+        HmsBridge.mirrorCreate(hmsOpts, db, ident.name(), g.graftTable)
+        HmsBridge.syncPartitions(g.graftTable)
+      case _ => () // format/object tables have no HMS mirror
+    }
+    created
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val altered = super.alterTable(ident, changes: _*)
+    altered match {
+      case g: GraftSparkTable =>
+        HmsBridge.mirrorAlter(hmsOpts, HmsBridge.dbName(ident.namespace()),
+          ident.name(), g.graftTable)
+      case _ => ()
+    }
+    altered
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dropped = super.dropTable(ident)
+    if (dropped)
+      HmsBridge.mirrorDrop(hmsOpts, HmsBridge.dbName(ident.namespace()), ident.name())
+    dropped
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    super.renameTable(oldIdent, newIdent)
+    HmsBridge.mirrorRename(hmsOpts,
+      HmsBridge.dbName(oldIdent.namespace()), oldIdent.name(),
+      HmsBridge.dbName(newIdent.namespace()), newIdent.name(),
+      pathOf(newIdent))
+  }
+
+  /** Read-through: a warehouse-resident table loads as usual; an
+    * identifier absent from the warehouse resolves via its HMS entry's
+    * `graft.path` — how a brownfield estate points at graft tables
+    * living anywhere. */
+  override def loadTable(ident: Identifier): Table = {
+    try super.loadTable(ident)
+    catch {
+      case e: org.apache.spark.sql.catalyst.analysis.NoSuchTableException =>
+        val path = HmsBridge.tablePath(hmsOpts,
+          HmsBridge.dbName(ident.namespace()), ident.name()).getOrElse(throw e)
+        if (!GraftTable.exists(path)) throw e
+        val gt = GraftTable.load(org.apache.spark.sql.SparkSession.active, path)
+        if (gt.isPrimaryKeyTable) new GraftSparkTable(gt, snapshot = None)
+        else new GraftAppendSparkTable(gt, snapshot = None)
+    }
+  }
+}

@@ -107,6 +107,11 @@ final class GraftTable private (
     // (each new commit re-evaluates which partitions went quiet)
     if (schema.options.contains("partition.idle-time-to-done"))
       markIdlePartitionsDone()
+    // Hive Metastore partition sync (reference: the metastore client
+    // callbacks behind `metastore.partitioned-table`) — the HMS
+    // coordinates were stamped into the options by GraftHmsCatalog
+    if (schema.options.get("metastore.partitioned-table").contains("true"))
+      graft.sources.HmsBridge.syncPartitions(this)
   }
 
   /** Per-commit snapshot retention (reference: CoreOptions

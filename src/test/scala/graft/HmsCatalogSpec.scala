@@ -1,0 +1,102 @@
+package graft
+
+import graft.sources.HmsBridge
+import graft.table.GraftTable
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** Hive Metastore bridge (reference: paimon-hive HiveCatalog +
+  * metastore.partitioned-table callbacks) against a real EMBEDDED
+  * Derby-backed metastore — the standard Hive embedded mode, same
+  * IMetaStoreClient API as a thrift deployment. */
+class HmsCatalogSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val hmsDir = Files.createTempDirectory("graft-hms").toString
+  private lazy val wh = Files.createTempDirectory("graft-hms-wh").toString
+  private lazy val hmsOpts = Map("hms.local-dir" -> hmsDir)
+
+  private def registerCatalog(): Unit = {
+    spark.conf.set("spark.sql.catalog.hcat", "graft.sources.GraftHmsCatalog")
+    spark.conf.set("spark.sql.catalog.hcat.warehouse", wh)
+    spark.conf.set("spark.sql.catalog.hcat.hms.local-dir", hmsDir)
+  }
+
+  test("DDL mirrors into HMS: create, partition sync, alter, rename, drop") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS hcat.br")
+    spark.sql("""CREATE TABLE hcat.br.orders_h
+                |(k BIGINT, v STRING, dt STRING)
+                |PARTITIONED BY (dt)
+                |TBLPROPERTIES ('metastore.partitioned-table'='true')""".stripMargin)
+    val c = HmsBridge.client(hmsOpts)
+    try {
+      // the entry exists with graft markers, columns, and partition keys
+      val t = c.getTable("br", "orders_h")
+      assert(t.getParameters.get("table_type") == "GRAFT")
+      assert(t.getParameters.get("graft.path") == s"$wh/br/orders_h")
+      assert(t.getSd.getCols.asScala.map(f => (f.getName, f.getType)).toSeq ==
+        Seq(("k", "bigint"), ("v", "string")))
+      assert(t.getPartitionKeys.asScala.map(_.getName).toSeq == Seq("dt"))
+
+      // commits sync the live partition set
+      spark.sql("""INSERT INTO hcat.br.orders_h VALUES
+                  |(1, 'a', '2024-01-01'), (2, 'b', '2024-01-02')""".stripMargin)
+      val parts = c.listPartitions("br", "orders_h", Short.MaxValue)
+        .asScala.map(_.getValues.asScala.head).sorted
+      assert(parts == Seq("2024-01-01", "2024-01-02"), parts.toString)
+
+      // dropping a partition's rows drops the HMS partition too
+      spark.sql("DELETE FROM hcat.br.orders_h WHERE dt = '2024-01-01'")
+      val after = c.listPartitions("br", "orders_h", Short.MaxValue)
+        .asScala.map(_.getValues.asScala.head).toSeq
+      assert(after == Seq("2024-01-02"), after.toString)
+
+      // ALTER mirrors the evolved schema
+      spark.sql("ALTER TABLE hcat.br.orders_h ADD COLUMN extra INT")
+      val altered = c.getTable("br", "orders_h")
+      assert(altered.getSd.getCols.asScala.map(_.getName).toSeq ==
+        Seq("k", "v", "extra"))
+
+      // RENAME moves the entry and updates its location
+      spark.sql("ALTER TABLE hcat.br.orders_h RENAME TO br.orders_r")
+      assert(!c.tableExists("br", "orders_h"))
+      val renamed = c.getTable("br", "orders_r")
+      assert(renamed.getParameters.get("graft.path") == s"$wh/br/orders_r")
+      assert(spark.sql("SELECT count(*) FROM hcat.br.orders_r").head.getLong(0) == 1L)
+
+      // DROP removes the entry (metadata only — deleteData=false)
+      spark.sql("DROP TABLE hcat.br.orders_r")
+      assert(!c.tableExists("br", "orders_r"))
+    } finally c.close()
+  }
+
+  test("read-through: an HMS entry resolves a graft table outside the warehouse") {
+    registerCatalog()
+    // a graft table living at an EXTERNAL path (not under the catalog
+    // warehouse), registered in HMS by path — the brownfield shape
+    val ext = Files.createTempDirectory("graft-hms-ext").toString + "/t"
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    val gt = GraftTable.create(spark, ext, sch)
+    gt.write(spark.createDataFrame(
+      Seq(Row(1L, "x"), Row(2L, "y"), Row(3L, "z")).asJava, sch))
+    HmsBridge.ensureDatabase(hmsOpts, "extdb")
+    HmsBridge.mirrorCreate(hmsOpts, "extdb", "ext_t", gt)
+    // nothing at <warehouse>/extdb/ext_t — resolution MUST go through HMS
+    assert(!GraftTable.exists(s"$wh/extdb/ext_t"))
+    val got = spark.sql("SELECT k, v FROM hcat.extdb.ext_t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "x"), (2L, "y"), (3L, "z")))
+  }
+}
