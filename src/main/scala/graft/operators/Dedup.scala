@@ -615,9 +615,15 @@ object Dedup {
     val hotRows = banded.join(over, keys, "left_semi")
       .withColumn("__fk", fineKey)
     val groupKeys = keys :+ "__fk"
+    // ONE aggregation yields both the representative id and its full
+    // payload (min_by) per identical-content group — no second join
+    // back over the hot rows
+    val repPayload = payload.map(p => min_by(col(p), col("id")).as(p))
     val reps = hotRows.groupBy(groupKeys.map(col): _*)
-      .agg(min(col("id")).as("__rep"))
-    val withRep = hotRows.join(reps, groupKeys)
+      .agg(min(col("id")).as("__rep"), repPayload: _*)
+    val withRep = hotRows.select(
+      (groupKeys.map(col) :+ col("id")) ++ payload.map(col): _*)
+      .join(reps.select(groupKeys.map(col) :+ col("__rep"): _*), groupKeys)
     val starCounting = udf { (isMember: Boolean) =>
       if (isMember) collRows.add(1L)
       isMember
@@ -635,12 +641,14 @@ object Dedup {
       keep
     }.asNondeterministic()
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols: _*).orderBy(col("id"))
-    val repRows = withRep.filter(col("id") === col("__rep"))
+      .partitionBy(keyCols: _*).orderBy(col("__rep"))
+    val slim = (keys :+ "id") ++ payload
+    val repRows = reps
       .withColumn("__rank", row_number().over(w))
       .filter(repKeep(col("__rank")))
-      .drop("__rank", "__rep", "__fk")
-    val joinable = cold.unionByName(repRows)
+      .withColumnRenamed("__rep", "id")
+      .select(slim.map(col): _*)
+    val joinable = cold.select(slim.map(col): _*).unionByName(repRows)
     val a = joinable.select(keyCols ++ Seq(col("id").as("id_a")) ++
       payload.map(p => col(p).as(s"${p}_a")): _*)
     val b = joinable.select(keyCols ++ Seq(col("id").as("id_b")) ++

@@ -462,6 +462,13 @@ final class GraftTable private (
     val freshBucket =
       pmod(xxhash64(pk.map(col).toIndexedSeq: _*), lit(nTotal)).cast("int")
     val pkCols = pk.map(col).toIndexedSeq
+    // partition/range scoping pays a partitionBy shuffle per rewrite and
+    // a token job per probe — worth it exactly when the index is big
+    // enough that reading ALL of it per commit is the bottleneck. Small
+    // indexes keep the flat layout (reading them whole is cheaper than
+    // the scoping machinery).
+    val scopeRewrites = liveRows + batchRows >=
+      sch.options.getOrElse("dynamic-bucket.index.scope-threshold", "1000000").toLong
     if (live.isEmpty) {
       // empty table: every key is new; the first index write is the
       // batch's own assignment, laid down partition/range-scoped so
@@ -470,7 +477,7 @@ final class GraftTable private (
         .repartition(nTotal, col("__bucket")).persist()
       val files = writeDynIndexFiles(
         out.select((pkCols :+ col("__bucket")).toIndexedSeq: _*),
-        scoped = true, sch)
+        scoped = scopeRewrites, sch)
       return DynAssignment(out, keepUnseen(Set.empty, files), Seq(out))
     }
     val prevFiles = sm.latestSnapshot().flatMap(_.dynIndex).getOrElse(Seq.empty)
@@ -486,7 +493,8 @@ final class GraftTable private (
     // reads O(batch's ranges) of index state, not O(total keys). Full
     // rewrites read everything by definition (amortized 1/trigger).
     val probeFiles =
-      if (needFull || prevFiles.isEmpty) prevFiles
+      if (needFull || prevFiles.isEmpty ||
+        !prevFiles.exists(_.contains("__r="))) prevFiles // nothing scoped
       else {
         val scopeCols = dynScopeCols(sch)
         val toks = batch
@@ -525,7 +533,7 @@ final class GraftTable private (
       val full = idx
         .select((pkCols :+ col("__existing_bucket").as("__bucket")).toIndexedSeq: _*)
         .unionByName(newKeys)
-      val files = writeDynIndexFiles(full, scoped = true, sch)
+      val files = writeDynIndexFiles(full, scoped = scopeRewrites, sch)
       DynAssignment(out, keepUnseen(prevFiles.toSet, files), Seq(joined, idx))
     } else {
       val files = writeDynIndexFiles(newKeys, scoped = false, sch)
@@ -1144,7 +1152,8 @@ final class GraftTable private (
     *    O(batch's new keys), so reading every delta since the last
     *    rewrite is cheap by construction, and one file per commit keeps
     *    small-ingest overhead minimal.
-    *  - `scoped = true` (full rewrites / bootstrap / first write): the
+    *  - `scoped = true` (full rewrites / bootstrap / first write of
+    *    tables past `dynamic-bucket.index.scope-threshold` rows): the
     *    bulk of the index, laid out `__p=<partition-hash>/__r=<key-
     *    range>/` via partitionBy so the assigner and point lookups can
     *    PRUNE the probe to the batch's partitions and key hash-ranges

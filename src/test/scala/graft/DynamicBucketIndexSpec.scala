@@ -37,7 +37,9 @@ class DynamicBucketIndexSpec extends AnyFunSuite {
     GraftTable.create(spark, dir, sch, primaryKeys = Seq("k"),
       options = Map("sequence.field" -> "seq", "bucket" -> "-1",
         "dynamic-bucket.target-row-num" -> "20",
-        "dynamic-bucket.index.ranges" -> "2") ++ extra)
+        "dynamic-bucket.index.ranges" -> "2",
+        // tests exercise the scoped (big-table) layout at toy sizes
+        "dynamic-bucket.index.scope-threshold" -> "0") ++ extra)
 
   private def indexFiles(t: GraftTable): Seq[String] =
     t.sm.latestSnapshot().flatMap(_.dynIndex).getOrElse(Seq.empty)
@@ -124,7 +126,8 @@ class DynamicBucketIndexSpec extends AnyFunSuite {
       partitionKeys = Seq("p"), primaryKeys = Seq("k", "p"),
       options = Map("sequence.field" -> "seq", "bucket" -> "-1",
         "dynamic-bucket.target-row-num" -> "20",
-        "dynamic-bucket.index.ranges" -> "2"))
+        "dynamic-bucket.index.ranges" -> "2",
+        "dynamic-bucket.index.scope-threshold" -> "0"))
     def pdf(rows: (Long, Int, String, Long)*): DataFrame =
       spark.createDataFrame(
         rows.map(r => Row(r._1, r._2, r._3, r._4)).asJava, psch)
