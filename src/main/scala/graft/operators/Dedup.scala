@@ -193,11 +193,35 @@ object Dedup {
     val chunked =
       sh.select(col("id"), col("sh"), explode(array(chunkDefs: _*)).as("cc"))
         .select(col("id"), col("sh"), col("cc.chunk").as("chunk"), col("cc.cv").as("cv"))
+    // Secondary keys for over-cap buckets, pigeonhole-complete one
+    // level down: for a hot chunk c, the 64-w REMAINING bit positions
+    // split into maxHamming+1 masked groups — a pair within the
+    // Hamming budget agrees on chunk c and differs in ≤ maxHamming
+    // remaining bits, so it must agree on ≥1 masked group (same proof
+    // as the top-level chunking). Masks are per-(c, group) literals;
+    // the sub-value is the hash ANDed with the group's mask.
+    val subMasks: Int => Seq[Long] = { c =>
+      val start = c * 64 / nChunks
+      val end = (c + 1) * 64 / nChunks
+      val remaining = (0 until 64).filterNot(b => b >= start && b < end)
+      val g = remaining.size.toDouble / nChunks
+      (0 until nChunks).map { s =>
+        remaining.slice(math.round(s * g).toInt, math.round((s + 1) * g).toInt)
+          .foldLeft(0L)((m, b) => m | (1L << b))
+      }
+    }
+    val subArr = (0 until nChunks).foldLeft(lit(null).cast("array<bigint>")) {
+      case (acc, c) =>
+        when(col("chunk") === c,
+          array(subMasks(c).map(m => col("sh").bitwiseAND(lit(m))): _*))
+          .otherwise(acc)
+    }
     // hot chunk buckets collapse by the full 64-bit hash (exact, not a
     // proxy): identical-sh groups become stars (hamming 0), distinct
-    // sh values pair via representatives
+    // sh values pair via representatives — re-bucketed by the
+    // remaining-bit sub-chunks when even the representatives overflow
     bucketJoinPairs(chunked, Seq("chunk", "cv"), maxBucketSize,
-      fineKey = col("sh"), payload = Seq("sh"))
+      fineKey = col("sh"), payload = Seq("sh"), subKeys = Some(subArr))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -579,12 +603,21 @@ object Dedup {
     * `payload` columns are carried onto pairs as `<c>_a`/`<c>_b` (for
     * star pairs both sides carry the member's value — the group shares
     * one fineKey, hence one content proxy). */
+  /** @param subKeys when set, an array-of-long expression (over a hot
+    *        bucket's columns) giving SECONDARY bucket keys for buckets
+    *        whose DISTINCT-content representative count exceeds the
+    *        cap: instead of rank-capping those reps, they re-bucket by
+    *        each sub-key and pair within sub-buckets. With a
+    *        pigeonhole-complete sub-key family (simhash sub-chunks)
+    *        this is recall-EXACT one level down; only sub-bucket
+    *        overflow still drops (WARN-counted). */
   private def bucketJoinPairs(
       banded: DataFrame,
       keys: Seq[String],
       maxBucketSize: Int,
       fineKey: Column,
-      payload: Seq[String] = Seq.empty): DataFrame = {
+      payload: Seq[String] = Seq.empty,
+      subKeys: Option[Column] = None): DataFrame = {
     registerSkewListener(banded)
     if (skewAccs.size > 256) { skewAccs.clear(); skewLogged.clear() }
     if (collapseAccs.size > 256) { collapseAccs.clear(); collapseLogged.clear() }
@@ -640,24 +673,48 @@ object Dedup {
       if (!keep) { dropRows.add(1L); if (rank == maxBucketSize + 1) dropBuckets.add(1L) }
       keep
     }.asNondeterministic()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols: _*).orderBy(col("__rep"))
     val slim = (keys :+ "id") ++ payload
-    val repRows = reps
-      .withColumn("__rank", row_number().over(w))
-      .filter(repKeep(col("__rank")))
-      .withColumnRenamed("__rep", "id")
-      .select(slim.map(col): _*)
-    val joinable = cold.select(slim.map(col): _*).unionByName(repRows)
-    val a = joinable.select(keyCols ++ Seq(col("id").as("id_a")) ++
-      payload.map(p => col(p).as(s"${p}_a")): _*)
-    val b = joinable.select(keyCols ++ Seq(col("id").as("id_b")) ++
-      payload.map(p => col(p).as(s"${p}_b")): _*)
-    a.join(b, keys)
-      .filter(col("id_a") < col("id_b"))
-      .select(pairCols: _*)
-      .unionByName(stars)
-      .distinct()
+    val repRows0 = reps.withColumnRenamed("__rep", "id")
+    def pairJoin(rows: DataFrame, joinKeys: Seq[String]): DataFrame = {
+      val jk = joinKeys.map(col)
+      val a = rows.select(jk ++ Seq(col("id").as("id_a")) ++
+        payload.map(p => col(p).as(s"${p}_a")): _*)
+      val b = rows.select(jk ++ Seq(col("id").as("id_b")) ++
+        payload.map(p => col(p).as(s"${p}_b")): _*)
+      a.join(b, joinKeys).filter(col("id_a") < col("id_b")).select(pairCols: _*)
+    }
+    val pairs = subKeys match {
+      case None =>
+        // rank-cap over-cap reps (WARN-counted loss)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols: _*).orderBy(col("id"))
+        val repRows = repRows0
+          .withColumn("__rank", row_number().over(w))
+          .filter(repKeep(col("__rank")))
+          .select(slim.map(col): _*)
+        pairJoin(cold.select(slim.map(col): _*).unionByName(repRows), keys)
+      case Some(sk) =>
+        // rep-hot buckets re-bucket by the secondary keys instead of
+        // dropping: recall-exact one level down for pigeonhole-complete
+        // families; only SUB-bucket overflow still rank-drops
+        val repHot = repRows0.groupBy(keyCols: _*)
+          .agg(count(lit(1)).as("__rn"))
+          .filter(col("__rn") > maxBucketSize)
+          .select(keyCols: _*)
+        val repsCold = repRows0.join(repHot, keys, "left_anti")
+          .select(slim.map(col): _*)
+        val subKeyNames = keys ++ Seq("__si", "__sv")
+        val exploded = repRows0.join(repHot, keys, "left_semi")
+          .select(slim.map(col) :+ posexplode(sk).as(Seq("__si", "__sv")): _*)
+        val w2 = org.apache.spark.sql.expressions.Window
+          .partitionBy(subKeyNames.map(col): _*).orderBy(col("id"))
+        val subCapped = exploded
+          .withColumn("__rank", row_number().over(w2))
+          .filter(repKeep(col("__rank")))
+        pairJoin(cold.select(slim.map(col): _*).unionByName(repsCold), keys)
+          .unionByName(pairJoin(subCapped, subKeyNames))
+    }
+    pairs.unionByName(stars).distinct()
   }
 
   /** SemDeDup-style semantic deduplication (public method: Abbas et
