@@ -33,9 +33,22 @@ object Meta {
       primaryKeys: Seq[String],
       options: Map[String, String]) {
 
-    def toStruct: StructType = StructType(fields.map(f =>
+    /** Runtime struct. Graft-level type DDLs that have no Spark
+      * runtime form (MULTISET, CHAR/VARCHAR) are preserved as field
+      * METADATA so `fromStruct(toStruct)` round-trips losslessly — a
+      * copy-table flow must not silently demote a MULTISET to a plain
+      * map or drop a length constraint. */
+    def toStruct: StructType = StructType(fields.map { f =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+      val up = f.dataType.trim.toUpperCase
+      if (up.startsWith("MULTISET<")) mb.putBoolean(Meta.MultisetMeta, true)
+      up match {
+        case Meta.CharVarcharRe(_, _) => mb.putString(Meta.LengthTypeMeta, up)
+        case _ => ()
+      }
       org.apache.spark.sql.types.StructField(
-        f.name, Meta.sparkTypeOf(f.dataType), f.nullable)).toArray)
+        f.name, Meta.sparkTypeOf(f.dataType), f.nullable, mb.build())
+    }.toArray)
 
     /** Length-constrained string fields: (name, CHAR|VARCHAR, n).
       * Stored as their declared DDL; runtime frames use StringType and
@@ -112,6 +125,10 @@ object Meta {
     * MULTISET at the table-format level. */
   val MultisetMeta = "graft.multiset"
 
+  /** StructField metadata key carrying a CHAR(n)/VARCHAR(n) DDL on a
+    * StringType runtime field. */
+  val LengthTypeMeta = "graft.length-type"
+
   object TableSchema {
     def fromStruct(
         id: Long,
@@ -126,6 +143,9 @@ object Meta {
                 if f.metadata.contains(MultisetMeta) &&
                   m.valueType == org.apache.spark.sql.types.IntegerType =>
               s"MULTISET<${m.keyType.sql}>"
+            case org.apache.spark.sql.types.StringType
+                if f.metadata.contains(LengthTypeMeta) =>
+              f.metadata.getString(LengthTypeMeta)
             case dt => dt.sql
           }
           FieldDef(i, f.name, ddl, f.nullable)

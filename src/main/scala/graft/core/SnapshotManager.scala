@@ -113,16 +113,25 @@ final class SnapshotManager(
       }
     // ids are dense at the tail (expiration trims only the FRONT), so
     // a stale LIST can only hide the newest ids: extend forward with
-    // point reads from max(listing, LATEST hint). Keeps the streaming
-    // commitIdentifier dedup and time travel exact under list lag.
+    // point reads from max(listing, LATEST hint), collecting hits in
+    // the same walk. Keeps the streaming commitIdentifier dedup and
+    // time travel exact under list lag.
     val hinted =
       try io.readString(s"$snapshotDir/LATEST").trim.toLong
       catch { case _: Exception => -1L }
-    val base = math.max(listed.maxOption.getOrElse(-1L), hinted)
-    var id = base
-    while (io.exists(snapshotPath(id + 1))) id += 1
-    (listed ++ (listed.maxOption.getOrElse(-1L) + 1 to id)
-      .filter(i => io.exists(snapshotPath(i)))).sorted
+    val listedMax = listed.maxOption.getOrElse(-1L)
+    val extra = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = listedMax + 1
+    var id = math.max(listedMax, hinted)
+    while (i <= id || io.exists(snapshotPath(i))) {
+      // between listedMax and the hint, existence still needs checking
+      // (the hint itself may lag or lead); past the hint, the probe IS
+      // the loop condition
+      if (i <= id) { if (io.exists(snapshotPath(i))) extra += i }
+      else { extra += i; id = i }
+      i += 1
+    }
+    (listed ++ extra).sorted
   }
 
   def latestSnapshotId: Option[Long] = {
@@ -420,17 +429,20 @@ final class SnapshotManager(
             if (next.isEmpty) None else Some(next)
           case None => latest.flatMap(_.colPatches)
         })
-      if (io.tryCreateAtomic(snapshotPath(nextId), Json.write(snap))) {
-        io.writeString(s"$snapshotDir/LATEST", nextId.toString)
-        // post-commit hook (e.g. Iceberg metadata sync): best-effort —
-        // a callback failure must never fail the committed snapshot
-        try afterCommit(nextId)
+      // post-commit epilogue: LATEST hint + best-effort hook (e.g.
+      // Iceberg metadata sync) — a callback failure must never fail
+      // the committed snapshot
+      def finish(id: Long): Long = {
+        io.writeString(s"$snapshotDir/LATEST", id.toString)
+        try afterCommit(id)
         catch { case scala.util.control.NonFatal(e) =>
           org.slf4j.LoggerFactory.getLogger("graft.SnapshotManager")
-            .warn(s"post-commit hook failed for snapshot $nextId: ${e.getMessage}")
+            .warn(s"post-commit hook failed for snapshot $id: ${e.getMessage}")
         }
-        return nextId
+        id
       }
+      if (io.tryCreateAtomic(snapshotPath(nextId), Json.write(snap)))
+        return finish(nextId)
       // CAS reported failure — but on an object store the conditional
       // PUT may have LANDED with the response lost (client timeout
       // after the server applied it). The delta-manifest name is a
@@ -440,15 +452,8 @@ final class SnapshotManager(
       // FileStoreCommitImpl's commitUser/identifier recheck after a
       // failed rename).
       if (io.exists(snapshotPath(nextId)) &&
-          snapshot(nextId).deltaManifest.contains(manifestName)) {
-        io.writeString(s"$snapshotDir/LATEST", nextId.toString)
-        try afterCommit(nextId)
-        catch { case scala.util.control.NonFatal(e) =>
-          org.slf4j.LoggerFactory.getLogger("graft.SnapshotManager")
-            .warn(s"post-commit hook failed for snapshot $nextId: ${e.getMessage}")
-        }
-        return nextId
-      }
+          snapshot(nextId).deltaManifest.contains(manifestName))
+        return finish(nextId)
       attempt += 1 // CAS lost: another writer took nextId — retry
       // jittered exponential backoff between CAS attempts (reference:
       // CoreOptions COMMIT_MIN_RETRY_WAIT=10ms / COMMIT_MAX_RETRY_WAIT

@@ -386,7 +386,12 @@ object Dedup {
   /** Snapshot of skew-guard drops, keyed by guard name:
     * (dropped_rows, dropped_buckets) — the no-silent-caps window for
     * callers and tests. Synchronously current after any action that
-    * executed a guarded join. */
+    * executed a guarded join. NOTE: counts are detection SIGNALS, not
+    * exact tallies — the counting filters live inside subplans that
+    * multiple join branches reference, so without exchange reuse a
+    * bucket/row can be counted once per evaluating branch (2-4×), and
+    * task retries add more. Zero still means zero; use the magnitude
+    * as an order-of-magnitude indicator. */
   def skewDrops: Map[String, (Long, Long)] =
     skewAccs.iterator.map { case (name, (r, b)) =>
       name -> (r.value.longValue, b.value.longValue)
@@ -406,7 +411,8 @@ object Dedup {
   /** Snapshot of hot-bucket collapses, keyed by site:
     * (member rows collapsed into star edges, hot buckets). Informational
     * — no recall is lost on these rows, their pairs are represented by
-    * star + representative edges. */
+    * star + representative edges. Same over-counting caveat as
+    * [[skewDrops]]: a signal, not an exact tally. */
   def collapseStats: Map[String, (Long, Long)] =
     collapseAccs.iterator.map { case (name, (r, b)) =>
       name -> (r.value.longValue, b.value.longValue)

@@ -121,17 +121,27 @@ object HmsBridge {
   }
 
   /** Re-derive the HMS entry from the table's CURRENT schema (column
-    * adds/renames/widenings, option changes). */
+    * adds/renames/widenings, option changes). Create-or-update: a
+    * missing entry (created outside the HMS catalog, or a transiently
+    * failed earlier mirror) is created rather than failing the DDL
+    * whose warehouse change already committed. */
   def mirrorAlter(
       opts: Map[String, String], db: String, name: String, gt: GraftTable): Unit =
     withClient(opts) { c =>
-      val existing = c.getTable(db, name)
-      val sch = gt.schema
-      existing.setSd(newSd(sch, gt.path))
-      existing.getParameters.put(PathParam, gt.path)
-      if (sch.primaryKeys.nonEmpty)
-        existing.getParameters.put("primary-key", sch.primaryKeys.mkString(","))
-      c.alter_table(db, name, existing)
+      try {
+        val existing = c.getTable(db, name)
+        val sch = gt.schema
+        existing.setSd(newSd(sch, gt.path))
+        existing.getParameters.put(PathParam, gt.path)
+        if (sch.primaryKeys.nonEmpty)
+          existing.getParameters.put("primary-key", sch.primaryKeys.mkString(","))
+        c.alter_table(db, name, existing)
+      } catch {
+        case _: org.apache.hadoop.hive.metastore.api.NoSuchObjectException =>
+          try c.createDatabase(new Database(db, "graft namespace", null, null))
+          catch { case _: org.apache.hadoop.hive.metastore.api.AlreadyExistsException => () }
+          createEntry(c, db, name, gt)
+      }
     }
 
   def mirrorDrop(opts: Map[String, String], db: String, name: String): Unit =
@@ -140,16 +150,23 @@ object HmsBridge {
       catch { case _: org.apache.hadoop.hive.metastore.api.NoSuchObjectException => () }
     }
 
+  /** Missing source entries are tolerated (the table was never
+    * mirrored); the caller re-mirrors the renamed table instead. */
   def mirrorRename(
       opts: Map[String, String], db: String, name: String,
-      newDb: String, newName: String, newPath: String): Unit =
+      newDb: String, newName: String, newPath: String): Boolean =
     withClient(opts) { c =>
-      val t = c.getTable(db, name)
-      t.setDbName(newDb)
-      t.setTableName(newName)
-      t.getSd.setLocation(newPath)
-      t.getParameters.put(PathParam, newPath)
-      c.alter_table(db, name, t)
+      try {
+        val t = c.getTable(db, name)
+        t.setDbName(newDb)
+        t.setTableName(newName)
+        t.getSd.setLocation(newPath)
+        t.getParameters.put(PathParam, newPath)
+        c.alter_table(db, name, t)
+        true
+      } catch {
+        case _: org.apache.hadoop.hive.metastore.api.NoSuchObjectException => false
+      }
     }
 
   /** Read-through resolution: the table path an HMS entry points at. */
@@ -181,7 +198,10 @@ object HmsBridge {
       .map(e => sch.partitionKeys.map(k => e.partition.getOrElse(k, "")))
       .distinct.toSet
     withClient(opts) { c =>
-      val existing = c.listPartitions(db, name, Short.MaxValue).asScala
+      // max = -1: ALL partitions (a positive cap would silently
+      // truncate the existing-set on >32k-partition tables, so stale
+      // HMS partitions past the cap would never be dropped)
+      val existing = c.listPartitions(db, name, -1: Short).asScala
         .map(_.getValues.asScala.toSeq).toSet
       val toAdd = (live -- existing).toSeq
       val toDrop = (existing -- live).toSeq
@@ -269,10 +289,17 @@ class GraftHmsCatalog extends GraftCatalog {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     super.renameTable(oldIdent, newIdent)
-    HmsBridge.mirrorRename(hmsOpts,
+    val moved = HmsBridge.mirrorRename(hmsOpts,
       HmsBridge.dbName(oldIdent.namespace()), oldIdent.name(),
       HmsBridge.dbName(newIdent.namespace()), newIdent.name(),
       pathOf(newIdent))
+    if (!moved && GraftTable.exists(pathOf(newIdent))) {
+      // never mirrored (created outside this catalog): mirror it now
+      val db = HmsBridge.dbName(newIdent.namespace())
+      HmsBridge.ensureDatabase(hmsOpts, db)
+      HmsBridge.mirrorCreate(hmsOpts, db, newIdent.name(),
+        GraftTable.load(org.apache.spark.sql.SparkSession.active, pathOf(newIdent)))
+    }
   }
 
   /** Read-through: a warehouse-resident table loads as usual; an

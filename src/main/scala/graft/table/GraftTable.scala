@@ -392,28 +392,20 @@ final class GraftTable private (
     * a billion-key table opens O(deltas + one range) of index state. */
   private def dynIndexDfFor(keyValues: Map[String, Any]): Option[DataFrame] = {
     val sch = schema
-    def hashOf(cols: Seq[String]): Option[Long] = {
-      val st = sch.toStruct
-      var h = 42L
-      cols.foreach { k =>
-        val dt = st(k).dataType
-        val v = org.apache.spark.sql.catalyst.CatalystTypeConverters
-          .createToCatalystConverter(dt)(keyValues(k))
-        if (v == null) return None
-        h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(v, dt, h)
-      }
-      Some(h)
-    }
-    val toks = hashOf(sch.primaryKeys).map { kh =>
-      val r = java.lang.Math.floorMod(kh, dynIndexRanges(sch).toLong).toInt
-      val p =
-        if (dynPartitionScoped(sch))
-          hashOf(sch.partitionKeys).map(ph =>
-            java.lang.Math.floorMod(ph, GraftTable.DynPartScopes.toLong).toInt)
-        else None
-      Set((p, r))
-    }
     sm.latestSnapshot().flatMap(_.dynIndex).filter(_.nonEmpty).map { files =>
+      // tokens use the modulus the sidecars were written with (their
+      // directory pin); unpinnable layouts read everything
+      val toks = pinnedDynRanges(files, sch).flatMap { ranges =>
+        driverHashFold(sch, sch.primaryKeys, keyValues).map { kh =>
+          val r = java.lang.Math.floorMod(kh, ranges.toLong).toInt
+          val p =
+            if (dynPartitionScoped(sch))
+              driverHashFold(sch, sch.partitionKeys, keyValues).map(ph =>
+                java.lang.Math.floorMod(ph, GraftTable.DynPartScopes.toLong).toInt)
+            else None
+          Set((p, r))
+        }
+      }
       val pruned = toks.fold(files)(pruneDynIndexFiles(files, _))
       if (pruned.isEmpty)
         spark.createDataFrame(
@@ -422,6 +414,26 @@ final class GraftTable private (
         .parquet(pruned.map(f => s"$path/$f"): _*)
         .select(dynIndexStruct(sch).fieldNames.map(col).toIndexedSeq: _*)
     }
+  }
+
+  /** Driver-side mirror of `xxhash64(cols…)` — the same seed-42 fold
+    * Catalyst evaluates, shared by the fixed-bucket fast path and the
+    * dynamic-index scope tokens so the two can never drift. None on
+    * any null value (callers must then fall back to the unpruned
+    * path — Catalyst's hash SKIPS nulls, a mismatch would under-read). */
+  private def driverHashFold(
+      sch: TableSchema, cols: Seq[String],
+      keyValues: Map[String, Any]): Option[Long] = {
+    val st = sch.toStruct
+    var h = 42L
+    cols.foreach { k =>
+      val dt = st(k).dataType
+      val v = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(dt)(keyValues(k))
+      if (v == null) return None
+      h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(v, dt, h)
+    }
+    Some(h)
   }
 
   /** Dynamic bucket assignment (bucket = -1): a key KEEPS the bucket
@@ -483,20 +495,33 @@ final class GraftTable private (
     val prevFiles = sm.latestSnapshot().flatMap(_.dynIndex).getOrElse(Seq.empty)
     val compactTrigger = sch.options
       .getOrElse("dynamic-bucket.index.compact-trigger", "32").toInt
-    // full rewrite when bootstrapping (no sidecars yet) or the delta
-    // list has fragmented past the trigger
-    val needFull = prevFiles.isEmpty || prevFiles.size >= compactTrigger
+    // full rewrite when bootstrapping (no sidecars yet) or the DELTA
+    // list has fragmented past the trigger. Only flat delta files
+    // count: a scoped rewrite legitimately emits one file per
+    // (partition, range) directory — counting those would force a full
+    // rewrite on EVERY commit of any scoped table with more than
+    // `trigger` scope combinations, reintroducing the O(total keys)
+    // per-commit IO this layout exists to kill.
+    val needFull = prevFiles.isEmpty ||
+      prevFiles.count(!_.contains("__r=")) >= compactTrigger
     // the per-commit probe reads ONLY the sidecars that can hold the
     // batch's keys: the batch's (partition-hash, key-range) token set —
     // O(partitions × ranges) values, map-side-combined — prunes the
     // scoped bulk of the index, so a small ingest into a huge table
     // reads O(batch's ranges) of index state, not O(total keys). Full
     // rewrites read everything by definition (amortized 1/trigger).
+    // Tokens are computed with the RANGES THE SIDECARS WERE WRITTEN
+    // WITH (pinned in their directory names) — an option change only
+    // takes effect at the next full rewrite; a pin mismatch would
+    // silently prune away an existing key's entry and assign it a
+    // second bucket.
+    val pinnedR = pinnedDynRanges(prevFiles, sch)
     val probeFiles =
       if (needFull || prevFiles.isEmpty ||
-        !prevFiles.exists(_.contains("__r="))) prevFiles // nothing scoped
+        !prevFiles.exists(_.contains("__r=")) || pinnedR.isEmpty)
+        prevFiles // nothing scoped, or unpinnable legacy layout
       else {
-        val scopeCols = dynScopeCols(sch)
+        val scopeCols = dynScopeCols(sch, pinnedR.get)
         val toks = batch
           .select(scopeCols.map(c => c._2.as(c._1)).toIndexedSeq: _*)
           .distinct().collect().map { r =>
@@ -1165,10 +1190,15 @@ final class GraftTable private (
     *    files mix freely in one read. */
   private def writeDynIndexFiles(
       df: DataFrame, scoped: Boolean, sch: TableSchema): Seq[String] = {
-    val dir = s"index-dyn/${UUID.randomUUID()}"
+    // scoped dirs pin the range modulus they were laid down with
+    // (r<N>-<uuid>): probes MUST token-match with the writer's modulus,
+    // so a later option change only takes effect at the next rewrite
+    val dir =
+      if (scoped) s"index-dyn/r${dynIndexRanges(sch)}-${UUID.randomUUID()}"
+      else s"index-dyn/${UUID.randomUUID()}"
     if (!scoped) df.coalesce(1).write.parquet(s"$path/$dir")
     else {
-      val scopeCols = dynScopeCols(sch)
+      val scopeCols = dynScopeCols(sch, dynIndexRanges(sch))
       val withScope = scopeCols.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e) }
       withScope
         .repartition(scopeCols.map(c => col(c._1)).toIndexedSeq: _*)
@@ -1191,9 +1221,9 @@ final class GraftTable private (
     * ints so the directory tokens are stable and driver arithmetic can
     * mirror them exactly (same xxhash64 seed-42 fold as the bucket
     * hash). */
-  private def dynScopeCols(sch: TableSchema): Seq[(String, Column)] = {
+  private def dynScopeCols(sch: TableSchema, ranges: Int): Seq[(String, Column)] = {
     val r = "__r" -> pmod(xxhash64(sch.primaryKeys.map(col).toIndexedSeq: _*),
-      lit(dynIndexRanges(sch))).cast("int")
+      lit(ranges)).cast("int")
     if (dynPartitionScoped(sch))
       Seq("__p" -> pmod(xxhash64(sch.partitionKeys.map(col).toIndexedSeq: _*),
         lit(GraftTable.DynPartScopes)).cast("int"), r)
@@ -1202,6 +1232,26 @@ final class GraftTable private (
 
   private def dynIndexRanges(sch: TableSchema): Int =
     sch.options.getOrElse("dynamic-bucket.index.ranges", "8").toInt
+
+  private val DynRangesPin = """index-dyn/r(\d+)-""".r
+
+  /** The range modulus the EXISTING scoped sidecars were written with
+    * (their `r<N>-` directory pin) — probe tokens must use it, not the
+    * current option value. Some(option default) when nothing scoped
+    * exists; None when scoped files carry no/conflicting pins (legacy
+    * or mid-transition layout → pruning must be skipped). */
+  private def pinnedDynRanges(files: Seq[String], sch: TableSchema): Option[Int] = {
+    val scoped = files.filter(_.contains("__r="))
+    if (scoped.isEmpty) Some(dynIndexRanges(sch))
+    else {
+      val pins = scoped.map(f =>
+        DynRangesPin.findFirstMatchIn(f).map(_.group(1).toInt)).distinct
+      pins match {
+        case Seq(Some(n)) => Some(n)
+        case _ => None
+      }
+    }
+  }
 
   /** Diagnostic: the sidecar files the last dynamic-bucket assignment
     * actually probed (what the pruning let through). */
@@ -1926,16 +1976,8 @@ final class GraftTable private (
   private def directPkBucket(
       sch: TableSchema, keyValues: Map[String, Any]): Option[Int] = {
     if (sch.isDynamicBucket) return None
-    val st = sch.toStruct
-    var h = 42L
-    sch.primaryKeys.foreach { k =>
-      val dt = st(k).dataType
-      val v = org.apache.spark.sql.catalyst.CatalystTypeConverters
-        .createToCatalystConverter(dt)(keyValues(k))
-      if (v == null) return None
-      h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(v, dt, h)
-    }
-    Some(java.lang.Math.floorMod(h, sch.effectiveBuckets.toLong).toInt)
+    driverHashFold(sch, sch.primaryKeys, keyValues)
+      .map(h => java.lang.Math.floorMod(h, sch.effectiveBuckets.toLong).toInt)
   }
 
   def localLookup(keyValues: Map[String, Any]): Seq[org.apache.spark.sql.Row] = {

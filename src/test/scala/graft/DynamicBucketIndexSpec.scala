@@ -172,6 +172,53 @@ class DynamicBucketIndexSpec extends AnyFunSuite {
       .groupBy("k").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("scoped sidecar count never triggers rewrites: only flat deltas count") {
+    // a scoped rewrite emits one file per (partition, range) — far
+    // more than the compact trigger on real tables. Counting them
+    // against the trigger would force a FULL index rewrite on every
+    // commit, reintroducing the O(total keys) per-commit IO.
+    val t = create(tmp(), Map(
+      "dynamic-bucket.index.ranges" -> "8", // scoped write → up to 8 files
+      "dynamic-bucket.index.compact-trigger" -> "2"))
+    t.write(df((0L until 60L).map(i => (i, "a", 1L)): _*))
+    val scoped = indexFiles(t)
+    assert(scoped.count(_.contains("__r=")) > 2, s"setup: want >trigger scoped files")
+    // next two commits must stay DELTAS (one flat file each), not
+    // full rewrites of the whole index
+    t.write(df((60L, "b", 1L)))
+    assert(indexFiles(t).size == scoped.size + 1,
+      s"commit after a scoped rewrite must append one delta")
+    t.write(df((61L, "b", 1L)))
+    assert(indexFiles(t).size == scoped.size + 2)
+    // the third delta crosses the trigger → one rewrite, scoped again
+    t.write(df((62L, "b", 1L)))
+    val after = indexFiles(t)
+    assert(after.forall(_.contains("__r=")), s"rewrite should re-scope: $after")
+    assert(t.read.count() == 63L)
+  }
+
+  test("changing index.ranges cannot misroute keys: probes use the written pin") {
+    val t = create(tmp(), Map("dynamic-bucket.index.ranges" -> "2"))
+    t.write(df((0L until 40L).map(i => (i, "a", 1L)): _*))
+    assert(indexFiles(t).forall(_.contains("index-dyn/r2-")),
+      s"scoped dirs must pin their modulus: ${indexFiles(t)}")
+    // the option changes mid-life — existing sidecars keep their r2
+    // tokens, so probes MUST keep hashing with 2, not 8: a mismatch
+    // would prune away an existing key's entry and split it across
+    // two buckets
+    t.setOption("dynamic-bucket.index.ranges", "8")
+    val t2 = GraftTable.load(spark, t.path)
+    t2.write(df((0L until 40L).map(i => (i, "b", 2L)): _*))
+    val raw = t2.readRaw(t2.sm.latestSnapshot().map(t2.sm.liveEntries).get)
+    assert(raw.select(col("k"), col("__bucket")).distinct()
+      .groupBy("k").count().filter(col("count") > 1).count() == 0,
+      "a pin mismatch split keys across buckets")
+    assert(t2.read.count() == 40L)
+    assert(t2.read.filter(col("k") === 3L).head.getString(1) == "b")
+    // lookups prune with the pinned modulus too
+    assert(t2.lookup(Map("k" -> 5L)).head.getString(1) == "b")
+  }
+
   test("lookup uses the index: absent keys read zero files") {
     val t = create(tmp())
     t.write(df((0L until 25L).map(i => (i, s"v$i", 1L)): _*))

@@ -109,6 +109,36 @@ class ObjectStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized churn with intermittent lost PUT responses matches the oracle") {
+    val (t, io) = osTable(pk = Seq("k"),
+      opts = Map("sequence.field" -> "seq", "bucket" -> "2"))
+    val oracle = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val rnd = new scala.util.Random(99)
+    var seq = 0L
+    for (batch <- 1 to 6) {
+      // every other commit's snapshot PUT lands with its response lost
+      if (batch % 2 == 0) io.faults.lostPutResponses.set(1)
+      val ups = (1 to 15).map { _ =>
+        seq += 1; (rnd.nextInt(20).toLong, rnd.nextLong(1000), seq)
+      }
+      ups.foreach { case (k, v, s) =>
+        if (oracle.get(k).forall(_._2 < s)) oracle(k) = (v, s)
+      }
+      t.write(df(ups))
+      if (batch % 3 == 0) t.compact()
+      val got = t.read.collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == oracle.toMap, s"divergence at batch $batch")
+    }
+    // the history is linear and duplicate-free despite the lost CAS
+    // responses: every write landed exactly once
+    val ids = t.sm.snapshotIds
+    assert(ids == (0L until ids.size.toLong), s"gappy history: $ids")
+    val writes = t.systemSnapshots
+      .filter(col("commit_kind") === "APPEND").count()
+    assert(writes == 6L, s"phantom commits: $writes writes recorded")
+  }
+
   test("stale LIST: discovery uses the LATEST hint + point reads, not list freshness") {
     val (t, io) = osTable()
     t.write(df(Seq((1L, 1L, 0L))))
