@@ -463,44 +463,60 @@ object Dedup {
     }
   }
 
-  /** Cap bucket sizes (skew guard), counting what the guard drops into
-    * the site's accumulators.
-    *
-    * Shape: bucket sizes via groupBy-count (map-side combine — one row
-    * per bucket reaches the shuffle), hot buckets counted in the anti-
-    * join's BUILD side, then `banded LEFT ANTI over`. The build side
-    * always materializes when the join executes or is adaptively
-    * elided (AQE must run it to learn it is empty), so the counts
-    * survive even when the guard drops everything — a window-column
-    * filter or an observe node on a join branch does not (AQE empty-
-    * relation propagation skips the branch / erases the node). Also
-    * the at-scale win: the self-join shuffle then carries only capped
-    * rows, and `over` (hot buckets only) is tiny → broadcast anti. */
-  private def capBuckets(
+  /** Collapse a banded frame's over-cap buckets to one representative
+    * per identical-content group (by `fineKey`), rank-capped per
+    * bucket — the PROBE-side half of [[bucketJoinPairs]]' guard, for
+    * paths that join against a persisted index instead of self-joining.
+    * Connectivity with the collapsed members comes from the caller's
+    * within-batch star pairs (same banding, same fineKey → same
+    * groups). Collapses are INFO-counted; only representative overflow
+    * drops, WARN-counted. */
+  private def collapseHotBuckets(
       banded: DataFrame,
       keys: Seq[String],
       maxBucketSize: Int,
+      fineKey: Column,
       site: String): DataFrame = {
     registerSkewListener(banded)
     if (skewAccs.size > 256) { skewAccs.clear(); skewLogged.clear() }
-    val name = s"$SkewMetricPrefix.$site.${skewSeq.incrementAndGet()}"
+    if (collapseAccs.size > 256) { collapseAccs.clear(); collapseLogged.clear() }
+    val n = skewSeq.incrementAndGet()
+    val dropName = s"$SkewMetricPrefix.$site.$n"
+    val collName = s"$CollapseMetricPrefix.$site.$n"
     val sc = banded.sparkSession.sparkContext
-    val accRows = sc.longAccumulator(s"$name.rows")
-    val accBuckets = sc.longAccumulator(s"$name.buckets")
-    skewAccs.put(name, (accRows, accBuckets))
+    val dropRows = sc.longAccumulator(s"$dropName.rows")
+    val dropBuckets = sc.longAccumulator(s"$dropName.buckets")
+    skewAccs.put(dropName, (dropRows, dropBuckets))
+    val collRows = sc.longAccumulator(s"$collName.rows")
+    val collBuckets = sc.longAccumulator(s"$collName.buckets")
+    collapseAccs.put(collName, (collRows, collBuckets))
     val keyCols = keys.map(col)
-    // nondeterministic: the counting filter must not be deduplicated,
-    // reordered, or double-evaluated by the optimizer
-    val hotCounting = udf { (n: Long) =>
-      val hot = n > maxBucketSize
-      if (hot) { accRows.add(n); accBuckets.add(1L) }
+    val hotCounting = udf { (bn: Long) =>
+      val hot = bn > maxBucketSize
+      if (hot) { collRows.add(bn); collBuckets.add(1L) }
       hot
     }.asNondeterministic()
     val over = banded.groupBy(keyCols: _*)
       .agg(count(lit(1)).as("bucket_n"))
       .filter(hotCounting(col("bucket_n")))
       .select(keyCols: _*)
-    banded.join(over, keys, "left_anti")
+    val cold = banded.join(over, keys, "left_anti")
+    val repKeep = udf { (rank: Int) =>
+      val keep = rank <= maxBucketSize
+      if (!keep) { dropRows.add(1L); if (rank == maxBucketSize + 1) dropBuckets.add(1L) }
+      keep
+    }.asNondeterministic()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*).orderBy(col("id"))
+    val reps = banded.join(over, keys, "left_semi")
+      .withColumn("__fk", fineKey)
+      .groupBy((keyCols :+ col("__fk")): _*)
+      .agg(min(col("id")).as("id"))
+      .withColumn("__rank", row_number().over(w))
+      .filter(repKeep(col("__rank")))
+    val slim = keys :+ "id"
+    cold.select(slim.map(col): _*)
+      .unionByName(reps.select(slim.map(col): _*))
   }
 
   // --- Incremental corpus dedup ---------------------------------------
@@ -514,17 +530,21 @@ object Dedup {
   // O(corpus). (Reference capability class: paimon's global indexes
   // maintained across commits; the banding math is p05's.)
 
-  /** Band rows of one batch: (band, bh, id). */
+  /** Band rows of one batch: (band, bh, id, __sigh) — `__sigh` is the
+    * full-signature hash (identical-content collapse key; extra
+    * columns are ignored by consumers that only group on (band, bh)). */
   def bandRows(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8): DataFrame = {
     val rows = k / bands
     minhashSignatureTable(df, idCol, textCol, k)
-      .select(col("id"), explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
-      }: _*)).as("bb"))
-      .select(col("bb.band").as("band"), col("bb.bh").as("bh"), col("id"))
+      .select(col("id"), xxhash64(col("sig")).as("__sigh"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bh"))
+        }: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bh").as("bh"),
+        col("id"), col("__sigh"))
   }
 
   /** Create the persisted band index: PK (band, bh) + collect(ids),
@@ -557,8 +577,12 @@ object Dedup {
   /** Dedup one increment against the indexed corpus AND itself:
     * verified pairs, cross pairs oriented (id_a = corpus, id_b =
     * increment). Only matched index buckets are exploded — the join
-    * touches O(increment bands) index rows. `corpusTexts` supplies
-    * (idCol, textCol) for the exact-Jaccard verification reads. */
+    * touches O(increment bands) index rows. Over-cap increment buckets
+    * COLLAPSE to one probe per distinct content instead of dropping:
+    * collapsed members stay connected to the corpus through the
+    * within-increment star pairs (same banding, same content key).
+    * `corpusTexts` supplies (idCol, textCol) for the exact-Jaccard
+    * verification reads. */
   def dedupIncrementPairs(
       index: graft.table.GraftTable,
       corpusTexts: DataFrame,
@@ -566,10 +590,9 @@ object Dedup {
       idCol: String, textCol: String,
       threshold: Double = 0.7, k: Int = 32, bands: Int = 8,
       maxBucketSize: Int = 1000): DataFrame = {
-    val incB = capBuckets(
-      bandRows(increment, idCol, textCol, k, bands)
-        .select(col("id"), col("band"), col("bh")),
-      Seq("band", "bh"), maxBucketSize, "minhash.inc")
+    val incB = collapseHotBuckets(
+      bandRows(increment, idCol, textCol, k, bands),
+      Seq("band", "bh"), maxBucketSize, col("__sigh"), "minhash.inc")
     val cross = index.read
       .join(incB.withColumnRenamed("id", "id_b"), Seq("band", "bh"))
       .select(explode(col("ids")).as("id_a"), col("id_b"))
