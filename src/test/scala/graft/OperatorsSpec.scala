@@ -667,4 +667,43 @@ class OperatorsSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(inc3 == Set((12L, 21L)), s"got $inc3")
   }
+
+  test("incremental dedup: over-cap increment buckets still reach corpus matches") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def doc(i: Long, base: String) = (i, (1 to 30).map(j => s"$base$j").mkString(" "))
+    val dir = java.nio.file.Files.createTempDirectory("graft-incskew").toString
+    val idx = Dedup.createBandIndex(spark, s"$dir/idx", buckets = 2)
+    val corpus = Seq(doc(1L, "dup"), doc(2L, "other")).toDF("id", "text")
+    Dedup.appendToBandIndex(idx, corpus, "id", "text", k = 16, bands = 4)
+    // 20 identical increment docs duplicate corpus doc 1 — far past the
+    // cap of 3, so their band buckets are HOT. The collapse must still
+    // surface the corpus match (rep probes the index) and keep every
+    // member connected through the within-increment stars.
+    val inc = (100L until 120L).map(i => doc(i, "dup")).toDF("id", "text")
+    Dedup.skewDropsReset()
+    val pairs = Dedup.dedupIncrementPairs(idx, corpus, inc,
+      "id", "text", threshold = 0.9, k = 16, bands = 4, maxBucketSize = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the representative's corpus hit is present…
+    assert(pairs.exists { case (a, b) => a == 1L || b == 1L },
+      s"corpus match lost in the hot bucket: $pairs")
+    // …and every member is connected to the duplicate cluster
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def component(seed: Long): Set[Long] = {
+      var seen = Set(seed); var frontier = Set(seed)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= next; frontier = next
+      }
+      seen
+    }
+    val cluster = component(1L)
+    assert((100L until 120L).forall(cluster.contains),
+      s"members disconnected from the corpus duplicate: $cluster")
+    // nothing silently lost: collapse counted, zero real drops
+    assert(Dedup.collapseStats.values.exists(_._1 > 0L))
+    assert(Dedup.skewDrops.values.forall(_._1 == 0L), Dedup.skewDrops.toString)
+  }
 }
