@@ -471,29 +471,52 @@ object Dedup {
     * within-batch star pairs (same banding, same fineKey → same
     * groups). Collapses are INFO-counted; only representative overflow
     * drops, WARN-counted. */
-  private def collapseHotBuckets(
-      banded: DataFrame,
-      keys: Seq[String],
-      maxBucketSize: Int,
-      fineKey: Column,
-      site: String): DataFrame = {
-    registerSkewListener(banded)
+  /** One guard site's accumulators: (dropRows, dropBuckets — real
+    * recall loss, WARN) and (collRows, collBuckets — recall-preserving
+    * collapses, INFO), registered under a fresh per-call name. */
+  private def guardAccumulators(df: DataFrame, site: String): (
+      org.apache.spark.util.LongAccumulator, org.apache.spark.util.LongAccumulator,
+      org.apache.spark.util.LongAccumulator, org.apache.spark.util.LongAccumulator) = {
+    registerSkewListener(df)
     if (skewAccs.size > 256) { skewAccs.clear(); skewLogged.clear() }
     if (collapseAccs.size > 256) { collapseAccs.clear(); collapseLogged.clear() }
     val n = skewSeq.incrementAndGet()
     val dropName = s"$SkewMetricPrefix.$site.$n"
     val collName = s"$CollapseMetricPrefix.$site.$n"
-    val sc = banded.sparkSession.sparkContext
+    val sc = df.sparkSession.sparkContext
     val dropRows = sc.longAccumulator(s"$dropName.rows")
     val dropBuckets = sc.longAccumulator(s"$dropName.buckets")
     skewAccs.put(dropName, (dropRows, dropBuckets))
     val collRows = sc.longAccumulator(s"$collName.rows")
     val collBuckets = sc.longAccumulator(s"$collName.buckets")
     collapseAccs.put(collName, (collRows, collBuckets))
+    (dropRows, dropBuckets, collRows, collBuckets)
+  }
+
+  /** The rank-cap filter: keeps the first `cap` rows per window
+    * partition, counting the overflow into the drop accumulators. */
+  private def rankCapUdf(
+      cap: Int,
+      dropRows: org.apache.spark.util.LongAccumulator,
+      dropBuckets: org.apache.spark.util.LongAccumulator) =
+    udf { (rank: Int) =>
+      val keep = rank <= cap
+      if (!keep) { dropRows.add(1L); if (rank == cap + 1) dropBuckets.add(1L) }
+      keep
+    }.asNondeterministic()
+
+  private def collapseHotBuckets(
+      banded: DataFrame,
+      keys: Seq[String],
+      maxBucketSize: Int,
+      fineKey: Column,
+      site: String): DataFrame = {
+    val (dropRows, dropBuckets, collRows, collBuckets) =
+      guardAccumulators(banded, site)
     val keyCols = keys.map(col)
     val hotCounting = udf { (bn: Long) =>
       val hot = bn > maxBucketSize
-      if (hot) { collRows.add(bn); collBuckets.add(1L) }
+      if (hot) collBuckets.add(1L)
       hot
     }.asNondeterministic()
     val over = banded.groupBy(keyCols: _*)
@@ -501,19 +524,22 @@ object Dedup {
       .filter(hotCounting(col("bucket_n")))
       .select(keyCols: _*)
     val cold = banded.join(over, keys, "left_anti")
-    val repKeep = udf { (rank: Int) =>
-      val keep = rank <= maxBucketSize
-      if (!keep) { dropRows.add(1L); if (rank == maxBucketSize + 1) dropBuckets.add(1L) }
-      keep
+    // collRows counts only rows truly COLLAPSED behind their group's
+    // representative (group size − 1 each) — an all-distinct hot
+    // bucket collapses nothing and must not log as if it had
+    val collCounting = udf { (grpN: Long) =>
+      if (grpN > 1L) collRows.add(grpN - 1L)
+      true
     }.asNondeterministic()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols: _*).orderBy(col("id"))
     val reps = banded.join(over, keys, "left_semi")
       .withColumn("__fk", fineKey)
       .groupBy((keyCols :+ col("__fk")): _*)
-      .agg(min(col("id")).as("id"))
+      .agg(min(col("id")).as("id"), count(lit(1)).as("__grpn"))
+      .filter(collCounting(col("__grpn")))
       .withColumn("__rank", row_number().over(w))
-      .filter(repKeep(col("__rank")))
+      .filter(rankCapUdf(maxBucketSize, dropRows, dropBuckets)(col("__rank")))
     val slim = keys :+ "id"
     cold.select(slim.map(col): _*)
       .unionByName(reps.select(slim.map(col): _*))
@@ -590,15 +616,20 @@ object Dedup {
       idCol: String, textCol: String,
       threshold: Double = 0.7, k: Int = 32, bands: Int = 8,
       maxBucketSize: Int = 1000): DataFrame = {
+    // ONE banded frame feeds both sides — the signature table (shingle
+    // explode + k min-aggregations, the dominant cost) is a shared
+    // subplan, so exchange reuse computes it once per action instead
+    // of separately for the probe and the within-increment pairs
+    val banded = bandRows(increment, idCol, textCol, k, bands)
     val incB = collapseHotBuckets(
-      bandRows(increment, idCol, textCol, k, bands),
-      Seq("band", "bh"), maxBucketSize, col("__sigh"), "minhash.inc")
+      banded, Seq("band", "bh"), maxBucketSize, col("__sigh"), "minhash.inc")
     val cross = index.read
       .join(incB.withColumnRenamed("id", "id_b"), Seq("band", "bh"))
       .select(explode(col("ids")).as("id_a"), col("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val within = minhashCandidates(increment, idCol, textCol, k, bands, maxBucketSize)
+    val within = bucketJoinPairs(banded, Seq("band", "bh"), maxBucketSize,
+      fineKey = col("__sigh"))
     val texts = corpusTexts.select(col(idCol), col(textCol))
       .unionByName(increment.select(col(idCol), col(textCol))).distinct()
     verifyJaccard(cross.unionByName(within).distinct(),
@@ -647,20 +678,8 @@ object Dedup {
       fineKey: Column,
       payload: Seq[String] = Seq.empty,
       subKeys: Option[Column] = None): DataFrame = {
-    registerSkewListener(banded)
-    if (skewAccs.size > 256) { skewAccs.clear(); skewLogged.clear() }
-    if (collapseAccs.size > 256) { collapseAccs.clear(); collapseLogged.clear() }
-    val site = keys.head
-    val n = skewSeq.incrementAndGet()
-    val dropName = s"$SkewMetricPrefix.$site.$n"
-    val collName = s"$CollapseMetricPrefix.$site.$n"
-    val sc = banded.sparkSession.sparkContext
-    val dropRows = sc.longAccumulator(s"$dropName.rows")
-    val dropBuckets = sc.longAccumulator(s"$dropName.buckets")
-    skewAccs.put(dropName, (dropRows, dropBuckets))
-    val collRows = sc.longAccumulator(s"$collName.rows")
-    val collBuckets = sc.longAccumulator(s"$collName.buckets")
-    collapseAccs.put(collName, (collRows, collBuckets))
+    val (dropRows, dropBuckets, collRows, collBuckets) =
+      guardAccumulators(banded, keys.head)
     val keyCols = keys.map(col)
     // nondeterministic: counting filters must not be deduplicated,
     // reordered, or double-evaluated by the optimizer
@@ -697,11 +716,7 @@ object Dedup {
         payload.flatMap(p => Seq(col(p).as(s"${p}_a"), col(p).as(s"${p}_b"))): _*)
     // one row per identical-content group; cap DISTINCT contents per
     // bucket so the rep join stays quadratic-bounded
-    val repKeep = udf { (rank: Int) =>
-      val keep = rank <= maxBucketSize
-      if (!keep) { dropRows.add(1L); if (rank == maxBucketSize + 1) dropBuckets.add(1L) }
-      keep
-    }.asNondeterministic()
+    val repKeep = rankCapUdf(maxBucketSize, dropRows, dropBuckets)
     val slim = (keys :+ "id") ++ payload
     val repRows0 = reps.withColumnRenamed("__rep", "id")
     def pairJoin(rows: DataFrame, joinKeys: Seq[String]): DataFrame = {

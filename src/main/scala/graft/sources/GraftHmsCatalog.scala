@@ -293,12 +293,21 @@ class GraftHmsCatalog extends GraftCatalog {
       HmsBridge.dbName(oldIdent.namespace()), oldIdent.name(),
       HmsBridge.dbName(newIdent.namespace()), newIdent.name(),
       pathOf(newIdent))
-    if (!moved && GraftTable.exists(pathOf(newIdent))) {
-      // never mirrored (created outside this catalog): mirror it now
+    if (GraftTable.exists(pathOf(newIdent))) {
       val db = HmsBridge.dbName(newIdent.namespace())
-      HmsBridge.ensureDatabase(hmsOpts, db)
-      HmsBridge.mirrorCreate(hmsOpts, db, newIdent.name(),
-        GraftTable.load(org.apache.spark.sql.SparkSession.active, pathOf(newIdent)))
+      val gt = GraftTable.load(org.apache.spark.sql.SparkSession.active, pathOf(newIdent))
+      // re-point the stamped HMS coordinates at the new identity — the
+      // commit-coupled partition sync reads them from the table
+      // options, and a stale pair would silently target the old,
+      // renamed-away entry forever
+      if (gt.schema.options.contains("hms.table")) {
+        gt.setOption("hms.database", db)
+        gt.setOption("hms.table", newIdent.name())
+      }
+      if (!moved) { // never mirrored (created outside this catalog)
+        HmsBridge.ensureDatabase(hmsOpts, db)
+        HmsBridge.mirrorCreate(hmsOpts, db, newIdent.name(), gt)
+      }
     }
   }
 

@@ -74,6 +74,15 @@ class HmsCatalogSpec extends AnyFunSuite {
       assert(renamed.getParameters.get("graft.path") == s"$wh/br/orders_r")
       assert(spark.sql("SELECT count(*) FROM hcat.br.orders_r").head.getLong(0) == 1L)
 
+      // the stamped sync coordinates followed the rename: a write into
+      // the RENAMED table syncs its partitions to the NEW entry (stale
+      // coordinates would target the renamed-away name forever)
+      spark.sql("""INSERT INTO hcat.br.orders_r VALUES
+                  |(9, 'z', '2024-03-03', NULL)""".stripMargin)
+      val postRename = c.listPartitions("br", "orders_r", (-1): Short)
+        .asScala.map(_.getValues.asScala.head).sorted
+      assert(postRename == Seq("2024-01-02", "2024-03-03"), postRename.toString)
+
       // DROP removes the entry (metadata only — deleteData=false)
       spark.sql("DROP TABLE hcat.br.orders_r")
       assert(!c.tableExists("br", "orders_r"))
