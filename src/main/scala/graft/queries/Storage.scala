@@ -1610,5 +1610,32 @@ object Storage {
         import s.implicits._
         rows.toSeq.toDF("c_custkey", "c_name", "c_mktsegment")
       } finally server.stop()
+    },
+
+    // ---- lance-equivalent random-access columnar storage
+    // (file.format=lance; reference: paimon-lance
+    // LanceFileFormat.java:57 over the native lancedb JNI — here a
+    // JVM re-expression of the capability, like the engine's
+    // faiss/lucene stand-ins): the embeddings table, ARRAY<FLOAT>
+    // column included, written as chunked lance files across two
+    // commits and read back through a footer-stats-pruned scan. A
+    // broken chunk encode/decode, footer stat, or null bitmap all
+    // shift the hash; LanceFormatSpec separately bounds the
+    // random-access `take` path's block IO.
+    QDef(
+      "g66_lance_format",
+      """SELECT vec_id, label,
+        |  CAST(embedding[1] AS DOUBLE) AS e0,
+        |  CAST(len(embedding) AS BIGINT) AS dim
+        |FROM embeddings WHERE vec_id % 3 <> 1 AND vec_id > 120""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "embeddings")
+      val t = GraftTable.create(s, scratch("g66"), src.schema,
+        options = Map("file.format" -> "lance"))
+      t.write(src.filter(col("vec_id") % 3 === 0))
+      t.write(src.filter(col("vec_id") % 3 === 2))
+      t.scan(col("vec_id") > 120L)
+        .select(col("vec_id"), col("label"),
+          element_at(col("embedding"), 1).cast("double").as("e0"),
+          size(col("embedding")).cast("bigint").as("dim"))
     })
 }

@@ -145,11 +145,22 @@ object AvroStorage {
     val rdd = spark.sparkContext
       .parallelize(paths, math.min(math.max(paths.size, 1), 64))
       .flatMap { p =>
+        // record-streaming: one datum resident at a time (never the
+        // whole file); closes on exhaustion and on task completion so
+        // an abandoning limit() cannot leak the handle
         val reader = DataFileReader.openReader(
           new File(p), new GenericDatumReader[GenericRecord]())
-        val rows = mutable.ArrayBuffer.empty[Row]
-        try {
-          while (reader.hasNext) {
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
+        Option(TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+        new Iterator[Row] {
+          override def hasNext: Boolean = {
+            val h = reader.hasNext
+            if (!h) closeOnce()
+            h
+          }
+          override def next(): Row = {
             val rec = reader.next()
             val values = new Array[Any](fieldNames.length)
             var i = 0
@@ -160,10 +171,9 @@ object AvroStorage {
                 else fromAvro(rec.get(f.pos()), fieldTypes(i))
               i += 1
             }
-            rows += Row.fromSeq(values.toIndexedSeq)
+            Row.fromSeq(values.toIndexedSeq)
           }
-        } finally reader.close()
-        rows
+        }
       }
     spark.createDataFrame(rdd, struct)
   }

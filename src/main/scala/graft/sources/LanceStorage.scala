@@ -1,0 +1,670 @@
+package graft.sources
+
+import graft.core.Meta.{ColStats, DataFileMeta}
+import java.io.{BufferedOutputStream, DataOutputStream, File, FileOutputStream, RandomAccessFile}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import net.jpountz.lz4.LZ4Factory
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import scala.collection.mutable
+
+/** Random-access columnar data files (`file.format=lance`) — the
+  * point-retrieval-optimized format for embedding / media workloads:
+  * any subset of rows can be fetched by POSITION reading only the byte
+  * ranges of the touched (column, chunk) blocks, never the whole file.
+  *
+  * Role model: the reference's Lance integration (paimon-lance
+  * .../format/lance/LanceFileFormat.java:57), which wraps the native
+  * lancedb JNI library (paimon-lance .../jni/LanceReader.java). Like
+  * the engine's faiss/lucene stand-ins, this is a JVM re-expression of
+  * the CAPABILITY — full scans, projection at the storage layer, and
+  * O(touched chunks) random-access `take` — not a byte-compatible
+  * Lance v2 reader/writer (that format is specified around the native
+  * library; zero-egress JVM-only builds can't link it).
+  *
+  * Layout (all little-endian):
+  * {{{
+  *   "GRLANCE1"                                    8-byte magic
+  *   block*                                        LZ4-compressed column chunks
+  *   footer (JSON, schema + per-column chunk directory + stats)
+  *   footerLen: int64   "GRLANCE1"                 16-byte tail
+  * }}}
+  * Rows are split into fixed-size chunks (`ChunkRows`); each (column,
+  * chunk) pair is one independently compressed block listed in the
+  * footer directory, so a reader seeks straight to the blocks it
+  * needs. Footer stats serve the same manifest pruning contract as
+  * parquet footers (date = epoch days, timestamp = micros — the
+  * encodings `StatsFilter` parses), so lance files prune like any
+  * other format and commits never re-stream the data.
+  *
+  * Supported column types: the scalar set avro storage supports PLUS
+  * arrays of fixed-width numeric scalars (the embedding case) and
+  * arrays of strings. Nested structs/maps stay on parquet.
+  */
+object LanceStorage {
+
+  val Magic: Array[Byte] = "GRLANCE1".getBytes(StandardCharsets.UTF_8)
+  /** Rows per chunk: small enough that a point `take` decompresses a
+    * few KB–MB, large enough that full scans stay sequential. */
+  val ChunkRows = 1024
+
+  private def lz4 = LZ4Factory.fastestInstance()
+
+  // ---- schema support -------------------------------------------------
+
+  private def scalarWidth(dt: DataType): Int = dt match {
+    case BooleanType | ByteType => 1
+    case ShortType => 2
+    case IntegerType | FloatType | DateType => 4
+    case LongType | DoubleType | TimestampType | TimestampNTZType => 8
+    case _ => -1
+  }
+
+  private def supportsField(dt: DataType): Boolean = dt match {
+    case _ if scalarWidth(dt) > 0 => true
+    case StringType | BinaryType => true
+    case _: DecimalType => true
+    case ArrayType(et, _) => scalarWidth(et) > 0 || et == StringType
+    case _ => false
+  }
+
+  def supports(struct: StructType): Boolean =
+    struct.fields.forall(f => supportsField(f.dataType))
+
+  // ---- footer metadata ------------------------------------------------
+
+  /** One (column, chunk) block: absolute offset, compressed length,
+    * raw (decompressed) length. */
+  private case class Block(offset: Long, compLen: Int, rawLen: Int)
+  private case class ColMeta(name: String, ddl: String, blocks: Seq[Block],
+      min: Option[String], max: Option[String], nulls: Long)
+  private case class Footer(rowCount: Long, chunkRows: Int, cols: Seq[ColMeta])
+
+  private def footerJson(f: Footer): String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\t' => "\\t"; case '\r' => "\\r"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def optStr(o: Option[String]) =
+      o.map(v => "\"" + esc(v) + "\"").getOrElse("null")
+    val cols = f.cols.map { c =>
+      val blocks = c.blocks.map(b => s"[${b.offset},${b.compLen},${b.rawLen}]")
+        .mkString("[", ",", "]")
+      s"""{"name":"${esc(c.name)}","ddl":"${esc(c.ddl)}","blocks":$blocks,""" +
+        s""""min":${optStr(c.min)},"max":${optStr(c.max)},"nulls":${c.nulls}}"""
+    }.mkString("[", ",", "]")
+    s"""{"rowCount":${f.rowCount},"chunkRows":${f.chunkRows},"cols":$cols}"""
+  }
+
+  private def parseFooter(json: String): Footer = {
+    // the shared mapper carries DefaultScalaModule, so untyped JSON
+    // deserializes into Scala collections; normalize either shape
+    import scala.jdk.CollectionConverters._
+    def asSeq(x: Any): Seq[Any] = x match {
+      case l: java.util.List[_] => l.asScala.toSeq
+      case s: scala.collection.Seq[_] => s.toSeq
+    }
+    def asMap(x: Any): Map[String, Any] = x match {
+      case m: java.util.Map[_, _] =>
+        m.asScala.map { case (k, v) => k.toString -> (v: Any) }.toMap
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, v) => k.toString -> (v: Any) }.toMap
+    }
+    def asLong(x: Any): Long = x match {
+      case n: java.lang.Number => n.longValue()
+      case n: BigInt => n.toLong
+    }
+    val v = asMap(graft.core.Json.mapper.readValue(json, classOf[Any]))
+    val cols = asSeq(v("cols")).map { c0 =>
+      val c = asMap(c0)
+      val blocks = asSeq(c("blocks")).map { b0 =>
+        val b = asSeq(b0)
+        Block(asLong(b(0)), asLong(b(1)).toInt, asLong(b(2)).toInt)
+      }
+      ColMeta(c("name").toString, c("ddl").toString, blocks,
+        c.get("min").filter(_ != null).map(_.toString),
+        c.get("max").filter(_ != null).map(_.toString),
+        asLong(c.get("nulls").filter(_ != null).getOrElse(0L)))
+    }
+    Footer(asLong(v("rowCount")), asLong(v("chunkRows")).toInt, cols)
+  }
+
+  private def readFooter(file: File): Footer = {
+    val raf = new RandomAccessFile(file, "r")
+    try {
+      val len = raf.length()
+      require(len >= 24, s"not a lance file (too short): $file")
+      val tail = new Array[Byte](16)
+      raf.seek(len - 16); raf.readFully(tail)
+      require(tail.slice(8, 16).sameElements(Magic),
+        s"not a lance file (bad tail magic): $file")
+      val fLen = ByteBuffer.wrap(tail, 0, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
+      val buf = new Array[Byte](fLen.toInt)
+      raf.seek(len - 16 - fLen); raf.readFully(buf)
+      parseFooter(new String(buf, StandardCharsets.UTF_8))
+    } finally raf.close()
+  }
+
+  // ---- chunk encode ---------------------------------------------------
+
+  /** Raw (pre-compression) block bytes for `rows` of one column:
+    * null bitmap, then type-dependent payload. */
+  private def encodeChunk(values: Array[Any], n: Int, dt: DataType): Array[Byte] = {
+    val bitmapLen = (n + 7) / 8
+    val bitmap = new Array[Byte](bitmapLen)
+    var i = 0
+    while (i < n) {
+      if (values(i) != null) bitmap(i >> 3) = (bitmap(i >> 3) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    val payload: Array[Byte] = dt match {
+      case _ if scalarWidth(dt) > 0 =>
+        val w = scalarWidth(dt)
+        val bb = ByteBuffer.allocate(n * w).order(ByteOrder.LITTLE_ENDIAN)
+        i = 0
+        while (i < n) { putScalar(bb, values(i), dt); i += 1 }
+        bb.array()
+      case StringType | BinaryType | _: DecimalType =>
+        val bytes = new Array[Array[Byte]](n)
+        var total = 0
+        i = 0
+        while (i < n) {
+          bytes(i) = values(i) match {
+            case null => Array.emptyByteArray
+            case b: Array[Byte] => b
+            case d: java.math.BigDecimal => d.toPlainString.getBytes(StandardCharsets.UTF_8)
+            case d: scala.math.BigDecimal =>
+              d.underlying().toPlainString.getBytes(StandardCharsets.UTF_8)
+            case s => s.toString.getBytes(StandardCharsets.UTF_8)
+          }
+          total += bytes(i).length
+          i += 1
+        }
+        val bb = ByteBuffer.allocate(4 * n + total).order(ByteOrder.LITTLE_ENDIAN)
+        i = 0; while (i < n) { bb.putInt(bytes(i).length); i += 1 }
+        i = 0; while (i < n) { bb.put(bytes(i)); i += 1 }
+        bb.array()
+      case ArrayType(et, _) if scalarWidth(et) > 0 =>
+        val w = scalarWidth(et)
+        val seqs = new Array[Seq[Any]](n)
+        var elems = 0
+        i = 0
+        while (i < n) {
+          seqs(i) = values(i) match {
+            case null => Nil
+            case s: scala.collection.Seq[_] => s.toSeq.asInstanceOf[Seq[Any]]
+            case a: Array[_] => a.toSeq.asInstanceOf[Seq[Any]]
+          }
+          elems += seqs(i).length
+          i += 1
+        }
+        // element-null bitmap between the length ints and the values:
+        // null elements write a zero placeholder to keep the payload
+        // positional, and the bitmap restores them on decode
+        val ebmLen = (elems + 7) / 8
+        val bb = ByteBuffer.allocate(4 * n + ebmLen + elems.toLong.toInt * w)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        i = 0; while (i < n) { bb.putInt(seqs(i).length); i += 1 }
+        val ebm = new Array[Byte](ebmLen)
+        var e = 0
+        i = 0
+        while (i < n) {
+          seqs(i).foreach { v =>
+            if (v != null) ebm(e >> 3) = (ebm(e >> 3) | (1 << (e & 7))).toByte
+            e += 1
+          }
+          i += 1
+        }
+        bb.put(ebm)
+        i = 0
+        while (i < n) { seqs(i).foreach(v => putScalar(bb, v, et)); i += 1 }
+        bb.array()
+      case ArrayType(StringType, _) =>
+        val out = new java.io.ByteArrayOutputStream()
+        val d = new DataOutputStream(out)
+        val lens = ByteBuffer.allocate(4 * n).order(ByteOrder.LITTLE_ENDIAN)
+        val body = new java.io.ByteArrayOutputStream()
+        val bd = new DataOutputStream(body)
+        i = 0
+        while (i < n) {
+          val s = values(i) match {
+            case null => Nil
+            case s: scala.collection.Seq[_] => s.toSeq
+            case a: Array[_] => a.toSeq
+          }
+          lens.putInt(s.length)
+          s.foreach { e =>
+            val b = if (e == null) null else e.toString.getBytes(StandardCharsets.UTF_8)
+            bd.writeInt(java.lang.Integer.reverseBytes(if (b == null) -1 else b.length))
+            if (b != null) bd.write(b)
+          }
+          i += 1
+        }
+        d.write(lens.array()); d.write(body.toByteArray)
+        out.toByteArray
+      case other => throw new IllegalArgumentException(
+        s"file.format=lance does not support column type $other")
+    }
+    val out = new Array[Byte](bitmapLen + payload.length)
+    System.arraycopy(bitmap, 0, out, 0, bitmapLen)
+    System.arraycopy(payload, 0, out, bitmapLen, payload.length)
+    out
+  }
+
+  /** Null slots write a zero of the right width, keeping the payload
+    * positional (offset = index × width). */
+  private def putScalar(bb: ByteBuffer, v: Any, dt: DataType): Unit = dt match {
+    case BooleanType => bb.put(if (v == java.lang.Boolean.TRUE) 1.toByte else 0.toByte)
+    case ByteType => bb.put(v match { case null => 0.toByte; case b: java.lang.Byte => b.byteValue })
+    case ShortType => bb.putShort(v match { case null => 0; case s: java.lang.Short => s.shortValue })
+    case IntegerType => bb.putInt(v match { case null => 0; case n: java.lang.Integer => n.intValue })
+    case FloatType => bb.putFloat(v match { case null => 0f; case n: java.lang.Float => n.floatValue })
+    case DateType => bb.putInt(v match {
+      case null => 0
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+      case ld: java.time.LocalDate => ld.toEpochDay.toInt
+    })
+    case LongType => bb.putLong(v match { case null => 0L; case n: java.lang.Long => n.longValue })
+    case DoubleType => bb.putDouble(v match { case null => 0d; case n: java.lang.Double => n.doubleValue })
+    case TimestampType => bb.putLong(v match {
+      case null => 0L
+      case ts: java.sql.Timestamp => ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+      case it: java.time.Instant => it.getEpochSecond * 1000000L + it.getNano / 1000L
+    })
+    case TimestampNTZType => bb.putLong(v match {
+      case null => 0L
+      case ldt: java.time.LocalDateTime =>
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+    })
+    case other => throw new IllegalArgumentException(s"unsupported scalar $other")
+  }
+
+  // ---- chunk decode ---------------------------------------------------
+
+  private def decodeChunk(raw: Array[Byte], n: Int, dt: DataType): Array[Any] = {
+    val bitmapLen = (n + 7) / 8
+    def isSet(i: Int) = (raw(i >> 3) & (1 << (i & 7))) != 0
+    val bb = ByteBuffer.wrap(raw, bitmapLen, raw.length - bitmapLen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    val out = new Array[Any](n)
+    dt match {
+      case _ if scalarWidth(dt) > 0 =>
+        var i = 0
+        while (i < n) {
+          val v = getScalar(bb, dt)
+          out(i) = if (isSet(i)) v else null
+          i += 1
+        }
+      case StringType | BinaryType | _: DecimalType =>
+        val lens = new Array[Int](n)
+        var i = 0; while (i < n) { lens(i) = bb.getInt; i += 1 }
+        i = 0
+        while (i < n) {
+          val b = new Array[Byte](lens(i)); bb.get(b)
+          out(i) =
+            if (!isSet(i)) null
+            else dt match {
+              case BinaryType => b
+              case d: DecimalType => new java.math.BigDecimal(
+                new String(b, StandardCharsets.UTF_8))
+              case _ => new String(b, StandardCharsets.UTF_8)
+            }
+          i += 1
+        }
+      case ArrayType(et, _) if scalarWidth(et) > 0 =>
+        val lens = new Array[Int](n)
+        var i = 0; while (i < n) { lens(i) = bb.getInt; i += 1 }
+        var elems = 0
+        i = 0; while (i < n) { elems += lens(i); i += 1 }
+        val ebm = new Array[Byte]((elems + 7) / 8)
+        bb.get(ebm)
+        def elemSet(e: Int) = (ebm(e >> 3) & (1 << (e & 7))) != 0
+        var e = 0
+        i = 0
+        while (i < n) {
+          val arr = new Array[Any](lens(i))
+          var j = 0
+          while (j < lens(i)) {
+            val v = getScalar(bb, et)
+            arr(j) = if (elemSet(e)) v else null
+            e += 1; j += 1
+          }
+          out(i) = if (isSet(i)) arr.toSeq else null
+          i += 1
+        }
+      case ArrayType(StringType, _) =>
+        val lens = new Array[Int](n)
+        var i = 0; while (i < n) { lens(i) = bb.getInt; i += 1 }
+        i = 0
+        while (i < n) {
+          val arr = new Array[Any](lens(i))
+          var j = 0
+          while (j < lens(i)) {
+            val l = bb.getInt
+            if (l < 0) arr(j) = null
+            else { val b = new Array[Byte](l); bb.get(b)
+              arr(j) = new String(b, StandardCharsets.UTF_8) }
+            j += 1
+          }
+          out(i) = if (isSet(i)) arr.toSeq else null
+          i += 1
+        }
+      case other => throw new IllegalArgumentException(
+        s"file.format=lance does not support column type $other")
+    }
+    out
+  }
+
+  private def getScalar(bb: ByteBuffer, dt: DataType): Any = dt match {
+    case BooleanType => java.lang.Boolean.valueOf(bb.get() != 0)
+    case ByteType => java.lang.Byte.valueOf(bb.get())
+    case ShortType => java.lang.Short.valueOf(bb.getShort)
+    case IntegerType => java.lang.Integer.valueOf(bb.getInt)
+    case FloatType => java.lang.Float.valueOf(bb.getFloat)
+    case DateType => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(bb.getInt.toLong))
+    case LongType => java.lang.Long.valueOf(bb.getLong)
+    case DoubleType => java.lang.Double.valueOf(bb.getDouble)
+    case TimestampType =>
+      val m = bb.getLong
+      val ts = new java.sql.Timestamp(Math.floorDiv(m, 1000L))
+      ts.setNanos((Math.floorMod(m, 1000000L) * 1000L).toInt)
+      ts
+    case TimestampNTZType =>
+      val m = bb.getLong
+      java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(m, 1000000L),
+        (Math.floorMod(m, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+    case other => throw new IllegalArgumentException(s"unsupported scalar $other")
+  }
+
+  // ---- stats ----------------------------------------------------------
+
+  /** Stats value rendered the way `StatsFilter` parses it (epoch days /
+    * micros / plain decimal string); None = column carries no stats. */
+  private def statString(v: Any, dt: DataType): Option[String] = dt match {
+    case _: ArrayType | BinaryType => None
+    case DateType => v match {
+      case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
+      case ld: java.time.LocalDate => Some(ld.toEpochDay.toString)
+    }
+    case TimestampType => v match {
+      case ts: java.sql.Timestamp =>
+        Some((ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L).toString)
+      case it: java.time.Instant =>
+        Some((it.getEpochSecond * 1000000L + it.getNano / 1000L).toString)
+    }
+    case TimestampNTZType => v match {
+      case ldt: java.time.LocalDateTime =>
+        Some((ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L).toString)
+    }
+    case _: DecimalType => v match {
+      case d: java.math.BigDecimal => Some(d.toPlainString)
+      case d: scala.math.BigDecimal => Some(d.underlying().toPlainString)
+    }
+    case _ => Some(v.toString)
+  }
+
+  @SuppressWarnings(Array("org.wartremover.warts.AsInstanceOf"))
+  private def statOrdering(dt: DataType): Ordering[Any] = (dt match {
+    case BooleanType => Ordering.Boolean.on[Any](_.asInstanceOf[java.lang.Boolean].booleanValue)
+    case ByteType => Ordering.Byte.on[Any](_.asInstanceOf[java.lang.Byte].byteValue)
+    case ShortType => Ordering.Short.on[Any](_.asInstanceOf[java.lang.Short].shortValue)
+    case IntegerType => Ordering.Int.on[Any](_.asInstanceOf[java.lang.Integer].intValue)
+    case LongType => Ordering.Long.on[Any](_.asInstanceOf[java.lang.Long].longValue)
+    case FloatType => Ordering.Float.TotalOrdering.on[Any](_.asInstanceOf[java.lang.Float].floatValue)
+    case DoubleType => Ordering.Double.TotalOrdering.on[Any](_.asInstanceOf[java.lang.Double].doubleValue)
+    case DateType => Ordering.by[Any, Long] {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay
+      case ld: java.time.LocalDate => ld.toEpochDay
+    }
+    case TimestampType => Ordering.by[Any, Long] {
+      case ts: java.sql.Timestamp => ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
+      case it: java.time.Instant => it.getEpochSecond * 1000000L + it.getNano / 1000L
+    }
+    case TimestampNTZType => Ordering.by[Any, Long] {
+      case ldt: java.time.LocalDateTime =>
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+    }
+    case _: DecimalType => Ordering.by[Any, java.math.BigDecimal] {
+      case d: java.math.BigDecimal => d
+      case d: scala.math.BigDecimal => d.underlying()
+    }
+    case _ => Ordering.by[Any, String](_.toString)
+  })
+
+  // ---- write ----------------------------------------------------------
+
+  /** Write one lance file from an in-order row iterator. Returns
+    * (rowCount, per-column min/max/nulls footer stats already written). */
+  private class FileWriter(file: File, struct: StructType) {
+    private val out = new java.io.BufferedOutputStream(new FileOutputStream(file), 1 << 16)
+    private var pos = 0L
+    out.write(Magic); pos += Magic.length
+    private val nCols = struct.fields.length
+    private val buf = Array.fill(nCols)(new Array[Any](ChunkRows))
+    private var inChunk = 0
+    private var rowCount = 0L
+    private val blocks = Array.fill(nCols)(mutable.ArrayBuffer.empty[Block])
+    private val mins = new Array[Any](nCols)
+    private val maxs = new Array[Any](nCols)
+    private val nulls = new Array[Long](nCols)
+    private val ords = struct.fields.map(f => statOrdering(f.dataType))
+    private val compressor = lz4.fastCompressor()
+
+    def append(row: Row): Unit = {
+      var c = 0
+      while (c < nCols) {
+        val v = row.get(c)
+        buf(c)(inChunk) = v
+        if (v == null) nulls(c) += 1
+        else if (statString(v, struct.fields(c).dataType).isDefined) {
+          if (mins(c) == null || ords(c).compare(v, mins(c)) < 0) mins(c) = v
+          if (maxs(c) == null || ords(c).compare(v, maxs(c)) > 0) maxs(c) = v
+        }
+        c += 1
+      }
+      inChunk += 1; rowCount += 1
+      if (inChunk == ChunkRows) flushChunk()
+    }
+
+    private def flushChunk(): Unit = {
+      var c = 0
+      while (c < nCols) {
+        val raw = encodeChunk(buf(c), inChunk, struct.fields(c).dataType)
+        val comp = compressor.compress(raw)
+        blocks(c) += Block(pos, comp.length, raw.length)
+        out.write(comp); pos += comp.length
+        c += 1
+      }
+      inChunk = 0
+    }
+
+    def close(): Unit = {
+      if (inChunk > 0) flushChunk()
+      val cols = struct.fields.zipWithIndex.map { case (f, c) =>
+        ColMeta(f.name, f.dataType.sql, blocks(c).toSeq,
+          Option(mins(c)).flatMap(statString(_, f.dataType)),
+          Option(maxs(c)).flatMap(statString(_, f.dataType)),
+          nulls(c))
+      }.toSeq
+      val fj = footerJson(Footer(rowCount, ChunkRows, cols))
+        .getBytes(StandardCharsets.UTF_8)
+      out.write(fj)
+      val tail = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      tail.putLong(fj.length.toLong); tail.put(Magic)
+      out.write(tail.array())
+      out.close()
+    }
+  }
+
+  /** Distributed staged write in the same hive-style layout the
+    * parquet writer produces (shared commit adoption path) — the
+    * avro-storage shape (AvroStorage.writeStaged), columnar chunks
+    * instead of row datums. Partition/bucket columns stay IN the
+    * records like avro (the reader never derives directory columns). */
+  def writeStaged(out: DataFrame, partitionBy: Seq[String], staging: String): Unit = {
+    val struct = out.schema
+    require(supports(struct),
+      "file.format=lance supports scalar, string/binary/decimal and " +
+        "fixed-width-scalar/string array columns only")
+    val structDdl = struct.toDDL
+    val fieldNames = struct.fields.map(_.name)
+    val partIdx = partitionBy.map(struct.fieldIndex)
+    out.rdd.foreachPartition { rows =>
+      val sch = StructType.fromDDL(structDdl)
+      val task = TaskContext.getPartitionId()
+      val writers = mutable.Map.empty[String, FileWriter]
+      try {
+        rows.foreach { row =>
+          val dir = partIdx.map(i => s"${fieldNames(i)}=${row.get(i)}").mkString("/")
+          val w = writers.getOrElseUpdate(dir, {
+            val d = if (dir.isEmpty) new File(staging) else new File(staging, dir)
+            d.mkdirs()
+            new FileWriter(new File(d, s"part-$task.lance"), sch)
+          })
+          w.append(row)
+        }
+      } finally writers.values.foreach(_.close())
+    }
+  }
+
+  // ---- read -----------------------------------------------------------
+
+  /** Full scan of lance files as a DataFrame with exactly `struct`'s
+    * fields. PROJECTION HAPPENS AT THE STORAGE LAYER: only the
+    * requested columns' blocks are read and decompressed — the
+    * columnar advantage avro files cannot offer. Missing columns read
+    * as null (schema evolution). */
+  def read(spark: SparkSession, paths: Seq[String], struct: StructType): DataFrame = {
+    val structDdl = struct.toDDL
+    val rdd = spark.sparkContext
+      .parallelize(paths, math.min(math.max(paths.size, 1), 64))
+      .flatMap { p =>
+        val sch = StructType.fromDDL(structDdl)
+        readFile(new File(p), sch)
+      }
+    spark.createDataFrame(rdd, struct)
+  }
+
+  /** Chunk-streaming scan of one file: at most one decoded chunk per
+    * column is resident at a time (a multi-GB file never materializes
+    * whole). The handle closes on exhaustion AND on task completion —
+    * a downstream limit() that abandons the iterator mid-file cannot
+    * leak it. */
+  private def readFile(file: File, struct: StructType): Iterator[Row] = {
+    val footer = readFooter(file)
+    val byName = footer.cols.map(c => c.name -> c).toMap
+    val nChunks = ((footer.rowCount + footer.chunkRows - 1) / footer.chunkRows).toInt
+    val decompressor = lz4.fastDecompressor()
+    val raf = new RandomAccessFile(file, "r")
+    var closed = false
+    def closeOnce(): Unit = if (!closed) { closed = true; raf.close() }
+    Option(TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+    new Iterator[Row] {
+      private var chunk = 0
+      private var buf: Array[Array[Any]] = _ // per-column decoded values
+      private var bufRows = 0
+      private var pos = 0
+      private def loadChunk(): Unit = {
+        bufRows = math.min(footer.chunkRows.toLong,
+          footer.rowCount - chunk.toLong * footer.chunkRows).toInt
+        buf = struct.fields.map { f =>
+          byName.get(f.name) match {
+            case None => new Array[Any](bufRows) // evolved-in column: nulls
+            case Some(cm) =>
+              val b = cm.blocks(chunk)
+              val comp = new Array[Byte](b.compLen)
+              raf.seek(b.offset); raf.readFully(comp)
+              decodeChunk(decompressor.decompress(comp, b.rawLen), bufRows, f.dataType)
+          }
+        }
+        pos = 0
+        chunk += 1
+      }
+      override def hasNext: Boolean = {
+        if (buf != null && pos < bufRows) true
+        else if (chunk < nChunks) { loadChunk(); true }
+        else { closeOnce(); false }
+      }
+      override def next(): Row = {
+        if (!hasNext) throw new NoSuchElementException
+        val vs = new Array[Any](struct.fields.length)
+        var c = 0
+        while (c < struct.fields.length) { vs(c) = buf(c)(pos); c += 1 }
+        pos += 1
+        Row.fromSeq(vs.toIndexedSeq)
+      }
+    }
+  }
+
+  /** Random-access point reads — the format's reason to exist
+    * (reference: paimon-lance jni/LanceReader.java `take`). Returns
+    * the rows at `indices` (file positions, any order) in INDEX order,
+    * reading only the (column, chunk) blocks the indices touch:
+    * k lookups over an N-row file cost O(k/chunk-locality) block reads,
+    * never a scan. Also reports how many blocks were read so callers
+    * (and the spec) can assert the IO bound. */
+  def take(file: File, struct: StructType, indices: Seq[Long]): (Seq[Row], Long) = {
+    val footer = readFooter(file)
+    indices.foreach(i => require(i >= 0 && i < footer.rowCount,
+      s"row index $i out of range [0, ${footer.rowCount})"))
+    val byName = footer.cols.map(c => c.name -> c).toMap
+    val decompressor = lz4.fastDecompressor()
+    val byChunk = indices.distinct.groupBy(i => (i / footer.chunkRows).toInt)
+    var blocksRead = 0L
+    val raf = new RandomAccessFile(file, "r")
+    try {
+      val fetched: Map[Long, Row] = byChunk.flatMap { case (chunk, idxs) =>
+        val n = math.min(footer.chunkRows.toLong,
+          footer.rowCount - chunk.toLong * footer.chunkRows).toInt
+        val colVals: Array[Array[Any]] = struct.fields.map { f =>
+          byName.get(f.name) match {
+            case None => new Array[Any](n)
+            case Some(cm) =>
+              val b = cm.blocks(chunk)
+              val comp = new Array[Byte](b.compLen)
+              raf.seek(b.offset); raf.readFully(comp)
+              blocksRead += 1
+              decodeChunk(decompressor.decompress(comp, b.rawLen), n, f.dataType)
+          }
+        }
+        idxs.map { gi =>
+          val li = (gi - chunk.toLong * footer.chunkRows).toInt
+          val vs = new Array[Any](struct.fields.length)
+          var c = 0
+          while (c < struct.fields.length) { vs(c) = colVals(c)(li); c += 1 }
+          gi -> Row.fromSeq(vs.toIndexedSeq)
+        }
+      }
+      (indices.map(fetched), blocksRead)
+    } finally raf.close()
+  }
+
+  // ---- commit-time stats ----------------------------------------------
+
+  /** Footer-only stats read (no data pass — the parquet-footer shape,
+    * unlike avro's streamed pass). */
+  def stats(
+      absolutePath: String,
+      relativeName: String,
+      level: Int,
+      minSeq: Long,
+      maxSeq: Long): DataFileMeta = {
+    val file = new File(absolutePath)
+    val footer = readFooter(file)
+    val stats = footer.cols.flatMap { c =>
+      // array/binary columns carry no stats (None min/max with 0 nulls
+      // would claim an all-null column; skip them entirely)
+      val statable = c.min.isDefined || c.max.isDefined || c.nulls == footer.rowCount
+      if (!statable) None
+      else Some(c.name -> ColStats(c.min, c.max, c.nulls))
+    }.toMap
+    DataFileMeta(relativeName, file.length(), footer.rowCount, minSeq, maxSeq,
+      level, stats)
+  }
+}

@@ -1383,6 +1383,8 @@ final class GraftTable private (
           graft.sources.BlobStorage.DefaultInlineThreshold.toString).toInt)
     if (sch.fileFormat == "avro")
       graft.sources.AvroStorage.writeStaged(outB, partitionBy, staging)
+    else if (sch.fileFormat == "lance")
+      graft.sources.LanceStorage.writeStaged(outB, partitionBy, staging)
     else withMicrosTimestamps {
       var writer = outB.write.mode("overwrite")
       // honor file.compression (reference: CoreOptions FILE_COMPRESSION,
@@ -1437,7 +1439,7 @@ final class GraftTable private (
     val stagingPath = Paths.get(staging)
     val dataFiles = graft.core.FsUtil.walkAll(stagingPath).iterator
       .filter(p => (p.toString.endsWith(".parquet") || p.toString.endsWith(".orc")
-        || p.toString.endsWith(".avro"))
+        || p.toString.endsWith(".avro") || p.toString.endsWith(".lance"))
         && Files.isRegularFile(p))
       .toSeq
     // phase 1 (driver, metadata-only): adopt staged files into the
@@ -1467,6 +1469,8 @@ final class GraftTable private (
       if (abs.endsWith(".orc")) OrcStats.read(conf, abs, rel, lvl, sb, sx)
       else if (abs.endsWith(".avro"))
         graft.sources.AvroStorage.stats(abs, rel, lvl, sb, sx)
+      else if (abs.endsWith(".lance"))
+        graft.sources.LanceStorage.stats(abs, rel, lvl, sb, sx)
       else ParquetStats.read(conf, abs, rel, lvl, sb, sx)
     val metas: Seq[DataFileMeta] =
       if (moved.size <= 16)
@@ -2283,14 +2287,18 @@ final class GraftTable private (
       .toSeq.sortBy(_._1).map {
       case ((sid, fmt), es) =>
         val paths = es.map(e => s"$path/${e.file.fileName}")
-        // avro: custom record reader (no spark-avro module available);
+        // avro/lance: custom record readers (no spark-avro module; lance
+        // is the engine's own random-access columnar format);
         // partition/bucket columns are stored in the records, so no
         // directory-derived columns are needed
-        if (fmt == "avro") {
+        if (fmt == "avro" || fmt == "lance") {
           require(!captureMeta,
-            "row positions need parquet/orc _metadata; avro files cannot serve them")
+            s"row positions need parquet/orc _metadata; $fmt files cannot serve them")
           val fileSch = if (sid == cur.id) cur else schemaOf(sid)
-          val df = graft.sources.AvroStorage.read(spark, paths, rawSchemaOf(fileSch))
+          val df =
+            if (fmt == "lance")
+              graft.sources.LanceStorage.read(spark, paths, rawSchemaOf(fileSch))
+            else graft.sources.AvroStorage.read(spark, paths, rawSchemaOf(fileSch))
           if (sid == cur.id) df
           else {
             val old = schemaOf(sid)
@@ -2622,6 +2630,47 @@ final class GraftTable private (
     parts.reduce(_ unionAll _)
   }
 
+
+  /** Zero-job positional point reads over a lance append table — the
+    * training-batch fetch (reference: paimon-lance jni/LanceReader.java
+    * `take`, the format's reason to exist). The position space is the
+    * snapshot's live files in manifest order (stable for a given
+    * snapshot id); locating a position costs a prefix-sum over file
+    * rowCounts (metadata only), and each file serves its hits through
+    * LanceStorage.take — O(touched chunks) block IO, no Spark job, no
+    * scan. k positions over an N-row table never read more than the k
+    * touched (column, chunk) blocks. */
+  def takeByPosition(positions: Seq[Long], snapshotId: Option[Long] = None)
+      : Seq[org.apache.spark.sql.Row] = {
+    val sch = schema
+    require(sch.fileFormat == "lance" && !isPrimaryKeyTable,
+      "positional take requires an append table with file.format=lance")
+    if (positions.isEmpty) return Seq.empty
+    val entries = snapshotId.map(sm.snapshot).orElse(sm.latestSnapshot())
+      .map(sm.liveEntries).getOrElse(Seq.empty)
+    require(entries.forall(e => e.file.fileName.endsWith(".lance") &&
+      e.file.dvFile.isEmpty && e.file.schemaId == sch.id),
+      "positional take needs uniform lance files on the current schema")
+    val exts = entries.scanLeft(0L)((a, e) => a + e.file.rowCount).toArray
+    val total = exts.last
+    positions.foreach(p =>
+      require(p >= 0 && p < total, s"position $p out of [0, $total)"))
+    val struct0 = struct
+    val byFile = positions.distinct.groupBy { p =>
+      java.util.Arrays.binarySearch(exts, p) match {
+        case x if x >= 0 => x
+        case x => -x - 2
+      }
+    }
+    val fetched: Map[Long, org.apache.spark.sql.Row] =
+      byFile.flatMap { case (i, ps) =>
+        val f = new java.io.File(s"$path/${entries(i).file.fileName}")
+        val (rows, _) =
+          graft.sources.LanceStorage.take(f, struct0, ps.map(_ - exts(i)))
+        ps.zip(rows).map { case (p, r) => p -> r }
+      }
+    positions.map(fetched)
+  }
 
   /** Changelog view with a `_row_kind` label column (reference:
     * AuditLogTable — table/system/AuditLogTable.java:88). */
@@ -5220,16 +5269,19 @@ object GraftTable {
       partitionKeys.forall(primaryKeys.contains),
       "partition keys must be disjoint from or contained in primary keys")
     val ts = TableSchema.fromStruct(0L, schema, partitionKeys, primaryKeys, options)
-    require(Set("parquet", "orc", "avro").contains(ts.fileFormat),
+    require(Set("parquet", "orc", "avro", "lance").contains(ts.fileFormat),
       s"unsupported file.format: ${ts.fileFormat}")
     require(ts.fileFormat != "avro" || graft.sources.AvroStorage.supports(schema),
       "file.format=avro supports scalar column types only")
+    require(ts.fileFormat != "lance" || graft.sources.LanceStorage.supports(schema),
+      "file.format=lance supports scalar, string/binary/decimal and " +
+        "scalar/string array columns only")
     val blobCols = graft.sources.BlobStorage.blobColumns(options)
     require(blobCols.forall(c => schema.fields.exists(f =>
       f.name == c && f.dataType == org.apache.spark.sql.types.BinaryType)),
       "blob.columns must name BINARY columns")
-    require(blobCols.isEmpty || ts.fileFormat != "avro",
-      "blob.columns requires a columnar file format (parquet/orc)")
+    require(blobCols.isEmpty || (ts.fileFormat != "avro" && ts.fileFormat != "lance"),
+      "blob.columns requires a struct-capable columnar format (parquet/orc)")
     require(ts.fileFormat == "parquet" ||
       !options.get(DeletionVectors.OptionEnabled).contains("true"),
       "deletion vectors require file.format=parquet (row_index metadata)")
