@@ -69,18 +69,25 @@ final class ObjectStoreFileIO(
     if (faults.duplicatePuts) put(path, content) // at-least-once retry
   }
 
-  /** Conditional PUT (`If-None-Match: *`): the snapshot CAS. */
+  /** Conditional PUT (`If-None-Match: *`): the snapshot CAS. Staged as
+    * tmp + hard link onto the key: link(2) is atomic AND fails with
+    * EEXIST when the target exists (a rename would silently replace on
+    * POSIX), so the object appears whole or not at all — a concurrent
+    * reader (e.g. SnapshotManager's lost-response recheck doing
+    * exists() then snapshot(id)) must never see torn JSON, the same
+    * PUT contract put() upholds. */
   override def tryCreateAtomic(path: String, content: String): Boolean = {
     Files.createDirectories(p(path).getParent)
+    val tmp = p(path + ".cput." + java.util.UUID.randomUUID())
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
     try {
-      Files.write(p(path), content.getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      Files.createLink(p(path), tmp)
       if (faults.lostPutResponses.getAndUpdate(n => math.max(0, n - 1)) > 0)
         false // the object LANDED; the caller saw a timeout
       else true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
-    }
+    } finally Files.deleteIfExists(tmp)
   }
 
   override def exists(path: String): Boolean = Files.exists(p(path))

@@ -100,7 +100,7 @@ object PruneEval {
             BsiIndex.deserialize(io.readBytes(s"$tablePath/$rel")))))) &&
       (rangeIdx.isEmpty || RangeIndex.mightMatch(cond, rangeIdx.keySet,
         col => cur.fields.find(_.name == col).map(f =>
-          org.apache.spark.sql.types.DataType.fromDDL(f.dataType)),
+          graft.core.Meta.sparkTypeOf(f.dataType)),
         col => rangeIdx.get(col).map(rel =>
           caches.range.getOrElseUpdate(rel,
             RangeIndex.deserialize(io.readBytes(s"$tablePath/$rel"))))))

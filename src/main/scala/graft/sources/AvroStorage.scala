@@ -95,17 +95,25 @@ object AvroStorage {
     out.rdd.foreachPartition { rows =>
       val sch = new Schema.Parser().parse(avroJson)
       val task = TaskContext.getPartitionId()
-      val writers = mutable.Map.empty[String, DataFileWriter[GenericRecord]]
+      // attempt-suffixed tmp name, renamed to final only on success:
+      // a speculative/retried attempt never interleaves bytes with the
+      // original, a failed attempt's partial file never matches the
+      // adoption extension filter, and of two completed attempts the
+      // adoption picks exactly one per partition id
+      val attempt = TaskContext.get().taskAttemptId()
+      val writers = mutable.Map.empty[String, (File, File, DataFileWriter[GenericRecord])]
       try {
         rows.foreach { row =>
           val dir = partIdx.map(i => s"${fieldNames(i)}=${row.get(i)}").mkString("/")
-          val w = writers.getOrElseUpdate(dir, {
+          val (_, _, w) = writers.getOrElseUpdate(dir, {
             val d = if (dir.isEmpty) new File(staging) else new File(staging, dir)
             d.mkdirs()
             val fw = new DataFileWriter[GenericRecord](
               new GenericDatumWriter[GenericRecord](sch))
             fw.setCodec(CodecFactory.snappyCodec())
-            fw.create(sch, new File(d, s"part-$task.avro"))
+            val tmp = new File(d, s".part-$task-$attempt.avro.tmp")
+            val fin = new File(d, s"part-$task-$attempt.avro")
+            (tmp, fin, fw.create(sch, tmp))
           })
           val rec = new GenericData.Record(sch)
           var i = 0
@@ -115,7 +123,14 @@ object AvroStorage {
           }
           w.append(rec)
         }
-      } finally writers.values.foreach(_.close())
+        writers.values.foreach { case (tmp, fin, w) =>
+          w.close()
+          java.nio.file.Files.move(tmp.toPath, fin.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      } finally writers.values.foreach { case (_, _, w) =>
+        try w.close() catch { case _: Exception => () }
+      }
     }
   }
 

@@ -209,7 +209,7 @@ object GraftRestServer {
                     val gt0 = GraftTable.load(SparkSession.active, dir.toString)
                     val sch0 = gt0.schema
                     var fields: Map[String, DataType] = sch0.fields
-                      .map(f => f.name -> DataType.fromDDL(f.dataType)).toMap
+                      .map(f => f.name -> graft.core.Meta.sparkTypeOf(f.dataType)).toMap
                     val keyed = (sch0.primaryKeys ++ sch0.partitionKeys).toSet
                     spec.changes.foreach { c =>
                       c.kind match {

@@ -417,7 +417,7 @@ object IcebergCompat {
   /** Ordering of graft's stringified partition values under the
     * column's declared type. */
   private def partitionOrdering(ddl: String): Ordering[String] =
-    DataType.fromDDL(ddl) match {
+    graft.core.Meta.sparkTypeOf(ddl) match {
       case LongType | IntegerType | ShortType | ByteType => Ordering.by(_.toLong)
       case DoubleType | FloatType => Ordering.by(_.toDouble)
       case BooleanType => Ordering.by(_.toBoolean)
@@ -433,7 +433,7 @@ object IcebergCompat {
       val b = java.nio.ByteBuffer.allocate(n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
       fill(b); b.flip(); b
     }
-    try DataType.fromDDL(ddl) match {
+    try graft.core.Meta.sparkTypeOf(ddl) match {
       case LongType => Some(le(8)(_.putLong(v.toLong)))
       case IntegerType | ShortType | ByteType => Some(le(4)(_.putInt(v.toInt)))
       case DoubleType => Some(le(8)(_.putDouble(v.toDouble)))
@@ -653,7 +653,7 @@ object IcebergCompat {
   private[sources] def mappableFields(sch: TableSchema): Seq[FieldDef] =
     sch.fields.filter { f =>
       val ok =
-        try { typeJson(DataType.fromDDL(f.dataType), () => 0); true }
+        try { typeJson(graft.core.Meta.sparkTypeOf(f.dataType), () => 0); true }
         catch { case _: IllegalArgumentException => false }
       if (!ok) {
         require(!sch.partitionKeys.contains(f.name),
@@ -674,7 +674,7 @@ object IcebergCompat {
     def alloc(): Int = { next += 1; next }
     val fields = mappable.map { f =>
       s"""{"id":${f.id + 1},"name":${q(f.name)},"required":${!f.nullable},""" +
-        s""""type":${typeJson(DataType.fromDDL(f.dataType), () => alloc())}}"""
+        s""""type":${typeJson(graft.core.Meta.sparkTypeOf(f.dataType), () => alloc())}}"""
     }.mkString(",")
     (s"""{"type":"struct","schema-id":${sch.id},"fields":[$fields]}""", next)
   }
@@ -727,7 +727,7 @@ object IcebergCompat {
     }.mkString("[", ",", "]")
 
   /** Avro type for an identity partition column. */
-  private def avroType(ddl: String): String = DataType.fromDDL(ddl) match {
+  private def avroType(ddl: String): String = graft.core.Meta.sparkTypeOf(ddl) match {
     case LongType => "\"long\""
     case IntegerType | ShortType | ByteType => "\"int\""
     case StringType => "\"string\""
@@ -740,7 +740,7 @@ object IcebergCompat {
   }
 
   /** Typed Avro value from graft's stringified partition value. */
-  private def partitionValue(ddl: String, v: String): AnyRef = DataType.fromDDL(ddl) match {
+  private def partitionValue(ddl: String, v: String): AnyRef = graft.core.Meta.sparkTypeOf(ddl) match {
     case LongType => java.lang.Long.valueOf(v)
     case IntegerType | ShortType | ByteType => Integer.valueOf(v)
     case StringType => v

@@ -517,18 +517,33 @@ object LanceStorage {
     out.rdd.foreachPartition { rows =>
       val sch = StructType.fromDDL(structDdl)
       val task = TaskContext.getPartitionId()
-      val writers = mutable.Map.empty[String, FileWriter]
+      // attempt-suffixed tmp name, renamed to final only on success
+      // (see AvroStorage.writeStaged): a speculative/retried attempt
+      // never interleaves bytes with the original, partial files never
+      // match the adoption extension filter, and adoption keeps one
+      // completed attempt per partition id
+      val attempt = TaskContext.get().taskAttemptId()
+      val writers = mutable.Map.empty[String, (File, File, FileWriter)]
       try {
         rows.foreach { row =>
           val dir = partIdx.map(i => s"${fieldNames(i)}=${row.get(i)}").mkString("/")
-          val w = writers.getOrElseUpdate(dir, {
+          val (_, _, w) = writers.getOrElseUpdate(dir, {
             val d = if (dir.isEmpty) new File(staging) else new File(staging, dir)
             d.mkdirs()
-            new FileWriter(new File(d, s"part-$task.lance"), sch)
+            val tmp = new File(d, s".part-$task-$attempt.lance.tmp")
+            val fin = new File(d, s"part-$task-$attempt.lance")
+            (tmp, fin, new FileWriter(tmp, sch))
           })
           w.append(row)
         }
-      } finally writers.values.foreach(_.close())
+        writers.values.foreach { case (tmp, fin, w) =>
+          w.close()
+          java.nio.file.Files.move(tmp.toPath, fin.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      } finally writers.values.foreach { case (_, _, w) =>
+        try w.close() catch { case _: Exception => () }
+      }
     }
   }
 

@@ -193,7 +193,9 @@ final class GraftTable private (
     * snapshot id (a `commit.force-compact` follow-up compaction gets
     * its own snapshot — reference: CoreOptions COMMIT_FORCE_COMPACT). */
   def write(df: DataFrame, commitIdentifier: Long = -1L): Long = {
-    val in = enforceCharVarchar(applyColumnDefaults(df, schema), schema)
+    // CHAR/VARCHAR enforcement happens on the shared commit paths
+    // (writeKinded / appendCommit), covering DML and CDC too
+    val in = applyColumnDefaults(df, schema)
     val id =
       if (isPrimaryKeyTable) upsert(in, commitIdentifier)
       else appendCommit(in, overwrite = false, commitIdentifier)
@@ -221,7 +223,7 @@ final class GraftTable private (
     * seq/kind/bucket metadata and stay readable.
     * (reference: PaimonDynamicPartitionOverwriteCommand) */
   def overwrite(df: DataFrame, commitIdentifier: Long = -1L): Long = {
-    val in = enforceCharVarchar(applyColumnDefaults(df, schema), schema)
+    val in = applyColumnDefaults(df, schema)
     if (isPrimaryKeyTable) {
       val withKind =
         if (in.columns.contains(KindCol)) in
@@ -268,11 +270,16 @@ final class GraftTable private (
     require(isPrimaryKeyTable, "kinded writes require a primary-key table")
     val sch = schema
     val pk = sch.primaryKeys
+    // length semantics enforced HERE, on the shared kinded commit path,
+    // so CDC applyChanges and MERGE INTO store the same padded CHAR
+    // values as write()/overwrite() — unpadded variants of a CHAR
+    // primary key would otherwise never merge with padded ones
+    val in = enforceCharVarchar(df, sch)
     // pre-merge duplicate keys within the batch with the table's merge
     // engine — the reference's in-memory write-buffer merge. Arrival
     // order must be materialized as a column (non-deterministic
     // expressions can't appear inside an aggregate).
-    val withArrival = df.withColumn("__arrival", monotonically_increasing_id())
+    val withArrival = in.withColumn("__arrival", monotonically_increasing_id())
     // postpone mode skips the pre-merge: its groupBy would shuffle,
     // and zero-shuffle staging is the mode's whole point — duplicate
     // keys stay in the staged files and the arrival index folded into
@@ -829,7 +836,7 @@ final class GraftTable private (
           else {
             val fields = present.map { case (_, id) =>
               val fd = byId(id)
-              StructField(fd.name, DataType.fromDDL(fd.dataType), fd.nullable)
+              StructField(fd.name, sparkTypeOf(fd.dataType), fd.nullable)
             }
             val df = spark.read.format(fmt).schema(StructType(fields)).load(paths: _*)
               .withColumn("__f", expr("element_at(split(_metadata.file_path, '/'), -1)"))
@@ -845,7 +852,7 @@ final class GraftTable private (
               // rendering would bake in the writing session's
               // timezone and wrong-prune for a reader in another —
               // second-level collisions only add candidate files.
-              val vc = DataType.fromDDL(fd.dataType) match {
+              val vc = sparkTypeOf(fd.dataType) match {
                 case _: org.apache.spark.sql.types.NumericType =>
                   (col(fd.name).cast("double") + lit(0.0)).cast("string")
                 // NTZ is excluded twice over: its rendered string is
@@ -1330,8 +1337,12 @@ final class GraftTable private (
       df: DataFrame, overwrite: Boolean, commitIdentifier: Long): Long = {
     val sch = schema
     val base = nextSeq()
+    // length semantics live on the shared commit path (not only the
+    // write()/overwrite() entry points) so every producer — DML,
+    // streaming sink, procedures — stores consistent CHAR padding
     val out = clusterForWrite(
-      df.select(sch.toStruct.fieldNames.map(col).toIndexedSeq: _*), sch)
+      enforceCharVarchar(df, sch)
+        .select(sch.toStruct.fieldNames.map(col).toIndexedSeq: _*), sch)
     val deletes: Seq[ManifestEntry] => Seq[ManifestEntry] = added => {
       if (!overwrite) Seq.empty
       else {
@@ -1437,11 +1448,25 @@ final class GraftTable private (
       seqMax: Long = -1L): Long = {
     val sMax = if (seqMax < 0) seqBase else seqMax
     val stagingPath = Paths.get(staging)
-    val dataFiles = graft.core.FsUtil.walkAll(stagingPath).iterator
+    val dataFiles0 = graft.core.FsUtil.walkAll(stagingPath).iterator
       .filter(p => (p.toString.endsWith(".parquet") || p.toString.endsWith(".orc")
         || p.toString.endsWith(".avro") || p.toString.endsWith(".lance"))
         && Files.isRegularFile(p))
       .toSeq
+    // avro/lance staged files are attempt-suffixed
+    // (part-<pid>-<attempt>.<ext>, renamed from tmp only on attempt
+    // success — AvroStorage/LanceStorage.writeStaged); when
+    // speculation/retry completes two attempts of the same partition,
+    // adopt exactly one (content is the same row set either way).
+    // Parquet/ORC staging goes through Spark's own committer, which
+    // already resolves attempts.
+    val AttemptRe = """part-(\d+)-(\d+)\.(avro|lance)""".r
+    val dataFiles = dataFiles0.groupBy { p =>
+      p.getFileName.toString match {
+        case AttemptRe(pid, _, ext) => (p.getParent.toString, s"$pid.$ext")
+        case other => (p.getParent.toString, other)
+      }
+    }.values.map(_.maxBy(_.getFileName.toString)).toSeq
     // phase 1 (driver, metadata-only): adopt staged files into the
     // table directory
     val moved = dataFiles.map { p =>
@@ -1550,7 +1575,7 @@ final class GraftTable private (
     val bsiCols = colsOf(BsiIndex.OptionColumns)
       .filterNot(c => bloomCols.contains(c) || bitmapCols.contains(c))
       .filter { c =>
-        DataType.fromDDL(sch.fields.find(_.name == c).get.dataType) match {
+        sparkTypeOf(sch.fields.find(_.name == c).get.dataType) match {
           case ByteType | ShortType | IntegerType | LongType => true
           case _ => false
         }
@@ -1559,7 +1584,7 @@ final class GraftTable private (
       .filterNot(c => bloomCols.contains(c) || bitmapCols.contains(c) ||
         bsiCols.contains(c))
       .filter(c => RangeIndex.supports(
-        DataType.fromDDL(sch.fields.find(_.name == c).get.dataType)))
+        sparkTypeOf(sch.fields.find(_.name == c).get.dataType)))
     // index sidecars need _metadata.row_index — parquet files only
     val indexable = added.filter(_.file.fileName.endsWith(".parquet"))
     if ((bloomCols.isEmpty && bitmapCols.isEmpty && bsiCols.isEmpty &&
@@ -1583,7 +1608,7 @@ final class GraftTable private (
       if (s == null) null
       else RangeIndex.canonBigDecimal(new java.math.BigDecimal(s), sc).orNull)
     def rangeCanon(c: String): Column =
-      DataType.fromDDL(sch.fields.find(_.name == c).get.dataType) match {
+      sparkTypeOf(sch.fields.find(_.name == c).get.dataType) match {
         case StringType => col(c)
         case ByteType | ShortType | IntegerType | LongType =>
           canonLongUdf(col(c).cast("long"))
@@ -2304,10 +2329,10 @@ final class GraftTable private (
             val old = schemaOf(sid)
             val byId = old.fields.map(f => f.id -> f).toMap
             val projected = cur.fields.map { f =>
-              val t = DataType.fromDDL(f.dataType)
+              val t = sparkTypeOf(f.dataType)
               byId.get(f.id) match {
                 case Some(o) =>
-                  evolveColumn(col(o.name), DataType.fromDDL(o.dataType), t).as(f.name)
+                  evolveColumn(col(o.name), sparkTypeOf(o.dataType), t).as(f.name)
                 case None => lit(null).cast(t).as(f.name)
               }
             }
@@ -2327,10 +2352,10 @@ final class GraftTable private (
           val old = schemaOf(sid)
           val byId = old.fields.map(f => f.id -> f).toMap
           val projected = cur.fields.map { f =>
-            val t = DataType.fromDDL(f.dataType)
+            val t = sparkTypeOf(f.dataType)
             byId.get(f.id) match {
               case Some(o) =>
-                evolveColumn(col(o.name), DataType.fromDDL(o.dataType), t).as(f.name)
+                evolveColumn(col(o.name), sparkTypeOf(o.dataType), t).as(f.name)
               case None => lit(null).cast(t).as(f.name)
             }
           }
@@ -2440,7 +2465,7 @@ final class GraftTable private (
         "value(s) in one call — reduce to one value per row id first")
     if (!schema.fields.exists(_.name == name))
       addColumn(name, values.schema(name).dataType)
-    val fieldType = DataType.fromDDL(
+    val fieldType = sparkTypeOf(
       schema.fields.find(_.name == name).get.dataType)
     val files = writePatchFiles(values
       .select(col(rid).cast("long").as("_row_id"),
@@ -2460,7 +2485,7 @@ final class GraftTable private (
     val files = colPatchesOf(sm.latestSnapshot()).getOrElse(name, Seq.empty)
     val foldedDirs = files.map(patchDirOf).distinct.toSet
     if (foldedDirs.size <= 1) return None
-    val fieldType = DataType.fromDDL(schema.fields.find(_.name == name).get.dataType)
+    val fieldType = sparkTypeOf(schema.fields.find(_.name == name).get.dataType)
     val folded = readPatchGenerations(files, fieldType)
       .groupBy("__patch_rid")
       .agg(max_by(col("__pv"), col("__pg")).as("value"))
@@ -2527,7 +2552,7 @@ final class GraftTable private (
       base: DataFrame, patches: Map[String, Seq[String]]): DataFrame = {
     val rid = GraftTable.RowIdCol
     patches.toSeq.sortBy(_._1).foldLeft(base) { case (df, (c, files)) =>
-      val fieldType = DataType.fromDDL(schema.fields.find(_.name == c).get.dataType)
+      val fieldType = sparkTypeOf(schema.fields.find(_.name == c).get.dataType)
       val latest = readPatchGenerations(files, fieldType)
         .groupBy("__patch_rid")
         .agg(max_by(col("__pv"), col("__pg")).as("__patch"),
@@ -4166,7 +4191,7 @@ final class GraftTable private (
         s"${parts.take(parts.size - rest.size).mkString(".")} is ${other.sql}, " +
           "not a struct — nested changes need a struct path")
     }
-    val newType = rebuild(DataType.fromDDL(top.dataType), parts.tail)
+    val newType = rebuild(sparkTypeOf(top.dataType), parts.tail)
     sm.writeSchema(sch.copy(
       id = sch.id + 1,
       fields = sch.fields.map(f =>
@@ -4273,7 +4298,7 @@ final class GraftTable private (
       "cannot widen primary-key or partition columns")
     val f = sch.fields.find(_.name == name)
       .getOrElse(throw new IllegalArgumentException(s"no column $name"))
-    val from = DataType.fromDDL(f.dataType)
+    val from = sparkTypeOf(f.dataType)
     require(canWiden(from, to), s"cannot widen ${from.sql} to ${to.sql}")
     // existing bloom/bitmap/range sidecars canonicalized values in the
     // OLD type ("5" vs a probe's "5.0"); probing them post-widen would
@@ -4739,7 +4764,7 @@ final class GraftTable private (
       schema.fields.find(_.name == f.name) match {
         case None => addColumn(f.name, f.dataType)
         case Some(cur0) =>
-          val cur = DataType.fromDDL(cur0.dataType)
+          val cur = sparkTypeOf(cur0.dataType)
           if (cur != f.dataType && canWiden(cur, f.dataType) &&
             !schema.primaryKeys.contains(f.name) &&
             !schema.partitionKeys.contains(f.name))

@@ -168,6 +168,60 @@ class TypeSupportSpec extends AnyFunSuite {
     assert(u == Map("x" -> 1, "y" -> 3))
   }
 
+  test("CHAR pads consistently through CDC applyChanges and MERGE INTO") {
+    import spark.implicits._
+    // a CHAR primary key written via write() lands padded; the CDC and
+    // MERGE paths must pad identically or the same logical key exists
+    // twice (padded + unpadded) and never merges
+    val t = GraftTable.create(spark, tmp(), StructType(Seq(
+      StructField("code", CharType(4), nullable = false),
+      StructField("v", LongType, nullable = true))),
+      primaryKeys = Seq("code"))
+    t.write(Seq(("ab", 1L)).toDF("code", "v"))
+    t.applyChanges(Seq(("ab", 2L, "+U")).toDF("code", "v", "_row_kind"))
+    val afterCdc = t.read.collect()
+    assert(afterCdc.length == 1, s"CDC upsert must merge, got ${afterCdc.toSeq}")
+    assert(afterCdc(0).getString(0) == "ab  " && afterCdc(0).getLong(1) == 2L)
+    t.mergeInto(Seq(("ab", 3L)).toDF("code", "v"),
+      whenMatchedUpdate = Some(Map("v" -> col("v"))))
+    val afterMerge = t.read.collect()
+    assert(afterMerge.length == 1 && afterMerge(0).getLong(1) == 3L,
+      s"MERGE must hit the padded key, got ${afterMerge.toSeq}")
+    // over-length values are rejected on the CDC path too
+    val e = intercept[Exception](
+      t.applyChanges(Seq(("abcde", 9L, "+I")).toDF("code", "v", "_row_kind")))
+    assert(e.getMessage.contains("CHAR(4)") || Option(e.getCause)
+      .exists(_.getMessage.contains("CHAR(4)")), e.getMessage)
+  }
+
+  test("schema evolution reads old files with MULTISET and CHAR columns") {
+    import spark.implicits._
+    import graft.functions.TableFunctions._
+    // old-schema files must resolve their stored DDLs through the
+    // runtime mapping (Meta.sparkTypeOf): MULTISET<...> is not
+    // DataType.fromDDL-parseable and CHAR(n) must resolve to STRING,
+    // so a single addColumn used to break every read of prior files
+    val t = GraftTable.create(spark, tmp(), StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("code", CharType(3), nullable = true),
+      StructField("bag",
+        MapType(StringType, IntegerType, valueContainsNull = false),
+        nullable = true,
+        new MetadataBuilder()
+          .putBoolean(graft.core.Meta.MultisetMeta, true).build()))))
+    t.write(Seq((1L, "a", Seq("x", "x", "y"))).toDF("id", "code", "arr")
+      .select(col("id"), col("code"), multiset(col("arr")).as("bag")))
+    t.addColumn("extra", StringType)
+    t.write(Seq((2L, "b", Seq("z"), "e")).toDF("id", "code", "arr", "extra")
+      .select(col("id"), col("code"), multiset(col("arr")).as("bag"), col("extra")))
+    val got = t.read.orderBy("id").collect()
+    assert(got.length == 2)
+    assert(got(0).getString(1) == "a  " && got(0).isNullAt(3),
+      "old-schema file reads through evolution with CHAR padding intact")
+    assert(got(0).getMap[String, Int](2).toMap == Map("x" -> 2, "y" -> 1))
+    assert(got(1).getString(3) == "e")
+  }
+
   test("DECIMAL predicates prune files via scale-normalized footer stats") {
     import spark.implicits._
     def mk(lo: String, hi: String) =
