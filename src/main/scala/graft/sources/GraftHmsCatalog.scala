@@ -56,9 +56,26 @@ object HmsBridge {
     new HiveMetaStoreClient(conf)
   }
 
+  /** Test instrumentation: when set, receives the name of every
+    * IMetaStoreClient method invoked through [[withClient]] — how the
+    * specs assert a 1-partition commit performs O(1) metastore calls
+    * and never lists all partitions. */
+  @volatile private[graft] var callProbe: Option[String => Unit] = None
+
   private def withClient[T](opts: Map[String, String])(f: IMetaStoreClient => T): T = {
-    val c = client(opts)
-    try f(c) finally c.close()
+    val raw = client(opts)
+    val c = callProbe match {
+      case None => raw
+      case Some(probe) =>
+        java.lang.reflect.Proxy.newProxyInstance(
+          raw.getClass.getClassLoader, Array(classOf[IMetaStoreClient]),
+          (_, m, as) => {
+            probe(m.getName)
+            try m.invoke(raw, as: _*)
+            catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+          }).asInstanceOf[IMetaStoreClient]
+    }
+    try f(c) finally raw.close()
   }
 
   /** Hive column type of a stored field DDL — Spark's catalogString is
@@ -180,20 +197,91 @@ object HmsBridge {
       }
     }
 
-  /** Commit-coupled partition sync (reference: the metastore client's
-    * addPartition/dropPartition callbacks driven by
-    * `metastore.partitioned-table`): diff the table's LIVE partition
-    * set (from manifests — a metadata read) against HMS and add/drop
-    * the difference. Called from the table's onCommit hook; a sync
-    * failure is logged by the hook machinery, never failing the
+  /** HMS coordinates of a sync-enabled partitioned table, if any. */
+  private def coordsOf(sch: Meta.TableSchema): Option[(Map[String, String], String, String)] =
+    if (sch.partitionKeys.isEmpty ||
+      !sch.options.get("metastore.partitioned-table").contains("true")) None
+    else for {
+      db <- sch.options.get("hms.database")
+      name <- sch.options.get("hms.table")
+    } yield (sch.options, db, name)
+
+  /** Partitions known to already exist in HMS, so repeated commits
+    * into the same partitions pay ZERO metastore calls (reference:
+    * AddPartitionCommitCallback.java:43-86 — delta partitions through
+    * a bounded cache, never a full listing). Process-wide LRU keyed by
+    * (connection, db, table, values); bounded so a 100k-partition
+    * estate cannot grow driver memory without limit. */
+  private val CacheCap = 10000
+  private val knownPartitions =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+          size() > CacheCap
+      })
+
+  private def cacheKey(
+      opts: Map[String, String], db: String, name: String, values: Seq[String]): String =
+    Seq(opts.getOrElse("hms.uris", opts.getOrElse("hms.local-dir", "")),
+      db, name, values.mkString("\u0001")).mkString("\u0000")
+
+  private def mkPartition(
+      gt: GraftTable, sch: Meta.TableSchema, db: String, name: String,
+      values: Seq[String]): Partition = {
+    val p = new Partition()
+    p.setDbName(db)
+    p.setTableName(name)
+    p.setValues(values.asJava)
+    p.setCreateTime((System.currentTimeMillis() / 1000).toInt)
+    val dirName = sch.partitionKeys.zip(values)
+      .map { case (k, v) => s"$k=$v" }.mkString("/")
+    p.setSd(newSd(sch, s"${gt.path}/data/$dirName"))
+    p.setParameters(new java.util.HashMap[String, String]())
+    p
+  }
+
+  /** Commit-coupled partition sync (reference:
+    * AddPartitionCommitCallback driven by `metastore.partitioned-table`):
+    * register ONLY the partitions the commit's delta manifest touched,
+    * filtered through [[knownPartitions]] — O(commit delta) work and
+    * usually zero metastore calls, NEVER a full partition listing or a
+    * whole-manifest walk (O(total partitions) per commit dies at 100k
+    * partitions × frequent commits). Drops are handled by the
+    * partition-expire paths and `CALL sys.sync_hms_partitions`
+    * ([[reconcilePartitions]]). Called from the table's onCommit hook;
+    * a sync failure is logged by the hook machinery, never failing the
     * commit. */
-  def syncPartitions(gt: GraftTable): Unit = {
+  def syncCommitDelta(gt: GraftTable, snapshotId: Long): Unit = {
     val sch = gt.schema
-    if (sch.partitionKeys.isEmpty) return
-    if (!sch.options.get("metastore.partitioned-table").contains("true")) return
-    val opts = sch.options
-    val db = opts.getOrElse("hms.database", return)
-    val name = opts.getOrElse("hms.table", return)
+    val (opts, db, name) = coordsOf(sch).getOrElse(return)
+    val touched = gt.sm.snapshot(snapshotId).deltaManifest.toSeq
+      .flatMap(gt.sm.readManifest)
+      .collect { case e if e.kind == "ADD" =>
+        sch.partitionKeys.map(k => e.partition.getOrElse(k, "")) }
+      .distinct
+    val novel = touched.filterNot(v =>
+      knownPartitions.containsKey(cacheKey(opts, db, name, v)))
+    if (novel.isEmpty) return // no client round-trip at all
+    withClient(opts) { c =>
+      // one batched ifNotExists add for the whole commit
+      c.add_partitions(
+        novel.map(v => mkPartition(gt, sch, db, name, v)).asJava,
+        /*ifNotExists=*/ true, /*needResults=*/ false)
+    }
+    novel.foreach(v =>
+      knownPartitions.put(cacheKey(opts, db, name, v), java.lang.Boolean.TRUE))
+  }
+
+  /** Full reconciliation — the table's LIVE partition set (a manifest
+    * walk) diffed against a COMPLETE HMS listing, adding and dropping
+    * the difference. Deliberately NOT commit-coupled: this is the
+    * explicit repair path (`CALL sys.sync_hms_partitions`, table
+    * creation over existing data) — per-commit upkeep goes through
+    * [[syncCommitDelta]]. Returns (added, dropped) counts. */
+  def reconcilePartitions(gt: GraftTable): (Int, Int) = {
+    val sch = gt.schema
+    val (opts, db, name) = coordsOf(sch).getOrElse(return (0, 0))
     val live = gt.sm.latestSnapshot().map(gt.sm.liveEntries).getOrElse(Seq.empty)
       .map(e => sch.partitionKeys.map(k => e.partition.getOrElse(k, "")))
       .distinct.toSet
@@ -205,22 +293,36 @@ object HmsBridge {
         .map(_.getValues.asScala.toSeq).toSet
       val toAdd = (live -- existing).toSeq
       val toDrop = (existing -- live).toSeq
-      toAdd.foreach { values =>
-        val p = new Partition()
-        p.setDbName(db)
-        p.setTableName(name)
-        p.setValues(values.asJava)
-        p.setCreateTime((System.currentTimeMillis() / 1000).toInt)
-        val dirName = sch.partitionKeys.zip(values)
-          .map { case (k, v) => s"$k=$v" }.mkString("/")
-        p.setSd(newSd(sch, s"${gt.path}/data/$dirName"))
-        p.setParameters(new java.util.HashMap[String, String]())
-        try c.add_partition(p)
-        catch { case _: org.apache.hadoop.hive.metastore.api.AlreadyExistsException => () }
-      }
-      toDrop.foreach(values =>
+      if (toAdd.nonEmpty)
+        c.add_partitions(
+          toAdd.map(v => mkPartition(gt, sch, db, name, v)).asJava,
+          /*ifNotExists=*/ true, /*needResults=*/ false)
+      toDrop.foreach { values =>
         try c.dropPartition(db, name, values.asJava, /*deleteData=*/ false)
-        catch { case _: org.apache.hadoop.hive.metastore.api.NoSuchObjectException => () })
+        catch { case _: org.apache.hadoop.hive.metastore.api.NoSuchObjectException => () }
+        knownPartitions.remove(cacheKey(opts, db, name, values))
+      }
+      toAdd.foreach(v =>
+        knownPartitions.put(cacheKey(opts, db, name, v), java.lang.Boolean.TRUE))
+      (toAdd.size, toDrop.size)
+    }
+  }
+
+  /** Mirror dropped partitions into HMS — rides the partition-expire
+    * and drop-partition paths (reference: the metastore client's
+    * dropPartition callback from PartitionExpire). Partition values
+    * must be COMPLETE specs (every partition key present). */
+  def dropHmsPartitions(gt: GraftTable, parts: Seq[Map[String, String]]): Unit = {
+    val sch = gt.schema
+    val (opts, db, name) = coordsOf(sch).getOrElse(return)
+    if (parts.isEmpty) return
+    withClient(opts) { c =>
+      parts.foreach { p =>
+        val values = sch.partitionKeys.map(k => p.getOrElse(k, ""))
+        try c.dropPartition(db, name, values.asJava, /*deleteData=*/ false)
+        catch { case _: org.apache.hadoop.hive.metastore.api.NoSuchObjectException => () }
+        knownPartitions.remove(cacheKey(opts, db, name, values))
+      }
     }
   }
 }
@@ -263,7 +365,10 @@ class GraftHmsCatalog extends GraftCatalog {
       case g: GraftSparkTable =>
         HmsBridge.ensureDatabase(hmsOpts, db)
         HmsBridge.mirrorCreate(hmsOpts, db, ident.name(), g.graftTable)
-        HmsBridge.syncPartitions(g.graftTable)
+        // full reconcile at creation — a table created OVER existing
+        // data (external path) registers its current partitions once;
+        // per-commit upkeep is delta-only from here on
+        HmsBridge.reconcilePartitions(g.graftTable)
       case _ => () // format/object tables have no HMS mirror
     }
     created

@@ -56,6 +56,13 @@ object GraftProcedures {
       (t, args) => s"dropped ${t.expirePartitionsByTime(
         args.getLong(1), args.getUTF8String(2).toString,
         args.getUTF8String(3).toString).size} partitions"),
+    // full HMS partition reconciliation (adds AND drops) — the repair
+    // path; per-commit upkeep is delta-only (HmsBridge.syncCommitDelta)
+    "sync_hms_partitions" -> (Seq(p("table", StringType)),
+      (t, _) => {
+        val (a, d) = HmsBridge.reconcilePartitions(t)
+        s"added $a, dropped $d HMS partitions"
+      }),
     "remove_orphan_files" -> (Seq(p("table", StringType), p("older_than_millis", LongType)),
       (t, args) => s"deleted ${t.removeOrphanFiles(args.getLong(1)).size} orphans"),
     "create_tag" -> (Seq(p("table", StringType), p("tag", StringType)),

@@ -90,7 +90,7 @@ final class GraftTable private (
   sm.commitMaxRetriesProvider = () => sm.latestSchema()
     .flatMap(_.options.get("commit.max-retries")).map(_.toInt).getOrElse(20)
 
-  sm.onCommit { _ =>
+  sm.onCommit { committedId =>
     if (schema.options.get(GraftTable.IcebergEnabled).contains("true"))
       graft.sources.IcebergCompat.sync(this)
     // periodic auto tags ride the same per-commit hook (reference:
@@ -109,9 +109,12 @@ final class GraftTable private (
       markIdlePartitionsDone()
     // Hive Metastore partition sync (reference: the metastore client
     // callbacks behind `metastore.partitioned-table`) — the HMS
-    // coordinates were stamped into the options by GraftHmsCatalog
+    // coordinates were stamped into the options by GraftHmsCatalog.
+    // DELTA-ONLY: registers just this commit's touched partitions via
+    // a bounded seen-cache (usually zero metastore calls); drops ride
+    // the partition-expire paths and CALL sys.sync_hms_partitions.
     if (schema.options.get("metastore.partitioned-table").contains("true"))
-      graft.sources.HmsBridge.syncPartitions(this)
+      graft.sources.HmsBridge.syncCommitDelta(this, committedId)
   }
 
   /** Per-commit snapshot retention (reference: CoreOptions
@@ -3415,8 +3418,24 @@ final class GraftTable private (
     sm.commit(victims.map(_.copy(kind = "DELETE")), KindOverwrite, sch.id,
       conflictCheck = latest => victims.map(_.file.fileName).toSet
         .subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet))
-    victims.map(_.partition).distinct
+    val dropped = victims.map(_.partition).distinct
+    mirrorHmsDrops(dropped)
+    dropped
   }
+
+  /** Mirror fully-dropped partitions into HMS when commit-coupled sync
+    * is on — the DROP counterpart of the per-commit delta add (the
+    * delta path never lists or drops; expiry and explicit partition
+    * drops are where partitions actually disappear). Log-and-continue:
+    * metastore unavailability must not fail the table operation. */
+  private def mirrorHmsDrops(parts: Seq[Map[String, String]]): Unit =
+    if (parts.nonEmpty &&
+      schema.options.get("metastore.partitioned-table").contains("true"))
+      try graft.sources.HmsBridge.dropHmsPartitions(this, parts)
+      catch { case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger("graft.GraftTable").warn(
+          s"HMS partition drop mirror failed: ${e.getMessage}")
+      }
 
   /** Time-based partition expiration with the reference's two
     * strategies (partition/PartitionExpireStrategy):
@@ -3475,6 +3494,7 @@ final class GraftTable private (
     sm.commit(victims.map(_.copy(kind = "DELETE")), KindOverwrite, sch.id,
       conflictCheck = latest => victims.map(_.file.fileName).toSet
         .subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet))
+    mirrorHmsDrops(expired.toSeq)
     expired.toSeq
   }
 
@@ -4352,9 +4372,13 @@ final class GraftTable private (
         throw new IllegalStateException("empty table"))
       val victims = partitionsMatching(sm.liveEntries(snap), cond)
       if (victims.isEmpty) snap.id
-      else sm.commit(victims.map(_.copy(kind = "DELETE")), KindOverwrite, schema.id,
-        conflictCheck = latest => victims.map(_.file.fileName).toSet
-          .subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet))
+      else {
+        val id = sm.commit(victims.map(_.copy(kind = "DELETE")), KindOverwrite, schema.id,
+          conflictCheck = latest => victims.map(_.file.fileName).toSet
+            .subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet))
+        mirrorHmsDrops(victims.map(_.partition).distinct)
+        id
+      }
     } else if (dvEnabled) {
       // mark positions instead of rewriting files (reference:
       // SparkDeletionVector write path)
@@ -4489,6 +4513,7 @@ final class GraftTable private (
     sm.commit(victims.map(_.copy(kind = "DELETE")), KindOverwrite, schema.id,
       conflictCheck = latest => victims.map(_.file.fileName).toSet
         .subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet))
+    mirrorHmsDrops(victims.map(_.partition).distinct)
     true
   }
 

@@ -89,6 +89,71 @@ class HmsCatalogSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("commit-coupled sync is delta-only: O(1) HMS calls, no full listing") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS hcat.dl")
+    spark.sql("""CREATE TABLE hcat.dl.events_h
+                |(k BIGINT, v STRING, dt STRING)
+                |PARTITIONED BY (dt)
+                |TBLPROPERTIES ('metastore.partitioned-table'='true')""".stripMargin)
+    // seed N partitions in one commit
+    val seed = (1 to 10).map(i => s"(CAST($i AS BIGINT), 'v', '2024-02-${"%02d".format(i)}')")
+    spark.sql(s"INSERT INTO hcat.dl.events_h VALUES ${seed.mkString(",")}")
+    val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    HmsBridge.callProbe = Some(calls.add(_))
+    try {
+      // a 1-partition commit into the 10-partition table: exactly one
+      // batched add_partitions, never a listing or a manifest-wide walk
+      spark.sql("INSERT INTO hcat.dl.events_h VALUES (99, 'n', '2024-03-01')")
+      val names = calls.asScala.toSeq
+      assert(names.count(_ == "add_partitions") == 1, names.toString)
+      assert(!names.exists(_.startsWith("listPartition")),
+        s"delta sync must never list all partitions: $names")
+      assert(names.forall(n => n == "add_partitions" || n == "close"), names.toString)
+
+      // a commit into an ALREADY-SEEN partition: zero metastore calls
+      calls.clear()
+      spark.sql("INSERT INTO hcat.dl.events_h VALUES (100, 'm', '2024-03-01')")
+      assert(calls.isEmpty, s"cached partition must cost zero HMS calls: ${calls.asScala}")
+    } finally HmsBridge.callProbe = None
+    // the new partition actually landed in HMS
+    val c = HmsBridge.client(hmsOpts)
+    try {
+      val parts = c.listPartitions("dl", "events_h", (-1): Short)
+        .asScala.map(_.getValues.asScala.head).toSet
+      assert(parts.contains("2024-03-01") && parts.size == 11, parts.toString)
+    } finally c.close()
+  }
+
+  test("sync_hms_partitions procedure reconciles adds and drops") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS hcat.rc")
+    spark.sql("""CREATE TABLE hcat.rc.t_h
+                |(k BIGINT, dt STRING)
+                |PARTITIONED BY (dt)
+                |TBLPROPERTIES ('metastore.partitioned-table'='true')""".stripMargin)
+    spark.sql("INSERT INTO hcat.rc.t_h VALUES (1, 'a'), (2, 'b')")
+    // make HMS drift BOTH ways: a stale extra partition and a missing one
+    val c = HmsBridge.client(hmsOpts)
+    try {
+      c.dropPartition("rc", "t_h", Seq("a").asJava, false)
+      val t = c.getTable("rc", "t_h")
+      val stale = new org.apache.hadoop.hive.metastore.api.Partition()
+      stale.setDbName("rc"); stale.setTableName("t_h")
+      stale.setValues(Seq("zzz").asJava)
+      stale.setSd(t.getSd.deepCopy())
+      stale.getSd.setLocation(t.getSd.getLocation + "/data/dt=zzz")
+      stale.setParameters(new java.util.HashMap[String, String]())
+      c.add_partition(stale)
+      val msg = spark.sql("CALL hcat.sys.sync_hms_partitions('rc.t_h')")
+        .head.getString(0)
+      assert(msg == "added 1, dropped 1 HMS partitions", msg)
+      val parts = c.listPartitions("rc", "t_h", (-1): Short)
+        .asScala.map(_.getValues.asScala.head).sorted
+      assert(parts == Seq("a", "b"), parts.toString)
+    } finally c.close()
+  }
+
   test("read-through: an HMS entry resolves a graft table outside the warehouse") {
     registerCatalog()
     // a graft table living at an EXTERNAL path (not under the catalog
