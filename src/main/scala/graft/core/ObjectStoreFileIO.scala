@@ -79,8 +79,11 @@ final class ObjectStoreFileIO(
   override def tryCreateAtomic(path: String, content: String): Boolean = {
     Files.createDirectories(p(path).getParent)
     val tmp = p(path + ".cput." + java.util.UUID.randomUUID())
-    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
     try {
+      // inside the try so a failed tmp write is also swept by the
+      // finally (a leaked .cput. file is filtered from listings but
+      // would accumulate as orphan debris)
+      Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
       Files.createLink(p(path), tmp)
       if (faults.lostPutResponses.getAndUpdate(n => math.max(0, n - 1)) > 0)
         false // the object LANDED; the caller saw a timeout

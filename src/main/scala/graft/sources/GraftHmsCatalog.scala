@@ -161,11 +161,17 @@ object HmsBridge {
       }
     }
 
-  def mirrorDrop(opts: Map[String, String], db: String, name: String): Unit =
+  def mirrorDrop(opts: Map[String, String], db: String, name: String): Unit = {
     withClient(opts) { c =>
       try c.dropTable(db, name, /*deleteData=*/ false, /*ignoreUnknown=*/ true)
       catch { case _: org.apache.hadoop.hive.metastore.api.NoSuchObjectException => () }
     }
+    // a same-name table recreated in this JVM must NOT inherit the old
+    // table's warm cache (it would silently skip add_partitions); the
+    // reference avoids this by scoping its cache to the commit-callback
+    // instance, which dies with the table
+    purgeKnown(opts, db, name)
+  }
 
   /** Missing source entries are tolerated (the table was never
     * mirrored); the caller re-mirrors the renamed table instead. */
@@ -180,6 +186,9 @@ object HmsBridge {
         t.getSd.setLocation(newPath)
         t.getParameters.put(PathParam, newPath)
         c.alter_table(db, name, t)
+        // the old identity's cache entries are dead (and a future table
+        // reusing the old name must start cold)
+        purgeKnown(opts, db, name)
         true
       } catch {
         case _: org.apache.hadoop.hive.metastore.api.NoSuchObjectException => false
@@ -210,16 +219,43 @@ object HmsBridge {
     * into the same partitions pay ZERO metastore calls (reference:
     * AddPartitionCommitCallback.java:43-86 — delta partitions through
     * a bounded cache, never a full listing). Process-wide LRU keyed by
-    * (connection, db, table, values); bounded so a 100k-partition
-    * estate cannot grow driver memory without limit. */
+    * (connection, db, table, values) with insert-time values; bounded
+    * so a 100k-partition estate cannot grow driver memory without
+    * limit. [[mirrorDrop]]/[[mirrorRename]] purge a table's entries so
+    * a recreated same-name table starts cold.
+    *
+    * Cross-process staleness window: if ANOTHER writer drops/expires a
+    * partition from HMS, this JVM's warm entry still marks it known,
+    * so re-inserting data into it would skip re-registration (the
+    * reference shares this window). Entries therefore expire after
+    * [[CacheTtlMs]], letting long-lived drivers self-heal without a
+    * manual `CALL sys.sync_hms_partitions`. */
   private val CacheCap = 10000
+  private[sources] val CacheTtlMs: Long = 30 * 60 * 1000L
   private val knownPartitions =
     java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[String, java.lang.Boolean](64, 0.75f, true) {
+      new java.util.LinkedHashMap[String, java.lang.Long](64, 0.75f, true) {
         override def removeEldestEntry(
-            e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+            e: java.util.Map.Entry[String, java.lang.Long]): Boolean =
           size() > CacheCap
       })
+
+  /** Fresh (non-expired) cache hit? Expired entries are dropped. */
+  private def knownFresh(key: String): Boolean = {
+    val t = knownPartitions.get(key)
+    if (t == null) false
+    else if (System.currentTimeMillis() - t <= CacheTtlMs) true
+    else { knownPartitions.remove(key); false }
+  }
+
+  /** Drop every cache entry of one (connection, db, table) identity. */
+  private def purgeKnown(opts: Map[String, String], db: String, name: String): Unit = {
+    val prefix = Seq(opts.getOrElse("hms.uris", opts.getOrElse("hms.local-dir", "")),
+      db, name, "").mkString("\u0000")
+    knownPartitions.synchronized {
+      knownPartitions.keySet.removeIf(_.startsWith(prefix))
+    }
+  }
 
   private def cacheKey(
       opts: Map[String, String], db: String, name: String, values: Seq[String]): String =
@@ -261,7 +297,7 @@ object HmsBridge {
         sch.partitionKeys.map(k => e.partition.getOrElse(k, "")) }
       .distinct
     val novel = touched.filterNot(v =>
-      knownPartitions.containsKey(cacheKey(opts, db, name, v)))
+      knownFresh(cacheKey(opts, db, name, v)))
     if (novel.isEmpty) return // no client round-trip at all
     withClient(opts) { c =>
       // one batched ifNotExists add for the whole commit
@@ -270,7 +306,8 @@ object HmsBridge {
         /*ifNotExists=*/ true, /*needResults=*/ false)
     }
     novel.foreach(v =>
-      knownPartitions.put(cacheKey(opts, db, name, v), java.lang.Boolean.TRUE))
+      knownPartitions.put(cacheKey(opts, db, name, v),
+        java.lang.Long.valueOf(System.currentTimeMillis())))
   }
 
   /** Full reconciliation — the table's LIVE partition set (a manifest
@@ -303,7 +340,8 @@ object HmsBridge {
         knownPartitions.remove(cacheKey(opts, db, name, values))
       }
       toAdd.foreach(v =>
-        knownPartitions.put(cacheKey(opts, db, name, v), java.lang.Boolean.TRUE))
+        knownPartitions.put(cacheKey(opts, db, name, v),
+        java.lang.Long.valueOf(System.currentTimeMillis())))
       (toAdd.size, toDrop.size)
     }
   }

@@ -1469,7 +1469,14 @@ final class GraftTable private (
         case AttemptRe(pid, _, ext) => (p.getParent.toString, s"$pid.$ext")
         case other => (p.getParent.toString, other)
       }
-    }.values.map(_.maxBy(_.getFileName.toString)).toSeq
+    }.values.map(_.maxBy { p =>
+      // numeric attempt compare — lexicographic would rank attempt 9
+      // above 10, adopting an arbitrary rather than the latest attempt
+      p.getFileName.toString match {
+        case AttemptRe(_, attempt, _) => attempt.toLong
+        case _ => Long.MinValue
+      }
+    }).toSeq
     // phase 1 (driver, metadata-only): adopt staged files into the
     // table directory
     val moved = dataFiles.map { p =>
@@ -2470,9 +2477,14 @@ final class GraftTable private (
       addColumn(name, values.schema(name).dataType)
     val fieldType = sparkTypeOf(
       schema.fields.find(_.name == name).get.dataType)
-    val files = writePatchFiles(values
+    // a patched CHAR(n)/VARCHAR(n) column must store the same
+    // padded/length-checked form as every other commit path — otherwise
+    // the overlay and the stored values compare unequal at read
+    val enforced = enforceCharVarchar(
+      values.withColumn(name, col(name).cast(fieldType)), schema)
+    val files = writePatchFiles(enforced
       .select(col(rid).cast("long").as("_row_id"),
-        col(name).cast(fieldType).as("value")))
+        col(name).as("value")))
     sm.commit(Seq.empty, KindAppend, schema.id,
       colPatchUpdate = Some(m => m.updated(name, m.getOrElse(name, Seq.empty) ++ files)))
   }
@@ -3997,6 +4009,21 @@ final class GraftTable private (
           }
       }
     }
+    // conditional-PUT staging debris (ObjectStoreFileIO.tryCreateAtomic
+    // stages `<key>.cput.<uuid>` next to the target key): listings
+    // filter them out, but a crash between createLink and the finally's
+    // delete leaves them behind — sweep any past the grace period
+    Seq(s"$path/snapshot", s"$path/schema").map(Paths.get(_))
+      .filter(Files.isDirectory(_)).foreach { rp =>
+        graft.core.FsUtil.walkAll(rp).iterator
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.contains(".cput.") &&
+            Files.getLastModifiedTime(p).toMillis < cutoff)
+          .foreach { p =>
+            Files.deleteIfExists(p)
+            deleted += Paths.get(path).relativize(p).toString
+          }
+      }
     deleted.toSeq
   }
 

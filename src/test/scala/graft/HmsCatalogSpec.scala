@@ -154,6 +154,32 @@ class HmsCatalogSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("drop + recreate starts the partition cache cold (no stale skips)") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS hcat.cc")
+    def create(): Unit = spark.sql(
+      """CREATE TABLE hcat.cc.warm_h
+        |(k BIGINT, dt STRING)
+        |PARTITIONED BY (dt)
+        |TBLPROPERTIES ('metastore.partitioned-table'='true')""".stripMargin)
+    create()
+    // warm the process-wide cache for partition 'a'
+    spark.sql("INSERT INTO hcat.cc.warm_h VALUES (1, 'a')")
+    spark.sql("DROP TABLE hcat.cc.warm_h")
+    // recreate the SAME name in the same JVM: the first commit into
+    // 'a' must issue add_partitions again — a stale warm entry would
+    // silently skip it and the new HMS table would miss the partition
+    create()
+    spark.sql("INSERT INTO hcat.cc.warm_h VALUES (2, 'a')")
+    val c = HmsBridge.client(hmsOpts)
+    try {
+      val parts = c.listPartitions("cc", "warm_h", (-1): Short)
+        .asScala.map(_.getValues.asScala.head).toSeq
+      assert(parts == Seq("a"),
+        s"recreated table must re-register its partitions, got $parts")
+    } finally c.close()
+  }
+
   test("read-through: an HMS entry resolves a graft table outside the warehouse") {
     registerCatalog()
     // a graft table living at an EXTERNAL path (not under the catalog

@@ -194,6 +194,37 @@ class TypeSupportSpec extends AnyFunSuite {
       .exists(_.getMessage.contains("CHAR(4)")), e.getMessage)
   }
 
+  test("patchColumn enforces CHAR padding and VARCHAR length like other commit paths") {
+    import spark.implicits._
+    // a data-evolution patch of a CHAR(n)/VARCHAR(n) column must store
+    // the same padded/length-checked form as write()/CDC/MERGE —
+    // otherwise the patched and stored variants of one logical value
+    // compare unequal at read
+    val t = GraftTable.create(spark, tmp(), StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("code", CharType(4), nullable = true),
+      StructField("tag", VarcharType(3), nullable = true))),
+      options = Map(GraftTable.RowTrackingEnabled -> "true"))
+    t.write(Seq((1L, "ab", "x"), (2L, "cd", "y")).toDF("id", "code", "tag"))
+    // patch row 0's CHAR column with an unpadded value: must land padded
+    t.patchColumn("code", Seq((0L, "zz")).toDF(GraftTable.RowIdCol, "code"))
+    val got = t.read.orderBy("id").collect()
+    assert(got(0).getString(1) == "zz  ",
+      s"patched CHAR must store padded, got '${got(0).getString(1)}'")
+    assert(got(1).getString(1) == "cd  ")
+    // comparisons between patched and written values behave uniformly
+    assert(t.read.filter(col("code") === lit("zz  ")).count() == 1)
+    // over-length patch values are rejected, CHAR and VARCHAR alike
+    val e1 = intercept[Exception](
+      t.patchColumn("code", Seq((1L, "abcde")).toDF(GraftTable.RowIdCol, "code")))
+    assert((e1.getMessage + Option(e1.getCause).map(_.getMessage).mkString)
+      .contains("CHAR(4)"), e1.getMessage)
+    val e2 = intercept[Exception](
+      t.patchColumn("tag", Seq((1L, "wxyz")).toDF(GraftTable.RowIdCol, "tag")))
+    assert((e2.getMessage + Option(e2.getCause).map(_.getMessage).mkString)
+      .contains("VARCHAR(3)"), e2.getMessage)
+  }
+
   test("schema evolution reads old files with MULTISET and CHAR columns") {
     import spark.implicits._
     import graft.functions.TableFunctions._
