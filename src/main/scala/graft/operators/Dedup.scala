@@ -372,29 +372,55 @@ object Dedup {
 
   private val skewSeq = new java.util.concurrent.atomic.AtomicLong()
 
-  /** (dropped-rows, dropped-buckets) accumulators per guard site,
-    * keyed `graft.dedup.skew.<site>.<n>`. Accumulators — not
-    * Dataset.observe — because AQE's empty-relation propagation can
-    * erase a CollectMetrics node from the executed plan when the guard
-    * drops EVERYTHING (the exact case that must not go silent).
-    * Counts are cumulative across actions on the same frame and
-    * approximate under task retries. */
-  private val skewAccs = scala.collection.concurrent.TrieMap
-    .empty[String, (org.apache.spark.util.LongAccumulator,
-      org.apache.spark.util.LongAccumulator)]
+  /** Last-write-wins keyed counts: each key identifies ONE bucket (or
+    * sub-bucket) and its value is a DETERMINISTIC function of that
+    * bucket's data, recorded once per bucket from its rank-1 row. A
+    * duplicate add — the same subplan evaluated by a second join
+    * branch, or a retried task — overwrites the key with the SAME
+    * value instead of double-counting, so the derived totals are
+    * EXACT (the r11/r12 accumulator pairs over-counted 2-4× under
+    * multi-branch evaluation). Accumulators — not Dataset.observe —
+    * because AQE's empty-relation propagation can erase a
+    * CollectMetrics node from the executed plan when the guard drops
+    * EVERYTHING (the exact case that must not go silent). */
+  private class KeyedCountAcc
+      extends org.apache.spark.util.AccumulatorV2[(String, Long), Map[String, Long]] {
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    override def isZero: Boolean = m.isEmpty
+    override def copy(): KeyedCountAcc = {
+      val c = new KeyedCountAcc; c.m.putAll(m); c
+    }
+    override def reset(): Unit = m.clear()
+    override def add(v: (String, Long)): Unit = m.put(v._1, v._2)
+    override def merge(
+        other: org.apache.spark.util.AccumulatorV2[(String, Long), Map[String, Long]]): Unit =
+      other match {
+        case o: KeyedCountAcc => m.putAll(o.m)
+        case _ => ()
+      }
+    override def value: Map[String, Long] = {
+      val b = Map.newBuilder[String, Long]
+      m.forEach((k, v) => b += k -> v.longValue)
+      b.result()
+    }
+  }
+
+  /** Per-guard-site drop accumulators, keyed
+    * `graft.dedup.skew.<site>.<n>` — one [[KeyedCountAcc]] entry per
+    * bucket with its exact dropped-representative count. */
+  private val skewAccs =
+    scala.collection.concurrent.TrieMap.empty[String, KeyedCountAcc]
 
   /** Snapshot of skew-guard drops, keyed by guard name:
     * (dropped_rows, dropped_buckets) — the no-silent-caps window for
     * callers and tests. Synchronously current after any action that
-    * executed a guarded join. NOTE: counts are detection SIGNALS, not
-    * exact tallies — the counting filters live inside subplans that
-    * multiple join branches reference, so without exchange reuse a
-    * bucket/row can be counted once per evaluating branch (2-4×), and
-    * task retries add more. Zero still means zero; use the magnitude
-    * as an order-of-magnitude indicator. */
+    * executed a guarded join; EXACT under multi-branch evaluation and
+    * task retries (per-bucket last-write-wins, see [[KeyedCountAcc]]),
+    * so `maxBucketSize` can be sized from the magnitudes. */
   def skewDrops: Map[String, (Long, Long)] =
-    skewAccs.iterator.map { case (name, (r, b)) =>
-      name -> (r.value.longValue, b.value.longValue)
+    skewAccs.iterator.map { case (name, acc) =>
+      val v = acc.value
+      name -> (v.values.sum, v.count(_._2 > 0L).toLong)
     }.toMap
 
   /** For tests: forget prior guards' accumulators. */
@@ -404,18 +430,22 @@ object Dedup {
     * register (recall-preserving, unlike [[skewDrops]]' real drops). */
   val CollapseMetricPrefix = "graft.dedup.collapse"
 
-  private val collapseAccs = scala.collection.concurrent.TrieMap
-    .empty[String, (org.apache.spark.util.LongAccumulator,
-      org.apache.spark.util.LongAccumulator)]
+  private val collapseAccs =
+    scala.collection.concurrent.TrieMap.empty[String, KeyedCountAcc]
 
   /** Snapshot of hot-bucket collapses, keyed by site:
     * (member rows collapsed into star edges, hot buckets). Informational
     * — no recall is lost on these rows, their pairs are represented by
-    * star + representative edges. Same over-counting caveat as
-    * [[skewDrops]]: a signal, not an exact tally. */
+    * star + representative edges. Exact, same mechanism as
+    * [[skewDrops]]. */
   def collapseStats: Map[String, (Long, Long)] =
-    collapseAccs.iterator.map { case (name, (r, b)) =>
-      name -> (r.value.longValue, b.value.longValue)
+    collapseAccs.iterator.map { case (name, acc) =>
+      val v = acc.value
+      // entries are keyed per bucket (collapseHotBuckets) or per
+      // (bucket \u0002 fineKey) group (bucketJoinPairs) — the bucket
+      // count is the distinct prefix count either way
+      name -> (v.values.sum,
+        v.keysIterator.map(_.takeWhile(_ != '\u0002')).toSet.size.toLong)
     }.toMap
 
   private val skewLogged = scala.collection.concurrent.TrieMap.empty[String, Long]
@@ -471,12 +501,11 @@ object Dedup {
     * within-batch star pairs (same banding, same fineKey → same
     * groups). Collapses are INFO-counted; only representative overflow
     * drops, WARN-counted. */
-  /** One guard site's accumulators: (dropRows, dropBuckets — real
-    * recall loss, WARN) and (collRows, collBuckets — recall-preserving
-    * collapses, INFO), registered under a fresh per-call name. */
-  private def guardAccumulators(df: DataFrame, site: String): (
-      org.apache.spark.util.LongAccumulator, org.apache.spark.util.LongAccumulator,
-      org.apache.spark.util.LongAccumulator, org.apache.spark.util.LongAccumulator) = {
+  /** One guard site's accumulators: dropAcc (real recall loss, WARN)
+    * and collAcc (recall-preserving collapses, INFO), registered under
+    * a fresh per-call name. */
+  private def guardAccumulators(
+      df: DataFrame, site: String): (KeyedCountAcc, KeyedCountAcc) = {
     registerSkewListener(df)
     if (skewAccs.size > 256) { skewAccs.clear(); skewLogged.clear() }
     if (collapseAccs.size > 256) { collapseAccs.clear(); collapseLogged.clear() }
@@ -484,62 +513,59 @@ object Dedup {
     val dropName = s"$SkewMetricPrefix.$site.$n"
     val collName = s"$CollapseMetricPrefix.$site.$n"
     val sc = df.sparkSession.sparkContext
-    val dropRows = sc.longAccumulator(s"$dropName.rows")
-    val dropBuckets = sc.longAccumulator(s"$dropName.buckets")
-    skewAccs.put(dropName, (dropRows, dropBuckets))
-    val collRows = sc.longAccumulator(s"$collName.rows")
-    val collBuckets = sc.longAccumulator(s"$collName.buckets")
-    collapseAccs.put(collName, (collRows, collBuckets))
-    (dropRows, dropBuckets, collRows, collBuckets)
+    val dropAcc = new KeyedCountAcc
+    sc.register(dropAcc, dropName)
+    skewAccs.put(dropName, dropAcc)
+    val collAcc = new KeyedCountAcc
+    sc.register(collAcc, collName)
+    collapseAccs.put(collName, collAcc)
+    (dropAcc, collAcc)
   }
 
-  /** The rank-cap filter: keeps the first `cap` rows per window
-    * partition, counting the overflow into the drop accumulators. */
-  private def rankCapUdf(
-      cap: Int,
-      dropRows: org.apache.spark.util.LongAccumulator,
-      dropBuckets: org.apache.spark.util.LongAccumulator) =
-    udf { (rank: Int) =>
-      val keep = rank <= cap
-      if (!keep) { dropRows.add(1L); if (rank == cap + 1) dropBuckets.add(1L) }
-      keep
-    }.asNondeterministic()
+  /** A bucket's identity string for the keyed accumulators. */
+  private def bucketKeyCol(keys: Seq[String]): Column =
+    concat_ws("\u0001", keys.map(k => col(k).cast("string")): _*)
 
-  private def collapseHotBuckets(
+  private[graft] def collapseHotBuckets(
       banded: DataFrame,
       keys: Seq[String],
       maxBucketSize: Int,
       fineKey: Column,
       site: String): DataFrame = {
-    val (dropRows, dropBuckets, collRows, collBuckets) =
-      guardAccumulators(banded, site)
+    val (dropAcc, collAcc) = guardAccumulators(banded, site)
     val keyCols = keys.map(col)
-    val hotCounting = udf { (bn: Long) =>
-      val hot = bn > maxBucketSize
-      if (hot) collBuckets.add(1L)
-      hot
-    }.asNondeterministic()
     val over = banded.groupBy(keyCols: _*)
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(hotCounting(col("bucket_n")))
+      .filter(col("bucket_n") > maxBucketSize)
       .select(keyCols: _*)
     val cold = banded.join(over, keys, "left_anti")
-    // collRows counts only rows truly COLLAPSED behind their group's
-    // representative (group size − 1 each) — an all-distinct hot
-    // bucket collapses nothing and must not log as if it had
-    val collCounting = udf { (grpN: Long) =>
-      if (grpN > 1L) collRows.add(grpN - 1L)
-      true
-    }.asNondeterministic()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols: _*).orderBy(col("id"))
-    val reps = banded.join(over, keys, "left_semi")
+    val grouped = banded.join(over, keys, "left_semi")
       .withColumn("__fk", fineKey)
       .groupBy((keyCols :+ col("__fk")): _*)
       .agg(min(col("id")).as("id"), count(lit(1)).as("__grpn"))
-      .filter(collCounting(col("__grpn")))
+    // per-bucket stats ride window functions over the SAME partitioning
+    // the rank-cap already needs (no extra shuffle) and are recorded
+    // ONCE per bucket from its rank-1 row — exact, see KeyedCountAcc.
+    // collapse rows = Σ(group−1): an all-distinct hot bucket collapses
+    // nothing and must not log as if it had; dropped reps =
+    // max(0, groups − cap)
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)
+    val w = wb.orderBy(col("id"))
+    // nondeterministic: the recording call must not be deduplicated,
+    // reordered, or constant-folded by the optimizer
+    val record = udf { (bk: String, coll: Long, groups: Long) =>
+      collAcc.add((bk, coll))
+      dropAcc.add((bk, math.max(0L, groups - maxBucketSize)))
+      true
+    }.asNondeterministic()
+    val reps = grouped
       .withColumn("__rank", row_number().over(w))
-      .filter(rankCapUdf(maxBucketSize, dropRows, dropBuckets)(col("__rank")))
+      .withColumn("__coll", sum(col("__grpn") - 1).over(wb))
+      .withColumn("__groups", count(lit(1)).over(wb))
+      .withColumn("__rec", when(col("__rank") === 1,
+        record(bucketKeyCol(keys), col("__coll"), col("__groups")))
+        .otherwise(lit(true)))
+      .filter(col("__rec") && col("__rank") <= maxBucketSize)
     val slim = keys :+ "id"
     cold.select(slim.map(col): _*)
       .unionByName(reps.select(slim.map(col): _*))
@@ -671,26 +697,18 @@ object Dedup {
     *        pigeonhole-complete sub-key family (simhash sub-chunks)
     *        this is recall-EXACT one level down; only sub-bucket
     *        overflow still drops (WARN-counted). */
-  private def bucketJoinPairs(
+  private[graft] def bucketJoinPairs(
       banded: DataFrame,
       keys: Seq[String],
       maxBucketSize: Int,
       fineKey: Column,
       payload: Seq[String] = Seq.empty,
       subKeys: Option[Column] = None): DataFrame = {
-    val (dropRows, dropBuckets, collRows, collBuckets) =
-      guardAccumulators(banded, keys.head)
+    val (dropAcc, collAcc) = guardAccumulators(banded, keys.head)
     val keyCols = keys.map(col)
-    // nondeterministic: counting filters must not be deduplicated,
-    // reordered, or double-evaluated by the optimizer
-    val hotCounting = udf { (bn: Long) =>
-      val hot = bn > maxBucketSize
-      if (hot) collBuckets.add(1L)
-      hot
-    }.asNondeterministic()
     val over = banded.groupBy(keyCols: _*)
       .agg(count(lit(1)).as("bucket_n"))
-      .filter(hotCounting(col("bucket_n")))
+      .filter(col("bucket_n") > maxBucketSize)
       .select(keyCols: _*)
     val cold = banded.join(over, keys, "left_anti")
     val hotRows = banded.join(over, keys, "left_semi")
@@ -698,25 +716,39 @@ object Dedup {
     val groupKeys = keys :+ "__fk"
     // ONE aggregation yields both the representative id and its full
     // payload (min_by) per identical-content group — no second join
-    // back over the hot rows
+    // back over the hot rows. Collapse stats record HERE, once per
+    // identical-content group keyed (bucket, fineKey) with the exact
+    // collapsed count (group − 1) — last-write-wins, so re-evaluation
+    // by the stars and pairs branches cannot double-count.
+    // nondeterministic: recording calls must never be deduplicated,
+    // reordered, or constant-folded by the optimizer
+    val recordColl = udf { (bk: String, fk: String, gn: Long) =>
+      collAcc.add((bk + "\u0002" + fk, gn - 1L))
+      true
+    }.asNondeterministic()
     val repPayload = payload.map(p => min_by(col(p), col("id")).as(p))
     val reps = hotRows.groupBy(groupKeys.map(col): _*)
-      .agg(min(col("id")).as("__rep"), repPayload: _*)
+      .agg(min(col("id")).as("__rep"), count(lit(1)).as("__gn") +: repPayload: _*)
+      .withColumn("__recc",
+        recordColl(bucketKeyCol(keys), col("__fk").cast("string"), col("__gn")))
+      .filter(col("__recc"))
+      .drop("__gn", "__recc")
     val withRep = hotRows.select(
       (groupKeys.map(col) :+ col("id")) ++ payload.map(col): _*)
       .join(reps.select(groupKeys.map(col) :+ col("__rep"): _*), groupKeys)
-    val starCounting = udf { (isMember: Boolean) =>
-      if (isMember) collRows.add(1L)
-      isMember
-    }.asNondeterministic()
     val pairCols = Seq(col("id_a"), col("id_b")) ++
       payload.flatMap(p => Seq(col(s"${p}_a"), col(s"${p}_b")))
-    val stars = withRep.filter(starCounting(col("id") =!= col("__rep")))
+    val stars = withRep.filter(col("id") =!= col("__rep"))
       .select(Seq(col("__rep").as("id_a"), col("id").as("id_b")) ++
         payload.flatMap(p => Seq(col(p).as(s"${p}_a"), col(p).as(s"${p}_b"))): _*)
     // one row per identical-content group; cap DISTINCT contents per
-    // bucket so the rep join stays quadratic-bounded
-    val repKeep = rankCapUdf(maxBucketSize, dropRows, dropBuckets)
+    // bucket so the rep join stays quadratic-bounded. Drops record
+    // once per (sub-)bucket from its rank-1 row: exact overflow =
+    // max(0, reps − cap), same keyed dedup as above.
+    val recordDrop = udf { (bk: String, n: Long) =>
+      dropAcc.add((bk, math.max(0L, n - maxBucketSize)))
+      true
+    }.asNondeterministic()
     val slim = (keys :+ "id") ++ payload
     val repRows0 = reps.withColumnRenamed("__rep", "id")
     def pairJoin(rows: DataFrame, joinKeys: Seq[String]): DataFrame = {
@@ -730,11 +762,15 @@ object Dedup {
     val pairs = subKeys match {
       case None =>
         // rank-cap over-cap reps (WARN-counted loss)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(keyCols: _*).orderBy(col("id"))
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols: _*)
+        val w = wb.orderBy(col("id"))
         val repRows = repRows0
           .withColumn("__rank", row_number().over(w))
-          .filter(repKeep(col("__rank")))
+          .withColumn("__rn", count(lit(1)).over(wb))
+          .withColumn("__rec", when(col("__rank") === 1,
+            recordDrop(bucketKeyCol(keys), col("__rn"))).otherwise(lit(true)))
+          .filter(col("__rec") && col("__rank") <= maxBucketSize)
           .select(slim.map(col): _*)
         pairJoin(cold.select(slim.map(col): _*).unionByName(repRows), keys)
       case Some(sk) =>
@@ -750,11 +786,15 @@ object Dedup {
         val subKeyNames = keys ++ Seq("__si", "__sv")
         val exploded = repRows0.join(repHot, keys, "left_semi")
           .select(slim.map(col) :+ posexplode(sk).as(Seq("__si", "__sv")): _*)
-        val w2 = org.apache.spark.sql.expressions.Window
-          .partitionBy(subKeyNames.map(col): _*).orderBy(col("id"))
+        val w2b = org.apache.spark.sql.expressions.Window
+          .partitionBy(subKeyNames.map(col): _*)
+        val w2 = w2b.orderBy(col("id"))
         val subCapped = exploded
           .withColumn("__rank", row_number().over(w2))
-          .filter(repKeep(col("__rank")))
+          .withColumn("__rn", count(lit(1)).over(w2b))
+          .withColumn("__rec", when(col("__rank") === 1,
+            recordDrop(bucketKeyCol(subKeyNames), col("__rn"))).otherwise(lit(true)))
+          .filter(col("__rec") && col("__rank") <= maxBucketSize)
         pairJoin(cold.select(slim.map(col): _*).unionByName(repsCold), keys)
           .unionByName(pairJoin(subCapped, subKeyNames))
     }

@@ -441,6 +441,56 @@ class OperatorsSpec extends AnyFunSuite {
       s"rep overflow must be counted: ${Dedup.skewDrops}")
   }
 
+  test("skew/collapse metrics are EXACT under multi-branch evaluation") {
+    import spark.implicits._
+    // one hot bucket feeds BOTH join branches of bucketJoinPairs (the
+    // stars branch and the rep-pairs branch each re-evaluate the reps
+    // subplan) — r12's per-row accumulators over-counted 2-4× here;
+    // the keyed last-write-wins accumulators must report the TRUE tally
+    val banded = (
+      // hot bucket (0, 100): 10 rows = 6 of content A + 4 distinct
+      (0 until 6).map(i => (i.toLong, 0, 100L, 1L)) ++
+        Seq((10L, 0, 100L, 2L), (11L, 0, 100L, 3L),
+          (12L, 0, 100L, 4L), (13L, 0, 100L, 5L)) ++
+        // cold bucket (0, 200): 2 rows, untouched by the guard
+        Seq((20L, 0, 200L, 6L), (21L, 0, 200L, 7L))
+      ).toDF("id", "band", "bh", "fk")
+    // true tallies at cap 3: collapse = 10 rows − 5 groups = 5 in 1
+    // bucket; reps = 5 groups > cap 3 → 2 dropped in 1 bucket
+    Dedup.skewDropsReset()
+    val pairs = Dedup.bucketJoinPairs(
+      banded, Seq("band", "bh"), maxBucketSize = 3, fineKey = col("fk"))
+    pairs.count()
+    def totals(m: Map[String, (Long, Long)]): (Long, Long) =
+      m.values.foldLeft((0L, 0L)) { case ((r, b), (r2, b2)) => (r + r2, b + b2) }
+    assert(totals(Dedup.collapseStats) == ((5L, 1L)),
+      s"collapse must be exact: ${Dedup.collapseStats}")
+    assert(totals(Dedup.skewDrops) == ((2L, 1L)),
+      s"drops must be exact: ${Dedup.skewDrops}")
+    // a SECOND action over the same frame re-records the same keys —
+    // still exact (last-write-wins, not cumulative double-count)
+    pairs.count()
+    assert(totals(Dedup.collapseStats) == ((5L, 1L)), Dedup.collapseStats.toString)
+    assert(totals(Dedup.skewDrops) == ((2L, 1L)), Dedup.skewDrops.toString)
+
+    // collapseHotBuckets (the probe-side guard): 8 rows in one hot
+    // bucket = one group of 4 + four singletons → collapse 3, groups 5
+    // > cap 3 → 2 dropped; evaluated through a self-union (two
+    // branches) to prove branch-proofness there too
+    Dedup.skewDropsReset()
+    val banded2 = ((0 until 4).map(i => (i.toLong, 0, 100L, 1L)) ++
+      Seq((10L, 0, 100L, 2L), (11L, 0, 100L, 3L),
+        (12L, 0, 100L, 4L), (13L, 0, 100L, 5L)))
+      .toDF("id", "band", "bh", "fk")
+    val guarded = Dedup.collapseHotBuckets(
+      banded2, Seq("band", "bh"), maxBucketSize = 3, col("fk"), "spec")
+    guarded.unionAll(guarded).count()
+    assert(totals(Dedup.collapseStats) == ((3L, 1L)),
+      s"collapse must be exact across branches: ${Dedup.collapseStats}")
+    assert(totals(Dedup.skewDrops) == ((2L, 1L)),
+      s"drops must be exact across branches: ${Dedup.skewDrops}")
+  }
+
   test("PII: counts and redaction cover every pattern, clean text untouched") {
     val s = "mail a.b+c@x-corp.io from 192.168.1.44, ssn 123-45-6789, " +
       "tel 555-123-4567 or 555.123.4567"
