@@ -1637,5 +1637,52 @@ object Storage {
         .select(col("vec_id"), col("label"),
           element_at(col("embedding"), 1).cast("double").as("e0"),
           size(col("embedding")).cast("bigint").as("dim"))
+    },
+
+    // ---- Hudi COW migration: a synthetic Hudi timeline + file-group
+    // layout built from `orders` — one file group carries a STALE
+    // older version (poisoned prices) and one base file belongs to an
+    // INFLIGHT instant (extra keys); the migrated table hash-matches
+    // the oracle only if latest-completed-per-group selection is
+    // right on both counts (reference: HudiFileIndex
+    // getLatestBaseFiles over completed instants).
+    QDef(
+      "g67_hudi_migrate",
+      """SELECT o_orderkey AS k, o_orderstatus AS st,
+        |  CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          round(col("o_totalprice"), 2).cast("double").as("price"))
+      val root = java.nio.file.Paths.get(scratch("g67src")).getParent
+      val hoodie = root.resolve(".hoodie")
+      java.nio.file.Files.createDirectories(hoodie)
+      java.nio.file.Files.write(hoodie.resolve("hoodie.properties"),
+        "hoodie.table.type=COPY_ON_WRITE\n".getBytes)
+      Seq("20240101000000.commit", "20240102000000.commit").foreach(n =>
+        java.nio.file.Files.write(hoodie.resolve(n), Array.emptyByteArray))
+      def writeOne(df: DataFrame, rel: String): Unit = {
+        val tmpd = scratch("g67one")
+        df.coalesce(1).write.parquet(tmpd)
+        val part = graft.core.FsUtil.walkAll(java.nio.file.Paths.get(tmpd))
+          .find(p => p.toString.endsWith(".parquet") &&
+            java.nio.file.Files.isRegularFile(p)).get
+        val dst = root.resolve(rel)
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.move(part, dst)
+      }
+      src.select(col("st")).distinct().collect().map(_.getString(0)).sorted
+        .zipWithIndex.foreach { case (status, i) =>
+          val slice = src.filter(col("st") === status).drop("st")
+          // stale older version of the same file group: poisoned data
+          writeOne(slice.withColumn("price", lit(-1.0)),
+            s"st=$status/fg$i-0_1-0-1_20240101000000.parquet")
+          writeOne(slice, s"st=$status/fg$i-0_1-0-2_20240102000000.parquet")
+        }
+      // inflight instant (no completed .commit): must be skipped
+      writeOne(src.limit(5).drop("st").withColumn("k", col("k") + 1000000L),
+        s"st=O/fgx-0_1-0-1_20240103000000.parquet")
+      val t = GraftTable.migrateHudi(s, root.toString, scratch("g67"))
+      t.read.select(col("k"), col("st"), asDouble(col("price")).as("price"))
     })
 }

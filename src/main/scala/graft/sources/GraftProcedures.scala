@@ -375,6 +375,17 @@ object GraftProcedures {
           args.getUTF8String(1).toString, c.pathOf(ident))
         "ok"
       }),
+    // adopt a Hudi COPY_ON_WRITE table: latest completed base file per
+    // file group, no rewrite (reference: HudiHiveCloneExtractor /
+    // HudiFileIndex — rejects MERGE_ON_READ)
+    "migrate_hudi_table" -> (Seq(p("table", StringType), p("source_dir", StringType)),
+      (c, args) => {
+        val parts = args.getUTF8String(0).toString.split("\\.")
+        val ident = Identifier.of(parts.dropRight(1), parts.last)
+        GraftTable.migrateHudi(SparkSession.active,
+          args.getUTF8String(1).toString, c.pathOf(ident))
+        "ok"
+      }),
     // migrate every parquet directory under source_root into tables of
     // `database`, one table per subdirectory (reference:
     // MigrateDatabaseProcedure).

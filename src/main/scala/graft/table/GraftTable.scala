@@ -5433,6 +5433,98 @@ object GraftTable {
   def exists(path: String): Boolean =
     new SnapshotManager(path).latestSchema().isDefined
 
+  /** Adopt a HUDI copy-on-write table as a graft table WITHOUT
+    * rewriting data: walk the commit timeline under `.hoodie/`,
+    * select the LATEST completed base file per file group (Hudi base
+    * name shape `<fileId>_<writeToken>_<instantTime>.parquet`), and
+    * adopt those files through the normal staged two-phase commit
+    * (reference: paimon-hudi/HudiHiveCloneExtractor.java:121-124
+    * requires COPY_ON_WRITE; HudiFileIndex.java:163-170 takes
+    * getLatestBaseFiles() over the completed-instants timeline view).
+    *
+    * v1 scope mirrors the reference's rejections: MERGE_ON_READ (or
+    * any `.log.` delta present) is rejected — compact the Hudi table
+    * first; `replacecommit` instants (clustering / insert-overwrite)
+    * are rejected rather than risking resurrecting replaced file
+    * groups. Base files of INFLIGHT instants (no completed `.commit`)
+    * are skipped, so a crashed Hudi writer cannot leak half-committed
+    * data into the migrated table. Hive-style `k=v` partition dirs
+    * become partition keys; Hudi's `_hoodie_*` meta columns ride
+    * along unchanged (reuse means no rewrite to strip them). */
+  def migrateHudi(
+      spark: SparkSession,
+      hudiDir: String,
+      path: String,
+      options: Map[String, String] = Map.empty): GraftTable = {
+    val root = Paths.get(hudiDir)
+    val hoodie = root.resolve(".hoodie")
+    require(Files.isDirectory(hoodie),
+      s"no .hoodie timeline under $hudiDir — not a Hudi table")
+    val props = new java.util.Properties()
+    val pf = hoodie.resolve("hoodie.properties")
+    if (Files.exists(pf)) {
+      val in = Files.newInputStream(pf)
+      try props.load(in) finally in.close()
+    }
+    val ttype = props.getProperty("hoodie.table.type", "COPY_ON_WRITE")
+    require(ttype == "COPY_ON_WRITE",
+      s"migrateHudi supports COPY_ON_WRITE tables, got $ttype " +
+        "(compact MERGE_ON_READ log files into base files first)")
+    // completed instants; pre-1.0 names <instant>.commit, 1.0+ adds a
+    // completion time: <instant>_<completion>.commit
+    val timelineNames = graft.core.FsUtil.walkAll(hoodie).iterator
+      .filter(Files.isRegularFile(_)).map(_.getFileName.toString).toSeq
+    require(!timelineNames.exists(_.endsWith(".replacecommit")),
+      "migrateHudi: replacecommit instants (clustering/insert-overwrite) " +
+        "are not supported — replaced file groups cannot be told apart")
+    val CommitRe = """^(\d+)(?:_\d+)?\.commit$""".r
+    val completed: Set[String] = timelineNames.collect {
+      case CommitRe(instant) => instant
+    }.toSet
+    require(completed.nonEmpty, s"no completed commits in $hudiDir")
+    val allFiles = graft.core.FsUtil.walkAll(root).iterator
+      .filter(p => Files.isRegularFile(p) && !p.startsWith(hoodie))
+      .toSeq
+    // Hudi log deltas are DOT-prefixed (.<fileId>_<instant>.log.<v>_…)
+    // — detect them before the hidden-file filter would hide them
+    require(!allFiles.exists(_.getFileName.toString.contains(".log.")),
+      "migrateHudi: MERGE_ON_READ log deltas present — compact first")
+    val allData = allFiles.filterNot(_.getFileName.toString.startsWith("."))
+    // latest completed base file per (partition dir, file group)
+    val BaseRe = """^(.+)_([0-9\-]+)_(\d+)\.parquet$""".r
+    val selected = allData.flatMap { p =>
+      p.getFileName.toString match {
+        case BaseRe(fileId, _, instant) if completed.contains(instant) =>
+          Some(((p.getParent, fileId), (instant, p)))
+        case _ => None
+      }
+    }.groupBy(_._1).values.map(_.maxBy(_._2._1)._2._2).toSeq
+    require(selected.nonEmpty, s"no committed base files under $hudiDir")
+    // Hive-style partition layout, like migrate()
+    val partDirs = selected.map(f =>
+      root.relativize(f).iterator().asScala.toSeq.dropRight(1)
+        .map(_.toString).filter(_.contains("=")).map(_.split("=", 2)(0)))
+    val partitionKeys = partDirs.head
+    require(partDirs.forall(_ == partitionKeys),
+      "inconsistent partition directory layout")
+    // schema from the SELECTED files only (older file-group versions
+    // must not contribute); basePath re-infers the partition columns
+    val full = spark.read.option("basePath", hudiDir)
+      .option("mergeSchema", "true")
+      .parquet(selected.map(_.toString): _*).schema
+    val t = create(spark, path, full, partitionKeys = partitionKeys,
+      primaryKeys = Seq.empty, options = options)
+    val staging = s"$path/staging/migrate-hudi-${UUID.randomUUID()}"
+    selected.foreach { f =>
+      val dst = Paths.get(staging).resolve(root.relativize(f))
+      Files.createDirectories(dst.getParent)
+      Files.copy(f, dst)
+    }
+    t.commitStagedDir(staging, t.schema, KindAppend,
+      seqBase = 0L, commitIdentifier = -1L, _ => Seq.empty)
+    t
+  }
+
   /** Adopt an ICEBERG table (Hadoop layout: metadata/version-hint.text
     * → v*.metadata.json → Avro manifest list/manifests) as a graft
     * table, reading its metadata with the same generic walker the

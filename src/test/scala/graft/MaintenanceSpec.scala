@@ -52,6 +52,73 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(spark.read.parquet(srcDir).count() == 60L)
   }
 
+  test("migrateHudi adopts a COW table: latest base per file group, inflight skipped") {
+    import spark.implicits._
+    import java.nio.file.Paths
+    def writeOne(df: DataFrame, target: java.nio.file.Path): Unit = {
+      val tmpd = Files.createTempDirectory("graft-hudi-one").toString + "/d"
+      df.coalesce(1).write.parquet(tmpd)
+      val part = graft.core.FsUtil.walkAll(Paths.get(tmpd)).iterator
+        .find(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p)).get
+      Files.createDirectories(target.getParent)
+      Files.move(part, target)
+    }
+    def mkTimeline(root: java.nio.file.Path, names: Seq[String],
+        tableType: String = "COPY_ON_WRITE"): Unit = {
+      val hoodie = root.resolve(".hoodie")
+      Files.createDirectories(hoodie)
+      Files.write(hoodie.resolve("hoodie.properties"),
+        s"hoodie.table.type=$tableType\nhoodie.table.name=src\n".getBytes)
+      names.foreach(n => Files.write(hoodie.resolve(n), Array.emptyByteArray))
+    }
+    val src = Paths.get(Files.createTempDirectory("graft-hudi-src").toString, "src")
+    mkTimeline(src, Seq("20240101000000.commit", "20240102000000.commit"))
+    // file group fg1 has TWO completed versions — only the newer counts
+    writeOne((0L until 10L).map(i => (i, s"old$i")).toDF("k", "v"),
+      src.resolve("p=a/fg1-0_1-0-1_20240101000000.parquet"))
+    writeOne((0L until 10L).map(i => (i, s"new$i")).toDF("k", "v"),
+      src.resolve("p=a/fg1-0_1-0-2_20240102000000.parquet"))
+    writeOne((10L until 20L).map(i => (i, s"b$i")).toDF("k", "v"),
+      src.resolve("p=a/fg2-0_1-0-1_20240101000000.parquet"))
+    writeOne((20L until 30L).map(i => (i, s"c$i")).toDF("k", "v"),
+      src.resolve("p=b/fg3-0_1-0-1_20240102000000.parquet"))
+    // an INFLIGHT instant's base file must be skipped (crashed writer)
+    writeOne(Seq((99L, "uncommitted")).toDF("k", "v"),
+      src.resolve("p=b/fg4-0_1-0-1_20240103000000.parquet"))
+    val t = GraftTable.migrateHudi(spark, src.toString, tmp())
+    assert(t.schema.partitionKeys == Seq("p"))
+    val got = t.read.select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 30, s"latest-per-group + committed-only, got ${got.size}")
+    assert(got(3L) == "new3", "newer completed base file must supersede")
+    assert(!got.contains(99L), "inflight base file must be skipped")
+    // partition pruning works on the adopted layout
+    val b = t.scan(col("p") === "b")
+    assert(b.count() == 10L && b.inputFiles.forall(_.contains("p=b")))
+    // source untouched
+    assert(Files.exists(src.resolve("p=a/fg1-0_1-0-1_20240101000000.parquet")))
+
+    // rejections mirror the reference: MOR type, log deltas, replacecommit
+    val mor = Paths.get(Files.createTempDirectory("graft-hudi-mor").toString, "src")
+    mkTimeline(mor, Seq("20240101000000.commit"), tableType = "MERGE_ON_READ")
+    val e1 = intercept[IllegalArgumentException](
+      GraftTable.migrateHudi(spark, mor.toString, tmp()))
+    assert(e1.getMessage.contains("COPY_ON_WRITE"), e1.getMessage)
+    val rc = Paths.get(Files.createTempDirectory("graft-hudi-rc").toString, "src")
+    mkTimeline(rc, Seq("20240101000000.commit", "20240102000000.replacecommit"))
+    val e2 = intercept[IllegalArgumentException](
+      GraftTable.migrateHudi(spark, rc.toString, tmp()))
+    assert(e2.getMessage.contains("replacecommit"), e2.getMessage)
+    val lg = Paths.get(Files.createTempDirectory("graft-hudi-lg").toString, "src")
+    mkTimeline(lg, Seq("20240101000000.commit"))
+    writeOne(Seq((1L, "x")).toDF("k", "v"),
+      lg.resolve("fg1-0_1-0-1_20240101000000.parquet"))
+    Files.write(lg.resolve(".fg1-0_20240101000000.log.1_1-0-1"), Array[Byte](1))
+    val e3 = intercept[IllegalArgumentException](
+      GraftTable.migrateHudi(spark, lg.toString, tmp()))
+    assert(e3.getMessage.contains("log deltas"), e3.getMessage)
+  }
+
   test("rescale re-buckets a PK table once; reads, lookups and upserts follow") {
     val kv = StructType(Seq(
       StructField("k", LongType, nullable = false),
