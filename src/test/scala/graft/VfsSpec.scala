@@ -1,0 +1,94 @@
+package graft
+
+import graft.table.GraftTable
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** gvfs:// virtual Hadoop FileSystem over catalog-managed tables
+  * (reference: paimon-vfs PaimonVirtualFileSystem) — listing and
+  * reading through the scheme must match direct storage access, and
+  * spark.read over a gvfs:// path must equal the catalog read. */
+class VfsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sch = StructType(Seq(
+    StructField("k", LongType, nullable = false),
+    StructField("v", StringType, nullable = true)))
+
+  private def df(rows: (Long, String)*) = spark.createDataFrame(
+    rows.map(r => Row(r._1, r._2)).asJava, sch)
+
+  private def hconf = spark.sparkContext.hadoopConfiguration
+
+  test("warehouse catalog: list catalog/db/table, read files, spark.read matches") {
+    val wh = Files.createTempDirectory("graft-vfs-wh").toString
+    hconf.set("fs.gvfs.impl", classOf[graft.sources.GraftVirtualFileSystem].getName)
+    hconf.set("fs.gvfs.catalog.vcat.warehouse", wh)
+    val t = GraftTable.create(spark, s"$wh/db1/orders", sch)
+    t.write(df((1L, "a"), (2L, "b")))
+    t.write(df((3L, "c")))
+    GraftTable.create(spark, s"$wh/db1/other", sch).write(df((9L, "z")))
+
+    val fs = new org.apache.hadoop.fs.Path("gvfs://vcat/").getFileSystem(hconf)
+    // catalog root lists databases; db lists tables
+    val dbs = fs.listStatus(new org.apache.hadoop.fs.Path("gvfs://vcat/"))
+      .map(_.getPath.getName).toSet
+    assert(dbs == Set("db1"), dbs.toString)
+    val tables = fs.listStatus(new org.apache.hadoop.fs.Path("gvfs://vcat/db1"))
+      .map(_.getPath.getName).toSet
+    assert(tables == Set("orders", "other"), tables.toString)
+    // table level delegates to physical storage, paths stay virtual
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path("gvfs://vcat/db1/orders"))
+    assert(entries.forall(_.getPath.toString.startsWith("gvfs://vcat/db1/orders/")),
+      entries.map(_.getPath).mkString(","))
+    assert(entries.exists(e => e.isDirectory && e.getPath.getName == "data"))
+    // a data file read through the scheme equals the physical bytes
+    val dataFiles = fs.listStatus(
+      new org.apache.hadoop.fs.Path("gvfs://vcat/db1/orders/data"))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    assert(dataFiles.length >= 2, "two commits -> at least two data files")
+    val in = fs.open(dataFiles.head.getPath)
+    val viaVfs = in.readAllBytes(); in.close()
+    val phys = java.nio.file.Paths.get(
+      s"$wh/db1/orders/data/${dataFiles.head.getPath.getName}")
+    assert(java.util.Arrays.equals(viaVfs, Files.readAllBytes(phys)))
+    // spark.read over the scheme equals the catalog read
+    val got = spark.read.parquet("gvfs://vcat/db1/orders/data")
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val direct = t.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == direct, s"vfs read $got != catalog read $direct")
+    // the view is read-path only
+    val e = intercept[java.io.IOException](
+      fs.create(new org.apache.hadoop.fs.Path("gvfs://vcat/db1/orders/data/x")))
+    assert(e.getMessage.contains("read-path"), e.getMessage)
+    intercept[java.io.FileNotFoundException](
+      fs.getFileStatus(new org.apache.hadoop.fs.Path("gvfs://vcat/db1/nosuch")))
+  }
+
+  test("REST catalog: gvfs resolves table paths through the endpoint") {
+    val wh = Files.createTempDirectory("graft-vfs-rest").toString
+    val server = graft.sources.GraftRestServer.start(wh, token = "s3cret")
+    try {
+      val t = GraftTable.create(spark, s"$wh/ns/ev", sch)
+      t.write(df((7L, "x"), (8L, "y")))
+      hconf.set("fs.gvfs.impl", classOf[graft.sources.GraftVirtualFileSystem].getName)
+      hconf.set("fs.gvfs.catalog.rcat.rest.uri", server.uri)
+      hconf.set("fs.gvfs.catalog.rcat.rest.token", "s3cret")
+      val fs = new org.apache.hadoop.fs.Path("gvfs://rcat/").getFileSystem(hconf)
+      val tables = fs.listStatus(new org.apache.hadoop.fs.Path("gvfs://rcat/ns"))
+        .map(_.getPath.getName).toSet
+      assert(tables.contains("ev"), tables.toString)
+      val got = spark.read.parquet("gvfs://rcat/ns/ev/data")
+        .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((7L, "x"), (8L, "y")), got.toString)
+    } finally server.stop()
+  }
+}
