@@ -5374,9 +5374,31 @@ object GraftTable {
       require(ts.postponeBucketNum > 0,
         "postpone.default-bucket-num must be positive")
     }
+    if (ts.fileFormat == "lance") warnLanceInterop(path)
     sm.writeSchema(ts)
     new GraftTable(spark, path, sm)
   }
+
+  /** Paths already warned about lance interop (one WARN per table per
+    * JVM; test-visible so the spec can assert the warning fires). */
+  private[graft] val lanceInteropWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** `file.format=lance` here is a JVM re-expression of the Lance
+    * CAPABILITY (random-access columnar blocks — GRLANCE1,
+    * LanceStorage.scala), NOT byte-compatible Lance v2: external
+    * lancedb/pylance tooling cannot read these files (the reference
+    * wraps the native library via JNI, which a pure-JVM build cannot
+    * link). A user picking `lance` for ECOSYSTEM interop must hear
+    * that up front, not discover silently incompatible files later —
+    * the Arrow export path (ArrowInterchange) is the interop route. */
+  private def warnLanceInterop(path: String): Unit =
+    if (lanceInteropWarned.add(path))
+      org.slf4j.LoggerFactory.getLogger("graft.GraftTable").warn(
+        s"table $path uses file.format=lance: graft's GRLANCE1 layout " +
+          "delivers Lance-style random access INSIDE this engine but is " +
+          "NOT readable by lancedb/pylance tooling; for cross-ecosystem " +
+          "interop export via ArrowInterchange (see README 'Lance interop')")
 
   def load(spark: SparkSession, path: String): GraftTable = {
     val sm = new SnapshotManager(path)

@@ -156,6 +156,24 @@ class LanceFormatSpec extends AnyFunSuite {
     assert(got == 399L) // 1101..1499
   }
 
+  test("interop warning fires exactly once per lance table") {
+    val path = tmp("lance-warn")
+    val sch = StructType(Seq(StructField("k", LongType, nullable = false)))
+    val before = GraftTable.lanceInteropWarned.size()
+    val p1 = s"$path/t1"
+    GraftTable.create(spark, p1, sch, options = Map("file.format" -> "lance"))
+    assert(GraftTable.lanceInteropWarned.contains(p1),
+      "creating a lance table must warn that GRLANCE1 is not lancedb-readable")
+    assert(GraftTable.lanceInteropWarned.size() == before + 1)
+    // a second lance table warns again (its own once)...
+    GraftTable.create(spark, s"$path/t2", sch,
+      options = Map("file.format" -> "lance"))
+    assert(GraftTable.lanceInteropWarned.size() == before + 2)
+    // ...but a parquet table never does
+    GraftTable.create(spark, s"$path/t3", sch)
+    assert(GraftTable.lanceInteropWarned.size() == before + 2)
+  }
+
   test("table integration: PK upsert merge over lance files") {
     val path = tmp("lance-pk")
     val sch = StructType(Seq(
