@@ -683,9 +683,21 @@ final class GraftTable private (
         Some(raw.select((pkCols ++ parts.map(col) :+
           bootGseq.as("__gseq") :+ col(SeqCol).as("__cseq")): _*))
       }
-    val latest = idxAll.map(idx => collapseIndex(idx, sch)
-      .select((pkCols ++ parts.map(c => col(c).as(s"__old_$c")) :+
-        lit(true).as("__old_exists")).toIndexedSeq: _*))
+    // routing-join broadcast gate: bytes of the files the index side
+    // actually reads — persisted index sidecars, or the live data
+    // files when bootstrapping (Spark's estimate through collapseIndex
+    // aggregation is unusable). Same manifest-bytes policy as the
+    // lookup join and MERGE INTO.
+    val idxBytes: Long =
+      if (prevFiles.nonEmpty)
+        prevFiles.map(f => scala.util.Try(Files.size(Paths.get(s"$path/$f")))
+          .getOrElse(Long.MaxValue / 1024)).sum
+      else live.map(_.file.fileSize).sum
+    val latest = idxAll.map(idx => sizeGatedBuildSide(
+      collapseIndex(idx, sch)
+        .select((pkCols ++ parts.map(c => col(c).as(s"__old_$c")) :+
+          lit(true).as("__old_exists")).toIndexedSeq: _*),
+      idxBytes, "cross-partition-routing"))
 
     val dataOut = batch.withColumn(SeqCol, lit(base + 1))
     val (unioned, joinPinned) = latest match {
@@ -4865,6 +4877,28 @@ final class GraftTable private (
     finally src.unpersist()
   }
 
+  /** Manifest-bytes broadcast gate shared by the MERGE INTO target
+    * slice and the cross-partition routing join — the SAME policy the
+    * streaming lookup join applies (GraftStreaming.lookupJoin): bytes
+    * from the manifests' exact per-file sizes, never a row count or
+    * Spark's post-transform estimate (which degrades through merge
+    * aggregations and can let AQE broadcast a slice that decompresses
+    * to several× its on-disk bytes). Under the threshold the side
+    * broadcasts; over it the join is PINNED to sort-merge — safe for
+    * two arbitrarily large sides, unlike a shuffle-hash build.
+    * Threshold: `join.broadcast-max-bytes` (default 64 MB, mirroring
+    * lookupJoin's default). */
+  private def sizeGatedBuildSide(
+      df: DataFrame, estBytes: Long, site: String): DataFrame = {
+    val maxBytes = schema.options.get("join.broadcast-max-bytes")
+      .map(GraftTable.parseBytes).getOrElse(64L << 20)
+    val bc = estBytes <= maxBytes
+    if (GraftTable.joinGateDecisions.size() > 64)
+      GraftTable.joinGateDecisions.clear()
+    GraftTable.joinGateDecisions.add((site, estBytes, bc))
+    if (bc) broadcast(df) else df.hint("merge")
+  }
+
   /** Live entries that can hold rows whose primary-key values appear
     * in `src` — bucket pruning shared by MERGE INTO and the streaming
     * partial lookup join (reference intent:
@@ -4909,8 +4943,16 @@ final class GraftTable private (
     // scan, not 100%. Unmatched target rows are never rewritten, so
     // skipping their files is safe.
     val touched = entriesForKeys(src)
-    val tgt = mergedFromEntries(touched)
-      .select(cols.map(c => col(c).as(s"__t_$c")).toIndexedSeq: _*)
+    // manifest-bytes broadcast gate, same policy as the streaming
+    // lookup join: Spark's own estimate of the merged slice degrades
+    // through the merge aggregation, so decide from the EXACT file
+    // sizes the manifests carry — broadcast a small touched slice,
+    // pin sort-merge for a wide one (a mis-broadcast decompresses to
+    // several× the on-disk bytes and OOMs at scale)
+    val tgt = sizeGatedBuildSide(
+      mergedFromEntries(touched)
+        .select(cols.map(c => col(c).as(s"__t_$c")).toIndexedSeq: _*),
+      touched.map(_.file.fileSize).sum, "merge-into")
     val joined = src.join(tgt,
       pk.map(k => col(k) === col(s"__t_$k")).reduce(_ && _), "left_outer")
     val matched = col(s"__t_${pk.head}").isNotNull
@@ -5378,6 +5420,12 @@ object GraftTable {
     sm.writeSchema(ts)
     new GraftTable(spark, path, sm)
   }
+
+  /** Test-visible record of manifest-bytes broadcast-gate decisions:
+    * (site, estimated bytes, broadcast chosen). Bounded; cleared past
+    * 64 entries. */
+  private[graft] val joinGateDecisions =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Boolean)]()
 
   /** Paths already warned about lance interop (one WARN per table per
     * JVM; test-visible so the spec can assert the warning fires). */

@@ -57,6 +57,33 @@ class CrossPartitionSpec extends AnyFunSuite {
     assert(t.read.filter(col("k") === 1L).head.getDouble(2) == 101.0)
   }
 
+  test("routing join vetoes broadcast by manifest bytes for a wide index") {
+    // the same manifest-bytes policy as the streaming lookup join:
+    // under the threshold the index side broadcasts, over it the join
+    // pins sort-merge (an AQE mis-broadcast of a billion-key index
+    // would OOM at scale)
+    val t = mk(Map("join.broadcast-max-bytes" -> "1")) // everything is "wide"
+    t.write(df((1L to 10L).map(k => (k, "A", k.toDouble, 1L)): _*))
+    GraftTable.joinGateDecisions.clear()
+    t.write(df((1L, "B", 101.0, 2L), (11L, "B", 11.0, 1L)))
+    val shuffled = GraftTable.joinGateDecisions.asScala
+      .filter(_._1 == "cross-partition-routing").toSeq
+    assert(shuffled.nonEmpty && shuffled.forall(!_._3),
+      s"a wide index slice must not broadcast: $shuffled")
+    // and the move is still correct through the sort-merge path
+    val all = t.read.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(all(1L) == "B" && all(11L) == "B" && all(2L) == "A")
+
+    // default threshold: the tiny index broadcasts
+    val t2 = mk()
+    t2.write(df((1L to 5L).map(k => (k, "A", k.toDouble, 1L)): _*))
+    GraftTable.joinGateDecisions.clear()
+    t2.write(df((1L, "B", 9.0, 2L)))
+    val bc = GraftTable.joinGateDecisions.asScala
+      .filter(_._1 == "cross-partition-routing").toSeq
+    assert(bc.nonEmpty && bc.forall(_._3), s"small index should broadcast: $bc")
+  }
+
   test("partition predicates prune files again (the index makes it safe)") {
     val t = mk()
     t.write(df((1L to 6L).map(k => (k, "A", k.toDouble, 1L)): _*))

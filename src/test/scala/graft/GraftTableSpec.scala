@@ -140,6 +140,34 @@ class GraftTableSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "a2"), (3L, "c"), (4L, "d")))
   }
 
+  test("merge into gates the target-slice broadcast by manifest bytes") {
+    import scala.jdk.CollectionConverters._
+    // wide slice (threshold 1 byte): the touched target must NOT
+    // broadcast — the join pins sort-merge and still merges correctly
+    val t = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq",
+        "join.broadcast-max-bytes" -> "1"))
+    t.write(kvDf((1L, "a", 10L, 1L), (2L, "b", 20L, 1L)))
+    GraftTable.joinGateDecisions.clear()
+    t.mergeInto(kvDf((1L, "a2", 11L, 2L), (3L, "c", 30L, 2L)))
+    val wide = GraftTable.joinGateDecisions.asScala
+      .filter(_._1 == "merge-into").toSeq
+    assert(wide.nonEmpty && wide.forall(!_._3),
+      s"a wide target slice must not broadcast: $wide")
+    val got = t.read.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a2"), (2L, "b"), (3L, "c")))
+    // default threshold: the small touched slice broadcasts
+    val t2 = GraftTable.create(spark, tmp(), kvSchema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
+    t2.write(kvDf((1L, "a", 10L, 1L)))
+    GraftTable.joinGateDecisions.clear()
+    t2.mergeInto(kvDf((1L, "a2", 11L, 2L)))
+    val small = GraftTable.joinGateDecisions.asScala
+      .filter(_._1 == "merge-into").toSeq
+    assert(small.nonEmpty && small.forall(_._3),
+      s"a small touched slice should broadcast: $small")
+  }
+
   test("merge into computes its source exactly once") {
     val t = GraftTable.create(spark, tmp(), kvSchema,
       primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
