@@ -1358,10 +1358,15 @@ final class GraftTable private (
     val out = clusterForWrite(
       enforceCharVarchar(df, sch)
         .select(sch.toStruct.fieldNames.map(col).toIndexedSeq: _*), sch)
+    // partitions live before an overwrite commit — captured inside the
+    // deletes closure (which runs under the commit) so the post-commit
+    // HMS drop mirror diffs the exact set the overwrite replaced
+    var beforeParts: Set[Map[String, String]] = Set.empty
     val deletes: Seq[ManifestEntry] => Seq[ManifestEntry] = added => {
       if (!overwrite) Seq.empty
       else {
         val live = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
+        beforeParts = live.map(_.partition).toSet
         val newParts = added.map(_.partition).toSet
         // dynamic-partition-overwrite=false (reference: CoreOptions
         // DYNAMIC_PARTITION_OVERWRITE, default true): INSERT OVERWRITE
@@ -1375,8 +1380,20 @@ final class GraftTable private (
         victims.map(_.copy(kind = "DELETE"))
       }
     }
-    commitFilesFn(out, sch, sch.partitionKeys,
+    val id = commitFilesFn(out, sch, sch.partitionKeys,
       if (overwrite) KindOverwrite else KindAppend, base, commitIdentifier, deletes)
+    // a STATIC overwrite (or an empty overwrite batch) removes every
+    // partition absent from the batch — those disappearances must
+    // mirror to HMS like the expire/drop-partition paths do, or
+    // Hive-side tooling keeps seeing dead partitions until a manual
+    // sys.sync_hms_partitions (dynamic overwrite only ever REPLACES
+    // partitions present in the batch, so this diff is empty there)
+    if (overwrite && sch.partitionKeys.nonEmpty) {
+      val nowParts = sm.latestSnapshot()
+        .map(sm.liveEntries(_).map(_.partition).toSet).getOrElse(Set.empty)
+      mirrorHmsDrops((beforeParts -- nowParts).toSeq)
+    }
+    id
   }
 
   private def commitFiles(

@@ -154,6 +154,31 @@ class HmsCatalogSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("static overwrite mirrors emptied partitions into HMS") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS hcat.ow")
+    spark.sql("""CREATE TABLE hcat.ow.t_h
+                |(k BIGINT, dt STRING)
+                |PARTITIONED BY (dt)
+                |TBLPROPERTIES ('metastore.partitioned-table'='true',
+                |  'dynamic-partition-overwrite'='false')""".stripMargin)
+    spark.sql("INSERT INTO hcat.ow.t_h VALUES (1, 'a'), (2, 'b')")
+    // static overwrite writing only 'a': partition 'b' is removed from
+    // the table and must disappear from HMS too
+    spark.sql("INSERT OVERWRITE hcat.ow.t_h VALUES (3, 'a')")
+    val c = HmsBridge.client(hmsOpts)
+    try {
+      val parts = c.listPartitions("ow", "t_h", (-1): Short)
+        .asScala.map(_.getValues.asScala.head).toSeq
+      assert(parts == Seq("a"),
+        s"emptied partition must drop from HMS, got $parts")
+    } finally c.close()
+    // HMS is fully consistent: the repair procedure finds nothing to fix
+    val msg = spark.sql("CALL hcat.sys.sync_hms_partitions('ow.t_h')")
+      .head.getString(0)
+    assert(msg == "added 0, dropped 0 HMS partitions", msg)
+  }
+
   test("drop + recreate starts the partition cache cold (no stale skips)") {
     registerCatalog()
     spark.sql("CREATE NAMESPACE IF NOT EXISTS hcat.cc")
