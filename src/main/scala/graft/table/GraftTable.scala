@@ -1276,8 +1276,9 @@ final class GraftTable private (
   }
 
   /** Diagnostic: the sidecar files the last dynamic-bucket assignment
-    * actually probed (what the pruning let through). */
-  private[graft] var lastDynProbeFiles: Seq[String] = Seq.empty
+    * actually probed (what the pruning let through). Volatile: test
+    * observability only, read from other threads than the writer. */
+  @volatile private[graft] var lastDynProbeFiles: Seq[String] = Seq.empty
 
   /** Partition scoping is only sound when a primary key is pinned to
     * one partition (partition keys ⊆ primary keys); otherwise a key
