@@ -206,8 +206,11 @@ class TypeSupportSpec extends AnyFunSuite {
       StructField("tag", VarcharType(3), nullable = true))),
       options = Map(GraftTable.RowTrackingEnabled -> "true"))
     t.write(Seq((1L, "ab", "x"), (2L, "cd", "y")).toDF("id", "code", "tag"))
-    // patch row 0's CHAR column with an unpadded value: must land padded
-    t.patchColumn("code", Seq((0L, "zz")).toDF(GraftTable.RowIdCol, "code"))
+    // patch id=1's CHAR column with an unpadded value: must land padded
+    // (row ids are assignment-ordered, not id-ordered — look it up)
+    val rid1 = t.readWithRowIds().filter(col("id") === 1L)
+      .select(GraftTable.RowIdCol).head.getLong(0)
+    t.patchColumn("code", Seq((rid1, "zz")).toDF(GraftTable.RowIdCol, "code"))
     val got = t.read.orderBy("id").collect()
     assert(got(0).getString(1) == "zz  ",
       s"patched CHAR must store padded, got '${got(0).getString(1)}'")
