@@ -1684,5 +1684,33 @@ object Storage {
         s"st=O/fgx-0_1-0-1_20240103000000.parquet")
       val t = GraftTable.migrateHudi(s, root.toString, scratch("g67"))
       t.read.select(col("k"), col("st"), asDouble(col("price")).as("price"))
+    },
+
+    // ---- JDBC catalog: DDL mirrored into a real embedded-Derby
+    // registry (reference: jdbc/JdbcCatalog) — the table is created
+    // and written through one catalog handle, REGISTERED out-of-band
+    // at an external path, then read through the registry's
+    // read-through resolution; a broken registry write, path
+    // resolution, or lock serialization surfaces as a wrong hash.
+    QDef(
+      "g68_jdbc_catalog",
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(ROUND(c_acctbal, 2) AS DOUBLE) AS bal
+        |FROM customer WHERE c_custkey % 5 = 0""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "customer").filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal"), 2).cast("double").as("bal"))
+      val ext = Files.createTempDirectory("graft-g68-ext").toString + "/cust_ext"
+      val gt = GraftTable.create(s, ext, src.schema)
+      gt.write(src)
+      val wh = Files.createTempDirectory("graft-g68-wh").toString
+      val uri = s"jdbc:derby:${Files.createTempDirectory("graft-g68-db")}/cat;create=true"
+      graft.sources.JdbcBridge.init(uri)
+      graft.sources.JdbcBridge.registerTable(uri, "graft", "reg", "cust_ext", ext)
+      s.conf.set("spark.sql.catalog.graft_g68", "graft.sources.GraftJdbcCatalog")
+      s.conf.set("spark.sql.catalog.graft_g68.warehouse", wh)
+      s.conf.set("spark.sql.catalog.graft_g68.uri", uri)
+      s.sql("""SELECT c_custkey, c_mktsegment, bal
+              |FROM graft_g68.reg.cust_ext""".stripMargin)
     })
 }

@@ -1,0 +1,363 @@
+package graft.sources
+
+import graft.table.GraftTable
+import java.sql.{Connection, DriverManager, SQLException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** JDBC-backed catalog registry + distributed locks (reference:
+  * paimon-core jdbc/JdbcCatalog.java:77 + JdbcUtils.java table DDL +
+  * AbstractDistributedLockDialect.java lock protocol): table and
+  * database metadata live in THREE relational tables —
+  * `graft_tables(catalog_key, database_name, table_name, table_path)`,
+  * `graft_database_properties(catalog_key, database_name, key, value)`
+  * and `graft_distributed_locks(lock_id, acquired_at, expire_secs)` —
+  * so any JDBC database (Derby embedded here; MySQL/Postgres in a real
+  * estate — the SQL below sticks to the common dialect) gives many
+  * processes one consistent catalog view plus advisory locks for DDL
+  * races. Deviation from the reference, documented: `graft_tables`
+  * carries an explicit `table_path` column so external (non-warehouse)
+  * tables resolve read-through, the same shape as the HMS bridge's
+  * `graft.path` parameter.
+  *
+  * Lock protocol (the reference's dialect shape): acquire = INSERT of
+  * the lock row (primary-key violation = somebody holds it — after
+  * first sweeping rows older than their own expiry, so a crashed
+  * holder cannot wedge the lock forever); release = DELETE. Lock
+  * waiting is the CALLER's loop; expiry makes it live-lock-free. */
+object JdbcBridge {
+
+  val TablesTable = "graft_tables"
+  val DbPropsTable = "graft_database_properties"
+  val LocksTable = "graft_distributed_locks"
+  /** Reference: JdbcCatalog.DATABASE_EXISTS_PROPERTY — marks a database
+    * created explicitly (vs inferred from its tables). */
+  val ExistsProp = "exists"
+
+  private def withConn[T](uri: String)(f: Connection => T): T = {
+    val conn = DriverManager.getConnection(uri)
+    try f(conn) finally conn.close()
+  }
+
+  /** Create the three catalog tables when absent (the reference checks
+    * DatabaseMetaData rather than IF NOT EXISTS — portable across
+    * dialects, Derby included). */
+  def init(uri: String): Unit = withConn(uri) { conn =>
+    def ensure(name: String, ddl: String): Unit = {
+      val rs = conn.getMetaData.getTables(null, null, name.toUpperCase, null)
+      val rs2 = conn.getMetaData.getTables(null, null, name, null)
+      val exists = rs.next() || rs2.next()
+      rs.close(); rs2.close()
+      if (!exists) conn.prepareStatement(ddl).execute()
+    }
+    ensure(TablesTable,
+      s"""CREATE TABLE $TablesTable (
+         |  catalog_key VARCHAR(255) NOT NULL,
+         |  database_name VARCHAR(255) NOT NULL,
+         |  table_name VARCHAR(255) NOT NULL,
+         |  table_path VARCHAR(1000) NOT NULL,
+         |  PRIMARY KEY (catalog_key, database_name, table_name))""".stripMargin)
+    ensure(DbPropsTable,
+      s"""CREATE TABLE $DbPropsTable (
+         |  catalog_key VARCHAR(255) NOT NULL,
+         |  database_name VARCHAR(255) NOT NULL,
+         |  property_key VARCHAR(255) NOT NULL,
+         |  property_value VARCHAR(1000),
+         |  PRIMARY KEY (catalog_key, database_name, property_key))""".stripMargin)
+    ensure(LocksTable,
+      s"""CREATE TABLE $LocksTable (
+         |  lock_id VARCHAR(1000) NOT NULL,
+         |  acquired_at BIGINT NOT NULL,
+         |  expire_secs BIGINT NOT NULL,
+         |  PRIMARY KEY (lock_id))""".stripMargin)
+  }
+
+  // ---- table registry --------------------------------------------------
+
+  def registerTable(uri: String, key: String, db: String, name: String,
+      path: String): Unit = withConn(uri) { conn =>
+    val ps = conn.prepareStatement(
+      s"INSERT INTO $TablesTable (catalog_key, database_name, table_name, table_path) VALUES (?,?,?,?)")
+    ps.setString(1, key); ps.setString(2, db)
+    ps.setString(3, name); ps.setString(4, path)
+    try ps.executeUpdate()
+    catch { case e: SQLException if isDuplicateKey(e) =>
+      throw new IllegalStateException(s"table $db.$name already registered", e) }
+    finally ps.close()
+  }
+
+  def unregisterTable(uri: String, key: String, db: String, name: String): Boolean =
+    withConn(uri) { conn =>
+      val ps = conn.prepareStatement(
+        s"DELETE FROM $TablesTable WHERE catalog_key=? AND database_name=? AND table_name=?")
+      ps.setString(1, key); ps.setString(2, db); ps.setString(3, name)
+      try ps.executeUpdate() > 0 finally ps.close()
+    }
+
+  def renameTableEntry(uri: String, key: String, db: String, name: String,
+      newDb: String, newName: String, newPath: String): Boolean =
+    withConn(uri) { conn =>
+      val ps = conn.prepareStatement(
+        s"UPDATE $TablesTable SET database_name=?, table_name=?, table_path=? " +
+          "WHERE catalog_key=? AND database_name=? AND table_name=?")
+      ps.setString(1, newDb); ps.setString(2, newName); ps.setString(3, newPath)
+      ps.setString(4, key); ps.setString(5, db); ps.setString(6, name)
+      try ps.executeUpdate() > 0 finally ps.close()
+    }
+
+  def tablePath(uri: String, key: String, db: String, name: String): Option[String] =
+    withConn(uri) { conn =>
+      val ps = conn.prepareStatement(
+        s"SELECT table_path FROM $TablesTable WHERE catalog_key=? AND database_name=? AND table_name=?")
+      ps.setString(1, key); ps.setString(2, db); ps.setString(3, name)
+      val rs = ps.executeQuery()
+      try { if (rs.next()) Some(rs.getString(1)) else None }
+      finally { rs.close(); ps.close() }
+    }
+
+  def listTables(uri: String, key: String, db: String): Seq[String] =
+    withConn(uri) { conn =>
+      val ps = conn.prepareStatement(
+        s"SELECT table_name FROM $TablesTable WHERE catalog_key=? AND database_name=? ORDER BY table_name")
+      ps.setString(1, key); ps.setString(2, db)
+      val rs = ps.executeQuery()
+      try {
+        val b = Seq.newBuilder[String]
+        while (rs.next()) b += rs.getString(1)
+        b.result()
+      } finally { rs.close(); ps.close() }
+    }
+
+  /** Databases known to the registry: distinct table owners UNION
+    * explicitly-created ones (reference: LIST_ALL_TABLE_DATABASES_SQL +
+    * LIST_ALL_PROPERTY_DATABASES_SQL). */
+  def listDatabases(uri: String, key: String): Seq[String] =
+    withConn(uri) { conn =>
+      def distinct(table: String): Seq[String] = {
+        val ps = conn.prepareStatement(
+          s"SELECT DISTINCT database_name FROM $table WHERE catalog_key=?")
+        ps.setString(1, key)
+        val rs = ps.executeQuery()
+        try {
+          val b = Seq.newBuilder[String]
+          while (rs.next()) b += rs.getString(1)
+          b.result()
+        } finally { rs.close(); ps.close() }
+      }
+      (distinct(TablesTable) ++ distinct(DbPropsTable)).distinct.sorted
+    }
+
+  def createDatabase(uri: String, key: String, db: String,
+      props: Map[String, String] = Map.empty): Unit = withConn(uri) { conn =>
+    (props + (ExistsProp -> "true")).foreach { case (k, v) =>
+      val ps = conn.prepareStatement(
+        s"INSERT INTO $DbPropsTable (catalog_key, database_name, property_key, property_value) VALUES (?,?,?,?)")
+      ps.setString(1, key); ps.setString(2, db); ps.setString(3, k); ps.setString(4, v)
+      try ps.executeUpdate()
+      catch { case e: SQLException if isDuplicateKey(e) => () } // idempotent
+      finally ps.close()
+    }
+  }
+
+  def databaseProps(uri: String, key: String, db: String): Map[String, String] =
+    withConn(uri) { conn =>
+      val ps = conn.prepareStatement(
+        s"SELECT property_key, property_value FROM $DbPropsTable WHERE catalog_key=? AND database_name=?")
+      ps.setString(1, key); ps.setString(2, db)
+      val rs = ps.executeQuery()
+      try {
+        val b = Map.newBuilder[String, String]
+        while (rs.next()) b += rs.getString(1) -> rs.getString(2)
+        b.result()
+      } finally { rs.close(); ps.close() }
+    }
+
+  def dropDatabase(uri: String, key: String, db: String): Unit =
+    withConn(uri) { conn =>
+      Seq(DbPropsTable, TablesTable).foreach { t =>
+        val ps = conn.prepareStatement(
+          s"DELETE FROM $t WHERE catalog_key=? AND database_name=?")
+        ps.setString(1, key); ps.setString(2, db)
+        try ps.executeUpdate() finally ps.close()
+      }
+    }
+
+  // ---- distributed locks ----------------------------------------------
+
+  /** One acquisition attempt: sweep the lock's own timed-out row, then
+    * INSERT — a duplicate-key failure means a live holder. */
+  def lockAcquire(uri: String, lockId: String, expireSecs: Long = 60L): Boolean =
+    withConn(uri) { conn =>
+      tryReleaseTimedOut(conn, lockId)
+      val ps = conn.prepareStatement(
+        s"INSERT INTO $LocksTable (lock_id, acquired_at, expire_secs) VALUES (?,?,?)")
+      ps.setString(1, lockId)
+      ps.setLong(2, System.currentTimeMillis())
+      ps.setLong(3, expireSecs)
+      try { ps.executeUpdate(); true }
+      catch { case e: SQLException if isDuplicateKey(e) => false }
+      finally ps.close()
+    }
+
+  def releaseLock(uri: String, lockId: String): Boolean = withConn(uri) { conn =>
+    val ps = conn.prepareStatement(s"DELETE FROM $LocksTable WHERE lock_id=?")
+    ps.setString(1, lockId)
+    try ps.executeUpdate() > 0 finally ps.close()
+  }
+
+  private def tryReleaseTimedOut(conn: Connection, lockId: String): Unit = {
+    val ps = conn.prepareStatement(
+      s"DELETE FROM $LocksTable WHERE lock_id=? AND acquired_at + expire_secs * 1000 < ?")
+    ps.setString(1, lockId)
+    ps.setLong(2, System.currentTimeMillis())
+    try ps.executeUpdate() finally ps.close()
+  }
+
+  /** Run `f` under the named lock, waiting up to `timeoutMs` (the
+    * reference's CatalogLock.runWithLock shape: bounded poll, expiry
+    * sweeps crashed holders). */
+  def withLock[T](uri: String, lockId: String, timeoutMs: Long = 30000L,
+      expireSecs: Long = 60L)(f: => T): T = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var have = lockAcquire(uri, lockId, expireSecs)
+    while (!have && System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+      have = lockAcquire(uri, lockId, expireSecs)
+    }
+    if (!have) throw new IllegalStateException(
+      s"could not acquire catalog lock $lockId within ${timeoutMs}ms")
+    try f finally releaseLock(uri, lockId)
+  }
+
+  private def isDuplicateKey(e: SQLException): Boolean = {
+    // SQLState 23xxx = integrity constraint violation (SQL standard;
+    // Derby 23505, MySQL 23000, Postgres 23505)
+    val state = Option(e.getSQLState).getOrElse("")
+    state.startsWith("23")
+  }
+
+  def dbName(namespace: Array[String]): String = namespace.mkString("__")
+}
+
+/** [[GraftCatalog]] whose table/database registry mirrors into a JDBC
+  * database (reference: jdbc/JdbcCatalog.java). Register with:
+  * {{{
+  * spark.sql.catalog.j             = graft.sources.GraftJdbcCatalog
+  * spark.sql.catalog.j.warehouse   = /path/wh
+  * spark.sql.catalog.j.uri         = jdbc:derby:/path/db;create=true
+  * spark.sql.catalog.j.catalog-key = prod        // optional, default "graft"
+  * }}}
+  * DDL runs under the JDBC distributed lock (keyed catalog.db.table),
+  * so two processes racing CREATE/RENAME on one identifier serialize
+  * instead of corrupting the registry; identifiers resolve
+  * READ-THROUGH (a registry entry whose path lies outside the
+  * warehouse still loads). */
+class GraftJdbcCatalog extends GraftCatalog {
+
+  private var uri: String = _
+  private var catalogKey: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    super.initialize(name, options)
+    uri = Option(options.get("uri")).getOrElse(
+      throw new IllegalArgumentException(s"spark.sql.catalog.$name.uri must be set"))
+    catalogKey = Option(options.get("catalog-key")).getOrElse("graft")
+    JdbcBridge.init(uri)
+  }
+
+  private def lockId(db: String, name: String) = s"$catalogKey.$db.$name"
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val db = JdbcBridge.dbName(ident.namespace())
+    JdbcBridge.withLock(uri, lockId(db, ident.name())) {
+      val created = super.createTable(ident, schema, partitions, properties)
+      created match {
+        case _: GraftSparkTable =>
+          JdbcBridge.registerTable(uri, catalogKey, db, ident.name(), pathOf(ident))
+        case _ => () // format/object tables have no registry mirror
+      }
+      created
+    }
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dropped = super.dropTable(ident)
+    if (dropped)
+      JdbcBridge.unregisterTable(uri, catalogKey,
+        JdbcBridge.dbName(ident.namespace()), ident.name())
+    dropped
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val db = JdbcBridge.dbName(oldIdent.namespace())
+    val newDb = JdbcBridge.dbName(newIdent.namespace())
+    JdbcBridge.withLock(uri, lockId(newDb, newIdent.name())) {
+      super.renameTable(oldIdent, newIdent)
+      val moved = JdbcBridge.renameTableEntry(uri, catalogKey, db, oldIdent.name(),
+        newDb, newIdent.name(), pathOf(newIdent))
+      if (!moved && GraftTable.exists(pathOf(newIdent)))
+        // never mirrored (created outside this catalog): register now
+        JdbcBridge.registerTable(uri, catalogKey, newDb, newIdent.name(),
+          pathOf(newIdent))
+    }
+  }
+
+  /** Warehouse tables load as usual; identifiers absent from the
+    * warehouse resolve via the registry's `table_path`. */
+  override def loadTable(ident: Identifier): Table = {
+    try super.loadTable(ident)
+    catch {
+      case e: org.apache.spark.sql.catalyst.analysis.NoSuchTableException =>
+        val path = JdbcBridge.tablePath(uri, catalogKey,
+          JdbcBridge.dbName(ident.namespace()), ident.name()).getOrElse(throw e)
+        if (!GraftTable.exists(path)) throw e
+        val gt = GraftTable.load(org.apache.spark.sql.SparkSession.active, path)
+        if (gt.isPrimaryKeyTable) new GraftSparkTable(gt, snapshot = None)
+        else new GraftAppendSparkTable(gt, snapshot = None)
+    }
+  }
+
+  /** Registry ∪ warehouse listing: external registered tables appear,
+    * warehouse-resident unregistered ones keep appearing. */
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val fromFs = super.listTables(namespace).toSeq
+    val fromDb = JdbcBridge.listTables(uri, catalogKey, JdbcBridge.dbName(namespace))
+      .map(Identifier.of(namespace, _))
+    (fromFs ++ fromDb).distinct.toArray
+  }
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val fromFs = super.listNamespaces().toSeq
+    val fromDb = JdbcBridge.listDatabases(uri, catalogKey)
+      .map(db => db.split("__").toArray)
+    (fromFs.map(_.toSeq) ++ fromDb.map(_.toSeq)).distinct
+      .map(_.toArray).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    super.namespaceExists(namespace) ||
+      JdbcBridge.listDatabases(uri, catalogKey)
+        .contains(JdbcBridge.dbName(namespace))
+
+  override def createNamespace(
+      namespace: Array[String], metadata: java.util.Map[String, String]): Unit = {
+    super.createNamespace(namespace, metadata)
+    val props = new java.util.HashMap[String, String](metadata)
+    val b = Map.newBuilder[String, String]
+    props.forEach((k, v) => b += k -> v)
+    JdbcBridge.createDatabase(uri, catalogKey, JdbcBridge.dbName(namespace), b.result())
+  }
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dropped = super.dropNamespace(namespace, cascade)
+    if (dropped)
+      JdbcBridge.dropDatabase(uri, catalogKey, JdbcBridge.dbName(namespace))
+    dropped
+  }
+}
