@@ -45,6 +45,10 @@ object GraftRestServer {
 
   case class RenameSpec(toNamespace: String, toName: String)
 
+  /** Body of the server-arbitrated commit route: create-if-absent of
+    * `key` (relative to the table dir) with `content`. */
+  case class CommitSpec(key: String, content: String)
+
   /** One running service instance. */
   final class Handle(server: HttpServer) {
     def port: Int = server.getAddress.getPort
@@ -264,6 +268,44 @@ object GraftRestServer {
                 case _ => respond(x, 404, """{"error":"no such table"}""")
               }
 
+            // ---- server-arbitrated commit (reference: RESTCatalog
+            // commitSnapshot / supportsVersionManagement — the catalog
+            // server is the commit AUTHORITY, so tables on stores with
+            // no conditional PUT still get exactly-one-winner
+            // snapshots): atomic create-if-absent of a key under the
+            // table dir. 200 {created:true} = this writer won;
+            // {created:false} = the key exists (somebody else won the
+            // snapshot id — the client's normal CAS-retry loop takes
+            // over, same contract as FileIO.tryCreateAtomic).
+            case ("POST", Seq("namespaces", ns, "tables", t, "commit")) =>
+              resolveUnder(ns, t) match {
+                case None => respond(x, 400, """{"error":"invalid identifier"}""")
+                case Some(dir) if GraftTable.exists(dir.toString) =>
+                  val spec = graft.core.Json.read(
+                    new String(x.getRequestBody.readAllBytes(), "UTF-8"),
+                    classOf[CommitSpec])
+                  val target = dir.resolve(spec.key).normalize()
+                  if (!target.startsWith(dir) || spec.key.contains('\u0000'))
+                    respond(x, 400, """{"error":"key escapes the table dir"}""")
+                  else {
+                    val created = new graft.core.LocalFileIO()
+                      .tryCreateAtomic(target.toString, spec.content)
+                    respond(x, 200, s"""{"created":$created}""")
+                  }
+                case _ => respond(x, 404, """{"error":"no such table"}""")
+              }
+
+            // latest committed snapshot id (reference: loadSnapshot)
+            case ("GET", Seq("namespaces", ns, "tables", t, "snapshot")) =>
+              resolveUnder(ns, t) match {
+                case None => respond(x, 400, """{"error":"invalid identifier"}""")
+                case Some(dir) if GraftTable.exists(dir.toString) =>
+                  val sm = new graft.core.SnapshotManager(dir.toString)
+                  respond(x, 200, graft.core.Json.write(
+                    Map("latestSnapshotId" -> sm.latestSnapshotId.getOrElse(-1L))))
+                case _ => respond(x, 404, """{"error":"no such table"}""")
+              }
+
             case ("POST", Seq("namespaces", ns, "tables", t, "rename")) =>
               val spec = graft.core.Json.read(
                 new String(x.getRequestBody.readAllBytes(), "UTF-8"),
@@ -295,11 +337,63 @@ object GraftRestServer {
   }
 }
 
+/** FileIO that routes CAS creates under the table dir through the
+  * REST server's `/commit` route (reference: RESTCatalog
+  * commitSnapshot — version management lives in the catalog server).
+  * Everything else delegates untouched: data/manifest writes are
+  * plain uniquely-named puts that need no arbitration; only the
+  * snapshot pointer race needs an authority, and `tryCreateAtomic` is
+  * [[graft.core.SnapshotManager]]'s single commit gate. On a store
+  * with NO conditional PUT, this is what makes concurrent writers
+  * exactly-one-winner. */
+class RestArbitratedIO(
+    delegate: graft.core.FileIO, uri: String, token: String,
+    ns: String, table: String, tableRoot: String) extends graft.core.FileIO {
+  private val rootNorm =
+    java.nio.file.Paths.get(tableRoot).toAbsolutePath.normalize()
+
+  override def readString(path: String): String = delegate.readString(path)
+  override def writeString(path: String, content: String): Unit =
+    delegate.writeString(path, content)
+  override def readBytes(path: String): Array[Byte] = delegate.readBytes(path)
+  override def writeBytes(path: String, content: Array[Byte]): Unit =
+    delegate.writeBytes(path, content)
+  override def exists(path: String): Boolean = delegate.exists(path)
+  override def mkdirs(path: String): Unit = delegate.mkdirs(path)
+  override def list(dir: String): Seq[String] = delegate.list(dir)
+  override def delete(path: String): Unit = delegate.delete(path)
+  override def rename(src: String, dst: String): Unit = delegate.rename(src, dst)
+
+  override def tryCreateAtomic(path: String, content: String): Boolean = {
+    val target = java.nio.file.Paths.get(path).toAbsolutePath.normalize()
+    if (!target.startsWith(rootNorm))
+      return delegate.tryCreateAtomic(path, content)
+    val key = rootNorm.relativize(target).toString
+    val conn = new URL(s"$uri/v1/namespaces/$ns/tables/$table/commit")
+      .openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Authorization", s"Bearer $token")
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(60000)
+    conn.setDoOutput(true)
+    conn.getOutputStream.write(graft.core.Json.write(
+      GraftRestServer.CommitSpec(key, content)).getBytes("UTF-8"))
+    val code = conn.getResponseCode
+    val text = new String(
+      (if (code < 400) conn.getInputStream else conn.getErrorStream)
+        .readAllBytes(), "UTF-8")
+    if (code >= 400) throw new RuntimeException(
+      s"REST-arbitrated commit of $key failed ($code): $text")
+    graft.core.Json.read(text, classOf[Map[String, Boolean]])("created")
+  }
+}
+
 class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var uri: String = _
   private var token: String = _
+  private var arbitratedCommits: Boolean = false
 
   private def spark: SparkSession = SparkSession.active
 
@@ -308,6 +402,8 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
     uri = Option(options.get("uri")).getOrElse(
       throw new IllegalArgumentException(s"spark.sql.catalog.$name.uri must be set"))
     token = Option(options.get("token")).getOrElse("")
+    arbitratedCommits =
+      Option(options.get("arbitrated-commits")).contains("true")
   }
 
   override def name(): String = catalogName
@@ -358,7 +454,16 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table = {
-    val gt = GraftTable.load(spark, remotePath(ident))
+    val path = remotePath(ident)
+    // arbitrated-commits=true: route the snapshot CAS through the
+    // server's /commit authority — for table storage with no
+    // conditional PUT (reference: RESTCatalog.commitSnapshot)
+    val gt =
+      if (arbitratedCommits)
+        GraftTable.load(spark, path, new RestArbitratedIO(
+          new graft.core.LocalFileIO(), uri, token,
+          ident.namespace().mkString("/"), ident.name(), path))
+      else GraftTable.load(spark, path)
     if (gt.isPrimaryKeyTable) new GraftSparkTable(gt, snapshot = None)
     else new GraftAppendSparkTable(gt, snapshot = None)
   }

@@ -141,6 +141,68 @@ class RestCatalogSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     spark.sql("DROP NAMESPACE rc.atomic CASCADE")
   }
 
+  test("server-arbitrated commits: CAS authority, concurrent writers serialize") {
+    import org.apache.spark.sql.types._
+    import graft.sources.RestArbitratedIO
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rc.arb")
+    spark.sql("CREATE TABLE rc.arb.t (k BIGINT, v STRING)")
+    val path = s"$warehouse/arb/t"
+    def arbIo = new RestArbitratedIO(
+      new graft.core.LocalFileIO(), server.uri, "sekrit", "arb", "t", path)
+    // the /commit route IS a conditional PUT: first create wins,
+    // repeat is refused, content is whole
+    assert(arbIo.tryCreateAtomic(s"$path/snapshot/probe-1", "alpha"))
+    assert(!arbIo.tryCreateAtomic(s"$path/snapshot/probe-1", "beta"))
+    assert(new graft.core.LocalFileIO().readString(s"$path/snapshot/probe-1") == "alpha")
+    // keys outside the table dir fall through to the delegate (never
+    // the server, whose authority is scoped to this table)
+    val outside = Files.createTempDirectory("graft-arb-out").toString + "/x"
+    assert(arbIo.tryCreateAtomic(outside, "local"))
+
+    // two writers, both committing through the arbiter: every snapshot
+    // id has exactly one winner; the loser's normal CAS-retry lands it
+    // on the next id — both rows present, snapshot ids dense
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    def handle() = graft.table.GraftTable.load(spark, path, arbIo)
+    import spark.implicits._
+    var writerMax = -1L
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = handle().write(Seq((1L, "a")).toDF("k", "v"))
+      })
+      val f2 = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = handle().write(Seq((2L, "b")).toDF("k", "v"))
+      })
+      val ids = Seq(f1.get(), f2.get())
+      assert(ids.distinct.size == 2, s"one winner per snapshot id: $ids")
+      writerMax = ids.max
+    } finally pool.shutdown()
+    val got = spark.sql("SELECT k, v FROM rc.arb.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")), got.toString)
+
+    // the catalog option wires the same path: reads and writes through
+    // an arbitrated-commits catalog behave identically
+    spark.conf.set("spark.sql.catalog.rcarb", "graft.sources.GraftRestCatalog")
+    spark.conf.set("spark.sql.catalog.rcarb.uri", server.uri)
+    spark.conf.set("spark.sql.catalog.rcarb.token", "sekrit")
+    spark.conf.set("spark.sql.catalog.rcarb.arbitrated-commits", "true")
+    spark.sql("INSERT INTO rcarb.arb.t VALUES (3, 'c')")
+    assert(spark.sql("SELECT count(*) FROM rcarb.arb.t").head.getLong(0) == 3L)
+    // latest-snapshot inspection route
+    val conn = new java.net.URL(s"${server.uri}/v1/namespaces/arb/tables/t/snapshot")
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestProperty("Authorization", "Bearer sekrit")
+    val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+    val latest = graft.core.Json.read(body, classOf[Map[String, Any]])(
+      "latestSnapshotId").toString.toLong
+    // the catalog-routed INSERT landed one commit past the writers
+    assert(latest == writerMax + 1, s"$body vs writers up to $writerMax")
+  }
+
   test("path traversal in URL segments cannot escape the warehouse") {
     // a sentinel file ABOVE the warehouse that a traversal would delete
     val parent = java.nio.file.Paths.get(warehouse).getParent
