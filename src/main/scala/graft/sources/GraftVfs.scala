@@ -28,10 +28,13 @@ import org.apache.hadoop.util.Progressable
   * `namespaces` endpoints / warehouse directories); table level and
   * below delegate to the table's physical storage with paths mapped
   * back into the virtual scheme, so a recursive listing started at
-  * `gvfs://cat/` walks seamlessly into data files. v1 scope is the
-  * READ path — mutations throw (the write path belongs to the catalog
-  * APIs, which keep snapshots consistent; a raw VFS write would
-  * corrupt a table, so refusing is the safe default). Table paths
+  * `gvfs://cat/` walks seamlessly into data files. Snapshot-managed
+  * tables are READ-only through the scheme (their write path belongs
+  * to the catalog APIs, which keep snapshots consistent; a raw VFS
+  * write would corrupt a table, so refusing is the safe default) —
+  * OBJECT tables accept raw create/rename/delete, and a create into a
+  * missing table auto-creates one (the reference's createObjectTable
+  * fallback). Table paths
   * resolve once per FileSystem instance and are cached — Hadoop's own
   * FS cache (scheme+authority) makes that one resolution per catalog
   * per JVM conf, not per access. */
@@ -105,17 +108,37 @@ class GraftVirtualFileSystem extends FileSystem {
             s"$wh/$db/$table"
         }
       }
-      if (!graft.table.GraftTable.exists(resolved))
+      if (!graft.table.GraftTable.exists(resolved) &&
+        objectLocation(resolved).isEmpty)
         throw new FileNotFoundException(s"gvfs: no graft table at $db.$table")
       resolved
     })
 
+  /** An OBJECT table's storage directory (reference: ObjectTable — a
+    * metadata index over arbitrary objects; the VFS addresses the
+    * OBJECTS, as the reference's table-object paths do). None for
+    * snapshot-managed graft tables. */
+  private def objectLocation(root: String): Option[String] = {
+    val marker = java.nio.file.Paths.get(root, "object-table.json")
+    if (!java.nio.file.Files.exists(marker)) None
+    else Some(graft.core.Json.read(
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8"),
+      classOf[ObjectTableMeta]).location)
+  }
+
   private def physFs(root: String): FileSystem =
     new Path(root).getFileSystem(getConf)
 
+  /** Directory a table's within-table paths resolve under: the object
+    * location for object tables, the table dir itself otherwise. */
+  private def dataRoot(db: String, table: String): String = {
+    val root = tableRoot(db, table)
+    objectLocation(root).getOrElse(root)
+  }
+
   /** Physical path of a within-table virtual path. */
   private def physical(db: String, table: String, rest: Seq[String]): Path =
-    new Path((tableRoot(db, table) +: rest).mkString("/"))
+    new Path((dataRoot(db, table) +: rest).mkString("/"))
 
   private def virtualize(db: String, table: String, root: String, st: FileStatus): FileStatus = {
     val rel = st.getPath.toUri.getPath.stripPrefix(
@@ -147,7 +170,7 @@ class GraftVirtualFileSystem extends FileSystem {
       tableRoot(db, table) // FileNotFoundException if absent
       dirStatus(f)
     case db +: table +: rest =>
-      val root = tableRoot(db, table)
+      val root = dataRoot(db, table)
       virtualize(db, table, root,
         physFs(root).getFileStatus(physical(db, table, rest)))
   }
@@ -178,34 +201,94 @@ class GraftVirtualFileSystem extends FileSystem {
           if (!java.nio.file.Files.isDirectory(dbDir))
             throw new FileNotFoundException(s"gvfs: no database $db")
           graft.core.FsUtil.listAll(dbDir)
-            .filter(d => graft.table.GraftTable.exists(d.toString))
+            .filter(d => graft.table.GraftTable.exists(d.toString) ||
+              objectLocation(d.toString).isDefined)
             .map(d => dirStatus(new Path(s"gvfs://$catalogName/$db/${d.getFileName}")))
             .toArray
       }
     case db +: table +: rest =>
-      val root = tableRoot(db, table)
+      val root = dataRoot(db, table)
       physFs(root).listStatus(physical(db, table, rest))
         .map(virtualize(db, table, root, _))
   }
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = segments(f) match {
     case db +: table +: rest if rest.nonEmpty =>
-      val root = tableRoot(db, table)
+      val root = dataRoot(db, table)
       physFs(root).open(physical(db, table, rest), bufferSize)
     case _ => throw new FileNotFoundException(
       s"gvfs: $f is a catalog/database/table, not a file")
   }
 
   private def readOnly(op: String): Nothing = throw new IOException(
-    s"gvfs is a read-path view — $op must go through the catalog/table API " +
-      "(a raw file mutation would corrupt the table's snapshot consistency)")
+    s"gvfs: $op on a snapshot-managed table must go through the catalog/" +
+      "table API (a raw file mutation would corrupt snapshot consistency); " +
+      "only OBJECT tables accept raw file writes")
 
+  /** Mutations are allowed ONLY inside OBJECT tables (reference:
+    * PaimonVirtualFileSystem.create — table-object paths write through
+    * the table's fileIO; snapshot-managed tables refuse). A create
+    * into a table that does not exist AUTO-CREATES an object table
+    * (warehouse catalogs only), mirroring the reference's
+    * createObjectTable fallback — the distcp-into-a-fresh-dataset
+    * flow. */
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
       bufferSize: Int, replication: Short, blockSize: Long,
-      progress: Progressable): FSDataOutputStream = readOnly("create")
+      progress: Progressable): FSDataOutputStream = segments(f) match {
+    case db +: table +: rest if rest.nonEmpty =>
+      val root =
+        try tableRoot(db, table)
+        catch {
+          case e: FileNotFoundException =>
+            val wh = cfg("warehouse").getOrElse(throw e)
+            // auto-create an object table to receive the files
+            val dir = java.nio.file.Paths.get(wh, db, table)
+            java.nio.file.Files.createDirectories(dir.resolve("objects-data"))
+            java.nio.file.Files.write(dir.resolve("object-table.json"),
+              graft.core.Json.write(
+                ObjectTableMeta(s"$dir/objects-data")).getBytes("UTF-8"))
+            tableRoots.remove((db, table))
+            tableRoot(db, table)
+        }
+      if (objectLocation(root).isEmpty) readOnly("create")
+      val target = physical(db, table, rest)
+      physFs(root).create(target, permission, overwrite, bufferSize,
+        replication, blockSize, progress)
+    case _ => throw new IOException(s"gvfs: cannot create at $f")
+  }
+
   override def append(f: Path, bufferSize: Int,
       progress: Progressable): FSDataOutputStream = readOnly("append")
-  override def rename(src: Path, dst: Path): Boolean = readOnly("rename")
-  override def delete(f: Path, recursive: Boolean): Boolean = readOnly("delete")
-  override def mkdirs(f: Path, permission: FsPermission): Boolean = readOnly("mkdirs")
+
+  private def objectTablePath(p: Path): Option[(String, String, Seq[String])] =
+    segments(p) match {
+      case db +: table +: rest
+        if (try objectLocation(tableRoot(db, table)).isDefined
+            catch { case _: Exception => false }) =>
+        Some((db, table, rest))
+      case _ => None
+    }
+
+  override def rename(src: Path, dst: Path): Boolean =
+    (objectTablePath(src), objectTablePath(dst)) match {
+      case (Some((db, t, r1)), Some((db2, t2, r2)))
+        if db == db2 && t == t2 && r1.nonEmpty && r2.nonEmpty =>
+        physFs(dataRoot(db, t)).rename(
+          physical(db, t, r1), physical(db, t, r2))
+      case _ => readOnly("rename")
+    }
+
+  override def delete(f: Path, recursive: Boolean): Boolean =
+    objectTablePath(f) match {
+      case Some((db, t, rest)) if rest.nonEmpty =>
+        physFs(dataRoot(db, t)).delete(physical(db, t, rest), recursive)
+      case _ => readOnly("delete")
+    }
+
+  override def mkdirs(f: Path, permission: FsPermission): Boolean =
+    objectTablePath(f) match {
+      case Some((db, t, rest)) if rest.nonEmpty =>
+        physFs(dataRoot(db, t)).mkdirs(physical(db, t, rest))
+      case _ => readOnly("mkdirs")
+    }
 }

@@ -68,9 +68,44 @@ class VfsSpec extends AnyFunSuite {
     // the view is read-path only
     val e = intercept[java.io.IOException](
       fs.create(new org.apache.hadoop.fs.Path("gvfs://vcat/db1/orders/data/x")))
-    assert(e.getMessage.contains("read-path"), e.getMessage)
+    assert(e.getMessage.contains("catalog/table API"), e.getMessage)
     intercept[java.io.FileNotFoundException](
       fs.getFileStatus(new org.apache.hadoop.fs.Path("gvfs://vcat/db1/nosuch")))
+  }
+
+  test("object tables accept raw writes; auto-created on first create") {
+    val wh = Files.createTempDirectory("graft-vfs-obj").toString
+    hconf.set("fs.gvfs.impl", classOf[graft.sources.GraftVirtualFileSystem].getName)
+    hconf.set("fs.gvfs.catalog.ocat.warehouse", wh)
+    val fs = new org.apache.hadoop.fs.Path("gvfs://ocat/").getFileSystem(hconf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // create into a MISSING table auto-creates an object table
+    val out = fs.create(p("gvfs://ocat/media/raw/img/a.bin"))
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    assert(Files.exists(java.nio.file.Paths.get(s"$wh/media/raw/object-table.json")),
+      "create into a missing table must auto-create an object table")
+    val in = fs.open(p("gvfs://ocat/media/raw/img/a.bin"))
+    assert(in.readAllBytes().toSeq == Seq[Byte](1, 2, 3)); in.close()
+    // rename + delete work within the object table
+    assert(fs.rename(p("gvfs://ocat/media/raw/img/a.bin"),
+      p("gvfs://ocat/media/raw/img/b.bin")))
+    assert(fs.delete(p("gvfs://ocat/media/raw/img/b.bin"), false))
+    // the auto-created table reads through the object-table catalog too
+    spark.conf.set("spark.sql.catalog.ocat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ocat.warehouse", wh)
+    val out2 = fs.create(p("gvfs://ocat/media/raw/img/c.bin"))
+    out2.write(Array[Byte](9)); out2.close()
+    val names = spark.sql("SELECT name FROM ocat.media.raw")
+      .collect().map(_.getString(0)).filterNot(_.startsWith(".")).toSeq
+    assert(names == Seq("c.bin"), names.toString)
+    // snapshot-managed tables still refuse raw mutations
+    val t = GraftTable.create(spark, s"$wh/media/managed", sch)
+    t.write(df((1L, "x")))
+    val e = intercept[java.io.IOException](
+      fs.create(p("gvfs://ocat/media/managed/data/evil.parquet")))
+    assert(e.getMessage.contains("OBJECT tables"), e.getMessage)
+    intercept[java.io.IOException](
+      fs.delete(p("gvfs://ocat/media/managed/data"), true))
   }
 
   test("REST catalog: gvfs resolves table paths through the endpoint") {
