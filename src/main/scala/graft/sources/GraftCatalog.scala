@@ -88,6 +88,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private[sources] def pathOf(ident: Identifier): String = tablePath(ident)
   private[sources] def warehousePath: String = warehouse
 
+  /** `CALL sys.repair` hook: re-sync this table's entry in whatever
+    * external registry the catalog mirrors into (HMS, JDBC). The
+    * filesystem catalog has none — storage IS the registry. */
+  private[sources] def mirrorRepair(db: String, name: String): String =
+    "no external registry (filesystem catalog)"
+
   /** `CALL <cat>.sys.<proc>(...)` maintenance procedures. */
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =

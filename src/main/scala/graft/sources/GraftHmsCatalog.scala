@@ -454,6 +454,20 @@ class GraftHmsCatalog extends GraftCatalog {
     }
   }
 
+  /** `CALL sys.repair`: create-or-update the HMS entry from the
+    * warehouse table's CURRENT schema, then fully reconcile its
+    * partition set (reference: RepairProcedure → HiveCatalog
+    * repairDatabasesOrTables). */
+  override private[sources] def mirrorRepair(db: String, name: String): String = {
+    val path = pathOf(Identifier.of(db.split("__"), name))
+    if (!GraftTable.exists(path)) return "no such table in the warehouse"
+    val gt = GraftTable.load(org.apache.spark.sql.SparkSession.active, path)
+    HmsBridge.ensureDatabase(hmsOpts, db)
+    HmsBridge.mirrorAlter(hmsOpts, db, name, gt) // create-or-update
+    val (a, d) = HmsBridge.reconcilePartitions(gt)
+    s"HMS entry synced, partitions +$a -$d"
+  }
+
   /** Read-through: a warehouse-resident table loads as usual; an
     * identifier absent from the warehouse resolves via its HMS entry's
     * `graft.path` — how a brownfield estate points at graft tables

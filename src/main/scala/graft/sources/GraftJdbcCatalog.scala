@@ -308,6 +308,20 @@ class GraftJdbcCatalog extends GraftCatalog {
     }
   }
 
+  /** `CALL sys.repair`: register a warehouse table missing from the
+    * JDBC registry (created outside this catalog); existing entries
+    * are left alone — the path column is re-derived only on rename. */
+  override private[sources] def mirrorRepair(db: String, name: String): String = {
+    val path = pathOf(Identifier.of(db.split("__"), name))
+    if (!GraftTable.exists(path)) return "no such table in the warehouse"
+    JdbcBridge.tablePath(uri, catalogKey, db, name) match {
+      case Some(_) => "already registered"
+      case None =>
+        JdbcBridge.registerTable(uri, catalogKey, db, name, path)
+        "registered"
+    }
+  }
+
   /** Warehouse tables load as usual; identifiers absent from the
     * warehouse resolve via the registry's `table_path`. */
   override def loadTable(ident: Identifier): Table = {

@@ -268,6 +268,26 @@ object GraftProcedures {
   /** Catalog-level procedures (first argument is not a table). */
   private type CatalogBody = (GraftCatalog, InternalRow) => String
   private val catalogProcs: Map[String, (Seq[ProcedureParameter], CatalogBody)] = Map(
+    // re-sync external registries (HMS entries, JDBC rows) from the
+    // WAREHOUSE state — the truth lives in table storage; the registry
+    // is a mirror that drifts when tables are created/dropped outside
+    // this catalog (reference: RepairProcedure → Catalog.repairCatalog).
+    // '' = whole catalog, 'db' = one database, 'db.table' = one table.
+    "repair" -> (Seq(p("database_or_table", StringType)),
+      (c, args) => {
+        val id = args.getUTF8String(0).toString.trim
+        val targets: Seq[(String, String)] =
+          if (id.isEmpty)
+            c.listNamespaces().toSeq.flatMap(ns =>
+              c.listTables(ns).toSeq.map(t => (ns.mkString("__"), t.name())))
+          else if (id.contains('.')) {
+            val Array(db, t) = id.split("\\.", 2)
+            Seq((db, t))
+          } else c.listTables(Array(id)).toSeq.map(t => (id, t.name()))
+        val results = targets.map { case (db, t) =>
+          s"$db.$t: ${c.mirrorRepair(db, t)}" }
+        if (results.isEmpty) "nothing to repair" else results.mkString("; ")
+      }),
     // ---- access control (reference: privilege/ procedures on the
     // reference's catalog: InitFileBasedPrivilege, CreatePrivilegedUser,
     // DropPrivilegedUser, GrantPrivilegeToUser, RevokePrivilegeFromUser).

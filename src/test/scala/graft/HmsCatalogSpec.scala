@@ -205,6 +205,28 @@ class HmsCatalogSpec extends AnyFunSuite {
     } finally c.close()
   }
 
+  test("repair recreates a dropped HMS entry and reconciles partitions") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS hcat.fix")
+    spark.sql("""CREATE TABLE hcat.fix.r_h
+                |(k BIGINT, dt STRING)
+                |PARTITIONED BY (dt)
+                |TBLPROPERTIES ('metastore.partitioned-table'='true')""".stripMargin)
+    spark.sql("INSERT INTO hcat.fix.r_h VALUES (1, 'a'), (2, 'b')")
+    // simulate out-of-band metastore damage: the entry disappears
+    val c = HmsBridge.client(hmsOpts)
+    try c.dropTable("fix", "r_h", false, true) finally c.close()
+    val msg = spark.sql("CALL hcat.sys.repair('fix.r_h')").head.getString(0)
+    assert(msg.startsWith("fix.r_h: HMS entry synced"), msg)
+    val c2 = HmsBridge.client(hmsOpts)
+    try {
+      assert(c2.tableExists("fix", "r_h"), "repair must recreate the entry")
+      val parts = c2.listPartitions("fix", "r_h", (-1): Short)
+        .asScala.map(_.getValues.asScala.head).sorted
+      assert(parts == Seq("a", "b"), parts.toString)
+    } finally c2.close()
+  }
+
   test("read-through: an HMS entry resolves a graft table outside the warehouse") {
     registerCatalog()
     // a graft table living at an EXTERNAL path (not under the catalog

@@ -106,6 +106,28 @@ class JdbcCatalogSpec extends AnyFunSuite {
     assert(JdbcBridge.releaseLock(uri, "L4"))
   }
 
+  test("repair registers warehouse tables created outside the catalog") {
+    registerCatalog()
+    import org.apache.spark.sql.types._
+    // a table that exists in the warehouse but not in the registry —
+    // created via the library API, bypassing the catalog
+    val sch = StructType(Seq(StructField("k", LongType, nullable = false)))
+    val gt = graft.table.GraftTable.create(spark, s"$wh/fix/orphan_t", sch)
+    import spark.implicits._
+    gt.write(Seq(1L, 2L).toDF("k"))
+    assert(JdbcBridge.tablePath(uri, "graft", "fix", "orphan_t").isEmpty)
+    val msg = spark.sql("CALL jcat.sys.repair('fix.orphan_t')").head.getString(0)
+    assert(msg == "fix.orphan_t: registered", msg)
+    assert(JdbcBridge.tablePath(uri, "graft", "fix", "orphan_t")
+      .contains(s"$wh/fix/orphan_t"))
+    // idempotent
+    val again = spark.sql("CALL jcat.sys.repair('fix.orphan_t')").head.getString(0)
+    assert(again == "fix.orphan_t: already registered", again)
+    // database-wide form sweeps every table under it
+    val msg2 = spark.sql("CALL jcat.sys.repair('fix')").head.getString(0)
+    assert(msg2.contains("orphan_t"), msg2)
+  }
+
   test("two catalog handles over one registry see each other's tables") {
     registerCatalog()
     // a second catalog name, same JDBC uri + warehouse = a second
