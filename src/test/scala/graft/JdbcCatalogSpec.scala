@@ -106,6 +106,46 @@ class JdbcCatalogSpec extends AnyFunSuite {
     assert(JdbcBridge.releaseLock(uri, "L4"))
   }
 
+  test("racing CREATEs on one identifier serialize under the DDL lock") {
+    registerCatalog()
+    JdbcBridge.init(uri)
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    // two catalog INSTANCES (two processes in miniature) race the same
+    // CREATE: the lock serializes them, exactly one wins, the loser
+    // fails cleanly, the registry holds exactly one row
+    def mkCat(): graft.sources.GraftJdbcCatalog = {
+      val c = new graft.sources.GraftJdbcCatalog
+      c.initialize("jrace", new CaseInsensitiveStringMap(
+        java.util.Map.of("warehouse", wh, "uri", uri)))
+      c
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS jcat.race")
+    val ident = Identifier.of(Array("race"), "t1")
+    val sch = StructType(Seq(StructField("k", LongType, nullable = false)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    def attempt() = pool.submit(new java.util.concurrent.Callable[Boolean] {
+      def call(): Boolean = {
+        gate.await()
+        try {
+          mkCat().createTable(ident, sch,
+            Array.empty[org.apache.spark.sql.connector.expressions.Transform],
+            new java.util.HashMap[String, String]())
+          true
+        } catch { case _: Exception => false }
+      }
+    })
+    val (f1, f2) = (attempt(), attempt())
+    gate.countDown()
+    val wins = Seq(f1.get(), f2.get()).count(identity)
+    pool.shutdown()
+    assert(wins == 1, s"exactly one CREATE must win, got $wins")
+    assert(JdbcBridge.listTables(uri, "graft", "race") == Seq("t1"))
+    assert(spark.sql("SELECT count(*) FROM jcat.race.t1").head.getLong(0) == 0L)
+  }
+
   test("repair registers warehouse tables created outside the catalog") {
     registerCatalog()
     import org.apache.spark.sql.types._
