@@ -89,9 +89,19 @@ class GraftVirtualFileSystem extends FileSystem {
     text
   }
 
-  /** Physical root of one table, resolved through the catalog. */
-  private def tableRoot(db: String, table: String): String =
-    tableRoots.computeIfAbsent((db, table), { _ =>
+  /** Physical root of one table, resolved through the catalog. Cache
+    * entries self-invalidate when the resolved storage no longer holds
+    * a table — a dropped or renamed-away table must stop resolving
+    * (and re-resolve at its new home), not serve a stale path for the
+    * life of the FS instance. */
+  private def tableRoot(db: String, table: String): String = {
+    val key = (db, table)
+    val cached = tableRoots.get(key)
+    if (cached != null &&
+      (graft.table.GraftTable.exists(cached) || objectLocation(cached).isDefined))
+      return cached
+    tableRoots.remove(key)
+    tableRoots.computeIfAbsent(key, { _ =>
       val resolved = cfg("rest.uri") match {
         case Some(_) =>
           graft.core.Json.read(restGet(s"namespaces/$db/tables/$table"),
@@ -113,6 +123,7 @@ class GraftVirtualFileSystem extends FileSystem {
         throw new FileNotFoundException(s"gvfs: no graft table at $db.$table")
       resolved
     })
+  }
 
   /** An OBJECT table's storage directory (reference: ObjectTable — a
     * metadata index over arbitrary objects; the VFS addresses the

@@ -98,6 +98,13 @@ class VfsSpec extends AnyFunSuite {
     val names = spark.sql("SELECT name FROM ocat.media.raw")
       .collect().map(_.getString(0)).filterNot(_.startsWith(".")).toSeq
     assert(names == Seq("c.bin"), names.toString)
+    // a dropped table's cached root self-invalidates instead of
+    // resolving stale for the life of the FS instance
+    fs.getFileStatus(p("gvfs://ocat/media/raw")) // warm the cache
+    val rawDir = java.nio.file.Paths.get(s"$wh/media/raw")
+    graft.core.FsUtil.walkAll(rawDir).reverse.foreach(Files.deleteIfExists(_))
+    intercept[java.io.FileNotFoundException](
+      fs.getFileStatus(p("gvfs://ocat/media/raw")))
     // snapshot-managed tables still refuse raw mutations
     val t = GraftTable.create(spark, s"$wh/media/managed", sch)
     t.write(df((1L, "x")))
