@@ -522,9 +522,14 @@ object Dedup {
     (dropAcc, collAcc)
   }
 
-  /** A bucket's identity string for the keyed accumulators. */
+  /** A bucket's identity string for the keyed accumulators: a 64-bit
+    * hash, NOT a concat — concat_ws silently skips NULLs, so distinct
+    * buckets like (null,'x') and ('x',null) would collide onto one
+    * accumulator key and last-write-wins would undercount; xxhash64
+    * folds NULLs distinctly and cannot be corrupted by separator
+    * bytes inside the values. */
   private def bucketKeyCol(keys: Seq[String]): Column =
-    concat_ws("\u0001", keys.map(k => col(k).cast("string")): _*)
+    xxhash64(keys.map(col): _*).cast("string")
 
   private[graft] def collapseHotBuckets(
       banded: DataFrame,
@@ -537,9 +542,14 @@ object Dedup {
     val over = banded.groupBy(keyCols: _*)
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucketSize)
-      .select(keyCols: _*)
-    val cold = banded.join(over, keys, "left_anti")
-    val grouped = banded.join(over, keys, "left_semi")
+      .select(keys.map(k => col(k).as(s"__o_$k")): _*)
+    // NULL-SAFE membership: groupBy groups null keys into real buckets,
+    // so the semi/anti split must match them too — an equi-join would
+    // never match a null key, letting a hot null bucket bypass the
+    // guard entirely (ungated quadratic join)
+    val hotCond = keys.map(k => col(k) <=> col(s"__o_$k")).reduce(_ && _)
+    val cold = banded.join(over, hotCond, "left_anti")
+    val grouped = banded.join(over, hotCond, "left_semi")
       .withColumn("__fk", fineKey)
       .groupBy((keyCols :+ col("__fk")): _*)
       .agg(min(col("id")).as("id"), count(lit(1)).as("__grpn"))
@@ -709,9 +719,12 @@ object Dedup {
     val over = banded.groupBy(keyCols: _*)
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > maxBucketSize)
-      .select(keyCols: _*)
-    val cold = banded.join(over, keys, "left_anti")
-    val hotRows = banded.join(over, keys, "left_semi")
+      .select(keys.map(k => col(k).as(s"__o_$k")): _*)
+    // null-safe membership — see collapseHotBuckets: an equi-join
+    // would let a hot null-keyed bucket bypass the guard
+    val hotCond = keys.map(k => col(k) <=> col(s"__o_$k")).reduce(_ && _)
+    val cold = banded.join(over, hotCond, "left_anti")
+    val hotRows = banded.join(over, hotCond, "left_semi")
       .withColumn("__fk", fineKey)
     val groupKeys = keys :+ "__fk"
     // ONE aggregation yields both the representative id and its full
@@ -735,7 +748,8 @@ object Dedup {
       .drop("__gn", "__recc")
     val withRep = hotRows.select(
       (groupKeys.map(col) :+ col("id")) ++ payload.map(col): _*)
-      .join(reps.select(groupKeys.map(col) :+ col("__rep"): _*), groupKeys)
+      .join(reps.select(groupKeys.map(k => col(k).as(s"__r_$k")) :+ col("__rep"): _*),
+        groupKeys.map(k => col(k) <=> col(s"__r_$k")).reduce(_ && _))
     val pairCols = Seq(col("id_a"), col("id_b")) ++
       payload.flatMap(p => Seq(col(s"${p}_a"), col(s"${p}_b")))
     val stars = withRep.filter(col("id") =!= col("__rep"))
@@ -752,12 +766,14 @@ object Dedup {
     val slim = (keys :+ "id") ++ payload
     val repRows0 = reps.withColumnRenamed("__rep", "id")
     def pairJoin(rows: DataFrame, joinKeys: Seq[String]): DataFrame = {
-      val jk = joinKeys.map(col)
-      val a = rows.select(jk ++ Seq(col("id").as("id_a")) ++
+      val a = rows.select(joinKeys.map(col) ++ Seq(col("id").as("id_a")) ++
         payload.map(p => col(p).as(s"${p}_a")): _*)
-      val b = rows.select(jk ++ Seq(col("id").as("id_b")) ++
+      val b = rows.select(joinKeys.map(k => col(k).as(s"__j_$k")) ++
+        Seq(col("id").as("id_b")) ++
         payload.map(p => col(p).as(s"${p}_b")): _*)
-      a.join(b, joinKeys).filter(col("id_a") < col("id_b")).select(pairCols: _*)
+      // null-safe: rows sharing a null-keyed bucket pair like any other
+      a.join(b, joinKeys.map(k => col(k) <=> col(s"__j_$k")).reduce(_ && _))
+        .filter(col("id_a") < col("id_b")).select(pairCols: _*)
     }
     val pairs = subKeys match {
       case None =>
@@ -780,11 +796,12 @@ object Dedup {
         val repHot = repRows0.groupBy(keyCols: _*)
           .agg(count(lit(1)).as("__rn"))
           .filter(col("__rn") > maxBucketSize)
-          .select(keyCols: _*)
-        val repsCold = repRows0.join(repHot, keys, "left_anti")
+          .select(keys.map(k => col(k).as(s"__h_$k")): _*)
+        val repHotCond = keys.map(k => col(k) <=> col(s"__h_$k")).reduce(_ && _)
+        val repsCold = repRows0.join(repHot, repHotCond, "left_anti")
           .select(slim.map(col): _*)
         val subKeyNames = keys ++ Seq("__si", "__sv")
-        val exploded = repRows0.join(repHot, keys, "left_semi")
+        val exploded = repRows0.join(repHot, repHotCond, "left_semi")
           .select(slim.map(col) :+ posexplode(sk).as(Seq("__si", "__sv")): _*)
         val w2b = org.apache.spark.sql.expressions.Window
           .partitionBy(subKeyNames.map(col): _*)

@@ -89,9 +89,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private[sources] def warehousePath: String = warehouse
 
   /** `CALL sys.repair` hook: re-sync this table's entry in whatever
-    * external registry the catalog mirrors into (HMS, JDBC). The
-    * filesystem catalog has none — storage IS the registry. */
-  private[sources] def mirrorRepair(db: String, name: String): String =
+    * external registry the catalog mirrors into (HMS, JDBC). Takes the
+    * namespace as an ARRAY — flattening to a registry-side string is
+    * each registry's own convention, and round-tripping through a
+    * joined string would corrupt namespaces whose names contain the
+    * join token. The filesystem catalog has none — storage IS the
+    * registry. */
+  private[sources] def mirrorRepair(namespace: Array[String], name: String): String =
     "no external registry (filesystem catalog)"
 
   /** `CALL <cat>.sys.<proc>(...)` maintenance procedures. */

@@ -457,14 +457,27 @@ class GraftHmsCatalog extends GraftCatalog {
   /** `CALL sys.repair`: create-or-update the HMS entry from the
     * warehouse table's CURRENT schema, then fully reconcile its
     * partition set (reference: RepairProcedure → HiveCatalog
-    * repairDatabasesOrTables). */
-  override private[sources] def mirrorRepair(db: String, name: String): String = {
-    val path = pathOf(Identifier.of(db.split("__"), name))
+    * repairDatabasesOrTables). Tables created OUTSIDE this catalog
+    * lack the stamped `hms.*` sync coordinates — repair stamps them
+    * (that IS the repair: adopting the table into the metastore), so
+    * a partitioned table with `metastore.partitioned-table=true`
+    * reconciles here and keeps delta-syncing on future commits
+    * instead of silently registering zero partitions forever. */
+  override private[sources] def mirrorRepair(
+      namespace: Array[String], name: String): String = {
+    val db = HmsBridge.dbName(namespace)
+    val path = pathOf(Identifier.of(namespace, name))
     if (!GraftTable.exists(path)) return "no such table in the warehouse"
     val gt = GraftTable.load(org.apache.spark.sql.SparkSession.active, path)
+    if (!gt.schema.options.contains("hms.table")) {
+      hmsOpts.foreach { case (k, v) => gt.setOption(k, v) }
+      gt.setOption("hms.database", db)
+      gt.setOption("hms.table", name)
+    }
     HmsBridge.ensureDatabase(hmsOpts, db)
     HmsBridge.mirrorAlter(hmsOpts, db, name, gt) // create-or-update
-    val (a, d) = HmsBridge.reconcilePartitions(gt)
+    val (a, d) = HmsBridge.reconcilePartitions(
+      GraftTable.load(org.apache.spark.sql.SparkSession.active, path))
     s"HMS entry synced, partitions +$a -$d"
   }
 

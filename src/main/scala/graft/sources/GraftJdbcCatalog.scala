@@ -287,11 +287,15 @@ class GraftJdbcCatalog extends GraftCatalog {
   }
 
   override def dropTable(ident: Identifier): Boolean = {
-    val dropped = super.dropTable(ident)
-    if (dropped)
-      JdbcBridge.unregisterTable(uri, catalogKey,
-        JdbcBridge.dbName(ident.namespace()), ident.name())
-    dropped
+    val db = JdbcBridge.dbName(ident.namespace())
+    // under the same lock as CREATE/RENAME: a DROP racing a CREATE of
+    // the same identifier must not delete the winner's fresh row
+    JdbcBridge.withLock(uri, lockId(db, ident.name())) {
+      val dropped = super.dropTable(ident)
+      if (dropped)
+        JdbcBridge.unregisterTable(uri, catalogKey, db, ident.name())
+      dropped
+    }
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
@@ -311,8 +315,10 @@ class GraftJdbcCatalog extends GraftCatalog {
   /** `CALL sys.repair`: register a warehouse table missing from the
     * JDBC registry (created outside this catalog); existing entries
     * are left alone — the path column is re-derived only on rename. */
-  override private[sources] def mirrorRepair(db: String, name: String): String = {
-    val path = pathOf(Identifier.of(db.split("__"), name))
+  override private[sources] def mirrorRepair(
+      namespace: Array[String], name: String): String = {
+    val db = JdbcBridge.dbName(namespace)
+    val path = pathOf(Identifier.of(namespace, name))
     if (!GraftTable.exists(path)) return "no such table in the warehouse"
     JdbcBridge.tablePath(uri, catalogKey, db, name) match {
       case Some(_) => "already registered"
@@ -369,9 +375,12 @@ class GraftJdbcCatalog extends GraftCatalog {
   }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
-    val dropped = super.dropNamespace(namespace, cascade)
-    if (dropped)
-      JdbcBridge.dropDatabase(uri, catalogKey, JdbcBridge.dbName(namespace))
-    dropped
+    val db = JdbcBridge.dbName(namespace)
+    JdbcBridge.withLock(uri, s"$catalogKey.$db.__namespace__") {
+      val dropped = super.dropNamespace(namespace, cascade)
+      if (dropped)
+        JdbcBridge.dropDatabase(uri, catalogKey, db)
+      dropped
+    }
   }
 }

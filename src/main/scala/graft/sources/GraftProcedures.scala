@@ -276,16 +276,20 @@ object GraftProcedures {
     "repair" -> (Seq(p("database_or_table", StringType)),
       (c, args) => {
         val id = args.getUTF8String(0).toString.trim
-        val targets: Seq[(String, String)] =
+        // namespaces stay ARRAYS end-to-end (a mkString round-trip
+        // would corrupt namespace names containing the join token);
+        // the string form addresses dot-separated levels
+        val targets: Seq[(Array[String], String)] =
           if (id.isEmpty)
             c.listNamespaces().toSeq.flatMap(ns =>
-              c.listTables(ns).toSeq.map(t => (ns.mkString("__"), t.name())))
-          else if (id.contains('.')) {
-            val Array(db, t) = id.split("\\.", 2)
-            Seq((db, t))
-          } else c.listTables(Array(id)).toSeq.map(t => (id, t.name()))
-        val results = targets.map { case (db, t) =>
-          s"$db.$t: ${c.mirrorRepair(db, t)}" }
+              c.listTables(ns).toSeq.map(t => (ns, t.name())))
+          else {
+            val segs = id.split("\\.")
+            if (segs.length >= 2) Seq((segs.dropRight(1), segs.last))
+            else c.listTables(segs).toSeq.map(t => (segs, t.name()))
+          }
+        val results = targets.map { case (ns, t) =>
+          s"${(ns :+ t).mkString(".")}: ${c.mirrorRepair(ns, t)}" }
         if (results.isEmpty) "nothing to repair" else results.mkString("; ")
       }),
     // ---- access control (reference: privilege/ procedures on the

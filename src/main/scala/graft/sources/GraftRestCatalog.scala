@@ -379,9 +379,9 @@ class RestArbitratedIO(
     conn.getOutputStream.write(graft.core.Json.write(
       GraftRestServer.CommitSpec(key, content)).getBytes("UTF-8"))
     val code = conn.getResponseCode
-    val text = new String(
-      (if (code < 400) conn.getInputStream else conn.getErrorStream)
-        .readAllBytes(), "UTF-8")
+    val stream = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val text =
+      if (stream == null) "" else new String(stream.readAllBytes(), "UTF-8")
     if (code >= 400) throw new RuntimeException(
       s"REST-arbitrated commit of $key failed ($code): $text")
     graft.core.Json.read(text, classOf[Map[String, Boolean]])("created")

@@ -89,16 +89,24 @@ class GraftVirtualFileSystem extends FileSystem {
     text
   }
 
+  /** Cheap liveness probe for a cached root: one or two stats, NOT a
+    * SnapshotManager construction — this runs on every path op, so it
+    * must cost a HEAD, not a listing. */
+  private def rootLive(root: String): Boolean =
+    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, "schema")) ||
+      java.nio.file.Files.exists(java.nio.file.Paths.get(root, "object-table.json"))
+
   /** Physical root of one table, resolved through the catalog. Cache
     * entries self-invalidate when the resolved storage no longer holds
     * a table — a dropped or renamed-away table must stop resolving
     * (and re-resolve at its new home), not serve a stale path for the
-    * life of the FS instance. */
+    * life of the FS instance. The validation is [[rootLive]]'s 1-2
+    * stats per op; the CATALOG round-trip (REST/HMS) still happens
+    * once per resolution, which is the cache's purpose. */
   private def tableRoot(db: String, table: String): String = {
     val key = (db, table)
     val cached = tableRoots.get(key)
-    if (cached != null &&
-      (graft.table.GraftTable.exists(cached) || objectLocation(cached).isDefined))
+    if (cached != null && rootLive(cached))
       return cached
     tableRoots.remove(key)
     tableRoots.computeIfAbsent(key, { _ =>
@@ -271,30 +279,34 @@ class GraftVirtualFileSystem extends FileSystem {
   override def append(f: Path, bufferSize: Int,
       progress: Progressable): FSDataOutputStream = readOnly("append")
 
+  /** Some((db, table, rest)) when the path addresses an OBJECT table.
+    * A MISSING table propagates its FileNotFoundException — masking it
+    * as "snapshot-managed" would mislead callers and break Hadoop's
+    * delete/rename contracts for nonexistent paths; resolution/config
+    * errors propagate likewise. */
   private def objectTablePath(p: Path): Option[(String, String, Seq[String])] =
     segments(p) match {
       case db +: table +: rest
-        if (try objectLocation(tableRoot(db, table)).isDefined
-            catch { case _: Exception => false }) =>
+        if objectLocation(tableRoot(db, table)).isDefined =>
         Some((db, table, rest))
       case _ => None
     }
 
   override def rename(src: Path, dst: Path): Boolean =
-    (objectTablePath(src), objectTablePath(dst)) match {
+    try (objectTablePath(src), objectTablePath(dst)) match {
       case (Some((db, t, r1)), Some((db2, t2, r2)))
         if db == db2 && t == t2 && r1.nonEmpty && r2.nonEmpty =>
         physFs(dataRoot(db, t)).rename(
           physical(db, t, r1), physical(db, t, r2))
       case _ => readOnly("rename")
-    }
+    } catch { case _: FileNotFoundException => false } // Hadoop contract
 
   override def delete(f: Path, recursive: Boolean): Boolean =
-    objectTablePath(f) match {
+    try objectTablePath(f) match {
       case Some((db, t, rest)) if rest.nonEmpty =>
         physFs(dataRoot(db, t)).delete(physical(db, t, rest), recursive)
       case _ => readOnly("delete")
-    }
+    } catch { case _: FileNotFoundException => false } // already gone
 
   override def mkdirs(f: Path, permission: FsPermission): Boolean =
     objectTablePath(f) match {

@@ -227,6 +227,39 @@ class HmsCatalogSpec extends AnyFunSuite {
     } finally c2.close()
   }
 
+  test("repair adopts an outside-created partitioned table: coords stamped, partitions registered") {
+    registerCatalog()
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // created via the library API (no catalog): requests partition
+    // sync but has no stamped hms.* coordinates — repair must stamp
+    // them and register the partitions, not report "+0 -0" forever
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("dt", StringType, nullable = false)))
+    val t = GraftTable.create(spark, s"$wh/ob/out_h", sch,
+      partitionKeys = Seq("dt"),
+      options = Map("metastore.partitioned-table" -> "true"))
+    t.write(Seq((1L, "a"), (2L, "b")).toDF("k", "dt"))
+    val msg = spark.sql("CALL hcat.sys.repair('ob.out_h')").head.getString(0)
+    assert(msg.contains("partitions +2 -0"), msg)
+    val c = HmsBridge.client(hmsOpts)
+    try {
+      val parts = c.listPartitions("ob", "out_h", (-1): Short)
+        .asScala.map(_.getValues.asScala.head).sorted
+      assert(parts == Seq("a", "b"), parts.toString)
+    } finally c.close()
+    // the stamped coords make FUTURE commits delta-sync too
+    val t2 = GraftTable.load(spark, s"$wh/ob/out_h")
+    t2.write(Seq((3L, "c")).toDF("k", "dt"))
+    val c2 = HmsBridge.client(hmsOpts)
+    try {
+      val parts = c2.listPartitions("ob", "out_h", (-1): Short)
+        .asScala.map(_.getValues.asScala.head).sorted
+      assert(parts == Seq("a", "b", "c"), parts.toString)
+    } finally c2.close()
+  }
+
   test("read-through: an HMS entry resolves a graft table outside the warehouse") {
     registerCatalog()
     // a graft table living at an EXTERNAL path (not under the catalog

@@ -489,6 +489,32 @@ class OperatorsSpec extends AnyFunSuite {
       s"collapse must be exact across branches: ${Dedup.collapseStats}")
     assert(totals(Dedup.skewDrops) == ((2L, 1L)),
       s"drops must be exact across branches: ${Dedup.skewDrops}")
+
+    // NULL key values must keep distinct bucket identities — a
+    // concat-based key would DROP the nulls, colliding (0,null) with
+    // (null,0) onto one accumulator entry and undercounting
+    Dedup.skewDropsReset()
+    import org.apache.spark.sql.Row
+    val nsch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType, nullable = true),
+      org.apache.spark.sql.types.StructField("bh",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("fk",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    import scala.jdk.CollectionConverters._
+    val nullRows: java.util.List[Row] =
+      ((0 until 5).map(i => Row(i.toLong, Integer.valueOf(0), null, i.toLong)) ++
+        (10 until 15).map(i =>
+          Row(i.toLong, null, java.lang.Long.valueOf(0L), i.toLong))).asJava
+    val nullBanded = spark.createDataFrame(nullRows, nsch)
+    Dedup.bucketJoinPairs(nullBanded, Seq("band", "bh"),
+      maxBucketSize = 2, fineKey = col("fk")).count()
+    // two hot buckets, 5 distinct contents each at cap 2 -> 3 dropped each
+    assert(totals(Dedup.skewDrops) == ((6L, 2L)),
+      s"null-keyed buckets must count separately: ${Dedup.skewDrops}")
   }
 
   test("PII: counts and redaction cover every pattern, clean text untouched") {
