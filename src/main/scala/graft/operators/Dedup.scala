@@ -525,11 +525,16 @@ object Dedup {
   /** A bucket's identity string for the keyed accumulators: a 64-bit
     * hash, NOT a concat — concat_ws silently skips NULLs, so distinct
     * buckets like (null,'x') and ('x',null) would collide onto one
-    * accumulator key and last-write-wins would undercount; xxhash64
-    * folds NULLs distinctly and cannot be corrupted by separator
-    * bytes inside the values. */
+    * accumulator key and last-write-wins would undercount. Spark's
+    * hash expressions ALSO skip null children (a null leaves the
+    * running seed untouched), so a bare xxhash64(keys) has the same
+    * collision for same-typed keys; each key is therefore anchored by
+    * a never-null isnull flag hashed alongside the value — (null, v)
+    * chains Int(1),Int(0),v while (v, null) chains Int(0),v,Int(1),
+    * distinct positions, distinct hashes. */
   private def bucketKeyCol(keys: Seq[String]): Column =
-    xxhash64(keys.map(col): _*).cast("string")
+    xxhash64(keys.flatMap(k =>
+      Seq(isnull(col(k)).cast("int"), col(k))): _*).cast("string")
 
   private[graft] def collapseHotBuckets(
       banded: DataFrame,

@@ -469,15 +469,22 @@ class GraftHmsCatalog extends GraftCatalog {
     val path = pathOf(Identifier.of(namespace, name))
     if (!GraftTable.exists(path)) return "no such table in the warehouse"
     val gt = GraftTable.load(org.apache.spark.sql.SparkSession.active, path)
-    if (!gt.schema.options.contains("hms.table")) {
+    // (re)stamp when the coords are absent OR don't name THIS entry —
+    // a table moved/copied out-of-band (exactly what repair exists
+    // for) carries its OLD identity and would otherwise reconcile its
+    // partitions into the wrong HMS table while reporting success
+    val opts = gt.schema.options
+    if (!opts.get("hms.database").contains(db) ||
+        !opts.get("hms.table").contains(name)) {
       hmsOpts.foreach { case (k, v) => gt.setOption(k, v) }
       gt.setOption("hms.database", db)
       gt.setOption("hms.table", name)
     }
     HmsBridge.ensureDatabase(hmsOpts, db)
     HmsBridge.mirrorAlter(hmsOpts, db, name, gt) // create-or-update
-    val (a, d) = HmsBridge.reconcilePartitions(
-      GraftTable.load(org.apache.spark.sql.SparkSession.active, path))
+    // gt.schema re-reads the latest schema from disk per access, so
+    // the stamped coords are already visible through this instance
+    val (a, d) = HmsBridge.reconcilePartitions(gt)
     s"HMS entry synced, partitions +$a -$d"
   }
 

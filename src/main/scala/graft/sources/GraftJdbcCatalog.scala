@@ -231,6 +231,16 @@ object JdbcBridge {
     try f finally releaseLock(uri, lockId)
   }
 
+  /** Acquire SEVERAL locks, deduped and in sorted order — every
+    * multi-lock caller sorts, so two rename/create/dropNamespace
+    * holders can never wait on each other in a cycle. (The single
+    * lock rows are independent; [[withLock]] is non-reentrant, which
+    * dedup protects against.) */
+  def withLocks[T](uri: String, lockIds: Seq[String])(f: => T): T =
+    lockIds.distinct.sorted.foldRight(() => f) { (id, inner) =>
+      () => withLock(uri, id)(inner())
+    }()
+
   private def isDuplicateKey(e: SQLException): Boolean = {
     // SQLState 23xxx = integrity constraint violation (SQL standard;
     // Derby 23505, MySQL 23000, Postgres 23505)
@@ -268,6 +278,7 @@ class GraftJdbcCatalog extends GraftCatalog {
   }
 
   private def lockId(db: String, name: String) = s"$catalogKey.$db.$name"
+  private def nsLockId(db: String) = s"$catalogKey.$db.__namespace__"
 
   override def createTable(
       ident: Identifier,
@@ -275,7 +286,10 @@ class GraftJdbcCatalog extends GraftCatalog {
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val db = JdbcBridge.dbName(ident.namespace())
-    JdbcBridge.withLock(uri, lockId(db, ident.name())) {
+    // the NAMESPACE lock too: a CREATE racing DROP NAMESPACE CASCADE
+    // could otherwise land its registry row after the cascade's
+    // delete — a phantom entry whose storage the cascade removed
+    JdbcBridge.withLocks(uri, Seq(nsLockId(db), lockId(db, ident.name()))) {
       val created = super.createTable(ident, schema, partitions, properties)
       created match {
         case _: GraftSparkTable =>
@@ -301,7 +315,13 @@ class GraftJdbcCatalog extends GraftCatalog {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val db = JdbcBridge.dbName(oldIdent.namespace())
     val newDb = JdbcBridge.dbName(newIdent.namespace())
-    JdbcBridge.withLock(uri, lockId(newDb, newIdent.name())) {
+    // lock the SOURCE identifier too (a DROP of the rename source must
+    // not interleave with the move) and both namespaces (a rename INTO
+    // a namespace being cascade-dropped must not resurrect a registry
+    // row after the cascade's delete); sorted order via withLocks
+    JdbcBridge.withLocks(uri, Seq(
+      nsLockId(db), nsLockId(newDb),
+      lockId(db, oldIdent.name()), lockId(newDb, newIdent.name()))) {
       super.renameTable(oldIdent, newIdent)
       val moved = JdbcBridge.renameTableEntry(uri, catalogKey, db, oldIdent.name(),
         newDb, newIdent.name(), pathOf(newIdent))

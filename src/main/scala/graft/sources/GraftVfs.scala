@@ -259,15 +259,7 @@ class GraftVirtualFileSystem extends FileSystem {
         try tableRoot(db, table)
         catch {
           case e: FileNotFoundException =>
-            val wh = cfg("warehouse").getOrElse(throw e)
-            // auto-create an object table to receive the files
-            val dir = java.nio.file.Paths.get(wh, db, table)
-            java.nio.file.Files.createDirectories(dir.resolve("objects-data"))
-            java.nio.file.Files.write(dir.resolve("object-table.json"),
-              graft.core.Json.write(
-                ObjectTableMeta(s"$dir/objects-data")).getBytes("UTF-8"))
-            tableRoots.remove((db, table))
-            tableRoot(db, table)
+            autoCreateObjectTable(db, table, e)
         }
       if (objectLocation(root).isEmpty) readOnly("create")
       val target = physical(db, table, rest)
@@ -278,6 +270,22 @@ class GraftVirtualFileSystem extends FileSystem {
 
   override def append(f: Path, bufferSize: Int,
       progress: Progressable): FSDataOutputStream = readOnly("append")
+
+  /** Auto-create an object table to receive raw files (warehouse
+    * catalogs only) — create()'s and mkdirs()'s shared fallback for a
+    * missing table, the distcp-into-a-fresh-dataset flow. Returns the
+    * fresh table root; rethrows `cause` when no warehouse is set. */
+  private def autoCreateObjectTable(db: String, table: String,
+      cause: FileNotFoundException): String = {
+    val wh = cfg("warehouse").getOrElse(throw cause)
+    val dir = java.nio.file.Paths.get(wh, db, table)
+    java.nio.file.Files.createDirectories(dir.resolve("objects-data"))
+    java.nio.file.Files.write(dir.resolve("object-table.json"),
+      graft.core.Json.write(
+        ObjectTableMeta(s"$dir/objects-data")).getBytes("UTF-8"))
+    tableRoots.remove((db, table))
+    tableRoot(db, table)
+  }
 
   /** Some((db, table, rest)) when the path addresses an OBJECT table.
     * A MISSING table propagates its FileNotFoundException — masking it
@@ -308,10 +316,28 @@ class GraftVirtualFileSystem extends FileSystem {
       case _ => readOnly("delete")
     } catch { case _: FileNotFoundException => false } // already gone
 
-  override def mkdirs(f: Path, permission: FsPermission): Boolean =
-    objectTablePath(f) match {
+  /** Hadoop's mkdirs contract creates missing parents and never
+    * throws FNF for them — a missing TABLE routes through the same
+    * object-table auto-create as [[create]] (warehouse catalogs
+    * only); where auto-create is impossible the deliberate read-only
+    * IOException explains the refusal instead of a misleading
+    * missing-file error. */
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = {
+    val resolved =
+      try objectTablePath(f)
+      catch {
+        case e: FileNotFoundException => segments(f) match {
+          case db +: table +: _ if cfg("warehouse").isDefined =>
+            autoCreateObjectTable(db, table, e)
+            objectTablePath(f)
+          case _ => readOnly("mkdirs")
+        }
+      }
+    resolved match {
       case Some((db, t, rest)) if rest.nonEmpty =>
         physFs(dataRoot(db, t)).mkdirs(physical(db, t, rest))
+      case Some(_) => true // the table root itself, just auto-created or live
       case _ => readOnly("mkdirs")
     }
+  }
 }

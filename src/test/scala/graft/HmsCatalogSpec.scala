@@ -260,6 +260,37 @@ class HmsCatalogSpec extends AnyFunSuite {
     } finally c2.close()
   }
 
+  test("repair re-stamps STALE coords: a moved table reconciles into ITS entry") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS hcat.mva")
+    spark.sql("""CREATE TABLE hcat.mva.mv_h
+                |(k BIGINT, dt STRING)
+                |PARTITIONED BY (dt)
+                |TBLPROPERTIES ('metastore.partitioned-table'='true')""".stripMargin)
+    spark.sql("INSERT INTO hcat.mva.mv_h VALUES (1, 'a'), (2, 'b')")
+    // move the table out-of-band (raw fs) to another database dir —
+    // its options still carry hms.database=mva/hms.table=mv_h; a
+    // repair that only stamps ABSENT coords would reconcile the
+    // partitions into the dead mva entry while reporting success
+    val src = java.nio.file.Paths.get(wh, "mva", "mv_h")
+    val dst = java.nio.file.Paths.get(wh, "mvb", "mv_h")
+    java.nio.file.Files.createDirectories(dst.getParent)
+    java.nio.file.Files.move(src, dst)
+    val msg = spark.sql("CALL hcat.sys.repair('mvb.mv_h')").head.getString(0)
+    assert(msg.contains("partitions +2"), msg)
+    val c = HmsBridge.client(hmsOpts)
+    try {
+      val parts = c.listPartitions("mvb", "mv_h", (-1): Short)
+        .asScala.map(_.getValues.asScala.head).sorted
+      assert(parts == Seq("a", "b"),
+        s"partitions must land in mvb.mv_h, got $parts")
+    } finally c.close()
+    // and the coords now name the new identity
+    val opts = GraftTable.load(spark, dst.toString).schema.options
+    assert(opts.get("hms.database").contains("mvb"), opts.toString)
+    assert(opts.get("hms.table").contains("mv_h"), opts.toString)
+  }
+
   test("read-through: an HMS entry resolves a graft table outside the warehouse") {
     registerCatalog()
     // a graft table living at an EXTERNAL path (not under the catalog

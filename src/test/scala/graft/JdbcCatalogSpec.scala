@@ -146,6 +146,46 @@ class JdbcCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM jcat.race.t1").head.getLong(0) == 0L)
   }
 
+  test("rename locks its SOURCE identifier; create locks its NAMESPACE") {
+    registerCatalog()
+    JdbcBridge.init(uri)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS jcat.lk")
+    spark.sql("CREATE TABLE jcat.lk.src (k BIGINT)")
+    // hold the SOURCE identifier's lock: a rename must wait on it (a
+    // destination-only lock would let DROP of the source interleave
+    // with the move, leaving a half-deleted table under the new name)
+    assert(JdbcBridge.lockAcquire(uri, "graft.lk.src", expireSecs = 600))
+    val renamed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      spark.sql("ALTER TABLE jcat.lk.src RENAME TO lk.dst")
+      renamed.set(true)
+    })
+    t.start()
+    Thread.sleep(700)
+    assert(!renamed.get, "rename must block while the source lock is held")
+    JdbcBridge.releaseLock(uri, "graft.lk.src")
+    t.join(30000)
+    assert(renamed.get, "rename must proceed once the source lock frees")
+    assert(JdbcBridge.tablePath(uri, "graft", "lk", "dst").isDefined)
+
+    // hold the NAMESPACE lock: a create must wait on it (otherwise a
+    // CREATE racing DROP NAMESPACE CASCADE can land its registry row
+    // after the cascade's delete — a phantom entry with no storage)
+    assert(JdbcBridge.lockAcquire(uri, "graft.lk.__namespace__", expireSecs = 600))
+    val created = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t2 = new Thread(() => {
+      spark.sql("CREATE TABLE jcat.lk.t2 (k BIGINT)")
+      created.set(true)
+    })
+    t2.start()
+    Thread.sleep(700)
+    assert(!created.get, "create must block while the namespace lock is held")
+    JdbcBridge.releaseLock(uri, "graft.lk.__namespace__")
+    t2.join(30000)
+    assert(created.get, "create must proceed once the namespace lock frees")
+    assert(JdbcBridge.tablePath(uri, "graft", "lk", "t2").isDefined)
+  }
+
   test("repair registers warehouse tables created outside the catalog") {
     registerCatalog()
     import org.apache.spark.sql.types._

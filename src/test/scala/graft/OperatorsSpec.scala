@@ -490,23 +490,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(totals(Dedup.skewDrops) == ((2L, 1L)),
       s"drops must be exact across branches: ${Dedup.skewDrops}")
 
-    // NULL key values must keep distinct bucket identities — a
-    // concat-based key would DROP the nulls, colliding (0,null) with
-    // (null,0) onto one accumulator entry and undercounting
+    // NULL key values must keep distinct bucket identities — both a
+    // concat-based key (concat_ws skips nulls) AND a bare hash of the
+    // key columns (Spark hash expressions skip null children) collide
+    // (0L,null) with (null,0L) over SAME-typed keys onto one
+    // accumulator entry, undercounting; the keys here are both LONG
+    // on purpose so a skip-null key cannot pass by type accident
     Dedup.skewDropsReset()
     import org.apache.spark.sql.Row
     val nsch = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id",
         org.apache.spark.sql.types.LongType, nullable = false),
       org.apache.spark.sql.types.StructField("band",
-        org.apache.spark.sql.types.IntegerType, nullable = true),
+        org.apache.spark.sql.types.LongType, nullable = true),
       org.apache.spark.sql.types.StructField("bh",
         org.apache.spark.sql.types.LongType, nullable = true),
       org.apache.spark.sql.types.StructField("fk",
         org.apache.spark.sql.types.LongType, nullable = false)))
     import scala.jdk.CollectionConverters._
     val nullRows: java.util.List[Row] =
-      ((0 until 5).map(i => Row(i.toLong, Integer.valueOf(0), null, i.toLong)) ++
+      ((0 until 5).map(i =>
+        Row(i.toLong, java.lang.Long.valueOf(0L), null, i.toLong)) ++
         (10 until 15).map(i =>
           Row(i.toLong, null, java.lang.Long.valueOf(0L), i.toLong))).asJava
     val nullBanded = spark.createDataFrame(nullRows, nsch)

@@ -113,6 +113,18 @@ class VfsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("OBJECT tables"), e.getMessage)
     intercept[java.io.IOException](
       fs.delete(p("gvfs://ocat/media/managed/data"), true))
+    // mkdirs on a MISSING table follows Hadoop's create-parents
+    // contract: the object-table auto-create, never a FileNotFound
+    // leak (distcp-style flows mkdir targets before copying)
+    assert(fs.mkdirs(p("gvfs://ocat/media/staged/incoming")))
+    assert(Files.exists(java.nio.file.Paths.get(s"$wh/media/staged/object-table.json")),
+      "mkdirs into a missing table must auto-create an object table")
+    assert(fs.getFileStatus(p("gvfs://ocat/media/staged/incoming")).isDirectory)
+    // and mkdirs into a snapshot-managed table refuses with the
+    // explanatory read-only IOException, not FNF
+    val em = intercept[java.io.IOException](
+      fs.mkdirs(p("gvfs://ocat/media/managed/newdir")))
+    assert(em.getMessage.contains("OBJECT tables"), em.getMessage)
   }
 
   test("REST catalog: gvfs resolves table paths through the endpoint") {
