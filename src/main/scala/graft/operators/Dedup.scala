@@ -745,10 +745,15 @@ object Dedup {
       true
     }.asNondeterministic()
     val repPayload = payload.map(p => min_by(col(p), col("id")).as(p))
+    // a NULL fineKey must not collide with the literal string "null"
+    // (Java concat renders a null String as "null") — anchor it the
+    // same way bucketKeyCol anchors null key values
+    val fkAnchored = when(col("__fk").isNull, lit("\u0000"))
+      .otherwise(concat(lit("\u0001"), col("__fk").cast("string")))
     val reps = hotRows.groupBy(groupKeys.map(col): _*)
       .agg(min(col("id")).as("__rep"), count(lit(1)).as("__gn") +: repPayload: _*)
       .withColumn("__recc",
-        recordColl(bucketKeyCol(keys), col("__fk").cast("string"), col("__gn")))
+        recordColl(bucketKeyCol(keys), fkAnchored, col("__gn")))
       .filter(col("__recc"))
       .drop("__gn", "__recc")
     val withRep = hotRows.select(

@@ -469,17 +469,21 @@ class GraftHmsCatalog extends GraftCatalog {
     val path = pathOf(Identifier.of(namespace, name))
     if (!GraftTable.exists(path)) return "no such table in the warehouse"
     val gt = GraftTable.load(org.apache.spark.sql.SparkSession.active, path)
-    // (re)stamp when the coords are absent OR don't name THIS entry —
-    // a table moved/copied out-of-band (exactly what repair exists
-    // for) carries its OLD identity and would otherwise reconcile its
-    // partitions into the wrong HMS table while reporting success
+    // (re)stamp whatever is absent OR doesn't name THIS catalog's
+    // metastore + entry — a table moved/copied out-of-band (exactly
+    // what repair exists for) carries its OLD identity, and
+    // reconcilePartitions reads coordsOf from the table OPTIONS, so
+    // stale hms.uris/local-dir or db/name would sync the partitions
+    // into the wrong metastore/table while reporting success. The
+    // connection key this catalog does NOT use is removed, because
+    // withClient prefers hms.uris over hms.local-dir when both exist.
     val opts = gt.schema.options
-    if (!opts.get("hms.database").contains(db) ||
-        !opts.get("hms.table").contains(name)) {
-      hmsOpts.foreach { case (k, v) => gt.setOption(k, v) }
-      gt.setOption("hms.database", db)
-      gt.setOption("hms.table", name)
+    Seq("hms.uris", "hms.local-dir").foreach { k =>
+      val want = hmsOpts.get(k)
+      if (opts.get(k) != want) gt.setOption(k, want.orNull)
     }
+    if (!opts.get("hms.database").contains(db)) gt.setOption("hms.database", db)
+    if (!opts.get("hms.table").contains(name)) gt.setOption("hms.table", name)
     HmsBridge.ensureDatabase(hmsOpts, db)
     HmsBridge.mirrorAlter(hmsOpts, db, name, gt) // create-or-update
     // gt.schema re-reads the latest schema from disk per access, so

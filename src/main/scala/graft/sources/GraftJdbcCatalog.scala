@@ -187,25 +187,50 @@ object JdbcBridge {
   // ---- distributed locks ----------------------------------------------
 
   /** One acquisition attempt: sweep the lock's own timed-out row, then
-    * INSERT — a duplicate-key failure means a live holder. */
-  def lockAcquire(uri: String, lockId: String, expireSecs: Long = 60L): Boolean =
-    withConn(uri) { conn =>
-      tryReleaseTimedOut(conn, lockId)
-      val ps = conn.prepareStatement(
-        s"INSERT INTO $LocksTable (lock_id, acquired_at, expire_secs) VALUES (?,?,?)")
-      ps.setString(1, lockId)
-      ps.setLong(2, System.currentTimeMillis())
-      ps.setLong(3, expireSecs)
-      try { ps.executeUpdate(); true }
-      catch { case e: SQLException if isDuplicateKey(e) => false }
-      finally ps.close()
-    }
+    * INSERT — a duplicate-key failure means a live holder. Returns the
+    * row's acquired_at as a FENCING token: release conditions on it,
+    * so a holder that outlives its expiry (and was swept by a
+    * successor) cannot delete the successor's lock. The token is
+    * strictly monotone across handovers — a sweep requires
+    * `acquired_at + expiry < now`, so the successor's stamp always
+    * exceeds the evicted holder's. */
+  def lockAcquireToken(uri: String, lockId: String,
+      expireSecs: Long = 60L): Option[Long] =
+    withConn(uri)(tryAcquire(_, lockId, expireSecs))
 
+  def lockAcquire(uri: String, lockId: String, expireSecs: Long = 60L): Boolean =
+    lockAcquireToken(uri, lockId, expireSecs).isDefined
+
+  private def tryAcquire(conn: Connection, lockId: String,
+      expireSecs: Long): Option[Long] = {
+    tryReleaseTimedOut(conn, lockId)
+    val ps = conn.prepareStatement(
+      s"INSERT INTO $LocksTable (lock_id, acquired_at, expire_secs) VALUES (?,?,?)")
+    val now = System.currentTimeMillis()
+    ps.setString(1, lockId)
+    ps.setLong(2, now)
+    ps.setLong(3, expireSecs)
+    try { ps.executeUpdate(); Some(now) }
+    catch { case e: SQLException if isDuplicateKey(e) => None }
+    finally ps.close()
+  }
+
+  /** Unconditional release — administrative/test use; the withLock
+    * path releases through the fenced [[releaseLockToken]]. */
   def releaseLock(uri: String, lockId: String): Boolean = withConn(uri) { conn =>
     val ps = conn.prepareStatement(s"DELETE FROM $LocksTable WHERE lock_id=?")
     ps.setString(1, lockId)
     try ps.executeUpdate() > 0 finally ps.close()
   }
+
+  def releaseLockToken(uri: String, lockId: String, token: Long): Boolean =
+    withConn(uri) { conn =>
+      val ps = conn.prepareStatement(
+        s"DELETE FROM $LocksTable WHERE lock_id=? AND acquired_at=?")
+      ps.setString(1, lockId)
+      ps.setLong(2, token)
+      try ps.executeUpdate() > 0 finally ps.close()
+    }
 
   private def tryReleaseTimedOut(conn: Connection, lockId: String): Unit = {
     val ps = conn.prepareStatement(
@@ -217,18 +242,24 @@ object JdbcBridge {
 
   /** Run `f` under the named lock, waiting up to `timeoutMs` (the
     * reference's CatalogLock.runWithLock shape: bounded poll, expiry
-    * sweeps crashed holders). */
+    * sweeps crashed holders). ONE connection serves the whole wait
+    * loop — per-poll connects would be ~600 handshakes over a 30 s
+    * contention window against a real MySQL/Postgres — and release is
+    * fenced on the acquisition token (see [[lockAcquireToken]]). */
   def withLock[T](uri: String, lockId: String, timeoutMs: Long = 30000L,
       expireSecs: Long = 60L)(f: => T): T = {
-    val deadline = System.currentTimeMillis() + timeoutMs
-    var have = lockAcquire(uri, lockId, expireSecs)
-    while (!have && System.currentTimeMillis() < deadline) {
-      Thread.sleep(50)
-      have = lockAcquire(uri, lockId, expireSecs)
+    val token = withConn(uri) { conn =>
+      val deadline = System.currentTimeMillis() + timeoutMs
+      var t = tryAcquire(conn, lockId, expireSecs)
+      while (t.isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50)
+        t = tryAcquire(conn, lockId, expireSecs)
+      }
+      t
     }
-    if (!have) throw new IllegalStateException(
+    if (token.isEmpty) throw new IllegalStateException(
       s"could not acquire catalog lock $lockId within ${timeoutMs}ms")
-    try f finally releaseLock(uri, lockId)
+    try f finally releaseLockToken(uri, lockId, token.get)
   }
 
   /** Acquire SEVERAL locks, deduped and in sorted order — every
@@ -374,8 +405,12 @@ class GraftJdbcCatalog extends GraftCatalog {
 
   override def listNamespaces(): Array[Array[String]] = {
     val fromFs = super.listNamespaces().toSeq
+    // single-segment, NOT split back on the "__" join token — the base
+    // catalog's namespace model is single-level, and a split would
+    // corrupt a legitimate name containing "__" into a phantom
+    // multi-level namespace that never resolves
     val fromDb = JdbcBridge.listDatabases(uri, catalogKey)
-      .map(db => db.split("__").toArray)
+      .map(db => Array(db))
     (fromFs.map(_.toSeq) ++ fromDb.map(_.toSeq)).distinct
       .map(_.toArray).toArray
   }
@@ -387,16 +422,29 @@ class GraftJdbcCatalog extends GraftCatalog {
 
   override def createNamespace(
       namespace: Array[String], metadata: java.util.Map[String, String]): Unit = {
-    super.createNamespace(namespace, metadata)
-    val props = new java.util.HashMap[String, String](metadata)
-    val b = Map.newBuilder[String, String]
-    props.forEach((k, v) => b += k -> v)
-    JdbcBridge.createDatabase(uri, catalogKey, JdbcBridge.dbName(namespace), b.result())
+    val db = JdbcBridge.dbName(namespace)
+    // under the namespace lock, like createTable: a CREATE racing
+    // DROP ... CASCADE must not land its registry row after the
+    // cascade's delete (a phantom namespace with no storage)
+    JdbcBridge.withLock(uri, nsLockId(db)) {
+      super.createNamespace(namespace, metadata)
+      val props = new java.util.HashMap[String, String](metadata)
+      val b = Map.newBuilder[String, String]
+      props.forEach((k, v) => b += k -> v)
+      JdbcBridge.createDatabase(uri, catalogKey, db, b.result())
+    }
   }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val db = JdbcBridge.dbName(namespace)
-    JdbcBridge.withLock(uri, s"$catalogKey.$db.__namespace__") {
+    JdbcBridge.withLock(uri, nsLockId(db)) {
+      // registry-registered tables (incl. EXTERNAL read-through ones,
+      // invisible to the warehouse listing) make the namespace
+      // non-empty: a non-cascade drop must refuse, not silently
+      // destroy their only registration
+      if (!cascade && JdbcBridge.listTables(uri, catalogKey, db).nonEmpty)
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NonEmptyNamespaceException(namespace)
       val dropped = super.dropNamespace(namespace, cascade)
       if (dropped)
         JdbcBridge.dropDatabase(uri, catalogKey, db)

@@ -116,6 +116,15 @@ object GraftRestServer {
                   .map(_.getFileName.toString).sorted
               respond(x, 200, graft.core.Json.write(ns))
 
+            // namespace existence probe (gvfs db-level status/mkdirs)
+            case ("GET", Seq("namespaces", ns)) =>
+              resolveUnder(ns) match {
+                case None => respond(x, 400, """{"error":"invalid namespace name"}""")
+                case Some(dir) if java.nio.file.Files.isDirectory(dir) =>
+                  respond(x, 200, "{}")
+                case _ => respond(x, 404, """{"error":"no such namespace"}""")
+              }
+
             case ("POST", Seq("namespaces", ns)) =>
               resolveUnder(ns) match {
                 case None => respond(x, 400, """{"error":"invalid namespace name"}""")
@@ -147,6 +156,10 @@ object GraftRestServer {
                 case _ => respond(x, 404, """{"error":"no such namespace"}""")
               }
 
+            // resolution/list recognize OBJECT tables too (the
+            // object-table.json marker) — a REST-served warehouse can
+            // hold both kinds, and gvfs in REST mode must be able to
+            // resolve object tables for its raw-file read/write path
             case ("GET", Seq("namespaces", ns, "tables")) =>
               resolveUnder(ns) match {
                 case None => respond(x, 400, """{"error":"invalid namespace name"}""")
@@ -154,7 +167,8 @@ object GraftRestServer {
                   val ts =
                     if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
                     else graft.core.FsUtil.listAll(dir)
-                      .filter(p => GraftTable.exists(p.toString))
+                      .filter(p => GraftTable.exists(p.toString) ||
+                        java.nio.file.Files.exists(p.resolve("object-table.json")))
                       .map(_.getFileName.toString).sorted
                   respond(x, 200, graft.core.Json.write(ts))
               }
@@ -162,7 +176,8 @@ object GraftRestServer {
             case ("GET", Seq("namespaces", ns, "tables", t)) =>
               resolveUnder(ns, t) match {
                 case None => respond(x, 400, """{"error":"invalid identifier"}""")
-                case Some(dir) if GraftTable.exists(dir.toString) =>
+                case Some(dir) if GraftTable.exists(dir.toString) ||
+                    java.nio.file.Files.exists(dir.resolve("object-table.json")) =>
                   respond(x, 200, graft.core.Json.write(Map("path" -> dir.toString)))
                 case _ => respond(x, 404, """{"error":"no such table"}""")
               }
@@ -346,6 +361,31 @@ object GraftRestServer {
   * [[graft.core.SnapshotManager]]'s single commit gate. On a store
   * with NO conditional PUT, this is what makes concurrent writers
   * exactly-one-winner. */
+/** The ONE REST client round-trip — every caller (catalog, arbitrated
+  * FileIO, gvfs) goes through here so auth, timeouts and stream
+  * handling cannot drift apart; callers map status codes to their own
+  * error types. */
+private[sources] object RestHttp {
+  def request(baseUri: String, token: String, method: String,
+      route: String, body: Option[String] = None): (Int, String) = {
+    val conn = new URL(s"$baseUri/v1/$route").openConnection()
+      .asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    conn.setRequestProperty("Authorization", s"Bearer $token")
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(60000)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.getOutputStream.write(b.getBytes("UTF-8"))
+    }
+    val code = conn.getResponseCode
+    val stream = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val text =
+      if (stream == null) "" else new String(stream.readAllBytes(), "UTF-8")
+    (code, text)
+  }
+}
+
 class RestArbitratedIO(
     delegate: graft.core.FileIO, uri: String, token: String,
     ns: String, table: String, tableRoot: String) extends graft.core.FileIO {
@@ -369,19 +409,9 @@ class RestArbitratedIO(
     if (!target.startsWith(rootNorm))
       return delegate.tryCreateAtomic(path, content)
     val key = rootNorm.relativize(target).toString
-    val conn = new URL(s"$uri/v1/namespaces/$ns/tables/$table/commit")
-      .openConnection().asInstanceOf[HttpURLConnection]
-    conn.setRequestMethod("POST")
-    conn.setRequestProperty("Authorization", s"Bearer $token")
-    conn.setConnectTimeout(10000)
-    conn.setReadTimeout(60000)
-    conn.setDoOutput(true)
-    conn.getOutputStream.write(graft.core.Json.write(
-      GraftRestServer.CommitSpec(key, content)).getBytes("UTF-8"))
-    val code = conn.getResponseCode
-    val stream = if (code < 400) conn.getInputStream else conn.getErrorStream
-    val text =
-      if (stream == null) "" else new String(stream.readAllBytes(), "UTF-8")
+    val (code, text) = RestHttp.request(uri, token, "POST",
+      s"namespaces/$ns/tables/$table/commit",
+      Some(graft.core.Json.write(GraftRestServer.CommitSpec(key, content))))
     if (code >= 400) throw new RuntimeException(
       s"REST-arbitrated commit of $key failed ($code): $text")
     graft.core.Json.read(text, classOf[Map[String, Boolean]])("created")
@@ -410,23 +440,8 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
 
   /** One metadata round-trip. Body=None → GET (or DELETE). */
   private def http(method: String, route: String, body: Option[String] = None)
-      : (Int, String) = {
-    val conn = new URL(s"$uri/v1/$route").openConnection()
-      .asInstanceOf[HttpURLConnection]
-    conn.setRequestMethod(method)
-    conn.setRequestProperty("Authorization", s"Bearer $token")
-    conn.setConnectTimeout(10000)
-    conn.setReadTimeout(60000)
-    body.foreach { b =>
-      conn.setDoOutput(true)
-      conn.getOutputStream.write(b.getBytes("UTF-8"))
-    }
-    val code = conn.getResponseCode
-    val stream = if (code < 400) conn.getInputStream else conn.getErrorStream
-    val text = if (stream == null) "" else new String(stream.readAllBytes(), "UTF-8")
-    (code, text)
-  }
-
+      : (Int, String) =
+    RestHttp.request(uri, token, method, route, body)
   private def expect(method: String, route: String, body: Option[String] = None): String = {
     val (code, text) = http(method, route, body)
     if (code == 401) throw new SecurityException(s"REST catalog $uri: unauthorized")

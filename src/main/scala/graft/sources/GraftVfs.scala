@@ -74,16 +74,8 @@ class GraftVirtualFileSystem extends FileSystem {
   }
 
   private def restGet(route: String): String = {
-    val uri = cfg("rest.uri").get
-    val conn = new URL(s"$uri/v1/$route").openConnection()
-      .asInstanceOf[HttpURLConnection]
-    conn.setRequestMethod("GET")
-    conn.setRequestProperty("Authorization", s"Bearer ${cfg("rest.token").getOrElse("")}")
-    conn.setConnectTimeout(10000)
-    conn.setReadTimeout(60000)
-    val code = conn.getResponseCode
-    val stream = if (code < 400) conn.getInputStream else conn.getErrorStream
-    val text = if (stream == null) "" else new String(stream.readAllBytes(), "UTF-8")
+    val (code, text) = RestHttp.request(cfg("rest.uri").get,
+      cfg("rest.token").getOrElse(""), "GET", route)
     if (code == 404) throw new FileNotFoundException(s"gvfs: $route not found")
     if (code >= 400) throw new IOException(s"gvfs REST $route failed ($code): $text")
     text
@@ -322,22 +314,36 @@ class GraftVirtualFileSystem extends FileSystem {
     * only); where auto-create is impossible the deliberate read-only
     * IOException explains the refusal instead of a misleading
     * missing-file error. */
-  override def mkdirs(f: Path, permission: FsPermission): Boolean = {
-    val resolved =
-      try objectTablePath(f)
-      catch {
-        case e: FileNotFoundException => segments(f) match {
-          case db +: table +: _ if cfg("warehouse").isDefined =>
-            autoCreateObjectTable(db, table, e)
-            objectTablePath(f)
-          case _ => readOnly("mkdirs")
-        }
-      }
-    resolved match {
-      case Some((db, t, rest)) if rest.nonEmpty =>
-        physFs(dataRoot(db, t)).mkdirs(physical(db, t, rest))
-      case Some(_) => true // the table root itself, just auto-created or live
-      case _ => readOnly("mkdirs")
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = segments(f) match {
+    // catalog root and database levels follow Hadoop's contract: an
+    // existing directory returns true (top-down mkdirs of a copy
+    // target must not abort), and warehouse mode creates a missing
+    // database the way the catalog's CREATE NAMESPACE would
+    case Seq() => true
+    case Seq(db) => cfg("warehouse") match {
+      case Some(wh) =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wh, db))
+        true
+      case None =>
+        getFileStatus(f) // FileNotFoundException if the db is absent
+        true
     }
+    case _ =>
+      val resolved =
+        try objectTablePath(f)
+        catch {
+          case e: FileNotFoundException => segments(f) match {
+            case db +: table +: _ if cfg("warehouse").isDefined =>
+              autoCreateObjectTable(db, table, e)
+              objectTablePath(f)
+            case _ => readOnly("mkdirs")
+          }
+        }
+      resolved match {
+        case Some((db, t, rest)) if rest.nonEmpty =>
+          physFs(dataRoot(db, t)).mkdirs(physical(db, t, rest))
+        case Some(_) => true // the table root itself, just auto-created or live
+        case _ => readOnly("mkdirs")
+      }
   }
 }

@@ -186,6 +186,50 @@ class JdbcCatalogSpec extends AnyFunSuite {
     assert(JdbcBridge.tablePath(uri, "graft", "lk", "t2").isDefined)
   }
 
+  test("lock release is fenced: an expired holder cannot delete its successor's lock") {
+    JdbcBridge.init(uri)
+    // holder 1 "crashes" past its expiry; a successor sweeps its row
+    val t1 = JdbcBridge.lockAcquireToken(uri, "F1", expireSecs = 0).get
+    Thread.sleep(5)
+    val t2 = JdbcBridge.lockAcquireToken(uri, "F1", expireSecs = 600).get
+    assert(t2 > t1, "successor's fencing token must exceed the evicted holder's")
+    // the stale holder's (token-conditioned) release must NO-OP —
+    // an unconditional delete here would hand the lock to a third
+    // party while the successor still runs its critical section
+    assert(!JdbcBridge.releaseLockToken(uri, "F1", t1))
+    assert(!JdbcBridge.lockAcquire(uri, "F1"),
+      "lock must still be held by the successor after the stale release")
+    assert(JdbcBridge.releaseLockToken(uri, "F1", t2))
+    assert(JdbcBridge.lockAcquire(uri, "F1"))
+    assert(JdbcBridge.releaseLock(uri, "F1"))
+  }
+
+  test("non-cascade DROP NAMESPACE refuses while the registry holds tables") {
+    registerCatalog()
+    JdbcBridge.init(uri)
+    import org.apache.spark.sql.types._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS jcat.ne")
+    // an EXTERNAL read-through registration: invisible to the
+    // warehouse directory, so only the registry knows the namespace
+    // is non-empty — a drop keyed on the fs alone would destroy the
+    // table's only registration silently
+    val ext = Files.createTempDirectory("graft-jdbc-ne").toString + "/t"
+    val sch = StructType(Seq(StructField("k", LongType, nullable = false)))
+    import spark.implicits._
+    graft.table.GraftTable.create(spark, ext, sch)
+      .write(Seq(1L, 2L).toDF("k"))
+    JdbcBridge.registerTable(uri, "graft", "ne", "ext_t", ext)
+    val c = new graft.sources.GraftJdbcCatalog
+    c.initialize("jne", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("warehouse", wh, "uri", uri)))
+    intercept[org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException](
+      c.dropNamespace(Array("ne"), cascade = false))
+    assert(JdbcBridge.tablePath(uri, "graft", "ne", "ext_t").isDefined,
+      "refused drop must leave the registration intact")
+    assert(c.dropNamespace(Array("ne"), cascade = true))
+    assert(JdbcBridge.tablePath(uri, "graft", "ne", "ext_t").isEmpty)
+  }
+
   test("repair registers warehouse tables created outside the catalog") {
     registerCatalog()
     import org.apache.spark.sql.types._

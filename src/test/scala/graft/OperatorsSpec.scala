@@ -519,6 +519,28 @@ class OperatorsSpec extends AnyFunSuite {
     // two hot buckets, 5 distinct contents each at cap 2 -> 3 dropped each
     assert(totals(Dedup.skewDrops) == ((6L, 2L)),
       s"null-keyed buckets must count separately: ${Dedup.skewDrops}")
+
+    // a NULL fineKey group must not collide with a group whose
+    // fineKey is the literal STRING "null" (Java string concat
+    // renders a null as "null") — one hot bucket, two groups
+    Dedup.skewDropsReset()
+    val fksch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("bh",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("fk",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    val fkRows: java.util.List[Row] =
+      ((0 until 5).map(i => Row(i.toLong, 0L, 0L, null)) ++
+        (10 until 14).map(i => Row(i.toLong, 0L, 0L, "null"))).asJava
+    Dedup.bucketJoinPairs(spark.createDataFrame(fkRows, fksch),
+      Seq("band", "bh"), maxBucketSize = 3, fineKey = col("fk")).count()
+    // 9 rows, 2 groups: collapse = (5-1)+(4-1) = 7 in 1 bucket
+    assert(totals(Dedup.collapseStats) == ((7L, 1L)),
+      s"null fineKey must not collide with \"null\": ${Dedup.collapseStats}")
   }
 
   test("PII: counts and redaction cover every pattern, clean text untouched") {

@@ -143,6 +143,31 @@ class VfsSpec extends AnyFunSuite {
       val got = spark.read.parquet("gvfs://rcat/ns/ev/data")
         .select("k", "v").collect().map(r => (r.getLong(0), r.getString(1))).toSet
       assert(got == Set((7L, "x"), (8L, "y")), got.toString)
+      // OBJECT tables resolve through REST too: the server's table
+      // routes recognize the object-table.json marker, so raw files
+      // in a REST-served warehouse stay reachable (and writable)
+      val objDir = java.nio.file.Paths.get(wh, "ns", "blobs")
+      java.nio.file.Files.createDirectories(objDir.resolve("objects-data"))
+      java.nio.file.Files.write(objDir.resolve("object-table.json"),
+        graft.core.Json.write(graft.sources.ObjectTableMeta(
+          s"$objDir/objects-data")).getBytes("UTF-8"))
+      java.nio.file.Files.write(
+        objDir.resolve("objects-data").resolve("a.bin"), Array[Byte](4, 5))
+      val restTables = fs.listStatus(new org.apache.hadoop.fs.Path("gvfs://rcat/ns"))
+        .map(_.getPath.getName).toSet
+      assert(restTables.contains("blobs"),
+        s"REST listing must include object tables: $restTables")
+      val in = fs.open(new org.apache.hadoop.fs.Path("gvfs://rcat/ns/blobs/a.bin"))
+      assert(in.readAllBytes().toSeq == Seq[Byte](4, 5)); in.close()
+      val out = fs.create(new org.apache.hadoop.fs.Path("gvfs://rcat/ns/blobs/b.bin"))
+      out.write(Array[Byte](6)); out.close()
+      assert(java.nio.file.Files.exists(
+        objDir.resolve("objects-data").resolve("b.bin")))
+      // mkdirs contract at the catalog root / database levels: an
+      // existing directory returns true instead of aborting top-down
+      // copies with a misleading error
+      assert(fs.mkdirs(new org.apache.hadoop.fs.Path("gvfs://rcat/")))
+      assert(fs.mkdirs(new org.apache.hadoop.fs.Path("gvfs://rcat/ns")))
     } finally server.stop()
   }
 }
