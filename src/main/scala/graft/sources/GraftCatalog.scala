@@ -98,6 +98,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private[sources] def mirrorRepair(namespace: Array[String], name: String): String =
     "no external registry (filesystem catalog)"
 
+  /** `CALL sys.register_table`: point the catalog's external registry
+    * at a graft table living OUTSIDE the warehouse, read-through and
+    * without copying data (reference: Catalog.registerTable — HMS/JDBC
+    * registries store the path; the filesystem catalog has no registry
+    * to point, its tables ARE warehouse paths). */
+  private[sources] def mirrorRegister(
+      namespace: Array[String], name: String, path: String): String =
+    "no external registry (filesystem catalog) — read the table by path"
+
   /** `CALL <cat>.sys.<proc>(...)` maintenance procedures. */
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =

@@ -492,6 +492,18 @@ class GraftHmsCatalog extends GraftCatalog {
     s"HMS entry synced, partitions +$a -$d"
   }
 
+  /** `CALL sys.register_table`: an HMS entry whose `graft.path` names
+    * the external table — the read-through shape loadTable resolves. */
+  override private[sources] def mirrorRegister(
+      namespace: Array[String], name: String, path: String): String = {
+    val db = HmsBridge.dbName(namespace)
+    if (HmsBridge.tablePath(hmsOpts, db, name).isDefined) return "already registered"
+    val gt = GraftTable.load(org.apache.spark.sql.SparkSession.active, path)
+    HmsBridge.ensureDatabase(hmsOpts, db)
+    HmsBridge.mirrorCreate(hmsOpts, db, name, gt)
+    "registered"
+  }
+
   /** Read-through: a warehouse-resident table loads as usual; an
     * identifier absent from the warehouse resolves via its HMS entry's
     * `graft.path` — how a brownfield estate points at graft tables

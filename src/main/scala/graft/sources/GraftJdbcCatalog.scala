@@ -379,6 +379,20 @@ class GraftJdbcCatalog extends GraftCatalog {
     }
   }
 
+  /** `CALL sys.register_table`: a registry row whose `table_path`
+    * names the external table — the read-through shape loadTable
+    * resolves. */
+  override private[sources] def mirrorRegister(
+      namespace: Array[String], name: String, path: String): String = {
+    val db = JdbcBridge.dbName(namespace)
+    JdbcBridge.tablePath(uri, catalogKey, db, name) match {
+      case Some(_) => "already registered"
+      case None =>
+        JdbcBridge.registerTable(uri, catalogKey, db, name, path)
+        "registered"
+    }
+  }
+
   /** Warehouse tables load as usual; identifiers absent from the
     * warehouse resolve via the registry's `table_path`. */
   override def loadTable(ident: Identifier): Table = {

@@ -292,6 +292,19 @@ object GraftProcedures {
           s"${(ns :+ t).mkString(".")}: ${c.mirrorRepair(ns, t)}" }
         if (results.isEmpty) "nothing to repair" else results.mkString("; ")
       }),
+    // register a graft table living at an EXTERNAL path in this
+    // catalog's registry (HMS entry / JDBC row), read-through and
+    // without copying data (reference: Catalog.registerTable)
+    "register_table" -> (Seq(p("identifier", StringType), p("path", StringType)),
+      (c, args) => {
+        val id = args.getUTF8String(0).toString.trim
+        val path = args.getUTF8String(1).toString.trim
+        val segs = id.split("\\.")
+        require(segs.length >= 2, "identifier must be <db>.<table>")
+        require(graft.table.GraftTable.exists(path),
+          s"no graft table at $path")
+        s"$id: ${c.mirrorRegister(segs.dropRight(1), segs.last, path)}"
+      }),
     // ---- access control (reference: privilege/ procedures on the
     // reference's catalog: InitFileBasedPrivilege, CreatePrivilegedUser,
     // DropPrivilegedUser, GrantPrivilegeToUser, RevokePrivilegeFromUser).

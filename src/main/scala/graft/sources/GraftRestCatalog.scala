@@ -95,6 +95,15 @@ object GraftRestServer {
         val p = segs.foldLeft(warehouseRoot)(_.resolve(_)).normalize()
         if (p.startsWith(warehouseRoot)) Some(p) else None
       }
+    /** A REGISTERED external table's storage path (marker dir under
+      * the warehouse; data lives at the pointed-to path). */
+    def externalPath(dir: java.nio.file.Path): Option[String] = {
+      val marker = dir.resolve("external-table.json")
+      if (!java.nio.file.Files.exists(marker)) None
+      else graft.core.Json.read(
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8"),
+        classOf[Map[String, String]]).get("path")
+    }
 
     server.createContext("/v1/", (x: HttpExchange) => {
       try {
@@ -156,10 +165,10 @@ object GraftRestServer {
                 case _ => respond(x, 404, """{"error":"no such namespace"}""")
               }
 
-            // resolution/list recognize OBJECT tables too (the
-            // object-table.json marker) — a REST-served warehouse can
-            // hold both kinds, and gvfs in REST mode must be able to
-            // resolve object tables for its raw-file read/write path
+            // resolution/list recognize OBJECT tables (object-table.json
+            // marker — gvfs in REST mode resolves them for raw-file IO)
+            // and REGISTERED external tables (external-table.json marker
+            // whose "path" names a graft table outside the warehouse)
             case ("GET", Seq("namespaces", ns, "tables")) =>
               resolveUnder(ns) match {
                 case None => respond(x, 400, """{"error":"invalid namespace name"}""")
@@ -168,7 +177,8 @@ object GraftRestServer {
                     if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
                     else graft.core.FsUtil.listAll(dir)
                       .filter(p => GraftTable.exists(p.toString) ||
-                        java.nio.file.Files.exists(p.resolve("object-table.json")))
+                        java.nio.file.Files.exists(p.resolve("object-table.json")) ||
+                        externalPath(p).isDefined)
                       .map(_.getFileName.toString).sorted
                   respond(x, 200, graft.core.Json.write(ts))
               }
@@ -179,7 +189,38 @@ object GraftRestServer {
                 case Some(dir) if GraftTable.exists(dir.toString) ||
                     java.nio.file.Files.exists(dir.resolve("object-table.json")) =>
                   respond(x, 200, graft.core.Json.write(Map("path" -> dir.toString)))
+                case Some(dir) =>
+                  externalPath(dir).filter(GraftTable.exists) match {
+                    case Some(p) =>
+                      respond(x, 200, graft.core.Json.write(Map("path" -> p)))
+                    case None => respond(x, 404, """{"error":"no such table"}""")
+                  }
                 case _ => respond(x, 404, """{"error":"no such table"}""")
+              }
+
+            // register a graft table living at an EXTERNAL path: a
+            // marker dir under the warehouse holds the pointer, data
+            // stays where it is (reference: RESTApi registerTable)
+            case ("POST", Seq("namespaces", ns, "tables", t, "register")) =>
+              val spec = graft.core.Json.read(
+                new String(x.getRequestBody.readAllBytes(), "UTF-8"),
+                classOf[Map[String, String]])
+              resolveUnder(ns, t) match {
+                case None => respond(x, 400, """{"error":"invalid identifier"}""")
+                case Some(dir) =>
+                  val path = spec.getOrElse("path", "")
+                  if (GraftTable.exists(dir.toString) ||
+                      java.nio.file.Files.exists(dir.resolve("object-table.json")) ||
+                      externalPath(dir).isDefined)
+                    respond(x, 409, """{"error":"table already exists"}""")
+                  else if (!GraftTable.exists(path))
+                    respond(x, 400, """{"error":"no graft table at path"}""")
+                  else {
+                    java.nio.file.Files.createDirectories(dir)
+                    java.nio.file.Files.write(dir.resolve("external-table.json"),
+                      graft.core.Json.write(Map("path" -> path)).getBytes("UTF-8"))
+                    respond(x, 200, "{}")
+                  }
               }
 
             case ("POST", Seq("namespaces", ns, "tables")) =>
@@ -326,7 +367,10 @@ object GraftRestServer {
                 new String(x.getRequestBody.readAllBytes(), "UTF-8"),
                 classOf[RenameSpec])
               (resolveUnder(ns, t), resolveUnder(spec.toNamespace, spec.toName)) match {
-                case (Some(src), Some(dst)) if GraftTable.exists(src.toString) =>
+                // a registered EXTERNAL table renames by moving its
+                // marker dir — the pointed-to storage never moves
+                case (Some(src), Some(dst)) if GraftTable.exists(src.toString) ||
+                    externalPath(src).isDefined =>
                   if (java.nio.file.Files.exists(dst))
                     respond(x, 409, """{"error":"target exists"}""")
                   else {
@@ -467,6 +511,14 @@ class GraftRestCatalog extends TableCatalog with SupportsNamespaces {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     graft.core.Json.read(text, classOf[Map[String, String]])("path")
   }
+
+  /** Register a graft table living at an EXTERNAL path under this
+    * catalog — read-through resolution without copying data
+    * (reference: RESTApi registerTable route / Catalog.registerTable). */
+  def registerTable(ident: Identifier, path: String): Unit =
+    expect("POST",
+      s"namespaces/${ident.namespace().mkString("/")}/tables/${ident.name()}/register",
+      Some(graft.core.Json.write(Map("path" -> path))))
 
   override def loadTable(ident: Identifier): Table = {
     val path = remotePath(ident)

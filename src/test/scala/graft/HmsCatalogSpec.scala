@@ -309,5 +309,16 @@ class HmsCatalogSpec extends AnyFunSuite {
     val got = spark.sql("SELECT k, v FROM hcat.extdb.ext_t ORDER BY k")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got == Seq((1L, "x"), (2L, "y"), (3L, "z")))
+    // the same read-through shape via the user-facing procedure
+    val ext2 = Files.createTempDirectory("graft-hms-reg").toString + "/t2"
+    val gt2 = GraftTable.create(spark, ext2, sch)
+    gt2.write(spark.createDataFrame(Seq(Row(9L, "r")).asJava, sch))
+    val msg = spark.sql(
+      s"CALL hcat.sys.register_table('extdb.ext_p', '$ext2')").head.getString(0)
+    assert(msg.contains("registered"), msg)
+    assert(spark.sql("SELECT count(*) FROM hcat.extdb.ext_p").head.getLong(0) == 1L)
+    val msg2 = spark.sql(
+      s"CALL hcat.sys.register_table('extdb.ext_p', '$ext2')").head.getString(0)
+    assert(msg2.contains("already registered"), msg2)
   }
 }

@@ -252,6 +252,22 @@ class JdbcCatalogSpec extends AnyFunSuite {
     assert(msg2.contains("orphan_t"), msg2)
   }
 
+  test("CALL sys.register_table points the registry at an external path") {
+    registerCatalog()
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val ext = Files.createTempDirectory("graft-jdbc-reg").toString + "/t"
+    val sch = StructType(Seq(StructField("k", LongType, nullable = false)))
+    graft.table.GraftTable.create(spark, ext, sch).write(Seq(3L, 4L).toDF("k"))
+    val msg = spark.sql(
+      s"CALL jcat.sys.register_table('regdb.ext_p', '$ext')").head.getString(0)
+    assert(msg.contains("registered"), msg)
+    assert(spark.sql("SELECT count(*) FROM jcat.regdb.ext_p").head.getLong(0) == 2L)
+    val msg2 = spark.sql(
+      s"CALL jcat.sys.register_table('regdb.ext_p', '$ext')").head.getString(0)
+    assert(msg2.contains("already registered"), msg2)
+  }
+
   test("two catalog handles over one registry see each other's tables") {
     registerCatalog()
     // a second catalog name, same JDBC uri + warehouse = a second

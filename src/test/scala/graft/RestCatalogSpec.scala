@@ -55,6 +55,39 @@ class RestCatalogSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(spark.sql("SHOW TABLES IN rc.db").collect().isEmpty)
   }
 
+  test("register_table: an external-path table resolves read-through") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS rc.reg")
+    // a graft table OUTSIDE the warehouse
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val ext = Files.createTempDirectory("graft-rest-ext").toString + "/t"
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    graft.table.GraftTable.create(spark, ext, sch)
+      .write(Seq((5L, "e"), (6L, "f")).toDF("k", "v"))
+    val cat = spark.sessionState.catalogManager.catalog("rc")
+      .asInstanceOf[graft.sources.GraftRestCatalog]
+    import org.apache.spark.sql.connector.catalog.Identifier
+    cat.registerTable(Identifier.of(Array("reg"), "ext_r"), ext)
+    // listed, resolvable, readable — data never moved
+    assert(spark.sql("SHOW TABLES IN rc.reg").collect()
+      .map(_.getString(1)).toSeq.contains("ext_r"))
+    val got = spark.sql("SELECT k, v FROM rc.reg.ext_r ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((5L, "e"), (6L, "f")))
+    // double registration and re-using an occupied identifier refuse
+    intercept[Exception](cat.registerTable(Identifier.of(Array("reg"), "ext_r"), ext))
+    // rename moves only the marker; drop removes only the marker —
+    // the external storage survives both
+    spark.sql("ALTER TABLE rc.reg.ext_r RENAME TO reg.ext_r2")
+    assert(spark.sql("SELECT count(*) FROM rc.reg.ext_r2").head.getLong(0) == 2L)
+    spark.sql("DROP TABLE rc.reg.ext_r2")
+    assert(spark.sql("SHOW TABLES IN rc.reg").collect().isEmpty)
+    assert(graft.table.GraftTable.exists(ext),
+      "dropping a registered table must not delete its external storage")
+  }
+
   test("bad token is rejected; no data leaks") {
     spark.conf.set("spark.sql.catalog.rc_bad", "graft.sources.GraftRestCatalog")
     spark.conf.set("spark.sql.catalog.rc_bad.uri", server.uri)
