@@ -112,6 +112,33 @@ object HmsBridge {
       catch { case _: org.apache.hadoop.hive.metastore.api.AlreadyExistsException => () }
     }
 
+  /** Property changes on the HMS Database entry (reference:
+    * HiveCatalog.alterDatabaseImpl — parameters map on the Database). */
+  def alterDatabaseParams(opts: Map[String, String], db: String,
+      set: Map[String, String], remove: Set[String]): Unit =
+    withClient(opts) { c =>
+      val d = c.getDatabase(db)
+      val params = new java.util.HashMap[String, String](
+        Option(d.getParameters).getOrElse(java.util.Collections.emptyMap()))
+      set.foreach { case (k, v) => params.put(k, v) }
+      remove.foreach(params.remove(_))
+      d.setParameters(params)
+      c.alterDatabase(db, d)
+    }
+
+  def databaseParams(opts: Map[String, String], db: String): Map[String, String] =
+    withClient(opts) { c =>
+      try {
+        val d = c.getDatabase(db)
+        val b = Map.newBuilder[String, String]
+        Option(d.getParameters).foreach(_.forEach((k, v) => b += k -> v))
+        b.result()
+      } catch {
+        case _: org.apache.hadoop.hive.metastore.api.NoSuchObjectException =>
+          Map.empty
+      }
+    }
+
   def mirrorCreate(
       opts: Map[String, String], db: String, name: String, gt: GraftTable): Unit =
     withClient(opts)(c => createEntry(c, db, name, gt))
@@ -490,6 +517,32 @@ class GraftHmsCatalog extends GraftCatalog {
     // the stamped coords are already visible through this instance
     val (a, d) = HmsBridge.reconcilePartitions(gt)
     s"HMS entry synced, partitions +$a -$d"
+  }
+
+  /** Database properties live on the HMS Database entry (reference:
+    * HiveCatalog.alterDatabaseImpl — the filesystem catalog has
+    * nowhere to put them and stays unsupported). */
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit = {
+    import org.apache.spark.sql.connector.catalog.NamespaceChange
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    val db = HmsBridge.dbName(namespace)
+    val set = changes.collect {
+      case s: NamespaceChange.SetProperty => s.property -> s.value }.toMap
+    val remove = changes.collect {
+      case r: NamespaceChange.RemoveProperty => r.property }.toSet
+    HmsBridge.ensureDatabase(hmsOpts, db) // fs-created namespaces adopt
+    HmsBridge.alterDatabaseParams(hmsOpts, db, set, remove)
+  }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    val base = super.loadNamespaceMetadata(namespace) // exists check
+    val m = new java.util.HashMap[String, String](base)
+    HmsBridge.databaseParams(hmsOpts, HmsBridge.dbName(namespace))
+      .foreach { case (k, v) => m.put(k, v) }
+    m
   }
 
   /** `CALL sys.register_table`: an HMS entry whose `graft.path` names

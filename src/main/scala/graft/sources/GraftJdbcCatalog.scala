@@ -174,6 +174,34 @@ object JdbcBridge {
       } finally { rs.close(); ps.close() }
     }
 
+  /** Property changes for one database: update-or-insert the sets,
+    * delete the removes (reference: JdbcCatalog.alterDatabaseImpl —
+    * inserts/updates/deletes split from the starting properties). */
+  def alterDatabaseProps(uri: String, key: String, db: String,
+      set: Map[String, String], remove: Set[String]): Unit = withConn(uri) { conn =>
+    set.foreach { case (k, v) =>
+      val up = conn.prepareStatement(
+        s"UPDATE $DbPropsTable SET property_value=? " +
+          "WHERE catalog_key=? AND database_name=? AND property_key=?")
+      up.setString(1, v); up.setString(2, key); up.setString(3, db); up.setString(4, k)
+      val updated = try up.executeUpdate() finally up.close()
+      if (updated == 0) {
+        val ins = conn.prepareStatement(
+          s"INSERT INTO $DbPropsTable (catalog_key, database_name, property_key, property_value) VALUES (?,?,?,?)")
+        ins.setString(1, key); ins.setString(2, db); ins.setString(3, k); ins.setString(4, v)
+        try ins.executeUpdate()
+        catch { case e: SQLException if isDuplicateKey(e) => () } // racing writer
+        finally ins.close()
+      }
+    }
+    remove.foreach { k =>
+      val del = conn.prepareStatement(
+        s"DELETE FROM $DbPropsTable WHERE catalog_key=? AND database_name=? AND property_key=?")
+      del.setString(1, key); del.setString(2, db); del.setString(3, k)
+      try del.executeUpdate() finally del.close()
+    }
+  }
+
   def dropDatabase(uri: String, key: String, db: String): Unit =
     withConn(uri) { conn =>
       Seq(DbPropsTable, TablesTable).foreach { t =>
@@ -447,6 +475,37 @@ class GraftJdbcCatalog extends GraftCatalog {
       props.forEach((k, v) => b += k -> v)
       JdbcBridge.createDatabase(uri, catalogKey, db, b.result())
     }
+  }
+
+  /** Database properties live in the registry (reference:
+    * JdbcCatalog.alterDatabaseImpl — the filesystem catalog has
+    * nowhere to put them and stays unsupported). */
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit = {
+    import org.apache.spark.sql.connector.catalog.NamespaceChange
+    val db = JdbcBridge.dbName(namespace)
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    val set = changes.collect {
+      case s: NamespaceChange.SetProperty => s.property -> s.value }.toMap
+    val remove = changes.collect {
+      case r: NamespaceChange.RemoveProperty => r.property }.toSet
+    // the existence marker is the registry's own bookkeeping
+    JdbcBridge.withLock(uri, nsLockId(db)) {
+      JdbcBridge.alterDatabaseProps(uri, catalogKey, db,
+        set - JdbcBridge.ExistsProp, remove - JdbcBridge.ExistsProp)
+    }
+  }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    val m = new java.util.HashMap[String, String]()
+    JdbcBridge.databaseProps(uri, catalogKey, JdbcBridge.dbName(namespace))
+      .filterNot(_._1 == JdbcBridge.ExistsProp)
+      .foreach { case (k, v) => m.put(k, v) }
+    m
   }
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {

@@ -291,6 +291,20 @@ class HmsCatalogSpec extends AnyFunSuite {
     assert(opts.get("hms.table").contains("mv_h"), opts.toString)
   }
 
+  test("ALTER NAMESPACE property changes land on the HMS Database entry") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS hcat.hprops")
+    spark.sql("ALTER NAMESPACE hcat.hprops SET PROPERTIES ('team'='etl')")
+    val c = spark.sessionState.catalogManager.catalog("hcat")
+      .asInstanceOf[graft.sources.GraftHmsCatalog]
+    assert(c.loadNamespaceMetadata(Array("hprops")).get("team") == "etl")
+    // visible to a DIFFERENT client of the same metastore
+    assert(HmsBridge.databaseParams(hmsOpts, "hprops").get("team").contains("etl"))
+    c.alterNamespace(Array("hprops"),
+      org.apache.spark.sql.connector.catalog.NamespaceChange.removeProperty("team"))
+    assert(c.loadNamespaceMetadata(Array("hprops")).get("team") == null)
+  }
+
   test("read-through: an HMS entry resolves a graft table outside the warehouse") {
     registerCatalog()
     // a graft table living at an EXTERNAL path (not under the catalog

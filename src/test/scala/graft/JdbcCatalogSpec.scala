@@ -268,6 +268,25 @@ class JdbcCatalogSpec extends AnyFunSuite {
     assert(msg2.contains("already registered"), msg2)
   }
 
+  test("ALTER NAMESPACE property changes land in the registry") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS jcat.props")
+    spark.sql(
+      "ALTER NAMESPACE jcat.props SET PROPERTIES ('team'='etl', 'tier'='gold')")
+    val c = spark.sessionState.catalogManager.catalog("jcat")
+      .asInstanceOf[graft.sources.GraftJdbcCatalog]
+    val md = c.loadNamespaceMetadata(Array("props"))
+    assert(md.get("team") == "etl" && md.get("tier") == "gold", md.toString)
+    // update + remove through the V2 change API
+    c.alterNamespace(Array("props"),
+      org.apache.spark.sql.connector.catalog.NamespaceChange.setProperty("tier", "silver"),
+      org.apache.spark.sql.connector.catalog.NamespaceChange.removeProperty("team"))
+    val md2 = c.loadNamespaceMetadata(Array("props"))
+    assert(md2.get("tier") == "silver" && md2.get("team") == null, md2.toString)
+    intercept[Exception](c.alterNamespace(Array("no_such_db"),
+      org.apache.spark.sql.connector.catalog.NamespaceChange.setProperty("k", "v")))
+  }
+
   test("two catalog handles over one registry see each other's tables") {
     registerCatalog()
     // a second catalog name, same JDBC uri + warehouse = a second
