@@ -65,7 +65,12 @@ final class SnapshotManager(
         sn.deltaManifest ++ sn.changelogManifest)).toSet
     val files = sms.flatMap(s => s.snapshotIds.map(s.snapshot).flatMap(sn =>
       s.readManifestList(sn.manifestList).flatMap(s.readManifest)
-        .map(_.file.fileName) ++ sn.indexSidecars)).toSet
+        .map(_.file.fileName) ++
+        // changelog FILES too — protecting only the changelog manifest
+        // while this branch's expiration deletes the files it lists
+        // would break the sibling's changelog/incremental reads
+        sn.changelogManifest.toSeq.flatMap(s.readManifest).map(_.file.fileName) ++
+        sn.indexSidecars)).toSet
     (files, manifests)
   }
 
@@ -239,7 +244,7 @@ final class SnapshotManager(
       id = latest.id + 1,
       commitKind = "COMPACT",
       commitIdentifier = -1L,
-      commitUser = Some(resolvedCommitUser),
+      commitUser = Some(effectiveCommitUser),
       timeMillis = System.currentTimeMillis(),
       manifestList = listName,
       deltaManifest = None,
@@ -248,6 +253,16 @@ final class SnapshotManager(
       baseSnapshotId = Some(latest.id))
     if (io.tryCreateAtomic(snapshotPath(snap.id), Json.write(snap))) {
       io.writeString(s"$snapshotDir/LATEST", snap.id.toString)
+      // this IS a successful commit: the post-commit hook (iceberg
+      // export, auto-tags/expiration, HMS sync) must see it like any
+      // other, or commit-coupled metadata lags until the next regular
+      // commit — which may never come on a read-mostly table
+      try afterCommit(snap.id)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"post-commit hook failed for snapshot ${snap.id}: ${e.getMessage}")
+      }
       Some(snap.id)
     } else None // lost the CAS to a concurrent writer: caller may retry
   }
@@ -270,6 +285,18 @@ final class SnapshotManager(
     latestSchema().flatMap(_.options.get("commit.user-prefix"))
       .map(p => s"$p-$base").getOrElse(base)
   }
+
+  /** Pinned writer identity for commitIdentifier DEDUP scoping
+    * (reference: FileStoreCommitImpl filters committed snapshots by
+    * commitUser before comparing identifiers). A streaming query pins
+    * its STABLE app id here so (a) a restart — new manager, same app —
+    * still dedups its replayed epochs, and (b) two queries' epoch
+    * counters (both starting at 0) cannot swallow each other's
+    * commits. Unset, commits stamp the per-instance UUID. */
+  @volatile private var commitUserOverride: Option[String] = None
+  def setCommitUser(user: String): Unit = { commitUserOverride = Some(user) }
+  private def effectiveCommitUser: String =
+    commitUserOverride.getOrElse(resolvedCommitUser)
 
   // ---- commit ---------------------------------------------------------
 
@@ -355,11 +382,24 @@ final class SnapshotManager(
           .filter(e => e.kind == "ADD" && e.file.firstRowId.isEmpty)
           .map(_.file.rowCount).sum
       }
-      // idempotent replay: an epoch that already committed is a no-op
+      // idempotent replay: an epoch THIS writer already committed is a
+      // no-op. Scoped by commitUser (reference: FileStoreCommitImpl
+      // filters by user before comparing identifiers) — two streaming
+      // queries' epoch counters both start at 0, and an
+      // identifier-only match would silently swallow the second
+      // query's micro-batches. Scanned NEWEST-first with early stop:
+      // one writer's identifiers are monotone increasing, so the first
+      // same-user snapshot at or below the incoming identifier decides
+      // — O(other-writers' tail), never O(history) point reads.
       if (commitIdentifier >= 0) {
-        val dup = snapshotIds.map(snapshot)
-          .find(_.commitIdentifier == commitIdentifier)
-        if (dup.isDefined) return dup.get.id
+        val user = effectiveCommitUser
+        val it = snapshotIds.sorted.reverseIterator.map(snapshot)
+          .filter(_.commitUser.contains(user))
+          .dropWhile(_.commitIdentifier > commitIdentifier)
+        if (it.hasNext) {
+          val s = it.next()
+          if (s.commitIdentifier == commitIdentifier) return s.id
+        }
       }
       latest.foreach { l =>
         if (!conflictCheck(l)) {
@@ -386,7 +426,7 @@ final class SnapshotManager(
         schemaId = schemaId,
         commitKind = commitKind,
         commitIdentifier = commitIdentifier,
-        commitUser = Some(resolvedCommitUser),
+        commitUser = Some(effectiveCommitUser),
         timeMillis = System.currentTimeMillis(),
         manifestList = listName,
         deltaManifest = Some(manifestName),
@@ -600,6 +640,8 @@ final class SnapshotManager(
       .toSet ++ elseManifests ++ tagManifests
     val keptFiles = kept.flatMap(s =>
       readManifestList(s.manifestList).flatMap(readManifest)).map(_.file.fileName).toSet ++
+      kept.flatMap(s => s.changelogManifest.toSeq.flatMap(readManifest))
+        .map(_.file.fileName).toSet ++
       kept.flatMap(_.indexSidecars).toSet ++
       elseFiles ++ tagFiles
     // plan all deletions before removing anything: dropped snapshots
@@ -608,8 +650,12 @@ final class SnapshotManager(
     val dropManifests = dropped.flatMap(s =>
       (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest ++ s.changelogManifest)
       .distinct
+    // changelog FILES of rolled-back snapshots delete WITH their
+    // manifest — once the manifest is gone nothing can enumerate them,
+    // so skipping them here would orphan them permanently
     val dropFiles = (dropped.flatMap(s =>
-      readManifestList(s.manifestList).flatMap(readManifest))
+      readManifestList(s.manifestList).flatMap(readManifest) ++
+        s.changelogManifest.toSeq.flatMap(readManifest))
       .map(_.file.fileName) ++
       dropped.flatMap(_.indexSidecars)).distinct
     dropFiles.filterNot(keptFiles.contains)
@@ -712,7 +758,11 @@ final class SnapshotManager(
       (readManifestList(s.manifestList) :+ s.manifestList) ++ s.deltaManifest ++ s.changelogManifest).toSet
     val files = snaps.flatMap(s =>
       readManifestList(s.manifestList).flatMap(readManifest)
-        .map(_.file.fileName) ++ s.indexSidecars).toSet
+        .map(_.file.fileName) ++
+        // changelog FILES too — a tag must keep its exact -U/+U
+        // history readable, not just the manifest that lists it
+        s.changelogManifest.toSeq.flatMap(readManifest).map(_.file.fileName) ++
+        s.indexSidecars).toSet
     (files, manifests)
   }
 

@@ -952,7 +952,8 @@ class GraftScanBuilder(gt: GraftTable, snapshot0: Option[Long], full: StructType
             dataFilters, required, readOptions)
         } else if (compactedPk && !sch.isDynamicBucket) {
           new GraftBucketedScan(gt, entries, dataSchema, readData, readPart,
-            dataFilters, required, sch.effectiveBuckets, sch.primaryKeys)
+            dataFilters, required, sch.effectiveBuckets, sch.primaryKeys,
+            readOptions)
         } else if (compactedPk) {
           new GraftBatchScan(gt, entries, dataSchema, readData, readPart,
             dataFilters, required, readOptions)

@@ -336,9 +336,13 @@ class GraftBucketedScan(
     filters: Array[Filter],
     required: StructType,
     numBuckets: Int,
-    bucketKeys: Seq[String])
+    bucketKeys: Seq[String],
+    // threaded to GraftBatchScan so the inherited toMicroBatchStream
+    // still honors per-query streaming options (scan.mode,
+    // scan.snapshot-id, admission caps) on bucketed PK tables
+    readOptions: Map[String, String] = Map.empty)
     extends GraftBatchScan(gt, initialEntries, dataSchema, readDataSchema,
-      partitionSchema, filters, required)
+      partitionSchema, filters, required, readOptions)
     with SupportsReportPartitioning {
 
   private lazy val byBucket: Seq[(Int, Seq[ManifestEntry])] =

@@ -30,11 +30,21 @@ object GraftStreaming {
     * @param watermarkColumn event-time column; when set, each commit
     *        persists `max(eventTime) - delayMs` as the snapshot
     *        watermark (reference: Snapshot.FIELD_WATERMARK)
+    * @param appId stable identity of THIS streaming query, scoping
+    *        epoch dedup (reference: Snapshot.commitUser; same shape as
+    *        Delta's txnAppId). Epoch counters restart at 0 per
+    *        checkpoint, so when SEVERAL queries write one table each
+    *        MUST pass a distinct appId — under the shared default, one
+    *        query's epoch N would dedup against another's and drop the
+    *        batch. A restarted query keeps dedup by passing the same
+    *        appId (or by keeping the default).
     */
   def sink(
       table: GraftTable,
       watermarkColumn: Option[String] = None,
-      watermarkDelayMs: Long = 0L): (DataFrame, Long) => Unit =
+      watermarkDelayMs: Long = 0L,
+      appId: Option[String] = None): (DataFrame, Long) => Unit = {
+    table.setCommitUser(appId.getOrElse("stream-default"))
     (batch, epochId) => {
       val wm = watermarkColumn.flatMap { c =>
         val r = batch.agg(max(epochLong(batch, c))).head()
@@ -42,6 +52,7 @@ object GraftStreaming {
       }
       table.writeWatermarked(batch, commitIdentifier = epochId, watermark = wm)
     }
+  }
 
   /** Event-time column as BIGINT, adaptive to the column's physical
     * type: TIMESTAMP/TIMESTAMP_NTZ become epoch micros (session tz is

@@ -192,6 +192,12 @@ final class GraftTable private (
       }
     }
 
+  /** Pin the writer identity scoping commitIdentifier dedup — a
+    * streaming sink passes its STABLE app id so epoch replay after a
+    * restart dedups, and a second query's epoch counter cannot collide
+    * with this one's (see [[SnapshotManager.setCommitUser]]). */
+  def setCommitUser(user: String): Unit = sm.setCommitUser(user)
+
   /** Append (or upsert, for PK tables) a batch. Returns the WRITE's
     * snapshot id (a `commit.force-compact` follow-up compaction gets
     * its own snapshot — reference: CoreOptions COMMIT_FORCE_COMPACT). */

@@ -70,20 +70,29 @@ object MergeEngine {
         // overflow-free. Restricted to numeric sequence fields.
         val desc = schema.options
           .get("sequence.field.sort-order").contains("descending")
-        val seqCol =
-          if (!desc) col(f)
+        val seqCols: Seq[Column] =
+          if (!desc) Seq(col(f))
           else schema.toStruct.fields.find(_.name == f).map(_.dataType) match {
             case Some(org.apache.spark.sql.types.ByteType
                       | org.apache.spark.sql.types.ShortType
                       | org.apache.spark.sql.types.IntegerType
                       | org.apache.spark.sql.types.LongType) =>
-              bitwise_not(col(f))
-            case Some(_: org.apache.spark.sql.types.NumericType) => lit(0) - col(f)
+              Seq(bitwise_not(col(f)))
+            case Some(org.apache.spark.sql.types.FloatType
+                      | org.apache.spark.sql.types.DoubleType) =>
+              // negation is NOT order-reversing at NaN (0 - NaN = NaN,
+              // and Spark sorts NaN above every value): a leading
+              // isnan flag makes NaN — the MAXIMUM of the original
+              // order — the MINIMUM of the descending one
+              Seq(when(isnan(col(f)), lit(0)).otherwise(lit(1)),
+                lit(0) - col(f))
+            case Some(_: org.apache.spark.sql.types.NumericType) =>
+              Seq(lit(0) - col(f)) // Decimal: no NaN, negation reverses
             case other => throw new IllegalArgumentException(
               "sequence.field.sort-order=descending needs a numeric " +
                 s"sequence field, got $other")
           }
-        struct(seqCol, tie)
+        struct((seqCols :+ tie): _*)
       case None => struct(tie)
     }
   }
@@ -150,12 +159,15 @@ object MergeEngine {
         // tombstone (dropped at read, physically at full compaction —
         // vanishing silently would let older files resurrect the key)
         val isDel = col(Meta.KindCol) === Meta.KindDelete
+        // only -D RESETS the row; -U still never contributes values
+        // (the reference's retract path accepts only DELETE here)
+        val isRetractK = isDel || col(Meta.KindCol) === Meta.KindUpdateBefore
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(pk.map(col).toIndexedSeq: _*)
         val tagged = raw
           .withColumn("__last_del", max(when(isDel, ord)).over(w))
           .withColumn("__alive",
-            !isDel && (col("__last_del").isNull || ord > col("__last_del")))
+            !isRetractK && (col("__last_del").isNull || ord > col("__last_del")))
         val seqAgg =
           if (raw.columns.contains(Meta.SeqCol)) max(col(Meta.SeqCol)) else lit(0L)
         val aggs = valueCols.map { c =>
@@ -171,7 +183,12 @@ object MergeEngine {
         return tagged.groupBy(pk.map(col).toIndexedSeq: _*)
           .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
       }
-      val in = raw.filter(col(Meta.KindCol) =!= Meta.KindDelete)
+      // BOTH retraction kinds are ignored (reference ignore-delete
+      // drops rowKind.isRetract, i.e. -D AND -U): an unpaired -U
+      // feeding the last-non-null fold would resurrect the key with
+      // its retracted values stamped +I
+      val in = raw.filter(col(Meta.KindCol) =!= Meta.KindDelete &&
+        col(Meta.KindCol) =!= Meta.KindUpdateBefore)
       val aggs = valueCols.map { c =>
         max_by(col(c), when(col(c).isNotNull, ord)).as(c)
       } ++ metaAggs(in)
@@ -356,9 +373,17 @@ object MergeEngine {
         // produced ARRAY<ARRAY<T>> and failed the schema cast.
         array_sort(flatten(collect_list(col(c))))
       case "merge_map" =>
-        // later maps win per key, folded in ordering-key order
-        expr(s"aggregate(transform(array_sort(collect_list(struct($c as m))), x -> x.m), " +
-          s"cast(null as $typeSql), (a, m) -> if(a is null, m, map_concat(map_filter(a, (k, v) -> not array_contains(map_keys(m), k)), m)))")
+        // later maps win per key, folded in ordering-key order. The
+        // sort rides map_entries: Spark cannot ORDER a struct holding
+        // a MAP, so the collected element is struct(o, entries) —
+        // orderable, and o leads the lexicographic struct comparison.
+        val sorted = array_sort(collect_list(
+          struct(ord.as("o"), map_entries(col(c)).as("e"))))
+        val maps = transform(sorted, x => map_from_entries(x.getField("e")))
+        aggregate(maps, lit(null).cast(typeSql),
+          (a, m) => when(m.isNull, a).otherwise(when(a.isNull, m).otherwise(
+            map_concat(
+              map_filter(a, (k, _) => !array_contains(map_keys(m), k)), m))))
       case "primary-key" => first(col(c))
       // sketch states: stored value IS the serialized sketch; base and
       // combine are both unions (fully mergeable). Native

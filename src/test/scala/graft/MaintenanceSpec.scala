@@ -32,6 +32,22 @@ class MaintenanceSpec extends AnyFunSuite {
       .toDF("x", "y")
   }
 
+  test("manifest compaction fires the post-commit hook like any other commit") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), xy)
+    t.write((0L until 5L).map(i => (i, i)).toDF("x", "y"))
+    t.write((5L until 10L).map(i => (i, i)).toDF("x", "y"))
+    var seen = Vector.empty[Long]
+    t.sm.onCommit(id => seen :+= id)
+    val r = t.sm.compactManifests()
+    assert(r.isDefined, "two manifests must fold")
+    // commit-coupled exports (iceberg metadata, auto-tags, HMS sync)
+    // hang off this hook — a snapshot that skips it leaves them one
+    // commit behind, possibly forever on a read-mostly table
+    assert(seen == Vector(r.get),
+      s"manifest compaction must fire the post-commit hook, saw $seen")
+  }
+
   test("migrate adopts a plain partitioned parquet dir without rewriting data") {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("graft-mig-src").toString + "/src"

@@ -115,6 +115,71 @@ class SequenceGroupSpec extends AnyFunSuite {
     assert(t.read.head.getString(1) == "v3")
   }
 
+  test("plain partial-update ignores -U retractions: no overwrite, no resurrect") {
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"),
+      options = Map("merge-engine" -> "partial-update"))
+    def df(rows: (Long, String)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2)).asJava, sch)
+    t.write(df((1L, "v1")))
+    // an unpaired -U (CDC pk-change leftover): BOTH retraction kinds
+    // must be ignored — feeding it to the last-non-null fold would
+    // overwrite v1 with the RETRACTED value stamped +I
+    val ub = df((1L, "stale")).withColumn(graft.core.Meta.KindCol,
+      lit(graft.core.Meta.KindUpdateBefore).cast("byte"))
+    t.writeKinded(ub)
+    val got = t.read.collect()
+    assert(got.length == 1 && got.head.getString(1) == "v1", got.mkString(","))
+    // a key fed ONLY -U records never materializes
+    t.writeKinded(df((2L, "ghost")).withColumn(graft.core.Meta.KindCol,
+      lit(graft.core.Meta.KindUpdateBefore).cast("byte")))
+    assert(t.read.filter(col("k") === 2L).count() == 0)
+  }
+
+  test("merge_map folds maps in order; later value wins per key") {
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("m", MapType(StringType, StringType), nullable = true)))
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"),
+      options = Map("merge-engine" -> "aggregation",
+        "fields.m.aggregate-function" -> "merge_map"))
+    def df(m: Map[String, String]) = spark.createDataFrame(
+      Seq(Row(1L, m)).asJava, sch)
+    t.write(df(Map("a" -> "1", "b" -> "1")))
+    t.write(df(Map("b" -> "2", "c" -> "2")))
+    val got = t.read.head.getMap[String, String](1)
+    assert(got == Map("a" -> "1", "b" -> "2", "c" -> "2"), got.toString)
+    // a null map neither clears nor nulls the accumulated value
+    t.write(spark.createDataFrame(Seq(Row(1L, null)).asJava, sch))
+    val got2 = t.read.head.getMap[String, String](1)
+    assert(got2 == Map("a" -> "1", "b" -> "2", "c" -> "2"), got2.toString)
+  }
+
+  test("descending DOUBLE sequence: NaN loses to every real number") {
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true),
+      StructField("s", DoubleType, nullable = true)))
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "s",
+        "sequence.field.sort-order" -> "descending"))
+    def df(rows: (Long, String, Double)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3)).asJava, sch)
+    t.write(df((1L, "real", 5.0)))
+    // descending picks the SMALLEST sequence; NaN is the LARGEST
+    // double, so it must lose — bare negation maps NaN to itself
+    // (still the maximum) and would wrongly pick it
+    t.write(df((1L, "nan", Double.NaN)))
+    assert(t.read.head.getString(1) == "real")
+    t.write(df((1L, "smaller", 1.0)))
+    assert(t.read.head.getString(1) == "smaller")
+  }
+
   test("aggregation engine retracts sum and count; others ignore retracts") {
     val sch = StructType(Seq(
       StructField("k", LongType, nullable = false),

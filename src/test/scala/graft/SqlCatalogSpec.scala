@@ -664,6 +664,37 @@ class SqlCatalogSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.toString.contains("bogus")), e.toString)
   }
 
+  test("readStream scan.mode holds on a fully-compacted bucketed PK table") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db8b")
+    spark.sql("""CREATE TABLE graft.db8b.t (k BIGINT, v STRING)
+                |TBLPROPERTIES ('primary-key'='k', 'bucket'='2')""".stripMargin)
+    spark.sql("INSERT INTO graft.db8b.t VALUES (1,'a'),(2,'b')")
+    val t = graft.table.GraftTable.load(spark, s"$warehouse/db8b/t")
+    t.compact()
+    def drain(opts: Map[String, String]): Seq[Long] = {
+      val ckpt = Files.createTempDirectory("graft-bmode").toString
+      val received = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var r = spark.readStream
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.table("graft.db8b.t").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          received.synchronized { received ++= df.collect().map(_.getLong(0)) }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+      received.sorted.toSeq
+    }
+    // a fully-compacted fixed-bucket PK table takes the BUCKETED scan
+    // route (SupportsReportPartitioning) — which must thread per-query
+    // read options to its inherited micro-batch stream: latest skips
+    // the backlog instead of silently re-reading the whole table
+    assert(drain(Map("scan.mode" -> "latest")).isEmpty,
+      "latest must skip the backlog on the bucketed scan route")
+    assert(drain(Map.empty) == Seq(1L, 2L)) // default latest-full still works
+  }
+
   test("bounded readStream drains to scan.bounded.watermark and terminates") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db10")
     spark.sql("DROP TABLE IF EXISTS graft.db10.t")

@@ -187,6 +187,72 @@ class StreamingSpec extends AnyFunSuite {
     assert(clFiles() == after)
   }
 
+  test("a tag protects its changelog FILES from expiration; rollback reclaims them") {
+    import scala.jdk.CollectionConverters._
+    val t = GraftTable.create(spark, tmp() + "/t", evSchema,
+      primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "seq",
+        "changelog-producer" -> "lookup", "bucket" -> "1"))
+    def df(rows: (Long, String, Long)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3)).asJava, evSchema)
+    (1 to 3).foreach(i => t.write(df((i.toLong, s"v$i", 1L))))
+    // tag the CURRENT snapshot (carries a changelog manifest), then
+    // commit + expire past it: protecting only the tag's changelog
+    // MANIFEST while deleting the files it lists would break the
+    // tag's changelog read with file-not-found
+    t.createTag("early")
+    (4 to 6).foreach(i => t.write(df((i.toLong, s"v$i", 1L))))
+    val tagged = t.sm.tagSnapshots.find(_ => true).get
+    val taggedClFiles = tagged.changelogManifest.toSeq
+      .flatMap(t.sm.readManifest).map(_.file.fileName)
+    assert(taggedClFiles.nonEmpty, "tagged snapshot must carry changelog")
+    t.expireSnapshots(retain = 1)
+    taggedClFiles.foreach { f =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"${t.path}/$f")),
+        s"tagged changelog file $f must survive expiration")
+    }
+    // rollback deletes the rolled-back snapshots' changelog FILES with
+    // their manifests — once the manifest is gone nothing could ever
+    // enumerate them again (they'd leak as permanent orphans)
+    val t2 = GraftTable.create(spark, tmp() + "/t2", evSchema,
+      primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "seq",
+        "changelog-producer" -> "lookup", "bucket" -> "1"))
+    (1 to 4).foreach(i => t2.write(df((i.toLong, s"v$i", 1L))))
+    val lastCl = t2.sm.latestSnapshot().get.changelogManifest.toSeq
+      .flatMap(t2.sm.readManifest).map(_.file.fileName)
+    assert(lastCl.nonEmpty)
+    t2.sm.rollbackTo(t2.sm.latestSnapshotId.get - 2)
+    lastCl.foreach { f =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"${t2.path}/$f")),
+        s"rolled-back changelog file $f must be reclaimed, not orphaned")
+    }
+    // the surviving history still reads
+    assert(t2.read.count() == 2)
+  }
+
+  test("epoch dedup is scoped by app id: two queries' epoch 0 both land") {
+    import scala.jdk.CollectionConverters._
+    val path = tmp() + "/t"
+    val tA = GraftTable.create(spark, path, evSchema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
+    val sinkA = GraftStreaming.sink(tA, appId = Some("etl-a"))
+    sinkA(spark.createDataFrame(Seq(Row(1L, "a", 1L)).asJava, evSchema), 0L)
+    // a SECOND query (own table handle, own epoch counter starting at
+    // 0) — identifier-only dedup would silently swallow this batch
+    val tB = GraftTable.load(spark, path)
+    val sinkB = GraftStreaming.sink(tB, appId = Some("etl-b"))
+    sinkB(spark.createDataFrame(Seq(Row(2L, "b", 1L)).asJava, evSchema), 0L)
+    assert(tA.read.count() == 2, "distinct apps' epoch 0 must both commit")
+    // replay within one app still dedups — including across a RESTART
+    // (fresh table handle, same app id)
+    val tA2 = GraftTable.load(spark, path)
+    val sinkA2 = GraftStreaming.sink(tA2, appId = Some("etl-a"))
+    sinkA2(spark.createDataFrame(Seq(Row(1L, "a", 1L)).asJava, evSchema), 0L)
+    assert(tA2.read.count() == 2)
+    assert(tA2.systemSnapshots.count() == 2)
+  }
+
   test("bounded stream stops at the watermark bound") {
     import scala.jdk.CollectionConverters._
     val dir = tmp()
