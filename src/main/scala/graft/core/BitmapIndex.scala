@@ -27,9 +27,16 @@ object BitmapIndex {
 
   val OptionColumns = "file-index.bitmap.columns"
   val MaxCardinality = 10000
-  /** dictionary keys reserved for null rows / overflow marker */
+  /** dictionary keys reserved for null rows / overflow marker; VALUE
+    * keys carry [[ValuePrefix]] so a legal string value equal to the
+    * null sentinel cannot be misfiled into the nulls bitmap (the same
+    * hazard RangeIndex's "v" prefix guards) */
   private val NullKey = "\u0000null"
   private val OverflowKey = "\u0000overflow"
+  private val ValuePrefix = "\u0001"
+  /** serialization marker for the prefixed-key format; the v1 layout
+    * started with a non-negative size, so the sign disambiguates */
+  private val FormatV2 = -2
 
   /** (canonical value or null, rowIndex) → per-value position bitmaps. */
   final class BitmapAgg
@@ -38,7 +45,10 @@ object BitmapIndex {
     override def zero: Buf = scala.collection.mutable.HashMap.empty
     override def reduce(b: Buf, in: (String, Long)): Buf = {
       if (b.contains(OverflowKey)) return b
-      val key = Option(in._1).getOrElse(NullKey)
+      val key = in._1 match {
+        case null => NullKey
+        case v => ValuePrefix + v // never collides with the sentinels
+      }
       require(in._2 <= Int.MaxValue, "row index exceeds 32-bit bitmap")
       b.getOrElseUpdate(key, new RoaringBitmap()).add(in._2.toInt)
       if (b.size > MaxCardinality) { b.clear(); b(OverflowKey) = new RoaringBitmap() }
@@ -66,6 +76,7 @@ object BitmapIndex {
   def serialize(m: Map[String, RoaringBitmap]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
+    out.writeInt(FormatV2)
     out.writeInt(m.size)
     m.foreach { case (k, bm) =>
       out.writeUTF(k)
@@ -85,7 +96,9 @@ object BitmapIndex {
 
   def deserialize(bytes: Array[Byte]): Decoded = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readInt()
+    val first = in.readInt()
+    val v2 = first == FormatV2
+    val n = if (v2) in.readInt() else first
     val m = (0 until n).map { _ =>
       val k = in.readUTF()
       val len = in.readInt()
@@ -95,7 +108,13 @@ object BitmapIndex {
       bm.deserialize(new DataInputStream(new ByteArrayInputStream(bb)))
       k -> bm
     }.toMap
-    Decoded(m - NullKey, m.getOrElse(NullKey, new RoaringBitmap()))
+    if (v2)
+      Decoded(
+        m.collect { case (k, bm) if k.startsWith(ValuePrefix) =>
+          k.stripPrefix(ValuePrefix) -> bm },
+        m.getOrElse(NullKey, new RoaringBitmap()))
+    else // v1 sidecars: legacy unprefixed keys (pre-prefix writers)
+      Decoded(m - NullKey, m.getOrElse(NullKey, new RoaringBitmap()))
   }
 
   /** Decide whether a file might contain rows matching `cond`. Exact
@@ -115,14 +134,14 @@ object BitmapIndex {
       case Or(l, r) =>
         mightMatch(l, indexedColumns, load) || mightMatch(r, indexedColumns, load)
       case EqualTo(a: AttributeReference, r) if r.foldable && indexedColumns(a.name) =>
-        hasAny(a.name, Seq(r.eval()), load)
+        hasAny(a.name, a.dataType, Seq(r.eval()), load)
       case EqualTo(l, a: AttributeReference) if l.foldable && indexedColumns(a.name) =>
-        hasAny(a.name, Seq(l.eval()), load)
+        hasAny(a.name, a.dataType, Seq(l.eval()), load)
       case In(a: AttributeReference, list)
           if list.forall(_.foldable) && indexedColumns(a.name) =>
-        hasAny(a.name, list.map(_.eval()), load)
+        hasAny(a.name, a.dataType, list.map(_.eval()), load)
       case InSet(a: AttributeReference, values) if indexedColumns(a.name) =>
-        hasAny(a.name, values.toSeq, load)
+        hasAny(a.name, a.dataType, values.toSeq, load)
       case IsNull(a: AttributeReference) if indexedColumns(a.name) =>
         load(a.name).forall(_.nulls.getCardinality > 0)
       case IsNotNull(a: AttributeReference) if indexedColumns(a.name) =>
@@ -131,7 +150,7 @@ object BitmapIndex {
           if r.foldable && indexedColumns(a.name) =>
         load(a.name).forall { d =>
           // refutable only when the file holds exactly this one value
-          BloomIndex.canonical(r.eval()) match {
+          BloomIndex.canonical(r.eval(), a.dataType) match {
             case Some(s) => !(d.values.keySet == Set(s) && d.nulls.isEmpty)
             case None => true
           }
@@ -141,12 +160,12 @@ object BitmapIndex {
   }
 
   private def hasAny(
-      column: String, values: Seq[Any],
+      column: String, dt: org.apache.spark.sql.types.DataType, values: Seq[Any],
       load: String => Option[Decoded]): Boolean =
     load(column) match {
       case None => true
       case Some(d) =>
-        values.exists(v => BloomIndex.canonical(v) match {
+        values.exists(v => BloomIndex.canonical(v, dt) match {
           case None => true
           case Some(s) => d.values.contains(s)
         })

@@ -57,16 +57,26 @@ object BloomIndex {
 
   /** Canonical probe rendering of a Catalyst internal value; None when
     * the type's driver-side rendering can't be guaranteed to match the
-    * SQL cast (then the index is simply not consulted). */
-  def canonical(v: Any): Option[String] = v match {
-    case null => None
-    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
-    case b: java.lang.Boolean => Some(b.toString)
-    case n @ (_: java.lang.Byte | _: java.lang.Short |
-              _: java.lang.Integer | _: java.lang.Long) => Some(n.toString)
-    case d: java.lang.Double => Some(d.toString)
-    case f: java.lang.Float => Some(f.toString)
-    case _ => None // timestamps/decimals: cast rendering differs — skip
+    * SQL cast (then the index is simply not consulted). The column's
+    * DECLARED type is required: date/timestamp internals are plain
+    * Int/Long, indistinguishable from integer columns by value alone —
+    * rendering a date literal as its epoch-day number while the build
+    * side indexed "2024-01-01" would refute every matching file. */
+  def canonical(v: Any, dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    if (v == null) None
+    else dt match {
+      case StringType => Some(v.toString)
+      case BooleanType => Some(v.toString)
+      case ByteType | ShortType | IntegerType | LongType => Some(v.toString)
+      case DoubleType | FloatType => Some(v.toString)
+      case DateType =>
+        // CAST(date AS STRING) is the tz-free ISO local date — exactly
+        // LocalDate's rendering, reproducible at probe time
+        Some(java.time.LocalDate
+          .ofEpochDay(v.asInstanceOf[Number].longValue()).toString)
+      case _ => None // timestamps (tz-dependent) / decimals (scale): skip
+    }
   }
 
   /** Decide whether a file might contain rows matching `cond`, given a
@@ -87,26 +97,26 @@ object BloomIndex {
       case Or(l, r) =>
         mightMatch(l, indexedColumns, load) || mightMatch(r, indexedColumns, load)
       case EqualTo(a: AttributeReference, r) if r.foldable && indexedColumns(a.name) =>
-        probe(a.name, Seq(r.eval()), load)
+        probe(a.name, a.dataType, Seq(r.eval()), load)
       case EqualTo(l, a: AttributeReference) if l.foldable && indexedColumns(a.name) =>
-        probe(a.name, Seq(l.eval()), load)
+        probe(a.name, a.dataType, Seq(l.eval()), load)
       case In(a: AttributeReference, list)
           if list.forall(_.foldable) && indexedColumns(a.name) =>
-        probe(a.name, list.map(_.eval()), load)
+        probe(a.name, a.dataType, list.map(_.eval()), load)
       case InSet(a: AttributeReference, values) if indexedColumns(a.name) =>
-        probe(a.name, values.toSeq, load)
+        probe(a.name, a.dataType, values.toSeq, load)
       case _ => true
     }
   }
 
   /** true unless the bloom proves every candidate value absent. */
   private def probe(
-      column: String, values: Seq[Any],
+      column: String, dt: org.apache.spark.sql.types.DataType, values: Seq[Any],
       load: String => Option[BloomFilter]): Boolean =
     load(column) match {
       case None => true
       case Some(bloom) =>
-        values.exists(v => canonical(v) match {
+        values.exists(v => canonical(v, dt) match {
           case None => true // unprobeable value: cannot refute
           case Some(s) => bloom.mightContainString(s)
         })

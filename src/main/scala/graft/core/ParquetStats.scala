@@ -67,7 +67,11 @@ object ParquetStats {
               primitive.getLogicalTypeAnnotation,
               st.genericGetMin.asInstanceOf[AnyRef],
               st.genericGetMax.asInstanceOf[AnyRef])
-          val nulls = if (st == null) 0L else st.getNumNulls
+          // -1 = UNKNOWN (no statistics recorded), never a fabricated
+          // zero: IS NULL pruning trusts an exact zero, and a stat-less
+          // chunk full of nulls would otherwise silently vanish
+          val nulls =
+            if (st == null || !st.isNumNullsSet) -1L else st.getNumNulls
           val merged = colStats.get(name) match {
             case None => ColStats(mn, mx, nulls)
             case Some(prev) =>
@@ -76,7 +80,8 @@ object ParquetStats {
               ColStats(
                 mergeMinMax(prev.min, mn, isMin = true, numeric),
                 mergeMinMax(prev.max, mx, isMin = false, numeric),
-                prev.nullCount + nulls)
+                if (prev.nullCount < 0 || nulls < 0) -1L
+                else prev.nullCount + nulls)
           }
           colStats(name) = merged
         }
@@ -156,7 +161,12 @@ object ParquetStats {
           try new java.math.BigDecimal(x).compareTo(new java.math.BigDecimal(y))
           catch { case _: NumberFormatException =>
             java.lang.Double.compare(x.toDouble, y.toDouble) }
-        else x.compareTo(y)
+        else
+          // UTF-8 BYTE order, matching how parquet computed the block
+          // stats — UTF-16 compareTo disagrees on supplementary chars
+          java.util.Arrays.compareUnsigned(
+            x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       Some(if ((cmp <= 0) == isMin) x else y)
   }
 }

@@ -33,12 +33,18 @@ object StatsFilter {
         Some((a, dt))
       case _ => None
     }
+    /** Only EXACTLY-representable widenings qualify for this fast path,
+      * because cmp() re-parses the raw stat string in the TARGET type:
+      * Int→Float (>2^24), Long→Double (>2^53) and Float→Double (the
+      * stat string "0.1" parses to 0.1d, but (double)0.1f is
+      * 0.100000001...) would compare against a value that differs from
+      * the true cast of the endpoint and wrong-prune. Those lossy
+      * casts still prune CORRECTLY through the Mono path, which parses
+      * the stat in the SOURCE type and evaluates the cast. */
     private def widens(from: DataType, to: DataType): Boolean = (from, to) match {
       case (ByteType, ShortType | IntegerType | LongType | FloatType | DoubleType) => true
       case (ShortType, IntegerType | LongType | FloatType | DoubleType) => true
-      case (IntegerType, LongType | FloatType | DoubleType) => true
-      case (LongType, DoubleType) => true
-      case (FloatType, DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
       case _ => false
     }
   }
@@ -129,15 +135,21 @@ object StatsFilter {
     // LIKE 'abc%' (pure-prefix pattern): equivalent to StartsWith.
     // (The optimizer's LikeSimplification would rewrite it, but we
     // evaluate analyzed expressions.)
-    case Like(a: AttributeReference, r, _) if r.foldable =>
+    // only under the DEFAULT escape char: a custom ESCAPE would make
+    // its escape sequences literal prefix bytes and wrong-prune
+    case Like(a: AttributeReference, r, esc) if r.foldable && esc == '\\' =>
       Option(r.eval()).map(_.toString) match {
         case Some(p) if p.nonEmpty && p.endsWith("%") &&
             !p.dropRight(1).exists(c => c == '%' || c == '_' || c == '\\') =>
           prefixMightMatch(a.name, Some(p.dropRight(1)), f)
         case _ => true
       }
+    // prune only on a PROVEN-zero null count — a negative count means
+    // the writer recorded no null statistics (parquet getNumNulls is
+    // -1 when unset), and trusting a fabricated zero would silently
+    // empty `IS NULL` queries over stat-less files
     case IsNull(a: AttributeReference) =>
-      f.stats.get(a.name).forall(_.nullCount > 0)
+      f.stats.get(a.name).forall(_.nullCount != 0)
     case IsNotNull(a: AttributeReference) =>
       f.stats.get(a.name).forall(st => st.nullCount < f.rowCount || st.min.isDefined)
     // ---- monotonic field transforms: `g(c) op lit` prunes against
@@ -201,7 +213,10 @@ object StatsFilter {
       case Subtract(l, r, m) if nonLegacy(m) && l.foldable => unapply(r)
       case Multiply(l, r, m) if nonLegacy(m) && r.foldable => unapply(l)
       case Multiply(l, r, m) if nonLegacy(m) && l.foldable => unapply(r)
-      case UnaryMinus(c, _) => unapply(c)
+      // failOnError=false is LEGACY wraparound: -Long.MinValue wraps to
+      // itself, breaking monotonicity at the endpoint — same reason the
+      // binary arithmetic above requires non-LEGACY mode
+      case UnaryMinus(c, failOnError) if failOnError => unapply(c)
       case _ => None
     }
     /** Spark 4.1 arithmetic carries a NumericEvalContext, not a bare
@@ -279,15 +294,25 @@ object StatsFilter {
         .getInterpretedOrdering(dt).asInstanceOf[Ordering[Any]].compare(x, y))
     } catch { case _: Exception => None }
 
-  /** p-prefixed strings all sort >= p and share p's first chars. */
+  /** p-prefixed strings all sort >= p and share p's leading BYTES.
+    * Comparisons are UTF-8 byte order — the order parquet/Spark min/max
+    * stats are computed in; Java's UTF-16 compareTo disagrees for
+    * supplementary characters (U+10000 sorts below U+E000 in UTF-16 but
+    * above in UTF-8) and would wrong-prune. */
   private def prefixMightMatch(
       col: String, prefix: Option[String], f: DataFileMeta): Boolean =
     prefix match {
       case None => true
       case Some(p) => range(col, f).forall { case (mn, mx) =>
-        mx.compareTo(p) >= 0 && mn.take(p.length).compareTo(p) <= 0
+        val pb = utf8(p)
+        utf8Cmp(utf8(mx), pb) >= 0 && utf8Cmp(utf8(mn).take(pb.length), pb) <= 0
       }
     }
+
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private def utf8Cmp(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
 
   /** (min, max) stats of a column, if present and usable. */
   /** Shapes that propagate null from the attribute to the comparison
@@ -318,28 +343,41 @@ object StatsFilter {
     * every caller treats it as might-match (never skips). A plain 0
     * default would be WRONG for strict inequalities: `cmp < 0` on 0 is
     * false, so an unknown type would prune every file. */
-  private def cmp(v: Any, dt: DataType, stat: String): Option[Int] = dt match {
-    case ByteType | ShortType | IntegerType | LongType =>
-      Some(java.lang.Long.compare(v.asInstanceOf[Number].longValue(), stat.toLong))
-    case DateType => // internal: days since epoch (Int)
-      Some(java.lang.Long.compare(v.asInstanceOf[Number].longValue(), stat.toLong))
-    case TimestampType | TimestampNTZType => // internal: micros (Long)
-      Some(java.lang.Long.compare(v.asInstanceOf[Number].longValue(), stat.toLong))
-    // internal: nanos-of-day (Long); ParquetStats normalizes TIME
-    // footer stats (millis/micros/nanos per annotation) to nanos
-    case _: TimeType =>
-      Some(java.lang.Long.compare(v.asInstanceOf[Number].longValue(), stat.toLong))
-    case FloatType | DoubleType =>
-      Some(java.lang.Double.compare(v.asInstanceOf[Number].doubleValue(), stat.toDouble))
-    // internal: Decimal; ParquetStats normalizes unscaled footer stats
-    // to plain decimal strings via the annotation's scale
-    case _: DecimalType =>
-      Some(v.asInstanceOf[org.apache.spark.sql.types.Decimal]
-        .toJavaBigDecimal.compareTo(new java.math.BigDecimal(stat)))
-    case StringType =>
-      Some(v.toString.compareTo(stat))
-    case BooleanType =>
-      Some(java.lang.Boolean.compare(v.asInstanceOf[Boolean], stat.toBoolean))
-    case _ => None // unknown type: cannot compare → caller must not skip
-  }
+  private def cmp(v: Any, dt: DataType, stat: String): Option[Int] = try {
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(java.lang.Long.compare(v.asInstanceOf[Number].longValue(), stat.toLong))
+      case DateType => // internal: days since epoch (Int)
+        Some(java.lang.Long.compare(v.asInstanceOf[Number].longValue(), stat.toLong))
+      case TimestampType | TimestampNTZType => // internal: micros (Long)
+        Some(java.lang.Long.compare(v.asInstanceOf[Number].longValue(), stat.toLong))
+      // internal: nanos-of-day (Long); ParquetStats normalizes TIME
+      // footer stats (millis/micros/nanos per annotation) to nanos
+      case _: TimeType =>
+        Some(java.lang.Long.compare(v.asInstanceOf[Number].longValue(), stat.toLong))
+      // compare floats AS floats: the stat string is Float.toString
+      // ("0.1" → 0.1f exactly), but widening the value to double first
+      // (0.1f → 0.10000000149) shifts it off the re-parsed stat and
+      // wrong-prunes float equality
+      case FloatType =>
+        Some(java.lang.Float.compare(
+          v.asInstanceOf[Number].floatValue(), stat.toFloat))
+      case DoubleType =>
+        Some(java.lang.Double.compare(v.asInstanceOf[Number].doubleValue(), stat.toDouble))
+      // internal: Decimal; ParquetStats normalizes unscaled footer stats
+      // to plain decimal strings via the annotation's scale
+      case _: DecimalType =>
+        Some(v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal.compareTo(new java.math.BigDecimal(stat)))
+      // UTF-8 BYTE order — the order the stats were computed in; Java's
+      // UTF-16 compareTo disagrees on supplementary characters
+      case StringType =>
+        Some(utf8Cmp(utf8(v.toString), utf8(stat)))
+      case BooleanType =>
+        Some(java.lang.Boolean.compare(v.asInstanceOf[Boolean], stat.toBoolean))
+      case _ => None // unknown type: cannot compare → caller must not skip
+    }
+    // a malformed stat (foreign writer, corrupt footer) fails open for
+    // THIS file instead of throwing the whole pruning pass open
+  } catch { case _: Exception => None }
 }

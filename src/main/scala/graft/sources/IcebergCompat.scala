@@ -373,8 +373,11 @@ object IcebergCompat {
       if (stats.nonEmpty) {
         df.put("value_counts", stats.map { case (cid, _, _) =>
           kv(vcS, cid, java.lang.Long.valueOf(e.rowCount)) }.asJava)
-        df.put("null_value_counts", stats.map { case (cid, _, cs) =>
-          kv(nvcS, cid, java.lang.Long.valueOf(cs.nullCount)) }.asJava)
+        // negative = unknown: iceberg metadata omits the entry rather
+        // than exporting a nonsense count
+        df.put("null_value_counts", stats.collect {
+          case (cid, _, cs) if cs.nullCount >= 0 =>
+            kv(nvcS, cid, java.lang.Long.valueOf(cs.nullCount)) }.asJava)
         def boundsOf(pick: ColStats => Option[String], s: org.apache.avro.Schema) = {
           val bs = stats.flatMap { case (cid, ddl, cs) =>
             pick(cs).flatMap(v => singleValueBytes(ddl, v)).map(kv(s, cid, _))

@@ -1909,7 +1909,9 @@ final class GraftTable private (
     val ranges = entries.map(e =>
       e -> fileMetaInCurrentNames(e, sch).stats.get(column))
     if (field.isEmpty || ranges.exists(r =>
-      r._2.isEmpty || r._2.get.min.isEmpty || r._2.get.nullCount > 0)) entries
+      // != 0: a NEGATIVE count means nulls unknown — only a proven
+      // zero may treat the column as null-free
+      r._2.isEmpty || r._2.get.min.isEmpty || r._2.get.nullCount != 0)) entries
     else {
       // stat-string comparator per declared type; strings compare in
       // UTF8 binary order (Spark's own string ordering — Java

@@ -316,6 +316,78 @@ class PushdownSpec extends AnyFunSuite {
     assert(or.collect().map(_.getLong(0)).toSeq == Seq(41L))
   }
 
+  test("partition pruning decodes values like the scan: nulls, escapes, dates") {
+    val psch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("p", StringType, nullable = true)))
+    def pdf(rows: (Long, String)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, psch)
+    val t = GraftTable.create(spark, tmp(), psch, partitionKeys = Seq("p"))
+    t.write(pdf((1L, null), (2L, "a:b"), (3L, "plain")))
+    // NULL partition: folding the raw __HIVE_DEFAULT_PARTITION__
+    // sentinel as a point stat used to prune these rows away
+    assert(t.scan(col("p").isNull).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // Hive-ESCAPED value: the directory stores "a%3Ab"; equality must
+    // match the decoded value, and IS NOT NULL must not lose it
+    assert(t.scan(col("p") === "a:b").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(t.scan(col("p").isNotNull).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(2L, 3L))
+    assert(t.scan(col("p") === "plain").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // a null partition's file is refuted by equality (all rows null)
+    assert(t.scan(col("p") === "nope").inputFiles.isEmpty)
+
+    // DATE partitions: the display-string directory value re-renders
+    // as internal epoch days, so date predicates PRUNE (they used to
+    // fall open on the unparseable display string) — and never lose rows
+    val dsch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("d", DateType, nullable = false)))
+    def ddf(rows: (Long, String)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, java.sql.Date.valueOf(r._2))).asJava, dsch)
+    val td = GraftTable.create(spark, tmp(), dsch, partitionKeys = Seq("d"))
+    td.write(ddf((1L, "2024-01-01")))
+    td.write(ddf((2L, "2024-06-01")))
+    val janHit = td.scan(col("d") === lit(java.sql.Date.valueOf("2024-01-01")))
+    assert(janHit.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(janHit.inputFiles.length == 1, "date partition must PRUNE")
+    val laterHit = td.scan(col("d") > lit(java.sql.Date.valueOf("2024-03-01")))
+    assert(laterHit.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(laterHit.inputFiles.length == 1)
+  }
+
+  test("bloom/bitmap probes on DATE columns render the indexed form") {
+    val dsch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("d", DateType, nullable = false)))
+    def ddf(rows: (Long, String)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, java.sql.Date.valueOf(r._2))).asJava, dsch)
+    val t = GraftTable.create(spark, tmp(), dsch,
+      options = Map("file-index.bloom-filter.columns" -> "d"))
+    t.write(ddf((1L, "2024-01-01"), (2L, "2024-01-02")).coalesce(1))
+    // the build side indexed CAST(d AS STRING) = "2024-01-01"; a probe
+    // rendering the literal's epoch-day INT would refute this file
+    val hit = t.scan(col("d") === lit(java.sql.Date.valueOf("2024-01-01")))
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "date bloom probe must not refute a real match")
+    // and the index still refutes truly-absent dates whose stats overlap
+    assert(t.scan(col("d") === lit(java.sql.Date.valueOf("2024-01-03")))
+      .count() == 0)
+
+    // bitmap: a string value equal to the raw null sentinel must stay
+    // a VALUE, not be misfiled into the nulls bitmap
+    val ssch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("s", StringType, nullable = true)))
+    val sentinel = "\u0000null"
+    val ts = GraftTable.create(spark, tmp(), ssch,
+      options = Map("file-index.bitmap.columns" -> "s"))
+    ts.write(spark.createDataFrame(
+      Seq(Row(1L, sentinel), Row(2L, null)).asJava, ssch).coalesce(1))
+    assert(ts.scan(col("s") === sentinel).collect().map(_.getLong(0)).toSeq
+      == Seq(1L), "sentinel-equal VALUE must remain probeable")
+    assert(ts.scan(col("s").isNull).collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("LIKE 'prefix%' prunes files via string min/max stats") {
     val s2 = StructType(Seq(
       StructField("name", StringType, nullable = false),

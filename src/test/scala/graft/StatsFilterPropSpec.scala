@@ -113,4 +113,57 @@ class StatsFilterPropSpec extends AnyFunSuite {
     }
     assert(pruned > 100, s"only $pruned of 2000 trials pruned")
   }
+
+  test("float/lossy-cast/legacy-negate/escape/utf8/unknown-null edges never wrong-prune") {
+    // FLOAT equality compares AS floats: the stat string "0.1" is
+    // Float.toString(0.1f); widening the probe to double first would
+    // shift it off the re-parsed stat and refute a real match
+    val fAttr = AttributeReference("f", FloatType, nullable = false)()
+    val fSch = TableSchema.fromStruct(0L,
+      StructType(Seq(StructField("f", FloatType, nullable = false))),
+      Seq.empty, Seq.empty, Map.empty)
+    val fFile = DataFileMeta("f.parquet", 1L, 1L, 0L, 0L, 0,
+      Map("f" -> ColStats(Some("0.1"), Some("0.1"), 0L)))
+    assert(StatsFilter.mightMatch(EqualTo(fAttr, Literal(0.1f)), fFile, fSch))
+    // lossy widening CAST(float AS DOUBLE) > 0.1d: every row's cast
+    // value is (double)0.1f = 0.10000000149... > 0.1d — a fast path
+    // that re-parses the stat as double would see 0.1d and prune
+    assert(StatsFilter.mightMatch(
+      GreaterThan(Cast(fAttr, DoubleType), Literal(0.1d)), fFile, fSch))
+
+    // LEGACY (failOnError=false) negation wraps at Long.MinValue —
+    // never trusted for pruning; ANSI negation still prunes
+    val wrapFile = DataFileMeta("f.parquet", 1L, 3L, 0L, 0L, 0,
+      Map("c" -> ColStats(Some(Long.MinValue.toString), Some("20"), 0L)))
+    assert(StatsFilter.mightMatch(
+      EqualTo(UnaryMinus(attr, failOnError = false), Literal(-10L)), wrapFile, sch))
+    val smallFile = fileOf(Seq(10L, 20L))
+    assert(!StatsFilter.mightMatch(
+      EqualTo(UnaryMinus(attr, failOnError = true), Literal(5L)), smallFile, sch))
+
+    // LIKE under a CUSTOM escape char is opaque (its escape sequences
+    // are not literal prefix bytes); the default escape still prunes
+    val sAttr = AttributeReference("s", StringType, nullable = false)()
+    val sSch = TableSchema.fromStruct(0L,
+      StructType(Seq(StructField("s", StringType, nullable = false))),
+      Seq.empty, Seq.empty, Map.empty)
+    val sFile = DataFileMeta("f.parquet", 1L, 1L, 0L, 0L, 0,
+      Map("s" -> ColStats(Some("abcdX"), Some("abcdX"), 0L)))
+    assert(StatsFilter.mightMatch(Like(sAttr, Literal("abc!d%"), '!'), sFile, sSch))
+    assert(!StatsFilter.mightMatch(Like(sAttr, Literal("zzz%"), '\\'), sFile, sSch))
+
+    // string stats order is UTF-8 BYTES: U+10000 > U+E000 there, but
+    // UTF-16 compareTo says the opposite and would prune an exact hit
+    val u10000 = new String(Character.toChars(0x10000))
+    val uFile = DataFileMeta("f.parquet", 1L, 2L, 0L, 0L, 0,
+      Map("s" -> ColStats(Some("\uE000"), Some(u10000), 0L)))
+    assert(StatsFilter.mightMatch(EqualTo(sAttr, Literal(u10000)), uFile, sSch))
+
+    // IS NULL prunes only on a PROVEN zero null count; a negative
+    // count means the writer recorded no null statistics
+    val unkFile = DataFileMeta("f.parquet", 1L, 5L, 0L, 0L, 0,
+      Map("c" -> ColStats(None, None, -1L)))
+    assert(StatsFilter.mightMatch(IsNull(attr), unkFile, sch))
+    assert(!StatsFilter.mightMatch(IsNull(attr), fileOf(Seq(1L, 2L)), sch))
+  }
 }
