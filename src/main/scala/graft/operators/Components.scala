@@ -93,11 +93,15 @@ object Components {
       bCol: String = "id_b",
       maxIter: Int = 25): DataFrame = {
     val comps = connectedComponents(pairs, aCol, bCol, maxIter)
-    val sizes = comps.groupBy("comp").agg(count(lit(1)).as("csize"))
-    val canonical = comps.join(sizes, "comp")
-      .filter(col("id") === col("comp"))
-      .select(col("id").as(idCol), col("comp").as("component"),
-        (col("csize") - 1).as("n_dropped"))
+    // the canonical row is the min id PRESENT IN df — the cluster's
+    // global min (the comp label) may not be a df row at all (pairs
+    // computed before a filter, or carrying foreign ids), and keying
+    // the survivor on it would silently drop the whole cluster
+    val present = comps.join(
+      df.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    val canonical = present.groupBy("comp")
+      .agg(min(col("id")).as(idCol), (count(lit(1)) - 1).as("n_dropped"))
+      .select(col(idCol), col("comp").as("component"), col("n_dropped"))
     val member = comps.select(col("id").as(idCol))
     df.join(member.withColumn("dup", lit(true)), Seq(idCol), "left")
       .filter(col("dup").isNull) // singletons

@@ -18,9 +18,13 @@ object Contamination {
 
   /** Distinct word w-grams per row of `textCol` (lowercased,
     * whitespace-tokenized; documents shorter than w contribute their
-    * whole text as one gram — matching [[TextAnalysis.shingles]]). */
+    * whole text as one gram — matching [[TextAnalysis.shingles]]).
+    * EMPTY grams are dropped: split("") yields [""], so one blank
+    * benchmark row would otherwise share the "" gram with every
+    * blank/whitespace corpus document and flag them all contaminated. */
   private def gramSet(textCol: String, w: Int) =
-    array_distinct(TextAnalysis.shingles(col(textCol), w))
+    filter(array_distinct(TextAnalysis.shingles(col(textCol), w)),
+      g => g =!= "")
 
   /** Flag corpus documents sharing >= 1 word w-gram with `benchmark`.
     *

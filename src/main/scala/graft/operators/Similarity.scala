@@ -76,10 +76,14 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket ids, one per table: bit p of the
-    * bucket id for table t is `sign(v . plane(t,p))`. */
+    * bucket id for table t is `sign(v . plane(t,p))`. Defaults match
+    * [[lshTopK]]'s measured 8×4 configuration — the old 4×8 default
+    * measured recall ~0 on the synthetic embeddings, and a direct
+    * caller relying on defaults must not inherit a known-useless
+    * bucketing. */
   def lshBuckets(
       vec: Column, dim: Int,
-      tables: Int = 4, planesPerTable: Int = 8, seed: Long = 42L): Column = {
+      tables: Int = 8, planesPerTable: Int = 4, seed: Long = 42L): Column = {
     val hp = hyperplanes(tables, planesPerTable, dim, seed)
     val v = vec.cast("array<double>")
     array((0 until tables).map { t =>
@@ -207,9 +211,14 @@ object Similarity {
   private def probeLists(
       queries: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
-    val probeIdx = slice(array_distinct(transform(
-      reverse(array_sort(col("__sims"))),
-      s => (array_position(col("__sims"), s) - 1).cast("int"))), 1, nProbe)
+    // tie-safe: sort (−sim, idx) pairs — mapping sorted sims back
+    // through array_position collapses TIED similarities onto the
+    // first occurrence's index (a zero query vector ties every
+    // centroid and would probe 1 list instead of nProbe)
+    val probeIdx = slice(transform(array_sort(zip_with(
+      col("__sims"), sequence(lit(0), lit(centroids.length - 1)),
+      (s, i) => struct((lit(0.0) - s).as("ns"), i.as("i")))),
+      x => x.getField("i").cast("int")), 1, nProbe)
     withCentroidSims(
       unitNorm(queries.select(col(idCol).as("query_id"),
         col(vecCol).cast("array<double>").as("qvec")), "qvec"), "qvec", centroids)
@@ -468,17 +477,21 @@ object Similarity {
       .repartition(effShards, col("shard"))
       .sortWithinPartitions("id") // deterministic insertion order
       .mapPartitions { rows =>
-        val buf = rows.toArray
-        if (buf.isEmpty) Iterator.empty
-        else {
+        // hash partitioning can land SEVERAL shard values in one
+        // partition — build one graph PER SHARD PRESENT (all rows of a
+        // shard hash to one partition, so each shard still yields
+        // exactly one blob globally); a single buf.head-labeled blob
+        // would mislabel multi-shard partitions and leave appends
+        // growing detached graphs
+        rows.toArray.groupBy(_.getInt(2)).iterator.map { case (sh, buf) =>
           val g = new HnswGraph(m, efConstruction)
           buf.foreach(r => g.insert(r.getLong(0), r.getSeq[Double](1).toArray))
           val bytes = g.toBytes
           if (bytes.length > soft)
             org.slf4j.LoggerFactory.getLogger("graft.Similarity").warn(
-              s"HNSW shard ${buf.head.getInt(2)} blob ${bytes.length} B exceeds " +
+              s"HNSW shard $sh blob ${bytes.length} B exceeds " +
                 s"the soft bound; rebuild with more shards (hard cap ~2 GB)")
-          Iterator((buf.head.getInt(2), bytes))
+          (sh, bytes)
         }
       }.toDF("shard", "graph")
       .write.mode("overwrite").parquet(s"$indexDir/graphs")

@@ -303,11 +303,15 @@ object TextAnalysis {
       windowTokens: Long,
       partitions: Int = 0): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
-    // offsets are keyed by the order column cast to long — reject
-    // non-numeric keys up front instead of failing inside a task
+    // the OUTPUT is keyed by the order column cast to long, so only
+    // integral keys round-trip (a fractional key would truncate and
+    // make output rows ambiguous) — reject up front, not inside a task
     val ordType = df.schema(orderCol).dataType
-    require(ordType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"packSequences needs a numeric order column; $orderCol is $ordType")
+    require(Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+      .contains(ordType),
+      s"packSequences needs an integral order column; $orderCol is $ordType")
     val nPart = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val toks = df
@@ -318,38 +322,37 @@ object TextAnalysis {
       // Spark's ContextCleaner reclaims the cache once the returned
       // plan is garbage-collected
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // phase 1: per-partition (first key, token total) -> exclusive
-    // prefix offsets, keyed by the partition's FIRST ORDER KEY rather
-    // than a runtime partition id: a downstream coalesce() fuses
-    // partitions into one task (TaskContext.getPartitionId would read
-    // 0 for all of them), but each fused iterator still starts at its
-    // own range's first key, which identifies the offset correctly.
+    // phase 1: per-partition token totals -> exclusive prefix offsets,
+    // keyed by SPLIT INDEX. Phase 2 reads the index through the RDD's
+    // mapPartitionsWithIndex, which is the PARENT's split id even when
+    // a downstream coalesce() fuses partitions into one task (where
+    // TaskContext.getPartitionId would read 0 for all of them). Keying
+    // by the partition's first ORDER KEY instead is unsound: duplicate
+    // keys straddling a range boundary — or distinct fractional keys
+    // truncating to one long — give two partitions the same first key
+    // and the later one silently inherits the earlier one's offset.
     val perPart = toks.groupBy(spark_partition_id().as("pid"))
-      .agg(min(col("__ord").cast("long")).as("lo"), sum("n_tokens").as("t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .agg(sum("n_tokens").as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1) // ascending pid == ascending key range
-    val bounds = new Array[(Long, Long)](perPart.length) // (firstKey, offset)
+    val bounds = scala.collection.mutable.Map.empty[Int, Long]
     var acc = 0L
-    perPart.zipWithIndex.foreach { case ((_, lo, t), i) =>
-      bounds(i) = (lo, acc)
+    perPart.foreach { case (pid, t) =>
+      bounds(pid) = acc
       acc += t
     }
-    val bcast = spark.sparkContext.broadcast(bounds)
-    // phase 2: running sum per partition, started at the offset the
-    // partition's first key selects
+    val bcast = spark.sparkContext.broadcast(bounds.toMap)
+    // phase 2: running sum per partition, started at the split's offset
     import spark.implicits._
-    toks.select(col("__ord").cast("long"), col("n_tokens"))
-      .as[(Long, Long)]
-      .mapPartitions { it =>
+    val packed = toks.select(col("__ord").cast("long"), col("n_tokens"))
+      .as[(Long, Long)].rdd
+      .mapPartitionsWithIndex { (pid, it) =>
         if (!it.hasNext) Iterator.empty
         else {
-          val buf = it.buffered
-          val firstOrd = buf.head._1
-          var cum = bcast.value.find(_._1 == firstOrd)
-            .getOrElse(throw new IllegalStateException(
-              s"no pack offset recorded for partition starting at $firstOrd"))
-            ._2
-          buf.map { case (ord, n) =>
+          var cum = bcast.value.getOrElse(pid,
+            throw new IllegalStateException(
+              s"no pack offset recorded for partition $pid"))
+          it.map { case (ord, n) =>
             val before = cum
             cum += n
             (ord, n, before / windowTokens,
@@ -357,6 +360,7 @@ object TextAnalysis {
           }
         }
       }
+    spark.createDataset(packed)
       .toDF(orderCol, "n_tokens", "first_pack", "last_pack")
   }
 }

@@ -27,26 +27,41 @@ object ZOrder {
     case _ => false
   }
 
+  /** Numeric view of a rankable column. DATE and TIMESTAMP_NTZ have no
+    * double cast in Spark (a bare `.cast("double")` is an
+    * AnalysisException) — they route through their internal numerics. */
+  private def asDouble(c: Column, dt: DataType): Column = dt match {
+    case DateType => unix_date(c).cast("double")
+    case TimestampNTZType => c.cast(TimestampType).cast("double")
+    case _ => c.cast("double")
+  }
+
   /** Map a column to an order-preserving Bits-bit rank. Numeric/
     * temporal columns scale their ACTUAL [min,max] range onto the full
     * rank space (a static bit-truncation would collapse small-domain
     * keys onto one rank and cluster nothing); strings use a two-byte
-    * prefix. Nulls rank 0. */
+    * prefix. Nulls rank 0; NaN ranks MaxRank (Spark sorts NaN greatest)
+    * and infinities clamp — one stray special value must not poison the
+    * whole dimension or throw in the ANSI double→long cast. */
   private def rank(c: Column, dt: DataType, bounds: Option[(Double, Double)]): Column =
     dt match {
       case _ if isRangeScalable(dt) =>
         val (mn, mx) = bounds.getOrElse((0.0, 0.0))
         if (mx <= mn) lit(0L)
         else {
-          val scaled = (c.cast("double") - lit(mn)) * lit(MaxRank.toDouble / (mx - mn))
+          val d = asDouble(c, dt)
+          val scaled = (d - lit(mn)) * lit(MaxRank.toDouble / (mx - mn))
           coalesce(
-            least(greatest(scaled, lit(0.0)), lit(MaxRank.toDouble)).cast("long"),
+            least(greatest(nanvl(scaled, lit(MaxRank.toDouble)), lit(0.0)),
+              lit(MaxRank.toDouble)).cast("long"),
             lit(0L))
         }
       case StringType =>
-        // first two bytes, big-endian
-        val b1 = coalesce(ascii(substring(c, 1, 1)), lit(0))
-        val b2 = coalesce(ascii(substring(c, 2, 1)), lit(0))
+        // first two CHARS, clamped to one byte each: ascii() yields the
+        // full Unicode codepoint, and an unclamped CJK/Cyrillic char
+        // would overflow the 16-bit rank into meaningless low bits
+        val b1 = least(coalesce(ascii(substring(c, 1, 1)), lit(0)), lit(255))
+        val b2 = least(coalesce(ascii(substring(c, 2, 1)), lit(0)), lit(255))
         (b1 * 256 + b2).cast("long")
       case BooleanType => coalesce(c.cast("long") * MaxRank, lit(0L))
       case _ => lit(0L)
@@ -57,15 +72,23 @@ object ZOrder {
     * ranges (this runs inside a compaction job; one extra stats pass
     * over data about to be rewritten is the standard price of
     * range-aware z-ordering). */
+  /** Per-dimension bits that keep the interleave OUT of the sign bit:
+    * 16×4 = 64 would put the top bit at position 63, flipping half the
+    * z-space negative — signed range partitioning then co-locates the
+    * all-max and all-min corners in one wraparound file whose stats
+    * never prune. The LOWEST rank bits are dropped (coarse order kept). */
+  private def effBits(n: Int): Int = math.min(Bits, 63 / n)
+
   def zvalue(df: DataFrame, cols: Seq[String]): Column = {
     require(cols.nonEmpty && cols.size <= 4, "z-order supports 1..4 columns")
     val ranks = rankColumns(df, cols)
     val n = ranks.size
+    val bits = effBits(n)
     val parts = for {
-      bit <- 0 until Bits
+      bit <- 0 until bits
       (r, d) <- ranks.zipWithIndex
     } yield {
-      val srcBit = shiftright(r, bit).bitwiseAND(1L)
+      val srcBit = shiftright(r, bit + (Bits - bits)).bitwiseAND(1L)
       shiftleft(srcBit, bit * n + d)
     }
     coalesce(parts.reduce((a, b) => a.bitwiseOR(b)), lit(0L))
@@ -136,7 +159,10 @@ object ZOrder {
   def clusterByHilbert(df: DataFrame, cols: Seq[String], numFiles: Int): DataFrame = {
     require(cols.nonEmpty && cols.size <= 4, "hilbert supports 1..4 columns")
     val ranks = rankColumns(df, cols)
-    val hUdf = udf((rs: Seq[Long]) => hilbertIndex(rs.toArray))
+    val bits = effBits(cols.size) // keep the index out of the sign bit
+    val drop = Bits - bits
+    val hUdf = udf((rs: Seq[Long]) =>
+      hilbertIndex(rs.map(_ >> drop).toArray, bits))
     df.withColumn("__h", hUdf(array(ranks: _*)))
       .repartitionByRange(numFiles, col("__h"))
       .sortWithinPartitions("__h")
@@ -147,11 +173,18 @@ object ZOrder {
     * z-order and hilbert). One min/max pass over `df`. */
   private def rankColumns(df: DataFrame, cols: Seq[String]): Seq[Column] = {
     val scalable = cols.filter(c => isRangeScalable(df.schema(c).dataType))
+    // NaN/∞ excluded from the bounds: one NaN would otherwise make the
+    // driver-side multiplier NaN and clamp EVERY row onto one rank
+    def finite(c: String): Column = {
+      val d = asDouble(col(c), df.schema(c).dataType)
+      when(!isnan(d) && d > Double.NegativeInfinity &&
+        d < Double.PositiveInfinity, d)
+    }
     val boundsRow =
       if (scalable.isEmpty) None
       else Some(df.agg(lit(0).as("__z0"), scalable.flatMap(c => Seq(
-        min(col(c).cast("double")).as(s"mn_$c"),
-        max(col(c).cast("double")).as(s"mx_$c"))): _*).head())
+        min(finite(c)).as(s"mn_$c"),
+        max(finite(c)).as(s"mx_$c"))): _*).head())
     val bounds: Map[String, (Double, Double)] = scalable.flatMap { c =>
       boundsRow.flatMap { r =>
         val mn = r.getAs[Any](s"mn_$c")

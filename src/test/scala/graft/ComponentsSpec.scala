@@ -90,4 +90,17 @@ class ComponentsSpec extends AnyFunSuite {
     assert(out == Set((0L, 0L, 2L), (5L, 5L, 1L),
       (3L, 3L, 0L), (4L, 4L, 0L), (7L, 7L, 0L), (8L, 8L, 0L), (9L, 9L, 0L)))
   }
+
+  test("dedupByPairs survives when the cluster's min id is absent from df") {
+    import spark.implicits._
+    // pairs reference id 10 (the cluster min) but df holds only 20/30 —
+    // keying the survivor on the GLOBAL min would drop the whole cluster
+    val pairs = Seq((10L, 20L), (20L, 30L)).toDF("id_a", "id_b")
+    val docs = Seq((20L, "b"), (30L, "c"), (40L, "solo")).toDF("id", "v")
+    val out = Components.dedupByPairs(docs, "id", pairs)
+      .select("id", "n_dropped")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((20L, 1L), (40L, 0L)),
+      s"min PRESENT member must survive, got $out")
+  }
 }

@@ -32,6 +32,49 @@ class MaintenanceSpec extends AnyFunSuite {
       .toDF("x", "y")
   }
 
+  test("z-order edge inputs: dates cluster, NaN/Inf don't poison ranks, 4-dim stays unsigned") {
+    import spark.implicits._
+    // DATE column: Spark has no date→double cast — a bare cast threw
+    // before any data was processed
+    val dd = (0 until 20).map(i =>
+      (i.toLong, java.sql.Date.valueOf(f"2024-01-${i % 28 + 1}%02d")))
+      .toDF("k", "d")
+    assert(graft.operators.ZOrder.cluster(dd, Seq("d", "k"), 4).count() == 20)
+
+    // one NaN must not collapse every finite row onto one rank (a NaN
+    // multiplier ranks ALL rows MaxRank and clustering does nothing)
+    val nd = Seq((1L, 0.0), (2L, 10.0), (3L, 20.0), (4L, Double.NaN),
+      (5L, Double.PositiveInfinity)).toDF("k", "x")
+    val zs = nd.select(graft.operators.ZOrder.zvalue(nd, Seq("x")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zs.distinct.length >= 3,
+      s"finite rows must keep distinct ranks despite NaN/Inf: ${zs.toSeq}")
+
+    // 4 dimensions: 16×4 bits would reach the SIGN bit and wrap half
+    // the z-space negative — the all-max corner must stay above the
+    // all-min corner in SIGNED order
+    val corners = Seq((0L, 0L, 0L, 0L), (1000L, 1000L, 1000L, 1000L),
+      (500L, 500L, 500L, 500L)).toDF("a", "b", "c", "d")
+    val z4 = corners.select(
+      graft.operators.ZOrder.zvalue(corners, Seq("a", "b", "c", "d")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(z4.forall(_ >= 0L), s"4-dim z must stay non-negative: ${z4.toSeq}")
+    assert(z4(0) < z4(2) && z4(2) < z4(1), s"corner order: ${z4.toSeq}")
+    // hilbert too
+    assert(graft.operators.ZOrder.clusterByHilbert(
+      corners, Seq("a", "b", "c", "d"), 2).count() == 3)
+
+    // CJK first chars clamp into the rank byte instead of overflowing
+    // 16 bits (mod-65536 leftovers are not order-preserving)
+    val sd = Seq((1L, "apple"), (2L, "zebra"), (3L, "你好"))
+      .toDF("k", "s")
+    val zsStr = sd.orderBy("k")
+      .select(graft.operators.ZOrder.zvalue(sd, Seq("s")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(zsStr(0) < zsStr(1) && zsStr(1) <= zsStr(2),
+      s"latin < CJK rank order must hold: ${zsStr.toSeq}")
+  }
+
   test("manifest compaction fires the post-commit hook like any other commit") {
     import spark.implicits._
     val t = GraftTable.create(spark, tmp(), xy)

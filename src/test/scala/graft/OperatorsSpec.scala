@@ -214,6 +214,13 @@ class OperatorsSpec extends AnyFunSuite {
     val leaves = fromIndex.queryExecution.optimizedPlan.collectLeaves()
     assert(leaves.size == 1, leaves.mkString("; "))
     assert(leaves.head.output.map(_.name).contains("graph"), leaves.head.toString)
+    // one blob PER SHARD, each labeled with ITS shard id — hash
+    // partitioning routinely lands several shard values in one
+    // partition, and a buf.head-labeled single blob would mislabel
+    // the rest (and leave appends growing detached graphs)
+    val labels = spark.read.parquet(s"$idxDir/graphs")
+      .select("shard").collect().map(_.getInt(0)).sorted.toSeq
+    assert(labels == (0 until 3), s"expected one blob per shard 0..2: $labels")
   }
 
   test("HNSW shard governance: derived count bounds blobs; appends flip generations atomically") {
