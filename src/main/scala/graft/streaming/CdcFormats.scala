@@ -31,6 +31,9 @@ object CdcFormats {
     * bounded scan of the same batch.) */
   def debeziumJson(raw: DataFrame, jsonCol: String = "value"): DataFrame = {
     val parsed0 = inferParse(raw, jsonCol)
+    // an empty or all-tombstone batch infers NO columns — a no-op
+    // batch for the sink, not a query-killing envelope violation
+    if (parsed0.columns.isEmpty) return emptyKinded(raw)
     val parsed =
       if (parsed0.columns.contains("payload")) parsed0.select("payload.*")
       else parsed0
@@ -51,7 +54,13 @@ object CdcFormats {
     val kinds =
       when(col("op").isin("c", "r"), array(lit("+I")))
         .when(col("op") === "u",
-          if (hasBefore && hasAfter) array(lit("-U"), lit("+U"))
+          // PER-ROW before check: default REPLICA IDENTITY sends
+          // updates with before=null even when other rows in the batch
+          // carry one — an all-null -U (null primary key!) must not be
+          // fabricated for them
+          if (hasBefore && hasAfter)
+            when(col("before").isNotNull, array(lit("-U"), lit("+U")))
+              .otherwise(array(lit("+U")))
           else if (hasAfter) array(lit("+U"))
           else array(lit("-U")))
         .when(col("op") === "d", array(lit("-D")))
@@ -65,37 +74,89 @@ object CdcFormats {
       .select(payload :+ col("_row_kind"): _*)
   }
 
-  /** Canal JSON: `{"data":[{…},…],"type":"INSERT|UPDATE|DELETE"}` —
-    * `data` is an ARRAY of row objects. UPDATE rows carry the full
-    * after-image in `data` (canal's `old` holds only changed columns,
-    * so it cannot produce a complete before-image; none is emitted). */
+  /** Canal JSON: `{"data":[{…},…],"old":[{…},…],"type":"INSERT|UPDATE|
+    * DELETE"}` — `data` is an ARRAY of row objects; `old` (UPDATE only)
+    * is a parallel array holding the CHANGED columns' previous values.
+    * Updates with an `old` entry emit a full -U/+U pair: the before-
+    * image is `data` overlaid with `old` (the reference's
+    * CanalRecordParser reconstructs UPDATE_BEFORE the same way). `old`
+    * is re-parsed as a MAP so an absent column (unchanged) and a
+    * changed-from-NULL column stay distinguishable. */
   def canalJson(raw: DataFrame, jsonCol: String = "value"): DataFrame = {
     val parsed = inferParse(raw, jsonCol)
+    if (parsed.columns.isEmpty) return emptyKinded(raw)
     require(parsed.columns.contains("type") && parsed.columns.contains("data"),
       "not a Canal batch: expected type + data fields")
+    val hasOld = parsed.columns.contains("old")
+    val oldArr =
+      if (hasOld) from_json(to_json(col("old")),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)))
+      else lit(null).cast("array<map<string,string>>")
     val rows = parsed
-      .select(upper(col("type")).as("__t"), explode(col("data")).as("__row"))
-    rows.select(col("__row.*"),
-      when(col("__t") === "INSERT", "+I")
-        .when(col("__t") === "UPDATE", "+U")
-        .when(col("__t") === "DELETE", "-D")
-        .as("_row_kind"))
-      .filter(col("_row_kind").isNotNull)
+      .select(upper(col("type")).as("__t"), oldArr.as("__olds"),
+        posexplode(col("data")).as(Seq("__i", "__row")))
+      .withColumn("__old", element_at(col("__olds"), col("__i") + 1))
+    kindedWithBefore(rows)
   }
 
-  /** Maxwell JSON: `{"data":{…},"type":"insert|update|delete"}` —
-    * one row object per record. */
+  /** Maxwell JSON: `{"data":{…},"old":{…},"type":"insert|update|
+    * delete"}` — one row object per record; `old` (update only) holds
+    * the changed columns' previous values, overlaid onto `data` for
+    * the -U before-image exactly like the Canal path. */
   def maxwellJson(raw: DataFrame, jsonCol: String = "value"): DataFrame = {
     val parsed = inferParse(raw, jsonCol)
+    if (parsed.columns.isEmpty) return emptyKinded(raw)
     require(parsed.columns.contains("type") && parsed.columns.contains("data"),
       "not a Maxwell batch: expected type + data fields")
-    parsed.select(col("data.*"),
-      when(lower(col("type")) === "insert", "+I")
-        .when(lower(col("type")) === "update", "+U")
-        .when(lower(col("type")) === "delete", "-D")
-        .as("_row_kind"))
-      .filter(col("_row_kind").isNotNull)
+    val oldMap =
+      if (parsed.columns.contains("old")) from_json(to_json(col("old")),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))
+      else lit(null).cast("map<string,string>")
+    val rows = parsed.select(upper(col("type")).as("__t"),
+      col("data").as("__row"), oldMap.as("__old"))
+    kindedWithBefore(rows)
   }
+
+  /** Shared Canal/Maxwell row expansion: `__row` (after-image struct),
+    * `__old` (changed-columns map or null), `__t` (upper-cased type) →
+    * kinded payload rows. Updates with an old map emit -U (+overlay)
+    * then +U; everything else emits its single kind. */
+  private def kindedWithBefore(rows: DataFrame): DataFrame = {
+    val fields = rows.schema("__row").dataType match {
+      case s: org.apache.spark.sql.types.StructType => s.fields.toSeq
+      case _ => Seq.empty
+    }
+    val kinds =
+      when(col("__t") === "INSERT", array(lit("+I")))
+        .when(col("__t") === "UPDATE",
+          when(col("__old").isNotNull, array(lit("-U"), lit("+U")))
+            .otherwise(array(lit("+U"))))
+        .when(col("__t") === "DELETE", array(lit("-D")))
+        .otherwise(array().cast("array<string>"))
+    val payload = fields.map { f =>
+      val after = col(s"__row.`${f.name}`")
+      // before-image: the old map's value wins where the KEY exists
+      // (a null map value = changed FROM null); absent key = unchanged
+      val before = when(map_contains_key(col("__old"), lit(f.name)),
+        element_at(col("__old"), lit(f.name)).cast(f.dataType))
+        .otherwise(after)
+      when(col("_row_kind") === "-U", before).otherwise(after).as(f.name)
+    }
+    rows.withColumn("_row_kind", explode(kinds))
+      .select(payload :+ col("_row_kind"): _*)
+  }
+
+  /** Zero-row, `_row_kind`-only frame for batches that infer no
+    * columns (empty micro-batch, all-tombstone compacted topic): the
+    * sink no-ops instead of the query dying on an envelope require. */
+  private def emptyKinded(raw: DataFrame): DataFrame =
+    raw.sparkSession.emptyDataFrame
+      .withColumn("_row_kind", lit("+I"))
 
   /** One schema-inference pass over the batch's JSON, then distributed
     * from_json parsing. The raw strings are materialized ONCE

@@ -46,11 +46,19 @@ object GraftStreaming {
       appId: Option[String] = None): (DataFrame, Long) => Unit = {
     table.setCommitUser(appId.getOrElse("stream-default"))
     (batch, epochId) => {
-      val wm = watermarkColumn.flatMap { c =>
-        val r = batch.agg(max(epochLong(batch, c))).head()
-        if (r.isNullAt(0)) None else Some(r.getLong(0) - watermarkDelayMs)
-      }
-      table.writeWatermarked(batch, commitIdentifier = epochId, watermark = wm)
+      // PIN the batch when a watermark is computed: the agg and the
+      // write would otherwise each re-execute the source, and with a
+      // non-deterministic source the persisted watermark could exceed
+      // max(eventTime) of the rows actually written — prematurely
+      // completing a bounded downstream drain
+      val pinned = watermarkColumn.map(_ => batch.persist()).getOrElse(batch)
+      try {
+        val wm = watermarkColumn.flatMap { c =>
+          val r = pinned.agg(max(epochLong(pinned, c))).head()
+          if (r.isNullAt(0)) None else Some(r.getLong(0) - watermarkDelayMs)
+        }
+        table.writeWatermarked(pinned, commitIdentifier = epochId, watermark = wm)
+      } finally if (watermarkColumn.isDefined) { pinned.unpersist(); () }
     }
   }
 
@@ -96,12 +104,15 @@ object GraftStreaming {
     // snapshots expiration removed but whose exact changelog was
     // retained (changelog.num-retained / time-retained) still serve a
     // lagging consumer — their ids interleave before the live ones
+    // retained entries always carry a changelog manifest (only such
+    // snapshots are retained), so they always emit — matching the live
+    // rule below, where a COMPACT snapshot emits iff it carries a
+    // changelog (changelog-producer=full-compaction attaches the exact
+    // -U/+U pairs to the COMPACT snapshot itself; other producers'
+    // compactions are pure rewrites and emit nothing)
     val retained = table.sm.retainedChangelogs
       .filter(r => r.snapshotId > from && r.snapshotId <= to &&
-        !liveSet.contains(r.snapshotId) &&
-        // the live path skips COMPACT snapshots — retained ones must
-        // not start emitting just because expiration ran
-        r.commitKind != Meta.KindCompact)
+        !liveSet.contains(r.snapshotId))
       .map(r => r.snapshotId -> r.manifest).toMap
     val ids = (live ++ retained.keys).distinct.sorted
     ids.foreach { id =>
@@ -110,7 +121,8 @@ object GraftStreaming {
           process(table.readRetainedChangelog(manifest), id)
         case None =>
           val snap = table.sm.snapshot(id)
-          if (snap.commitKind != Meta.KindCompact) {
+          if (snap.commitKind != Meta.KindCompact ||
+              snap.changelogManifest.isDefined) {
             process(table.incrementalRead(id - 1, id), id)
           }
       }
@@ -146,20 +158,37 @@ object GraftStreaming {
       mode: StartupMode,
       process: (DataFrame, Long) => Unit,
       ignoreProgress: Boolean = false): Seq[Long] = {
-    // the table-option spelling of the same switch
-    val ignore = ignoreProgress ||
-      table.schema.options.get("consumer.ignore-progress").contains("true")
-    if (ignore || readOffset(checkpointPath).isEmpty) {
+    // the table-option spelling applies ONCE per consumer (marker next
+    // to the offset): per-CALL re-positioning would re-emit the whole
+    // table on every drain (LatestFull) or skip snapshots committed
+    // between drains (Latest) — a restarted job that wants to
+    // re-position passes ignoreProgress=true explicitly, like the
+    // reference's per-job scan option
+    val marker = Paths.get(checkpointPath + ".repositioned")
+    val optApplies =
+      table.schema.options.get("consumer.ignore-progress").contains("true") &&
+        !Files.exists(marker)
+    if (ignoreProgress || optApplies || readOffset(checkpointPath).isEmpty) {
+      if (optApplies) {
+        if (marker.getParent != null) Files.createDirectories(marker.getParent)
+        Files.write(marker, Array.emptyByteArray)
+      }
       val latest = table.sm.latestSnapshotId
       mode match {
         case Latest =>
-          latest.foreach(writeOffset(checkpointPath, _))
+          // an EMPTY table still records the subscription point: a
+          // missing offset would make the next call re-initialize to
+          // the then-current latest, skipping everything committed
+          // after this subscription
+          writeOffset(checkpointPath, latest.getOrElse(-1L))
         case LatestFull =>
           latest.foreach { id =>
             process(table.read.withColumn("_row_kind",
               org.apache.spark.sql.functions.lit("+I")), id)
             writeOffset(checkpointPath, id)
           }
+          // empty table: still record the subscription point
+          if (latest.isEmpty) writeOffset(checkpointPath, -1L)
         case FromSnapshot(id) =>
           writeOffset(checkpointPath, id - 1)
         case FromTimestamp(ts) =>
@@ -188,18 +217,20 @@ object GraftStreaming {
   private val fullDimCache =
     scala.collection.concurrent.TrieMap.empty[String, (Long, DataFrame)]
 
-  /** Previous epoch's pinned micro-batch per (dim table, calling
-    * stream) in partial mode: evicted when the SAME stream's next epoch
-    * arrives. Keyed by dimCacheKey PLUS the calling thread (structured
-    * streaming runs every epoch of one query on its dedicated stream
-    * execution thread), so one stream's eviction can never unpersist a
-    * batch another in-flight stream is still joining — mid-join
-    * eviction would force a recompute, and with a non-deterministic
-    * source the bucket set could diverge from the joined rows,
-    * silently losing matches. Entries of finished (dead) threads are
-    * swept on each call, bounding the cache to live streams. */
+  /** Recent pinned micro-batches per (dim table, calling stream) in
+    * partial mode. Keyed by dimCacheKey PLUS the calling thread
+    * (structured streaming runs every epoch of one query on its
+    * dedicated stream execution thread) PLUS a per-call sequence: one
+    * epoch may issue SEVERAL lookupJoin calls against one dim and
+    * consume the unioned result afterwards — keying per (dim, thread)
+    * alone would evict call 1's pin at call 2, before its join ran,
+    * recreating the exact recompute hazard the pin prevents. A thread
+    * keeps its last [[PinsPerThread]] pins per dim (older ones are
+    * consumed by then); dead threads' pins sweep on each call. */
   private val partialBatchCache =
     scala.collection.concurrent.TrieMap.empty[String, (Thread, DataFrame)]
+  private val pinSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val PinsPerThread = 8
 
   /** Cache key for a dim table: path + branch. A branch table shares
     * its path with main and their snapshot ids can coincide while
@@ -259,11 +290,18 @@ object GraftStreaming {
       // SAME stream's next epoch arrives (see partialBatchCache).
       val pinned = batch.persist()
       val self = Thread.currentThread()
-      val pinKey = s"${dimCacheKey(dim)}#caller=${self.getId}"
-      partialBatchCache.put(pinKey, (self, pinned))
-        .filter(_._2 ne pinned).foreach(_._2.unpersist())
-      partialBatchCache.filterInPlace { case (k, (t, df)) =>
-        k == pinKey || t.isAlive || { df.unpersist(); false } }
+      val prefix = s"${dimCacheKey(dim)}#caller=${self.getId}#"
+      partialBatchCache.put(prefix + pinSeq.incrementAndGet(), (self, pinned))
+      // trim this (dim, thread)'s history past PinsPerThread — only
+      // pins older than the window unpersist, so sibling calls in the
+      // SAME epoch keep their batches alive until consumed
+      val mine = partialBatchCache.keys.toSeq.filter(_.startsWith(prefix))
+        .sortBy(_.substring(prefix.length).toLong)
+      mine.dropRight(PinsPerThread).foreach(k =>
+        partialBatchCache.remove(k)
+          .filter(_._2 ne pinned).foreach(_._2.unpersist()))
+      partialBatchCache.filterInPlace { case (_, (t, df)) =>
+        t.isAlive || { df.unpersist(); false } }
       val entries = dim.entriesForKeys(
         pinned.select(pk.map(org.apache.spark.sql.functions.col): _*))
       val slice = dim.mergedFromEntries(entries)
@@ -278,10 +316,13 @@ object GraftStreaming {
       val snapId = dim.sm.latestSnapshotId.getOrElse(-1L)
       val (dimDf, hit) = fullDimCache.get(cacheKey) match {
         case Some((id, df)) if id == snapId => (df, true)
-        case stale =>
-          stale.foreach(_._2.unpersist())
+        case _ =>
           val df = dim.read.persist()
+          // unpersist whatever this put DISPLACED — the stale snapshot
+          // or a racing stream's duplicate — never the df returned: an
+          // eager pre-put unpersist would leak the race loser's blocks
           fullDimCache.put(cacheKey, (snapId, df))
+            .filter(_._2 ne df).foreach(_._2.unpersist())
           (df, false)
       }
       val estBytes = liveNow.map(_.file.fileSize).sum
@@ -307,14 +348,31 @@ object GraftStreaming {
       process: (DataFrame, Long) => Unit): (Seq[Long], Boolean) = {
     val from = readOffset(checkpointPath).getOrElse(-1L)
     val to = table.sm.latestSnapshotId.getOrElse(return (Seq.empty, false))
-    val ids = table.sm.snapshotIds.filter(i => i > from && i <= to)
+    val live = table.sm.snapshotIds.filter(i => i > from && i <= to)
+    val liveSet = live.toSet
+    // same retained-changelog handling as the unbounded drain: a
+    // lagging bounded consumer must not silently skip snapshots whose
+    // exact changelogs outlived expiration (retained entries carry no
+    // watermark — they pass the bound check like live snapshots
+    // without one)
+    val retained = table.sm.retainedChangelogs
+      .filter(r => r.snapshotId > from && r.snapshotId <= to &&
+        !liveSet.contains(r.snapshotId))
+      .map(r => r.snapshotId -> r.manifest).toMap
+    val ids = (live ++ retained.keys).distinct.sorted
     val processed = scala.collection.mutable.ArrayBuffer.empty[Long]
     ids.foreach { id =>
-      val snap = table.sm.snapshot(id)
-      if (snap.watermark.exists(_ > boundedWatermark))
-        return (processed.toSeq, true)
-      if (snap.commitKind != Meta.KindCompact)
-        process(table.incrementalRead(id - 1, id), id)
+      retained.get(id) match {
+        case Some(manifest) =>
+          process(table.readRetainedChangelog(manifest), id)
+        case None =>
+          val snap = table.sm.snapshot(id)
+          if (snap.watermark.exists(_ > boundedWatermark))
+            return (processed.toSeq, true)
+          if (snap.commitKind != Meta.KindCompact ||
+              snap.changelogManifest.isDefined)
+            process(table.incrementalRead(id - 1, id), id)
+      }
       writeOffset(checkpointPath, id)
       processed += id
     }

@@ -4843,6 +4843,10 @@ final class GraftTable private (
     require(isPrimaryKeyTable, "CDC apply requires a primary-key table")
     require(changes.columns.contains(kindCol),
       s"change batch must carry the '$kindCol' row-kind column")
+    // an empty micro-batch (or all-tombstone compacted topic) infers
+    // no payload columns at all — a no-op, not a schema violation
+    if (!changes.columns.exists(_ != kindCol))
+      return sm.latestSnapshotId.getOrElse(-1L)
     val incoming = changes.drop(kindCol).schema
     schema.primaryKeys.foreach(k => require(incoming.fieldNames.contains(k),
       s"change batch must carry primary-key column $k"))

@@ -140,6 +140,57 @@ class CdcIngestSpec extends AnyFunSuite {
     assert(t2.read.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L))
   }
 
+  test("CDC edges: null before, reconstructed Canal/Maxwell -U, empty batches no-op") {
+    import graft.streaming.CdcFormats
+    // Debezium update with before=null (default REPLICA IDENTITY):
+    // only +U — fabricating a -U would retract on a NULL key
+    val mixed = CdcFormats.debeziumJson(jsonDf(
+      """{"before":{"k":1,"v":"x"},"after":{"k":1,"v":"x2"},"op":"u"}""",
+      """{"before":null,"after":{"k":2,"v":"y2"},"op":"u"}"""))
+    val k1 = mixed.filter(col("k") === 1L)
+      .select("_row_kind").collect().map(_.getString(0)).sorted
+    val k2 = mixed.filter(col("k") === 2L)
+      .select("_row_kind").collect().map(_.getString(0)).sorted
+    assert(k1.toSeq == Seq("+U", "-U"), k1.toSeq.toString)
+    assert(k2.toSeq == Seq("+U"), s"null-before update must emit only +U: ${k2.toSeq}")
+    assert(!mixed.filter(col("_row_kind") === "-U" && col("k").isNull)
+      .collect().exists(_ => true), "no all-null -U rows")
+
+    // Canal UPDATE with `old`: the -U before-image is data overlaid
+    // with old (changed columns only) — the reference parses
+    // UPDATE_BEFORE the same way
+    val canalU = CdcFormats.canalJson(jsonDf(
+      """{"data":[{"k":1,"v":"new"}],"old":[{"v":"prev"}],"type":"UPDATE"}"""))
+    val rowsC = canalU.select("k", "v", "_row_kind").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._3)
+    assert(rowsC.toSeq == Seq((1L, "new", "+U"), (1L, "prev", "-U")),
+      rowsC.toSeq.toString)
+    // Maxwell likewise
+    val maxU = CdcFormats.maxwellJson(jsonDf(
+      """{"data":{"k":7,"v":"after"},"old":{"v":"before"},"type":"update"}"""))
+    val rowsM = maxU.select("k", "v", "_row_kind").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._3)
+    assert(rowsM.toSeq == Seq((7L, "after", "+U"), (7L, "before", "-U")),
+      rowsM.toSeq.toString)
+    // update WITHOUT old still emits the bare +U
+    val bare = CdcFormats.canalJson(jsonDf(
+      """{"data":[{"k":3,"v":"b2"}],"type":"UPDATE"}"""))
+      .select("_row_kind").collect().map(_.getString(0))
+    assert(bare.toSeq == Seq("+U"))
+
+    // empty / all-tombstone batches: parsers and the sink no-op
+    // instead of the streaming query dying on an envelope require
+    val t = pkTable()
+    t.applyChanges(changes(Seq((1L, "a", "+I"))))
+    val before = t.read.count()
+    Seq[DataFrame => DataFrame](
+      CdcFormats.debeziumJson(_), CdcFormats.canalJson(_),
+      CdcFormats.maxwellJson(_)).foreach { parse =>
+      t.applyChanges(parse(jsonDf().limit(0)))
+    }
+    assert(t.read.count() == before)
+  }
+
   test("Debezium parse is single-pass: one leaf scan regardless of op mix") {
     import graft.streaming.CdcFormats
     val parsed = CdcFormats.debeziumJson(jsonDf(

@@ -447,6 +447,67 @@ class StreamingSpec extends AnyFunSuite {
     GraftStreaming.invalidateLookupCache(dim)
   }
 
+  test("full-compaction changelogs reach streaming consumers; Latest subscribes on empty tables") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp()
+    val t = GraftTable.create(spark, s"$dir/t", evSchema,
+      primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "seq",
+        "changelog-producer" -> "full-compaction", "bucket" -> "1"))
+    def df(rows: (Long, String, Long)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3)).asJava, evSchema)
+    t.write(df((1L, "a", 1L)))
+    t.compact() // changelog attaches to the COMPACT snapshot
+    t.write(df((1L, "a2", 2L), (2L, "b", 1L)))
+    t.compact()
+    var got = Vector.empty[(Long, String)]
+    GraftStreaming.processChangelog(t, s"$dir/cp", (d, _) =>
+      got ++= d.select("k", "_row_kind").collect()
+        .map(r => (r.getLong(0), r.getString(1))))
+    // the exact diff of BOTH compactions must arrive — a consumer that
+    // skips COMPACT snapshots unconditionally receives nothing while
+    // its offset still advances (permanent silent data loss)
+    assert(got.nonEmpty, "full-compaction changelog must reach the consumer")
+    assert(got.contains((2L, "+I")), got.toString)
+    assert(got.exists(r => r._1 == 1L && (r._2 == "+U" || r._2 == "+I")), got.toString)
+
+    // Latest on an EMPTY table records the subscription point: later
+    // commits must be delivered, not skipped by a re-initialization
+    val t2 = GraftTable.create(spark, s"$dir/t2", evSchema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
+    GraftStreaming.startChangelog(t2, s"$dir/cp2", GraftStreaming.Latest,
+      (_, _) => ())
+    t2.write(df((9L, "z", 1L)))
+    var ids = Vector.empty[Long]
+    GraftStreaming.startChangelog(t2, s"$dir/cp2", GraftStreaming.Latest,
+      (_, id) => ids :+= id)
+    assert(ids == Vector(0L),
+      s"snapshots after an empty-table subscription must deliver: $ids")
+  }
+
+  test("the consumer.ignore-progress TABLE OPTION applies once per consumer") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp()
+    val sch = StructType(Seq(StructField("k", LongType, nullable = false)))
+    def df(v: Long) = spark.createDataFrame(Seq(Row(v)).asJava, sch)
+    val t = GraftTable.create(spark, s"$dir/t", sch,
+      options = Map("consumer.ignore-progress" -> "true"))
+    t.write(df(1L)); t.write(df(2L))
+    val cp = s"$dir/cp"
+    var seen = Vector.empty[Long]
+    GraftStreaming.startChangelog(t, cp, GraftStreaming.FromSnapshot(0L),
+      (_, id) => seen :+= id)
+    assert(seen == Vector(0L, 1L))
+    // a second drain under the SAME consumer must NOT re-position —
+    // per-call re-positioning would replay (or skip) between drains
+    t.write(df(3L))
+    seen = Vector.empty
+    GraftStreaming.startChangelog(t, cp, GraftStreaming.FromSnapshot(0L),
+      (_, id) => seen :+= id)
+    assert(seen == Vector(2L),
+      s"second drain must continue from progress, got $seen")
+  }
+
   test("consumer.ignore-progress re-positions from the startup mode") {
     import scala.jdk.CollectionConverters._
     val dir = tmp()
