@@ -120,7 +120,16 @@ final class ObjectStoreFileIO(
     * fault armed, the copy lands and the source survives (the caller's
     * crash-between case). */
   override def rename(src: String, dst: String): Unit = {
-    put(dst, Files.readAllBytes(p(src)))
+    // STREAMING copy-then-put: materializing the source via
+    // readAllBytes would hold a whole multi-hundred-MB staged data
+    // file on the heap per adopted file (commitStagedDir routes every
+    // staged file through rename). Same PUT shape: tmp + atomic move,
+    // the object appears whole or not at all.
+    Files.createDirectories(p(dst).getParent)
+    val tmp = p(dst + ".put." + java.util.UUID.randomUUID())
+    Files.copy(p(src), tmp)
+    Files.move(tmp, p(dst), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
     if (faults.failRenameDeletes.getAndUpdate(n => math.max(0, n - 1)) > 0)
       throw new java.io.IOException(
         s"injected fault: rename copied $src to $dst but crashed before delete")

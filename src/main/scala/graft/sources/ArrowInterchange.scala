@@ -122,10 +122,19 @@ object ArrowInterchange {
                   .setSafe(i, row.getString(c).getBytes("UTF-8"))
                 case BinaryType => vec.asInstanceOf[VarBinaryVector]
                   .setSafe(i, row.getAs[Array[Byte]](c))
+                // java8API sessions surface LocalDate/Instant instead
+                // of java.sql.Date/Timestamp — accept both
                 case DateType => vec.asInstanceOf[DateDayVector]
-                  .setSafe(i, row.getAs[java.sql.Date](c).toLocalDate.toEpochDay.toInt)
+                  .setSafe(i, row.getAs[AnyRef](c) match {
+                    case ld: java.time.LocalDate => ld.toEpochDay.toInt
+                    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+                  })
                 case TimestampType => vec.asInstanceOf[TimeStampMicroTZVector]
-                  .setSafe(i, tsToMicros(row.getAs[java.sql.Timestamp](c)))
+                  .setSafe(i, row.getAs[AnyRef](c) match {
+                    case ins: java.time.Instant =>
+                      ins.getEpochSecond * 1000000L + ins.getNano / 1000L
+                    case ts: java.sql.Timestamp => tsToMicros(ts)
+                  })
                 case TimestampNTZType => vec.asInstanceOf[TimeStampMicroVector]
                   .setSafe(i, row.getAs[java.time.LocalDateTime](c)
                     .toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +

@@ -60,8 +60,11 @@ object AvroStorage {
   }
 
   def supports(struct: StructType): Boolean =
-    struct.fields.forall(f =>
-      scala.util.Try(avroFieldType(f.dataType)).isSuccess)
+    // the FULL schema build, not just the type mapping: Avro rejects
+    // field names Spark allows (spaces, dashes, dots, leading digits),
+    // and a type-only check would let creation succeed and the first
+    // write crash with SchemaParseException
+    scala.util.Try(avroSchema(struct)).isSuccess
 
   def avroSchema(struct: StructType): Schema = {
     val fields = struct.fields.map { f =>
@@ -75,9 +78,10 @@ object AvroStorage {
     Schema.createRecord("graft_row", null, "graft", false, fields.toList.asJava)
   }
 
-  /** Avro names forbid some characters Spark allows (e.g. leading
-    * digits are fine, but columns like `__bucket` are ok). Spark
-    * hidden columns start with '_' which avro accepts. */
+  /** Avro names forbid characters Spark allows (spaces, dashes, dots,
+    * leading digits); [[supports]] runs the FULL schema build so such
+    * columns are rejected at table creation, never at first write.
+    * Spark hidden columns start with '_', which avro accepts. */
   private def clean(name: String): String = name
 
   // ---- write ----------------------------------------------------------
@@ -104,7 +108,20 @@ object AvroStorage {
       val writers = mutable.Map.empty[String, (File, File, DataFileWriter[GenericRecord])]
       try {
         rows.foreach { row =>
-          val dir = partIdx.map(i => s"${fieldNames(i)}=${row.get(i)}").mkString("/")
+          // Hive-escaped values + the null sentinel, exactly like
+          // Spark's partitionBy on the parquet path: a raw rendering
+          // would write "col=null" for nulls (decoded as the STRING
+          // "null" by pruning), and a value containing '/' or '%'
+          // would corrupt the directory structure / unescape wrongly
+          val dir = partIdx.map { i =>
+            val raw = row.get(i)
+            val v =
+              if (raw == null) org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+              else org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.escapePathName(raw.toString)
+            s"${fieldNames(i)}=$v"
+          }.mkString("/")
           val (_, _, w) = writers.getOrElseUpdate(dir, {
             val d = if (dir.isEmpty) new File(staging) else new File(staging, dir)
             d.mkdirs()
@@ -142,6 +159,8 @@ object AvroStorage {
       ts.getTime * 1000L + (ts.getNanos % 1000000L) / 1000L
     case ldt: java.time.LocalDateTime =>
       ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+    case ins: java.time.Instant => // java8API sessions carry Instant
+      ins.getEpochSecond * 1000000L + ins.getNano / 1000L
     case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
     case ld: java.time.LocalDate => ld.toEpochDay.toInt
     case dec: java.math.BigDecimal => dec.toPlainString
@@ -260,16 +279,17 @@ object AvroStorage {
         }
         rowCount += 1
       }
-      val stats = fields.zipWithIndex.flatMap { case (f, i) =>
-        val statable = unwrap(f.schema()).getType match {
-          case Schema.Type.BYTES => false // no binary stats
-          case _ => true
+      val stats = fields.zipWithIndex.map { case (f, i) =>
+        unwrap(f.schema()).getType match {
+          // binary columns carry no min/max but KEEP the null count:
+          // an all-null binary column still IS NULL / IS NOT NULL
+          // prunes (OrcStats does the same)
+          case Schema.Type.BYTES => f.name() -> ColStats(None, None, nulls(i))
+          case _ => f.name() -> ColStats(
+            Option(mins(i)).map(render),
+            Option(maxs(i)).map(render),
+            nulls(i))
         }
-        if (!statable) None
-        else Some(f.name() -> ColStats(
-          Option(mins(i)).map(render),
-          Option(maxs(i)).map(render),
-          nulls(i)))
       }.toMap
       DataFileMeta(relativeName, file.length(), rowCount, minSeq, maxSeq,
         level, stats)
@@ -287,7 +307,15 @@ object AvroStorage {
     case (x: java.lang.Float, y: java.lang.Float) => x.compareTo(y)
     case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
     case (x: java.lang.Boolean, y: java.lang.Boolean) => x.compareTo(y)
-    case (x, y) => x.toString.compareTo(y.toString) // Utf8/decimal strings
+    // STRING stats must sort in UTF-8 BYTE order — the order
+    // StatsFilter compares in (UTF-16 compareTo disagrees on
+    // supplementary characters and wrong-prunes); Avro's Utf8
+    // compareTo IS byte order
+    case (x: org.apache.avro.util.Utf8, y: org.apache.avro.util.Utf8) =>
+      x.compareTo(y)
+    case (x, y) => java.util.Arrays.compareUnsigned(
+      x.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   private def render(v: Any): String = v.toString

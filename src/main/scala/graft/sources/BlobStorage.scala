@@ -67,7 +67,11 @@ object BlobStorage {
       }
       name
     })
-    def desc(c: Column): Column =
+    def desc(c: Column): Column = {
+      // the udf returns "<md5hex>.blob" — deriving the hash field from
+      // it digests each multi-MB payload ONCE, not twice (the dominant
+      // CPU cost of externalizing large media batches)
+      val written = writeBlob(c)
       when(c.isNull, lit(null).cast(descriptorType))
         .when(length(c) < threshold, struct(
           c.as("inline"),
@@ -76,9 +80,10 @@ object BlobStorage {
           md5(c).as("hash")))
         .otherwise(struct(
           lit(null).cast(BinaryType).as("inline"),
-          writeBlob(c).as("file"),
+          written.as("file"),
           length(c).cast("long").as("length"),
-          md5(c).as("hash")))
+          regexp_replace(written, "\\.blob$", "").as("hash")))
+    }
     cols.filter(df.columns.contains)
       .foldLeft(df)((d, c) => d.withColumn(c, desc(col(c))))
   }

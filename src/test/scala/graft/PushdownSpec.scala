@@ -651,6 +651,28 @@ class PushdownSpec extends AnyFunSuite {
     }
   }
 
+  test("avro partitions escape like parquet; avro-illegal names rejected at create") {
+    val psch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("p", StringType, nullable = true)))
+    def pdf(rows: (Long, String)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2)).asJava, psch)
+    val t = GraftTable.create(spark, tmp(), psch, partitionKeys = Seq("p"),
+      options = Map("file.format" -> "avro"))
+    // a NULL partition used to write the raw dir "p=null" (decoded as
+    // the STRING "null"), and "a/b" used to nest directories and fail
+    // the commit adoption's k=v split
+    t.write(pdf((1L, null), (2L, "a/b"), (3L, "x")))
+    assert(t.read.count() == 3)
+    assert(t.scan(col("p").isNull).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(t.scan(col("p") === "a/b").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // avro forbids names Spark allows — refused at CREATE, not as a
+    // SchemaParseException on the first write
+    intercept[Exception](GraftTable.create(spark, tmp(),
+      StructType(Seq(StructField("price-usd", LongType, nullable = false))),
+      options = Map("file.format" -> "avro")))
+  }
+
   test("avro storage: roundtrip, streamed stats pruning, PK upserts, mixed formats") {
     def df1(rows: Seq[(Long, Double)]) = df(rows: _*).coalesce(1)
     val t = GraftTable.create(spark, tmp(), sch,
