@@ -23,13 +23,47 @@ object TableFunctions {
   }
 
   /** Metadata-only variant: needs no SparkSession, usable inside
-    * executor-evaluated catalog functions. */
+    * executor-evaluated catalog functions.
+    *
+    * Values compare in the partition column's DECLARED type order, not
+    * directory-string order (the reference sorts by type —
+    * ReplacePaimonFunctions.scala:75 via InternalRowUtils.compare — so
+    * INT partitions 9 and 10 answer 10, where lexicographic says "9").
+    * Each raw directory value decodes exactly like the scan path (Hive
+    * unescape, null sentinel, typed parse via Cast); the null partition
+    * never wins, and the returned string is the UNESCAPED display value.
+    * If any value fails to decode for the declared type the whole call
+    * falls back to lexicographic raw order (never throws on debris). */
   def maxPt(sm: graft.core.SnapshotManager, partitionColumn: String): Option[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val dt = sm.latestSchema()
+      .flatMap(_.fields.find(_.name == partitionColumn))
+      .map(f => graft.core.Meta.sparkTypeOf(f.dataType))
+      .getOrElse(org.apache.spark.sql.types.StringType)
     val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty)
-    entries
+    val raws = entries
       .filter(e => e.file.rowCount - e.file.dvCardinality.getOrElse(0L) > 0)
       .flatMap(_.partition.get(partitionColumn))
-      .maxOption
+      .distinct
+    val decoded = raws.map { raw =>
+      val v = try graft.sources.GraftScanUtil.partitionValue(raw, dt)
+        catch { case _: Exception => null }
+      raw -> v // null = null partition OR undecodable
+    }
+    val typed = decoded.collect { case (raw, v) if v != null => (raw, v) }
+    val sentinel = ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+    val undecodable = decoded.exists { case (raw, v) =>
+      v == null &&
+        ExternalCatalogUtils.unescapePathName(raw) != sentinel
+    }
+    if (undecodable) raws.maxOption // mixed debris: legacy raw order
+    else if (typed.isEmpty) None // only the null partition holds rows
+    else {
+      val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(dt)
+      Some(ExternalCatalogUtils.unescapePathName(
+        typed.maxBy(_._2)(ord.asInstanceOf[Ordering[Any]])._1))
+    }
   }
 
   // --- MULTISET<T> (reference: paimon-api MultisetType.java; stored

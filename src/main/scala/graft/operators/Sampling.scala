@@ -42,7 +42,9 @@ object Sampling {
     *
     * @param splits ordered (label, weight); weights need not sum to 1
     *               — they are normalized. Per-row expression, zero
-    *               shuffles.
+    *               shuffles. Rows with a NULL id deterministically land
+    *               in the LAST split (every `key < bound` comparison is
+    *               null, falling through the whole when-chain).
     */
   def splitAssign(
       df: DataFrame, idCol: String,
@@ -62,25 +64,32 @@ object Sampling {
     * rows with the smallest sample keys (ties broken by id, so the
     * selection is total-ordered and reproducible).
     *
-    * Scale shape: one shuffle by source + a per-source top-k window.
-    * Quotas are per-source constants, so the selection never compares
-    * rows across sources; a skewed giant source costs a bounded top-k
-    * per partition after AQE splits it.
+    * Scale shape: window partitions are SINGLE-TASK (AQE does not
+    * split them), so ranking a giant source directly would funnel its
+    * every row through one sort task. Instead the rank runs in two
+    * exact levels: (1) a window over (source, salt) — the salt is a
+    * deterministic hash of the id into `spark.sql.shuffle.partitions`
+    * buckets — keeps each bucket's local top-`quota`; (2) the final
+    * window over source ranks only those survivors (at most
+    * `buckets * quota` rows per source). The global top-`quota` of a
+    * source is contained in the union of its buckets' local
+    * top-`quota`s, so the result is EXACT and identical to the
+    * single-window form — and the whole thing stays one lazy plan:
+    * no driver actions, no recomputation of an expensive upstream.
     */
   def mixSources(
       df: DataFrame,
       sourceCol: String,
       idCol: String,
       quota: Long): DataFrame = {
-    val w = Window.partitionBy(sourceCol)
-      .orderBy(sampleKey(col(idCol)), col(idCol))
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= quota)
-      .drop("__rk")
+    require(quota >= 0, s"bad quota $quota")
+    mixExact(df, sourceCol, idCol, lit(quota))
   }
 
   /** Per-source quotas (sources absent from the map are dropped). The
-    * quota table broadcasts — the corpus pays only the source shuffle. */
+    * quota table broadcasts — the corpus pays only the salted source
+    * shuffle. Same bounded two-level rank as the single-quota
+    * overload. */
   def mixSources(
       df: DataFrame,
       sourceCol: String,
@@ -89,11 +98,25 @@ object Sampling {
     val spark = df.sparkSession
     import spark.implicits._
     val qdf = broadcast(quotas.toSeq.toDF("__src", "__quota"))
-    val w = Window.partitionBy(sourceCol)
-      .orderBy(sampleKey(col(idCol)), col(idCol))
-    df.join(qdf, col(sourceCol) === col("__src"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= col("__quota"))
-      .drop("__rk", "__src", "__quota")
+    val joined = df.join(qdf, col(sourceCol) === col("__src"))
+    mixExact(joined, sourceCol, idCol, col("__quota"))
+      .drop("__src", "__quota")
+  }
+
+  private def mixExact(
+      df: DataFrame, sourceCol: String, idCol: String,
+      quotaCol: org.apache.spark.sql.Column): DataFrame = {
+    val key = sampleKey(col(idCol))
+    val buckets = df.sparkSession.sessionState.conf.numShufflePartitions
+    // deterministic, id-pure salt — re-runs and different partitionings
+    // bucket identically, so the selection stays reproducible
+    val salt = pmod(xxhash64(col(idCol)), lit(buckets))
+    val w1 = Window.partitionBy(col(sourceCol), salt).orderBy(key, col(idCol))
+    val w2 = Window.partitionBy(sourceCol).orderBy(key, col(idCol))
+    df.withColumn("__rk1", row_number().over(w1))
+      .filter(col("__rk1") <= quotaCol)
+      .withColumn("__rk", row_number().over(w2))
+      .filter(col("__rk") <= quotaCol)
+      .drop("__rk1", "__rk")
   }
 }

@@ -81,7 +81,6 @@ class GraftReplaceWrite(
 
   override def toBatch: BatchWrite = {
     val spark = gt.spark
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val sch = gt.schema
     val staging = s"${gt.path}/staging/${UUID.randomUUID()}"
     val job = org.apache.hadoop.mapreduce.Job.getInstance(
@@ -101,8 +100,13 @@ class GraftReplaceWrite(
     val partCols = sch.partitionKeys
     val partAttrs = allAttrs.filter(a => partCols.contains(a.name))
     val dataAttrs = allAttrs.filterNot(a => partCols.contains(a.name))
-    val owf = format.prepareWrite(spark, job, Map.empty,
-      StructType(writeSchema.fields.filterNot(f => partCols.contains(f.name))))
+    // micros-annotated timestamps, like every other table write;
+    // prepareWrite reads the session conf, so set-and-RESTORE around it
+    // (a bare conf.set would permanently change the user's session)
+    val owf = gt.withMicrosTimestamps {
+      format.prepareWrite(spark, job, Map.empty,
+        StructType(writeSchema.fields.filterNot(f => partCols.contains(f.name))))
+    }
     val desc = new org.apache.spark.sql.execution.datasources.WriteJobDescription(
       uuid = UUID.randomUUID().toString,
       serializableHadoopConf = new SerializableConfiguration(job.getConfiguration),

@@ -1459,7 +1459,7 @@ final class GraftTable private (
     * no usable footer stats and no logical annotation). Parquet has no
     * per-writer option for this, so set the session conf for the write
     * and restore the user's previous value after. */
-  private def withMicrosTimestamps[T](f: => T): T = {
+  private[graft] def withMicrosTimestamps[T](f: => T): T = {
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = try Some(spark.conf.get(key)) catch { case _: Exception => None }
     spark.conf.set(key, "TIMESTAMP_MICROS")

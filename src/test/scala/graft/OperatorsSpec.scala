@@ -622,6 +622,35 @@ class OperatorsSpec extends AnyFunSuite {
       s"quota table not broadcast:\n$plan")
   }
 
+  test("mixSources: salted two-level rank matches the brute-force window, " +
+    "stays exact under adversarial keys") {
+    import spark.implicits._
+    val S = graft.operators.Sampling
+    // skewed corpus: one giant source, one tiny source, some null sources
+    val rows = (0L until 5000L).map(i => (i, "big")) ++
+      (5000L until 5010L).map(i => (i, "tiny")) ++
+      (5010L until 5020L).map(i => (i, null: String))
+    val df = rows.toDF("id", "source")
+    def key(id: Long) = ((id * 48271L) % 2147483647L) * 48271L % 2147483647L
+    // brute-force oracle: per-source smallest (key, id) up to quota
+    def oracle(quota: Long): Set[Long] = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      rs.map(_._1).sortBy(i => (key(i), i)).take(quota.toInt)
+    }.toSet
+    val got = S.mixSources(df, "source", "id", quota = 30L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == oracle(30L), "thresholded selection diverged from brute force")
+    // adversarial ids: ALL sample keys concentrated at the top of the
+    // range — any probabilistic pre-filter would starve; the two-level
+    // rank must still return exactly `quota` rows, the right ones
+    val adv = (0L until 100000L).filter(i => key(i) > 2100000000L).take(400)
+    assert(adv.size == 400, s"not enough adversarial ids: ${adv.size}")
+    val advDf = adv.map(i => (i, "hot")).toDF("id", "source")
+    val hot = S.mixSources(advDf, "source", "id", quota = 7L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val hotOracle = adv.sortBy(i => (key(i), i)).take(7).toSet
+    assert(hot == hotOracle, "shortfall guard lost exactness")
+  }
+
   test("packSequences: spans match a serial cum-sum, even under coalesce(1)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -309,6 +309,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(TableFunctions.maxPt(a, "dt").contains("2024-01-01"))
   }
 
+  test("max_pt compares in the partition column's declared order, not " +
+    "directory-string order; null partitions never win; escapes decode") {
+    import scala.jdk.CollectionConverters._
+    import graft.functions.TableFunctions
+    // INT partition: 9 vs 10 — lexicographic says "9", typed says 10
+    val si = StructType(Seq(
+      StructField("h", IntegerType, nullable = true),
+      StructField("v", LongType, nullable = false)))
+    val ti = GraftTable.create(spark, tmp() + "/ti", si, partitionKeys = Seq("h"))
+    ti.write(spark.createDataFrame(
+      Seq(Row(9, 1L), Row(10, 2L), Row(null, 3L)).asJava, si))
+    assert(TableFunctions.maxPt(ti, "h").contains("10"),
+      s"typed max_pt broken: ${TableFunctions.maxPt(ti, "h")}")
+    // string partition with Hive-escaped characters: the DISPLAY value
+    // returns, and the null partition still never wins
+    val ss = StructType(Seq(
+      StructField("p", StringType, nullable = true),
+      StructField("v", LongType, nullable = false)))
+    val ts = GraftTable.create(spark, tmp() + "/ts", ss, partitionKeys = Seq("p"))
+    ts.write(spark.createDataFrame(
+      Seq(Row("a:b", 1L), Row("a:a", 2L), Row(null, 3L)).asJava, ss))
+    assert(TableFunctions.maxPt(ts, "p").contains("a:b"))
+    // only the null partition holds rows -> None
+    val tn = GraftTable.create(spark, tmp() + "/tn", ss, partitionKeys = Seq("p"))
+    tn.write(spark.createDataFrame(Seq(Row(null, 1L)).asJava, ss))
+    assert(TableFunctions.maxPt(tn, "p").isEmpty)
+  }
+
   test("stream-static lookup join re-resolves the dim snapshot per epoch") {
     import scala.jdk.CollectionConverters._
     val dir = tmp()
