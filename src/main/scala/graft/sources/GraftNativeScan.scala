@@ -539,7 +539,8 @@ class GraftMicroBatchStream(
     var admittedData = false
     sm.snapshotIds.filter(i => i > startId && i <= cap).foreach { id =>
       val sn = sm.snapshot(id)
-      if (sn.commitKind == graft.core.Meta.KindCompact) {
+      if (sn.commitKind == graft.core.Meta.KindCompact ||
+        (sn.commitKind == graft.core.Meta.KindOverwrite && skipOverwrites)) {
         // no logical change: absorbing it is free, but only up to the
         // last admitted data snapshot boundary
         if (!admittedData || end == id - 1) end = id
@@ -562,12 +563,23 @@ class GraftMicroBatchStream(
   override def deserializeOffset(json: String): Offset =
     GraftOffset(json.trim.toLong)
 
+  /** streaming-read-overwrite=false (the reference's DEFAULT posture:
+    * DataTableStreamScan skips OVERWRITE snapshots unless the option is
+    * on) treats overwrite commits as out-of-band backfills. This
+    * reader's default emits the overwrite's ADDed files — the
+    * reference's append-table option behavior; exact -D retractions
+    * for removed PK rows are the library changelog API's job
+    * (GraftTable.overwriteChanges). */
+  private def skipOverwrites: Boolean =
+    streamOpt("streaming-read-overwrite").contains("false")
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftOffset].snapshotId
     val e = end.asInstanceOf[GraftOffset].snapshotId
     val deltas = sm.snapshotIds.filter(i => i > s && i <= e)
       .map(sm.snapshot)
-      .filter(_.commitKind != graft.core.Meta.KindCompact)
+      .filter(sn => sn.commitKind != graft.core.Meta.KindCompact &&
+        !(sn.commitKind == graft.core.Meta.KindOverwrite && skipOverwrites))
       .flatMap(sn => sn.deltaManifest.map(sm.readManifest))
     val entries = deltas.flatMap { delta =>
       val deleted = delta.filter(_.kind == "DELETE").map(_.file.fileName).toSet

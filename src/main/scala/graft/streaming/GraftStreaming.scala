@@ -121,7 +121,9 @@ object GraftStreaming {
           process(table.readRetainedChangelog(manifest), id)
         case None =>
           val snap = table.sm.snapshot(id)
-          if (snap.commitKind != Meta.KindCompact ||
+          if (snap.commitKind == Meta.KindOverwrite)
+            overwriteBatch(table, id).foreach(process(_, id))
+          else if (snap.commitKind != Meta.KindCompact ||
               snap.changelogManifest.isDefined) {
             process(table.incrementalRead(id - 1, id), id)
           }
@@ -130,6 +132,32 @@ object GraftStreaming {
     }
     ids
   }
+
+  /** What an OVERWRITE snapshot contributes to a changelog stream
+    * (reference: CoreOptions.STREAMING_READ_OVERWRITE gating
+    * DataTableStreamScan.handleOverwriteSnapshot → readChanges).
+    *
+    * Default here is EXACT changes — this engine derives them cheaply,
+    * so consumers see retractions for every row an INSERT OVERWRITE /
+    * metadata-DELETE / partition-expiration removed: primary-key
+    * tables diff through [[GraftTable.overwriteChanges]] (-D for the
+    * merged removed files, +I for the added), append tables through
+    * [[GraftTable.incrementalRead]] (which also diffs deletion
+    * vectors). Setting `streaming-read-overwrite=false` skips
+    * overwrite snapshots entirely — the reference's DEFAULT posture,
+    * for consumers that treat overwrites as out-of-band backfills.
+    * None = skip (option set to false).
+    *
+    * changelog-producer=full-compaction tables skip here too: their
+    * contract is that ALL changes (including an overwrite's net
+    * effect) surface in the exact diff the next full compaction
+    * persists — emitting overwriteChanges as well would double-emit. */
+  private def overwriteBatch(table: GraftTable, id: Long): Option[DataFrame] =
+    if (table.schema.options.get("streaming-read-overwrite").contains("false")) None
+    else if (table.isPrimaryKeyTable) {
+      if (table.schema.changelogProducer == "full-compaction") None
+      else Some(table.overwriteChanges(id))
+    } else Some(table.incrementalRead(id - 1, id))
 
   /** Startup modes for changelog consumption (reference: CoreOptions
     * scan modes — latest-full / latest / from-snapshot /
@@ -369,7 +397,9 @@ object GraftStreaming {
           val snap = table.sm.snapshot(id)
           if (snap.watermark.exists(_ > boundedWatermark))
             return (processed.toSeq, true)
-          if (snap.commitKind != Meta.KindCompact ||
+          if (snap.commitKind == Meta.KindOverwrite)
+            overwriteBatch(table, id).foreach(process(_, id))
+          else if (snap.commitKind != Meta.KindCompact ||
               snap.changelogManifest.isDefined)
             process(table.incrementalRead(id - 1, id), id)
       }

@@ -2855,6 +2855,32 @@ final class GraftTable private (
     (Seq(plusRows) ++ minusGrown ++ minusDropped).reduce(_ unionAll _)
   }
 
+  /** Exact row-level changes of an OVERWRITE snapshot on a primary-key
+    * table: the merged visible content of the files the overwrite
+    * REMOVED surfaces as `-D`, the merged content of the files it
+    * ADDED as `+I` (reference: FollowUpScanner.getOverwriteChangesPlan
+    * → SnapshotReader.readChanges, what streaming consumers see when
+    * `streaming-read-overwrite` is on). Append tables derive overwrite
+    * changes inside [[incrementalRead]] (with exact DV diffs), so this
+    * covers the PK side only — where reading just the ADDed files
+    * would silently lose retractions for every key the overwrite
+    * dropped. */
+  def overwriteChanges(snapshotId: Long): DataFrame = {
+    require(isPrimaryKeyTable, "overwriteChanges requires a primary-key " +
+      "table; append tables derive overwrite changes via incrementalRead")
+    val sn = sm.snapshot(snapshotId)
+    require(sn.commitKind == KindOverwrite,
+      s"snapshot $snapshotId is ${sn.commitKind}, not OVERWRITE")
+    val delta = sn.deltaManifest.map(sm.readManifest).getOrElse(Seq.empty)
+    def merged(entries: Seq[ManifestEntry]): DataFrame =
+      if (entries.isEmpty) emptyDf() else mergedFromEntries(entries)
+    val outCols = (struct.fieldNames :+ "_row_kind").map(col).toIndexedSeq
+    merged(delta.filter(_.kind == "DELETE"))
+      .withColumn("_row_kind", lit("-D")).select(outCols: _*)
+      .unionAll(merged(delta.filter(_.kind == "ADD"))
+        .withColumn("_row_kind", lit("+I")).select(outCols: _*))
+  }
+
   /** Binlog view: per key and snapshot, the -U/+U pair packed into ONE
     * row — non-key columns become arrays holding [before, after] for
     * updates, [value] for inserts/deletes (reference:

@@ -195,6 +195,24 @@ object MergeEngine {
       return in.groupBy(pk.map(col).toIndexedSeq: _*)
         .agg(aggs.head, aggs.tail.toIndexedSeq: _*)
     }
+    // reference preconditions (PartialUpdateMergeFunction.Factory):
+    // remove-record-on-delete conflicts with sequence groups,
+    // remove-record-on-sequence-group conflicts with ignore-delete
+    require(!schema.options.get("partial-update.remove-record-on-delete").contains("true"),
+      "partial-update.remove-record-on-delete and sequence groups have " +
+        "conflicting behavior; use partial-update.remove-record-on-sequence-group")
+    val rmOnSeqGroup = schema.options
+      .get("partial-update.remove-record-on-sequence-group")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    if (rmOnSeqGroup.nonEmpty) {
+      require(!schema.options.get("ignore-delete").contains("true"),
+        "ignore-delete and partial-update.remove-record-on-sequence-group " +
+          "have conflicting behavior so should not be enabled at the same time")
+      rmOnSeqGroup.foreach(f => require(groups.exists(_._1.contains(f)),
+        s"field '$f' in partial-update.remove-record-on-sequence-group " +
+          "must be a sequence field of some sequence group"))
+    }
     val isRetract =
       col(Meta.KindCol) === Meta.KindDelete || col(Meta.KindCol) === Meta.KindUpdateBefore
     val memberOf = groups.flatMap { case (seqs, members) =>
@@ -234,7 +252,23 @@ object MergeEngine {
               schema.toStruct(c).dataType).as(c)
       }
     }
-    val kindOut = when(col("__has_insert") === 1, Meta.KindInsert)
+    // partial-update.remove-record-on-sequence-group: a -D that WINS
+    // one of the configured groups deletes the whole row (reference:
+    // retractWithSequenceGroup's sequenceGroupPartialDelete — pinned by
+    // PartialUpdateMergeFunctionTest.testSequenceGroupPartialDelete).
+    // -U retractions never trigger it, and a null group sequence skips
+    // the group (so it cannot win). This winner-based form matches
+    // every reference-pinned case; it diverges only when a LOSING
+    // record arrives after the winning delete — the reference's
+    // sequential fold then resurrects a partially-stale row, which we
+    // deliberately do not reproduce (the group's authority stands).
+    val partialDeleted = groups
+      .filter(_._1.exists(rmOnSeqGroup.contains))
+      .map { case (seqs, _) =>
+        col(groupAlias(seqs)).getField("__kind") === Meta.KindDelete }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val kindOut = when(partialDeleted, Meta.KindDelete)
+      .when(col("__has_insert") === 1, Meta.KindInsert)
       .otherwise(Meta.KindDelete).cast("byte").as(Meta.KindCol)
     agged.select((pk.map(col) ++ outCols ++
       Seq(col(Meta.SeqCol), kindOut)).toIndexedSeq: _*)

@@ -86,6 +86,60 @@ class SequenceGroupSpec extends AnyFunSuite {
     assert(r.getString(3) == "b1", "group b untouched")
   }
 
+  test("remove-record-on-sequence-group: a -D winning the configured " +
+    "group deletes the whole row; other groups' -D only retracts members") {
+    // mirrors the reference's PartialUpdateMergeFunctionTest
+    // .testSequenceGroupPartialDelete shape: group sa protects a,
+    // group sb protects b, only sb is a partial-delete group
+    def mk(): GraftTable = GraftTable.create(spark, tmp(), sgSchema,
+      primaryKeys = Seq("k"),
+      options = Map(
+        "merge-engine" -> "partial-update",
+        "fields.sa.sequence-group" -> "a",
+        "fields.sb.sequence-group" -> "b",
+        "partial-update.remove-record-on-sequence-group" -> "sb",
+        "bucket" -> "2"))
+    def del(t: GraftTable, rows: (Long, String, java.lang.Long, String, java.lang.Long)*): Unit =
+      t.writeKinded(sgDf(rows: _*).withColumn(graft.core.Meta.KindCol,
+        lit(graft.core.Meta.KindDelete).cast("byte")))
+    // -D winning the NON-configured group (sa) retracts only group a
+    val t1 = mk()
+    t1.write(sgDf((1L, "a1", 1L, "b1", 1L)))
+    del(t1, (1L, null, 2L, null, null)) // sb null -> skips group b
+    val r1 = t1.read.head
+    assert(r1.isNullAt(1) && r1.getString(3) == "b1", "only group a retracted")
+    // -D winning the CONFIGURED group (sb) deletes the whole row
+    val t2 = mk()
+    t2.write(sgDf((1L, "a1", 1L, "b1", 1L)))
+    del(t2, (1L, null, null, null, 2L))
+    assert(t2.read.filter(col("k") === 1L).count() == 0, "row must be deleted")
+    // ... but a LOSING -D (older sb) does not
+    val t3 = mk()
+    t3.write(sgDf((1L, "a1", 1L, "b1", 5L)))
+    del(t3, (1L, null, null, null, 2L))
+    assert(t3.read.filter(col("k") === 1L).count() == 1, "losing -D must not delete")
+    // a later insert with a NEWER configured-group sequence resurrects
+    val t4 = mk()
+    t4.write(sgDf((1L, "a1", 1L, "b1", 1L)))
+    del(t4, (1L, null, null, null, 2L))
+    t4.write(sgDf((1L, "a2", 2L, "b2", 3L)))
+    val r4 = t4.read.filter(col("k") === 1L).head
+    assert(r4.getString(1) == "a2" && r4.getString(3) == "b2")
+    // option validation: the configured field must be a group sequence
+    val bad = intercept[Exception] {
+      val t = GraftTable.create(spark, tmp(), sgSchema,
+        primaryKeys = Seq("k"),
+        options = Map(
+          "merge-engine" -> "partial-update",
+          "fields.sa.sequence-group" -> "a",
+          "partial-update.remove-record-on-sequence-group" -> "b",
+          "bucket" -> "1"))
+      t.write(sgDf((1L, "a1", 1L, null, null)))
+      t.read.count()
+    }
+    assert(bad.getMessage.contains("sequence group"), bad.getMessage)
+  }
+
   test("key with only retracts never materializes") {
     val t = sgTable()
     val retract = sgDf((7L, "x", 1L, null, null))

@@ -93,6 +93,50 @@ class StreamingSpec extends AnyFunSuite {
       (0L, 1L, "+I"), (1L, 2L, "+I"), (2L, 1L, "-D")))
   }
 
+  test("streaming-read-overwrite: PK overwrite streams -D for replaced rows " +
+    "and +I for the new content; =false skips the overwrite snapshot") {
+    import scala.jdk.CollectionConverters._
+    val dir = tmp()
+    val pSchema = StructType(Seq(
+      StructField("p", StringType, nullable = false),
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    def df(t: GraftTable, rows: (String, Long, String)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3)).asJava, pSchema)
+    val t = GraftTable.create(spark, s"$dir/t", pSchema,
+      partitionKeys = Seq("p"), primaryKeys = Seq("p", "k"))
+    t.write(df(t, ("a", 1L, "x"), ("a", 2L, "y"), ("b", 3L, "z")))
+    var seen = Vector.empty[(Long, Long, String, String)]
+    def proc(d: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      seen ++= d.select("k", "v", "_row_kind").collect()
+        .map(r => (id, r.getLong(0), r.getString(1), r.getString(2)))
+    val ckpt = s"$dir/off"
+    GraftStreaming.processChangelog(t, ckpt, proc)
+    seen = Vector.empty
+    // dynamic overwrite of partition a: k=1 replaced, k=2 dropped
+    t.overwrite(df(t, ("a", 1L, "x2")))
+    GraftStreaming.processChangelog(t, ckpt, proc)
+    val byKind = seen.groupBy(_._4).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    assert(byKind.get("-D").contains(Set((1L, "x"), (2L, "y"))),
+      s"replaced rows must retract: $seen")
+    assert(byKind.get("+I").contains(Set((1L, "x2"))), s"new content must insert: $seen")
+    // untouched partition b never appears
+    assert(!seen.exists(_._2 == 3L), s"partition b leaked into the diff: $seen")
+    // explicit false: the reference's default — overwrites are skipped
+    val t2 = GraftTable.create(spark, s"$dir/t2", pSchema,
+      partitionKeys = Seq("p"), primaryKeys = Seq("p", "k"),
+      options = Map("streaming-read-overwrite" -> "false"))
+    t2.write(df(t2, ("a", 1L, "x")))
+    var seen2 = Vector.empty[Long]
+    val ckpt2 = s"$dir/off2"
+    GraftStreaming.processChangelog(t2, ckpt2, (_, id) => seen2 :+= id)
+    t2.overwrite(df(t2, ("a", 1L, "x2")))
+    val drained = GraftStreaming.processChangelog(t2, ckpt2,
+      (d, id) => { seen2 :+= id; assert(d.count() == 0 || false, "must not emit") })
+    assert(drained.nonEmpty && seen2 == Vector(0L), // offset advanced, no batch
+      s"overwrite must be skipped but offset advance: $seen2 / $drained")
+  }
+
   test("startup modes: Latest skips history, LatestFull emits initial load, FromSnapshot replays") {
     import scala.jdk.CollectionConverters._
     val dir = tmp()
