@@ -1712,5 +1712,29 @@ object Storage {
       s.conf.set("spark.sql.catalog.graft_g68.uri", uri)
       s.sql("""SELECT c_custkey, c_mktsegment, bal
               |FROM graft_g68.reg.cust_ext""".stripMargin)
+    },
+
+    // ---- metadata.stats-mode: manifests store BOUNDED stats (text
+    // truncated to 8 code points with a rounded-up max, source kept as
+    // null counts only). The range predicate exercises pruning against
+    // the truncated bounds across many files; the oracle recomputes
+    // from raw parquet, so any wrong prune (a file refuted by an
+    // unsound bound) is a row diff. DuckDB and Spark both compare
+    // strings in binary (UTF-8 byte) order, so the range agrees.
+    QDef(
+      "g69_stats_mode",
+      """SELECT doc_id, source FROM documents
+        |WHERE text >= 'm' AND text < 'w' AND doc_id % 3 = 0""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val t = GraftTable.create(s, scratch("g69"), src.schema,
+        options = Map(
+          "fields.text.stats-mode" -> "truncate(8)",
+          "fields.source.stats-mode" -> "counts"))
+      t.write(src.repartition(8)) // several files → pruning is real
+      t.read
+        .filter(col("text") >= "m" && col("text") < "w" &&
+          col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("source"))
     })
 }

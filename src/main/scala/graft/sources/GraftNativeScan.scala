@@ -249,8 +249,23 @@ class GraftBatchScan(
   }
   override def hashCode(): Int = eqKey.hashCode()
 
-  override def planInputPartitions(): Array[InputPartition] =
-    GraftScanUtil.filePartitions(spark, gt.path, entries, partitionSchema)
+  override def planInputPartitions(): Array[InputPartition] = {
+    // scan.plan-sort-partition (reference: CoreOptions
+    // SCAN_PLAN_SORT_PARTITION): order files by partition value before
+    // bin-packing, so splits cluster by partition — downstream
+    // partition-aligned consumers (sorted exports, partitioned sinks)
+    // read each partition contiguously instead of interleaved.
+    // Directory-string order of the escaped values, like the reference
+    // (it sorts serialized partition BinaryRows).
+    val planned =
+      if (readOptions.get("scan.plan-sort-partition")
+          .orElse(gt.schema.options.get("scan.plan-sort-partition"))
+          .contains("true"))
+        entries.sortBy(e =>
+          partitionSchema.fieldNames.map(e.partition.getOrElse(_, "")).mkString(" "))
+      else entries
+    GraftScanUtil.filePartitions(spark, gt.path, planned, partitionSchema)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftScanUtil.permuted(

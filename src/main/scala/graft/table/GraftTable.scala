@@ -1535,14 +1535,21 @@ final class GraftTable private (
     // one Spark job (the reference computes stats in the writers and
     // ships them in CommitMessages — PaimonSparkWriter.scala:108-195).
     val schId = sch.id
+    // metadata.stats-mode / fields.<f>.stats-mode: bound what the
+    // manifest stores per column (plain string map — executor-safe)
+    val colModes = graft.core.StatsModes.columnModes(sch)
     def statsOf(conf: org.apache.hadoop.conf.Configuration,
-        abs: String, rel: String, lvl: Int, sb: Long, sx: Long): DataFileMeta =
-      if (abs.endsWith(".orc")) OrcStats.read(conf, abs, rel, lvl, sb, sx)
-      else if (abs.endsWith(".avro"))
-        graft.sources.AvroStorage.stats(abs, rel, lvl, sb, sx)
-      else if (abs.endsWith(".lance"))
-        graft.sources.LanceStorage.stats(abs, rel, lvl, sb, sx)
-      else ParquetStats.read(conf, abs, rel, lvl, sb, sx)
+        abs: String, rel: String, lvl: Int, sb: Long, sx: Long): DataFileMeta = {
+      val m =
+        if (abs.endsWith(".orc")) OrcStats.read(conf, abs, rel, lvl, sb, sx)
+        else if (abs.endsWith(".avro"))
+          graft.sources.AvroStorage.stats(abs, rel, lvl, sb, sx)
+        else if (abs.endsWith(".lance"))
+          graft.sources.LanceStorage.stats(abs, rel, lvl, sb, sx)
+        else ParquetStats.read(conf, abs, rel, lvl, sb, sx)
+      if (colModes.isEmpty) m
+      else m.copy(stats = graft.core.StatsModes.apply(m.stats, colModes))
+    }
     val metas: Seq[DataFileMeta] =
       if (moved.size <= 16)
         moved.map { case (_, _, abs, rel) =>
@@ -1859,6 +1866,12 @@ final class GraftTable private (
     val entries = sm.latestSnapshot().map(sm.liveEntries).getOrElse(return None)
     if (entries.isEmpty) return None
     val sch = schema
+    // a deleted position could hold the extreme value; and a truncated
+    // stat (metadata.stats-mode) is a BOUND, not a value — both make
+    // the manifests unusable as exact answers
+    if (entries.exists(_.file.dvFile.isDefined)) return None
+    if (graft.core.StatsModes.columnModes(sch).getOrElse(column, "full") != "full")
+      return None
     val stats = entries.flatMap(fileMetaInCurrentNames(_, sch).stats.get(column))
     if (stats.size != entries.size || stats.exists(_.min.isEmpty)) return None
     val field = struct.fields.find(_.name == column).getOrElse(return None)

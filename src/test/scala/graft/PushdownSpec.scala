@@ -50,6 +50,58 @@ class PushdownSpec extends AnyFunSuite {
     assert(t.statsMinMax("v").contains(("0.5", "7.5")))
   }
 
+  test("metadata.stats-mode bounds manifest stats: truncate(N) keeps pruning " +
+    "sound, counts keeps IS NULL pruning, none fails open; statsMinMax declines") {
+    import org.apache.spark.sql.types._
+    val ssch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("s", StringType, nullable = true),
+      StructField("n", LongType, nullable = true)))
+    import scala.jdk.CollectionConverters._
+    def sdf(t: GraftTable, rows: (Long, String, java.lang.Long)*) =
+      spark.createDataFrame(rows.map(r => Row(r._1, r._2, r._3)).asJava, ssch)
+    // truncate(4): long strings cut, max rounded UP
+    val t = GraftTable.create(spark, tmp(), ssch,
+      options = Map("fields.s.stats-mode" -> "truncate(4)"))
+    t.write(sdf(t, (1L, "abcdefgh", 1L), (2L, "abczzzzz", null)).coalesce(1))
+    val st = t.sm.latestSnapshot().map(t.sm.liveEntries).get.head.file.stats
+    assert(st("s").min.contains("abcd"), st.toString) // prefix lower bound
+    assert(st("s").max.contains("abc{"), st.toString) // 'z'+1 = '{' upper bound
+    assert(st("n").min.contains("1"), "non-string column keeps full stats")
+    assert(st("n").nullCount == 1L)
+    // pruning with truncated bounds stays CORRECT (file kept for a
+    // value inside the bound, prunable for one above it)
+    assert(t.read.filter(col("s") === "abczzzzz").count() == 1)
+    assert(t.read.filter(col("s") === "abd").count() == 0)
+    // a truncated stat is a bound, not a value: exact pushdown declines
+    assert(t.statsMinMax("s").isEmpty)
+    assert(t.statsMinMax("k").nonEmpty, "full-mode column still answers")
+    // counts: min/max gone, null counts stay (IS NULL pruning works)
+    val tc = GraftTable.create(spark, tmp(), ssch,
+      options = Map("metadata.stats-mode" -> "counts"))
+    tc.write(sdf(tc, (1L, "aa", 5L)))
+    val stc = tc.sm.latestSnapshot().map(tc.sm.liveEntries).get.head.file.stats
+    assert(stc("s").min.isEmpty && stc("s").max.isEmpty && stc("s").nullCount == 0L)
+    assert(tc.read.filter(col("s").isNull).count() == 0)
+    assert(tc.read.filter(col("s") === "aa").count() == 1)
+    // none: no stats entries at all, reads stay correct
+    val tn = GraftTable.create(spark, tmp(), ssch,
+      options = Map("metadata.stats-mode" -> "none"))
+    tn.write(sdf(tn, (1L, "aa", 5L)))
+    val stn = tn.sm.latestSnapshot().map(tn.sm.liveEntries).get.head.file.stats
+    assert(stn.isEmpty, stn.toString)
+    assert(tn.read.filter(col("k") === 1L).count() == 1)
+    // bad mode fails the write loudly
+    val tb = GraftTable.create(spark, tmp(), ssch,
+      options = Map("metadata.stats-mode" -> "approximately"))
+    assertThrows[IllegalArgumentException] { tb.write(sdf(tb, (1L, "a", 1L))) }
+    // supplementary-char edge: max increment skips the surrogate block
+    assert(graft.core.StatsModes.truncateMax("\uD7FF\uD7FFXX", 2)
+      .contains("\uD7FF\uE000"))
+    assert(graft.core.StatsModes.truncateMax(
+      new String(Character.toChars(0x10FFFF)) * 3, 2).isEmpty)
+  }
+
   test("readLimit opens only enough files") {
     val t = GraftTable.create(spark, tmp(), sch)
     (0 until 5).foreach(i => t.write(df((i.toLong, i.toDouble))))

@@ -207,6 +207,30 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(!pk.queryExecution.executedPlan.toString.contains("GraftBatchScan"))
   }
 
+  test("scan.plan-sort-partition orders planned files by partition value") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbsp")
+    spark.sql(
+      """CREATE TABLE graft.dbsp.t (k BIGINT, p STRING)
+        |PARTITIONED BY (p)
+        |TBLPROPERTIES ('scan.plan-sort-partition'='true')""".stripMargin)
+    // interleaved partition arrival: c, a, b, a, c
+    Seq("c", "a", "b", "a", "c").zipWithIndex.foreach { case (p, i) =>
+      spark.sql(s"INSERT INTO graft.dbsp.t VALUES ($i, '$p')")
+    }
+    val q = spark.sql("SELECT k, p FROM graft.dbsp.t")
+    val scanExec = q.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val parts = scanExec.inputPartitions.collect {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition => fp
+    }
+    // concatenated file order is partition-sorted (a* then b* then c*)
+    val dirs = parts.flatMap(_.files).map(f =>
+      f.toPath.getParent.getName).filter(_.startsWith("p="))
+    assert(dirs.nonEmpty && dirs.sameElements(dirs.sorted),
+      s"files not partition-clustered: ${dirs.mkString(", ")}")
+  }
+
   test("COUNT(*) / MIN / MAX answer from manifest stats via LocalScan") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db6")
     spark.sql("CREATE TABLE graft.db6.t (k BIGINT, v DOUBLE)")
