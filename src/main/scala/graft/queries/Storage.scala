@@ -1736,5 +1736,41 @@ object Storage {
         .filter(col("text") >= "m" && col("text") < "w" &&
           col("doc_id") % 3 === 0)
         .select(col("doc_id"), col("source"))
+    },
+
+    // ---- upsert-key (reference: CoreOptions.UPSERT_KEY + paimon-spark
+    // RewriteUpsertTable): plain INSERT INTO an APPEND table merges on
+    // the configured key — the analyzer rule rewrites AppendData to
+    // MERGE INTO, sequence.field dedups the batch and guards stale
+    // updates. The oracle is the equivalent newest-per-key window over
+    // the concatenated batches.
+    QDef(
+      "g70_upsert_key",
+      """SELECT c_custkey, name FROM (
+        |  SELECT c_custkey, name,
+        |    ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+        |  FROM (
+        |    SELECT c_custkey, c_name AS name, 1 AS seq
+        |    FROM customer WHERE c_custkey % 4 = 0
+        |    UNION ALL
+        |    SELECT c_custkey, upper(c_name) AS name, 2 AS seq
+        |    FROM customer WHERE c_custkey % 8 = 0))
+        |WHERE rn = 1""".stripMargin) { (s, dir) =>
+      withGraftExtensions(s) { s2 =>
+        val wh = Files.createTempDirectory("graft-g70-wh").toString
+        s2.conf.set("spark.sql.catalog.g70", "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.g70.warehouse", wh)
+        tbl(s2, dir, "customer").createOrReplaceTempView("g70_src")
+        s2.sql("CREATE NAMESPACE IF NOT EXISTS g70.gate")
+        s2.sql("""CREATE TABLE g70.gate.cust (c_custkey BIGINT, name STRING, seq BIGINT)
+                 |TBLPROPERTIES ('upsert-key'='c_custkey', 'sequence.field'='seq')""".stripMargin)
+        s2.sql("""INSERT INTO g70.gate.cust
+                 |SELECT c_custkey, c_name, 1L FROM g70_src
+                 |WHERE c_custkey % 4 = 0""".stripMargin)
+        s2.sql("""INSERT INTO g70.gate.cust
+                 |SELECT c_custkey, upper(c_name), 2L FROM g70_src
+                 |WHERE c_custkey % 8 = 0""".stripMargin)
+        s2.sql("SELECT c_custkey, name FROM g70.gate.cust")
+      }
     })
 }

@@ -591,7 +591,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * fallback for merge-on-read), batch write via V1Write, dynamic
   * overwrite, and filter-based SQL DELETE routed to the library's
   * three-tier delete (metadata-only / deletion-vector / rewrite). */
-class GraftSparkTable(protected val gt: GraftTable, snapshot: Option[Long],
+class GraftSparkTable(private[sources] val gt: GraftTable, snapshot: Option[Long],
     guard: String => Unit = _ => ())
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete

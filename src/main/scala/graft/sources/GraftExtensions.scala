@@ -33,7 +33,74 @@ import org.apache.spark.unsafe.types.UTF8String
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectHintResolutionRule(s => GraftViewRule(s))
+    e.injectResolutionRule(s => GraftUpsertRule(s))
     e.injectPlannerStrategy(s => GraftViewStrategy(s))
+  }
+}
+
+/** INSERT INTO an append table carrying `upsert-key` rewrites to MERGE
+  * INTO on that key (reference: paimon-spark
+  * RewriteUpsertTable.scala:36 — upsert semantics WITHOUT an LSM
+  * primary key; the copy-on-write merge rewrites only the touched
+  * files). With `sequence.field` set, the incoming batch first dedups
+  * to its newest row per key, and matched updates are guarded so an
+  * older row never clobbers a newer stored one. Fires only on fully
+  * resolved plans — by then Spark has aligned the query's output to
+  * the table's column order, so positional assignment is exact. */
+case class GraftUpsertRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  private def upsertOf(r: DataSourceV2Relation): Option[(Seq[String], Seq[String])] =
+    r.table match {
+      case g: GraftSparkTable if g.gt.schema.primaryKeys.isEmpty =>
+        g.gt.schema.options.get("upsert-key").map { uk =>
+          (uk.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+            g.gt.schema.sequenceField.toSeq)
+        }.filter(_._1.nonEmpty)
+      case _ => None
+    }
+
+  private def out(atts: Seq[Attribute], name: String): Attribute =
+    atts.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(s"upsert-key column $name not found"))
+
+  /** newest row per key from the incoming batch: without this, one
+    * batch holding several versions of a key would raise MERGE's
+    * cardinality error (multiple source rows match one target row) */
+  private def dedupBySequence(
+      source: LogicalPlan, keys: Seq[String], seqFields: Seq[String]): LogicalPlan = {
+    val spec = WindowSpecDefinition(
+      keys.map(out(source.output, _)),
+      seqFields.map(s => SortOrder(out(source.output, s), Descending)),
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))
+    val rn = Alias(WindowExpression(RowNumber(), spec), "__graft_rn")()
+    val withRn = Project(source.output :+ rn, source)
+    Project(source.output,
+      Filter(EqualTo(rn.toAttribute, Literal(1)), withRn))
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case a @ AppendData(r: DataSourceV2Relation, _, _, _, _, _)
+        if a.resolved && upsertOf(r).isDefined =>
+      val (keys, seqFields) = upsertOf(r).get
+      val source =
+        if (seqFields.nonEmpty) dedupBySequence(a.query, keys, seqFields)
+        else a.query
+      val cond = keys.map(k =>
+        EqualNullSafe(out(r.output, k), out(source.output, k))).reduce[Expression](And)
+      val updateCond =
+        if (seqFields.isEmpty) None
+        else Some(seqFields.map(s => LessThanOrEqual(
+          out(r.output, s), out(source.output, s))).reduce[Expression](And))
+      val assignments = r.output.zip(source.output).map { case (t, s2) =>
+        Assignment(t, s2)
+      }
+      MergeIntoTable(r, source, cond,
+        matchedActions = Seq(UpdateAction(updateCond, assignments)),
+        notMatchedActions = Seq(InsertAction(None, assignments)),
+        notMatchedBySourceActions = Seq.empty,
+        withSchemaEvolution = false)
   }
 }
 

@@ -5485,6 +5485,16 @@ object GraftTable {
       require(ts.postponeBucketNum > 0,
         "postpone.default-bucket-num must be positive")
     }
+    // upsert-key (reference: CoreOptions.UPSERT_KEY +
+    // SchemaValidation.java:101-108): INSERT INTO rewrites to MERGE on
+    // this key — append tables only, columns must exist
+    options.get("upsert-key").foreach { uk =>
+      require(primaryKeys.isEmpty,
+        s"cannot define 'upsert-key' ($uk) with 'primary-key' ($primaryKeys)")
+      val cols = uk.split(",").map(_.trim).filter(_.nonEmpty)
+      require(cols.nonEmpty && cols.forall(c => schema.fields.exists(_.name == c)),
+        s"upsert-key columns must exist in the schema: $uk")
+    }
     if (ts.fileFormat == "lance") warnLanceInterop(path)
     sm.writeSchema(ts)
     new GraftTable(spark, path, sm)

@@ -219,4 +219,33 @@ class ViewSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(graft.sources.GraftViews.load(warehouse, ident)
       .properties().get("dialect.flink") == null)
   }
+
+  test("upsert-key: INSERT INTO an append table merges on the key, " +
+    "sequence.field guards stale updates and dedups the batch") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.updb")
+    spark.sql(
+      """CREATE TABLE graft.updb.t (id BIGINT, v STRING, seq BIGINT)
+        |TBLPROPERTIES ('upsert-key'='id', 'sequence.field'='seq')""".stripMargin)
+    spark.sql("INSERT INTO graft.updb.t VALUES (1,'a',1),(2,'b',1)")
+    // update id=1 (newer seq), insert id=3; id=2 untouched
+    spark.sql("INSERT INTO graft.updb.t VALUES (1,'a2',2),(3,'c',1)")
+    val got = spark.sql("SELECT id, v FROM graft.updb.t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a2"), (2L, "b"), (3L, "c")), got.toString)
+    // a STALE row (older seq) never clobbers the stored newer one
+    spark.sql("INSERT INTO graft.updb.t VALUES (1,'old',1)")
+    assert(spark.sql("SELECT v FROM graft.updb.t WHERE id=1").head.getString(0) == "a2")
+    // one batch with several versions of a key dedups to the newest
+    spark.sql("INSERT INTO graft.updb.t VALUES (4,'x',1),(4,'y',3),(4,'z',2)")
+    assert(spark.sql("SELECT v FROM graft.updb.t WHERE id=4").head.getString(0) == "y")
+    // exactly one row per key survives throughout
+    assert(spark.sql("SELECT count(*) FROM graft.updb.t").head.getLong(0) == 4L)
+    // defining upsert-key WITH a primary key is rejected like the reference
+    val err = intercept[Exception] {
+      spark.sql(
+        """CREATE TABLE graft.updb.bad (id BIGINT, v STRING)
+          |TBLPROPERTIES ('primary-key'='id', 'upsert-key'='id')""".stripMargin)
+    }
+    assert(err.getMessage.contains("upsert-key"), err.getMessage)
+  }
 }
