@@ -377,6 +377,36 @@ object HmsBridge {
     * and drop-partition paths (reference: the metastore client's
     * dropPartition callback from PartitionExpire). Partition values
     * must be COMPLETE specs (every partition key present). */
+  /** `partition.mark-done-action=done-partition` (reference:
+    * AddDonePartitionAction.java:43): register a companion partition
+    * whose LAST value carries a `.done` suffix — downstream schedulers
+    * watching the metastore see completion as a partition, no
+    * filesystem polling. No-op for tables without HMS sync coords. */
+  def addDonePartition(gt: GraftTable, values: Seq[String]): Unit = {
+    val sch = gt.schema
+    val (opts, db, name) = coordsOf(sch).getOrElse(return)
+    require(values.nonEmpty, "empty partition values")
+    val doneValues = values.dropRight(1) :+ (values.last + ".done")
+    withClient(opts) { c =>
+      c.add_partitions(
+        Seq(mkPartition(gt, sch, db, name, doneValues)).asJava,
+        /*ifNotExists=*/ true, /*needResults=*/ false)
+    }
+  }
+
+  /** `partition.mark-done-action=mark-event` (reference:
+    * MarkPartitionDoneEventAction.java:40 → markDonePartitions): fire
+    * the metastore's LOAD_DONE partition event, the signal Hive's own
+    * `ALTER TABLE .. TOUCH`-style waiters poll. */
+  def markPartitionDoneEvent(gt: GraftTable, spec: Map[String, String]): Unit = {
+    val sch = gt.schema
+    val (opts, db, name) = coordsOf(sch).getOrElse(return)
+    withClient(opts) { c =>
+      c.markPartitionForEvent(db, name, spec.asJava,
+        org.apache.hadoop.hive.metastore.api.PartitionEventType.LOAD_DONE)
+    }
+  }
+
   def dropHmsPartitions(gt: GraftTable, parts: Seq[Map[String, String]]): Unit = {
     val sch = gt.schema
     val (opts, db, name) = coordsOf(sch).getOrElse(return)

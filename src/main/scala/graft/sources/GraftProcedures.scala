@@ -158,20 +158,13 @@ object GraftProcedures {
         if (marked.isEmpty) "no idle partitions"
         else s"marked ${marked.size} partition(s) done"
       }),
-    // downstream-scheduler signal: success-file marker in the partition
-    // directory (reference: MarkPartitionDoneProcedure,
-    // partition.mark-done-action=success-file).
+    // downstream-scheduler signal (reference: MarkPartitionDoneProcedure
+    // + partition.mark-done-action — success-file | done-partition |
+    // mark-event | http-report | custom, all fired per partition).
     "mark_partition_done" -> (Seq(p("table", StringType), p("partition", StringType)),
       (t, args) => {
         val part = args.getUTF8String(1).toString
-        // the partition value is caller-supplied: normalize and refuse
-        // anything that escapes the table's data directory ("../../x")
-        val dataRoot = java.nio.file.Paths.get(s"${t.path}/data").normalize()
-        val dir = java.nio.file.Paths.get(s"${t.path}/data/$part").normalize()
-        require(dir.startsWith(dataRoot) && dir != dataRoot,
-          s"partition '$part' resolves outside the table's data directory")
-        java.nio.file.Files.createDirectories(dir)
-        java.nio.file.Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
+        MarkDoneActions.fire(t, part)
         "ok"
       }),
     // reset the table to empty (branches/tags/consumers/changelogs

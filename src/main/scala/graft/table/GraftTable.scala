@@ -3649,6 +3649,10 @@ final class GraftTable private (
       else {
         Files.createDirectories(marker.getParent)
         Files.write(marker, Array.empty[Byte])
+        // the configured non-file actions (done-partition / mark-event /
+        // http-report / custom) fire the same downstream signal
+        graft.sources.MarkDoneActions.fireNonFile(this,
+          sch.partitionKeys.map(k => s"$k=${p.getOrElse(k, "")}").mkString("/"))
         Some(p)
       }
     }

@@ -335,4 +335,71 @@ class HmsCatalogSpec extends AnyFunSuite {
       s"CALL hcat.sys.register_table('extdb.ext_p', '$ext2')").head.getString(0)
     assert(msg2.contains("already registered"), msg2)
   }
+
+  test("mark-done actions: done-partition registers the .done HMS partition, " +
+    "mark-event fires LOAD_DONE, http-report posts and requires SUCCESS") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS hcat.md")
+    spark.sql("""CREATE TABLE hcat.md.t (k BIGINT, dt STRING)
+                |PARTITIONED BY (dt)
+                |TBLPROPERTIES ('metastore.partitioned-table'='true',
+                |  'partition.mark-done-action'='success-file,done-partition,mark-event')""".stripMargin)
+    spark.sql("INSERT INTO hcat.md.t VALUES (1, '2024-01-01')")
+    spark.sql("CALL hcat.sys.mark_partition_done('md.t', 'dt=2024-01-01')")
+    val c = HmsBridge.client(hmsOpts)
+    try {
+      val parts = c.listPartitions("md", "t", Short.MaxValue)
+        .asScala.map(_.getValues.asScala.head).sorted
+      assert(parts.contains("2024-01-01.done"), parts.toString)
+      assert(c.isPartitionMarkedForEvent("md", "t",
+        Map("dt" -> "2024-01-01").asJava,
+        org.apache.hadoop.hive.metastore.api.PartitionEventType.LOAD_DONE))
+    } finally c.close()
+    // the _SUCCESS marker landed too (success-file listed first)
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"$wh/md/t/data/dt=2024-01-01/_SUCCESS")))
+
+    // http-report: a local endpoint accepts, records the body, answers
+    // SUCCESS; a FAILED answer must raise
+    @volatile var seen: String = null
+    @volatile var answer = """{"result":"SUCCESS"}"""
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/done", (x: com.sun.net.httpserver.HttpExchange) => {
+      seen = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+      val out = answer.getBytes("UTF-8")
+      x.sendResponseHeaders(200, out.length)
+      x.getResponseBody.write(out)
+      x.close()
+    })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/done"
+      spark.sql(s"""CREATE TABLE hcat.md.h (k BIGINT, dt STRING)
+                   |PARTITIONED BY (dt)
+                   |TBLPROPERTIES ('partition.mark-done-action'='http-report',
+                   |  'partition.mark-done-action.http.url'='$url',
+                   |  'partition.mark-done-action.http.params'='team=data')""".stripMargin)
+      spark.sql("INSERT INTO hcat.md.h VALUES (1, '2024-02-02')")
+      spark.sql("CALL hcat.sys.mark_partition_done('md.h', 'dt=2024-02-02')")
+      assert(seen != null && seen.contains("2024-02-02") &&
+        seen.contains("team=data"), seen)
+      answer = """{"result":"FAILED"}"""
+      val err = intercept[Exception] {
+        spark.sql("CALL hcat.sys.mark_partition_done('md.h', 'dt=2024-02-02')")
+      }
+      assert(err.getMessage.contains("http-report") ||
+        Option(err.getCause).exists(_.getMessage.contains("http-report")), err.toString)
+    } finally server.stop(0)
+
+    // unknown action fails loudly, never a silent skip
+    spark.sql("""CREATE TABLE hcat.md.bad (k BIGINT, dt STRING)
+                |PARTITIONED BY (dt)
+                |TBLPROPERTIES ('partition.mark-done-action'='carrier-pigeon')""".stripMargin)
+    val bad = intercept[Exception] {
+      spark.sql("CALL hcat.sys.mark_partition_done('md.bad', 'dt=x')")
+    }
+    assert(bad.getMessage.contains("carrier-pigeon") ||
+      Option(bad.getCause).exists(_.getMessage.contains("carrier-pigeon")), bad.toString)
+  }
 }
