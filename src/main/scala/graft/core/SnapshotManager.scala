@@ -679,6 +679,15 @@ final class SnapshotManager(
     io.writeString(s"$tablePath/branch/$name/snapshot/LATEST", fromSnapshot.toString)
   }
 
+  /** An EMPTY branch — schema shared with main, no snapshots yet (the
+    * reference's plain create_branch without a tag): the marker makes
+    * the branch listable before its first commit. */
+  def createEmptyBranch(name: String): Unit = {
+    require(branch.isEmpty, "branches fork from main")
+    require(!branches.contains(name), s"branch $name already exists")
+    io.writeString(s"$tablePath/branch/$name/snapshot/.branch", "")
+  }
+
   def deleteBranch(name: String): Unit = {
     val dir = java.nio.file.Paths.get(s"$tablePath/branch/$name")
     if (java.nio.file.Files.exists(dir)) {

@@ -1772,5 +1772,56 @@ object Storage {
                  |WHERE c_custkey % 8 = 0""".stripMargin)
         s2.sql("SELECT c_custkey, name FROM g70.gate.cust")
       }
+    },
+
+    // ---- chain table (reference: ChainGroupReadTable + chain-table
+    // .enabled): a SNAPSHOT branch holds the d1 full state, a DELTA
+    // branch holds d2/d3 increments; the chain read serves d1 as-is
+    // and reconstructs d2 = base+d2, d3 = base+d2+d3 — each the
+    // newest-per-key fold the oracle recomputes with windows.
+    QDef(
+      "g71_chain_table",
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS v, 1 AS seq
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |d2 AS (
+        |  SELECT o_orderkey AS k, o_orderpriority AS v, 2 AS seq
+        |  FROM orders WHERE o_orderkey % 5 = 0),
+        |d3 AS (
+        |  SELECT o_orderkey AS k, CAST(o_orderdate AS VARCHAR) AS v, 3 AS seq
+        |  FROM orders WHERE o_orderkey % 7 = 0)
+        |SELECT 'd1' AS dt, k, v FROM base
+        |UNION ALL
+        |SELECT 'd2' AS dt, k, v FROM (
+        |  SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM d2)) WHERE rn = 1
+        |UNION ALL
+        |SELECT 'd3' AS dt, k, v FROM (
+        |  SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM (SELECT * FROM base UNION ALL SELECT * FROM d2
+        |        UNION ALL SELECT * FROM d3)) WHERE rn = 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val orders = tbl(s, dir, "orders")
+      def slice(mod: Int, v: org.apache.spark.sql.Column, seq: Long, dt: String) = orders
+        .filter(col("o_orderkey") % mod === 0)
+        .select(lit(dt).as("dt"), col("o_orderkey").as("k"),
+          v.as("v"), lit(seq).as("seq"))
+      val t = GraftTable.create(s, scratch("g71"), StructType(Seq(
+        StructField("dt", StringType, nullable = false),
+        StructField("k", LongType, nullable = false),
+        StructField("v", StringType, nullable = true),
+        StructField("seq", LongType, nullable = true))),
+        partitionKeys = Seq("dt"), primaryKeys = Seq("dt", "k"),
+        options = Map(
+          "sequence.field" -> "seq",
+          "chain-table.enabled" -> "true",
+          "scan.fallback-snapshot-branch" -> "snap",
+          "scan.fallback-delta-branch" -> "delta"))
+      val snap = t.createBranch("snap")
+      val delta = t.createBranch("delta")
+      snap.write(slice(3, col("o_orderstatus"), 1L, "d1"))
+      delta.write(slice(5, col("o_orderpriority"), 2L, "d2"))
+      delta.write(slice(7, col("o_orderdate").cast("string"), 3L, "d3"))
+      t.read.select(col("dt"), col("k"), col("v"))
     })
 }

@@ -1772,7 +1772,9 @@ final class GraftTable private (
   }
 
   /** Latest-snapshot merged read. */
-  def read: DataFrame =
+  def read: DataFrame = {
+    if (schema.options.get("chain-table.enabled").contains("true"))
+      return chainRead
     sm.latestSnapshotId
       .map(i => mergedFromEntries(withFallbackEntries(sm.liveEntries(sm.snapshot(i)))))
       .getOrElse {
@@ -1781,6 +1783,115 @@ final class GraftTable private (
           mergedFromEntries(withFallbackEntries(Seq.empty))
         else emptyDf()
       }
+  }
+
+  /** Chain-table batch read (reference: ChainGroupReadTable.java:63 +
+    * ChainTableUtils — the lambda-architecture composition of a
+    * SNAPSHOT branch holding periodic full-state partitions and a
+    * DELTA branch holding continuous increments):
+    *
+    *  - a partition present on the snapshot branch serves as-is;
+    *  - a delta-branch partition `p` absent there RECONSTRUCTS as the
+    *    latest snapshot partition `p0 < p` (typed partition order, not
+    *    directory strings) merged with every delta partition in
+    *    `(p0, p]` — all rows re-labeled to `p`, exactly as the
+    *    reference's ChainSplit serves base files under the requested
+    *    partition. With no earlier snapshot, every delta `<= p` chains.
+    *
+    * The MAIN branch's own data is not consulted — the reference
+    * composes the two branches directly. Merge ordering is the table's
+    * own (sequence.field when set — recommended: cross-branch
+    * `_graft_seq` counters are only comparable when the snapshot job
+    * preserves them). Scale shape: one merge subtree per reconstructed
+    * partition, like the reference's per-group ChainSplits — the
+    * snapshot job's cadence bounds how many deltas each chain spans. */
+  def chainRead: DataFrame = {
+    val sch = schema
+    require(isPrimaryKeyTable, "chain tables are primary-key tables")
+    require(sch.partitionKeys.nonEmpty, "chain tables are partitioned")
+    val sb = sch.options.getOrElse("scan.fallback-snapshot-branch",
+      throw new IllegalArgumentException(
+        "chain-table.enabled needs scan.fallback-snapshot-branch"))
+    val dbr = sch.options.getOrElse("scan.fallback-delta-branch",
+      throw new IllegalArgumentException(
+        "chain-table.enabled needs scan.fallback-delta-branch"))
+    require(branches.contains(sb), s"no branch $sb")
+    require(branches.contains(dbr), s"no branch $dbr")
+    val snapT = branchTable(sb)
+    val deltaT = branchTable(dbr)
+    val pk = sch.partitionKeys
+    val types = pk.map(k => sparkTypeOf(sch.fields.find(_.name == k).get.dataType))
+    val ords = types.map(t =>
+      org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(t))
+    def decode(p: Map[String, String]): Option[Seq[Any]] = {
+      val vs = pk.zip(types).map { case (k, dt) =>
+        try graft.sources.GraftScanUtil.partitionValue(p.getOrElse(k, null), dt)
+        catch { case _: Exception => null }
+      }
+      if (vs.contains(null)) None else Some(vs)
+    }
+    implicit val cmp: Ordering[Seq[Any]] = (a: Seq[Any], b: Seq[Any]) =>
+      a.lazyZip(b).lazyZip(ords).map { (x, y, o) =>
+        o.asInstanceOf[Ordering[Any]].compare(x, y)
+      }.find(_ != 0).getOrElse(0)
+    val snapEntries = snapT.sm.latestSnapshot()
+      .map(snapT.sm.liveEntries).getOrElse(Seq.empty)
+    val deltaEntries = deltaT.sm.latestSnapshot()
+      .map(deltaT.sm.liveEntries).getOrElse(Seq.empty)
+    val complete = snapEntries.map(_.partition).toSet
+    val snapSorted = complete.toSeq.flatMap(p => decode(p).map(p -> _)).sortBy(_._2)
+    def relabel(df: DataFrame, p: Map[String, String]): DataFrame =
+      pk.zip(types).foldLeft(df) { case (d, (k, dt)) =>
+        val raw = p.get(k).map(
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName)
+          .filterNot(_ == org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
+        d.withColumn(k, raw.map(lit(_).cast(dt)).getOrElse(lit(null).cast(dt)))
+      }
+    val outCols = struct.fieldNames.map(col).toIndexedSeq
+    def mergedPiece(raws: Seq[DataFrame]): Option[DataFrame] =
+      raws.filter(_ != null).reduceOption(_ unionByName _)
+        .map(r => MergeEngine.merge(r, sch).select(outCols: _*))
+    // piece 1: the snapshot branch's partitions, served as-is
+    val asIs = mergedPiece(
+      if (snapEntries.isEmpty) Seq.empty
+      else Seq(snapT.readRaw(snapT.visibleEntries(snapEntries))))
+    // piece 2: one chain group per delta-only partition — latest
+    // earlier snapshot partition as the base, every delta in (p0, p]
+    // on top, all rows re-labeled to p before the merge
+    val chainedPieces: Seq[DataFrame] = deltaEntries.map(_.partition).distinct
+      .filterNot(complete)
+      .flatMap { p =>
+        val (baseEntries, dEntries) = decode(p) match {
+          case None =>
+            // undecodable (null/debris) partition: serves itself only
+            (Seq.empty[ManifestEntry], deltaEntries.filter(_.partition == p))
+          case Some(pv) =>
+            val base = snapSorted.takeWhile { case (_, v) => cmp.compare(v, pv) < 0 }
+              .lastOption.map(_._1)
+            val baseV = base.flatMap(decode)
+            val ds = deltaEntries.filter { e =>
+              decode(e.partition) match {
+                case Some(ev) => cmp.compare(ev, pv) <= 0 &&
+                  baseV.forall(bv => cmp.compare(ev, bv) > 0)
+                case None => e.partition == p
+              }
+            }
+            (base.toSeq.flatMap(b => snapEntries.filter(_.partition == b)), ds)
+        }
+        val raws = Seq(
+          if (baseEntries.nonEmpty)
+            snapT.readRaw(snapT.visibleEntries(baseEntries)) else null,
+          if (dEntries.nonEmpty)
+            deltaT.readRaw(deltaT.visibleEntries(dEntries)) else null)
+          .filter(_ != null)
+          .map(relabel(_, p))
+        mergedPiece(raws)
+      }
+    (asIs.toSeq ++ chainedPieces)
+      .reduceOption(_ unionByName _)
+      .getOrElse(emptyDf())
+  }
 
   /** Blob columns WITHOUT payload fetch: the physical descriptor
     * structs (inline, file, length, hash) — metadata-only queries over
@@ -4135,11 +4246,15 @@ final class GraftTable private (
   // ================= branches =================
 
   /** Fork a branch (default: at the latest snapshot) and return a
-    * handle writing/reading that branch (reference: create_branch). */
+    * handle writing/reading that branch (reference: create_branch). An
+    * EMPTY table forks an empty, schema-only branch — the reference's
+    * create_branch without a tag; chain-table setups branch before any
+    * main-branch data exists. */
   def createBranch(name: String, fromSnapshot: Option[Long] = None): GraftTable = {
-    val id = fromSnapshot.orElse(sm.latestSnapshotId).getOrElse(
-      throw new IllegalStateException("empty table cannot be branched"))
-    sm.createBranch(name, id)
+    fromSnapshot.orElse(sm.latestSnapshotId) match {
+      case Some(id) => sm.createBranch(name, id)
+      case None => sm.createEmptyBranch(name)
+    }
     branchTable(name)
   }
 

@@ -112,4 +112,51 @@ class BranchSpec extends AnyFunSuite {
     assert(t.branchTable("keepme").read.collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
   }
+
+  test("chain table: snapshot-branch partitions serve as-is, delta-only " +
+    "partitions reconstruct from the latest earlier snapshot + chained deltas") {
+    val csch = StructType(Seq(
+      StructField("dt", StringType, nullable = false),
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true),
+      StructField("seq", LongType, nullable = true)))
+    def cdf(rows: (String, Long, String, Long)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3, r._4)).asJava, csch)
+    val t = GraftTable.create(spark, tmp(), csch,
+      partitionKeys = Seq("dt"), primaryKeys = Seq("dt", "k"),
+      options = Map(
+        "sequence.field" -> "seq",
+        "chain-table.enabled" -> "true",
+        "scan.fallback-snapshot-branch" -> "snap",
+        "scan.fallback-delta-branch" -> "delta"))
+    val snap = t.createBranch("snap")
+    val delta = t.createBranch("delta")
+    // day 1 full state on the snapshot branch
+    snap.write(cdf(("d1", 1L, "a", 1L), ("d1", 2L, "b", 1L)))
+    // day 2 delta: update k=1, insert k=3
+    delta.write(cdf(("d2", 1L, "a2", 2L), ("d2", 3L, "c", 2L)))
+    // day 3 delta: delete k=2, insert k=4
+    delta.writeKinded(cdf(("d3", 2L, "b", 3L)).withColumn(
+      graft.core.Meta.KindCol, lit(graft.core.Meta.KindDelete).cast("byte")))
+    delta.write(cdf(("d3", 4L, "d", 3L)))
+    val got = t.read.select("dt", "k", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val expected = Set(
+      // d1: snapshot branch as-is
+      ("d1", 1L, "a"), ("d1", 2L, "b"),
+      // d2 reconstructed: d1 base + d2 delta, rows re-labeled d2
+      ("d2", 1L, "a2"), ("d2", 2L, "b"), ("d2", 3L, "c"),
+      // d3 reconstructed: d1 base + d2 + d3 deltas (k=2 deleted)
+      ("d3", 1L, "a2"), ("d3", 3L, "c"), ("d3", 4L, "d"))
+    assert(got == expected, s"got $got")
+    // a NEW snapshot partition takes over: d2 published to snap branch
+    snap.write(cdf(("d2", 1L, "a2" , 5L), ("d2", 3L, "c", 5L)))
+    val got2 = t.read.filter(col("dt") === "d3").select("k", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // d3 now chains from snapshot d2 (k=2 never resurfaces, base is d2)
+    assert(got2 == Set((1L, "a2"), (3L, "c"), (4L, "d")), s"got2 $got2")
+    // d2 itself now serves as-is from the snapshot branch
+    val got3 = t.read.filter(col("dt") === "d2").count()
+    assert(got3 == 2L)
+  }
 }
