@@ -562,11 +562,22 @@ final class SnapshotManager(
     val consumerGuard = minConsumerOffset
     val (drop, keep) = {
       val (d0, k0) = ids.splitAt(ids.size - retain)
-      consumerGuard match {
+      val (d1, k1) = consumerGuard match {
         case Some(off) =>
           val (d, guarded) = d0.partition(_ <= off)
           (d, guarded ++ k0)
         case None => (d0, k0)
+      }
+      // snapshot.expire.limit (reference: CoreOptions SNAPSHOT_EXPIRE_LIMIT):
+      // bound one expire pass — a long-idle table with a deep backlog
+      // otherwise walks its whole history in a single commit-coupled
+      // call (oldest drop first, the rest expire on later passes)
+      latestSchema().flatMap(_.options.get("snapshot.expire.limit"))
+        .map(_.toInt).filter(_ > 0) match {
+        case Some(lim) if d1.size > lim =>
+          val (d, deferred) = d1.splitAt(lim)
+          (d, deferred ++ k1)
+        case _ => (d1, k1)
       }
     }
     if (drop.isEmpty) return Seq.empty

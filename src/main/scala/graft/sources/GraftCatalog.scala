@@ -304,6 +304,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "aggregation_fields" => () => gt.systemAggregationFields
         case "row_tracking" => () => gt.systemRowTracking
         case "compact_buckets" => () => gt.systemCompactBuckets()
+        case "file_monitor" => () => gt.systemFileMonitor
         case _ =>
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
       }

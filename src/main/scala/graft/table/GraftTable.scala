@@ -1809,6 +1809,11 @@ final class GraftTable private (
     val sch = schema
     require(isPrimaryKeyTable, "chain tables are primary-key tables")
     require(sch.partitionKeys.nonEmpty, "chain tables are partitioned")
+    // the reference merges per (partition, bucket) split; this merge is
+    // global, so the partition columns must be part of the key — with
+    // a disjoint key, rows of DIFFERENT partitions would collapse
+    require(sch.partitionKeys.forall(sch.primaryKeys.contains),
+      "chain tables need partition keys contained in the primary key")
     val sb = sch.options.getOrElse("scan.fallback-snapshot-branch",
       throw new IllegalArgumentException(
         "chain-table.enabled needs scan.fallback-snapshot-branch"))
@@ -1823,13 +1828,16 @@ final class GraftTable private (
     val types = pk.map(k => sparkTypeOf(sch.fields.find(_.name == k).get.dataType))
     val ords = types.map(t =>
       org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(t))
-    def decode(p: Map[String, String]): Option[Seq[Any]] = {
-      val vs = pk.zip(types).map { case (k, dt) =>
-        try graft.sources.GraftScanUtil.partitionValue(p.getOrElse(k, null), dt)
-        catch { case _: Exception => null }
-      }
-      if (vs.contains(null)) None else Some(vs)
-    }
+    val decodeCache =
+      scala.collection.mutable.HashMap.empty[Map[String, String], Option[Seq[Any]]]
+    def decode(p: Map[String, String]): Option[Seq[Any]] =
+      decodeCache.getOrElseUpdate(p, {
+        val vs = pk.zip(types).map { case (k, dt) =>
+          try graft.sources.GraftScanUtil.partitionValue(p.getOrElse(k, null), dt)
+          catch { case _: Exception => null }
+        }
+        if (vs.contains(null)) None else Some(vs)
+      })
     implicit val cmp: Ordering[Seq[Any]] = (a: Seq[Any], b: Seq[Any]) =>
       a.lazyZip(b).lazyZip(ords).map { (x, y, o) =>
         o.asInstanceOf[Ordering[Any]].compare(x, y)
@@ -5398,6 +5406,26 @@ final class GraftTable private (
       (p.map { case (k, v) => s"$k=$v" }.mkString("/"), b,
         es.size.toLong, es.size > trigger)
     }.toSeq.toDF("partition", "bucket", "file_count", "compaction_needed")
+  }
+
+  /** `t$file_monitor` (reference: table/system/FileMonitorTable.java:82
+    * — the per-snapshot file-change feed compact coordinators consume):
+    * one row per (snapshot, partition, bucket) with the files the
+    * commit removed (before) and added (data). Readable names instead
+    * of the reference's serialized row blobs — Spark consumers join on
+    * them directly. */
+  def systemFileMonitor: DataFrame = {
+    import spark.implicits._
+    val rows = sm.snapshotIds.map(sm.snapshot).flatMap { sn =>
+      sn.deltaManifest.toSeq.flatMap(sm.readManifest)
+        .groupBy(e => (e.partition, e.bucket))
+        .map { case ((p, b), es) =>
+          (sn.id, p.map { case (k, v) => s"$k=$v" }.mkString("/"), b,
+            es.filter(_.kind == "DELETE").map(_.file.fileName),
+            es.filter(_.kind == "ADD").map(_.file.fileName))
+        }
+    }
+    rows.toDF("snapshot_id", "partition", "bucket", "before_files", "data_files")
   }
 
   def systemIndexes: DataFrame = {

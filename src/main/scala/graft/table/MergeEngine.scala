@@ -390,7 +390,8 @@ object MergeEngine {
       case "last_value" => max_by(col(c), ord)
       case "last_non_null_value" => max_by(col(c), when(col(c).isNotNull, ord))
       case "first_value" => min_by(col(c), ord)
-      case "first_non_null_value" => min_by(col(c), when(col(c).isNotNull, ord))
+      case "first_non_null_value" | "first_not_null_value" => // legacy alias
+        min_by(col(c), when(col(c).isNotNull, ord))
       case "listagg" =>
         // concatenate in ordering-key order (stable across engines)
         array_join(transform(

@@ -348,6 +348,22 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.compactIfNeeded(trigger = 5).isEmpty)
   }
 
+  test("snapshot.expire.limit bounds one expire pass; later passes drain the rest") {
+    import scala.jdk.CollectionConverters._
+    val sch = StructType(Seq(StructField("k", LongType, nullable = false)))
+    val t = GraftTable.create(spark, tmp(), sch,
+      options = Map("snapshot.expire.limit" -> "2"))
+    def df(v: Long*) = spark.createDataFrame(v.map(Row(_)).asJava, sch)
+    (0 until 6).foreach(i => t.write(df(i.toLong)))
+    // 6 snapshots, retain 1 -> 5 to drop, capped at 2 per pass
+    assert(t.expireSnapshots(retain = 1).size == 2)
+    assert(t.sm.snapshotIds.size == 4)
+    assert(t.expireSnapshots(retain = 1).size == 2)
+    assert(t.expireSnapshots(retain = 1).size == 1)
+    assert(t.sm.snapshotIds.size == 1)
+    assert(t.read.count() == 6L) // data never affected
+  }
+
   test("expirePartitions drops old partitions metadata-only") {
     val sch = StructType(Seq(
       StructField("dt", StringType, nullable = false),

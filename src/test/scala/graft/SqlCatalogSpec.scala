@@ -1102,5 +1102,15 @@ class SqlCatalogSpec extends AnyFunSuite {
     val rt = spark.sql("SELECT k, _ROW_ID FROM graft.db21.`rt$row_tracking` ORDER BY k")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rt.map(_._2).distinct.length == 2 && rt.map(_._1).toSeq == Seq(10L, 20L))
+
+    // $file_monitor: per-snapshot file changes; the compaction snapshot
+    // shows the level-0 files as before_files and the merged file added
+    val fm = spark.sql(
+      """SELECT snapshot_id, size(before_files) AS nb, size(data_files) AS nd
+        |FROM graft.db21.`agg$file_monitor` ORDER BY snapshot_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(fm.length == 3, fm.mkString(","))
+    assert(fm(0) == ((0L, 0, 1)) && fm(1) == ((1L, 0, 1)), fm.mkString(","))
+    assert(fm(2)._2 == 2 && fm(2)._3 == 1, fm.mkString(",")) // compaction
   }
 }
