@@ -152,12 +152,19 @@ object GraftStreaming {
     * contract is that ALL changes (including an overwrite's net
     * effect) surface in the exact diff the next full compaction
     * persists — emitting overwriteChanges as well would double-emit. */
-  private def overwriteBatch(table: GraftTable, id: Long): Option[DataFrame] =
-    if (table.schema.options.get("streaming-read-overwrite").contains("false")) None
+  private def overwriteBatch(table: GraftTable, id: Long): Option[DataFrame] = {
+    val opts = table.schema.options
+    // append tables also honor the reference's separate key
+    // (CoreOptions STREAMING_READ_APPEND_OVERWRITE)
+    val off = opts.get("streaming-read-overwrite").contains("false") ||
+      (!table.isPrimaryKeyTable &&
+        opts.get("streaming-read-append-overwrite").contains("false"))
+    if (off) None
     else if (table.isPrimaryKeyTable) {
       if (table.schema.changelogProducer == "full-compaction") None
       else Some(table.overwriteChanges(id))
     } else Some(table.incrementalRead(id - 1, id))
+  }
 
   /** Startup modes for changelog consumption (reference: CoreOptions
     * scan modes — latest-full / latest / from-snapshot /

@@ -159,4 +159,44 @@ class BranchSpec extends AnyFunSuite {
     val got3 = t.read.filter(col("dt") === "d2").count()
     assert(got3 == 2L)
   }
+
+  test("chain table with multi-column INT partitions orders typed-lexicographic") {
+    val csch = StructType(Seq(
+      StructField("y", IntegerType, nullable = false),
+      StructField("m", IntegerType, nullable = false),
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true),
+      StructField("seq", LongType, nullable = true)))
+    def cdf(rows: (Int, Int, Long, String, Long)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2, r._3, r._4, r._5)).asJava, csch)
+    val t = GraftTable.create(spark, tmp(), csch,
+      partitionKeys = Seq("y", "m"), primaryKeys = Seq("y", "m", "k"),
+      options = Map(
+        "sequence.field" -> "seq",
+        "chain-table.enabled" -> "true",
+        "scan.fallback-snapshot-branch" -> "snap",
+        "scan.fallback-delta-branch" -> "delta"))
+    val snap = t.createBranch("snap")
+    val delta = t.createBranch("delta")
+    // snapshot at (2024, 9); deltas at (2024, 10) and (2024, 12)
+    // — string order would put (2024, 10) BEFORE (2024, 9)
+    snap.write(cdf((2024, 9, 1L, "a", 1L)))
+    delta.write(cdf((2024, 10, 1L, "a2", 2L), (2024, 10, 2L, "b", 2L)))
+    delta.write(cdf((2024, 12, 2L, "b2", 3L)))
+    val got = t.read.select("y", "m", "k", "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getString(3))).toSet
+    val expected = Set(
+      (2024, 9, 1L, "a"),
+      // (2024,10) chains from (2024,9): typed order, not "10" < "9"
+      (2024, 10, 1L, "a2"), (2024, 10, 2L, "b"),
+      (2024, 12, 1L, "a2"), (2024, 12, 2L, "b2"))
+    assert(got == expected, s"got $got")
+    // a disjoint-key chain table is rejected up front
+    val bad = GraftTable.create(spark, tmp(), csch,
+      partitionKeys = Seq("y", "m"), primaryKeys = Seq("y", "m", "k"),
+      options = Map("chain-table.enabled" -> "true",
+        "scan.fallback-snapshot-branch" -> "nope",
+        "scan.fallback-delta-branch" -> "nope2"))
+    assertThrows[IllegalArgumentException] { bad.read.count() } // missing branches
+  }
 }

@@ -240,6 +240,13 @@ class ViewSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     assert(spark.sql("SELECT v FROM graft.updb.t WHERE id=4").head.getString(0) == "y")
     // exactly one row per key survives throughout
     assert(spark.sql("SELECT count(*) FROM graft.updb.t").head.getLong(0) == 4L)
+    // the DataFrame writeTo (by-name) path rewrites identically
+    spark.sql("SELECT CAST(5 AS BIGINT) AS id, 'w' AS v, CAST(9 AS BIGINT) AS seq")
+      .writeTo("graft.updb.t").append()
+    spark.sql("SELECT CAST(5 AS BIGINT) AS id, 'stale' AS v, CAST(1 AS BIGINT) AS seq")
+      .writeTo("graft.updb.t").append()
+    assert(spark.sql("SELECT v FROM graft.updb.t WHERE id=5").head.getString(0) == "w")
+    assert(spark.sql("SELECT count(*) FROM graft.updb.t WHERE id=5").head.getLong(0) == 1L)
     // defining upsert-key WITH a primary key is rejected like the reference
     val err = intercept[Exception] {
       spark.sql(
