@@ -166,4 +166,38 @@ class StatsFilterPropSpec extends AnyFunSuite {
     assert(StatsFilter.mightMatch(IsNull(attr), unkFile, sch))
     assert(!StatsFilter.mightMatch(IsNull(attr), fileOf(Seq(1L, 2L)), sch))
   }
+
+  test("StatsModes.truncateMin/Max: randomized bound soundness in UTF-8 byte order") {
+    import graft.core.StatsModes
+    def u8cmp(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .binaryCompare(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    val rnd = new scala.util.Random(20260815L)
+    // alphabet spanning ASCII, BMP boundaries, max-BMP, supplementary
+    val alphabet: Array[Int] = Array(
+      'a'.toInt, 'z'.toInt, '0'.toInt, 0x7F, 0x80, 0x7FF, 0x800,
+      0xD7FF, 0xE000, 0xFFFD, 0xFFFF, 0x10000, 0x1F600, 0x10FFFF)
+    def randString(): String = {
+      val n = 1 + rnd.nextInt(8)
+      val sb = new java.lang.StringBuilder
+      (0 until n).foreach(_ => sb.appendCodePoint(alphabet(rnd.nextInt(alphabet.length))))
+      sb.toString
+    }
+    (0 until 3000).foreach { _ =>
+      val s0 = randString()
+      val n = 1 + rnd.nextInt(6)
+      val mn = StatsModes.truncateMin(s0, n)
+      // lower bound: truncated min <= original
+      assert(u8cmp(mn, s0) <= 0, s"min bound broke: '$mn' > '$s0'")
+      StatsModes.truncateMax(s0, n).foreach { mx =>
+        // upper bound: original <= truncated-rounded max
+        assert(u8cmp(s0, mx) <= 0, s"max bound broke: '$s0' > '$mx'")
+        // and EVERY string extending the n-point prefix stays under it
+        val ext = StatsModes.truncateMin(s0, n) + randString()
+        assert(u8cmp(ext, mx) < 0 || u8cmp(ext, s0) <= 0 ||
+          s0.codePointCount(0, s0.length) <= n,
+          s"prefix extension escaped the bound: '$ext' >= '$mx'")
+      }
+    }
+  }
 }
