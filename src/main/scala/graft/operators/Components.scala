@@ -77,6 +77,14 @@ object Components {
       iter += 1
     }
     edges.unpersist()
+    // no silent caps: an unconverged run means components are still
+    // SPLIT — a dedup keyed on them under-merges. With pointer jumping
+    // 25 rounds cover chain diameters ~2^25, so this fires only on
+    // truly pathological graphs (or a too-small maxIter override).
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger("graft.Components").warn(
+        s"connectedComponents stopped at maxIter=$maxIter with $changed " +
+          "labels still moving — components may be split; raise maxIter")
     labels
   }
 

@@ -1823,5 +1823,41 @@ object Storage {
       delta.write(slice(5, col("o_orderpriority"), 2L, "d2"))
       delta.write(slice(7, col("o_orderdate").cast("string"), 3L, "d3"))
       t.read.select(col("dt"), col("k"), col("v"))
+    },
+
+    // ---- materialized table (reference: CoreOptions
+    // materialized-table.* — definition query stored as table metadata,
+    // refreshed here by CALL sys.refresh_materialized_table): the gate
+    // refreshes, mutates the source, refreshes AGAIN, and the oracle
+    // recomputes the definition over the final source state — a stale
+    // or dynamic-partial refresh shows as a row diff.
+    QDef(
+      "g72_materialized_table",
+      """SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS bal
+        |FROM customer WHERE c_custkey % 2 = 0
+        |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val wh = Files.createTempDirectory("graft-g72-wh").toString
+      s.conf.set("spark.sql.catalog.g72", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g72.warehouse", wh)
+      tbl(s, dir, "customer").createOrReplaceTempView("g72_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS g72.gate")
+      s.sql("CREATE TABLE g72.gate.cust (c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)")
+      // first slice + refresh, then the rest + refresh: the result must
+      // reflect the SECOND state only (full replacement)
+      s.sql("""CREATE TABLE g72.gate.seg (seg STRING, n BIGINT, bal DOUBLE)
+              |TBLPROPERTIES ('materialized-table.definition-query'=
+              |  'SELECT c_mktsegment AS seg, COUNT(*) AS n,
+              |   CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS bal
+              |   FROM g72.gate.cust GROUP BY c_mktsegment')""".stripMargin)
+      s.sql("""INSERT INTO g72.gate.cust
+              |SELECT c_custkey, c_mktsegment, c_acctbal FROM g72_src
+              |WHERE c_custkey % 4 = 0""".stripMargin)
+      s.sql("CALL g72.sys.refresh_materialized_table('gate.seg')")
+      s.sql("""INSERT INTO g72.gate.cust
+              |SELECT c_custkey, c_mktsegment, c_acctbal FROM g72_src
+              |WHERE c_custkey % 2 = 0 AND c_custkey % 4 <> 0""".stripMargin)
+      s.sql("CALL g72.sys.refresh_materialized_table('gate.seg')")
+      s.sql("SELECT seg, n, bal FROM g72.gate.seg")
     })
 }

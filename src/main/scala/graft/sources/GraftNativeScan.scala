@@ -262,7 +262,7 @@ class GraftBatchScan(
           .orElse(gt.schema.options.get("scan.plan-sort-partition"))
           .contains("true"))
         entries.sortBy(e =>
-          partitionSchema.fieldNames.map(e.partition.getOrElse(_, "")).mkString(" "))
+          partitionSchema.fieldNames.map(e.partition.getOrElse(_, "")).mkString("\u0000")) // NUL: unambiguous join
       else entries
     GraftScanUtil.filePartitions(spark, gt.path, planned, partitionSchema)
   }

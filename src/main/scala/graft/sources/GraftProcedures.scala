@@ -177,6 +177,34 @@ object GraftProcedures {
     "compact_manifest" -> (Seq(p("table", StringType)), (t, _) =>
       t.sm.compactManifests()
         .map(id => s"compacted manifests -> snapshot $id").getOrElse("no-op")),
+    // materialized tables (reference: CoreOptions materialized-table.*
+    // — the definition query is TABLE metadata; the reference's Flink
+    // runtime refreshes it, here the refresh is an explicit CALL):
+    // re-run the stored query and atomically OVERWRITE the content.
+    // Columns align BY NAME and cast to the declared types, so a
+    // definition returning extra/reordered columns still lands
+    // correctly and a missing column fails loudly.
+    "refresh_materialized_table" -> (Seq(p("table", StringType)), (t, _) => {
+      val q = t.schema.options.getOrElse("materialized-table.definition-query",
+        throw new IllegalArgumentException(
+          "not a materialized table: set materialized-table.definition-query"))
+      // a refresh is FULL: partitions the definition no longer produces
+      // must clear, which dynamic partition overwrite would leave stale
+      require(t.schema.partitionKeys.isEmpty ||
+        t.schema.options.get("dynamic-partition-overwrite").contains("false"),
+        "a partitioned materialized table needs " +
+          "dynamic-partition-overwrite=false for full refreshes")
+      val df = t.spark.sql(q)
+      val target = t.schema.toStruct
+      val missing = target.fieldNames.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"definition query lacks column(s): ${missing.mkString(", ")}")
+      val aligned = df.select(target.fields.toIndexedSeq.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+      val id = t.overwrite(aligned)
+      t.setOption("materialized-table.refresh-status", s"refreshed:snapshot-$id")
+      s"refreshed -> snapshot $id"
+    }),
     "reset_consumer" -> (Seq(
       p("table", StringType), p("consumer", StringType), p("next_snapshot", LongType)),
       (t, args) => {

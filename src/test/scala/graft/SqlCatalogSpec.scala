@@ -231,6 +231,42 @@ class SqlCatalogSpec extends AnyFunSuite {
       s"files not partition-clustered: ${dirs.mkString(", ")}")
   }
 
+  test("materialized table: refresh re-runs the stored definition, aligns " +
+    "by name, and fully replaces content") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mat")
+    spark.sql("CREATE TABLE graft.mat.src (k BIGINT, grp STRING, x DOUBLE)")
+    spark.sql("INSERT INTO graft.mat.src VALUES (1,'a',1.0),(2,'a',2.0),(3,'b',5.0)")
+    spark.sql(
+      """CREATE TABLE graft.mat.agg (grp STRING, total DOUBLE, n BIGINT)
+        |TBLPROPERTIES ('materialized-table.definition-query'=
+        |  'SELECT grp, count(*) AS n, sum(x) AS total FROM graft.mat.src GROUP BY grp')""".stripMargin)
+    assert(spark.sql("SELECT * FROM graft.mat.agg").count() == 0)
+    spark.sql("CALL graft.sys.refresh_materialized_table('mat.agg')")
+    val r1 = spark.sql("SELECT grp, total, n FROM graft.mat.agg ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(r1.toSeq == Seq(("a", 3.0, 2L), ("b", 5.0, 1L)), r1.mkString(","))
+    // the source changes; a second refresh fully replaces the content
+    spark.sql("INSERT INTO graft.mat.src VALUES (4,'c',7.0)")
+    spark.sql("DELETE FROM graft.mat.src WHERE grp = 'b'")
+    spark.sql("CALL graft.sys.refresh_materialized_table('mat.agg')")
+    val r2 = spark.sql("SELECT grp, total, n FROM graft.mat.agg ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(r2.toSeq == Seq(("a", 3.0, 2L), ("c", 7.0, 1L)), r2.mkString(","))
+    // refresh-status bookkeeping landed in the options
+    assert(spark.sql("SELECT value FROM graft.mat.`agg$options`")
+      .collect().exists(_.getString(0).startsWith("refreshed:snapshot-")))
+    // a definition missing a declared column fails loudly
+    spark.sql(
+      """CREATE TABLE graft.mat.bad (grp STRING, missing BIGINT)
+        |TBLPROPERTIES ('materialized-table.definition-query'=
+        |  'SELECT grp FROM graft.mat.src')""".stripMargin)
+    val err = intercept[Exception] {
+      spark.sql("CALL graft.sys.refresh_materialized_table('mat.bad')")
+    }
+    assert(err.getMessage.contains("missing") ||
+      Option(err.getCause).exists(_.getMessage.contains("missing")), err.toString)
+  }
+
   test("COUNT(*) / MIN / MAX answer from manifest stats via LocalScan") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db6")
     spark.sql("CREATE TABLE graft.db6.t (k BIGINT, v DOUBLE)")
