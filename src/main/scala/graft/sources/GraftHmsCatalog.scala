@@ -153,7 +153,19 @@ object HmsBridge {
     t.setOwner(System.getProperty("user.name", "graft"))
     t.setCreateTime((System.currentTimeMillis() / 1000).toInt)
     t.setSd(newSd(sch, gt.path))
-    t.setPartitionKeys(fieldSchemas(sch, sch.partitionKeys))
+    // metastore.tag-to-partition (reference: AddPartitionTagCallback +
+    // HiveCatalog tag-to-partition): an UNPARTITIONED table's tags
+    // surface as partitions of a synthetic string key, so Hive-side
+    // consumers address immutable tags with plain partition syntax
+    val tagField = sch.options.get("metastore.tag-to-partition")
+      .filter(_ => sch.partitionKeys.isEmpty)
+    tagField.foreach(f => require(!sch.fields.exists(_.name == f),
+      s"metastore.tag-to-partition field '$f' collides with a data column"))
+    t.setPartitionKeys(tagField match {
+      case Some(f) => java.util.Collections.singletonList(
+        new FieldSchema(f, "string", "graft tag-to-partition"))
+      case None => fieldSchemas(sch, sch.partitionKeys)
+    })
     val params = new java.util.HashMap[String, String]()
     params.put("EXTERNAL", "TRUE")
     params.put(TableTypeParam, TableTypeValue)
@@ -377,6 +389,39 @@ object HmsBridge {
     * and drop-partition paths (reference: the metastore client's
     * dropPartition callback from PartitionExpire). Partition values
     * must be COMPLETE specs (every partition key present). */
+  /** Mirror a tag's lifecycle as an HMS partition of the synthetic
+    * `metastore.tag-to-partition` key (reference:
+    * AddPartitionTagCallback.java:39/50). No-op without HMS coords or
+    * the option; applies to unpartitioned tables only (the synthetic
+    * key IS the partitioning). */
+  def mirrorTagPartition(gt: GraftTable, tag: String, created: Boolean): Unit = {
+    val sch = gt.schema
+    if (sch.partitionKeys.nonEmpty) return
+    if (!sch.options.contains("metastore.tag-to-partition")) return
+    val coords = for {
+      db <- sch.options.get("hms.database")
+      name <- sch.options.get("hms.table")
+    } yield (db, name)
+    val (db, name) = coords.getOrElse(return)
+    withClient(sch.options) { c =>
+      if (created) {
+        val p = new Partition()
+        p.setDbName(db)
+        p.setTableName(name)
+        p.setValues(java.util.Collections.singletonList(tag))
+        p.setCreateTime((System.currentTimeMillis() / 1000).toInt)
+        p.setSd(newSd(sch, s"${gt.path}/tag/$tag"))
+        p.setParameters(new java.util.HashMap[String, String]())
+        c.add_partitions(java.util.Collections.singletonList(p),
+          /*ifNotExists=*/ true, /*needResults=*/ false)
+      } else {
+        try c.dropPartition(db, name,
+          java.util.Collections.singletonList(tag), /*deleteData=*/ false)
+        catch { case _: org.apache.hadoop.hive.metastore.api.NoSuchObjectException => () }
+      }
+    }
+  }
+
   /** `partition.mark-done-action=done-partition` (reference:
     * AddDonePartitionAction.java:43): register a companion partition
     * whose LAST value carries a `.done` suffix — downstream schedulers

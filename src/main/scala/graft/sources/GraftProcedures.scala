@@ -68,7 +68,7 @@ object GraftProcedures {
     "create_tag" -> (Seq(p("table", StringType), p("tag", StringType)),
       (t, args) => { t.createTag(args.getUTF8String(1).toString); "ok" }),
     "delete_tag" -> (Seq(p("table", StringType), p("tag", StringType)),
-      (t, args) => { t.sm.deleteTag(args.getUTF8String(1).toString); "ok" }),
+      (t, args) => { t.deleteTag(args.getUTF8String(1).toString); "ok" }),
     "rollback" -> (Seq(p("table", StringType), p("snapshot", LongType)),
       (t, args) => s"dropped ${t.rollback(args.getLong(1)).size} snapshots"),
     "create_branch" -> (Seq(p("table", StringType), p("branch", StringType)),
@@ -234,6 +234,7 @@ object GraftProcedures {
           .getOrElse(throw new IllegalArgumentException(
             s"no snapshot at or before $ms"))
         t.sm.createTag(args.getUTF8String(1).toString, id)
+        t.notifyTag(args.getUTF8String(1).toString, created = true)
         s"tag -> snapshot $id"
       }),
     "expire_tags" -> (Seq(p("table", StringType), p("older_than_millis", LongType)),
@@ -243,7 +244,7 @@ object GraftProcedures {
           try t.sm.snapshot(sid).timeMillis < cutoff
           catch { case _: Exception => false }
         }
-        victims.keys.foreach(t.sm.deleteTag)
+        victims.keys.foreach(t.deleteTag)
         s"expired ${victims.size} tags"
       }),
     // global secondary index lifecycle (reference:

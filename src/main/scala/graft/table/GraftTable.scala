@@ -2352,15 +2352,38 @@ final class GraftTable private (
       .map(s => mergedFromEntries(sm.liveEntries(s), Some(s)))
       .getOrElse(emptyDf())
 
-  def createTag(name: String): Unit =
+  def createTag(name: String): Unit = {
     sm.createTag(name, sm.latestSnapshotId.getOrElse(
       throw new IllegalStateException("empty table cannot be tagged")))
+    notifyTag(name, created = true)
+  }
 
   /** Re-point an existing (or new) tag at `snapshotId`, latest when
     * absent (reference: ReplaceTagProcedure). */
-  def replaceTag(name: String, snapshotId: Option[Long] = None): Unit =
+  def replaceTag(name: String, snapshotId: Option[Long] = None): Unit = {
     sm.createTag(name, snapshotId.orElse(sm.latestSnapshotId).getOrElse(
       throw new IllegalStateException("empty table cannot be tagged")))
+    notifyTag(name, created = true)
+  }
+
+  def deleteTag(name: String): Unit = {
+    sm.deleteTag(name)
+    notifyTag(name, created = false)
+  }
+
+  /** Tag lifecycle mirror: `metastore.tag-to-partition` surfaces tags
+    * of an UNPARTITIONED HMS-registered table as partitions of a
+    * synthetic key (reference: AddPartitionTagCallback). Mirror
+    * failures log, never fail the tag operation — same posture as the
+    * commit-coupled partition sync. */
+  private[graft] def notifyTag(name: String, created: Boolean): Unit =
+    if (schema.options.contains("metastore.tag-to-partition"))
+      try graft.sources.HmsBridge.mirrorTagPartition(this, name, created)
+      catch {
+        case e: Exception =>
+          org.slf4j.LoggerFactory.getLogger("graft.GraftTable").warn(
+            s"tag-to-partition mirror failed for tag $name: $e")
+      }
 
   /** Automatic periodic tags (reference: tag/TagAutoCreation.java +
     * TagAutoManager + TriggerTagAutomaticCreationProcedure).
@@ -2450,6 +2473,7 @@ final class GraftTable private (
           val name = tagName(periodStart - periodMs)
           if (known.add(name)) {
             sm.createTag(name, snap.id)
+            notifyTag(name, created = true)
             created += name
           }
           nextBoundary = Some(periodStart + periodMs)
@@ -2459,7 +2483,8 @@ final class GraftTable private (
     retainMax.foreach { max =>
       val auto = sm.tags.keys.toSeq
         .flatMap(n => parseTag(n).map(n -> _)).sortBy(_._2)
-      auto.dropRight(max).foreach { case (n, _) => sm.deleteTag(n) }
+      auto.dropRight(max).foreach { case (n, _) =>
+        sm.deleteTag(n); notifyTag(n, created = false) }
     }
     created.toSeq
   }
@@ -3520,7 +3545,7 @@ final class GraftTable private (
     // would otherwise re-tag the just-cleared history, making the
     // expire below keep every "purged" file alive via taggedRefs
     branches.foreach(deleteBranch)
-    sm.tags.keys.foreach(sm.deleteTag)
+    sm.tags.keys.foreach(deleteTag)
     sm.io.list(sm.consumerDir)
       .filter(_.split('/').last.startsWith("consumer-"))
       .foreach(sm.io.delete)

@@ -402,4 +402,35 @@ class HmsCatalogSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("carrier-pigeon") ||
       Option(bad.getCause).exists(_.getMessage.contains("carrier-pigeon")), bad.toString)
   }
+
+  test("metastore.tag-to-partition mirrors tags as partitions of the synthetic key") {
+    registerCatalog()
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS hcat.t2p")
+    spark.sql("""CREATE TABLE hcat.t2p.t (k BIGINT, v STRING)
+                |TBLPROPERTIES ('metastore.tag-to-partition'='tag')""".stripMargin)
+    spark.sql("INSERT INTO hcat.t2p.t VALUES (1, 'a')")
+    val c = HmsBridge.client(hmsOpts)
+    try {
+      // the HMS entry carries the synthetic partition key
+      val t = c.getTable("t2p", "t")
+      assert(t.getPartitionKeys.asScala.map(_.getName).toSeq == Seq("tag"))
+      spark.sql("CALL hcat.sys.create_tag('t2p.t', 'v1')")
+      spark.sql("INSERT INTO hcat.t2p.t VALUES (2, 'b')")
+      spark.sql("CALL hcat.sys.create_tag('t2p.t', 'v2')")
+      val parts = c.listPartitions("t2p", "t", Short.MaxValue)
+        .asScala.map(_.getValues.asScala.head).sorted
+      assert(parts == Seq("v1", "v2"), parts.toString)
+      spark.sql("CALL hcat.sys.delete_tag('t2p.t', 'v1')")
+      val after = c.listPartitions("t2p", "t", Short.MaxValue)
+        .asScala.map(_.getValues.asScala.head)
+      assert(after == Seq("v2"), after.toString)
+    } finally c.close()
+    // colliding field name is rejected at CREATE
+    val err = intercept[Exception] {
+      spark.sql("""CREATE TABLE hcat.t2p.bad (k BIGINT, v STRING)
+                  |TBLPROPERTIES ('metastore.tag-to-partition'='v')""".stripMargin)
+    }
+    assert(err.getMessage.contains("collides") ||
+      Option(err.getCause).exists(_.getMessage.contains("collides")), err.toString)
+  }
 }
