@@ -107,6 +107,12 @@ final class GraftTable private (
     // (each new commit re-evaluates which partitions went quiet)
     if (schema.options.contains("partition.idle-time-to-done"))
       markIdlePartitionsDone()
+    // stale-consumer expiry (reference: CoreOptions
+    // CONSUMER_EXPIRATION_TIME → ConsumerManager.expire at commit):
+    // a consumer that stopped committing progress must eventually stop
+    // pinning snapshots, or retention can never reclaim them
+    if (schema.options.contains("consumer.expiration-time"))
+      expireStaleConsumers()
     // Hive Metastore partition sync (reference: the metastore client
     // callbacks behind `metastore.partitioned-table`) — the HMS
     // coordinates were stamped into the options by GraftHmsCatalog.
@@ -2351,6 +2357,25 @@ final class GraftTable private (
       // patches would break tag immutability
       .map(s => mergedFromEntries(sm.liveEntries(s), Some(s)))
       .getOrElse(emptyDf())
+
+  /** Delete consumer files whose progress has not moved within
+    * `consumer.expiration-time` (file mtime is the progress clock —
+    * every offset write refreshes it). Returns the expired ids. */
+  private[graft] def expireStaleConsumers(
+      now: Long = System.currentTimeMillis()): Seq[String] = {
+    val ttl = schema.options.get("consumer.expiration-time")
+      .map(GraftTable.parseDurationMillis).getOrElse(return Seq.empty)
+    val dir = Paths.get(s"$path/consumer")
+    if (!Files.isDirectory(dir)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("consumer-"))
+      .filter(p => Files.getLastModifiedTime(p).toMillis < now - ttl)
+      .map { p =>
+        Files.deleteIfExists(p)
+        p.getFileName.toString.stripPrefix("consumer-")
+      }.toSeq
+  }
 
   def createTag(name: String): Unit = {
     sm.createTag(name, sm.latestSnapshotId.getOrElse(

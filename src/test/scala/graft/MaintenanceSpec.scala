@@ -364,6 +364,25 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.read.count() == 6L) // data never affected
   }
 
+  test("consumer.expiration-time expires stale consumers at commit; fresh ones pinned") {
+    import scala.jdk.CollectionConverters._
+    val sch = StructType(Seq(StructField("k", LongType, nullable = false)))
+    val t = GraftTable.create(spark, tmp(), sch,
+      options = Map("consumer.expiration-time" -> "1 h"))
+    def df(v: Long*) = spark.createDataFrame(v.map(Row(_)).asJava, sch)
+    t.write(df(1L))
+    val dir = java.nio.file.Paths.get(s"${t.path}/consumer")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("consumer-stale"), "0".getBytes)
+    java.nio.file.Files.setLastModifiedTime(dir.resolve("consumer-stale"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 3600 * 1000))
+    java.nio.file.Files.write(dir.resolve("consumer-fresh"), "0".getBytes)
+    t.write(df(2L)) // the commit hook expires the stale one
+    assert(!java.nio.file.Files.exists(dir.resolve("consumer-stale")))
+    assert(java.nio.file.Files.exists(dir.resolve("consumer-fresh")))
+  }
+
   test("expirePartitions drops old partitions metadata-only") {
     val sch = StructType(Seq(
       StructField("dt", StringType, nullable = false),
