@@ -89,10 +89,20 @@ case class GraftUpsertRule(spark: SparkSession) extends Rule[LogicalPlan] {
         else a.query
       val cond = keys.map(k =>
         EqualNullSafe(out(r.output, k), out(source.output, k))).reduce[Expression](And)
+      // null-safe stale guard: a stored row with a NULL sequence must
+      // stay updatable — bare `target.seq <= source.seq` is NULL for it,
+      // freezing the row forever (the reference rewrite shares that
+      // hostility; diverging here is a deliberate correctness choice).
+      // Without sequence.field the batch is NOT deduplicated (reference
+      // parity): several versions of one key in one INSERT raise
+      // Spark's MERGE cardinality error.
       val updateCond =
         if (seqFields.isEmpty) None
-        else Some(seqFields.map(s => LessThanOrEqual(
-          out(r.output, s), out(source.output, s))).reduce[Expression](And))
+        else Some(seqFields.map { s =>
+          val t0 = out(r.output, s)
+          Or(IsNull(t0), LessThanOrEqual(t0, out(source.output, s)))
+            .asInstanceOf[Expression]
+        }.reduce[Expression](And))
       val assignments = r.output.zip(source.output).map { case (t, s2) =>
         Assignment(t, s2)
       }

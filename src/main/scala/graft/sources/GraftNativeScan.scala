@@ -241,7 +241,10 @@ class GraftBatchScan(
   // time, before any runtime (DPP) narrowing.
   private lazy val eqKey: Any = (getClass.getName, gt.path,
     initialEntries.map(e => (e.file.fileName, e.file.dvFile)),
-    readDataSchema, partitionSchema, filters.toSeq, required)
+    readDataSchema, partitionSchema, filters.toSeq, required,
+    // split PLANNING options change the physical output (partition
+    // clustering) — two scans differing here must not dedupe into one
+    readOptions.get("scan.plan-sort-partition"))
   private def eqKeyOf(o: GraftBatchScan): Any = o.eqKey
   override def equals(other: Any): Boolean = other match {
     case o: GraftBatchScan => eqKey == eqKeyOf(o)
@@ -586,7 +589,9 @@ class GraftMicroBatchStream(
     * for removed PK rows are the library changelog API's job
     * (GraftTable.overwriteChanges). */
   private def skipOverwrites: Boolean =
-    streamOpt("streaming-read-overwrite").contains("false")
+    streamOpt("streaming-read-overwrite").contains("false") ||
+      (!gt.isPrimaryKeyTable &&
+        streamOpt("streaming-read-append-overwrite").contains("false"))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftOffset].snapshotId

@@ -68,10 +68,15 @@ object MarkDoneActions {
           throw new IllegalArgumentException(
             s"$OptionKey=custom needs $OptionKey.custom.class"))
         val c = Class.forName(cls)
-        val instance = c.getConstructors.collectFirst {
+        val ctors = c.getConstructors
+        val instance = ctors.collectFirst {
+          case k if k.getParameterCount == 1 &&
+            k.getParameterTypes()(0).isAssignableFrom(classOf[GraftTable]) =>
+            k.newInstance(t)
+        }.orElse(ctors.collectFirst {
           case k if k.getParameterCount == 0 => k.newInstance()
-        }.getOrElse(throw new IllegalArgumentException(
-          s"$cls needs a no-arg constructor"))
+        }).getOrElse(throw new IllegalArgumentException(
+          s"$cls needs a no-arg or (GraftTable) constructor"))
         instance.asInstanceOf[Action].markDone(t, partition)
       case other => throw new IllegalArgumentException(
         s"unknown $OptionKey '$other' " +

@@ -98,7 +98,9 @@ object GraftStreaming {
       checkpointPath: String,
       process: (DataFrame, Long) => Unit): Seq[Long] = {
     val from = readOffset(checkpointPath).getOrElse(-1L)
-    val to = table.sm.latestSnapshotId.getOrElse(return Seq.empty)
+    val to = table.sm.latestSnapshotId.getOrElse {
+      touchOffset(checkpointPath); return Seq.empty
+    }
     val live = table.sm.snapshotIds.filter(i => i > from && i <= to)
     val liveSet = live.toSet
     // snapshots expiration removed but whose exact changelog was
@@ -115,6 +117,7 @@ object GraftStreaming {
         !liveSet.contains(r.snapshotId))
       .map(r => r.snapshotId -> r.manifest).toMap
     val ids = (live ++ retained.keys).distinct.sorted
+    if (ids.isEmpty) { touchOffset(checkpointPath); return Seq.empty }
     ids.foreach { id =>
       retained.get(id) match {
         case Some(manifest) =>
@@ -382,7 +385,9 @@ object GraftStreaming {
       boundedWatermark: Long,
       process: (DataFrame, Long) => Unit): (Seq[Long], Boolean) = {
     val from = readOffset(checkpointPath).getOrElse(-1L)
-    val to = table.sm.latestSnapshotId.getOrElse(return (Seq.empty, false))
+    val to = table.sm.latestSnapshotId.getOrElse {
+      touchOffset(checkpointPath); return (Seq.empty, false)
+    }
     val live = table.sm.snapshotIds.filter(i => i > from && i <= to)
     val liveSet = live.toSet
     // same retained-changelog handling as the unbounded drain: a
@@ -395,6 +400,7 @@ object GraftStreaming {
         !liveSet.contains(r.snapshotId))
       .map(r => r.snapshotId -> r.manifest).toMap
     val ids = (live ++ retained.keys).distinct.sorted
+    if (ids.isEmpty) touchOffset(checkpointPath)
     val processed = scala.collection.mutable.ArrayBuffer.empty[Long]
     ids.foreach { id =>
       retained.get(id) match {
@@ -414,6 +420,18 @@ object GraftStreaming {
       processed += id
     }
     (processed.toSeq, false)
+  }
+
+  /** Liveness heartbeat: a CAUGHT-UP consumer writes no offsets, but
+    * consumer.expiration-time judges staleness by the offset file's
+    * mtime — refresh it on every drain so an idle table's live
+    * consumers never look abandoned. */
+  private def touchOffset(path: String): Unit = {
+    val p = Paths.get(path)
+    if (Files.exists(p))
+      try Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: Exception => () }
   }
 
   private def readOffset(path: String): Option[Long] =

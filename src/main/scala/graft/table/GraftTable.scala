@@ -1777,10 +1777,16 @@ final class GraftTable private (
     }
   }
 
+  /** Chain composition applies only on the MAIN table handle: branch
+    * handles must serve their own data (the snapshot/delta branches ARE
+    * the chain's inputs), and SQL reads route here via [[scan]]. */
+  private def isChainMain: Boolean =
+    sm.branch.isEmpty &&
+      schema.options.get("chain-table.enabled").contains("true")
+
   /** Latest-snapshot merged read. */
   def read: DataFrame = {
-    if (schema.options.get("chain-table.enabled").contains("true"))
-      return chainRead
+    if (isChainMain) return chainRead
     sm.latestSnapshotId
       .map(i => mergedFromEntries(withFallbackEntries(sm.liveEntries(sm.snapshot(i)))))
       .getOrElse {
@@ -1935,6 +1941,10 @@ final class GraftTable private (
     * re-applied in the plan so parquet row-group pushdown still kicks
     * in. */
   def scan(filter: Column): DataFrame = {
+    // SQL reads of a chain table (the PK V1 path routes through scan)
+    // must see the composed chain, not the (typically empty) main
+    // branch; partition pruning applies post-composition via Catalyst
+    if (isChainMain) return chainRead.filter(filter)
     val snap = sm.latestSnapshotId.map(sm.snapshot)
     val entries = snap.map(pruneEntries(_, filter)).getOrElse(Seq.empty)
     mergedFromEntries(withFallbackEntries(entries, Some(filter))).filter(filter)
@@ -2367,14 +2377,21 @@ final class GraftTable private (
       .map(GraftTable.parseDurationMillis).getOrElse(return Seq.empty)
     val dir = Paths.get(s"$path/consumer")
     if (!Files.isDirectory(dir)) return Seq.empty
-    import scala.jdk.CollectionConverters._
-    Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("consumer-"))
-      .filter(p => Files.getLastModifiedTime(p).toMillis < now - ttl)
-      .map { p =>
-        Files.deleteIfExists(p)
-        p.getFileName.toString.stripPrefix("consumer-")
-      }.toSeq
+    // stream closed via try-with-use: Files.list leaks a directory fd
+    // otherwise, and this runs on EVERY commit
+    val listing = Files.list(dir)
+    val stale = try {
+      import scala.jdk.CollectionConverters._
+      listing.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("consumer-"))
+        .filterNot(_.getFileName.toString.endsWith(".tmp"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < now - ttl)
+        .toSeq
+    } finally listing.close()
+    stale.map { p =>
+      Files.deleteIfExists(p)
+      p.getFileName.toString.stripPrefix("consumer-")
+    }
   }
 
   def createTag(name: String): Unit = {
@@ -5691,6 +5708,13 @@ object GraftTable {
       val cols = uk.split(",").map(_.trim).filter(_.nonEmpty)
       require(cols.nonEmpty && cols.forall(c => schema.fields.exists(_.name == c)),
         s"upsert-key columns must exist in the schema: $uk")
+    }
+    // tag-to-partition needs the synthetic key to BE the partitioning —
+    // a partitioned table would silently never mirror its tags
+    options.get("metastore.tag-to-partition").foreach { f =>
+      require(partitionKeys.isEmpty,
+        s"metastore.tag-to-partition ($f) applies to UNPARTITIONED tables " +
+          s"only (table partitions: ${partitionKeys.mkString(",")})")
     }
     if (ts.fileFormat == "lance") warnLanceInterop(path)
     sm.writeSchema(ts)

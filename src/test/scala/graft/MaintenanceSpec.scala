@@ -381,6 +381,21 @@ class MaintenanceSpec extends AnyFunSuite {
     t.write(df(2L)) // the commit hook expires the stale one
     assert(!java.nio.file.Files.exists(dir.resolve("consumer-stale")))
     assert(java.nio.file.Files.exists(dir.resolve("consumer-fresh")))
+    // liveness heartbeat: a CAUGHT-UP consumer that keeps polling an
+    // idle table refreshes its mtime, so it never looks abandoned
+    val caughtUp = dir.resolve("consumer-caughtup")
+    java.nio.file.Files.write(caughtUp,
+      t.sm.latestSnapshotId.get.toString.getBytes)
+    java.nio.file.Files.setLastModifiedTime(caughtUp,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 2L * 3600 * 1000))
+    // nothing new to drain — but the poll must refresh the heartbeat
+    assert(graft.streaming.GraftStreaming.processChangelog(
+      t, caughtUp.toString, (_, _) => ()).isEmpty)
+    assert(java.nio.file.Files.getLastModifiedTime(caughtUp).toMillis >
+      System.currentTimeMillis() - 60000, "poll must refresh mtime")
+    t.write(df(3L))
+    assert(java.nio.file.Files.exists(caughtUp), "live consumer expired")
   }
 
   test("expirePartitions drops old partitions metadata-only") {

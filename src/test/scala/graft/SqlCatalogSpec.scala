@@ -231,6 +231,31 @@ class SqlCatalogSpec extends AnyFunSuite {
       s"files not partition-clustered: ${dirs.mkString(", ")}")
   }
 
+  test("chain table through SQL: SELECT composes the branches; branch " +
+    "suffix reads serve the branch's own data") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.chn")
+    spark.sql(
+      """CREATE TABLE graft.chn.t (dt STRING, k BIGINT, v STRING, seq BIGINT)
+        |PARTITIONED BY (dt)
+        |TBLPROPERTIES ('primary-key'='dt,k', 'sequence.field'='seq',
+        |  'chain-table.enabled'='true',
+        |  'scan.fallback-snapshot-branch'='snap',
+        |  'scan.fallback-delta-branch'='delta')""".stripMargin)
+    spark.sql("CALL graft.sys.create_branch('chn.t', 'snap')")
+    spark.sql("CALL graft.sys.create_branch('chn.t', 'delta')")
+    spark.sql("INSERT INTO graft.chn.`t$branch_snap` VALUES ('d1', 1, 'a', 1)")
+    spark.sql("INSERT INTO graft.chn.`t$branch_delta` VALUES ('d2', 1, 'a2', 2), ('d2', 2, 'b', 2)")
+    // the SQL read composes: d1 as-is + d2 reconstructed from d1+delta
+    val got = spark.sql("SELECT dt, k, v FROM graft.chn.t ORDER BY dt, k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq(
+      ("d1", 1L, "a"), ("d2", 1L, "a2"), ("d2", 2L, "b")), got.mkString(","))
+    // branch suffix reads serve ONLY that branch (no chain recursion)
+    val snapRows = spark.sql("SELECT dt, k FROM graft.chn.`t$branch_snap`")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(snapRows.toSeq == Seq(("d1", 1L)), snapRows.mkString(","))
+  }
+
   test("materialized table: refresh re-runs the stored definition, aligns " +
     "by name, and fully replaces content") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.mat")
