@@ -247,6 +247,22 @@ class ViewSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
       .writeTo("graft.updb.t").append()
     assert(spark.sql("SELECT v FROM graft.updb.t WHERE id=5").head.getString(0) == "w")
     assert(spark.sql("SELECT count(*) FROM graft.updb.t WHERE id=5").head.getLong(0) == 1L)
+    // without sequence.field the batch is NOT deduplicated (reference
+    // parity): several versions of one key in one INSERT raise the
+    // MERGE cardinality error loudly instead of picking one silently
+    spark.sql("""CREATE TABLE graft.updb.noseq (id BIGINT, v STRING)
+                |TBLPROPERTIES ('upsert-key'='id')""".stripMargin)
+    spark.sql("INSERT INTO graft.updb.noseq VALUES (1,'a')")
+    val dupErr = intercept[Exception] {
+      spark.sql("INSERT INTO graft.updb.noseq VALUES (1,'x'),(1,'y')")
+    }
+    assert(dupErr.getMessage.toLowerCase.contains("merge") ||
+      dupErr.getMessage.toLowerCase.contains("multiple"), dupErr.getMessage)
+    // single-row-per-key batches upsert fine without a sequence field
+    spark.sql("INSERT INTO graft.updb.noseq VALUES (1,'b'),(2,'c')")
+    val ns = spark.sql("SELECT id, v FROM graft.updb.noseq ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(ns.toSeq == Seq((1L, "b"), (2L, "c")), ns.mkString(","))
     // defining upsert-key WITH a primary key is rejected like the reference
     val err = intercept[Exception] {
       spark.sql(
