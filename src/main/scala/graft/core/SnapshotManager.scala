@@ -572,8 +572,19 @@ final class SnapshotManager(
       // bound one expire pass — a long-idle table with a deep backlog
       // otherwise walks its whole history in a single commit-coupled
       // call (oldest drop first, the rest expire on later passes)
+      // tolerant parse: this runs commit-coupled, so a malformed value
+      // (e.g. '10s') must degrade to unlimited with a WARN — throwing
+      // here would wedge every subsequent write to the table. CREATE
+      // also validates the option up front (GraftTable.create).
       latestSchema().flatMap(_.options.get("snapshot.expire.limit"))
-        .map(_.toInt).filter(_ > 0) match {
+        .flatMap { v =>
+          val parsed = scala.util.Try(v.trim.toInt).toOption
+          if (parsed.isEmpty)
+            org.slf4j.LoggerFactory.getLogger("graft.SnapshotManager").warn(
+              s"ignoring malformed snapshot.expire.limit '$v' (not an " +
+                "integer): expiring without a per-pass bound")
+          parsed
+        }.filter(_ > 0) match {
         case Some(lim) if d1.size > lim =>
           val (d, deferred) = d1.splitAt(lim)
           (d, deferred ++ k1)

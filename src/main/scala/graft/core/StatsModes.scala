@@ -26,11 +26,13 @@ import org.apache.spark.sql.types.StringType
   * (statsMinMax aggregate pushdown) must decline columns whose mode is
   * not `full` — a truncated max is a bound, not a value.
   *
-  * Caveat (shared with the reference): the CURRENT table option is the
-  * authority. Loosening a mode back to `full` does not un-truncate
-  * stats already in old manifests — rewrite them (compact / rescale)
-  * before relying on exact-value consumers again. Pruning is never
-  * affected: truncated stats are valid bounds in every direction.
+  * Loosening a mode back to `full` does not un-truncate stats already
+  * in old manifests — rewrite them (compact / rescale) before exact
+  * values flow again. ENFORCED: statsMinMax checks the mode of each
+  * file's WRITE schema (field-id matched), so files written under a
+  * non-full mode decline exact-value use even after the current option
+  * flips back. Pruning is never affected: truncated stats are valid
+  * bounds in every direction.
   */
 object StatsModes {
 

@@ -56,7 +56,10 @@ object TableFunctions {
       v == null &&
         ExternalCatalogUtils.unescapePathName(raw) != sentinel
     }
-    if (undecodable) raws.maxOption // mixed debris: legacy raw order
+    // mixed debris: legacy raw order — UNESCAPED like the typed path,
+    // so callers see one encoding regardless of which path answered
+    if (undecodable)
+      raws.maxOption.map(ExternalCatalogUtils.unescapePathName)
     else if (typed.isEmpty) None // only the null partition holds rows
     else {
       val ord = org.apache.spark.sql.catalyst.util.TypeUtils

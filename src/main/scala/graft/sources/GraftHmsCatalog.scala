@@ -410,17 +410,68 @@ object HmsBridge {
         p.setTableName(name)
         p.setValues(java.util.Collections.singletonList(tag))
         p.setCreateTime((System.currentTimeMillis() / 1000).toInt)
-        p.setSd(newSd(sch, s"${gt.path}/tag/$tag"))
         p.setParameters(new java.util.HashMap[String, String]())
+        // Hive-side consumers must find the tag's ROWS at the
+        // partition location (the feature's purpose), so the tag's
+        // live parquet files materialize under tag-data/<tag> —
+        // hard-linked, so no data copy on a local filesystem. Tags
+        // whose files are not raw-readable (LSM runs, DVs, patches)
+        // register as signal-only markers instead: SD at the table
+        // path + parameter graft.signal-only=true, explicit rather
+        // than silently serving zero (or wrong) rows.
+        materializeTagData(gt, sch, tag) match {
+          case Some(dir) => p.setSd(newSd(sch, dir))
+          case None =>
+            p.setSd(newSd(sch, gt.path))
+            p.getParameters.put("graft.signal-only", "true")
+        }
+        p.getParameters.put("graft.tag", tag)
         c.add_partitions(java.util.Collections.singletonList(p),
           /*ifNotExists=*/ true, /*needResults=*/ false)
       } else {
         try c.dropPartition(db, name,
           java.util.Collections.singletonList(tag), /*deleteData=*/ false)
         catch { case _: org.apache.hadoop.hive.metastore.api.NoSuchObjectException => () }
+        try {
+          val dir = java.nio.file.Paths.get(s"${gt.path}/tag-data/$tag")
+          if (java.nio.file.Files.isDirectory(dir)) {
+            graft.core.FsUtil.listAll(dir).foreach(java.nio.file.Files.deleteIfExists)
+            java.nio.file.Files.deleteIfExists(dir)
+          }
+        } catch { case _: Exception => () } // object-store path: no local dir
       }
     }
   }
+
+  /** Link (never copy) the tag snapshot's live data files under
+    * `tag-data/<tag>` so the HMS partition's SD points at a directory
+    * that actually serves the tag's rows through Hive's own parquet
+    * reader. Raw-readable cases only: append parquet tables on the
+    * current schema with no deletion vectors and no column patches —
+    * anything else returns None and the caller registers a
+    * signal-only marker. Hard links keep the bytes shared with the
+    * table (and alive past snapshot expiry — the tag holds them live
+    * anyway); non-local storage (gvfs/object URIs) returns None. */
+  private def materializeTagData(
+      gt: GraftTable, sch: Meta.TableSchema, tag: String): Option[String] =
+    try {
+      if (sch.primaryKeys.nonEmpty || sch.fileFormat != "parquet") return None
+      val snapId = gt.sm.tags.getOrElse(tag, return None)
+      val snap = gt.sm.snapshot(snapId)
+      if (snap.colPatches.exists(_.nonEmpty)) return None
+      val entries = gt.sm.liveEntries(snap)
+      if (entries.exists(e => e.file.dvFile.isDefined || e.file.schemaId != sch.id))
+        return None
+      val dir = java.nio.file.Paths.get(s"${gt.path}/tag-data/$tag")
+      java.nio.file.Files.createDirectories(dir)
+      entries.zipWithIndex.foreach { case (e, i) =>
+        val src = java.nio.file.Paths.get(s"${gt.path}/${e.file.fileName}")
+        val base = src.getFileName.toString
+        val dst = dir.resolve(s"t$i-$base")
+        if (!java.nio.file.Files.exists(dst)) java.nio.file.Files.createLink(dst, src)
+      }
+      Some(dir.toString)
+    } catch { case _: Exception => None }
 
   /** `partition.mark-done-action=done-partition` (reference:
     * AddDonePartitionAction.java:43): register a companion partition

@@ -2005,8 +2005,24 @@ final class GraftTable private (
     // stat (metadata.stats-mode) is a BOUND, not a value — both make
     // the manifests unusable as exact answers
     if (entries.exists(_.file.dvFile.isDefined)) return None
-    if (graft.core.StatsModes.columnModes(sch).getOrElse(column, "full") != "full")
-      return None
+    // the mode that truncated a file's stats is the WRITE schema's, not
+    // today's: flipping truncate(N) back to full without a manifest
+    // rewrite must still decline — a truncated max (e.g. an incremented
+    // 8-char prefix) is a bound, never a value. Field identity follows
+    // ids across renames; missing write schemas / unmatched fields
+    // decline conservatively.
+    val curField = sch.fields.find(_.name == column).getOrElse(return None)
+    val modeCache = scala.collection.mutable.HashMap.empty[Long, Option[String]]
+    val writtenNonFull = entries.exists { e =>
+      modeCache.getOrElseUpdate(e.file.schemaId, {
+        scala.util.Try {
+          val ws = if (e.file.schemaId == sch.id) sch else schemaOf(e.file.schemaId)
+          ws.fields.find(_.id == curField.id).map(wf =>
+            graft.core.StatsModes.columnModes(ws).getOrElse(wf.name, "full"))
+        }.toOption.flatten
+      }).forall(_ != "full")
+    }
+    if (writtenNonFull) return None
     val stats = entries.flatMap(fileMetaInCurrentNames(_, sch).stats.get(column))
     if (stats.size != entries.size || stats.exists(_.min.isEmpty)) return None
     val field = struct.fields.find(_.name == column).getOrElse(return None)
@@ -5708,6 +5724,13 @@ object GraftTable {
       val cols = uk.split(",").map(_.trim).filter(_.nonEmpty)
       require(cols.nonEmpty && cols.forall(c => schema.fields.exists(_.name == c)),
         s"upsert-key columns must exist in the schema: $uk")
+    }
+    // parsed inside the commit-coupled expire path — validate up front
+    // so a typo'd value ('10s') fails HERE, not on every later commit
+    // (the runtime parse additionally degrades to unlimited with a WARN)
+    options.get("snapshot.expire.limit").foreach { v =>
+      require(scala.util.Try(v.trim.toInt).toOption.exists(_ > 0),
+        s"snapshot.expire.limit must be a positive integer, got '$v'")
     }
     // tag-to-partition needs the synthetic key to BE the partitioning —
     // a partitioned table would silently never mirror its tags

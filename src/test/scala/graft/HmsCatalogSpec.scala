@@ -417,13 +417,45 @@ class HmsCatalogSpec extends AnyFunSuite {
       spark.sql("CALL hcat.sys.create_tag('t2p.t', 'v1')")
       spark.sql("INSERT INTO hcat.t2p.t VALUES (2, 'b')")
       spark.sql("CALL hcat.sys.create_tag('t2p.t', 'v2')")
-      val parts = c.listPartitions("t2p", "t", Short.MaxValue)
-        .asScala.map(_.getValues.asScala.head).sorted
+      val partsFull = c.listPartitions("t2p", "t", Short.MaxValue).asScala
+      val parts = partsFull.map(_.getValues.asScala.head).sorted
       assert(parts == Seq("v1", "v2"), parts.toString)
+      // the partition SD must point at a directory that actually SERVES
+      // the tag's rows through Hive's own parquet reader — v1 holds only
+      // the first row, v2 both (ADVICE r13: the old tag/<name> location
+      // never existed and read zero rows)
+      def locOf(tag: String): String = // HMS canonicalizes to file: URIs
+        partsFull.find(_.getValues.asScala.head == tag).get.getSd.getLocation
+          .stripPrefix("file:")
+      assert(new java.io.File(locOf("v1")).isDirectory, locOf("v1"))
+      assert(spark.read.parquet(locOf("v1")).select("k")
+        .collect().map(_.getLong(0)).toSet == Set(1L))
+      assert(spark.read.parquet(locOf("v2")).select("k")
+        .collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+      // hard links, not copies: tag bytes share the table's data files
+      assert(java.nio.file.Files.walk(java.nio.file.Paths.get(locOf("v1")))
+        .filter(p => p.toString.endsWith(".parquet"))
+        .allMatch(p => java.nio.file.Files.getAttribute(p, "unix:nlink")
+          .asInstanceOf[Number].intValue() >= 2))
+      val v1dir = locOf("v1")
       spark.sql("CALL hcat.sys.delete_tag('t2p.t', 'v1')")
       val after = c.listPartitions("t2p", "t", Short.MaxValue)
         .asScala.map(_.getValues.asScala.head)
       assert(after == Seq("v2"), after.toString)
+      assert(!new java.io.File(v1dir).exists(), "dropped tag's dir cleaned")
+      // PK tables (raw LSM runs are not Hive-readable) register the
+      // partition as an explicit signal-only marker at the table path
+      spark.sql("""CREATE TABLE hcat.t2p.pk (k BIGINT, v STRING)
+                  |TBLPROPERTIES ('primary-key'='k',
+                  |  'metastore.tag-to-partition'='tag')""".stripMargin)
+      spark.sql("INSERT INTO hcat.t2p.pk VALUES (1, 'a')")
+      spark.sql("CALL hcat.sys.create_tag('t2p.pk', 'p1')")
+      val pkPart = c.listPartitions("t2p", "pk", Short.MaxValue).asScala
+        .find(_.getValues.asScala.head == "p1").get
+      assert(pkPart.getParameters.get("graft.signal-only") == "true")
+      assert(new java.io.File(
+        pkPart.getSd.getLocation.stripPrefix("file:")).isDirectory,
+        "marker SD points at the (existing) table path")
     } finally c.close()
     // colliding field name is rejected at CREATE
     val err = intercept[Exception] {

@@ -364,6 +364,26 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.read.count() == 6L) // data never affected
   }
 
+  test("snapshot.expire.limit: malformed value is rejected at CREATE and " +
+    "degrades to unlimited (never wedges the expire path) if set later") {
+    import scala.jdk.CollectionConverters._
+    val sch = StructType(Seq(StructField("k", LongType, nullable = false)))
+    // CREATE validates up front — a typo fails here, not on every commit
+    assertThrows[IllegalArgumentException] {
+      GraftTable.create(spark, tmp(), sch,
+        options = Map("snapshot.expire.limit" -> "10s"))
+    }
+    // smuggled in via a later option change: the commit-coupled expire
+    // path must WARN + expire unbounded instead of throwing forever
+    val t = GraftTable.create(spark, tmp(), sch)
+    def df(v: Long*) = spark.createDataFrame(v.map(Row(_)).asJava, sch)
+    (0 until 4).foreach(i => t.write(df(i.toLong)))
+    t.setOption("snapshot.expire.limit", "10s")
+    assert(t.expireSnapshots(retain = 1).nonEmpty) // no NumberFormatException
+    assert(t.sm.snapshotIds.size == 1, "unbounded: one pass drained all")
+    assert(t.read.count() == 4L)
+  }
+
   test("consumer.expiration-time expires stale consumers at commit; fresh ones pinned") {
     import scala.jdk.CollectionConverters._
     val sch = StructType(Seq(StructField("k", LongType, nullable = false)))

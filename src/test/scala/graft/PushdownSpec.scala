@@ -76,6 +76,22 @@ class PushdownSpec extends AnyFunSuite {
     // a truncated stat is a bound, not a value: exact pushdown declines
     assert(t.statsMinMax("s").isEmpty)
     assert(t.statsMinMax("k").nonEmpty, "full-mode column still answers")
+    // flipping the mode back to FULL without rewriting manifests must
+    // STILL decline: the old files' stats were written truncated, and
+    // serving "abc{" (an incremented prefix) as MAX would be a wrong
+    // ANSWER, not a loose bound (write-schema watermark, ADVICE r13)
+    t.setOption("fields.s.stats-mode", "full")
+    assert(t.statsMinMax("s").isEmpty,
+      "files written under truncate must keep declining after the flip")
+    assert(t.statsMinMax("k").nonEmpty, "k was always full — still answers")
+    // new files written under the restored full mode: the table only
+    // answers once NO live file predates the flip
+    val tFlip = GraftTable.create(spark, tmp(), ssch,
+      options = Map("fields.s.stats-mode" -> "truncate(4)"))
+    tFlip.write(sdf(tFlip, (1L, "abcdefgh", 1L)).coalesce(1))
+    tFlip.setOption("fields.s.stats-mode", "full")
+    tFlip.write(sdf(tFlip, (2L, "zzz", 2L)).coalesce(1))
+    assert(tFlip.statsMinMax("s").isEmpty, "one pre-flip file still gates")
     // counts: min/max gone, null counts stay (IS NULL pruning works)
     val tc = GraftTable.create(spark, tmp(), ssch,
       options = Map("metadata.stats-mode" -> "counts"))
