@@ -1814,9 +1814,21 @@ final class GraftTable private (
     * composes the two branches directly. Merge ordering is the table's
     * own (sequence.field when set — recommended: cross-branch
     * `_graft_seq` counters are only comparable when the snapshot job
-    * preserves them). Scale shape: one merge subtree per reconstructed
-    * partition, like the reference's per-group ChainSplits — the
-    * snapshot job's cadence bounds how many deltas each chain spans. */
+    * preserves them).
+    *
+    * Scale shape — O(1) in delta-only partitions: each branch is read
+    * ONCE, rows replicate to their chain groups through a broadcast
+    * join against a driver-built (source partition → target partition)
+    * mapping (tiny: one row per chain edge), partition columns relabel
+    * to the target, and a SINGLE MergeEngine.merge resolves every
+    * group in one shuffle — the groups are disjoint by the partition
+    * columns inside the primary key, so one groupBy(pk) computes
+    * exactly what per-group merges would. A chain with hundreds of
+    * un-snapshotted partitions (a stalled snapshot job) stays two scan
+    * legs + one exchange instead of compiling a union of N merge
+    * subtrees. Undecodable (debris/null) partitions keep their own
+    * self-serving legs — rare by construction, and their rows join the
+    * same single merge. */
   def chainRead: DataFrame = {
     val sch = schema
     require(isPrimaryKeyTable, "chain tables are primary-key tables")
@@ -1860,56 +1872,89 @@ final class GraftTable private (
       .map(deltaT.sm.liveEntries).getOrElse(Seq.empty)
     val complete = snapEntries.map(_.partition).toSet
     val snapSorted = complete.toSeq.flatMap(p => decode(p).map(p -> _)).sortBy(_._2)
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    def displayRaw(p: Map[String, String], k: String): Option[String] =
+      p.get(k).map(ExternalCatalogUtils.unescapePathName)
+        .filterNot(_ == ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
     def relabel(df: DataFrame, p: Map[String, String]): DataFrame =
       pk.zip(types).foldLeft(df) { case (d, (k, dt)) =>
-        val raw = p.get(k).map(
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName)
-          .filterNot(_ == org.apache.spark.sql.catalyst.catalog
-            .ExternalCatalogUtils.DEFAULT_PARTITION_NAME)
-        d.withColumn(k, raw.map(lit(_).cast(dt)).getOrElse(lit(null).cast(dt)))
+        d.withColumn(k, displayRaw(p, k)
+          .map(lit(_).cast(dt)).getOrElse(lit(null).cast(dt)))
       }
-    val outCols = struct.fieldNames.map(col).toIndexedSeq
-    def mergedPiece(raws: Seq[DataFrame]): Option[DataFrame] =
-      raws.filter(_ != null).reduceOption(_ unionByName _)
-        .map(r => MergeEngine.merge(r, sch).select(outCols: _*))
-    // piece 1: the snapshot branch's partitions, served as-is
-    val asIs = mergedPiece(
-      if (snapEntries.isEmpty) Seq.empty
-      else Seq(snapT.readRaw(snapT.visibleEntries(snapEntries))))
-    // piece 2: one chain group per delta-only partition — latest
-    // earlier snapshot partition as the base, every delta in (p0, p]
-    // on top, all rows re-labeled to p before the merge
-    val chainedPieces: Seq[DataFrame] = deltaEntries.map(_.partition).distinct
-      .filterNot(complete)
-      .flatMap { p =>
-        val (baseEntries, dEntries) = decode(p) match {
-          case None =>
-            // undecodable (null/debris) partition: serves itself only
-            (Seq.empty[ManifestEntry], deltaEntries.filter(_.partition == p))
-          case Some(pv) =>
-            val base = snapSorted.takeWhile { case (_, v) => cmp.compare(v, pv) < 0 }
-              .lastOption.map(_._1)
-            val baseV = base.flatMap(decode)
-            val ds = deltaEntries.filter { e =>
-              decode(e.partition) match {
-                case Some(ev) => cmp.compare(ev, pv) <= 0 &&
-                  baseV.forall(bv => cmp.compare(ev, bv) > 0)
-                case None => e.partition == p
-              }
-            }
-            (base.toSeq.flatMap(b => snapEntries.filter(_.partition == b)), ds)
+    // chain edges per branch: (source partition, target partition).
+    // snapshot side: every snapshot partition serves AS-IS (b → b) and
+    // additionally as the base of each delta-only group it anchors
+    // (b → p); delta side: d → p for every delta in (base(p), p].
+    val snapPairs = scala.collection.mutable.ArrayBuffer.empty[
+      (Map[String, String], Map[String, String])]
+    val deltaPairs = scala.collection.mutable.ArrayBuffer.empty[
+      (Map[String, String], Map[String, String])]
+    complete.toSeq.foreach(b => snapPairs += ((b, b)))
+    val deltaParts = deltaEntries.map(_.partition).distinct.filterNot(complete)
+    val (decTargets, debrisTargets) = deltaParts.partition(p => decode(p).isDefined)
+    decTargets.foreach { p =>
+      val pv = decode(p).get
+      val base = snapSorted.takeWhile { case (_, v) => cmp.compare(v, pv) < 0 }
+        .lastOption.map(_._1)
+      base.foreach(b => snapPairs += ((b, p)))
+      val baseV = base.flatMap(decode)
+      deltaEntries.map(_.partition).distinct.foreach { d =>
+        decode(d) match {
+          case Some(dv) if cmp.compare(dv, pv) <= 0 &&
+              baseV.forall(bv => cmp.compare(dv, bv) > 0) =>
+            deltaPairs += ((d, p))
+          case _ => ()
         }
-        val raws = Seq(
-          if (baseEntries.nonEmpty)
-            snapT.readRaw(snapT.visibleEntries(baseEntries)) else null,
-          if (dEntries.nonEmpty)
-            deltaT.readRaw(deltaT.visibleEntries(dEntries)) else null)
-          .filter(_ != null)
-          .map(relabel(_, p))
-        mergedPiece(raws)
       }
-    (asIs.toSeq ++ chainedPieces)
+    }
+    // broadcast-join replication: one scan per branch; each row fans
+    // out to its targets and its partition columns take the target's
+    // (typed) values — the same lit-cast the per-group relabel used
+    val srcCols = pk.map(k => s"__chain_src_$k")
+    val tgtCols = pk.map(k => s"__chain_tgt_$k")
+    def applyEdges(
+        raw: => DataFrame, // by-name: never build a scan for zero edges
+        pairs: Seq[(Map[String, String], Map[String, String])]): Option[DataFrame] = {
+      if (pairs.isEmpty) return None
+      val r = raw
+      val mapSchema = StructType(
+        (srcCols ++ tgtCols).map(StructField(_, StringType, nullable = true)))
+      val rows = pairs.map { case (s, t) =>
+        org.apache.spark.sql.Row.fromSeq(
+          pk.map(k => displayRaw(s, k).orNull) ++
+            pk.map(k => displayRaw(t, k).orNull))
+      }
+      val m = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), mapSchema)
+      val cond = pk.zip(types).zipWithIndex.map { case ((k, dt), i) =>
+        r(k) <=> col(srcCols(i)).cast(dt)
+      }.reduce(_ && _)
+      val joined = r.join(broadcast(m), cond, "inner")
+      val relabeled = pk.zip(types).zipWithIndex.foldLeft(joined) {
+        case (d, ((k, dt), i)) => d.withColumn(k, col(tgtCols(i)).cast(dt))
+      }
+      Some(relabeled.drop((srcCols ++ tgtCols): _*))
+    }
+    val snapSrcParts = snapPairs.map(_._1).toSet
+    val deltaSrcParts = deltaPairs.map(_._1).toSet
+    val snapLeg = applyEdges(
+      snapT.readRaw(snapT.visibleEntries(
+        snapEntries.filter(e => snapSrcParts(e.partition)))),
+      snapPairs.toSeq)
+    val deltaLeg = applyEdges(
+      deltaT.readRaw(deltaT.visibleEntries(
+        deltaEntries.filter(e => deltaSrcParts(e.partition)))),
+      deltaPairs.toSeq)
+    // undecodable (null/debris) partitions serve themselves only —
+    // they cannot join a typed mapping, so they keep dedicated legs
+    // feeding the same single merge
+    val debrisLegs = debrisTargets.map { p =>
+      relabel(deltaT.readRaw(deltaT.visibleEntries(
+        deltaEntries.filter(_.partition == p))), p)
+    }
+    (snapLeg.toSeq ++ deltaLeg.toSeq ++ debrisLegs)
       .reduceOption(_ unionByName _)
+      .map(MergeEngine.merge(_, sch))
       .getOrElse(emptyDf())
   }
 

@@ -160,6 +160,54 @@ class BranchSpec extends AnyFunSuite {
     assert(got3 == 2L)
   }
 
+  test("chain table plan stays O(1) in delta-only partitions: 50 un-snapshotted " +
+    "partitions compile to one merge aggregate, not a union of 50 subtrees") {
+    val csch = StructType(Seq(
+      StructField("dt", IntegerType, nullable = false),
+      StructField("k", LongType, nullable = false),
+      StructField("v", LongType, nullable = true),
+      StructField("seq", LongType, nullable = true)))
+    val t = GraftTable.create(spark, tmp(), csch,
+      partitionKeys = Seq("dt"), primaryKeys = Seq("dt", "k"),
+      options = Map(
+        "sequence.field" -> "seq",
+        "chain-table.enabled" -> "true",
+        "scan.fallback-snapshot-branch" -> "snap",
+        "scan.fallback-delta-branch" -> "delta"))
+    val snap = t.createBranch("snap")
+    val delta = t.createBranch("delta")
+    // one snapshot day, then 50 delta days in a stalled-snapshot-job
+    // shape: day d upserts key (d % 7) to value d
+    snap.write(spark.createDataFrame(
+      (1L to 7L).map(k => Row(0, k, 0L, 0L)).asJava, csch))
+    val deltaRows = (1 to 50).map(d => Row(d, (d % 7 + 1).toLong, d.toLong, d.toLong))
+    delta.write(spark.createDataFrame(deltaRows.asJava, csch))
+    val read = t.read
+    // ONE merge: a single Aggregate in the optimized plan (the old
+    // shape carried one per reconstructed partition = 51)
+    val aggs = read.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size == 1, s"expected one merge aggregate, got ${aggs.size}")
+    // and at most the two branch scans feed it
+    val scans = read.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+      case r: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+        if r.children.isEmpty => r
+    }
+    assert(scans.size <= 4, s"expected O(1) scan legs, got ${scans.size}")
+    // correctness: day d serves the snapshot base overlaid with every
+    // delta day <= d (newest per key wins)
+    val got = read.filter(col("dt") === 50).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    val expect = (1L to 7L).map { k =>
+      val lastDay = (1 to 50).filter(d => (d % 7 + 1).toLong == k).maxOption
+      k -> lastDay.map(_.toLong).getOrElse(0L)
+    }.toMap
+    assert(got == expect, s"got $got")
+    assert(read.count() == 7L * 51, "every day serves all 7 keys")
+  }
+
   test("chain table with multi-column INT partitions orders typed-lexicographic") {
     val csch = StructType(Seq(
       StructField("y", IntegerType, nullable = false),
