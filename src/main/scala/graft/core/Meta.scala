@@ -94,7 +94,15 @@ object Meta {
       if (isPostponeBucket) "full-compaction"
       else options.getOrElse("changelog-producer", "input")
     def mergeEngine: String = options.getOrElse("merge-engine", "deduplicate")
-    def sequenceField: Option[String] = options.get("sequence.field")
+    /** `sequence.field` columns, comma-separated, compared in ORDER —
+      * lexicographically, later fields breaking ties of earlier ones
+      * (reference: CoreOptions.java:882 SEQUENCE_FIELD accepts a list;
+      * SequenceGenerator compares the fields in sequence). Most tables
+      * use a single field; multi-field covers CDC sources ordered by
+      * e.g. (commit_ts, log_position). */
+    def sequenceFields: Seq[String] = options.get("sequence.field")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
   }
 
   /** `CHAR(n)` / `VARCHAR(n)` field DDL. */

@@ -56,7 +56,7 @@ case class GraftUpsertRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case g: GraftSparkTable if g.gt.schema.primaryKeys.isEmpty =>
         g.gt.schema.options.get("upsert-key").map { uk =>
           (uk.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-            g.gt.schema.sequenceField.toSeq)
+            g.gt.schema.sequenceFields)
         }.filter(_._1.nonEmpty)
       case _ => None
     }
@@ -89,20 +89,25 @@ case class GraftUpsertRule(spark: SparkSession) extends Rule[LogicalPlan] {
         else a.query
       val cond = keys.map(k =>
         EqualNullSafe(out(r.output, k), out(source.output, k))).reduce[Expression](And)
-      // null-safe stale guard: a stored row with a NULL sequence must
-      // stay updatable — bare `target.seq <= source.seq` is NULL for it,
-      // freezing the row forever (the reference rewrite shares that
-      // hostility; diverging here is a deliberate correctness choice).
-      // Without sequence.field the batch is NOT deduplicated (reference
-      // parity): several versions of one key in one INSERT raise
-      // Spark's MERGE cardinality error.
+      // LEXICOGRAPHIC stale guard via struct comparison: with multiple
+      // sequence fields, a per-field AND would freeze rows on mixed
+      // comparisons — stored (1,5) vs incoming (2,1) must UPDATE
+      // (field 1 decides), but `1<=2 AND 5<=1` says no. Struct
+      // ordering compares the fields in order and treats null
+      // components as smallest, so a stored row with a NULL sequence
+      // stays updatable — bare `target.seq <= source.seq` would be
+      // NULL for it, freezing the row forever (the reference rewrite
+      // shares that hostility; diverging is a deliberate correctness
+      // choice, and the null-component semantics match MergeEngine's
+      // struct max). Without sequence.field the batch is NOT
+      // deduplicated (reference parity): several versions of one key
+      // in one INSERT raise Spark's MERGE cardinality error.
       val updateCond =
         if (seqFields.isEmpty) None
-        else Some(seqFields.map { s =>
-          val t0 = out(r.output, s)
-          Or(IsNull(t0), LessThanOrEqual(t0, out(source.output, s)))
-            .asInstanceOf[Expression]
-        }.reduce[Expression](And))
+        else Some(LessThanOrEqual(
+          CreateStruct(seqFields.map(s => out(r.output, s))),
+          CreateStruct(seqFields.map(s => out(source.output, s))))
+          .asInstanceOf[Expression])
       val assignments = r.output.zip(source.output).map { case (t, s2) =>
         Assignment(t, s2)
       }

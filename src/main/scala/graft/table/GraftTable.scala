@@ -617,9 +617,13 @@ final class GraftTable private (
   private def globalIndexStruct(sch: TableSchema): StructType = {
     val base = sch.toStruct
     def f(n: String) = base.fields(base.fieldIndex(n))
-    val ord = sch.sequenceField match {
-      case Some(s) => StructField("__gseq", f(s).dataType, nullable = true)
-      case None => StructField("__gseq", LongType, nullable = false)
+    val ord = sch.sequenceFields match {
+      case Seq() => StructField("__gseq", LongType, nullable = false)
+      case Seq(s) => StructField("__gseq", f(s).dataType, nullable = true)
+      // multi-field sequence: the index entry's __gseq is a struct of
+      // the fields in order — parquet stores it, and struct ordering
+      // in collapseIndex's max_by is exactly the lexicographic compare
+      case many => StructField("__gseq", StructType(many.map(f)), nullable = true)
     }
     StructType((sch.primaryKeys ++ sch.partitionKeys).map(f) :+ ord :+
       StructField("__cseq", LongType, nullable = false))
@@ -675,8 +679,11 @@ final class GraftTable private (
     val trigger = sch.options.getOrElse("global-index.compact-trigger", "32").toInt
     val bucketCol =
       pmod(xxhash64(pkCols: _*), lit(sch.numBuckets)).cast("int")
-    val batchGseq: Column =
-      sch.sequenceField.map(col).getOrElse(lit(base))
+    val batchGseq: Column = sch.sequenceFields match {
+      case Seq() => lit(base)
+      case Seq(s) => col(s)
+      case many => org.apache.spark.sql.functions.struct(many.map(col): _*)
+    }
     val batchIdx = batch.select((pkCols ++ parts.map(col) :+
       batchGseq.as("__gseq") :+ lit(base).as("__cseq")): _*)
 
@@ -691,7 +698,11 @@ final class GraftTable private (
         // cross-partition moves before this point have no retractions;
         // pruning only turns on from this commit's snapshot forward
         val raw = readRaw(live)
-        val bootGseq = sch.sequenceField.map(col).getOrElse(col(SeqCol))
+        val bootGseq = sch.sequenceFields match {
+          case Seq() => col(SeqCol)
+          case Seq(s) => col(s)
+          case many => org.apache.spark.sql.functions.struct(many.map(col): _*)
+        }
         Some(raw.select((pkCols ++ parts.map(col) :+
           bootGseq.as("__gseq") :+ col(SeqCol).as("__cseq")): _*))
       }
@@ -722,7 +733,7 @@ final class GraftTable private (
         val retractSel: Seq[Column] = tableFields.map { f =>
           if (pk.contains(f.name)) col(f.name)
           else if (parts.contains(f.name)) col(s"__old_${f.name}").as(f.name)
-          else if (sch.sequenceField.contains(f.name)) col(f.name)
+          else if (sch.sequenceFields.contains(f.name)) col(f.name)
           else lit(null).cast(f.dataType).as(f.name)
         } :+ lit(KindDelete).cast("byte").as(KindCol) :+ lit(base).as(SeqCol)
         val retractions = joined.filter(movedPred).select(retractSel: _*)
@@ -2309,36 +2320,52 @@ final class GraftTable private (
     }.toArray
     val seqOrd = outSchema.fieldIndex(SeqCol)
     val kindOrd = outSchema.fieldIndex(KindCol)
-    val seqField = sch.sequenceField.map(f =>
+    val seqFields = sch.sequenceFields.map(f =>
       (outSchema.fieldIndex(f), outSchema.fields(outSchema.fieldIndex(f)).dataType))
-    val sfOrdering0 = seqField.map { case (_, dt) =>
+    val sfOrderings = seqFields.map { case (_, dt) =>
       org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
-    }
+        .asInstanceOf[Ordering[Any]]
+    }.toArray
     // sequence.field.sort-order=descending: the SMALLEST sequence wins
-    // here too, or the point lookup would disagree with table scans
-    val sfOrdering = sfOrdering0.map { ord =>
-      if (sch.options.get("sequence.field.sort-order").contains("descending"))
-        ord.reverse.asInstanceOf[Ordering[Any]]
-      else ord
+    // here too, or the point lookup would disagree with table scans.
+    // The flip applies per COMPONENT after null handling (nulls stay
+    // smallest in both directions) — exactly MergeEngine's inverted-
+    // field struct ordering.
+    val descFlip =
+      sch.options.get("sequence.field.sort-order").contains("descending")
+    // lexicographic compare of sequence-field vectors (Seq[Any] with
+    // per-element nulls); single-field tables are the 1-element case
+    def compareSf(a: Seq[Any], b: Seq[Any]): Int = {
+      var i = 0
+      while (i < sfOrderings.length) {
+        val c = (a(i), b(i)) match {
+          case (null, null) => 0
+          case (null, _) => -1
+          case (_, null) => 1
+          case (x, y) =>
+            val c0 = sfOrderings(i).compare(x, y)
+            if (descFlip) -c0 else c0
+        }
+        if (c != 0) return c
+        i += 1
+      }
+      0
     }
-    // (sequence-field, _graft_seq) preorder shared by the streaming
+    // (sequence-fields…, _graft_seq) preorder shared by the streaming
     // and cached paths (nulls smallest, like the struct max semantics)
     def betterThan(sf: Any, s: Long, bSf: Any, bSeq: Long, hasBest: Boolean): Boolean =
-      !hasBest || (sfOrdering match {
-        case Some(ord) =>
-          val c = (bSf, sf) match {
-            case (null, null) => 0
-            case (null, _) => -1
-            case (_, null) => 1
-            case (a, b) => ord.compare(a, b)
-          }
+      !hasBest || {
+        if (seqFields.isEmpty) s > bSeq
+        else {
+          val c = compareSf(bSf.asInstanceOf[Seq[Any]], sf.asInstanceOf[Seq[Any]])
           c < 0 || (c == 0 && s > bSeq)
-        case None => s > bSeq
-      })
+        }
+      }
     def sfOf(row: org.apache.spark.sql.catalyst.InternalRow): Any =
-      seqField.map { case (o, dt) =>
+      if (seqFields.isEmpty) null
+      else seqFields.map { case (o, dt) =>
         if (row.isNullAt(o)) null else row.get(o, dt)
-      }.orNull
+      }
     def scanFile(e: ManifestEntry)(
         onRow: org.apache.spark.sql.catalyst.InternalRow => Unit): Unit = {
       val pf = graft.sources.GraftScanUtil.partitionedFile(path, e, partSchema)

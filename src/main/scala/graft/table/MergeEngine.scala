@@ -58,43 +58,46 @@ object MergeEngine {
 
   private def ordering(schema: TableSchema, arrivalTiebreak: Option[Column]): Column = {
     val tie = tiebreak(arrivalTiebreak)
-    schema.sequenceField match {
-      case Some(f) =>
-        // sequence.field.sort-order=descending (reference: CoreOptions
-        // SEQUENCE_FIELD_SORT_ORDER): the SMALLEST sequence value wins.
-        // The inversion must hold on the WHOLE domain: arithmetic
-        // negation maps Long.MinValue to itself (overflow), so integral
-        // fields invert via bitwise NOT (~x = -x-1, a strict
-        // order-reversing bijection with no overflow — agrees with
-        // localLookup's ord.reverse everywhere); fractional negation is
-        // overflow-free. Restricted to numeric sequence fields.
-        val desc = schema.options
-          .get("sequence.field.sort-order").contains("descending")
-        val seqCols: Seq[Column] =
-          if (!desc) Seq(col(f))
-          else schema.toStruct.fields.find(_.name == f).map(_.dataType) match {
-            case Some(org.apache.spark.sql.types.ByteType
-                      | org.apache.spark.sql.types.ShortType
-                      | org.apache.spark.sql.types.IntegerType
-                      | org.apache.spark.sql.types.LongType) =>
-              Seq(bitwise_not(col(f)))
-            case Some(org.apache.spark.sql.types.FloatType
-                      | org.apache.spark.sql.types.DoubleType) =>
-              // negation is NOT order-reversing at NaN (0 - NaN = NaN,
-              // and Spark sorts NaN above every value): a leading
-              // isnan flag makes NaN — the MAXIMUM of the original
-              // order — the MINIMUM of the descending one
-              Seq(when(isnan(col(f)), lit(0)).otherwise(lit(1)),
-                lit(0) - col(f))
-            case Some(_: org.apache.spark.sql.types.NumericType) =>
-              Seq(lit(0) - col(f)) // Decimal: no NaN, negation reverses
-            case other => throw new IllegalArgumentException(
-              "sequence.field.sort-order=descending needs a numeric " +
-                s"sequence field, got $other")
-          }
-        struct((seqCols :+ tie): _*)
-      case None => struct(tie)
+    val fields = schema.sequenceFields
+    if (fields.isEmpty) return struct(tie)
+    // sequence.field.sort-order=descending (reference: CoreOptions
+    // SEQUENCE_FIELD_SORT_ORDER): the SMALLEST sequence value wins.
+    // The inversion must hold on the WHOLE domain: arithmetic
+    // negation maps Long.MinValue to itself (overflow), so integral
+    // fields invert via bitwise NOT (~x = -x-1, a strict
+    // order-reversing bijection with no overflow — agrees with
+    // localLookup's component flip everywhere); fractional negation is
+    // overflow-free. Restricted to numeric sequence fields. With
+    // MULTIPLE sequence fields the comparison is lexicographic
+    // (struct ordering); descending inverts every component, which
+    // reverses the lexicographic order (nulls stay smallest in both
+    // directions, matching struct max semantics).
+    val desc = schema.options
+      .get("sequence.field.sort-order").contains("descending")
+    val seqCols: Seq[Column] = fields.flatMap { f =>
+      if (!desc) Seq(col(f))
+      else schema.toStruct.fields.find(_.name == f).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.ByteType
+                  | org.apache.spark.sql.types.ShortType
+                  | org.apache.spark.sql.types.IntegerType
+                  | org.apache.spark.sql.types.LongType) =>
+          Seq(bitwise_not(col(f)))
+        case Some(org.apache.spark.sql.types.FloatType
+                  | org.apache.spark.sql.types.DoubleType) =>
+          // negation is NOT order-reversing at NaN (0 - NaN = NaN,
+          // and Spark sorts NaN above every value): a leading
+          // isnan flag makes NaN — the MAXIMUM of the original
+          // order — the MINIMUM of the descending one
+          Seq(when(isnan(col(f)), lit(0)).otherwise(lit(1)),
+            lit(0) - col(f))
+        case Some(_: org.apache.spark.sql.types.NumericType) =>
+          Seq(lit(0) - col(f)) // Decimal: no NaN, negation reverses
+        case other => throw new IllegalArgumentException(
+          "sequence.field.sort-order=descending needs a numeric " +
+            s"sequence field, got $other")
+      }
     }
+    struct((seqCols :+ tie): _*)
   }
 
   private def tiebreak(arrivalTiebreak: Option[Column]): Column =
@@ -175,7 +178,7 @@ object MergeEngine {
           // a tombstone emitted with a nulled sequence would sort
           // below the rows it is meant to kill in later cross-file
           // merges and resurrect them
-          if (schema.sequenceField.contains(c)) max_by(col(c), ord).as(c)
+          if (schema.sequenceFields.contains(c)) max_by(col(c), ord).as(c)
           else max_by(col(c), when(col("__alive") && col(c).isNotNull, ord)).as(c)
         } ++ Seq(seqAgg.as(Meta.SeqCol),
           when(max(when(col("__alive"), 1).otherwise(0)) === 1, Meta.KindInsert)
@@ -311,7 +314,7 @@ object MergeEngine {
     // default — summing the ordering column would corrupt it.
     def fnOf(c: String) = schema.options.getOrElse(
       s"fields.$c.aggregate-function",
-      if (schema.sequenceField.contains(c)) "last_non_null_value"
+      if (schema.sequenceFields.contains(c)) "last_non_null_value"
       else schema.options.getOrElse("fields.default-aggregate-function",
         "last_non_null_value"))
     // aggregation.remove-record-on-delete (reference:
@@ -334,7 +337,7 @@ object MergeEngine {
             !isDel && (col("__last_del").isNull || ord > col("__last_del")))
         // dead rows contribute NOTHING: null every value column
         val cols = raw.columns.map { c =>
-          if (valueCols.contains(c) && !schema.sequenceField.contains(c))
+          if (valueCols.contains(c) && !schema.sequenceFields.contains(c))
             when(col("__agg_alive"), col(c)).as(c)
           else col(c)
         }.toIndexedSeq :+ col("__agg_alive")

@@ -312,4 +312,51 @@ class SequenceGroupSpec extends AnyFunSuite {
     assert(items.length == 1)
     assert(items.head.getString(1) == "x1" && items.head.getString(2) == "y2")
   }
+
+  test("multi-column sequence.field compares lexicographically: (2,1) beats " +
+    "(1,5), ties on the first field fall to the second, across merge, " +
+    "point lookup and the upsert-key stale guard") {
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true),
+      StructField("s1", LongType, nullable = true),
+      StructField("s2", LongType, nullable = true)))
+    def df(rows: (Long, String, java.lang.Long, java.lang.Long)*) =
+      spark.createDataFrame(
+        rows.map(r => Row(r._1, r._2, r._3, r._4)).asJava, sch)
+    // ---- PK merge: the reference compares the fields in order
+    // (CoreOptions SEQUENCE_FIELD list + SequenceGenerator)
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "s1,s2", "bucket" -> "2"))
+    t.write(df((1L, "old", 1L, 5L), (2L, "tie-lo", 7L, 1L)))
+    t.write(df((1L, "new", 2L, 1L), (2L, "tie-hi", 7L, 2L)))
+    val got = t.read.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "new", 2L -> "tie-hi"), s"got $got")
+    // a LOWER first field loses even with a higher second field
+    t.write(df((1L, "stale", 1L, 99L)))
+    assert(t.read.filter(col("k") === 1L).head.getString(1) == "new")
+    // point lookup agrees with the scan (shared preorder)
+    val viaLookup = t.localLookup(Map("k" -> 1L)).head.getString(1)
+    assert(viaLookup == "new", s"lookup said $viaLookup")
+    // ---- upsert-key append table: stored (1,5) vs incoming (2,1)
+    // must UPDATE (field 1 decides); a per-field AND would freeze it
+    val wh = Files.createTempDirectory("graft-seq2-wh").toString
+    graft.queries.withGraftExtensions(spark) { s3 =>
+      s3.conf.set("spark.sql.catalog.seq2", "graft.sources.GraftCatalog")
+      s3.conf.set("spark.sql.catalog.seq2.warehouse", wh)
+      s3.sql("CREATE NAMESPACE IF NOT EXISTS seq2.db")
+      s3.sql("""CREATE TABLE seq2.db.u (k BIGINT, v STRING, s1 BIGINT, s2 BIGINT)
+               |TBLPROPERTIES ('upsert-key'='k', 'sequence.field'='s1,s2')""".stripMargin)
+      s3.sql("INSERT INTO seq2.db.u VALUES (1, 'old', 1, 5)")
+      s3.sql("INSERT INTO seq2.db.u VALUES (1, 'new', 2, 1)") // lexicographically newer
+      assert(s3.sql("SELECT v FROM seq2.db.u WHERE k = 1").head.getString(0) == "new")
+      s3.sql("INSERT INTO seq2.db.u VALUES (1, 'stale', 1, 99)") // lexicographically older
+      assert(s3.sql("SELECT v FROM seq2.db.u WHERE k = 1").head.getString(0) == "new")
+      // batch dedup also orders lexicographically: both versions in ONE
+      // insert keep the (3,0) row over (2,9)
+      s3.sql("INSERT INTO seq2.db.u VALUES (1, 'l29', 2, 9), (1, 'l30', 3, 0)")
+      assert(s3.sql("SELECT v FROM seq2.db.u WHERE k = 1").head.getString(0) == "l30")
+    }
+  }
 }
