@@ -30,14 +30,18 @@ import org.apache.spark.sql.types._
 object GraftLookupService {
 
   final class Handle(server: HttpServer,
-      pool: java.util.concurrent.ExecutorService) {
+      pool: java.util.concurrent.ExecutorService,
+      servedCount: java.util.concurrent.atomic.AtomicLong) {
     def port: Int = server.getAddress.getPort
     def uri: String = s"http://127.0.0.1:$port"
     def stop(): Unit = { server.stop(0); pool.shutdown() }
+    /** Lookups this instance actually SERVED (sharding spec surface:
+      * proves a shard only receives its own buckets' traffic). */
+    def served: Long = servedCount.get()
   }
 
   /** Coerce a query-string value to the primary-key column's type. */
-  private def coerce(s: String, dt: DataType): Any = dt match {
+  private[sources] def coerce(s: String, dt: DataType): Any = dt match {
     case LongType => s.toLong
     case IntegerType => s.toInt
     case ShortType => s.toShort
@@ -71,7 +75,20 @@ object GraftLookupService {
     case x => x
   }
 
-  def start(warehouse: String, token: String): Handle = {
+  /** @param shard optional (index, count) bucket-range ownership
+    *   (reference: paimon-service spreads bucket ownership across
+    *   KvQueryServer nodes): a server with shard (i, n) serves only
+    *   keys whose fixed bucket b satisfies floorMod(b, n) == i, and
+    *   answers 421 with the owning shard index otherwise — a
+    *   misrouted client gets a loud redirect, never silent wrong/slow
+    *   service. Dynamic-bucket tables (no computable hash bucket)
+    *   serve on any shard. */
+  def start(warehouse: String, token: String,
+      shard: Option[(Int, Int)] = None): Handle = {
+    shard.foreach { case (i, n) =>
+      require(n > 0 && i >= 0 && i < n, s"bad shard ($i, $n)")
+    }
+    val servedCount = new java.util.concurrent.atomic.AtomicLong
     // the JDK server's default (Nagle on) interacts with delayed ACK
     // into ~40 ms per request on Linux loopback — read by ServerConfig
     // on first server creation, so set before create()
@@ -131,12 +148,22 @@ object GraftLookupService {
                   val fields = sch.toStruct
                   val keyValues = pk.map(k =>
                     k -> coerce(params(k), fields(k).dataType)).toMap
-                  // top-level rows from the local fast path carry no
-                  // schema — name them from the table's struct
-                  val names = fields.fieldNames.toSeq
-                  val rows = table.localLookup(keyValues)
-                    .map(r => names.zip(r.toSeq.map(jsonable)).toMap)
-                  respond(x, 200, graft.core.Json.write(rows))
+                  val owner = shard.flatMap { case (_, n) =>
+                    table.pkBucketFor(keyValues)
+                      .map(b => java.lang.Math.floorMod(b, n))
+                  }
+                  if (owner.exists(o => !shard.map(_._1).contains(o)))
+                    respond(x, 421, graft.core.Json.write(Map(
+                      "error" -> "wrong shard", "owner" -> owner.get)))
+                  else {
+                    // top-level rows from the local fast path carry no
+                    // schema — name them from the table's struct
+                    val names = fields.fieldNames.toSeq
+                    val rows = table.localLookup(keyValues)
+                      .map(r => names.zip(r.toSeq.map(jsonable)).toMap)
+                    servedCount.incrementAndGet()
+                    respond(x, 200, graft.core.Json.write(rows))
+                  }
                 }
               }
             case _ => respond(x, 400, """{"error":"invalid identifier"}""")
@@ -155,8 +182,38 @@ object GraftLookupService {
       (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
     server.setExecutor(pool)
     server.start()
-    new Handle(server, pool)
+    new Handle(server, pool, servedCount)
   }
+}
+
+/** Client-side routing for a bucket-sharded service fleet (reference
+  * role: RemoteTableQuery's bucket→server dispatch). The router runs
+  * where a table handle exists (driver / feature-pipeline side) and
+  * computes the same bucket hash the write path uses; the selected
+  * shard's URI then takes a plain [[GraftLookupClient.lookup]]. */
+object GraftLookupRouter {
+
+  /** Which of `numShards` servers owns this key. String key values
+    * coerce by the table's declared types (same rules as the HTTP
+    * endpoint). Dynamic-bucket tables have no computable hash bucket
+    * — every shard can serve them, so route to shard 0. */
+  def shardFor(gt: GraftTable, keys: Map[String, String], numShards: Int): Int = {
+    require(numShards > 0, s"bad shard count $numShards")
+    val fields = gt.schema.toStruct
+    val typed = keys.map { case (k, v) =>
+      k -> GraftLookupService.coerce(v, fields(k).dataType) }
+    gt.pkBucketFor(typed)
+      .map(b => java.lang.Math.floorMod(b, numShards)).getOrElse(0)
+  }
+
+  /** Route + lookup in one call against a fleet of shard URIs (index
+    * i = shard i of `uris.length`). */
+  def lookup(
+      gt: GraftTable, uris: Seq[String], token: String,
+      ns: String, table: String,
+      keys: Map[String, String]): Seq[Map[String, Any]] =
+    GraftLookupClient.lookup(
+      uris(shardFor(gt, keys, uris.length)), token, ns, table, keys)
 }
 
 /** Spark-free consumer of [[GraftLookupService]] (reference role:

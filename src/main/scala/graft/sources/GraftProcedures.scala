@@ -273,6 +273,17 @@ object GraftProcedures {
           if (rest.isEmpty) null else rest.mkString(","))
         "ok"
       }),
+    // incremental read between an auto tag and its predecessor
+    // (reference: paimon_incremental_to_auto_tag TVF) — the lazy
+    // DataFrame registers as a temp view like incremental_query
+    "incremental_to_auto_tag" -> (Seq(
+      p("table", StringType), p("tag", StringType), p("view", StringType)),
+      (t, args) => {
+        val v = args.getUTF8String(2).toString
+        t.incrementalToAutoTag(args.getUTF8String(1).toString)
+          .createOrReplaceTempView(v)
+        s"view $v"
+      }),
     "incremental_between_timestamp" -> (Seq(
       p("table", StringType), p("from_millis", LongType),
       p("to_millis", LongType), p("view", StringType)),

@@ -2277,6 +2277,14 @@ final class GraftTable private (
       .map(h => java.lang.Math.floorMod(h, sch.effectiveBuckets.toLong).toInt)
   }
 
+  /** The fixed bucket a fully-bound primary key hashes to — the
+    * routing basis for bucket-sharded serving (reference:
+    * paimon-service spreads bucket ownership across service nodes).
+    * None for dynamic-bucket tables (assignment lives in the index,
+    * not the hash) and null key components. */
+  def pkBucketFor(keyValues: Map[String, Any]): Option[Int] =
+    directPkBucket(schema, keyValues)
+
   def localLookup(keyValues: Map[String, Any]): Seq[org.apache.spark.sql.Row] = {
     val sch = schema
     if (!isPrimaryKeyTable || sch.isDynamicBucket ||
@@ -3058,6 +3066,37 @@ final class GraftTable private (
     * Append-table files dropped outright (partition drop / full-file
     * delete) emit their surviving rows as -D. PK-table deletes arrive
     * as -D kinded rows in the delta files themselves. */
+  /** Incremental read ending at an AUTO tag, starting from the auto
+    * tag that precedes it (reference: PaimonTableValuedFunctions
+    * .scala:43-49 `paimon_incremental_to_auto_tag` +
+    * IncrementalDiffStartingScanner.toEndAutoTag): the end tag must
+    * match the table's auto-tag period format; a missing end tag or no
+    * earlier auto tag yields an EMPTY result (the reference's
+    * EmptyResultStartingScanner), never an error. Auto-tag names
+    * (`yyyy-MM-dd` daily / `yyyy-MM-dd-HH` hourly, UTC) sort
+    * lexicographically in chronological order, so "latest earlier tag"
+    * is a plain string max. */
+  def incrementalToAutoTag(endTag: String): DataFrame = {
+    val daily =
+      schema.options.getOrElse("tag.creation-period", "daily") == "daily"
+    val pat =
+      if (daily) "\\d{4}-\\d{2}-\\d{2}" else "\\d{4}-\\d{2}-\\d{2}-\\d{2}"
+    require(endTag.matches(pat),
+      s"tag '$endTag' is not an auto-created tag (expected $pat)")
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(struct.fields :+
+        StructField("_row_kind", org.apache.spark.sql.types.StringType)))
+    val tags = sm.tags
+    if (!tags.contains(endTag)) return empty
+    val prev = tags.keys.filter(n => n.matches(pat) && n < endTag)
+      .maxOption.getOrElse(return empty)
+    (for {
+      from <- sm.tagSnapshot(prev).map(_.id)
+      to <- sm.tagSnapshot(endTag).map(_.id)
+    } yield incrementalRead(from, to)).getOrElse(empty)
+  }
+
   def incrementalRead(fromExclusive: Long, toInclusive: Long): DataFrame = {
     val ids = sm.snapshotIds.filter(i => i > fromExclusive && i <= toInclusive)
     val idSet = ids.toSet

@@ -126,4 +126,44 @@ class LookupServiceSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll
         s"steady-state lookups scheduled ${jobs.get() - warm} Spark jobs")
     } finally sc.removeSparkListener(listener)
   }
+
+  test("bucket-sharded fleet: the router sends each key to the shard owning " +
+    "its bucket, every shard serves ONLY its buckets, misroutes get 421") {
+    import graft.sources.GraftLookupRouter
+    val t = seed()
+    val s0 = GraftLookupService.start(warehouse, "kv-secret", shard = Some((0, 2)))
+    val s1 = GraftLookupService.start(warehouse, "kv-secret", shard = Some((1, 2)))
+    try {
+      val uris = Seq(s0.uri, s1.uri)
+      val ids = (8L until 30L).toSeq // 0-7 may be deleted by earlier tests
+      val expectedShard = ids.map { i =>
+        i -> GraftLookupRouter.shardFor(t, Map("id" -> i.toString), 2)
+      }.toMap
+      // routing is the write path's bucket hash mod shards
+      ids.foreach { i =>
+        val b = t.pkBucketFor(Map("id" -> i)).get
+        assert(expectedShard(i) == java.lang.Math.floorMod(b, 2))
+      }
+      assert(expectedShard.values.toSet == Set(0, 1), "both shards get traffic")
+      // routed lookups all succeed and return the right row
+      ids.foreach { i =>
+        val rows = GraftLookupRouter.lookup(
+          t, uris, "kv-secret", "db", "users", Map("id" -> i.toString))
+        assert(rows.map(_("id").toString) == Seq(i.toString), s"id $i: $rows")
+      }
+      // each shard served exactly the keys routed to it — nothing else
+      assert(s0.served == expectedShard.values.count(_ == 0).toLong)
+      assert(s1.served == expectedShard.values.count(_ == 1).toLong)
+      // a misrouted request is refused loudly with the owning shard
+      val wrongId = ids.find(i => expectedShard(i) == 1).get
+      val err = intercept[RuntimeException] {
+        GraftLookupClient.lookup(
+          s0.uri, "kv-secret", "db", "users", Map("id" -> wrongId.toString))
+      }
+      assert(err.getMessage.contains("421") && err.getMessage.contains("wrong shard"),
+        err.getMessage)
+      assert(s0.served == expectedShard.values.count(_ == 0).toLong,
+        "a refused misroute never counts as served")
+    } finally { s0.stop(); s1.stop() }
+  }
 }

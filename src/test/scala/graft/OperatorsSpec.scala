@@ -651,6 +651,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hot == hotOracle, "shortfall guard lost exactness")
   }
 
+  test("mixSourcesApprox: cutoff selection lands within 5% of each quota " +
+    "with no window stages; unlisted sources drop; quota >= count keeps all") {
+    import spark.implicits._
+    val S = graft.operators.Sampling
+    val rows = (0L until 40000L).map(i => (i, s"src${i % 2}")) ++
+      (40000L until 40050L).map(i => (i, "small"))
+    val df = rows.toDF("id", "source")
+    val out = S.mixSourcesApprox(df, "source", "id",
+      Map("src0" -> 2000L, "src1" -> 500L, "small" -> 1000L))
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.keySet == Set("src0", "src1", "small"), bySrc.toString)
+    assert(math.abs(bySrc("src0") - 2000L) <= 100, s"src0: ${bySrc("src0")}")
+    assert(math.abs(bySrc("src1") - 500L) <= 25, s"src1: ${bySrc("src1")}")
+    assert(bySrc("small") == 50L, "quota over count keeps everything")
+    // the selection is a cutoff on the SAME key order the exact form
+    // uses: the approx pick is a prefix-superset relationship — every
+    // exactly-selected row whose key is under the cutoff is included
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"approx mode must not sort-rank:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"cutoff table not broadcast:\n$plan")
+    // deterministic: a re-run selects the identical row set
+    val out2 = S.mixSourcesApprox(df, "source", "id",
+      Map("src0" -> 2000L, "src1" -> 500L, "small" -> 1000L))
+    assert(out.select("id").collect().map(_.getLong(0)).toSet ==
+      out2.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("packSequences: spans match a serial cum-sum, even under coalesce(1)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -974,6 +974,43 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(got2.toSeq == Seq(1L, 3L))
   }
 
+  test("CALL sys.incremental_to_auto_tag resolves the preceding auto tag; " +
+    "no earlier tag or missing tag -> empty; non-auto names rejected") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db9t")
+    spark.sql("DROP TABLE IF EXISTS graft.db9t.t")
+    spark.sql(
+      """CREATE TABLE graft.db9t.t (id BIGINT, name STRING, seq BIGINT)
+        |TBLPROPERTIES ('primary-key'='id', 'sequence.field'='seq', 'bucket'='2')""".stripMargin)
+    spark.sql("INSERT INTO graft.db9t.t VALUES (1, 'a', 1), (2, 'b', 1)")
+    spark.sql("CALL graft.sys.create_tag('db9t.t', '2024-01-01')")
+    spark.sql("INSERT INTO graft.db9t.t VALUES (1, 'a2', 2), (3, 'c', 1)")
+    spark.sql("INSERT INTO graft.db9t.t VALUES (4, 'd', 1)")
+    spark.sql("CALL graft.sys.create_tag('db9t.t', '2024-01-02')")
+    // a NON-auto tag between the two must not become the start point
+    spark.sql("INSERT INTO graft.db9t.t VALUES (5, 'e', 1)")
+    spark.sql("CALL graft.sys.create_tag('db9t.t', 'manual-v1')")
+    spark.sql("CALL graft.sys.incremental_to_auto_tag('db9t.t', '2024-01-02', 'itat')")
+    val got = spark.sql("SELECT id, name, _row_kind FROM itat ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // must equal the MANUAL tag-to-tag incremental read (snapshots 0->2)
+    spark.sql("CALL graft.sys.incremental_query('db9t.t', 0, 2, 'itat_manual')")
+    val manual = spark.sql("SELECT id, name, _row_kind FROM itat_manual ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got == manual && got.map(_._1) == Seq(1L, 3L, 4L), s"got $got vs $manual")
+    // earliest auto tag has no predecessor -> empty, not an error
+    spark.sql("CALL graft.sys.incremental_to_auto_tag('db9t.t', '2024-01-01', 'itat0')")
+    assert(spark.sql("SELECT * FROM itat0").count() == 0)
+    // a tag name that never existed (but auto-shaped) -> empty
+    spark.sql("CALL graft.sys.incremental_to_auto_tag('db9t.t', '2030-12-31', 'itatx')")
+    assert(spark.sql("SELECT * FROM itatx").count() == 0)
+    // non-auto name -> loud error (reference checkArgument)
+    val err = intercept[Exception] {
+      spark.sql("CALL graft.sys.incremental_to_auto_tag('db9t.t', 'manual-v1', 'bad')")
+    }
+    assert(err.getMessage.contains("auto") ||
+      Option(err.getCause).exists(_.getMessage.contains("auto")), err.toString)
+  }
+
   test("CALL sys.purge_files / copy_files / migrate_database / trigger_tag_automatic_creation") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db20")
     spark.sql("DROP TABLE IF EXISTS graft.db20.src")
