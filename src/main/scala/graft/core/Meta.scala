@@ -103,6 +103,26 @@ object Meta {
     def sequenceFields: Seq[String] = options.get("sequence.field")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+
+    /** Bucket distribution columns (reference: CoreOptions.BUCKET_KEY):
+      * explicit `bucket-key` (comma-separated, hashed in THIS order),
+      * defaulting to the primary key. PK tables require bucket-key ⊆
+      * primary key (create-time validated); append tables may set it
+      * to become bucketed-append. Every bucket consumer — writer
+      * routing, equality pruning, point lookup, compaction rewrite,
+      * storage-partitioned join reporting, shard routing — derives
+      * from THIS list so the hash can never drift between sites. */
+    def bucketKeys: Seq[String] = options.get("bucket-key")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+      .getOrElse(primaryKeys)
+
+    /** Append table explicitly distributed by `bucket-key` into fixed
+      * buckets (reference: bucketed append tables — BucketMode
+      * HASH_FIXED without a primary key). Unbucketed append tables
+      * (no bucket-key) write bucket 0 and never bucket-prune. */
+    def isBucketedAppend: Boolean =
+      primaryKeys.isEmpty && options.contains("bucket-key") && numBuckets > 0
   }
 
   /** `CHAR(n)` / `VARCHAR(n)` field DDL. */

@@ -1825,6 +1825,30 @@ object Storage {
       t.read.select(col("dt"), col("k"), col("v"))
     },
 
+    // ---- bucket-key (reference: CoreOptions.BUCKET_KEY): a keyless
+    // table distributed into fixed buckets by the declared key — the
+    // bucket-key equality half of the predicate prunes to ONE bucket's
+    // files, and the oracle recomputes from raw parquet so a routing
+    // or pruning bug (row in the wrong bucket, bucket wrongly skipped)
+    // is a row diff, not just a slow plan.
+    QDef(
+      "g73_bucket_key",
+      """SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_orderkey = 1 OR l_orderkey % 1000 = 7
+        |GROUP BY l_orderkey""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val t = GraftTable.create(s, scratch("g73"), src.schema,
+        options = Map("bucket-key" -> "l_orderkey", "bucket" -> "8"))
+      t.write(src.repartition(8))
+      // the single-key arm exercises bucket pruning; the modulo arm
+      // proves non-pruned buckets still serve complete rows
+      t.scan(col("l_orderkey") === 1L || col("l_orderkey") % 1000 === 7)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(col("l_quantity").cast("decimal(18,2)"))).as("qty"))
+    },
+
     // ---- materialized table (reference: CoreOptions
     // materialized-table.* — definition query stored as table metadata,
     // refreshed here by CALL sys.refresh_materialized_table): the gate

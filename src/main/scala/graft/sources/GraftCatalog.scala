@@ -949,11 +949,20 @@ class GraftScanBuilder(gt: GraftTable, snapshot0: Option[Long], full: StructType
               entries.takeWhile { e => val need = acc < n; acc += e.file.rowCount; need }
             case _ => entries
           }
-          new GraftBatchScan(gt, limited, dataSchema, readData, readPart,
+          // bucketed-append tables report their bucket partitioning so
+          // equi-joins on the bucket key between identically-bucketed
+          // tables skip the shuffle — same SPJ surface as compacted PK
+          // tables. Skipped when topN/limit trimmed the entry set (a
+          // partial bucket would misreport the partitioning).
+          if (sch.isBucketedAppend && topN.isEmpty && limit.isEmpty)
+            new GraftBucketedScan(gt, limited, dataSchema, readData, readPart,
+              dataFilters, required, sch.numBuckets, sch.bucketKeys,
+              readOptions)
+          else new GraftBatchScan(gt, limited, dataSchema, readData, readPart,
             dataFilters, required, readOptions)
         } else if (compactedPk && !sch.isDynamicBucket) {
           new GraftBucketedScan(gt, entries, dataSchema, readData, readPart,
-            dataFilters, required, sch.effectiveBuckets, sch.primaryKeys,
+            dataFilters, required, sch.effectiveBuckets, sch.bucketKeys,
             readOptions)
         } else if (compactedPk) {
           new GraftBatchScan(gt, entries, dataSchema, readData, readPart,

@@ -347,7 +347,8 @@ final class GraftTable private (
       } else preMerged
         .withColumn(SeqCol, lit(base))
         .withColumn("__bucket",
-          pmod(xxhash64(pk.map(col).toIndexedSeq: _*), lit(sch.numBuckets)).cast("int"))
+          pmod(xxhash64(sch.bucketKeys.map(col).toIndexedSeq: _*),
+            lit(sch.numBuckets)).cast("int"))
         .repartition(sch.numBuckets, col("__bucket"))
     val deletesFor: Seq[ManifestEntry] => Seq[ManifestEntry] = added => {
       if (!overwrite) Seq.empty
@@ -678,7 +679,8 @@ final class GraftTable private (
     val live = snap.map(sm.liveEntries).getOrElse(Seq.empty)
     val trigger = sch.options.getOrElse("global-index.compact-trigger", "32").toInt
     val bucketCol =
-      pmod(xxhash64(pkCols: _*), lit(sch.numBuckets)).cast("int")
+      pmod(xxhash64(sch.bucketKeys.map(col).toIndexedSeq: _*),
+        lit(sch.numBuckets)).cast("int")
     val batchGseq: Column = sch.sequenceFields match {
       case Seq() => lit(base)
       case Seq(s) => col(s)
@@ -1379,9 +1381,33 @@ final class GraftTable private (
     // length semantics live on the shared commit path (not only the
     // write()/overwrite() entry points) so every producer — DML,
     // streaming sink, procedures — stores consistent CHAR padding
-    val out = clusterForWrite(
-      enforceCharVarchar(df, sch)
-        .select(sch.toStruct.fieldNames.map(col).toIndexedSeq: _*), sch)
+    val pre = enforceCharVarchar(df, sch)
+      .select(sch.toStruct.fieldNames.map(col).toIndexedSeq: _*)
+    // bucketed append (bucket-key on a keyless table): rows route to
+    // fixed buckets by the declared key hash, one task per bucket —
+    // equality predicates on the bucket key then prune to one bucket's
+    // files, and identically-bucketed append tables join shuffle-free
+    // through the bucketed scan (reference: BucketMode HASH_FIXED
+    // without a primary key). clustering.columns then sorts WITHIN
+    // each bucket (the global range-cluster would undo the routing).
+    val out =
+      if (!sch.isBucketedAppend) clusterForWrite(pre, sch)
+      else {
+        val routed = pre
+          .withColumn("__bucket",
+            pmod(xxhash64(sch.bucketKeys.map(col).toIndexedSeq: _*),
+              lit(sch.numBuckets)).cast("int"))
+          .repartition(sch.numBuckets, col("__bucket"))
+        sch.options.get("clustering.columns")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .filter(_.nonEmpty) match {
+          case Some(cs) => routed.sortWithinPartitions(cs.map(col): _*)
+          case None => routed
+        }
+      }
+    val partitionBy =
+      if (sch.isBucketedAppend) sch.partitionKeys :+ "__bucket"
+      else sch.partitionKeys
     // partitions live before an overwrite commit — captured inside the
     // deletes closure (which runs under the commit) so the post-commit
     // HMS drop mirror diffs the exact set the overwrite replaced
@@ -1404,7 +1430,7 @@ final class GraftTable private (
         victims.map(_.copy(kind = "DELETE"))
       }
     }
-    val id = commitFilesFn(out, sch, sch.partitionKeys,
+    val id = commitFilesFn(out, sch, partitionBy,
       if (overwrite) KindOverwrite else KindAppend, base, commitIdentifier, deletes)
     // a STATIC overwrite (or an empty overwrite batch) removes every
     // partition absent from the batch — those disappearances must
@@ -2002,7 +2028,8 @@ final class GraftTable private (
     // branch; partition pruning applies post-composition via Catalyst
     if (isChainMain) return chainRead.filter(filter)
     val snap = sm.latestSnapshotId.map(sm.snapshot)
-    val entries = snap.map(pruneEntries(_, filter)).getOrElse(Seq.empty)
+    val entries = bucketNarrow(
+      snap.map(pruneEntries(_, filter)).getOrElse(Seq.empty), filter)
     mergedFromEntries(withFallbackEntries(entries, Some(filter))).filter(filter)
   }
 
@@ -2021,8 +2048,22 @@ final class GraftTable private (
     val planned = snap.map(pruneEntries(_, filter)).getOrElse(Seq.empty)
     // fallback-branch partitions only augment CURRENT-state plans;
     // time travel stays exactly the branch's own history
-    if (snapshotId.isEmpty) withFallbackEntries(planned, Some(filter)) else planned
+    bucketNarrow(
+      if (snapshotId.isEmpty) withFallbackEntries(planned, Some(filter)) else planned,
+      filter)
   }
+
+  /** Drop files of other buckets when the filter pins every bucket key
+    * by equality — a point query on a fixed-bucket table (PK or
+    * bucketed-append) opens one bucket's files instead of the table.
+    * Staged/unassigned buckets (< 0) always survive: their rows are
+    * not hash-addressed yet. */
+  private def bucketNarrow(
+      entries: Seq[ManifestEntry], filter: Column): Seq[ManifestEntry] =
+    pkEqualityBucket(filter) match {
+      case Some(b) => entries.filter(e => e.bucket == b || e.bucket < 0)
+      case None => entries
+    }
 
   // ================= scan-level pushdowns =================
 
@@ -2216,7 +2257,7 @@ final class GraftTable private (
         val keyDf = emptyDf().sparkSession.range(1).select(
           sch.primaryKeys.map(k => lit(keyValues(k)).as(k)).toIndexedSeq: _*)
         val bucket = keyDf.select(
-          pmod(xxhash64(sch.primaryKeys.map(col).toIndexedSeq: _*),
+          pmod(xxhash64(sch.bucketKeys.map(col).toIndexedSeq: _*),
             lit(sch.effectiveBuckets)).cast("int").as("b")).head.getInt(0)
         pruned.filter(_.bucket == bucket)
       }
@@ -2273,7 +2314,7 @@ final class GraftTable private (
   private def directPkBucket(
       sch: TableSchema, keyValues: Map[String, Any]): Option[Int] = {
     if (sch.isDynamicBucket) return None
-    driverHashFold(sch, sch.primaryKeys, keyValues)
+    driverHashFold(sch, sch.bucketKeys, keyValues)
       .map(h => java.lang.Math.floorMod(h, sch.effectiveBuckets.toLong).toInt)
   }
 
@@ -3652,8 +3693,11 @@ final class GraftTable private (
         } else m.withColumn("__bucket",
           // postpone tables: compaction is WHERE bucket assignment
           // happens — the staged bucket=-2 rows hash into
-          // postpone.default-bucket-num real buckets here
-          pmod(xxhash64(sch.primaryKeys.map(col).toIndexedSeq: _*),
+          // postpone.default-bucket-num real buckets here (postpone
+          // forbids bucket-key, so bucketKeys = pk there; rescale of a
+          // bucket-key table re-routes by the SAME columns the writer
+          // used)
+          pmod(xxhash64(sch.bucketKeys.map(col).toIndexedSeq: _*),
             lit(sch.effectiveBuckets)).cast("int"))
       } else readAppendData(old) // applies deletion vectors before rewrite
     val partitionBy =
@@ -4865,6 +4909,11 @@ final class GraftTable private (
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal, XxHash64Function}
     val sch = schema
     if (sch.isDynamicBucket) return None
+    // hashing zero columns would "prune" to bucket hash(seed)=42%n —
+    // only tables with a real distribution key participate
+    val bk = sch.bucketKeys
+    if (bk.isEmpty || (sch.primaryKeys.isEmpty && !sch.isBucketedAppend))
+      return None
     val analyzed = emptyDf().filter(cond).queryExecution.analyzed.collectFirst {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }.getOrElse(return None)
@@ -4872,9 +4921,12 @@ final class GraftTable private (
       case EqualTo(a: AttributeReference, l: Literal) => a.name -> l
       case EqualTo(l: Literal, a: AttributeReference) => a.name -> l
     }.toMap
-    if (!sch.primaryKeys.forall(k => eq.get(k).exists(_.value != null))) return None
+    // equality on the BUCKET KEYS alone suffices — with bucket-key ⊂
+    // primary key this prunes queries that bind only the distribution
+    // columns, which the full-pk requirement used to miss
+    if (!bk.forall(k => eq.get(k).exists(_.value != null))) return None
     var h = 42L
-    sch.primaryKeys.foreach { k =>
+    bk.foreach { k =>
       val l = eq(k)
       h = XxHash64Function.hash(l.value, l.dataType, h)
     }
@@ -5317,8 +5369,8 @@ final class GraftTable private (
       }
     } else {
       val srcBuckets = src
-        .select(pmod(xxhash64(pk.map(col).toIndexedSeq: _*), lit(sch.effectiveBuckets))
-          .cast("int").as("__b"))
+        .select(pmod(xxhash64(sch.bucketKeys.map(col).toIndexedSeq: _*),
+          lit(sch.effectiveBuckets)).cast("int").as("__b"))
         .distinct().collect().map(_.getInt(0)).toSet
       liveNow.filter(e => srcBuckets.contains(e.bucket))
     }
@@ -5835,6 +5887,22 @@ object GraftTable {
       val cols = uk.split(",").map(_.trim).filter(_.nonEmpty)
       require(cols.nonEmpty && cols.forall(c => schema.fields.exists(_.name == c)),
         s"upsert-key columns must exist in the schema: $uk")
+    }
+    // bucket-key (reference: CoreOptions.BUCKET_KEY +
+    // SchemaValidation's "Primary key constraint should include all
+    // bucket keys"): explicit distribution columns. PK tables hash a
+    // SUBSET of the key; append tables become bucketed-append. Fixed
+    // buckets only — dynamic (-1) assigns via the index and postpone
+    // (-2) defers assignment to compaction, both keyed by the pk.
+    options.get("bucket-key").foreach { bk =>
+      val cols = bk.split(",").map(_.trim).filter(_.nonEmpty)
+      require(cols.nonEmpty && cols.forall(c => schema.fields.exists(_.name == c)),
+        s"bucket-key columns must exist in the schema: $bk")
+      require(primaryKeys.isEmpty || cols.forall(primaryKeys.contains),
+        s"primary key (${primaryKeys.mkString(",")}) must include all " +
+          s"bucket keys ($bk)")
+      require(ts.numBuckets > 0,
+        s"bucket-key requires fixed buckets (bucket > 0), got ${ts.numBuckets}")
     }
     // parsed inside the commit-coupled expire path — validate up front
     // so a typo'd value ('10s') fails HERE, not on every later commit
