@@ -755,6 +755,14 @@ class GraftScanBuilder(gt: GraftTable, snapshot0: Option[Long], full: StructType
         throw new IllegalArgumentException(s"no such tag: $tag"))))
     .orElse(readOptions.get("scan.timestamp-millis").map(s =>
       gt.sm.snapshotIdAtTime(s.toLong).getOrElse(-1L)))
+    // scan.mode=compacted-full (reference: CoreOptions.StartupMode
+    // COMPACTED_FULL + CompactedStartingScanner): batch reads pin to
+    // the latest COMPACT snapshot — a consumer that wants only
+    // compaction-settled state (no level-0 churn). No compact snapshot
+    // yet → the current state, like the reference's fallback scanner.
+    .orElse(readOptions.get("scan.mode").filter(_ == "compacted-full")
+      .flatMap(_ => gt.sm.snapshotIds.reverse.find(i =>
+        gt.sm.snapshot(i).commitKind == graft.core.Meta.KindCompact)))
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full

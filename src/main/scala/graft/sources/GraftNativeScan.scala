@@ -467,10 +467,24 @@ class GraftMicroBatchStream(
         throw new IllegalArgumentException(
           "scan.mode=from-timestamp needs scan.timestamp-millis"))
       sm.snapshotIdAtTime(ts, inclusive = false).getOrElse(-1L)
+    case Some("compacted-full") =>
+      // full content AT the latest compact snapshot as the first
+      // batch, then changes (reference: StartupMode COMPACTED_FULL).
+      // Encoded as -(c+2) so the checkpointed offset round-trips
+      // (plain -1 keeps meaning "full from replayed history"); no
+      // compact snapshot yet degrades to latest-full.
+      sm.snapshotIds.reverse.find(i =>
+        sm.snapshot(i).commitKind == graft.core.Meta.KindCompact)
+        .map(c => -(c + 2L)).getOrElse(-1L)
     case Some("latest-full") | None => -1L
     case Some(other) => throw new IllegalArgumentException(
       s"unsupported scan.mode: $other")
   }
+
+  /** Decode a full-start offset marker: Some(c) when the stream must
+    * serve the FULL state at snapshot `c` before switching to deltas. */
+  private def fullStartAt(offsetId: Long): Option[Long] =
+    if (offsetId < -1L) Some(-offsetId - 2L) else None
 
   override def initialOffset(): Offset = GraftOffset(startOffset)
 
@@ -553,9 +567,14 @@ class GraftMicroBatchStream(
     var files = 0L
     var rows = 0L
     var bytes = 0L
-    var end = startId
+    // a compacted-full start serves the full state at the compact
+    // snapshot as one indivisible first batch — pacing applies only to
+    // the deltas AFTER it (ending below it would double-read those
+    // snapshots' deltas on the next trigger)
+    val effStart = fullStartAt(startId).getOrElse(startId)
+    var end = effStart // marker start: advance at least to the compact id
     var admittedData = false
-    sm.snapshotIds.filter(i => i > startId && i <= cap).foreach { id =>
+    sm.snapshotIds.filter(i => i > effStart && i <= cap).foreach { id =>
       val sn = sm.snapshot(id)
       if (sn.commitKind == graft.core.Meta.KindCompact ||
         (sn.commitKind == graft.core.Meta.KindOverwrite && skipOverwrites)) {
@@ -594,8 +613,12 @@ class GraftMicroBatchStream(
         streamOpt("streaming-read-append-overwrite").contains("false"))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftOffset].snapshotId
+    val s0 = start.asInstanceOf[GraftOffset].snapshotId
     val e = end.asInstanceOf[GraftOffset].snapshotId
+    // compacted-full start: the first batch is the LIVE state at the
+    // compact snapshot, with deltas strictly after it on top
+    val full = fullStartAt(s0)
+    val s = full.getOrElse(s0)
     val deltas = sm.snapshotIds.filter(i => i > s && i <= e)
       .map(sm.snapshot)
       .filter(sn => sn.commitKind != graft.core.Meta.KindCompact &&
@@ -605,7 +628,9 @@ class GraftMicroBatchStream(
       val deleted = delta.filter(_.kind == "DELETE").map(_.file.fileName).toSet
       delta.filter(en => en.kind == "ADD" && !deleted.contains(en.file.fileName))
     }
-    GraftScanUtil.filePartitions(gt.spark, gt.path, entries, partitionSchema)
+    val base = full.toSeq.flatMap(c =>
+      gt.visibleEntries(sm.liveEntries(sm.snapshot(c))))
+    GraftScanUtil.filePartitions(gt.spark, gt.path, base ++ entries, partitionSchema)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -182,6 +182,10 @@ object GraftStreaming {
   final case class FromSnapshot(id: Long) extends StartupMode
   /** every snapshot committed at or after `epochMillis`. */
   final case class FromTimestamp(epochMillis: Long) extends StartupMode
+  /** emit the state at the latest COMPACT snapshot as the initial
+    * batch, then increments (reference: StartupMode COMPACTED_FULL);
+    * degrades to [[LatestFull]] when no compaction has run yet. */
+  case object CompactedFull extends StartupMode
 
   /** Initialize the offset per `mode` (first call only), then drain
     * like [[processChangelog]]. LatestFull emits the full current
@@ -232,6 +236,16 @@ object GraftStreaming {
         case FromTimestamp(ts) =>
           val before = table.sm.snapshotIdAtTime(ts, inclusive = false)
           writeOffset(checkpointPath, before.getOrElse(-1L))
+        case CompactedFull =>
+          val compactId = table.sm.snapshotIds.reverse.find(i =>
+            table.sm.snapshot(i).commitKind == graft.core.Meta.KindCompact)
+          compactId.orElse(latest) match {
+            case Some(id) =>
+              process(table.versionAsOf(id).withColumn("_row_kind",
+                org.apache.spark.sql.functions.lit("+I")), id)
+              writeOffset(checkpointPath, id)
+            case None => writeOffset(checkpointPath, -1L)
+          }
       }
     }
     processChangelog(table, checkpointPath, process)

@@ -780,6 +780,52 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(drain(Map.empty) == Seq(1L, 2L)) // default latest-full still works
   }
 
+  test("scan.mode=compacted-full: batch pins to the latest compact snapshot, " +
+    "streams serve its full state once then deltas (restart-safe)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db8c")
+    spark.sql("""CREATE TABLE graft.db8c.t (k BIGINT, v STRING)
+                |TBLPROPERTIES ('primary-key'='k', 'bucket'='2')""".stripMargin)
+    spark.sql("INSERT INTO graft.db8c.t VALUES (1,'a'),(2,'b')")
+    spark.sql("INSERT INTO graft.db8c.t VALUES (1,'a2')")
+    val t = graft.table.GraftTable.load(spark, s"$warehouse/db8c/t")
+    t.compact() // compact snapshot: merged state (1,'a2'),(2,'b')
+    spark.sql("INSERT INTO graft.db8c.t VALUES (3,'c')") // post-compact churn
+    // batch: compaction-settled state only — no level-0 churn
+    val batch = spark.read.option("scan.mode", "compacted-full")
+      .table("graft.db8c.t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(batch == Set((1L, "a2"), (2L, "b")), s"got $batch")
+    // plain read still sees everything
+    assert(spark.read.table("graft.db8c.t").count() == 3L)
+    // stream: first batch = full state AT the compact snapshot (already
+    // merged on disk), then the post-compact delta — never the
+    // pre-compact level-0 history
+    val ckpt = Files.createTempDirectory("graft-cfull").toString
+    val received = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def run(): Unit = {
+      val q = spark.readStream.option("scan.mode", "compacted-full")
+        .table("graft.db8c.t").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          received.synchronized {
+            received ++= df.collect().map(r => (r.getLong(0), r.getString(1)))
+          }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    run()
+    assert(received.sorted.toSeq == Seq((1L, "a2"), (2L, "b"), (3L, "c")),
+      s"got ${received.sorted}")
+    // restart from the checkpoint after another commit: only the new
+    // delta arrives — the full-start marker never replays
+    spark.sql("INSERT INTO graft.db8c.t VALUES (4,'d')")
+    received.clear()
+    run()
+    assert(received.toSeq == Seq((4L, "d")), s"got $received")
+  }
+
   test("bounded readStream drains to scan.bounded.watermark and terminates") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db10")
     spark.sql("DROP TABLE IF EXISTS graft.db10.t")

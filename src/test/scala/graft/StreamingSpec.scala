@@ -165,6 +165,23 @@ class StreamingSpec extends AnyFunSuite {
     GraftStreaming.startChangelog(t, s"$dir/ck-from", GraftStreaming.FromSnapshot(1L),
       (d, id) => replayed :+= id)
     assert(replayed == Vector(1L, 2L))
+
+    // CompactedFull: initial batch = the state AT the latest compact
+    // snapshot, then only post-compact increments
+    t.compact() // snapshot 3 (COMPACT) holding the merged 3-row state
+    t.write(df((4L, "d", 1L)))
+    var cfBatches = Vector.empty[(Long, Long)] // (snapshot id, rows)
+    GraftStreaming.startChangelog(t, s"$dir/ck-cf", GraftStreaming.CompactedFull,
+      (d, id) => cfBatches :+= (id -> d.count()))
+    assert(cfBatches == Vector(3L -> 3L, 4L -> 1L), s"got $cfBatches")
+    // no compaction yet → degrades to LatestFull
+    val t2 = GraftTable.create(spark, s"$dir/t2", evSchema,
+      primaryKeys = Seq("k"), options = Map("sequence.field" -> "seq"))
+    t2.write(df((1L, "a", 1L)))
+    var cf2 = 0L
+    GraftStreaming.startChangelog(t2, s"$dir/ck-cf2", GraftStreaming.CompactedFull,
+      (d, _) => cf2 += d.count())
+    assert(cf2 == 1L)
   }
 
   test("changelog-producer=lookup persists exact -U/+U pairs at write time") {
