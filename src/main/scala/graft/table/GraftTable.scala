@@ -1866,7 +1866,34 @@ final class GraftTable private (
     * subtrees. Undecodable (debris/null) partitions keep their own
     * self-serving legs — rare by construction, and their rows join the
     * same single merge. */
-  def chainRead: DataFrame = {
+  def chainRead: DataFrame = chainReadPlanned(None)
+
+  /** The conjuncts of `cond` that reference ONLY partition columns,
+    * re-parsed from their SQL form so they resolve against any frame
+    * carrying the partition columns. None when no conjunct qualifies
+    * (or a conjunct's SQL round-trip fails — fail open, never prune
+    * on a guess). */
+  private def partitionConjuncts(cond: Column): Option[Column] = {
+    val partCols = schema.partitionKeys.toSet
+    if (partCols.isEmpty) return None
+    val analyzed = emptyDf().filter(cond).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(return None)
+    val picked = splitConjuncts(analyzed).filter { e =>
+      val refs = e.references.map(_.name).toSet
+      refs.nonEmpty && refs.subsetOf(partCols)
+    }
+    if (picked.isEmpty) return None
+    scala.util.Try(picked.map(e => expr(e.sql)).reduce(_ && _)).toOption
+  }
+
+  /** Chain read restricted to the targets matching `partFilter` —
+    * partition pruning must happen HERE, at edge-building time, not on
+    * the composed output: the relabeling join hides the source
+    * partition columns from Catalyst, so a post-compose filter would
+    * still scan every branch file. One day out of a thousand then
+    * opens that day's chain (base + span) only. */
+  private def chainReadPlanned(partFilter: Option[Column]): DataFrame = {
     val sch = schema
     require(isPrimaryKeyTable, "chain tables are primary-key tables")
     require(sch.partitionKeys.nonEmpty, "chain tables are partitioned")
@@ -1926,9 +1953,22 @@ final class GraftTable private (
       (Map[String, String], Map[String, String])]
     val deltaPairs = scala.collection.mutable.ArrayBuffer.empty[
       (Map[String, String], Map[String, String])]
-    complete.toSeq.foreach(b => snapPairs += ((b, b)))
     val deltaParts = deltaEntries.map(_.partition).distinct.filterNot(complete)
-    val (decTargets, debrisTargets) = deltaParts.partition(p => decode(p).isDefined)
+    val (decTargets0, debrisTargets0) = deltaParts.partition(p => decode(p).isDefined)
+    // partition pruning over TARGETS: only matching chain groups build
+    // edges, so their bases/spans are the only sources scanned
+    val keep: Map[String, String] => Boolean = partFilter match {
+      case None => _ => true
+      case Some(c) =>
+        val partFields = struct.fields.filter(f => pk.contains(f.name))
+        val matching = partitionMapsMatching(
+          (complete.toSeq ++ deltaParts).distinct, c)
+        p => matching.contains(
+          partFields.map(f => f.name -> p.getOrElse(f.name, null)).toMap)
+    }
+    complete.toSeq.filter(keep).foreach(b => snapPairs += ((b, b)))
+    val decTargets = decTargets0.filter(keep)
+    val debrisTargets = debrisTargets0.filter(keep)
     decTargets.foreach { p =>
       val pv = decode(p).get
       val base = snapSorted.takeWhile { case (_, v) => cmp.compare(v, pv) < 0 }
@@ -2026,7 +2066,8 @@ final class GraftTable private (
     // SQL reads of a chain table (the PK V1 path routes through scan)
     // must see the composed chain, not the (typically empty) main
     // branch; partition pruning applies post-composition via Catalyst
-    if (isChainMain) return chainRead.filter(filter)
+    if (isChainMain)
+      return chainReadPlanned(partitionConjuncts(filter)).filter(filter)
     val snap = sm.latestSnapshotId.map(sm.snapshot)
     val entries = bucketNarrow(
       snap.map(pruneEntries(_, filter)).getOrElse(Seq.empty), filter)
@@ -4954,14 +4995,26 @@ final class GraftTable private (
   private def partitionsMatching(
       entries: Seq[ManifestEntry], cond: Column): Seq[ManifestEntry] = {
     val partFields = struct.fields.filter(f => schema.partitionKeys.contains(f.name))
-    val parts = entries.map(_.partition).distinct
-    if (parts.isEmpty) return Seq.empty
+    val matching = partitionMapsMatching(entries.map(_.partition).distinct, cond)
+    entries.filter(e => matching.contains(
+      partFields.map(f => f.name -> e.partition.getOrElse(f.name, null)).toMap))
+  }
+
+  /** The subset of `parts` (raw partition-value maps) whose decoded
+    * values satisfy `cond`, evaluated exactly via a local DataFrame
+    * carrying both the raw strings and their typed casts. Returned
+    * maps are normalized to the partition fields (missing keys →
+    * null), so callers must normalize before membership checks. */
+  private def partitionMapsMatching(
+      parts: Seq[Map[String, String]], cond: Column): Set[Map[String, String]] = {
+    val partFields = struct.fields.filter(f => schema.partitionKeys.contains(f.name))
+    if (parts.isEmpty) return Set.empty
     import scala.jdk.CollectionConverters._
     val rows = parts.map(p => org.apache.spark.sql.Row.fromSeq(
       partFields.map(f => p.getOrElse(f.name, null)).toSeq))
     val rawSchema = StructType(partFields.map(f =>
       StructField(s"__raw_${f.name}", StringType, nullable = true)))
-    val matching = spark.createDataFrame(rows.asJava, rawSchema)
+    spark.createDataFrame(rows.asJava, rawSchema)
       .select(partFields.map(f => col(s"__raw_${f.name}")).toIndexedSeq ++
         partFields.map(f => col(s"__raw_${f.name}").cast(f.dataType).as(f.name)).toIndexedSeq: _*)
       .filter(cond)
@@ -4970,8 +5023,6 @@ final class GraftTable private (
       .map(r => partFields.zipWithIndex.map { case (f, i) =>
         f.name -> r.getString(i) }.toMap)
       .toSet
-    entries.filter(e => matching.contains(
-      partFields.map(f => f.name -> e.partition.getOrElse(f.name, null)).toMap))
   }
 
   /** Drop whole partitions in one metadata-only OVERWRITE commit (SQL

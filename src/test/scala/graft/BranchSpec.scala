@@ -206,6 +206,23 @@ class BranchSpec extends AnyFunSuite {
     }.toMap
     assert(got == expect, s"got $got")
     assert(read.count() == 7L * 51, "every day serves all 7 keys")
+    // partition pruning happens at EDGE-BUILDING time: a day-1 query
+    // scans day 1's chain only (snapshot base + the day-1 delta) —
+    // day 50's chain spans everything by construction, but day 1 must
+    // not pay for the other 49 days
+    val pruned = t.scan(col("dt") === 1)
+    assert(pruned.count() == 7L)
+    val allFiles = read.inputFiles.length
+    val oneDay = pruned.inputFiles.length
+    assert(oneDay < allFiles,
+      s"chain scan did not prune: $oneDay vs $allFiles files")
+    // a mixed filter (partition conjunct AND data conjunct) still
+    // prunes by the partition half and filters exactly: day 1 = base
+    // zeros overlaid with key 2 -> 1
+    val mixed = t.scan(col("dt") === 1 && col("v") > 0L)
+    assert(mixed.inputFiles.length < allFiles)
+    assert(mixed.collect().map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((2L, 1L)))
   }
 
   test("chain table with multi-column INT partitions orders typed-lexicographic") {
