@@ -65,6 +65,24 @@ object Meta {
     /** data-file storage format: parquet (default) or orc (reference:
       * CoreOptions.FILE_FORMAT; paimon-format Orc/ParquetFileFormat). */
     def fileFormat: String = options.getOrElse("file.format", "parquet")
+
+    /** `file.format.per.level` (reference: CoreOptions
+      * FILE_FORMAT_PER_LEVEL, "level:format" pairs): LSM levels may
+      * store different formats — typically row-oriented (avro) level-0
+      * for cheap ingest, columnar (parquet/orc) compacted levels for
+      * scan speed. Levels absent from the map use [[fileFormat]]. */
+    def fileFormatPerLevel: Map[Int, String] =
+      options.get("file.format.per.level")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).map { kv =>
+          val i = kv.indexOf(':')
+          require(i > 0, s"file.format.per.level entries are level:format, got '$kv'")
+          kv.substring(0, i).trim.toInt -> kv.substring(i + 1).trim
+        }.toMap)
+        .getOrElse(Map.empty)
+
+    /** Storage format for files written AT `level`. */
+    def fileFormatFor(level: Int): String =
+      fileFormatPerLevel.getOrElse(level, fileFormat)
     def numBuckets: Int = options.getOrElse("bucket", "4").toInt
     /** bucket = -1: dynamic assignment — keys keep their first bucket,
       * new keys fill buckets up to the target row count (reference:

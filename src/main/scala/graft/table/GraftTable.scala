@@ -1474,9 +1474,14 @@ final class GraftTable private (
       else graft.sources.BlobStorage.externalize(out, blobCols, s"$path/blob",
         sch.options.getOrElse(graft.sources.BlobStorage.OptionInlineThreshold,
           graft.sources.BlobStorage.DefaultInlineThreshold.toString).toInt)
-    if (sch.fileFormat == "avro")
+    // per-level format choice (reference: FILE_FORMAT_PER_LEVEL):
+    // level-0 ingest can stay row-oriented while compaction (level>0
+    // commits) rewrites columnar — manifests carry the format in the
+    // file name, so readers mix formats within one table freely
+    val fmt = sch.fileFormatFor(level)
+    if (fmt == "avro")
       graft.sources.AvroStorage.writeStaged(outB, partitionBy, staging)
-    else if (sch.fileFormat == "lance")
+    else if (fmt == "lance")
       graft.sources.LanceStorage.writeStaged(outB, partitionBy, staging)
     else withMicrosTimestamps {
       var writer = outB.write.mode("overwrite")
@@ -1491,7 +1496,7 @@ final class GraftTable private (
           .option("orc.stripe.size", b.toString)
       }
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-        .format(sch.fileFormat).save(staging)
+        .format(fmt).save(staging)
     }
     commitStagedDir(staging, sch, kind, seqBase, commitIdentifier,
       deletesFor, level, changelogManifest, dynIndexUpdate,
@@ -5901,27 +5906,34 @@ object GraftTable {
       partitionKeys.forall(primaryKeys.contains),
       "partition keys must be disjoint from or contained in primary keys")
     val ts = TableSchema.fromStruct(0L, schema, partitionKeys, primaryKeys, options)
-    require(Set("parquet", "orc", "avro", "lance").contains(ts.fileFormat),
-      s"unsupported file.format: ${ts.fileFormat}")
-    require(ts.fileFormat != "avro" || graft.sources.AvroStorage.supports(schema),
-      "file.format=avro supports scalar column types only")
-    require(ts.fileFormat != "lance" || graft.sources.LanceStorage.supports(schema),
-      "file.format=lance supports scalar, string/binary/decimal and " +
+    // every format the table can ever write with — the base format
+    // plus any per-level overrides — validates up front
+    val allFormats = ts.fileFormat +: ts.fileFormatPerLevel.values.toSeq
+    allFormats.foreach(f => require(
+      Set("parquet", "orc", "avro", "lance").contains(f),
+      s"unsupported file format: $f"))
+    require(!allFormats.contains("avro") || graft.sources.AvroStorage.supports(schema),
+      "avro format supports scalar column types only")
+    require(!allFormats.contains("lance") || graft.sources.LanceStorage.supports(schema),
+      "lance format supports scalar, string/binary/decimal and " +
         "scalar/string array columns only")
+    require(ts.fileFormatPerLevel.keys.forall(_ >= 0),
+      "file.format.per.level levels must be >= 0")
     val blobCols = graft.sources.BlobStorage.blobColumns(options)
     require(blobCols.forall(c => schema.fields.exists(f =>
       f.name == c && f.dataType == org.apache.spark.sql.types.BinaryType)),
       "blob.columns must name BINARY columns")
-    require(blobCols.isEmpty || (ts.fileFormat != "avro" && ts.fileFormat != "lance"),
+    require(blobCols.isEmpty ||
+      allFormats.forall(f => f != "avro" && f != "lance"),
       "blob.columns requires a struct-capable columnar format (parquet/orc)")
-    require(ts.fileFormat == "parquet" ||
+    require(allFormats.forall(_ == "parquet") ||
       !options.get(DeletionVectors.OptionEnabled).contains("true"),
-      "deletion vectors require file.format=parquet (row_index metadata)")
+      "deletion vectors require parquet files at every level (row_index metadata)")
     if (options.get(RowTrackingEnabled).contains("true")) {
       require(primaryKeys.isEmpty,
         "row tracking applies to append tables only (merge-on-read has no stable position)")
-      require(ts.fileFormat == "parquet",
-        "row tracking requires file.format=parquet (row_index metadata)")
+      require(allFormats.forall(_ == "parquet"),
+        "row tracking requires parquet files at every level (row_index metadata)")
     }
     if (ts.isPostponeBucket) {
       require(primaryKeys.nonEmpty,

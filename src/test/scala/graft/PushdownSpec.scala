@@ -719,6 +719,40 @@ class PushdownSpec extends AnyFunSuite {
     }
   }
 
+  test("file.format.per.level: row-oriented level-0 ingest, columnar " +
+    "compaction output, reads exact across the mix") {
+    def df1(rows: Seq[(Long, Double)]) = df(rows: _*).coalesce(1)
+    val t = GraftTable.create(spark, tmp(), sch, primaryKeys = Seq("k"),
+      options = Map("file.format.per.level" -> "0:avro", "bucket" -> "2"))
+    t.write(df1((0L until 10L).map(k => (k, k.toDouble))))
+    t.write(df1((0L until 5L).map(k => (k, k + 100.0))))
+    // ingest landed row-oriented
+    val exts0 = t.planEntries(lit(true)).map(_.file.fileName.split('.').last).toSet
+    assert(exts0 == Set("avro"), exts0.toString)
+    assert(t.read.count() == 10L)
+    assert(t.read.filter(col("k") === 2L).head.getDouble(1) == 102.0)
+    // compaction (level 1) rewrites into the base columnar format
+    t.compact()
+    val exts1 = t.planEntries(lit(true)).map(_.file.fileName.split('.').last).toSet
+    assert(exts1 == Set("parquet"), exts1.toString)
+    assert(t.read.count() == 10L)
+    // more row-oriented churn on top of the compacted state mixes
+    t.write(df1(Seq((2L, 999.0))))
+    val exts2 = t.planEntries(lit(true)).map(_.file.fileName.split('.').last).toSet
+    assert(exts2 == Set("parquet", "avro"), exts2.toString)
+    assert(t.read.filter(col("k") === 2L).head.getDouble(1) == 999.0)
+    assert(t.read.count() == 10L)
+    // malformed / unsupported per-level entries fail at CREATE
+    intercept[IllegalArgumentException](GraftTable.create(spark, tmp(), sch,
+      options = Map("file.format.per.level" -> "0:feather")))
+    intercept[IllegalArgumentException](GraftTable.create(spark, tmp(), sch,
+      options = Map("file.format.per.level" -> "avro")))
+    // DV tables must be parquet at EVERY level
+    intercept[IllegalArgumentException](GraftTable.create(spark, tmp(), sch,
+      options = Map("file.format.per.level" -> "0:avro",
+        "deletion-vectors.enabled" -> "true")))
+  }
+
   test("avro partitions escape like parquet; avro-illegal names rejected at create") {
     val psch = StructType(Seq(
       StructField("k", LongType, nullable = false),
