@@ -1485,9 +1485,18 @@ final class GraftTable private (
       graft.sources.LanceStorage.writeStaged(outB, partitionBy, staging)
     else withMicrosTimestamps {
       var writer = outB.write.mode("overwrite")
-      // honor file.compression (reference: CoreOptions FILE_COMPRESSION,
-      // default zstd there; absent here = Spark's codec default)
-      sch.options.get("file.compression")
+      // honor file.compression / file.compression.per.level (reference:
+      // CoreOptions FILE_COMPRESSION + FILE_COMPRESSION_PER_LEVEL,
+      // "level:codec" pairs — e.g. cheap lz4 level-0, zstd compacted);
+      // absent = Spark's codec default
+      val perLevelCodec = sch.options.get("file.compression.per.level")
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty).flatMap { kv =>
+          val i = kv.indexOf(':')
+          if (i <= 0) None
+          else scala.util.Try(
+            kv.substring(0, i).trim.toInt -> kv.substring(i + 1).trim).toOption
+        }.toMap.get(level))
+      perLevelCodec.orElse(sch.options.get("file.compression"))
         .foreach(c => writer = writer.option("compression", c))
       // file.block-size → parquet row-group / orc stripe size
       // (reference: CoreOptions FILE_BLOCK_SIZE)
@@ -3662,10 +3671,28 @@ final class GraftTable private (
     * CoreOptions num-sorted-run.compaction-trigger). No-op when every
     * group is under the trigger. */
   def compactIfNeeded(trigger: Int = 5): Option[Long] = {
+    val sch = schema
     val snap = sm.latestSnapshot().getOrElse(return None)
+    // compaction.min.file-num (reference: CoreOptions
+    // COMPACTION_MIN_FILE_NUM) overrides the caller's count trigger;
+    // compaction.max-size-amplification-percent (universal compaction)
+    // additionally fires when un-merged bytes dwarf the merged state —
+    // a bucket fed by few HUGE level-0 runs compacts on size, not
+    // count: read amplification is bytes re-merged per read, and a
+    // count trigger alone would let 4 × 1 GB runs sit forever.
+    val minFiles = sch.options.get("compaction.min.file-num")
+      .map(_.toInt).getOrElse(trigger)
+    val ampPct = sch.options
+      .getOrElse("compaction.max-size-amplification-percent", "200").toLong
     val hot = sm.liveEntries(snap)
       .groupBy(e => (e.partition, e.bucket))
-      .filter(_._2.size > trigger)
+      .filter { case (_, es) =>
+        es.size > minFiles || {
+          val l0 = es.filter(_.file.level == 0).map(_.file.fileSize).sum
+          val merged = es.filter(_.file.level > 0).map(_.file.fileSize).sum
+          merged > 0 && l0 * 100 > merged * ampPct
+        }
+      }
       .values.flatten.map(_.file.fileName).toSet
     if (hot.isEmpty) None
     // postpone tables: partial compaction of just the staged files

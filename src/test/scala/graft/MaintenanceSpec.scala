@@ -364,6 +364,63 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(t.read.count() == 6L) // data never affected
   }
 
+  test("compaction.max-size-amplification-percent: few huge level-0 runs " +
+    "compact on SIZE even below the count trigger; min.file-num overrides") {
+    import scala.jdk.CollectionConverters._
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    def df(n: Range, tag: String) = spark.createDataFrame(
+      n.map(i => Row(i.toLong, s"$tag-$i-${"x" * 50}")).asJava, sch)
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"), options = Map("bucket" -> "1"))
+    t.write(df(0 until 10, "seed"))
+    t.compact() // small merged level-1 state
+    // ONE giant level-0 run: count (2 files) is far below trigger=5,
+    // but un-merged bytes >> 2x merged bytes -> amplification fires
+    t.write(df(0 until 5000, "big"))
+    val entriesBefore = t.sm.latestSnapshot().map(t.sm.liveEntries).get
+    assert(entriesBefore.size == 2)
+    assert(t.compactIfNeeded(trigger = 5).isDefined,
+      "size amplification must trigger despite low file count")
+    val after = t.sm.latestSnapshot().map(t.sm.liveEntries).get
+    assert(after.forall(_.file.level > 0) && t.read.count() == 5000L)
+    // small churn on the merged state: neither count nor size fires
+    t.write(df(0 until 3, "tiny"))
+    assert(t.compactIfNeeded(trigger = 5).isEmpty)
+    // compaction.min.file-num overrides the caller's count trigger
+    val t2 = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1", "compaction.min.file-num" -> "2"))
+    (0 until 3).foreach(i => t2.write(df(i * 10 until i * 10 + 5, s"w$i")))
+    assert(t2.compactIfNeeded(trigger = 10).isDefined,
+      "3 files > min.file-num=2 must fire even with caller trigger 10")
+  }
+
+  test("file.compression.per.level picks the codec by commit level") {
+    import scala.jdk.CollectionConverters._
+    val sch = StructType(Seq(StructField("k", LongType, nullable = false)))
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1",
+        "file.compression.per.level" -> "0:snappy,1:zstd"))
+    t.write(spark.createDataFrame((0L until 50L).map(Row(_)).asJava, sch))
+    def codecs(): Set[String] = {
+      val es = t.sm.latestSnapshot().map(t.sm.liveEntries).get
+      es.map { e =>
+        val p = s"${t.path}/${e.file.fileName}"
+        val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+          new org.apache.hadoop.conf.Configuration(),
+          new org.apache.hadoop.fs.Path(p))
+        footer.getBlocks.asScala.flatMap(_.getColumns.asScala)
+          .map(_.getCodec.toString).toSet
+      }.reduce(_ ++ _)
+    }
+    assert(codecs() == Set("SNAPPY"), codecs().toString)
+    t.compact() // level-1 output switches to zstd
+    assert(codecs() == Set("ZSTD"), codecs().toString)
+  }
+
   test("snapshot.expire.limit: malformed value is rejected at CREATE and " +
     "degrades to unlimited (never wedges the expire path) if set later") {
     import scala.jdk.CollectionConverters._
