@@ -359,4 +359,29 @@ class SequenceGroupSpec extends AnyFunSuite {
       assert(s3.sql("SELECT v FROM seq2.db.u WHERE k = 1").head.getString(0) == "l30")
     }
   }
+
+  test("multi-column sequence.field with sort-order=descending: the SMALLEST " +
+    "lexicographic vector wins, scans and lookups agree") {
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true),
+      StructField("s1", LongType, nullable = true),
+      StructField("s2", LongType, nullable = true)))
+    def df(rows: (Long, String, java.lang.Long, java.lang.Long)*) =
+      spark.createDataFrame(
+        rows.map(r => Row(r._1, r._2, r._3, r._4)).asJava, sch)
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("k"),
+      options = Map("sequence.field" -> "s1,s2",
+        "sequence.field.sort-order" -> "descending", "bucket" -> "2"))
+    // (1,5) < (2,1) lexicographically -> the (1,5) row WINS descending;
+    // a first-field tie falls to the second field, smaller wins
+    t.write(df((1L, "big", 2L, 1L), (2L, "tie-hi", 7L, 9L)))
+    t.write(df((1L, "small", 1L, 5L), (2L, "tie-lo", 7L, 2L)))
+    val got = t.read.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "small", 2L -> "tie-lo"), s"got $got")
+    // point lookup shares the inverted preorder
+    assert(t.localLookup(Map("k" -> 1L)).map(_.getString(1)) == Seq("small"))
+    assert(t.localLookup(Map("k" -> 2L)).map(_.getString(1)) == Seq("tie-lo"))
+  }
 }
