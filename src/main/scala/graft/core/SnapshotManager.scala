@@ -110,6 +110,13 @@ final class SnapshotManager(
       tagSnapshots.find(_.id == id).getOrElse(
         Json.read(io.readString(snapshotPath(id)), classOf[Snapshot]))
 
+  /** [[snapshot]] when the id still resolves (live file or tag copy);
+    * None for expired history. */
+  def snapshotIfExists(id: Long): Option[Snapshot] =
+    if (io.exists(snapshotPath(id)))
+      Some(Json.read(io.readString(snapshotPath(id)), classOf[Snapshot]))
+    else tagSnapshots.find(_.id == id)
+
   def snapshotIds: Seq[Long] = {
     val listed = io.list(snapshotDir)
       .map(_.split('/').last)
@@ -408,6 +415,34 @@ final class SnapshotManager(
         }
       }
       val nextId = latest.map(_.id + 1).getOrElse(0L)
+      // commit.strict-mode.last-safe-snapshot (reference:
+      // operation/commit/StrictModeChecker.check): the split-brain
+      // guard for restarted jobs — abort when ANOTHER writer committed
+      // a COMPACT/OVERWRITE after the configured safe point, or an
+      // APPEND into real buckets while THIS commit is an OVERWRITE
+      // (the overwrite would silently drop that append's rows). -1
+      // checks the whole history. Opt-in, so a malformed value fails
+      // LOUDLY: silently disabling a safety interlock is worse than a
+      // refused commit.
+      latestSchema().flatMap(_.options.get("commit.strict-mode.last-safe-snapshot"))
+        .map(_.trim.toLong).foreach { safe =>
+          val user = effectiveCommitUser
+          ((safe + 1) until nextId).foreach { id =>
+            snapshotIfExists(id)
+              .filterNot(_.commitUser.contains(user)).foreach { s =>
+                def abort(what: String): Nothing = throw new IllegalStateException(
+                  s"strict mode: giving up committing snapshot $nextId — found " +
+                    s"$what snapshot ${s.id} by user " +
+                    s"${s.commitUser.getOrElse("?")} after last-safe-snapshot $safe")
+                if (s.commitKind == "COMPACT" || s.commitKind == "OVERWRITE")
+                  abort(s.commitKind)
+                if (s.commitKind == "APPEND" && commitKind == "OVERWRITE" &&
+                  s.deltaManifest.exists(m => readManifest(m)
+                    .exists(e => e.kind == "ADD" && e.bucket >= 0)))
+                  abort("a real-bucket APPEND")
+              }
+          }
+        }
       val baseManifests = latest.map(s => readManifestList(s.manifestList))
         .getOrElse(Seq.empty)
       // Manifest compaction: past the threshold (always on COMPACT,

@@ -229,4 +229,38 @@ class TableIntegritySpec extends AnyFunSuite {
       assert(pairs.contains((1L, 3L)), s"missed spread pair at hamming $h")
     }
   }
+
+  test("commit.strict-mode.last-safe-snapshot aborts on foreign COMPACT/" +
+    "OVERWRITE after the safe point; foreign APPEND blocks only overwrites") {
+    val sch = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("v", StringType, nullable = true)))
+    def df(rows: (Long, String)*) = spark.createDataFrame(
+      rows.map(r => Row(r._1, r._2)).asJava, sch)
+    // foreign APPEND after the safe point: plain appends coexist,
+    // an OVERWRITE by the strict writer aborts (it would drop the
+    // foreign append's rows)
+    val dir1 = tmp()
+    val w1 = GraftTable.create(spark, dir1, sch,
+      options = Map("commit.strict-mode.last-safe-snapshot" -> "-1"))
+    val other1 = GraftTable.load(spark, dir1) // separate manager = separate user
+    other1.write(df((1L, "foreign")))
+    w1.write(df((2L, "mine"))) // APPEND + foreign APPEND: fine
+    val e1 = intercept[IllegalStateException] { w1.overwrite(df((3L, "ow"))) }
+    assert(e1.getMessage.contains("strict mode"), e1.getMessage)
+    // foreign OVERWRITE after the safe point blocks EVERY commit kind
+    val dir2 = tmp()
+    val w2 = GraftTable.create(spark, dir2, sch,
+      options = Map("commit.strict-mode.last-safe-snapshot" -> "-1"))
+    GraftTable.load(spark, dir2).overwrite(df((1L, "foreign-ow")))
+    val e2 = intercept[IllegalStateException] { w2.write(df((2L, "mine"))) }
+    assert(e2.getMessage.contains("OVERWRITE"), e2.getMessage)
+    // the safe point excuses history at or before it: pointing it AT
+    // the foreign overwrite lets the writer proceed
+    w2.setOption("commit.strict-mode.last-safe-snapshot",
+      w2.sm.latestSnapshotId.get.toString)
+    val w2b = GraftTable.load(spark, dir2)
+    w2b.write(df((2L, "mine")))
+    assert(w2b.read.count() == 2L)
+  }
 }
