@@ -4668,13 +4668,20 @@ final class GraftTable private (
     val sch = schema
     val n = if (targetFiles > 0) targetFiles else math.max(old.size / 2, 1)
     val data = readAppendData(old)
-    val clustered = strategy match {
-      case "zorder" => graft.operators.ZOrder.cluster(data, cols, n)
-      case "hilbert" => graft.operators.ZOrder.clusterByHilbert(data, cols, n)
-      case "order" => graft.operators.ZOrder.clusterByOrder(data, cols, n)
-      case other => throw new IllegalArgumentException(s"unknown order strategy: $other")
-    }
-    Some(commitFiles(clustered, sch, sch.partitionKeys, KindCompact,
+    // bucketed-append: the bucket routing is correctness-bearing (it
+    // backs equality pruning), so the sort clusters WITHIN each bucket
+    // instead of range-repartitioning globally
+    val (clustered, partitionBy) =
+      if (sch.isBucketedAppend) {
+        val (routed, pb) = routeAppendBuckets(data, sch)
+        (routed.sortWithinPartitions(cols.map(col).toIndexedSeq: _*), pb)
+      } else (strategy match {
+        case "zorder" => graft.operators.ZOrder.cluster(data, cols, n)
+        case "hilbert" => graft.operators.ZOrder.clusterByHilbert(data, cols, n)
+        case "order" => graft.operators.ZOrder.clusterByOrder(data, cols, n)
+        case other => throw new IllegalArgumentException(s"unknown order strategy: $other")
+      }, sch.partitionKeys)
+    Some(commitFiles(clustered, sch, partitionBy, KindCompact,
       nextSeq(), commitIdentifier = -1L, deletes = old.map(_.copy(kind = "DELETE")),
       level = 1))
   }
@@ -4954,7 +4961,8 @@ final class GraftTable private (
       val sch = schema
       val updatedRows = applyAssignments(
         readAppendData(touched).filter(cond), assignments, lit(true))
-      commitFilesFn(updatedRows, sch, sch.partitionKeys, KindOverwrite,
+      val (routed, partitionBy) = routeAppendBuckets(updatedRows, sch)
+      commitFilesFn(routed, sch, partitionBy, KindOverwrite,
         nextSeq(), commitIdentifier = -1L, _ => dvEntriesFor(touched, cond))
     } else rewriteFiles(cond,
       df => applyAssignments(df, assignments, coalesce(cond, lit(false))))
@@ -5300,6 +5308,19 @@ final class GraftTable private (
 
   /** Copy-on-write rewrite of the files that contain rows matching
     * `touchCond`; untouched files are carried over unchanged. */
+  /** Route an append frame back to its fixed buckets when the table
+    * is bucketed-append — EVERY append commit path must do this, or a
+    * rewrite would strand rows in bucket-0 files that bucket-equality
+    * pruning then skips (wrong answers, not just a slow plan). */
+  private def routeAppendBuckets(
+      df: DataFrame, sch: TableSchema): (DataFrame, Seq[String]) =
+    if (!sch.isBucketedAppend) (df, sch.partitionKeys)
+    else (df.withColumn("__bucket",
+        pmod(xxhash64(sch.bucketKeys.map(col).toIndexedSeq: _*),
+          lit(sch.numBuckets)).cast("int"))
+        .repartition(sch.numBuckets, col("__bucket")),
+      sch.partitionKeys :+ "__bucket")
+
   private def rewriteFiles(touchCond: Column, transform: DataFrame => DataFrame): Long = {
     require(!rowTracking, "copy-on-write rewrite would reassign _ROW_ID; " +
       s"enable ${DeletionVectors.OptionEnabled} for row-level changes on row-tracking tables")
@@ -5310,7 +5331,8 @@ final class GraftTable private (
     val sch = schema
     val rewritten = transform(readRaw(touched)
       .select(struct.fieldNames.map(col).toIndexedSeq: _*))
-    commitFiles(rewritten, sch, sch.partitionKeys, KindOverwrite,
+    val (routed, partitionBy) = routeAppendBuckets(rewritten, sch)
+    commitFiles(routed, sch, partitionBy, KindOverwrite,
       nextSeq(), commitIdentifier = -1L,
       deletes = touched.map(_.copy(kind = "DELETE")))
   }

@@ -120,4 +120,37 @@ class BucketKeySpec extends AnyFunSuite {
     assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
       s"bucketed append join still shuffles:\n$plan")
   }
+
+  test("bucketed-append DML re-routes rewritten rows to their buckets — " +
+    "pruned point reads still find updated rows after COW, DV and sort-compact") {
+    // COW rewrite path (no DVs)
+    val t = GraftTable.create(spark, tmp(), sch,
+      options = Map("bucket-key" -> "id", "bucket" -> "4"))
+    t.write(df((0L until 40L).map(i => (s"r${i % 3}", i, i * 1.0)): _*))
+    t.update(Map("v" -> lit(777.0)), col("id") === 7L)
+    t.delete(col("id") === 8L)
+    val hit = t.scan(col("id") === 7L)
+    assert(hit.inputFiles.length < t.scan(lit(true)).inputFiles.length,
+      "pruning must still engage after the rewrite")
+    assert(hit.collect().map(_.getDouble(2)).toSeq == Seq(777.0),
+      "rewritten row must live in its hash bucket, not bucket 0")
+    assert(t.scan(col("id") === 8L).count() == 0)
+    assert(t.read.count() == 39L)
+    // DV path: updated rows appended as NEW files must route too
+    val d = GraftTable.create(spark, tmp(), sch,
+      options = Map("bucket-key" -> "id", "bucket" -> "4",
+        "deletion-vectors.enabled" -> "true"))
+    d.write(df((0L until 40L).map(i => (s"r${i % 3}", i, i * 1.0)): _*))
+    d.update(Map("v" -> lit(888.0)), col("id") === 9L)
+    assert(d.scan(col("id") === 9L).collect().map(_.getDouble(2)).toSeq == Seq(888.0))
+    assert(d.read.count() == 40L)
+    // sort-compact keeps the routing (clusters within buckets)
+    assert(t.sortCompact("order", Seq("region")).isDefined)
+    val entries = t.sm.latestSnapshot().map(t.sm.liveEntries).get
+    assert(entries.map(_.bucket).distinct.forall(_ >= 0))
+    assert(entries.map(_.bucket).distinct.size > 1, "buckets survived compact")
+    assert(t.scan(col("id") === 7L).collect().map(_.getDouble(2)).toSeq == Seq(777.0))
+    assert(t.scan(col("id") === 7L).inputFiles.length <
+      t.scan(lit(true)).inputFiles.length)
+  }
 }
