@@ -5302,9 +5302,32 @@ final class GraftTable private (
   /** Replace `replaced` files with the parquet already staged at
     * `staging` in one OVERWRITE snapshot — the commit half of the SQL
     * row-level (COPY_ON_WRITE) write. */
-  private[graft] def replaceFiles(staging: String, replaced: Seq[ManifestEntry]): Long =
-    commitStagedDir(staging, schema, KindOverwrite, nextSeq(),
+  private[graft] def replaceFiles(staging: String, replaced: Seq[ManifestEntry]): Long = {
+    val sch = schema
+    val stagedNonEmpty = graft.core.FsUtil.walkAll(Paths.get(staging))
+      .exists(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+    if (sch.isBucketedAppend && stagedNonEmpty) {
+      // Spark's ReplaceData writer factory lays staged files out by
+      // partition dirs only — adopting them directly would strand the
+      // rewritten rows in bucket-0 entries that bucket-equality
+      // pruning skips. Re-route through the same helper every other
+      // append commit uses; the extra rewrite touches only the
+      // replaced files' rows.
+      val df = spark.read.option("basePath", staging)
+        .schema(struct).parquet(staging)
+      val (routed, partitionBy) = routeAppendBuckets(df, sch)
+      val id = commitFiles(routed, sch, partitionBy, KindOverwrite,
+        nextSeq(), commitIdentifier = -1L,
+        deletes = replaced.map(_.copy(kind = "DELETE")))
+      try { // staged files were copied, not adopted — sweep them
+        graft.core.FsUtil.walkAll(Paths.get(staging)).sortBy(-_.getNameCount)
+          .foreach(p => Files.deleteIfExists(p))
+        Files.deleteIfExists(Paths.get(staging))
+      } catch { case _: Exception => () }
+      id
+    } else commitStagedDir(staging, sch, KindOverwrite, nextSeq(),
       commitIdentifier = -1L, _ => replaced.map(_.copy(kind = "DELETE")))
+  }
 
   /** Copy-on-write rewrite of the files that contain rows matching
     * `touchCond`; untouched files are carried over unchanged. */

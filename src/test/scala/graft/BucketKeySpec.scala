@@ -119,6 +119,18 @@ class BucketKeySpec extends AnyFunSuite {
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
       s"bucketed append join still shuffles:\n$plan")
+    // SQL row-level ops (ReplaceData staging) must re-route rewritten
+    // rows too — a pruned point read after UPDATE/DELETE stays exact
+    spark.sql("UPDATE graft_bk.db.a SET v = 123.5 WHERE id = 5")
+    assert(spark.sql("SELECT v FROM graft_bk.db.a WHERE id = 5")
+      .head.getDouble(0) == 123.5)
+    spark.sql("DELETE FROM graft_bk.db.a WHERE id = 6")
+    assert(spark.sql("SELECT count(*) FROM graft_bk.db.a WHERE id = 6")
+      .head.getLong(0) == 0L)
+    assert(spark.sql("SELECT count(*) FROM graft_bk.db.a").head.getLong(0) == 99L)
+    val ta = graft.table.GraftTable.load(spark, s"$wh/db/a")
+    assert(ta.scan(col("id") === 5L).collect().map(_.getDouble(1)).toSeq ==
+      Seq(123.5), "library-pruned read agrees after SQL rewrite")
   }
 
   test("bucketed-append DML re-routes rewritten rows to their buckets — " +
