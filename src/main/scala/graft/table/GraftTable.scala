@@ -2112,13 +2112,32 @@ final class GraftTable private (
     * by equality — a point query on a fixed-bucket table (PK or
     * bucketed-append) opens one bucket's files instead of the table.
     * Staged/unassigned buckets (< 0) always survive: their rows are
-    * not hash-addressed yet. */
+    * not hash-addressed yet. Files written under a DIFFERENT bucket
+    * layout (bucket count or bucket-key changed since — a rescale
+    * whose compact hasn't landed, a fallback branch forked before a
+    * rescale) also survive: the current hash says nothing about where
+    * THEIR rows live, and pruning them would lose rows, not time. */
   private def bucketNarrow(
       entries: Seq[ManifestEntry], filter: Column): Seq[ManifestEntry] =
     pkEqualityBucket(filter) match {
-      case Some(b) => entries.filter(e => e.bucket == b || e.bucket < 0)
+      case Some(b) =>
+        entries.filter(e => e.bucket == b || e.bucket < 0 ||
+          bucketLayoutDiffers(schema, e))
       case None => entries
     }
+
+  /** True when `e` was written under a DIFFERENT bucket layout than
+    * the current schema's (bucket count or bucket-key changed, e.g. a
+    * rescale whose compact hasn't landed, or a fallback-branch file) —
+    * the current hash says nothing about where its rows live, so every
+    * bucket-narrowing consumer must keep it. Unresolvable write
+    * schemas count as different (fail open). */
+  private def bucketLayoutDiffers(sch: TableSchema, e: ManifestEntry): Boolean =
+    e.file.schemaId != sch.id && scala.util.Try {
+      val ws = schemaOf(e.file.schemaId)
+      ws.effectiveBuckets != sch.effectiveBuckets ||
+        ws.bucketKeys != sch.bucketKeys
+    }.getOrElse(true)
 
   // ================= scan-level pushdowns =================
 
@@ -2314,7 +2333,10 @@ final class GraftTable private (
         val bucket = keyDf.select(
           pmod(xxhash64(sch.bucketKeys.map(col).toIndexedSeq: _*),
             lit(sch.effectiveBuckets)).cast("int").as("b")).head.getInt(0)
-        pruned.filter(_.bucket == bucket)
+        // files written under a different bucket layout (mid-rescale)
+        // survive — the current hash doesn't locate their rows
+        pruned.filter(e => e.bucket == bucket || e.bucket < 0 ||
+          bucketLayoutDiffers(sch, e))
       }
     val raw = readRaw(entries)
     MergeEngine.merge(raw, sch).filter(filterCond)
@@ -2389,8 +2411,11 @@ final class GraftTable private (
     require(sch.primaryKeys.toSet == keyValues.keySet, "must bind every primary key")
     val snap = sm.latestSnapshot().getOrElse(return Seq.empty)
     val bucket = directPkBucket(sch, keyValues)
+    // old-layout files (mid-rescale) survive the narrowing so the
+    // schema-mismatch fallback below can see them and route the
+    // lookup through the distributed path
     val bucketEntries = visibleEntries(sm.liveEntries(snap))
-      .filter(e => bucket.forall(_ == e.bucket))
+      .filter(e => bucket.forall(_ == e.bucket) || bucketLayoutDiffers(sch, e))
     if (bucketEntries.isEmpty) return Seq.empty
     if (bucketEntries.exists(e => e.file.schemaId != sch.id ||
       !e.file.fileName.endsWith(".parquet") || e.file.dvFile.isDefined))
@@ -4974,14 +4999,10 @@ final class GraftTable private (
     * a single-key DELETE/UPDATE merges one bucket's files instead of
     * the whole table (reference intent: MergeIntoPaimonTable
     * .findTouchedFiles applied to plain DML). */
-  private[graft] def prunedPkRows(cond: Column): DataFrame = {
-    val entries = planEntries(cond)
-    val narrowed = pkEqualityBucket(cond) match {
-      case Some(b) => entries.filter(_.bucket == b)
-      case None => entries
-    }
-    mergedFromEntries(narrowed).filter(cond)
-  }
+  private[graft] def prunedPkRows(cond: Column): DataFrame =
+    // planEntries already bucket-narrows (with the layout guard for
+    // files written under an older bucket count/key set)
+    mergedFromEntries(planEntries(cond)).filter(cond)
 
   /** Bucket id implied by PK-equality conjuncts (fixed-bucket tables):
     * mirrors the writer's xxhash64-pmod exactly — per-type hash, seed

@@ -133,6 +133,34 @@ class BucketKeySpec extends AnyFunSuite {
       Seq(123.5), "library-pruned read agrees after SQL rewrite")
   }
 
+  test("bucket narrowing never prunes files written under an OLDER bucket " +
+    "layout: an interrupted rescale keeps point reads exact") {
+    val t = GraftTable.create(spark, tmp(), sch,
+      primaryKeys = Seq("region", "id"), options = Map("bucket" -> "2"))
+    t.write(df((0L until 20L).map(i => (s"r${i % 3}", i, i * 1.0)): _*))
+    // simulate a rescale whose compact never landed: new schema says 8
+    // buckets, every live file was hashed under 2
+    val sch0 = t.schema
+    t.sm.writeSchema(sch0.copy(id = sch0.id + 1,
+      options = sch0.options.updated("bucket", "8")))
+    val t2 = GraftTable.load(spark, t.path)
+    (0L until 20L).foreach { i =>
+      val got = t2.scan(col("region") === s"r${i % 3}" && col("id") === i)
+        .collect().map(_.getDouble(2)).toSeq
+      assert(got == Seq(i * 1.0), s"id $i lost under stale-layout narrowing")
+    }
+    // point lookups agree
+    assert(t2.localLookup(Map("region" -> "r1", "id" -> 1L))
+      .map(_.getDouble(2)) == Seq(1.0))
+    // after the compact lands, files carry the new layout and
+    // narrowing engages again
+    t2.compact()
+    val all = t2.scan(org.apache.spark.sql.functions.lit(true)).inputFiles.length
+    val one = t2.scan(col("region") === "r1" && col("id") === 1L).inputFiles.length
+    assert(one < all, s"narrowing dead after compact: $one vs $all")
+    assert(t2.read.count() == 20L)
+  }
+
   test("bucketed-append DML re-routes rewritten rows to their buckets — " +
     "pruned point reads still find updated rows after COW, DV and sort-compact") {
     // COW rewrite path (no DVs)
