@@ -57,6 +57,7 @@ object ManifestIO {
     .required(INT64).named("schemaId")
     .optional(BOOLEAN).named("secIndexed")
     .optional(INT64).named("firstRowId")
+    .optional(INT64).named("creationTime")
     .named("manifest_entry")
 
   def encode(entries: Seq[ManifestEntry]): Array[Byte] = {
@@ -94,6 +95,7 @@ object ManifestIO {
       g.append("schemaId", e.file.schemaId)
       if (e.file.secIndexed) g.append("secIndexed", true)
       e.file.firstRowId.foreach(g.append("firstRowId", _))
+      e.file.creationTime.foreach(g.append("creationTime", _))
       writer.write(g)
     } finally writer.close()
     out.toBytes
@@ -151,7 +153,11 @@ object ManifestIO {
         firstRowId =
           if (g.getType.containsField("firstRowId") &&
             g.getFieldRepetitionCount("firstRowId") > 0)
-            Some(g.getLong("firstRowId", 0)) else None))
+            Some(g.getLong("firstRowId", 0)) else None,
+        creationTime =
+          if (g.getType.containsField("creationTime") &&
+            g.getFieldRepetitionCount("creationTime") > 0)
+            Some(g.getLong("creationTime", 0)) else None))
   }
 
   private final class GroupReaderBuilder(file: InputFile)

@@ -234,7 +234,15 @@ object Meta {
         * without row tracking (reference: paimon-core
         * io/DataFileMeta.java:107 firstRowId + SpecialFields._ROW_ID). */
       @JsonDeserialize(contentAs = classOf[java.lang.Long])
-      firstRowId: Option[Long] = None)
+      firstRowId: Option[Long] = None,
+      /** wall-clock time the physical file was written (reference:
+        * io/DataFileMeta creationTime). Drives the IMPRECISE
+        * `scan.file-creation-time-millis` filter — compaction rewrites
+        * reset it (documented reference behavior), DV/index re-adds
+        * copy the meta and keep it. None on pre-field files: such
+        * files are always kept. */
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
+      creationTime: Option[Long] = None)
 
   /** Manifest entry: ADD or DELETE of one data file in one
     * (partition, bucket). Partition values are stringified. */
@@ -326,7 +334,16 @@ object Meta {
         * of that column. LIST ORDER is the patch generation — later
         * files win per row id — so no per-file sequence is stored.
         * Row-tracking append tables only (stable _ROW_ID identity). */
-      colPatches: Option[Map[String, Seq[String]]] = None) {
+      colPatches: Option[Map[String, Seq[String]]] = None,
+      /** set ONLY on tag files (a tag is a snapshot copy; reference:
+        * tag/Tag.java extends Snapshot with tagCreateTime +
+        * tagTimeRetained): wall-clock creation time of the tag and its
+        * retention window. None on real snapshots and legacy tags —
+        * such tags never time-expire. */
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
+      tagCreateTime: Option[Long] = None,
+      @JsonDeserialize(contentAs = classOf[java.lang.Long])
+      tagTimeRetained: Option[Long] = None) {
     /** every index sidecar this snapshot pins (GC/expiration guard) */
     def indexSidecars: Seq[String] =
       dynIndex.getOrElse(Seq.empty) ++ globalIndex.getOrElse(Seq.empty) ++

@@ -41,7 +41,8 @@ object OrcStats {
         Some(name -> ColStats(mn, mx, nulls))
       }.toMap
       DataFileMeta(relativeName, reader.getContentLength, rowCount,
-        minSeq, maxSeq, level, colStats)
+        minSeq, maxSeq, level, colStats,
+        creationTime = Some(System.currentTimeMillis()))
     } finally reader.close()
   }
 

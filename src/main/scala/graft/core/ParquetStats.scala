@@ -87,7 +87,7 @@ object ParquetStats {
         }
       }
       DataFileMeta(relativeName, fileSize, rowCount, minSeq, maxSeq, level,
-        colStats.toMap)
+        colStats.toMap, creationTime = Some(System.currentTimeMillis()))
     } finally reader.close()
   }
 

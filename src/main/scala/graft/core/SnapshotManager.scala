@@ -780,9 +780,22 @@ final class SnapshotManager(
   /** A tag is a full COPY of the snapshot file (reference: paimon tags
     * are materialized snapshots): it stays readable after the original
     * snapshot expires, and expiration protects the files it
-    * references. */
-  def createTag(name: String, snapshotId: Long): Unit =
-    io.writeString(s"$tagDir/tag-$name", io.readString(snapshotPath(snapshotId)))
+    * references. `timeRetainedMs` stamps the copy with its creation
+    * time and retention window (reference: tag/Tag.java —
+    * tagCreateTime/tagTimeRetained) so TagTimeExpire-style cleanup can
+    * evict it; None leaves the tag permanent. */
+  def createTag(name: String, snapshotId: Long,
+      timeRetainedMs: Option[Long] = None): Unit = {
+    val base = io.readString(snapshotPath(snapshotId))
+    val content = timeRetainedMs match {
+      case None => base
+      case Some(ms) =>
+        Json.write(Json.read(base, classOf[Snapshot]).copy(
+          tagCreateTime = Some(System.currentTimeMillis()),
+          tagTimeRetained = Some(ms)))
+    }
+    io.writeString(s"$tagDir/tag-$name", content)
+  }
 
   def tagSnapshot(name: String): Option[Snapshot] =
     if (!io.exists(s"$tagDir/tag-$name")) None

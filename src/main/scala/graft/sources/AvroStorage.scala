@@ -292,7 +292,7 @@ object AvroStorage {
         }
       }.toMap
       DataFileMeta(relativeName, file.length(), rowCount, minSeq, maxSeq,
-        level, stats)
+        level, stats, creationTime = Some(System.currentTimeMillis()))
     } finally reader.close()
   }
 

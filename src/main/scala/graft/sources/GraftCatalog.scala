@@ -755,6 +755,17 @@ class GraftScanBuilder(gt: GraftTable, snapshot0: Option[Long], full: StructType
         throw new IllegalArgumentException(s"no such tag: $tag"))))
     .orElse(readOptions.get("scan.timestamp-millis").map(s =>
       gt.sm.snapshotIdAtTime(s.toLong).getOrElse(-1L)))
+    // `scan.watermark`: the first snapshot whose persisted event-time
+    // watermark reached the value — "give me a state at least as fresh
+    // as W"; no such snapshot is an error (reference: CoreOptions
+    // SCAN_WATERMARK + StaticFromWatermarkStartingScanner)
+    .orElse(readOptions.get("scan.watermark").map { w =>
+      val wm = w.toLong
+      gt.sm.snapshotIds.find(i =>
+        gt.sm.snapshot(i).watermark.exists(_ >= wm)).getOrElse(
+        throw new IllegalArgumentException(
+          s"no snapshot with watermark >= $wm (scan.watermark)"))
+    })
     // scan.mode=compacted-full (reference: CoreOptions.StartupMode
     // COMPACTED_FULL + CompactedStartingScanner): batch reads pin to
     // the latest COMPACT snapshot — a consumer that wants only
@@ -910,7 +921,72 @@ class GraftScanBuilder(gt: GraftTable, snapshot0: Option[Long], full: StructType
     }
   }
 
+  /** Incremental reads via READ OPTIONS (reference: CoreOptions
+    * INCREMENTAL_BETWEEN / INCREMENTAL_BETWEEN_TIMESTAMP /
+    * INCREMENTAL_TO_AUTO_TAG + INCREMENTAL_BETWEEN_SCAN_MODE — the
+    * `spark.read.option("incremental-between","3,5").table(t)`
+    * spelling). Modes: auto|delta = rows ADDED in the range (the
+    * reference's delta scan; auto degrades to delta here because the
+    * DSv2 table schema cannot grow a row-kind column — exact -U/+U
+    * pairs stay on `CALL sys.incremental_query`); diff = end-state
+    * rows that differ from the start state (exceptAll — distributed,
+    * no per-key window). `incremental-between` accepts snapshot ids
+    * or tag names. */
+  private def incrementalDf(): Option[DataFrame] = {
+    def resolveRef(s: String): Long = s.trim match {
+      case v if v.matches("-?\\d+") => v.toLong
+      case tag => gt.sm.tagSnapshotId(tag).getOrElse(
+        throw new IllegalArgumentException(s"no such tag: $tag"))
+    }
+    def two(v: String): (Long, Long) = v.split(",", 2) match {
+      case Array(a, b) => (resolveRef(a), resolveRef(b))
+      case _ => throw new IllegalArgumentException(
+        s"expected 'start,end', got '$v'")
+    }
+    val range: Option[(Long, Long)] =
+      readOptions.get("incremental-between").map(two)
+        .orElse(readOptions.get("incremental-between-timestamp").map { v =>
+          v.split(",", 2) match {
+            case Array(a, b) =>
+              (gt.sm.snapshotIdAtTime(a.trim.toLong).getOrElse(-1L),
+                gt.sm.snapshotIdAtTime(b.trim.toLong).getOrElse(-1L))
+            case _ => throw new IllegalArgumentException(
+              s"expected 'ts1,ts2', got '$v'")
+          }
+        })
+    val autoTag = readOptions.get("incremental-to-auto-tag")
+    if (range.isEmpty && autoTag.isEmpty) return None
+    val mode = readOptions.getOrElse("incremental-between-scan-mode", "auto")
+    Some(mode match {
+      case "auto" | "delta" =>
+        autoTag.map(gt.incrementalToAutoTag).getOrElse {
+          val (f, t) = range.get; gt.incrementalRead(f, t)
+        }.filter(col("_row_kind").isin("+I", "+U")).drop("_row_kind")
+      case "diff" =>
+        val (f, t) = range.getOrElse {
+          // auto-tag diff: end tag and its preceding auto tag
+          val tags = gt.sm.tags
+          val end = autoTag.get
+          val prev = tags.keys.filter(_ < end).maxOption
+          (for {p <- prev; fi <- tags.get(p); ti <- tags.get(end)}
+            yield (fi, ti)).getOrElse(return Some(gt.read.limit(0)))
+        }
+        gt.versionAsOf(t).exceptAll(gt.versionAsOf(f))
+      case "changelog" =>
+        throw new IllegalArgumentException(
+          "incremental-between-scan-mode=changelog needs a row-kind " +
+            "column the table read cannot carry; use CALL " +
+            "sys.incremental_query(...) which serves exact -U/+U pairs")
+      case other => throw new IllegalArgumentException(
+        s"unsupported incremental-between-scan-mode: $other")
+    })
+  }
+
   override def build(): Scan = {
+    incrementalDf() match {
+      case Some(df) => return dfScan(df)
+      case None =>
+    }
     aggResult match {
       case Some((schema, rows)) => new GraftLocalScan(schema, rows)
       case None if gt.rowTracking &&
@@ -921,9 +997,18 @@ class GraftScanBuilder(gt: GraftTable, snapshot0: Option[Long], full: StructType
         val cond = GraftFilters.toCondition(
           pushed.filterNot(_.references.contains(GraftTable.RowIdCol)))
         val sch = gt.schema
-        val entries =
+        val entries0 =
           if (snapshot.contains(-1L)) Seq.empty
           else gt.planEntries(cond, snapshot)
+        // `scan.file-creation-time-millis`: keep only files written
+        // after the cutoff — snapshot-independent, imprecise by design
+        // (compaction re-stamps; reference: CoreOptions
+        // SCAN_FILE_CREATION_TIME_MILLIS). Pre-field files are kept.
+        val entries = readOptions.get("scan.file-creation-time-millis")
+          .map(_.toLong) match {
+          case Some(ts) => entries0.filter(_.file.creationTime.forall(_ > ts))
+          case None => entries0
+        }
         // the native scan factory is parquet-specific; orc files read
         // through the (still vectorized) DataFrame fallback
         def allParquet = entries.forall(_.file.fileName.endsWith(".parquet"))
@@ -1042,6 +1127,27 @@ class GraftScanBuilder(gt: GraftTable, snapshot0: Option[Long], full: StructType
     * sets read through the library's DataFrame plan via the V1
     * fallback — the merge itself is a Spark plan, so codegen still
     * covers everything above the row conversion. */
+  /** V1 scan over a prepared DataFrame (incremental reads): Spark
+    * re-applies every filter (all stay residual), so the scan only
+    * projects to the required columns. */
+  private def dfScan(df: DataFrame): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan](context: SQLContext): T = {
+      new org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = context
+        override def schema: StructType = required
+        override def buildScan(): RDD[Row] = {
+          val pruned =
+            if (required.fieldNames.isEmpty) df.select(lit(1).as("dummy"))
+            else df.select(prunedProjection(df.schema): _*)
+          pruned.rdd
+        }
+      }.asInstanceOf[T]
+    }
+  }
+
   private def v1Fallback(cond: Column): Scan = new V1Scan
       with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -1081,9 +1187,13 @@ class GraftScanBuilder(gt: GraftTable, snapshot0: Option[Long], full: StructType
         override def sqlContext: SQLContext = context
         override def schema: StructType = required
         override def buildScan(): RDD[Row] = {
+          val fileCutoff =
+            readOptions.get("scan.file-creation-time-millis").map(_.toLong)
           val base = snapshot match {
             case Some(id) if id < 0 => gt.read.limit(0) // before first snapshot
             case Some(id) => gt.versionAsOf(id).filter(cond)
+            case None if fileCutoff.isDefined =>
+              gt.scanFilesCreatedAfter(cond, fileCutoff.get)
             case None => gt.scan(cond)
           }
           val pruned =

@@ -67,6 +67,20 @@ object GraftProcedures {
       (t, args) => s"deleted ${t.removeOrphanFiles(args.getLong(1)).size} orphans"),
     "create_tag" -> (Seq(p("table", StringType), p("tag", StringType)),
       (t, args) => { t.createTag(args.getUTF8String(1).toString); "ok" }),
+    // create_tag with an explicit retention (reference: CreateTagProcedure's
+    // optional time_retained argument — our procedure params are fixed-arity,
+    // so the retained variant is its own name)
+    "create_tag_retained" -> (Seq(p("table", StringType), p("tag", StringType),
+      p("retain_millis", LongType)),
+      (t, args) => { t.createTag(args.getUTF8String(1).toString,
+        Some(args.getLong(2))); "ok" }),
+    // expire tags whose tag.default-time-retained window lapsed
+    // (reference: ExpireTagsProcedure riding TagTimeExpire)
+    "expire_tags_by_retention" -> (Seq(p("table", StringType)),
+      (t, _) => {
+        val ex = t.expireTimedOutTags()
+        if (ex.isEmpty) "no expired tags" else s"expired ${ex.mkString(",")}"
+      }),
     "delete_tag" -> (Seq(p("table", StringType), p("tag", StringType)),
       (t, args) => { t.deleteTag(args.getUTF8String(1).toString); "ok" }),
     "rollback" -> (Seq(p("table", StringType), p("snapshot", LongType)),

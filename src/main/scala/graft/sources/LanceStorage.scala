@@ -680,6 +680,6 @@ object LanceStorage {
       else Some(c.name -> ColStats(c.min, c.max, c.nulls))
     }.toMap
     DataFileMeta(relativeName, file.length(), footer.rowCount, minSeq, maxSeq,
-      level, stats)
+      level, stats, creationTime = Some(System.currentTimeMillis()))
   }
 }

@@ -98,6 +98,12 @@ final class GraftTable private (
     // a metadata write, not a commit — no re-entrancy.
     if (schema.options.get(GraftTable.TagAutoMode).exists(_ != "none"))
       tagAutoCreate()
+    // retention-stamped tags expire on the same cadence (reference:
+    // TagAutoManager.run → TagTimeExpire). Gated on the options that
+    // can produce retained tags, so plain tables pay no tag listing.
+    if (schema.options.contains("tag.default-time-retained") ||
+        schema.options.get(GraftTable.TagAutoMode).exists(_ != "none"))
+      expireTimedOutTags()
     // automatic snapshot expiration — strictly OPT-IN via the
     // retention options (reference expires on every commit by default;
     // here the unset-options default keeps full history, so time
@@ -121,7 +127,54 @@ final class GraftTable private (
     // the partition-expire paths and CALL sys.sync_hms_partitions.
     if (schema.options.get("metastore.partitioned-table").contains("true"))
       graft.sources.HmsBridge.syncCommitDelta(this, committedId)
+    // `full-compaction.delta-commits`: once N delta commits pile on
+    // top of the last full compaction, trigger one (reference:
+    // CoreOptions FULL_COMPACTION_DELTA_COMMITS — constantly triggered
+    // after delta commits). Guarded against re-entrancy: the compact's
+    // own COMPACT commit re-enters this hook and must not recurse.
+    schema.options.get("full-compaction.delta-commits")
+      .map(_.toInt).filter(_ > 0).foreach { n =>
+        val snap = sm.snapshot(committedId)
+        if (snap.commitKind != Meta.KindCompact && !inAutoFullCompact.get()) {
+          // bounded walk: reads at most n snapshot files, newest-first
+          val since = sm.snapshotIds.filter(_ <= committedId)
+            .sorted.reverseIterator.map(sm.snapshot)
+            .takeWhile(_.commitKind != Meta.KindCompact).take(n).size
+          if (since >= n) {
+            inAutoFullCompact.set(true)
+            try compact() finally inAutoFullCompact.set(false)
+          }
+        }
+      }
+    // `commit.callbacks`: user classes notified per committed snapshot
+    // (reference: CoreOptions COMMIT_CALLBACKS + CommitCallback, with
+    // `commit.callback.<class>.param` as the optional ctor string).
+    // Failures log — the snapshot is already durable.
+    schema.options.get("commit.callbacks").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .foreach { cls =>
+        try {
+          val c = Class.forName(cls)
+          val param = schema.options.get(s"commit.callback.$cls.param")
+          val cb = param.map(pv =>
+              scala.util.Try(c.getConstructor(classOf[String]).newInstance(pv)))
+            .getOrElse(scala.util.Try(c.getConstructor().newInstance()))
+            .orElse(scala.util.Try(
+              c.getConstructor(classOf[GraftTable]).newInstance(this)))
+            .get.asInstanceOf[GraftCommitCallback]
+          cb.call(this, committedId)
+        } catch {
+          case e: Exception =>
+            org.slf4j.LoggerFactory.getLogger("graft.GraftTable").warn(
+              s"commit callback $cls failed for snapshot $committedId: $e")
+        }
+      }
   }
+
+  /** re-entrancy latch for full-compaction.delta-commits (the COMPACT
+    * commit fires the same onCommit hook) */
+  private val inAutoFullCompact =
+    new ThreadLocal[Boolean] { override def initialValue(): Boolean = false }
 
   /** Per-commit snapshot retention (reference: CoreOptions
     * snapshot.num-retained.max / snapshot.num-retained.min /
@@ -268,10 +321,16 @@ final class GraftTable private (
     // ignore-delete (reference: CoreOptions.IGNORE_DELETE): drop
     // incoming retractions instead of applying them — the standard
     // guard for CDC feeds whose deletes must not reach the table
+    // `ignore-update-before` additionally drops ONLY the -U half of
+    // update pairs (reference: utils/RowKindFilter.java — -D still
+    // applies); useful when the upstream always pairs -U/+U on the
+    // same key so the +U alone carries the state
     val withKind =
       if (sch.options.get("ignore-delete").contains("true"))
         kinded.filter(col(KindCol) =!= KindDelete &&
           col(KindCol) =!= KindUpdateBefore)
+      else if (sch.options.get("ignore-update-before").contains("true"))
+        kinded.filter(col(KindCol) =!= KindUpdateBefore)
       else kinded
     writeKinded(withKind, commitIdentifier)
   }
@@ -2088,6 +2147,19 @@ final class GraftTable private (
     mergedFromEntries(withFallbackEntries(entries, Some(filter))).filter(filter)
   }
 
+  /** [[scan]] restricted to data files physically written after `ts`
+    * (reference: CoreOptions SCAN_FILE_CREATION_TIME_MILLIS —
+    * snapshot-independent, IMPRECISE by contract: compaction re-stamps
+    * rewritten rows, and PK merge results reflect only the surviving
+    * files). Files from before the creationTime field are kept. */
+  def scanFilesCreatedAfter(filter: Column, ts: Long): DataFrame = {
+    val snap = sm.latestSnapshotId.map(sm.snapshot)
+    val entries = bucketNarrow(
+      snap.map(pruneEntries(_, filter)).getOrElse(Seq.empty), filter)
+      .filter(_.file.creationTime.forall(_ > ts))
+    mergedFromEntries(withFallbackEntries(entries, Some(filter))).filter(filter)
+  }
+
   def readSnapshot(id: Option[Long]): DataFrame =
     id.map { i =>
       val snap = sm.snapshot(i)
@@ -2611,9 +2683,17 @@ final class GraftTable private (
     }
   }
 
-  def createTag(name: String): Unit = {
+  /** Default retention for NEW tags (reference: CoreOptions
+    * `tag.default-time-retained` — applies to both auto-created and
+    * manually created tags). */
+  private def tagDefaultRetainedMs: Option[Long] =
+    schema.options.get("tag.default-time-retained")
+      .map(Meta.parseDurationMillis)
+
+  def createTag(name: String, timeRetainedMs: Option[Long] = None): Unit = {
     sm.createTag(name, sm.latestSnapshotId.getOrElse(
-      throw new IllegalStateException("empty table cannot be tagged")))
+      throw new IllegalStateException("empty table cannot be tagged")),
+      timeRetainedMs.orElse(tagDefaultRetainedMs))
     notifyTag(name, created = true)
   }
 
@@ -2621,7 +2701,8 @@ final class GraftTable private (
     * absent (reference: ReplaceTagProcedure). */
   def replaceTag(name: String, snapshotId: Option[Long] = None): Unit = {
     sm.createTag(name, snapshotId.orElse(sm.latestSnapshotId).getOrElse(
-      throw new IllegalStateException("empty table cannot be tagged")))
+      throw new IllegalStateException("empty table cannot be tagged")),
+      tagDefaultRetainedMs)
     notifyTag(name, created = true)
   }
 
@@ -2630,19 +2711,78 @@ final class GraftTable private (
     notifyTag(name, created = false)
   }
 
+  /** Expire tags whose retention window lapsed (reference:
+    * tag/TagTimeExpire.java, run from TagAutoManager on commit).
+    * Tags without a stamped create-time/retention never expire.
+    * Disabled entirely by `tag.time-expire-enabled=false`. */
+  def expireTimedOutTags(): Seq[String] = {
+    if (schema.options.get("tag.time-expire-enabled").contains("false"))
+      return Seq.empty
+    val now = System.currentTimeMillis()
+    val victims = sm.tags.keys.toSeq.filter { name =>
+      sm.tagSnapshot(name).exists(t =>
+        t.tagCreateTime.isDefined && t.tagTimeRetained.isDefined &&
+          now > t.tagCreateTime.get + t.tagTimeRetained.get)
+    }
+    victims.foreach(deleteTag)
+    victims
+  }
+
   /** Tag lifecycle mirror: `metastore.tag-to-partition` surfaces tags
     * of an UNPARTITIONED HMS-registered table as partitions of a
     * synthetic key (reference: AddPartitionTagCallback). Mirror
     * failures log, never fail the tag operation — same posture as the
     * commit-coupled partition sync. */
-  private[graft] def notifyTag(name: String, created: Boolean): Unit =
+  private[graft] def notifyTag(name: String, created: Boolean): Unit = {
+    val log = org.slf4j.LoggerFactory.getLogger("graft.GraftTable")
     if (schema.options.contains("metastore.tag-to-partition"))
       try graft.sources.HmsBridge.mirrorTagPartition(this, name, created)
       catch {
         case e: Exception =>
-          org.slf4j.LoggerFactory.getLogger("graft.GraftTable").warn(
-            s"tag-to-partition mirror failed for tag $name: $e")
+          log.warn(s"tag-to-partition mirror failed for tag $name: $e")
       }
+    // `tag.create-success-file`: companion `<name>_SUCCESS` JSON under
+    // tag-success-file/ with creation + modification times — external
+    // schedulers poll it to learn a tag landed (reference:
+    // tag/SuccessFileTagCallback.java). Deletion removes it.
+    if (schema.options.get("tag.create-success-file").contains("true")) try {
+      val dir = Paths.get(s"$path/tag-success-file")
+      val f = dir.resolve(s"${name}_SUCCESS")
+      if (created) {
+        Files.createDirectories(dir)
+        val now = System.currentTimeMillis()
+        val createMs =
+          if (Files.exists(f))
+            try Json.mapper.readTree(Files.readString(f))
+              .get("creationTime").asLong(now)
+            catch { case _: Exception => now }
+          else now
+        Files.writeString(f,
+          s"""{"creationTime":$createMs,"modificationTime":$now}""")
+      } else Files.deleteIfExists(f)
+    } catch {
+      case e: Exception => log.warn(s"tag success file for $name failed: $e")
+    }
+    // `tag.callbacks`: user classes notified of tag lifecycle
+    // (reference: CoreOptions TAG_CALLBACKS + TagCallback). Classes
+    // implement GraftTagCallback with a no-arg or (GraftTable) ctor;
+    // failures log, never fail the tag operation.
+    schema.options.get("tag.callbacks").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .foreach { cls =>
+        try {
+          val c = Class.forName(cls)
+          val cb = (scala.util.Try(c.getConstructor(classOf[GraftTable])
+              .newInstance(this))
+            .orElse(scala.util.Try(c.getConstructor().newInstance())))
+            .get.asInstanceOf[GraftTagCallback]
+          if (created) cb.notifyCreation(this, name)
+          else cb.notifyDeletion(this, name)
+        } catch {
+          case e: Exception => log.warn(s"tag callback $cls failed: $e")
+        }
+      }
+  }
 
   /** Automatic periodic tags (reference: tag/TagAutoCreation.java +
     * TagAutoManager + TriggerTagAutomaticCreationProcedure).
@@ -2669,29 +2809,52 @@ final class GraftTable private (
     val opts = schema.options
     val mode = opts.getOrElse(GraftTable.TagAutoMode, "none")
     if (mode == "none") return Seq.empty
+    if (mode == "batch") return tagBatchCreate()
     require(mode == "process-time" || mode == "watermark",
-      s"${GraftTable.TagAutoMode} must be process-time|watermark, got $mode")
-    val periodMs = opts.getOrElse("tag.creation-period", "daily") match {
-      case "daily" => 86400000L
-      case "hourly" => 3600000L
-      case other => throw new IllegalArgumentException(
-        s"tag.creation-period must be daily|hourly, got $other")
-    }
+      s"${GraftTable.TagAutoMode} must be process-time|watermark|batch, got $mode")
+    // period length: daily | hourly | two-hours, or an arbitrary
+    // `tag.creation-period-duration` (reference: TagCreationPeriod +
+    // PeriodDurationTagPeriodHandler — duration periods name their
+    // tags in the hourly format of their period START)
+    val periodDurationMs =
+      opts.get("tag.creation-period-duration").map(Meta.parseDurationMillis)
+    val periodMs = periodDurationMs.getOrElse(
+      opts.getOrElse("tag.creation-period", "daily") match {
+        case "daily" => 86400000L
+        case "hourly" => 3600000L
+        case "two-hours" => 7200000L
+        case other => throw new IllegalArgumentException(
+          s"tag.creation-period must be daily|hourly|two-hours, got $other")
+      })
     val delayMs = opts.get("tag.creation-delay").map(_.toLong).getOrElse(0L)
     val retainMax = opts.get("tag.num-retained-max").map(_.toInt)
+    // `tag.period-formatter` (reference: CoreOptions.TagPeriodFormatter;
+    // hourly-style names keep this engine's dash separator — a space in
+    // a tag FILE name survives no shell pipeline)
+    val daily = periodMs == 86400000L && periodDurationMs.isEmpty
+    val (pattern, regex) =
+      opts.getOrElse("tag.period-formatter", "with_dashes") match {
+        case "with_dashes" =>
+          if (daily) ("yyyy-MM-dd", "\\d{4}-\\d{2}-\\d{2}")
+          else ("yyyy-MM-dd-HH", "\\d{4}-\\d{2}-\\d{2}-\\d{2}")
+        case "without_dashes" =>
+          if (daily) ("yyyyMMdd", "\\d{8}")
+          else ("yyyyMMdd-HH", "\\d{8}-\\d{2}")
+        case "without_dashes_and_spaces" =>
+          if (daily) ("yyyyMMdd", "\\d{8}") else ("yyyyMMddHH", "\\d{10}")
+        case other => throw new IllegalArgumentException(
+          "tag.period-formatter must be with_dashes|without_dashes|" +
+            s"without_dashes_and_spaces, got $other")
+      }
     def tagName(periodStart: Long): String = {
-      val fmt = new java.text.SimpleDateFormat(
-        if (periodMs == 86400000L) "yyyy-MM-dd" else "yyyy-MM-dd-HH")
+      val fmt = new java.text.SimpleDateFormat(pattern)
       fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
       fmt.format(new java.util.Date(periodStart))
     }
     def parseTag(name: String): Option[Long] = {
-      val pat = if (periodMs == 86400000L) "\\d{4}-\\d{2}-\\d{2}"
-        else "\\d{4}-\\d{2}-\\d{2}-\\d{2}"
-      if (!name.matches(pat)) None
+      if (!name.matches(regex)) None
       else {
-        val fmt = new java.text.SimpleDateFormat(
-          if (periodMs == 86400000L) "yyyy-MM-dd" else "yyyy-MM-dd-HH")
+        val fmt = new java.text.SimpleDateFormat(pattern)
         fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
         scala.util.Try(fmt.parse(name).getTime).toOption
       }
@@ -2720,7 +2883,14 @@ final class GraftTable private (
         case "watermark" => snap.watermark
         case _ => Some(snap.timeMillis)
       }
-      timeOpt.foreach { time =>
+    // `tag.automatic-completion`: never skip a period — when a snapshot
+    // jumps several periods past the last auto tag, name THIS tag for
+    // the first missing period instead of the latest completed one;
+    // subsequent snapshots (or the same catch-up walk) fill the rest
+    // one period at a time (reference: TagAutoCreation.tryToCreateTags
+    // `if (automaticCompletion && nextTag != null) thisTag = nextTag`)
+    val completion = opts.get("tag.automatic-completion").contains("true")
+    timeOpt.foreach { time =>
         if (nextBoundary.forall(nb => time - delayMs >= nb)) {
           // normalizeToPreviousTag: the tag is named for the period the
           // snapshot COMPLETED, one before the period (time - delay)
@@ -2729,13 +2899,19 @@ final class GraftTable private (
             val td = time - delayMs
             td - Math.floorMod(td, periodMs)
           }
-          val name = tagName(periodStart - periodMs)
+          val name =
+            if (completion && nextBoundary.isDefined)
+              tagName(nextBoundary.get - periodMs)
+            else tagName(periodStart - periodMs)
           if (known.add(name)) {
-            sm.createTag(name, snap.id)
+            sm.createTag(name, snap.id, tagDefaultRetainedMs)
             notifyTag(name, created = true)
             created += name
           }
-          nextBoundary = Some(periodStart + periodMs)
+          nextBoundary =
+            if (completion && nextBoundary.isDefined)
+              Some(nextBoundary.get + periodMs)
+            else Some(periodStart + periodMs)
         }
       }
     }
@@ -2746,6 +2922,35 @@ final class GraftTable private (
         sm.deleteTag(n); notifyTag(n, created = false) }
     }
     created.toSeq
+  }
+
+  /** Batch-mode auto tag (`tag.automatic-creation=batch`; reference:
+    * tag/TagBatchCreation.java, driven by Flink's
+    * BatchWriteGeneratorTagOperator at job finish — here each batch
+    * commit refreshes it): one tag named `tag.batch.customized-name`,
+    * or `batch-write-yyyy-MM-dd` of the latest snapshot's time,
+    * REPLACED on every run so it always marks the newest batch write.
+    * `tag.num-retained-max` then trims the oldest tags beyond the cap
+    * (the reference trims across all tags in batch mode). */
+  private def tagBatchCreate(): Seq[String] = {
+    val opts = schema.options
+    val snapId = sm.latestSnapshotId.getOrElse(return Seq.empty)
+    val name = opts.get("tag.batch.customized-name").getOrElse {
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      "batch-write-" + fmt.format(new java.util.Date(
+        sm.snapshot(snapId).timeMillis))
+    }
+    val replaced = sm.tags.contains(name)
+    if (replaced) { sm.deleteTag(name); notifyTag(name, created = false) }
+    sm.createTag(name, snapId, tagDefaultRetainedMs)
+    notifyTag(name, created = true)
+    opts.get("tag.num-retained-max").map(_.toInt).foreach { max =>
+      val bySnap = sm.tags.toSeq.sortBy(_._2)
+      bySnap.dropRight(max).foreach { case (n, _) =>
+        sm.deleteTag(n); notifyTag(n, created = false) }
+    }
+    if (replaced) Seq.empty else Seq(name)
   }
 
   /** Raw rows of a snapshot including hidden seq/kind columns.

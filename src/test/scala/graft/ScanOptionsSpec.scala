@@ -1,0 +1,162 @@
+package graft
+
+import graft.table.GraftTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Read-option surfaces added for reference parity: scan.watermark,
+  * scan.file-creation-time-millis, the incremental-between family
+  * (reference: CoreOptions SCAN_WATERMARK,
+  * SCAN_FILE_CREATION_TIME_MILLIS, INCREMENTAL_BETWEEN*), and the
+  * ignore-update-before write option (RowKindFilter.java). */
+class ScanOptionsSpec extends AnyFunSuite {
+
+  private val warehouse =
+    Files.createTempDirectory("graft-scanopt-wh").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    .config("spark.sql.catalog.graft.warehouse", warehouse)
+    .getOrCreate()
+
+  private def kv(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("k", "v")
+  }
+
+  test("scan.watermark pins the first snapshot at or past the watermark") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbso")
+    spark.sql("CREATE TABLE graft.dbso.wm (k BIGINT, v STRING)")
+    val gt = GraftTable.load(spark, s"$warehouse/dbso/wm")
+    gt.writeWatermarked(kv(1L -> "a"), -1L, Some(100L))
+    gt.writeWatermarked(kv(2L -> "b"), -1L, Some(200L))
+    gt.writeWatermarked(kv(3L -> "c"), -1L, Some(300L))
+    // watermark 150 → first snapshot with wm >= 150 is the second one
+    assert(spark.read.option("scan.watermark", "150")
+      .table("graft.dbso.wm").count() == 2L)
+    assert(spark.read.option("scan.watermark", "300")
+      .table("graft.dbso.wm").count() == 3L)
+    val e = intercept[Exception](spark.read.option("scan.watermark", "999")
+      .table("graft.dbso.wm").count())
+    assert(e.toString.contains("watermark"), e.toString)
+  }
+
+  test("scan.file-creation-time-millis keeps only files written after the cutoff") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbso")
+    spark.sql("CREATE TABLE graft.dbso.fct (k BIGINT, v STRING)")
+    val gt = GraftTable.load(spark, s"$warehouse/dbso/fct")
+    gt.write(kv(1L -> "a", 2L -> "b"))
+    Thread.sleep(15)
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(15)
+    gt.write(kv(3L -> "c"))
+    assert(spark.read.table("graft.dbso.fct").count() == 3L)
+    val late = spark.read
+      .option("scan.file-creation-time-millis", cutoff.toString)
+      .table("graft.dbso.fct")
+    assert(late.collect().map(_.getLong(0)).toSet == Set(3L))
+
+    // PK table → V1 merge path honors the same cutoff
+    spark.sql("CREATE TABLE graft.dbso.fctpk (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1')")
+    val pk = GraftTable.load(spark, s"$warehouse/dbso/fctpk")
+    pk.write(kv(1L -> "a"))
+    Thread.sleep(15)
+    val cut2 = System.currentTimeMillis()
+    Thread.sleep(15)
+    pk.write(kv(2L -> "b"))
+    val latePk = spark.read
+      .option("scan.file-creation-time-millis", cut2.toString)
+      .table("graft.dbso.fctpk")
+    assert(latePk.collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("incremental-between via ids, tags, and timestamps (delta mode)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbso")
+    spark.sql("CREATE TABLE graft.dbso.inc (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1')")
+    val gt = GraftTable.load(spark, s"$warehouse/dbso/inc")
+    gt.write(kv(1L -> "a"))           // snapshot 0
+    gt.createTag("start")
+    gt.write(kv(2L -> "b", 1L -> "a2")) // snapshot 1
+    gt.write(kv(3L -> "c"))           // snapshot 2
+    gt.createTag("end")
+
+    val byId = spark.read.option("incremental-between", "0,2")
+      .table("graft.dbso.inc")
+    assert(byId.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+
+    val byTag = spark.read.option("incremental-between", "start,end")
+      .table("graft.dbso.inc")
+    assert(byTag.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+
+    val t0 = gt.sm.snapshot(0L).timeMillis
+    val t2 = gt.sm.snapshot(2L).timeMillis
+    val byTs = spark.read
+      .option("incremental-between-timestamp", s"$t0,$t2")
+      .table("graft.dbso.inc")
+    assert(byTs.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+
+    // projection + filter still apply on top of the incremental rows
+    assert(spark.sql(
+      "SELECT v FROM graft.dbso.inc /* opts below */").columns.sameElements(Array("v")))
+    val filtered = spark.read.option("incremental-between", "0,2")
+      .table("graft.dbso.inc").filter("k > 2").select("v")
+    assert(filtered.collect().map(_.getString(0)).toSeq == Seq("c"))
+  }
+
+  test("incremental-between-scan-mode diff and changelog") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbso")
+    spark.sql("CREATE TABLE graft.dbso.dif (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1')")
+    val gt = GraftTable.load(spark, s"$warehouse/dbso/dif")
+    gt.write(kv(1L -> "a", 2L -> "b"))
+    gt.write(kv(2L -> "b2", 3L -> "c")) // 2 changed, 3 added
+    val diff = spark.read.option("incremental-between", "0,1")
+      .option("incremental-between-scan-mode", "diff")
+      .table("graft.dbso.dif")
+    assert(diff.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((2L, "b2"), (3L, "c")))
+    val e = intercept[Exception](
+      spark.read.option("incremental-between", "0,1")
+        .option("incremental-between-scan-mode", "changelog")
+        .table("graft.dbso.dif").count())
+    assert(e.toString.contains("incremental_query"), e.toString)
+  }
+
+  test("incremental-to-auto-tag read option serves the preceding-tag diff") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbso")
+    spark.sql("CREATE TABLE graft.dbso.iat (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+      "'tag.automatic-creation'='watermark')")
+    val gt = GraftTable.load(spark, s"$warehouse/dbso/iat")
+    val day = 86400000L
+    gt.writeWatermarked(kv(1L -> "a"), -1L, Some(day * 5 + 1))
+    gt.writeWatermarked(kv(2L -> "b"), -1L, Some(day * 6 + 1))
+    gt.writeWatermarked(kv(3L -> "c"), -1L, Some(day * 7 + 1))
+    val tags = gt.sm.tags.keySet
+    assert(tags.contains("1970-01-06") && tags.contains("1970-01-07"), tags)
+    val rows = spark.read.option("incremental-to-auto-tag", "1970-01-07")
+      .table("graft.dbso.iat")
+    assert(rows.collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("ignore-update-before drops -U rows but keeps -D") {
+    val dir = Files.createTempDirectory("graft-iub").toString + "/t"
+    val gt = GraftTable.create(spark, dir,
+      kv(1L -> "a").schema, primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1", "ignore-update-before" -> "true",
+        "rowkind.field" -> "rk"))
+    import spark.implicits._
+    gt.write(Seq((1L, "a", "+I"), (2L, "b", "+I")).toDF("k", "v", "rk"))
+    // a -U alone must not retract (it is ignored); -D must
+    gt.write(Seq((1L, "a", "-U"), (2L, "b", "-D")).toDF("k", "v", "rk"))
+    val rows = gt.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a")))
+  }
+}
