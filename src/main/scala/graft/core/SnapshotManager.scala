@@ -673,12 +673,36 @@ final class SnapshotManager(
         s.changelogManifest.toSeq.flatMap(readManifest))
       .map(_.file.fileName) ++
       dropped.flatMap(_.indexSidecars)).distinct
-    dropFiles.filterNot(f => liveFiles.contains(f) || clProtect._1.contains(f))
-      .foreach(f => io.delete(s"$tablePath/$f"))
+    val deletedFiles = dropFiles
+      .filterNot(f => liveFiles.contains(f) || clProtect._1.contains(f))
+    deletedFiles.foreach(f => io.delete(s"$tablePath/$f"))
     dropManifests.filterNot(m => liveManifests.contains(m) || clProtect._2.contains(m))
       .foreach(m => io.delete(s"$manifestDir/$m"))
     drop.foreach(id => io.delete(snapshotPath(id)))
     if (clRetainOn) trimRetainedChangelogs()
+    // `snapshot.clean-empty-directories`: partition directories whose
+    // last data file this expire removed get swept (reference:
+    // CoreOptions SNAPSHOT_CLEAN_EMPTY_DIRECTORIES — off by default;
+    // object stores have no real dirs, and a racing writer may be
+    // staging into one, so the sweep only removes ACTUALLY-empty dirs
+    // and ignores failures). Only the parent dirs of just-deleted
+    // files are examined — never a full table walk.
+    if (latestSchema().exists(_.options.get("snapshot.clean-empty-directories")
+        .contains("true"))) {
+      deletedFiles.flatMap { f =>
+        val i = f.lastIndexOf('/')
+        if (i <= 0) None else Some(f.substring(0, i))
+      }.distinct.sortBy(-_.length).foreach { dir =>
+        try {
+          val p = java.nio.file.Paths.get(s"$tablePath/$dir")
+          if (java.nio.file.Files.isDirectory(p)) {
+            val s = java.nio.file.Files.list(p)
+            val empty = try !s.iterator().hasNext finally s.close()
+            if (empty) java.nio.file.Files.deleteIfExists(p)
+          }
+        } catch { case _: Exception => /* racing writer owns it now */ }
+      }
+    }
     drop
   }
 

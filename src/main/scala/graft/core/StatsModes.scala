@@ -40,18 +40,48 @@ object StatsModes {
   private val Suffix = ".stats-mode"
   private val TruncRe = """truncate\((\d+)\)""".r
 
+  /** `metadata.stats-mode.per.level` = "0:none,3:truncate(16)":
+    * per-LSM-level table default (reference: CoreOptions
+    * METADATA_STATS_MODE_PER_LEVEL — level-0 churn rarely deserves
+    * full stats). Per-field options still win over the level default. */
+  private def levelDefault(sch: TableSchema, level: Int): Option[String] =
+    sch.options.get("metadata.stats-mode.per.level").flatMap { spec =>
+      spec.split(",").map(_.trim).filter(_.nonEmpty).flatMap { e =>
+        e.split(":", 2) match {
+          case Array(l, m) => Some(l.trim.toInt -> m.trim)
+          case _ => throw new IllegalArgumentException(
+            s"metadata.stats-mode.per.level entry '$e' is not 'level:mode'")
+        }
+      }.toMap.get(level)
+    }
+
   /** column → effective mode, TYPE-DIRECTED (truncate on a non-string
     * column resolves to full). Empty map = everything full (the fast
     * path: callers skip per-file work entirely). Unknown modes throw —
-    * at write time, not silently at read time. */
-  def columnModes(sch: TableSchema): Map[String, String] = {
-    val table = sch.options.getOrElse(OptionKey, "full")
+    * at write time, not silently at read time. `level` (-1 = unknown)
+    * resolves the per-level default;
+    * `metadata.stats-keep-first-n-columns` then forces every column
+    * past the first N (schema order) to `none` (reference:
+    * METADATA_STATS_KEEP_FIRST_N_COLUMNS — wide tables keep stats for
+    * their leading query columns only). */
+  def columnModes(sch: TableSchema, level: Int = -1): Map[String, String] = {
+    val table =
+      (if (level >= 0) levelDefault(sch, level) else None)
+        .getOrElse(sch.options.getOrElse(OptionKey, "full"))
     val perField = sch.options.collect {
       case (k, v) if k.startsWith("fields.") && k.endsWith(Suffix) =>
         k.stripPrefix("fields.").stripSuffix(Suffix) -> v
     }
+    val keepFirst = sch.options.get("metadata.stats-keep-first-n-columns")
+      .map(_.toInt).filter(_ >= 0)
+    val dropped: Set[String] = keepFirst match {
+      case Some(n) => sch.fields.drop(n).map(_.name).toSet
+      case None => Set.empty
+    }
     val resolved = sch.fields.map { f =>
-      val mode = perField.getOrElse(f.name, table).trim
+      val mode =
+        if (dropped(f.name)) "none"
+        else perField.getOrElse(f.name, table).trim
       mode match {
         case "full" | "none" | "counts" => f.name -> mode
         case TruncRe(_) =>

@@ -109,6 +109,11 @@ final class GraftTable private (
     // here the unset-options default keeps full history, so time
     // travel on un-configured tables never silently loses snapshots)
     autoExpireSnapshots()
+    // automatic partition expiry rides the commit hook when
+    // partition.expiration-time is set (the interval throttle inside
+    // also stops the expiry's own DELETE commits from recursing)
+    if (schema.options.contains("partition.expiration-time"))
+      autoExpirePartitions()
     // idle-partition done markers ride the same hook when configured
     // (each new commit re-evaluates which partitions went quiet)
     if (schema.options.contains("partition.idle-time-to-done"))
@@ -1651,9 +1656,11 @@ final class GraftTable private (
     // one Spark job (the reference computes stats in the writers and
     // ships them in CommitMessages — PaimonSparkWriter.scala:108-195).
     val schId = sch.id
-    // metadata.stats-mode / fields.<f>.stats-mode: bound what the
-    // manifest stores per column (plain string map — executor-safe)
-    val colModes = graft.core.StatsModes.columnModes(sch)
+    // metadata.stats-mode / fields.<f>.stats-mode (+ per-level default
+    // and keep-first-n): bound what the manifest stores per column
+    // (plain string map — executor-safe); every file in one staged
+    // commit shares `level`
+    val colModes = graft.core.StatsModes.columnModes(sch, level)
     def statsOf(conf: org.apache.hadoop.conf.Configuration,
         abs: String, rel: String, lvl: Int, sb: Long, sx: Long): DataFileMeta = {
       val m =
@@ -2255,13 +2262,17 @@ final class GraftTable private (
     // ids across renames; missing write schemas / unmatched fields
     // decline conservatively.
     val curField = sch.fields.find(_.name == column).getOrElse(return None)
-    val modeCache = scala.collection.mutable.HashMap.empty[Long, Option[String]]
+    // keyed by (write schema, level): per-level stats modes make the
+    // same schema full at one level and truncated at another
+    val modeCache =
+      scala.collection.mutable.HashMap.empty[(Long, Int), Option[String]]
     val writtenNonFull = entries.exists { e =>
-      modeCache.getOrElseUpdate(e.file.schemaId, {
+      modeCache.getOrElseUpdate((e.file.schemaId, e.file.level), {
         scala.util.Try {
           val ws = if (e.file.schemaId == sch.id) sch else schemaOf(e.file.schemaId)
           ws.fields.find(_.id == curField.id).map(wf =>
-            graft.core.StatsModes.columnModes(ws).getOrElse(wf.name, "full"))
+            graft.core.StatsModes.columnModes(ws, e.file.level)
+              .getOrElse(wf.name, "full"))
         }.toOption.flatten
       }).forall(_ != "full")
     }
@@ -4206,7 +4217,14 @@ final class GraftTable private (
       strategy: String = "values-time",
       timestampFormatter: String = "yyyy-MM-dd",
       timestampPattern: Option[String] = None,
-      now: Long = System.currentTimeMillis()): Seq[Map[String, String]] = {
+      now: Long = System.currentTimeMillis(),
+      /** bound one pass to the N OLDEST expired partitions (reference:
+        * partition.expiration-max-num — a deep backlog drains across
+        * passes instead of one huge commit); None = all */
+      maxNum: Option[Int] = None,
+      /** partitions per DELETE commit within the pass (reference:
+        * partition.expiration-batch-size) */
+      batchSize: Int = Int.MaxValue): Seq[Map[String, String]] = {
     require(strategy == "values-time" || strategy == "update-time",
       s"strategy must be values-time|update-time, got $strategy")
     val sch = schema
@@ -4214,7 +4232,8 @@ final class GraftTable private (
     val snap = sm.latestSnapshot().getOrElse(return Seq.empty)
     val live = sm.liveEntries(snap)
     val cutoff = now - expirationMillis
-    val expired: Set[Map[String, String]] = strategy match {
+    // (partition, age-time) so maxNum can take the OLDEST first
+    val expiredAged: Seq[(Map[String, String], Long)] = strategy match {
       case "values-time" =>
         val fmt = new java.text.SimpleDateFormat(timestampFormatter)
         fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
@@ -4227,7 +4246,8 @@ final class GraftTable private (
           }
           scala.util.Try(fmt.parse(s).getTime).toOption
         }
-        live.map(_.partition).distinct.filter(p => timeOf(p).exists(_ < cutoff)).toSet
+        live.map(_.partition).distinct
+          .flatMap(p => timeOf(p).filter(_ < cutoff).map(p -> _))
       case _ =>
         // A live partition with no ADD in RETAINED history was last
         // touched at or before the earliest retained snapshot — the
@@ -4236,16 +4256,67 @@ final class GraftTable private (
         // partition.
         val (lastUpdate, horizon) = partitionLastUpdateTimes(now)
         live.map(_.partition).distinct
-          .filter(p => lastUpdate.getOrElse(p, horizon) < cutoff).toSet
+          .map(p => p -> lastUpdate.getOrElse(p, horizon))
+          .filter(_._2 < cutoff)
     }
-    if (expired.isEmpty) return Seq.empty
-    val victims = live.filter(e => expired.contains(e.partition))
-    sm.commit(victims.map(_.copy(kind = "DELETE")), KindOverwrite, sch.id,
-      conflictCheck = latest => victims.map(_.file.fileName).toSet
-        .subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet))
-    mirrorHmsDrops(expired.toSeq)
-    expired.toSeq
+    val chosen = maxNum match {
+      case Some(n) => expiredAged.sortBy(_._2).take(n).map(_._1)
+      case None => expiredAged.map(_._1)
+    }
+    if (chosen.isEmpty) return Seq.empty
+    chosen.grouped(math.max(1, batchSize)).foreach { group =>
+      val inGroup = group.toSet
+      val victims = live.filter(e => inGroup.contains(e.partition))
+      sm.commit(victims.map(_.copy(kind = "DELETE")), KindOverwrite, sch.id,
+        conflictCheck = latest => victims.map(_.file.fileName).toSet
+          .subsetOf(sm.liveEntries(latest).map(_.file.fileName).toSet))
+    }
+    mirrorHmsDrops(chosen)
+    chosen
   }
+
+  /** Commit-coupled automatic partition expiry (reference:
+    * operation/PartitionExpire — enabled by `partition.expiration-time`,
+    * throttled by `partition.expiration-check-interval` (default 1h),
+    * bounded to `partition.expiration-max-num` oldest partitions per
+    * pass (default 100), committed in `partition.expiration-batch-size`
+    * groups (default 1000) so one pass over a deep backlog never builds
+    * a single giant OVERWRITE). Strategy/formatter/pattern ride the
+    * same options as the procedure. */
+  private[graft] def autoExpirePartitions(): Seq[Map[String, String]] = {
+    val opts = schema.options
+    val ttl = opts.get("partition.expiration-time")
+      .map(Meta.parseDurationMillis).getOrElse(return Seq.empty)
+    if (schema.partitionKeys.isEmpty) return Seq.empty
+    // re-entrancy latch: the pass's own DELETE commits re-fire the
+    // hook; without it a 0ms check-interval would drain the whole
+    // backlog recursively, defeating the per-pass max-num bound
+    if (inAutoPartitionExpire.get()) return Seq.empty
+    val now = System.currentTimeMillis()
+    val interval = opts.get("partition.expiration-check-interval")
+      .map(Meta.parseDurationMillis).getOrElse(3600000L)
+    if (now - lastPartitionExpireCheck < interval) return Seq.empty
+    lastPartitionExpireCheck = now
+    val strategy =
+      opts.getOrElse("partition.expiration-strategy", "values-time")
+    val fmt = opts.getOrElse("partition.timestamp-formatter", "yyyy-MM-dd")
+    val pattern = opts.get("partition.timestamp-pattern")
+    val maxNum = opts.get("partition.expiration-max-num").map(_.toInt)
+      .getOrElse(100)
+    val batch = opts.get("partition.expiration-batch-size").map(_.toInt)
+      .getOrElse(1000)
+    inAutoPartitionExpire.set(true)
+    try expirePartitionsByTime(ttl, strategy, fmt, pattern, now,
+      maxNum = Some(maxNum), batchSize = batch)
+    finally inAutoPartitionExpire.set(false)
+  }
+
+  private val inAutoPartitionExpire =
+    new ThreadLocal[Boolean] { override def initialValue(): Boolean = false }
+
+  /** throttle cursor for [[autoExpirePartitions]] (reference keeps the
+    * same in-memory lastCheck inside PartitionExpire) */
+  @volatile private var lastPartitionExpireCheck: Long = 0L
 
   /** Mark partitions IDLE past `partition.idle-time-to-done` with a
     * `_SUCCESS` file (reference: CoreOptions PARTITION_IDLE_TIME_TO_DONE
