@@ -379,6 +379,23 @@ object Meta {
     }
   }
 
+  /** `"128mb"` / `"4 kb"` / `"1g"` / plain bytes → bytes (the memory
+    * shape the reference's MemorySize options accept). */
+  def parseBytes(s: String): Long = {
+    val m = "(?i)^\\s*(\\d+)\\s*(b|kb|k|mb|m|gb|g|tb|t)?\\s*$".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot parse size '$s' (want <n> [b|kb|mb|gb|tb])"))
+    val n = m.group(1).toLong
+    Option(m.group(2)).map(_.toLowerCase).getOrElse("b") match {
+      case "b" => n
+      case "kb" | "k" => n << 10
+      case "mb" | "m" => n << 20
+      case "gb" | "g" => n << 30
+      case "tb" | "t" => n << 40
+    }
+  }
+
   /** One expired snapshot's persisted changelog kept beyond the
     * snapshot's own lifetime (reference: the Changelog long-lived
     * chain under `changelog.num-retained.max` / `changelog

@@ -52,11 +52,27 @@ private[graft] object GraftScanUtil {
 
   def filePartitions(
       spark: SparkSession, tablePath: String,
-      entries: Seq[ManifestEntry], partitionSchema: StructType): Array[InputPartition] = {
+      entries: Seq[ManifestEntry], partitionSchema: StructType,
+      /** `source.split.target-size` (reference: CoreOptions
+        * SOURCE_SPLIT_TARGET_SIZE) — per-table split-size override;
+        * None delegates to spark.sql.files.maxPartitionBytes (and
+        * open-file-cost to spark.sql.files.openCostInBytes, Spark's
+        * spelling of the reference's SOURCE_SPLIT_OPEN_FILE_COST). */
+      targetSize: Option[Long] = None): Array[InputPartition] = {
     val files = entries.map(partitionedFile(tablePath, _, partitionSchema))
-    val maxSplit = FilePartition.maxSplitBytes(spark, files.map(_.fileSize).sum)
+    val maxSplit = targetSize.getOrElse(
+      FilePartition.maxSplitBytes(spark, files.map(_.fileSize).sum))
     FilePartition.getFilePartitions(spark, files, maxSplit).toArray
   }
+
+  /** resolve `source.split.target-size` from read options, falling back
+    * to the table option (accepts plain bytes or k/m/g suffix) */
+  def splitTargetSize(
+      readOptions: Map[String, String],
+      tableOptions: Map[String, String]): Option[Long] =
+    readOptions.get("source.split.target-size")
+      .orElse(tableOptions.get("source.split.target-size"))
+      .map(graft.core.Meta.parseBytes)
 
   def readerFactory(
       spark: SparkSession, dataSchema: StructType, readDataSchema: StructType,
@@ -267,7 +283,8 @@ class GraftBatchScan(
         entries.sortBy(e =>
           partitionSchema.fieldNames.map(e.partition.getOrElse(_, "")).mkString("\u0000")) // NUL: unambiguous join
       else entries
-    GraftScanUtil.filePartitions(spark, gt.path, planned, partitionSchema)
+    GraftScanUtil.filePartitions(spark, gt.path, planned, partitionSchema,
+      GraftScanUtil.splitTargetSize(readOptions, gt.schema.options))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -630,7 +647,9 @@ class GraftMicroBatchStream(
     }
     val base = full.toSeq.flatMap(c =>
       gt.visibleEntries(sm.liveEntries(sm.snapshot(c))))
-    GraftScanUtil.filePartitions(gt.spark, gt.path, base ++ entries, partitionSchema)
+    GraftScanUtil.filePartitions(gt.spark, gt.path, base ++ entries,
+      partitionSchema,
+      GraftScanUtil.splitTargetSize(Map.empty, gt.schema.options))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

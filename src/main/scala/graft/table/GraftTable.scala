@@ -3925,10 +3925,21 @@ final class GraftTable private (
       .map(_.toInt).getOrElse(trigger)
     val ampPct = sch.options
       .getOrElse("compaction.max-size-amplification-percent", "200").toLong
+    // num-sorted-run.compaction-trigger (reference: CoreOptions
+    // NUM_SORTED_RUNS_COMPACTION_TRIGGER): a sorted run is one level-0
+    // file or one populated level>0 — the merge-read fan-in. Opt-in
+    // here (the reference defaults to 5 because its reads always merge
+    // every run; this engine's count trigger already bounds fan-in).
+    val sortedRunTrigger =
+      sch.options.get("num-sorted-run.compaction-trigger").map(_.toInt)
     val hot = sm.liveEntries(snap)
       .groupBy(e => (e.partition, e.bucket))
       .filter { case (_, es) =>
-        es.size > minFiles || {
+        es.size > minFiles || sortedRunTrigger.exists { t =>
+          val runs = es.count(_.file.level == 0) +
+            es.filter(_.file.level > 0).map(_.file.level).distinct.size
+          runs >= t
+        } || {
           val l0 = es.filter(_.file.level == 0).map(_.file.fileSize).sum
           val merged = es.filter(_.file.level > 0).map(_.file.fileSize).sum
           merged > 0 && l0 * 100 > merged * ampPct

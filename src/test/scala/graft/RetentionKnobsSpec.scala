@@ -92,6 +92,45 @@ class RetentionKnobsSpec extends AnyFunSuite {
     assert(a.statsMinMax("v").isEmpty, "level-0 counts mode must decline")
   }
 
+  test("num-sorted-run.compaction-trigger fires on run count below the file-num trigger") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val t = GraftTable.create(spark, tmp(), df.schema,
+      primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1",
+        "num-sorted-run.compaction-trigger" -> "2"))
+    t.write(Seq((1L, "a")).toDF("k", "v"))
+    assert(t.compactIfNeeded().isEmpty, "one run must not trigger")
+    t.write(Seq((2L, "b")).toDF("k", "v"))
+    // two level-0 runs >= trigger 2, even though file count (2) is far
+    // below the default min.file-num trigger (5)
+    assert(t.compactIfNeeded().isDefined)
+    val files = t.sm.latestSnapshot().map(t.sm.liveEntries).get
+    assert(files.forall(_.file.level > 0))
+  }
+
+  test("source.split.target-size bounds bin-packed split sizes") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => (i.toLong, "v" * 50)).toDF("k", "v")
+    val t = GraftTable.create(spark, tmp(), df.schema)
+    t.write(df.repartition(4)) // four separate data files
+    val entries = t.sm.latestSnapshot().map(t.sm.liveEntries).get
+    assert(entries.size == 4, entries.size)
+    val sch = org.apache.spark.sql.types.StructType(Nil)
+    val one = graft.sources.GraftScanUtil.filePartitions(
+      spark, t.path, entries, sch, targetSize = Some(1L))
+    assert(one.length == 4, "1-byte target → one file per split")
+    val all = graft.sources.GraftScanUtil.filePartitions(
+      spark, t.path, entries, sch, targetSize = Some(1L << 30))
+    assert(all.length < 4, "1gb target packs files together")
+    // option resolution: read option wins over table option, sizes parse
+    assert(graft.sources.GraftScanUtil.splitTargetSize(
+      Map("source.split.target-size" -> "64mb"),
+      Map("source.split.target-size" -> "1gb")).contains(64L << 20))
+    assert(graft.core.Meta.parseBytes("512") == 512L)
+    assert(graft.core.Meta.parseBytes("4 kb") == 4096L)
+  }
+
   test("snapshot.clean-empty-directories sweeps partition dirs emptied by expiration") {
     val t = GraftTable.create(spark, tmp(), dtRows("x" -> 1L).schema,
       partitionKeys = Seq("dt"),

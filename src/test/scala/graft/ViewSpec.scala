@@ -271,4 +271,35 @@ class ViewSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
     assert(err.getMessage.contains("upsert-key"), err.getMessage)
   }
+
+  test("table-valued functions: graft_incremental_query / _to_auto_tag in FROM") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.tvf")
+    spark.sql("CREATE TABLE graft.tvf.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1')")
+    spark.sql("INSERT INTO graft.tvf.t VALUES (1, 'a')")
+    spark.sql("INSERT INTO graft.tvf.t VALUES (2, 'b'), (1, 'a2')")
+    val gt = graft.table.GraftTable.load(spark, s"$warehouse/tvf/t")
+    gt.createTag("s0", None)
+    // FROM-clause TVF, fully SQL — rows changed in (0, 1]
+    // no changelog producer: deltas surface as raw adds (+I), same as
+    // CALL sys.incremental_query on this table
+    val rows = spark.sql(
+      "SELECT k, v, _row_kind FROM graft_incremental_query('graft.tvf.t', 0, 1) ORDER BY k, _row_kind")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.toSet == Set((1L, "a2", "+I"), (2L, "b", "+I")), rows.toSeq)
+    // tag names resolve as snapshot refs
+    spark.sql("INSERT INTO graft.tvf.t VALUES (3, 'c')")
+    // 's0' was tagged at snapshot 1, so the tag-ref range (s0, 2] = {3}
+    val byTag = spark.sql(
+      "SELECT k FROM graft_incremental_query('graft.tvf.t', 's0', 2)")
+      .collect().map(_.getLong(0)).toSet
+    assert(byTag == Set(3L))
+    // timestamp variant composes with aggregation
+    val t0 = gt.sm.snapshot(0L).timeMillis
+    val t2 = gt.sm.snapshot(2L).timeMillis
+    val n = spark.sql("SELECT count(*) FROM " +
+      s"graft_incremental_between_timestamp('graft.tvf.t', $t0, $t2)")
+      .head.getLong(0)
+    assert(n == 3L) // adds: a2, b, c
+  }
 }
