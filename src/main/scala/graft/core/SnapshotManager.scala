@@ -365,8 +365,15 @@ final class SnapshotManager(
       .map(Meta.parseDurationMillis).getOrElse(10L)
     val retryMaxWait = retryOpts.get("commit.max-retry-wait")
       .map(Meta.parseDurationMillis).getOrElse(10000L)
+    // `commit.timeout` (reference: CoreOptions COMMIT_TIMEOUT): total
+    // wall-clock budget across retries — whichever of the count cap and
+    // the time budget trips first ends the loop. Unset = count only.
+    val timeoutAt = retryOpts.get("commit.timeout")
+      .map(Meta.parseDurationMillis)
+      .map(System.currentTimeMillis() + _)
     var attempt = 0
-    while (attempt < effRetries) {
+    while (attempt < effRetries &&
+        timeoutAt.forall(System.currentTimeMillis() < _)) {
       val latest = latestSnapshot()
       val rowIdBase: Long = latest.flatMap(_.nextRowId).getOrElse(0L)
       var rowIdNext: Long = rowIdBase
@@ -543,7 +550,10 @@ final class SnapshotManager(
           java.util.concurrent.ThreadLocalRandom.current().nextLong(base.max(2L))))
       }
     }
-    throw new IllegalStateException(s"commit failed after $effRetries retries")
+    throw new IllegalStateException(
+      if (timeoutAt.exists(System.currentTimeMillis() >= _))
+        s"commit timed out (commit.timeout) after $attempt attempts"
+      else s"commit failed after $effRetries retries")
   }
 
   /** Drop snapshots older than the `retain` most recent ones and any
@@ -577,8 +587,16 @@ final class SnapshotManager(
     val all = retainedChangelogs
     val cutoff = maxAge.map(System.currentTimeMillis() - _)
     val overCount = maxN.map(n => math.max(0, all.size - n)).getOrElse(0)
+    // `changelog.num-retained.min` (reference: CoreOptions
+    // CHANGELOG_NUM_RETAINED_MIN): the time cutoff never trims below
+    // this floor — a lagging reader keeps at least min changelogs even
+    // when they aged out
+    val minKeep = latestSchema()
+      .flatMap(_.options.get("changelog.num-retained.min"))
+      .map(_.toInt).getOrElse(0)
     val drop = all.zipWithIndex.filter { case (r, i) =>
-      i < overCount || cutoff.exists(r.timeMillis < _)
+      i < overCount ||
+        (cutoff.exists(r.timeMillis < _) && i < all.size - minKeep)
     }.map(_._1)
     drop.foreach { r =>
       try {

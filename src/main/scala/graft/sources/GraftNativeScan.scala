@@ -512,8 +512,26 @@ class GraftMicroBatchStream(
     * the query terminates there even while writers keep committing. */
   private var frozenLatest: Option[Long] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    frozenLatest = Some(boundedLatest())
-  private def currentCap(): Long = frozenLatest.getOrElse(boundedLatest())
+    frozenLatest = Some(delayedLatest())
+  private def currentCap(): Long = frozenLatest.getOrElse(delayedLatest())
+
+  /** `streaming.read.snapshot.delay` (reference: CoreOptions
+    * STREAMING_READ_SNAPSHOT_DELAY): the stream only admits snapshots
+    * at least this old — headroom for a compaction/changelog job that
+    * trails the writer, so readers see settled snapshots. Applied on
+    * top of the bounded-watermark cap. */
+  private def delayedLatest(): Long = {
+    val cap = boundedLatest()
+    streamOpt("streaming.read.snapshot.delay")
+      .map(graft.core.Meta.parseDurationMillis) match {
+      case None => cap
+      case Some(d) =>
+        val cutoff = System.currentTimeMillis() - d
+        sm.snapshotIds.filter(_ <= cap).reverse
+          .find(i => sm.snapshot(i).timeMillis <= cutoff)
+          .getOrElse(-1L)
+    }
+  }
 
   /** Bounded stream end (reference: scan.bounded.watermark +
     * DataTableStreamScan BoundedChecker): with the option set, the

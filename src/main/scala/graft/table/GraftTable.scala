@@ -140,7 +140,8 @@ final class GraftTable private (
     schema.options.get("full-compaction.delta-commits")
       .map(_.toInt).filter(_ > 0).foreach { n =>
         val snap = sm.snapshot(committedId)
-        if (snap.commitKind != Meta.KindCompact && !inAutoFullCompact.get()) {
+        if (!writeOnly && snap.commitKind != Meta.KindCompact &&
+            !inAutoFullCompact.get()) {
           // bounded walk: reads at most n snapshot files, newest-first
           val since = sm.snapshotIds.filter(_ <= committedId)
             .sorted.reverseIterator.map(sm.snapshot)
@@ -272,9 +273,35 @@ final class GraftTable private (
     val id =
       if (isPrimaryKeyTable) upsert(in, commitIdentifier)
       else appendCommit(in, overwrite = false, commitIdentifier)
-    if (schema.options.get("commit.force-compact").contains("true")) compact()
+    // `write-only` (reference: CoreOptions WRITE_ONLY): this writer
+    // skips every write-coupled compaction — a dedicated compact job
+    // owns maintenance. force-compact and the delta-commits trigger
+    // both defer to it.
+    if (schema.options.get("commit.force-compact").contains("true") &&
+        !writeOnly) compact()
+    // `partition.end-input-to-done` (reference: CoreOptions
+    // PARTITION_END_INPUT_TO_DONE — Flink fires it at batch end-input;
+    // here a library batch write IS one input): the partitions this
+    // commit touched get their done markers + configured actions.
+    if (schema.options.get("partition.end-input-to-done").contains("true") &&
+        schema.partitionKeys.nonEmpty) {
+      val parts = sm.snapshot(id).deltaManifest
+        .map(sm.readManifest).getOrElse(Seq.empty)
+        .map(_.partition).distinct
+      parts.foreach { p =>
+        graft.sources.MarkDoneActions.fire(this,
+          schema.partitionKeys.map(k => s"$k=${p.getOrElse(k, "")}")
+            .mkString("/"))
+      }
+    }
     id
   }
+
+  /** `write-only`: suppress all write-triggered compaction on this
+    * table handle (commit.force-compact, full-compaction.delta-commits);
+    * CALL sys.compact and explicit compact() still work. */
+  private def writeOnly: Boolean =
+    schema.options.get("write-only").contains("true")
 
   /** Write carrying an event-time watermark persisted on the snapshot
     * (reference: Snapshot.FIELD_WATERMARK). Used by the streaming sink. */
@@ -691,8 +718,31 @@ final class GraftTable private (
       case many => StructField("__gseq", StructType(many.map(f)), nullable = true)
     }
     StructType((sch.primaryKeys ++ sch.partitionKeys).map(f) :+ ord :+
-      StructField("__cseq", LongType, nullable = false))
+      StructField("__cseq", LongType, nullable = false) :+
+      // entry write time, for cross-partition-upsert.index-ttl; old
+      // sidecars read as null = never expires
+      StructField("__ts", LongType, nullable = true))
   }
+
+  /** `cross-partition-upsert.index-ttl` (reference: CoreOptions
+    * CROSS_PARTITION_UPSERT_INDEX_TTL — "avoid maintaining too many
+    * indexes... but may cause data duplication"): entries older than
+    * the TTL drop out of the routing view and are physically removed
+    * at each full index fold, so the index stays bounded on
+    * time-partitioned tables whose old keys never update again.
+    * Null-stamped (pre-TTL) entries never expire. */
+  private def indexTtlFilter(idx: DataFrame, sch: TableSchema,
+      now: Long): DataFrame =
+    sch.options.get("cross-partition-upsert.index-ttl")
+      .map(Meta.parseDurationMillis) match {
+      case Some(ttl) =>
+        // `now` is captured at the START of the assignment pass, before
+        // the batch entries were stamped — entries written within the
+        // same pass can therefore never age out of their own fold
+        val cutoff = now - ttl
+        idx.filter(col("__ts").isNull || col("__ts") >= cutoff)
+      case None => idx
+    }
 
   /** The persisted key → (partition, seq) index, latest entry per key,
     * if sidecars exist (test/diagnostic surface). */
@@ -706,7 +756,7 @@ final class GraftTable private (
 
   private def collapseIndex(idx: DataFrame, sch: TableSchema): DataFrame = {
     val pkCols = sch.primaryKeys.map(col).toIndexedSeq
-    val payload = sch.partitionKeys :+ "__gseq" :+ "__cseq"
+    val payload = sch.partitionKeys :+ "__gseq" :+ "__cseq" :+ "__ts"
     idx.groupBy(pkCols: _*).agg(
       max_by(struct_ord(payload.map(col).toIndexedSeq: _*),
         struct_ord(col("__gseq"), col("__cseq"))).as("__e"))
@@ -738,6 +788,9 @@ final class GraftTable private (
     val pk = sch.primaryKeys
     val parts = sch.partitionKeys
     val pkCols = pk.map(col).toIndexedSeq
+    // single clock read for the pass: index stamps and the TTL cutoff
+    // must be mutually consistent (see indexTtlFilter)
+    val passNow = System.currentTimeMillis()
     val snap = sm.latestSnapshot()
     val prevFiles = snap.flatMap(_.globalIndex).getOrElse(Seq.empty)
     val live = snap.map(sm.liveEntries).getOrElse(Seq.empty)
@@ -751,7 +804,8 @@ final class GraftTable private (
       case many => org.apache.spark.sql.functions.struct(many.map(col): _*)
     }
     val batchIdx = batch.select((pkCols ++ parts.map(col) :+
-      batchGseq.as("__gseq") :+ lit(base).as("__cseq")): _*)
+      batchGseq.as("__gseq") :+ lit(base).as("__cseq") :+
+      lit(passNow).as("__ts")): _*)
 
     val idxAll: Option[DataFrame] =
       if (prevFiles.nonEmpty)
@@ -770,7 +824,8 @@ final class GraftTable private (
           case many => org.apache.spark.sql.functions.struct(many.map(col): _*)
         }
         Some(raw.select((pkCols ++ parts.map(col) :+
-          bootGseq.as("__gseq") :+ col(SeqCol).as("__cseq")): _*))
+          bootGseq.as("__gseq") :+ col(SeqCol).as("__cseq") :+
+          lit(passNow).as("__ts")): _*))
       }
     // routing-join broadcast gate: bytes of the files the index side
     // actually reads — persisted index sidecars, or the live data
@@ -783,7 +838,7 @@ final class GraftTable private (
           .getOrElse(Long.MaxValue / 1024)).sum
       else live.map(_.file.fileSize).sum
     val latest = idxAll.map(idx => sizeGatedBuildSide(
-      collapseIndex(idx, sch)
+      indexTtlFilter(collapseIndex(idx, sch), sch, passNow)
         .select((pkCols ++ parts.map(c => col(c).as(s"__old_$c")) :+
           lit(true).as("__old_exists")).toIndexedSeq: _*),
       idxBytes, "cross-partition-routing"))
@@ -812,7 +867,9 @@ final class GraftTable private (
     if (needFull) {
       val full = idxAll match {
         case None => batchIdx
-        case Some(idx) => collapseIndex(idx.unionByName(batchIdx), sch)
+        // TTL-expired entries are physically dropped at the fold
+        case Some(idx) => indexTtlFilter(
+          collapseIndex(idx.unionByName(batchIdx), sch), sch, passNow)
       }
       val files = writeGlobalIndexFiles(full, parts = 4)
       DynAssignment(out, keepUnseen(prevFiles.toSet, files), joinPinned)

@@ -145,4 +145,111 @@ class RetentionKnobsSpec extends AnyFunSuite {
     assert(Files.isDirectory(Paths.get(s"${t.path}/data/dt=2020-01-02")))
     assert(t.read.count() == 1L)
   }
+
+  test("write-only suppresses write-coupled compaction") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val t = GraftTable.create(spark, tmp(), df.schema, primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1", "commit.force-compact" -> "true",
+        "full-compaction.delta-commits" -> "1", "write-only" -> "true"))
+    t.write(df); t.write(Seq((2L, "b")).toDF("k", "v"))
+    assert(t.sm.snapshotIds.map(t.sm.snapshot(_).commitKind)
+      .forall(_ != "COMPACT"), "write-only must skip compaction")
+    // explicit maintenance still works
+    assert(t.compact().isDefined)
+  }
+
+  test("commit.timeout bounds the CAS retry loop in wall time") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    // a generous budget never interferes with a healthy commit
+    val ok = GraftTable.create(spark, tmp(), df.schema,
+      options = Map("commit.timeout" -> "10m"))
+    ok.write(df)
+    assert(ok.read.count() == 1)
+    // an exhausted budget ends the loop by TIME, not by burning the
+    // 20-attempt retry budget (the loop checks the clock per attempt)
+    val t = GraftTable.create(spark, tmp(), df.schema,
+      options = Map("commit.timeout" -> "0ms"))
+    val e = intercept[IllegalStateException](t.write(df))
+    assert(e.getMessage.contains("timed out"), e.getMessage)
+  }
+
+  test("changelog.num-retained.min floors the time-based changelog trim") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val t = GraftTable.create(spark, tmp(), df.schema, primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1", "changelog-producer" -> "lookup",
+        "changelog.time-retained" -> "1ms",
+        "changelog.num-retained.min" -> "2"))
+    t.write(df)
+    t.write(Seq((1L, "a2")).toDF("k", "v"))
+    t.write(Seq((1L, "a3")).toDF("k", "v"))
+    Thread.sleep(20) // everything aged past 1ms
+    t.expireSnapshots(retain = 1)
+    // time cutoff alone would drop all retained changelogs; the min
+    // floor keeps the newest two
+    assert(t.sm.retainedChangelogs.size >= 2,
+      s"kept ${t.sm.retainedChangelogs.size}")
+  }
+
+  test("partition.end-input-to-done marks written partitions after a batch write") {
+    val t = GraftTable.create(spark, tmp(), dtRows("x" -> 1L).schema,
+      partitionKeys = Seq("dt"),
+      options = Map("partition.end-input-to-done" -> "true"))
+    t.write(dtRows("2024-01-01" -> 1L, "2024-01-02" -> 2L))
+    assert(Files.exists(Paths.get(s"${t.path}/data/dt=2024-01-01/_SUCCESS")))
+    assert(Files.exists(Paths.get(s"${t.path}/data/dt=2024-01-02/_SUCCESS")))
+  }
+
+  test("cross-partition index-ttl drops aged entries at the full fold") {
+    import spark.implicits._
+    // pk does NOT contain the partition key -> cross-partition upsert
+    val df = Seq((1L, "p1", "a")).toDF("k", "dt", "v")
+    val t = GraftTable.create(spark, tmp(), df.schema,
+      primaryKeys = Seq("k"), partitionKeys = Seq("dt"),
+      options = Map("bucket" -> "1",
+        "cross-partition-upsert.index-ttl" -> "800ms",
+        "global-index.compact-trigger" -> "2"))
+    t.write(df)
+    assert(t.globalIndexDf.get.count() == 1)
+    Thread.sleep(1200) // the k=1 entry ages past the 800ms TTL
+    // two more writes cross the compact trigger -> full fold drops it;
+    // k=3's own-pass entry is stamped with the pass clock and survives
+    t.write(Seq((2L, "p1", "b")).toDF("k", "dt", "v"))
+    t.write(Seq((3L, "p1", "c")).toDF("k", "dt", "v"))
+    val keys = t.globalIndexDf.get.select("k").collect().map(_.getLong(0)).toSet
+    assert(!keys.contains(1L), s"aged entry must drop from the index: $keys")
+    assert(keys.contains(3L), s"same-pass entry must survive: $keys")
+    // consequence (documented reference caveat): an expired key routes
+    // as NEW on its next update; the data itself stays readable
+    assert(t.read.count() == 3)
+  }
+
+  test("streaming.read.snapshot.delay holds back young snapshots") {
+    spark.conf.set("spark.sql.catalog.graftrk", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftrk.warehouse",
+      Files.createTempDirectory("graft-rk-wh").toString)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftrk.d")
+    spark.sql("CREATE TABLE graftrk.d.t (k BIGINT)")
+    spark.sql("INSERT INTO graftrk.d.t VALUES (1)")
+    def drained(delay: String): Int = {
+      val got = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = spark.readStream
+        .option("streaming.read.snapshot.delay", delay)
+        .table("graftrk.d.t")
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-rk-ck").toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.addAndGet(df.count().toInt): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+      got.get()
+    }
+    assert(drained("1h") == 0, "a fresh snapshot must be held back")
+    assert(drained("0ms") == 1, "zero delay admits it")
+  }
 }
