@@ -42,6 +42,9 @@ trait FileIO extends Serializable {
   def list(dir: String): Seq[String]
   def delete(path: String): Unit
   def rename(src: String, dst: String): Unit
+  /** File size in bytes; the default reads the file — backends with a
+    * cheap stat should override. */
+  def size(path: String): Long = readBytes(path).length.toLong
 }
 
 final class LocalFileIO extends FileIO {
@@ -81,6 +84,7 @@ final class LocalFileIO extends FileIO {
   }
 
   override def exists(path: String): Boolean = Files.exists(p(path))
+  override def size(path: String): Long = Files.size(p(path))
 
   override def mkdirs(path: String): Unit = Files.createDirectories(p(path))
 

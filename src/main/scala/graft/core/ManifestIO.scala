@@ -60,11 +60,25 @@ object ManifestIO {
     .optional(INT64).named("creationTime")
     .named("manifest_entry")
 
-  def encode(entries: Seq[ManifestEntry]): Array[Byte] = {
+  /** `manifest.compression` (reference: CoreOptions
+    * MANIFEST_COMPRESSION) — codec for the parquet manifest bytes. */
+  def codecOf(name: String): CompressionCodecName = name.toLowerCase match {
+    case "snappy" => CompressionCodecName.SNAPPY
+    case "zstd" => CompressionCodecName.ZSTD
+    case "gzip" => CompressionCodecName.GZIP
+    case "lz4" => CompressionCodecName.LZ4_RAW
+    case "none" | "uncompressed" => CompressionCodecName.UNCOMPRESSED
+    case other => throw new IllegalArgumentException(
+      s"unsupported manifest.compression '$other' " +
+        "(snappy|zstd|gzip|lz4|none)")
+  }
+
+  def encode(entries: Seq[ManifestEntry],
+      compression: String = "snappy"): Array[Byte] = {
     val out = new BytesOutputFile
     val writer = ExampleParquetWriter.builder(out)
       .withType(SCHEMA)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withCompressionCodec(codecOf(compression))
       .build()
     val factory = new SimpleGroupFactory(SCHEMA)
     try entries.foreach { e =>

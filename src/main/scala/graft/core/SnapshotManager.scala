@@ -189,16 +189,57 @@ final class SnapshotManager(
             e: java.util.Map.Entry[String, Seq[ManifestEntry]]): Boolean = size > 64
       })
 
-  def writeManifest(entries: Seq[ManifestEntry]): String =
+  def writeManifest(entries0: Seq[ManifestEntry]): String = {
+    val opts = latestSchema().map(_.options).getOrElse(Map.empty)
+    // `manifest.delete-file-drop-stats` (reference: the same key):
+    // DELETE entries are matched by file name only — their stats are
+    // dead weight; opt-in for old-reader compatibility like the
+    // reference (readers here tolerate empty stats regardless)
+    val entries =
+      if (opts.get("manifest.delete-file-drop-stats").contains("true"))
+        entries0.map(e =>
+          if (e.kind == "DELETE" && e.file.stats.nonEmpty)
+            e.copy(file = e.file.copy(stats = Map.empty))
+          else e)
+      else entries0
     if (manifestFormat == "json") {
       val name = s"manifest-${UUID.randomUUID()}.json"
       io.writeString(s"$manifestDir/$name", Json.write(Manifest(entries)))
       name
     } else {
       val name = s"manifest-${UUID.randomUUID()}.parquet"
-      io.writeBytes(s"$manifestDir/$name", ManifestIO.encode(entries))
+      io.writeBytes(s"$manifestDir/$name", ManifestIO.encode(entries,
+        opts.getOrElse("manifest.compression", "snappy")))
       name
     }
+  }
+
+  /** Write a (typically folded) entry set as MULTIPLE manifests bounded
+    * by `manifest.target-file-size` (reference: MANIFEST_TARGET_FILE_SIZE
+    * — one giant manifest serializes planning IO; chunks read in
+    * parallel). Unset → one file. Chunk count comes from a trial
+    * encode, so the bound tracks the real encoded size. */
+  def writeManifestChunked(entries: Seq[ManifestEntry]): Seq[String] = {
+    val target = latestSchema()
+      .flatMap(_.options.get("manifest.target-file-size"))
+      .map(Meta.parseBytes)
+    target match {
+      case None => Seq(writeManifest(entries))
+      case Some(t) if entries.isEmpty => Seq(writeManifest(entries))
+      case Some(t) =>
+        val opts = latestSchema().map(_.options).getOrElse(Map.empty)
+        val codec = opts.getOrElse("manifest.compression", "snappy")
+        val whole = ManifestIO.encode(entries, codec)
+        if (whole.length <= t || manifestFormat == "json")
+          Seq(writeManifest(entries))
+        else {
+          val chunks = math.min(entries.size,
+            math.ceil(whole.length.toDouble / t).toInt)
+          val per = math.ceil(entries.size.toDouble / chunks).toInt
+          entries.grouped(per).map(writeManifest).toSeq
+        }
+    }
+  }
 
   def readManifest(name: String): Seq[ManifestEntry] = {
     val cached = manifestCache.get(name)
@@ -246,7 +287,7 @@ final class SnapshotManager(
     val latest = latestSnapshot().getOrElse(return None)
     val manifests = readManifestList(latest.manifestList)
     if (manifests.size <= 1) return None
-    val listName = writeManifestList(Seq(writeManifest(foldEntries(manifests))))
+    val listName = writeManifestList(writeManifestChunked(foldEntries(manifests)))
     val snap = latest.copy(
       id = latest.id + 1,
       commitKind = "COMPACT",
@@ -458,10 +499,23 @@ final class SnapshotManager(
       // manifests and expiration can reclaim the old ones. The delta
       // manifest is referenced from the snapshot either way.
       val fullList = baseManifests :+ manifestName
+      // fold on count (merge-min-count), on COMPACT, or on total bytes
+      // (`manifest.full-compaction-threshold-size` — a FEW huge
+      // manifests hurt planning as much as many small ones; sizes come
+      // from a stat, never a read)
+      val bytesThreshold = latestSchema()
+        .flatMap(_.options.get("manifest.full-compaction-threshold-size"))
+        .map(Meta.parseBytes)
+      def overBytes = bytesThreshold.exists { th =>
+        fullList.iterator.map(m =>
+          try io.size(s"$manifestDir/$m") catch { case _: Exception => 0L })
+          .sum > th
+      }
       val manifests =
-        if (fullList.size < manifestMergeMinCount && commitKind != "COMPACT")
+        if (fullList.size < manifestMergeMinCount && commitKind != "COMPACT"
+            && !overBytes)
           fullList
-        else Seq(writeManifest(foldEntries(fullList)))
+        else writeManifestChunked(foldEntries(fullList))
       val listName = writeManifestList(manifests)
       val snap = Snapshot(
         id = nextId,

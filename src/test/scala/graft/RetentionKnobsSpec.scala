@@ -252,4 +252,39 @@ class RetentionKnobsSpec extends AnyFunSuite {
     assert(drained("1h") == 0, "a fresh snapshot must be held back")
     assert(drained("0ms") == 1, "zero delay admits it")
   }
+
+  test("manifest knobs: full-compaction-threshold-size, target-file-size, compression, delete-stats drop") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("k", "v")
+    // bytes threshold folds the list even far below merge-min-count
+    val t = GraftTable.create(spark, tmp(), df.schema,
+      options = Map("manifest.full-compaction-threshold-size" -> "1b",
+        "manifest.target-file-size" -> "1b",
+        "manifest.compression" -> "zstd"))
+    t.write(df)
+    t.write(Seq((2L, "b")).toDF("k", "v"))
+    t.write(Seq((3L, "c")).toDF("k", "v"))
+    val manifests = t.sm.readManifestList(
+      t.sm.latestSnapshot().get.manifestList)
+    // every commit folded (1-byte threshold); 1-byte target splits the
+    // fold into one manifest per entry
+    assert(manifests.size == 3, manifests)
+    assert(t.read.count() == 3)
+    // folding stays idempotent through the procedure path as well
+    assert(t.sm.compactManifests().isEmpty ||
+      t.read.count() == 3)
+
+    // delete-file-drop-stats strips stats from DELETE entries only
+    val d = GraftTable.create(spark, tmp(), dtRows("x" -> 1L).schema,
+      partitionKeys = Seq("dt"),
+      options = Map("manifest.delete-file-drop-stats" -> "true"))
+    d.write(dtRows("p1" -> 1L, "p2" -> 2L))
+    d.delete(org.apache.spark.sql.functions.col("dt") === "p1")
+    val delta = d.sm.latestSnapshot().get.deltaManifest
+      .map(d.sm.readManifest).get
+    val dels = delta.filter(_.kind == "DELETE")
+    assert(dels.nonEmpty)
+    assert(dels.forall(_.file.stats.isEmpty), dels)
+    assert(d.read.count() == 1)
+  }
 }
