@@ -755,6 +755,20 @@ class GraftScanBuilder(gt: GraftTable, snapshot0: Option[Long], full: StructType
         throw new IllegalArgumentException(s"no such tag: $tag"))))
     .orElse(readOptions.get("scan.timestamp-millis").map(s =>
       gt.sm.snapshotIdAtTime(s.toLong).getOrElse(-1L)))
+    // `scan.version`: snapshot id OR tag name in one option (reference:
+    // CoreOptions SCAN_VERSION — the generic VERSION AS OF spelling);
+    // `scan.timestamp`: wall-clock 'yyyy-MM-dd HH:mm:ss' (UTC) form of
+    // scan.timestamp-millis
+    .orElse(readOptions.get("scan.version").map { v =>
+      if (v.matches("\\d+")) v.toLong
+      else gt.sm.tagSnapshotId(v).getOrElse(
+        throw new IllegalArgumentException(s"no such version: $v"))
+    })
+    .orElse(readOptions.get("scan.timestamp").map { ts =>
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+      fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+      gt.sm.snapshotIdAtTime(fmt.parse(ts.trim).getTime).getOrElse(-1L)
+    })
     // `scan.watermark`: the first snapshot whose persisted event-time
     // watermark reached the value — "give me a state at least as fresh
     // as W"; no such snapshot is an error (reference: CoreOptions

@@ -1571,9 +1571,11 @@ final class GraftTable private (
       out: DataFrame, sch: TableSchema, partitionBy: Seq[String],
       kind: String, seqBase: Long, commitIdentifier: Long,
       deletes: Seq[ManifestEntry], level: Int = 0,
-      changelogManifest: Option[String] = None): Long =
+      changelogManifest: Option[String] = None,
+      maxRecordsPerFile: Option[Long] = None): Long =
     commitFilesFn(out, sch, partitionBy, kind, seqBase, commitIdentifier,
-      _ => deletes, level, changelogManifest)
+      _ => deletes, level, changelogManifest,
+      maxRecordsPerFile = maxRecordsPerFile)
 
   /** Shared two-phase write: stage parquet → move into table dir →
     * commit ADDs (+ computed DELETEs). `level` > 0 marks fully-merged
@@ -1586,7 +1588,11 @@ final class GraftTable private (
       changelogManifest: Option[String] = None,
       dynIndexUpdate: Option[Seq[String] => Seq[String]] = None,
       globalIndexUpdate: Option[Seq[String] => Seq[String]] = None,
-      seqMax: Long = -1L): Long = {
+      seqMax: Long = -1L,
+      /** roll output files at ~`target-file-size` (rows derived from a
+        * bytes/row estimate by the caller); None = Spark's default
+        * task-per-file layout */
+      maxRecordsPerFile: Option[Long] = None): Long = {
     val staging = s"$path/staging/${UUID.randomUUID()}"
     // blob columns go out-of-line as part of the same write job
     val blobCols = graft.sources.BlobStorage.blobColumns(sch.options)
@@ -1625,6 +1631,8 @@ final class GraftTable private (
         writer = writer.option("parquet.block.size", b.toString)
           .option("orc.stripe.size", b.toString)
       }
+      maxRecordsPerFile.foreach(n =>
+        writer = writer.option("maxRecordsPerFile", n.toString))
       (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
         .format(fmt).save(staging)
     }
@@ -1701,7 +1709,11 @@ final class GraftTable private (
         .map { d => val Array(k, v) = d.split("=", 2); k -> v }.toMap
       val bucket = dirs.find(_.startsWith("__bucket="))
         .map(_.stripPrefix("__bucket=").toInt).getOrElse(0)
-      val targetRel = (dirs :+ s"${UUID.randomUUID()}.$ext").mkString("/")
+      // `data-file.prefix` (reference: CoreOptions DATA_FILE_PREFIX):
+      // operators grep/lifecycle-rule on file-name prefixes; uuid keeps
+      // names collision-free either way
+      val prefix = sch.options.getOrElse("data-file.prefix", "")
+      val targetRel = (dirs :+ s"$prefix${UUID.randomUUID()}.$ext").mkString("/")
       val targetAbs = s"${sm.dataDir}/$targetRel"
       sm.io.rename(p.toString, targetAbs)
       (partition, bucket, targetAbs, s"data/$targetRel")
@@ -3989,6 +4001,17 @@ final class GraftTable private (
     // every run; this engine's count trigger already bounds fan-in).
     val sortedRunTrigger =
       sch.options.get("num-sorted-run.compaction-trigger").map(_.toInt)
+    // compaction.total-size-threshold (reference: universal compaction's
+    // small-bucket full merge — "if the total size ... is less than this
+    // threshold, full compaction will be triggered directly"): tiny
+    // fragmented buckets merge whole without waiting for count triggers
+    val totalSizeBelow = sch.options
+      .get("compaction.total-size-threshold").map(Meta.parseBytes)
+    // compaction.delete-ratio-threshold (reference default 0.2 in its
+    // DV mode): when deletion vectors hide this fraction of a bucket's
+    // rows, rewriting reclaims the space and drops the DV overhead
+    val deleteRatio = sch.options
+      .get("compaction.delete-ratio-threshold").map(_.toDouble)
     val hot = sm.liveEntries(snap)
       .groupBy(e => (e.partition, e.bucket))
       .filter { case (_, es) =>
@@ -3996,6 +4019,12 @@ final class GraftTable private (
           val runs = es.count(_.file.level == 0) +
             es.filter(_.file.level > 0).map(_.file.level).distinct.size
           runs >= t
+        } || totalSizeBelow.exists(th =>
+          es.size > 1 && es.map(_.file.fileSize).sum < th
+        ) || deleteRatio.exists { r =>
+          val rows = es.map(_.file.rowCount).sum
+          rows > 0 &&
+            es.map(_.file.dvCardinality.getOrElse(0L)).sum.toDouble / rows > r
         } || {
           val l0 = es.filter(_.file.level == 0).map(_.file.fileSize).sum
           val merged = es.filter(_.file.level > 0).map(_.file.fileSize).sum
@@ -4108,9 +4137,20 @@ final class GraftTable private (
           stateDiff(before, merged.select(struct.fieldNames.map(col).toIndexedSeq: _*)),
           sch)
       }
+    // `target-file-size` (reference: CoreOptions TARGET_FILE_SIZE):
+    // compaction output rolls at ~the target — rows per file derived
+    // from the INPUTS' observed bytes/row, so the bound tracks the real
+    // data shape without a pre-pass. Level-0 ingest keeps Spark's
+    // task-per-file layout (one small commit = one file either way).
+    val rollAt = sch.options.get("target-file-size").map(Meta.parseBytes)
+      .map { t =>
+        val bytes = old.map(_.file.fileSize).sum
+        val rows = math.max(1L, old.map(_.file.rowCount).sum)
+        math.max(1L, t / math.max(1L, bytes / rows))
+      }
     try Some(commitFiles(merged, sch, partitionBy, KindCompact, base,
       commitIdentifier = -1L, deletes = old.map(_.copy(kind = "DELETE")),
-      level = 1, changelogManifest = changelog))
+      level = 1, changelogManifest = changelog, maxRecordsPerFile = rollAt))
     finally if (changelog.isDefined) merged.unpersist()
   }
 
@@ -6249,20 +6289,7 @@ object GraftTable {
 
   /** `"128mb"` / `"1 gb"` / `"64 kb"` / `"1048576"` → bytes (the
     * MemorySize shape the reference's size options accept). */
-  def parseBytes(s: String): Long = {
-    val m = "(?i)^\\s*(\\d+)\\s*(b|kb|mb|gb|tb)?\\s*$".r
-      .findFirstMatchIn(s)
-      .getOrElse(throw new IllegalArgumentException(
-        s"cannot parse size '$s' (want <n> [b|kb|mb|gb|tb])"))
-    val n = m.group(1).toLong
-    Option(m.group(2)).map(_.toLowerCase).getOrElse("b") match {
-      case "b" => n
-      case "kb" => n << 10
-      case "mb" => n << 20
-      case "gb" => n << 30
-      case "tb" => n << 40
-    }
-  }
+  def parseBytes(s: String): Long = Meta.parseBytes(s)
 
   /** Persisted state of one column's full-text index
     * (`index-text/<column>/state.json`). */

@@ -15,14 +15,20 @@ class ScanOptionsSpec extends AnyFunSuite {
   private val warehouse =
     Files.createTempDirectory("graft-scanopt-wh").toString
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    .config("spark.sql.catalog.graft.warehouse", warehouse)
-    .getOrCreate()
+  // UNIQUE catalog name: suites share the JVM and catalog instances
+  // cache per name — reusing "graft" would hijack SqlCatalogSpec's
+  // warehouse (or be hijacked by it) depending on suite order
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.conf.set("spark.sql.catalog.graftso", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graftso.warehouse", warehouse)
+    s
+  }
 
   private def kv(rows: (Long, String)*): DataFrame = {
     import spark.implicits._
@@ -30,39 +36,39 @@ class ScanOptionsSpec extends AnyFunSuite {
   }
 
   test("scan.watermark pins the first snapshot at or past the watermark") {
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbso")
-    spark.sql("CREATE TABLE graft.dbso.wm (k BIGINT, v STRING)")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftso.dbso")
+    spark.sql("CREATE TABLE graftso.dbso.wm (k BIGINT, v STRING)")
     val gt = GraftTable.load(spark, s"$warehouse/dbso/wm")
     gt.writeWatermarked(kv(1L -> "a"), -1L, Some(100L))
     gt.writeWatermarked(kv(2L -> "b"), -1L, Some(200L))
     gt.writeWatermarked(kv(3L -> "c"), -1L, Some(300L))
     // watermark 150 → first snapshot with wm >= 150 is the second one
     assert(spark.read.option("scan.watermark", "150")
-      .table("graft.dbso.wm").count() == 2L)
+      .table("graftso.dbso.wm").count() == 2L)
     assert(spark.read.option("scan.watermark", "300")
-      .table("graft.dbso.wm").count() == 3L)
+      .table("graftso.dbso.wm").count() == 3L)
     val e = intercept[Exception](spark.read.option("scan.watermark", "999")
-      .table("graft.dbso.wm").count())
+      .table("graftso.dbso.wm").count())
     assert(e.toString.contains("watermark"), e.toString)
   }
 
   test("scan.file-creation-time-millis keeps only files written after the cutoff") {
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbso")
-    spark.sql("CREATE TABLE graft.dbso.fct (k BIGINT, v STRING)")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftso.dbso")
+    spark.sql("CREATE TABLE graftso.dbso.fct (k BIGINT, v STRING)")
     val gt = GraftTable.load(spark, s"$warehouse/dbso/fct")
     gt.write(kv(1L -> "a", 2L -> "b"))
     Thread.sleep(15)
     val cutoff = System.currentTimeMillis()
     Thread.sleep(15)
     gt.write(kv(3L -> "c"))
-    assert(spark.read.table("graft.dbso.fct").count() == 3L)
+    assert(spark.read.table("graftso.dbso.fct").count() == 3L)
     val late = spark.read
       .option("scan.file-creation-time-millis", cutoff.toString)
-      .table("graft.dbso.fct")
+      .table("graftso.dbso.fct")
     assert(late.collect().map(_.getLong(0)).toSet == Set(3L))
 
     // PK table → V1 merge path honors the same cutoff
-    spark.sql("CREATE TABLE graft.dbso.fctpk (k BIGINT, v STRING) " +
+    spark.sql("CREATE TABLE graftso.dbso.fctpk (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('primary-key'='k', 'bucket'='1')")
     val pk = GraftTable.load(spark, s"$warehouse/dbso/fctpk")
     pk.write(kv(1L -> "a"))
@@ -72,13 +78,13 @@ class ScanOptionsSpec extends AnyFunSuite {
     pk.write(kv(2L -> "b"))
     val latePk = spark.read
       .option("scan.file-creation-time-millis", cut2.toString)
-      .table("graft.dbso.fctpk")
+      .table("graftso.dbso.fctpk")
     assert(latePk.collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
   test("incremental-between via ids, tags, and timestamps (delta mode)") {
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbso")
-    spark.sql("CREATE TABLE graft.dbso.inc (k BIGINT, v STRING) " +
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftso.dbso")
+    spark.sql("CREATE TABLE graftso.dbso.inc (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('primary-key'='k', 'bucket'='1')")
     val gt = GraftTable.load(spark, s"$warehouse/dbso/inc")
     gt.write(kv(1L -> "a"))           // snapshot 0
@@ -88,50 +94,50 @@ class ScanOptionsSpec extends AnyFunSuite {
     gt.createTag("end")
 
     val byId = spark.read.option("incremental-between", "0,2")
-      .table("graft.dbso.inc")
+      .table("graftso.dbso.inc")
     assert(byId.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
 
     val byTag = spark.read.option("incremental-between", "start,end")
-      .table("graft.dbso.inc")
+      .table("graftso.dbso.inc")
     assert(byTag.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
 
     val t0 = gt.sm.snapshot(0L).timeMillis
     val t2 = gt.sm.snapshot(2L).timeMillis
     val byTs = spark.read
       .option("incremental-between-timestamp", s"$t0,$t2")
-      .table("graft.dbso.inc")
+      .table("graftso.dbso.inc")
     assert(byTs.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
 
     // projection + filter still apply on top of the incremental rows
     assert(spark.sql(
-      "SELECT v FROM graft.dbso.inc /* opts below */").columns.sameElements(Array("v")))
+      "SELECT v FROM graftso.dbso.inc /* opts below */").columns.sameElements(Array("v")))
     val filtered = spark.read.option("incremental-between", "0,2")
-      .table("graft.dbso.inc").filter("k > 2").select("v")
+      .table("graftso.dbso.inc").filter("k > 2").select("v")
     assert(filtered.collect().map(_.getString(0)).toSeq == Seq("c"))
   }
 
   test("incremental-between-scan-mode diff and changelog") {
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbso")
-    spark.sql("CREATE TABLE graft.dbso.dif (k BIGINT, v STRING) " +
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftso.dbso")
+    spark.sql("CREATE TABLE graftso.dbso.dif (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('primary-key'='k', 'bucket'='1')")
     val gt = GraftTable.load(spark, s"$warehouse/dbso/dif")
     gt.write(kv(1L -> "a", 2L -> "b"))
     gt.write(kv(2L -> "b2", 3L -> "c")) // 2 changed, 3 added
     val diff = spark.read.option("incremental-between", "0,1")
       .option("incremental-between-scan-mode", "diff")
-      .table("graft.dbso.dif")
+      .table("graftso.dbso.dif")
     assert(diff.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
       Set((2L, "b2"), (3L, "c")))
     val e = intercept[Exception](
       spark.read.option("incremental-between", "0,1")
         .option("incremental-between-scan-mode", "changelog")
-        .table("graft.dbso.dif").count())
+        .table("graftso.dbso.dif").count())
     assert(e.toString.contains("incremental_query"), e.toString)
   }
 
   test("incremental-to-auto-tag read option serves the preceding-tag diff") {
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.dbso")
-    spark.sql("CREATE TABLE graft.dbso.iat (k BIGINT, v STRING) " +
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftso.dbso")
+    spark.sql("CREATE TABLE graftso.dbso.iat (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
       "'tag.automatic-creation'='watermark')")
     val gt = GraftTable.load(spark, s"$warehouse/dbso/iat")
@@ -142,7 +148,7 @@ class ScanOptionsSpec extends AnyFunSuite {
     val tags = gt.sm.tags.keySet
     assert(tags.contains("1970-01-06") && tags.contains("1970-01-07"), tags)
     val rows = spark.read.option("incremental-to-auto-tag", "1970-01-07")
-      .table("graft.dbso.iat")
+      .table("graftso.dbso.iat")
     assert(rows.collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
@@ -158,5 +164,77 @@ class ScanOptionsSpec extends AnyFunSuite {
     gt.write(Seq((1L, "a", "-U"), (2L, "b", "-D")).toDF("k", "v", "rk"))
     val rows = gt.read.collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(rows == Set((1L, "a")))
+  }
+
+  test("scan.version and scan.timestamp read options") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftso.dbso")
+    spark.sql("CREATE TABLE graftso.dbso.sv (k BIGINT)")
+    spark.sql("INSERT INTO graftso.dbso.sv VALUES (1)")
+    val gt = GraftTable.load(spark, s"$warehouse/dbso/sv")
+    gt.createTag("rel1")
+    Thread.sleep(1100) // scan.timestamp is second-granular: keep the
+    // two snapshots in distinct wall seconds so the probe is exact
+    spark.sql("INSERT INTO graftso.dbso.sv VALUES (2)")
+    assert(spark.read.option("scan.version", "0")
+      .table("graftso.dbso.sv").count() == 1L)
+    assert(spark.read.option("scan.version", "rel1")
+      .table("graftso.dbso.sv").count() == 1L)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    // second-granularity timestamps floor; round up so the wall second
+    // covers snapshot 0
+    val ts = fmt.format(new java.util.Date(gt.sm.snapshot(0L).timeMillis + 1000))
+    assert(spark.read.option("scan.timestamp", ts)
+      .table("graftso.dbso.sv").count() == 1L)
+  }
+
+  test("target-file-size rolls compaction output; data-file.prefix names files") {
+    import spark.implicits._
+    // incompressible payloads: the target bounds COMPRESSED bytes, so
+    // repetitive strings would legitimately fit one file
+    val rnd = new scala.util.Random(42)
+    val df = (1 to 3000).map(i =>
+      (i.toLong, rnd.alphanumeric.take(100).mkString)).toDF("k", "v")
+    val dir = Files.createTempDirectory("graft-tfs").toString + "/t"
+    val gt = GraftTable.create(spark, dir, df.schema, primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1", "target-file-size" -> "64kb",
+        "data-file.prefix" -> "dta-"))
+    gt.write(df)
+    gt.write(Seq((1L, "u")).toDF("k", "v"))
+    gt.compact()
+    val files = gt.sm.latestSnapshot().map(gt.sm.liveEntries).get
+    assert(files.size > 1, s"64kb target should split ~300kb of rows: ${files.size}")
+    assert(files.forall(_.file.fileName.split('/').last.startsWith("dta-")),
+      files.map(_.file.fileName))
+    assert(files.forall(_.file.fileSize < 200 * 1024), files.map(_.file.fileSize))
+    assert(gt.read.count() == 3000)
+  }
+
+  test("compaction triggers: total-size-threshold and delete-ratio-threshold") {
+    import spark.implicits._
+    val small = GraftTable.create(spark,
+      Files.createTempDirectory("graft-ct").toString + "/t",
+      Seq((1L, "a")).toDF("k", "v").schema, primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1",
+        "compaction.total-size-threshold" -> "10mb"))
+    small.write(Seq((1L, "a")).toDF("k", "v"))
+    small.write(Seq((2L, "b")).toDF("k", "v"))
+    // 2 tiny files, far below count triggers -> total-size fires
+    assert(small.compactIfNeeded().isDefined)
+
+    // append table: DELETE takes the deletion-vector tier, so the
+    // dv-cardinality ratio is observable (PK deletes write -D rows)
+    val dv = GraftTable.create(spark,
+      Files.createTempDirectory("graft-cd").toString + "/t",
+      Seq((1L, "a")).toDF("k", "v").schema,
+      options = Map(
+        "deletion-vectors.enabled" -> "true",
+        "compaction.delete-ratio-threshold" -> "0.3"))
+    dv.write((1L to 10L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(1))
+    dv.delete(org.apache.spark.sql.functions.expr("k <= 4")) // 40% via DV
+    assert(dv.compactIfNeeded().isDefined, "40% > 0.3 must trigger")
+    val after = dv.sm.latestSnapshot().map(dv.sm.liveEntries).get
+    assert(after.forall(_.file.dvFile.isEmpty), "rewrite drops the DVs")
+    assert(dv.read.count() == 6)
   }
 }
