@@ -416,6 +416,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         gt.dropColumnAt(del.fieldNames().toSeq)
       case upd: TableChange.UpdateColumnType =>
         gt.widenColumnAt(upd.fieldNames().toSeq, upd.newDataType())
+      case nul: TableChange.UpdateColumnNullability =>
+        gt.setColumnNullabilityAt(nul.fieldNames().toSeq, nul.nullable())
       case set: TableChange.SetProperty =>
         gt.setOption(set.property(), set.value())
       case rm: TableChange.RemoveProperty =>

@@ -5299,6 +5299,31 @@ final class GraftTable private (
       options = newOptions))
   }
 
+  /** ALTER COLUMN c SET/DROP NOT NULL (reference: SchemaManager
+    * assertNullabilityChange + `alter-column-null-to-not-null.disabled`
+    * — tightening nullable → NOT NULL is REJECTED unless the option is
+    * explicitly 'false', because existing files may hold nulls the
+    * metadata would then lie about; relaxing is always safe). */
+  private[graft] def setColumnNullabilityAt(
+      path: Seq[String], nullable: Boolean): Unit = {
+    require(path.size == 1, "nested nullability changes are not supported")
+    val name = path.head
+    val sch = schema
+    val f = sch.fields.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    if (f.nullable == nullable) return
+    if (!nullable && !sch.options
+        .get("alter-column-null-to-not-null.disabled").contains("false"))
+      throw new UnsupportedOperationException(
+        s"Cannot update column $name from nullable to not null. Set " +
+          "'alter-column-null-to-not-null.disabled'='false' to allow it " +
+          "(existing files are not re-validated).")
+    sm.writeSchema(sch.copy(
+      id = sch.id + 1,
+      fields = sch.fields.map(x =>
+        if (x.name == name) x.copy(nullable = nullable) else x)))
+  }
+
   private[graft] def canWiden(from: DataType, to: DataType): Boolean = (from, to) match {
     case (a, b) if a == b => false // no-op is a caller bug
     case (ByteType, ShortType | IntegerType | LongType | FloatType | DoubleType) => true

@@ -238,4 +238,31 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](t.widenColumn("amount", ByteType))
     intercept[IllegalArgumentException](t.widenColumn("k", IntegerType))
   }
+
+  test("ALTER COLUMN nullability: relax always, tighten only when opted in") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-null-wh").toString
+    spark.conf.set("spark.sql.catalog.graftnul", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftnul.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftnul.d")
+    spark.sql("CREATE TABLE graftnul.d.t (k BIGINT NOT NULL, v STRING)")
+    // relax NOT NULL -> nullable: always allowed
+    spark.sql("ALTER TABLE graftnul.d.t ALTER COLUMN k DROP NOT NULL")
+    val gt = graft.table.GraftTable.load(spark, s"$wh/d/t")
+    assert(gt.schema.fields.find(_.name == "k").get.nullable)
+    // tighten via SQL: Spark's own analyzer rejects it before the
+    // catalog is consulted — the option gates the LIBRARY surface
+    intercept[Exception](
+      spark.sql("ALTER TABLE graftnul.d.t ALTER COLUMN v SET NOT NULL"))
+    // library path without the opt-in: rejected (reference posture)
+    val e = intercept[Exception](
+      gt.setColumnNullabilityAt(Seq("v"), nullable = false))
+    assert(e.toString.contains("null-to-not-null"), e.toString)
+    // opted in: allowed
+    spark.sql("ALTER TABLE graftnul.d.t SET TBLPROPERTIES " +
+      "('alter-column-null-to-not-null.disabled'='false')")
+    graft.table.GraftTable.load(spark, s"$wh/d/t")
+      .setColumnNullabilityAt(Seq("v"), nullable = false)
+    assert(!graft.table.GraftTable.load(spark, s"$wh/d/t")
+      .schema.fields.find(_.name == "v").get.nullable)
+  }
 }
