@@ -189,8 +189,23 @@ final class SnapshotManager(
             e: java.util.Map.Entry[String, Seq[ManifestEntry]]): Boolean = size > 64
       })
 
+  /** Schema options for manifest encoding, cached ~2 s: writeManifest
+    * runs several times per commit and a schema-dir listing per call
+    * measurably inflates commit-heavy workloads (g31 +3 s); manifest
+    * knobs tolerate a seconds-stale read — they shape ENCODING, not
+    * correctness. */
+  @volatile private var manifestOptsCache: (Long, Map[String, String]) =
+    (0L, Map.empty)
+  private def manifestOpts: Map[String, String] = {
+    val now = System.currentTimeMillis()
+    if (now - manifestOptsCache._1 > 2000)
+      manifestOptsCache =
+        (now, latestSchema().map(_.options).getOrElse(Map.empty))
+    manifestOptsCache._2
+  }
+
   def writeManifest(entries0: Seq[ManifestEntry]): String = {
-    val opts = latestSchema().map(_.options).getOrElse(Map.empty)
+    val opts = manifestOpts
     // `manifest.delete-file-drop-stats` (reference: the same key):
     // DELETE entries are matched by file name only — their stats are
     // dead weight; opt-in for old-reader compatibility like the
@@ -220,15 +235,13 @@ final class SnapshotManager(
     * parallel). Unset → one file. Chunk count comes from a trial
     * encode, so the bound tracks the real encoded size. */
   def writeManifestChunked(entries: Seq[ManifestEntry]): Seq[String] = {
-    val target = latestSchema()
-      .flatMap(_.options.get("manifest.target-file-size"))
+    val target = manifestOpts.get("manifest.target-file-size")
       .map(Meta.parseBytes)
     target match {
       case None => Seq(writeManifest(entries))
       case Some(t) if entries.isEmpty => Seq(writeManifest(entries))
       case Some(t) =>
-        val opts = latestSchema().map(_.options).getOrElse(Map.empty)
-        val codec = opts.getOrElse("manifest.compression", "snappy")
+        val codec = manifestOpts.getOrElse("manifest.compression", "snappy")
         val whole = ManifestIO.encode(entries, codec)
         if (whole.length <= t || manifestFormat == "json")
           Seq(writeManifest(entries))
@@ -503,8 +516,8 @@ final class SnapshotManager(
       // (`manifest.full-compaction-threshold-size` — a FEW huge
       // manifests hurt planning as much as many small ones; sizes come
       // from a stat, never a read)
-      val bytesThreshold = latestSchema()
-        .flatMap(_.options.get("manifest.full-compaction-threshold-size"))
+      val bytesThreshold = manifestOpts
+        .get("manifest.full-compaction-threshold-size")
         .map(Meta.parseBytes)
       def overBytes = bytesThreshold.exists { th =>
         fullList.iterator.map(m =>
