@@ -1883,5 +1883,81 @@ object Storage {
               |WHERE c_custkey % 2 = 0 AND c_custkey % 4 <> 0""".stripMargin)
       s.sql("CALL g72.sys.refresh_materialized_table('gate.seg')")
       s.sql("SELECT seg, n, bal FROM g72.gate.seg")
+    },
+
+    // ---- incremental-between READ OPTIONS (reference: CoreOptions
+    // INCREMENTAL_BETWEEN + scan-mode delta — the
+    // spark.read.option(...) spelling of incremental reads): the gate
+    // upserts two slices and reads the second commit's delta through
+    // the option; the oracle recomputes exactly that slice, so a
+    // range-resolution or delta-extraction bug is a row diff.
+    QDef(
+      "g74_incremental_read_options",
+      """SELECT c_custkey AS k, 'u' || c_name AS v
+        |FROM customer WHERE c_custkey % 3 = 0""".stripMargin) { (s, dir) =>
+      val wh = Files.createTempDirectory("graft-g74-wh").toString
+      s.conf.set("spark.sql.catalog.g74", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g74.warehouse", wh)
+      tbl(s, dir, "customer").createOrReplaceTempView("g74_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS g74.gate")
+      s.sql("CREATE TABLE g74.gate.t (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('primary-key'='k', 'bucket'='2')")
+      // snapshot 0: the even keys under their raw names
+      s.sql("""INSERT INTO g74.gate.t
+              |SELECT c_custkey, c_name FROM g74_src
+              |WHERE c_custkey % 2 = 0""".stripMargin)
+      // snapshot 1: every %3 key (updates where %6==0, inserts
+      // elsewhere) under a marked name
+      s.sql("""INSERT INTO g74.gate.t
+              |SELECT c_custkey, 'u' || c_name FROM g74_src
+              |WHERE c_custkey % 3 = 0""".stripMargin)
+      s.read.option("incremental-between", "0,1")
+        .table("g74.gate.t")
+        .select(col("k"), col("v"))
+    },
+
+    // ---- commit-coupled partition expiry, BOUNDED (reference:
+    // operation/PartitionExpire + partition.expiration-time /
+    // -check-interval / -max-num): every year-partition of orders is
+    // past the 7d retention, so each commit's pass drains the TWO
+    // oldest; after two commits exactly the 4 oldest years are gone.
+    // The oracle recomputes the surviving years relative to
+    // MIN(year) (plus the second write's duplicate slice), so an
+    // over-eager pass (no bound), a missed pass, or wrong
+    // oldest-first ordering all show as row diffs.
+    QDef(
+      "g75_partition_auto_expire",
+      """SELECT yr, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS tp
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS VARCHAR) AS yr, o_totalprice
+        |  FROM orders
+        |  WHERE year(o_orderdate) >=
+        |    (SELECT MIN(year(o_orderdate)) FROM orders) + 4
+        |  UNION ALL
+        |  SELECT CAST(year(o_orderdate) AS VARCHAR), o_totalprice
+        |  FROM orders
+        |  WHERE year(o_orderdate) = (SELECT MAX(year(o_orderdate)) FROM orders)
+        |    AND o_orderkey % 1000 = 0
+        |) GROUP BY yr""".stripMargin) { (s, dir) =>
+      val src = tbl(s, dir, "orders").select(
+        year(col("o_orderdate")).cast("string").as("yr"),
+        col("o_orderkey"), col("o_totalprice"))
+      val maxYr = src.agg(max(col("yr"))).head.getString(0)
+      val t = GraftTable.create(s, scratch("g75"), src.schema,
+        partitionKeys = Seq("yr"),
+        options = Map(
+          "partition.expiration-time" -> "7d",
+          "partition.expiration-check-interval" -> "0ms",
+          "partition.expiration-max-num" -> "2",
+          "partition.expiration-strategy" -> "values-time",
+          "partition.timestamp-formatter" -> "yyyy"))
+      t.write(src) // pass 1 rides this commit: drops the 2 oldest years
+      // pass 2 rides this duplicate slice's commit: drops the next 2
+      t.write(src.filter(col("yr") === maxYr &&
+        col("o_orderkey") % 1000 === 0))
+      t.read.groupBy(col("yr"))
+        .agg(count(lit(1)).as("n"),
+          asDouble(sum(col("o_totalprice").cast("decimal(18,2)"))).as("tp"))
     })
 }
