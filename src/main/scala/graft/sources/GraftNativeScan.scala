@@ -474,6 +474,15 @@ class GraftMicroBatchStream(
     *  - `from-timestamp`: every snapshot committed at/after
     *    `scan.timestamp-millis` */
   private lazy val startOffset: Long = streamOpt("scan.mode") match {
+    // `consumer-id` without an explicit scan.mode: a FRESH query (no
+    // Spark checkpoint yet) resumes AFTER the registered consumer's
+    // stored progress (reference: consumer-id startup); an existing
+    // checkpoint never reaches initialOffset, so Spark's own replay
+    // semantics stay untouched
+    case None if streamOpt("consumer-id").exists(id =>
+        graft.streaming.GraftStreaming.consumerOffset(gt, id).isDefined) =>
+      graft.streaming.GraftStreaming
+        .consumerOffset(gt, streamOpt("consumer-id").get).get
     case Some("latest") => sm.latestSnapshotId.getOrElse(-1L)
     case Some("from-snapshot") =>
       streamOpt("scan.snapshot-id").map(_.toLong - 1L).getOrElse(
@@ -676,6 +685,21 @@ class GraftMicroBatchStream(
         partitionSchema, Array.empty),
       StructType(readDataSchema.fields ++ partitionSchema.fields), required)
 
-  override def commit(end: Offset): Unit = ()
+  /** Batch committed: mirror progress into the consumer file when the
+    * stream carries a `consumer-id` (reference: the consumer-id read
+    * option + ConsumerManager) — snapshot expiration then keeps
+    * everything past this reader, and a restarted query without its
+    * checkpoint resumes here. Spark invokes this at the NEXT batch's
+    * cleanup, so the mirror trails the checkpoint by one batch —
+    * conservative in the right direction (never pins less, never
+    * resumes past data the checkpoint owns). */
+  override def commit(end: Offset): Unit =
+    streamOpt("consumer-id").foreach { id =>
+      val off = end.asInstanceOf[GraftOffset].snapshotId
+      // full-start markers encode -(c+2); progress is the compact id
+      val resolved = if (off < -1L) -off - 2L else off
+      if (resolved >= 0)
+        graft.streaming.GraftStreaming.commitConsumerOffset(gt, id, resolved)
+    }
   override def stop(): Unit = ()
 }

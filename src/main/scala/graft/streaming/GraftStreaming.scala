@@ -453,6 +453,22 @@ object GraftStreaming {
       Some(new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8).trim.toLong)
     else None
 
+  /** Mirror a DSv2 stream's committed progress into the table's
+    * consumer file (reference: the `consumer-id` read option —
+    * ConsumerManager progress that snapshot expiration respects).
+    * Exposed for GraftMicroBatchStream; Spark's checkpoint remains the
+    * replay source of truth, the consumer file is the retention pin +
+    * resume hint. */
+  def commitConsumerOffset(table: GraftTable, consumerId: String,
+      snapshotId: Long): Unit =
+    writeOffset(consumerCheckpoint(table, consumerId), snapshotId)
+
+  /** Stored consumer progress, unless `consumer.ignore-progress`. */
+  def consumerOffset(table: GraftTable, consumerId: String): Option[Long] =
+    if (table.schema.options.get("consumer.ignore-progress").contains("true"))
+      None
+    else readOffset(consumerCheckpoint(table, consumerId))
+
   private def writeOffset(path: String, id: Long): Unit = {
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)

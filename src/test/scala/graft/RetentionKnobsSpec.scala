@@ -287,4 +287,42 @@ class RetentionKnobsSpec extends AnyFunSuite {
     assert(dels.forall(_.file.stats.isEmpty), dels)
     assert(d.read.count() == 1)
   }
+
+  test("consumer-id read option: stream progress mirrors to a consumer file and resumes") {
+    spark.conf.set("spark.sql.catalog.graftci", "graft.sources.GraftCatalog")
+    val wh = Files.createTempDirectory("graft-ci-wh").toString
+    spark.conf.set("spark.sql.catalog.graftci.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftci.d")
+    spark.sql("CREATE TABLE graftci.d.t (k BIGINT)")
+    spark.sql("INSERT INTO graftci.d.t VALUES (1)")
+    def drain(ck: String): Seq[Long] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = spark.readStream.option("consumer-id", "ci1")
+        .table("graftci.d.t").writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => got.add(r.getLong(0))): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq
+    }
+    val ck1 = Files.createTempDirectory("graft-ci-ck").toString
+    assert(drain(ck1) == Seq(1L))
+    // Spark reports a batch's commit at the NEXT batch's cleanup, so
+    // the mirror trails by one batch: the second drain (processing
+    // row 2) flushes batch 0's progress
+    spark.sql("INSERT INTO graftci.d.t VALUES (2)")
+    assert(drain(ck1) == Seq(2L))
+    val gt = graft.table.GraftTable.load(spark, s"$wh/d/t")
+    assert(Files.exists(java.nio.file.Paths.get(s"$wh/d/t/consumer/consumer-ci1")))
+    assert(graft.streaming.GraftStreaming.consumerOffset(gt, "ci1").contains(0L))
+    // a FRESH checkpoint with the same consumer-id resumes after the
+    // mirrored progress: row 2 is re-served (the mirror trails),
+    // row 1 is not
+    val ck2 = Files.createTempDirectory("graft-ci-ck2").toString
+    assert(drain(ck2) == Seq(2L))
+  }
 }
