@@ -189,6 +189,24 @@ final class SnapshotManager(
             e: java.util.Map.Entry[String, Seq[ManifestEntry]]): Boolean = size > 64
       })
 
+  /** Manifest byte sizes, cached forever (immutable files): backends
+    * whose FileIO.size falls back to a full read would otherwise
+    * re-read every manifest on every commit when
+    * `manifest.full-compaction-threshold-size` is set. */
+  private val manifestSizeCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, java.lang.Long](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Long]): Boolean = size > 4096
+      })
+  private def manifestSize(name: String): Long = {
+    val cached = manifestSizeCache.get(name)
+    if (cached != null) return cached.longValue
+    val s = try io.size(s"$manifestDir/$name") catch { case _: Exception => 0L }
+    manifestSizeCache.put(name, s)
+    s
+  }
+
   /** Schema options for manifest encoding, cached ~2 s: writeManifest
     * runs several times per commit and a schema-dir listing per call
     * measurably inflates commit-heavy workloads (g31 +3 s); manifest
@@ -240,10 +258,13 @@ final class SnapshotManager(
     target match {
       case None => Seq(writeManifest(entries))
       case Some(t) if entries.isEmpty => Seq(writeManifest(entries))
+      case Some(t) if manifestFormat == "json" =>
+        // chunking is parquet-only; skip the (parquet) trial encode
+        Seq(writeManifest(entries))
       case Some(t) =>
         val codec = manifestOpts.getOrElse("manifest.compression", "snappy")
         val whole = ManifestIO.encode(entries, codec)
-        if (whole.length <= t || manifestFormat == "json")
+        if (whole.length <= t)
           Seq(writeManifest(entries))
         else {
           val chunks = math.min(entries.size,
@@ -520,9 +541,7 @@ final class SnapshotManager(
         .get("manifest.full-compaction-threshold-size")
         .map(Meta.parseBytes)
       def overBytes = bytesThreshold.exists { th =>
-        fullList.iterator.map(m =>
-          try io.size(s"$manifestDir/$m") catch { case _: Exception => 0L })
-          .sum > th
+        fullList.iterator.map(manifestSize).sum > th
       }
       val manifests =
         if (fullList.size < manifestMergeMinCount && commitKind != "COMPACT"

@@ -308,7 +308,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case _ =>
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
       }
-      new GraftSystemTable(s"${gt.path}$$$suffix", dfFn)
+      // $audit_log additionally honors the incremental-* read options —
+      // its schema carries _row_kind, so changelog scan mode serves the
+      // exact kinded rows (reference: AuditLogTable + the CHANGELOG
+      // incremental scan mode)
+      val optsFn: CaseInsensitiveStringMap => Option[DataFrame] =
+        if (suffix == "audit_log") IncrementalOptions.auditLogDf(gt, _)
+        else _ => None
+      new GraftSystemTable(s"${gt.path}$$$suffix", dfFn, optsFn)
     } else {
       val gt = loadGraft(ident)
       // append tables additionally support group-based row-level SQL
@@ -873,6 +880,15 @@ class GraftScanBuilder(gt: GraftTable, snapshot0: Option[Long], full: StructType
     import org.apache.spark.sql.connector.expressions.aggregate._
     if (snapshot.isDefined || pushed.nonEmpty || agg.groupByExpressions.nonEmpty)
       return false
+    // Manifest stats describe the FULL latest snapshot. Any read option
+    // that narrows the visible rows (file-creation-time cutoff) or
+    // redirects build() to an incremental DataFrame would make the
+    // stats answer wrong — or worse, supportCompletePushDown=true with
+    // a raw-row incremental scan behind it (schema mismatch at
+    // runtime). Decline pushdown whenever such an option is present.
+    if (readOptions.contains("scan.file-creation-time-millis") ||
+        readOptions.keys.exists(_.startsWith("incremental-")))
+      return false
     // manifest stats describe STORED values; a column-patch overlay
     // can change any of them, so MIN/MAX (and defensively COUNT) must
     // run as a real scan on patched tables
@@ -949,40 +965,16 @@ class GraftScanBuilder(gt: GraftTable, snapshot0: Option[Long], full: StructType
     * no per-key window). `incremental-between` accepts snapshot ids
     * or tag names. */
   private def incrementalDf(): Option[DataFrame] = {
-    def resolveRef(s: String): Long = s.trim match {
-      case v if v.matches("-?\\d+") => v.toLong
-      case tag => gt.sm.tagSnapshotId(tag).getOrElse(
-        throw new IllegalArgumentException(s"no such tag: $tag"))
-    }
-    def two(v: String): (Long, Long) = v.split(",", 2) match {
-      case Array(a, b) => (resolveRef(a), resolveRef(b))
-      case _ => throw new IllegalArgumentException(
-        s"expected 'start,end', got '$v'")
-    }
-    val range: Option[(Long, Long)] =
-      readOptions.get("incremental-between").map(two)
-        .orElse(readOptions.get("incremental-between-timestamp").map { v =>
-          v.split(",", 2) match {
-            case Array(a, b) =>
-              (gt.sm.snapshotIdAtTime(a.trim.toLong).getOrElse(-1L),
-                gt.sm.snapshotIdAtTime(b.trim.toLong).getOrElse(-1L))
-            case _ => throw new IllegalArgumentException(
-              s"expected 'ts1,ts2', got '$v'")
-          }
-        })
-    val autoTag = readOptions.get("incremental-to-auto-tag")
-    if (range.isEmpty && autoTag.isEmpty) return None
-    val mode = readOptions.getOrElse("incremental-between-scan-mode", "auto")
-    Some(mode match {
+    val spec = IncrementalOptions.parse(gt, readOptions).getOrElse(return None)
+    Some(spec.mode match {
       case "auto" | "delta" =>
-        autoTag.map(gt.incrementalToAutoTag).getOrElse {
-          val (f, t) = range.get; gt.incrementalRead(f, t)
-        }.filter(col("_row_kind").isin("+I", "+U")).drop("_row_kind")
+        IncrementalOptions.kinded(gt, spec)
+          .filter(col("_row_kind").isin("+I", "+U")).drop("_row_kind")
       case "diff" =>
-        val (f, t) = range.getOrElse {
+        val (f, t) = spec.range.getOrElse {
           // auto-tag diff: end tag and its preceding auto tag
           val tags = gt.sm.tags
-          val end = autoTag.get
+          val end = spec.autoTag.get
           val prev = tags.keys.filter(_ < end).maxOption
           (for {p <- prev; fi <- tags.get(p); ti <- tags.get(end)}
             yield (fi, ti)).getOrElse(return Some(gt.read.limit(0)))
@@ -991,8 +983,10 @@ class GraftScanBuilder(gt: GraftTable, snapshot0: Option[Long], full: StructType
       case "changelog" =>
         throw new IllegalArgumentException(
           "incremental-between-scan-mode=changelog needs a row-kind " +
-            "column the table read cannot carry; use CALL " +
-            "sys.incremental_query(...) which serves exact -U/+U pairs")
+            "column this table's schema cannot carry; read the " +
+            "`table$audit_log` relation with the same incremental " +
+            "options (its schema has _row_kind), or CALL " +
+            "sys.incremental_query(...)")
       case other => throw new IllegalArgumentException(
         s"unsupported incremental-between-scan-mode: $other")
     })
@@ -1122,11 +1116,18 @@ class GraftScanBuilder(gt: GraftTable, snapshot0: Option[Long], full: StructType
               }
             case _ => // disjunctions etc: no window narrowing
           }
-          val entries = (snapshot match {
+          val planned = (snapshot match {
             case Some(id) if id < 0 => Seq.empty
             case s => gt.planEntries(cond, s)
           }).filter(e => e.file.firstRowId.exists(f =>
             f < hi && f + e.file.rowCount > lo))
+          // same file-creation-time cutoff the native path honors —
+          // _ROW_ID projection must not silently widen the read
+          val entries = readOptions.get("scan.file-creation-time-millis")
+            .map(_.toLong) match {
+            case Some(ts) => planned.filter(_.file.creationTime.forall(_ > ts))
+            case None => planned
+          }
           // the patch overlay rides on top of the pruned row-id read
           val df = gt.rowIdReadPatched(entries, snapshot.filter(_ >= 0))
             .filter(cond)
@@ -1345,7 +1346,8 @@ class GraftFormatTable(
     }
 }
 
-class GraftSystemTable(tableName: String, dfFn: () => DataFrame)
+class GraftSystemTable(tableName: String, dfFn: () => DataFrame,
+    optsFn: CaseInsensitiveStringMap => Option[DataFrame] = _ => None)
     extends Table with SupportsRead {
 
   override def name(): String = tableName
@@ -1357,16 +1359,91 @@ class GraftSystemTable(tableName: String, dfFn: () => DataFrame)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new V1Scan {
+      // option-driven variants (e.g. $audit_log incremental reads)
+      // must keep the table's reported schema — resolution already
+      // happened against it
+      private def df(): DataFrame = optsFn(options).getOrElse(dfFn())
       override def readSchema(): StructType = schema()
       override def toV1TableScan[T <: org.apache.spark.sql.sources.BaseRelation
           with org.apache.spark.sql.sources.TableScan](context: SQLContext): T =
         new org.apache.spark.sql.sources.BaseRelation
             with org.apache.spark.sql.sources.TableScan {
           override def sqlContext: SQLContext = context
-          override def schema: StructType = dfFn().schema
-          override def buildScan(): RDD[Row] = dfFn().rdd
+          // report the TABLE's schema: an option-driven df may differ
+          // only in nullability flags and Spark rejects the mismatch
+          override def schema: StructType = GraftSystemTable.this.schema()
+          override def buildScan(): RDD[Row] = df().rdd
         }.asInstanceOf[T]
     }
+}
+
+/** Shared parsing of the `incremental-*` READ OPTIONS (reference:
+  * CoreOptions INCREMENTAL_BETWEEN / INCREMENTAL_BETWEEN_TIMESTAMP /
+  * INCREMENTAL_TO_AUTO_TAG / INCREMENTAL_BETWEEN_SCAN_MODE), used by
+  * both the base-table scan builder (kinds filtered/dropped — the
+  * table schema has no row-kind column) and the `$audit_log` relation
+  * (kinds served as `_row_kind` — the changelog scan mode, reference
+  * AuditLogTable.java:88 + IncrementalStartingScanner). */
+private[graft] object IncrementalOptions {
+  final case class Spec(
+      range: Option[(Long, Long)], autoTag: Option[String], mode: String)
+
+  def parse(gt: GraftTable, readOptions: Map[String, String]): Option[Spec] = {
+    def resolveRef(s: String): Long = s.trim match {
+      case v if v.matches("-?\\d+") => v.toLong
+      case tag => gt.sm.tagSnapshotId(tag).getOrElse(
+        throw new IllegalArgumentException(s"no such tag: $tag"))
+    }
+    def two(v: String): (Long, Long) = v.split(",", 2) match {
+      case Array(a, b) => (resolveRef(a), resolveRef(b))
+      case _ => throw new IllegalArgumentException(
+        s"expected 'start,end', got '$v'")
+    }
+    val range: Option[(Long, Long)] =
+      readOptions.get("incremental-between").map(two)
+        .orElse(readOptions.get("incremental-between-timestamp").map { v =>
+          v.split(",", 2) match {
+            case Array(a, b) =>
+              (gt.sm.snapshotIdAtTime(a.trim.toLong).getOrElse(-1L),
+                gt.sm.snapshotIdAtTime(b.trim.toLong).getOrElse(-1L))
+            case _ => throw new IllegalArgumentException(
+              s"expected 'ts1,ts2', got '$v'")
+          }
+        })
+    val autoTag = readOptions.get("incremental-to-auto-tag")
+    if (range.isEmpty && autoTag.isEmpty) return None
+    Some(Spec(range, autoTag,
+      readOptions.getOrElse("incremental-between-scan-mode", "auto")))
+  }
+
+  /** The raw kinded changelog rows for a spec: data columns +
+    * `_row_kind` (+I/-U/+U/-D), same shape `CALL sys.incremental_query`
+    * serves. */
+  def kinded(gt: GraftTable, spec: Spec): DataFrame =
+    spec.autoTag.map(gt.incrementalToAutoTag).getOrElse {
+      val (f, t) = spec.range.get; gt.incrementalRead(f, t)
+    }
+
+  /** `$audit_log` + incremental options: the relation schema already
+    * carries `_row_kind`, so `changelog` (and `auto`) serve the exact
+    * kinded rows; `delta` keeps only +I/+U but retains the column. */
+  def auditLogDf(gt: GraftTable, options: CaseInsensitiveStringMap)
+      : Option[DataFrame] = {
+    import scala.jdk.CollectionConverters._
+    val opts = options.asCaseSensitiveMap().asScala.toMap
+    val spec = parse(gt, opts).getOrElse(return None)
+    val outCols = (gt.schema.fields.map(_.name) :+ "_row_kind")
+      .map(org.apache.spark.sql.functions.col).toIndexedSeq
+    val base = kinded(gt, spec).select(outCols: _*)
+    Some(spec.mode match {
+      case "auto" | "changelog" => base
+      case "delta" => base.filter(
+        org.apache.spark.sql.functions.col("_row_kind").isin("+I", "+U"))
+      case other => throw new IllegalArgumentException(
+        s"incremental-between-scan-mode=$other is not supported on " +
+          "$audit_log; use the base table for diff mode")
+    })
+  }
 }
 
 class GraftWriteBuilder(gt: GraftTable)

@@ -473,16 +473,21 @@ class GraftMicroBatchStream(
     *  - `from-snapshot`: every snapshot from `scan.snapshot-id` on
     *  - `from-timestamp`: every snapshot committed at/after
     *    `scan.timestamp-millis` */
-  private lazy val startOffset: Long = streamOpt("scan.mode") match {
-    // `consumer-id` without an explicit scan.mode: a FRESH query (no
-    // Spark checkpoint yet) resumes AFTER the registered consumer's
-    // stored progress (reference: consumer-id startup); an existing
-    // checkpoint never reaches initialOffset, so Spark's own replay
-    // semantics stay untouched
-    case None if streamOpt("consumer-id").exists(id =>
-        graft.streaming.GraftStreaming.consumerOffset(gt, id).isDefined) =>
-      graft.streaming.GraftStreaming
-        .consumerOffset(gt, streamOpt("consumer-id").get).get
+  private lazy val startOffset: Long = streamOpt("consumer-id")
+    .flatMap(id => graft.streaming.GraftStreaming.consumerOffset(gt, id)) match {
+    // `consumer-id` with stored progress: a FRESH query (no Spark
+    // checkpoint yet) resumes AFTER the registered consumer's stored
+    // progress, and the recorded progress takes PRECEDENCE over any
+    // scan.mode (reference: ConsumerManager startup — otherwise a
+    // restart without its checkpoint under scan.mode=latest would
+    // silently skip the snapshots between the consumer's offset and
+    // latest). An existing checkpoint never reaches initialOffset, so
+    // Spark's own replay semantics stay untouched.
+    case Some(stored) => stored
+    case None => startOffsetFromMode
+  }
+
+  private def startOffsetFromMode: Long = streamOpt("scan.mode") match {
     case Some("latest") => sm.latestSnapshotId.getOrElse(-1L)
     case Some("from-snapshot") =>
       streamOpt("scan.snapshot-id").map(_.toLong - 1L).getOrElse(

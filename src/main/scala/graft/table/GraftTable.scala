@@ -2118,20 +2118,41 @@ final class GraftTable private (
     complete.toSeq.filter(keep).foreach(b => snapPairs += ((b, b)))
     val decTargets = decTargets0.filter(keep)
     val debrisTargets = debrisTargets0.filter(keep)
+    // hoisted + sorted once: the per-target span (base(p), p] is then a
+    // binary-search slice, so edge building is O(E + (D+T)·log D)
+    // rather than the old O(T × deltaEntries) rescan per target
+    val deltaSorted: IndexedSeq[(Map[String, String], Seq[Any])] =
+      deltaEntries.map(_.partition).distinct
+        .flatMap(d => decode(d).map(v => (d, v))).toIndexedSeq
+        .sortBy(_._2)
+    // first index whose version is STRICTLY greater than v
+    def upperBound(v: Seq[Any]): Int = {
+      var lo = 0; var hi = deltaSorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cmp.compare(deltaSorted(mid)._2, v) <= 0) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    val snapSortedV = snapSorted.toIndexedSeq
+    // last snapshot partition whose version is STRICTLY below v
+    def baseBefore(v: Seq[Any]): Option[Map[String, String]] = {
+      var lo = 0; var hi = snapSortedV.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cmp.compare(snapSortedV(mid)._2, v) < 0) lo = mid + 1 else hi = mid
+      }
+      if (lo == 0) None else Some(snapSortedV(lo - 1)._1)
+    }
     decTargets.foreach { p =>
       val pv = decode(p).get
-      val base = snapSorted.takeWhile { case (_, v) => cmp.compare(v, pv) < 0 }
-        .lastOption.map(_._1)
+      val base = baseBefore(pv)
       base.foreach(b => snapPairs += ((b, p)))
       val baseV = base.flatMap(decode)
-      deltaEntries.map(_.partition).distinct.foreach { d =>
-        decode(d) match {
-          case Some(dv) if cmp.compare(dv, pv) <= 0 &&
-              baseV.forall(bv => cmp.compare(dv, bv) > 0) =>
-            deltaPairs += ((d, p))
-          case _ => ()
-        }
-      }
+      val from = baseV.map(upperBound).getOrElse(0)
+      val to = upperBound(pv)
+      var i = from
+      while (i < to) { deltaPairs += ((deltaSorted(i)._1, p)); i += 1 }
     }
     // broadcast-join replication: one scan per branch; each row fans
     // out to its targets and its partition columns take the target's
@@ -3457,9 +3478,11 @@ final class GraftTable private (
     require(isPrimaryKeyTable, "audit log requires a primary-key table")
     val entries =
       visibleEntries(sm.latestSnapshot().map(sm.liveEntries).getOrElse(Seq.empty))
+    // reference AuditLogTable: rowkind + data fields only — the
+    // internal sequence column is not part of the relation
     readRaw(entries)
       .withColumn("_row_kind", MergeEngine.kindLabel(col(KindCol)))
-      .drop(KindCol, "__bucket")
+      .drop(KindCol, SeqCol, "__bucket")
   }
 
   /** Rows changed between two snapshots (exclusive, inclusive] — the

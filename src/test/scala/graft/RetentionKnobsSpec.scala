@@ -324,5 +324,40 @@ class RetentionKnobsSpec extends AnyFunSuite {
     // row 1 is not
     val ck2 = Files.createTempDirectory("graft-ci-ck2").toString
     assert(drain(ck2) == Seq(2L))
+
+    // stored consumer progress takes PRECEDENCE over scan.mode on a
+    // fresh start (reference: ConsumerManager startup) — scan.mode=
+    // latest alone would jump past row 2 and silently skip it
+    val ck3 = Files.createTempDirectory("graft-ci-ck3").toString
+    val got3 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q3 = spark.readStream.option("consumer-id", "ci1")
+      .option("scan.mode", "latest")
+      .table("graftci.d.t").writeStream
+      .option("checkpointLocation", ck3)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got3.add(r.getLong(0))): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q3.awaitTermination(120000))
+    import scala.jdk.CollectionConverters._
+    assert(got3.asScala.toSeq == Seq(2L),
+      s"consumer progress must beat scan.mode=latest: ${got3.asScala.toSeq}")
+
+    // a consumer-id with NO stored progress still honors scan.mode
+    val ck4 = Files.createTempDirectory("graft-ci-ck4").toString
+    val got4 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q4 = spark.readStream.option("consumer-id", "ci-fresh")
+      .option("scan.mode", "latest")
+      .table("graftci.d.t").writeStream
+      .option("checkpointLocation", ck4)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got4.add(r.getLong(0))): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q4.awaitTermination(120000))
+    assert(got4.asScala.isEmpty,
+      s"fresh consumer + scan.mode=latest starts at latest: ${got4.asScala.toSeq}")
   }
 }

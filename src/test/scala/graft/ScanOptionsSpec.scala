@@ -237,4 +237,91 @@ class ScanOptionsSpec extends AnyFunSuite {
     assert(after.forall(_.file.dvFile.isEmpty), "rewrite drops the DVs")
     assert(dv.read.count() == 6)
   }
+
+  test("incremental-between-scan-mode=changelog serves via $audit_log") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftso.dbso")
+    spark.sql("CREATE TABLE graftso.dbso.alc (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+      "'changelog-producer'='lookup')")
+    val gt = GraftTable.load(spark, s"$warehouse/dbso/alc")
+    gt.write(kv(1L -> "a", 2L -> "b"))   // snapshot 0
+    gt.write(kv(2L -> "b2", 3L -> "c"))  // snapshot 1: -U/+U for 2, +I for 3
+
+    val chg = spark.read.option("incremental-between", "0,1")
+      .option("incremental-between-scan-mode", "changelog")
+      .table("graftso.dbso.`alc$audit_log`")
+    val rows = chg.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((2L, "b", "-U"), (2L, "b2", "+U"), (3L, "c", "+I")),
+      rows)
+
+    // exactly what CALL sys.incremental_query serves
+    spark.sql("CALL graftso.sys.incremental_query('dbso.alc', 0, 1, 'alc_iq')")
+    val viaProc = spark.table("alc_iq").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(viaProc == rows, viaProc)
+
+    // delta mode on $audit_log keeps the _row_kind column, +I/+U only
+    val delta = spark.read.option("incremental-between", "0,1")
+      .option("incremental-between-scan-mode", "delta")
+      .table("graftso.dbso.`alc$audit_log`")
+    assert(delta.columns.contains("_row_kind"))
+    assert(delta.collect().map(_.getString(2)).toSet == Set("+U", "+I"))
+
+    // auto-tag spelling routes through the same path
+    val e = intercept[Exception](
+      spark.read.option("incremental-between", "0,1")
+        .option("incremental-between-scan-mode", "diff")
+        .table("graftso.dbso.`alc$audit_log`").count())
+    assert(e.toString.contains("diff"), e.toString)
+    // without incremental options the relation still serves the full log
+    assert(spark.read.table("graftso.dbso.`alc$audit_log`").count() >= 3)
+  }
+
+  test("agg pushdown declines under narrowing/incremental read options") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftso.dbso")
+    spark.sql("CREATE TABLE graftso.dbso.aggd (k BIGINT, v STRING)")
+    val gt = GraftTable.load(spark, s"$warehouse/dbso/aggd")
+    gt.write(kv(1L -> "a", 2L -> "b"))
+    Thread.sleep(15)
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(15)
+    gt.write(kv(3L -> "c"))
+    // whole-table COUNT pushes down (sanity)
+    assert(spark.table("graftso.dbso.aggd").count() == 3L)
+    // with a file-creation cutoff the manifest-stats answer (3) would
+    // be wrong: the count must reflect only the post-cutoff file
+    val cut = spark.read
+      .option("scan.file-creation-time-millis", cutoff.toString)
+      .table("graftso.dbso.aggd")
+    assert(cut.count() == 1L)
+    assert(cut.agg(org.apache.spark.sql.functions.max("k")).head.getLong(0) == 3L)
+    assert(cut.agg(org.apache.spark.sql.functions.min("k")).head.getLong(0) == 3L)
+    // incremental reads likewise answer from the incremental rows, not
+    // full-table stats (and must not claim complete pushdown)
+    val inc = spark.read.option("incremental-between", "0,1")
+      .table("graftso.dbso.aggd")
+    assert(inc.count() == 1L)
+    assert(inc.agg(org.apache.spark.sql.functions.min("k")).head.getLong(0) == 3L)
+  }
+
+  test("_ROW_ID projection honors scan.file-creation-time-millis") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftso.dbso")
+    spark.sql("CREATE TABLE graftso.dbso.ridc (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('row-tracking.enabled'='true')")
+    val gt = GraftTable.load(spark, s"$warehouse/dbso/ridc")
+    gt.write(kv(1L -> "a", 2L -> "b"))
+    Thread.sleep(15)
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(15)
+    gt.write(kv(3L -> "c"))
+    val all = spark.sql("SELECT k, _ROW_ID FROM graftso.dbso.ridc")
+    assert(all.count() == 3L)
+    val late = spark.read
+      .option("scan.file-creation-time-millis", cutoff.toString)
+      .table("graftso.dbso.ridc")
+      .select("k", "_ROW_ID")
+    assert(late.collect().map(_.getLong(0)).toSet == Set(3L), "pre-cutoff " +
+      "rows must not leak into the row-id read path")
+  }
 }
