@@ -25,43 +25,66 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
-def main(outdir: str, sfdir: str) -> int:
+def main(outdir: str, sfdir: str, json_out: str | None = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     fails = 0
+    board = {}
     names = sorted(x.split("/")[-1] for x in glob.glob(f"{outdir}/*") if not x.endswith(".json"))
     for name in names:
+        rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        board[name] = rec
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no output parquet"); fails += 1; continue
+            print(f"FAIL {name}: no output parquet"); fails += 1
+            rec["err"] = "no output parquet"; continue
         got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        rec["spark_rows"] = len(got)
         if name not in oracle:
             status = "ROWS-ONLY" if len(got) > 0 else "FAIL (0 rows)"
-            if len(got) == 0: fails += 1
+            if len(got) == 0:
+                fails += 1
+                rec["err"] = "0 rows (rows-only gate)"
+            else:
+                rec.update(rows_match=True, schema_match=True, hash_match=True,
+                           err="rows-only (no oracle SQL)")
             print(f"{status} {name}: {len(got)} rows")
             continue
         try:
             exp = con.sql(oracle[name]).df()
         except Exception as e:
-            print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+            print(f"FAIL {name}: oracle error {e}"); fails += 1
+            rec["err"] = f"oracle error: {e}"; continue
+        rec["oracle_rows"] = len(exp)
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
-            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}"); fails += 1; continue
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(e.columns)}"); fails += 1
+            rec["err"] = "column mismatch"; continue
+        rec["schema_match"] = True
         if [str(t) for t in g.dtypes] != [str(t) for t in e.dtypes]:
             print(f"WARN {name}: dtypes {list(map(str, g.dtypes))} vs {list(map(str, e.dtypes))}")
         if len(g) != len(e):
-            print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); fails += 1; continue
+            print(f"FAIL {name}: rows {len(g)} vs {len(e)}"); fails += 1
+            rec["err"] = "row-count mismatch"; continue
+        rec["rows_match"] = True
         try:
             pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
             print(f"OK   {name}: {len(g)} rows")
+            rec["hash_match"] = True
         except AssertionError as ex:
             msg = str(ex).splitlines()
             print(f"FAIL {name}: {' | '.join(msg[:4])}")
+            rec["err"] = msg[0] if msg else "value mismatch"
             fails += 1
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(board, f, indent=2)
+        print(f"board written: {json_out}")
     print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'}")
     return 1 if fails else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None))
