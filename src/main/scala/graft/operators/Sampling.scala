@@ -103,6 +103,26 @@ object Sampling {
       .drop("__src", "__quota")
   }
 
+  /** [[mixSources]] with the `mixing.approx-above` escape hatch: when
+    * the option is set and ANY quota exceeds its row threshold, the
+    * whole mix flips to [[mixSourcesApprox]] (±1-2% per-source counts,
+    * zero single-task stages at any quota); otherwise — and always
+    * when the option is absent — the exact two-level rank runs. Opt-in
+    * by design: exact selection is re-derivable row-for-row and stable
+    * under corpus growth, so silently degrading it would change
+    * reproducibility guarantees. */
+  def mixSources(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      quotas: Map[String, Long],
+      options: Map[String, String]): DataFrame = {
+    val threshold = options.get("mixing.approx-above").map(_.trim.toLong)
+    if (threshold.exists(t => quotas.values.exists(_ > t)))
+      mixSourcesApprox(df, sourceCol, idCol, quotas)
+    else mixSources(df, sourceCol, idCol, quotas)
+  }
+
   /** Approximate-threshold source mixing for quotas where even the
     * bounded two-level rank is too much: [[mixSources]]' level-2
     * window is a single task of up to `buckets × quota` rows per

@@ -225,6 +225,51 @@ class BranchSpec extends AnyFunSuite {
       Seq((2L, 1L)))
   }
 
+  test("chain table edge building scales to ~500 delta-only partitions " +
+    "(hoisted sort + binary search, single merge plan)") {
+    val csch = StructType(Seq(
+      StructField("dt", IntegerType, nullable = false),
+      StructField("k", LongType, nullable = false),
+      StructField("v", LongType, nullable = true),
+      StructField("seq", LongType, nullable = true)))
+    val t = GraftTable.create(spark, tmp(), csch,
+      partitionKeys = Seq("dt"), primaryKeys = Seq("dt", "k"),
+      options = Map(
+        "sequence.field" -> "seq",
+        "chain-table.enabled" -> "true",
+        "scan.fallback-snapshot-branch" -> "snap",
+        "scan.fallback-delta-branch" -> "delta"))
+    val snap = t.createBranch("snap")
+    val delta = t.createBranch("delta")
+    val n = 500
+    snap.write(spark.createDataFrame(
+      Seq(Row(0, 1L, 0L, 0L)).asJava, csch))
+    // 500 delta days, one row each: day d upserts key 1 to value d
+    delta.write(spark.createDataFrame(
+      (1 to n).map(d => Row(d, 1L, d.toLong, d.toLong)).asJava, csch))
+    val read = t.read
+    // the plan must stay ONE merge aggregate regardless of target count
+    val aggs = read.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size == 1, s"expected one merge aggregate, got ${aggs.size}")
+    // every day serves key 1 at its own chained value — the full edge
+    // set here is n·(n+1)/2 (each day chains all earlier deltas), so a
+    // per-target rescan of the delta entries would be O(n²) twice over
+    val got = read.select("dt", "v").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(got.size == n + 1)
+    assert(got(0) == 0L && got(1) == 1L && got(n / 2) == (n / 2).toLong &&
+      got(n) == n.toLong, s"sample: ${got.view.filterKeys(Set(0, 1, n / 2, n)).toMap}")
+    // partition pruning at edge-building time: one mid-range day scans
+    // its own chain only, far fewer files than the full read
+    val pruned = t.scan(col("dt") === 3)
+    assert(pruned.collect().map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L)))
+    assert(pruned.inputFiles.length <= 5,
+      s"day-3 chain must scan ~4 files, got ${pruned.inputFiles.length}")
+  }
+
   test("chain table with multi-column INT partitions orders typed-lexicographic") {
     val csch = StructType(Seq(
       StructField("y", IntegerType, nullable = false),

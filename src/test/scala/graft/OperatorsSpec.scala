@@ -680,6 +680,34 @@ class OperatorsSpec extends AnyFunSuite {
       out2.select("id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("mixing.approx-above flips mixSources to the approx path only past " +
+    "the threshold; exact stays the default") {
+    import spark.implicits._
+    val S = graft.operators.Sampling
+    val df = (0L until 20000L).map(i => (i, s"src${i % 2}")).toDF("id", "source")
+    val quotas = Map("src0" -> 1000L, "src1" -> 200L)
+    // no option / below threshold: exact (windowed) path, counts exact
+    val exact = S.mixSources(df, "source", "id", quotas, Map.empty[String, String])
+    assert(exact.queryExecution.executedPlan.toString.contains("Window"))
+    val exactBySrc = exact.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exactBySrc == quotas, exactBySrc.toString)
+    val below = S.mixSources(df, "source", "id", quotas,
+      Map("mixing.approx-above" -> "5000"))
+    assert(below.queryExecution.executedPlan.toString.contains("Window"),
+      "quotas under the threshold must keep the exact rank")
+    // any quota past the threshold: approx path — no window stages,
+    // counts within tolerance
+    val approx = S.mixSources(df, "source", "id", quotas,
+      Map("mixing.approx-above" -> "500"))
+    val aplan = approx.queryExecution.executedPlan.toString
+    assert(!aplan.contains("Window"), s"approx mode must not sort-rank:\n$aplan")
+    val aBySrc = approx.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(aBySrc("src0") - 1000L) <= 50, aBySrc.toString)
+    assert(math.abs(aBySrc("src1") - 200L) <= 10, aBySrc.toString)
+  }
+
   test("packSequences: spans match a serial cum-sum, even under coalesce(1)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

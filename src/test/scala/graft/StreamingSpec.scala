@@ -654,4 +654,78 @@ class StreamingSpec extends AnyFunSuite {
     GraftStreaming.invalidateLookupCache(dim)
     GraftStreaming.invalidateLookupCache(branch)
   }
+
+  test("consumer-id + compacted-full + snapshot expiry compose: paced drain, " +
+    "checkpointed restart, retention pinned at the consumer offset") {
+    spark.conf.set("spark.sql.catalog.graftcc", "graft.sources.GraftCatalog")
+    val wh = Files.createTempDirectory("graft-cc-wh").toString
+    spark.conf.set("spark.sql.catalog.graftcc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftcc.d")
+    spark.sql("CREATE TABLE graftcc.d.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+      "'scan.max-rows-per-trigger'='2')")
+    spark.sql("INSERT INTO graftcc.d.t VALUES (1,'a'),(2,'b')")   // s0
+    spark.sql("INSERT INTO graftcc.d.t VALUES (1,'a2')")          // s1
+    val gt = GraftTable.load(spark, s"$wh/d/t")
+    gt.compact()                                                  // s2 COMPACT
+    spark.sql("INSERT INTO graftcc.d.t VALUES (3,'c')")           // s3
+    spark.sql("INSERT INTO graftcc.d.t VALUES (4,'d')")           // s4
+
+    def drain(ck: String): Seq[(Long, String)] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+      val q = spark.readStream
+        .option("consumer-id", "cc")
+        .option("scan.mode", "compacted-full")
+        .table("graftcc.d.t").writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.collect().foreach(r => got.add((r.getLong(0), r.getString(1)))): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq
+    }
+    // drain 1: full state AT the compact snapshot, then the two deltas —
+    // pacing (max 2 rows/trigger) forces >=3 batches, so Spark
+    // checkpoints (and the mirror flushes) mid-drain
+    val ck1 = Files.createTempDirectory("graft-cc-ck").toString
+    val first = drain(ck1)
+    assert(first.sorted == Seq((1L, "a2"), (2L, "b"), (3L, "c"), (4L, "d")),
+      s"compacted-full drain must skip pre-compact churn: $first")
+    // the mirror trails by one run: progress, when flushed, never
+    // passes the checkpoint
+    val off1 = GraftStreaming.consumerOffset(gt, "cc")
+    assert(off1.forall(o => o >= 2L && o <= 4L), s"offset after drain1: $off1")
+
+    // restart from the SAME checkpoint: only new commits arrive — the
+    // full-start marker never replays
+    spark.sql("INSERT INTO graftcc.d.t VALUES (5,'e')")           // s5
+    assert(drain(ck1) == Seq((5L, "e")))
+    // drain 2 flushes drain 1's committed progress (the trail is safe:
+    // never pins less than the compact snapshot)
+    val off2 = GraftStreaming.consumerOffset(gt, "cc").get
+    assert(off2 >= 2L && off2 <= 5L, s"mirror after drain2: $off2")
+
+    // expiry: retain=1 would drop everything but the tip, but the
+    // registered consumer pins every snapshot PAST its offset
+    gt.expireSnapshots(retain = 1)
+    val left = gt.sm.snapshotIds
+    assert(left.forall(_ > off2),
+      s"expiry dropped only up to the consumer offset: $left vs $off2")
+    assert(left.contains(5L), s"snapshots past the consumer must survive: $left")
+
+    // a FRESH checkpoint with the same consumer-id resumes after the
+    // mirrored progress over the EXPIRED history: exactly the rows of
+    // snapshots past the offset — no loss, no pre-offset replay
+    spark.sql("INSERT INTO graftcc.d.t VALUES (6,'f')")           // s6
+    val rowOf = Map(3L -> (3L, "c"), 4L -> (4L, "d"),
+      5L -> (5L, "e"), 6L -> (6L, "f"))
+    val resumed = drain(Files.createTempDirectory("graft-cc-ck2").toString)
+    val expected = ((off2 + 1) to 6L).flatMap(rowOf.get)
+    assert(resumed.sorted == expected.sorted,
+      s"fresh-checkpoint resume must serve exactly post-offset rows: " +
+        s"$resumed vs $expected (offset $off2)")
+  }
 }

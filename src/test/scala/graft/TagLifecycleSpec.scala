@@ -144,6 +144,41 @@ class TagLifecycleSpec extends AnyFunSuite {
     assert(on.sm.tags.keySet.contains("1970-01-14"))
   }
 
+  test("tag.automatic-completion single-fill contract: a long-idle table's " +
+    "next commit fills exactly ONE missing period") {
+    val day = 86400000L
+    def at(t: GraftTable, ms: Long, r: (Long, String)): Unit =
+      t.writeWatermarked(kv(r), -1L, Some(ms))
+    val t = mk(Map("tag.automatic-creation" -> "watermark",
+      "tag.automatic-completion" -> "true"))
+    at(t, day * 10 + 1, 1L -> "a")
+    at(t, day * 11 + 1, 2L -> "b")
+    assert(t.sm.tags.keySet == Set("1970-01-10", "1970-01-11"))
+    // idle for FIVE periods, then one commit: the completion contract
+    // (reference TagAutoCreation.tryToCreateTags, thisTag = nextTag)
+    // fills exactly the FIRST missing period per snapshot visit — a
+    // gap > 1 is worked off one tag per commit, never a burst of
+    // backfilled tags from a single snapshot
+    at(t, day * 16 + 1, 3L -> "c")
+    assert(t.sm.tags.keySet ==
+      Set("1970-01-10", "1970-01-11", "1970-01-12"),
+      t.sm.tags.keySet.toString)
+    // re-triggering with NO new snapshot creates nothing: the cursor
+    // sits past the latest tagged snapshot
+    assert(t.tagAutoCreate().isEmpty)
+    assert(t.sm.tags.keySet ==
+      Set("1970-01-10", "1970-01-11", "1970-01-12"))
+    // each subsequent commit fills the next missing period in order
+    at(t, day * 16 + 2, 4L -> "d")
+    assert(t.sm.tags.keySet ==
+      Set("1970-01-10", "1970-01-11", "1970-01-12", "1970-01-13"))
+    at(t, day * 16 + 3, 5L -> "e")
+    at(t, day * 16 + 4, 6L -> "f")
+    assert(t.sm.tags.keySet == Set("1970-01-10", "1970-01-11",
+      "1970-01-12", "1970-01-13", "1970-01-14", "1970-01-15"),
+      t.sm.tags.keySet.toString)
+  }
+
   test("tag.period-formatter without_dashes + two-hours period") {
     val t = mk(Map("tag.automatic-creation" -> "watermark",
       "tag.period-formatter" -> "without_dashes"))
