@@ -1959,5 +1959,46 @@ object Storage {
       t.read.groupBy(col("yr"))
         .agg(count(lit(1)).as("n"),
           asDouble(sum(col("o_totalprice").cast("decimal(18,2)"))).as("tp"))
+    },
+
+    // ---- incremental-between-scan-mode=changelog (reference:
+    // CoreOptions INCREMENTAL_BETWEEN_SCAN_MODE CHANGELOG served
+    // through the audit-log relation whose schema carries the row
+    // kind — AuditLogTable.java:88): snapshot 1 updates the %6 keys
+    // (exact -U/+U pairs from the lookup changelog producer) and
+    // inserts the odd %3 keys (+I). The oracle reconstructs all three
+    // row classes, so a missing retraction, a mislabeled kind, or an
+    // un-kinded delta row is a row diff.
+    QDef(
+      "g76_changelog_read_option",
+      """SELECT c_custkey AS k, c_name AS v, '-U' AS _row_kind
+        |FROM customer WHERE c_custkey % 6 = 0
+        |UNION ALL
+        |SELECT c_custkey, 'u' || c_name, '+U'
+        |FROM customer WHERE c_custkey % 6 = 0
+        |UNION ALL
+        |SELECT c_custkey, 'u' || c_name, '+I'
+        |FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 2 <> 0""".stripMargin) { (s, dir) =>
+      val wh = Files.createTempDirectory("graft-g76-wh").toString
+      s.conf.set("spark.sql.catalog.g76", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.g76.warehouse", wh)
+      tbl(s, dir, "customer").createOrReplaceTempView("g76_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS g76.gate")
+      s.sql("CREATE TABLE g76.gate.t (k BIGINT, v STRING) " +
+        "TBLPROPERTIES ('primary-key'='k', 'bucket'='2', " +
+        "'changelog-producer'='lookup')")
+      // snapshot 0: the even keys under their raw names
+      s.sql("""INSERT INTO g76.gate.t
+              |SELECT c_custkey, c_name FROM g76_src
+              |WHERE c_custkey % 2 = 0""".stripMargin)
+      // snapshot 1: every %3 key (updates where %6==0, inserts
+      // elsewhere) under a marked name
+      s.sql("""INSERT INTO g76.gate.t
+              |SELECT c_custkey, 'u' || c_name FROM g76_src
+              |WHERE c_custkey % 3 = 0""".stripMargin)
+      s.read.option("incremental-between", "0,1")
+        .option("incremental-between-scan-mode", "changelog")
+        .table("g76.gate.`t$audit_log`")
+        .select(col("k"), col("v"), col("_row_kind"))
     })
 }
