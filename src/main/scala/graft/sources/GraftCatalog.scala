@@ -758,7 +758,13 @@ class GraftScanBuilder(gt: GraftTable, snapshot0: Option[Long], full: StructType
     * `spark.read.option(...).table(t)` spelling) — VERSION AS OF from
     * the SQL path (snapshot0) wins when both are present. */
   private val snapshot: Option[Long] = snapshot0
-    .orElse(readOptions.get("scan.snapshot-id").map(_.toLong))
+    // under a streaming startup mode, scan.snapshot-id is a stream
+    // CURSOR, not a time-travel pin — a missing id must degrade in the
+    // stream source (latest-full), not explode the shared batch pin
+    .orElse(readOptions.get("scan.snapshot-id").map(_.toLong)
+      .filter(id => !readOptions.get("scan.mode").exists(m =>
+        m == "from-snapshot" || m == "from-snapshot-full") ||
+        gt.sm.snapshotIds.contains(id)))
     .orElse(readOptions.get("scan.tag-name").map(tag =>
       gt.sm.tagSnapshotId(tag).getOrElse(
         throw new IllegalArgumentException(s"no such tag: $tag"))))

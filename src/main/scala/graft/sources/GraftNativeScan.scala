@@ -493,6 +493,21 @@ class GraftMicroBatchStream(
       streamOpt("scan.snapshot-id").map(_.toLong - 1L).getOrElse(
         throw new IllegalArgumentException(
           "scan.mode=from-snapshot needs scan.snapshot-id"))
+    case Some("from-snapshot-full") =>
+      // full content AT the named snapshot as the first batch, then
+      // changes (reference: StartupMode FROM_SNAPSHOT_FULL +
+      // StaticFromSnapshotStartingScanner) — same -(id+2) marker
+      // encoding compacted-full uses, so the checkpointed offset
+      // round-trips; a missing snapshot degrades to latest-full.
+      // PK tables serve the first batch as the upsert RECORDS of the
+      // files alive at the snapshot (the engine's stream contract,
+      // like latest-full) — merged-on-disk when the snapshot is a
+      // compact one; unlike the -1 replay it stays complete after
+      // history expiry because it reads the live set, not deltas.
+      val id = streamOpt("scan.snapshot-id").map(_.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          "scan.mode=from-snapshot-full needs scan.snapshot-id"))
+      if (sm.snapshotIds.contains(id)) -(id + 2L) else -1L
     case Some("from-timestamp") =>
       val ts = streamOpt("scan.timestamp-millis").map(_.toLong).getOrElse(
         throw new IllegalArgumentException(

@@ -826,6 +826,82 @@ class SqlCatalogSpec extends AnyFunSuite {
     assert(received.toSeq == Seq((4L, "d")), s"got $received")
   }
 
+  test("scan.mode=from-snapshot-full streams the full state AT the named " +
+    "snapshot, then deltas (restart-safe; missing id degrades to latest-full)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db8f")
+    spark.sql("""CREATE TABLE graft.db8f.t (k BIGINT, v STRING)
+                |TBLPROPERTIES ('primary-key'='k', 'bucket'='1')""".stripMargin)
+    spark.sql("INSERT INTO graft.db8f.t VALUES (1,'a'),(2,'b')")  // s0
+    spark.sql("INSERT INTO graft.db8f.t VALUES (1,'a2')")         // s1
+    spark.sql("INSERT INTO graft.db8f.t VALUES (3,'c')")          // s2
+    val ckpt = Files.createTempDirectory("graft-fsf").toString
+    val received = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def run(): Unit = {
+      val q = spark.readStream.option("scan.mode", "from-snapshot-full")
+        .option("scan.snapshot-id", "1")
+        .table("graft.db8f.t").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          received.synchronized {
+            received ++= df.collect().map(r => (r.getLong(0), r.getString(1)))
+          }: Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    run()
+    // first batch = the upsert records of the files ALIVE at s1 (the
+    // engine's PK-stream contract, same as latest-full: raw upsert
+    // records, consumers merge by their sequence) + the s2 delta.
+    // Unlike the -1 replay this stays complete after history expiry:
+    // it reads the live file set, not per-snapshot deltas.
+    assert(received.sorted.toSeq ==
+      Seq((1L, "a"), (1L, "a2"), (2L, "b"), (3L, "c")),
+      s"got ${received.sorted}")
+    // restart from the checkpoint: the full-start marker never replays
+    spark.sql("INSERT INTO graft.db8f.t VALUES (4,'d')")
+    received.clear()
+    run()
+    assert(received.toSeq == Seq((4L, "d")), s"got $received")
+    // after compaction, a fresh from-snapshot-full at the compact
+    // snapshot serves the MERGED state (live set is settled) + deltas
+    val t = graft.table.GraftTable.load(spark, s"$warehouse/db8f/t")
+    t.compact() // s4: merged (1,a2),(2,b),(3,c),(4,d)
+    spark.sql("INSERT INTO graft.db8f.t VALUES (5,'e')") // s5
+    received.clear()
+    val ck3 = Files.createTempDirectory("graft-fsf3").toString
+    val q3 = spark.readStream.option("scan.mode", "from-snapshot-full")
+      .option("scan.snapshot-id", "4")
+      .table("graft.db8f.t").writeStream
+      .option("checkpointLocation", ck3)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        received.synchronized {
+          received ++= df.collect().map(r => (r.getLong(0), r.getString(1)))
+        }: Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q3.awaitTermination(120000))
+    assert(received.sorted.toSeq == Seq((1L, "a2"), (2L, "b"), (3L, "c"),
+      (4L, "d"), (5L, "e")), s"got ${received.sorted}")
+    // a missing snapshot id degrades to latest-full (fresh checkpoint,
+    // raw replayed history: key 1 appears twice)
+    val received2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q2 = spark.readStream.option("scan.mode", "from-snapshot-full")
+      .option("scan.snapshot-id", "99")
+      .table("graft.db8f.t").writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-fsf2").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        received2.synchronized { received2 ++= df.collect().map(_.getLong(0)) }: Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q2.awaitTermination(120000))
+    assert(received2.sorted.toSeq == Seq(1L, 1L, 2L, 3L, 4L, 5L),
+      received2.toString)
+  }
+
   test("bounded readStream drains to scan.bounded.watermark and terminates") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.db10")
     spark.sql("DROP TABLE IF EXISTS graft.db10.t")
