@@ -97,6 +97,25 @@ object StatsModes {
 
   /** Apply pre-resolved modes to freshly collected file stats.
     * Executor-safe: `modes` is a plain string map. */
+  /** One mode for EVERY column, type-directed like [[columnModes]]
+    * (reference: CoreOptions CHANGELOG_FILE_STATS_MODE — changelog
+    * files carry one stats mode, not the per-field table config).
+    * "full" → empty map (the callers' fast path). */
+  def uniformModes(sch: TableSchema, mode: String): Map[String, String] = {
+    val m = mode.trim
+    if (m == "full") return Map.empty
+    sch.fields.map { f =>
+      val eff = m match {
+        case "none" | "counts" => m
+        case TruncRe(_) =>
+          if (Meta.sparkTypeOf(f.dataType) == StringType) m else "full"
+        case other => throw new IllegalArgumentException(
+          s"unknown stats mode: $other")
+      }
+      f.name -> eff
+    }.toMap
+  }
+
   def apply(stats: Map[String, ColStats], modes: Map[String, String]): Map[String, ColStats] =
     if (modes.isEmpty) stats
     else stats.flatMap { case (c, st) =>

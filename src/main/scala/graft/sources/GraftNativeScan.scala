@@ -58,11 +58,38 @@ private[graft] object GraftScanUtil {
         * None delegates to spark.sql.files.maxPartitionBytes (and
         * open-file-cost to spark.sql.files.openCostInBytes, Spark's
         * spelling of the reference's SOURCE_SPLIT_OPEN_FILE_COST). */
-      targetSize: Option[Long] = None): Array[InputPartition] = {
+      targetSize: Option[Long] = None,
+      /** `source.split.open-file-cost` (reference: CoreOptions
+        * SOURCE_SPLIT_OPEN_FILE_COST) — per-table override of the
+        * per-file packing cost; None delegates to the session's
+        * spark.sql.files.openCostInBytes. At 100 TB a table of many
+        * small files wants a higher cost so splits hold fewer files. */
+      openFileCost: Option[Long] = None): Array[InputPartition] = {
     val files = entries.map(partitionedFile(tablePath, _, partitionSchema))
     val maxSplit = targetSize.getOrElse(
       FilePartition.maxSplitBytes(spark, files.map(_.fileSize).sum))
-    FilePartition.getFilePartitions(spark, files, maxSplit).toArray
+    openFileCost match {
+      case None =>
+        FilePartition.getFilePartitions(spark, files, maxSplit).toArray
+      case Some(cost) =>
+        // Spark's own packing shape (size-desc first-fit with a
+        // per-file open cost), with the table's cost instead of the
+        // session conf
+        val sorted = files.sortBy(-_.length)
+        val parts = scala.collection.mutable.ArrayBuffer.empty[FilePartition]
+        val cur = scala.collection.mutable.ArrayBuffer.empty[PartitionedFile]
+        var curSize = 0L
+        def close(): Unit = if (cur.nonEmpty) {
+          parts += FilePartition(parts.size, cur.toArray)
+          cur.clear(); curSize = 0L
+        }
+        sorted.foreach { f =>
+          if (curSize + f.length + cost > maxSplit) close()
+          cur += f; curSize += f.length + cost
+        }
+        close()
+        parts.toArray
+    }
   }
 
   /** resolve `source.split.target-size` from read options, falling back
@@ -72,6 +99,14 @@ private[graft] object GraftScanUtil {
       tableOptions: Map[String, String]): Option[Long] =
     readOptions.get("source.split.target-size")
       .orElse(tableOptions.get("source.split.target-size"))
+      .map(graft.core.Meta.parseBytes)
+
+  /** resolve `source.split.open-file-cost` the same way */
+  def splitOpenFileCost(
+      readOptions: Map[String, String],
+      tableOptions: Map[String, String]): Option[Long] =
+    readOptions.get("source.split.open-file-cost")
+      .orElse(tableOptions.get("source.split.open-file-cost"))
       .map(graft.core.Meta.parseBytes)
 
   def readerFactory(
@@ -284,7 +319,8 @@ class GraftBatchScan(
           partitionSchema.fieldNames.map(e.partition.getOrElse(_, "")).mkString("\u0000")) // NUL: unambiguous join
       else entries
     GraftScanUtil.filePartitions(spark, gt.path, planned, partitionSchema,
-      GraftScanUtil.splitTargetSize(readOptions, gt.schema.options))
+      GraftScanUtil.splitTargetSize(readOptions, gt.schema.options),
+      GraftScanUtil.splitOpenFileCost(readOptions, gt.schema.options))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -696,7 +732,8 @@ class GraftMicroBatchStream(
       gt.visibleEntries(sm.liveEntries(sm.snapshot(c))))
     GraftScanUtil.filePartitions(gt.spark, gt.path, base ++ entries,
       partitionSchema,
-      GraftScanUtil.splitTargetSize(Map.empty, gt.schema.options))
+      GraftScanUtil.splitTargetSize(readOptions, gt.schema.options),
+      GraftScanUtil.splitOpenFileCost(readOptions, gt.schema.options))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

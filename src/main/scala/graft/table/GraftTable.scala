@@ -5647,19 +5647,45 @@ final class GraftTable private (
     } finally before.unpersist()
   }
 
-  /** Write -U/+U/+I/-D rows as changelog files + their manifest. */
+  /** Write -U/+U/+I/-D rows as changelog files + their manifest.
+    * `changelog-file.compression` / `.prefix` / `.stats-mode`
+    * (reference: CoreOptions CHANGELOG_FILE_COMPRESSION /
+    * CHANGELOG_FILE_PREFIX / CHANGELOG_FILE_STATS_MODE) shape the
+    * persisted files independently of the data-file knobs — changelog
+    * volume can dwarf data volume on update-heavy tables, so a lighter
+    * codec / no stats is a real lever there. */
   private def persistChangelog(
       diff: DataFrame, sch: TableSchema): Option[String] = {
     val clDir = s"changelog/${UUID.randomUUID()}"
-    withMicrosTimestamps { diff.write.parquet(s"$path/$clDir") }
-    val files = graft.core.FsUtil.walkAll(Paths.get(s"$path/$clDir")).iterator
+    val writer = sch.options.get("changelog-file.compression")
+      .foldLeft(diff.write)((w, c) => w.option("compression", c))
+    withMicrosTimestamps { writer.parquet(s"$path/$clDir") }
+    val files0 = graft.core.FsUtil.walkAll(Paths.get(s"$path/$clDir")).iterator
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
       .toSeq
+    // prefix renames keep the uuid (collision-free) behind the
+    // operator-visible marker, like data-file.prefix does
+    val files = sch.options.get("changelog-file.prefix") match {
+      case Some(prefix) => files0.map { p =>
+        val renamed = p.resolveSibling(prefix + p.getFileName.toString)
+        sm.io.rename(p.toString, renamed.toString)
+        renamed
+      }
+      case None => files0
+    }
+    val clMode = sch.options.getOrElse("changelog-file.stats-mode", "full")
+    val clModes = {
+      val m = graft.core.StatsModes.uniformModes(sch, clMode)
+      // the changelog's extra string column follows the same mode
+      if (m.isEmpty) m else m + ("_row_kind" -> clMode.trim)
+    }
     val entries = files.map { p =>
       val rel = s"$clDir/${p.getFileName}"
-      ManifestEntry("ADD", Map.empty, 0,
-        ParquetStats.read(hadoopConf, p.toString, rel, level = 0,
-          minSeq = 0L, maxSeq = 0L).copy(schemaId = sch.id))
+      val m = ParquetStats.read(hadoopConf, p.toString, rel, level = 0,
+        minSeq = 0L, maxSeq = 0L).copy(schemaId = sch.id)
+      if (clModes.isEmpty) ManifestEntry("ADD", Map.empty, 0, m)
+      else ManifestEntry("ADD", Map.empty, 0,
+        m.copy(stats = graft.core.StatsModes.apply(m.stats, clModes)))
     }
     // a no-change commit still records an EMPTY changelog manifest:
     // readers must see "exact changelog: nothing" rather than fall

@@ -131,6 +131,42 @@ class RetentionKnobsSpec extends AnyFunSuite {
     assert(graft.core.Meta.parseBytes("4 kb") == 4096L)
   }
 
+  test("source.split.open-file-cost packs fewer small files per split") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => (i.toLong, "v" * 50)).toDF("k", "v")
+    val t = GraftTable.create(spark, tmp(), df.schema)
+    t.write(df.repartition(8)) // eight small data files
+    val entries = t.sm.latestSnapshot().map(t.sm.liveEntries).get
+    assert(entries.size == 8, entries.size)
+    val sch = org.apache.spark.sql.types.StructType(Nil)
+    // generous target, no cost override: everything packs together
+    val cheap = graft.sources.GraftScanUtil.filePartitions(
+      spark, t.path, entries, sch, targetSize = Some(1L << 30))
+    assert(cheap.length < 8)
+    // the same target with a cost ≈ half the target: ≤2 files/split
+    val costly = graft.sources.GraftScanUtil.filePartitions(
+      spark, t.path, entries, sch, targetSize = Some(1L << 20),
+      openFileCost = Some((1L << 19) - 1))
+    assert(costly.length >= 4, s"open cost must spread: ${costly.length}")
+    assert(costly.forall(_.asInstanceOf[
+      org.apache.spark.sql.execution.datasources.FilePartition].files.length <= 2))
+    // every file still served exactly once
+    assert(costly.map(_.asInstanceOf[
+      org.apache.spark.sql.execution.datasources.FilePartition].files.length).sum == 8)
+    // option resolution mirrors target-size
+    assert(graft.sources.GraftScanUtil.splitOpenFileCost(
+      Map("source.split.open-file-cost" -> "8mb"),
+      Map("source.split.open-file-cost" -> "1kb")).contains(8L << 20))
+    // end-to-end: the table option shapes the native scan's partitions
+    val t2 = GraftTable.create(spark, tmp(), df.schema,
+      options = Map("source.split.target-size" -> "1mb",
+        "source.split.open-file-cost" -> "512kb"))
+    t2.write(df.repartition(8))
+    assert(t2.read.count() == 400)
+    assert(t2.read.rdd.getNumPartitions >= 4,
+      s"cost option must reach the scan: ${t2.read.rdd.getNumPartitions}")
+  }
+
   test("snapshot.clean-empty-directories sweeps partition dirs emptied by expiration") {
     val t = GraftTable.create(spark, tmp(), dtRows("x" -> 1L).schema,
       partitionKeys = Seq("dt"),

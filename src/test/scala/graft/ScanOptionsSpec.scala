@@ -278,6 +278,41 @@ class ScanOptionsSpec extends AnyFunSuite {
     assert(spark.read.table("graftso.dbso.`alc$audit_log`").count() >= 3)
   }
 
+  test("changelog-file.compression/prefix/stats-mode shape persisted changelogs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-clf").toString + "/t"
+    val gt = GraftTable.create(spark, dir,
+      kv(1L -> "a").schema, primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1",
+        "changelog-producer" -> "lookup",
+        "changelog-file.compression" -> "gzip",
+        "changelog-file.prefix" -> "cl-",
+        "changelog-file.stats-mode" -> "none"))
+    gt.write(kv(1L -> "a", 2L -> "b"))
+    gt.write(kv(1L -> "a2", 3L -> "c"))
+    val clManifest = gt.sm.snapshot(1L).changelogManifest
+    assert(clManifest.isDefined, "lookup producer must persist a changelog")
+    val entries = gt.sm.readManifest(clManifest.get)
+    assert(entries.nonEmpty)
+    // prefix on every changelog file name
+    assert(entries.forall(_.file.fileName.split('/').last.startsWith("cl-")),
+      entries.map(_.file.fileName))
+    // stats-mode=none drops the per-column stats entries
+    assert(entries.forall(_.file.stats.isEmpty), entries.map(_.file.stats))
+    // compression reached the parquet writer: footer codec is GZIP
+    import org.apache.hadoop.fs.Path
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      new org.apache.hadoop.conf.Configuration(),
+      new Path(s"$dir/${entries.head.file.fileName}"))
+    val codec = footer.getBlocks.get(0).getColumns.get(0).getCodec.toString
+    assert(codec == "GZIP", codec)
+    // and the changelog still serves exactly
+    val rows = gt.incrementalRead(0L, 1L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((1L, "a", "-U"), (1L, "a2", "+U"), (3L, "c", "+I")),
+      rows)
+  }
+
   test("agg pushdown declines under narrowing/incremental read options") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftso.dbso")
     spark.sql("CREATE TABLE graftso.dbso.aggd (k BIGINT, v STRING)")
