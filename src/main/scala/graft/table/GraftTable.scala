@@ -107,8 +107,20 @@ final class GraftTable private (
     // automatic snapshot expiration — strictly OPT-IN via the
     // retention options (reference expires on every commit by default;
     // here the unset-options default keeps full history, so time
-    // travel on un-configured tables never silently loses snapshots)
-    autoExpireSnapshots()
+    // travel on un-configured tables never silently loses snapshots).
+    // `snapshot.expire.execution-mode=async` (reference: CoreOptions
+    // SNAPSHOT_EXPIRE_EXECUTION_MODE) moves the expiry walk off the
+    // commit's critical path onto a shared daemon thread — at high
+    // commit rates a deep retention walk otherwise taxes every commit.
+    // One pending run per table: commits landing while a run is queued
+    // coalesce into it (expiry is idempotent over the latest state).
+    if (schema.options.get("snapshot.expire.execution-mode").contains("async")) {
+      if (GraftTable.asyncExpirePending.add(path))
+        GraftTable.asyncExpireExecutor.execute(() =>
+          try autoExpireSnapshots()
+          catch { case _: Exception => () } // next commit re-queues
+          finally { GraftTable.asyncExpirePending.remove(path); () })
+    } else autoExpireSnapshots()
     // automatic partition expiry rides the commit hook when
     // partition.expiration-time is set (the interval throttle inside
     // also stops the expiry's own DELETE commits from recursing)
@@ -6319,6 +6331,20 @@ object GraftTable {
   /** Tokenization of the full-text index and [[GraftTable.searchText]]:
     * maximal [A-Za-z0-9]+ runs (split on everything else). */
   val TextTokenSplit = "[^A-Za-z0-9]+"
+
+  /** `snapshot.expire.execution-mode=async`: one shared daemon thread
+    * runs expiry walks off the commit path (reference: the ASYNC mode's
+    * dedicated expire executor in FileStoreCommit). Single-threaded on
+    * purpose — expiry is IO-bound cleanup; parallel walks over one
+    * table would race their own file deletes. */
+  private[table] val asyncExpireExecutor =
+    java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-async-expire")
+      t.setDaemon(true)
+      t
+    })
+  private[table] val asyncExpirePending =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Modulus of the dynamic-bucket index's `__p` partition-hash scope
     * token (the number of partition directory groups sidecars spread

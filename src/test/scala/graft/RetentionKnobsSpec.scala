@@ -167,6 +167,30 @@ class RetentionKnobsSpec extends AnyFunSuite {
       s"cost option must reach the scan: ${t2.read.rdd.getNumPartitions}")
   }
 
+  test("snapshot.expire.execution-mode=async expires off the commit path") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v").schema,
+      options = Map(
+        "snapshot.num-retained.max" -> "2",
+        "snapshot.num-retained.min" -> "1",
+        "snapshot.expire.execution-mode" -> "async"))
+    (1 to 5).foreach(i => t.write(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    // the walk runs on the daemon thread — poll for it
+    val deadline = System.currentTimeMillis() + 30000
+    while (t.sm.snapshotIds.size > 2 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(t.sm.snapshotIds.size <= 2,
+      s"async expiry never ran: ${t.sm.snapshotIds}")
+    // the tip is always retained and readable
+    assert(t.read.count() == 5)
+    // sync default still expires inline
+    val s = GraftTable.create(spark, tmp(), Seq((1L, "a")).toDF("k", "v").schema,
+      options = Map("snapshot.num-retained.max" -> "2",
+        "snapshot.num-retained.min" -> "1"))
+    (1 to 4).foreach(i => s.write(Seq((i.toLong, s"v$i")).toDF("k", "v")))
+    assert(s.sm.snapshotIds.size <= 2)
+  }
+
   test("snapshot.clean-empty-directories sweeps partition dirs emptied by expiration") {
     val t = GraftTable.create(spark, tmp(), dtRows("x" -> 1L).schema,
       partitionKeys = Seq("dt"),
