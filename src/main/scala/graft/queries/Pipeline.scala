@@ -861,6 +861,71 @@ object Pipeline {
         tbl(s, dir, "documents").select(col("doc_id")),
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))
+    },
+
+    // ---- URL curation: messy URLs (mixed case, default ports, utm
+    // params, fragments) built deterministically per doc, normalized,
+    // grouped by registered domain (eTLD+1 with the co/com/... 2-part
+    // suffixes) and capped per domain by the deterministic sample-key
+    // rank. The oracle mirrors every normalization regex (RE2-safe, no
+    // lookahead), the domain CASE and the ranked cap — a wrong regex,
+    // suffix rule or rank order is a row diff.
+    QDef(
+      "p27_url_curation",
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.' || source ||
+        |      CASE WHEN doc_id % 7 = 0 THEN '.CO.UK:443' ELSE '.COM:443' END ||
+        |      '/Docs/' || CAST(doc_id AS VARCHAR) ||
+        |      CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&id=' || CAST(doc_id AS VARCHAR)
+        |           WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id AS VARCHAR)
+        |           ELSE '' END ||
+        |      CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS u
+        |  FROM documents),
+        |n0 AS (SELECT doc_id, u,
+        |    regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0) AS pfx
+        |  FROM raw),
+        |n1 AS (SELECT doc_id, lower(pfx) || substr(u, length(pfx) + 1) AS u FROM n0),
+        |n2 AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |    '^(https://[^/:?#]+):443([/?#]|$)', '\1\2'),
+        |    '^(http://[^/:?#]+):80([/?#]|$)', '\1\2') AS u FROM n1),
+        |n3 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM n2),
+        |n4 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(u,
+        |    '&utm_[^&]*', '', 'g'), '\?utm_[^&]*&', '?'), '\?utm_[^&]*$', '') AS u
+        |  FROM n3),
+        |norm AS (SELECT doc_id, regexp_replace(regexp_replace(u,
+        |    '[?&]$', ''), '([^/])/$', '\1') AS url FROM n4),
+        |hosts AS (SELECT doc_id, url,
+        |    string_split(lower(regexp_extract(url,
+        |      '^[a-z][a-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1)), '.') AS p
+        |  FROM norm),
+        |doms AS (SELECT doc_id, url,
+        |    CASE WHEN len(p) >= 3 AND p[-2] IN ('co','com','org','net','ac','gov','edu')
+        |              AND length(p[-1]) = 2
+        |         THEN array_to_string(p[-3:], '.')
+        |         ELSE array_to_string(p[-2:], '.') END AS domain
+        |  FROM hosts),
+        |ranked AS (SELECT doc_id, url, domain,
+        |    row_number() OVER (PARTITION BY domain ORDER BY
+        |      ((doc_id * 48271) % 2147483647 * 48271) % 2147483647, doc_id) AS rn
+        |  FROM doms)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, url, domain
+        |FROM ranked WHERE rn <= 10""".stripMargin) { (s, dir) =>
+      import graft.operators.UrlCuration
+      val id = col("doc_id").cast("string")
+      val raw = tbl(s, dir, "documents").select(col("doc_id"), concat(
+        lit("HTTPS://WWW."), col("source"),
+        when(col("doc_id") % 7 === 0, lit(".CO.UK:443"))
+          .otherwise(lit(".COM:443")),
+        lit("/Docs/"), id,
+        when(col("doc_id") % 3 === 0, concat(lit("?utm_source=x&id="), id))
+          .when(col("doc_id") % 3 === 1, concat(lit("?id="), id))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+        .as("u"))
+      UrlCuration.capPerDomain(raw, "u", "doc_id", cap = 10L)
+        .select(col("doc_id"),
+          UrlCuration.normalizeUrl(col("u")).as("url"), col("domain"))
     })
 
   /** embeddings ∪ deterministic perturbed copies (id + 100000, same

@@ -708,6 +708,66 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(aBySrc("src1") - 200L) <= 10, aBySrc.toString)
   }
 
+  test("UrlCuration: normalization, registered domain, per-domain cap") {
+    import spark.implicits._
+    val U = graft.operators.UrlCuration
+    def norm(s: String): String =
+      Seq(s).toDF("u").select(U.normalizeUrl(col("u"))).head.getString(0)
+    // scheme/host lowercase, path case preserved
+    assert(norm("HTTPS://Example.COM/Path/X") == "https://example.com/Path/X")
+    // default ports strip; non-default ports stay
+    assert(norm("https://a.com:443/x") == "https://a.com/x")
+    assert(norm("http://a.com:80") == "http://a.com")
+    assert(norm("https://a.com:8443/x") == "https://a.com:8443/x")
+    assert(norm("http://a.com:443/x") == "http://a.com:443/x")
+    // fragments drop
+    assert(norm("https://a.com/x#frag") == "https://a.com/x")
+    // utm params: leading, trailing, multiple, only
+    assert(norm("https://a.com/x?utm_source=t&id=3") == "https://a.com/x?id=3")
+    assert(norm("https://a.com/x?id=3&utm_source=t") == "https://a.com/x?id=3")
+    assert(norm("https://a.com/x?utm_a=1&utm_b=2&id=3") == "https://a.com/x?id=3")
+    assert(norm("https://a.com/x?utm_a=1") == "https://a.com/x")
+    // trailing slash / separators
+    assert(norm("https://a.com/x/") == "https://a.com/x")
+    assert(norm("https://a.com/x?id=3&") == "https://a.com/x?id=3")
+    // garbage passes through non-null
+    assert(norm("not a url") == "not a url")
+
+    def dom(h: String): String = Seq(h).toDF("h")
+      .select(U.registeredDomain(col("h"))).head.getString(0)
+    assert(dom("www.example.com") == "example.com")
+    assert(dom("a.b.example.co.uk") == "example.co.uk")
+    assert(dom("example.com") == "example.com")
+    assert(dom("localhost") == "localhost")
+    assert(dom("deep.sub.gov.uk") == "sub.gov.uk")
+    def host(u: String): String = Seq(u).toDF("u")
+      .select(U.hostOf(col("u"))).head.getString(0)
+    assert(host("https://User:p@Www.EX.com:8080/a?b#c") == "www.ex.com")
+
+    // per-domain cap: deterministic top-N by sample key, exact counts
+    val rows = (0L until 300L).map(i =>
+      (i, s"https://host${i % 3}.example.com/p/$i")) ++
+      (300L until 310L).map(i => (i, s"https://tiny.other.org/p/$i"))
+    val df = rows.toDF("id", "url")
+    val capped = U.capPerDomain(df, "url", "id", cap = 20L)
+    val byDom = capped.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // all three hostN hosts share the registered domain example.com
+    assert(byDom == Map("example.com" -> 20L, "other.org" -> 10L), byDom)
+    // selection matches the brute-force sample-key order
+    def key(id: Long) = ((id * 48271L) % 2147483647L) * 48271L % 2147483647L
+    val expect = (0L until 300L).sortBy(i => (key(i), i)).take(20).toSet ++
+      (300L until 310L)
+    assert(capped.select("id").collect().map(_.getLong(0)).toSet == expect)
+    // exact URL dedup after normalization
+    val dups = Seq(
+      (1L, "https://A.com/x?utm_s=1"), (2L, "https://a.com/x"),
+      (3L, "https://a.com/y")).toDF("id", "url")
+    val dd = U.dedupByUrl(dups, "url", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dd == Set(("https://a.com/x", 1L, 2L), ("https://a.com/y", 3L, 1L)))
+  }
+
   test("packSequences: spans match a serial cum-sum, even under coalesce(1)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
