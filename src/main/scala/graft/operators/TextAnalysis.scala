@@ -272,6 +272,42 @@ object TextAnalysis {
       (n - size(array_distinct(lines))).cast("double") / n.cast("double"))
   }
 
+  /** CROSS-document boilerplate removal (CCNet / RefinedWeb line-level
+    * dedup): drop every line that occurs in MORE than `maxDocFreq`
+    * distinct documents (navigation, cookie banners, footers), then
+    * reassemble each document from its surviving lines in original
+    * order. Documents whose every line was boilerplate are dropped.
+    *
+    * Scale shape: explode → per-line distinct-doc count (two-phase
+    * hash agg) → shuffle join on the line value → per-doc reassembly
+    * via `array_sort(collect_list(struct(pos, line)))`. No windows, no
+    * driver-side state; the join key is the line itself so the result
+    * is EXACT (a production 100 TB run can pre-bucket on xxhash64(line)
+    * — same result, the hash only co-locates). Line order inside a
+    * document is restored by position, never by arrival. */
+  def removeFrequentLines(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      maxDocFreq: Long, sep: String = "\n")
+      : org.apache.spark.sql.DataFrame = {
+    require(maxDocFreq >= 1, s"bad maxDocFreq $maxDocFreq")
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__line")))
+    val freq = lines.groupBy("__line")
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+    // anti join: only boilerplate lines are materialized on the build
+    // side — usually a tiny fraction of the corpus
+    lines.join(freq, Seq("__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__line"))))
+        .as("__parts"))
+      .select(col(idCol),
+        concat_ws(sep, transform(col("__parts"), p => p("__line")))
+          .as(textCol))
+  }
+
   /** Fraction of duplicate word w-grams (captures within-line loops
     * that line-level dedup misses). */
   def dupNgramRatio(text: Column, w: Int = 3): Column = {

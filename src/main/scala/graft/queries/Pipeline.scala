@@ -926,6 +926,43 @@ object Pipeline {
       UrlCuration.capPerDomain(raw, "u", "doc_id", cap = 10L)
         .select(col("doc_id"),
           UrlCuration.normalizeUrl(col("u")).as("url"), col("domain"))
+    },
+
+    // ---- cross-document boilerplate removal (CCNet / RefinedWeb
+    // line-level dedup): synthetic 4-line docs where one line is
+    // universal (cookie banner), one is per-source (footer, df=docs/
+    // source), one is the head slice and one unique; lines in more
+    // than 10 docs drop, docs reassemble in original line order. The
+    // oracle recomputes the split/count/anti-join/ordered-reassembly
+    // relationally — a wrong doc-frequency, a lost line, or
+    // arrival-order reassembly is a row diff.
+    QDef(
+      "p28_line_dedup",
+      """WITH docs AS (SELECT doc_id,
+        |    'HEAD ' || substr(text, 1, 40) || chr(10) ||
+        |    'COOKIE BANNER ACCEPT ALL' || chr(10) ||
+        |    'FOOTER ' || source || chr(10) ||
+        |    'ID LINE ' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents),
+        |split AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM docs),
+        |lines AS (SELECT doc_id, ls[i] AS line, i AS pos
+        |  FROM (SELECT doc_id, ls,
+        |          unnest(generate_series(1, len(ls))) AS i FROM split)),
+        |freq AS (SELECT line FROM lines
+        |  GROUP BY line HAVING COUNT(DISTINCT doc_id) > 10)
+        |SELECT CAST(k.doc_id AS BIGINT) AS doc_id,
+        |  string_agg(k.line, chr(10) ORDER BY k.pos) AS text
+        |FROM (SELECT l.* FROM lines l ANTI JOIN freq f USING (line)) k
+        |GROUP BY k.doc_id""".stripMargin) { (s, dir) =>
+      import graft.operators.{TextAnalysis => TAo}
+      val docs = tbl(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat(lit("HEAD "), substring(col("text"), 1, 40)),
+          lit("COOKIE BANNER ACCEPT ALL"),
+          concat(lit("FOOTER "), col("source")),
+          concat(lit("ID LINE "), col("doc_id").cast("string"))).as("text"))
+      TAo.removeFrequentLines(docs, "doc_id", "text", maxDocFreq = 10L)
+        .select(col("doc_id"), col("text"))
     })
 
   /** embeddings ∪ deterministic perturbed copies (id + 100000, same

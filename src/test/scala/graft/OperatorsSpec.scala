@@ -708,6 +708,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(aBySrc("src1") - 200L) <= 10, aBySrc.toString)
   }
 
+  test("removeFrequentLines: boilerplate drops, order restores, empty docs drop") {
+    import spark.implicits._
+    val boiler = "ACCEPT COOKIES"
+    val docs = Seq(
+      (1L, s"alpha\n$boiler\nbeta"),
+      (2L, s"$boiler\ngamma"),
+      (3L, s"delta\n$boiler"),
+      (4L, boiler), // entirely boilerplate → dropped
+      (5L, s"z last\n$boiler\na first") // order is positional, not sorted
+    ).toDF("id", "text")
+    val out = TA.removeFrequentLines(docs, "id", "text", maxDocFreq = 3L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "alpha\nbeta", 2L -> "gamma", 3L -> "delta",
+      5L -> "z last\na first"), out)
+    // threshold is inclusive: df == maxDocFreq keeps the line
+    val keep = TA.removeFrequentLines(docs, "id", "text", maxDocFreq = 5L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keep(4L) == boiler, keep)
+    // custom separator with regex metacharacters
+    val dot = Seq((1L, "a|x|b"), (2L, "x|c"), (3L, "x")).toDF("id", "text")
+    val outDot = TA.removeFrequentLines(dot, "id", "text", 2L, sep = "|")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(outDot == Map(1L -> "a|b", 2L -> "c"), outDot)
+  }
+
   test("UrlCuration: normalization, registered domain, per-domain cap") {
     import spark.implicits._
     val U = graft.operators.UrlCuration
