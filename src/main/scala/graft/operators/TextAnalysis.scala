@@ -100,6 +100,21 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** GPT-2-style pre-tokenizer pattern, restricted to RE2-safe syntax
+    * (no lookahead — the trailing-space special case degrades to plain
+    * `\s+` runs) so an independent engine can mirror the count
+    * exactly. Groups: contractions, space-glued letter runs, digit
+    * runs, punctuation runs, whitespace runs. */
+  val BpeTokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Pre-tokenizer token count — the usual proxy for BPE token counts
+    * in corpus budgeting (true BPE merges only ever SPLIT these
+    * pieces further per vocab; the pre-token count is the stable,
+    * vocab-independent lower bound). Codegen'd regexp, zero shuffles. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0))).cast("long")
+
   def charCount(text: Column): Column = length(text).cast("long")
 
   /** Ratio of alphabetic chars to total chars. */

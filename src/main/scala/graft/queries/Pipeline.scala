@@ -963,6 +963,30 @@ object Pipeline {
           concat(lit("ID LINE "), col("doc_id").cast("string"))).as("text"))
       TAo.removeFrequentLines(docs, "doc_id", "text", maxDocFreq = 10L)
         .select(col("doc_id"), col("text"))
+    },
+
+    // ---- BPE-style pre-tokenizer counts (corpus token budgeting):
+    // the GPT-2 pre-tokenizer pattern in RE2-safe form, counted per
+    // document over a text enriched with digits/punct/contractions so
+    // every alternation branch fires. The oracle runs the IDENTICAL
+    // pattern in DuckDB's RE2 — any Java-vs-RE2 semantic drift or a
+    // wrong branch order shows as a count diff.
+    QDef(
+      "p29_bpe_token_count",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(
+        |    text || ' it''s v2.0, #' || CAST(doc_id AS VARCHAR) || '!',
+        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+        |    AS BIGINT) AS n_bpe,
+        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+        |    AS n_ws
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import graft.operators.{TextAnalysis => TAo}
+      val enriched = concat(col("text"), lit(" it's v2.0, #"),
+        col("doc_id").cast("string"), lit("!"))
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TAo.bpeTokenCount(enriched).as("n_bpe"),
+        TAo.tokenCount(col("text")).as("n_ws"))
     })
 
   /** embeddings ∪ deterministic perturbed copies (id + 100000, same
