@@ -268,7 +268,6 @@ class ScanOptionsSpec extends AnyFunSuite {
     assert(delta.columns.contains("_row_kind"))
     assert(delta.collect().map(_.getString(2)).toSet == Set("+U", "+I"))
 
-    // auto-tag spelling routes through the same path
     val e = intercept[Exception](
       spark.read.option("incremental-between", "0,1")
         .option("incremental-between-scan-mode", "diff")
@@ -276,6 +275,25 @@ class ScanOptionsSpec extends AnyFunSuite {
     assert(e.toString.contains("diff"), e.toString)
     // without incremental options the relation still serves the full log
     assert(spark.read.table("graftso.dbso.`alc$audit_log`").count() >= 3)
+  }
+
+  test("incremental-to-auto-tag changelog rows via $audit_log") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftso.dbso")
+    spark.sql("CREATE TABLE graftso.dbso.iatcl (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primary-key'='k', 'bucket'='1', " +
+      "'changelog-producer'='lookup', 'tag.automatic-creation'='watermark')")
+    val gt = GraftTable.load(spark, s"$warehouse/dbso/iatcl")
+    val day = 86400000L
+    gt.writeWatermarked(kv(1L -> "a"), -1L, Some(day * 5 + 1))
+    gt.writeWatermarked(kv(1L -> "a2", 2L -> "b"), -1L, Some(day * 6 + 1))
+    gt.writeWatermarked(kv(3L -> "c"), -1L, Some(day * 7 + 1))
+    assert(gt.sm.tags.keySet.contains("1970-01-07"), gt.sm.tags.keySet)
+    // the changelog between the two auto tags, with exact kinds
+    val rows = spark.read.option("incremental-to-auto-tag", "1970-01-07")
+      .option("incremental-between-scan-mode", "changelog")
+      .table("graftso.dbso.`iatcl$audit_log`").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows == Set((3L, "c", "+I")), rows)
   }
 
   test("changelog-file.compression/prefix/stats-mode shape persisted changelogs") {
