@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized invariants for URL normalization and line dedup. Seeded:
+  * failures reproduce.
+  *
+  * normalizeUrl must be IDEMPOTENT — curation pipelines re-run over
+  * already-normalized corpora (incremental top-ups, retries), and a
+  * second pass that changes anything silently splits dedup groups.
+  * It must also never produce null, and its output must keep the same
+  * host grouping as the input (a normalization that moves a URL to a
+  * different registered domain would corrupt domain caps).
+  */
+class UrlCurationPropSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val U = graft.operators.UrlCuration
+
+  private def randomUrl(rnd: scala.util.Random): String = {
+    def pick[A](xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+    val scheme = pick(Seq("http", "HTTP", "https", "HTTPS", "ftp"))
+    val host = Seq.fill(1 + rnd.nextInt(3))(
+      pick(Seq("Www", "EX", "site", "A1", "blog"))).mkString(".") +
+      pick(Seq(".com", ".CO.UK", ".org", ".Net", ""))
+    val port = pick(Seq("", ":80", ":443", ":8080"))
+    val path = pick(Seq("", "/", "/A/b", "/x/Y/", "/p"))
+    val utm = pick(Seq("utm_source=G", "utm_b=2", ""))
+    val real = pick(Seq("id=3", "Q=x", ""))
+    val qparts = rnd.shuffle(Seq(utm, real).filter(_.nonEmpty))
+    val query = if (qparts.isEmpty) "" else "?" + qparts.mkString("&")
+    val frag = pick(Seq("", "#F", "#a/b?c"))
+    s"$scheme://$host$port$path$query$frag"
+  }
+
+  test("normalizeUrl is idempotent, null-free and host-stable over 2000 random URLs") {
+    val rnd = new scala.util.Random(1715)
+    val urls = Seq.fill(2000)(randomUrl(rnd)) ++ Seq(
+      "", "nonsense", "http://", "https://h", "https://h:443",
+      "http://h:80?utm_a=1", "https://h/?utm_a=1&utm_b=2",
+      "HTTPS://U:p@H.COM:443/x#f")
+    import spark.implicits._
+    val df = urls.toDF("u")
+    val once = U.normalizeUrl(col("u"))
+    val out = df.select(
+        col("u"), once.as("n1"), U.normalizeUrl(once).as("n2"),
+        U.registeredDomain(U.hostOf(col("u"))).as("d0"),
+        U.registeredDomain(U.hostOf(once)).as("d1"))
+      .collect()
+    out.foreach { r =>
+      val (u, n1, n2) = (r.getString(0), r.getString(1), r.getString(2))
+      assert(n1 != null, s"null normalization for '$u'")
+      assert(n1 == n2, s"not idempotent: '$u' -> '$n1' -> '$n2'")
+      assert(r.getString(3) == r.getString(4),
+        s"normalization moved '$u' across domains: ${r.getString(3)} vs ${r.getString(4)}")
+      assert(!n1.contains("#"), s"fragment survived: '$u' -> '$n1'")
+      assert(!n1.matches(".*[?&]utm_.*"), s"utm survived: '$u' -> '$n1'")
+    }
+  }
+
+  test("removeFrequentLines conserves non-boilerplate lines over random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2024)
+    val vocab = (0 until 30).map(i => s"line$i")
+    val docs = (0L until 200L).map { id =>
+      val n = 1 + rnd.nextInt(6)
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString("\n")
+    }
+    val df = docs.toDF("id", "text")
+    val maxDf = 20L
+    val out = graft.operators.TextAnalysis
+      .removeFrequentLines(df, "id", "text", maxDf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // ground truth: per-line distinct-doc counts
+    val docFreq = docs.flatMap { case (id, t) => t.split("\n").distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+    docs.foreach { case (id, t) =>
+      val kept = t.split("\n").filter(l => docFreq(l) <= maxDf)
+      if (kept.isEmpty)
+        assert(!out.contains(id), s"all-boilerplate doc $id must drop")
+      else
+        assert(out(id) == kept.mkString("\n"),
+          s"doc $id: ${out.get(id)} vs ${kept.toSeq}")
+    }
+  }
+}
