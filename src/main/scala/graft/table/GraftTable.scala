@@ -114,13 +114,9 @@ final class GraftTable private (
     // commit rates a deep retention walk otherwise taxes every commit.
     // One pending run per table: commits landing while a run is queued
     // coalesce into it (expiry is idempotent over the latest state).
-    if (schema.options.get("snapshot.expire.execution-mode").contains("async")) {
-      if (GraftTable.asyncExpirePending.add(path))
-        GraftTable.asyncExpireExecutor.execute(() =>
-          try autoExpireSnapshots()
-          catch { case _: Exception => () } // next commit re-queues
-          finally { GraftTable.asyncExpirePending.remove(path); () })
-    } else autoExpireSnapshots()
+    if (schema.options.get("snapshot.expire.execution-mode").contains("async"))
+      GraftTable.queueAsyncExpire(path, () => { autoExpireSnapshots(); () })
+    else autoExpireSnapshots()
     // automatic partition expiry rides the commit hook when
     // partition.expiration-time is set (the interval throttle inside
     // also stops the expiry's own DELETE commits from recursing)
@@ -6343,8 +6339,42 @@ object GraftTable {
       t.setDaemon(true)
       t
     })
-  private[table] val asyncExpirePending =
+  private val asyncExpirePending =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val asyncExpireTickets =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, java.util.concurrent.atomic.AtomicLong]()
+
+  /** Queue one async expiry walk for `path`, coalescing with any walk
+    * already queued — but never LOSING a commit's expiry: each request
+    * takes a ticket, the walk loops until the ticket counter is
+    * drained, and a ticket that slips in exactly as the walk exits
+    * re-queues a fresh walk (the check-then-act gap between the drain
+    * test and the pending-set removal). */
+  private[table] def queueAsyncExpire(path: String, walk: () => Unit): Unit = {
+    val tickets = asyncExpireTickets.computeIfAbsent(path,
+      _ => new java.util.concurrent.atomic.AtomicLong())
+    tickets.incrementAndGet()
+    def run(): Unit = {
+      var served = -1L
+      try {
+        var cur = tickets.get()
+        while (cur != served) {
+          served = cur
+          try walk() catch { case _: Exception => () } // next pass retries
+          cur = tickets.get()
+        }
+      } finally {
+        asyncExpirePending.remove(path)
+        // a ticket may have landed between the drain test and the
+        // removal above — it would be silently dropped otherwise
+        if (tickets.get() != served && asyncExpirePending.add(path))
+          asyncExpireExecutor.execute(() => run())
+      }
+    }
+    if (asyncExpirePending.add(path))
+      asyncExpireExecutor.execute(() => run())
+  }
 
   /** Modulus of the dynamic-bucket index's `__p` partition-hash scope
     * token (the number of partition directory groups sidecars spread

@@ -49,6 +49,36 @@ class RobustnessSpec extends AnyFunSuite {
     assert(t.sm.snapshotIds == (0L until writers.toLong))
   }
 
+  test("async snapshot expiry racing concurrent committers loses nothing") {
+    val t = GraftTable.create(spark, tmp(), sch, options = Map(
+      "snapshot.num-retained.max" -> "3",
+      "snapshot.num-retained.min" -> "1",
+      "snapshot.expire.execution-mode" -> "async"))
+    val writers = 4
+    val rounds = 5
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until writers).map { i =>
+      new Thread(() => {
+        try (0 until rounds).foreach { r =>
+          t.write(df(Seq(((i * rounds + r).toLong, i.toLong, r.toLong))))
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errors.isEmpty, s"writes failed: ${errors.asScala.toList}")
+    // every committed row is readable at the tip even while retention
+    // walks ran concurrently on the daemon thread
+    assert(t.read.count() == (writers * rounds).toLong)
+    // retention eventually bounds the history (poll: the last walk may
+    // still be queued)
+    val deadline = System.currentTimeMillis() + 30000
+    while (t.sm.snapshotIds.size > 3 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(t.sm.snapshotIds.size <= 3, t.sm.snapshotIds.toString)
+    assert(t.read.count() == (writers * rounds).toLong)
+  }
+
   test("interleaved upserts and compactions: linear history, no lost updates") {
     val t = GraftTable.create(spark, tmp(), sch,
       primaryKeys = Seq("k"),
