@@ -182,6 +182,119 @@ object Sampling {
       .drop("__src", "__cut")
   }
 
+  // --- DSIR-style importance weighting --------------------------------
+  //
+  // Data Selection via Importance Resampling (Xie et al., 2023): score
+  // each raw document by how target-like its token distribution is,
+  // then select/resample by score. The weight of a token is the ratio
+  // of its smoothed document frequency in the TARGET corpus to its
+  // smoothed document frequency in the RAW corpus; a document's score
+  // is the sum of its distinct tokens' weights. Weights are quantized
+  // to integer micro-units (floor(1e6 · ratio)) so scores are exact
+  // 64-bit sums — order-independent, overflow-safe to ~9e12 tokens per
+  // document, and bit-reproducible in any engine (the one double
+  // division is IEEE-exact from two integer counts).
+
+  /** Integer micro-unit importance weight per distinct token:
+    * `floor(1e6 · (df_target + 1) / (df_raw + 1))` over DOCUMENT
+    * frequencies (distinct-per-doc, so a token repeated inside one
+    * document counts once — robust to repetition spam). One shuffle per
+    * corpus (token groupBy); the target side joins by token. Returns
+    * `(tok, weight)` for every raw-corpus token. */
+  def importanceWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String): DataFrame = {
+    val rawToks = distinctTokens(raw, textCol).groupBy("tok")
+      .agg(count(lit(1)).as("__cr"))
+    val tgtToks = distinctTokens(target, textCol).groupBy("tok")
+      .agg(count(lit(1)).as("__ct"))
+    rawToks.join(tgtToks, Seq("tok"), "left")
+      .select(col("tok"),
+        floor(lit(1000000.0) * (coalesce(col("__ct"), lit(0L)) + lit(1.0)) /
+          (col("__cr") + lit(1.0))).as("weight"))
+  }
+
+  /** Per-document importance score: the exact 64-bit sum of the
+    * document's distinct tokens' weights (see [[importanceWeights]]).
+    * The token→weight join shuffles by token hash — no skew pivot, no
+    * windows — and the per-doc sum is a map-side-combinable agg.
+    * Documents with no tokens (empty text) score 0. */
+  def importanceScores(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame): DataFrame = {
+    val toks = distinctTokens(df.select(col(idCol).as("__iid"),
+      col(textCol).as(textCol)), textCol, keep = Seq("__iid"))
+    val summed = toks.join(weights, Seq("tok"))
+      .groupBy(col("__iid"))
+      .agg(sum(col("weight")).as("iw_score"))
+    df.select(col(idCol)).distinct()
+      .join(summed, col(idCol) === col("__iid"), "left")
+      .select(col(idCol), coalesce(col("iw_score"), lit(0L)).as("iw_score"))
+  }
+
+  /** Hashed-feature DSIR — the 100 TB path. Tokens hash into
+    * `numBuckets` buckets (xxhash64), so the weight table is a FIXED
+    * small broadcast (default 2^16 rows) instead of a vocabulary-sized
+    * shuffle join: the per-doc scoring pass touches the corpus exactly
+    * once with zero shuffles on the wide side. Same integer micro-unit
+    * quantization as the exact form; hash collisions blur weights the
+    * way the DSIR paper's hashed n-grams do (variance bounded by
+    * bucket count), so rankings agree with the exact form within
+    * collision noise — spec-asserted, not oracle-gated. */
+  def importanceScoresHashed(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBuckets: Int = 1 << 16): DataFrame = {
+    require(numBuckets > 0, s"bad numBuckets $numBuckets")
+    def bucketed(df: DataFrame, keep: Seq[String]) =
+      distinctTokens(df, textCol, keep)
+        .select(col("*"), pmod(xxhash64(col("tok")), lit(numBuckets.toLong)).as("__b"))
+    val rawB = bucketed(raw.select(col(idCol).as("__iid"), col(textCol)), Seq("__iid"))
+    val cr = rawB.groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val ct = bucketed(target.select(col(textCol)), Nil)
+      .groupBy("__b").agg(count(lit(1)).as("__ct"))
+    val w = broadcast(cr.join(ct, Seq("__b"), "left")
+      .select(col("__b"),
+        floor(lit(1000000.0) * (coalesce(col("__ct"), lit(0L)) + lit(1.0)) /
+          (col("__cr") + lit(1.0))).as("weight")))
+    val summed = rawB.join(w, Seq("__b"))
+      .groupBy(col("__iid")).agg(sum(col("weight")).as("iw_score"))
+    raw.select(col(idCol)).distinct()
+      .join(summed, col(idCol) === col("__iid"), "left")
+      .select(col(idCol), coalesce(col("iw_score"), lit(0L)).as("iw_score"))
+  }
+
+  /** Deterministic importance RESAMPLING: keep ~`fraction` of rows with
+    * per-row acceptance probability proportional to `min(1, score/cap)`
+    * where `cap` is the score at which acceptance saturates. The accept
+    * decision compares the row's [[sampleKey]] (id-pure, engine-
+    * reproducible) against `score/cap · Mod` — a pure per-row filter,
+    * zero shuffles, stable under re-runs and corpus growth exactly like
+    * [[sampleByFraction]]. */
+  def importanceResample(
+      scored: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      cap: Long): DataFrame = {
+    require(cap > 0, s"bad cap $cap")
+    val p = least(lit(1.0), col(scoreCol).cast("double") / cap.toDouble)
+    scored.filter(sampleKey(col(idCol)) < (p * Mod).cast("long"))
+  }
+
+  /** Distinct lowercase whitespace tokens per row, exploded to one row
+    * per (keep-cols, tok). Empty texts contribute no rows. */
+  private def distinctTokens(
+      df: DataFrame, textCol: String, keep: Seq[String] = Nil): DataFrame = {
+    val toks = array_distinct(filter(
+      split(trim(lower(col(textCol))), "\\s+"), t => t =!= ""))
+    df.select(keep.map(col) :+ explode(toks).as("tok"): _*)
+  }
+
   private def mixExact(
       df: DataFrame, sourceCol: String, idCol: String,
       quotaCol: org.apache.spark.sql.Column): DataFrame = {

@@ -987,6 +987,80 @@ object Pipeline {
       tbl(s, dir, "documents").select(col("doc_id"),
         TAo.bpeTokenCount(enriched).as("n_bpe"),
         TAo.tokenCount(col("text")).as("n_ws"))
+    },
+
+    // ---- DSIR-style importance weighting (Xie et al. 2023): score
+    // every raw document by target-likeness (target = the English
+    // slice), integer micro-unit weights so scores are EXACT 64-bit
+    // sums, top-50 by (score, doc_id). The oracle recomputes document
+    // frequencies, the quantized ratio and the per-doc sum relationally
+    // — a drifted count, a float-order difference or a wrong smoothing
+    // constant is a row diff. (The hashed-feature scale path is
+    // spec-gated against this exact form.)
+    QDef(
+      "p30_dsir_weights",
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_distinct(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> ''))) AS tok
+        |  FROM documents),
+        |raw AS (SELECT tok, count(*) AS cr FROM toks GROUP BY tok),
+        |tgt AS (SELECT tok, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY tok),
+        |w AS (SELECT raw.tok,
+        |    CAST(floor(1000000.0 * (COALESCE(tgt.ct, 0) + 1.0) / (raw.cr + 1.0)) AS BIGINT) AS w
+        |  FROM raw LEFT JOIN tgt ON raw.tok = tgt.tok),
+        |s AS (SELECT t.doc_id, sum(w.w) AS iw_score
+        |  FROM toks t JOIN w ON t.tok = w.tok GROUP BY t.doc_id)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(iw_score AS BIGINT) AS iw_score
+        |FROM s ORDER BY iw_score DESC, doc_id LIMIT 50""".stripMargin) { (s, dir) =>
+      import graft.operators.Sampling
+      val docs = tbl(s, dir, "documents")
+      val weights = Sampling.importanceWeights(
+        docs, docs.filter(col("lang") === "en"), "text")
+      Sampling.importanceScores(docs, "doc_id", "text", weights)
+        .orderBy(desc("iw_score"), col("doc_id")).limit(50)
+    },
+
+    // ---- distributed BPE vocabulary learning: 3 merge rounds over the
+    // corpus word-frequency table. The oracle unrolls the SAME rounds
+    // relationally (pair counts from the symbol sequences, argmax with
+    // the (count, left, right) tie-break, greedy left-to-right merge
+    // application via delimiter-exact string replace) — a wrong count,
+    // tie-break or a non-greedy application shows as a row diff.
+    QDef(
+      "p31_bpe_learn",
+      """WITH wf AS (
+        |  SELECT w AS word, count(*) AS freq FROM (
+        |    SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '')) AS w
+        |    FROM documents) GROUP BY w),
+        |s0 AS (SELECT '  ' || array_to_string(
+        |    list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)), '  ')
+        |    || '  ' AS seq, freq FROM wf),
+        |c1 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS cnt FROM (
+        |    SELECT string_split(trim(seq), '  ') AS syms, freq,
+        |      unnest(generate_series(1, len(string_split(trim(seq), '  ')) - 1)) AS i
+        |    FROM s0 WHERE len(string_split(trim(seq), '  ')) > 1)
+        |  GROUP BY 1, 2),
+        |b1 AS (SELECT l, r, cnt FROM c1 ORDER BY cnt DESC, l, r LIMIT 1),
+        |s1 AS (SELECT replace(seq, ' ' || b1.l || '  ' || b1.r || ' ',
+        |    ' ' || b1.l || b1.r || ' ') AS seq, freq FROM s0, b1),
+        |c2 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS cnt FROM (
+        |    SELECT string_split(trim(seq), '  ') AS syms, freq,
+        |      unnest(generate_series(1, len(string_split(trim(seq), '  ')) - 1)) AS i
+        |    FROM s1 WHERE len(string_split(trim(seq), '  ')) > 1)
+        |  GROUP BY 1, 2),
+        |b2 AS (SELECT l, r, cnt FROM c2 ORDER BY cnt DESC, l, r LIMIT 1),
+        |s2 AS (SELECT replace(seq, ' ' || b2.l || '  ' || b2.r || ' ',
+        |    ' ' || b2.l || b2.r || ' ') AS seq, freq FROM s1, b2),
+        |c3 AS (SELECT syms[i] AS l, syms[i+1] AS r, sum(freq) AS cnt FROM (
+        |    SELECT string_split(trim(seq), '  ') AS syms, freq,
+        |      unnest(generate_series(1, len(string_split(trim(seq), '  ')) - 1)) AS i
+        |    FROM s2 WHERE len(string_split(trim(seq), '  ')) > 1)
+        |  GROUP BY 1, 2),
+        |b3 AS (SELECT l, r, cnt FROM c3 ORDER BY cnt DESC, l, r LIMIT 1)
+        |SELECT CAST(1 AS INTEGER) AS rank, l AS left, r AS right, CAST(cnt AS BIGINT) AS pair_count FROM b1
+        |UNION ALL SELECT CAST(2 AS INTEGER), l, r, CAST(cnt AS BIGINT) FROM b2
+        |UNION ALL SELECT CAST(3 AS INTEGER), l, r, CAST(cnt AS BIGINT) FROM b3""".stripMargin) { (s, dir) =>
+      graft.operators.Bpe.learnMerges(tbl(s, dir, "documents"), "text", numMerges = 3)
     })
 
   /** embeddings ∪ deterministic perturbed copies (id + 100000, same

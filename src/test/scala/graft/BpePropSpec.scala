@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators.{Bpe, Sampling}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized invariants for the tokenizer-training and DSIR
+  * operators, checked against an INDEPENDENT single-threaded reference
+  * trainer (not the operator's own code path). Seeded: failures
+  * reproduce. Alphabet {a,b,c} with short words maximizes merge/tie/
+  * overlap collisions — the regimes where greedy/argmax definitions
+  * actually bite. */
+class BpePropSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def corpus(rnd: scala.util.Random): List[String] =
+    List.fill(1 + rnd.nextInt(8)) {
+      List.fill(1 + rnd.nextInt(10)) {
+        List.fill(1 + rnd.nextInt(6))(('a' + rnd.nextInt(3)).toChar).mkString
+      }.mkString(" ")
+    }
+
+  /** Reference single-threaded BPE trainer: overlap pair counts over
+    * the word-frequency table, (count desc, left, right) argmax, greedy
+    * left-to-right application. */
+  private def refBpe(docs: Seq[String], rounds: Int): Seq[(Int, String, String, Long)] = {
+    var words: Map[Vector[String], Long] = docs
+      .flatMap(_.trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, g) => w.map(_.toString).toVector -> g.size.toLong }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var stop = false
+    while (r <= rounds && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        syms.indices.dropRight(1).foreach { i =>
+          counts((syms(i), syms(i + 1))) = counts.getOrElse((syms(i), syms(i + 1)), 0L) + f
+        }
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, rr), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((r, l, rr, c))
+        words = words.groupBy { case (syms, _) => greedy(syms, l, rr) }
+          .map { case (k, g) => k -> g.values.sum }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  private def greedy(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { b += (l + r); i += 2 }
+      else { b += syms(i); i += 1 }
+    }
+    b.result()
+  }
+
+  test("learnMerges matches the reference trainer on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    (0 until 15).foreach { _ =>
+      val docs = corpus(rnd)
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val got = Bpe.learnMerges(df, "text", numMerges = 4)
+        .as[(Int, String, String, Long)].collect().toSeq
+      assert(got == refBpe(docs, 4), s"corpus=$docs")
+    }
+  }
+
+  test("encode conserves content and respects word boundaries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    (0 until 10).foreach { _ =>
+      val docs = corpus(rnd)
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val merges = refBpe(docs, 3).map(m => (m._2, m._3))
+      val enc = Bpe.encode(df, "text", merges)
+        .select(col("text"), col("bpe_tokens"))
+        .as[(String, Seq[String])].collect()
+      enc.foreach { case (text, toks) =>
+        val words = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        assert(toks.mkString == words.mkString, s"content lost: $text -> $toks")
+        // tokens never span a word boundary: re-segmenting the token
+        // stream by word lengths is exact
+        var rest = toks.toList
+        words.foreach { w =>
+          var acc = ""
+          while (acc.length < w.length) { acc += rest.head; rest = rest.tail }
+          assert(acc == w, s"token spans boundary: $w vs $acc")
+        }
+        assert(rest.isEmpty)
+      }
+    }
+  }
+
+  test("DSIR score additivity over disjoint token sets and empty-text zero") {
+    import spark.implicits._
+    // The probe docs' token sets are disjoint by construction:
+    // score(doc AB) = score(doc A) + score(doc B) because weights are
+    // per-token and scores are exact integer sums over distinct tokens.
+    val raw = Seq(
+      (0L, "alpha beta"), (1L, "gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, ""), (4L, "alpha gamma"), (5L, "beta delta epsilon")
+    ).toDF("id", "text")
+    val target = raw.filter(col("id") < 2)
+    val w = Sampling.importanceWeights(raw, target, "text")
+    val scores = Sampling.importanceScores(raw, "id", "text", w)
+      .as[(Long, Long)].collect().toMap
+    assert(scores(2L) == scores(0L) + scores(1L),
+      s"additivity: ${scores(2L)} != ${scores(0L)} + ${scores(1L)}")
+    assert(scores(3L) == 0L, s"empty text must score 0, got ${scores(3L)}")
+  }
+}

@@ -987,4 +987,70 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.collapseStats.values.exists(_._1 > 0L))
     assert(Dedup.skewDrops.values.forall(_._1 == 0L), Dedup.skewDrops.toString)
   }
+
+  test("DSIR importance weights: target-only tokens outrank raw-only, " +
+    "hashed path agrees with exact on a collision-free vocabulary") {
+    import graft.operators.Sampling
+    import spark.implicits._
+    // 40 docs: ids 0-19 speak the TARGET dialect, 20-39 a disjoint one.
+    // Target corpus = the first dialect, so its tokens carry weight
+    // ~1e6·(ct+1)/(cr+1) ≈ 1e6 while the other dialect's sit at
+    // ~1e6/(cr+1).
+    val docs = (0L until 40L).map { i =>
+      val dialect = if (i < 20) "alpha beta gamma" else "delta epsilon zeta"
+      (i, s"$dialect tok$i")
+    }.toDF("id", "text")
+    val target = docs.filter($"id" < 20)
+    val w = Sampling.importanceWeights(docs, target, "text")
+    val exact = Sampling.importanceScores(docs, "id", "text", w)
+      .as[(Long, Long)].collect().toMap
+    // every target-dialect doc outscores every other-dialect doc
+    val loTarget = (0L until 20L).map(exact).min
+    val hiOther = (20L until 40L).map(exact).max
+    assert(loTarget > hiOther, s"$loTarget vs $hiOther")
+    // hashed path: 2^16 buckets over a ~46-token vocabulary — collision
+    // probability per pair ~46²/2/65536 ≈ 1.6%; the planted seedless
+    // vocabulary here happens collision-free, so scores match exactly
+    val hashed = Sampling.importanceScoresHashed(docs, target, "id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(hashed == exact, "hashed scores diverged from exact")
+    // resampling: saturated scores always keep; zero scores keep ~never
+    val kept = Sampling.importanceResample(
+        docs.join(exact.toSeq.toDF("id", "iw_score"), "id"),
+        "id", "iw_score", cap = loTarget)
+      .select("id").as[Long].collect().toSet
+    assert((0L until 20L).forall(kept.contains), s"saturated doc dropped: $kept")
+    // determinism: second run selects the identical set
+    val kept2 = Sampling.importanceResample(
+        docs.join(exact.toSeq.toDF("id", "iw_score"), "id"),
+        "id", "iw_score", cap = loTarget)
+      .select("id").as[Long].collect().toSet
+    assert(kept2 == kept)
+  }
+
+  test("BPE learning: greedy overlap semantics, tie-break, early stop, " +
+    "encode round-trip") {
+    import graft.operators.Bpe
+    import spark.implicits._
+    // 'aaaa' ×2: round 1 counts OVERLAPPING (a,a) pairs — 3 per word,
+    // 6 total; greedy application yields [aa,aa]; round 2 merges
+    // (aa,aa) with count 2; round 3 finds a single symbol — early stop.
+    val runs = Seq((1L, "aaaa aaaa")).toDF("id", "text")
+    val m = Bpe.learnMerges(runs, "text", numMerges = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(m == Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)), m.toString)
+    // tie-break: 'ab' and 'aa' both appear once — (a,a) and (a,b) tie
+    // at 1, (a,a) wins on the (left, right) order
+    val tie = Seq((1L, "ab aa")).toDF("id", "text")
+    val t = Bpe.learnMerges(tie, "text", numMerges = 1)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(t == Seq((1, "a", "a", 1L)), t.toString)
+    // encode applies merges in rank order within word boundaries and
+    // conserves content: concatenating tokens re-yields each word
+    val enc = Bpe.encode(Seq((1L, "aaaa aab ba")).toDF("id", "text"),
+      "text", Seq("a" -> "a", "aa" -> "aa"))
+      .select("bpe_tokens").as[Seq[String]].head()
+    assert(enc == Seq("aaaa", "aa", "b", "b", "a"), enc.toString)
+    assert(enc.mkString == "aaaaaabba")
+  }
 }
