@@ -10,7 +10,8 @@ import scala.jdk.CollectionConverters._
   * atomic create-if-absent of the snapshot file (the CAS that
   * serializes concurrent committers — model:
   * paimon-core .../operation/FileStoreCommitImpl.java tryCommit loop).
-  * The local implementation uses CREATE_NEW; an object-store
+  * The local implementation stages tmp + hard-links onto the target
+  * (atomic no-replace WITH atomic content visibility); an object-store
   * implementation would use conditional PUT, an HDFS one rename().
   */
 /** `Files.list`/`Files.walk` return streams backed by an OPEN
@@ -72,15 +73,33 @@ final class LocalFileIO extends FileIO {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Atomic create-if-absent WITH atomic content visibility: staged as
+    * tmp + hard link onto the target. link(2) is atomic and fails with
+    * EEXIST when the target exists, and the target appears with its
+    * full content or not at all — a CREATE_NEW open would make the
+    * path visible EMPTY before the write lands, so a concurrent
+    * committer's exists()→readString() could parse torn JSON (observed
+    * as a Jackson end-of-input failure under 4-way commit races). */
   override def tryCreateAtomic(path: String, content: String): Boolean = {
     Files.createDirectories(p(path).getParent)
+    val tmp = p(path + ".tmp." + java.util.UUID.randomUUID())
     try {
-      Files.write(p(path), content.getBytes(StandardCharsets.UTF_8),
-        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+      Files.createLink(p(path), tmp)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
-    }
+      case _: UnsupportedOperationException =>
+        // filesystems without hard links: fall back to CREATE_NEW
+        // (CAS still correct; content visibility only best-effort)
+        try {
+          Files.write(p(path), content.getBytes(StandardCharsets.UTF_8),
+            StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+    } finally Files.deleteIfExists(tmp)
   }
 
   override def exists(path: String): Boolean = Files.exists(p(path))

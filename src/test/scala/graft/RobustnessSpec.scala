@@ -30,6 +30,41 @@ class RobustnessSpec extends AnyFunSuite {
   private def df(rows: Seq[(Long, Long, Long)]) =
     spark.createDataFrame(rows.map(r => Row(r._1, r._2, r._3)).asJava, sch)
 
+  test("tryCreateAtomic never exposes a visible-but-torn file to readers") {
+    // Regression for the 4-way commit race: CREATE_NEW + write makes
+    // the path visible EMPTY before content lands, so a concurrent
+    // exists()→readString() parsed torn snapshot JSON. The hard-link
+    // CAS must publish full content or nothing.
+    val dir = Files.createTempDirectory("graft-cas").toString
+    val io = new graft.core.LocalFileIO
+    val payload = "x" * 65536
+    val n = 300
+    @volatile var torn: Option[String] = None
+    @volatile var writing = true
+    val reader = new Thread(() => {
+      var i = 0
+      while (writing && torn.isEmpty) {
+        val path = s"$dir/f-${i % n}.json"
+        if (io.exists(path)) {
+          val got = io.readString(path)
+          if (got.length != payload.length) torn = Some(s"$path: ${got.length}")
+        }
+        i += 1
+      }
+    })
+    reader.start()
+    (0 until n).foreach { i =>
+      assert(io.tryCreateAtomic(s"$dir/f-$i.json", payload))
+      // CAS contract: the second create must lose…
+      assert(!io.tryCreateAtomic(s"$dir/f-$i.json", "loser"))
+    }
+    writing = false
+    reader.join(10000)
+    assert(torn.isEmpty, s"reader saw torn content: $torn")
+    // …and the winner's content survives
+    assert(io.readString(s"$dir/f-0.json") == payload)
+  }
+
   test("concurrent appenders: CAS retries serialize commits, no data lost") {
     val t = GraftTable.create(spark, tmp(), sch)
     val writers = 6
