@@ -150,6 +150,69 @@ object TextAnalysis {
       greatest(tokenCount(text), lit(1L)).cast("double")
   }
 
+  /** The Gopher "required words" (Rae et al. 2021, A1.1 rule 7): a
+    * document must contain at least 2 of these to pass. */
+  val GopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-rule bundle (Rae et al. 2021, appendix A1.1) as a
+    * struct of per-rule booleans plus the composed `keep` — the
+    * standard pre-training document filter, evaluated as ONE codegen'd
+    * projection (zero shuffles, zero UDFs):
+    *
+    *  - ok_words:    50 <= word count <= 100,000
+    *  - ok_mean_len: 3 <= mean word length <= 10
+    *  - ok_symbol:   (# + ellipsis occurrences) / words < 0.1
+    *  - ok_bullets:  < 90% of lines start with a bullet
+    *  - ok_ellipsis: < 30% of lines end with an ellipsis
+    *  - ok_alpha:    >= 80% of words contain an alphabetic char
+    *  - ok_stops:    >= 2 distinct [[GopherRequiredWords]] present
+    *
+    * Every sub-expression is integer counting + one IEEE division, so
+    * an independent engine reproduces each flag bit-exactly. Word
+    * stats run over the lowercased whitespace tokens; line stats over
+    * the raw newline split. */
+  def gopherQualityFlags(
+      text: Column,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L): Column = {
+    val words = filter(tokens(text), t => t =!= "")
+    val nWords = size(words).cast("long")
+    val wordsDen = greatest(nWords, lit(1L)).cast("double")
+    val meanLen =
+      aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long"))
+        .cast("double") / wordsDen
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipses =
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3)
+    val symbolRatio = (hashes + ellipses).cast("double") / wordsDen
+    val lines = split(text, "\n")
+    val linesDen = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+      .cast("double") / linesDen
+    val ellipsisFrac = size(filter(lines, l => l.endsWith("...")))
+      .cast("double") / linesDen
+    val alphaFrac = size(filter(words, w => w.rlike("[a-z]")))
+      .cast("double") / wordsDen
+    val stops = size(array_intersect(
+      array_distinct(words), array(GopherRequiredWords.map(lit): _*)))
+    val okWords = nWords >= minWords && nWords <= maxWords
+    val okMeanLen = meanLen >= 3.0 && meanLen <= 10.0
+    val okSymbol = symbolRatio < 0.1
+    val okBullets = bulletFrac < 0.9
+    val okEllipsis = ellipsisFrac < 0.3
+    val okAlpha = alphaFrac >= 0.8
+    val okStops = stops >= 2
+    struct(
+      okWords.as("ok_words"), okMeanLen.as("ok_mean_len"),
+      okSymbol.as("ok_symbol"), okBullets.as("ok_bullets"),
+      okEllipsis.as("ok_ellipsis"), okAlpha.as("ok_alpha"),
+      okStops.as("ok_stops"),
+      (okWords && okMeanLen && okSymbol && okBullets &&
+        okEllipsis && okAlpha && okStops).as("keep"))
+  }
+
   /** Composite quality score in [0,1]: favors alphabetic, multi-word,
     * low-digit, moderately-punctuated text (C4/Gopher-style heuristics
     * reduced to a single monotone score).

@@ -1061,6 +1061,70 @@ object Pipeline {
         |UNION ALL SELECT CAST(2 AS INTEGER), l, r, CAST(cnt AS BIGINT) FROM b2
         |UNION ALL SELECT CAST(3 AS INTEGER), l, r, CAST(cnt AS BIGINT) FROM b3""".stripMargin) { (s, dir) =>
       graft.operators.Bpe.learnMerges(tbl(s, dir, "documents"), "text", numMerges = 3)
+    },
+
+    // ---- Gopher quality rules (Rae et al. 2021 A1.1) as per-rule
+    // flags: the text is deterministically enriched so every rule
+    // fires both ways across the corpus (stop-word padding, a glued
+    // symbol run, numeric words, 19 bullet lines, ellipsis-terminated
+    // lines). The oracle recomputes every count, fraction and
+    // threshold relationally — a drifted denominator, tokenizer or
+    // boundary comparison flips a boolean.
+    QDef(
+      "p32_gopher_rules",
+      """WITH e AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 2 = 0 THEN ' the of and' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' ############' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' 11 22 33 44 55 66 77 88 99 00' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN repeat(chr(10) || '- b', 19) ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0 THEN repeat(chr(10) || 'end...', 2) ELSE '' END AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id, t,
+        |    list_filter(regexp_split_to_array(trim(lower(t)), '\s+'), w -> w <> '') AS ws,
+        |    string_split(t, chr(10)) AS ls
+        |  FROM e),
+        |f AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS nw,
+        |    CAST(greatest(len(ws), 1) AS DOUBLE) AS dw,
+        |    CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS DOUBLE)
+        |      / CAST(greatest(len(ws), 1) AS DOUBLE) AS meanlen,
+        |    ((length(t) - length(replace(t, '#', '')))
+        |      + (length(t) - length(replace(t, '...', ''))) / 3)
+        |      / CAST(greatest(len(ws), 1) AS DOUBLE) AS symr,
+        |    len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* ')))
+        |      / CAST(greatest(len(ls), 1) AS DOUBLE) AS bulletf,
+        |    len(list_filter(ls, l -> ends_with(l, '...')))
+        |      / CAST(greatest(len(ls), 1) AS DOUBLE) AS ellipf,
+        |    len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+        |      / CAST(greatest(len(ws), 1) AS DOUBLE) AS alphaf,
+        |    len(list_intersect(list_distinct(ws),
+        |      ['the','be','to','of','and','that','have','with'])) AS stops
+        |  FROM m)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  nw >= 50 AND nw <= 100000 AS ok_words,
+        |  meanlen >= 3.0 AND meanlen <= 10.0 AS ok_mean_len,
+        |  symr < 0.1 AS ok_symbol,
+        |  bulletf < 0.9 AS ok_bullets,
+        |  ellipf < 0.3 AS ok_ellipsis,
+        |  alphaf >= 0.8 AS ok_alpha,
+        |  stops >= 2 AS ok_stops,
+        |  (nw >= 50 AND nw <= 100000) AND (meanlen >= 3.0 AND meanlen <= 10.0)
+        |    AND symr < 0.1 AND bulletf < 0.9 AND ellipf < 0.3
+        |    AND alphaf >= 0.8 AND stops >= 2 AS keep
+        |FROM f""".stripMargin) { (s, dir) =>
+      import graft.operators.{TextAnalysis => TAo}
+      val enriched = concat(col("text"),
+        when(col("doc_id") % 2 === 0, lit(" the of and")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" ############")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" 11 22 33 44 55 66 77 88 99 00"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("\n- b" * 19)).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0, lit("\nend..." * 2)).otherwise(lit("")))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TAo.gopherQualityFlags(enriched).as("g"))
+        .select(col("doc_id"), col("g.ok_words"), col("g.ok_mean_len"),
+          col("g.ok_symbol"), col("g.ok_bullets"), col("g.ok_ellipsis"),
+          col("g.ok_alpha"), col("g.ok_stops"), col("g.keep"))
     })
 
   /** embeddings ∪ deterministic perturbed copies (id + 100000, same

@@ -1028,6 +1028,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept2 == kept)
   }
 
+  test("Gopher rules: each rule fails in isolation on a crafted doc") {
+    import spark.implicits._
+    // A baseline doc that passes every rule: 60 alphabetic words
+    // including two required stop words, one plain line.
+    val good = (Seq("the", "with") ++ Seq.fill(58)("words")).mkString(" ")
+    val docs = Seq(
+      ("good", good),
+      ("too_short", "the with words"),                          // rule 1
+      ("long_words", (Seq("the", "with") ++
+        Seq.fill(58)("absolutelyoverlong")).mkString(" ")),      // rule 2
+      ("symbols", good + " " + Seq.fill(9)("#").mkString(" ")), // rule 3
+      ("bullets", good + ("\n- b" * 19)),                        // rule 4
+      ("ellipsis", good + "\nend...\nend..."),                   // rule 5
+      ("numeric", (Seq("the", "with") ++ Seq.fill(10)("words") ++
+        Seq.fill(48)("12345")).mkString(" ")),                   // rule 6
+      ("no_stops", Seq.fill(60)("words").mkString(" "))          // rule 7
+    ).toDF("id", "text")
+    val flags = docs.select(col("id"),
+        TA.gopherQualityFlags(col("text")).as("g"))
+      .select(col("id"), col("g.*"))
+      .collect().map(r => r.getString(0) ->
+        (1 until r.length).map(r.getBoolean)).toMap
+    val ruleIdx = Map("too_short" -> 0, "long_words" -> 1, "symbols" -> 2,
+      "bullets" -> 3, "ellipsis" -> 4, "numeric" -> 5, "no_stops" -> 6)
+    assert(flags("good").forall(identity), s"good doc failed: ${flags("good")}")
+    ruleIdx.foreach { case (id, i) =>
+      assert(!flags(id)(i), s"$id should fail rule $i: ${flags(id)}")
+      assert(!flags(id).last, s"$id should not keep")
+      // and the OTHER rules still pass (isolation)
+      (0 until 7).filter(_ != i).foreach { j =>
+        assert(flags(id)(j), s"$id unexpectedly failed rule $j: ${flags(id)}")
+      }
+    }
+  }
+
   test("BPE learning: greedy overlap semantics, tie-break, early stop, " +
     "encode round-trip") {
     import graft.operators.Bpe
