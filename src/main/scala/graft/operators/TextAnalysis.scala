@@ -173,9 +173,13 @@ object TextAnalysis {
     * stats run over the lowercased whitespace tokens; line stats over
     * the raw newline split. */
   def gopherQualityFlags(
-      text: Column,
+      textIn: Column,
       minWords: Long = 50L,
       maxWords: Long = 100000L): Column = {
+    // null text = empty document (fails word-count/stops like any
+    // other too-short doc) rather than a struct of NULL booleans a
+    // downstream `WHERE keep` would silently drop in a surprising way
+    val text = coalesce(textIn, lit(""))
     val words = filter(tokens(text), t => t =!= "")
     val nWords = size(words).cast("long")
     val wordsDen = greatest(nWords, lit(1L)).cast("double")
