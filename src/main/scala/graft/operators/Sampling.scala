@@ -219,21 +219,24 @@ object Sampling {
     * document's distinct tokens' weights (see [[importanceWeights]]).
     * The token→weight join shuffles by token hash — no skew pivot, no
     * windows — and the per-doc sum is a map-side-combinable agg.
-    * Documents with no tokens (empty text) score 0. */
+    *
+    * Documents with no tokens (empty/null text) score 0 via a sentinel
+    * token that is absent from the weight table (a LEFT join +
+    * coalesce), so the whole pass is ONE corpus traversal — no
+    * id-distinct shuffle, no completion join. Tokens the weight table
+    * has never seen (scoring a different corpus than the weights were
+    * built from) likewise contribute 0. Ids are treated as document
+    * identity — duplicate ids sum per id. */
   def importanceScores(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      weights: DataFrame): DataFrame = {
-    val toks = distinctTokens(df.select(col(idCol).as("__iid"),
-      col(textCol).as(textCol)), textCol, keep = Seq("__iid"))
-    val summed = toks.join(weights, Seq("tok"))
+      weights: DataFrame): DataFrame =
+    sentinelTokens(df, idCol, textCol)
+      .join(weights, Seq("tok"), "left")
       .groupBy(col("__iid"))
-      .agg(sum(col("weight")).as("iw_score"))
-    df.select(col(idCol)).distinct()
-      .join(summed, col(idCol) === col("__iid"), "left")
-      .select(col(idCol), coalesce(col("iw_score"), lit(0L)).as("iw_score"))
-  }
+      .agg(sum(coalesce(col("weight"), lit(0L))).as("iw_score"))
+      .select(col("__iid").as(idCol), col("iw_score"))
 
   /** Hashed-feature DSIR — the 100 TB path. Tokens hash into
     * `numBuckets` buckets (xxhash64), so the weight table is a FIXED
@@ -251,22 +254,24 @@ object Sampling {
       textCol: String,
       numBuckets: Int = 1 << 16): DataFrame = {
     require(numBuckets > 0, s"bad numBuckets $numBuckets")
-    def bucketed(df: DataFrame, keep: Seq[String]) =
-      distinctTokens(df, textCol, keep)
-        .select(col("*"), pmod(xxhash64(col("tok")), lit(numBuckets.toLong)).as("__b"))
-    val rawB = bucketed(raw.select(col(idCol).as("__iid"), col(textCol)), Seq("__iid"))
-    val cr = rawB.groupBy("__b").agg(count(lit(1)).as("__cr"))
-    val ct = bucketed(target.select(col(textCol)), Nil)
+    // sentinel tokens ('' for empty docs) get bucket -1 — outside
+    // [0, numBuckets), so they miss the weight table and score 0
+    // instead of inheriting a real bucket's weight
+    def withBucket(toks: DataFrame) = toks.select(col("*"),
+      when(col("tok") === "", lit(-1L))
+        .otherwise(pmod(xxhash64(col("tok")), lit(numBuckets.toLong))).as("__b"))
+    val rawB = withBucket(sentinelTokens(raw, idCol, textCol))
+    val cr = rawB.filter(col("__b") >= 0L)
+      .groupBy("__b").agg(count(lit(1)).as("__cr"))
+    val ct = withBucket(distinctTokens(target, textCol))
       .groupBy("__b").agg(count(lit(1)).as("__ct"))
     val w = broadcast(cr.join(ct, Seq("__b"), "left")
       .select(col("__b"),
         floor(lit(1000000.0) * (coalesce(col("__ct"), lit(0L)) + lit(1.0)) /
           (col("__cr") + lit(1.0))).as("weight")))
-    val summed = rawB.join(w, Seq("__b"))
-      .groupBy(col("__iid")).agg(sum(col("weight")).as("iw_score"))
-    raw.select(col(idCol)).distinct()
-      .join(summed, col(idCol) === col("__iid"), "left")
-      .select(col(idCol), coalesce(col("iw_score"), lit(0L)).as("iw_score"))
+    rawB.join(w, Seq("__b"), "left")
+      .groupBy(col("__iid")).agg(sum(coalesce(col("weight"), lit(0L))).as("iw_score"))
+      .select(col("__iid").as(idCol), col("iw_score"))
   }
 
   /** Deterministic importance RESAMPLING: keep ~`fraction` of rows with
@@ -293,6 +298,19 @@ object Sampling {
     val toks = array_distinct(filter(
       split(trim(lower(col(textCol))), "\\s+"), t => t =!= ""))
     df.select(keep.map(col) :+ explode(toks).as("tok"): _*)
+  }
+
+  /** [[distinctTokens]] keyed by `idCol` (as `__iid`), with empty/null
+    * texts represented by ONE sentinel row (`tok = ""` — impossible as
+    * a real token, it is filtered out) so every document survives the
+    * explode and scoring stays a single corpus pass. */
+  private def sentinelTokens(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = coalesce(array_distinct(filter(
+      split(trim(lower(col(textCol))), "\\s+"), t => t =!= "")),
+      array(lit("")))
+    val withSentinel = when(size(toks) === 0, array(lit(""))).otherwise(toks)
+    df.select(col(idCol).as("__iid"), explode(withSentinel).as("tok"))
   }
 
   private def mixExact(
