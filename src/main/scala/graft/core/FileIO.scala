@@ -89,16 +89,23 @@ final class LocalFileIO extends FileIO {
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
-      case _: UnsupportedOperationException =>
-        // filesystems without hard links: fall back to CREATE_NEW
-        // (CAS still correct; content visibility only best-effort)
-        try {
-          Files.write(p(path), content.getBytes(StandardCharsets.UTF_8),
-            StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
-          true
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
+      // no-hardlink filesystems surface as UnsupportedOperationException
+      // on some providers but as a generic FileSystemException
+      // (EPERM/EOPNOTSUPP from link(2)) on the JDK unix provider —
+      // catch both, re-verify the target doesn't exist (losing the race
+      // is still `false`, not an error), and fall back to CREATE_NEW
+      // (CAS still correct; content visibility only best-effort there)
+      case _: UnsupportedOperationException |
+           _: java.nio.file.FileSystemException =>
+        if (Files.exists(p(path))) false
+        else
+          try {
+            Files.write(p(path), content.getBytes(StandardCharsets.UTF_8),
+              StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
     } finally Files.deleteIfExists(tmp)
   }
 

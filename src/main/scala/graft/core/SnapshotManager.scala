@@ -202,9 +202,14 @@ final class SnapshotManager(
   private def manifestSize(name: String): Long = {
     val cached = manifestSizeCache.get(name)
     if (cached != null) return cached.longValue
-    val s = try io.size(s"$manifestDir/$name") catch { case _: Exception => 0L }
-    manifestSizeCache.put(name, s)
-    s
+    // a FAILED stat answers 0 for this call but is NOT cached — caching
+    // it would permanently undercount the manifest byte total after one
+    // transient IO error (full manifest compaction would never trigger)
+    try {
+      val s = io.size(s"$manifestDir/$name")
+      manifestSizeCache.put(name, s)
+      s
+    } catch { case _: Exception => 0L }
   }
 
   /** Schema options for manifest encoding, cached ~2 s: writeManifest

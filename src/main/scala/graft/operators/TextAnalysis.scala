@@ -102,11 +102,14 @@ object TextAnalysis {
 
   /** GPT-2-style pre-tokenizer pattern, restricted to RE2-safe syntax
     * (no lookahead — the trailing-space special case degrades to plain
-    * `\s+` runs) so an independent engine can mirror the count
-    * exactly. Groups: contractions, space-glued letter runs, digit
-    * runs, punctuation runs, whitespace runs. */
+    * whitespace runs) so an independent engine can mirror the count
+    * exactly. Whitespace is the EXPLICIT class `[\t\n\f\r ]` — Java's
+    * `\s` includes vertical tab (\x0B) while RE2's does not, so `\s`
+    * would diverge on texts containing one. Groups: contractions,
+    * space-glued letter runs, digit runs, punctuation runs,
+    * whitespace runs. */
   val BpeTokenPattern: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\t\\n\\f\\r \\p{L}\\p{N}]+|[\\t\\n\\f\\r ]+"
 
   /** Pre-tokenizer token count — the usual proxy for BPE token counts
     * in corpus budgeting (true BPE merges only ever SPLIT these

@@ -939,9 +939,9 @@ object Pipeline {
     QDef(
       "p28_line_dedup",
       """WITH docs AS (SELECT doc_id,
-        |    'HEAD ' || substr(text, 1, 40) || chr(10) ||
+        |    'HEAD ' || substr(coalesce(text, ''), 1, 40) || chr(10) ||
         |    'COOKIE BANNER ACCEPT ALL' || chr(10) ||
-        |    'FOOTER ' || source || chr(10) ||
+        |    'FOOTER ' || coalesce(source, '') || chr(10) ||
         |    'ID LINE ' || CAST(doc_id AS VARCHAR) AS t
         |  FROM documents),
         |split AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM docs),
@@ -956,10 +956,13 @@ object Pipeline {
         |GROUP BY k.doc_id""".stripMargin) { (s, dir) =>
       import graft.operators.{TextAnalysis => TAo}
       val docs = tbl(s, dir, "documents").select(col("doc_id"),
+        // coalesce mirrors the oracle exactly: concat_ws SKIPS a NULL
+        // piece (3-line doc) while the oracle's '||' would NULL the
+        // whole doc — null text/source must build the same 4 lines
         concat_ws("\n",
-          concat(lit("HEAD "), substring(col("text"), 1, 40)),
+          concat(lit("HEAD "), substring(coalesce(col("text"), lit("")), 1, 40)),
           lit("COOKIE BANNER ACCEPT ALL"),
-          concat(lit("FOOTER "), col("source")),
+          concat(lit("FOOTER "), coalesce(col("source"), lit(""))),
           concat(lit("ID LINE "), col("doc_id").cast("string"))).as("text"))
       TAo.removeFrequentLines(docs, "doc_id", "text", maxDocFreq = 10L)
         .select(col("doc_id"), col("text"))
@@ -976,7 +979,7 @@ object Pipeline {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(
         |    text || ' it''s v2.0, #' || CAST(doc_id AS VARCHAR) || '!',
-        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+        |    '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\t\n\f\r \p{L}\p{N}]+|[\t\n\f\r ]+'))
         |    AS BIGINT) AS n_bpe,
         |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
         |    AS n_ws
@@ -1091,7 +1094,8 @@ object Pipeline {
         |    ((length(t) - length(replace(t, '#', '')))
         |      + (length(t) - length(replace(t, '...', ''))) / 3)
         |      / CAST(greatest(len(ws), 1) AS DOUBLE) AS symr,
-        |    len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* ')))
+        |    len(list_filter(ls, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+        |        OR starts_with(l, '• ')))
         |      / CAST(greatest(len(ls), 1) AS DOUBLE) AS bulletf,
         |    len(list_filter(ls, l -> ends_with(l, '...')))
         |      / CAST(greatest(len(ls), 1) AS DOUBLE) AS ellipf,

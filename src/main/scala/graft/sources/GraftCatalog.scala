@@ -1004,7 +1004,11 @@ class GraftScanBuilder(gt: GraftTable, snapshot0: Option[Long], full: StructType
       case None =>
     }
     aggResult match {
-      case Some((schema, rows)) => new GraftLocalScan(schema, rows)
+      case Some((schema, rows)) =>
+        // agg pushdown is a batch-only surface: a stale from-snapshot
+        // pin must error here too, not answer from latest manifests
+        GraftScanUtil.assertBatchPin(gt, readOptions)
+        new GraftLocalScan(schema, rows)
       case None if gt.rowTracking &&
           required.fieldNames.contains(GraftTable.RowIdCol) => rowIdScan()
       case None =>
@@ -1096,6 +1100,7 @@ class GraftScanBuilder(gt: GraftTable, snapshot0: Option[Long], full: StructType
         override def sqlContext: SQLContext = context
         override def schema: StructType = required
         override def buildScan(): RDD[Row] = {
+          GraftScanUtil.assertBatchPin(gt, readOptions)
           val (idFilters, dataFilters) =
             pushed.partition(_.references.contains(GraftTable.RowIdCol))
           val cond = GraftFilters.toCondition(dataFilters)
@@ -1210,6 +1215,7 @@ class GraftScanBuilder(gt: GraftTable, snapshot0: Option[Long], full: StructType
         override def sqlContext: SQLContext = context
         override def schema: StructType = required
         override def buildScan(): RDD[Row] = {
+          GraftScanUtil.assertBatchPin(gt, readOptions)
           val fileCutoff =
             readOptions.get("scan.file-creation-time-millis").map(_.toLong)
           val base = snapshot match {

@@ -24,6 +24,23 @@ import org.apache.spark.util.SerializableConfiguration
   * ParquetScan. */
 private[graft] object GraftScanUtil {
 
+  /** Under scan.mode=from-snapshot[-full] the scan.snapshot-id option
+    * is a stream CURSOR (a missing id degrades to latest in the stream
+    * source) but a batch TIME-TRAVEL pin: a batch execution whose id no
+    * longer resolves must ERROR, never silently substitute the latest
+    * table contents (reference: StaticFromSnapshotStartingScanner
+    * checks the snapshot exists). Called from every batch execution
+    * surface; the streaming surfaces never call it. */
+  def assertBatchPin(gt: GraftTable, readOptions: Map[String, String]): Unit =
+    for {
+      m <- readOptions.get("scan.mode")
+      if m == "from-snapshot" || m == "from-snapshot-full"
+      id <- readOptions.get("scan.snapshot-id").map(_.toLong)
+      if !gt.sm.snapshotIds.contains(id)
+    } throw new IllegalArgumentException(
+      s"scan.snapshot-id=$id does not resolve (expired or never existed) " +
+        s"for a batch read with scan.mode=$m")
+
   /** Decode one partition-directory value to a Catalyst internal value
     * (dir names are Hive-escaped; typed values parse via Cast, exactly
     * like Spark's own partition inference). */
@@ -84,7 +101,12 @@ private[graft] object GraftScanUtil {
           cur.clear(); curSize = 0L
         }
         sorted.foreach { f =>
-          if (curSize + f.length + cost > maxSplit) close()
+          // Spark's exact check: the incoming file's LENGTH alone may
+          // overflow the split; its open cost is charged only to the
+          // accumulated size (FilePartition.getFilePartitions) — adding
+          // the cost to the check would close splits earlier than the
+          // session-conf path this knob claims to mirror
+          if (curSize + f.length > maxSplit) close()
           cur += f; curSize += f.length + cost
         }
         close()
@@ -272,7 +294,10 @@ class GraftBatchScan(
   // The reader emits data-then-partition columns; the factory permutes.
   override def readSchema(): StructType = required
 
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    GraftScanUtil.assertBatchPin(gt, readOptions)
+    this
+  }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(gt, dataSchema, readDataSchema, partitionSchema,

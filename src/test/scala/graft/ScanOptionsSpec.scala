@@ -35,6 +35,41 @@ class ScanOptionsSpec extends AnyFunSuite {
     rows.toDF("k", "v")
   }
 
+  test("batch from-snapshot pin: resolving id time-travels, missing id errors") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftso.dbso")
+    spark.sql("CREATE TABLE graftso.dbso.pin (k BIGINT, v STRING)")
+    val gt = GraftTable.load(spark, s"$warehouse/dbso/pin")
+    gt.write(kv(1L -> "a"))
+    gt.write(kv(2L -> "b"))
+    // a resolving id is a batch time-travel pin
+    assert(spark.read.option("scan.mode", "from-snapshot")
+      .option("scan.snapshot-id", "0")
+      .table("graftso.dbso.pin").count() == 1L)
+    // a missing id must ERROR on the batch surface — silently reading
+    // latest would substitute wrong data for expired/mistyped ids
+    // (streams degrade instead: SqlCatalogSpec covers that side)
+    val e = intercept[Exception] {
+      spark.read.option("scan.mode", "from-snapshot")
+        .option("scan.snapshot-id", "99")
+        .table("graftso.dbso.pin").count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("does not resolve"),
+      s"unexpected error: $e")
+    val e2 = intercept[Exception] {
+      spark.read.option("scan.mode", "from-snapshot-full")
+        .option("scan.snapshot-id", "99")
+        .table("graftso.dbso.pin").collect()
+    }
+    assert(e2.getMessage != null && e2.getMessage.contains("does not resolve"))
+    // agg pushdown (batch-only surface) errors the same way
+    val e3 = intercept[Exception] {
+      spark.read.option("scan.mode", "from-snapshot")
+        .option("scan.snapshot-id", "99")
+        .table("graftso.dbso.pin").groupBy().count().collect()
+    }
+    assert(e3.getMessage != null && e3.getMessage.contains("does not resolve"))
+  }
+
   test("scan.watermark pins the first snapshot at or past the watermark") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graftso.dbso")
     spark.sql("CREATE TABLE graftso.dbso.wm (k BIGINT, v STRING)")

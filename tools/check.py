@@ -49,8 +49,11 @@ def main(outdir: str, sfdir: str, json_out: str | None = None) -> int:
                 fails += 1
                 rec["err"] = "0 rows (rows-only gate)"
             else:
-                rec.update(rows_match=True, schema_match=True, hash_match=True,
-                           err="rows-only (no oracle SQL)")
+                # only the rows>0 check actually ran — claiming
+                # schema/hash verification would overstate oracle
+                # coverage in any board built from this output
+                rec.update(rows_match=True, schema_match=False,
+                           hash_match=False, rows_only=True, err=None)
             print(f"{status} {name}: {len(got)} rows")
             continue
         try:
