@@ -34,7 +34,7 @@ object Bpe {
     * single corpus-sized pass of the trainer. */
   def wordFreq(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(filter(
-        split(trim(lower(col(textCol))), "\\s+"), t => t =!= "")).as("word"))
+        split(trim(lower(col(textCol))), TextAnalysis.WsClass), t => t =!= "")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   /** Learn `numMerges` merges from the corpus. Returns one row per
@@ -124,10 +124,25 @@ object Bpe {
     out.result()
   }
 
+  /** Split a word into per-CODE-POINT symbols — the same segmentation
+    * [[learnMerges]] uses (Spark's `substring` counts code points, not
+    * UTF-16 units), so learned merges apply to non-BMP characters
+    * instead of seeing unmatched surrogate halves. */
+  private def codePointSymbols(w: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   private def encodeUdf(merges: Seq[(String, String)]) = udf { (text: String) =>
     if (text == null) Seq.empty[String]
-    else text.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty).flatMap { w =>
-      var syms: Seq[String] = w.map(_.toString)
+    else text.trim.toLowerCase.split(TextAnalysis.WsClass).toSeq.filter(_.nonEmpty).flatMap { w =>
+      var syms: Seq[String] = codePointSymbols(w)
       merges.foreach { case (l, r) => syms = applyMerge(syms, l, r) }
       syms
     }

@@ -919,7 +919,7 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
     val toks = docs.select(col(idCol).as("doc_id"),
-      split(trim(lower(col(textCol))), "\\s+").as("t"))
+      split(trim(lower(col(textCol))), TextAnalysis.WsClass).as("t"))
     val grams = toks
       .filter(size(col("t")) >= k)
       // sequence(1, n) is DESCENDING when n < 1, hence the filter above
@@ -953,7 +953,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(k >= 2, s"k must be >= 2, got $k")
     val toks = docs.select(col(idCol).as("doc_id"),
-      split(trim(lower(col(textCol))), "\\s+").as("t"))
+      split(trim(lower(col(textCol))), TextAnalysis.WsClass).as("t"))
     val grams = toks
       .filter(size(col("t")) >= k)
       .select(col("doc_id"),

@@ -296,7 +296,7 @@ object Sampling {
   private def distinctTokens(
       df: DataFrame, textCol: String, keep: Seq[String] = Nil): DataFrame = {
     val toks = array_distinct(filter(
-      split(trim(lower(col(textCol))), "\\s+"), t => t =!= ""))
+      split(trim(lower(col(textCol))), TextAnalysis.WsClass), t => t =!= ""))
     df.select(keep.map(col) :+ explode(toks).as("tok"): _*)
   }
 
@@ -307,7 +307,7 @@ object Sampling {
   private def sentinelTokens(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = coalesce(array_distinct(filter(
-      split(trim(lower(col(textCol))), "\\s+"), t => t =!= "")),
+      split(trim(lower(col(textCol))), TextAnalysis.WsClass), t => t =!= "")),
       array(lit("")))
     val withSentinel = when(size(toks) === 0, array(lit(""))).otherwise(toks)
     df.select(col(idCol).as("__iid"), explode(withSentinel).as("tok"))

@@ -13,8 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Whitespace token-delimiter class, spelled explicitly as
+    * `[\t\n\f\r ]` rather than `\s`: Java's `\s` additionally
+    * matches `\x0B` (vertical tab) while RE2 — the DuckDB oracle's
+    * regex engine — does not, so a `\s+` tokenizer silently diverges
+    * between engines on corpora containing vertical tabs. Every
+    * tokenizer here and every oracle SQL share this exact class. */
+  val WsClass: String = "[\\t\\n\\f\\r ]+"
+
   /** Lowercased whitespace tokens. */
-  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+  def tokens(text: Column): Column = split(trim(lower(text)), WsClass)
 
   /** Adjacent (prev, cur) token pairs of a text column. */
   private def bigramPairs(text: Column): Column = {
@@ -137,7 +145,7 @@ object TextAnalysis {
 
   /** Mean token length (chars of non-space text / token count). */
   def avgWordLen(text: Column): Column =
-    length(regexp_replace(trim(text), "\\s+", "")).cast("double") /
+    length(regexp_replace(trim(text), WsClass, "")).cast("double") /
       greatest(tokenCount(text), lit(1L)).cast("double")
 
   val EnglishStopwords: Seq[String] = Seq(

@@ -1012,9 +1012,11 @@ object Pipeline {
         |    CAST(floor(1000000.0 * (COALESCE(tgt.ct, 0) + 1.0) / (raw.cr + 1.0)) AS BIGINT) AS w
         |  FROM raw LEFT JOIN tgt ON raw.tok = tgt.tok),
         |s AS (SELECT t.doc_id, sum(w.w) AS iw_score
-        |  FROM toks t JOIN w ON t.tok = w.tok GROUP BY t.doc_id)
+        |  FROM toks t JOIN w ON t.tok = w.tok GROUP BY t.doc_id),
+        |sc AS (SELECT d.doc_id, coalesce(s.iw_score, 0) AS iw_score
+        |  FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN s USING (doc_id))
         |SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(iw_score AS BIGINT) AS iw_score
-        |FROM s ORDER BY iw_score DESC, doc_id LIMIT 50""".stripMargin) { (s, dir) =>
+        |FROM sc ORDER BY iw_score DESC, doc_id LIMIT 50""".stripMargin) { (s, dir) =>
       import graft.operators.Sampling
       val docs = tbl(s, dir, "documents")
       val weights = Sampling.importanceWeights(
@@ -1075,7 +1077,7 @@ object Pipeline {
     // boundary comparison flips a boolean.
     QDef(
       "p32_gopher_rules",
-      """WITH e AS (SELECT doc_id, text
+      """WITH e AS (SELECT doc_id, coalesce(text, '')
         |    || CASE WHEN doc_id % 2 = 0 THEN ' the of and' ELSE '' END
         |    || CASE WHEN doc_id % 5 = 0 THEN ' ############' ELSE '' END
         |    || CASE WHEN doc_id % 7 = 0 THEN ' 11 22 33 44 55 66 77 88 99 00' ELSE '' END
@@ -1117,7 +1119,11 @@ object Pipeline {
         |    AND alphaf >= 0.8 AND stops >= 2 AS keep
         |FROM f""".stripMargin) { (s, dir) =>
       import graft.operators.{TextAnalysis => TAo}
-      val enriched = concat(col("text"),
+      // NULL text coalesces to '' BEFORE enrichment on BOTH sides, so
+      // a NULL-text corpus builds the same enriched string in each
+      // engine (the p28 NULL-propagation class — '||' would NULL the
+      // whole doc while Spark-side concat-then-flags would not)
+      val enriched = concat(coalesce(col("text"), lit("")),
         when(col("doc_id") % 2 === 0, lit(" the of and")).otherwise(lit("")),
         when(col("doc_id") % 5 === 0, lit(" ############")).otherwise(lit("")),
         when(col("doc_id") % 7 === 0, lit(" 11 22 33 44 55 66 77 88 99 00"))

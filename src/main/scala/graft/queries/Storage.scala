@@ -1534,7 +1534,7 @@ object Storage {
         .filter(length(trim(col("text"))) > 0)
         .select(col("doc_id"),
           graft.functions.TableFunctions.multiset(
-            split(trim(lower(col("text"))), "\\s+")).as("tokens"))
+            split(trim(lower(col("text"))), graft.operators.TextAnalysis.WsClass)).as("tokens"))
       val msField = StructField("tokens",
         MapType(StringType, IntegerType, valueContainsNull = false),
         nullable = true,

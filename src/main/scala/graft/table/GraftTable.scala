@@ -4960,15 +4960,17 @@ final class GraftTable private (
           }
       }
     }
-    // conditional-PUT staging debris (ObjectStoreFileIO.tryCreateAtomic
-    // stages `<key>.cput.<uuid>` next to the target key): listings
-    // filter them out, but a crash between createLink and the finally's
-    // delete leaves them behind — sweep any past the grace period
+    // staging debris: ObjectStoreFileIO.tryCreateAtomic stages
+    // `<key>.cput.<uuid>` and LocalFileIO stages `<path>.tmp.<uuid>`
+    // next to the target — listings filter them out, but a crash
+    // between write/createLink and the finally's delete leaves them
+    // behind permanently — sweep both families past the grace period
     Seq(s"$path/snapshot", s"$path/schema").map(Paths.get(_))
       .filter(Files.isDirectory(_)).foreach { rp =>
         graft.core.FsUtil.walkAll(rp).iterator
           .filter(p => Files.isRegularFile(p) &&
-            p.getFileName.toString.contains(".cput.") &&
+            (p.getFileName.toString.contains(".cput.") ||
+              p.getFileName.toString.contains(".tmp.")) &&
             Files.getLastModifiedTime(p).toMillis < cutoff)
           .foreach { p =>
             Files.deleteIfExists(p)
