@@ -784,10 +784,16 @@ final class SnapshotManager(
       dropped.flatMap(_.indexSidecars)).distinct
     val deletedFiles = dropFiles
       .filterNot(f => liveFiles.contains(f) || clProtect._1.contains(f))
+    // deletion order is the crash-consistency contract: snapshot FILES
+    // go first, then manifests, then data. A crash at any point leaves
+    // every still-visible snapshot fully readable (the leftovers are
+    // unreferenced orphans for remove_orphan_files); the reverse order
+    // had a window where a visible snapshot referenced deleted files —
+    // a torn table until the expire completed
+    drop.foreach(id => io.delete(snapshotPath(id)))
     deletedFiles.foreach(f => io.delete(s"$tablePath/$f"))
     dropManifests.filterNot(m => liveManifests.contains(m) || clProtect._2.contains(m))
       .foreach(m => io.delete(s"$manifestDir/$m"))
-    drop.foreach(id => io.delete(snapshotPath(id)))
     if (clRetainOn) trimRetainedChangelogs()
     // `snapshot.clean-empty-directories`: partition directories whose
     // last data file this expire removed get swept (reference:
@@ -848,12 +854,17 @@ final class SnapshotManager(
         s.changelogManifest.toSeq.flatMap(readManifest))
       .map(_.file.fileName) ++
       dropped.flatMap(_.indexSidecars)).distinct
+    // same crash-consistency ordering as expireSnapshots: hint first
+    // (a lagging LATEST is tolerated everywhere, a leading one only
+    // shortens the probe walk), then snapshot files newest-first so a
+    // crash never leaves a visible snapshot whose files are gone —
+    // leftovers are orphans for remove_orphan_files
+    io.writeString(s"$snapshotDir/LATEST", target.toString)
+    dropIds.sorted.reverse.foreach(id => io.delete(snapshotPath(id)))
     dropFiles.filterNot(keptFiles.contains)
       .foreach(f => io.delete(s"$tablePath/$f"))
     dropManifests.filterNot(keptManifests.contains)
       .foreach(m => io.delete(s"$manifestDir/$m"))
-    dropIds.foreach(id => io.delete(snapshotPath(id)))
-    io.writeString(s"$snapshotDir/LATEST", target.toString)
     dropIds
   }
 
