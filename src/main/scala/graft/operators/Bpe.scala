@@ -92,6 +92,279 @@ object Bpe {
       schema)
   }
 
+  /** [[learnMerges]] with BATCHED rounds — the wall-clock scale path.
+    * Sequential BPE needs one Spark job per merge, so a production
+    * 32 K-merge vocabulary is 32 K sequential jobs: hours of scheduler
+    * overhead independent of data size. This variant learns up to
+    * `maxBatch` merges per round and provably returns THE IDENTICAL
+    * merge list (same pairs, same order, same counts):
+    *
+    * Per round it collects the top-K pairs under the total order
+    * (count desc, left, right) and accepts the maximal PREFIX such
+    * that every accepted pair
+    *
+    *  1. shares no symbol with an earlier accepted pair (their counts
+    *     are then invariant under each other's application — a merge
+    *     only disturbs adjacencies touching its own symbols),
+    *  2. has a concatenation that is NOT an existing symbol (else the
+    *     merge manufactures more of that symbol and a pre-existing
+    *     pair like (lr, c) could grow past later candidates), and
+    *  3. counts strictly above both the first conflicting candidate
+    *     and the collection horizon (anything at or below those bounds
+    *     caps every pair the accepted merges can disturb or create, so
+    *     a tie could re-order the sequential argmax; strictness keeps
+    *     the prefix exactly what sequential rounds would pick).
+    *
+    * The first candidate is always accepted (it is the exact global
+    * argmax), so every round makes progress and the worst case
+    * degrades to the sequential algorithm, never past it. The symbol
+    * set needed for rule 2 is tiny by construction (alphabet + one per
+    * learned merge) and is collected once per round. */
+  def learnMergesBatched(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minPairCount: Long = 1L,
+      maxBatch: Int = 64): DataFrame =
+    learnMergesBatchedCounted(df, textCol, numMerges, minPairCount, maxBatch)._1
+
+  /** [[learnMergesBatched]] plus the number of Spark rounds it took —
+    * the quantity the batching exists to shrink (spec/bench surface). */
+  def learnMergesBatchedCounted(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minPairCount: Long = 1L,
+      maxBatch: Int = 64): (DataFrame, Int) = {
+    require(numMerges >= 0, s"bad numMerges $numMerges")
+    require(maxBatch >= 1, s"bad maxBatch $maxBatch")
+    val spark = df.sparkSession
+    var words = wordFreq(df, textCol)
+      .withColumn("syms",
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      .select(col("syms"), col("freq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var rounds = 0
+    var done = false
+    while (rank <= numMerges && !done) {
+      rounds += 1
+      val multi = words.filter(size(col("syms")) > 1)
+      val pairs = multi
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      // K rows bound one driver collect; vocabulary-scale tables are
+      // usually exhausted well before it, making the horizon exact
+      val k = math.min(4096, math.max(64, maxBatch * 8))
+      val top = pairs.orderBy(desc("cnt"), col("l"), col("r")).limit(k).collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) done = true
+      else {
+        val horizon = if (top.length == k) top.last.getLong(2) else -1L
+        // rule-2 symbol set: tiny (alphabet + merges), one cheap agg
+        val symbols = multi
+          .select(explode(col("syms")).as("s")).distinct()
+          .collect().map(_.getString(0)).toSet
+        val budget = math.min(maxBatch, numMerges - rank + 1)
+        val accepted = Seq.newBuilder[(String, String, Long)]
+        val touched = scala.collection.mutable.Set.empty[String]
+        var stopCnt = -1L // count of the first conflicting candidate
+        var n = 0
+        var i = 0
+        while (stopCnt < 0 && n < budget && i < top.length) {
+          val (l, r, cnt) =
+            (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          if (cnt < minPairCount) stopCnt = Long.MaxValue // nothing below qualifies
+          else if (n == 0) {
+            // the global argmax: always exact, always accepted
+            accepted += ((l, r, cnt))
+            touched ++= Seq(l, r, l + r)
+            n += 1
+            if (symbols.contains(l + r)) stopCnt = cnt // rule 2: solo round
+          } else if (touched.contains(l) || touched.contains(r) ||
+            symbols.contains(l + r)) stopCnt = cnt
+          else if (cnt <= horizon) stopCnt = cnt // unseen pairs could tie
+          else {
+            accepted += ((l, r, cnt))
+            touched ++= Seq(l, r, l + r)
+            n += 1
+          }
+          i += 1
+        }
+        // rule 3: drop trailing accepts that tie the conflict bound
+        // (never the head — it is exact regardless). The bound is the
+        // count of the first candidate we did NOT accept for ANY
+        // reason — conflict, budget, or the collection horizon: an
+        // unexamined pair at that count could interact with an earlier
+        // accept and spawn/regrow a tying pair whose fresh symbols
+        // win the lexicographic tie-break sequentially.
+        val budgetStop =
+          if (stopCnt < 0 && i < top.length) top(i).getLong(2) else -1L
+        val bound =
+          if (stopCnt == Long.MaxValue) math.max(horizon, budgetStop)
+          else math.max(math.max(stopCnt, horizon), budgetStop)
+        val batch = {
+          val all = accepted.result()
+          all.head +: all.tail.filter(_._3 > bound)
+        }
+        batch.foreach { case (l, r, cnt) =>
+          merges += ((rank, l, r, cnt)); rank += 1
+        }
+        val prev = words
+        words = words
+          .withColumn("syms", mergeAllUdf(col("syms"),
+            typedLit(batch.map(m => Seq(m._1, m._2)))))
+          .localCheckpoint()
+        prev.unpersist()
+      }
+    }
+    words.unpersist()
+    val schema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("left", StringType, nullable = false),
+      StructField("right", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    (spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        merges.result().map { case (a, b, c, d) => Row(a, b, c, d) }, 1),
+      schema), rounds)
+  }
+
+  /** The 32 K-merge wall-clock path: ONE corpus-scale Spark job builds
+    * the word-frequency table; when that table is vocabulary-scale
+    * (it almost always is — merges per round are bounded by it, and a
+    * 100 TB corpus still has ~10⁶-10⁸ distinct words), the classic
+    * exact trainer runs ON THE DRIVER with incremental pair counts:
+    * every merge is O(affected words), not a Spark job, so a 32 K-merge
+    * vocabulary takes seconds instead of 32 K scheduler round-trips.
+    * Returns EXACTLY [[learnMerges]]' list — same counting (overlap
+    * pairs weighted by word freq), same (count desc, left, right)
+    * argmax, same greedy left-to-right application.
+    *
+    * [[learnMergesAuto]] picks this path when the vocabulary fits and
+    * falls back to the distributed batched rounds when it does not. */
+  def learnMergesLocal(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minPairCount: Long = 1L): DataFrame = {
+    val spark = df.sparkSession
+    val wf = wordFreq(df, textCol).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    localTrainer(spark, wf, numMerges, minPairCount)
+  }
+
+  /** In-memory exact BPE over a (word, freq) table: pair counts in an
+    * ordered set for O(log P) argmax, with a pair→words index so each
+    * merge re-counts only the words containing it (the standard
+    * trainer shape, e.g. Sennrich 2016 reference implementation). */
+  private def localTrainer(
+      spark: SparkSession,
+      wf: Array[(String, Long)],
+      numMerges: Int,
+      minPairCount: Long): DataFrame = {
+    require(numMerges >= 0, s"bad numMerges $numMerges")
+    import scala.collection.mutable
+    // per-word symbol sequences, segmented by CODE POINT like the
+    // distributed rounds (Spark substring counts code points)
+    val syms: Array[mutable.ArrayBuffer[String]] =
+      wf.map { case (w, _) => mutable.ArrayBuffer(codePointSymbols(w): _*) }
+    val freqs: Array[Long] = wf.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // ordered view for argmax: (-count, left, right)
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String, Ordering.String)
+    val heap = mutable.TreeSet.empty[(Long, String, String)]
+    def addPair(p: (String, String), f: Long, w: Int): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old > 0) heap.remove((old, p._1, p._2))
+      counts(p) = old + f
+      heap.add((old + f, p._1, p._2))
+      where.getOrElseUpdate(p, mutable.Set.empty) += w
+    }
+    def dropPair(p: (String, String), f: Long, w: Int, stillThere: Boolean): Unit = {
+      val old = counts(p)
+      heap.remove((old, p._1, p._2))
+      if (old == f) { counts.remove(p); where.remove(p) }
+      else {
+        counts(p) = old - f
+        heap.add((old - f, p._1, p._2))
+        if (!stillThere) where.get(p).foreach(_ -= w)
+      }
+    }
+    syms.indices.foreach { w =>
+      val s = syms(w)
+      var i = 0
+      while (i + 1 < s.length) { addPair((s(i), s(i + 1)), freqs(w), w); i += 1 }
+    }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done && heap.nonEmpty) {
+      val (cnt, l, r) = heap.head
+      if (cnt < minPairCount) done = true
+      else {
+        merges += ((rank, l, r, cnt))
+        val affected = where.get((l, r)).map(_.toArray).getOrElse(Array.empty)
+        affected.foreach { w =>
+          val before = syms(w)
+          val after = mutable.ArrayBuffer(
+            applyMerge(before.toSeq, l, r): _*)
+          if (after.length != before.length) {
+            // retract the word's old pair multiset, add the new one —
+            // counting stays the exact overlap-pair definition
+            val f = freqs(w)
+            val oldPairs = before.indices.dropRight(1)
+              .map(i => (before(i), before(i + 1)))
+            val newPairs = after.indices.dropRight(1)
+              .map(i => (after(i), after(i + 1)))
+            val newSet = newPairs.toSet
+            oldPairs.foreach(p => dropPair(p, f, w, stillThere = newSet.contains(p)))
+            newPairs.foreach(p => addPair(p, f, w))
+            syms(w) = after
+          }
+        }
+        rank += 1
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("left", StringType, nullable = false),
+      StructField("right", StringType, nullable = false),
+      StructField("pair_count", LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        merges.result().map { case (a, b, c, d) => Row(a, b, c, d) }, 1),
+      schema)
+  }
+
+  /** Production entry point: one corpus pass for the word-frequency
+    * table, then the driver-side exact trainer when the vocabulary is
+    * at most `maxLocalVocab` distinct words, else the distributed
+    * batched rounds. Either path returns the exact sequential merge
+    * list. */
+  def learnMergesAuto(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minPairCount: Long = 1L,
+      maxLocalVocab: Long = 8000000L,
+      maxBatch: Int = 64): DataFrame = {
+    val wf = wordFreq(df, textCol)
+    // one extra vocabulary-scale count vs re-reading the corpus: cheap
+    val vocab = wf.count()
+    if (vocab <= maxLocalVocab)
+      localTrainer(df.sparkSession,
+        wf.collect().map(r => (r.getString(0), r.getLong(1))),
+        numMerges, minPairCount)
+    else learnMergesBatched(df, textCol, numMerges, minPairCount, maxBatch)
+  }
+
   /** Tokenize `textCol` with a LEARNED merge list: each lowercase
     * whitespace word is split to characters and the merges replay in
     * rank order (the standard BPE encode). Returns the input plus a
@@ -110,6 +383,16 @@ object Bpe {
     * sequence — the merge-round rewrite. */
   private val mergeUdf = udf { (syms: Seq[String], l: String, r: String) =>
     applyMerge(syms, l, r)
+  }
+
+  /** A batched round's rewrite: the accepted merges applied IN ORDER
+    * (batch compatibility makes the order immaterial for counts, but
+    * in-order application keeps the rewrite literally the sequential
+    * one). */
+  private val mergeAllUdf = udf { (syms: Seq[String], ms: Seq[Seq[String]]) =>
+    var s = syms
+    ms.foreach { m => s = applyMerge(s, m(0), m(1)) }
+    s
   }
 
   private def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {

@@ -77,6 +77,67 @@ class BpePropSpec extends AnyFunSuite {
     }
   }
 
+  test("learnMergesBatched is EXACTLY the sequential merge list, at every batch width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(16160816L)
+    (0 until 12).foreach { trial =>
+      val docs = corpus(rnd)
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val expected = refBpe(docs, 8)
+      // width 1 degenerates to sequential; width 3 exercises the budget
+      // bound; width 64 the conflict/collision/horizon bounds — the
+      // {a,b,c} alphabet makes concat collisions ("ab" already a
+      // symbol) and shared-symbol conflicts the COMMON case
+      Seq(1, 3, 64).foreach { width =>
+        val got = Bpe.learnMergesBatched(df, "text", numMerges = 8, maxBatch = width)
+          .as[(Int, String, String, Long)].collect().toSeq
+        assert(got == expected, s"trial=$trial width=$width corpus=$docs")
+      }
+    }
+  }
+
+  test("learnMergesLocal / learnMergesAuto return the exact sequential list") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99L)
+    (0 until 10).foreach { trial =>
+      val docs = corpus(rnd)
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val expected = refBpe(docs, 10)
+      val local = Bpe.learnMergesLocal(df, "text", numMerges = 10)
+        .as[(Int, String, String, Long)].collect().toSeq
+      assert(local == expected, s"trial=$trial corpus=$docs")
+      // auto routes to the local trainer here (tiny vocab) and to the
+      // distributed batched rounds under a forced 0-vocab ceiling —
+      // both must return the same exact list
+      val auto = Bpe.learnMergesAuto(df, "text", numMerges = 10)
+        .as[(Int, String, String, Long)].collect().toSeq
+      assert(auto == expected)
+      val forcedDistributed = Bpe.learnMergesAuto(df, "text", numMerges = 10,
+        maxLocalVocab = 0L).as[(Int, String, String, Long)].collect().toSeq
+      assert(forcedDistributed == expected)
+    }
+  }
+
+  test("local trainer scales merge count without per-merge Spark jobs") {
+    import spark.implicits._
+    // a natural-ish corpus with shared subwords: 256 merges must come
+    // out of ONE wordFreq job + driver compute, and match the
+    // sequential distributed trainer wherever both terminate
+    val rnd = new scala.util.Random(7L)
+    val stems = Vector("stat", "graph", "chart", "table", "index", "merge",
+      "shard", "query", "token", "batch")
+    val sufs = Vector("", "s", "ing", "ed", "er", "ion", "ions", "able")
+    val docs = List.fill(300)(
+      List.fill(20)(stems(rnd.nextInt(stems.size)) + sufs(rnd.nextInt(sufs.size)))
+        .mkString(" "))
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val local = Bpe.learnMergesLocal(df, "text", numMerges = 256)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // sanity vs the independent reference trainer at the same depth
+    assert(local == refBpe(docs, 256))
+    assert(local.size > 50, s"corpus too shallow: ${local.size} merges")
+  }
+
   test("encode conserves content and respects word boundaries") {
     import spark.implicits._
     val rnd = new scala.util.Random(7L)
