@@ -252,18 +252,23 @@ object Sampling {
       target: DataFrame,
       idCol: String,
       textCol: String,
-      numBuckets: Int = 1 << 16): DataFrame = {
+      numBuckets: Int = 1 << 16,
+      /** feature order: 1 = unigrams; 2 = the paper's unigram+bigram
+        * features (word order becomes signal). Same plan shape at any
+        * order — only the explode fan-out grows. */
+      nGrams: Int = 1): DataFrame = {
     require(numBuckets > 0, s"bad numBuckets $numBuckets")
+    require(nGrams >= 1, s"bad nGrams $nGrams")
     // sentinel tokens ('' for empty docs) get bucket -1 — outside
     // [0, numBuckets), so they miss the weight table and score 0
     // instead of inheriting a real bucket's weight
     def withBucket(toks: DataFrame) = toks.select(col("*"),
       when(col("tok") === "", lit(-1L))
         .otherwise(pmod(xxhash64(col("tok")), lit(numBuckets.toLong))).as("__b"))
-    val rawB = withBucket(sentinelTokens(raw, idCol, textCol))
+    val rawB = withBucket(sentinelTokens(raw, idCol, textCol, nGrams))
     val cr = rawB.filter(col("__b") >= 0L)
       .groupBy("__b").agg(count(lit(1)).as("__cr"))
-    val ct = withBucket(distinctTokens(target, textCol))
+    val ct = withBucket(distinctTokens(target, textCol, nGrams = nGrams))
       .groupBy("__b").agg(count(lit(1)).as("__ct"))
     val w = broadcast(cr.join(ct, Seq("__b"), "left")
       .select(col("__b"),
@@ -291,24 +296,44 @@ object Sampling {
     scored.filter(sampleKey(col(idCol)) < (p * Mod).cast("long"))
   }
 
+  /** Distinct n-gram features up to order `n`: for n=1 the lowercase
+    * whitespace tokens; higher orders append space-joined adjacent
+    * token windows (the DSIR paper's hashed n-gram features — bigrams
+    * materially improve target matching because "new york" and "york
+    * new" stop scoring identically). Pure Column expression. */
+  private def gramArray(textCol: String, n: Int): org.apache.spark.sql.Column = {
+    val toks = filter(
+      split(trim(lower(col(textCol))), TextAnalysis.WsClass), t => t =!= "")
+    val grams = (2 to n).foldLeft(toks) { (acc, k) =>
+      val cnt = greatest(size(toks) - (k - 1), lit(0))
+      val kg = zip_with(
+        slice(toks, lit(1), cnt), slice(toks, lit(k), cnt),
+        // join the full window via transform-index arithmetic is heavy;
+        // adjacent orders only need (first, last) anchors for k=2 —
+        // higher k uses the aggregate form below
+        (a, b) => concat_ws(" ", a, b))
+      if (k == 2) concat(acc, kg)
+      else concat(acc, transform(sequence(lit(1), cnt), i =>
+        array_join(slice(toks, i, lit(k)), " ")))
+    }
+    array_distinct(grams)
+  }
+
   /** Distinct lowercase whitespace tokens per row, exploded to one row
     * per (keep-cols, tok). Empty texts contribute no rows. */
   private def distinctTokens(
-      df: DataFrame, textCol: String, keep: Seq[String] = Nil): DataFrame = {
-    val toks = array_distinct(filter(
-      split(trim(lower(col(textCol))), TextAnalysis.WsClass), t => t =!= ""))
-    df.select(keep.map(col) :+ explode(toks).as("tok"): _*)
-  }
+      df: DataFrame, textCol: String, keep: Seq[String] = Nil,
+      nGrams: Int = 1): DataFrame =
+    df.select(keep.map(col) :+ explode(gramArray(textCol, nGrams)).as("tok"): _*)
 
   /** [[distinctTokens]] keyed by `idCol` (as `__iid`), with empty/null
     * texts represented by ONE sentinel row (`tok = ""` — impossible as
     * a real token, it is filtered out) so every document survives the
     * explode and scoring stays a single corpus pass. */
   private def sentinelTokens(
-      df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = coalesce(array_distinct(filter(
-      split(trim(lower(col(textCol))), TextAnalysis.WsClass), t => t =!= "")),
-      array(lit("")))
+      df: DataFrame, idCol: String, textCol: String,
+      nGrams: Int = 1): DataFrame = {
+    val toks = coalesce(gramArray(textCol, nGrams), array(lit("")))
     val withSentinel = when(size(toks) === 0, array(lit(""))).otherwise(toks)
     df.select(col(idCol).as("__iid"), explode(withSentinel).as("tok"))
   }

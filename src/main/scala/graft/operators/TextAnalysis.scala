@@ -401,6 +401,53 @@ object TextAnalysis {
           .as(textCol))
   }
 
+  /** [[removeFrequentLines]] with xxhash64(line) pre-bucketing — the
+    * 100 TB shape: the corpus-wide frequency shuffle carries only
+    * (hash, id) pairs, never raw line text (at web scale the lines ARE
+    * the corpus, and shuffling them as group keys writes the whole
+    * input to shuffle disk). Collision-safe and EXACTLY equivalent to
+    * the exact form:
+    *
+    *  1. count distinct docs per line HASH (8-byte shuffle key);
+    *  2. hashes over the threshold are candidates — a tiny set, but a
+    *     collision could lump distinct lines and over-count, so the
+    *     candidate rows (only!) are re-counted per (hash, line TEXT)
+    *     exactly — the one stage that shuffles any text is bounded by
+    *     candidate volume;
+    *  3. the verified boilerplate line set broadcasts into the same
+    *     LeftAnti + positional reassembly as the exact form.
+    */
+  def removeFrequentLinesHashed(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      maxDocFreq: Long, sep: String = "\n")
+      : org.apache.spark.sql.DataFrame = {
+    require(maxDocFreq >= 1, s"bad maxDocFreq $maxDocFreq")
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__line")))
+      .withColumn("__h", xxhash64(col("__line")))
+    val candHashes = lines.groupBy("__h")
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select("__h")
+    // collision-safe verify: exact per-(hash, text) doc frequency, but
+    // only over rows whose hash is a candidate
+    val boilerplate = lines
+      .join(broadcast(candHashes), Seq("__h"))
+      .groupBy(col("__h"), col("__line"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select("__h", "__line")
+    lines.join(broadcast(boilerplate), Seq("__h", "__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__pos"), col("__line"))))
+        .as("__parts"))
+      .select(col(idCol),
+        concat_ws(sep, transform(col("__parts"), p => p("__line")))
+          .as(textCol))
+  }
+
   /** Fraction of duplicate word w-grams (captures within-line loops
     * that line-level dedup misses). */
   def dupNgramRatio(text: Column, w: Int = 3): Column = {

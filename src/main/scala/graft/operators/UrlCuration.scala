@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** URL-level curation for web-corpus pipelines: normalization,
   * host/registered-domain extraction, and per-domain frequency caps
-  * (domain balancing). Everything is pure codegen'd Column
-  * expressions — no UDFs — and every rule is re-expressible in plain
-  * SQL, so an independent engine can verify the selection
-  * byte-for-byte (the p27 oracle does).
+  * (domain balancing). The core rules are pure codegen'd Column
+  * expressions re-expressible in plain SQL, so an independent engine
+  * verifies the selection byte-for-byte (the p27 oracle does); the
+  * opt-in PSL-backed domain extraction is the one documented UDF
+  * (longest-suffix matching over a rule table).
   *
   * At 100 TB the shapes matter: normalization and domain extraction
   * are per-row expressions (zero shuffles); the per-domain cap reuses
@@ -74,6 +75,111 @@ object UrlCuration {
         .otherwise(host))
   }
 
+  /** Static snapshot of the suffixes a web-curation corpus hits
+    * constantly, from the PUBLIC publicsuffix.org list (Mozilla-
+    * maintained, MPL): the subdomain-hosting platforms whose users are
+    * distinct sites (capping `github.io` as ONE domain would starve
+    * every project page behind the few hottest) plus the multi-label
+    * ccTLD registries the 2-letter heuristic cannot know (`ne.jp`,
+    * `com.au`), and the `*.ck`/`!www.ck` pair so the wildcard/exception
+    * machinery is exercised, not just stubbed. A snapshot, not the
+    * full list — pass `extraRules` (same PSL syntax) to extend. */
+  val PublicSuffixSnapshot: Seq[String] = Seq(
+    // subdomain-hosting platforms (PSL private section)
+    "github.io", "githubusercontent.com", "gitlab.io", "blogspot.com",
+    "blogspot.co.uk", "blogspot.com.au", "blogspot.de", "blogspot.fr",
+    "blogspot.in", "blogspot.jp", "wordpress.com", "tumblr.com",
+    "netlify.app", "herokuapp.com", "vercel.app", "pages.dev", "web.app",
+    "firebaseapp.com", "appspot.com", "azurewebsites.net",
+    "cloudfront.net", "s3.amazonaws.com", "readthedocs.io",
+    "neocities.org", "weebly.com", "wixsite.com", "fastly-edge.com",
+    // multi-label ccTLD registries (PSL ICANN section)
+    "co.uk", "org.uk", "net.uk", "gov.uk", "ac.uk", "ltd.uk", "plc.uk", "me.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "geek.nz",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "co.in", "net.in", "org.in", "gov.in", "ac.in", "res.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.kr", "ne.kr", "or.kr", "go.kr", "ac.kr", "re.kr", "pe.kr",
+    "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "org.hk", "net.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "org.sg", "net.sg", "edu.sg", "gov.sg", "per.sg",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar", "int.ar",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    "com.tr", "org.tr", "net.tr", "gov.tr", "edu.tr", "web.tr",
+    "co.il", "org.il", "net.il", "gov.il", "ac.il", "muni.il",
+    "com.my", "org.my", "net.my", "gov.my", "edu.my",
+    "co.id", "or.id", "web.id", "go.id", "ac.id", "sch.id",
+    "com.vn", "net.vn", "org.vn", "gov.vn", "edu.vn",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph",
+    "co.th", "or.th", "go.th", "ac.th", "in.th",
+    "com.pk", "net.pk", "org.pk", "gov.pk", "edu.pk",
+    "com.eg", "org.eg", "net.eg", "gov.eg", "edu.eg",
+    "com.sa", "org.sa", "net.sa", "gov.sa", "edu.sa",
+    "com.ua", "net.ua", "org.ua", "gov.ua", "edu.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.ru",
+    // wildcard + exception machinery (PSL: every label under ck is a
+    // suffix EXCEPT www.ck, which is registrable itself)
+    "*.ck", "!www.ck")
+
+  /** PSL-backed eTLD+1: longest matching rule wins, `*` matches one
+    * label, `!` exceptions beat wildcards (the publicsuffix.org
+    * algorithm); hosts matching NO rule fall back to
+    * [[registeredDomain]]'s heuristic. A host that IS a public suffix
+    * returns itself (stable grouping beats null). The rule set rides
+    * in the closure — broadcast-sized by construction (the full PSL is
+    * ~200 KB). Deliberately a UDF: longest-suffix matching over
+    * hundreds of rules is not expressible as a bounded Column
+    * expression, and domain extraction is never the corpus bottleneck.
+    */
+  def registeredDomainPsl(host: Column, extraRules: Seq[String] = Nil): Column = {
+    val rules = PublicSuffixSnapshot ++ extraRules
+    val exact = rules.filterNot(r => r.startsWith("*") || r.startsWith("!")).toSet
+    val wild = rules.filter(_.startsWith("*.")).map(_.stripPrefix("*.")).toSet
+    val except = rules.filter(_.startsWith("!")).map(_.stripPrefix("!")).toSet
+    val twoPart = TwoPartTlds.toSet
+    val f = udf { (h: String) =>
+      if (h == null || h.isEmpty) ""
+      else {
+        val labels = h.split('.')
+        val n = labels.length
+        // prevailing rule per the publicsuffix.org algorithm: an
+        // exception beats everything (its own value IS the registered
+        // domain); otherwise the longest matching suffix, where "*.X"
+        // matches any one label directly under X
+        var exceptionHit: String = null
+        var best = 0 // label count of the longest matching suffix
+        var take = 1
+        while (take <= n && exceptionHit == null) {
+          val suffix = labels.slice(n - take, n).mkString(".")
+          if (except.contains(suffix)) exceptionHit = suffix
+          else {
+            if (exact.contains(suffix)) best = take
+            if (take >= 2 &&
+              wild.contains(labels.slice(n - take + 1, n).mkString(".")))
+              best = take
+          }
+          take += 1
+        }
+        if (exceptionHit != null) exceptionHit
+        else if (best > 0) {
+          val keep = math.min(n, best + 1)
+          labels.slice(n - keep, n).mkString(".")
+        } else {
+          // no PSL rule: the existing two-part-TLD heuristic
+          if (n >= 3 && twoPart.contains(labels(n - 2)) && labels(n - 1).length == 2)
+            labels.slice(n - 3, n).mkString(".")
+          else if (n >= 2) labels.slice(n - 2, n).mkString(".")
+          else h
+        }
+      }
+    }
+    f(host)
+  }
+
   /** Exact URL dedup after normalization: one row per canonical URL
     * (smallest id wins), with the copy count. Hash-partitioned
     * groupBy — the same shape as [[Dedup.exact]]. */
@@ -88,8 +194,16 @@ object UrlCuration {
     * Delegates to the salted two-level exact rank — no single-task
     * windows even for a domain holding most of the corpus. */
   def capPerDomain(
-      df: DataFrame, urlCol: String, idCol: String, cap: Long): DataFrame =
+      df: DataFrame, urlCol: String, idCol: String, cap: Long,
+      /** true → [[registeredDomainPsl]] grouping: subdomain-hosting
+        * platforms cap per SITE and multi-label registries group
+        * correctly. Default keeps the SQL-expressible heuristic (the
+        * p27 oracle contract). */
+      psl: Boolean = false): DataFrame = {
+    val dom =
+      if (psl) registeredDomainPsl(hostOf(col(urlCol)))
+      else registeredDomain(hostOf(col(urlCol)))
     Sampling.mixSources(
-      df.withColumn("domain", registeredDomain(hostOf(col(urlCol)))),
-      "domain", idCol, cap)
+      df.withColumn("domain", dom), "domain", idCol, cap)
+  }
 }

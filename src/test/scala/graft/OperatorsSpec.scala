@@ -1028,6 +1028,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept2 == kept)
   }
 
+  test("DSIR hashed bigram features rank word ORDER, unigrams cannot") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // target phrase vs its scrambled permutation: identical unigram
+    // sets, so unigram features tie them — bigram features must rank
+    // the in-order doc strictly above the scrambled one
+    val target = (0 until 30).map(i => (100L + i, "new york city hall"))
+      .toDF("id", "text")
+    val docs = Seq(
+      (1L, "new york city hall report"),
+      (2L, "hall city york new report"), // scrambled, same unigrams
+      (3L, "unrelated filler words entirely")).toDF("id", "text")
+    val uni = Sampling.importanceScoresHashed(docs, target, "id", "text",
+      nGrams = 1).as[(Long, Long)].collect().toMap
+    assert(uni(1L) == uni(2L), s"unigram features should tie: $uni")
+    val bi = Sampling.importanceScoresHashed(docs, target, "id", "text",
+      nGrams = 2)
+    val biMap = bi.as[(Long, Long)].collect().toMap
+    assert(biMap(1L) > biMap(2L), s"bigrams must rank order: $biMap")
+    assert(biMap(2L) > biMap(3L), s"shared unigrams still count: $biMap")
+    // the scale contract survives the feature order: the weight table
+    // stays broadcast on the wide side
+    val plan = bi.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hashed weight join must stay broadcast:\n$plan")
+    // empty docs still score 0 through the sentinel at order 2
+    val withEmpty = Sampling.importanceScoresHashed(
+      docs.union(Seq((9L, "")).toDF("id", "text")), target, "id", "text",
+      nGrams = 2).as[(Long, Long)].collect().toMap
+    assert(withEmpty(9L) == 0L)
+  }
+
   test("Gopher rules: each rule fails in isolation on a crafted doc") {
     import spark.implicits._
     // A baseline doc that passes every rule: 60 alphabetic words

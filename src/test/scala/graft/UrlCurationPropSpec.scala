@@ -65,6 +65,88 @@ class UrlCurationPropSpec extends AnyFunSuite {
     }
   }
 
+  test("registeredDomainPsl: hosting platforms, multi-label registries, wildcards, exceptions, fallback") {
+    import spark.implicits._
+    val cases = Seq(
+      // subdomain-hosting platforms: each user site is its own domain
+      ("myproj.github.io", "myproj.github.io"),
+      ("deep.sub.myproj.github.io", "myproj.github.io"),
+      ("github.io", "github.io"), // the suffix itself: stable self-group
+      ("someblog.blogspot.com", "someblog.blogspot.com"),
+      ("app-7.herokuapp.com", "app-7.herokuapp.com"),
+      // multi-label ccTLD registries the 2-letter heuristic misses
+      ("foo.ne.jp", "foo.ne.jp"),
+      ("www.foo.ne.jp", "foo.ne.jp"),
+      ("example.co.jp", "example.co.jp"),
+      ("service.gov.uk", "service.gov.uk"),
+      ("www.service.gov.uk", "service.gov.uk"),
+      ("shop.example.com.au", "example.com.au"),
+      // wildcard *.ck: every label under ck is a public suffix...
+      ("foo.bar.ck", "foo.bar.ck"),
+      ("a.foo.bar.ck", "foo.bar.ck"),
+      // ...EXCEPT the !www.ck exception, registrable itself
+      ("www.ck", "www.ck"),
+      ("sub.www.ck", "www.ck"),
+      // no PSL rule: heuristic fallback unchanged
+      ("example.com", "example.com"),
+      ("a.b.example.com", "example.com"),
+      ("example.co.uz", "example.co.uz"), // two-part heuristic
+      ("localhost", "localhost"),
+      ("", ""))
+    val got = cases.map(_._1).toDF("host")
+      .select(col("host"), U.registeredDomainPsl(col("host")).as("dom"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) == want, s"host=$h got=${got(h)} want=$want")
+    }
+    // extraRules extend the snapshot with the same syntax
+    val withExtra = Seq("a.b.example.com").toDF("host")
+      .select(U.registeredDomainPsl(col("host"), Seq("example.com")))
+      .as[String].head()
+    assert(withExtra == "b.example.com")
+  }
+
+  test("capPerDomain(psl=true) caps per hosted SITE, not per platform suffix") {
+    import spark.implicits._
+    // 6 sites on github.io with 4 pages each; platform-level grouping
+    // would keep only `cap` pages TOTAL, PSL keeps `cap` per site
+    val rows = for {
+      site <- 0 until 6; page <- 0 until 4
+    } yield (site.toLong * 100 + page, s"https://site$site.github.io/p$page")
+    val df = rows.toDF("id", "url")
+    val psl = U.capPerDomain(df, "url", "id", cap = 2L, psl = true)
+    val counts = psl.groupBy("domain").count().as[(String, Long)].collect().toMap
+    assert(counts.size == 6 && counts.values.forall(_ == 2L),
+      s"per-site caps wrong: $counts")
+    val heuristic = U.capPerDomain(df, "url", "id", cap = 2L)
+    assert(heuristic.count() == 2L) // platform collapses to one domain
+  }
+
+  test("removeFrequentLinesHashed is exactly removeFrequentLines over random corpora") {
+    import spark.implicits._
+    val TA = graft.operators.TextAnalysis
+    val rnd = new scala.util.Random(2716)
+    (0 until 6).foreach { trial =>
+      // small line alphabet → heavy cross-doc repetition, empty lines,
+      // docs made entirely of boilerplate
+      val lineOf = Vector("COOKIE BANNER", "nav home", "unique %d",
+        "footer (c)", "", "body text %d", "subscribe now")
+      val docs = (0 until 40).map { i =>
+        val n = 1 + rnd.nextInt(8)
+        val text = (0 until n).map { _ =>
+          lineOf(rnd.nextInt(lineOf.size)).replace("%d", rnd.nextInt(30).toString)
+        }.mkString("\n")
+        (i.toLong, text)
+      }.toDF("doc_id", "text")
+      val cap = 1L + rnd.nextInt(6)
+      val exact = TA.removeFrequentLines(docs, "doc_id", "text", cap)
+        .as[(Long, String)].collect().toMap
+      val hashed = TA.removeFrequentLinesHashed(docs, "doc_id", "text", cap)
+        .as[(Long, String)].collect().toMap
+      assert(hashed == exact, s"trial=$trial cap=$cap")
+    }
+  }
+
   test("removeFrequentLines conserves non-boilerplate lines over random corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(2024)
