@@ -78,6 +78,45 @@ object GrowthPipeline {
       flags.filter(col("g.keep")).count()
     }
     println(s"[growth-pipe] gopher kept=$kept of $n")
+
+    // ---- 4. p27 capPerDomain at growth: 5000 sites on one hosting
+    // platform. PSL mode caps per SITE (5000 groups); heuristic mode
+    // collapses all of them into ONE domain — the deliberate skew case
+    // the salted two-level rank exists for (no single-task window).
+    val U = graft.operators.UrlCuration
+    val urls = spark.range(n).select(col("id"),
+      concat(lit("https://site"), pmod(col("id"), lit(5000)),
+        lit(".github.io/page/"), col("id")).as("url"))
+      .localCheckpoint()
+    val capped = U.capPerDomain(urls, "url", "id", cap = 8L, psl = true)
+    val cappedN = time(s"p27 capPerDomain psl n=$n") { capped.count() }
+    val skewed = U.capPerDomain(urls, "url", "id", cap = 8L)
+    val skewedN = time(s"p27 capPerDomain skew-1-domain n=$n") { skewed.count() }
+    require(cappedN == math.min(n / 5000, 8L) * 5000 || cappedN == math.min(n, 8L * 5000),
+      s"psl cap wrong: $cappedN")
+    require(skewedN == math.min(n, 8L), s"skew cap wrong: $skewedN")
+    // the exact-rank plan must keep WindowGroupLimit pushdown on both
+    // rank levels at every scale — the guard that the skewed domain
+    // never funnels its full row set through one sort task
+    val capPlan = skewed.queryExecution.executedPlan.toString
+    require("WindowGroupLimit".r.findAllIn(capPlan).size >= 2,
+      s"capPerDomain lost WindowGroupLimit pushdown:\n$capPlan")
+
+    // ---- 5. p28 hashed line dedup: per-doc unique lines + one
+    // boilerplate line shared corpus-wide. The frequency shuffle
+    // carries (hash, id) only; the anti join must stay broadcast with
+    // the (tiny) verified boilerplate set as build side.
+    val lined = docs.select(col("id"), concat_ws("\n",
+      concat(lit("body "), col("text")),
+      lit("COOKIE BANNER ACCEPT ALL"),
+      concat(lit("unique "), col("id"))).as("ltext"))
+    val deduped = TA.removeFrequentLinesHashed(lined, "id", "ltext", maxDocFreq = 100)
+    val lineRows = time(s"p28 hashed line dedup n=$n") { deduped.count() }
+    require(lineRows == n, s"line dedup lost docs: $lineRows of $n")
+    val dedupPlan = deduped.queryExecution.executedPlan.toString
+    require(dedupPlan.contains("BroadcastHashJoin") &&
+      dedupPlan.contains("LeftAnti"),
+      s"hashed line dedup anti join is not broadcast:\n$dedupPlan")
     spark.stop()
   }
 }

@@ -27,8 +27,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(outdir: str, sfdir: str, json_out: str | None = None) -> int:
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        path = f"{sfdir}/{t}.parquet"
+        # driver testdata are single files; Spark-written scale-ups are
+        # directories of part files — glob those
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     fails = 0
     board = {}
