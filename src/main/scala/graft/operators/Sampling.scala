@@ -306,15 +306,19 @@ object Sampling {
       split(trim(lower(col(textCol))), TextAnalysis.WsClass), t => t =!= "")
     val grams = (2 to n).foldLeft(toks) { (acc, k) =>
       val cnt = greatest(size(toks) - (k - 1), lit(0))
-      val kg = zip_with(
-        slice(toks, lit(1), cnt), slice(toks, lit(k), cnt),
-        // join the full window via transform-index arithmetic is heavy;
-        // adjacent orders only need (first, last) anchors for k=2 —
-        // higher k uses the aggregate form below
-        (a, b) => concat_ws(" ", a, b))
-      if (k == 2) concat(acc, kg)
-      else concat(acc, transform(sequence(lit(1), cnt), i =>
-        array_join(slice(toks, i, lit(k)), " ")))
+      val kg =
+        if (k == 2)
+          // bigrams zip the array against its own shift — empty slices
+          // make short docs safe with no guard
+          zip_with(slice(toks, lit(1), cnt), slice(toks, lit(k), cnt),
+            (a, b) => concat_ws(" ", a, b))
+        else
+          // higher orders window via index; sequence(1, 0) DESCENDS in
+          // Spark, so docs shorter than k need the explicit empty
+          when(cnt > 0, transform(sequence(lit(1), cnt), i =>
+            array_join(slice(toks, i, lit(k)), " ")))
+            .otherwise(array().cast("array<string>"))
+      concat(acc, kg)
     }
     array_distinct(grams)
   }

@@ -4977,6 +4977,31 @@ final class GraftTable private (
             deleted += Paths.get(path).relativize(p).toString
           }
       }
+    // manifest orphans: delta manifests written by CAS losers before
+    // their retry, manifest lists superseded mid-crash, and crashed
+    // writeString `.tmp.` staging — referenced by nothing once the
+    // race resolves, and (unlike data files) never covered by the
+    // data-root walk above. The referenced set must span every
+    // branch's snapshots AND tags AND the retained-changelog registry.
+    val liveManifests: Set[String] = {
+      val sms = (None +: sm.branches.map(Option(_)))
+        .map(b => new SnapshotManager(path, b, sm.io))
+      sms.flatMap(s => (s.snapshotIds.map(s.snapshot) ++ s.tagSnapshots)
+        .flatMap(sn => (s.readManifestList(sn.manifestList) :+ sn.manifestList) ++
+          sn.deltaManifest ++ sn.changelogManifest)).toSet ++
+        sms.flatMap(s => s.retainedChangelogs.map(_.manifest)).toSet
+    }
+    val mdir = Paths.get(s"$path/manifest")
+    if (Files.isDirectory(mdir)) {
+      graft.core.FsUtil.walkAll(mdir).iterator
+        .filter(p => Files.isRegularFile(p) &&
+          !liveManifests.contains(p.getFileName.toString) &&
+          Files.getLastModifiedTime(p).toMillis < cutoff)
+        .foreach { p =>
+          Files.deleteIfExists(p)
+          deleted += Paths.get(path).relativize(p).toString
+        }
+    }
     deleted.toSeq
   }
 

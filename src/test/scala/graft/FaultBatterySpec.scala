@@ -252,11 +252,13 @@ class FaultBatterySpec extends AnyFunSuite {
         assert(observed == model || observed == expected,
           s"seed $seed step $step: torn content after crash: $observed " +
             s"(pre=$model post=$expected)")
-        // recovery: retry the step fault-free until it converges
+        // recovery: retry the step fault-free until it converges.
+        // Content must land on the post-state for every action except
+        // rollback (whose post-state is the rewind itself).
         attempt()
         checkIntegrity(dir)
         val after = readState(dir)
-        assert(after == expected || action > 5,
+        assert(after == expected || action == 9,
           s"seed $seed step $step: retry did not converge: $after vs $expected")
         model = after
       }
@@ -271,6 +273,17 @@ class FaultBatterySpec extends AnyFunSuite {
     assert(graft.core.FsUtil.walkAll(Paths.get(s"$dir/snapshot")).forall(p =>
       !p.getFileName.toString.contains(".tmp.")),
       s"seed $seed: staged snapshot debris survived the sweep")
+    // manifest dir holds ONLY live manifests after the sweep: no
+    // crashed staging, no CAS-loser delta manifests
+    val cleanSm = new SnapshotManager(dir)
+    val live = (cleanSm.snapshotIds.map(cleanSm.snapshot) ++ cleanSm.tagSnapshots)
+      .flatMap(sn => (cleanSm.readManifestList(sn.manifestList) :+ sn.manifestList) ++
+        sn.deltaManifest ++ sn.changelogManifest).toSet ++
+      cleanSm.retainedChangelogs.map(_.manifest).toSet
+    val leftover = graft.core.FsUtil.walkAll(Paths.get(s"$dir/manifest"))
+      .filter(Files.isRegularFile(_)).map(_.getFileName.toString)
+      .filterNot(live.contains)
+    assert(leftover.isEmpty, s"seed $seed: orphan manifests survived: $leftover")
     // the table stays writable with clean IO after everything
     val t = GraftTable.load(spark, dir)
     t.write(kvDf(Seq((99L, 99L))))
