@@ -330,6 +330,7 @@ object Storage {
       s.conf.set("spark.sql.catalog.graft_gate.warehouse", wh)
       tbl(s, dir, "orders").createOrReplaceTempView("g18_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
+      s.sql("DROP TABLE IF EXISTS graft_gate.gate.orders_sql") // idempotent under bench retry
       s.sql("""CREATE TABLE graft_gate.gate.orders_sql
               |(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
               | o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)
@@ -416,6 +417,7 @@ object Storage {
       s.conf.set("spark.sql.catalog.graft_g21.warehouse", wh)
       tbl(s, dir, "orders").createOrReplaceTempView("g21_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g21.gate")
+      s.sql("DROP TABLE IF EXISTS graft_g21.gate.orders_dml") // idempotent under bench retry
       s.sql("""CREATE TABLE graft_g21.gate.orders_dml
               |(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
               |PARTITIONED BY (o_orderstatus)""".stripMargin)
@@ -540,6 +542,8 @@ object Storage {
       tbl(s, dir, "orders").createOrReplaceTempView("g27_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g27.gate")
       Seq("t1", "t2").foreach(t => s.sql(
+        s"DROP TABLE IF EXISTS graft_g27.gate.$t")) // idempotent under bench retry
+      Seq("t1", "t2").foreach(t => s.sql(
         s"""CREATE TABLE graft_g27.gate.$t (o_orderkey BIGINT, price DOUBLE)
            |TBLPROPERTIES ('primary-key'='o_orderkey', 'bucket'='4')""".stripMargin))
       s.sql("""INSERT INTO graft_g27.gate.t1
@@ -570,6 +574,7 @@ object Storage {
       s.conf.set("spark.sql.catalog.graft_g25.warehouse", wh)
       tbl(s, dir, "orders").createOrReplaceTempView("g25_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g25.gate")
+      s.sql("DROP TABLE IF EXISTS graft_g25.gate.t") // idempotent under bench retry
       s.sql("""CREATE TABLE graft_g25.gate.t
               |(o_orderkey BIGINT, o_totalprice DOUBLE, up_seq BIGINT)
               |TBLPROPERTIES ('primary-key'='o_orderkey',
@@ -707,6 +712,7 @@ object Storage {
       s.conf.set("spark.sql.catalog.graft_g33.warehouse", wh)
       tbl(s, dir, "orders").createOrReplaceTempView("g33_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g33.gate")
+      s.sql("DROP TABLE IF EXISTS graft_g33.gate.t") // idempotent under bench retry
       s.sql("""CREATE TABLE graft_g33.gate.t
               |(o_orderkey BIGINT, o_totalprice DOUBLE, up_seq BIGINT)
               |TBLPROPERTIES ('primary-key'='o_orderkey',
@@ -807,6 +813,7 @@ object Storage {
               |       ELSE 4 END AS band
               |FROM g36_src""".stripMargin)
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g36.gate")
+      s.sql("DROP TABLE IF EXISTS graft_g36.gate.t") // idempotent under bench retry
       s.sql("CREATE TABLE graft_g36.gate.t (o_orderkey BIGINT, o_totalprice DOUBLE)")
       (1 to 4).foreach { b =>
         s.sql(s"""INSERT INTO graft_g36.gate.t
@@ -834,6 +841,7 @@ object Storage {
       s.conf.set("spark.sql.catalog.graft_g37", "graft.sources.GraftCatalog")
       s.conf.set("spark.sql.catalog.graft_g37.warehouse", wh)
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g37.gate")
+      s.sql("DROP TABLE IF EXISTS graft_g37.gate.orders_csv") // idempotent under bench retry
       s.sql(s"""CREATE TABLE graft_g37.gate.orders_csv
                |(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
                |TBLPROPERTIES ('format'='csv',
@@ -888,10 +896,18 @@ object Storage {
         |  FROM orders)
         |WHERE rowid >= 100 AND rowid < 600""".stripMargin) { (s, dir) =>
       val src = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
-      val wh = Files.createTempDirectory("graft-g39-wh").toString
-      s.conf.set("spark.sql.catalog.graft_g39", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft_g39.warehouse", wh)
+      // the catalog instance is CACHED per name: bind the warehouse
+      // once and reuse it, or a same-session re-invocation (bench
+      // retry) direct-loads from a warehouse the catalog never used
+      val wh = s.conf.getOption("spark.sql.catalog.graft_g39.warehouse")
+        .getOrElse {
+          val w = Files.createTempDirectory("graft-g39-wh").toString
+          s.conf.set("spark.sql.catalog.graft_g39", "graft.sources.GraftCatalog")
+          s.conf.set("spark.sql.catalog.graft_g39.warehouse", w)
+          w
+        }
       s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g39.gate")
+      s.sql("DROP TABLE IF EXISTS graft_g39.gate.orders_rt") // idempotent under bench retry
       s.sql("""CREATE TABLE graft_g39.gate.orders_rt
               |(o_orderkey BIGINT, o_orderstatus STRING)
               |TBLPROPERTIES ('row-tracking.enabled'='true')""".stripMargin)
@@ -1334,6 +1350,7 @@ object Storage {
       s.conf.set("spark.sql.catalog.g54.warehouse", wh)
       tbl(s, dir, "orders").createOrReplaceTempView("g54_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS g54.gate")
+      s.sql("DROP TABLE IF EXISTS g54.gate.orders") // idempotent under bench retry
       s.sql("""CREATE TABLE g54.gate.orders
               |(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
               |PARTITIONED BY (o_orderstatus)""".stripMargin)
@@ -1866,6 +1883,11 @@ object Storage {
       s.conf.set("spark.sql.catalog.g72.warehouse", wh)
       tbl(s, dir, "customer").createOrReplaceTempView("g72_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS g72.gate")
+      // re-invocation in one session (bench retries!) hits the CACHED
+      // catalog instance with the first run's warehouse — drop the
+      // previous run's tables so the gate is idempotent
+      s.sql("DROP TABLE IF EXISTS g72.gate.seg")
+      s.sql("DROP TABLE IF EXISTS g72.gate.cust")
       s.sql("CREATE TABLE g72.gate.cust (c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)")
       // first slice + refresh, then the rest + refresh: the result must
       // reflect the SECOND state only (full replacement)
@@ -1900,6 +1922,9 @@ object Storage {
       s.conf.set("spark.sql.catalog.g74.warehouse", wh)
       tbl(s, dir, "customer").createOrReplaceTempView("g74_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS g74.gate")
+      // idempotent under same-session re-invocation (cached catalog
+      // keeps the first warehouse): recreate → snapshots restart at 0
+      s.sql("DROP TABLE IF EXISTS g74.gate.t")
       s.sql("CREATE TABLE g74.gate.t (k BIGINT, v STRING) " +
         "TBLPROPERTIES ('primary-key'='k', 'bucket'='2')")
       // snapshot 0: the even keys under their raw names
@@ -1984,6 +2009,7 @@ object Storage {
       s.conf.set("spark.sql.catalog.g76.warehouse", wh)
       tbl(s, dir, "customer").createOrReplaceTempView("g76_src")
       s.sql("CREATE NAMESPACE IF NOT EXISTS g76.gate")
+      s.sql("DROP TABLE IF EXISTS g76.gate.t") // idempotent under bench retry
       s.sql("CREATE TABLE g76.gate.t (k BIGINT, v STRING) " +
         "TBLPROPERTIES ('primary-key'='k', 'bucket'='2', " +
         "'changelog-producer'='lookup')")
