@@ -204,13 +204,17 @@ class FaultBatterySpec extends AnyFunSuite {
     * the reclamation pass and a clean closing write. */
   /** @return number of injected faults, so the battery can assert it
     *         actually exercised crash windows. */
-  private def runSchedule(seed: Int): Int = {
+  private def runSchedule(seed: Int, inner: FileIO = new LocalFileIO): Int = {
     val dir = tmp()
     GraftTable.create(spark, dir, kvSchema,
       primaryKeys = Seq("k"),
       options = Map("bucket" -> "2", "commit.max-retries" -> "20",
         "commit.min-retry-wait" -> "1ms", "commit.max-retry-wait" -> "20ms"))
-    val fio = new FaultFileIO
+    // inner selects the semantic surface the faults compose over —
+    // POSIX (staged tmp + hard-link CAS) or object-store (atomic PUT,
+    // conditional-PUT CAS, copy+delete rename): the commit protocol
+    // must survive either
+    val fio = new FaultFileIO(inner)
     val faulted = GraftTable.load(spark, dir, fio)
     val r = new scala.util.Random(seed * 7919L)
     var model = Map.empty[Long, Long]
@@ -292,10 +296,16 @@ class FaultBatterySpec extends AnyFunSuite {
   }
 
   test("fault battery: 24 randomized metadata-fault schedules, invariants after every step") {
-    val totalInjected = (1 to 24).map(runSchedule).sum
+    val totalInjected = (1 to 24).map(seed => runSchedule(seed)).sum
     // the battery must actually be injecting, or every assertion above
     // is a clean-path tautology
     assert(totalInjected >= 40, s"only $totalInjected faults fired")
+  }
+
+  test("fault battery over OBJECT-STORE semantics: conditional-PUT CAS + copy-delete rename") {
+    val totalInjected = (101 to 108)
+      .map(seed => runSchedule(seed, new graft.core.ObjectStoreFileIO)).sum
+    assert(totalInjected >= 12, s"only $totalInjected faults fired")
   }
 
   test("ambiguous CAS (landed, response lost): streaming identifier replay does not duplicate") {
