@@ -259,8 +259,17 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     val failedShort = failed.map(r => jstr(shortId(r.name))).mkString("[", ",", "]")
-    val line =
+    val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"failed":$failedShort,"window_quality":"$windowQuality","retried":$retriedCount,"sf":"$sfName"}"""
+    // the driver keeps only the LAST ~2000 chars of stdout; a line
+    // longer than that loses its HEAD — including "metric"/"value" —
+    // and parses as garbage (r15 measured 147 chars of slack at 155
+    // gates). Past the budget, drop the per-query map from stdout
+    // (BENCH_LOCAL.json always carries it in full precision).
+    val line =
+      if (fullLine.length <= 1900) fullLine
+      else
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"queries_in":"BENCH_LOCAL.json","failed":$failedShort,"window_quality":"$windowQuality","retried":$retriedCount,"sf":"$sfName"}"""
     val qsFull = results.map(r =>
       "\"" + r.name + "\":" + (if (r.failed) "null" else r.sec.toString))
       .mkString("{", ",", "}")
