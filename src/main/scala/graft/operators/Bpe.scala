@@ -129,17 +129,24 @@ object Bpe {
     learnMergesBatchedCounted(df, textCol, numMerges, minPairCount, maxBatch)._1
 
   /** [[learnMergesBatched]] plus the number of Spark rounds it took —
-    * the quantity the batching exists to shrink (spec/bench surface). */
+    * the quantity the batching exists to shrink (spec/bench surface).
+    *
+    * @param precomputedWordFreq a `(word, freq)` table to train on
+    *        INSTEAD of re-deriving [[wordFreq]] from `df` — the entry
+    *        point for callers (like [[learnMergesAuto]]) that already
+    *        paid the corpus pass; `df`/`textCol` are ignored when set
+    *        except for the SparkSession. */
   def learnMergesBatchedCounted(
       df: DataFrame,
       textCol: String,
       numMerges: Int,
       minPairCount: Long = 1L,
-      maxBatch: Int = 64): (DataFrame, Int) = {
+      maxBatch: Int = 64,
+      precomputedWordFreq: Option[DataFrame] = None): (DataFrame, Int) = {
     require(numMerges >= 0, s"bad numMerges $numMerges")
     require(maxBatch >= 1, s"bad maxBatch $maxBatch")
     val spark = df.sparkSession
-    var words = wordFreq(df, textCol)
+    var words = precomputedWordFreq.getOrElse(wordFreq(df, textCol))
       .withColumn("syms",
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
       .select(col("syms"), col("freq"))
@@ -343,26 +350,60 @@ object Bpe {
       schema)
   }
 
-  /** Production entry point: one corpus pass for the word-frequency
-    * table, then the driver-side exact trainer when the vocabulary is
-    * at most `maxLocalVocab` distinct words, else the distributed
-    * batched rounds. Either path returns the exact sequential merge
-    * list. */
+  /** Routing predicate of [[learnMergesAuto]], factored out so the
+    * contract is directly testable: the driver trainer is taken only
+    * when BOTH the distinct-word count and the total symbol count
+    * (summed code-point word length — what [[localTrainer]]'s memory
+    * is actually proportional to) fit their caps. A corpus of few but
+    * very LONG words (URLs, code identifiers, agglutinative text)
+    * routes to the distributed rounds even under the vocab cap. */
+  def routeLocal(vocab: Long, totalSymbols: Long,
+      maxLocalVocab: Long, maxLocalSymbols: Long): Boolean =
+    vocab <= maxLocalVocab && totalSymbols <= maxLocalSymbols
+
+  /** Production entry point: ONE corpus pass builds the word-frequency
+    * table (persisted, so routing stats, the driver collect and the
+    * batched fallback all reuse it — no second corpus scan on any
+    * path), then the driver-side exact trainer when the table fits,
+    * else the distributed batched rounds. Either path returns the
+    * exact sequential merge list.
+    *
+    * Driver-memory contract of the local path: [[localTrainer]] holds
+    * every word's symbol sequence plus pair-count/pair→word indexes —
+    * ~150-250 bytes of boxed JVM structures PER SYMBOL (code point),
+    * so the bound that matters is `sum(length(word))`, NOT the
+    * distinct-word count (8 M short words fit easily; 8 M URLs do
+    * not). The default `maxLocalSymbols` of 16 M symbols caps the
+    * trainer's working set at roughly 4 GB of driver heap; lower it
+    * for small drivers, raise it only with driver memory to match.
+    * Past either cap the batched rounds take over — same answer,
+    * nothing on the driver beyond top-K collects. */
   def learnMergesAuto(
       df: DataFrame,
       textCol: String,
       numMerges: Int,
       minPairCount: Long = 1L,
       maxLocalVocab: Long = 8000000L,
-      maxBatch: Int = 64): DataFrame = {
+      maxBatch: Int = 64,
+      maxLocalSymbols: Long = 16000000L): DataFrame = {
     val wf = wordFreq(df, textCol)
-    // one extra vocabulary-scale count vs re-reading the corpus: cheap
-    val vocab = wf.count()
-    if (vocab <= maxLocalVocab)
-      localTrainer(df.sparkSession,
-        wf.collect().map(r => (r.getString(0), r.getLong(1))),
-        numMerges, minPairCount)
-    else learnMergesBatched(df, textCol, numMerges, minPairCount, maxBatch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // vocabulary-scale agg over the persisted table: distinct words
+      // AND total symbols in one job (length() counts code points,
+      // matching the per-code-point segmentation both trainers use)
+      val stats = wf.agg(
+        count(lit(1)).as("vocab"),
+        coalesce(sum(length(col("word"))), lit(0L)).as("syms")).head()
+      if (routeLocal(stats.getLong(0), stats.getLong(1),
+          maxLocalVocab, maxLocalSymbols))
+        localTrainer(df.sparkSession,
+          wf.collect().map(r => (r.getString(0), r.getLong(1))),
+          numMerges, minPairCount)
+      else
+        learnMergesBatchedCounted(df, textCol, numMerges, minPairCount,
+          maxBatch, precomputedWordFreq = Some(wf))._1
+    } finally wf.unpersist()
   }
 
   /** Tokenize `textCol` with a LEARNED merge list: each lowercase

@@ -125,6 +125,26 @@ object UrlCuration {
     // suffix EXCEPT www.ck, which is registrable itself)
     "*.ck", "!www.ck")
 
+  /** The FULL publicsuffix.org list (~9,500 rules), bundled as the
+    * resource `graft/public_suffix_list.dat` (the standard Mozilla-
+    * published dat, MPL 2.0 — header retained in the file) and parsed
+    * once per JVM: comment (`//`) and blank lines drop, every other
+    * line is a rule in the exact syntax [[registeredDomainPsl]]
+    * matches (`*.` wildcards, `!` exceptions, ICANN + private
+    * sections, lowercase, Unicode rules as published — hosts must be
+    * in the same form to match; punycode hosts only match punycode
+    * rules). Pass as `registeredDomainPsl(host, rules = loadPsl())`;
+    * [[PublicSuffixSnapshot]] stays the no-IO default. */
+  def loadPsl(): Seq[String] = FullPslRules
+  private lazy val FullPslRules: Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    require(in != null, "bundled graft/public_suffix_list.dat not on classpath")
+    try {
+      scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toList
+    } finally in.close()
+  }
+
   /** PSL-backed eTLD+1: longest matching rule wins, `*` matches one
     * label, `!` exceptions beat wildcards (the publicsuffix.org
     * algorithm); hosts matching NO rule fall back to
@@ -135,13 +155,21 @@ object UrlCuration {
     * hundreds of rules is not expressible as a bounded Column
     * expression, and domain extraction is never the corpus bottleneck.
     */
-  def registeredDomainPsl(host: Column, extraRules: Seq[String] = Nil): Column = {
-    val rules = PublicSuffixSnapshot ++ extraRules
-    val exact = rules.filterNot(r => r.startsWith("*") || r.startsWith("!")).toSet
-    val wild = rules.filter(_.startsWith("*.")).map(_.stripPrefix("*.")).toSet
-    val except = rules.filter(_.startsWith("!")).map(_.stripPrefix("!")).toSet
+  def registeredDomainPsl(host: Column, extraRules: Seq[String] = Nil,
+      /** the rule table to match against — [[PublicSuffixSnapshot]]
+        * (no-IO, always available) by default; pass [[loadPsl]]() for
+        * the full bundled publicsuffix.org list. */
+      rules: Seq[String] = PublicSuffixSnapshot): Column = {
+    val all = rules ++ extraRules
+    val exact = all.filterNot(r => r.startsWith("*") || r.startsWith("!")).toSet
+    val wild = all.filter(_.startsWith("*.")).map(_.stripPrefix("*.")).toSet
+    val except = all.filter(_.startsWith("!")).map(_.stripPrefix("!")).toSet
     val twoPart = TwoPartTlds.toSet
-    val f = udf { (h: String) =>
+    val f = udf { (hRaw: String) =>
+      // FQDN form: a trailing dot ("example.com.") is an empty root
+      // label, not part of any rule — strip it or the suffix walk
+      // compares "com." to "com" and falls through to a wrong fallback
+      val h = if (hRaw != null && hRaw.endsWith(".")) hRaw.dropRight(1) else hRaw
       if (h == null || h.isEmpty) ""
       else {
         val labels = h.split('.')
@@ -199,9 +227,12 @@ object UrlCuration {
         * platforms cap per SITE and multi-label registries group
         * correctly. Default keeps the SQL-expressible heuristic (the
         * p27 oracle contract). */
-      psl: Boolean = false): DataFrame = {
+      psl: Boolean = false,
+      /** rule table for the PSL path — e.g. [[loadPsl]]() for the full
+        * bundled list; ignored when `psl` is false. */
+      pslRules: Seq[String] = PublicSuffixSnapshot): DataFrame = {
     val dom =
-      if (psl) registeredDomainPsl(hostOf(col(urlCol)))
+      if (psl) registeredDomainPsl(hostOf(col(urlCol)), rules = pslRules)
       else registeredDomain(hostOf(col(urlCol)))
     Sampling.mixSources(
       df.withColumn("domain", dom), "domain", idCol, cap)

@@ -118,6 +118,50 @@ class BpePropSpec extends AnyFunSuite {
     }
   }
 
+  test("auto routes long-word corpora to the batched rounds despite a small vocab") {
+    import spark.implicits._
+    // 40 distinct words of ~400 chars each: vocab far under any
+    // realistic cap, but the summed symbol count — what the driver
+    // trainer's memory actually scales with — blows a 4000-symbol
+    // ceiling. The routing predicate must refuse the local path, and
+    // the batched path it falls to must still return the exact list.
+    val rnd = new scala.util.Random(41L)
+    val docs = (0 until 40).map { _ =>
+      List.fill(400)(('a' + rnd.nextInt(3)).toChar).mkString
+    }.toList
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val stats = Bpe.wordFreq(df, "text")
+      .agg(count(lit(1)), sum(length(col("word")))).head()
+    val (vocab, syms) = (stats.getLong(0), stats.getLong(1))
+    assert(vocab <= 40L && syms >= 15000L, s"vocab=$vocab syms=$syms")
+    assert(Bpe.routeLocal(vocab, syms, 8000000L, 16000000L),
+      "defaults keep this corpus local (it easily fits)")
+    assert(!Bpe.routeLocal(vocab, syms, 8000000L, 4000L),
+      "a 4000-symbol ceiling must refuse the local path on long words")
+    val expected = refBpe(docs, 6)
+    val viaBatched = Bpe.learnMergesAuto(df, "text", numMerges = 6,
+      maxLocalSymbols = 4000L).as[(Int, String, String, Long)].collect().toSeq
+    assert(viaBatched == expected)
+    val viaLocal = Bpe.learnMergesAuto(df, "text", numMerges = 6)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(viaLocal == expected)
+  }
+
+  test("batched trainer consumes a precomputed word-frequency table (no corpus re-pass)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(163L)
+    val docs = corpus(rnd)
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val wf = Bpe.wordFreq(df, "text")
+    // the corpus handed over is EMPTY — if the batched rounds secretly
+    // re-derived wordFreq from it, they would learn nothing
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    val got = Bpe.learnMergesBatchedCounted(empty, "text", numMerges = 6,
+      maxBatch = 8, precomputedWordFreq = Some(wf))._1
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == refBpe(docs, 6), s"corpus=$docs")
+  }
+
   test("local trainer scales merge count without per-merge Spark jobs") {
     import spark.implicits._
     // a natural-ish corpus with shared subwords: 256 merges must come

@@ -106,6 +106,86 @@ class UrlCurationPropSpec extends AnyFunSuite {
     assert(withExtra == "b.example.com")
   }
 
+  test("registeredDomainPsl strips the FQDN trailing dot (public API over raw host columns)") {
+    import spark.implicits._
+    val cases = Seq(
+      ("foo.com.", "foo.com"),
+      ("example.co.uk.", "example.co.uk"),
+      ("myproj.github.io.", "myproj.github.io"),
+      (".", ""))
+    val got = cases.map(_._1).toDF("host")
+      .select(col("host"), U.registeredDomainPsl(col("host")).as("dom"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) == want, s"host='$h' got=${got(h)} want=$want")
+    }
+  }
+
+  test("loadPsl: the full bundled publicsuffix.org list parses and matches") {
+    import spark.implicits._
+    val full = U.loadPsl()
+    assert(full.size >= 9000, s"full PSL too small: ${full.size} rules")
+    assert(full.forall(r => r.nonEmpty && !r.startsWith("//")),
+      "comments/blanks leaked into the rule table")
+    // the machinery rows the snapshot exercises all exist in the real
+    // list too — same syntax, so the matcher needs no special cases
+    Seq("co.uk", "github.io", "*.ck", "!www.ck", "*.kobe.jp",
+      "!city.kobe.jp", "myshopify.com", "netlify.app", "pages.dev")
+      .foreach(r => assert(full.contains(r), s"expected rule missing: $r"))
+
+    // rules the SNAPSHOT does not know but the full list does: the
+    // exact gap the bundled list closes (silently-wrong fallbacks)
+    val fullOnly = Seq(
+      ("shop-7.myshopify.com", "shop-7.myshopify.com"),
+      ("deep.shop-7.myshopify.com", "shop-7.myshopify.com"),
+      // *.kobe.jp wildcard with its !city exception
+      ("a.b.kobe.jp", "a.b.kobe.jp"),
+      ("x.a.b.kobe.jp", "a.b.kobe.jp"),
+      ("city.kobe.jp", "city.kobe.jp"),
+      ("www.city.kobe.jp", "city.kobe.jp"))
+    val gotFull = fullOnly.map(_._1).toDF("host")
+      .select(col("host"),
+        U.registeredDomainPsl(col("host"), rules = U.loadPsl()).as("dom"))
+      .as[(String, String)].collect().toMap
+    fullOnly.foreach { case (h, want) =>
+      assert(gotFull(h) == want, s"host=$h got=${gotFull(h)} want=$want")
+    }
+    // snapshot-only matching would get myshopify.com WRONG (platform
+    // collapse) — proving the full list changes the answer where it must
+    val snap = Seq("shop-7.myshopify.com").toDF("host")
+      .select(U.registeredDomainPsl(col("host"))).as[String].head()
+    assert(snap == "myshopify.com")
+  }
+
+  test("full-PSL parity: 20 randomly sampled real rules group hosts as the PSL algorithm says") {
+    import spark.implicits._
+    val full = U.loadPsl()
+    val wild = full.filter(_.startsWith("*.")).map(_.stripPrefix("*.")).toSet
+    val except = full.filter(_.startsWith("!")).map(_.stripPrefix("!")).toSet
+    // sample PLAIN rules whose suffix isn't also wildcarded (a `*.R`
+    // row would make the probe label itself a public suffix) and that
+    // are pure ASCII (hosts must be in the list's own form to match —
+    // the documented punycode/unicode contract)
+    val plain = full.filter(r => !r.startsWith("*") && !r.startsWith("!") &&
+      !wild.contains(r) && !except.contains(r) && r.forall(_ < 128))
+    val rnd = new scala.util.Random(9506)
+    val sampled = rnd.shuffle(plain).take(14) ++ Seq(
+      // always include private-section platforms + deep registries
+      "myshopify.com", "netlify.app", "pages.dev", "web.app",
+      "blogspot.co.uk", "github.io")
+    val cases = sampled.flatMap { r =>
+      Seq((s"graft-probe.$r", s"graft-probe.$r"),
+        (s"deep.sub.graft-probe.$r", s"graft-probe.$r"))
+    }
+    val got = cases.map(_._1).toDF("host")
+      .select(col("host"),
+        U.registeredDomainPsl(col("host"), rules = U.loadPsl()).as("dom"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (h, want) =>
+      assert(got(h) == want, s"host=$h got=${got(h)} want=$want")
+    }
+  }
+
   test("capPerDomain(psl=true) caps per hosted SITE, not per platform suffix") {
     import spark.implicits._
     // 6 sites on github.io with 4 pages each; platform-level grouping
