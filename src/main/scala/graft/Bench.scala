@@ -33,27 +33,42 @@ object Bench {
       sec: Double, failed: Boolean, error: String,
       sysLoad: Double, procCpuSec: Double, stealPct: Double)
 
+  /** A gate's committed clean reference: `min` is the fastest quiet
+    * observation (the closest bound on true cost), `median` the middle
+    * of the pooled quiet runs — the breach TRIGGER judges against the
+    * median, because a single lucky minimum mislabels honest gates
+    * (r16 forensics: p07's one-run band sat 40% under solo-warm
+    * truth). Legacy single-number bands load as min==median. */
+  final case class Band(min: Double, median: Double)
+
   /** One gate's outcome: the reported time is the BEST successful
     * attempt (contamination only ever inflates wall time, so min is
     * the closest observation of the true cost; both attempts stay in
-    * the telemetry so nothing is hidden). */
+    * the telemetry so nothing is hidden — and the run-level output
+    * carries BOTH the first-attempt and best-attempt totals, so the
+    * min-selection is visible, never silent). */
   final case class GateResult(
-      name: String, attempts: Seq[Attempt], band: Option[Double]) {
+      name: String, attempts: Seq[Attempt], band: Option[Band]) {
     def failed: Boolean = attempts.forall(_.failed)
     def sec: Double =
       attempts.filterNot(_.failed).map(_.sec).minOption.getOrElse(-1.0)
+    /** First-attempt seconds under a single-shot protocol: the first
+      * attempt if it succeeded, else the recovery attempt's. */
+    def firstSec: Double = if (attempts.head.failed) sec else attempts.head.sec
     def error: String = attempts.map(_.error).find(_.nonEmpty).getOrElse("")
     def retried: Boolean = attempts.size > 1
-    /** Band breach threshold: 25% + 50 ms absolute (sub-second gates
-      * jitter more than 25% from scheduler noise alone). */
+    /** Band breach threshold: median + 25% + 50 ms absolute
+      * (sub-second gates jitter more than 25% from scheduler noise
+      * alone). */
     private def above(s: Double): Boolean =
-      band.exists(b => s > b * 1.25 + 0.05)
+      band.exists(b => s > b.median * 1.25 + 0.05)
     private def contentionSignals: Boolean =
       attempts.exists(a => a.stealPct >= 0.5) ||
         attempts.exists(_.sysLoad >= loadFloor)
     /** clean      — within band (or no band and quiet window)
-      * recovered  — first attempt breached, the post-cool-down retry is
-      *              back inside: contamination, machine-labeled
+      * recovered  — first attempt breached OR failed, the
+      *              post-cool-down retry passed inside band:
+      *              contamination, machine-labeled
       * contended  — still above band after retry WITH live contention
       *              signals: the window never got quiet
       * regressed  — still above band after retry on a quiet machine:
@@ -61,6 +76,7 @@ object Bench {
       * ambient    — no band to judge against but visible steal */
     def quality: String =
       if (failed) "failed"
+      else if (attempts.head.failed) "recovered" // passed only on retry
       else if (band.isEmpty)
         if (attempts.exists(_.stealPct >= 1.0)) "ambient" else "clean"
       else if (!above(sec))
@@ -74,24 +90,42 @@ object Bench {
   private def loadFloor: Double =
     math.max(6.0, Runtime.getRuntime.availableProcessors * 0.25)
 
-  /** Clean per-gate reference seconds, committed as BENCH_BANDS.json
-    * (regenerated from a verified-clean BENCH_LOCAL.json via
+  /** Repo root for the bands file and BENCH_LOCAL.json: explicit
+    * SPARK_GRAFT_REPO, else the working directory if it holds the
+    * bands file (or a build.sbt — a repo checkout), else the canonical
+    * driver path. Without this the band self-defense silently no-ops
+    * on any non-/root/repo checkout. */
+  private def repoDir: java.nio.file.Path = {
+    val candidates =
+      sys.env.get("SPARK_GRAFT_REPO").map(java.nio.file.Paths.get(_)).toSeq ++
+        Seq(java.nio.file.Paths.get("").toAbsolutePath)
+          .filter(p => java.nio.file.Files.exists(p.resolve("BENCH_BANDS.json")) ||
+            java.nio.file.Files.exists(p.resolve("build.sbt")))
+    candidates.headOption.getOrElse(java.nio.file.Paths.get("/root/repo"))
+  }
+
+  /** Clean per-gate reference bands, committed as BENCH_BANDS.json
+    * (regenerated from verified-clean BENCH_LOCAL.json runs via
     * tools/bands.py — Bench never writes it). Keyed by sf-dir basename
-    * so sf0.01 dev runs don't judge against sf0.1 bands. */
-  private def loadBands(sfName: String): Map[String, Double] =
+    * so sf0.01 dev runs don't judge against sf0.1 bands. Entries are
+    * either a legacy number (min==median) or {"min":x,"median":y}. */
+  private def loadBands(sfName: String): Map[String, Band] =
     try {
-      val f = java.nio.file.Paths.get("/root/repo/BENCH_BANDS.json")
+      val f = repoDir.resolve("BENCH_BANDS.json")
       if (!java.nio.file.Files.exists(f)) Map.empty
       else {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val node = om.readTree(java.nio.file.Files.readString(f)).get(sfName)
         if (node == null) Map.empty
         else {
-          val b = Map.newBuilder[String, Double]
+          val b = Map.newBuilder[String, Band]
           val it = node.fields()
           while (it.hasNext) {
             val e = it.next()
-            b += e.getKey -> e.getValue.asDouble()
+            val v = e.getValue
+            b += e.getKey -> (if (v.isObject)
+              Band(v.get("min").asDouble(), v.get("median").asDouble())
+            else { val d = v.asDouble(); Band(d, d) })
           }
           b.result()
         }
@@ -213,8 +247,13 @@ object Bench {
       }
       val band = bands.get(name)
       val first = runOnce(name, fn)
+      // retry triggers: a band breach (contamination inflates wall
+      // time) OR a failed first attempt (contention also causes
+      // transient timeouts/OOM — a loud host must not turn into a
+      // hard gate failure without one quiet chance)
       val attempts =
-        if (!first.failed && band.exists(b => first.sec > b * 1.25 + 0.05)) {
+        if (first.failed ||
+          band.exists(b => first.sec > b.median * 1.25 + 0.05)) {
           coolDown()
           Seq(first, runOnce(name, fn))
         } else Seq(first)
@@ -222,6 +261,11 @@ object Bench {
     }
     val failed = results.filter(_.failed)
     val total = math.round(results.filterNot(_.failed).map(_.sec).sum * 1000) / 1000.0
+    // the single-shot-protocol total: first attempts as they landed
+    // (recovery attempts only where the first FAILED outright) — so
+    // the min-selection in `value` is visible, not silent
+    val totalFirst = math.round(
+      results.filterNot(_.failed).map(_.firstSec).sum * 1000) / 1000.0
     val retriedCount = results.count(_.retried)
     val qualityCounts = results.groupBy(_.quality).map { case (q, rs) => q -> rs.size }
     // Overall window label: contended if ANY gate stayed hot with live
@@ -260,7 +304,7 @@ object Bench {
     } + "\""
     val failedShort = failed.map(r => jstr(shortId(r.name))).mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsShort,"failed":$failedShort,"window_quality":"$windowQuality","retried":$retriedCount,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":$total,"value_first":$totalFirst,"unit":"sec","queries":$qsShort,"failed":$failedShort,"window_quality":"$windowQuality","retried":$retriedCount,"sf":"$sfName"}"""
     // the driver keeps only the LAST ~2000 chars of stdout; a line
     // longer than that loses its HEAD — including "metric"/"value" —
     // and parses as garbage (r15 measured 147 chars of slack at 155
@@ -269,7 +313,7 @@ object Bench {
     val line =
       if (fullLine.length <= 1900) fullLine
       else
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":{},"queries_in":"BENCH_LOCAL.json","failed":$failedShort,"window_quality":"$windowQuality","retried":$retriedCount,"sf":"$sfName"}"""
+        s"""{"metric":"total","value":$total,"value_first":$totalFirst,"unit":"sec","queries":{},"queries_in":"BENCH_LOCAL.json","failed":$failedShort,"window_quality":"$windowQuality","retried":$retriedCount,"sf":"$sfName"}"""
     val qsFull = results.map(r =>
       "\"" + r.name + "\":" + (if (r.failed) "null" else r.sec.toString))
       .mkString("{", ",", "}")
@@ -289,7 +333,8 @@ object Bench {
         ",\"proc_cpu_sec\":" + rep.procCpuSec +
         ",\"steal_pct\":" + rep.stealPct +
         ",\"quality\":" + jstr(r.quality) +
-        r.band.map(b => ",\"band\":" + b).getOrElse("") +
+        r.band.map(b => ",\"band\":" + b.median + ",\"band_min\":" + b.min)
+          .getOrElse("") +
         (if (r.retried) ",\"attempts\":" + att else "") +
         (if (r.failed) ",\"error\":" + jstr(r.error) else "") + "}"
     }.mkString("{", ",", "}")
@@ -297,9 +342,9 @@ object Bench {
     val qualityJson = qualityCounts.toSeq.sortBy(_._1)
       .map { case (q, n) => jstr(q) + ":" + n }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"failed":$failedFull,"cores":${Runtime.getRuntime.availableProcessors},"window_quality":"$windowQuality","retried":$retriedCount,"gate_quality":$qualityJson,"telemetry":$telemetry,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"value_first":$totalFirst,"unit":"sec","queries":$qsFull,"failed":$failedFull,"cores":${Runtime.getRuntime.availableProcessors},"window_quality":"$windowQuality","retried":$retriedCount,"gate_quality":$qualityJson,"telemetry":$telemetry,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"), full + "\n")
+      repoDir.resolve("BENCH_LOCAL.json"), full + "\n")
     catch { case _: Throwable => }
     // emit the JSON line LAST, after spark.stop()'s shutdown chatter,
     // with logging silenced — the driver only keeps the tail of stdout

@@ -17,6 +17,37 @@ object Storage {
   private def scratch(name: String): String =
     Files.createTempDirectory(s"graft-$name-").toString + "/table"
 
+  /** Bind-once gate catalog + per-invocation table DROP — the gate
+    * harness's idempotence contract in ONE place. Spark caches the
+    * catalog INSTANCE per name, so a gate that re-bound a fresh
+    * warehouse on re-invocation (bench retry, twice-in-one-session
+    * probe) left the cached instance on the FIRST warehouse while
+    * direct `GraftTable.load(path)` hit the second — the
+    * once-per-session trap behind the r16 g39/g72/g74 fixes. This
+    * helper binds `name` to a temp warehouse exactly once per session
+    * (extra confs applied only on that first bind), ensures the
+    * namespace, drops the listed tables, and returns the warehouse
+    * the CACHED catalog actually uses — so path-based loads and SQL
+    * agree on every invocation. */
+  private[queries] def gateCatalog(
+      s: SparkSession, name: String, dropTables: Seq[String],
+      impl: String = "graft.sources.GraftCatalog",
+      ns: String = "gate",
+      extraConf: Map[String, String] = Map.empty): String = {
+    val key = s"spark.sql.catalog.$name.warehouse"
+    val wh = s.conf.getOption(key).getOrElse {
+      val w = Files.createTempDirectory(s"graft-$name-wh").toString
+      s.conf.set(s"spark.sql.catalog.$name", impl)
+      extraConf.foreach { case (k, v) =>
+        s.conf.set(s"spark.sql.catalog.$name.$k", v) }
+      s.conf.set(key, w)
+      w
+    }
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $name.$ns")
+    dropTables.foreach(t => s.sql(s"DROP TABLE IF EXISTS $name.$ns.$t"))
+    wh
+  }
+
   private def ordersTable(
       s: SparkSession, dir: String,
       options: Map[String, String] = Map.empty,
@@ -325,12 +356,8 @@ object Storage {
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
-      val wh = Files.createTempDirectory("graft-g18-wh").toString
-      s.conf.set("spark.sql.catalog.graft_gate", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft_gate.warehouse", wh)
+      gateCatalog(s, "graft_gate", Seq("orders_sql"))
       tbl(s, dir, "orders").createOrReplaceTempView("g18_src")
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_gate.gate")
-      s.sql("DROP TABLE IF EXISTS graft_gate.gate.orders_sql") // idempotent under bench retry
       s.sql("""CREATE TABLE graft_gate.gate.orders_sql
               |(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
               | o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING)
@@ -412,12 +439,8 @@ object Storage {
         |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus <> 'F' AND o_orderkey >= 150
         |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
-      val wh = Files.createTempDirectory("graft-g21-wh").toString
-      s.conf.set("spark.sql.catalog.graft_g21", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft_g21.warehouse", wh)
+      gateCatalog(s, "graft_g21", Seq("orders_dml"))
       tbl(s, dir, "orders").createOrReplaceTempView("g21_src")
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g21.gate")
-      s.sql("DROP TABLE IF EXISTS graft_g21.gate.orders_dml") // idempotent under bench retry
       s.sql("""CREATE TABLE graft_g21.gate.orders_dml
               |(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
               |PARTITIONED BY (o_orderstatus)""".stripMargin)
@@ -535,14 +558,9 @@ object Storage {
         |JOIN (SELECT o_orderkey, o_totalprice * 2 AS p2 FROM orders
         |      WHERE o_orderkey % 2 = 0) t2
         |  ON t1.o_orderkey = t2.o_orderkey""".stripMargin) { (s, dir) =>
-      val wh = Files.createTempDirectory("graft-g27-wh").toString
-      s.conf.set("spark.sql.catalog.graft_g27", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft_g27.warehouse", wh)
+      gateCatalog(s, "graft_g27", Seq("t1", "t2"))
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       tbl(s, dir, "orders").createOrReplaceTempView("g27_src")
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g27.gate")
-      Seq("t1", "t2").foreach(t => s.sql(
-        s"DROP TABLE IF EXISTS graft_g27.gate.$t")) // idempotent under bench retry
       Seq("t1", "t2").foreach(t => s.sql(
         s"""CREATE TABLE graft_g27.gate.$t (o_orderkey BIGINT, price DOUBLE)
            |TBLPROPERTIES ('primary-key'='o_orderkey', 'bucket'='4')""".stripMargin))
@@ -569,12 +587,8 @@ object Storage {
         |  CAST(ROUND(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 3
         |                  ELSE o_totalprice END, 2) AS DOUBLE) AS price
         |FROM orders""".stripMargin) { (s, dir) =>
-      val wh = Files.createTempDirectory("graft-g25-wh").toString
-      s.conf.set("spark.sql.catalog.graft_g25", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft_g25.warehouse", wh)
+      gateCatalog(s, "graft_g25", Seq("t"))
       tbl(s, dir, "orders").createOrReplaceTempView("g25_src")
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g25.gate")
-      s.sql("DROP TABLE IF EXISTS graft_g25.gate.t") // idempotent under bench retry
       s.sql("""CREATE TABLE graft_g25.gate.t
               |(o_orderkey BIGINT, o_totalprice DOUBLE, up_seq BIGINT)
               |TBLPROPERTIES ('primary-key'='o_orderkey',
@@ -707,12 +721,8 @@ object Storage {
       """SELECT o_orderkey, '+I' AS _row_kind,
         |  CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
         |FROM orders WHERE o_orderkey % 2 = 1""".stripMargin) { (s, dir) =>
-      val wh = Files.createTempDirectory("graft-g33-wh").toString
-      s.conf.set("spark.sql.catalog.graft_g33", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft_g33.warehouse", wh)
+      gateCatalog(s, "graft_g33", Seq("t"))
       tbl(s, dir, "orders").createOrReplaceTempView("g33_src")
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g33.gate")
-      s.sql("DROP TABLE IF EXISTS graft_g33.gate.t") // idempotent under bench retry
       s.sql("""CREATE TABLE graft_g33.gate.t
               |(o_orderkey BIGINT, o_totalprice DOUBLE, up_seq BIGINT)
               |TBLPROPERTIES ('primary-key'='o_orderkey',
@@ -794,9 +804,7 @@ object Storage {
       "g36_sql_topn_pushdown",
       """SELECT CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
         |FROM orders ORDER BY o_totalprice DESC LIMIT 10""".stripMargin) { (s, dir) =>
-      val wh = Files.createTempDirectory("graft-g36-wh").toString
-      s.conf.set("spark.sql.catalog.graft_g36", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft_g36.warehouse", wh)
+      gateCatalog(s, "graft_g36", Seq("t"))
       tbl(s, dir, "orders").createOrReplaceTempView("g36_src")
       // band by precomputed quartile literals, NOT NTILE: an
       // unpartitioned window is the exact single-partition anti-pattern
@@ -812,8 +820,6 @@ object Storage {
               |       WHEN o_totalprice < ${qs(2)} THEN 3
               |       ELSE 4 END AS band
               |FROM g36_src""".stripMargin)
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g36.gate")
-      s.sql("DROP TABLE IF EXISTS graft_g36.gate.t") // idempotent under bench retry
       s.sql("CREATE TABLE graft_g36.gate.t (o_orderkey BIGINT, o_totalprice DOUBLE)")
       (1 to 4).foreach { b =>
         s.sql(s"""INSERT INTO graft_g36.gate.t
@@ -837,11 +843,7 @@ object Storage {
       tbl(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .write.option("header", "true").csv(csvDir)
-      val wh = Files.createTempDirectory("graft-g37-wh").toString
-      s.conf.set("spark.sql.catalog.graft_g37", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft_g37.warehouse", wh)
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g37.gate")
-      s.sql("DROP TABLE IF EXISTS graft_g37.gate.orders_csv") // idempotent under bench retry
+      gateCatalog(s, "graft_g37", Seq("orders_csv"))
       s.sql(s"""CREATE TABLE graft_g37.gate.orders_csv
                |(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
                |TBLPROPERTIES ('format'='csv',
@@ -896,18 +898,10 @@ object Storage {
         |  FROM orders)
         |WHERE rowid >= 100 AND rowid < 600""".stripMargin) { (s, dir) =>
       val src = tbl(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
-      // the catalog instance is CACHED per name: bind the warehouse
-      // once and reuse it, or a same-session re-invocation (bench
-      // retry) direct-loads from a warehouse the catalog never used
-      val wh = s.conf.getOption("spark.sql.catalog.graft_g39.warehouse")
-        .getOrElse {
-          val w = Files.createTempDirectory("graft-g39-wh").toString
-          s.conf.set("spark.sql.catalog.graft_g39", "graft.sources.GraftCatalog")
-          s.conf.set("spark.sql.catalog.graft_g39.warehouse", w)
-          w
-        }
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graft_g39.gate")
-      s.sql("DROP TABLE IF EXISTS graft_g39.gate.orders_rt") // idempotent under bench retry
+      // gateCatalog returns the warehouse the CACHED catalog actually
+      // uses, so the direct GraftTable.load below stays consistent on
+      // re-invocation
+      val wh = gateCatalog(s, "graft_g39", Seq("orders_rt"))
       s.sql("""CREATE TABLE graft_g39.gate.orders_rt
               |(o_orderkey BIGINT, o_orderstatus STRING)
               |TBLPROPERTIES ('row-tracking.enabled'='true')""".stripMargin)
@@ -1345,12 +1339,8 @@ object Storage {
       """SELECT o_orderkey, o_orderstatus,
         |  CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS price
         |FROM orders WHERE o_orderstatus <> 'F'""".stripMargin) { (s, dir) =>
-      val wh = Files.createTempDirectory("graft-g54-wh").toString
-      s.conf.set("spark.sql.catalog.g54", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.g54.warehouse", wh)
+      gateCatalog(s, "g54", Seq("orders"))
       tbl(s, dir, "orders").createOrReplaceTempView("g54_src")
-      s.sql("CREATE NAMESPACE IF NOT EXISTS g54.gate")
-      s.sql("DROP TABLE IF EXISTS g54.gate.orders") // idempotent under bench retry
       s.sql("""CREATE TABLE g54.gate.orders
               |(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)
               |PARTITIONED BY (o_orderstatus)""".stripMargin)
@@ -1878,16 +1868,8 @@ object Storage {
         |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS bal
         |FROM customer WHERE c_custkey % 2 = 0
         |GROUP BY c_mktsegment""".stripMargin) { (s, dir) =>
-      val wh = Files.createTempDirectory("graft-g72-wh").toString
-      s.conf.set("spark.sql.catalog.g72", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.g72.warehouse", wh)
+      gateCatalog(s, "g72", Seq("seg", "cust"))
       tbl(s, dir, "customer").createOrReplaceTempView("g72_src")
-      s.sql("CREATE NAMESPACE IF NOT EXISTS g72.gate")
-      // re-invocation in one session (bench retries!) hits the CACHED
-      // catalog instance with the first run's warehouse — drop the
-      // previous run's tables so the gate is idempotent
-      s.sql("DROP TABLE IF EXISTS g72.gate.seg")
-      s.sql("DROP TABLE IF EXISTS g72.gate.cust")
       s.sql("CREATE TABLE g72.gate.cust (c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE)")
       // first slice + refresh, then the rest + refresh: the result must
       // reflect the SECOND state only (full replacement)
@@ -1917,14 +1899,10 @@ object Storage {
       "g74_incremental_read_options",
       """SELECT c_custkey AS k, 'u' || c_name AS v
         |FROM customer WHERE c_custkey % 3 = 0""".stripMargin) { (s, dir) =>
-      val wh = Files.createTempDirectory("graft-g74-wh").toString
-      s.conf.set("spark.sql.catalog.g74", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.g74.warehouse", wh)
+      // recreate → snapshots restart at 0, so incremental-between 0,1
+      // stays meaningful on re-invocation
+      gateCatalog(s, "g74", Seq("t"))
       tbl(s, dir, "customer").createOrReplaceTempView("g74_src")
-      s.sql("CREATE NAMESPACE IF NOT EXISTS g74.gate")
-      // idempotent under same-session re-invocation (cached catalog
-      // keeps the first warehouse): recreate → snapshots restart at 0
-      s.sql("DROP TABLE IF EXISTS g74.gate.t")
       s.sql("CREATE TABLE g74.gate.t (k BIGINT, v STRING) " +
         "TBLPROPERTIES ('primary-key'='k', 'bucket'='2')")
       // snapshot 0: the even keys under their raw names

@@ -525,3 +525,69 @@ class GraftJdbcCatalog extends GraftCatalog {
     }
   }
 }
+
+/** Commit arbitration through the JDBC distributed lock, for table
+  * storage with NO native conditional create (reference: paimon-core
+  * catalog lock protocol — `CatalogLock` / `JdbcCatalogLock` via
+  * AbstractDistributedLockDialect: commits on such stores serialize
+  * under a catalog-held lock). Only `tryCreateAtomic` is arbitrated —
+  * it is [[graft.core.SnapshotManager]]'s single commit gate — by
+  * making its check-then-write window exclusive: acquire the table's
+  * lock row, `exists` probe, staged write, fenced release. Everything
+  * else delegates untouched (data/manifest writes are uniquely-named
+  * and need no arbitration).
+  *
+  * Crash/lease contract: a holder that dies mid-commit leaves its lock
+  * row; the next acquirer sweeps it after `expireSecs` and proceeds —
+  * the dead attempt left at most an invisible staged file (the
+  * delegate's write is stage+atomic-publish), never a torn snapshot.
+  * The lease must comfortably exceed metadata-write latency (default
+  * 60 s vs ms-scale writes); if a LIVE holder's lease nonetheless
+  * expires mid-commit, the fenced release detects the eviction and the
+  * op throws instead of reporting a clean win — the same
+  * ambiguous-outcome class as a lost CAS response, which the commit
+  * loop already resolves by re-reading the store. */
+class JdbcLockedIO(delegate: graft.core.FileIO, uri: String,
+    lockScope: String, expireSecs: Long = 60L,
+    acquireTimeoutMs: Long = 30000L) extends graft.core.FileIO {
+
+  override def readString(path: String): String = delegate.readString(path)
+  override def writeString(path: String, content: String): Unit =
+    delegate.writeString(path, content)
+  override def readBytes(path: String): Array[Byte] = delegate.readBytes(path)
+  override def writeBytes(path: String, content: Array[Byte]): Unit =
+    delegate.writeBytes(path, content)
+  override def exists(path: String): Boolean = delegate.exists(path)
+  override def mkdirs(path: String): Unit = delegate.mkdirs(path)
+  override def list(dir: String): Seq[String] = delegate.list(dir)
+  override def delete(path: String): Unit = delegate.delete(path)
+  override def rename(src: String, dst: String): Unit = delegate.rename(src, dst)
+  override def size(path: String): Long = delegate.size(path)
+
+  override def tryCreateAtomic(path: String, content: String): Boolean = {
+    val lockId = s"commit:$lockScope"
+    val deadline = System.currentTimeMillis() + acquireTimeoutMs
+    var token = JdbcBridge.lockAcquireToken(uri, lockId, expireSecs)
+    while (token.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(25)
+      token = JdbcBridge.lockAcquireToken(uri, lockId, expireSecs)
+    }
+    if (token.isEmpty) throw new IllegalStateException(
+      s"could not acquire commit lock $lockId within ${acquireTimeoutMs}ms")
+    var created = false
+    try {
+      created =
+        if (delegate.exists(path)) false
+        else { delegate.writeString(path, content); true }
+    } finally {
+      val fenced = JdbcBridge.releaseLockToken(uri, lockId, token.get)
+      if (!fenced && created)
+        // our lease expired mid-commit and a successor swept the row:
+        // the write may have raced another holder — ambiguous, so
+        // refuse to report a clean win; the caller re-reads the store
+        throw new IllegalStateException(
+          s"commit lock $lockId lease expired mid-commit; outcome ambiguous")
+    }
+    created
+  }
+}

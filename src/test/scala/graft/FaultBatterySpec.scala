@@ -331,6 +331,165 @@ class FaultBatterySpec extends AnyFunSuite {
     assert(readState(dir) == Map(1L -> 1L, 2L -> 2L))
   }
 
+  // ---- concurrent battery: racing committers under faults ------------
+
+  /** Two writers + one compactor race through a seeded fault schedule,
+    * faults injected on BOTH writers' AND the compactor's IO (incl.
+    * the ambiguous landed-but-response-lost CAS on each side). Each
+    * writer owns a disjoint key range and retries each batch to
+    * completion, so the expected terminal state is exact; after the
+    * race the single-writer battery's invariants must hold PLUS
+    * exactly-one-winner (gapless parseable history is that — two
+    * winners of one id would mean a torn/overwritten snapshot, which
+    * integrity + content equality would catch).
+    *
+    * Reference contract: FileStoreCommitImpl.java:114-126 tryCommit
+    * under racing committers. */
+  private def runConcurrentSchedule(
+      seed: Int, innerFactory: () => FileIO,
+      preMade: Option[String] = None): Int = {
+    val dir = preMade.getOrElse {
+      val d = tmp()
+      GraftTable.create(spark, d, kvSchema,
+        primaryKeys = Seq("k"),
+        options = Map("bucket" -> "2", "commit.max-retries" -> "40",
+          "commit.min-retry-wait" -> "1ms", "commit.max-retry-wait" -> "20ms"))
+      d
+    }
+    val rnd = new scala.util.Random(seed * 104729L)
+    // writer w owns keys [w*10, w*10+10); every batch writes the whole
+    // range, so the terminal state is exactly the LAST batch per writer
+    val batches: Map[Int, Seq[Seq[(Long, Long)]]] = (0 to 1).map { w =>
+      w -> Seq.fill(4)((0 until 10).map(k =>
+        ((w * 10 + k).toLong, rnd.nextLong(1000000L))))
+    }.toMap
+    val fios = (0 to 2).map(_ => new FaultFileIO(innerFactory()))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(w: Int): Thread = new Thread(() => {
+      try {
+        val t = GraftTable.load(spark, dir, fios(w))
+        fios(w).arm(seed * 1000L + w, probability = 0.25, maxFaults = 4)
+        batches(w).foreach { batch =>
+          var landed = false
+          var tries = 0
+          while (!landed) {
+            try { t.write(kvDf(batch)); landed = true }
+            catch {
+              case e: Throwable =>
+                tries += 1
+                if (tries > 30) { errs.add(e); landed = true }
+            }
+          }
+        }
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    val compactor = new Thread(() => {
+      try {
+        val t = GraftTable.load(spark, dir, fios(2))
+        fios(2).arm(seed * 2000L, probability = 0.25, maxFaults = 3)
+        (0 until 3).foreach { _ =>
+          // compaction may lose conflicts or hit injected faults —
+          // both are legitimate outcomes; content invariants decide
+          try t.compact() catch { case _: Throwable => () }
+          Thread.sleep(20)
+        }
+      } catch { case _: Throwable => () }
+    })
+    val threads = Seq(writer(0), writer(1), compactor)
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(threads.forall(!_.isAlive), s"seed $seed: racing committer hung")
+    fios.foreach(_.disarm())
+    import scala.jdk.CollectionConverters._
+    assert(errs.isEmpty,
+      s"seed $seed: committer gave up: ${errs.asScala.toList}")
+    checkIntegrity(dir)
+    val expected: Map[Long, Long] =
+      batches.values.flatMap(_.last).toMap
+    assert(readState(dir) == expected,
+      s"seed $seed: racing committers lost/duplicated rows")
+    // reclamation after the race: loser manifests + staged debris sweep
+    GraftTable.load(spark, dir).removeOrphanFiles(graceMillis = 0L)
+    checkIntegrity(dir)
+    assert(readState(dir) == expected)
+    fios.map(_.injected.get()).sum
+  }
+
+  test("concurrent fault battery: 8 schedules of 2 writers + compactor, POSIX surface") {
+    val injected = (201 to 208)
+      .map(seed => runConcurrentSchedule(seed, () => new LocalFileIO)).sum
+    assert(injected >= 16, s"only $injected faults fired")
+  }
+
+  test("concurrent fault battery over OBJECT-STORE semantics: 6 schedules") {
+    val injected = (301 to 306)
+      .map(seed => runConcurrentSchedule(seed,
+        () => new graft.core.ObjectStoreFileIO)).sum
+    assert(injected >= 10, s"only $injected faults fired")
+  }
+
+  test("concurrent fault battery over REST-ARBITRATED commits: 6 schedules") {
+    // the server is the CAS authority; each committer talks to it
+    // through its own faulted client IO — including the ambiguous
+    // committed-on-server-but-response-lost class
+    val warehouse = Files.createTempDirectory("graft-fault-rest").toString
+    val server = graft.sources.GraftRestServer.start(warehouse, token = "fb")
+    try {
+      val injected = (401 to 406).map { seed =>
+        val dir = s"$warehouse/fb/t$seed"
+        GraftTable.create(spark, dir, kvSchema,
+          primaryKeys = Seq("k"),
+          options = Map("bucket" -> "2", "commit.max-retries" -> "40",
+            "commit.min-retry-wait" -> "1ms", "commit.max-retry-wait" -> "20ms"))
+        runConcurrentSchedule(seed,
+          () => new graft.sources.RestArbitratedIO(
+            new LocalFileIO, server.uri, "fb", "fb", s"t$seed", dir),
+          preMade = Some(dir))
+      }.sum
+      assert(injected >= 10, s"only $injected faults fired")
+    } finally server.stop()
+  }
+
+  test("concurrent fault battery over JDBC-LOCK commits + lock-holder crash leases out") {
+    val dbDir = Files.createTempDirectory("graft-fault-jdbc").toString
+    val uri = s"jdbc:derby:$dbDir/locks;create=true"
+    graft.sources.JdbcBridge.init(uri)
+    // lock-holder crash: a committer "dies" holding the commit lock (a
+    // raw acquire with a 1 s lease, never released) — the next
+    // committer must wait out the lease, sweep the corpse and proceed
+    val crashedScope = "crashed-table"
+    val dir0 = tmp()
+    GraftTable.create(spark, dir0, kvSchema, primaryKeys = Seq("k"),
+      options = Map("bucket" -> "1"))
+    val lockedIo = new graft.sources.JdbcLockedIO(
+      new LocalFileIO, uri, crashedScope, expireSecs = 5L)
+    assert(graft.sources.JdbcBridge.lockAcquireToken(
+      uri, s"commit:$crashedScope", expireSecs = 1L).isDefined)
+    // measure the arbitrated op itself, immediately after the corpse
+    // took the lock: it must block for the remaining lease, not barge
+    val t0 = System.nanoTime()
+    assert(lockedIo.tryCreateAtomic(s"$dir0/snapshot/corpse-probe", "x"))
+    val waitedMs = (System.nanoTime() - t0) / 1000000L
+    assert(waitedMs >= 500,
+      s"committer proceeded in ${waitedMs}ms — it cannot have honored the 1s corpse lease")
+    new LocalFileIO().delete(s"$dir0/snapshot/corpse-probe")
+    // ...and a real commit through the same lock works end-to-end
+    GraftTable.load(spark, dir0, lockedIo).write(kvDf(Seq((1L, 1L))))
+    assert(readState(dir0) == Map(1L -> 1L),
+      "write through the lease-swept lock did not land")
+    checkIntegrity(dir0)
+
+    // full concurrent schedules where tryCreateAtomic is the
+    // lock-serialized check-then-write (no native conditional create):
+    // faults + racing writers must still converge exactly-one-winner
+    val injected = (501 to 504).map { seed =>
+      runConcurrentSchedule(seed,
+        () => new graft.sources.JdbcLockedIO(
+          new LocalFileIO, uri, s"t$seed", expireSecs = 30L))
+    }.sum
+    assert(injected >= 6, s"only $injected faults fired")
+  }
+
   /** The r15 torn-read bug, reproduced behind a FileIO: CREATE_NEW
     * makes the snapshot path visible EMPTY before the content lands. A
     * concurrent reader's exists()→read() parses torn JSON — exactly

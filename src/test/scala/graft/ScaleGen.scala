@@ -40,6 +40,26 @@ object ScaleGen {
     rep("orders") { (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
     }
+    // lineitem shifts by the SAME span, so every orders replica keeps
+    // its matching lineitems — order-lineitem joins stay 10× dense,
+    // not replica-0-only
+    rep("lineitem") { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+    }
+    // events: disjoint ids AND users per replica (the stream gates
+    // key/window on user_id — shifted users keep per-user history
+    // shapes identical to the original, just 10× many)
+    rep("events") { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * 100000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 10000000L))
+    }
+    // dimensions pass through unscaled (replica orders reuse the same
+    // custkeys — 10× orders per customer, the realistic growth shape)
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"[scalegen] $t copied")
+    }
     rep("documents") { (df, i) =>
       if (i == 0) df
       else df
