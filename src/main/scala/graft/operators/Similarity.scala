@@ -104,11 +104,16 @@ object Similarity {
     * query time only the posting lists of the `nProbe` nearest
     * centroids are scanned — the classic way to avoid a full corpus
     * scan per query set at 100 TB.
+    *
+    * Default `nProbe` is the measured recall@10 ≥ 0.95 setting at the
+    * derived-×10 probe (BENCH_NOTES r17: nProbe 6 → 0.75, 12 → 0.95,
+    * 24 → 1.00 at nLists=16); drop it for latency once YOUR corpus's
+    * recall is measured, not before.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, dim: Int,
-      kNeighbors: Int = 5, nLists: Int = 16, nProbe: Int = 4,
+      kNeighbors: Int = 5, nLists: Int = 16, nProbe: Int = 12,
       iterations: Int = 1): DataFrame = {
     val trained = trainIvf(corpus, idCol, vecCol, nLists, iterations)
     val probes = probeLists(queries, idCol, vecCol, trained.centroids, nProbe)
@@ -156,7 +161,7 @@ object Similarity {
   def ivfIndexTopK(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queries: DataFrame, idCol: String, vecCol: String,
-      kNeighbors: Int = 5, nProbe: Int = 4): DataFrame = {
+      kNeighbors: Int = 5, nProbe: Int = 12): DataFrame = {
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1).map(_._2)
@@ -320,13 +325,17 @@ object Similarity {
     * @param shards corpus partitions (= independent graphs)
     * @param m max neighbors per node per layer (M; layer 0 keeps 2M)
     * @param efConstruction beam width while building
-    * @param efSearch beam width while querying (≥ kNeighbors)
+    * @param efSearch beam width while querying (≥ kNeighbors). The
+    *        default is the measured recall@10 ≥ 0.95 setting at the
+    *        derived-×10 probe (BENCH_NOTES r17: ef 48 → 0.79-0.83,
+    *        128 → 0.95-0.97 on m=8/efC=64 graphs; a denser m=16/
+    *        efC=128 build reaches 0.98 at ef=64).
     */
   def hnswTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String,
       kNeighbors: Int = 5, shards: Int = 4, m: Int = 8,
-      efConstruction: Int = 64, efSearch: Int = 48): DataFrame = {
+      efConstruction: Int = 64, efSearch: Int = 128): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // queries ship once per executor as a broadcast, not once per task
@@ -578,7 +587,7 @@ object Similarity {
   def hnswIndexTopK(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queries: DataFrame, idCol: String, vecCol: String,
-      kNeighbors: Int = 5, efSearch: Int = 48): DataFrame = {
+      kNeighbors: Int = 5, efSearch: Int = 128): DataFrame = {
     import spark.implicits._
     val qB = spark.sparkContext.broadcast(collectQueries(queries, idCol, vecCol))
     val perShard = spark.read.parquet(currentHnswGraphs(indexDir))

@@ -4572,7 +4572,7 @@ final class GraftTable private (
     * cosine, rank). */
   def vectorSearch(
       idCol: String, vecCol: String, queries: DataFrame,
-      kNeighbors: Int = 5, efSearch: Int = 48): DataFrame = {
+      kNeighbors: Int = 5, efSearch: Int = 128): DataFrame = {
     val dir = s"index-hnsw/$vecCol"
     val stPath = s"$path/$dir/state.json"
     val st =

@@ -56,10 +56,13 @@ object RecallProbe {
         f"(probe ${secs}%.1fs)")
     }
 
-    // s03: IVF trained per query run, gate params nProbe=6
-    report("s03 ivfTopK nProbe=6",
-      Similarity.ivfTopK(emb, q, "vec_id", "embedding",
-        dim = 64, kNeighbors = k, nProbe = 6))
+    // s03: IVF trained per query run, gate params nProbe=6 + the
+    // quality/latency ladder
+    Seq(6, 12, 24).foreach { np =>
+      report(s"s03 ivfTopK nProbe=$np",
+        Similarity.ivfTopK(emb, q, "vec_id", "embedding",
+          dim = 64, kNeighbors = k, nProbe = np))
+    }
     // s05: in-memory sharded HNSW, gate params
     report("s05 hnswTopK ef=48 m=8 sh=4",
       Similarity.hnswTopK(emb, q, "vec_id", "embedding",
@@ -86,6 +89,17 @@ object RecallProbe {
     report("s08 append-grown ef=48",
       Similarity.hnswIndexTopK(spark, s08Dir, q, "vec_id", "embedding",
         kNeighbors = k, efSearch = 48))
+    report("s08 append-grown ef=128",
+      Similarity.hnswIndexTopK(spark, s08Dir, q, "vec_id", "embedding",
+        kNeighbors = k, efSearch = 128))
+    // build-side knob: a denser graph (m=16, efC=128) at search ef=64
+    val s06bDir = java.nio.file.Files
+      .createTempDirectory("graft-recall-s06b").toString + "/idx"
+    Similarity.buildHnswIndex(emb, s06bDir, "vec_id", "embedding",
+      shards = 4, m = 16, efConstruction = 128)
+    report("hnsw m=16 efC=128 ef=64",
+      Similarity.hnswIndexTopK(spark, s06bDir, q, "vec_id", "embedding",
+        kNeighbors = k, efSearch = 64))
 
     spark.stop()
   }
