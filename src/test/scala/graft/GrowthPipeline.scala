@@ -90,6 +90,13 @@ object GrowthPipeline {
       .localCheckpoint()
     val capped = U.capPerDomain(urls, "url", "id", cap = 8L, psl = true)
     val cappedN = time(s"p27 capPerDomain psl n=$n") { capped.count() }
+    // the FULL 9,506-rule bundled list in the UDF closure: per-site
+    // grouping identical, cost must stay in family with the snapshot
+    val cappedFull = U.capPerDomain(urls, "url", "id", cap = 8L,
+      psl = true, pslRules = U.loadPsl())
+    val cappedFullN = time(s"p27 capPerDomain full-psl n=$n") { cappedFull.count() }
+    require(cappedFullN == cappedN,
+      s"full-PSL grouping diverged: $cappedFullN vs $cappedN")
     val skewed = U.capPerDomain(urls, "url", "id", cap = 8L)
     val skewedN = time(s"p27 capPerDomain skew-1-domain n=$n") { skewed.count() }
     require(cappedN == math.min(n / 5000, 8L) * 5000 || cappedN == math.min(n, 8L * 5000),
