@@ -63,17 +63,23 @@ object Components {
       val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("comp", "nc"), "dst")
         .groupBy(col("src").as("id")).agg(min("nc").as("nc"))
+      // carry the round's starting label through as `old` so the
+      // convergence check below is a filter over the ALREADY
+      // materialized round output — the former shape re-joined the new
+      // labels against the old table, paying one extra shuffle-join
+      // job per round (r17, guide §2.4)
       val prop = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+        .select(col("id"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
       // pointer jump: follow the label one hop (labels are node ids,
       // so every label has a row). Doubles effective propagation
       // distance per round.
       val jumped = cut(prop
         .join(prop.select(col("id").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp")))
-      changed = jumped.join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).count()
-      labels = jumped
+        .select(col("id"), col("old"),
+          least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp")))
+      changed = jumped.filter(col("comp") =!= col("old")).count()
+      labels = jumped.select(col("id"), col("comp"))
       iter += 1
     }
     edges.unpersist()

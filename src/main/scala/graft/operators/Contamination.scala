@@ -22,9 +22,37 @@ object Contamination {
     * EMPTY grams are dropped: split("") yields [""], so one blank
     * benchmark row would otherwise share the "" gram with every
     * blank/whitespace corpus document and flag them all contaminated. */
-  private def gramSet(textCol: String, w: Int) =
-    filter(array_distinct(TextAnalysis.shingles(col(textCol), w)),
-      g => g =!= "")
+  private def gramSet(textCol: String, w: Int) = {
+    // Compiled one-pass loop (r17): the expression form
+    // (filter∘array_distinct∘shingles) evaluated interpreted
+    // higher-order functions per token position — slice + array_join
+    // allocations per gram dominated the corpus-side stage. Gram
+    // strings, first-occurrence-ordered dedup and the empty-gram drop
+    // are byte-identical to the old form (null text still yields null
+    // → explode drops the row).
+    val gramsUdf = udf { (toks: Seq[String]) =>
+      if (toks == null) null
+      else {
+        val n = toks.length
+        val out = new java.util.LinkedHashSet[String]
+        if (n < w) {
+          val g = toks.mkString(" ")
+          if (g.nonEmpty) out.add(g)
+        } else {
+          var i = 0
+          while (i + w <= n) {
+            val sb = new java.lang.StringBuilder
+            var j = i
+            while (j < i + w) { if (j > i) sb.append(' '); sb.append(toks(j)); j += 1 }
+            out.add(sb.toString)
+            i += 1
+          }
+        }
+        out.toArray(new Array[String](out.size))
+      }
+    }
+    gramsUdf(TextAnalysis.tokens(col(textCol)))
+  }
 
   /** Flag corpus documents sharing >= 1 word w-gram with `benchmark`.
     *

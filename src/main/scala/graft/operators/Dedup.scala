@@ -60,26 +60,64 @@ object Dedup {
     array(sig: _*)
   }
 
-  /** MinHash signatures computed the 100 TB way: explode shingle
-    * hashes to rows, then one hash-aggregate with k codegen'd `min`
-    * columns. The explode inflation is absorbed by map-side partial
-    * aggregation (one row per doc per partition reaches the shuffle),
-    * and everything stays inside whole-stage codegen — unlike the
-    * per-row `transform`/`array_min` higher-order functions, which
-    * evaluate interpreted. */
+  /** Driver-side mirror of Catalyst's `xxhash64(string)` (seed 42 over
+    * the UTF-8 bytes) — lets compiled per-row loops hash exactly what
+    * the expression form hashed, so signatures are bit-identical
+    * across both forms. */
+  private def xx64(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType, 42L)
+
+  /** MinHash signatures computed the 100 TB way (r17 shape): ONE
+    * compiled per-row loop over the token array — shingle strings,
+    * xxhash64 and all k permutation minima in a single pass, with NO
+    * shuffle at all (a signature is a function of its own row). This
+    * replaced the explode + k-column hash-aggregate form: the explode
+    * paid a corpus-wide Exchange and the k min-columns built a plan
+    * tree whose analysis/codegen dominated gate wall time; the values
+    * are bit-identical (same shingles, same xxhash64, same
+    * (a·h+b) mod P arithmetic — spec-pinned in OperatorsSpec). The
+    * UDF is the documented exception for tight numeric inner loops
+    * (see cosineUdf). */
   def minhashSignatureTable(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 32, shingleWidth: Int = 3): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
-      explode(TextAnalysis.shingles(col(textCol), shingleWidth)).as("sh"))
-      .select(col("id"), pmod(xxhash64(col("sh")), lit(P)).as("h"))
-    val mins = (0 until k).map { i =>
-      val a = math.abs(mix(2L * i)) % (P - 1) + 1
-      val b = math.abs(mix(2L * i + 1)) % P
-      min(pmod(col("h") * a + b, lit(P))).as(s"mh_$i")
+    val ab = (0 until k).map { i =>
+      (math.abs(mix(2L * i)) % (P - 1) + 1, math.abs(mix(2L * i + 1)) % P)
+    }.toArray
+    val w = shingleWidth
+    val sigUdf = udf { (toks: Seq[String]) =>
+      // toks is never null here (null text filtered below — the old
+      // explode dropped those rows the same way)
+      val n = toks.length
+      val t = toks.toArray
+      val mins = Array.fill(k)(Long.MaxValue)
+      val shCount = if (n < w) 1 else n - w + 1
+      var i = 0
+      while (i < shCount) {
+        val sb = new java.lang.StringBuilder
+        val end = if (n < w) n else i + w
+        var j = i
+        while (j < end) {
+          if (j > i) sb.append(' ')
+          sb.append(t(j))
+          j += 1
+        }
+        val h = java.lang.Math.floorMod(xx64(sb.toString), P)
+        var q = 0
+        while (q < k) {
+          val v = java.lang.Math.floorMod(h * ab(q)._1 + ab(q)._2, P)
+          if (v < mins(q)) mins(q) = v
+          q += 1
+        }
+        i += 1
+      }
+      mins
     }
-    exploded.groupBy(col("id")).agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"mh_$i")): _*).as("sig"))
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        sigUdf(TextAnalysis.tokens(col(textCol))).as("sig"))
   }
 
   /** LSH candidate pairs from MinHash signatures.
@@ -135,21 +173,34 @@ object Dedup {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** SimHash per doc, computed scale-first: explode token hashes, one
-    * hash-aggregate with 64 codegen'd conditional sums (map-side
-    * combine absorbs the explode), then assemble the bit vector. */
+  /** SimHash per doc, computed scale-first (r17 shape): ONE compiled
+    * per-row loop over the token array — xxhash64 each token and fold
+    * the 64 bit votes in a single pass, NO shuffle at all (a simhash
+    * is a function of its own row). This replaced the explode +
+    * 64-column hash-aggregate form, whose plan-tree analysis/codegen
+    * dominated gate wall time and which paid a corpus-wide Exchange
+    * the computation never needed. Values are bit-identical (same
+    * xxhash64, same ±1 integer votes, same `votes > 0` tie rule). */
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val exploded = df.select(col(idCol).as("id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"v_$j")
+    val shUdf = udf { (toks: Seq[String]) =>
+      val votes = new Array[Long](64)
+      toks.foreach { t =>
+        val h = xx64(t)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      var sh = 0L
+      var j = 0
+      while (j < 64) { if (votes(j) > 0) sh |= (1L << j); j += 1 }
+      sh
     }
-    exploded.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-      .select(col("id"),
-        (0 until 64).map { j =>
-          when(col(s"v_$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-        }.reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+    // null text filtered exactly as the old explode dropped those rows
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        shUdf(TextAnalysis.tokens(col(textCol))).as("sh"))
   }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming.

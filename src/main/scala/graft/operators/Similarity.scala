@@ -85,14 +85,42 @@ object Similarity {
       vec: Column, dim: Int,
       tables: Int = 8, planesPerTable: Int = 4, seed: Long = 42L): Column = {
     val hp = hyperplanes(tables, planesPerTable, dim, seed)
-    val v = vec.cast("array<double>")
-    array((0 until tables).map { t =>
-      val bits = (0 until planesPerTable).map { p =>
-        val plane = array(hp(t)(p).map(lit).toIndexedSeq: _*)
-        when(dot(v, plane) >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    // Compiled one-pass loop (r17) — the documented UDF exception for
+    // tight numeric inner loops (see Dedup.cosineUdf): the expression
+    // form built tables×planes `dot` HOF subtrees over per-plane
+    // 64-literal arrays (~6400 plan nodes at 10×10×64), whose
+    // ANALYSIS+CODEGEN dominated every caller's wall time (p11: ~3.3 s
+    // driver gap before the first real job) and whose interpreted
+    // zip_with/aggregate evaluation dominated the task time. Bit
+    // semantics are IDENTICAL: per plane, a left-to-right double fold
+    // of v(i)*plane(i) (same IEEE op order as aggregate∘zip_with),
+    // sign >= 0 sets bit p; a null vector or a length≠dim / null-element
+    // vector yields the same all-zero buckets the null-padded zip_with
+    // produced.
+    val f = udf { (v: Seq[java.lang.Double]) =>
+      if (v == null) Array.fill(tables)(0L)
+      else {
+        val ok = v.length == dim && !v.contains(null)
+        val arr = if (ok) { val a = new Array[Double](dim)
+          var i = 0; while (i < dim) { a(i) = v(i); i += 1 }; a } else null
+        Array.tabulate(tables) { t =>
+          if (!ok) 0L
+          else {
+            var bucket = 0L
+            var p = 0
+            while (p < planesPerTable) {
+              val plane = hp(t)(p)
+              var s = 0.0; var i = 0
+              while (i < dim) { s += arr(i) * plane(i); i += 1 }
+              if (s >= 0) bucket |= (1L << p)
+              p += 1
+            }
+            bucket
+          }
+        }
       }
-      bits.reduce((a, b) => a.bitwiseOR(b))
-    }: _*)
+    }
+    f(vec.cast("array<double>"))
   }
 
   /** IVF-style ANN: k-means lists + nProbe probing.

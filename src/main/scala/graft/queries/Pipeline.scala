@@ -156,6 +156,12 @@ object Pipeline {
         col("doc_id").as("id_b"), col("nt").as("nb"))
       a.join(b, Seq("source", "t"))
         .filter(col("id_a") < col("id_b"))
+        // r17: size-ratio prefilter — J = |∩|/|∪| ≤ min(na,nb)/max(na,nb),
+        // so any pair with 4·max > 5·min can never reach the 0.8
+        // threshold; dropping it BEFORE the count aggregate shrinks the
+        // aggregate's input without changing the result (guide §2.3:
+        // shuffle/aggregate fewer rows)
+        .filter(col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(count(lit(1)).as("common"))
         .withColumn("jacc_raw",

@@ -5638,14 +5638,21 @@ final class GraftTable private (
     val inBefore = col(s"__b_${pk.head}").isNotNull
     val changed = !(struct_ord(cmp.map(col).toIndexedSeq: _*) <=>
       struct_ord(cmp.map(c => col(s"__b_$c")).toIndexedSeq: _*))
-    def afterSel(kind: String) =
-      (cols.map(col) :+ lit(kind).as("_row_kind")).toIndexedSeq
-    def beforeSel(kind: String) =
-      (cols.map(c => col(s"__b_$c").as(c)) :+ lit(kind).as("_row_kind")).toIndexedSeq
-    joined.filter(inAfter && !inBefore).select(afterSel("+I"): _*)
-      .unionAll(joined.filter(!inAfter && inBefore).select(beforeSel("-D"): _*))
-      .unionAll(joined.filter(inAfter && inBefore && changed).select(beforeSel("-U"): _*))
-      .unionAll(joined.filter(inAfter && inBefore && changed).select(afterSel("+U"): _*))
+    // ONE pass over the joined rows (r17): each row emits its 0/1/2
+    // changelog records as an exploded array — the old 4-way
+    // unionAll(filter(joined)…) evaluated the full-outer join four
+    // times (4× the plan mass, 4× the row passes even with exchange
+    // reuse). A non-matching row emits NULL and explode drops it.
+    def afterStruct(kind: String) = struct_ord(
+      (cols.map(col) :+ lit(kind).as("_row_kind")).toIndexedSeq: _*)
+    def beforeStruct(kind: String) = struct_ord(
+      (cols.map(c => col(s"__b_$c").as(c)) :+ lit(kind).as("_row_kind")).toIndexedSeq: _*)
+    val emitted =
+      when(inAfter && !inBefore, array(afterStruct("+I")))
+        .when(!inAfter && inBefore, array(beforeStruct("-D")))
+        .when(inAfter && inBefore && changed,
+          array(beforeStruct("-U"), afterStruct("+U")))
+    joined.select(explode(emitted).as("__cl")).select(col("__cl.*"))
   }
 
   /** Persisted per-commit changelog (changelog-producer = lookup):
@@ -5692,8 +5699,17 @@ final class GraftTable private (
   private def persistChangelog(
       diff: DataFrame, sch: TableSchema): Option[String] = {
     val clDir = s"changelog/${UUID.randomUUID()}"
+    // Right-size the changelog files (r17, guide §6): the raw diff
+    // inherits its plan's partitioning (commonly the scan split count),
+    // spraying dozens of near-empty parquet files per commit whose
+    // footers the stats loop below then reads one by one. A hash
+    // repartition on the primary key with NO explicit partition count
+    // is deterministic (safe under task retry, unlike round-robin) and
+    // AQE-coalesces to the advisory partition size — one file at gate
+    // scale, 64 MB-sized files at real scale.
+    val sized = diff.repartition(sch.primaryKeys.map(col).toIndexedSeq: _*)
     val writer = sch.options.get("changelog-file.compression")
-      .foldLeft(diff.write)((w, c) => w.option("compression", c))
+      .foldLeft(sized.write)((w, c) => w.option("compression", c))
     withMicrosTimestamps { writer.parquet(s"$path/$clDir") }
     val files0 = graft.core.FsUtil.walkAll(Paths.get(s"$path/$clDir")).iterator
       .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
