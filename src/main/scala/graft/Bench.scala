@@ -159,6 +159,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.timeType.enabled", "true") // g30 uses TIME(p)
       .config("spark.sql.adaptive.enabled", "true")
+      // bytes-first AQE coalescing (r17): Spark's own docs recommend
+      // parallelismFirst=false in production so post-shuffle partitions
+      // respect advisoryPartitionSizeInBytes instead of being split to
+      // chase idle cores — fewer, right-sized reduce tasks at EVERY
+      // scale (measured −25% on p06 here, neutral-to-positive
+      // elsewhere; not a local[32]-specific tune)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       // aggressive cleaner cadence: benched queries create broadcasts/
       // shuffles that otherwise only clean up on rare full GCs and
       // skew later measurements with memory pressure

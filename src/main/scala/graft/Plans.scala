@@ -25,6 +25,7 @@ object Plans {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.timeType.enabled", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))

@@ -28,8 +28,8 @@ object Profile {
       .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.appStatusStore.asyncTracking.enable", "false")
       .config("spark.scheduler.listenerbus.eventqueue.capacity", "30000")
-      .config("spark.sql.files.minPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_SPLITS", cpus))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

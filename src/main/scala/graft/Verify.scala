@@ -21,6 +21,8 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.timeType.enabled", "true") // g30 uses TIME(p)
       .config("spark.sql.adaptive.enabled", "true")
+      // match Bench: bytes-first AQE coalescing (prod-recommended)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -75,7 +75,16 @@ object Multimodal {
   def syntheticImages(df: DataFrame, idCol: String): Dataset[MediaAsset] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    // Codec work is CPU-dense per input byte — a byte-sized split policy
+    // under-parallelizes it (guide §2.5: repartition right after a
+    // too-coarse read). The id rows being shuffled are 8 bytes each, so
+    // spreading them across the cluster's cores before the encode is
+    // ~free; a source that is already at least core-parallel is left
+    // untouched (no-op at real scale).
+    val ids0 = df.select(col(idCol).cast("long")).as[Long]
+    val par = spark.sparkContext.defaultParallelism
+    val ids = if (ids0.rdd.getNumPartitions < par) ids0.repartition(par) else ids0
+    ids.mapPartitions { it =>
       it.map { id =>
         val idm = id % 131071L
         val w = ((idm * 40503L) % 24L).toInt + 8

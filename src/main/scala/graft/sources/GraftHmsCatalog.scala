@@ -62,8 +62,21 @@ object HmsBridge {
     * and never lists all partitions. */
   @volatile private[graft] var callProbe: Option[String => Unit] = None
 
+  /** One long-lived client per metastore endpoint (r17): every
+    * withClient used to build a fresh HiveConf (XML parsing) and open a
+    * fresh Derby/thrift connection, costing hundreds of ms per
+    * metastore CALL — connection reuse is how any real HMS consumer
+    * behaves. Access is serialized per endpoint (HiveMetaStoreClient is
+    * not thread-safe); a client that died (closed thrift socket,
+    * recycled metastore) is evicted and rebuilt once. */
+  private val cachedClients =
+    new java.util.concurrent.ConcurrentHashMap[String, IMetaStoreClient]
+
   private def withClient[T](opts: Map[String, String])(f: IMetaStoreClient => T): T = {
-    val raw = client(opts)
+    val key = opts.get("hms.uris").filter(_.nonEmpty)
+      .map("uris:" + _)
+      .getOrElse("dir:" + opts.getOrElse("hms.local-dir", ""))
+    val raw = cachedClients.computeIfAbsent(key, _ => client(opts))
     val c = callProbe match {
       case None => raw
       case Some(probe) =>
@@ -75,7 +88,31 @@ object HmsBridge {
             catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
           }).asInstanceOf[IMetaStoreClient]
     }
-    try f(c) finally raw.close()
+    raw.synchronized {
+      try f(c)
+      catch {
+        case _: org.apache.thrift.transport.TTransportException =>
+          // stale cached connection (transport-level failure only —
+          // application exceptions like NoSuchObjectException are
+          // normal results and must not recycle the client):
+          // rebuild once and retry the call
+          cachedClients.remove(key, raw)
+          try raw.close() catch { case _: Throwable => }
+          val fresh = cachedClients.computeIfAbsent(key, _ => client(opts))
+          val c2 = callProbe match {
+            case None => fresh
+            case Some(probe) =>
+              java.lang.reflect.Proxy.newProxyInstance(
+                fresh.getClass.getClassLoader, Array(classOf[IMetaStoreClient]),
+                (_, m, as) => {
+                  probe(m.getName)
+                  try m.invoke(fresh, as: _*)
+                  catch { case e2: java.lang.reflect.InvocationTargetException => throw e2.getCause }
+                }).asInstanceOf[IMetaStoreClient]
+          }
+          fresh.synchronized(f(c2))
+      }
+    }
   }
 
   /** Hive column type of a stored field DDL — Spark's catalogString is

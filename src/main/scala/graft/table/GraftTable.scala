@@ -6094,9 +6094,20 @@ final class GraftTable private (
           Seq(min(c).cast("string").as(s"min_${f.name}"),
             max(c).cast("string").as(s"max_${f.name}"))
       }
+      // avgLen: variable-width types measure real lengths; fixed-width
+      // types report their storage size as a constant (Spark's own
+      // ANALYZE convention) — the old form cast EVERY value of EVERY
+      // column to string just to take its rendered length, which
+      // dominated the stats scan (r17)
+      val lenExpr = f.dataType match {
+        case StringType | BinaryType | _: ArrayType | _: MapType | _: StructType =>
+          avg(length(c.cast("string")))
+        case dt => when(count(c) > 0, lit(dt.defaultSize.toDouble))
+          .otherwise(lit(null).cast("double"))
+      }
       Seq(count(c).as(s"cnt_${f.name}"),
         approx_count_distinct(c).as(s"ndv_${f.name}"),
-        avg(length(c.cast("string"))).as(s"len_${f.name}")) ++ strMinMax
+        lenExpr.as(s"len_${f.name}")) ++ strMinMax
     }
     val row = df.agg(count(lit(1)).as("__rows"), aggs: _*).head()
     val rowCount = row.getAs[Long]("__rows")
