@@ -4179,7 +4179,19 @@ final class GraftTable private (
         val rows = math.max(1L, old.map(_.file.rowCount).sum)
         math.max(1L, t / math.max(1L, bytes / rows))
       }
-    try Some(commitFiles(merged, sch, partitionBy, KindCompact, base,
+    // Co-locate each (partition, bucket) in one task before the staged
+    // write (r17, guide §6): `merged` otherwise keeps its upstream
+    // partitioning and partitionBy fans every task out across every
+    // bucket directory — up to tasks×buckets near-empty files per
+    // compaction (observed 32×8 at gate scale), which every later read
+    // pays as split count. Hash repartition on the partitionBy columns
+    // (no explicit N → AQE coalesces; deterministic under retry) yields
+    // one file per (partition, bucket) with rollAt still bounding size.
+    val routed =
+      if (isPrimaryKeyTable && partitionBy.nonEmpty)
+        merged.repartition(partitionBy.map(col).toIndexedSeq: _*)
+      else merged
+    try Some(commitFiles(routed, sch, partitionBy, KindCompact, base,
       commitIdentifier = -1L, deletes = old.map(_.copy(kind = "DELETE")),
       level = 1, changelogManifest = changelog, maxRecordsPerFile = rollAt))
     finally if (changelog.isDefined) merged.unpersist()
