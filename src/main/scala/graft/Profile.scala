@@ -8,13 +8,17 @@ import org.apache.spark.sql.SparkSession
   * measure-first loop of the optimization guide without paying for a
   * full 155-gate window per experiment.
   *
-  * Usage: runMain graft.Profile <gate[,gate...]> [reps] [sfDir]
+  * Usage: runMain graft.Profile <gate[,gate...]> [reps] [sfDir] [-v]
+  * (-v prints each job's driver gap + run time and callsite; flags may
+  * appear in any position — they are filtered out of the positional
+  * arguments before parsing)
   */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
-    val reps = if (args.length > 1) args(1).toInt else 3
-    val sfDir = if (args.length > 2) args(2)
+    val pos = args.filterNot(_.startsWith("-"))
+    val names = pos(0).split(",").map(_.trim).filter(_.nonEmpty)
+    val reps = if (pos.length > 1) pos(1).toInt else 3
+    val sfDir = if (pos.length > 2) pos(2)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -44,7 +44,12 @@ object Contamination {
             val sb = new java.lang.StringBuilder
             var j = i
             while (j < i + w) { if (j > i) sb.append(' '); sb.append(toks(j)); j += 1 }
-            out.add(sb.toString)
+            // empty-gram drop must hold in BOTH branches: with w=1 a
+            // blank document tokenizes to [""] and n >= w, so the ""
+            // gram would otherwise flag every blank corpus doc against
+            // one blank benchmark row (for w >= 2 joined grams are
+            // never empty and this guard never fires)
+            if (sb.length > 0) out.add(sb.toString)
             i += 1
           }
         }

@@ -79,7 +79,13 @@ object Dedup {
     * are bit-identical (same shingles, same xxhash64, same
     * (a·h+b) mod P arithmetic — spec-pinned in OperatorsSpec). The
     * UDF is the documented exception for tight numeric inner loops
-    * (see cosineUdf). */
+    * (see cosineUdf).
+    *
+    * PRECONDITION: ids must be unique. One signature row is emitted
+    * per input row; the pre-r17 explode+groupBy(id) form would instead
+    * have collapsed duplicate ids into one combined signature over the
+    * union of their shingles — with duplicate-id input the two forms
+    * produce different downstream LSH pair sets. */
   def minhashSignatureTable(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 32, shingleWidth: Int = 3): DataFrame = {
@@ -180,7 +186,10 @@ object Dedup {
     * 64-column hash-aggregate form, whose plan-tree analysis/codegen
     * dominated gate wall time and which paid a corpus-wide Exchange
     * the computation never needed. Values are bit-identical (same
-    * xxhash64, same ±1 integer votes, same `votes > 0` tie rule). */
+    * xxhash64, same ±1 integer votes, same `votes > 0` tie rule).
+    *
+    * PRECONDITION: ids must be unique — one row per input row; see
+    * [[minhashSignatureTable]] for the duplicate-id caveat. */
   def simhashTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val shUdf = udf { (toks: Seq[String]) =>
       val votes = new Array[Long](64)
@@ -573,6 +582,26 @@ object Dedup {
     (dropAcc, collAcc)
   }
 
+  /** Materialize a banded/chunked frame ONCE before multi-branch
+    * consumption (r18, guide §3.3 "materialising an intermediate
+    * truncates the plan" + §4.4 duplicated-UDF warning): the guarded
+    * joins below reference their input from 4-6 branches (over-cap
+    * aggregation, anti/semi splits, the pair join's two sides), and a
+    * per-row signature frame has NO exchange the branches could reuse —
+    * each branch re-ran the scan + signature UDF (3× at gate scale, 3
+    * corpus scans at 100 TB). An eager localCheckpoint computes the
+    * frame exactly once and every branch reads the materialized rows;
+    * blocks are scoped to the query and reclaimed by the context
+    * cleaner (same pattern as CdcFormats.inferParse). Values are
+    * unchanged — checkpointing only stores the computed rows. A frame
+    * that IS already a checkpoint (callers sharing one frame across
+    * several guarded calls pre-materialize) is passed through. */
+  private def materializeOnce(df: DataFrame): DataFrame =
+    df.queryExecution.logical match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _ => df.localCheckpoint(eager = true)
+    }
+
   /** A bucket's identity string for the keyed accumulators: a 64-bit
     * hash, NOT a concat — concat_ws silently skips NULLs, so distinct
     * buckets like (null,'x') and ('x',null) would collide onto one
@@ -588,11 +617,12 @@ object Dedup {
       Seq(isnull(col(k)).cast("int"), col(k))): _*).cast("string")
 
   private[graft] def collapseHotBuckets(
-      banded: DataFrame,
+      banded0: DataFrame,
       keys: Seq[String],
       maxBucketSize: Int,
       fineKey: Column,
       site: String): DataFrame = {
+    val banded = materializeOnce(banded0)
     val (dropAcc, collAcc) = guardAccumulators(banded, site)
     val keyCols = keys.map(col)
     val over = banded.groupBy(keyCols: _*)
@@ -708,11 +738,11 @@ object Dedup {
       idCol: String, textCol: String,
       threshold: Double = 0.7, k: Int = 32, bands: Int = 8,
       maxBucketSize: Int = 1000): DataFrame = {
-    // ONE banded frame feeds both sides — the signature table (shingle
-    // explode + k min-aggregations, the dominant cost) is a shared
-    // subplan, so exchange reuse computes it once per action instead
-    // of separately for the probe and the within-increment pairs
-    val banded = bandRows(increment, idCol, textCol, k, bands)
+    // ONE banded frame feeds both sides (the probe and the
+    // within-increment pairs) — materialized eagerly so the signature
+    // UDF runs once per increment; the guarded helpers below detect
+    // the checkpoint and don't re-materialize
+    val banded = materializeOnce(bandRows(increment, idCol, textCol, k, bands))
     val incB = collapseHotBuckets(
       banded, Seq("band", "bh"), maxBucketSize, col("__sigh"), "minhash.inc")
     val cross = index.read
@@ -764,12 +794,13 @@ object Dedup {
     *        this is recall-EXACT one level down; only sub-bucket
     *        overflow still drops (WARN-counted). */
   private[graft] def bucketJoinPairs(
-      banded: DataFrame,
+      banded0: DataFrame,
       keys: Seq[String],
       maxBucketSize: Int,
       fineKey: Column,
       payload: Seq[String] = Seq.empty,
       subKeys: Option[Column] = None): DataFrame = {
+    val banded = materializeOnce(banded0)
     val (dropAcc, collAcc) = guardAccumulators(banded, keys.head)
     val keyCols = keys.map(col)
     val over = banded.groupBy(keyCols: _*)

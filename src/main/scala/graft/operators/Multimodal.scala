@@ -79,11 +79,13 @@ object Multimodal {
     // under-parallelizes it (guide §2.5: repartition right after a
     // too-coarse read). The id rows being shuffled are 8 bytes each, so
     // spreading them across the cluster's cores before the encode is
-    // ~free; a source that is already at least core-parallel is left
-    // untouched (no-op at real scale).
-    val ids0 = df.select(col(idCol).cast("long")).as[Long]
-    val par = spark.sparkContext.defaultParallelism
-    val ids = if (ids0.rdd.getNumPartitions < par) ids0.repartition(par) else ids0
+    // ~free — UNCONDITIONALLY (r18): the previous partition-count probe
+    // (`ids0.rdd.getNumPartitions`) forced the physical plan, which
+    // under AQE can execute upstream query stages just to read a count,
+    // and then the repartition branch computed the upstream plan AGAIN
+    // for the write — a double-execution trap for any non-trivial input.
+    val ids = df.select(col(idCol).cast("long")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
     ids.mapPartitions { it =>
       it.map { id =>
         val idm = id % 131071L

@@ -154,20 +154,25 @@ object Pipeline {
         col("doc_id").as("id_a"), col("nt").as("na"))
       val b = inv.select(col("source"), col("t"),
         col("doc_id").as("id_b"), col("nt").as("nb"))
+      // ONE threshold constant drives both the prefilter and the final
+      // cut (r18, was duplicated as 4/5 vs 0.8 — a threshold change
+      // would have silently broken the prefilter's soundness)
+      val jaccThreshold = 0.8
       a.join(b, Seq("source", "t"))
         .filter(col("id_a") < col("id_b"))
         // r17: size-ratio prefilter — J = |∩|/|∪| ≤ min(na,nb)/max(na,nb),
-        // so any pair with 4·max > 5·min can never reach the 0.8
+        // so any pair with max·threshold > min can never reach the
         // threshold; dropping it BEFORE the count aggregate shrinks the
         // aggregate's input without changing the result (guide §2.3:
         // shuffle/aggregate fewer rows)
-        .filter(col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4)
+        .filter(col("na") >= col("nb") * jaccThreshold &&
+          col("nb") >= col("na") * jaccThreshold)
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(count(lit(1)).as("common"))
         .withColumn("jacc_raw",
           col("common").cast("double") /
             greatest(col("na") + col("nb") - col("common"), lit(1)).cast("double"))
-        .filter(col("jacc_raw") >= 0.8)
+        .filter(col("jacc_raw") >= jaccThreshold)
         .select(col("id_a"), col("id_b"), round(col("jacc_raw"), 6).as("jaccard"))
     },
 

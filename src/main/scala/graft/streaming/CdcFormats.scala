@@ -169,6 +169,18 @@ object CdcFormats {
   private def inferParse(raw: DataFrame, jsonCol: String): DataFrame = {
     val spark = raw.sparkSession
     import spark.implicits._
+    // NOTE on parse parallelism (r18, measured and rejected): a batch
+    // arriving as ONE partition parses from_json on one core (profiled
+    // 1.4 s warm on a 150 K-row epoch). An order-preserving split
+    // (monotonic id + repartitionByRange to the session parallelism —
+    // plain repartition would reorder same-key rows and change
+    // arrival-order merge tiebreaks downstream) was measured at +2
+    // jobs/epoch (range sampling + the extra exchange stage): g45
+    // 4.47→4.96 s, g47 4.63→5.26 s warm — the job cadence costs more
+    // than the parallel parse saves at this batch size, and real
+    // large-scale change batches arrive already partitioned. The
+    // single-task parse stands as the honest cost of a single-file
+    // batch.
     val strs = raw.select(col(jsonCol).cast("string").as("j"))
       .localCheckpoint(true)
     val schema = spark.read.json(strs.as[String]).schema
