@@ -83,6 +83,15 @@ object Bench {
         if (retried) "recovered" else "clean"
       else if (contentionSignals) "contended"
       else "regressed"
+    /** Why a `recovered` gate retried (r18, telemetry only): an
+      * outright first-attempt FAILURE is a different signal from a
+      * band BREACH — a deterministic-but-rare engine flake must stay
+      * distinguishable from environment contamination. Empty for
+      * non-recovered gates. */
+    def recoveredCause: String =
+      if (quality != "recovered") ""
+      else if (attempts.head.failed) "failure"
+      else "breach"
   }
 
   /** Guest load above this reads as externally-pushed for a solo bench
@@ -340,6 +349,8 @@ object Bench {
         ",\"proc_cpu_sec\":" + rep.procCpuSec +
         ",\"steal_pct\":" + rep.stealPct +
         ",\"quality\":" + jstr(r.quality) +
+        (if (r.recoveredCause.nonEmpty)
+          ",\"recovered_from\":" + jstr(r.recoveredCause) else "") +
         r.band.map(b => ",\"band\":" + b.median + ",\"band_min\":" + b.min)
           .getOrElse("") +
         (if (r.retried) ",\"attempts\":" + att else "") +

@@ -72,45 +72,42 @@ object HmsBridge {
   private val cachedClients =
     new java.util.concurrent.ConcurrentHashMap[String, IMetaStoreClient]
 
+  /** Wrap a client with the call-probe proxy when instrumentation is
+    * active (r18: factored out of withClient's two duplicated copies). */
+  private def probed(raw: IMetaStoreClient): IMetaStoreClient = callProbe match {
+    case None => raw
+    case Some(probe) =>
+      java.lang.reflect.Proxy.newProxyInstance(
+        raw.getClass.getClassLoader, Array(classOf[IMetaStoreClient]),
+        (_, m, as) => {
+          probe(m.getName)
+          try m.invoke(raw, as: _*)
+          catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+        }).asInstanceOf[IMetaStoreClient]
+  }
+
   private def withClient[T](opts: Map[String, String])(f: IMetaStoreClient => T): T = {
     val key = opts.get("hms.uris").filter(_.nonEmpty)
       .map("uris:" + _)
       .getOrElse("dir:" + opts.getOrElse("hms.local-dir", ""))
     val raw = cachedClients.computeIfAbsent(key, _ => client(opts))
-    val c = callProbe match {
-      case None => raw
-      case Some(probe) =>
-        java.lang.reflect.Proxy.newProxyInstance(
-          raw.getClass.getClassLoader, Array(classOf[IMetaStoreClient]),
-          (_, m, as) => {
-            probe(m.getName)
-            try m.invoke(raw, as: _*)
-            catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
-          }).asInstanceOf[IMetaStoreClient]
-    }
     raw.synchronized {
-      try f(c)
+      try f(probed(raw))
       catch {
         case _: org.apache.thrift.transport.TTransportException =>
           // stale cached connection (transport-level failure only —
           // application exceptions like NoSuchObjectException are
-          // normal results and must not recycle the client):
-          // rebuild once and retry the call
+          // normal results and must not recycle the client): rebuild
+          // once and retry the call. NOTE the retry re-executes f
+          // blindly, so every f routed through here must be IDEMPOTENT
+          // against its own half-applied first attempt — the mirroring
+          // ops are (create tolerates AlreadyExists, drop tolerates
+          // NoSuchObject, alter re-derives the same target state from
+          // the current schema; reads are trivially idempotent).
           cachedClients.remove(key, raw)
           try raw.close() catch { case _: Throwable => }
           val fresh = cachedClients.computeIfAbsent(key, _ => client(opts))
-          val c2 = callProbe match {
-            case None => fresh
-            case Some(probe) =>
-              java.lang.reflect.Proxy.newProxyInstance(
-                fresh.getClass.getClassLoader, Array(classOf[IMetaStoreClient]),
-                (_, m, as) => {
-                  probe(m.getName)
-                  try m.invoke(fresh, as: _*)
-                  catch { case e2: java.lang.reflect.InvocationTargetException => throw e2.getCause }
-                }).asInstanceOf[IMetaStoreClient]
-          }
-          fresh.synchronized(f(c2))
+          fresh.synchronized(f(probed(fresh)))
       }
     }
   }
@@ -210,7 +207,12 @@ object HmsBridge {
     if (sch.primaryKeys.nonEmpty)
       params.put("primary-key", sch.primaryKeys.mkString(","))
     t.setParameters(params)
-    c.createTable(t)
+    // idempotent under withClient's transport retry: if the transport
+    // dropped AFTER the server applied our first createTable, the
+    // retried call finds the entry this very call just created (same
+    // content) — success, not an error
+    try c.createTable(t)
+    catch { case _: org.apache.hadoop.hive.metastore.api.AlreadyExistsException => () }
   }
 
   /** Re-derive the HMS entry from the table's CURRENT schema (column
