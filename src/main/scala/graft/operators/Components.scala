@@ -56,6 +56,16 @@ object Components {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = cut(edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id")))
+    // convergence rides the checkpoint materialization itself (r18,
+    // guide §1.5/§2.4 — one fewer job per round): a nondeterministic
+    // probe records moved labels into an accumulator WHILE the round
+    // output materializes, so the former per-round `count()` job over
+    // the checkpoint disappears. Only the zero/non-zero distinction
+    // drives the loop (exact under task retries — a retried task can
+    // re-add, inflating the count, but never fabricates a move from
+    // zero); the WARN therefore reports the count as approximate.
+    val movedAcc = pairs.sparkSession.sparkContext
+      .longAccumulator("graft.components.moved")
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
@@ -64,21 +74,26 @@ object Components {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("comp", "nc"), "dst")
         .groupBy(col("src").as("id")).agg(min("nc").as("nc"))
       // carry the round's starting label through as `old` so the
-      // convergence check below is a filter over the ALREADY
-      // materialized round output — the former shape re-joined the new
-      // labels against the old table, paying one extra shuffle-join
-      // job per round (r17, guide §2.4)
+      // convergence probe runs over the round's own output rows
+      // (r17 removed the old-vs-new shuffle join; r18 removed the
+      // count job)
       val prop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("old"),
           least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
       // pointer jump: follow the label one hop (labels are node ids,
       // so every label has a row). Doubles effective propagation
       // distance per round.
+      val probe = udf { (o: Long, c: Long) =>
+        if (o != c) movedAcc.add(1L)
+        true
+      }.asNondeterministic() // must not be deduplicated or reordered
+      movedAcc.reset()
       val jumped = cut(prop
         .join(prop.select(col("id").as("comp"), col("comp").as("cc")), Seq("comp"), "left")
         .select(col("id"), col("old"),
-          least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp")))
-      changed = jumped.filter(col("comp") =!= col("old")).count()
+          least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
+        .filter(probe(col("old"), col("comp"))))
+      changed = movedAcc.value
       labels = jumped.select(col("id"), col("comp"))
       iter += 1
     }
@@ -89,8 +104,8 @@ object Components {
     // truly pathological graphs (or a too-small maxIter override).
     if (changed > 0)
       org.slf4j.LoggerFactory.getLogger("graft.Components").warn(
-        s"connectedComponents stopped at maxIter=$maxIter with $changed " +
-          "labels still moving — components may be split; raise maxIter")
+        s"connectedComponents stopped at maxIter=$maxIter with ~$changed " +
+          "label moves still recorded — components may be split; raise maxIter")
     labels
   }
 
