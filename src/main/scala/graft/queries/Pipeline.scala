@@ -156,8 +156,18 @@ object Pipeline {
         col("doc_id").as("id_b"), col("nt").as("nb"))
       // ONE threshold constant drives both the prefilter and the final
       // cut (r18, was duplicated as 4/5 vs 0.8 — a threshold change
-      // would have silently broken the prefilter's soundness)
+      // would have silently broken the prefilter's soundness). The
+      // prefilter stays INTEGER arithmetic, derived from the constant:
+      // it lands in the pair join's condition and is evaluated per
+      // candidate pair, where a per-row double cast measurably
+      // regressed the gate (r18 window: 4.9 -> 6.9 s with
+      // `na >= nb * 0.8` doubles; na*10 >= nb*8 is the exact same
+      // predicate over longs).
       val jaccThreshold = 0.8
+      val den = 10L
+      val num = (jaccThreshold * den).toLong
+      require(num.toDouble == jaccThreshold * den,
+        s"jaccThreshold must be a one-decimal rational, got $jaccThreshold")
       a.join(b, Seq("source", "t"))
         .filter(col("id_a") < col("id_b"))
         // r17: size-ratio prefilter — J = |∩|/|∪| ≤ min(na,nb)/max(na,nb),
@@ -165,8 +175,8 @@ object Pipeline {
         // threshold; dropping it BEFORE the count aggregate shrinks the
         // aggregate's input without changing the result (guide §2.3:
         // shuffle/aggregate fewer rows)
-        .filter(col("na") >= col("nb") * jaccThreshold &&
-          col("nb") >= col("na") * jaccThreshold)
+        .filter(col("na") * den >= col("nb") * num &&
+          col("nb") * den >= col("na") * num)
         .groupBy("id_a", "id_b", "na", "nb")
         .agg(count(lit(1)).as("common"))
         .withColumn("jacc_raw",
